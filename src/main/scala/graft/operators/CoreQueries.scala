@@ -1,0 +1,234 @@
+package graft.operators
+
+import graft.Determinism._
+import graft.Tables.t
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational surface (SURVEY.md §2a): the join / group / window /
+  * set-op shapes the reference's Beam pipelines are built from, expressed
+  * declaratively so Catalyst handles pushdown, join selection and
+  * whole-stage codegen. Small dimension tables are broadcast explicitly.
+  */
+object CoreQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Multi-aggregate group-by over the fact table (cf. ClimateSummaryFn
+    * group stats, reference transforms.py:646). Partial aggregation
+    * (map-side combine) makes this a single shuffle of |groups| rows. */
+  def q01(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+    val discPrice = dec2(col("l_extendedprice")) * dec2(lit(1) - col("l_discount"))
+    l.filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum2(col("l_quantity")).as("sum_qty"),
+        dsum2(col("l_extendedprice")).as("sum_base_price"),
+        sum(discPrice).cast("double").as("sum_disc_price"),
+        sum(discPrice * dec2(lit(1) + col("l_tax"))).cast("double").as("sum_charge"),
+        davg2(col("l_quantity")).as("avg_qty"),
+        davg2(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** Predicate + projection pushdown: only 6 of 11 lineitem columns should
+    * reach the scan (verify via .explain ReadSchema/PushedFilters). */
+  def q02(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1995-01-01") &&
+        col("l_shipdate") < lit("1996-01-01") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (dec2(col("l_extendedprice")) * dec2(lit(1) - col("l_discount")))
+          .cast("double").as("revenue"))
+
+  /** Fact ⋈ dim ⋈ dim + aggregate (cf. provenance join). Both dims are
+    * broadcast: zero shuffle for the joins, one for the final group-by. */
+  def q03(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(dsum2(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+
+  /** Global top-k by aggregate (order-by-limit → TakeOrderedAndProject:
+    * per-partition top-k then a k-row merge on the driver, no full sort). */
+  def q04(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_name")
+      .agg(dsum2(col("o_totalprice")).as("total_spent"))
+      .orderBy(col("total_spent").desc, col("c_custkey"))
+      .limit(10)
+
+  /** Left-semi join (EXISTS) — gate-membership shape. */
+  def q05(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(t(s, dir, "lineitem").filter(col("l_quantity") > 45),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select("o_orderkey", "o_totalprice")
+
+  /** Left-anti join — the taxonomy gate's set-difference
+    * (reference helpers.py:237 keep_new_tax_ids) as one operator instead
+    * of CoGroupByKey + filter. */
+  def q06(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").filter(col("o_totalprice") > 150000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+
+  /** row_number per key — dedup-keep-best shape
+    * (reference cleaning_occs.py:221 select_best_record). */
+  def q07(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 2)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+  }
+
+  /** Count-distinct per group (biogeo nested-summary counts). */
+  def q08(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"))
+
+  /** Conditional tallies (validated / to_check split counts). */
+  def q09(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        sum(when(col("o_totalprice") > 200000, 1L).otherwise(0L)).as("n_high"),
+        sum(when(col("o_totalprice") <= 200000, 1L).otherwise(0L)).as("n_low"))
+
+  /** Union + global combine (occurrence-summary Flatten/CombineGlobally). */
+  def q10(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(lit("order").as("status"), col("o_totalprice").as("v"))
+    val l = t(s, dir, "lineitem").select(lit("item").as("status"), col("l_extendedprice").as("v"))
+    o.unionAll(l).groupBy("status")
+      .agg(count(lit(1)).as("n"), dsum2(col("v")).as("total"))
+  }
+
+  /** Rollup aggregates (summary-index style subtotals in one pass). */
+  def q11(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), dsum2(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("sum_qty"))
+
+  /** Full-outer co-group + coalesce (cleaning_summary CoGroupByKey). */
+  def q12(s: SparkSession, dir: String): DataFrame = {
+    val perCust = t(s, dir, "orders")
+      .groupBy("o_custkey").agg(count(lit(1)).as("cnt"))
+    t(s, dir, "customer")
+      .join(perCust, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        coalesce(col("c_acctbal"), lit(0.0)).as("acctbal"),
+        coalesce(col("cnt"), lit(0L)).as("n_orders"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q01_agg_summary" -> (q01 _),
+    "q02_filter_project" -> (q02 _),
+    "q03_join_agg" -> (q03 _),
+    "q04_topk" -> (q04 _),
+    "q05_semi_join" -> (q05 _),
+    "q06_anti_join_gate" -> (q06 _),
+    "q07_window_rank" -> (q07 _),
+    "q08_distinct_agg" -> (q08 _),
+    "q09_conditional_agg" -> (q09 _),
+    "q10_union_flatten" -> (q10 _),
+    "q11_grouping_sets" -> (q11 _),
+    "q12_cogroup_outer" -> (q12 _))
+
+  // DuckDB oracle SQL. Aliases must match the Spark output column names
+  // exactly (driver sorts columns by name before hashing).
+  private val DP = "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))"
+
+  val oracle: Map[String, String] = Map(
+    "q01_agg_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         |  CAST(SUM($DP) AS DOUBLE) AS sum_disc_price,
+         |  CAST(SUM($DP * CAST(1 + l_tax AS DECIMAL(18,2))) AS DOUBLE) AS sum_charge,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+         |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+         |  COUNT(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_project" ->
+      s"""SELECT l_orderkey, l_linenumber, CAST($DP AS DOUBLE) AS revenue
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q03_join_agg" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "q04_topk" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_name
+        |ORDER BY total_spent DESC, c_custkey LIMIT 10""".stripMargin,
+    "q05_semi_join" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)""".stripMargin,
+    "q06_anti_join_gate" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_totalprice > 150000)""".stripMargin,
+    "q07_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 2""".stripMargin,
+    "q08_distinct_agg" ->
+      """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers,
+        |  COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q09_conditional_agg" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        |  CAST(SUM(CASE WHEN o_totalprice <= 200000 THEN 1 ELSE 0 END) AS BIGINT) AS n_low
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q10_union_flatten" ->
+      """SELECT status, COUNT(*) AS n,
+        |  CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM (SELECT 'order' AS status, o_totalprice AS v FROM orders
+        |      UNION ALL
+        |      SELECT 'item' AS status, l_extendedprice AS v FROM lineitem)
+        |GROUP BY status""".stripMargin,
+    "q11_grouping_sets" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q12_cogroup_outer" ->
+      """SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+        |  COALESCE(c_acctbal, 0.0) AS acctbal,
+        |  COALESCE(cnt, 0) AS n_orders
+        |FROM customer
+        |FULL OUTER JOIN (SELECT o_custkey, COUNT(*) AS cnt
+        |                 FROM orders GROUP BY o_custkey) o
+        |  ON c_custkey = o.o_custkey""".stripMargin)
+}
