@@ -1,0 +1,582 @@
+package graft.operators
+
+import graft.Determinism._
+import graft.Tables.t
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Biodiversity-domain operators (SURVEY.md §2b), re-expressed Spark-first.
+  *
+  * The reference's occurrence pipelines (cleaning_occs_pipeline.py,
+  * spatial_annotation_pipeline.py, range_estimation_pipeline.py) operate on
+  * GBIF occurrence records. Here the occurrence-like input is derived
+  * deterministically from the `events` table (integer arithmetic only), so
+  * the DuckDB oracle recomputes byte-identical inputs, while every operator
+  * keeps the reference's semantics and a scale-ready Spark plan shape.
+  *
+  * Scale posture: the whole cleaning chain is narrow (fused by whole-stage
+  * codegen); spatial membership uses integer grid-cell keys joined against
+  * broadcast cell tables; dedup is a single shuffle on the dedup key;
+  * centroid distance uses a broadcast nested-loop join against a tiny
+  * centroid table (the reference holds centroids in memory per worker,
+  * cleaning_occs.py:130-152 — broadcast is the Spark-native equivalent).
+  */
+object DomainQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- derived occurrence view -------------------------------------------
+
+  /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
+    * rejects; read it as raw Long ns (matches DuckDB's epoch_ns). */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Truncate to µs ticks: DuckDB (the oracle) reads parquet ns as
+    // µs-precision TIMESTAMP by truncation, so we match it exactly.
+    t(s, dir, "events").withColumnRenamed("ts", "ts_raw")
+      .withColumn("ts_ns", expr("ts_raw div 1000 * 1000")).drop("ts_raw")
+  }
+
+  /** Occurrence-like view: species/accession from user_id, lat/lon/uncert
+    * from event_id (with (0,0) and out-of-range coords injected so the
+    * cleaning filters have work to do). Mirrored 1:1 in [[OCC_SQL]]. */
+  def occ(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).select(
+      col("event_id").as("occ_id"),
+      concat(lit("sp_"), (col("user_id") % 50).cast("string")).as("species"),
+      concat(lit("ACC"), (col("user_id") % 50).cast("string")).as("accession"),
+      when(col("event_id") % 97 === 0, 0.0)
+        .otherwise((col("event_id") * 37 % 2200).cast("double") / 10.0 - 105.0).as("lat"),
+      when(col("event_id") % 97 === 0, 0.0)
+        .otherwise((col("event_id") * 61 % 4400).cast("double") / 10.0 - 210.0).as("lon"),
+      (col("event_id") * 131 % 8000).cast("double").as("uncert"),
+      col("ts_ns"), col("event_type"), col("value"))
+
+  val OCC_SQL: String =
+    """occ AS (
+      |  SELECT event_id AS occ_id,
+      |    'sp_' || CAST(user_id % 50 AS VARCHAR) AS species,
+      |    'ACC' || CAST(user_id % 50 AS VARCHAR) AS accession,
+      |    CASE WHEN event_id % 97 = 0 THEN 0.0
+      |         ELSE CAST(event_id * 37 % 2200 AS DOUBLE) / 10.0 - 105.0 END AS lat,
+      |    CASE WHEN event_id % 97 = 0 THEN 0.0
+      |         ELSE CAST(event_id * 61 % 4400 AS DOUBLE) / 10.0 - 210.0 END AS lon,
+      |    CAST(event_id * 131 % 8000 AS DOUBLE) AS uncert,
+      |    epoch_ns(ts) AS ts_ns, event_type, value
+      |  FROM events)""".stripMargin
+
+  /** filter_zero_coords + filter_invalid_coords (cleaning_occs.py:9-52). */
+  def valid(s: SparkSession, dir: String): DataFrame =
+    occ(s, dir).filter(
+      !(col("lat") === 0.0 && col("lon") === 0.0) &&
+        col("lat").between(-90.0, 90.0) && col("lon").between(-180.0, 180.0))
+
+  val VALID_SQL: String =
+    """valid AS (
+      |  SELECT * FROM occ
+      |  WHERE NOT (lat = 0.0 AND lon = 0.0)
+      |    AND lat BETWEEN -90.0 AND 90.0 AND lon BETWEEN -180.0 AND 180.0)""".stripMargin
+
+  private def withSql(ctes: String*)(body: String): String =
+    ctes.mkString("WITH ", ",\n", "\n") + body
+
+  // ---- spatial helpers ----------------------------------------------------
+
+  /** 10°-resolution grid cell id in [0, 648) — the land/sea index. */
+  private def cell10(lat: Column, lon: Column): Column =
+    (floor(lat / 10.0).cast("long") + 9) * 36 + floor(lon / 10.0).cast("long") + 18
+
+  private val CELL10_SQL =
+    "(CAST(FLOOR(lat / 10.0) AS BIGINT) + 9) * 36 + CAST(FLOOR(lon / 10.0) AS BIGINT) + 18"
+
+  /** 1°-resolution cell id in [0, 64800) — the climate/biogeo raster index. */
+  private def cell1(lat: Column, lon: Column): Column =
+    (floor(lat).cast("long") + 90) * 360 + floor(lon).cast("long") + 180
+
+  private val CELL1_SQL =
+    "(CAST(FLOOR(lat) AS BIGINT) + 90) * 360 + CAST(FLOOR(lon) AS BIGINT) + 180"
+
+  /** Pseudo-random land mask over the 10° grid (55% land). Stands in for
+    * the Natural Earth polygon layer: point-in-polygon becomes an integer
+    * cell semi-join against a broadcastable table. */
+  def landCells(s: SparkSession): DataFrame =
+    s.range(648).select(col("id").as("cellid"))
+      .filter(col("cellid") * 2654435761L % 100 < 55)
+
+  private val LAND_SQL =
+    """land AS (
+      |  SELECT cellid FROM (SELECT range AS cellid FROM range(648))
+      |  WHERE cellid * 2654435761 % 100 < 55)""".stripMargin
+
+  /** 20 synthetic admin centroids (cf. load_centroid_list). */
+  def centroids(s: SparkSession): DataFrame =
+    s.range(20).select(
+      (col("id") * 53 % 171).cast("double").minus(85.0).as("clat"),
+      (col("id") * 97 % 351).cast("double").minus(175.0).as("clon"))
+
+  private val CENT_SQL =
+    """cent AS (
+      |  SELECT CAST(i * 53 % 171 AS DOUBLE) - 85.0 AS clat,
+      |         CAST(i * 97 % 351 AS DOUBLE) - 175.0 AS clon
+      |  FROM (SELECT range AS i FROM range(20)))""".stripMargin
+
+  /** Great-circle distance in meters (cleaning_occs.py:107 haversine). */
+  def haversineM(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    val a = pow(sin(radians(lat2 - lat1) / 2), 2) +
+      cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(radians(lon2 - lon1) / 2), 2)
+    lit(2 * 6371000.0) * asin(sqrt(a))
+  }
+
+  private def haversineSql(lat1: String, lon1: String, lat2: String, lon2: String): String =
+    s"2 * 6371000.0 * ASIN(SQRT(POW(SIN(RADIANS(($lat2) - ($lat1)) / 2), 2) + " +
+      s"COS(RADIANS($lat1)) * COS(RADIANS($lat2)) * POW(SIN(RADIANS(($lon2) - ($lon1)) / 2), 2)))"
+
+  private val CENTROID_DIST_M = 150000.0
+
+  // ---- §2b queries ---------------------------------------------------------
+
+  def occCleanCoords(s: SparkSession, dir: String): DataFrame =
+    valid(s, dir).select("occ_id", "species", "lat", "lon")
+
+  def occUncertaintyBand(s: SparkSession, dir: String): DataFrame =
+    valid(s, dir).filter(col("uncert").between(1000.0, 5000.0))
+      .select("occ_id", "species", "uncert")
+
+  def occLandFilter(s: SparkSession, dir: String): DataFrame =
+    valid(s, dir).withColumn("cellid", cell10(col("lat"), col("lon")))
+      .join(broadcast(landCells(s)), Seq("cellid"), "left_semi")
+      .select("occ_id", "species", "lat", "lon", "cellid")
+
+  def occCentroidFilter(s: SparkSession, dir: String): DataFrame =
+    valid(s, dir).join(broadcast(centroids(s)),
+        haversineM(col("lat"), col("lon"), col("clat"), col("clon")) <= CENTROID_DIST_M,
+        "left_anti")
+      .select("occ_id", "species", "lat", "lon")
+
+  /** select_best_record per (species, 1°-cell): min uncertainty wins. */
+  def occDedupeBest(s: SparkSession, dir: String): DataFrame = {
+    val d = valid(s, dir)
+      .withColumn("cell_lat", floor(col("lat")).cast("long"))
+      .withColumn("cell_lon", floor(col("lon")).cast("long"))
+    val w = Window.partitionBy("species", "cell_lat", "cell_lon")
+      .orderBy(col("uncert"), col("occ_id"))
+    d.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("species", "cell_lat", "cell_lon", "occ_id", "uncert")
+  }
+
+  /** The full cleaning chain of cleaning_occs_pipeline.py: coord filters →
+    * uncertainty band → land semi-join → centroid anti-join → keep-best
+    * dedup. One narrow fused stage, then one shuffle for the window. */
+  def occCleanPipeline(s: SparkSession, dir: String): DataFrame = {
+    val banded = valid(s, dir).filter(col("uncert").between(1000.0, 5000.0))
+      .withColumn("cellid", cell10(col("lat"), col("lon")))
+      .join(broadcast(landCells(s)), Seq("cellid"), "left_semi")
+      .join(broadcast(centroids(s)),
+        haversineM(col("lat"), col("lon"), col("clat"), col("clon")) <= CENTROID_DIST_M,
+        "left_anti")
+      .withColumn("cell_lat", floor(col("lat")).cast("long"))
+      .withColumn("cell_lon", floor(col("lon")).cast("long"))
+    val w = Window.partitionBy("species", "cell_lat", "cell_lon")
+      .orderBy(col("uncert"), col("occ_id"))
+    banded.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("occ_id", "species", "lat", "lon", "uncert")
+  }
+
+  private val CLEANED_SQL: String =
+    s"""cleaned AS (
+       |  SELECT occ_id, species, lat, lon, uncert FROM (
+       |    SELECT v.*,
+       |      ROW_NUMBER() OVER (
+       |        PARTITION BY species, CAST(FLOOR(lat) AS BIGINT), CAST(FLOOR(lon) AS BIGINT)
+       |        ORDER BY uncert, occ_id) AS rn
+       |    FROM valid v
+       |    WHERE uncert BETWEEN 1000.0 AND 5000.0
+       |      AND $CELL10_SQL IN (SELECT cellid FROM land)
+       |      AND NOT EXISTS (SELECT 1 FROM cent c
+       |            WHERE ${haversineSql("v.lat", "v.lon", "c.clat", "c.clon")} <= $CENTROID_DIST_M))
+       |  WHERE rn = 1)""".stripMargin
+
+  /** GenerateUncertaintyAreaFn: metric radius → degree bbox. The reference
+    * buffers in a local AEQD projection (transforms.py:428); the degree
+    * half-widths below are the same first-order math. Trig-derived lon
+    * bounds are rounded (libm may differ by 1 ulp across engines). */
+  def uncertaintyBuffer(s: SparkSession, dir: String): DataFrame = {
+    val radius = greatest(col("uncert"), lit(100.0))
+    val dlat = radius / 111320.0
+    val dlon = radius / (lit(111320.0) * cos(radians(col("lat"))))
+    valid(s, dir).select(col("occ_id"),
+      (col("lat") - dlat).as("lat_min"), (col("lat") + dlat).as("lat_max"),
+      round(col("lon") - dlon, 6).as("lon_min"),
+      round(col("lon") + dlon, 6).as("lon_max"))
+  }
+
+  /** AnnotateWithCHELSAFn: per-point climate sample + unit conversion
+    * (temp raw*0.1-273.15, precip raw*0.1 rounded — transforms.py:599-603).
+    * The raster is modeled as a deterministic function of the 1° cell, so
+    * the annotate step is a pure projection — the ideal 100 TB shape
+    * (a real raster becomes a broadcast cell→value table). */
+  def climAnnotate(s: SparkSession, dir: String): DataFrame = {
+    val c = cell1(col("lat"), col("lon"))
+    valid(s, dir)
+      .filter(c >= 0 && c <= 64799)
+      .select(col("occ_id"), col("accession"), col("species"),
+        round((c * 7919 % 4000).cast("double") * 0.1 - 273.15, 2).as("bio1"),
+        round((c * 104729 % 12000).cast("double") * 0.1, 0).as("bio12"))
+  }
+
+  private val CLIM_SQL: String =
+    s"""clim AS (
+       |  SELECT occ_id, accession, species,
+       |    ROUND(CAST(($CELL1_SQL) * 7919 % 4000 AS DOUBLE) * 0.1 - 273.15, 2) AS bio1,
+       |    ROUND(CAST(($CELL1_SQL) * 104729 % 12000 AS DOUBLE) * 0.1, 0) AS bio12
+       |  FROM valid
+       |  WHERE ($CELL1_SQL) BETWEEN 0 AND 64799)""".stripMargin
+
+  /** Exact linear-interpolation percentile over a collected group — the
+    * same formula as numpy/DuckDB quantile_cont. Groups are bounded
+    * (occurrences per accession), so collect_list is safe at scale. */
+  private def pctile(arr: Column, p: Double): Column = {
+    val n = size(arr)
+    val h = (n - 1).cast("double") * lit(p)
+    val lo = floor(h).cast("int")
+    val a = element_at(arr, lo + 1)
+    val b = element_at(arr, least(lo + 2, n))
+    a + (b - a) * (h - floor(h))
+  }
+
+  /** ClimateSummaryFn (transforms.py:646): per-accession stats. Mean/sd via
+    * exact decimal sums; sd is population sd (numpy default). Mean and
+    * percentiles are pure-rational → left unrounded (see cleaningSummary
+    * note); sd passes through sqrt (irrational) → rounding is safe. */
+  def climSummary(s: SparkSession, dir: String): DataFrame = {
+    val d6 = col("bio1").cast(DecimalType(18, 6))
+    val n = count(lit(1))
+    val sx = sum(d6).cast("double")
+    val sx2 = sum(d6 * d6).cast("double")
+    val mean = sx / n
+    val sd = sqrt(greatest(sx2 / n - pow(sx / n, 2), lit(0.0)))
+    val arr = sort_array(collect_list(col("bio1")))
+    climAnnotate(s, dir).groupBy("accession")
+      .agg(
+        min(col("species")).as("species"),
+        n.as("n"),
+        mean.as("bio1_mean"),
+        round(sd, 2).as("bio1_sd"),
+        pctile(arr, 0.5).as("bio1_med"),
+        pctile(arr, 0.05).as("bio1_p5"),
+        pctile(arr, 0.95).as("bio1_p95"),
+        min(col("bio1")).as("bio1_min"),
+        max(col("bio1")).as("bio1_max"),
+        (sum(col("bio12").cast(DecimalType(18, 6))).cast("double") / n).as("bio12_mean"),
+        min(col("bio12")).as("bio12_min"),
+        max(col("bio12")).as("bio12_max"))
+  }
+
+  /** DuckDB-side mirror of [[pctile]] over a pre-aggregated sorted list
+    * column `arr` with group size `n` — identical double arithmetic. */
+  private def pctSql(p: String): String = {
+    // NB: a bare 0.05 literal is DECIMAL in DuckDB (exact arithmetic) but
+    // double in Spark — cast to DOUBLE so both interpolate identically.
+    val h = s"(n - 1) * CAST($p AS DOUBLE)"
+    val lo = s"CAST(FLOOR($h) AS BIGINT)"
+    s"(arr[$lo + 1] + (arr[LEAST($lo + 2, n)] - arr[$lo + 1]) * (($h) - FLOOR($h)))"
+  }
+
+  /** Pseudo-random cell→region multimap over the 1° grid (0-3 regions per
+    * cell) standing in for the Ecoregions2017 layer. */
+  def regions(s: SparkSession): DataFrame =
+    s.range(64800L * 3).select(
+        expr("id div 3").as("cellid"), (col("id") % 3).as("k"))
+      .filter((col("cellid") * 13 + col("k") * 7) % 10 < 6)
+      .select(col("cellid"),
+        concat(lit("realm_"), ((col("cellid") * 31 + col("k") * 17) % 8).cast("string")).as("realm"))
+
+  private val REGIONS_SQL: String =
+    """regions AS (
+      |  SELECT cellid, 'realm_' || CAST((cellid * 31 + k * 17) % 8 AS VARCHAR) AS realm
+      |  FROM (SELECT range AS cellid FROM range(64800)),
+      |       (SELECT range AS k FROM range(3))
+      |  WHERE (cellid * 13 + k * 7) % 10 < 6)""".stripMargin
+
+  /** AnnotateWithBiogeoFn: per-occurrence sorted distinct region values
+    * (transforms.py:747-801) via a broadcast cell→region join. */
+  def biogeoAnnotate(s: SparkSession, dir: String): DataFrame = {
+    val c = cell1(col("lat"), col("lon"))
+    valid(s, dir).filter(c >= 0 && c <= 64799)
+      .withColumn("cellid", c)
+      .join(broadcast(regions(s)), Seq("cellid"))
+      .select("occ_id", "accession", "species", "realm").distinct()
+      .groupBy("occ_id", "accession", "species")
+      .agg(count(lit(1)).as("n_realms"),
+        array_join(array_sort(collect_list(col("realm"))), ",").as("realms"))
+  }
+
+  private val BIOGEO_PAIRS_SQL: String =
+    s"""pairs AS (
+       |  SELECT DISTINCT occ_id, accession, species, realm
+       |  FROM (SELECT occ_id, accession, species, $CELL1_SQL AS cellid FROM valid
+       |        WHERE ($CELL1_SQL) BETWEEN 0 AND 64799) v
+       |  JOIN regions USING (cellid))""".stripMargin
+
+  /** BiogeoSummaryNestedFn: distinct region count + sorted values per
+    * accession (transforms.py:804-886). */
+  def biogeoSummary(s: SparkSession, dir: String): DataFrame = {
+    val c = cell1(col("lat"), col("lon"))
+    valid(s, dir).filter(c >= 0 && c <= 64799)
+      .withColumn("cellid", c)
+      .join(broadcast(regions(s)), Seq("cellid"))
+      .select("accession", "species", "realm").distinct()
+      .groupBy("accession", "species")
+      .agg(count(lit(1)).as("n_realms"),
+        array_join(array_sort(collect_list(col("realm"))), ",").as("realms"))
+  }
+
+  /** EstimateRangeFn, bbox variant: per-species equal-area-ish km² from the
+    * lat/lon envelope; <3 points → NULL (transforms.py:915-921). The exact
+    * convex-hull variant is a custom Aggregator (rows-only oracle). */
+  def rangeBbox(s: SparkSession, dir: String): DataFrame =
+    valid(s, dir).groupBy("species")
+      .agg(count(lit(1)).as("n_points"),
+        when(count(lit(1)) >= 3,
+          round((max(col("lat")) - min(col("lat"))) * 111.32 *
+            (max(col("lon")) - min(col("lon"))) * 111.32 *
+            cos(radians((max(col("lat")) + min(col("lat"))) / 2)), 2))
+          .as("area_km2"))
+
+  /** ValidateNamesFn match rules (transforms.py:202-211): EXACT or
+    * high-confidence FUZZY → validated, else to_check. */
+  def taxValidateSplit(s: SparkSession, dir: String): DataFrame = {
+    val mt = (col("c_custkey") % 5).cast("int")
+    val matchType = when(mt === 0, "EXACT").when(mt === 1 || mt === 2, "FUZZY")
+      .when(mt === 3, "HIGHERRANK").otherwise("NONE")
+    val conf = col("c_custkey") * 13 % 101
+    t(s, dir, "customer").select(
+        col("c_custkey").as("tax_id"),
+        matchType.as("match_type"),
+        conf.as("confidence"))
+      .withColumn("status",
+        when(col("match_type") === "EXACT" ||
+          (col("match_type") === "FUZZY" && col("confidence") >= 95), "validated")
+          .otherwise("to_check"))
+  }
+
+  /** keep_new_tax_ids (helpers.py:237): set difference vs the gate table,
+    * as one left-anti join instead of CoGroupByKey + filter. */
+  def taxGateNew(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).select(col("user_id").as("tax_id")).distinct()
+      .join(t(s, dir, "customer").filter(col("c_custkey") % 3 === 0)
+          .select(col("c_custkey").as("tax_id")),
+        Seq("tax_id"), "left_anti")
+
+  /** FetchProvenanceByTaxIdBatchFn URL building (transforms.py:1048-1055). */
+  def provenanceUrls(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .select(
+        col("c_custkey").as("tax_id"),
+        concat(lit("https://www.ebi.ac.uk/biodiversity/data_portal/"),
+          col("c_custkey").cast("string")).as("portal_url"),
+        concat(lit("https://www.gbif.org/species/"),
+          (col("c_custkey") * 7 % 100000).cast("string")).as("gbif_url"),
+        col("n_name").as("nation"))
+
+  /** classify_samples (beam map_functions.py:31): multi-way classification
+    * with per-class tallies; the symbiont test reads a field out of the
+    * JSON payload (here via regexp, identical on both engines). */
+  def metaClassify(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("category",
+        when(col("event_type") === "purchase", "specimens")
+          .when(col("event_type") === "signup", "symbionts")
+          .when(col("event_type") === "error", "errors")
+          .otherwise("metagenomes"))
+      .withColumn("k", regexp_extract(col("props"), "([0-9]+)", 1).cast("long"))
+      .groupBy("category")
+      .agg(count(lit(1)).as("n_samples"), sum(col("k")).as("sum_k"))
+
+  /** cleaning_summary_pipeline: retained vs total per species. percent is
+    * pure-rational double math — deliberately NOT rounded (rational values
+    * can sit exactly on a .xx5 boundary where Spark and DuckDB round
+    * differently; unrounded doubles from identical arithmetic match). */
+  def cleaningSummary(s: SparkSession, dir: String): DataFrame = {
+    val tot = occ(s, dir).groupBy("species").agg(count(lit(1)).as("total_records"))
+    val ret = occCleanPipeline(s, dir).groupBy("species")
+      .agg(count(lit(1)).as("retained_records"))
+    tot.join(ret, Seq("species"), "left_outer")
+      .select(col("species"), col("total_records"),
+        coalesce(col("retained_records"), lit(0L)).as("retained_records"),
+        (coalesce(col("retained_records"), lit(0L)) * 100.0 / col("total_records"))
+          .as("percent_retained"))
+  }
+
+  /** Event-time tumbling window aggregate (batch analogue of the streaming
+    * path; integer-ns bucketing is exactly reproducible in the oracle). */
+  def eventsTumbling(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(expr("ts_ns div 3600000000000").as("hour_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sum_value"))
+
+  /** Gap-based sessionization (6 h gap): lag → new-session flag → running
+    * sum → per-session aggregate. Batch analogue of the
+    * flatMapGroupsWithState streaming sessionizer. */
+  def eventsSessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    val gapNs = 21600000000000L // 6h
+    events(s, dir)
+      .withColumn("is_new",
+        when(col("ts_ns") - lag(col("ts_ns"), 1).over(byUser) > gapNs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("is_new"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("ts_ns")) - min(col("ts_ns"))).as("dur_ns"))
+  }
+
+  // -------------------------------------------------------------------------
+
+  val queries: Map[String, Q] = Map(
+    "occ_clean_coords" -> (occCleanCoords _),
+    "occ_uncertainty_band" -> (occUncertaintyBand _),
+    "occ_land_filter" -> (occLandFilter _),
+    "occ_centroid_filter" -> (occCentroidFilter _),
+    "occ_dedupe_best" -> (occDedupeBest _),
+    "occ_clean_pipeline" -> (occCleanPipeline _),
+    "uncertainty_buffer" -> (uncertaintyBuffer _),
+    "clim_annotate" -> (climAnnotate _),
+    "clim_summary" -> (climSummary _),
+    "biogeo_annotate" -> (biogeoAnnotate _),
+    "biogeo_summary" -> (biogeoSummary _),
+    "range_bbox" -> (rangeBbox _),
+    "tax_validate_split" -> (taxValidateSplit _),
+    "tax_gate_new" -> (taxGateNew _),
+    "provenance_urls" -> (provenanceUrls _),
+    "meta_classify" -> (metaClassify _),
+    "cleaning_summary" -> (cleaningSummary _),
+    "events_tumbling" -> (eventsTumbling _),
+    "events_sessionize" -> (eventsSessionize _))
+
+  val oracle: Map[String, String] = Map(
+    "occ_clean_coords" -> withSql(OCC_SQL, VALID_SQL)(
+      "SELECT occ_id, species, lat, lon FROM valid"),
+    "occ_uncertainty_band" -> withSql(OCC_SQL, VALID_SQL)(
+      "SELECT occ_id, species, uncert FROM valid WHERE uncert BETWEEN 1000.0 AND 5000.0"),
+    "occ_land_filter" -> withSql(OCC_SQL, VALID_SQL, LAND_SQL)(
+      s"""SELECT occ_id, species, lat, lon, cellid FROM
+         |  (SELECT *, $CELL10_SQL AS cellid FROM valid)
+         |WHERE cellid IN (SELECT cellid FROM land)""".stripMargin),
+    "occ_centroid_filter" -> withSql(OCC_SQL, VALID_SQL, CENT_SQL)(
+      s"""SELECT occ_id, species, lat, lon FROM valid v
+         |WHERE NOT EXISTS (SELECT 1 FROM cent c
+         |  WHERE ${haversineSql("v.lat", "v.lon", "c.clat", "c.clon")} <= $CENTROID_DIST_M)""".stripMargin),
+    "occ_dedupe_best" -> withSql(OCC_SQL, VALID_SQL)(
+      """SELECT species, cell_lat, cell_lon, occ_id, uncert FROM (
+        |  SELECT species, CAST(FLOOR(lat) AS BIGINT) AS cell_lat,
+        |    CAST(FLOOR(lon) AS BIGINT) AS cell_lon, occ_id, uncert,
+        |    ROW_NUMBER() OVER (
+        |      PARTITION BY species, CAST(FLOOR(lat) AS BIGINT), CAST(FLOOR(lon) AS BIGINT)
+        |      ORDER BY uncert, occ_id) AS rn
+        |  FROM valid) WHERE rn = 1""".stripMargin),
+    "occ_clean_pipeline" -> withSql(OCC_SQL, VALID_SQL, LAND_SQL, CENT_SQL, CLEANED_SQL)(
+      "SELECT occ_id, species, lat, lon, uncert FROM cleaned"),
+    "uncertainty_buffer" -> withSql(OCC_SQL, VALID_SQL)(
+      """SELECT occ_id,
+        |  lat - GREATEST(uncert, 100.0) / 111320.0 AS lat_min,
+        |  lat + GREATEST(uncert, 100.0) / 111320.0 AS lat_max,
+        |  ROUND(lon - GREATEST(uncert, 100.0) / (111320.0 * COS(RADIANS(lat))), 6) AS lon_min,
+        |  ROUND(lon + GREATEST(uncert, 100.0) / (111320.0 * COS(RADIANS(lat))), 6) AS lon_max
+        |FROM valid""".stripMargin),
+    "clim_annotate" -> withSql(OCC_SQL, VALID_SQL, CLIM_SQL)(
+      "SELECT occ_id, accession, species, bio1, bio12 FROM clim"),
+    "clim_summary" -> withSql(OCC_SQL, VALID_SQL, CLIM_SQL)(
+      s"""SELECT accession, species, n,
+         |  CAST(sx AS DOUBLE) / n AS bio1_mean,
+         |  ROUND(SQRT(GREATEST(CAST(sx2 AS DOUBLE) / n
+         |    - POW(CAST(sx AS DOUBLE) / n, 2), 0.0)), 2) AS bio1_sd,
+         |  ${pctSql("0.5")} AS bio1_med,
+         |  ${pctSql("0.05")} AS bio1_p5,
+         |  ${pctSql("0.95")} AS bio1_p95,
+         |  bio1_min, bio1_max,
+         |  CAST(s12 AS DOUBLE) / n AS bio12_mean,
+         |  bio12_min, bio12_max
+         |FROM (SELECT accession, MIN(species) AS species, COUNT(*) AS n,
+         |    SUM(CAST(bio1 AS DECIMAL(18,6))) AS sx,
+         |    SUM(CAST(bio1 AS DECIMAL(18,6)) * CAST(bio1 AS DECIMAL(18,6))) AS sx2,
+         |    list_sort(list(bio1)) AS arr,
+         |    MIN(bio1) AS bio1_min, MAX(bio1) AS bio1_max,
+         |    SUM(CAST(bio12 AS DECIMAL(18,6))) AS s12,
+         |    MIN(bio12) AS bio12_min, MAX(bio12) AS bio12_max
+         |  FROM clim GROUP BY accession)""".stripMargin),
+    "biogeo_annotate" -> withSql(OCC_SQL, VALID_SQL, REGIONS_SQL, BIOGEO_PAIRS_SQL)(
+      """SELECT occ_id, accession, species, COUNT(*) AS n_realms,
+        |  string_agg(realm, ',' ORDER BY realm) AS realms
+        |FROM pairs GROUP BY occ_id, accession, species""".stripMargin),
+    "biogeo_summary" -> withSql(OCC_SQL, VALID_SQL, REGIONS_SQL,
+      BIOGEO_PAIRS_SQL.replace("SELECT DISTINCT occ_id, accession", "SELECT DISTINCT accession"))(
+      """SELECT accession, species, COUNT(*) AS n_realms,
+        |  string_agg(realm, ',' ORDER BY realm) AS realms
+        |FROM pairs GROUP BY accession, species""".stripMargin),
+    "range_bbox" -> withSql(OCC_SQL, VALID_SQL)(
+      """SELECT species, COUNT(*) AS n_points,
+        |  CASE WHEN COUNT(*) >= 3 THEN
+        |    ROUND((MAX(lat) - MIN(lat)) * 111.32 * (MAX(lon) - MIN(lon)) * 111.32 *
+        |          COS(RADIANS((MAX(lat) + MIN(lat)) / 2)), 2)
+        |  ELSE NULL END AS area_km2
+        |FROM valid GROUP BY species""".stripMargin),
+    "tax_validate_split" ->
+      """SELECT tax_id, match_type, confidence,
+        |  CASE WHEN match_type = 'EXACT' OR (match_type = 'FUZZY' AND confidence >= 95)
+        |       THEN 'validated' ELSE 'to_check' END AS status
+        |FROM (SELECT c_custkey AS tax_id,
+        |        CASE CAST(c_custkey % 5 AS INTEGER)
+        |          WHEN 0 THEN 'EXACT' WHEN 1 THEN 'FUZZY' WHEN 2 THEN 'FUZZY'
+        |          WHEN 3 THEN 'HIGHERRANK' ELSE 'NONE' END AS match_type,
+        |        c_custkey * 13 % 101 AS confidence
+        |      FROM customer)""".stripMargin,
+    "tax_gate_new" ->
+      """SELECT DISTINCT user_id AS tax_id FROM events
+        |WHERE NOT EXISTS (SELECT 1 FROM customer
+        |  WHERE c_custkey = user_id AND c_custkey % 3 = 0)""".stripMargin,
+    "provenance_urls" ->
+      """SELECT c_custkey AS tax_id,
+        |  'https://www.ebi.ac.uk/biodiversity/data_portal/' || CAST(c_custkey AS VARCHAR) AS portal_url,
+        |  'https://www.gbif.org/species/' || CAST(c_custkey * 7 % 100000 AS VARCHAR) AS gbif_url,
+        |  n_name AS nation
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey""".stripMargin,
+    "meta_classify" ->
+      """SELECT CASE event_type WHEN 'purchase' THEN 'specimens'
+        |         WHEN 'signup' THEN 'symbionts' WHEN 'error' THEN 'errors'
+        |         ELSE 'metagenomes' END AS category,
+        |  COUNT(*) AS n_samples,
+        |  CAST(SUM(CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY 1""".stripMargin,
+    "cleaning_summary" -> withSql(OCC_SQL, VALID_SQL, LAND_SQL, CENT_SQL, CLEANED_SQL)(
+      """SELECT t.species, total_records,
+        |  COALESCE(retained_records, 0) AS retained_records,
+        |  COALESCE(retained_records, 0) * 100.0 / total_records AS percent_retained
+        |FROM (SELECT species, COUNT(*) AS total_records FROM occ GROUP BY species) t
+        |LEFT JOIN (SELECT species, COUNT(*) AS retained_records
+        |           FROM cleaned GROUP BY species) r ON t.species = r.species""".stripMargin),
+    "events_tumbling" ->
+      """SELECT epoch_ns(ts) // 3600000000000 AS hour_id, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "events_sessionize" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS ts_ns FROM events),
+        |seq AS (
+        |  SELECT user_id, ts_ns,
+        |    CASE WHEN ts_ns - LAG(ts_ns) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id)
+        |              > 21600000000000 THEN 1 ELSE 0 END AS is_new,
+        |    event_id
+        |  FROM e),
+        |ses AS (
+        |  SELECT user_id, ts_ns,
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM seq)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  MAX(ts_ns) - MIN(ts_ns) AS dur_ns
+        |FROM ses GROUP BY user_id, session_id""".stripMargin)
+}
