@@ -7,9 +7,11 @@ object SparkEntry {
     operators.CoreQueries.q01(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.CoreQueries.queries ++ operators.DomainQueries.queries
+    operators.CoreQueries.queries ++ operators.DomainQueries.queries ++
+      operators.TextQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    operators.CoreQueries.oracle ++ operators.DomainQueries.oracle
+    operators.CoreQueries.oracle ++ operators.DomainQueries.oracle ++
+      operators.TextQueries.oracle
 }

@@ -1,0 +1,215 @@
+package graft.operators
+
+import graft.Tables.t
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators over `documents` / `embeddings`
+  * (SURVEY.md §2c): dedup, near-dup, similarity search, text analysis.
+  *
+  * Scale posture: tokenization and scoring are narrow projections (fused by
+  * codegen, no shuffle); exact dedup is one shuffle on the text hash;
+  * near-dup uses an inverted-index self-join with document-frequency
+  * pruning (the classic prefix-filter plan) so the candidate set stays
+  * near-linear instead of |docs|²; brute-force cosine broadcasts the small
+  * query side so the corpus is scanned exactly once with no shuffle.
+  */
+object TextQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val TOKEN_RE = "[a-z0-9]+"
+
+  private def tokens(c: Column): Column =
+    regexp_extract_all(lower(c), lit(TOKEN_RE), lit(0))
+
+  private val TOK_SQL =
+    s"""tok AS (
+       |  SELECT doc_id, lang, source, n_chars,
+       |    regexp_extract_all(lower(text), '$TOKEN_RE') AS ts
+       |  FROM documents)""".stripMargin
+
+  private def withSql(ctes: String*)(body: String): String =
+    ctes.mkString("WITH ", ",\n", "\n") + body
+
+  /** Token counting: whitespace-word tokens + a BPE-ish segmentation
+    * (letter runs / single digits / single punctuation). */
+  def textTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"), lit(0)))
+        .cast("long").as("n_bpeish"))
+
+  /** Quality scoring: length saturation × type-token ratio. Pure-rational
+    * double math — deliberately unrounded (SURVEY.md §4). */
+  def textQuality(s: SparkSession, dir: String): DataFrame = {
+    val ts = tokens(col("text"))
+    val nTok = size(ts).cast("long")
+    val nDis = size(array_distinct(ts)).cast("long")
+    t(s, dir, "documents")
+      .select(col("doc_id"), nTok.as("n_tokens"), nDis.as("n_distinct"))
+      .withColumn("quality",
+        when(col("n_tokens") > 0,
+          least(col("n_tokens").cast("double") / 100.0, lit(1.0)) *
+            (col("n_distinct").cast("double") / col("n_tokens")))
+          .otherwise(0.0))
+  }
+
+  /** Stopword-lexicon language scoring: explode tokens, broadcast-join the
+    * lexicon, argmax hits per document (ties broken by language name). */
+  def textLangid(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lex = Seq(
+      "table" -> "alpha", "row" -> "alpha", "column" -> "alpha", "key" -> "alpha",
+      "spark" -> "beta", "query" -> "beta", "join" -> "beta", "scan" -> "beta",
+      "fast" -> "gamma", "slow" -> "gamma", "big" -> "gamma", "small" -> "gamma")
+      .toDF("word", "lng")
+    val docs = t(s, dir, "documents")
+    val hits = docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .join(broadcast(lex), col("w") === col("word"))
+      .groupBy("doc_id", "lng").agg(count(lit(1)).as("n_hits"))
+    val w = Window.partitionBy("doc_id").orderBy(col("n_hits").desc, col("lng"))
+    val best = hits.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    docs.select("doc_id")
+      .join(best.select("doc_id", "lng", "n_hits"), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("lng"), lit("unknown")).as("pred_lang"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+  }
+
+  private val LEX_SQL =
+    """lex AS (SELECT * FROM (VALUES
+      |  ('table','alpha'),('row','alpha'),('column','alpha'),('key','alpha'),
+      |  ('spark','beta'),('query','beta'),('join','beta'),('scan','beta'),
+      |  ('fast','gamma'),('slow','gamma'),('big','gamma'),('small','gamma'))
+      |  AS t(word, lng))""".stripMargin
+
+  /** Exact dedup: hash-groupBy on content, keep min id (one shuffle of
+    * (hash, id) pairs — the text itself never shuffles). */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(md5(col("text").cast("binary")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Near-dup pairs by word-trigram Jaccard with document-frequency
+    * pruning: shingles whose df exceeds the cutoff are dropped from the
+    * inverted index (they only generate candidate pairs, never decide
+    * them), bounding the self-join. Jaccard uses full shingle-set sizes. */
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val DF_CUTOFF = 100
+    val tok = t(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= 3)
+    val sh = tok.select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ts) - 2), " +
+          "i -> concat(element_at(ts, i), '_', element_at(ts, i + 1), '_', element_at(ts, i + 2)))"))
+        .as("sh"))
+      .distinct()
+    val szs = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val rare = sh.join(
+      sh.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") <= DF_CUTOFF),
+      Seq("sh"))
+    val cand = rare.as("a")
+      .join(rare.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .agg(count(lit(1)).as("shared"))
+    val jac = col("shared").cast("double") /
+      (col("s1.sz") + col("s2.sz") - col("shared"))
+    cand
+      .join(szs.as("s1"), col("doc1") === col("s1.doc_id"))
+      .join(szs.as("s2"), col("doc2") === col("s2.doc_id"))
+      .filter(jac >= 0.5)
+      .select(col("doc1"), col("doc2"), jac.as("jaccard"))
+  }
+
+  /** Brute-force cosine top-k: the query side (vec_id < 5) is broadcast;
+    * embeddings are L2-normalized so cosine = dot product, computed with a
+    * codegen'd zip_with/aggregate fold (no UDF). The LSH-bucketed variant
+    * (rows-only oracle) is the 100 TB path. */
+  def simCosineTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    def toD(c: Column): Column = transform(c, _.cast("double"))
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), toD(col("embedding")).as("qv"))
+    val d = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id"), toD(col("embedding")).as("dv"))
+    val dot = aggregate(
+      zip_with(col("qv"), col("dv"), (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("vec_id"))
+    d.crossJoin(broadcast(q))
+      .select(col("qid"), col("vec_id"), dot.as("dot"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "text_tokens" -> (textTokens _),
+    "text_quality" -> (textQuality _),
+    "text_langid" -> (textLangid _),
+    "dedup_exact" -> (dedupExact _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "sim_cosine_topk" -> (simCosineTopk _))
+
+  val oracle: Map[String, String] = Map(
+    "text_tokens" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(lower(text), '$TOKEN_RE')) AS BIGINT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpeish
+         |FROM documents""".stripMargin,
+    "text_quality" -> withSql(TOK_SQL)(
+      """SELECT doc_id, n_tokens, n_distinct,
+        |  CASE WHEN n_tokens > 0 THEN
+        |    LEAST(CAST(n_tokens AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+        |      * (CAST(n_distinct AS DOUBLE) / n_tokens)
+        |  ELSE 0.0 END AS quality
+        |FROM (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+        |        CAST(len(list_distinct(ts)) AS BIGINT) AS n_distinct FROM tok)""".stripMargin),
+    "text_langid" -> withSql(TOK_SQL, LEX_SQL)(
+      """SELECT d.doc_id, COALESCE(b.lng, 'unknown') AS pred_lang,
+        |  COALESCE(b.n_hits, 0) AS n_hits
+        |FROM documents d LEFT JOIN (
+        |  SELECT doc_id, lng, n_hits FROM (
+        |    SELECT doc_id, lng, n_hits,
+        |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n_hits DESC, lng) AS rn
+        |    FROM (SELECT doc_id, lng, COUNT(*) AS n_hits
+        |          FROM (SELECT doc_id, unnest(ts) AS w FROM tok) u
+        |          JOIN lex ON u.w = lex.word
+        |          GROUP BY doc_id, lng)) WHERE rn = 1) b
+        |ON d.doc_id = b.doc_id""".stripMargin),
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "dedup_ngram_jaccard" -> withSql(TOK_SQL,
+      """sh AS (
+        |  SELECT DISTINCT doc_id, ts[i] || '_' || ts[i+1] || '_' || ts[i+2] AS sh
+        |  FROM tok, generate_series(1, 600) t(i) WHERE i <= len(ts) - 2)""".stripMargin,
+      "szs AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id)",
+      """rare AS (
+        |  SELECT s.* FROM sh s
+        |  JOIN (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh) d USING (sh)
+        |  WHERE d.df <= 100)""".stripMargin,
+      """cand AS (
+        |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS shared
+        |  FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)""".stripMargin)(
+      """SELECT doc1, doc2,
+        |  CAST(shared AS DOUBLE) / (s1.sz + s2.sz - shared) AS jaccard
+        |FROM cand
+        |JOIN szs s1 ON cand.doc1 = s1.doc_id
+        |JOIN szs s2 ON cand.doc2 = s2.doc_id
+        |WHERE CAST(shared AS DOUBLE) / (s1.sz + s2.sz - shared) >= 0.5""".stripMargin),
+    "sim_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv
+        |      FROM embeddings WHERE vec_id >= 5),
+        |sims AS (SELECT qid, vec_id, list_dot_product(qv, dv) AS dot
+        |         FROM q CROSS JOIN d)
+        |SELECT qid, vec_id, dot, rank FROM (
+        |  SELECT qid, vec_id, dot,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id) AS BIGINT) AS rank
+        |  FROM sims) WHERE rank <= 10""".stripMargin)
+}
