@@ -8,7 +8,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.CoreQueries.queries ++ operators.DomainQueries.queries ++
-      operators.TextQueries.queries
+      operators.TextQueries.queries ++ operators.SketchQueries.queries ++
+      operators.Multimodal.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

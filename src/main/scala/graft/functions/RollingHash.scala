@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Polynomial rolling hash over UTF-8 bytes, mod the Mersenne prime 2^61-1
+  * — a document fingerprint (cf. Rabin fingerprinting). Implemented as a
+  * native Catalyst Expression with `doGenCode`, so it runs inside
+  * whole-stage codegen instead of breaking the pipeline like a Scala UDF.
+  */
+case class RollingHash(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"rolling_hash requires a string argument, got ${child.dataType.catalogString}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_hash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    RollingHash.hashBytes(input.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RollingHash.hashBytes($c.getBytes())")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+}
+
+object RollingHash {
+  val Mod: Long = (1L << 61) - 1
+  val Base: Long = 31L
+
+  /** (a*b) mod 2^61-1 without overflow: 2^64 ≡ 8 (mod 2^61-1). */
+  private def mulMod(a: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, b)
+    val lo = a * b
+    var r = (hi << 3) + (lo & Mod) + (lo >>> 61)
+    r = (r & Mod) + (r >>> 61)
+    if (r >= Mod) r - Mod else r
+  }
+
+  /** Static entry point shared by interpreted eval and generated code. */
+  def hashBytes(bytes: Array[Byte]): Long = {
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = mulMod(h, Base) + (bytes(i) & 0xff)
+      if (h >= Mod) h -= Mod
+      i += 1
+    }
+    h
+  }
+}

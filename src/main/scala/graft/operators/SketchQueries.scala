@@ -1,0 +1,150 @@
+package graft.operators
+
+import graft.Tables.t
+import graft.functions.{ConvexHullAreaKm2, RollingHash}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sketch/ANN/geometry operators that are not ANSI-SQL-expressible (the
+  * driver records rows-only checks; exact semantics are spec-tested in
+  * src/test). These are the 100 TB-scale paths for the §2c additions:
+  *
+  *  - MinHash+LSH near-dup: whole signature computed in ONE narrow
+  *    projection (higher-order functions over the shingle array — no
+  *    per-seed explode/shuffle), then an 8-rows-per-doc band explode and a
+  *    self-join on band keys only. Shuffle volume is O(docs × bands), not
+  *    O(docs × shingles).
+  *  - SimHash: 64-bit fingerprint in one projection; candidate pairs from
+  *    a 16-bit prefix bucket join; Hamming verification via xor/bit_count.
+  *  - Random-hyperplane LSH ANN: 16-bit sign bucket per vector in one
+  *    projection; exact dot-product rerank within buckets.
+  *  - Convex hull range area: typed Aggregator with hull-pruned buffers
+  *    (map-side partial aggregation keeps state O(hull), not O(points)).
+  *  - rolling_hash: native codegen Catalyst Expression (functions/
+  *    RollingHash.scala) registered in the session function registry.
+  */
+object SketchQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Idempotent session setup: registers graft's custom expressions. */
+  def register(s: SparkSession): Unit =
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "rolling_hash", (exprs: Seq[Expression]) => RollingHash(exprs.head), "built-in")
+
+  private val TRIGRAMS =
+    "array_distinct(transform(sequence(1, size(ts) - 2), " +
+      "i -> concat(element_at(ts, i), '_', element_at(ts, i + 1), '_', element_at(ts, i + 2))))"
+
+  private def shingled(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("ts"))
+      .filter(size(col("ts")) >= 3)
+      .select(col("doc_id"), expr(TRIGRAMS).as("shs"))
+
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    minhashPairs(t(s, dir, "documents"))
+
+  /** MinHash signatures (K=32) + LSH banding (8 bands × 4 rows) over a
+    * (doc_id, text) DataFrame. */
+  def minhashPairs(docs: DataFrame): DataFrame = {
+    val K = 32
+    val sigs = shingled(docs).select(col("doc_id"),
+      expr(s"transform(sequence(0, ${K - 1}), " +
+        "k -> array_min(transform(shs, e -> xxhash64(e, k))))").as("sig"))
+    val bands = sigs.select(col("doc_id"), col("sig"),
+      posexplode(expr("transform(sequence(0, 7), b -> hash(slice(sig, b * 4 + 1, 4)))")))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bh"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
+        col("a.sig").as("sig1"), col("b.sig").as("sig2"))
+      .dropDuplicates("doc1", "doc2")
+    cand
+      .withColumn("est_jaccard",
+        expr(s"size(filter(zip_with(sig1, sig2, (x, y) -> x = y), v -> v)) / cast($K as double)"))
+      .filter(col("est_jaccard") >= 0.5)
+      .select("doc1", "doc2", "est_jaccard")
+  }
+
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    simhashPairs(t(s, dir, "documents"))
+
+  /** 64-bit SimHash over tokens; pairs within a 16-bit prefix bucket with
+    * Hamming distance ≤ 6. */
+  def simhashPairs(docs: DataFrame): DataFrame = {
+    val fps = docs
+      .select(col("doc_id"),
+        regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("ts"))
+      .filter(size(col("ts")) > 0)
+      .select(col("doc_id"), expr(
+        // bit i of the fingerprint = sign of Σ_tokens ±1 on hash bit i
+        """aggregate(sequence(0, 63), 0L, (fp, i) -> fp | (CASE WHEN
+          |  aggregate(ts, 0L, (acc, w) ->
+          |    acc + CASE WHEN (shiftright(xxhash64(w), i) & 1) = 1 THEN 1L ELSE -1L END)
+          |  > 0 THEN shiftleft(1L, i) ELSE 0L END))""".stripMargin).as("fp"))
+      .withColumn("bucket", expr("shiftright(fp, 48)"))
+    fps.as("a").join(fps.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
+        expr("bit_count(a.fp ^ b.fp)").as("hamming"))
+      .filter(col("hamming") <= 6)
+  }
+
+  /** Random-hyperplane LSH bucketing + exact rerank: the scale path for
+    * sim_cosine_topk (only same-bucket candidates are scored). */
+  def simLshTopk(s: SparkSession, dir: String): DataFrame = {
+    // 6 planes → 64 buckets: sized so buckets hold enough candidates for
+    // top-10 recall at the test scales; at production scale this rises
+    // with corpus size (buckets ≈ corpus / desired candidate-set size).
+    val planes = 6
+    val bucketExpr = expr(
+      s"""aggregate(sequence(0, ${planes - 1}), 0L, (acc, p) -> acc * 2 +
+         |  (CASE WHEN aggregate(sequence(0, size(v) - 1), cast(0 as double),
+         |    (d, j) -> d + element_at(v, j + 1) * ((p * 131 + j * 31) % 19 - 9)) > 0
+         |   THEN 1L ELSE 0L END))""".stripMargin)
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("bucket", bucketExpr)
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket"))
+    val d = emb.filter(col("vec_id") >= 5)
+    val dot = aggregate(
+      zip_with(col("qv"), col("v"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("vec_id"))
+    d.join(broadcast(q), Seq("bucket"))
+      .select(col("qid"), col("vec_id"), dot.as("dot"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+  }
+
+  /** Exact convex-hull range area (rows-only counterpart of range_bbox). */
+  def rangeConvexHull(s: SparkSession, dir: String): DataFrame = {
+    val hullArea = udaf(new ConvexHullAreaKm2())
+    DomainQueries.valid(s, dir)
+      .groupBy("species")
+      .agg(count(lit(1)).as("n_points"),
+        hullArea(col("lon"), col("lat")).as("raw"))
+      .select(col("species"), col("n_points"),
+        when(col("raw") < 0, lit(null)).otherwise(round(col("raw"), 2)).as("area_km2"))
+  }
+
+  /** Document fingerprint via the native rolling_hash Expression. */
+  def textFingerprint(s: SparkSession, dir: String): DataFrame = {
+    register(s)
+    t(s, dir, "documents")
+      .select(col("doc_id"), expr("rolling_hash(text)").as("fp"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "sim_lsh_topk" -> (simLshTopk _),
+    "range_convex_hull" -> (rangeConvexHull _),
+    "text_fingerprint" -> (textFingerprint _))
+}

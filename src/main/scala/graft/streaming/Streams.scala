@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import scala.collection.mutable.ArrayBuffer
+
+/** Structured Streaming surface: the same event semantics as the batch
+  * operators (DomainQueries.eventsTumbling / eventsSessionize), expressed
+  * as streaming transforms. Works on both streaming and batch inputs —
+  * specs assert stream == batch.
+  */
+object Streams {
+
+  /** Watermarked event-time tumbling aggregate. Input needs `ts_ns`
+    * (long), `event_type`, `value`. */
+  def tumblingCounts(events: DataFrame, window_ : String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events.withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+
+  case class SessState(start: Long, last: Long, n: Long)
+  case class SessionOut(user_id: Long, session_start_ns: Long, n_events: Long, dur_ns: Long)
+
+  /** Gap-based sessionization over (user_id, ts_ns) with
+    * flatMapGroupsWithState. Closed sessions are emitted; the open session
+    * is carried in state (and emitted too when `emitOpen`, for batch use).
+    */
+  def sessionize(events: Dataset[(Long, Long)], gapNs: Long,
+                 emitOpen: Boolean = false): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (uid: Long, it: Iterator[(Long, Long)], state: GroupState[SessState]) =>
+        val ts = it.map(_._2).toArray.sorted
+        val out = ArrayBuffer.empty[SessionOut]
+        var cur = state.getOption.orNull
+        for (tm <- ts) {
+          if (cur == null) cur = SessState(tm, tm, 1)
+          else if (tm - cur.last > gapNs) {
+            out += SessionOut(uid, cur.start, cur.n, cur.last - cur.start)
+            cur = SessState(tm, tm, 1)
+          } else cur = SessState(cur.start, tm, cur.n + 1)
+        }
+        if (cur != null) {
+          state.update(cur)
+          if (emitOpen) out += SessionOut(uid, cur.start, cur.n, cur.last - cur.start)
+        }
+        out.iterator
+    }
+  }
+}

@@ -1,0 +1,33 @@
+package graft
+
+import graft.operators.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("media records carry opaque payload + typed metadata") {
+    val ds = Multimodal.fromDocuments(spark, sf)
+    val r = ds.head()
+    assert(Set("image", "audio", "video").contains(r.kind))
+    assert(r.payload.nonEmpty)
+    assert(r.meta.format.startsWith("src"))
+  }
+
+  test("feature extraction is deterministic, 16-dim, L1-normalized") {
+    val f1 = Multimodal.multimodalMeta(spark, sf)
+      .select("media_id", "features").as[(Long, Array[Double])].collect().sortBy(_._1)
+    val f2 = Multimodal.multimodalMeta(spark, sf)
+      .select("media_id", "features").as[(Long, Array[Double])].collect().sortBy(_._1)
+    assert(f1.length > 0)
+    assert(f1.map(_._2.toSeq).toSeq === f2.map(_._2.toSeq).toSeq)
+    assert(f1.forall(_._2.length == 16))
+    assert(f1.forall(r => math.abs(r._2.sum - 1.0) < 1e-9))
+  }
+
+  test("frame sampling keeps every Nth fixed-size chunk") {
+    val df = Multimodal.frameSample(Multimodal.fromDocuments(spark, sf), 16, 2)
+    val idx = df.select("chunk_idx").as[Long].collect()
+    assert(idx.nonEmpty)
+    assert(idx.forall(_ % 2 == 0))
+  }
+}

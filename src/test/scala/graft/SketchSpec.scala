@@ -1,0 +1,91 @@
+package graft
+
+import graft.functions.{ConvexHullAreaKm2, RollingHash}
+import graft.operators.SketchQueries
+import org.apache.spark.sql.functions._
+
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rolling_hash matches a BigInt reference and is codegen-consistent") {
+    val p = BigInt((1L << 61) - 1)
+    def ref(str: String): Long =
+      str.getBytes("UTF-8").foldLeft(BigInt(0))((h, b) => (h * 31 + (b & 0xff)) mod p).toLong
+    for (str <- Seq("", "a", "hello world", "Hello wörld ⚡", "x" * 10000)) {
+      assert(RollingHash.hashBytes(str.getBytes("UTF-8")) === ref(str), s"for '$str'")
+    }
+    SketchQueries.register(spark)
+    val df = Seq("alpha", "beta gamma", "").toDF("text")
+    val viaSql = df.selectExpr("rolling_hash(text)").as[Long].collect()
+    assert(viaSql.toSeq === Seq("alpha", "beta gamma", "").map(s => ref(s)))
+    // interpreted path (codegen disabled) must agree
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interp = df.selectExpr("rolling_hash(text)").as[Long].collect()
+      assert(interp.toSeq === viaSql.toSeq)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
+  test("minhash LSH finds exact duplicates with est_jaccard 1.0") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val other = "completely different words describing nothing similar at all here now ok"
+    val docs = Seq((1L, base), (2L, base), (3L, other)).toDF("doc_id", "text")
+    val pairs = SketchQueries.minhashPairs(docs)
+      .select("doc1", "doc2", "est_jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(pairs.contains((1L, 2L, 1.0)))
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
+  }
+
+  test("simhash gives hamming 0 for identical docs, filters dissimilar") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val other = "zq xw vv kj uu pp mm nn oo ww ee rr tt yy"
+    val docs = Seq((1L, base), (2L, base), (3L, other)).toDF("doc_id", "text")
+    val pairs = SketchQueries.simhashPairs(docs)
+      .select("doc1", "doc2", "hamming").as[(Long, Long, Int)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+    assert(pairs.forall(p => p._3 <= 6))
+  }
+
+  test("convex hull area: unit quadrilateral matches shoelace of projection") {
+    val pts = Seq((0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0), (0.5, 0.5))
+    val h = ConvexHullAreaKm2.hull(pts)
+    assert(h.length === 4) // interior point dropped
+    val proj = Seq((0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)).map(ConvexHullAreaKm2.project)
+    val expected = math.abs(proj.indices.map { i =>
+      val (x1, y1) = proj(i); val (x2, y2) = proj((i + 1) % 4)
+      x1 * y2 - x2 * y1
+    }.sum) / 2 / 1e6
+    val agg = new ConvexHullAreaKm2()
+    var buf = agg.zero
+    pts.foreach(p => buf = agg.reduce(buf, p))
+    assert(math.abs(agg.finish(buf) - expected) < 1e-6)
+    assert(expected > 11000 && expected < 13000) // ~111km × ~111km
+  }
+
+  test("convex hull aggregator: <3 points or collinear → -1 sentinel") {
+    val agg = new ConvexHullAreaKm2()
+    assert(agg.finish(Seq((1.0, 1.0), (2.0, 2.0))) === -1.0)
+    assert(agg.finish(Seq((1.0, 1.0), (2.0, 2.0), (3.0, 3.0))) === -1.0)
+  }
+
+  test("range_convex_hull on testdata: hull area <= bbox area") {
+    val hull = SketchQueries.rangeConvexHull(spark, sf)
+      .select("species", "area_km2").as[(String, Option[Double])].collect().toMap
+    val bbox = operators.DomainQueries.rangeBbox(spark, sf)
+      .select("species", "area_km2").as[(String, Option[Double])].collect().toMap
+    assert(hull.nonEmpty)
+    for ((sp, a) <- hull; b <- bbox.get(sp); av <- a; bv <- b)
+      assert(av <= bv + 1e-6, s"hull > bbox for $sp")
+  }
+
+  test("lsh topk returns subset consistent with brute force ranking") {
+    val lsh = SketchQueries.simLshTopk(spark, sf)
+      .select("qid", "vec_id", "dot").as[(Long, Long, Double)].collect()
+    val brute = operators.TextQueries.simCosineTopk(spark, sf)
+      .select("qid", "vec_id", "dot").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(lsh.nonEmpty)
+    // any LSH hit that brute force also ranked must agree on the score
+    for ((q, v, d) <- lsh; bd <- brute.get((q, v))) assert(math.abs(d - bd) < 1e-12)
+  }
+}

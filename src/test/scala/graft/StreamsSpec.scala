@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.DomainQueries
+import graft.streaming.Streams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sessionize splits on gap and carries counts/durations") {
+    val gap = 100L
+    val events = Seq((1L, 0L), (1L, 10L), (1L, 10000L), (2L, 5L)).toDS()
+    val out = Streams.sessionize(events, gap, emitOpen = true)
+      .collect().map(s => (s.user_id, s.session_start_ns, s.n_events, s.dur_ns)).toSet
+    assert(out === Set((1L, 0L, 2L, 10L), (1L, 10000L, 1L, 0L), (2L, 5L, 1L, 0L)))
+  }
+
+  test("sessionize agrees with the window-function batch sessionizer") {
+    val ev = DomainQueries.events(spark, sf)
+      .select(col("user_id"), col("ts_ns")).as[(Long, Long)]
+    val stateful = Streams.sessionize(ev, 21600000000000L, emitOpen = true)
+      .collect().map(s => (s.user_id, s.n_events, s.dur_ns))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val windowed = DomainQueries.eventsSessionize(spark, sf)
+      .select("user_id", "n_events", "dur_ns").as[(Long, Long, Long)]
+      .collect().map(r => (r._1, r._2, r._3))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(stateful === windowed)
+  }
+
+  test("streaming tumbling counts equal batch aggregation") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Double)]
+    val input = mem.toDF().toDF("ts_ns", "event_type", "value")
+    val q = Streams.tumblingCounts(input)
+      .writeStream.format("memory").queryName("tumbling_test")
+      .outputMode("complete").start()
+    try {
+      val hourNs = 3600L * 1000 * 1000 * 1000
+      mem.addData(
+        (1 * hourNs + 5, "click", 1.0), (1 * hourNs + 99, "click", 2.0),
+        (1 * hourNs + 100, "view", 3.0), (2 * hourNs + 1, "click", 4.0))
+      q.processAllAvailable()
+      val got = spark.table("tumbling_test")
+        .select(col("window.start").cast("long").as("w"), col("event_type"), col("n"), col("sum_value"))
+        .as[(Long, String, Long, Double)].collect().toSet
+      assert(got === Set(
+        (3600L, "click", 2L, 3.0), (3600L, "view", 1L, 3.0), (7200L, "click", 1L, 4.0)))
+    } finally q.stop()
+  }
+}
