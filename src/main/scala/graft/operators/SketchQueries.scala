@@ -34,38 +34,39 @@ object SketchQueries {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "rolling_hash", (exprs: Seq[Expression]) => RollingHash(exprs.head), "built-in")
 
-  private val TRIGRAMS =
-    "array_distinct(transform(sequence(1, size(ts) - 2), " +
-      "i -> concat(element_at(ts, i), '_', element_at(ts, i + 1), '_', element_at(ts, i + 2))))"
-
-  private def shingled(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"),
-        regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("ts"))
-      .filter(size(col("ts")) >= 3)
-      .select(col("doc_id"), expr(TRIGRAMS).as("shs"))
-
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
     minhashPairs(t(s, dir, "documents"))
 
   /** MinHash signatures (K=32) + LSH banding (8 bands × 4 rows) over a
-    * (doc_id, text) DataFrame. */
+    * (doc_id, text) DataFrame.
+    *
+    * Signatures via explode → 32 codegen'd `min(xxhash64(sh, k))` agg
+    * columns → one partial-aggregated shuffle. (A higher-order-function
+    * formulation avoids the explode but runs in the interpreted eval path
+    * — measured 4-5× slower; plain aggregates stay in whole-stage
+    * codegen and combine map-side.) */
   def minhashPairs(docs: DataFrame): DataFrame = {
     val K = 32
-    val sigs = shingled(docs).select(col("doc_id"),
-      expr(s"transform(sequence(0, ${K - 1}), " +
-        "k -> array_min(transform(shs, e -> xxhash64(e, k))))").as("sig"))
-    val bands = sigs.select(col("doc_id"), col("sig"),
+    val minCols = (0 until K).map(k => min(xxhash64(col("sh"), lit(k))).as(s"m$k"))
+    val sigs = Shingles.trigramRows(docs, dedup = false)
+      .groupBy("doc_id")
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"), array((0 until K).map(k => col(s"m$k")): _*).as("sig"))
+    // Band join carries only (doc_id, band, bh) — 16-byte rows — so the
+    // candidate shuffle never moves signature arrays; signatures are
+    // joined back onto the (much smaller) deduplicated pair set.
+    val bands = sigs.select(col("doc_id"),
       posexplode(expr("transform(sequence(0, 7), b -> hash(slice(sig, b * 4 + 1, 4)))")))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bh"))
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
-        col("a.sig").as("sig1"), col("b.sig").as("sig2"))
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
       .dropDuplicates("doc1", "doc2")
     cand
+      .join(sigs.select(col("doc_id").as("doc1"), col("sig").as("sig1")), Seq("doc1"))
+      .join(sigs.select(col("doc_id").as("doc2"), col("sig").as("sig2")), Seq("doc2"))
       .withColumn("est_jaccard",
         expr(s"size(filter(zip_with(sig1, sig2, (x, y) -> x = y), v -> v)) / cast($K as double)"))
       .filter(col("est_jaccard") >= 0.5)
@@ -76,18 +77,26 @@ object SketchQueries {
     simhashPairs(t(s, dir, "documents"))
 
   /** 64-bit SimHash over tokens; pairs within a 16-bit prefix bucket with
-    * Hamming distance ≤ 6. */
+    * Hamming distance ≤ 6.
+    *
+    * Per-bit ±1 counters as 64 codegen'd SUM aggregates over exploded
+    * tokens (one partial-aggregated shuffle), then the fingerprint is
+    * assembled from the counter signs in a final projection — same
+    * interpreted-HOF-avoidance as [[minhashPairs]]. */
   def simhashPairs(docs: DataFrame): DataFrame = {
+    val bitCols = (0 until 64).map { i =>
+      sum(when(expr(s"(shiftright(h, $i) & 1) = 1"), 1L).otherwise(-1L)).as(s"c$i")
+    }
+    val fpExpr = (0 until 64).map(i =>
+      when(col(s"c$i") > 0, expr(s"shiftleft(1L, $i)")).otherwise(0L))
+      .reduce((a, b) => a.bitwiseOR(b))
     val fps = docs
       .select(col("doc_id"),
-        regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("ts"))
-      .filter(size(col("ts")) > 0)
-      .select(col("doc_id"), expr(
-        // bit i of the fingerprint = sign of Σ_tokens ±1 on hash bit i
-        """aggregate(sequence(0, 63), 0L, (fp, i) -> fp | (CASE WHEN
-          |  aggregate(ts, 0L, (acc, w) ->
-          |    acc + CASE WHEN (shiftright(xxhash64(w), i) & 1) = 1 THEN 1L ELSE -1L END)
-          |  > 0 THEN shiftleft(1L, i) ELSE 0L END))""".stripMargin).as("fp"))
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+      .groupBy("doc_id")
+      .agg(bitCols.head, bitCols.tail: _*)
+      .select(col("doc_id"), fpExpr.as("fp"))
       .withColumn("bucket", expr("shiftright(fp, 48)"))
     fps.as("a").join(fps.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))

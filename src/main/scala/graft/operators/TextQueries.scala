@@ -57,26 +57,29 @@ object TextQueries {
           .otherwise(0.0))
   }
 
-  /** Stopword-lexicon language scoring: explode tokens, broadcast-join the
-    * lexicon, argmax hits per document (ties broken by language name). */
+  /** Stopword-lexicon language scoring. The lexicon is a compile-time
+    * constant, so instead of explode→broadcast-join→groupBy→window (three
+    * shuffles of |tokens| rows) the per-language hit counts fold into ONE
+    * narrow codegen'd projection — zero shuffle, embarrassingly parallel.
+    * Argmax ties break by language name, matching the relational oracle
+    * (ORDER BY n_hits DESC, lng). */
   def textLangid(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val lex = Seq(
-      "table" -> "alpha", "row" -> "alpha", "column" -> "alpha", "key" -> "alpha",
-      "spark" -> "beta", "query" -> "beta", "join" -> "beta", "scan" -> "beta",
-      "fast" -> "gamma", "slow" -> "gamma", "big" -> "gamma", "small" -> "gamma")
-      .toDF("word", "lng")
-    val docs = t(s, dir, "documents")
-    val hits = docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
-      .join(broadcast(lex), col("w") === col("word"))
-      .groupBy("doc_id", "lng").agg(count(lit(1)).as("n_hits"))
-    val w = Window.partitionBy("doc_id").orderBy(col("n_hits").desc, col("lng"))
-    val best = hits.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-    docs.select("doc_id")
-      .join(best.select("doc_id", "lng", "n_hits"), Seq("doc_id"), "left_outer")
+    val lex = Map(
+      "alpha" -> Seq("table", "row", "column", "key"),
+      "beta" -> Seq("spark", "query", "join", "scan"),
+      "gamma" -> Seq("fast", "slow", "big", "small"))
+    def hits(lang: String): Column = {
+      val words = lex(lang).map(w => s"'$w'").mkString(", ")
+      expr(s"size(filter(ts, w -> w IN ($words)))").cast("long")
+    }
+    t(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .select(col("doc_id"), hits("alpha").as("ha"), hits("beta").as("hb"), hits("gamma").as("hg"))
       .select(col("doc_id"),
-        coalesce(col("lng"), lit("unknown")).as("pred_lang"),
-        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        when(greatest(col("ha"), col("hb"), col("hg")) === 0, "unknown")
+          .when(col("ha") >= col("hb") && col("ha") >= col("hg"), "alpha")
+          .when(col("hb") >= col("hg"), "beta").otherwise("gamma").as("pred_lang"),
+        greatest(col("ha"), col("hb"), col("hg")).as("n_hits"))
   }
 
   private val LEX_SQL =
@@ -96,28 +99,28 @@ object TextQueries {
   /** Near-dup pairs by word-trigram Jaccard with document-frequency
     * pruning: shingles whose df exceeds the cutoff are dropped from the
     * inverted index (they only generate candidate pairs, never decide
-    * them), bounding the self-join. Jaccard uses full shingle-set sizes. */
+    * them). Instead of a posting self-join (two shuffles + a join of
+    * |postings|² rows), each posting list ≤ cutoff generates its C(df,2)
+    * pairs locally — one groupBy(sh) shuffle, one groupBy(pair) shuffle,
+    * then broadcast joins for the per-doc set sizes. */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val DF_CUTOFF = 100
-    val tok = t(s, dir, "documents")
-      .select(col("doc_id"), tokens(col("text")).as("ts"))
-      .filter(size(col("ts")) >= 3)
-    val sh = tok.select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(ts) - 2), " +
-          "i -> concat(element_at(ts, i), '_', element_at(ts, i + 1), '_', element_at(ts, i + 2)))"))
-        .as("sh"))
-      .distinct()
+    val sh = Shingles.trigramRows(t(s, dir, "documents"), dedup = true)
     val szs = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val rare = sh.join(
-      sh.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") <= DF_CUTOFF),
-      Seq("sh"))
-    val cand = rare.as("a")
-      .join(rare.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+    val postings = sh.groupBy("sh")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")).between(2, DF_CUTOFF))
+    val cand = postings
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+          |  transform(slice(ds, i + 2, size(ds)), y -> struct(x AS doc1, y AS doc2))))""".stripMargin))
+        .as("p"))
+      .groupBy(col("p.doc1").as("doc1"), col("p.doc2").as("doc2"))
       .agg(count(lit(1)).as("shared"))
     val jac = col("shared").cast("double") /
       (col("s1.sz") + col("s2.sz") - col("shared"))
+    // szs is |docs|-sized — NOT broadcast; AQE picks broadcast only when
+    // it is actually small at the running scale.
     cand
       .join(szs.as("s1"), col("doc1") === col("s1.doc_id"))
       .join(szs.as("s2"), col("doc2") === col("s2.doc_id"))
