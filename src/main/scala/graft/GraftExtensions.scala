@@ -1,0 +1,23 @@
+package graft
+
+import graft.functions.RollingHash
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Production registration point for graft's custom Catalyst expressions:
+  *
+  * {{{ spark.sql.extensions=graft.GraftExtensions }}}
+  *
+  * or programmatically `SparkSession.builder().withExtensions(new
+  * GraftExtensions)`. (`SketchQueries.register` is the per-session
+  * equivalent used by the test harness.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+      (children: Seq[Expression]) => RollingHash(children.head)))
+  }
+}

@@ -111,15 +111,25 @@ object SketchQueries {
     // 6 planes → 64 buckets: sized so buckets hold enough candidates for
     // top-10 recall at the test scales; at production scale this rises
     // with corpus size (buckets ≈ corpus / desired candidate-set size).
+    // Plane projections as codegen'd SUM aggregates over exploded dims
+    // (interpreted-HOF avoidance, cf. minhashPairs); integer-weight
+    // pseudo-random hyperplanes w(p,j) = (p*131 + j*31) % 19 - 9.
     val planes = 6
-    val bucketExpr = expr(
-      s"""aggregate(sequence(0, ${planes - 1}), 0L, (acc, p) -> acc * 2 +
-         |  (CASE WHEN aggregate(sequence(0, size(v) - 1), cast(0 as double),
-         |    (d, j) -> d + element_at(v, j + 1) * ((p * 131 + j * 31) % 19 - 9)) > 0
-         |   THEN 1L ELSE 0L END))""".stripMargin)
+    val dotCols = (0 until planes).map { p =>
+      sum(col("x") * ((lit(p) * 131 + col("j") * 31) % 19 - 9)).as(s"d$p")
+    }
+    val bucketCol = (0 until planes).map(p =>
+      when(col(s"d$p") > 0, lit(1L << (planes - 1 - p))).otherwise(0L))
+      .reduce(_ + _)
+    val buckets = t(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("j", "xf")))
+      .withColumn("x", col("xf").cast("double"))
+      .groupBy("vec_id")
+      .agg(dotCols.head, dotCols.tail: _*)
+      .select(col("vec_id"), bucketCol.as("bucket"))
     val emb = t(s, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
-      .withColumn("bucket", bucketExpr)
+      .join(buckets, Seq("vec_id"))
     val q = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket"))
     val d = emb.filter(col("vec_id") >= 5)

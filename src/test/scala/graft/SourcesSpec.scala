@@ -1,0 +1,62 @@
+package graft
+
+import graft.sources.Jsonl
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("paged DSv2 source plans one partition per page") {
+    val df = spark.read.format("graft.sources.PagedSource")
+      .option("pages", 4).option("pageSize", 25).load()
+    assert(df.count() === 100)
+    assert(df.select("tax_id").distinct().count() === 100)
+    assert(df.rdd.getNumPartitions === 4)
+    val r = df.filter(col("tax_id") === 26).collect().head
+    assert(r.getString(1) === "GCA_000000026.1")
+    assert(r.getString(3) === "Done")
+  }
+
+  test("jsonl per-key write produces partition dirs and round-trips") {
+    val dir = Files.createTempDirectory("graft_jsonl").toString
+    val df = Seq((1L, "sp_a", 1.5), (2L, "sp_a", 2.5), (3L, "sp_b", 3.5))
+      .toDF("occ_id", "species", "uncert")
+    Jsonl.writePerKey(df, dir, "species")
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq === Seq("species=sp_a", "species=sp_b"))
+    val schema = StructType(Seq(
+      StructField("occ_id", LongType), StructField("uncert", DoubleType)))
+    val back = Jsonl.read(spark, dir, schema)
+      .select("occ_id", "uncert", "species") // partition col restored from path
+      .as[(Long, Double, String)].collect().toSet
+    assert(back === Set((1L, 1.5, "sp_a"), (2L, 2.5, "sp_a"), (3L, 3.5, "sp_b")))
+  }
+
+  test("dead-letter read quarantines malformed lines") {
+    val dir = Files.createTempDirectory("graft_dead").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/x.jsonl"),
+      """{"occ_id": 1, "uncert": 2.0}
+        |this is not json
+        |{"occ_id": 2, "uncert": 4.0}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("occ_id", LongType), StructField("uncert", DoubleType)))
+    val df = Jsonl.readWithDeadLetters(spark, dir, schema).cache()
+    assert(df.filter(col("_corrupt_record").isNull).count() === 2)
+    assert(df.filter(col("_corrupt_record").isNotNull).count() === 1)
+  }
+
+  test("GraftExtensions injects rolling_hash into a fresh session") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext) // builder wiring smoke test
+    SketchQueries_registerCheck()
+  }
+
+  private def SketchQueries_registerCheck(): Unit = {
+    operators.SketchQueries.register(spark)
+    val v = spark.sql("SELECT rolling_hash('abc') AS h").as[Long].head()
+    assert(v === functions.RollingHash.hashBytes("abc".getBytes("UTF-8")))
+  }
+}
