@@ -285,11 +285,12 @@ object DomainQueries {
   }
 
   /** Pseudo-random cell→region multimap over the 1° grid (0-3 regions per
-    * cell) standing in for the Ecoregions2017 layer. */
+    * cell; ~10% of cells have none, so no-match outer-join paths carry
+    * real data) standing in for the Ecoregions2017 layer. */
   def regions(s: SparkSession): DataFrame =
     s.range(64800L * 3).select(
         expr("id div 3").as("cellid"), (col("id") % 3).as("k"))
-      .filter((col("cellid") * 13 + col("k") * 7) % 10 < 6)
+      .filter((col("cellid") * 13 + col("k") * 2) % 10 < 5)
       .select(col("cellid"),
         concat(lit("realm_"), ((col("cellid") * 31 + col("k") * 17) % 8).cast("string")).as("realm"))
 
@@ -298,7 +299,7 @@ object DomainQueries {
       |  SELECT cellid, 'realm_' || CAST((cellid * 31 + k * 17) % 8 AS VARCHAR) AS realm
       |  FROM (SELECT range AS cellid FROM range(64800)),
       |       (SELECT range AS k FROM range(3))
-      |  WHERE (cellid * 13 + k * 7) % 10 < 6)""".stripMargin
+      |  WHERE (cellid * 13 + k * 2) % 10 < 5)""".stripMargin
 
   /** AnnotateWithBiogeoFn: per-occurrence sorted distinct region values
     * (transforms.py:747-801) via a broadcast cell→region join. */
@@ -382,6 +383,33 @@ object DomainQueries {
           (col("c_custkey") * 7 % 100000).cast("string")).as("gbif_url"),
         col("n_name").as("nation"))
 
+  /** ENATaxonomyFn lineage enrichment (transforms.py:167-177): attach
+    * higher-rank lineage columns to each taxon — here the region→nation
+    * hierarchy plays the lineage tree, chained broadcast joins replace the
+    * per-record API fetch. */
+  def taxLineage(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey").as("tax_id"),
+        concat(lit("sp_"), (col("c_custkey") % 50).cast("string")).as("species"),
+        col("r_name").as("kingdom"), col("n_name").as("family"))
+
+  /** spatial_annotation_pipeline's merge step: climate and biogeo
+    * annotations co-grouped by occurrenceID (helpers.py:44
+    * merge_annotations) — a full-outer join with coalesced keys. */
+  def spatialJoin(s: SparkSession, dir: String): DataFrame = {
+    val clim = climAnnotate(s, dir)
+    val bio = biogeoAnnotate(s, dir)
+      .select(col("occ_id").as("b_occ_id"), col("n_realms"), col("realms"))
+    clim.join(bio, col("occ_id") === col("b_occ_id"), "full_outer")
+      .select(
+        coalesce(col("occ_id"), col("b_occ_id")).as("occ_id"),
+        col("accession"), col("species"), col("bio1"), col("bio12"),
+        coalesce(col("n_realms"), lit(0L)).as("n_realms"),
+        coalesce(col("realms"), lit("")).as("realms"))
+  }
+
   /** classify_samples (beam map_functions.py:31): multi-way classification
     * with per-class tallies; the symbiont test reads a field out of the
     * JSON payload (here via regexp, identical on both engines). */
@@ -450,6 +478,8 @@ object DomainQueries {
     "biogeo_summary" -> (biogeoSummary _),
     "range_bbox" -> (rangeBbox _),
     "tax_validate_split" -> (taxValidateSplit _),
+    "tax_lineage" -> (taxLineage _),
+    "spatial_join" -> (spatialJoin _),
     "tax_gate_new" -> (taxGateNew _),
     "provenance_urls" -> (provenanceUrls _),
     "meta_classify" -> (metaClassify _),
@@ -534,6 +564,24 @@ object DomainQueries {
         |          WHEN 3 THEN 'HIGHERRANK' ELSE 'NONE' END AS match_type,
         |        c_custkey * 13 % 101 AS confidence
         |      FROM customer)""".stripMargin,
+    "tax_lineage" ->
+      """SELECT c_custkey AS tax_id,
+        |  'sp_' || CAST(c_custkey % 50 AS VARCHAR) AS species,
+        |  r_name AS kingdom, n_name AS family
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey""".stripMargin,
+    "spatial_join" -> withSql(OCC_SQL, VALID_SQL, CLIM_SQL, REGIONS_SQL,
+      BIOGEO_PAIRS_SQL,
+      """bio AS (
+        |  SELECT occ_id AS b_occ_id, COUNT(*) AS n_realms,
+        |    string_agg(realm, ',' ORDER BY realm) AS realms
+        |  FROM pairs GROUP BY occ_id)""".stripMargin)(
+      """SELECT COALESCE(occ_id, b_occ_id) AS occ_id,
+        |  accession, species, bio1, bio12,
+        |  COALESCE(n_realms, 0) AS n_realms,
+        |  COALESCE(realms, '') AS realms
+        |FROM clim FULL OUTER JOIN bio ON occ_id = b_occ_id""".stripMargin),
     "tax_gate_new" ->
       """SELECT DISTINCT user_id AS tax_id FROM events
         |WHERE NOT EXISTS (SELECT 1 FROM customer
