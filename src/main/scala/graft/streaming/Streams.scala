@@ -22,6 +22,15 @@ object Streams {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
 
+  /** Streaming exact-dedup: state for an id is kept only within the
+    * watermark (bounded state — the streaming counterpart of the batch
+    * dedup_exact hash-groupBy). Input needs `ts_ns` + the id columns. */
+  def dedupeWithinWatermark(events: DataFrame, idCols: Seq[String],
+                            watermark: String = "1 hour"): DataFrame =
+    events.withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCols)
+
   case class SessState(start: Long, last: Long, n: Long)
   case class SessionOut(user_id: Long, session_start_ns: Long, n_events: Long, dur_ns: Long)
 

@@ -29,6 +29,24 @@ class StreamsSpec extends SparkSpec {
     assert(stateful === windowed)
   }
 
+  test("streaming dedup within watermark drops repeated ids across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val input = mem.toDF().toDF("doc_id", "ts_ns")
+    val q = Streams.dedupeWithinWatermark(input, Seq("doc_id"))
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    try {
+      val m = 60L * 1000 * 1000 * 1000
+      mem.addData((1L, 1 * m), (1L, 2 * m), (2L, 3 * m))
+      q.processAllAvailable()
+      mem.addData((1L, 4 * m), (3L, 5 * m)) // 1 is still within watermark
+      q.processAllAvailable()
+      val ids = spark.table("dedup_test").select("doc_id").as[Long].collect().sorted
+      assert(ids.toSeq === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("streaming tumbling counts equal batch aggregation") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, Double)]
