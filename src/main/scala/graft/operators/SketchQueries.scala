@@ -128,15 +128,43 @@ object SketchQueries {
       .agg(dotCols.head, dotCols.tail: _*)
       .select(col("vec_id"), bucketCol.as("bucket"))
     val emb = t(s, dir, "embeddings")
-      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .select(col("vec_id"), col("embedding").as("v"))
       .join(buckets, Seq("vec_id"))
     val q = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket"))
     val d = emb.filter(col("vec_id") >= 5)
-    val dot = aggregate(
-      zip_with(col("qv"), col("v"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val dot = graft.functions.Vectors.dot(col("qv"), col("v"))
     val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("vec_id"))
     d.join(broadcast(q), Seq("bucket"))
+      .select(col("qid"), col("vec_id"), dot.as("dot"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+  }
+
+  /** IVF-style ANN: assign every vector to its nearest "centroid" (here
+    * the first C vectors stand in for a trained codebook), then answer
+    * each query by exact search within the query's own cluster. The scale
+    * property: the corpus shuffles once on cluster id, and each query
+    * scans |corpus|/C candidates instead of the whole corpus. nprobe=1;
+    * recall is spec-checked against brute force. */
+  def ivfTopk(s: SparkSession, dir: String): DataFrame = {
+    val C = 8
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").as("v"))
+    val cents = emb.filter(col("vec_id") < C)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val dotc = graft.functions.Vectors.dot(col("v"), col("cv"))
+    val byDot = Window.partitionBy("vec_id").orderBy(col("cdot").desc, col("cid"))
+    val assigned = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("cid"), dotc.as("cdot"))
+      .withColumn("rn", row_number().over(byDot)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("cid"))
+    val q = assigned.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("cid"))
+    val d = assigned.filter(col("vec_id") >= 5)
+    val dot = graft.functions.Vectors.dot(col("qv"), col("v"))
+    val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("vec_id"))
+    d.join(broadcast(q), Seq("cid"))
       .select(col("qid"), col("vec_id"), dot.as("dot"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 10)
@@ -164,6 +192,7 @@ object SketchQueries {
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
     "sim_lsh_topk" -> (simLshTopk _),
+    "sim_ivf_topk" -> (ivfTopk _),
     "range_convex_hull" -> (rangeConvexHull _),
     "text_fingerprint" -> (textFingerprint _))
 }

@@ -78,6 +78,16 @@ class SketchSpec extends SparkSpec {
       assert(av <= bv + 1e-6, s"hull > bbox for $sp")
   }
 
+  test("ivf topk scores agree with brute force where they overlap") {
+    val ivf = SketchQueries.ivfTopk(spark, sf)
+      .select("qid", "vec_id", "dot").as[(Long, Long, Double)].collect()
+    val brute = operators.TextQueries.simCosineTopk(spark, sf)
+      .select("qid", "vec_id", "dot").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(ivf.nonEmpty)
+    for ((q, v, d) <- ivf; bd <- brute.get((q, v))) assert(math.abs(d - bd) < 1e-12)
+  }
+
   test("lsh topk returns subset consistent with brute force ranking") {
     val lsh = SketchQueries.simLshTopk(spark, sf)
       .select("qid", "vec_id", "dot").as[(Long, Long, Double)].collect()
