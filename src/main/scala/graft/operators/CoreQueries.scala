@@ -136,7 +136,33 @@ object CoreQueries {
         coalesce(col("cnt"), lit(0L)).as("n_orders"))
   }
 
+  /** Pivot to a wide record (cf. the metadata ETL's data-portal record
+    * building): per-user event-type counts as columns. Explicit pivot
+    * values keep the plan a single pass (no distinct-values pre-query). */
+  def q13(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    DomainQueries.events(s, dir)
+      .groupBy("user_id")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .select(col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+  }
+
+  /** Approximate count-distinct (HyperLogLog++): the scale-native distinct
+    * path — partial sketches merge map-side, so the shuffle carries
+    * fixed-size sketches instead of the key universe. Sketch values are
+    * engine-specific ⇒ rows-only oracle; accuracy is spec-tested against
+    * exact counts. */
+  def q14(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        approx_count_distinct(col("l_partkey")).as("approx_parts"))
+
   val queries: Map[String, Q] = Map(
+    "q13_pivot" -> (q13 _),
+    "q14_approx_distinct" -> (q14 _),
     "q01_agg_summary" -> (q01 _),
     "q02_filter_project" -> (q02 _),
     "q03_join_agg" -> (q03 _),
@@ -155,6 +181,14 @@ object CoreQueries {
   private val DP = "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))"
 
   val oracle: Map[String, String] = Map(
+    "q13_pivot" ->
+      """SELECT user_id,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+        |FROM events GROUP BY user_id""".stripMargin,
     "q01_agg_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -72,6 +72,27 @@ class DomainSpec extends SparkSpec {
     assert(rows.filter(_._1 > 1).forall(_._2 > 0))
   }
 
+  test("pivot row sums equal per-user event counts") {
+    val wide = CoreQueries.q13(spark, sf)
+    val total = wide.select(
+      (col("n_click") + col("n_error") + col("n_purchase") + col("n_signup") + col("n_view"))
+        .as("sum")).agg(sum("sum")).as[Long].head()
+    assert(total === DomainQueries.events(spark, sf).count())
+  }
+
+  test("approx_count_distinct lands within 10% of exact") {
+    val approx = CoreQueries.q14(spark, sf)
+      .select("l_returnflag", "approx_orders").as[(String, Long)].collect().toMap
+    val exact = Tables.t(spark, sf, "lineitem")
+      .groupBy("l_returnflag").agg(countDistinct("l_orderkey").as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(approx.keySet === exact.keySet)
+    for ((k, a) <- approx) {
+      val e = exact(k)
+      assert(math.abs(a - e).toDouble / e < 0.10, s"$k: approx $a vs exact $e")
+    }
+  }
+
   test("core topk returns exactly 10 descending rows") {
     val v = CoreQueries.q04(spark, sf).select("total_spent").as[Double].collect()
     assert(v.length === 10)

@@ -47,6 +47,23 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins a dim table onto a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val input = mem.toDF().toDF("user_key", "amount")
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_key", "tier")
+    val q = input.join(dim, Seq("user_key"), "left_outer")
+      .writeStream.format("memory").queryName("enrich_test")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, 10.0), (3L, 30.0))
+      q.processAllAvailable()
+      val got = spark.table("enrich_test")
+        .select(col("user_key"), col("tier")).as[(Long, Option[String])].collect().toSet
+      assert(got === Set((1L, Some("gold")), (3L, None)))
+    } finally q.stop()
+  }
+
   test("streaming tumbling counts equal batch aggregation") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, Double)]
