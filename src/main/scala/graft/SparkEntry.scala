@@ -9,7 +9,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.CoreQueries.queries ++ operators.DomainQueries.queries ++
       operators.TextQueries.queries ++ operators.SketchQueries.queries ++
-      operators.Multimodal.queries
+      operators.Multimodal.queries ++ operators.Records.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

@@ -24,6 +24,21 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.forall(r => math.abs(r._2.sum - 1.0) < 1e-9))
   }
 
+  test("portal records assemble nested documents with derived status") {
+    val df = graft.operators.Records.portalRecords(spark, sf)
+    val schema = df.schema
+    assert(schema("customFields").dataType.typeName === "array")
+    assert(schema("organism").dataType.typeName === "struct")
+    val rows = df.selectExpr("tracking_status", "size(customFields)",
+        "organism.ontologyTerm").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getInt(1) == 2))
+    assert(rows.forall(_.getString(2).startsWith("NCBITaxon:")))
+    val statuses = df.select("tracking_status").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(statuses.contains("Raw Data - Submitted"))
+  }
+
   test("frame sampling keeps every Nth fixed-size chunk") {
     val df = Multimodal.frameSample(Multimodal.fromDocuments(spark, sf), 16, 2)
     val idx = df.select("chunk_idx").as[Long].collect()

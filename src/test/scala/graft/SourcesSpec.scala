@@ -19,6 +19,25 @@ class SourcesSpec extends SparkSpec {
     assert(r.getString(3) === "Done")
   }
 
+  test("paged source prunes pages from pushed tax_id filters") {
+    val df = spark.read.format("graft.sources.PagedSource")
+      .option("pages", 8).option("pageSize", 100).load()
+    val filtered = df.filter(col("tax_id") >= 250 && col("tax_id") < 450)
+    assert(filtered.count() === 200)
+    assert(filtered.rdd.getNumPartitions === 3) // pages 2,3,4 of 8
+    assert(filtered.agg(min("tax_id"), max("tax_id")).collect().head.toSeq === Seq(250L, 449L))
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") || filtered.rdd.getNumPartitions < 8)
+  }
+
+  test("paged source prunes columns down to the reader") {
+    val df = spark.read.format("graft.sources.PagedSource")
+      .option("pages", 2).option("pageSize", 10).load()
+      .select("species")
+    assert(df.distinct().count() === 20)
+    assert(df.schema.fieldNames.toSeq === Seq("species"))
+  }
+
   test("jsonl per-key write produces partition dirs and round-trips") {
     val dir = Files.createTempDirectory("graft_jsonl").toString
     val df = Seq((1L, "sp_a", 1.5), (2L, "sp_a", 2.5), (3L, "sp_b", 3.5))
