@@ -205,7 +205,11 @@ object DomainQueries {
   def uncertaintyBuffer(s: SparkSession, dir: String): DataFrame = {
     val radius = greatest(col("uncert"), lit(100.0))
     val dlat = radius / 111320.0
-    val dlon = radius / (lit(111320.0) * cos(radians(col("lat"))))
+    // Near the poles cos(lat)→0 blows the longitude half-width up to
+    // ~1e13 — where rounding to 6 decimals is below the double's ulp and
+    // cross-engine rounding diverges. A buffer that wraps the pole spans
+    // all longitudes, so 360° is the physical bound.
+    val dlon = least(radius / (lit(111320.0) * cos(radians(col("lat")))), lit(360.0))
     valid(s, dir).select(col("occ_id"),
       (col("lat") - dlat).as("lat_min"), (col("lat") + dlat).as("lat_max"),
       round(col("lon") - dlon, 6).as("lon_min"),
@@ -514,8 +518,10 @@ object DomainQueries {
       """SELECT occ_id,
         |  lat - GREATEST(uncert, 100.0) / 111320.0 AS lat_min,
         |  lat + GREATEST(uncert, 100.0) / 111320.0 AS lat_max,
-        |  ROUND(lon - GREATEST(uncert, 100.0) / (111320.0 * COS(RADIANS(lat))), 6) AS lon_min,
-        |  ROUND(lon + GREATEST(uncert, 100.0) / (111320.0 * COS(RADIANS(lat))), 6) AS lon_max
+        |  ROUND(lon - LEAST(GREATEST(uncert, 100.0) / (111320.0 * COS(RADIANS(lat))),
+        |                    CAST(360.0 AS DOUBLE)), 6) AS lon_min,
+        |  ROUND(lon + LEAST(GREATEST(uncert, 100.0) / (111320.0 * COS(RADIANS(lat))),
+        |                    CAST(360.0 AS DOUBLE)), 6) AS lon_max
         |FROM valid""".stripMargin),
     "clim_annotate" -> withSql(OCC_SQL, VALID_SQL, CLIM_SQL)(
       "SELECT occ_id, accession, species, bio1, bio12 FROM clim"),

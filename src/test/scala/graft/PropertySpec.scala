@@ -1,0 +1,86 @@
+package graft
+
+import graft.functions.{ConvexHullAreaKm2, RollingHash}
+import scala.util.Random
+
+/** Randomized (seeded, deterministic) invariants for the geometry/hash
+  * kernels — 200 cases per property. */
+class PropertySpec extends SparkSpec {
+
+  private def pts(rnd: Random, n: Int): List[(Double, Double)] =
+    List.fill(n)((rnd.between(-179.0, 179.0), rnd.between(-85.0, 85.0)))
+
+  private def area(agg: ConvexHullAreaKm2, ps: Seq[(Double, Double)]): Double =
+    agg.finish(ps.foldLeft(agg.zero)(agg.reduce))
+
+  test("hull area is permutation-invariant and non-negative") {
+    val rnd = new Random(42)
+    val agg = new ConvexHullAreaKm2()
+    for (_ <- 1 to 200) {
+      val ps = pts(rnd, 3 + rnd.nextInt(15))
+      val a1 = area(agg, ps)
+      val a2 = area(agg, rnd.shuffle(ps))
+      assert(math.abs(a1 - a2) < 1e-9)
+      assert(a1 >= 0.0 || a1 == -1.0)
+    }
+  }
+
+  test("hull area only grows when points are added") {
+    val rnd = new Random(43)
+    val agg = new ConvexHullAreaKm2()
+    for (_ <- 1 to 200) {
+      val base = pts(rnd, 3 + rnd.nextInt(10))
+      val extra = pts(rnd, 1 + rnd.nextInt(5))
+      assert(math.max(area(agg, base ++ extra), 0.0) >= math.max(area(agg, base), 0.0) - 1e-9)
+    }
+  }
+
+  test("hull reduce/merge (partial aggregation) equals single-pass") {
+    val rnd = new Random(44)
+    val agg = new ConvexHullAreaKm2()
+    for (_ <- 1 to 200) {
+      val a = pts(rnd, 1 + rnd.nextInt(12))
+      val b = pts(rnd, 1 + rnd.nextInt(12))
+      if ((a ++ b).length >= 3) {
+        val single = area(agg, a ++ b)
+        val merged = agg.finish(agg.merge(
+          a.foldLeft(agg.zero)(agg.reduce), b.foldLeft(agg.zero)(agg.reduce)))
+        assert(math.abs(math.max(single, 0) - math.max(merged, 0)) < 1e-9)
+      }
+    }
+  }
+
+  test("rolling hash: deterministic, in range, collision-free on distinct strings") {
+    val rnd = new Random(45)
+    val seen = scala.collection.mutable.Map.empty[Long, String]
+    for (_ <- 1 to 500) {
+      val s = rnd.alphanumeric.take(rnd.nextInt(80)).mkString
+      val h = RollingHash.hashBytes(s.getBytes("UTF-8"))
+      assert(h === RollingHash.hashBytes(s.getBytes("UTF-8")))
+      assert(h >= 0 && h < RollingHash.Mod)
+      seen.get(h).foreach(prev => assert(prev == s, s"collision: '$prev' vs '$s'"))
+      seen(h) = s
+    }
+  }
+
+  test("haversine: symmetric, non-negative, zero at identity, bounded") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new Random(46)
+    val rows = List.fill(300) {
+      val (lo1, la1) = (rnd.between(-179.0, 179.0), rnd.between(-85.0, 85.0))
+      val (lo2, la2) = (rnd.between(-179.0, 179.0), rnd.between(-85.0, 85.0))
+      (la1, lo1, la2, lo2)
+    }.toDF("la1", "lo1", "la2", "lo2")
+    val res = rows.select(
+      operators.DomainQueries.haversineM(col("la1"), col("lo1"), col("la2"), col("lo2")).as("d12"),
+      operators.DomainQueries.haversineM(col("la2"), col("lo2"), col("la1"), col("lo1")).as("d21"),
+      operators.DomainQueries.haversineM(col("la1"), col("lo1"), col("la1"), col("lo1")).as("d11"))
+      .as[(Double, Double, Double)].collect()
+    res.foreach { case (d12, d21, d11) =>
+      assert(math.abs(d12 - d21) < 1e-6)
+      assert(d12 >= 0.0 && d11 === 0.0)
+      assert(d12 <= math.Pi * 6371000.0 + 1.0)
+    }
+  }
+}
