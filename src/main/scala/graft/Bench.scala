@@ -24,10 +24,14 @@ object Bench {
     // listing — so the timed pass measures steady-state query time.
     names.foreach { n => try run(n) catch { case _: Throwable => } }
 
+    // Min of two timed runs: steady-state time, robust to JIT/GC noise.
     val results = names.map { name =>
-      val t0 = System.nanoTime()
-      try run(name) catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try run(name) catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

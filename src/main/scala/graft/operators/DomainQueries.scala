@@ -414,6 +414,16 @@ object DomainQueries {
         coalesce(col("realms"), lit("")).as("realms"))
   }
 
+  /** collect_metadata_experiments_assemblies (airflow dependencies):
+    * gather each sample's related records into one ordered list — a
+    * collect_list aggregation (serialized to a string for the oracle's
+    * sake; the library keeps it an array column). */
+  def metaCollectRelated(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_custkey").as("sample_id"))
+      .agg(count(lit(1)).as("n_related"),
+        array_join(array_sort(collect_list(col("o_orderkey"))), ",").as("related_ids"))
+
   /** classify_samples (beam map_functions.py:31): multi-way classification
     * with per-class tallies; the symbiont test reads a field out of the
     * JSON payload (here via regexp, identical on both engines). */
@@ -487,6 +497,7 @@ object DomainQueries {
     "tax_gate_new" -> (taxGateNew _),
     "provenance_urls" -> (provenanceUrls _),
     "meta_classify" -> (metaClassify _),
+    "meta_collect_related" -> (metaCollectRelated _),
     "cleaning_summary" -> (cleaningSummary _),
     "events_tumbling" -> (eventsTumbling _),
     "events_sessionize" -> (eventsSessionize _))
@@ -605,6 +616,10 @@ object DomainQueries {
         |  COUNT(*) AS n_samples,
         |  CAST(SUM(CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY 1""".stripMargin,
+    "meta_collect_related" ->
+      """SELECT o_custkey AS sample_id, COUNT(*) AS n_related,
+        |  string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS related_ids
+        |FROM orders GROUP BY o_custkey""".stripMargin,
     "cleaning_summary" -> withSql(OCC_SQL, VALID_SQL, LAND_SQL, CENT_SQL, CLEANED_SQL)(
       """SELECT t.species, total_records,
         |  COALESCE(retained_records, 0) AS retained_records,
