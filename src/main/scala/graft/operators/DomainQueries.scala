@@ -306,16 +306,18 @@ object DomainQueries {
       |  WHERE (cellid * 13 + k * 2) % 10 < 5)""".stripMargin
 
   /** AnnotateWithBiogeoFn: per-occurrence sorted distinct region values
-    * (transforms.py:747-801) via a broadcast cell→region join. */
+    * (transforms.py:747-801) via a broadcast cell→region join.
+    * collect_set dedups inside the aggregation — one shuffle instead of
+    * a distinct + groupBy pair. */
   def biogeoAnnotate(s: SparkSession, dir: String): DataFrame = {
     val c = cell1(col("lat"), col("lon"))
+    val realms = array_sort(collect_set(col("realm")))
     valid(s, dir).filter(c >= 0 && c <= 64799)
       .withColumn("cellid", c)
       .join(broadcast(regions(s)), Seq("cellid"))
-      .select("occ_id", "accession", "species", "realm").distinct()
       .groupBy("occ_id", "accession", "species")
-      .agg(count(lit(1)).as("n_realms"),
-        array_join(array_sort(collect_list(col("realm"))), ",").as("realms"))
+      .agg(size(realms).cast("long").as("n_realms"),
+        array_join(realms, ",").as("realms"))
   }
 
   private val BIOGEO_PAIRS_SQL: String =
@@ -329,13 +331,13 @@ object DomainQueries {
     * accession (transforms.py:804-886). */
   def biogeoSummary(s: SparkSession, dir: String): DataFrame = {
     val c = cell1(col("lat"), col("lon"))
+    val realms = array_sort(collect_set(col("realm")))
     valid(s, dir).filter(c >= 0 && c <= 64799)
       .withColumn("cellid", c)
       .join(broadcast(regions(s)), Seq("cellid"))
-      .select("accession", "species", "realm").distinct()
       .groupBy("accession", "species")
-      .agg(count(lit(1)).as("n_realms"),
-        array_join(array_sort(collect_list(col("realm"))), ",").as("realms"))
+      .agg(size(realms).cast("long").as("n_realms"),
+        array_join(realms, ",").as("realms"))
   }
 
   /** EstimateRangeFn, bbox variant: per-species equal-area-ish km² from the
