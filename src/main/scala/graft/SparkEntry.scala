@@ -9,10 +9,11 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.CoreQueries.queries ++ operators.DomainQueries.queries ++
       operators.TextQueries.queries ++ operators.SketchQueries.queries ++
-      operators.Multimodal.queries ++ operators.Records.queries
+      operators.Multimodal.queries ++ operators.Records.queries ++
+      operators.TextPrep.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.CoreQueries.oracle ++ operators.DomainQueries.oracle ++
-      operators.TextQueries.oracle
+      operators.TextQueries.oracle ++ operators.TextPrep.oracle
 }

@@ -1,0 +1,142 @@
+package graft.operators
+
+import graft.Tables.t
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data text preparation operators (SURVEY §2c continued):
+  * scrubbing, filtering, bucketing, repetition scoring, and hash-based
+  * splitting. All are narrow projections or single-shuffle aggregations;
+  * all have exact DuckDB oracles (patterns restricted to the RE2 ∩ Java
+  * regex subset).
+  */
+object TextPrep {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def withSql(ctes: String*)(body: String): String =
+    ctes.mkString("WITH ", ",\n", "\n") + body
+
+  /** PII scrubbing: redact emails and long digit runs. The testdata has
+    * no PII, so a deterministic contact line is appended first — the
+    * redaction then provably fires on every row. */
+  def textScrub(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("raw",
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or call 5550123"), col("doc_id")))
+      .select(col("doc_id"),
+        regexp_replace(
+          regexp_replace(col("raw"), "[a-z0-9.]+@[a-z0-9.]+", "<EMAIL>"),
+          "[0-9]{4,}", "<NUM>").as("clean"))
+
+  private val SCRUB_SQL =
+    """SELECT doc_id,
+      |  regexp_replace(
+      |    regexp_replace(text || ' contact user' || CAST(doc_id AS VARCHAR)
+      |                     || '@example.com or call 5550123' || CAST(doc_id AS VARCHAR),
+      |      '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+      |    '[0-9]{4,}', '<NUM>', 'g') AS clean
+      |FROM documents""".stripMargin
+
+  /** Stopword removal: tokens minus a broadcast lexicon, rejoined in
+    * order. Pure projection (the lexicon is inlined into the filter). */
+  def textStopwordFilter(s: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("a", "the", "l")
+    val stopList = stop.map(w => s"'$w'").mkString(", ")
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        expr(s"array_join(filter(regexp_extract_all(lower(text), '[a-z0-9]+', 0), " +
+          s"w -> NOT w IN ($stopList)), ' ')").as("filtered"))
+  }
+
+  private val STOPWORD_SQL =
+    """SELECT doc_id,
+      |  array_to_string(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+      |    w -> NOT w IN ('a', 'the', 'l')), ' ') AS filtered
+      |FROM documents""".stripMargin
+
+  /** Length-decile bucketing (ntile) + per-decile stats: the curriculum/
+    * batching shape (group documents by size class).
+    * NB: a global ntile needs a total order — Spark funnels all rows
+    * through one window partition. At 100 TB, compute decile BOUNDARIES
+    * via approx percentiles and bucket with a broadcast range join
+    * instead; this exact form is the small/medium-corpus baseline. */
+  def textLengthDeciles(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("n_chars"), col("doc_id"))
+    t(s, dir, "documents")
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"),
+        min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+  }
+
+  private val DECILES_SQL =
+    """SELECT decile, COUNT(*) AS n_docs,
+      |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+      |FROM (SELECT n_chars,
+      |        CAST(NTILE(10) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS decile
+      |      FROM documents)
+      |GROUP BY decile""".stripMargin
+
+  /** Repetition scoring: most frequent word bigram count / bigram total —
+    * high values flag boilerplate/spam. Bigrams via the codegen-friendly
+    * window-lead trick (cf. Shingles); one shuffle on (doc, bigram). */
+  def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val bigrams = t(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
+          .as(Seq("pos", "w")))
+      .select(col("doc_id"),
+        concat(col("w"), lit("_"), lead("w", 1).over(w)).as("bg"))
+      .filter(col("bg").isNotNull)
+    bigrams.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg((max(col("c")).cast("double") / sum(col("c"))).as("repetition"),
+        sum(col("c")).as("n_bigrams"))
+  }
+
+  private val REPETITION_SQL =
+    """SELECT doc_id,
+      |  CAST(MAX(c) AS DOUBLE) / SUM(c) AS repetition,
+      |  CAST(SUM(c) AS BIGINT) AS n_bigrams
+      |FROM (
+      |  SELECT doc_id, bg, COUNT(*) AS c FROM (
+      |    SELECT doc_id, ts[i] || '_' || ts[i+1] AS bg
+      |    FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+      |          FROM documents),
+      |         generate_series(1, 600) t(i)
+      |    WHERE i <= len(ts) - 1)
+      |  GROUP BY doc_id, bg)
+      |GROUP BY doc_id""".stripMargin
+
+  /** Deterministic content-hash train/val split (never split on row order
+    * or random()): first hex digit of md5(text) ≤ 'd' ⇒ ~87.5% train. */
+  def dataSplitHash(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        when(substring(md5(col("text").cast("binary")), 1, 1) <= "d", "train")
+          .otherwise("holdout").as("split"))
+
+  private val SPLIT_SQL =
+    """SELECT doc_id,
+      |  CASE WHEN substr(md5(text), 1, 1) <= 'd' THEN 'train'
+      |       ELSE 'holdout' END AS split
+      |FROM documents""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "text_scrub" -> (textScrub _),
+    "text_stopword_filter" -> (textStopwordFilter _),
+    "text_length_deciles" -> (textLengthDeciles _),
+    "text_repetition" -> (textRepetition _),
+    "data_split_hash" -> (dataSplitHash _))
+
+  val oracle: Map[String, String] = Map(
+    "text_scrub" -> SCRUB_SQL,
+    "text_stopword_filter" -> STOPWORD_SQL,
+    "text_length_deciles" -> DECILES_SQL,
+    "text_repetition" -> REPETITION_SQL,
+    "data_split_hash" -> SPLIT_SQL)
+}
