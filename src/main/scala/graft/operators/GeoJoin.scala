@@ -14,7 +14,9 @@ import org.apache.spark.sql.functions._
   *
   *  1. pick a cell size ≥ the search radius (in degrees, lat-adjusted);
   *  2. assign left rows to their cell, right rows to their cell AND its
-  *     8 neighbors (explode ×9);
+  *     8 neighbors (explode ×9), with longitude cells wrapping at the
+  *     ±180° antimeridian (a pair straddling the date line must land in
+  *     the same bucket — naive flooring silently loses those matches);
   *  3. shuffle equi-join on the cell id — every true match lands in the
   *     same bucket;
   *  4. verify the exact haversine distance.
@@ -32,8 +34,29 @@ object GeoJoin {
     math.max(radiusM / worstMetersPerDegLon, radiusM / 111320.0)
   }
 
-  private def cellId(lat: Column, lon: Column, deg: Double): Column =
-    (floor(lat / deg).cast("long") + 1000L) * 100000L + floor(lon / deg).cast("long") + 10000L
+  /** Wrap-aware cell id. Latitude cells are clamped at the poles;
+    * longitude cells wrap modulo the cell count around the globe, with
+    * `dLat`/`dLon` applied BEFORE wrapping so neighbor expansion crosses
+    * the antimeridian correctly. */
+  private def cellId(lat: Column, lon: Column, deg: Double,
+                     dLat: Column, dLon: Column): Column = {
+    val lonCells = math.ceil(360.0 / deg).toLong
+    val latCell = floor(lat / deg).cast("long") + dLat
+    val lonCell = pmod(floor(lon / deg).cast("long") + dLon, lit(lonCells))
+    latCell * 10000L + lonCell
+  }
+
+  private def withCell(df: DataFrame, latCol: String, lonCol: String,
+                       deg: Double): DataFrame =
+    df.withColumn("_cell", cellId(col(latCol), col(lonCol), deg, lit(0L), lit(0L)))
+
+  private def withNeighborCells(df: DataFrame, latCol: String, lonCol: String,
+                                deg: Double): DataFrame =
+    df.select(col("*"), expr("explode(sequence(-1, 1))").as("_dlat"))
+      .select(col("*"), expr("explode(sequence(-1, 1))").as("_dlon"))
+      .withColumn("_cell",
+        cellId(col(latCol), col(lonCol), deg, col("_dlat"), col("_dlon")))
+      .drop("_dlat", "_dlon")
 
   /** Inner pair join: rows (left ⋈ right) with haversine ≤ radiusM.
     * Column names must not collide across the two inputs. */
@@ -41,15 +64,8 @@ object GeoJoin {
                    right: DataFrame, rLat: String, rLon: String,
                    radiusM: Double): DataFrame = {
     val deg = cellDeg(radiusM)
-    val l = left.withColumn("_cell", cellId(col(lLat), col(lLon), deg))
-    val neighbors = expr("explode(sequence(-1, 1))")
-    val r = right
-      .select(col("*"), neighbors.as("_dlat"))
-      .select(col("*"), expr("explode(sequence(-1, 1))").as("_dlon"))
-      .withColumn("_cell",
-        cellId(col(rLat), col(rLon), deg) + col("_dlat") * 100000L + col("_dlon"))
-      .drop("_dlat", "_dlon")
-    l.join(r, Seq("_cell"))
+    withCell(left, lLat, lLon, deg)
+      .join(withNeighborCells(right, rLat, rLon, deg), Seq("_cell"))
       .filter(haversineM(col(lLat), col(lLon), col(rLat), col(rLon)) <= radiusM)
       .drop("_cell")
   }
@@ -60,14 +76,10 @@ object GeoJoin {
                        right: DataFrame, rLat: String, rLon: String,
                        radiusM: Double): DataFrame = {
     val deg = cellDeg(radiusM)
-    val l = left.withColumn("_cell", cellId(col(lLat), col(lLon), deg))
-    val r = right
-      .select(col(rLat).as("_rlat"), col(rLon).as("_rlon"))
-      .select(col("*"), expr("explode(sequence(-1, 1))").as("_dlat"))
-      .select(col("*"), expr("explode(sequence(-1, 1))").as("_dlon"))
-      .withColumn("_cell",
-        cellId(col("_rlat"), col("_rlon"), deg) + col("_dlat") * 100000L + col("_dlon"))
-      .drop("_dlat", "_dlon")
+    val l = withCell(left, lLat, lLon, deg)
+    val r = withNeighborCells(
+      right.select(col(rLat).as("_rlat"), col(rLon).as("_rlon")),
+      "_rlat", "_rlon", deg)
     l.join(r,
         l("_cell") === r("_cell") &&
           haversineM(col(lLat), col(lLon), col("_rlat"), col("_rlon")) <= radiusM,

@@ -29,6 +29,21 @@ class ScaleSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("banded distance join finds pairs straddling the antimeridian") {
+    // Two points 0.2° of longitude apart but on opposite sides of ±180°,
+    // at high latitude (≈ 2.3 km apart) — naive lon flooring puts them in
+    // the first and last cells and never pairs them.
+    val l = Seq((1L, 84.0, -179.9), (2L, 0.0, 0.0)).toDF("lid", "llat", "llon")
+    val r = Seq((10L, 84.0, 179.9), (20L, 0.0, 10.0)).toDF("rid", "rlat", "rlon")
+    val got = GeoJoin.withinRadius(l, "llat", "llon", r, "rlat", "rlon", 5000.0)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val want = l.join(r,
+        DomainQueries.haversineM(col("llat"), col("llon"), col("rlat"), col("rlon")) <= 5000.0)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(want === Set((1L, 10L))) // sanity: they really are within 5 km
+    assert(got === want)
+  }
+
   test("bucketed tables join without an exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
