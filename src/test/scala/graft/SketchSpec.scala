@@ -46,6 +46,16 @@ class SketchSpec extends SparkSpec {
     assert(pairs.forall(p => p._3 <= 6))
   }
 
+  test("simhash: one-word edit stays close, pair survives the hamming gate") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today just fine"
+    val edited = base.replace("lazy", "sleepy")
+    val docs = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    val pairs = SketchQueries.simhashPairs(docs)
+      .select("doc1", "doc2", "hamming").as[(Long, Long, Int)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 <= 6),
+      s"near-dup pair not detected: ${pairs.toSeq}")
+  }
+
   test("convex hull area: unit quadrilateral matches shoelace of projection") {
     val pts = Seq((0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0), (0.5, 0.5))
     val h = ConvexHullAreaKm2.hull(pts)

@@ -67,6 +67,21 @@ class SourcesSpec extends SparkSpec {
     assert(df.filter(col("_corrupt_record").isNotNull).count() === 1)
   }
 
+  test("partition upsert replaces only the rewritten partitions") {
+    val dir = Files.createTempDirectory("graft_upsert").toString
+    val v1 = Seq((1L, "sp_a", 1), (2L, "sp_b", 1), (3L, "sp_c", 1))
+      .toDF("id", "species", "version")
+    graft.sources.Upsert.overwritePartitions(v1, dir, "species")
+    // second round recomputes only sp_b
+    val v2 = Seq((2L, "sp_b", 2), (9L, "sp_b", 2)).toDF("id", "species", "version")
+    graft.sources.Upsert.overwritePartitions(v2, dir, "species")
+    val got = spark.read.parquet(dir)
+      .select("id", "species", "version").as[(Long, String, Int)].collect().toSet
+    assert(got === Set(
+      (1L, "sp_a", 1), (3L, "sp_c", 1), // untouched partitions survive
+      (2L, "sp_b", 2), (9L, "sp_b", 2))) // rewritten partition fully replaced
+  }
+
   test("GraftExtensions injects rolling_hash into a fresh session") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // builder wiring smoke test

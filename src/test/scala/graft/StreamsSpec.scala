@@ -47,6 +47,32 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("late events beyond the watermark are dropped from finalized windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Double)]
+    val input = mem.toDF().toDF("ts_ns", "event_type", "value")
+    val q = Streams.tumblingCounts(input, "1 hour", "1 hour")
+      .writeStream.format("memory").queryName("late_test")
+      .outputMode("append").start()
+    try {
+      val h = 3600L * 1000 * 1000 * 1000
+      mem.addData((1 * h + 5, "click", 1.0))
+      q.processAllAvailable()
+      // advance event time far enough to finalize window [1h, 2h)
+      mem.addData((5 * h, "click", 1.0))
+      q.processAllAvailable()
+      // this event is 3+ hours behind the watermark → must be ignored
+      mem.addData((1 * h + 99, "click", 100.0))
+      q.processAllAvailable()
+      mem.addData((9 * h, "click", 1.0)) // finalize remaining windows
+      q.processAllAvailable()
+      val w1 = spark.table("late_test")
+        .where(col("window.start").cast("long") === 3600L)
+        .select("n", "sum_value").as[(Long, Double)].collect()
+      assert(w1.toSeq === Seq((1L, 1.0))) // late (100.0) event not counted
+    } finally q.stop()
+  }
+
   test("stream-static enrichment joins a dim table onto a stream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Double)]
