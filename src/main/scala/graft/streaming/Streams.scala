@@ -31,6 +31,28 @@ object Streams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Stream-stream interval correlation: events of `typeA` joined to the
+    * same user's `typeB` events that follow within `withinNs` (e.g. click
+    * → purchase attribution). Both sides carry watermarks so the join
+    * state is bounded: a left row can be dropped once the right watermark
+    * passes its upper time bound. Input needs user_id/event_type/ts_ns. */
+  def correlate(events: DataFrame, typeA: String, typeB: String,
+                withinNs: Long, watermark: String = "2 hours"): DataFrame = {
+    val wm = events
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      .withWatermark("ts", watermark)
+    val a = wm.filter(col("event_type") === typeA)
+      .select(col("user_id").as("a_user"), col("ts").as("a_ts"), col("ts_ns").as("a_ts_ns"))
+    val b = wm.filter(col("event_type") === typeB)
+      .select(col("user_id").as("b_user"), col("ts").as("b_ts"), col("ts_ns").as("b_ts_ns"))
+    a.join(b,
+      col("a_user") === col("b_user") &&
+        col("b_ts") >= col("a_ts") &&
+        col("b_ts_ns") - col("a_ts_ns") <= withinNs)
+      .select(col("a_user").as("user_id"), col("a_ts_ns"), col("b_ts_ns"),
+        (col("b_ts_ns") - col("a_ts_ns")).as("lag_ns"))
+  }
+
   case class SessState(start: Long, last: Long, n: Long)
   case class SessionOut(user_id: Long, session_start_ns: Long, n_events: Long, dur_ns: Long)
 

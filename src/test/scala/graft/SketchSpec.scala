@@ -46,6 +46,25 @@ class SketchSpec extends SparkSpec {
     assert(pairs.forall(p => p._3 <= 6))
   }
 
+  test("minhash estimate tracks true jaccard on half-overlapping docs") {
+    // Construct docs sharing roughly half their trigram shingles; the
+    // MinHash estimate must land near the true Jaccard (K=32 → σ≈0.09).
+    val rnd = new scala.util.Random(7)
+    def words(n: Int): String = Seq.fill(n)(f"w${rnd.nextInt(100000)}%06d").mkString(" ")
+    val common = words(40)
+    val docs = Seq((1L, s"$common ${words(40)}"), (2L, s"$common ${words(40)}"))
+      .toDF("doc_id", "text")
+    val sh = (t: String) => t.split(" ").sliding(3).map(_.mkString("_")).toSet
+    val rows = docs.select("doc_id", "text").as[(Long, String)].collect().toMap
+    val (s1, s2) = (sh(rows(1L)), sh(rows(2L)))
+    val trueJac = s1.intersect(s2).size.toDouble / s1.union(s2).size
+    val est = SketchQueries.minhashPairs(docs)
+      .select("est_jaccard").as[Double].collect()
+    assert(trueJac > 0.3 && trueJac < 0.7, s"construction broken: $trueJac")
+    if (est.nonEmpty) // banding may or may not surface a ~0.5 pair
+      assert(math.abs(est.head - trueJac) < 0.25, s"est ${est.head} vs true $trueJac")
+  }
+
   test("simhash: one-word edit stays close, pair survives the hamming gate") {
     val base = "the quick brown fox jumps over the lazy dog again and again today just fine"
     val edited = base.replace("lazy", "sleepy")

@@ -90,6 +90,27 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes within the window only") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    val input = mem.toDF().toDF("user_id", "event_type", "ts_ns")
+    val m = 60L * 1000 * 1000 * 1000
+    val q = Streams.correlate(input, "click", "purchase", 30 * m)
+      .writeStream.format("memory").queryName("corr_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, "click", 10 * m), (1L, "purchase", 20 * m),   // within 30 min ✓
+        (2L, "click", 10 * m), (2L, "purchase", 50 * m),   // 40 min → out
+        (3L, "purchase", 5 * m), (3L, "click", 10 * m),    // purchase before click → out
+        (1L, "purchase", 600 * m))                         // advance watermarks
+      q.processAllAvailable()
+      val got = spark.table("corr_test")
+        .select("user_id", "lag_ns").as[(Long, Long)].collect().toSet
+      assert(got === Set((1L, 10 * m)))
+    } finally q.stop()
+  }
+
   test("streaming tumbling counts equal batch aggregation") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, Double)]
