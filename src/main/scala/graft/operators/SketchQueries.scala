@@ -30,9 +30,13 @@ object SketchQueries {
   type Q = (SparkSession, String) => DataFrame
 
   /** Idempotent session setup: registers graft's custom expressions. */
-  def register(s: SparkSession): Unit =
+  def register(s: SparkSession): Unit = {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "rolling_hash", (exprs: Seq[Expression]) => RollingHash(exprs.head), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "token_count",
+      (exprs: Seq[Expression]) => graft.functions.TokenCount(exprs.head), "built-in")
+  }
 
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
     minhashPairs(t(s, dir, "documents"))

@@ -26,6 +26,19 @@ class SketchSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
   }
 
+  test("token_count expression matches the regex tokenizer on real docs") {
+    SketchQueries.register(spark)
+    val docs = Tables.t(spark, sf, "documents")
+    val mismatches = docs.selectExpr(
+        "token_count(text) AS native",
+        "cast(size(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]', 0)) as bigint) AS re")
+      .where(col("native") =!= col("re")).count()
+    assert(mismatches === 0)
+    // unicode: each UTF-8 continuation byte counts as a token byte-wise
+    val h = spark.sql("SELECT token_count('ab 12 ⚡x') AS n").as[Long].head()
+    assert(h === 1 + 2 + 3 + 1) // 'ab', '1', '2', 3 bytes of ⚡, 'x'
+  }
+
   test("minhash LSH finds exact duplicates with est_jaccard 1.0") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val other = "completely different words describing nothing similar at all here now ok"
