@@ -64,7 +64,7 @@ object DomainQueries {
       |    CASE WHEN event_id % 97 = 0 THEN 0.0
       |         ELSE CAST(event_id * 61 % 4400 AS DOUBLE) / 10.0 - 210.0 END AS lon,
       |    CAST(event_id * 131 % 8000 AS DOUBLE) AS uncert,
-      |    epoch_ns(ts) AS ts_ns, event_type, value
+      |    epoch_ns(ts) // 1000 * 1000 AS ts_ns, event_type, value
       |  FROM events)""".stripMargin
 
   /** filter_zero_coords + filter_invalid_coords (cleaning_occs.py:9-52). */
@@ -630,12 +630,12 @@ object DomainQueries {
         |LEFT JOIN (SELECT species, COUNT(*) AS retained_records
         |           FROM cleaned GROUP BY species) r ON t.species = r.species""".stripMargin),
     "events_tumbling" ->
-      """SELECT epoch_ns(ts) // 3600000000000 AS hour_id, event_type,
+      """SELECT epoch_ns(ts) // 1000 * 1000 // 3600000000000 AS hour_id, event_type,
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
     "events_sessionize" ->
-      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS ts_ns FROM events),
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 * 1000 AS ts_ns FROM events),
         |seq AS (
         |  SELECT user_id, ts_ns,
         |    CASE WHEN ts_ns - LAG(ts_ns) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id)
