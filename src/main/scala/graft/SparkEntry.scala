@@ -15,5 +15,6 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.CoreQueries.oracle ++ operators.DomainQueries.oracle ++
-      operators.TextQueries.oracle ++ operators.TextPrep.oracle
+      operators.TextQueries.oracle ++ operators.TextPrep.oracle ++
+      operators.Records.oracle
 }

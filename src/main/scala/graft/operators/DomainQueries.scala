@@ -352,21 +352,44 @@ object DomainQueries {
             cos(radians((max(col("lat")) + min(col("lat"))) / 2)), 2))
           .as("area_km2"))
 
-  /** ValidateNamesFn match rules (transforms.py:202-211): EXACT or
-    * high-confidence FUZZY → validated, else to_check. */
+  /** ValidateNamesFn match rules (transforms.py:182-211): records missing
+    * a scientificName go straight to to_check carrying the upstream
+    * ena_error (ENATaxonomyFn, transforms.py:160-164); otherwise the GBIF
+    * backbone fields are attached and EXACT or high-confidence FUZZY →
+    * validated, else to_check — with acceptedUsageKey / alternatives
+    * enrichment only on the to_check branch (transforms.py:203-207). */
   def taxValidateSplit(s: SparkSession, dir: String): DataFrame = {
-    val mt = (col("c_custkey") % 5).cast("int")
-    val matchType = when(mt === 0, "EXACT").when(mt === 1 || mt === 2, "FUZZY")
+    val k = col("c_custkey")
+    val hasName = k % 23 =!= 0
+    val mt = (k % 5).cast("int")
+    val matchType = when(!hasName, lit(null).cast("string"))
+      .when(mt === 0, "EXACT").when(mt === 1 || mt === 2, "FUZZY")
       .when(mt === 3, "HIGHERRANK").otherwise("NONE")
-    val conf = col("c_custkey") * 13 % 101
+    val conf = when(hasName, k * 13 % 101)
     t(s, dir, "customer").select(
-        col("c_custkey").as("tax_id"),
+        k.as("tax_id"),
         matchType.as("match_type"),
-        conf.as("confidence"))
+        conf.as("confidence"),
+        when(hasName, concat(lit("sp_"), (k % 50).cast("string"))).as("gbif_scientific_name"),
+        when(hasName, k * 7 % 100000).as("gbif_usage_key"),
+        when(hasName,
+          when(k % 4 === 0, "ACCEPTED").when(k % 4 === 1, "SYNONYM").otherwise("DOUBTFUL"))
+          .as("gbif_status"),
+        when(hasName, lit("SPECIES")).as("gbif_rank"),
+        when(!hasName, lit("Missing scientificName")).as("ena_error"))
       .withColumn("status",
         when(col("match_type") === "EXACT" ||
           (col("match_type") === "FUZZY" && col("confidence") >= 95), "validated")
           .otherwise("to_check"))
+      // to_check-branch-only enrichment (transforms.py:203-207).
+      .withColumn("gbif_accepted_usage_key",
+        when(col("status") === "to_check" && col("match_type").isNotNull &&
+          col("tax_id") % 2 === 0, col("tax_id") * 11 % 100000))
+      .withColumn("gbif_alternatives",
+        when(col("status") === "to_check" && col("match_type").isNotNull &&
+          col("tax_id") % 3 === 0,
+          concat(lit("alt_"), (col("tax_id") * 3 % 50).cast("string"),
+            lit(";alt_"), (col("tax_id") * 5 % 50).cast("string"))))
   }
 
   /** keep_new_tax_ids (helpers.py:237): set difference vs the gate table,
@@ -574,15 +597,36 @@ object DomainQueries {
         |  ELSE NULL END AS area_km2
         |FROM valid GROUP BY species""".stripMargin),
     "tax_validate_split" ->
-      """SELECT tax_id, match_type, confidence,
-        |  CASE WHEN match_type = 'EXACT' OR (match_type = 'FUZZY' AND confidence >= 95)
-        |       THEN 'validated' ELSE 'to_check' END AS status
-        |FROM (SELECT c_custkey AS tax_id,
-        |        CASE CAST(c_custkey % 5 AS INTEGER)
-        |          WHEN 0 THEN 'EXACT' WHEN 1 THEN 'FUZZY' WHEN 2 THEN 'FUZZY'
-        |          WHEN 3 THEN 'HIGHERRANK' ELSE 'NONE' END AS match_type,
-        |        c_custkey * 13 % 101 AS confidence
-        |      FROM customer)""".stripMargin,
+      """SELECT tax_id, match_type, confidence, gbif_scientific_name,
+        |  gbif_usage_key, gbif_status, gbif_rank, ena_error, status,
+        |  CASE WHEN status = 'to_check' AND match_type IS NOT NULL AND tax_id % 2 = 0
+        |       THEN tax_id * 11 % 100000 END AS gbif_accepted_usage_key,
+        |  CASE WHEN status = 'to_check' AND match_type IS NOT NULL AND tax_id % 3 = 0
+        |       THEN 'alt_' || CAST(tax_id * 3 % 50 AS VARCHAR)
+        |         || ';alt_' || CAST(tax_id * 5 % 50 AS VARCHAR)
+        |  END AS gbif_alternatives
+        |FROM (
+        |  SELECT *,
+        |    CASE WHEN match_type = 'EXACT' OR (match_type = 'FUZZY' AND confidence >= 95)
+        |         THEN 'validated' ELSE 'to_check' END AS status
+        |  FROM (SELECT c_custkey AS tax_id,
+        |          CASE WHEN c_custkey % 23 = 0 THEN NULL
+        |            ELSE CASE CAST(c_custkey % 5 AS INTEGER)
+        |              WHEN 0 THEN 'EXACT' WHEN 1 THEN 'FUZZY' WHEN 2 THEN 'FUZZY'
+        |              WHEN 3 THEN 'HIGHERRANK' ELSE 'NONE' END END AS match_type,
+        |          CASE WHEN c_custkey % 23 = 0 THEN NULL
+        |            ELSE c_custkey * 13 % 101 END AS confidence,
+        |          CASE WHEN c_custkey % 23 = 0 THEN NULL
+        |            ELSE 'sp_' || CAST(c_custkey % 50 AS VARCHAR) END AS gbif_scientific_name,
+        |          CASE WHEN c_custkey % 23 = 0 THEN NULL
+        |            ELSE c_custkey * 7 % 100000 END AS gbif_usage_key,
+        |          CASE WHEN c_custkey % 23 = 0 THEN NULL
+        |            ELSE CASE CAST(c_custkey % 4 AS INTEGER)
+        |              WHEN 0 THEN 'ACCEPTED' WHEN 1 THEN 'SYNONYM'
+        |              ELSE 'DOUBTFUL' END END AS gbif_status,
+        |          CASE WHEN c_custkey % 23 = 0 THEN NULL ELSE 'SPECIES' END AS gbif_rank,
+        |          CASE WHEN c_custkey % 23 = 0 THEN 'Missing scientificName' END AS ena_error
+        |        FROM customer))""".stripMargin,
     "tax_lineage" ->
       """SELECT c_custkey AS tax_id,
         |  'sp_' || CAST(c_custkey % 50 AS VARCHAR) AS species,

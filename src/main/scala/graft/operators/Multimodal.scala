@@ -79,8 +79,14 @@ object Multimodal {
     }.toDF("media_id", "chunk_idx", "chunk")
   }
 
+  /** Checkable projection: the features vector is serialized to one string
+    * column (the driver's rows-only pandas compare cannot sort array
+    * cells). The typed Dataset from [[extractFeatures]] stays the API. */
   def multimodalMeta(s: SparkSession, dir: String): DataFrame =
     extractFeatures(fromDocuments(s, dir)).toDF()
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        expr("array_join(transform(features, x -> cast(x as string)), ',')")
+          .as("features"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta" -> (multimodalMeta _))

@@ -56,12 +56,29 @@ class DomainSpec extends SparkSpec {
 
   test("tax_validate_split applies the GBIF match rules") {
     val rows = DomainQueries.taxValidateSplit(spark, sf)
-      .select("match_type", "confidence", "status").as[(String, Long, String)].collect()
+      .select("match_type", "confidence", "status", "ena_error")
+      .as[(Option[String], Option[Long], String, Option[String])].collect()
     assert(rows.nonEmpty)
-    assert(rows.forall { case (mt, conf, st) =>
-      val expectValid = mt == "EXACT" || (mt == "FUZZY" && conf >= 95)
-      st == (if (expectValid) "validated" else "to_check")
+    assert(rows.forall { case (mt, conf, st, err) =>
+      mt match {
+        case None => st == "to_check" && err.contains("Missing scientificName")
+        case Some(m) =>
+          val expectValid = m == "EXACT" || (m == "FUZZY" && conf.exists(_ >= 95))
+          err.isEmpty && st == (if (expectValid) "validated" else "to_check")
+      }
     })
+    // both branches of the ENA-error split are exercised
+    assert(rows.exists(_._1.isEmpty) && rows.exists(_._1.nonEmpty))
+  }
+
+  test("tax_validate_split enriches only the to_check branch") {
+    val rows = DomainQueries.taxValidateSplit(spark, sf)
+      .select("status", "gbif_accepted_usage_key", "gbif_alternatives")
+      .as[(String, Option[Long], Option[String])].collect()
+    assert(rows.filter(_._1 == "validated")
+      .forall(r => r._2.isEmpty && r._3.isEmpty))
+    assert(rows.exists(r => r._1 == "to_check" && r._2.nonEmpty))
+    assert(rows.exists(r => r._1 == "to_check" && r._3.nonEmpty))
   }
 
   test("sessionize: durations are non-negative and bounded by the window") {

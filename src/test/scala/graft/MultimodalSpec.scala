@@ -14,10 +14,11 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("feature extraction is deterministic, 16-dim, L1-normalized") {
-    val f1 = Multimodal.multimodalMeta(spark, sf)
-      .select("media_id", "features").as[(Long, Array[Double])].collect().sortBy(_._1)
-    val f2 = Multimodal.multimodalMeta(spark, sf)
-      .select("media_id", "features").as[(Long, Array[Double])].collect().sortBy(_._1)
+    def run() = Multimodal.extractFeatures(Multimodal.fromDocuments(spark, sf))
+      .toDF().select("media_id", "features")
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    val f1 = run()
+    val f2 = run()
     assert(f1.length > 0)
     assert(f1.map(_._2.toSeq).toSeq === f2.map(_._2.toSeq).toSeq)
     assert(f1.forall(_._2.length == 16))
@@ -32,7 +33,7 @@ class MultimodalSpec extends SparkSpec {
     val rows = df.selectExpr("tracking_status", "size(customFields)",
         "organism.ontologyTerm").collect()
     assert(rows.nonEmpty)
-    assert(rows.forall(_.getInt(1) == 2))
+    assert(rows.forall(_.getInt(1) == 3))
     assert(rows.forall(_.getString(2).startsWith("NCBITaxon:")))
     val statuses = df.select("tracking_status").distinct()
       .collect().map(_.getString(0)).toSet
