@@ -57,18 +57,62 @@ object TextPrep {
       |    w -> NOT w IN ('a', 'the', 'l')), ' ') AS filtered
       |FROM documents""".stripMargin
 
-  /** Length-decile bucketing (ntile) + per-decile stats: the curriculum/
-    * batching shape (group documents by size class).
-    * NB: a global ntile needs a total order — Spark funnels all rows
-    * through one window partition. At 100 TB, compute decile BOUNDARIES
-    * via approx percentiles and bucket with a broadcast range join
-    * instead; this exact form is the small/medium-corpus baseline. */
-  def textLengthDeciles(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("n_chars"), col("doc_id"))
-    t(s, dir, "documents")
-      .withColumn("decile", ntile(10).over(w).cast("long"))
+  /** Length-decile bucketing + per-decile stats: the curriculum/batching
+    * shape (group documents by size class). Semantics are exactly
+    * NTILE(10) OVER (ORDER BY n_chars, doc_id) — but computed WITHOUT a
+    * global single-partition window (the 100 TB killer): per-decile
+    * count/min/max of n_chars is invariant to the doc_id tie-break, so we
+    * (1) compress to a histogram over distinct n_chars (one shuffle; rows
+    * bounded by distinct lengths, not corpus size), (2) turn it into exact
+    * global rank ranges via a distributed prefix-scan — range-partition,
+    * window WITHIN each partition, add per-partition offsets (a
+    * #partitions-row collect) — and (3) intersect each value's rank range
+    * with the closed-form NTILE bucket boundaries. Exact at any scale;
+    * nothing wider than the histogram ever crosses a single task. */
+  def textLengthDeciles(s: SparkSession, dir: String): DataFrame =
+    lengthDeciles(s, t(s, dir, "documents"))
+
+  /** Library form over any frame with (n_chars, doc_id). */
+  def lengthDeciles(s: SparkSession, docs: DataFrame): DataFrame = {
+    val hist = docs
+      .groupBy(col("n_chars")).agg(count(lit(1)).as("cnt"))
+      .repartitionByRange(col("n_chars"))
+      .sortWithinPartitions("n_chars")
+      .withColumn("pid", spark_partition_id())
+      .persist()
+    val partTotals = hist.groupBy("pid").agg(sum("cnt").as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val n = partTotals.map(_._2).sum
+    var acc = 0L
+    val offsets = partTotals.map { case (pid, tot) =>
+      val o = (pid, acc); acc += tot; o
+    }
+    import s.implicits._
+    val offDf = offsets.toSeq.toDF("pid", "off")
+    val q = n / 10
+    val m = n % 10
+    val cut = m * (q + 1) // rank cut: deciles 1..m have q+1 rows, rest q
+    def intDiv(a: Column, b: Long): Column = call_function("div", a, lit(b))
+    // closed-form NTILE: bucket of rank r, and [start, end] ranks of bucket b
+    def tile(r: Column): Column =
+      if (q == 0) r
+      else when(r <= cut, intDiv(r - 1, q + 1) + 1)
+        .otherwise(intDiv(r - cut - 1, q) + m + 1)
+    def bStart(b: Column): Column =
+      when(b <= m, (b - 1) * (q + 1) + 1).otherwise(lit(cut) + (b - m - 1) * q + 1)
+    def bEnd(b: Column): Column =
+      when(b <= m, b * (q + 1)).otherwise(lit(cut) + (b - m) * q)
+    val w = Window.partitionBy("pid").orderBy("n_chars")
+    hist.withColumn("lcum", sum("cnt").over(w))
+      .join(broadcast(offDf), "pid")
+      .withColumn("hi", col("off") + col("lcum"))
+      .withColumn("lo", col("hi") - col("cnt") + 1)
+      .withColumn("decile", explode(sequence(tile(col("lo")), tile(col("hi")))))
+      .withColumn("rows_in",
+        least(col("hi"), bEnd(col("decile"))) -
+          greatest(col("lo"), bStart(col("decile"))) + 1)
       .groupBy("decile")
-      .agg(count(lit(1)).as("n_docs"),
+      .agg(sum("rows_in").as("n_docs"),
         min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
   }
 

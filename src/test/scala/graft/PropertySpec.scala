@@ -83,4 +83,26 @@ class PropertySpec extends SparkSpec {
       assert(d12 <= math.Pi * 6371000.0 + 1.0)
     }
   }
+
+  test("histogram length-deciles equal exact global NTILE for uneven N") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new Random(47)
+    // include N < 10, N % 10 != 0, and heavy length ties
+    for (n <- Seq(3, 7, 10, 47, 123, 1000)) {
+      val docs = List.tabulate(n)(i => (i.toLong, rnd.nextInt(20).toLong))
+        .toDF("doc_id", "n_chars")
+      val w = Window.orderBy(col("n_chars"), col("doc_id"))
+      val exact = docs
+        .withColumn("decile", ntile(10).over(w).cast("long"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_docs"),
+          min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      val dist = operators.TextPrep.lengthDeciles(spark, docs)
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(dist === exact, s"mismatch at n=$n")
+    }
+  }
 }
