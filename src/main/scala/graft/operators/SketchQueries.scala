@@ -4,7 +4,6 @@ import graft.Tables.t
 import graft.functions.{ConvexHullAreaKm2, RollingHash}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Sketch/ANN/geometry operators that are not ANSI-SQL-expressible (the
@@ -138,11 +137,9 @@ object SketchQueries {
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket"))
     val d = emb.filter(col("vec_id") >= 5)
     val dot = graft.functions.Vectors.dot(col("qv"), col("v"))
-    val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("vec_id"))
-    d.join(broadcast(q), Seq("bucket"))
-      .select(col("qid"), col("vec_id"), dot.as("dot"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 10)
+    Rerank.topK(
+      d.join(broadcast(q), Seq("bucket"))
+        .select(col("qid"), col("vec_id"), dot.as("dot")), 10)
   }
 
   /** IVF-style ANN: assign every vector to its nearest "centroid" (here
@@ -150,7 +147,13 @@ object SketchQueries {
     * each query by exact search within the query's own cluster. The scale
     * property: the corpus shuffles once on cluster id, and each query
     * scans |corpus|/C candidates instead of the whole corpus. nprobe=1;
-    * recall is spec-checked against brute force. */
+    * recall is spec-checked against brute force.
+    *
+    * Assignment is an argmax HASH aggregate (max_by over the broadcast
+    * codebook cross join — partials combine map-side), not a row_number
+    * window (which sort-shuffles all C×|corpus| scored rows). The
+    * assigned set is persisted before the query/data branch so the
+    * cross-join subtree runs once, not once per side of the self-join. */
   def ivfTopk(s: SparkSession, dir: String): DataFrame = {
     val C = 8
     val emb = t(s, dir, "embeddings")
@@ -158,20 +161,22 @@ object SketchQueries {
     val cents = emb.filter(col("vec_id") < C)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
     val dotc = graft.functions.Vectors.dot(col("v"), col("cv"))
-    val byDot = Window.partitionBy("vec_id").orderBy(col("cdot").desc, col("cid"))
+    // tie-break: highest cdot, then lowest cid (cid < C = 8, so C - cid
+    // is a safe ascending→descending flip inside the max_by key)
     val assigned = emb.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("v"), col("cid"), dotc.as("cdot"))
-      .withColumn("rn", row_number().over(byDot)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("cid"))
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("cid"), col("v")),
+        struct(col("cdot"), (lit(C) - col("cid")).as("inv"))).as("best"))
+      .select(col("vec_id"), col("best.cid").as("cid"), col("best.v").as("v"))
+      .persist()
     val q = assigned.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("cid"))
     val d = assigned.filter(col("vec_id") >= 5)
     val dot = graft.functions.Vectors.dot(col("qv"), col("v"))
-    val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("vec_id"))
-    d.join(broadcast(q), Seq("cid"))
-      .select(col("qid"), col("vec_id"), dot.as("dot"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 10)
+    Rerank.topK(
+      d.join(broadcast(q), Seq("cid"))
+        .select(col("qid"), col("vec_id"), dot.as("dot")), 10)
   }
 
   /** Exact convex-hull range area (rows-only counterpart of range_bbox). */

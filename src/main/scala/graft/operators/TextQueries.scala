@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.Tables.t
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data pipeline operators over `documents` / `embeddings`
@@ -139,11 +138,9 @@ object TextQueries {
     val d = emb.filter(col("vec_id") >= 5)
       .select(col("vec_id"), col("embedding").as("dv"))
     val dot = graft.functions.Vectors.dot(col("qv"), col("dv"))
-    val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("vec_id"))
-    d.crossJoin(broadcast(q))
-      .select(col("qid"), col("vec_id"), dot.as("dot"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 10)
+    Rerank.topK(
+      d.crossJoin(broadcast(q))
+        .select(col("qid"), col("vec_id"), dot.as("dot")), 10)
   }
 
   /** Embedding-cosine near-dup pairs: vectors are L2-normalized so the
