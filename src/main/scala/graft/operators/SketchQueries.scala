@@ -152,8 +152,11 @@ object SketchQueries {
     * Assignment is an argmax HASH aggregate (max_by over the broadcast
     * codebook cross join — partials combine map-side), not a row_number
     * window (which sort-shuffles all C×|corpus| scored rows). The
-    * assigned set is persisted before the query/data branch so the
-    * cross-join subtree runs once, not once per side of the self-join. */
+    * assigned set is localCheckpoint'd (eager) before the query/data
+    * branch so the cross-join subtree runs once, not once per side of the
+    * self-join — and, unlike `.persist()`, the blocks are released by the
+    * ContextCleaner once the result frame is dropped, so repeated
+    * invocations in one session (Verify, Bench) never accumulate cache. */
   def ivfTopk(s: SparkSession, dir: String): DataFrame = {
     val C = 8
     val emb = t(s, dir, "embeddings")
@@ -169,7 +172,7 @@ object SketchQueries {
       .agg(max_by(struct(col("cid"), col("v")),
         struct(col("cdot"), (lit(C) - col("cid")).as("inv"))).as("best"))
       .select(col("vec_id"), col("best.cid").as("cid"), col("best.v").as("v"))
-      .persist()
+      .localCheckpoint()
     val q = assigned.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("cid"))
     val d = assigned.filter(col("vec_id") >= 5)

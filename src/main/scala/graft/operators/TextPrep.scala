@@ -74,12 +74,18 @@ object TextPrep {
 
   /** Library form over any frame with (n_chars, doc_id). */
   def lengthDeciles(s: SparkSession, docs: DataFrame): DataFrame = {
+    // Eager localCheckpoint (not persist): freezes the pid assignment so
+    // the offset math below and the final plan see the same partitioning,
+    // computes the histogram once, and — unlike CacheManager-tracked
+    // persists — its blocks are dropped by the ContextCleaner as soon as
+    // the result frame goes out of scope, so session-long sweeps (Verify,
+    // Bench) never accumulate cached histograms.
     val hist = docs
       .groupBy(col("n_chars")).agg(count(lit(1)).as("cnt"))
       .repartitionByRange(col("n_chars"))
       .sortWithinPartitions("n_chars")
       .withColumn("pid", spark_partition_id())
-      .persist()
+      .localCheckpoint()
     val partTotals = hist.groupBy("pid").agg(sum("cnt").as("t"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val n = partTotals.map(_._2).sum
@@ -149,10 +155,9 @@ object TextPrep {
       |FROM (
       |  SELECT doc_id, bg, COUNT(*) AS c FROM (
       |    SELECT doc_id, ts[i] || '_' || ts[i+1] AS bg
-      |    FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
-      |          FROM documents),
-      |         generate_series(1, 600) t(i)
-      |    WHERE i <= len(ts) - 1)
+      |    FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS i
+      |          FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+      |                FROM documents)))
       |  GROUP BY doc_id, bg)
       |GROUP BY doc_id""".stripMargin
 

@@ -109,12 +109,16 @@ object TextQueries {
     val postings = sh.groupBy("sh")
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")).between(2, DF_CUTOFF))
+    // Pair generation as TWO codegen'd posexplodes + an index inequality
+    // (ds is sorted, so j > i ⟺ doc2 > doc1). A nested-transform HOF
+    // builds exactly C(df,2) structs but evaluates interpreted (SURVEY §5:
+    // 4-11× slower); the double explode emits df² rows that the same
+    // fused stage immediately halves — cheap, and df is capped at cutoff.
     val cand = postings
-      .select(explode(expr(
-        """flatten(transform(ds, (x, i) ->
-          |  transform(slice(ds, i + 2, size(ds)), y -> struct(x AS doc1, y AS doc2))))""".stripMargin))
-        .as("p"))
-      .groupBy(col("p.doc1").as("doc1"), col("p.doc2").as("doc2"))
+      .select(col("ds"), posexplode(col("ds")).as(Seq("i", "doc1")))
+      .select(col("i"), col("doc1"), posexplode(col("ds")).as(Seq("j", "doc2")))
+      .filter(col("j") > col("i"))
+      .groupBy("doc1", "doc2")
       .agg(count(lit(1)).as("shared"))
     val jac = col("shared").cast("double") /
       (col("s1.sz") + col("s2.sz") - col("shared"))
@@ -225,7 +229,8 @@ object TextQueries {
     "dedup_ngram_jaccard" -> withSql(TOK_SQL,
       """sh AS (
         |  SELECT DISTINCT doc_id, ts[i] || '_' || ts[i+1] || '_' || ts[i+2] AS sh
-        |  FROM tok, generate_series(1, 600) t(i) WHERE i <= len(ts) - 2)""".stripMargin,
+        |  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 2)) AS i
+        |        FROM tok))""".stripMargin,
       "szs AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id)",
       """rare AS (
         |  SELECT s.* FROM sh s
