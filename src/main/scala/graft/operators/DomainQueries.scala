@@ -216,27 +216,84 @@ object DomainQueries {
       round(col("lon") + dlon, 6).as("lon_max"))
   }
 
-  /** AnnotateWithCHELSAFn: per-point climate sample + unit conversion
-    * (temp raw*0.1-273.15, precip raw*0.1 rounded — transforms.py:599-603).
-    * The raster is modeled as a deterministic function of the 1° cell, so
-    * the annotate step is a pure projection — the ideal 100 TB shape
-    * (a real raster becomes a broadcast cell→value table). */
+  /** AnnotateWithCHELSAFn with buffer ZONAL semantics (transforms.py:
+    * 546-630: the raster is masked to the uncertainty polygon and the
+    * unmasked cells averaged). The buffer here is the uncertainty bbox
+    * (same degree half-widths as [[uncertaintyBuffer]]) and the raster a
+    * deterministic function of the 1° cell. Cells intersecting the bbox
+    * are enumerated by a BOUNDED explode (≤2 lat rows × antimeridian-
+    * wrapped lon range, capped at one globe), then averaged per
+    * occurrence — map-side partial aggregation, one shuffle of narrow
+    * (keys, raw-sum) rows; a real raster becomes a broadcast cell→value
+    * table joined on cellid. Unit conversions follow transforms.py:
+    * 599-603 — temp mean*0.1-273.15 (UNrounded: the mean is pure-rational
+    * and cross-engine ROUND diverges on shortest-repr near-ties, SURVEY
+    * §4); precip mean*0.1 rounded to 0 decimals (integer-adjacent x.5
+    * ties are exactly representable, so HALF_UP agrees everywhere). The
+    * trig-derived lon half-width is rounded to 6 dp before flooring so a
+    * 1-ulp libm difference cannot flip the cell range (same guard as
+    * uncertainty_buffer). */
   def climAnnotate(s: SparkSession, dir: String): DataFrame = {
     val c = cell1(col("lat"), col("lon"))
+    val radius = greatest(col("uncert"), lit(100.0))
+    val dlat = radius / 111320.0
+    val dlon = round(
+      least(radius / (lit(111320.0) * cos(radians(col("lat")))), lit(360.0)), 6)
+    val la0 = greatest(floor(col("lat") - dlat).cast("long"), lit(-90L))
+    val la1 = least(floor(col("lat") + dlat).cast("long"), lit(89L))
+    val lo0 = floor(col("lon") - dlon).cast("long")
+    val lo1 = least(floor(col("lon") + dlon).cast("long"), lo0 + 359L)
+    val cid = (col("la") + 90L) * 360L + pmod(col("lo") + 180L, lit(360L))
     valid(s, dir)
       .filter(c >= 0 && c <= 64799)
       .select(col("occ_id"), col("accession"), col("species"),
-        round((c * 7919 % 4000).cast("double") * 0.1 - 273.15, 2).as("bio1"),
-        round((c * 104729 % 12000).cast("double") * 0.1, 0).as("bio12"))
+        explode(sequence(la0, la1)).as("la"), lo0.as("lo0"), lo1.as("lo1"))
+      .select(col("occ_id"), col("accession"), col("species"), col("la"),
+        explode(sequence(col("lo0"), col("lo1"))).as("lo"))
+      .select(col("occ_id"), col("accession"), col("species"), cid.as("cid"))
+      .groupBy("occ_id", "accession", "species")
+      .agg(count(lit(1)).as("n_cells"),
+        sum(col("cid") * 7919 % 4000).as("s1"),
+        sum(col("cid") * 104729 % 12000).as("s12"))
+      .select(col("occ_id"), col("accession"), col("species"), col("n_cells"),
+        (col("s1").cast("double") / (col("n_cells") * 10.0) - 273.15).as("bio1"),
+        round(col("s12").cast("double") / (col("n_cells") * 10.0), 0).as("bio12"))
   }
 
   private val CLIM_SQL: String =
     s"""clim AS (
-       |  SELECT occ_id, accession, species,
-       |    ROUND(CAST(($CELL1_SQL) * 7919 % 4000 AS DOUBLE) * 0.1 - 273.15, 2) AS bio1,
-       |    ROUND(CAST(($CELL1_SQL) * 104729 % 12000 AS DOUBLE) * 0.1, 0) AS bio12
-       |  FROM valid
-       |  WHERE ($CELL1_SQL) BETWEEN 0 AND 64799)""".stripMargin
+       |  SELECT occ_id, accession, species, n_cells,
+       |    CAST(s1 AS DOUBLE) / (n_cells * 10.0) - 273.15 AS bio1,
+       |    ROUND(CAST(s12 AS DOUBLE) / (n_cells * 10.0), 0) AS bio12
+       |  FROM (
+       |    SELECT occ_id, accession, species, COUNT(*) AS n_cells,
+       |      CAST(SUM(cid * 7919 % 4000) AS BIGINT) AS s1,
+       |      CAST(SUM(cid * 104729 % 12000) AS BIGINT) AS s12
+       |    FROM (
+       |      SELECT occ_id, accession, species,
+       |        (la + 90) * 360 + ((lo + 180) % 360 + 360) % 360 AS cid
+       |      FROM (
+       |        SELECT occ_id, accession, species, la,
+       |          unnest(generate_series(lo0, lo1)) AS lo
+       |        FROM (
+       |          SELECT occ_id, accession, species,
+       |            unnest(generate_series(la0, la1)) AS la, lo0, lo1
+       |          FROM (
+       |            SELECT occ_id, accession, species,
+       |              GREATEST(CAST(FLOOR(lat - dlat) AS BIGINT), -90) AS la0,
+       |              LEAST(CAST(FLOOR(lat + dlat) AS BIGINT), 89) AS la1,
+       |              CAST(FLOOR(lon - dlon) AS BIGINT) AS lo0,
+       |              LEAST(CAST(FLOOR(lon + dlon) AS BIGINT),
+       |                    CAST(FLOOR(lon - dlon) AS BIGINT) + 359) AS lo1
+       |            FROM (
+       |              SELECT occ_id, accession, species, lat, lon,
+       |                GREATEST(uncert, 100.0) / 111320.0 AS dlat,
+       |                ROUND(LEAST(GREATEST(uncert, 100.0)
+       |                        / (111320.0 * COS(RADIANS(lat))),
+       |                      CAST(360.0 AS DOUBLE)), 6) AS dlon
+       |              FROM valid
+       |              WHERE ($CELL1_SQL) BETWEEN 0 AND 64799)))))
+       |    GROUP BY occ_id, accession, species))""".stripMargin
 
   /** Exact linear-interpolation percentile over a collected group — the
     * same formula as numpy/DuckDB quantile_cont. Groups are bounded
@@ -290,34 +347,52 @@ object DomainQueries {
 
   /** Pseudo-random cell→region multimap over the 1° grid (0-3 regions per
     * cell; ~10% of cells have none, so no-match outer-join paths carry
-    * real data) standing in for the Ecoregions2017 layer. */
+    * real data) standing in for the Ecoregions2017 layer. Carries the
+    * reference's keep_fields map — {"realm": "REALM", "biome":
+    * "BIOME_NAME"}, transforms.py:747-755 — as two attribute columns
+    * (8 realms, 14 biomes, Ecoregions2017's cardinalities). */
   def regions(s: SparkSession): DataFrame =
     s.range(64800L * 3).select(
         expr("id div 3").as("cellid"), (col("id") % 3).as("k"))
       .filter((col("cellid") * 13 + col("k") * 2) % 10 < 5)
       .select(col("cellid"),
-        concat(lit("realm_"), ((col("cellid") * 31 + col("k") * 17) % 8).cast("string")).as("realm"))
+        concat(lit("realm_"), ((col("cellid") * 31 + col("k") * 17) % 8).cast("string")).as("realm"),
+        concat(lit("biome_"), ((col("cellid") * 47 + col("k") * 29) % 14).cast("string")).as("biome"))
 
   private val REGIONS_SQL: String =
     """regions AS (
-      |  SELECT cellid, 'realm_' || CAST((cellid * 31 + k * 17) % 8 AS VARCHAR) AS realm
+      |  SELECT cellid,
+      |    'realm_' || CAST((cellid * 31 + k * 17) % 8 AS VARCHAR) AS realm,
+      |    'biome_' || CAST((cellid * 47 + k * 29) % 14 AS VARCHAR) AS biome
       |  FROM (SELECT range AS cellid FROM range(64800)),
       |       (SELECT range AS k FROM range(3))
       |  WHERE (cellid * 13 + k * 2) % 10 < 5)""".stripMargin
 
-  /** AnnotateWithBiogeoFn: per-occurrence sorted distinct region values
-    * (transforms.py:747-801) via a broadcast cell→region join.
-    * collect_set dedups inside the aggregation — one shuffle instead of
-    * a distinct + groupBy pair. */
-  def biogeoAnnotate(s: SparkSession, dir: String): DataFrame = {
+  /** AnnotateWithBiogeoFn: per-occurrence sorted distinct values for EVERY
+    * keep_fields entry — realm and biome (transforms.py:747-801) — via a
+    * broadcast cell→region join. collect_set dedups each field inside ONE
+    * aggregation — a single shuffle carries both fields, instead of a
+    * distinct + groupBy pair per field. */
+  def biogeoAnnotate(s: SparkSession, dir: String): DataFrame =
+    biogeoAgg(s, dir, Seq("occ_id", "accession", "species"))
+
+  /** BiogeoSummaryNestedFn: distinct count + sorted values per field per
+    * accession (transforms.py:804-886). */
+  def biogeoSummary(s: SparkSession, dir: String): DataFrame =
+    biogeoAgg(s, dir, Seq("accession", "species"))
+
+  private def biogeoAgg(s: SparkSession, dir: String, keys: Seq[String]): DataFrame = {
     val c = cell1(col("lat"), col("lon"))
     val realms = array_sort(collect_set(col("realm")))
+    val biomes = array_sort(collect_set(col("biome")))
     valid(s, dir).filter(c >= 0 && c <= 64799)
       .withColumn("cellid", c)
       .join(broadcast(regions(s)), Seq("cellid"))
-      .groupBy("occ_id", "accession", "species")
+      .groupBy(keys.map(col): _*)
       .agg(size(realms).cast("long").as("n_realms"),
-        array_join(realms, ",").as("realms"))
+        array_join(realms, ",").as("realms"),
+        size(biomes).cast("long").as("n_biomes"),
+        array_join(biomes, ",").as("biomes"))
   }
 
   private val BIOGEO_PAIRS_SQL: String =
@@ -327,22 +402,20 @@ object DomainQueries {
        |        WHERE ($CELL1_SQL) BETWEEN 0 AND 64799) v
        |  JOIN regions USING (cellid))""".stripMargin
 
-  /** BiogeoSummaryNestedFn: distinct region count + sorted values per
-    * accession (transforms.py:804-886). */
-  def biogeoSummary(s: SparkSession, dir: String): DataFrame = {
-    val c = cell1(col("lat"), col("lon"))
-    val realms = array_sort(collect_set(col("realm")))
-    valid(s, dir).filter(c >= 0 && c <= 64799)
-      .withColumn("cellid", c)
-      .join(broadcast(regions(s)), Seq("cellid"))
-      .groupBy("accession", "species")
-      .agg(size(realms).cast("long").as("n_realms"),
-        array_join(realms, ",").as("realms"))
-  }
+  /** Un-deduplicated (occ, realm, biome) join rows for the widened biogeo
+    * oracles — per-field dedup happens in the aggregate (DISTINCT inside
+    * COUNT / string_agg), mirroring the per-field collect_set. */
+  private val BIOGEO_JOINED_SQL: String =
+    s"""bg AS (
+       |  SELECT occ_id, accession, species, realm, biome
+       |  FROM (SELECT occ_id, accession, species, $CELL1_SQL AS cellid FROM valid
+       |        WHERE ($CELL1_SQL) BETWEEN 0 AND 64799) v
+       |  JOIN regions USING (cellid))""".stripMargin
 
   /** EstimateRangeFn, bbox variant: per-species equal-area-ish km² from the
-    * lat/lon envelope; <3 points → NULL (transforms.py:915-921). The exact
-    * convex-hull variant is a custom Aggregator (rows-only oracle). */
+    * lat/lon envelope; <3 points → NULL area plus the reference's
+    * explanatory note (transforms.py:915-921). The exact convex-hull
+    * variant is a custom Aggregator (rows-only oracle). */
   def rangeBbox(s: SparkSession, dir: String): DataFrame =
     valid(s, dir).groupBy("species")
       .agg(count(lit(1)).as("n_points"),
@@ -350,7 +423,9 @@ object DomainQueries {
           round((max(col("lat")) - min(col("lat"))) * 111.32 *
             (max(col("lon")) - min(col("lon"))) * 111.32 *
             cos(radians((max(col("lat")) + min(col("lat"))) / 2)), 2))
-          .as("area_km2"))
+          .as("area_km2"),
+        when(count(lit(1)) < 3, lit("Insufficient points for convex hull"))
+          .as("note"))
 
   /** ValidateNamesFn match rules (transforms.py:182-211): records missing
     * a scientificName go straight to to_check carrying the upstream
@@ -392,6 +467,32 @@ object DomainQueries {
             lit(";alt_"), (col("tax_id") * 5 % 50).cast("string"))))
   }
 
+  /** occurrences_pipeline.py:31-78 — the reference's most distinctive
+    * pipeline shape: the fetch step forks into success / dead-letter
+    * outputs (`with_outputs("dead", main="success")`), dead records land
+    * in a JSONL sink (sources/Jsonl.deadLetters — exercised in
+    * SourcesSpec), and BOTH branches Flatten into one CombineGlobally
+    * summary {species_succeeded, species_failed, occurrences_written}.
+    * The HTTP fetch is modeled deterministically: input = the validated
+    * branch of [[taxValidateSplit]]; a pseudo-random predicate stands in
+    * for fetch failures; each success contributes its species' REAL
+    * occurrence count as n_occurrences. Beam's CombineGlobally is Spark's
+    * two-stage global aggregate — map-side partials, then one final row —
+    * so nothing wide ever converges on a single task. */
+  def occFetchSummary(s: SparkSession, dir: String): DataFrame = {
+    val sp = taxValidateSplit(s, dir)
+      .filter(col("status") === "validated")
+      .select(col("tax_id"), col("gbif_scientific_name").as("species"))
+    val counts = occ(s, dir).groupBy("species").agg(count(lit(1)).as("n_occ"))
+    val isDead = col("tax_id") % 13 === 0
+    sp.join(broadcast(counts), Seq("species"), "left_outer")
+      .agg(
+        sum(when(!isDead, 1L).otherwise(0L)).as("species_succeeded"),
+        sum(when(isDead, 1L).otherwise(0L)).as("species_failed"),
+        sum(when(!isDead, coalesce(col("n_occ"), lit(0L))).otherwise(0L))
+          .as("occurrences_written"))
+  }
+
   /** keep_new_tax_ids (helpers.py:237): set difference vs the gate table,
     * as one left-anti join instead of CoGroupByKey + filter. */
   def taxGateNew(s: SparkSession, dir: String): DataFrame =
@@ -412,17 +513,27 @@ object DomainQueries {
           (col("c_custkey") * 7 % 100000).cast("string")).as("gbif_url"),
         col("n_name").as("nation"))
 
-  /** ENATaxonomyFn lineage enrichment (transforms.py:167-177): attach
-    * higher-rank lineage columns to each taxon — here the region→nation
-    * hierarchy plays the lineage tree, chained broadcast joins replace the
-    * per-record API fetch. */
+  /** ENATaxonomyFn lineage enrichment (transforms.py:167-177): attach ALL
+    * SIX lineage ranks — kingdom, phylum, class, order, family, genus —
+    * to each taxon. The region→nation hierarchy plays the upper lineage
+    * tree (kingdom = region, family = nation via chained broadcast joins,
+    * replacing the per-record API fetch); the intermediate/lower ranks
+    * nest deterministically inside it: 5 phyla per kingdom, classes per
+    * phylum, 2 orders per class, and a genus grouping every 2 species. */
   def taxLineage(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer")
       .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
       .select(col("c_custkey").as("tax_id"),
         concat(lit("sp_"), (col("c_custkey") % 50).cast("string")).as("species"),
-        col("r_name").as("kingdom"), col("n_name").as("family"))
+        col("r_name").as("kingdom"),
+        concat(lit("phy_"),
+          (col("r_regionkey") * 5 + col("n_nationkey") % 5).cast("string")).as("phylum"),
+        concat(lit("cls_"), col("n_nationkey").cast("string")).as("class"),
+        concat(lit("ord_"),
+          (col("n_nationkey") * 2 + col("c_custkey") % 2).cast("string")).as("order"),
+        col("n_name").as("family"),
+        concat(lit("gen_"), expr("(c_custkey % 50) div 2").cast("string")).as("genus"))
 
   /** spatial_annotation_pipeline's merge step: climate and biogeo
     * annotations co-grouped by occurrenceID (helpers.py:44
@@ -510,6 +621,7 @@ object DomainQueries {
     "occ_centroid_filter" -> (occCentroidFilter _),
     "occ_dedupe_best" -> (occDedupeBest _),
     "occ_clean_pipeline" -> (occCleanPipeline _),
+    "occ_fetch_summary" -> (occFetchSummary _),
     "uncertainty_buffer" -> (uncertaintyBuffer _),
     "clim_annotate" -> (climAnnotate _),
     "clim_summary" -> (climSummary _),
@@ -550,6 +662,23 @@ object DomainQueries {
         |  FROM valid) WHERE rn = 1""".stripMargin),
     "occ_clean_pipeline" -> withSql(OCC_SQL, VALID_SQL, LAND_SQL, CENT_SQL, CLEANED_SQL)(
       "SELECT occ_id, species, lat, lon, uncert FROM cleaned"),
+    "occ_fetch_summary" -> withSql(OCC_SQL,
+      """sp AS (
+        |  SELECT c_custkey AS tax_id,
+        |    'sp_' || CAST(c_custkey % 50 AS VARCHAR) AS species
+        |  FROM customer
+        |  WHERE c_custkey % 23 <> 0
+        |    AND (c_custkey % 5 = 0
+        |         OR (c_custkey % 5 IN (1, 2) AND c_custkey * 13 % 101 >= 95)))""".stripMargin,
+      "counts AS (SELECT species, COUNT(*) AS n_occ FROM occ GROUP BY species)")(
+      """SELECT
+        |  CAST(SUM(CASE WHEN tax_id % 13 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS species_succeeded,
+        |  CAST(SUM(CASE WHEN tax_id % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS species_failed,
+        |  CAST(SUM(CASE WHEN tax_id % 13 <> 0 THEN COALESCE(n_occ, 0) ELSE 0 END) AS BIGINT)
+        |    AS occurrences_written
+        |FROM sp LEFT JOIN counts USING (species)""".stripMargin),
     "uncertainty_buffer" -> withSql(OCC_SQL, VALID_SQL)(
       """SELECT occ_id,
         |  lat - GREATEST(uncert, 100.0) / 111320.0 AS lat_min,
@@ -560,7 +689,7 @@ object DomainQueries {
         |                    CAST(360.0 AS DOUBLE)), 6) AS lon_max
         |FROM valid""".stripMargin),
     "clim_annotate" -> withSql(OCC_SQL, VALID_SQL, CLIM_SQL)(
-      "SELECT occ_id, accession, species, bio1, bio12 FROM clim"),
+      "SELECT occ_id, accession, species, n_cells, bio1, bio12 FROM clim"),
     "clim_summary" -> withSql(OCC_SQL, VALID_SQL, CLIM_SQL)(
       s"""SELECT accession, species, n,
          |  CAST(sx AS DOUBLE) / n AS bio1_mean,
@@ -580,21 +709,28 @@ object DomainQueries {
          |    SUM(CAST(bio12 AS DECIMAL(18,6))) AS s12,
          |    MIN(bio12) AS bio12_min, MAX(bio12) AS bio12_max
          |  FROM clim GROUP BY accession)""".stripMargin),
-    "biogeo_annotate" -> withSql(OCC_SQL, VALID_SQL, REGIONS_SQL, BIOGEO_PAIRS_SQL)(
-      """SELECT occ_id, accession, species, COUNT(*) AS n_realms,
-        |  string_agg(realm, ',' ORDER BY realm) AS realms
-        |FROM pairs GROUP BY occ_id, accession, species""".stripMargin),
-    "biogeo_summary" -> withSql(OCC_SQL, VALID_SQL, REGIONS_SQL,
-      BIOGEO_PAIRS_SQL.replace("SELECT DISTINCT occ_id, accession", "SELECT DISTINCT accession"))(
-      """SELECT accession, species, COUNT(*) AS n_realms,
-        |  string_agg(realm, ',' ORDER BY realm) AS realms
-        |FROM pairs GROUP BY accession, species""".stripMargin),
+    "biogeo_annotate" -> withSql(OCC_SQL, VALID_SQL, REGIONS_SQL, BIOGEO_JOINED_SQL)(
+      """SELECT occ_id, accession, species,
+        |  CAST(COUNT(DISTINCT realm) AS BIGINT) AS n_realms,
+        |  string_agg(DISTINCT realm, ',' ORDER BY realm) AS realms,
+        |  CAST(COUNT(DISTINCT biome) AS BIGINT) AS n_biomes,
+        |  string_agg(DISTINCT biome, ',' ORDER BY biome) AS biomes
+        |FROM bg GROUP BY occ_id, accession, species""".stripMargin),
+    "biogeo_summary" -> withSql(OCC_SQL, VALID_SQL, REGIONS_SQL, BIOGEO_JOINED_SQL)(
+      """SELECT accession, species,
+        |  CAST(COUNT(DISTINCT realm) AS BIGINT) AS n_realms,
+        |  string_agg(DISTINCT realm, ',' ORDER BY realm) AS realms,
+        |  CAST(COUNT(DISTINCT biome) AS BIGINT) AS n_biomes,
+        |  string_agg(DISTINCT biome, ',' ORDER BY biome) AS biomes
+        |FROM bg GROUP BY accession, species""".stripMargin),
     "range_bbox" -> withSql(OCC_SQL, VALID_SQL)(
       """SELECT species, COUNT(*) AS n_points,
         |  CASE WHEN COUNT(*) >= 3 THEN
         |    ROUND((MAX(lat) - MIN(lat)) * 111.32 * (MAX(lon) - MIN(lon)) * 111.32 *
         |          COS(RADIANS((MAX(lat) + MIN(lat)) / 2)), 2)
-        |  ELSE NULL END AS area_km2
+        |  ELSE NULL END AS area_km2,
+        |  CASE WHEN COUNT(*) < 3 THEN 'Insufficient points for convex hull'
+        |  END AS note
         |FROM valid GROUP BY species""".stripMargin),
     "tax_validate_split" ->
       """SELECT tax_id, match_type, confidence, gbif_scientific_name,
@@ -630,7 +766,12 @@ object DomainQueries {
     "tax_lineage" ->
       """SELECT c_custkey AS tax_id,
         |  'sp_' || CAST(c_custkey % 50 AS VARCHAR) AS species,
-        |  r_name AS kingdom, n_name AS family
+        |  r_name AS kingdom,
+        |  'phy_' || CAST(r_regionkey * 5 + n_nationkey % 5 AS VARCHAR) AS phylum,
+        |  'cls_' || CAST(n_nationkey AS VARCHAR) AS class,
+        |  'ord_' || CAST(n_nationkey * 2 + c_custkey % 2 AS VARCHAR) AS "order",
+        |  n_name AS family,
+        |  'gen_' || CAST((c_custkey % 50) // 2 AS VARCHAR) AS genus
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey""".stripMargin,

@@ -182,7 +182,9 @@ object SketchQueries {
         .select(col("qid"), col("vec_id"), dot.as("dot")), 10)
   }
 
-  /** Exact convex-hull range area (rows-only counterpart of range_bbox). */
+  /** Exact convex-hull range area (rows-only counterpart of range_bbox);
+    * <3 points → NULL area + the reference's explanatory note
+    * (transforms.py:915-921). */
   def rangeConvexHull(s: SparkSession, dir: String): DataFrame = {
     val hullArea = udaf(new ConvexHullAreaKm2())
     DomainQueries.valid(s, dir)
@@ -190,7 +192,8 @@ object SketchQueries {
       .agg(count(lit(1)).as("n_points"),
         hullArea(col("lon"), col("lat")).as("raw"))
       .select(col("species"), col("n_points"),
-        when(col("raw") < 0, lit(null)).otherwise(round(col("raw"), 2)).as("area_km2"))
+        when(col("raw") < 0, lit(null)).otherwise(round(col("raw"), 2)).as("area_km2"),
+        when(col("raw") < 0, lit("Insufficient points for convex hull")).as("note"))
   }
 
   /** Document fingerprint via the native rolling_hash Expression. */

@@ -115,4 +115,58 @@ class DomainSpec extends SparkSpec {
     assert(v.length === 10)
     assert(v.sameElements(v.sorted(Ordering[Double].reverse)))
   }
+
+  test("occ_fetch_summary matches its recomputed split; dead letters round-trip") {
+    val sp = DomainQueries.taxValidateSplit(spark, sf)
+      .filter(col("status") === "validated")
+      .select(col("tax_id"), col("gbif_scientific_name").as("species"))
+    val dead = sp.filter(col("tax_id") % 13 === 0)
+    val succ = sp.filter(col("tax_id") % 13 =!= 0)
+    // dead branch → JSONL sink, as occurrences_pipeline writes dead_records.jsonl
+    val dir = java.nio.file.Files.createTempDirectory("graft_fetch_dead").toString
+    graft.sources.Jsonl.writeConsolidated(dead, dir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("tax_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("species", org.apache.spark.sql.types.StringType)))
+    assert(graft.sources.Jsonl.read(spark, dir, schema).count() === dead.count())
+    val row = DomainQueries.occFetchSummary(spark, sf).collect().head
+    assert(row.getLong(0) === succ.count())
+    assert(row.getLong(1) === dead.count())
+    val counts = DomainQueries.occ(spark, sf).groupBy("species").count()
+    val expected = succ.join(counts, Seq("species"), "left_outer")
+      .agg(sum(coalesce(col("count"), lit(0L)))).as[Long].head()
+    assert(row.getLong(2) === expected)
+  }
+
+  test("clim_annotate is a zonal mean over >=1 buffer cells, in raster range") {
+    val rows = DomainQueries.climAnnotate(spark, sf).cache()
+    assert(rows.filter(col("n_cells") < 1).count() === 0)
+    assert(rows.filter(col("n_cells") > 1).count() > 0) // buffers span cells
+    val b = rows.agg(min("bio1"), max("bio1"), min("bio12"), max("bio12")).head()
+    assert(b.getDouble(0) >= -273.15 && b.getDouble(1) <= 3999 * 0.1 - 273.15)
+    assert(b.getDouble(2) >= 0.0 && b.getDouble(3) <= 1200.0)
+    rows.unpersist()
+  }
+
+  test("tax_lineage carries all six ranks; a genus groups at most 2 species") {
+    val df = DomainQueries.taxLineage(spark, sf)
+    assert(df.columns.toSeq === Seq(
+      "tax_id", "species", "kingdom", "phylum", "class", "order", "family", "genus"))
+    val over = df.groupBy("genus").agg(countDistinct("species").as("n"))
+      .filter(col("n") > 2).count()
+    assert(over === 0)
+  }
+
+  test("biogeo_annotate carries both keep_fields with sorted distinct values") {
+    val r = DomainQueries.biogeoAnnotate(spark, sf)
+      .select("n_realms", "realms", "n_biomes", "biomes")
+      .as[(Long, String, Long, String)].collect()
+    assert(r.nonEmpty)
+    assert(r.forall { case (nr, rs, nb, bs) =>
+      val rv = rs.split(",").toSeq
+      val bv = bs.split(",").toSeq
+      rv.length == nr && rv == rv.sorted && rv.distinct == rv &&
+        bv.length == nb && bv == bv.sorted && bv.distinct == bv
+    })
+  }
 }
