@@ -79,8 +79,8 @@ object SketchQueries {
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     simhashPairs(t(s, dir, "documents"))
 
-  /** 64-bit SimHash over tokens; pairs within a 16-bit prefix bucket with
-    * Hamming distance ≤ 6.
+  /** 64-bit SimHash over tokens; candidate pairs from FOUR 16-bit bands
+    * (multi-probe), Hamming-verified ≤ 6.
     *
     * Per-bit ±1 counters as 64 codegen'd SUM aggregates over exploded
     * tokens (one partial-aggregated shuffle), then the fingerprint is
@@ -100,12 +100,38 @@ object SketchQueries {
       .groupBy("doc_id")
       .agg(bitCols.head, bitCols.tail: _*)
       .select(col("doc_id"), fpExpr.as("fp"))
-      .withColumn("bucket", expr("shiftright(fp, 48)"))
-    fps.as("a").join(fps.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+    simhashBucketPairs(fps)
+  }
+
+  /** Banded candidate generation + Hamming verification over (doc_id, fp)
+    * fingerprints: each fp emits 4 disjoint 16-bit bands; any shared band
+    * value makes a candidate pair, verified with xor/bit_count ≤ 6.
+    *
+    * Recall: a pair differing in ≤ 3 bits ALWAYS shares a clean band
+    * (pigeonhole over 4 bands) — the round-1 single-prefix scheme missed
+    * any pair whose differing bits sat in the prefix. Pairs with 4-6
+    * differing bits are missed only when the bits hit all 4 bands
+    * (spreading ≥1 into each); an exact ≤6 guarantee needs 7 ~9-bit
+    * bands, whose 512-value keyspace collapses a web-scale corpus into
+    * quadratic buckets — 16-bit keys keep bucket fan-in bounded at scale.
+    *
+    * Shuffle volume is O(docs × 4) rows of (doc_id, fp, band, bv) — the
+    * same banded-join shape as [[minhashPairs]]; pairs found by several
+    * bands are deduplicated after the (cheap) Hamming check. */
+  def simhashBucketPairs(fps: DataFrame): DataFrame = {
+    val bandArr = array((0 until 4).map(b =>
+      struct(lit(b).as("band"),
+        expr(s"shiftright(fp, ${16 * b}) & 65535").as("bv"))): _*)
+    val bands = fps
+      .select(col("doc_id"), col("fp"), explode(bandArr).as("bd"))
+      .select(col("doc_id"), col("fp"), col("bd.band").as("band"), col("bd.bv").as("bv"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
         expr("bit_count(a.fp ^ b.fp)").as("hamming"))
       .filter(col("hamming") <= 6)
+      .dropDuplicates("doc1", "doc2")
   }
 
   /** Random-hyperplane LSH bucketing + exact rerank: the scale path for

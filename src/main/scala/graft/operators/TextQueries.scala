@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables.t
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data pipeline operators over `documents` / `embeddings`
@@ -148,37 +148,72 @@ object TextQueries {
   }
 
   /** Embedding-cosine near-dup pairs: vectors are L2-normalized so the
-    * threshold test is a dot product.
-    *
-    * Implemented as mapPartitions over a broadcast copy of the corpus —
-    * the one place the DataFrame expression layer genuinely loses: an
+    * threshold test is a dot product, computed in a tight JVM loop — the
+    * one place the DataFrame expression layer genuinely loses: an
     * all-pairs join pushes the dot predicate into a
     * BroadcastNestedLoopJoin condition, which evaluates interpreted
-    * (measured 87 s at sf0.1 vs ~1 s for this tight JVM loop; same
-    * left-to-right accumulation order, so results are bit-identical).
-    * The broadcast bounds this variant to corpora that fit an executor —
-    * it IS the brute-force baseline; the scale paths are sim_lsh_topk /
-    * sim_ivf_topk.
+    * (measured 87 s at sf0.1 vs ~1 s for this kernel; same left-to-right
+    * accumulation order, so results are bit-identical).
+    *
+    * Two physical plans share the kernel, picked by corpus size:
+    *  - `count ≤ maxBroadcast`: broadcast the corpus, scan it once per
+    *    input partition (one pass, no shuffle).
+    *  - larger: block-nested partition join — glom each partition into a
+    *    block, RDD-cartesian the block lists, process only the upper
+    *    triangle (i ≤ j) so every unordered pair is computed exactly once.
+    *    No driver collect, no single-executor corpus copy; each task holds
+    *    two blocks of |corpus|/P vectors. (Still O(n²) work — it IS the
+    *    brute-force baseline; the sub-quadratic scale paths are
+    *    sim_lsh_topk / sim_ivf_topk.)
     */
-  def dedupEmbeddingCosine(s: SparkSession, dir: String): DataFrame = {
+  def dedupEmbeddingCosine(s: SparkSession, dir: String): DataFrame =
+    dedupEmbeddingCosine(s, dir, maxBroadcast = 1 << 20)
+
+  private[graft] def dedupEmbeddingCosine(
+      s: SparkSession, dir: String, maxBroadcast: Long): DataFrame = {
     import s.implicits._
+    val THRESH = 0.2
     val emb = t(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-    val corpus = s.sparkContext.broadcast(emb.collect().sortBy(_._1))
-    emb.mapPartitions { it =>
-      val right = corpus.value
-      it.flatMap { case (v1, e1) =>
-        right.iterator
-          .filter(_._1 > v1)
-          .map { case (v2, e2) =>
-            var acc = 0.0
-            var i = 0
-            while (i < e1.length) { acc += e1(i).toDouble * e2(i).toDouble; i += 1 }
-            (v1, v2, acc)
+
+    def dot(e1: Array[Float], e2: Array[Float]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < e1.length) { acc += e1(i).toDouble * e2(i).toDouble; i += 1 }
+      acc
+    }
+
+    val out: Dataset[(Long, Long, Double)] =
+      if (emb.count() <= maxBroadcast) {
+        val corpus = s.sparkContext.broadcast(emb.collect().sortBy(_._1))
+        emb.mapPartitions { it =>
+          val right = corpus.value
+          it.flatMap { case (v1, e1) =>
+            right.iterator
+              .filter(_._1 > v1)
+              .map { case (v2, e2) => (v1, v2, dot(e1, e2)) }
+              .filter(_._3 >= THRESH)
           }
-          .filter(_._3 >= 0.2)
+        }
+      } else {
+        val blocks = emb.rdd.glom().zipWithIndex().map(_.swap)
+        val pairs = blocks.cartesian(blocks)
+          .filter { case ((i, _), (j, _)) => i <= j }
+          .flatMap { case ((i, bi), (j, bj)) =>
+            val cross = for {
+              (va, ea) <- bi.iterator
+              (vb, eb) <- bj.iterator
+              if i < j || va < vb // same block: upper triangle only
+            } yield {
+              val (v1, e1, v2, e2) = // ids are scattered across blocks
+                if (va < vb) (va, ea, vb, eb) else (vb, eb, va, ea)
+              (v1, v2, dot(e1, e2))
+            }
+            cross.filter { case (v1, v2, d) => v1 != v2 && d >= THRESH }
+          }
+        s.createDataset(pairs)
       }
-    }.toDF("v1", "v2", "cos_sim")
+    out.toDF("v1", "v2", "cos_sim")
   }
 
   val queries: Map[String, Q] = Map(

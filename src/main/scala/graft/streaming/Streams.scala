@@ -33,9 +33,15 @@ object Streams {
 
   /** Stream-stream interval correlation: events of `typeA` joined to the
     * same user's `typeB` events that follow within `withinNs` (e.g. click
-    * → purchase attribution). Both sides carry watermarks so the join
-    * state is bounded: a left row can be dropped once the right watermark
-    * passes its upper time bound. Input needs user_id/event_type/ts_ns. */
+    * → purchase attribution). Both sides carry watermarks AND the join
+    * condition carries BOTH interval bounds on the event-time columns
+    * themselves (`b_ts >= a_ts` and `b_ts <= a_ts + interval`), which is
+    * what lets Spark derive state-eviction predicates for BOTH sides: a
+    * left row is dropped once the right watermark passes `a_ts + interval`,
+    * a right row once the left watermark passes `b_ts`. The exact ns-
+    * precision bound is kept as an extra (watermark-invisible) conjunct —
+    * the µs interval bound is rounded UP so it never excludes a pair the
+    * ns bound admits. Input needs user_id/event_type/ts_ns. */
   def correlate(events: DataFrame, typeA: String, typeB: String,
                 withinNs: Long, watermark: String = "2 hours"): DataFrame = {
     val wm = events
@@ -45,9 +51,13 @@ object Streams {
       .select(col("user_id").as("a_user"), col("ts").as("a_ts"), col("ts_ns").as("a_ts_ns"))
     val b = wm.filter(col("event_type") === typeB)
       .select(col("user_id").as("b_user"), col("ts").as("b_ts"), col("ts_ns").as("b_ts_ns"))
+    // µs bound ≥ ns bound: ts is ts_ns truncated to µs, so b_ts - a_ts can
+    // exceed (b_ts_ns - a_ts_ns)/1000 by at most one µs tick.
+    val withinUsCeil = withinNs / 1000 + 1
     a.join(b,
       col("a_user") === col("b_user") &&
         col("b_ts") >= col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr(s"INTERVAL $withinUsCeil MICROSECOND") &&
         col("b_ts_ns") - col("a_ts_ns") <= withinNs)
       .select(col("a_user").as("user_id"), col("a_ts_ns"), col("b_ts_ns"),
         (col("b_ts_ns") - col("a_ts_ns")).as("lag_ns"))

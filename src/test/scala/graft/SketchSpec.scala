@@ -140,4 +140,35 @@ class SketchSpec extends SparkSpec {
     // any LSH hit that brute force also ranked must agree on the score
     for ((q, v, d) <- lsh; bd <- brute.get((q, v))) assert(math.abs(d - bd) < 1e-12)
   }
+
+  test("simhash multi-band bucketing finds prefix-divergent close pairs") {
+    // All differing bits inside the old single 16-bit prefix (bits 48-63):
+    // invisible to a prefix-only bucket, found via the 3 clean lower bands.
+    val base = 0x0123456789abcdefL
+    val prefixDiv = base ^ ((1L << 60) | (1L << 55) | (1L << 50)) // hamming 3
+    // 6 differing bits confined to bands 2-3 → bands 0-1 clean → found
+    val spread6 = base ^ ((1L << 60) | (1L << 50) | (1L << 44) |
+      (1L << 40) | (1L << 36) | (1L << 33))
+    val far = ~base // differs in every band → never a candidate
+    val fps = Seq((1L, base), (2L, prefixDiv), (3L, spread6), (4L, far))
+      .toDF("doc_id", "fp")
+    val pairs = SketchQueries.simhashBucketPairs(fps)
+      .select("doc1", "doc2", "hamming").as[(Long, Long, Int)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs.get((1L, 2L)) === Some(3))
+    assert(pairs.get((1L, 3L)) === Some(6))
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("embedding-cosine block-nested path is bit-identical to the broadcast path") {
+    // maxBroadcast = 0 forces the distributed block-nested partition join
+    // (no driver collect); the default path broadcasts. Same kernel, same
+    // left-to-right accumulation → exact Double equality required.
+    val bcast = operators.TextQueries.dedupEmbeddingCosine(spark, sf, maxBroadcast = Long.MaxValue)
+      .as[(Long, Long, Double)].collect().toSet
+    val block = operators.TextQueries.dedupEmbeddingCosine(spark, sf, maxBroadcast = 0L)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(bcast.nonEmpty)
+    assert(block === bcast)
+  }
 }

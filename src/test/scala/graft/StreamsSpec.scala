@@ -108,6 +108,23 @@ class StreamsSpec extends SparkSpec {
       val got = spark.table("corr_test")
         .select("user_id", "lag_ns").as[(Long, Long)].collect().toSet
       assert(got === Set((1L, 10 * m)))
+      // Bounded state: the interval bounds sit on the event-time columns,
+      // so Spark must derive a state-eviction watermark predicate for BOTH
+      // join sides (a left click is dropped once the right watermark passes
+      // a_ts + interval; a right purchase once the left watermark passes
+      // b_ts). Without the watermark-visible upper bound the left predicate
+      // is None and click state grows without bound.
+      val exec = q
+        .asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan
+      val joins = exec.collect {
+        case j: org.apache.spark.sql.execution.streaming.operators.stateful.join.StreamingSymmetricHashJoinExec => j
+      }
+      assert(joins.nonEmpty, "expected a StreamingSymmetricHashJoinExec in the plan")
+      assert(joins.head.stateWatermarkPredicates.left.isDefined,
+        "left join side has no state-eviction predicate — click state is unbounded")
+      assert(joins.head.stateWatermarkPredicates.right.isDefined,
+        "right join side has no state-eviction predicate — purchase state is unbounded")
     } finally q.stop()
   }
 
