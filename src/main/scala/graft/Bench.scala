@@ -25,18 +25,22 @@ object Bench {
     names.foreach { n => try run(n) catch { case _: Throwable => } }
 
     // Min of two timed runs: steady-state time, robust to JIT/GC noise.
+    // A throwing query reports -1 (NOT its short failure wall time): a
+    // fast-failing regression must read as an error, never as a speedup.
     val results = names.map { name =>
-      val times = (1 to 2).map { _ =>
+      val timed = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try run(name) catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { run(name); true } catch { case _: Throwable => false }
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
-      name -> times.min
+      name -> (if (timed.forall(_._2)) timed.map(_._1).min else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -17,9 +17,15 @@ import org.apache.spark.sql.expressions.Aggregator
 class TopKByScore(k: Int)
     extends Aggregator[(Long, Double), Seq[(Double, Long)], Seq[(Long, Double)]] {
 
-  // buffer is sorted best-first: score desc, id asc
-  private def better(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  // buffer is sorted best-first: score desc, id asc. Double.compare (not
+  // primitive >) imposes a total order matching Spark's ORDER BY DESC —
+  // NaN ranks first. With primitive >, a NaN landing in a full buffer's
+  // tail would make `!better(e, b.last)` true for every later candidate,
+  // silently dropping higher-scoring rows.
+  private def better(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    c > 0 || (c == 0 && a._2 < b._2)
+  }
 
   override def zero: Seq[(Double, Long)] = Vector.empty
 

@@ -28,22 +28,41 @@ import org.apache.spark.sql.functions._
 object GeoJoin {
 
   /** Degrees per cell for a given radius: one cell must cover the radius
-    * in the worst (highest-latitude) band we care about (|lat| ≤ 80°). */
+    * in the worst (highest-latitude) REGULAR band (|lat| < 80°); above
+    * that the polar-cap collapse in [[cellId]] takes over. */
   private def cellDeg(radiusM: Double): Double = {
     val worstMetersPerDegLon = 111320.0 * math.cos(math.toRadians(80.0))
     math.max(radiusM / worstMetersPerDegLon, radiusM / 111320.0)
   }
 
-  /** Wrap-aware cell id. Latitude cells are clamped at the poles;
-    * longitude cells wrap modulo the cell count around the globe, with
-    * `dLat`/`dLon` applied BEFORE wrapping so neighbor expansion crosses
-    * the antimeridian correctly. */
+  /** Wrap-aware cell id. Longitude cells wrap modulo the cell count
+    * around the globe, with `dLat`/`dLon` applied BEFORE wrapping so
+    * neighbor expansion crosses the antimeridian correctly.
+    *
+    * Above |lat| ≥ 80° the cell-width guarantee breaks (meters-per-degree
+    * of longitude shrinks below the radius bound), so each polar cap
+    * collapses into ONE cell per pole, longitude ignored — any two cap
+    * points co-locate and the exact haversine verify decides. Cap↔band
+    * boundary pairs still meet: the collapse is applied AFTER `dLat`, so
+    * a neighbor-expanded row one band below the cap lands in the cap
+    * cell (and a cap row expanded downward lands in the top regular
+    * band). A pair two full bands apart is ≥ one band of latitude
+    * (≥ radius) apart, so nothing beyond ±1 band can match. The caps are
+    * tiny (|lat|>80 is <1% of the sphere), so the per-pole bucket stays
+    * bounded. */
   private def cellId(lat: Column, lon: Column, deg: Double,
                      dLat: Column, dLon: Column): Column = {
     val lonCells = math.ceil(360.0 / deg).toLong
-    val latCell = floor(lat / deg).cast("long") + dLat
-    val lonCell = pmod(floor(lon / deg).cast("long") + dLon, lit(lonCells))
-    latCell * 10000L + lonCell
+    val capN = math.floor(80.0 / deg).toLong // first band at/above +80°
+    val rawLat = floor(lat / deg).cast("long") + dLat
+    val inNorthCap = rawLat >= capN
+    val inSouthCap = rawLat <= -capN - 1 // first band at/below −80°
+    val latCell = when(inNorthCap, lit(capN))
+      .when(inSouthCap, lit(-capN - 1))
+      .otherwise(rawLat)
+    val lonCell = when(inNorthCap || inSouthCap, lit(0L))
+      .otherwise(pmod(floor(lon / deg).cast("long") + dLon, lit(lonCells)))
+    latCell * lonCells + lonCell
   }
 
   private def withCell(df: DataFrame, latCol: String, lonCol: String,

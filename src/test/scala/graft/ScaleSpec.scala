@@ -44,6 +44,25 @@ class ScaleSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("banded distance join finds pairs inside the polar caps") {
+    // (89.9, 0) and (89.9, 180) are ~22 km apart across the pole but ~139
+    // longitude cells apart at radius 25 km — neighbor expansion ±1 can
+    // never bridge them; only the polar-cap collapse co-locates them.
+    // (79.5, 0) vs (80.3, 0) crosses the cap boundary (~89 km apart).
+    val l = Seq((1L, 89.9, 0.0), (2L, 79.5, 0.0), (3L, 0.0, 0.0))
+      .toDF("lid", "llat", "llon")
+    val r = Seq((10L, 89.9, 180.0), (20L, 80.3, 0.0), (30L, 0.0, 0.5))
+      .toDF("rid", "rlat", "rlon")
+    val radius = 100000.0
+    val got = GeoJoin.withinRadius(l, "llat", "llon", r, "rlat", "rlon", radius)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val want = l.join(r,
+        DomainQueries.haversineM(col("llat"), col("llon"), col("rlat"), col("rlon")) <= radius)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(want === Set((1L, 10L), (2L, 20L), (3L, 30L))) // sanity
+    assert(got === want)
+  }
+
   test("bucketed tables join without an exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {

@@ -171,4 +171,22 @@ class SketchSpec extends SparkSpec {
     assert(bcast.nonEmpty)
     assert(block === bcast)
   }
+
+  test("TopK rerank matches the ROW_NUMBER window, including NaN scores") {
+    // Spark's ORDER BY dot DESC ranks NaN first; TopKByScore must impose
+    // the same total order (java.lang.Double.compare), not primitive >,
+    // or a NaN in a full buffer's tail silently drops later candidates.
+    val cands = Seq(
+      (1L, 1L, 0.9), (1L, 2L, Double.NaN), (1L, 3L, 0.8), (1L, 4L, 0.95),
+      (1L, 5L, 0.7), (1L, 6L, 0.85), (2L, 7L, 0.1), (2L, 8L, 0.3)
+    ).toDF("qid", "vec_id", "dot")
+    val got = operators.Rerank.topK(cands, 3)
+      .select("qid", "vec_id", "rank").as[(Long, Long, Long)].collect().toSet
+    val want = cands.selectExpr("qid", "vec_id",
+        "row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id) AS rank")
+      .filter(col("rank") <= 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(want.contains((1L, 2L, 1L))) // sanity: NaN really ranks first
+    assert(got === want)
+  }
 }
