@@ -23,5 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("token_count"),
       new ExpressionInfo(classOf[TokenCount].getName, "token_count"),
       (children: Seq[Expression]) => TokenCount(children.head)))
+    ext.injectOptimizerRule(session => plans.RangeJoinRule(() =>
+      session.conf.get("spark.graft.rangeJoin.binWidth", "0").toLong))
   }
 }

@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.{DomainQueries, EventJoins}
+import graft.plans.RangeJoinRule
+import org.apache.spark.sql.functions._
+
+class PlansSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val H = 3600000000000L
+
+  private def intervals = Tables.t(spark, sf, "nation").select(
+    col("n_nationkey").cast("long").as("promo_id"),
+    (lit(1704067200000000000L) + col("n_nationkey") * (30 * H)).as("lo_ns"),
+    (lit(1704067200000000000L) + col("n_nationkey") * (30 * H) +
+      (col("n_nationkey") % 5 + 1) * (6 * H)).as("hi_ns"))
+
+  private def naiveRangeJoin = {
+    val pts = DomainQueries.events(spark, sf)
+      .select("event_id", "user_id", "ts_ns")
+    pts.join(intervals,
+      col("ts_ns") >= col("lo_ns") && col("ts_ns") <= col("hi_ns"))
+  }
+
+  private def withRule[T](binWidth: Long)(body: => T): T = {
+    val before = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = before :+ RangeJoinRule(() => binWidth)
+    try body finally spark.experimental.extraOptimizations = before
+  }
+
+  test("RangeJoinRule turns a nested-loop range join into a banded equi-join") {
+    val naivePlan = naiveRangeJoin.queryExecution.executedPlan.toString
+    assert(naivePlan.contains("BroadcastNestedLoopJoin"),
+      s"precondition: the naive plan should be a BNLJ, got:\n$naivePlan")
+    val want = naiveRangeJoin
+      .select("event_id", "promo_id").as[(Long, Long)].collect().toSet
+    withRule(30 * H) {
+      val df = naiveRangeJoin
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"rule did not fire — still a nested-loop join:\n$plan")
+      val got = df.select("event_id", "promo_id").as[(Long, Long)].collect().toSet
+      assert(got.nonEmpty)
+      assert(got === want)
+    }
+  }
+
+  test("RangeJoinRule leaves joins with equi keys alone") {
+    withRule(30 * H) {
+      val l = Seq((1L, 5L), (2L, 50L)).toDF("k", "v")
+      val r = Seq((1L, 0L, 10L), (2L, 0L, 10L)).toDF("k2", "lo", "hi")
+      val df = l.join(r,
+        col("k") === col("k2") && col("v") >= col("lo") && col("v") <= col("hi"))
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("_rj_bin"), s"rule should not fire:\n$plan")
+      assert(df.select("k").as[Long].collect().toSet === Set(1L))
+    }
+  }
+
+  test("rule output matches the hand-built intervalJoin operator") {
+    val manual = EventJoins.intervalJoin(
+        DomainQueries.events(spark, sf).select("event_id", "ts_ns"),
+        "ts_ns", intervals, "lo_ns", "hi_ns", binWidth = 30 * H)
+      .select("event_id", "promo_id").as[(Long, Long)].collect().toSet
+    val naive = naiveRangeJoin
+      .select("event_id", "promo_id").as[(Long, Long)].collect().toSet
+    assert(manual === naive)
+    assert(manual.nonEmpty)
+  }
+}
