@@ -1,0 +1,151 @@
+package graft.operators
+
+import graft.Tables.t
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Retrieval-scoring and corpus-curation operators over `documents`:
+  * BM25 ranking, stratified sampling, n-gram vocabulary building — the
+  * query-side and curation-side companions to the dedup/similarity family
+  * in [[TextQueries]].
+  */
+object TextRank {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def toks(colName: String) =
+    posexplode(regexp_extract_all(lower(col(colName)), lit("[a-z0-9]+"), lit(0)))
+
+  /** BM25 top-20 for a fixed conjunctive keyword query (k1=1.2, b=0.75).
+    *
+    * Plan: one explode over tokens feeds BOTH doc lengths and filtered
+    * per-term tfs; document frequencies and the global (N, avgdl) fold to
+    * single-row aggregates that broadcast into a crossJoin (never a
+    * driver collect); per-term tfs PIVOT into fixed columns so the final
+    * score is one fixed left-to-right expression — double addition is not
+    * associative, so summing term contributions in engine-arbitrary row
+    * order would not reproduce the oracle bit-for-bit. `ln` is
+    * transcendental, so the score is rounded (6 dp) AFTER all arithmetic
+    * (rounding pure-rational doubles would flap on .xx5 boundaries;
+    * post-irrational rounding is safe — SURVEY §4). */
+  def textBm25Topk(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("spark", "join", "fast", "table")
+    val tok = t(s, dir, "documents")
+      .select(col("doc_id"), toks("text").as(Seq("pos", "w")))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val tf = tok.filter(col("w").isInCollection(terms))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val tfCols = terms.map(tm =>
+      coalesce(max(when(col("w") === tm, col("tf"))), lit(0L)).as(s"tf_$tm"))
+    val pivoted = tf.groupBy("doc_id").agg(tfCols.head, tfCols.tail: _*)
+    val stats = dl.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val dfCols = terms.map(tm =>
+      coalesce(max(when(col("w") === tm, col("df"))), lit(0L)).as(s"df_$tm"))
+    val dfs = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      .agg(dfCols.head, dfCols.tail: _*)
+    def part(tm: String) = {
+      val idf = log(lit(1.0) +
+        (col("n_docs") - col(s"df_$tm") + lit(0.5)) / (col(s"df_$tm") + lit(0.5)))
+      val tfc = col(s"tf_$tm").cast("double")
+      idf * (tfc * lit(2.2)) /
+        (tfc + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    }
+    pivoted.join(dl, "doc_id")
+      .crossJoin(broadcast(stats)).crossJoin(broadcast(dfs))
+      .select(col("doc_id"),
+        round(terms.map(part).reduceLeft(_ + _), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+  }
+
+  private val BM25_SQL = {
+    val terms = Seq("spark", "join", "fast", "table")
+    val inList = terms.map(tm => s"'$tm'").mkString(", ")
+    def part(tm: String) =
+      s"""ln(CAST(1.0 AS DOUBLE) + (CAST(n_docs AS DOUBLE) - df_$tm + CAST(0.5 AS DOUBLE))
+         |    / (df_$tm + CAST(0.5 AS DOUBLE)))
+         |  * (CAST(tf_$tm AS DOUBLE) * CAST(2.2 AS DOUBLE))
+         |  / (CAST(tf_$tm AS DOUBLE) + CAST(1.2 AS DOUBLE)
+         |     * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl))""".stripMargin
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+       |  FROM documents),
+       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+       |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok
+       |       WHERE w IN ($inList) GROUP BY doc_id, w),
+       |pv AS (SELECT doc_id,
+       |${terms.map(tm => s"  COALESCE(MAX(CASE WHEN w = '$tm' THEN tf END), 0) AS tf_$tm").mkString(",\n")}
+       |       FROM tf GROUP BY doc_id),
+       |st AS (SELECT COUNT(*) AS n_docs,
+       |         CAST(CAST(SUM(dl) AS BIGINT) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+       |dfs AS (SELECT
+       |${terms.map(tm => s"  COALESCE(MAX(CASE WHEN w = '$tm' THEN df END), 0) AS df_$tm").mkString(",\n")}
+       |        FROM (SELECT w, COUNT(*) AS df FROM tf GROUP BY w)),
+       |scored AS (
+       |  SELECT pv.doc_id,
+       |    ROUND(${terms.map(part).mkString("\n  + ")}, 6) AS bm25
+       |  FROM pv JOIN dl ON pv.doc_id = dl.doc_id, st, dfs)
+       |SELECT doc_id, bm25 FROM scored ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+  }
+
+  /** Deterministic stratified sampling: per-language keep rates applied
+    * via a content-hash digit (never random() or row order — re-runs and
+    * retries must keep the same rows). The majority language is
+    * downsampled to 4/16 (~25%), the tail kept at 12/16 (~75%) — the
+    * standard rebalancing move before training-data mixing. A narrow
+    * filter projection: no shuffle, fully parallel. */
+  def dataSampleStratified(s: SparkSession, dir: String): DataFrame = {
+    val bucket = substring(md5(col("text").cast("binary")), 1, 1)
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), bucket.as("bucket_hex"))
+      .filter(bucket <= when(col("lang") === "en", "3").otherwise("b"))
+  }
+
+  private val SAMPLE_SQL =
+    """SELECT doc_id, lang, substr(md5(text), 1, 1) AS bucket_hex
+      |FROM documents
+      |WHERE substr(md5(text), 1, 1) <=
+      |  CASE WHEN lang = 'en' THEN '3' ELSE 'b' END""".stripMargin
+
+  /** Vocabulary building: top-10 word bigrams per language by frequency.
+    * Bigrams via the codegen window-lead trick (cf. [[Shingles]]); the
+    * rank-≤-10 window compiles to WindowGroupLimit, so each partition
+    * pre-prunes to its local top-10 before the rank shuffle. */
+  def textTopNgrams(s: SparkSession, dir: String): DataFrame = {
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val byLang = Window.partitionBy("lang")
+      .orderBy(col("c").desc, col("bg"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), toks("text").as(Seq("pos", "w")))
+      .select(col("lang"),
+        concat(col("w"), lit("_"), lead("w", 1).over(byDoc)).as("bg"))
+      .filter(col("bg").isNotNull)
+      .groupBy("lang", "bg").agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(byLang).cast("long"))
+      .filter(col("rn") <= 10)
+  }
+
+  private val NGRAMS_SQL =
+    """WITH bg AS (
+      |  SELECT lang, ts[i] || '_' || ts[i+1] AS bg
+      |  FROM (SELECT lang, ts, unnest(generate_series(1, len(ts) - 1)) AS i
+      |        FROM (SELECT lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+      |              FROM documents))),
+      |cnt AS (SELECT lang, bg, COUNT(*) AS c FROM bg GROUP BY lang, bg)
+      |SELECT lang, bg, c, rn FROM (
+      |  SELECT lang, bg, c,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, bg) AS rn
+      |  FROM cnt)
+      |WHERE rn <= 10""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "text_bm25_topk" -> (textBm25Topk _),
+    "data_sample_stratified" -> (dataSampleStratified _),
+    "text_top_ngrams" -> (textTopNgrams _))
+
+  val oracle: Map[String, String] = Map(
+    "text_bm25_topk" -> BM25_SQL,
+    "data_sample_stratified" -> SAMPLE_SQL,
+    "text_top_ngrams" -> NGRAMS_SQL)
+}
