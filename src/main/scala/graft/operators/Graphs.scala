@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components — the clustering step every near-dup
+  * pipeline needs after pair generation: pair lists say WHICH documents
+  * collide, but dedup keeps one representative per transitive CLUSTER
+  * (a~b, b~c ⇒ keep one of {a,b,c}).
+  *
+  * Iterative min-label propagation over the symmetrized edge list: every
+  * node starts labeled with itself and repeatedly takes the minimum label
+  * in its closed neighborhood until a fixpoint. Each round is two
+  * shuffles (edge⋈label hash join + min aggregate), and — the part naive
+  * Spark loops get wrong — each round `localCheckpoint`s the new label
+  * table: without cutting lineage the logical plan doubles per iteration
+  * and the job dies on plan/stack size long before data size matters.
+  * Rounds needed = graph diameter, which for near-dup graphs is tiny
+  * (candidate generation emits near-cliques); the iteration cap guards
+  * pathological chains. The per-round driver action is one aggregated
+  * Boolean (did any label change) off the already-materialized
+  * checkpoint — no row data ever reaches the driver.
+  */
+object Graphs {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** (node, cluster_id) for every node in `edges`, cluster_id = min node
+    * id reachable. `edges` needs two long columns (a, b); direction and
+    * duplicates don't matter. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val e = edges.toDF("a", "b")
+    val sym = e.union(e.select(col("b"), col("a"))).distinct()
+      .persist()
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var iter = 0
+    var changed = true
+    while (changed && iter < maxIter) {
+      val nbrMin = sym.join(labels, sym("b") === labels("node"))
+        .groupBy(sym("a").as("node")).agg(min("label").as("nbr_label"))
+      val next = labels.join(nbrMin, Seq("node"), "left_outer")
+        .select(col("node"), col("label").as("old_label"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint() // materialize + cut lineage
+      changed = next.agg(coalesce(max(col("label") < col("old_label")), lit(false)))
+        .head.getBoolean(0)
+      labels = next.select("node", "label")
+      iter += 1
+    }
+    sym.unpersist()
+    labels.select(col("node"), col("label").as("cluster_id"))
+  }
+
+  /** Near-dup clusters over the trigram-Jaccard pair graph:
+    * [[TextQueries.dedupNgramJaccard]] emits colliding pairs; this
+    * resolves them into canonical clusters (doc_id → min doc_id in the
+    * transitive component). */
+  def dedupCluster(s: SparkSession, dir: String): DataFrame =
+    connectedComponents(
+      TextQueries.dedupNgramJaccard(s, dir).select(
+        col("doc1").as("a"), col("doc2").as("b")))
+      .select(col("node").as("doc_id"), col("cluster_id"))
+
+  val queries: Map[String, Q] = Map("dedup_cluster" -> (dedupCluster _))
+
+  /** The oracle computes the transitive closure of the same pair graph
+    * with a recursive CTE and takes the min reachable node — an
+    * independent formulation of the same semantics. */
+  val oracle: Map[String, String] = Map(
+    "dedup_cluster" -> {
+      val pairsSql = TextQueries.oracle("dedup_ngram_jaccard")
+      s"""WITH RECURSIVE pairs AS ($pairsSql),
+         |e AS (SELECT doc1 AS a, doc2 AS b FROM pairs
+         |      UNION SELECT doc2, doc1 FROM pairs),
+         |r(a, b) AS (
+         |  SELECT a, b FROM e
+         |  UNION
+         |  SELECT r.a, e.b FROM r JOIN e ON r.b = e.a)
+         |SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+         |FROM r GROUP BY a""".stripMargin
+    })
+}
