@@ -34,11 +34,17 @@ object EventJoins {
     * so genuinely-null right payload fields do not break the
     * ignoreNulls carry-forward.
     *
-    * Right rows must be unique per (key, rightTime) — pre-aggregate ties
-    * (the [[eventsAsof]] query keeps max event_id) or the carried row
-    * among equal-time rights is arbitrary. */
+    * Ties: among right rows sharing (key, rightTime), the row greatest
+    * under `tiebreak` (right-payload column names, compared in order)
+    * wins — resolved by the SAME window sort, so tie-dedup costs no
+    * extra shuffle (a pre-`groupBy(key, time)` would add a second
+    * exchange: its (key, time) hash partitioning cannot be reused by the
+    * (key)-partitioned window). Leave `tiebreak` empty only when rights
+    * are already unique per (key, rightTime), else the carried row among
+    * equal-time rights is partition-order-arbitrary. */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
-               leftTime: String, rightTime: String): DataFrame = {
+               leftTime: String, rightTime: String,
+               tiebreak: Seq[String] = Nil): DataFrame = {
     val lPay = left.columns.filterNot(_ == key).toSeq // includes leftTime
     val rPay = right.columns.filterNot(_ == key).toSeq // includes rightTime
     val r = right.select((col(key) +: col(rightTime).as("_t") +:
@@ -48,7 +54,10 @@ object EventJoins {
     val rType = r.schema("_r").dataType
     val l = left.select((col(key) +: col(leftTime).as("_t") +:
       lit(1).as("_side") +: lPay.map(col)) :+ lit(null).cast(rType).as("_r"): _*)
-    val w = Window.partitionBy(key).orderBy("_t", "_side")
+    // tiebreak fields read through the struct: null on left rows, which
+    // only tie among themselves (side differs), so order stays total
+    val w = Window.partitionBy(key)
+      .orderBy(col("_t") +: col("_side") +: tiebreak.map(c => col(s"_r.$c")): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
       .withColumn("_m", last(col("_r"), ignoreNulls = true).over(w))
@@ -87,9 +96,10 @@ object EventJoins {
       .select(col("user_id"), col("event_id").as("a_event_id"),
         col("ts_ns").as("a_ts_ns"))
     val purchases = ev.filter(col("event_type") === "purchase")
-      .groupBy(col("user_id"), col("ts_ns").as("b_ts_ns"))
-      .agg(max(col("event_id")).as("b_event_id"))
-    asofJoin(clicks, purchases, "user_id", "a_ts_ns", "b_ts_ns")
+      .select(col("user_id"), col("ts_ns").as("b_ts_ns"),
+        col("event_id").as("b_event_id"))
+    asofJoin(clicks, purchases, "user_id", "a_ts_ns", "b_ts_ns",
+        tiebreak = Seq("b_event_id"))
       .withColumn("lag_ns", col("a_ts_ns") - col("b_ts_ns"))
   }
 
