@@ -108,6 +108,31 @@ object TextRank {
       |WHERE substr(md5(text), 1, 1) <=
       |  CASE WHEN lang = 'en' THEN '3' ELSE 'b' END""".stripMargin
 
+  /** Exactly-k-per-stratum sampling (eval-set construction): the k docs
+    * with the smallest content hash per language — deterministic under
+    * retries AND under corpus growth-at-the-tail, unlike rate sampling
+    * whose output size drifts with the stratum. rank ≤ k compiles to
+    * WindowGroupLimit: each task pre-prunes to its local top-k before
+    * the per-stratum shuffle, so only k·strata·tasks rows move. */
+  def dataSampleFixedK(s: SparkSession, dir: String): DataFrame = {
+    val k = 25
+    val byLang = Window.partitionBy("lang")
+      .orderBy(col("h"), col("doc_id"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        md5(col("text").cast("binary")).as("h"))
+      .withColumn("rn", row_number().over(byLang).cast("long"))
+      .filter(col("rn") <= k)
+      .select("doc_id", "lang", "rn")
+  }
+
+  private val FIXEDK_SQL =
+    """SELECT doc_id, lang, rn FROM (
+      |  SELECT doc_id, lang,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rn
+      |  FROM documents)
+      |WHERE rn <= 25""".stripMargin
+
   /** Vocabulary building: top-10 word bigrams per language by frequency.
     * Bigrams via the codegen window-lead trick (cf. [[Shingles]]); the
     * rank-≤-10 window compiles to WindowGroupLimit, so each partition
@@ -142,10 +167,12 @@ object TextRank {
   val queries: Map[String, Q] = Map(
     "text_bm25_topk" -> (textBm25Topk _),
     "data_sample_stratified" -> (dataSampleStratified _),
+    "data_sample_fixed_k" -> (dataSampleFixedK _),
     "text_top_ngrams" -> (textTopNgrams _))
 
   val oracle: Map[String, String] = Map(
     "text_bm25_topk" -> BM25_SQL,
     "data_sample_stratified" -> SAMPLE_SQL,
+    "data_sample_fixed_k" -> FIXEDK_SQL,
     "text_top_ngrams" -> NGRAMS_SQL)
 }
