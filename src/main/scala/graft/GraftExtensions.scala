@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{RollingHash, TokenCount}
+import graft.functions.{BpeEncode, RollingHash, TokenCount}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -23,6 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("token_count"),
       new ExpressionInfo(classOf[TokenCount].getName, "token_count"),
       (children: Seq[Expression]) => TokenCount(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("bpe_encode"),
+      new ExpressionInfo(classOf[BpeEncode].getName, "bpe_encode"),
+      (children: Seq[Expression]) => BpeEncode(children.head)))
     ext.injectOptimizerRule(session => plans.RangeJoinRule(() =>
       session.conf.get("spark.graft.rangeJoin.binWidth", "0").toLong))
   }

@@ -35,6 +35,9 @@ object SketchQueries {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "token_count",
       (exprs: Seq[Expression]) => graft.functions.TokenCount(exprs.head), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bpe_encode",
+      (exprs: Seq[Expression]) => graft.functions.BpeEncode(exprs.head), "built-in")
   }
 
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
@@ -229,11 +232,25 @@ object SketchQueries {
       .select(col("doc_id"), expr("rolling_hash(text)").as("fp"))
   }
 
+  /** True-BPE token counts via the native bpe_encode Expression (fixed
+    * merge table, greedy lowest-rank fusion) next to the byte length —
+    * the compression ratio is the curation signal (boilerplate compresses
+    * hard, natural text less so). Codegen'd end to end; rows-only (no
+    * SQL-expressible equivalent), semantics spec-tested in SketchSpec. */
+  def textBpeTokens(s: SparkSession, dir: String): DataFrame = {
+    register(s)
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        expr("size(bpe_encode(text))").cast("long").as("n_bpe"),
+        octet_length(col("text")).cast("long").as("n_bytes"))
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
     "sim_lsh_topk" -> (simLshTopk _),
     "sim_ivf_topk" -> (ivfTopk _),
     "range_convex_hull" -> (rangeConvexHull _),
-    "text_fingerprint" -> (textFingerprint _))
+    "text_fingerprint" -> (textFingerprint _),
+    "text_bpe_tokens" -> (textBpeTokens _))
 }

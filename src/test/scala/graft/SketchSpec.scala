@@ -172,6 +172,29 @@ class SketchSpec extends SparkSpec {
     assert(block === bcast)
   }
 
+  test("bpe_encode: greedy lowest-rank merges, word-bounded, codegen-consistent") {
+    import graft.functions.BpeEncode
+    // "the": t+h (rank 0) fuses first -> th, then th+e (rank 10) -> the(266)
+    assert(BpeEncode.encode("the".getBytes("UTF-8")).toSeq === Seq(266))
+    // "then": th+e (rank 10) beats e+n (rank 7)? No — e+n has LOWER rank
+    // (7 < 10): t+h(0) first -> [th,e,n]; then en(263) not applicable to
+    // [th,e,n]? e+n IS adjacent -> rank 7 fuses before th+e ->
+    // [th, en] = [256, 263]
+    assert(BpeEncode.encode("then".getBytes("UTF-8")).toSeq === Seq(256, 263))
+    // merges never cross the space; space stays byte 32
+    assert(BpeEncode.encode("t h".getBytes("UTF-8")).toSeq === Seq(116, 32, 104))
+    // unknown bytes pass through as base ids
+    assert(BpeEncode.encode("zq".getBytes("UTF-8")).toSeq === Seq(122, 113))
+    // Expression path (whole-stage codegen) agrees with the static kernel
+    SketchQueries.register(spark)
+    val got = Seq((1L, "the then t h zq"), (2L, ""))
+      .toDF("id", "s")
+      .selectExpr("id", "bpe_encode(s) AS ids")
+    val kernel = Seq((1L, "the then t h zq"), (2L, ""))
+      .map { case (i, s) => (i, BpeEncode.encode(s.getBytes("UTF-8")).toSeq) }
+    assert(got.as[(Long, Seq[Int])].collect().toSeq.sortBy(_._1) === kernel)
+  }
+
   test("TopK rerank matches the ROW_NUMBER window, including NaN scores") {
     // Spark's ORDER BY dot DESC ranks NaN first; TopKByScore must impose
     // the same total order (java.lang.Double.compare), not primitive >,
