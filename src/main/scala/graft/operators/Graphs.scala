@@ -29,8 +29,9 @@ object Graphs {
     * duplicates don't matter. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
     val e = edges.toDF("a", "b")
-    val sym = e.union(e.select(col("b"), col("a"))).distinct()
-      .persist()
+    // no distinct(): duplicate edges cannot move a min aggregate, and the
+    // dedup shuffle would cost more than the duplicates it removes
+    val sym = e.union(e.select(col("b"), col("a"))).persist()
     var labels = sym.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()
