@@ -67,6 +67,37 @@ class SourcesSpec extends SparkSpec {
     assert(df.filter(col("_corrupt_record").isNotNull).count() === 1)
   }
 
+  test("csv dead-letter read quarantines malformed rows and round-trips per-key writes") {
+    import graft.sources.Csv
+    val dir = Files.createTempDirectory("graft_csv").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/x.csv"),
+      """occ_id,species,uncert
+        |1,sp_a,2.0
+        |not_a_long,sp_x,oops
+        |2,sp_b,4.0
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("occ_id", LongType), StructField("species", StringType),
+      StructField("uncert", DoubleType)))
+    val (ok, dead) = Csv.splitDeadLetters(
+      Csv.readWithDeadLetters(spark, dir, schema).cache())
+    assert(ok.select("occ_id", "species", "uncert").as[(Long, String, Double)]
+      .collect().toSet === Set((1L, "sp_a", 2.0), (2L, "sp_b", 4.0)))
+    assert(dead.count() === 1)
+    assert(dead.select("_corrupt_record").as[String].head.startsWith("not_a_long"))
+
+    val outDir = Files.createTempDirectory("graft_csv_out").toString
+    Csv.writePerKey(ok, outDir, "species")
+    val dirs = new java.io.File(outDir).listFiles().filter(_.isDirectory)
+      .map(_.getName).sorted
+    assert(dirs.toSeq === Seq("species=sp_a", "species=sp_b"))
+    val back = Csv.read(spark, outDir,
+        StructType(Seq(StructField("occ_id", LongType), StructField("uncert", DoubleType))))
+      .select("occ_id", "uncert", "species")
+      .as[(Long, Double, String)].collect().toSet
+    assert(back === Set((1L, 2.0, "sp_a"), (2L, 4.0, "sp_b")))
+  }
+
   test("partition upsert replaces only the rewritten partitions") {
     val dir = Files.createTempDirectory("graft_upsert").toString
     val v1 = Seq((1L, "sp_a", 1), (2L, "sp_b", 1), (3L, "sp_c", 1))
