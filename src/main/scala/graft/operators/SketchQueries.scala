@@ -173,20 +173,28 @@ object SketchQueries {
 
   /** IVF-style ANN: assign every vector to its nearest "centroid" (here
     * the first C vectors stand in for a trained codebook), then answer
-    * each query by exact search within the query's own cluster. The scale
-    * property: the corpus shuffles once on cluster id, and each query
-    * scans |corpus|/C candidates instead of the whole corpus. nprobe=1;
-    * recall is spec-checked against brute force.
+    * each query by exact search within the query's probed clusters. The
+    * scale property: the corpus shuffles once on cluster id, and each
+    * query scans nprobe·|corpus|/C candidates instead of the whole
+    * corpus. Data vectors live in exactly ONE cell (argmax); queries
+    * probe their `nprobe` nearest cells — the standard IVF recall lever:
+    * a query near a cell boundary finds neighbors argmax filed on the
+    * other side. Recall is spec-checked against brute force, including
+    * nprobe=2 ⊇ nprobe=1.
     *
     * Assignment is an argmax HASH aggregate (max_by over the broadcast
     * codebook cross join — partials combine map-side), not a row_number
-    * window (which sort-shuffles all C×|corpus| scored rows). The
-    * assigned set is localCheckpoint'd (eager) before the query/data
-    * branch so the cross-join subtree runs once, not once per side of the
-    * self-join — and, unlike `.persist()`, the blocks are released by the
-    * ContextCleaner once the result frame is dropped, so repeated
-    * invocations in one session (Verify, Bench) never accumulate cache. */
-  def ivfTopk(s: SparkSession, dir: String): DataFrame = {
+    * window (which sort-shuffles all C×|corpus| scored rows); the query
+    * probe list is the same aggregate with [[graft.functions.TopKByScore]]
+    * in place of max_by. The assigned set is localCheckpoint'd (eager)
+    * before the query/data branch so the cross-join subtree runs once,
+    * not once per side of the self-join — and, unlike `.persist()`, the
+    * blocks are released by the ContextCleaner once the result frame is
+    * dropped, so repeated invocations in one session (Verify, Bench)
+    * never accumulate cache. */
+  def ivfTopk(s: SparkSession, dir: String): DataFrame = ivfTopk(s, dir, 2)
+
+  private[graft] def ivfTopk(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
     val C = 8
     val emb = t(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").as("v"))
@@ -202,8 +210,13 @@ object SketchQueries {
         struct(col("cdot"), (lit(C) - col("cid")).as("inv"))).as("best"))
       .select(col("vec_id"), col("best.cid").as("cid"), col("best.v").as("v"))
       .localCheckpoint()
-    val q = assigned.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("cid"))
+    val probeK = udaf(new graft.functions.TopKByScore(nprobe))
+    val q = emb.filter(col("vec_id") < 5).crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("cid"), dotc.as("cdot"))
+      .groupBy("vec_id")
+      .agg(any_value(col("v")).as("qv"), probeK(col("cid"), col("cdot")).as("cells"))
+      .select(col("vec_id").as("qid"), col("qv"),
+        explode(col("cells._1")).as("cid"))
     val d = assigned.filter(col("vec_id") >= 5)
     val dot = graft.functions.Vectors.dot(col("qv"), col("v"))
     Rerank.topK(

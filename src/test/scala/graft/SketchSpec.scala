@@ -130,6 +130,19 @@ class SketchSpec extends SparkSpec {
     for ((q, v, d) <- ivf; bd <- brute.get((q, v))) assert(math.abs(d - bd) < 1e-12)
   }
 
+  test("ivf multi-probe recall dominates single-probe") {
+    val brute = operators.TextQueries.simCosineTopk(spark, sf)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    def recall(nprobe: Int): Double = {
+      val hits = SketchQueries.ivfTopk(spark, sf, nprobe)
+        .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+      hits.intersect(brute).size.toDouble / brute.size
+    }
+    val (r1, r2) = (recall(1), recall(2))
+    assert(r2 >= r1, s"nprobe=2 recall $r2 below nprobe=1 recall $r1")
+    assert(r2 > 0.5, s"nprobe=2 recall $r2 implausibly low")
+  }
+
   test("lsh topk returns subset consistent with brute force ranking") {
     val lsh = SketchQueries.simLshTopk(spark, sf)
       .select("qid", "vec_id", "dot").as[(Long, Long, Double)].collect()
