@@ -17,7 +17,8 @@ object Explain {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q02_filter_project", "q03_join_agg", "occ_clean_pipeline",
-        "dedup_ngram_jaccard", "sim_cosine_topk", "events_tumbling")
+        "dedup_ngram_jaccard", "sim_cosine_topk", "events_tumbling",
+        "events_asof", "events_interval_join", "text_bm25_topk")
     for (n <- names) {
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, dir).explain("formatted")

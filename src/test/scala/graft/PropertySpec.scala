@@ -84,6 +84,55 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("asof join equals the naive per-row maximum over random event sets") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new Random(48)
+    for (_ <- 1 to 20) {
+      // small key space + coarse times force equal-timestamp collisions
+      val left = List.fill(30)(
+        (rnd.nextInt(4).toLong, rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong))
+        .toDF("k", "lt", "lid")
+      val right = List.fill(30)(
+        (rnd.nextInt(4).toLong, rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong))
+        .toDF("k", "rt", "rid")
+      val got = operators.EventJoins.asofJoin(
+          left, right, "k", "lt", "rt", tiebreak = Seq("rid"))
+        .select("k", "lt", "lid", "rt", "rid")
+        .as[(Long, Long, Long, Option[Long], Option[Long])].collect().toSet
+      // reference: latest rt <= lt; ties on rt broken by max rid
+      val rightRows = right.as[(Long, Long, Long)].collect()
+      val want = left.as[(Long, Long, Long)].collect().map { case (k, lt, lid) =>
+        val cands = rightRows.filter(r => r._1 == k && r._2 <= lt)
+        if (cands.isEmpty) (k, lt, lid, None, None)
+        else {
+          val best = cands.maxBy(r => (r._2, r._3))
+          (k, lt, lid, Some(best._2), Some(best._3))
+        }
+      }.toSet
+      assert(got === want)
+    }
+  }
+
+  test("interval join equals the naive range filter over random intervals") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new Random(49)
+    for (binW <- Seq(1L, 7L, 100L)) {
+      val pts = List.tabulate(60)(i => (i.toLong, rnd.nextInt(200).toLong))
+        .toDF("pid", "pt")
+      val ivs = List.tabulate(15) { i =>
+        val lo = rnd.nextInt(200).toLong
+        (i.toLong, lo, lo + rnd.nextInt(40))
+      }.toDF("iid", "lo", "hi")
+      val got = operators.EventJoins.intervalJoin(pts, "pt", ivs, "lo", "hi", binW)
+        .select("pid", "iid").as[(Long, Long)].collect().toSet
+      val want = pts.join(ivs, col("pt") >= col("lo") && col("pt") <= col("hi"))
+        .select("pid", "iid").as[(Long, Long)].collect().toSet
+      assert(got === want, s"binWidth=$binW")
+    }
+  }
+
   test("histogram length-deciles equal exact global NTILE for uneven N") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
