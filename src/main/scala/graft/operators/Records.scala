@@ -67,10 +67,136 @@ object Records {
       concat(col("organism.text"), lit("|"), col("organism.ontologyTerm"))
         .as("organism"))
 
+  /** DWH record build (map_functions.py:134-314 process_samples_for_dwh):
+    * flatten characteristics into typed columns, derive trackingSystem,
+    * and resolve each record's warehouse KEY by sample type — specimens
+    * key by their own taxId; symbionts by their host's ('sample symbiont
+    * of', one hop); metagenomes WALK 'sample derived from' links until an
+    * ERC000053-checklist host (bounded here at 3 hops — each hop is a
+    * lookup join, the relational analogue of the reference's per-sample
+    * HTTP GETs). Missing links become dead-letter rows with the
+    * reference's error messages (its TaggedOutput("Errors") side output,
+    * flattened as an error_message column); an unreached ERC host within
+    * the bound maps to its "Host sample doesn't exist" error. The
+    * "Ochlodes sylvanus" hard-pin (map_functions.py:262-263) applies
+    * before the type branch, overriding even the error paths.
+    *
+    * Host links are synthesized deterministically (symbiont host = k-1;
+    * derived-from parent = k div 2; checklist ERC000053 ⟺ k % 5 = 0) so
+    * the DuckDB oracle can recompute the walk arithmetically while the
+    * Spark plan keeps the reference's lookup-join shape. */
+  def dwhRecords(s: SparkSession, dir: String): DataFrame = {
+    val k = col("c_custkey")
+    val experiments = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_experiments"),
+        sum(when(col("o_totalprice") > 200000, 1L).otherwise(0L)).as("n_assemblies"))
+    val base = t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(experiments, k === col("o_custkey"), "left_outer")
+      .select(
+        k.as("k"),
+        concat(lit("ACC"), k.cast("string")).as("accession"),
+        when(k % 3 === 0, "specimens").when(k % 3 === 1, "symbionts")
+          .otherwise("metagenomes").as("sample_type"),
+        concat(lit("sp_"), (k % 50).cast("string")).as("organism"),
+        when(k % 2 === 0, "female").otherwise("male").as("sex"),
+        element_at(array(lit("leaf"), lit("blood"), lit("muscle"), lit("root")),
+          (k % 4 + 1).cast("int")).as("organism_part"),
+        concat(lit("tol"), k.cast("string")).as("tolid"),
+        col("n_name").as("country"),
+        element_at(array(lit("adult"), lit("juvenile"), lit("egg")),
+          (k % 3 + 1).cast("int")).as("lifestage"),
+        concat(lit("hab_"), (k % 6).cast("string")).as("habitat"),
+        when(coalesce(col("n_experiments"), lit(0L)) > 0, "Raw Data - Submitted")
+          .when(coalesce(col("n_assemblies"), lit(0L)) > 0, "Assemblies - Submitted")
+          .otherwise("Submitted to BioSamples").as("tracking_system"))
+    // per-hop host lookup: (key, is the host an ERC000053 terminal?)
+    def look(n: Int) = base.select(col("k").as(s"hk$n"),
+      (col("k") % 5 === 0).as(s"erc$n"))
+    val resolved = base
+      .join(look(0), col("k") - 1 === col("hk0"), "left_outer")
+      .join(look(1), expr("k div 2") === col("hk1"), "left_outer")
+      .join(look(2), expr("k div 4") === col("hk2"), "left_outer")
+      .join(look(3), expr("k div 8") === col("hk3"), "left_outer")
+    val missingSymbiont = col("sample_type") === "symbionts" && col("k") % 7 === 0
+    val missingMetagenome = col("sample_type") === "metagenomes" && col("k") % 11 === 0
+    val metaKey = when(col("erc1"), col("hk1"))
+      .when(col("erc2"), col("hk2"))
+      .when(col("erc3"), col("hk3"))
+    val errorMsg =
+      when(col("organism") === "sp_13", lit(null).cast("string")) // hard-pin wins
+        .when(missingSymbiont,
+          "missing 'sample symbiont of' field for symbiont sample")
+        .when(missingMetagenome,
+          "missing 'sample derived from' field for metagenome sample")
+        .when(col("sample_type") === "metagenomes" && metaKey.isNull,
+          "Host sample doesn't exist")
+    val dwhKey = when(errorMsg.isNotNull, lit(null).cast("string"))
+      .when(col("organism") === "sp_13", "876063_3126489")
+      .when(col("sample_type") === "specimens", col("k").cast("string"))
+      .when(col("sample_type") === "symbionts", col("hk0").cast("string"))
+      .otherwise(metaKey.cast("string"))
+    resolved.select(col("accession"), col("sample_type"),
+      dwhKey.as("dwh_key"), errorMsg.as("error_message"),
+      col("organism"), col("sex"), col("organism_part"), col("tolid"),
+      col("country"), col("lifestage"), col("habitat"), col("tracking_system"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "meta_portal_records" -> (portalRecordsFlat _))
+    "meta_portal_records" -> (portalRecordsFlat _),
+    "meta_dwh_records" -> (dwhRecords _))
 
   val oracle: Map[String, String] = Map(
+    "meta_dwh_records" ->
+      """WITH e AS (
+        |  SELECT o_custkey, COUNT(*) AS n_experiments,
+        |    CAST(SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_assemblies
+        |  FROM orders GROUP BY o_custkey),
+        |b AS (
+        |  SELECT c_custkey AS k,
+        |    'ACC' || CAST(c_custkey AS VARCHAR) AS accession,
+        |    CASE WHEN c_custkey % 3 = 0 THEN 'specimens'
+        |         WHEN c_custkey % 3 = 1 THEN 'symbionts'
+        |         ELSE 'metagenomes' END AS sample_type,
+        |    'sp_' || CAST(c_custkey % 50 AS VARCHAR) AS organism,
+        |    CASE WHEN c_custkey % 2 = 0 THEN 'female' ELSE 'male' END AS sex,
+        |    CASE WHEN c_custkey % 4 = 0 THEN 'leaf' WHEN c_custkey % 4 = 1 THEN 'blood'
+        |         WHEN c_custkey % 4 = 2 THEN 'muscle' ELSE 'root' END AS organism_part,
+        |    'tol' || CAST(c_custkey AS VARCHAR) AS tolid,
+        |    n_name AS country,
+        |    CASE WHEN c_custkey % 3 = 0 THEN 'adult' WHEN c_custkey % 3 = 1 THEN 'juvenile'
+        |         ELSE 'egg' END AS lifestage,
+        |    'hab_' || CAST(c_custkey % 6 AS VARCHAR) AS habitat,
+        |    CASE WHEN COALESCE(n_experiments, 0) > 0 THEN 'Raw Data - Submitted'
+        |         WHEN COALESCE(n_assemblies, 0) > 0 THEN 'Assemblies - Submitted'
+        |         ELSE 'Submitted to BioSamples' END AS tracking_system
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  LEFT JOIN e ON c_custkey = o_custkey),
+        |err AS (
+        |  SELECT *,
+        |    CASE WHEN organism = 'sp_13' THEN NULL
+        |         WHEN sample_type = 'symbionts' AND k % 7 = 0
+        |           THEN 'missing ''sample symbiont of'' field for symbiont sample'
+        |         WHEN sample_type = 'metagenomes' AND k % 11 = 0
+        |           THEN 'missing ''sample derived from'' field for metagenome sample'
+        |         WHEN sample_type = 'metagenomes' AND (k // 2) % 5 != 0
+        |              AND (k // 4) % 5 != 0 AND (k // 8) % 5 != 0
+        |           THEN 'Host sample doesn''t exist'
+        |         END AS error_message
+        |  FROM b)
+        |SELECT accession, sample_type,
+        |  CASE WHEN error_message IS NOT NULL THEN NULL
+        |       WHEN organism = 'sp_13' THEN '876063_3126489'
+        |       WHEN sample_type = 'specimens' THEN CAST(k AS VARCHAR)
+        |       WHEN sample_type = 'symbionts' THEN CAST(k - 1 AS VARCHAR)
+        |       ELSE CASE WHEN (k // 2) % 5 = 0 THEN CAST(k // 2 AS VARCHAR)
+        |                 WHEN (k // 4) % 5 = 0 THEN CAST(k // 4 AS VARCHAR)
+        |                 ELSE CAST(k // 8 AS VARCHAR) END END AS dwh_key,
+        |  error_message, organism, sex, organism_part, tolid, country,
+        |  lifestage, habitat, tracking_system
+        |FROM err""".stripMargin,
     "meta_portal_records" ->
       """SELECT 'ACC' || CAST(c_custkey AS VARCHAR) AS accession,
         |  CASE WHEN COALESCE(n_experiments, 0) > 0 THEN 'Raw Data - Submitted'
