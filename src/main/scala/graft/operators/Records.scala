@@ -143,12 +143,41 @@ object Records {
       col("country"), col("lifestage"), col("habitat"), col("tracking_system"))
   }
 
+  /** Per-taxon rollup of the resolved DWH records (my_pipeline.py:95-100
+    * CoGroupByKey over specimens/symbionts/metagenomes +
+    * build_data_portal_record): group successes by resolved key, count
+    * records per sample type, raise the Nagoya-protocol flag when any
+    * record's country is in scope (map_functions.py:380-387 — the
+    * reference tests "Spain"; the TPC-H nation dim has no Spain, so
+    * FRANCE stands in), and derive the taxon's currentStatus as the MAX
+    * over the tracking precedence Raw Data > Assemblies > Submitted. One
+    * hash aggregate on the resolved key — the CoGroupByKey + per-group
+    * assembly collapses into a single shuffle. */
+  def taxonRollup(s: SparkSession, dir: String): DataFrame =
+    dwhRecords(s, dir)
+      .filter(col("error_message").isNull)
+      .groupBy("dwh_key")
+      .agg(
+        count(lit(1)).as("n_records"),
+        sum(when(col("sample_type") === "specimens", 1L).otherwise(0L)).as("n_specimens"),
+        sum(when(col("sample_type") === "symbionts", 1L).otherwise(0L)).as("n_symbionts"),
+        sum(when(col("sample_type") === "metagenomes", 1L).otherwise(0L)).as("n_metagenomes"),
+        max(col("country") === "FRANCE").as("nagoya_protocol"),
+        max(when(col("tracking_system") === "Raw Data - Submitted", 2)
+          .when(col("tracking_system") === "Assemblies - Submitted", 1)
+          .otherwise(0)).as("lvl"))
+      .select(col("dwh_key"), col("n_records"), col("n_specimens"),
+        col("n_symbionts"), col("n_metagenomes"), col("nagoya_protocol"),
+        when(col("lvl") === 2, "Raw Data - Submitted")
+          .when(col("lvl") === 1, "Assemblies - Submitted")
+          .otherwise("Submitted to BioSamples").as("current_status"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "meta_portal_records" -> (portalRecordsFlat _),
-    "meta_dwh_records" -> (dwhRecords _))
+    "meta_dwh_records" -> (dwhRecords _),
+    "meta_taxon_rollup" -> (taxonRollup _))
 
-  val oracle: Map[String, String] = Map(
-    "meta_dwh_records" ->
+  private val DWH_SQL =
       """WITH e AS (
         |  SELECT o_custkey, COUNT(*) AS n_experiments,
         |    CAST(SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS BIGINT)
@@ -196,7 +225,24 @@ object Records {
         |                 ELSE CAST(k // 8 AS VARCHAR) END END AS dwh_key,
         |  error_message, organism, sex, organism_part, tolid, country,
         |  lifestage, habitat, tracking_system
-        |FROM err""".stripMargin,
+        |FROM err""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "meta_dwh_records" -> DWH_SQL,
+    "meta_taxon_rollup" ->
+      s"""WITH dwh AS ($DWH_SQL)
+         |SELECT dwh_key, COUNT(*) AS n_records,
+         |  CAST(SUM(CASE WHEN sample_type = 'specimens' THEN 1 ELSE 0 END) AS BIGINT) AS n_specimens,
+         |  CAST(SUM(CASE WHEN sample_type = 'symbionts' THEN 1 ELSE 0 END) AS BIGINT) AS n_symbionts,
+         |  CAST(SUM(CASE WHEN sample_type = 'metagenomes' THEN 1 ELSE 0 END) AS BIGINT) AS n_metagenomes,
+         |  MAX(country = 'FRANCE') AS nagoya_protocol,
+         |  CASE MAX(CASE tracking_system WHEN 'Raw Data - Submitted' THEN 2
+         |                WHEN 'Assemblies - Submitted' THEN 1 ELSE 0 END)
+         |    WHEN 2 THEN 'Raw Data - Submitted'
+         |    WHEN 1 THEN 'Assemblies - Submitted'
+         |    ELSE 'Submitted to BioSamples' END AS current_status
+         |FROM dwh WHERE error_message IS NULL
+         |GROUP BY dwh_key""".stripMargin,
     "meta_portal_records" ->
       """SELECT 'ACC' || CAST(c_custkey AS VARCHAR) AS accession,
         |  CASE WHEN COALESCE(n_experiments, 0) > 0 THEN 'Raw Data - Submitted'
