@@ -501,17 +501,34 @@ object DomainQueries {
           .select(col("c_custkey").as("tax_id")),
         Seq("tax_id"), "left_anti")
 
-  /** FetchProvenanceByTaxIdBatchFn URL building (transforms.py:1048-1055). */
-  def provenanceUrls(s: SparkSession, dir: String): DataFrame =
+  /** FetchProvenanceByTaxIdBatchFn URL building (transforms.py:1048-1055):
+    * the full provenance record — accession from the LATEST annotation
+    * (ann_list[-1]; modeled as max-orderkey per taxon, a max_by hash
+    * aggregate), GTF + Ensembl browser paths off that annotation, the
+    * portal URL, and gbif_url NULL when the taxon has no usageKey
+    * (transforms.py:1054 conditional). Taxa with no annotation at all are
+    * dropped (the reference's missing_annotation skip = inner join). */
+  def provenanceUrls(s: SparkSession, dir: String): DataFrame = {
+    val latest = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderkey")).as("ann_key"))
     t(s, dir, "customer")
       .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(latest, col("c_custkey") === col("o_custkey"))
       .select(
         col("c_custkey").as("tax_id"),
+        concat(lit("ANN"), col("ann_key").cast("string")).as("accession"),
         concat(lit("https://www.ebi.ac.uk/biodiversity/data_portal/"),
           col("c_custkey").cast("string")).as("portal_url"),
-        concat(lit("https://www.gbif.org/species/"),
-          (col("c_custkey") * 7 % 100000).cast("string")).as("gbif_url"),
+        concat(lit("https://ftp.ensembl.org/annotations/ANN"),
+          col("ann_key").cast("string"), lit(".gtf.gz")).as("gtf_url"),
+        concat(lit("https://www.ensembl.org/view?annotation=ANN"),
+          col("ann_key").cast("string")).as("browser_url"),
+        when(col("c_custkey") % 10 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("https://www.gbif.org/species/"),
+            (col("c_custkey") * 7 % 100000).cast("string"))).as("gbif_url"),
         col("n_name").as("nation"))
+  }
 
   /** ENATaxonomyFn lineage enrichment (transforms.py:167-177): attach ALL
     * SIX lineage ranks — kingdom, phylum, class, order, family, genus —
@@ -792,10 +809,17 @@ object DomainQueries {
         |  WHERE c_custkey = user_id AND c_custkey % 3 = 0)""".stripMargin,
     "provenance_urls" ->
       """SELECT c_custkey AS tax_id,
+        |  'ANN' || CAST(ann_key AS VARCHAR) AS accession,
         |  'https://www.ebi.ac.uk/biodiversity/data_portal/' || CAST(c_custkey AS VARCHAR) AS portal_url,
-        |  'https://www.gbif.org/species/' || CAST(c_custkey * 7 % 100000 AS VARCHAR) AS gbif_url,
+        |  'https://ftp.ensembl.org/annotations/ANN' || CAST(ann_key AS VARCHAR) || '.gtf.gz' AS gtf_url,
+        |  'https://www.ensembl.org/view?annotation=ANN' || CAST(ann_key AS VARCHAR) AS browser_url,
+        |  CASE WHEN c_custkey % 10 = 0 THEN NULL
+        |       ELSE 'https://www.gbif.org/species/' || CAST(c_custkey * 7 % 100000 AS VARCHAR)
+        |       END AS gbif_url,
         |  n_name AS nation
-        |FROM customer JOIN nation ON c_nationkey = n_nationkey""".stripMargin,
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN (SELECT o_custkey, MAX(o_orderkey) AS ann_key
+        |      FROM orders GROUP BY o_custkey) a ON c_custkey = o_custkey""".stripMargin,
     "meta_classify" ->
       """SELECT CASE event_type WHEN 'purchase' THEN 'specimens'
         |         WHEN 'signup' THEN 'symbionts' WHEN 'error' THEN 'errors'
