@@ -530,6 +530,23 @@ object DomainQueries {
         col("n_name").as("nation"))
   }
 
+  /** sanitize_species_name (helpers.py:8-20): extract genus + species
+    * epithet (first two words) and sanitize for file paths — non-alnum →
+    * '_', runs collapsed, ends trimmed. The filename convention every
+    * per-species output file uses (write_species_file, helpers.py:31).
+    * Pure narrow projection; messy inputs synthesized from brand#part
+    * names so the '#' and the third-word cut are both exercised. */
+  def taxSanitizeNames(s: SparkSession, dir: String): DataFrame = {
+    val raw = concat(col("p_brand"), lit(" "), col("p_name"))
+    val firstTwo = array_join(slice(split(trim(raw), "\\s+"), 1, 2), "_")
+    val safe = regexp_replace(
+      regexp_replace(
+        regexp_replace(firstTwo, "[^A-Za-z0-9_]", "_"), "_+", "_"),
+      "^_+|_+$", "")
+    t(s, dir, "part").select(col("p_partkey").as("tax_id"),
+      raw.as("raw_name"), safe.as("safe_name"))
+  }
+
   /** ENATaxonomyFn lineage enrichment (transforms.py:167-177): attach ALL
     * SIX lineage ranks — kingdom, phylum, class, order, family, genus —
     * to each taxon. The region→nation hierarchy plays the upper lineage
@@ -650,6 +667,7 @@ object DomainQueries {
     "spatial_join" -> (spatialJoin _),
     "tax_gate_new" -> (taxGateNew _),
     "provenance_urls" -> (provenanceUrls _),
+    "tax_sanitize_names" -> (taxSanitizeNames _),
     "meta_classify" -> (metaClassify _),
     "meta_collect_related" -> (metaCollectRelated _),
     "cleaning_summary" -> (cleaningSummary _),
@@ -807,6 +825,13 @@ object DomainQueries {
       """SELECT DISTINCT user_id AS tax_id FROM events
         |WHERE NOT EXISTS (SELECT 1 FROM customer
         |  WHERE c_custkey = user_id AND c_custkey % 3 = 0)""".stripMargin,
+    "tax_sanitize_names" ->
+      """SELECT p_partkey AS tax_id,
+        |  p_brand || ' ' || p_name AS raw_name,
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    array_to_string((regexp_split_to_array(trim(p_brand || ' ' || p_name), '\s+'))[1:2], '_'),
+        |    '[^A-Za-z0-9_]', '_', 'g'), '_+', '_', 'g'), '^_+|_+$', '', 'g') AS safe_name
+        |FROM part""".stripMargin,
     "provenance_urls" ->
       """SELECT c_custkey AS tax_id,
         |  'ANN' || CAST(ann_key AS VARCHAR) AS accession,
