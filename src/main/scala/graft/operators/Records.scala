@@ -111,9 +111,13 @@ object Records {
         when(coalesce(col("n_experiments"), lit(0L)) > 0, "Raw Data - Submitted")
           .when(coalesce(col("n_assemblies"), lit(0L)) > 0, "Assemblies - Submitted")
           .otherwise("Submitted to BioSamples").as("tracking_system"))
-    // per-hop host lookup: (key, is the host an ERC000053 terminal?)
-    def look(n: Int) = base.select(col("k").as(s"hk$n"),
-      (col("k") % 5 === 0).as(s"erc$n"))
+    // per-hop host lookup: (key, is the host an ERC000053 terminal?).
+    // Derived from the raw customer table, NOT from `base`: the lookup
+    // needs only (k, checklist), and building it off base would replay
+    // the nation join + orders aggregate once per hop.
+    def look(n: Int) = t(s, dir, "customer")
+      .select(col("c_custkey").as(s"hk$n"),
+        (col("c_custkey") % 5 === 0).as(s"erc$n"))
     val resolved = base
       .join(look(0), col("k") - 1 === col("hk0"), "left_outer")
       .join(look(1), expr("k div 2") === col("hk1"), "left_outer")
