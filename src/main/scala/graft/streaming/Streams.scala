@@ -63,6 +63,42 @@ object Streams {
         (col("b_ts_ns") - col("a_ts_ns")).as("lag_ns"))
   }
 
+  /** Streaming file ingest with a dead-letter fork — the reference's
+    * occurrence-fetch shape (success/dead split + quarantine) as a
+    * continuously-arriving-files stream: `readStream` over schema-explicit
+    * JSONL with PERMISSIVE corrupt-record capture, `foreachBatch` routing
+    * each micro-batch to a success sink and a quarantine sink. foreachBatch
+    * (not two independent queries) so one file read feeds both sinks and
+    * the split is atomic per micro-batch; with checkpointing + parquet
+    * sinks the pipeline is exactly-once end to end. `maxFilesPerTrigger`
+    * bounds micro-batch size at scale. */
+  def ingestWithDeadLetters(spark: org.apache.spark.sql.SparkSession,
+                            inDir: String, schema: org.apache.spark.sql.types.StructType,
+                            okDir: String, deadDir: String, checkpoint: String,
+                            maxFilesPerTrigger: Int = 100)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream
+      .schema(schema.add("_corrupt_record", "string"))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(inDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val cached = batch.persist()
+        try {
+          cached.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+            .write.mode("append").parquet(okDir)
+          cached.filter(col("_corrupt_record").isNotNull)
+            .select("_corrupt_record")
+            .write.mode("append").parquet(deadDir)
+        } finally cached.unpersist()
+        ()
+      }
+      .start()
+
   case class SessState(start: Long, last: Long, n: Long)
   case class SessionOut(user_id: Long, session_start_ns: Long, n_events: Long, dur_ns: Long)
 

@@ -148,4 +148,30 @@ class StreamsSpec extends SparkSpec {
         (3600L, "click", 2L, 3.0), (3600L, "view", 1L, 3.0), (7200L, "click", 1L, 4.0)))
     } finally q.stop()
   }
+
+  test("streaming file ingest forks success and dead-letter sinks exactly once") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft_ingest").toString
+    val in = s"$root/in"; Files.createDirectories(java.nio.file.Paths.get(in))
+    Files.writeString(java.nio.file.Paths.get(s"$in/a.jsonl"),
+      """{"occ_id": 1, "uncert": 2.0}
+        |garbage line
+        |{"occ_id": 2, "uncert": 4.0}
+        |""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("occ_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("uncert", org.apache.spark.sql.types.DoubleType)))
+    val q = Streams.ingestWithDeadLetters(spark, in, schema,
+      s"$root/ok", s"$root/dead", s"$root/ckpt")
+    q.awaitTermination(60000) // AvailableNow terminates when drained
+    assert(spark.read.parquet(s"$root/ok").select("occ_id").as[Long].collect().toSet
+      === Set(1L, 2L))
+    assert(spark.read.parquet(s"$root/dead").as[String].collect().toSeq
+      === Seq("garbage line"))
+    // restart with the same checkpoint: nothing re-ingested (exactly-once)
+    val q2 = Streams.ingestWithDeadLetters(spark, in, schema,
+      s"$root/ok", s"$root/dead", s"$root/ckpt")
+    q2.awaitTermination(60000)
+    assert(spark.read.parquet(s"$root/ok").count() === 2)
+  }
 }
