@@ -156,7 +156,10 @@ object Records {
     * FRANCE stands in), and derive the taxon's currentStatus as the MAX
     * over the tracking precedence Raw Data > Assemblies > Submitted. One
     * hash aggregate on the resolved key — the CoGroupByKey + per-group
-    * assembly collapses into a single shuffle. */
+    * assembly collapses into a single shuffle. Taxa on the reference's
+    * static deny-list (tax_id 624 / 1773 / 2697049, the pathogen block in
+    * build_dwh_record map_functions.py:796-798) are flagged `blocked`
+    * (its error side output, flattened). */
   def taxonRollup(s: SparkSession, dir: String): DataFrame =
     dwhRecords(s, dir)
       .filter(col("error_message").isNull)
@@ -174,7 +177,8 @@ object Records {
         col("n_symbionts"), col("n_metagenomes"), col("nagoya_protocol"),
         when(col("lvl") === 2, "Raw Data - Submitted")
           .when(col("lvl") === 1, "Assemblies - Submitted")
-          .otherwise("Submitted to BioSamples").as("current_status"))
+          .otherwise("Submitted to BioSamples").as("current_status"),
+        col("dwh_key").isin("624", "1773", "2697049").as("blocked"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "meta_portal_records" -> (portalRecordsFlat _),
@@ -244,7 +248,8 @@ object Records {
          |                WHEN 'Assemblies - Submitted' THEN 1 ELSE 0 END)
          |    WHEN 2 THEN 'Raw Data - Submitted'
          |    WHEN 1 THEN 'Assemblies - Submitted'
-         |    ELSE 'Submitted to BioSamples' END AS current_status
+         |    ELSE 'Submitted to BioSamples' END AS current_status,
+         |  dwh_key IN ('624', '1773', '2697049') AS blocked
          |FROM dwh WHERE error_message IS NULL
          |GROUP BY dwh_key""".stripMargin,
     "meta_portal_records" ->
