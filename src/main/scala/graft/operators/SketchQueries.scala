@@ -43,27 +43,51 @@ object SketchQueries {
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
     minhashPairs(t(s, dir, "documents"))
 
+  /** splitmix64-derived 60-bit xor seeds: the MinHash permutation family
+    * is `h ↦ h XOR seed` over a 60-bit md5-prefix base hash — chosen so
+    * BOTH engines compute it exactly (DuckDB: `('0x'||substr(md5(sh),1,
+    * 15))::BIGINT` + `xor`; Spark: `conv(substring(md5(..)))` + `^`),
+    * which upgrades this query from a rows-only check to a full DuckDB
+    * hash oracle. Xor-by-constant is a weaker permutation family than
+    * seeded xxhash64, but the estimate specs (exact-dup → 1.0,
+    * half-overlap tracking) bound the accuracy loss. */
+  private val K = 32
+  private val seeds: IndexedSeq[Long] = (0 until K).map { k =>
+    var z = k.toLong + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    (z ^ (z >>> 31)) & ((1L << 60) - 1)
+  }
+
   /** MinHash signatures (K=32) + LSH banding (8 bands × 4 rows) over a
     * (doc_id, text) DataFrame.
     *
-    * Signatures via explode → 32 codegen'd `min(xxhash64(sh, k))` agg
-    * columns → one partial-aggregated shuffle. (A higher-order-function
-    * formulation avoids the explode but runs in the interpreted eval path
-    * — measured 4-5× slower; plain aggregates stay in whole-stage
-    * codegen and combine map-side.) */
+    * Signatures via explode → one md5-prefix base hash per shingle → 32
+    * codegen'd `min(h ^ seed)` agg columns → one partial-aggregated
+    * shuffle. (A higher-order-function formulation avoids the explode but
+    * runs in the interpreted eval path — measured 4-5× slower; plain
+    * aggregates stay in whole-stage codegen and combine map-side.) */
   def minhashPairs(docs: DataFrame): DataFrame = {
-    val K = 32
-    val minCols = (0 until K).map(k => min(xxhash64(col("sh"), lit(k))).as(s"m$k"))
-    val sigs = Shingles.trigramRows(docs, dedup = false)
+    val h = expr(
+      "cast(conv(substring(md5(cast(sh as binary)), 1, 15), 16, 10) as bigint)")
+    val minCols = (0 until K).map(k =>
+      min(col("h").bitwiseXOR(lit(seeds(k)))).as(s"m$k"))
+    val sigs0 = Shingles.trigramRows(docs, dedup = false)
+      .withColumn("h", h)
       .groupBy("doc_id")
       .agg(minCols.head, minCols.tail: _*)
-      .select(col("doc_id"), array((0 until K).map(k => col(s"m$k")): _*).as("sig"))
-    // Band join carries only (doc_id, band, bh) — 16-byte rows — so the
-    // candidate shuffle never moves signature arrays; signatures are
-    // joined back onto the (much smaller) deduplicated pair set.
-    val bands = sigs.select(col("doc_id"),
-      posexplode(expr("transform(sequence(0, 7), b -> hash(slice(sig, b * 4 + 1, 4)))")))
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bh"))
+    // Band keys concatenate the 4 minima as strings (NOT an engine hash —
+    // the oracle must generate identical candidates): ~80-byte band rows
+    // instead of 8, but still tiny next to the signature arrays, which
+    // never enter the candidate shuffle.
+    val bandArr = array((0 until 8).map(b =>
+      struct(lit(b).as("band"),
+        concat_ws("_", (0 until 4).map(r => col(s"m${b * 4 + r}").cast("string")): _*)
+          .as("bh"))): _*)
+    val sigs = sigs0.select(col("doc_id"),
+      array((0 until K).map(k => col(s"m$k")): _*).as("sig"), bandArr.as("bds"))
+    val bands = sigs.select(col("doc_id"), explode(col("bds")).as("bd"))
+      .select(col("doc_id"), col("bd.band").as("band"), col("bd.bh").as("bh"))
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -266,4 +290,41 @@ object SketchQueries {
     "range_convex_hull" -> (rangeConvexHull _),
     "text_fingerprint" -> (textFingerprint _),
     "text_bpe_tokens" -> (textBpeTokens _))
+
+  /** The md5+xor family makes the whole MinHash+LSH pipeline — signature,
+    * band candidates, estimate, threshold — recomputable in DuckDB. The
+    * oracle long-forms the signature as (doc_id, seed_i, min) rows and
+    * rebuilds band keys with the same '_'-concatenation, so candidate
+    * generation (not just the final estimate) is cross-checked. */
+  val oracle: Map[String, String] = Map(
+    "dedup_minhash_lsh" -> {
+      val seedRows = seeds.zipWithIndex
+        .map { case (sv, i) => s"($i, $sv)" }.mkString(", ")
+      s"""WITH sh AS (
+         |  SELECT doc_id, ts[i] || '_' || ts[i+1] || '_' || ts[i+2] AS sh
+         |  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 2)) AS i
+         |        FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+         |              FROM documents))),
+         |hs AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h FROM sh),
+         |seeds(i, sd) AS (VALUES $seedRows),
+         |mins AS (SELECT doc_id, i, MIN(xor(h, sd)) AS m
+         |         FROM hs CROSS JOIN seeds GROUP BY doc_id, i),
+         |bandkeys AS (
+         |  SELECT doc_id, i // 4 AS band,
+         |    string_agg(CAST(m AS VARCHAR), '_' ORDER BY i) AS bh
+         |  FROM mins GROUP BY doc_id, i // 4),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+         |  FROM bandkeys a JOIN bandkeys b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+         |SELECT c.doc1, c.doc2,
+         |  CAST(SUM(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST($K AS DOUBLE) AS est_jaccard
+         |FROM cand c
+         |JOIN mins ma ON ma.doc_id = c.doc1
+         |JOIN mins mb ON mb.doc_id = c.doc2 AND mb.i = ma.i
+         |GROUP BY c.doc1, c.doc2
+         |HAVING CAST(SUM(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) AS DOUBLE)
+         |  / CAST($K AS DOUBLE) >= 0.5""".stripMargin
+    })
 }
