@@ -6,17 +6,21 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.functions._
 
-/** Sketch/ANN/geometry operators that are not ANSI-SQL-expressible (the
-  * driver records rows-only checks; exact semantics are spec-tested in
-  * src/test). These are the 100 TB-scale paths for the §2c additions:
+/** Sketch/ANN/geometry operators — the 100 TB-scale paths for the §2c
+  * additions. Round 3 moved MinHash, SimHash and both ANN variants onto
+  * cross-engine-computable primitives (md5-prefix hashes, deterministic
+  * integer hyperplanes, left-to-right dot products), so they now carry
+  * full DuckDB hash oracles; only the genuinely engine-specific rest
+  * (custom codegen expressions, HLL, convex hull, binary stubs) stays
+  * rows-only with spec coverage.
   *
   *  - MinHash+LSH near-dup: whole signature computed in ONE narrow
   *    projection (higher-order functions over the shingle array — no
   *    per-seed explode/shuffle), then an 8-rows-per-doc band explode and a
   *    self-join on band keys only. Shuffle volume is O(docs × bands), not
   *    O(docs × shingles).
-  *  - SimHash: 64-bit fingerprint in one projection; candidate pairs from
-  *    a 16-bit prefix bucket join; Hamming verification via xor/bit_count.
+  *  - SimHash: 60-bit fingerprint in one projection; candidate pairs from
+  *    4×15-bit band joins; Hamming verification via xor/bit_count.
   *  - Random-hyperplane LSH ANN: 16-bit sign bucket per vector in one
   *    projection; exact dot-product rerank within buckets.
   *  - Convex hull range area: typed Aggregator with hull-pruned buffers
@@ -106,24 +110,28 @@ object SketchQueries {
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     simhashPairs(t(s, dir, "documents"))
 
-  /** 64-bit SimHash over tokens; candidate pairs from FOUR 16-bit bands
+  /** 60-bit SimHash over tokens; candidate pairs from FOUR 15-bit bands
     * (multi-probe), Hamming-verified ≤ 6.
     *
-    * Per-bit ±1 counters as 64 codegen'd SUM aggregates over exploded
+    * Per-bit ±1 counters as 60 codegen'd SUM aggregates over exploded
     * tokens (one partial-aggregated shuffle), then the fingerprint is
     * assembled from the counter signs in a final projection — same
-    * interpreted-HOF-avoidance as [[minhashPairs]]. */
+    * interpreted-HOF-avoidance as [[minhashPairs]]. The token hash is the
+    * same md5-prefix base as [[minhashPairs]] (60 bits), so the whole
+    * pipeline is recomputable in DuckDB — a full hash oracle instead of a
+    * rows-only check. */
   def simhashPairs(docs: DataFrame): DataFrame = {
-    val bitCols = (0 until 64).map { i =>
+    val bitCols = (0 until 60).map { i =>
       sum(when(expr(s"(shiftright(h, $i) & 1) = 1"), 1L).otherwise(-1L)).as(s"c$i")
     }
-    val fpExpr = (0 until 64).map(i =>
+    val fpExpr = (0 until 60).map(i =>
       when(col(s"c$i") > 0, expr(s"shiftleft(1L, $i)")).otherwise(0L))
       .reduce((a, b) => a.bitwiseOR(b))
     val fps = docs
       .select(col("doc_id"),
         explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("w"))
-      .withColumn("h", xxhash64(col("w")))
+      .withColumn("h", expr(
+        "cast(conv(substring(md5(cast(w as binary)), 1, 15), 16, 10) as bigint)"))
       .groupBy("doc_id")
       .agg(bitCols.head, bitCols.tail: _*)
       .select(col("doc_id"), fpExpr.as("fp"))
@@ -131,8 +139,9 @@ object SketchQueries {
   }
 
   /** Banded candidate generation + Hamming verification over (doc_id, fp)
-    * fingerprints: each fp emits 4 disjoint 16-bit bands; any shared band
-    * value makes a candidate pair, verified with xor/bit_count ≤ 6.
+    * fingerprints: each fp emits 4 disjoint 15-bit bands over the 60-bit
+    * fingerprint; any shared band value makes a candidate pair, verified
+    * with xor/bit_count ≤ 6.
     *
     * Recall: a pair differing in ≤ 3 bits ALWAYS shares a clean band
     * (pigeonhole over 4 bands) — the round-1 single-prefix scheme missed
@@ -140,7 +149,7 @@ object SketchQueries {
     * differing bits are missed only when the bits hit all 4 bands
     * (spreading ≥1 into each); an exact ≤6 guarantee needs 7 ~9-bit
     * bands, whose 512-value keyspace collapses a web-scale corpus into
-    * quadratic buckets — 16-bit keys keep bucket fan-in bounded at scale.
+    * quadratic buckets — 15-bit keys keep bucket fan-in bounded at scale.
     *
     * Shuffle volume is O(docs × 4) rows of (doc_id, fp, band, bv) — the
     * same banded-join shape as [[minhashPairs]]; pairs found by several
@@ -148,7 +157,7 @@ object SketchQueries {
   def simhashBucketPairs(fps: DataFrame): DataFrame = {
     val bandArr = array((0 until 4).map(b =>
       struct(lit(b).as("band"),
-        expr(s"shiftright(fp, ${16 * b}) & 65535").as("bv"))): _*)
+        expr(s"shiftright(fp, ${15 * b}) & 32767").as("bv"))): _*)
     val bands = fps
       .select(col("doc_id"), col("fp"), explode(bandArr).as("bd"))
       .select(col("doc_id"), col("fp"), col("bd.band").as("band"), col("bd.bv").as("bv"))
@@ -297,6 +306,69 @@ object SketchQueries {
     * rebuilds band keys with the same '_'-concatenation, so candidate
     * generation (not just the final estimate) is cross-checked. */
   val oracle: Map[String, String] = Map(
+    "sim_lsh_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |d AS (SELECT e.vec_id, p,
+        |        list_dot_product(v, list_transform(generate_series(0, 63),
+        |          j -> CAST((p * 131 + j * 31) % 19 - 9 AS DOUBLE))) AS dp
+        |      FROM e CROSS JOIN generate_series(0, 5) t(p)),
+        |bkt AS (SELECT vec_id,
+        |          CAST(SUM(CASE WHEN dp > 0 THEN (1::BIGINT << (5 - p)) ELSE 0 END)
+        |            AS BIGINT) AS bucket
+        |        FROM d GROUP BY vec_id),
+        |q AS (SELECT vec_id AS qid, v AS qv, bucket
+        |      FROM e JOIN bkt USING (vec_id) WHERE vec_id < 5),
+        |dd AS (SELECT vec_id, v, bucket
+        |       FROM e JOIN bkt USING (vec_id) WHERE vec_id >= 5),
+        |sims AS (SELECT qid, dd.vec_id, list_dot_product(qv, v) AS dot
+        |         FROM q JOIN dd USING (bucket))
+        |SELECT qid, vec_id, dot, rank FROM (
+        |  SELECT qid, vec_id, dot,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id)
+        |      AS BIGINT) AS rank
+        |  FROM sims) WHERE rank <= 10""".stripMargin,
+    "sim_ivf_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |scored AS (SELECT e.vec_id, cid, list_dot_product(v, cv) AS cdot
+        |           FROM e CROSS JOIN c),
+        |rn AS (SELECT vec_id, cid,
+        |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cid) AS rn
+        |       FROM scored),
+        |assign AS (SELECT vec_id, cid FROM rn WHERE rn = 1),
+        |d AS (SELECT a.vec_id, e.v, a.cid
+        |      FROM assign a JOIN e USING (vec_id) WHERE a.vec_id >= 5),
+        |q AS (SELECT p.vec_id AS qid, e.v AS qv, p.cid
+        |      FROM (SELECT vec_id, cid FROM rn WHERE rn <= 2 AND vec_id < 5) p
+        |      JOIN e ON p.vec_id = e.vec_id),
+        |sims AS (SELECT qid, d.vec_id, list_dot_product(qv, v) AS dot
+        |         FROM q JOIN d USING (cid))
+        |SELECT qid, vec_id, dot, rank FROM (
+        |  SELECT qid, vec_id, dot,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id)
+        |      AS BIGINT) AS rank
+        |  FROM sims) WHERE rank <= 10""".stripMargin,
+    "dedup_simhash" ->
+      """WITH tokw AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        |  FROM documents),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM tokw),
+        |bits AS (
+        |  SELECT doc_id, i,
+        |    SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS c
+        |  FROM h CROSS JOIN generate_series(0, 59) t(i) GROUP BY doc_id, i),
+        |fp AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN c > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS fp
+        |  FROM bits GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, fp, b, (fp >> (15 * b)) & 32767 AS bv
+        |  FROM fp CROSS JOIN generate_series(0, 3) t(b))
+        |SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
+        |  CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+        |FROM bands a JOIN bands b
+        |  ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.fp, b.fp)) <= 6""".stripMargin,
     "dedup_minhash_lsh" -> {
       val seedRows = seeds.zipWithIndex
         .map { case (sv, i) => s"($i, $sv)" }.mkString(", ")
