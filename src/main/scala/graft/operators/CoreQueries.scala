@@ -160,9 +160,38 @@ object CoreQueries {
         approx_count_distinct(col("l_orderkey")).as("approx_orders"),
         approx_count_distinct(col("l_partkey")).as("approx_parts"))
 
+  /** Correlated scalar subquery: orders priced above 1.5× their
+    * customer's average — the threshold-vs-own-group-mean filter shape.
+    * Planned as a join against the pre-aggregated per-customer means (one
+    * shuffle + AQE-picked join), NOT a per-row subquery execution: Spark
+    * decorrelates the same way, and the explicit form keeps the decimal
+    * determinism discipline visible. */
+  def q15(s: SparkSession, dir: String): DataFrame = {
+    val avgs = t(s, dir, "orders").groupBy(col("o_custkey").as("ck"))
+      .agg(davg2(col("o_totalprice")).as("avg_price"))
+    t(s, dir, "orders")
+      .join(avgs, col("o_custkey") === col("ck"))
+      .filter(col("o_totalprice") > col("avg_price") * 1.5)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("avg_price"))
+  }
+
+  /** Correlated NOT EXISTS with an extra predicate: customers having NO
+    * urgent order — unlike the plain key anti-join (q06), the correlation
+    * carries a filter on the inner side. Still one left-anti hash join
+    * after the inner filter pushes down. */
+  def q16(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_mktsegment"))
+
   val queries: Map[String, Q] = Map(
     "q13_pivot" -> (q13 _),
     "q14_approx_distinct" -> (q14 _),
+    "q15_scalar_subquery" -> (q15 _),
+    "q16_not_exists" -> (q16 _),
     "q01_agg_summary" -> (q01 _),
     "q02_filter_project" -> (q02 _),
     "q03_join_agg" -> (q03 _),
@@ -189,6 +218,19 @@ object CoreQueries {
         |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
         |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
         |FROM events GROUP BY user_id""".stripMargin,
+    "q15_scalar_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, avg_price
+        |FROM orders JOIN (
+        |  SELECT o_custkey AS ck,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      / COUNT(o_totalprice) AS avg_price
+        |  FROM orders GROUP BY o_custkey) a ON o_custkey = ck
+        |WHERE o_totalprice > avg_price * CAST(1.5 AS DOUBLE)""".stripMargin,
+    "q16_not_exists" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')""".stripMargin,
     "q01_agg_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
