@@ -630,6 +630,34 @@ object DomainQueries {
       .groupBy(expr("ts_ns div 3600000000000").as("hour_id"), col("event_type"))
       .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sum_value"))
 
+  /** Hopping (sliding) window aggregate — 2 h windows every 1 h, so each
+    * event lands in exactly TWO windows. Spark's `window(ts, '2 hours',
+    * '1 hour')` does the same two-replica explode internally; the explicit
+    * integer-ns formulation keeps the oracle byte-exact. One explode(×2) +
+    * one partial-aggregated shuffle. */
+  def eventsHopping(s: SparkSession, dir: String): DataFrame = {
+    val H = 3600000000000L
+    events(s, dir)
+      .select(col("event_type"), col("value"),
+        explode(array(expr(s"ts_ns div $H - 1"), expr(s"ts_ns div $H")))
+          .as("window_id"))
+      .groupBy("window_id", "event_type")
+      .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sum_value"))
+  }
+
+  /** Native `session_window` sessionization (6 h gap) — the built-in
+    * operator equivalent of [[eventsSessionize]]'s lag/running-sum plan;
+    * the session start (min event time) and event count must agree with
+    * the windowed formulation, which the shared oracle recomputes. */
+  def eventsSessionWindow(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      .groupBy(session_window(col("ts"), "6 hours"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        col("n_events"))
+
   /** Gap-based sessionization (6 h gap): lag → new-session flag → running
     * sum → per-session aggregate. Batch analogue of the
     * flatMapGroupsWithState streaming sessionizer. */
@@ -672,6 +700,8 @@ object DomainQueries {
     "meta_collect_related" -> (metaCollectRelated _),
     "cleaning_summary" -> (cleaningSummary _),
     "events_tumbling" -> (eventsTumbling _),
+    "events_hopping" -> (eventsHopping _),
+    "events_session_window" -> (eventsSessionWindow _),
     "events_sessionize" -> (eventsSessionize _))
 
   val oracle: Map[String, String] = Map(
@@ -863,6 +893,31 @@ object DomainQueries {
         |FROM (SELECT species, COUNT(*) AS total_records FROM occ GROUP BY species) t
         |LEFT JOIN (SELECT species, COUNT(*) AS retained_records
         |           FROM cleaned GROUP BY species) r ON t.species = r.species""".stripMargin),
+    "events_hopping" ->
+      """WITH e AS (SELECT event_type, value,
+        |             epoch_ns(ts) // 1000 * 1000 AS ts_ns FROM events)
+        |SELECT w AS window_id, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM (SELECT event_type, value,
+        |        unnest([ts_ns // 3600000000000 - 1, ts_ns // 3600000000000]) AS w
+        |      FROM e)
+        |GROUP BY 1, 2""".stripMargin,
+    "events_session_window" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 * 1000 AS ts_ns,
+        |             event_id FROM events),
+        |seq AS (
+        |  SELECT user_id, ts_ns,
+        |    CASE WHEN ts_ns - LAG(ts_ns) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id)
+        |              > 21600000000000 THEN 1 ELSE 0 END AS is_new,
+        |    event_id
+        |  FROM e),
+        |ses AS (
+        |  SELECT user_id, ts_ns,
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        |  FROM seq)
+        |SELECT user_id, MIN(ts_ns) // 1000 AS start_us, COUNT(*) AS n_events
+        |FROM ses GROUP BY user_id, sid""".stripMargin,
     "events_tumbling" ->
       """SELECT epoch_ns(ts) // 1000 * 1000 // 3600000000000 AS hour_id, event_type,
         |  COUNT(*) AS n,
