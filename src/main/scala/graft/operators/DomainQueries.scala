@@ -169,8 +169,18 @@ object DomainQueries {
   /** The full cleaning chain of cleaning_occs_pipeline.py: coord filters →
     * uncertainty band → land semi-join → centroid anti-join → keep-best
     * dedup. One narrow fused stage, then one shuffle for the window. */
-  def occCleanPipeline(s: SparkSession, dir: String): DataFrame = {
-    val banded = valid(s, dir).filter(col("uncert").between(1000.0, 5000.0))
+  def occCleanPipeline(s: SparkSession, dir: String): DataFrame =
+    cleanFrom(occ(s, dir), s)
+
+  /** The full cleaning chain over any occurrence-shaped frame (coord
+    * validity, uncertainty band, land semi-join, centroid anti-join,
+    * keep-best dedup) — factored so instrumented/streaming variants reuse
+    * the exact same plan. */
+  def cleanFrom(occDf: DataFrame, s: SparkSession): DataFrame = {
+    val banded = occDf.filter(
+        !(col("lat") === 0.0 && col("lon") === 0.0) &&
+          col("lat").between(-90.0, 90.0) && col("lon").between(-180.0, 180.0))
+      .filter(col("uncert").between(1000.0, 5000.0))
       .withColumn("cellid", cell10(col("lat"), col("lon")))
       .join(broadcast(landCells(s)), Seq("cellid"), "left_semi")
       .join(broadcast(centroids(s)),

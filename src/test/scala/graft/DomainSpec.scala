@@ -4,6 +4,21 @@ import graft.operators.{CoreQueries, DomainQueries}
 import org.apache.spark.sql.functions._
 
 class DomainSpec extends SparkSpec {
+
+  test("observed cleaning pipeline reports flow counters without extra scans") {
+    import graft.operators.{DomainQueries, Instrumented}
+    import org.apache.spark.sql.functions._
+    val (cleaned, inObs, outObs) = Instrumented.cleanPipelineObserved(spark, sf)
+    val n = cleaned.count() // one action materializes BOTH observations
+    val in = inObs.get
+    val out = outObs.get
+    assert(in("records_in") === DomainQueries.occ(spark, sf).count())
+    assert(in("zero_coord_records").asInstanceOf[Long] > 0) // injected bad coords seen
+    assert(out("records_out") === n)
+    assert(out("uncert_mass").asInstanceOf[Double] > 0.0)
+    // observed result identical to the uninstrumented pipeline
+    assert(n === DomainQueries.occCleanPipeline(spark, sf).count())
+  }
   import spark.implicits._
 
   test("entry/flagship query returns the 6 expected groups") {
