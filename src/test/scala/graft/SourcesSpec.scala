@@ -98,6 +98,26 @@ class SourcesSpec extends SparkSpec {
     assert(back === Set((1L, 2.0, "sp_a"), (2L, 4.0, "sp_b")))
   }
 
+  test("bulk sink commits batched writes atomically; overwrite truncates") {
+    import graft.sources.BulkSink
+    BulkSink.reset("t1")
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"))
+      .toDF("id", "name").repartition(2)
+    df.write.format("graft.sources.BulkSink")
+      .option("target", "t1").option("batchSize", "2").mode("append").save()
+    val got = BulkSink.committed("t1").map(r => (r(0), r(1))).toSet
+    assert(got === Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e")))
+    // 5 rows in 2 tasks at batchSize 2 → at least ceil(5/2) bulk flushes
+    assert(BulkSink.flushes("t1") >= 3)
+    // append accumulates; overwrite truncates in the same commit
+    df.limit(1).write.format("graft.sources.BulkSink")
+      .option("target", "t1").mode("append").save()
+    assert(BulkSink.committed("t1").size === 6)
+    df.limit(2).write.format("graft.sources.BulkSink")
+      .option("target", "t1").mode("overwrite").save()
+    assert(BulkSink.committed("t1").size === 2)
+  }
+
   test("partition upsert replaces only the rewritten partitions") {
     val dir = Files.createTempDirectory("graft_upsert").toString
     val v1 = Seq((1L, "sp_a", 1), (2L, "sp_b", 1), (3L, "sp_c", 1))
