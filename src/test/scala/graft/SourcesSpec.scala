@@ -118,6 +118,22 @@ class SourcesSpec extends SparkSpec {
     assert(BulkSink.committed("t1").size === 2)
   }
 
+  test("bulk sink aborts atomically: a failed job commits nothing") {
+    import graft.sources.BulkSink
+    BulkSink.reset("t_abort")
+    val abortsBefore = BulkSink.aborted.get()
+    val poison = spark.range(0, 100, 1, 4)
+      .map(i => if (i == 63) throw new RuntimeException("poison row") else i)
+      .toDF("id")
+    intercept[Exception] {
+      poison.write.format("graft.sources.BulkSink")
+        .option("target", "t_abort").mode("append").save()
+    }
+    assert(BulkSink.committed.get("t_abort").isEmpty,
+      "failed job must not register any rows")
+    assert(BulkSink.aborted.get() > abortsBefore, "abort hook did not fire")
+  }
+
   test("partition upsert replaces only the rewritten partitions") {
     val dir = Files.createTempDirectory("graft_upsert").toString
     val v1 = Seq((1L, "sp_a", 1), (2L, "sp_b", 1), (3L, "sp_c", 1))
