@@ -133,6 +133,57 @@ object TextRank {
       |  FROM documents)
       |WHERE rn <= 25""".stripMargin
 
+  /** Benchmark-contamination screen: for each EVAL document (doc_id <
+    * 25 stands in for the held-out benchmark), the fraction of its word
+    * 5-grams that appear anywhere in the TRAIN corpus — the standard
+    * train/test overlap check run before any evaluation is trusted.
+    * Distinct from pairwise dedup: containment against the whole corpus,
+    * not similarity between pairs.
+    *
+    * Plan: distinct 5-gram sets on both sides (window-lead shingling,
+    * codegen), train side reduced to a DISTINCT shingle set (the
+    * inverted-index key space, NOT doc pairs), one left join on the
+    * shingle — at scale this is a bloom-filter-friendly semi-join shape
+    * whose shuffle carries only (shingle) keys. */
+  def dedupContamination(s: SparkSession, dir: String): DataFrame = {
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    def grams(df: DataFrame) = df
+      .select(col("doc_id"), toks("text").as(Seq("pos", "w")))
+      .select(col("doc_id"), concat_ws("_", col("w"),
+        lead("w", 1).over(byDoc), lead("w", 2).over(byDoc),
+        lead("w", 3).over(byDoc), lead("w", 4).over(byDoc)).as("g"),
+        lead("w", 4).over(byDoc).as("tail"))
+      .filter(col("tail").isNotNull) // drop short tail grams
+      .select("doc_id", "g").distinct()
+    val docs = t(s, dir, "documents")
+    val evalG = grams(docs.filter(col("doc_id") < 25))
+    val trainG = grams(docs.filter(col("doc_id") >= 25))
+      .select(col("g")).distinct().withColumn("hit", lit(1L))
+    evalG.join(trainG, Seq("g"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+      .withColumn("contamination",
+        col("n_contaminated").cast("double") / col("n_grams"))
+  }
+
+  private val CONTAM_SQL =
+    """WITH g AS (
+      |  SELECT DISTINCT doc_id,
+      |    ts[i] || '_' || ts[i+1] || '_' || ts[i+2] || '_' || ts[i+3] || '_' || ts[i+4] AS g
+      |  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 4)) AS i
+      |        FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+      |              FROM documents))),
+      |ev AS (SELECT doc_id, g FROM g WHERE doc_id < 25),
+      |tr AS (SELECT DISTINCT g FROM g WHERE doc_id >= 25)
+      |SELECT ev.doc_id, COUNT(*) AS n_grams,
+      |  CAST(SUM(CASE WHEN tr.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_contaminated,
+      |  CAST(SUM(CASE WHEN tr.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*) AS contamination
+      |FROM ev LEFT JOIN tr ON ev.g = tr.g
+      |GROUP BY ev.doc_id""".stripMargin
+
   /** Vocabulary building: top-10 word bigrams per language by frequency.
     * Bigrams via the codegen window-lead trick (cf. [[Shingles]]); the
     * rank-≤-10 window compiles to WindowGroupLimit, so each partition
@@ -168,11 +219,13 @@ object TextRank {
     "text_bm25_topk" -> (textBm25Topk _),
     "data_sample_stratified" -> (dataSampleStratified _),
     "data_sample_fixed_k" -> (dataSampleFixedK _),
+    "dedup_contamination" -> (dedupContamination _),
     "text_top_ngrams" -> (textTopNgrams _))
 
   val oracle: Map[String, String] = Map(
     "text_bm25_topk" -> BM25_SQL,
     "data_sample_stratified" -> SAMPLE_SQL,
     "data_sample_fixed_k" -> FIXEDK_SQL,
+    "dedup_contamination" -> CONTAM_SQL,
     "text_top_ngrams" -> NGRAMS_SQL)
 }
