@@ -11,6 +11,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // The suite compiles far more than 100 codegen stages (73 queries ×
+      // warm-up + 2 timed passes). The default cache (maxEntries=100)
+      // evicts between the warm-up and the timed pass, so simple queries
+      // re-pay janino compilation inside the measurement — that was the
+      // r3 q02/q03 "regression" (0.18→1.27 s on unchanged code). Size the
+      // cache to hold the whole suite.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -19,7 +26,11 @@ object Bench {
     def run(name: String): Long =
       SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // SPARK_GRAFT_QUERIES=q02_filter_project,q03_join_agg → isolation runs.
+    val names = sys.env.get("SPARK_GRAFT_QUERIES") match {
+      case Some(qs) => qs.split(',').map(_.trim).filter(SparkEntry.queries.contains).toSeq.sorted
+      case None     => SparkEntry.queries.keys.toSeq.sorted
+    }
     // Untimed warm-up pass: JIT, codegen caches, parquet footers, file
     // listing — so the timed pass measures steady-state query time.
     names.foreach { n => try run(n) catch { case _: Throwable => } }
@@ -35,12 +46,21 @@ object Bench {
       }
       name -> (if (timed.forall(_._2)) timed.map(_._1).min else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def fmt(v: Double): String = "%.3f".format(v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    // Key order matters for crash/truncation forensics: the harness that
+    // records this line keeps only the LAST ~2 KB of output, so the
+    // per-query map goes first and the suite total goes last — a
+    // head-truncated tail still shows the total (BENCH_r03 lost it).
+    val json = s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"errors":$errors,"value":${fmt(total)}}"""
+    // Durable copy: survives any stdout/stderr truncation.
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      (json + "\n").getBytes("UTF-8"))
+    println(json)
     spark.stop()
   }
 }

@@ -73,12 +73,19 @@ object EventJoins {
     * range predicate verifies per candidate. Candidate fan-out per
     * interval is `width/binWidth + 1` bins, so pick binWidth near the
     * typical interval width. [[graft.plans.RangeJoinRule]] applies this
-    * same rewrite transparently inside the optimizer. */
+    * same rewrite transparently inside the optimizer.
+    *
+    * A malformed interval (`lo > hi`, dirty data) must DROP — the naive
+    * BNLJ plan would simply match nothing — so the bin generator is
+    * guarded: `sequence` on a descending range would otherwise throw and
+    * fail the whole job. */
   def intervalJoin(points: DataFrame, ptTime: String, intervals: DataFrame,
                    lo: String, hi: String, binWidth: Long): DataFrame = {
     val p = points.withColumn("_bin", expr(s"$ptTime div $binWidth"))
     val iv = intervals.withColumn("_bin",
-      explode(expr(s"sequence($lo div $binWidth, $hi div $binWidth)")))
+      explode(expr(
+        s"""CASE WHEN $lo <= $hi THEN sequence($lo div $binWidth, $hi div $binWidth)
+           |ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin)))
     p.join(iv, Seq("_bin"))
       .filter(col(ptTime) >= col(lo) && col(ptTime) <= col(hi))
       .drop("_bin")

@@ -50,6 +50,14 @@ object Graphs {
       iter += 1
     }
     sym.unpersist()
+    // Exhausting the cap with labels still moving means the result is NOT
+    // a fixpoint — partially-propagated cluster ids are silently WRONG
+    // (two nodes of one component keep different labels). Fail loudly;
+    // the caller raises maxIter (diameter bound) rather than ship bad ids.
+    if (changed)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          "(graph diameter exceeds maxIter); raise maxIter")
     labels.select(col("node"), col("label").as("cluster_id"))
   }
 

@@ -14,13 +14,15 @@ import org.apache.spark.sql.functions._
   * (custom codegen expressions, HLL, convex hull, binary stubs) stays
   * rows-only with spec coverage.
   *
-  *  - MinHash+LSH near-dup: whole signature computed in ONE narrow
-  *    projection (higher-order functions over the shingle array — no
-  *    per-seed explode/shuffle), then an 8-rows-per-doc band explode and a
-  *    self-join on band keys only. Shuffle volume is O(docs × bands), not
-  *    O(docs × shingles).
-  *  - SimHash: 60-bit fingerprint in one projection; candidate pairs from
-  *    4×15-bit band joins; Hamming verification via xor/bit_count.
+  *  - MinHash+LSH near-dup: signatures via shingle explode + 32 codegen'd
+  *    `min(h ^ seed)` aggregates (ONE partial-aggregated shuffle — the
+  *    HOF formulation that avoids the explode runs interpreted, 4-5×
+  *    slower), then an 8-rows-per-doc band explode and size-capped
+  *    posting-list pair generation on band keys only. Candidate volume is
+  *    O(docs × bands × cutoff), never quadratic in a bucket.
+  *  - SimHash: 60-bit fingerprint from 60 codegen'd sum aggregates over
+  *    exploded tokens; candidate pairs from 4×15-bit bands with the same
+  *    size cap; Hamming verification via xor/bit_count.
   *  - Random-hyperplane LSH ANN: 16-bit sign bucket per vector in one
   *    projection; exact dot-product rerank within buckets.
   *  - Convex hull range area: typed Aggregator with hull-pruned buffers
@@ -56,6 +58,18 @@ object SketchQueries {
     * seeded xxhash64, but the estimate specs (exact-dup → 1.0,
     * half-overlap tracking) bound the accuracy loss. */
   private val K = 32
+
+  /** Band-bucket skew cap (same idea as dedup_ngram_jaccard's DF_CUTOFF,
+    * TextQueries.scala): a band value shared by k docs yields C(k,2)
+    * candidates, and nothing upstream bounds k — at 100 TB a degenerate
+    * value (empty/boilerplate docs collapsing to one signature) is a
+    * quadratic-blowup task. Buckets larger than the cutoff are dropped
+    * from candidate generation entirely. Recall note: pairs found ONLY
+    * via an over-full bucket are missed — by construction those are
+    * boilerplate-collision pairs (the cap is far above any honest
+    * near-dup cluster size), and exact duplicates remain fully covered by
+    * dedup_exact. */
+  private[graft] val BAND_CUTOFF = 100
   private val seeds: IndexedSeq[Long] = (0 until K).map { k =>
     var z = k.toLong + 0x9E3779B97F4A7C15L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
@@ -92,11 +106,15 @@ object SketchQueries {
       array((0 until K).map(k => col(s"m$k")): _*).as("sig"), bandArr.as("bds"))
     val bands = sigs.select(col("doc_id"), explode(col("bds")).as("bd"))
       .select(col("doc_id"), col("bd.band").as("band"), col("bd.bh").as("bh"))
-    val cand = bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+    // Posting-list pair generation (one groupBy shuffle, no self-join)
+    // with the BAND_CUTOFF skew cap: ds is sorted, so j > i ⟺ doc2 > doc1.
+    val cand = bands.groupBy("band", "bh")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")).between(2, BAND_CUTOFF))
+      .select(col("ds"), posexplode(col("ds")).as(Seq("i", "doc1")))
+      .select(col("i"), col("doc1"), posexplode(col("ds")).as(Seq("j", "doc2")))
+      .filter(col("j") > col("i"))
+      .select(col("doc1"), col("doc2"))
       .dropDuplicates("doc1", "doc2")
     cand
       .join(sigs.select(col("doc_id").as("doc1"), col("sig").as("sig1")), Seq("doc1"))
@@ -152,8 +170,10 @@ object SketchQueries {
     * quadratic buckets — 15-bit keys keep bucket fan-in bounded at scale.
     *
     * Shuffle volume is O(docs × 4) rows of (doc_id, fp, band, bv) — the
-    * same banded-join shape as [[minhashPairs]]; pairs found by several
-    * bands are deduplicated after the (cheap) Hamming check. */
+    * same capped posting-list shape as [[minhashPairs]] (buckets larger
+    * than [[BAND_CUTOFF]] are dropped; see the cap's recall note); pairs
+    * found by several bands are deduplicated after the (cheap) Hamming
+    * check. */
   def simhashBucketPairs(fps: DataFrame): DataFrame = {
     val bandArr = array((0 until 4).map(b =>
       struct(lit(b).as("band"),
@@ -161,9 +181,14 @@ object SketchQueries {
     val bands = fps
       .select(col("doc_id"), col("fp"), explode(bandArr).as("bd"))
       .select(col("doc_id"), col("fp"), col("bd.band").as("band"), col("bd.bv").as("bv"))
-    bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-          col("a.doc_id") < col("b.doc_id"))
+    // sort_array on (doc_id, fp) structs orders by doc_id; the fps ride
+    // along so the Hamming check needs no join back to the corpus.
+    bands.groupBy("band", "bv")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("fp")))).as("ds"))
+      .filter(size(col("ds")).between(2, BAND_CUTOFF))
+      .select(col("ds"), posexplode(col("ds")).as(Seq("i", "a")))
+      .select(col("i"), col("a"), posexplode(col("ds")).as(Seq("j", "b")))
+      .filter(col("j") > col("i"))
       .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"),
         expr("bit_count(a.fp ^ b.fp)").as("hamming"))
       .filter(col("hamming") <= 6)
@@ -363,12 +388,14 @@ object SketchQueries {
         |  FROM bits GROUP BY doc_id),
         |bands AS (
         |  SELECT doc_id, fp, b, (fp >> (15 * b)) & 32767 AS bv
-        |  FROM fp CROSS JOIN generate_series(0, 3) t(b))
-        |SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
-        |  CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
-        |FROM bands a JOIN bands b
-        |  ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.fp, b.fp)) <= 6""".stripMargin,
+        |  FROM fp CROSS JOIN generate_series(0, 3) t(b)),
+        |bk AS (
+        |  SELECT *, COUNT(*) OVER (PARTITION BY b, bv) AS k FROM bands)
+        |SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2,
+        |  CAST(bit_count(xor(x.fp, y.fp)) AS INTEGER) AS hamming
+        |FROM bk x JOIN bk y
+        |  ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id
+        |WHERE x.k <= 100 AND bit_count(xor(x.fp, y.fp)) <= 6""".stripMargin,
     "dedup_minhash_lsh" -> {
       val seedRows = seeds.zipWithIndex
         .map { case (sv, i) => s"($i, $sv)" }.mkString(", ")
@@ -385,10 +412,13 @@ object SketchQueries {
          |  SELECT doc_id, i // 4 AS band,
          |    string_agg(CAST(m AS VARCHAR), '_' ORDER BY i) AS bh
          |  FROM mins GROUP BY doc_id, i // 4),
+         |bk AS (
+         |  SELECT *, COUNT(*) OVER (PARTITION BY band, bh) AS k FROM bandkeys),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
-         |  FROM bandkeys a JOIN bandkeys b
-         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+         |  FROM bk a JOIN bk b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+         |  WHERE a.k <= 100)
          |SELECT c.doc1, c.doc2,
          |  CAST(SUM(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) AS DOUBLE)
          |    / CAST($K AS DOUBLE) AS est_jaccard

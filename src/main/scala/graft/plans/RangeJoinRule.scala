@@ -94,9 +94,17 @@ case class RangeJoinRule(binWidthConf: () => Long)
       // must hand back a resolved plan.
       val seq = new Sequence(IntegralDivide(lo, wLit), IntegralDivide(hi, wLit),
         Some(Literal(1L, LongType)), Some(conf.sessionLocalTimeZone))
+      // A malformed interval (lo > hi, dirty data) must DROP, matching the
+      // nested-loop plan this rule replaces — an unguarded descending
+      // Sequence would instead throw at runtime, so the rewrite may not
+      // change failure behavior.
+      val guarded = CaseWhen(
+        Seq((LessThanOrEqual(lo, hi), seq)),
+        Some(Literal.create(Array.empty[Long],
+          org.apache.spark.sql.types.ArrayType(LongType, containsNull = false))))
       val ivBinAttr = AttributeReference("_rj_bin_iv", LongType,
         nullable = false)()
-      val ivGen = Generate(Explode(seq), unrequiredChildIndex = Nil,
+      val ivGen = Generate(Explode(guarded), unrequiredChildIndex = Nil,
         outer = false, qualifier = None, generatorOutput = Seq(ivBinAttr),
         child = ivPlan)
       val newCond = And(EqualTo(ptBinAlias.toAttribute, ivBinAttr),

@@ -68,10 +68,16 @@ object Streams {
     * continuously-arriving-files stream: `readStream` over schema-explicit
     * JSONL with PERMISSIVE corrupt-record capture, `foreachBatch` routing
     * each micro-batch to a success sink and a quarantine sink. foreachBatch
-    * (not two independent queries) so one file read feeds both sinks and
-    * the split is atomic per micro-batch; with checkpointing + parquet
-    * sinks the pipeline is exactly-once end to end. `maxFilesPerTrigger`
-    * bounds micro-batch size at scale. */
+    * (not two independent queries) so one file read feeds both sinks.
+    *
+    * Delivery: foreachBatch is inherently at-least-once (a crash between a
+    * sink write and the checkpoint commit — or between the two writes —
+    * replays the micro-batch), so each sink write is made IDEMPOTENT:
+    * output is partitioned by the deterministic `_batch_id` and written
+    * with dynamic-partition overwrite, so a replayed batch replaces its
+    * own partition instead of appending duplicates — effectively
+    * exactly-once end to end. `maxFilesPerTrigger` bounds micro-batch
+    * size at scale. */
   def ingestWithDeadLetters(spark: org.apache.spark.sql.SparkSession,
                             inDir: String, schema: org.apache.spark.sql.types.StructType,
                             okDir: String, deadDir: String, checkpoint: String,
@@ -86,14 +92,19 @@ object Streams {
       .writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val cached = batch.persist()
+        def sink(df: DataFrame, dir: String): Unit =
+          df.withColumn("_batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(dir)
         try {
-          cached.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
-            .write.mode("append").parquet(okDir)
-          cached.filter(col("_corrupt_record").isNotNull)
-            .select("_corrupt_record")
-            .write.mode("append").parquet(deadDir)
+          sink(cached.filter(col("_corrupt_record").isNull)
+            .drop("_corrupt_record"), okDir)
+          sink(cached.filter(col("_corrupt_record").isNotNull)
+            .select("_corrupt_record"), deadDir)
         } finally cached.unpersist()
         ()
       }

@@ -28,6 +28,17 @@ class GraphsSpec extends SparkSpec {
     assert(got === ((0L to 15L).map(_ -> 0L) ++ Seq(100L -> 100L, 101L -> 100L)).toMap)
   }
 
+  test("exhausting maxIter with labels still moving fails loudly") {
+    // a 6-chain needs ~3 rounds of min-label doubling; maxIter=1 cannot
+    // converge — silently returning the partial labels would hand the
+    // caller WRONG cluster ids, so the operator must throw instead
+    val chain = (0L until 6L).map(i => (i, i + 1)).toDF("a", "b")
+    val e = intercept[IllegalStateException] {
+      Graphs.connectedComponents(chain, maxIter = 1)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("connected components match union-find on a random graph") {
     val rnd = new Random(7)
     val edges = Seq.fill(120)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))

@@ -57,6 +57,31 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("malformed intervals (lo > hi) drop instead of crashing the rewrite") {
+    // The BNLJ plan the rule/operator replace would simply emit no match
+    // for a dirty lo>hi row; an unguarded descending Sequence throws. Both
+    // the optimizer rewrite and the hand-built operator must match the
+    // BNLJ behavior: same results, no runtime failure.
+    val dirty = intervals.withColumn("lo_ns",
+      when(col("promo_id") % 3 === 0, col("hi_ns") + H).otherwise(col("lo_ns")))
+    val pts = DomainQueries.events(spark, sf).select("event_id", "ts_ns")
+    val naive = pts.join(dirty,
+        col("ts_ns") >= col("lo_ns") && col("ts_ns") <= col("hi_ns"))
+      .select("event_id", "promo_id").as[(Long, Long)].collect().toSet
+    val manual = EventJoins.intervalJoin(pts, "ts_ns", dirty,
+        "lo_ns", "hi_ns", binWidth = 30 * H)
+      .select("event_id", "promo_id").as[(Long, Long)].collect().toSet
+    assert(manual === naive)
+    withRule(30 * H) {
+      val df = pts.join(dirty,
+        col("ts_ns") >= col("lo_ns") && col("ts_ns") <= col("hi_ns"))
+      assert(df.queryExecution.executedPlan.toString.contains("_rj_bin"),
+        "rule should fire on the dirty-interval join")
+      assert(df.select("event_id", "promo_id").as[(Long, Long)]
+        .collect().toSet === naive)
+    }
+  }
+
   test("rule output matches the hand-built intervalJoin operator") {
     val manual = EventJoins.intervalJoin(
         DomainQueries.events(spark, sf).select("event_id", "ts_ns"),

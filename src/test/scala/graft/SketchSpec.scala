@@ -78,6 +78,22 @@ class SketchSpec extends SparkSpec {
       assert(math.abs(est.head - trueJac) < 0.25, s"est ${est.head} vs true $trueJac")
   }
 
+  test("band-bucket skew cap bounds candidates on an adversarial corpus") {
+    // 1000 identical docs collapse every band to ONE value: uncapped,
+    // that is C(1000,2) ≈ 500k candidate pairs per band — the quadratic
+    // blowup the BAND_CUTOFF guards against at 100 TB. Capped, the
+    // over-full buckets generate nothing (exact dups stay covered by
+    // dedup_exact).
+    val text = "the quick brown fox jumps over the lazy dog again and again today"
+    val big = (1L to 1000L).map(i => (i, text)).toDF("doc_id", "text")
+    assert(SketchQueries.minhashPairs(big).count() === 0)
+    assert(SketchQueries.simhashPairs(big).count() === 0)
+    // A cluster within the cap still yields its full C(k,2) pair set.
+    val small = (1L to 50L).map(i => (i, text)).toDF("doc_id", "text")
+    assert(SketchQueries.minhashPairs(small).count() === 50L * 49 / 2)
+    assert(SketchQueries.simhashPairs(small).count() === 50L * 49 / 2)
+  }
+
   test("simhash: one-word edit stays close, pair survives the hamming gate") {
     val base = "the quick brown fox jumps over the lazy dog again and again today just fine"
     val edited = base.replace("lazy", "sleepy")
