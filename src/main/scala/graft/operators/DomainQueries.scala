@@ -405,6 +405,27 @@ object DomainQueries {
         array_join(biomes, ",").as("biomes"))
   }
 
+  /** merge_summary_annotations (data_ingestion helpers.py:58-68): the last
+    * step of spatial_annotation_pipeline merges the per-accession climate
+    * summary and biogeo summary. The reference CoGroupByKeys the two
+    * summary streams and dict-merges `{**climate, **biogeo}` with an
+    * empty dict for an absent side — i.e. a FULL OUTER join on accession
+    * with the shared `species` key coalesced biogeo-first (later dict
+    * wins). Both subtrees already end in an accession-keyed hash
+    * aggregate, so at scale the merge co-partitions on the same key and
+    * AQE broadcast-joins the (accession-grain, tiny) frames. */
+  def spatialSummaryJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = climSummary(s, dir).withColumnRenamed("species", "c_species")
+    val b = biogeoSummary(s, dir).withColumnRenamed("species", "b_species")
+    c.join(b, Seq("accession"), "full_outer")
+      .select(col("accession"),
+        coalesce(col("b_species"), col("c_species")).as("species"),
+        col("n"), col("bio1_mean"), col("bio1_sd"), col("bio1_med"),
+        col("bio1_p5"), col("bio1_p95"), col("bio1_min"), col("bio1_max"),
+        col("bio12_mean"), col("bio12_min"), col("bio12_max"),
+        col("n_realms"), col("realms"), col("n_biomes"), col("biomes"))
+  }
+
   private val BIOGEO_PAIRS_SQL: String =
     s"""pairs AS (
        |  SELECT DISTINCT occ_id, accession, species, realm
@@ -594,15 +615,24 @@ object DomainQueries {
         coalesce(col("realms"), lit("")).as("realms"))
   }
 
-  /** collect_metadata_experiments_assemblies (airflow dependencies):
-    * gather each sample's related records into one ordered list — a
-    * collect_list aggregation (serialized to a string for the oracle's
-    * sake; the library keeps it an array column). */
+  /** collect_metadata_experiments_assemblies (airflow dependencies) +
+    * parse_data_records (beam common_functions.py:38-54): gather each
+    * sample's related records into one ordered list, plus the two fields
+    * the reference also collects — the `analyses` sub-list (orders in
+    * final status stand in for analysis records) and the
+    * `images_available` flag (true if ANY related record carries it; the
+    * reference's last-assignment over feed order is equivalent because
+    * records only set it when true). All four outputs come from ONE
+    * aggregation — a single shuffle, no per-field regroup. */
   def metaCollectRelated(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
       .groupBy(col("o_custkey").as("sample_id"))
       .agg(count(lit(1)).as("n_related"),
-        array_join(array_sort(collect_list(col("o_orderkey"))), ",").as("related_ids"))
+        array_join(array_sort(collect_list(col("o_orderkey"))), ",").as("related_ids"),
+        // collect_list skips nulls: only final-status orders enter the list
+        array_join(array_sort(collect_list(
+          when(col("o_orderstatus") === "F", col("o_orderkey")))), ",").as("analyses"),
+        max(col("o_orderpriority") === "1-URGENT").as("images_available"))
 
   /** classify_samples (beam map_functions.py:31): multi-way classification
     * with per-class tallies; the symbiont test reads a field out of the
@@ -699,6 +729,7 @@ object DomainQueries {
     "clim_summary" -> (climSummary _),
     "biogeo_annotate" -> (biogeoAnnotate _),
     "biogeo_summary" -> (biogeoSummary _),
+    "spatial_summary_join" -> (spatialSummaryJoin _),
     "range_bbox" -> (rangeBbox _),
     "tax_validate_split" -> (taxValidateSplit _),
     "tax_lineage" -> (taxLineage _),
@@ -713,6 +744,36 @@ object DomainQueries {
     "events_hopping" -> (eventsHopping _),
     "events_session_window" -> (eventsSessionWindow _),
     "events_sessionize" -> (eventsSessionize _))
+
+  /** Oracle bodies shared between the standalone summary queries and the
+    * [[spatialSummaryJoin]] composition. */
+  private lazy val CLIM_SUMMARY_SELECT: String =
+    s"""SELECT accession, species, n,
+       |  CAST(sx AS DOUBLE) / n AS bio1_mean,
+       |  ROUND(SQRT(GREATEST(CAST(sx2 AS DOUBLE) / n
+       |    - POW(CAST(sx AS DOUBLE) / n, 2), 0.0)), 2) AS bio1_sd,
+       |  ${pctSql("0.5")} AS bio1_med,
+       |  ${pctSql("0.05")} AS bio1_p5,
+       |  ${pctSql("0.95")} AS bio1_p95,
+       |  bio1_min, bio1_max,
+       |  CAST(s12 AS DOUBLE) / n AS bio12_mean,
+       |  bio12_min, bio12_max
+       |FROM (SELECT accession, MIN(species) AS species, COUNT(*) AS n,
+       |    SUM(CAST(bio1 AS DECIMAL(18,6))) AS sx,
+       |    SUM(CAST(bio1 AS DECIMAL(18,6)) * CAST(bio1 AS DECIMAL(18,6))) AS sx2,
+       |    list_sort(list(bio1)) AS arr,
+       |    MIN(bio1) AS bio1_min, MAX(bio1) AS bio1_max,
+       |    SUM(CAST(bio12 AS DECIMAL(18,6))) AS s12,
+       |    MIN(bio12) AS bio12_min, MAX(bio12) AS bio12_max
+       |  FROM clim GROUP BY accession)""".stripMargin
+
+  private lazy val BIOGEO_SUMMARY_SELECT: String =
+    """SELECT accession, species,
+      |  CAST(COUNT(DISTINCT realm) AS BIGINT) AS n_realms,
+      |  string_agg(DISTINCT realm, ',' ORDER BY realm) AS realms,
+      |  CAST(COUNT(DISTINCT biome) AS BIGINT) AS n_biomes,
+      |  string_agg(DISTINCT biome, ',' ORDER BY biome) AS biomes
+      |FROM bg GROUP BY accession, species""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "occ_clean_coords" -> withSql(OCC_SQL, VALID_SQL)(
@@ -765,25 +826,7 @@ object DomainQueries {
         |FROM valid""".stripMargin),
     "clim_annotate" -> withSql(OCC_SQL, VALID_SQL, CLIM_SQL)(
       "SELECT occ_id, accession, species, n_cells, bio1, bio12 FROM clim"),
-    "clim_summary" -> withSql(OCC_SQL, VALID_SQL, CLIM_SQL)(
-      s"""SELECT accession, species, n,
-         |  CAST(sx AS DOUBLE) / n AS bio1_mean,
-         |  ROUND(SQRT(GREATEST(CAST(sx2 AS DOUBLE) / n
-         |    - POW(CAST(sx AS DOUBLE) / n, 2), 0.0)), 2) AS bio1_sd,
-         |  ${pctSql("0.5")} AS bio1_med,
-         |  ${pctSql("0.05")} AS bio1_p5,
-         |  ${pctSql("0.95")} AS bio1_p95,
-         |  bio1_min, bio1_max,
-         |  CAST(s12 AS DOUBLE) / n AS bio12_mean,
-         |  bio12_min, bio12_max
-         |FROM (SELECT accession, MIN(species) AS species, COUNT(*) AS n,
-         |    SUM(CAST(bio1 AS DECIMAL(18,6))) AS sx,
-         |    SUM(CAST(bio1 AS DECIMAL(18,6)) * CAST(bio1 AS DECIMAL(18,6))) AS sx2,
-         |    list_sort(list(bio1)) AS arr,
-         |    MIN(bio1) AS bio1_min, MAX(bio1) AS bio1_max,
-         |    SUM(CAST(bio12 AS DECIMAL(18,6))) AS s12,
-         |    MIN(bio12) AS bio12_min, MAX(bio12) AS bio12_max
-         |  FROM clim GROUP BY accession)""".stripMargin),
+    "clim_summary" -> withSql(OCC_SQL, VALID_SQL, CLIM_SQL)(CLIM_SUMMARY_SELECT),
     "biogeo_annotate" -> withSql(OCC_SQL, VALID_SQL, REGIONS_SQL, BIOGEO_JOINED_SQL)(
       """SELECT occ_id, accession, species,
         |  CAST(COUNT(DISTINCT realm) AS BIGINT) AS n_realms,
@@ -792,12 +835,16 @@ object DomainQueries {
         |  string_agg(DISTINCT biome, ',' ORDER BY biome) AS biomes
         |FROM bg GROUP BY occ_id, accession, species""".stripMargin),
     "biogeo_summary" -> withSql(OCC_SQL, VALID_SQL, REGIONS_SQL, BIOGEO_JOINED_SQL)(
-      """SELECT accession, species,
-        |  CAST(COUNT(DISTINCT realm) AS BIGINT) AS n_realms,
-        |  string_agg(DISTINCT realm, ',' ORDER BY realm) AS realms,
-        |  CAST(COUNT(DISTINCT biome) AS BIGINT) AS n_biomes,
-        |  string_agg(DISTINCT biome, ',' ORDER BY biome) AS biomes
-        |FROM bg GROUP BY accession, species""".stripMargin),
+      BIOGEO_SUMMARY_SELECT),
+    "spatial_summary_join" -> withSql(OCC_SQL, VALID_SQL, CLIM_SQL, REGIONS_SQL,
+        BIOGEO_JOINED_SQL)(
+      s"""SELECT COALESCE(c.accession, b.accession) AS accession,
+         |  COALESCE(b.species, c.species) AS species,
+         |  n, bio1_mean, bio1_sd, bio1_med, bio1_p5, bio1_p95,
+         |  bio1_min, bio1_max, bio12_mean, bio12_min, bio12_max,
+         |  n_realms, realms, n_biomes, biomes
+         |FROM ($CLIM_SUMMARY_SELECT) c
+         |FULL JOIN ($BIOGEO_SUMMARY_SELECT) b ON c.accession = b.accession""".stripMargin),
     "range_bbox" -> withSql(OCC_SQL, VALID_SQL)(
       """SELECT species, COUNT(*) AS n_points,
         |  CASE WHEN COUNT(*) >= 3 THEN
@@ -894,7 +941,11 @@ object DomainQueries {
         |FROM events GROUP BY 1""".stripMargin,
     "meta_collect_related" ->
       """SELECT o_custkey AS sample_id, COUNT(*) AS n_related,
-        |  string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS related_ids
+        |  string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS related_ids,
+        |  COALESCE(string_agg(CASE WHEN o_orderstatus = 'F'
+        |      THEN CAST(o_orderkey AS VARCHAR) END, ',' ORDER BY o_orderkey), '')
+        |    AS analyses,
+        |  MAX(o_orderpriority = '1-URGENT') AS images_available
         |FROM orders GROUP BY o_custkey""".stripMargin,
     "cleaning_summary" -> withSql(OCC_SQL, VALID_SQL, LAND_SQL, CENT_SQL, CLEANED_SQL)(
       """SELECT t.species, total_records,

@@ -16,16 +16,25 @@ import org.apache.spark.sql.functions._
   */
 object Records {
 
-  /** The library API: full nested record. */
+  /** The library API: full nested record. Besides experiments and
+    * assemblies, parse_data_records (common_functions.py:38-54) also
+    * collects the `analyses` list (modeled as a count of final-status
+    * related orders) and the `images_available` flag (true when ANY
+    * related record carries it) — both ride the same related-records
+    * aggregate, no extra shuffle. */
   def portalRecords(s: SparkSession, dir: String): DataFrame = {
     val experiments = t(s, dir, "orders")
       .groupBy(col("o_custkey"))
       .agg(count(lit(1)).as("n_experiments"),
-        sum(when(col("o_totalprice") > 200000, 1L).otherwise(0L)).as("n_assemblies"))
+        sum(when(col("o_totalprice") > 200000, 1L).otherwise(0L)).as("n_assemblies"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_analyses"),
+        max(col("o_orderpriority") === "1-URGENT").as("imgs"))
     t(s, dir, "customer")
       .join(experiments, col("c_custkey") === col("o_custkey"), "left_outer")
       .select(
         concat(lit("ACC"), col("c_custkey").cast("string")).as("accession"),
+        coalesce(col("n_analyses"), lit(0L)).as("n_analyses"),
+        coalesce(col("imgs"), lit(false)).as("images_available"),
         // Raw data wins over assemblies wins over plain submission
         // (map_functions.py:74-80).
         when(coalesce(col("n_experiments"), lit(0L)) > 0, "Raw Data - Submitted")
@@ -61,6 +70,7 @@ object Records {
   def portalRecordsFlat(s: SparkSession, dir: String): DataFrame =
     portalRecords(s, dir).select(
       col("accession"), col("tracking_status"), col("taxId"),
+      col("n_analyses"), col("images_available"),
       expr("array_join(transform(customFields, f -> " +
         "concat(f.name, ':', f.value, '|', f.unit, '|', f.ontology_term)), ';')")
         .as("custom_fields"),
@@ -180,10 +190,41 @@ object Records {
           .otherwise("Submitted to BioSamples").as("current_status"),
         col("dwh_key").isin("624", "1773", "2697049").as("blocked"))
 
+  /** remove_duplicated_metadata_records (beam common_functions.py:78-94):
+    * per accession keep the record whose trackingSystem rank is HIGHEST
+    * (Submitted to BioSamples=1 < Raw Data=2 < Assemblies=3). The
+    * reference's dict pass replaces only on strictly-greater rank, i.e.
+    * keeps the FIRST record seen at the winning rank — over an ordered
+    * feed that is the lowest record id, modeled as a deterministic
+    * min-record-id tie-break. One max_by HASH aggregate (partials combine
+    * map-side), not a row_number window, which would sort-shuffle every
+    * record to rank the one survivor. Each order stands in for one
+    * metadata record of its customer's accession (orderstatus →
+    * trackingSystem, as in [[portalRecords]]). */
+  def dedupRecords(s: SparkSession, dir: String): DataFrame = {
+    val rnk = when(col("trackingSystem") === "Assemblies - Submitted", 3)
+      .when(col("trackingSystem") === "Raw Data - Submitted", 2)
+      .otherwise(1)
+    t(s, dir, "orders")
+      .select(concat(lit("ACC"), col("o_custkey").cast("string")).as("accession"),
+        col("o_orderkey").as("record_id"),
+        when(col("o_orderstatus") === "F", "Assemblies - Submitted")
+          .when(col("o_orderstatus") === "O", "Raw Data - Submitted")
+          .otherwise("Submitted to BioSamples").as("trackingSystem"))
+      .groupBy("accession")
+      .agg(
+        max_by(struct(col("record_id"), col("trackingSystem")),
+          struct(rnk.as("r"), (-col("record_id")).as("inv"))).as("best"),
+        count(lit(1)).as("n_records"))
+      .select(col("accession"), col("best.record_id").as("record_id"),
+        col("best.trackingSystem").as("trackingSystem"), col("n_records"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "meta_portal_records" -> (portalRecordsFlat _),
     "meta_dwh_records" -> (dwhRecords _),
-    "meta_taxon_rollup" -> (taxonRollup _))
+    "meta_taxon_rollup" -> (taxonRollup _),
+    "meta_dedup_records" -> (dedupRecords _))
 
   private val DWH_SQL =
       """WITH e AS (
@@ -258,6 +299,8 @@ object Records {
         |       WHEN COALESCE(n_assemblies, 0) > 0 THEN 'Assemblies - Submitted'
         |       ELSE 'Submitted to BioSamples' END AS tracking_status,
         |  c_custkey AS taxId,
+        |  COALESCE(n_analyses, 0) AS n_analyses,
+        |  COALESCE(images_available, FALSE) AS images_available,
         |  'mktsegment:' || c_mktsegment || '||;'
         |    || 'acctbal:' || CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR) || '|USD|;'
         |    || 'geographic location:nation_' || CAST(c_nationkey AS VARCHAR)
@@ -267,6 +310,24 @@ object Records {
         |FROM customer LEFT JOIN (
         |  SELECT o_custkey, COUNT(*) AS n_experiments,
         |    CAST(SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS n_assemblies
-        |  FROM orders GROUP BY o_custkey) e ON c_custkey = o_custkey""".stripMargin)
+        |      AS n_assemblies,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_analyses,
+        |    MAX(o_orderpriority = '1-URGENT') AS images_available
+        |  FROM orders GROUP BY o_custkey) e ON c_custkey = o_custkey""".stripMargin,
+    "meta_dedup_records" ->
+      """SELECT accession, record_id, trackingSystem, n_records FROM (
+        |  SELECT accession, record_id, trackingSystem,
+        |    COUNT(*) OVER (PARTITION BY accession) AS n_records,
+        |    ROW_NUMBER() OVER (PARTITION BY accession
+        |      ORDER BY rnk DESC, record_id) AS rn
+        |  FROM (SELECT 'ACC' || CAST(o_custkey AS VARCHAR) AS accession,
+        |          o_orderkey AS record_id,
+        |          CASE WHEN o_orderstatus = 'F' THEN 'Assemblies - Submitted'
+        |               WHEN o_orderstatus = 'O' THEN 'Raw Data - Submitted'
+        |               ELSE 'Submitted to BioSamples' END AS trackingSystem,
+        |          CASE WHEN o_orderstatus = 'F' THEN 3
+        |               WHEN o_orderstatus = 'O' THEN 2 ELSE 1 END AS rnk
+        |        FROM orders))
+        |WHERE rn = 1""".stripMargin)
 }
