@@ -242,14 +242,18 @@ object SketchQueries {
     *
     * Assignment is an argmax HASH aggregate (max_by over the broadcast
     * codebook cross join — partials combine map-side), not a row_number
-    * window (which sort-shuffles all C×|corpus| scored rows); the query
-    * probe list is the same aggregate with [[graft.functions.TopKByScore]]
-    * in place of max_by. The assigned set is localCheckpoint'd (eager)
-    * before the query/data branch so the cross-join subtree runs once,
-    * not once per side of the self-join — and, unlike `.persist()`, the
-    * blocks are released by the ContextCleaner once the result frame is
-    * dropped, so repeated invocations in one session (Verify, Bench)
-    * never accumulate cache. */
+    * window (which sort-shuffles all C×|corpus| scored rows). The
+    * assigned set is NOT materialized: it feeds exactly one consumer (the
+    * data-side probe join), so the r3 localCheckpoint had become pure
+    * overhead — and THAT (+0.55 s measured) was the r3 0.45→1.34 s bench
+    * movement, not the nprobe doubling (nprobe 1 vs 2 probe within noise;
+    * graft.Probe, sf0.1 / local[32], full query ≈1.03 s checkpoint-free).
+    * Two literal-codebook zero-shuffle assignment variants were measured
+    * and REJECTED: array_max over (dot, cid) structs is CodegenFallback,
+    * dragging the 512-term dot subtree onto the interpreted per-row path
+    * (2.6 s), and a scalar when-chain argmax gets each dot column inlined
+    * ~7× by CollapseProject with no cross-expression subexpression reuse
+    * (16-27 s). The one-shuffle hash aggregate is the fast shape. */
   def ivfTopk(s: SparkSession, dir: String): DataFrame = ivfTopk(s, dir, 2)
 
   private[graft] def ivfTopk(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
@@ -267,7 +271,6 @@ object SketchQueries {
       .agg(max_by(struct(col("cid"), col("v")),
         struct(col("cdot"), (lit(C) - col("cid")).as("inv"))).as("best"))
       .select(col("vec_id"), col("best.cid").as("cid"), col("best.v").as("v"))
-      .localCheckpoint()
     val probeK = udaf(new graft.functions.TopKByScore(nprobe))
     val q = emb.filter(col("vec_id") < 5).crossJoin(broadcast(cents))
       .select(col("vec_id"), col("v"), col("cid"), dotc.as("cdot"))
