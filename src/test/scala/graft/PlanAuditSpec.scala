@@ -35,4 +35,27 @@ class PlanAuditSpec extends SparkSpec {
     val stale = whitelist.keys.filterNot(SparkEntry.queries.contains)
     assert(stale.isEmpty, s"whitelist entries for unknown queries: ${stale.mkString(", ")}")
   }
+
+  /** Exchange-count gates for the heaviest queries: a lost broadcast or an
+    * extra shuffle shows up here as a hard failure instead of only moving
+    * a bench number. Bounds are the CURRENT plan's count — tighten them if
+    * a plan improves; never loosen without a written reason. (dedup_cluster
+    * is excluded: its plan is rebuilt per convergence round.) */
+  private val maxExchanges: Map[String, Int] = Map(
+    "q01_agg_summary" -> 1, // one partial-aggregated shuffle
+    "q03_join_agg" -> 1, // both dims broadcast; one agg shuffle
+    "dedup_ngram_jaccard" -> 4, // shingle agg + posting agg + pair agg + AQE size joins
+    "dedup_minhash_lsh" -> 4, // signature agg + band agg + two sig join sides
+    "dedup_simhash" -> 3, // fingerprint agg + band-bucket agg + pair dedup
+    "sim_ivf_topk" -> 3, // assignment agg + probe agg + rerank agg
+    "events_asof" -> 1) // the ONE union-tag window exchange
+
+  test("heavy queries stay within their exchange budgets") {
+    val over = maxExchanges.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+      val n = "(?m)^\\s*[+:*-]*\\s*\\(?\\d*\\)?\\s*Exchange ".r.findAllIn(plan).size
+      if (n > cap) Some(s"$name: $n exchanges > cap $cap") else None
+    }
+    assert(over.isEmpty, over.mkString("; "))
+  }
 }
