@@ -175,17 +175,116 @@ object TextPrep {
       |       ELSE 'holdout' END AS split
       |FROM documents""".stripMargin
 
+  /** Corpus-frequency rarity scoring — the unigram-LM quality-signal
+    * shape without the cross-engine hazard: a true logprob score sums
+    * ln() outputs, and libm implementations differ in the last ulp, so
+    * instead the score stays in EXACT integer/rational space — mean
+    * corpus frequency of the doc's tokens (long sums / count) and the
+    * hapax fraction (tokens seen nowhere else). Boilerplate scores a high
+    * mean frequency and near-zero hapax share; rich natural text the
+    * opposite. Plan: one token explode, one vocabulary aggregate, one
+    * (big-big, AQE-planned) hash join on the token, one per-doc
+    * aggregate — every stage hash-partitioned, no driver state. */
+  def textRarity(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("w"))
+    val freq = toks.groupBy("w").agg(count(lit(1)).as("c"))
+    toks.join(freq, Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        (sum(col("c")).cast("double") / count(lit(1))).as("mean_token_freq"),
+        (sum(when(col("c") === 1, 1L).otherwise(0L)).cast("double") / count(lit(1)))
+          .as("hapax_frac"))
+  }
+
+  private val RARITY_SQL =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      |  FROM documents),
+      |freq AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w)
+      |SELECT doc_id, COUNT(*) AS n_tokens,
+      |  CAST(SUM(c) AS DOUBLE) / COUNT(*) AS mean_token_freq,
+      |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+      |    AS hapax_frac
+      |FROM toks JOIN freq USING (w) GROUP BY doc_id""".stripMargin
+
+  private[graft] val PACK_BUDGET = 1024L
+  private[graft] val PACK_BUCKETS = 16L
+
+  /** Sequence packing — greedy concatenation of documents into
+    * fixed-token-budget training examples (the step between curation and
+    * the trainer): docs are bucketed (doc_id mod B), each bucket is
+    * scanned in doc_id order, and an example closes when the next doc
+    * would overflow the budget; an oversized doc gets its own example.
+    * Packing is inherently a stateful sequential scan, so this is one of
+    * the few justified mapPartitions: repartition on bucket +
+    * sortWithinPartitions gives each bucket as a contiguous sorted run
+    * inside one partition, and the scan streams it with O(1) state —
+    * no per-bucket buffering, so bucket size is unbounded and B only
+    * sets parallelism (at 100 TB, B ≈ cluster cores × a few). The
+    * deterministic doc order (never row order) keeps assignment stable
+    * under retries. Oracle: DuckDB recursive CTE replaying the same
+    * greedy walk per bucket. */
+  def dataPackSequences(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select((col("doc_id") % PACK_BUCKETS).as("bucket"), col("doc_id"),
+        size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
+          .cast("long").as("n_tokens"))
+      .as[(Long, Long, Long)]
+      .repartition(col("bucket"))
+      .sortWithinPartitions("bucket", "doc_id")
+      .mapPartitions { it =>
+        var curBucket = Long.MinValue
+        var acc = 0L
+        var ex = 0L
+        it.map { case (b, id, tok) =>
+          if (b != curBucket) { curBucket = b; ex = 0L; acc = tok }
+          else if (acc + tok > PACK_BUDGET) { ex += 1; acc = tok }
+          else acc += tok
+          (b, id, tok, ex)
+        }
+      }
+      .toDF("bucket", "doc_id", "n_tokens", "example_id")
+  }
+
+  private val PACK_SQL =
+    s"""WITH RECURSIVE d AS (
+       |  SELECT doc_id % $PACK_BUCKETS AS bucket, doc_id,
+       |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+       |      AS n_tokens,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id % $PACK_BUCKETS
+       |      ORDER BY doc_id) AS rn
+       |  FROM documents),
+       |walk AS (
+       |  SELECT bucket, doc_id, n_tokens, rn, n_tokens AS acc,
+       |    CAST(0 AS BIGINT) AS example_id
+       |  FROM d WHERE rn = 1
+       |  UNION ALL
+       |  SELECT d.bucket, d.doc_id, d.n_tokens, d.rn,
+       |    CASE WHEN w.acc + d.n_tokens > $PACK_BUDGET
+       |         THEN d.n_tokens ELSE w.acc + d.n_tokens END,
+       |    CASE WHEN w.acc + d.n_tokens > $PACK_BUDGET
+       |         THEN w.example_id + 1 ELSE w.example_id END
+       |  FROM d JOIN walk w ON d.bucket = w.bucket AND d.rn = w.rn + 1)
+       |SELECT bucket, doc_id, n_tokens, example_id FROM walk""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "text_scrub" -> (textScrub _),
     "text_stopword_filter" -> (textStopwordFilter _),
     "text_length_deciles" -> (textLengthDeciles _),
     "text_repetition" -> (textRepetition _),
-    "data_split_hash" -> (dataSplitHash _))
+    "data_split_hash" -> (dataSplitHash _),
+    "text_rarity" -> (textRarity _),
+    "data_pack_sequences" -> (dataPackSequences _))
 
   val oracle: Map[String, String] = Map(
     "text_scrub" -> SCRUB_SQL,
     "text_stopword_filter" -> STOPWORD_SQL,
     "text_length_deciles" -> DECILES_SQL,
     "text_repetition" -> REPETITION_SQL,
-    "data_split_hash" -> SPLIT_SQL)
+    "data_split_hash" -> SPLIT_SQL,
+    "text_rarity" -> RARITY_SQL,
+    "data_pack_sequences" -> PACK_SQL)
 }
