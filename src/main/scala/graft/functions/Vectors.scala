@@ -8,21 +8,24 @@ import org.apache.spark.sql.functions._
   * The natural `aggregate(zip_with(a, b, _*_), 0.0, _+_)` formulation runs
   * on Spark's interpreted expression path (no codegen for lambda
   * functions) — measured ~20× slower than an unrolled sum on 64-dim
-  * vectors. `dot` unrolls to `a[1]*b[1] + … + a[dim]*b[dim]`, which
-  * whole-stage codegen compiles to a straight-line float kernel, with the
-  * same left-to-right addition order as a sequential fold (bit-identical
-  * results, matching DuckDB's list_dot_product).
+  * vectors. An unrolled `a[1]*b[1] + … + a[dim]*b[dim]` chain is
+  * codegen'd but still pays `2·dim` bounds-checked element_at calls per
+  * row; [[graft.functions.DotF]] is the end state — a single native
+  * codegen'd loop over the columnar ArrayData with the same left-to-right
+  * double accumulation (bit-identical results, matching DuckDB's
+  * list_dot_product).
   */
 object Vectors {
 
-  /** Unrolled dot product of two `dim`-length numeric array columns.
-    * Elements are cast to double individually — do NOT pre-cast the whole
-    * array with `transform(...)`: Catalyst inlines the array-rebuilding
-    * HOF into every element_at term, re-materializing the array `dim`
-    * times per row (measured 3× slower than even the interpreted fold). */
-  def dot(a: Column, b: Column, dim: Int = 64): Column =
-    (1 to dim).map(i =>
-      element_at(a, i).cast("double") * element_at(b, i).cast("double")).reduce(_ + _)
+  /** Native codegen'd dot product of two float-array columns (see
+    * [[DotF]]); `dim` is kept for signature stability but unused — the
+    * loop reads the actual array length. Do NOT pre-cast arrays with
+    * `transform(...)`: Catalyst inlines the array-rebuilding HOF into
+    * every consumer, re-materializing the array per reference. */
+  def dot(a: Column, b: Column, dim: Int = 64): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    column(DotF(expression(a), expression(b)))
+  }
 
   /** Fold-based dot product (any length; interpreted path — use only off
     * the hot path or for dynamic dimensions). */

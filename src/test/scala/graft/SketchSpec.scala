@@ -39,6 +39,22 @@ class SketchSpec extends SparkSpec {
     assert(h === 1 + 2 + 3 + 1) // 'ab', '1', '2', 3 bytes of ⚡, 'x'
   }
 
+  test("dot_f native expression matches the unrolled element_at chain") {
+    val emb = Tables.t(spark, sf, "embeddings")
+    val pairs = emb.filter(col("vec_id") < 20).select(col("embedding").as("a"))
+      .crossJoin(emb.filter(col("vec_id").between(20, 39)).select(col("embedding").as("b")))
+    val unrolled = (1 to 64).map(i =>
+      element_at(col("a"), i).cast("double") * element_at(col("b"), i).cast("double"))
+      .reduce(_ + _)
+    val native = graft.functions.Vectors.dot(col("a"), col("b"))
+    assert(pairs.select((unrolled === native).as("eq")).where(!col("eq")).count() === 0)
+    // interpreted path (codegen disabled) must agree bit-for-bit too
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      assert(pairs.select((unrolled === native).as("eq")).where(!col("eq")).count() === 0)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
   test("minhash LSH finds exact duplicates with est_jaccard 1.0") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val other = "completely different words describing nothing similar at all here now ok"
