@@ -220,11 +220,42 @@ object Records {
         col("best.trackingSystem").as("trackingSystem"), col("n_records"))
   }
 
+  /** update_summary_index (airflow update_summary_index.py:20-63): the
+    * portal's landing summary — for every aggregation facet, the top-20
+    * value counts, routed into sections (tracking facets → "status",
+    * taxonomy → "phylogeny", the rest → "projects") with "Waiting"
+    * buckets excluded. The reference issues one server-side ES terms-agg
+    * per facet; here ALL facets unpivot in a single scan (stack
+    * generator), count in one hash aggregate, and take their top-20 via
+    * row_number ≤ k — which Spark plans as WindowGroupLimit: each
+    * partial pushes only k rows per facet into the window shuffle. */
+  def summaryFacets(s: SparkSession, dir: String): DataFrame = {
+    val pairs = dwhRecords(s, dir)
+      .filter(col("error_message").isNull)
+      .select(expr(
+        "stack(6, 'sample_type', sample_type, 'tracking_system', tracking_system, " +
+          "'lifestage', lifestage, 'habitat', habitat, 'country', country, " +
+          "'organism', organism) AS (facet, bucket_key)"))
+      .filter(col("bucket_key") =!= "Waiting")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("facet").orderBy(col("doc_count").desc, col("bucket_key"))
+    pairs.groupBy("facet", "bucket_key").agg(count(lit(1)).as("doc_count"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 20)
+      .select(
+        when(col("facet") === "tracking_system", "status")
+          .when(col("facet") === "organism", "phylogeny")
+          .otherwise("projects").as("section"),
+        col("facet"), col("bucket_key"), col("doc_count"),
+        col("rnk").cast("long").as("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "meta_portal_records" -> (portalRecordsFlat _),
     "meta_dwh_records" -> (dwhRecords _),
     "meta_taxon_rollup" -> (taxonRollup _),
-    "meta_dedup_records" -> (dedupRecords _))
+    "meta_dedup_records" -> (dedupRecords _),
+    "meta_summary_facets" -> (summaryFacets _))
 
   private val DWH_SQL =
       """WITH e AS (
@@ -329,5 +360,27 @@ object Records {
         |          CASE WHEN o_orderstatus = 'F' THEN 3
         |               WHEN o_orderstatus = 'O' THEN 2 ELSE 1 END AS rnk
         |        FROM orders))
-        |WHERE rn = 1""".stripMargin)
+        |WHERE rn = 1""".stripMargin,
+    "meta_summary_facets" ->
+      s"""WITH dwh AS ($DWH_SQL),
+         |ok AS (SELECT * FROM dwh WHERE error_message IS NULL),
+         |pairs AS (
+         |  SELECT 'sample_type' AS facet, sample_type AS bucket_key FROM ok
+         |  UNION ALL SELECT 'tracking_system', tracking_system FROM ok
+         |  UNION ALL SELECT 'lifestage', lifestage FROM ok
+         |  UNION ALL SELECT 'habitat', habitat FROM ok
+         |  UNION ALL SELECT 'country', country FROM ok
+         |  UNION ALL SELECT 'organism', organism FROM ok),
+         |counts AS (
+         |  SELECT facet, bucket_key, COUNT(*) AS doc_count FROM pairs
+         |  WHERE bucket_key != 'Waiting' GROUP BY facet, bucket_key),
+         |ranked AS (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY facet
+         |    ORDER BY doc_count DESC, bucket_key) AS BIGINT) AS rnk
+         |  FROM counts)
+         |SELECT CASE WHEN facet = 'tracking_system' THEN 'status'
+         |            WHEN facet = 'organism' THEN 'phylogeny'
+         |            ELSE 'projects' END AS section,
+         |  facet, bucket_key, doc_count, rnk
+         |FROM ranked WHERE rnk <= 20""".stripMargin)
 }
