@@ -226,13 +226,19 @@ object TextPrep {
     * deterministic doc order (never row order) keeps assignment stable
     * under retries. Oracle: DuckDB recursive CTE replaying the same
     * greedy walk per bucket. */
-  def dataPackSequences(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    t(s, dir, "documents")
-      .select((col("doc_id") % PACK_BUCKETS).as("bucket"), col("doc_id"),
-        size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
-          .cast("long").as("n_tokens"))
-      .as[(Long, Long, Long)]
+  def dataPackSequences(s: SparkSession, dir: String): DataFrame =
+    packTokenRows(
+      t(s, dir, "documents")
+        .select((col("doc_id") % PACK_BUCKETS).as("bucket"), col("doc_id"),
+          size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
+            .cast("long").as("n_tokens")),
+      PACK_BUDGET)
+
+  /** Core packing walk over (bucket, doc_id, n_tokens) rows — see
+    * [[dataPackSequences]] for the contract. */
+  private[graft] def packTokenRows(rows: DataFrame, budget: Long): DataFrame = {
+    import rows.sparkSession.implicits._
+    rows.as[(Long, Long, Long)]
       .repartition(col("bucket"))
       .sortWithinPartitions("bucket", "doc_id")
       .mapPartitions { it =>
@@ -241,7 +247,7 @@ object TextPrep {
         var ex = 0L
         it.map { case (b, id, tok) =>
           if (b != curBucket) { curBucket = b; ex = 0L; acc = tok }
-          else if (acc + tok > PACK_BUDGET) { ex += 1; acc = tok }
+          else if (acc + tok > budget) { ex += 1; acc = tok }
           else acc += tok
           (b, id, tok, ex)
         }

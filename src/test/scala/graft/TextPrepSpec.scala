@@ -40,6 +40,43 @@ class TextPrepSpec extends SparkSpec {
     assert(again.sortBy(_._2).toSeq === packed.sortBy(_._2).toSeq)
   }
 
+  test("sequence packing property: random sizes incl. oversized/empty docs") {
+    val rnd = new scala.util.Random(11)
+    val budget = 100L
+    // sizes span empty, tiny, near-budget, and over-budget docs
+    val rows = (0L until 400L).map { id =>
+      val tok = rnd.nextInt(4) match {
+        case 0 => 0L
+        case 1 => rnd.nextInt(20).toLong
+        case 2 => 80L + rnd.nextInt(40)
+        case _ => budget + 1 + rnd.nextInt(50)
+      }
+      (id % 7, id, tok)
+    }
+    val packed = TextPrep.packTokenRows(rows.toDF("bucket", "doc_id", "n_tokens"), budget)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(packed.map(_._2).sorted.toSeq === rows.map(_._2).sorted)
+    for (((b, ex), grp) <- packed.groupBy(r => (r._1, r._4))) {
+      val total = grp.map(_._3).sum
+      assert(total <= budget || grp.length == 1,
+        s"bucket $b example $ex overflows with ${grp.length} docs / $total tokens")
+      // an oversized doc is always alone in its example
+      if (grp.exists(_._3 > budget))
+        assert(grp.length == 1, s"oversized doc co-packed in bucket $b example $ex")
+    }
+    // replay the sequential reference walk per bucket
+    val expect = rows.groupBy(_._1).flatMap { case (b, rs) =>
+      var acc = -1L; var ex = 0L
+      rs.sortBy(_._2).map { case (_, id, tok) =>
+        if (acc < 0) { acc = tok }
+        else if (acc + tok > budget) { ex += 1; acc = tok }
+        else acc += tok
+        (b, id, tok, ex)
+      }
+    }.toSeq.sortBy(_._2)
+    assert(packed.sortBy(_._2).toSeq === expect)
+  }
+
   test("text_rarity: exact-duplicate docs share tokens, hapax drops to zero") {
     val docs = Seq(
       (1L, "aardvark zyzzyva qoph xylem"), // all hapax vs doc 3's words
