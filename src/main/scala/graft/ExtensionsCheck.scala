@@ -19,7 +19,11 @@ object ExtensionsCheck {
     assert(viaSql == direct, s"extension registration broken: $viaSql != $direct")
     val viaExpr = spark.range(1).selectExpr("rolling_hash('graft') AS h").head().getLong(0)
     assert(viaExpr == direct)
-    println(s"OK rolling_hash('graft') = $viaSql")
+    val dot = spark.sql(
+      "SELECT dot_f(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(3.0 AS FLOAT), CAST(0.5 AS FLOAT))) AS d").head().getDouble(0)
+    assert(dot == 1.5 * 3.0 + 2.0 * 0.5, s"dot_f registration broken: $dot")
+    println(s"OK rolling_hash('graft') = $viaSql, dot_f = $dot")
     spark.stop()
   }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BpeEncode, RollingHash, TokenCount}
+import graft.functions.{BpeEncode, DotF, RollingHash, TokenCount}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -27,6 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("bpe_encode"),
       new ExpressionInfo(classOf[BpeEncode].getName, "bpe_encode"),
       (children: Seq[Expression]) => BpeEncode(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("dot_f"),
+      new ExpressionInfo(classOf[DotF].getName, "dot_f"),
+      (children: Seq[Expression]) => DotF(children.head, children(1))))
     ext.injectOptimizerRule(session => plans.RangeJoinRule(() =>
       session.conf.get("spark.graft.rangeJoin.binWidth", "0").toLong))
   }

@@ -34,6 +34,8 @@ object Probe {
 
     time("ivf_nprobe1") { operators.SketchQueries.ivfTopk(spark, sfDir, 1) }
     time("ivf_nprobe2") { operators.SketchQueries.ivfTopk(spark, sfDir, 2) }
+    time("jaccard_pairs") { operators.TextQueries.dedupNgramJaccard(spark, sfDir) }
+    time("cluster_full") { operators.Graphs.dedupCluster(spark, sfDir) }
     spark.stop()
   }
 }
