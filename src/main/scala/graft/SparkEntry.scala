@@ -16,5 +16,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     operators.CoreQueries.oracle ++ operators.DomainQueries.oracle ++
       operators.TextQueries.oracle ++ operators.TextPrep.oracle ++
-      operators.Records.oracle ++ operators.EventJoins.oracle ++ operators.TextRank.oracle ++ operators.Graphs.oracle ++ operators.SketchQueries.oracle
+      operators.Records.oracle ++ operators.EventJoins.oracle ++ operators.TextRank.oracle ++ operators.Graphs.oracle ++ operators.SketchQueries.oracle ++ operators.Multimodal.oracle
 }

@@ -38,21 +38,25 @@ object Multimodal {
       .as[MediaRecord]
   }
 
-  /** STUB decode: deterministic 16-bin byte histogram, L1-normalized.
-    * A real implementation would decode pixels/samples here. */
-  def decodeFeatures(payload: Array[Byte]): Array[Double] = {
-    val hist = new Array[Double](16)
+  /** STUB decode, integer core: 16-bin high-nibble byte histogram. A real
+    * implementation would decode pixels/samples here. Kept in exact count
+    * space so the checkable projection can carry a cross-engine oracle
+    * (DuckDB recomputes the nibbles from `hex(encode(text))`). */
+  def decodeCounts(payload: Array[Byte]): Array[Long] = {
+    val hist = new Array[Long](16)
     var i = 0
     while (i < payload.length) {
-      hist((payload(i) & 0xff) >> 4) += 1.0
+      hist((payload(i) & 0xff) >> 4) += 1L
       i += 1
-    }
-    if (payload.length > 0) {
-      var j = 0
-      while (j < 16) { hist(j) /= payload.length; j += 1 }
     }
     hist
   }
+
+  /** L1-normalized feature vector over [[decodeCounts]] — the consumer-
+    * facing embedding shape. */
+  def decodeFeatures(payload: Array[Byte]): Array[Double] =
+    if (payload.length == 0) new Array[Double](16)
+    else decodeCounts(payload).map(_.toDouble / payload.length)
 
   /** Partition-wise feature extraction: one decoder init per partition
     * (the `it =>` prelude is where codec/model handles would be opened),
@@ -79,15 +83,49 @@ object Multimodal {
     }.toDF("media_id", "chunk_idx", "chunk")
   }
 
-  /** Checkable projection: the features vector is serialized to one string
-    * column (the driver's rows-only pandas compare cannot sort array
-    * cells). The typed Dataset from [[extractFeatures]] stays the API. */
-  def multimodalMeta(s: SparkSession, dir: String): DataFrame =
-    extractFeatures(fromDocuments(s, dir)).toDF()
-      .select(col("media_id"), col("kind"), col("n_bytes"),
-        expr("array_join(transform(features, x -> cast(x as string)), ',')")
-          .as("features"))
+  /** Checkable projection: the INTEGER nibble counts serialized to one
+    * string column — exact long arithmetic both engines render
+    * identically, which upgrades this query from rows-only to a full
+    * DuckDB hash oracle (normalized doubles would re-open the
+    * double→string rendering divergence). The typed Dataset from
+    * [[extractFeatures]] stays the consumer API; the counts exercise the
+    * same decode core. */
+  def multimodalMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    fromDocuments(s, dir)
+      .mapPartitions { it =>
+        // per-partition decoder initialization would go here
+        it.map(r => (r.media_id, r.kind, r.payload.length.toLong,
+          decodeCounts(r.payload).mkString(",")))
+      }
+      .toDF("media_id", "kind", "n_bytes", "nibble_counts")
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta" -> (multimodalMeta _))
+
+  /** The oracle rebuilds each byte's high nibble from the hex encoding of
+    * the UTF-8 payload: byte i ⟺ hex chars (2i+1, 2i+2), and the first of
+    * the pair IS the high nibble. A doc × 16-bin grid left join fills the
+    * empty bins with 0 so the joined string always has 16 entries. */
+  val oracle: Map[String, String] = Map(
+    "multimodal_meta" ->
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind
+        |  FROM documents),
+        |nib AS (
+        |  SELECT doc_id, strpos('0123456789ABCDEF', substr(hx, 2 * i + 1, 1)) - 1 AS bin
+        |  FROM b, LATERAL unnest(generate_series(0, CAST(len(hx) // 2 - 1 AS BIGINT))) t(i)),
+        |cnt AS (SELECT doc_id, bin, COUNT(*) AS k FROM nib GROUP BY doc_id, bin),
+        |grid AS (SELECT doc_id, gs.g AS bin FROM b, generate_series(0, 15) gs(g)),
+        |filled AS (
+        |  SELECT g.doc_id, g.bin, COALESCE(c.k, 0) AS k
+        |  FROM grid g LEFT JOIN cnt c ON g.doc_id = c.doc_id AND g.bin = c.bin)
+        |SELECT b.doc_id AS media_id, b.kind, b.n_bytes,
+        |  (SELECT string_agg(CAST(k AS VARCHAR), ',' ORDER BY bin)
+        |   FROM filled f WHERE f.doc_id = b.doc_id) AS nibble_counts
+        |FROM b""".stripMargin)
 }
