@@ -285,9 +285,10 @@ object SketchQueries {
         .select(col("qid"), col("vec_id"), dot.as("dot")), 10)
   }
 
-  /** Exact convex-hull range area (rows-only counterpart of range_bbox);
+  /** Exact convex-hull range area (hull sibling of range_bbox);
     * <3 points → NULL area + the reference's explanatory note
-    * (transforms.py:915-921). */
+    * (transforms.py:915-921). Full DuckDB oracle via the hull-edge
+    * characterization (see oracle below). */
   def rangeConvexHull(s: SparkSession, dir: String): DataFrame = {
     val hullArea = udaf(new ConvexHullAreaKm2())
     DomainQueries.valid(s, dir)
@@ -299,7 +300,9 @@ object SketchQueries {
         when(col("raw") < 0, lit("Insufficient points for convex hull")).as("note"))
   }
 
-  /** Document fingerprint via the native rolling_hash Expression. */
+  /** Document fingerprint via the native rolling_hash Expression. Full
+    * DuckDB oracle: the mod-2^61-1 polynomial fold is exact integer
+    * arithmetic both engines can replay (see oracle below). */
   def textFingerprint(s: SparkSession, dir: String): DataFrame = {
     register(s)
     t(s, dir, "documents")
@@ -334,6 +337,63 @@ object SketchQueries {
     * rebuilds band keys with the same '_'-concatenation, so candidate
     * generation (not just the final estimate) is cross-checked. */
   val oracle: Map[String, String] = Map(
+    // The polynomial rolling hash h = (h*31 + byte) mod 2^61-1 is exact
+    // integer arithmetic: DuckDB replays it over the UTF-8 bytes (via the
+    // hex encoding) in HUGEINT space with list_reduce — h*31+b < 2^66
+    // never overflows int128, and the prepended 0 seeds the fold so empty
+    // documents hash to 0 exactly like RollingHash.hashBytes.
+    "text_fingerprint" ->
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+        |bytes AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(0, CAST(len(hx) // 2 - 1 AS BIGINT)),
+        |      i -> CAST((strpos('0123456789ABCDEF', substr(hx, 2*i+1, 1)) - 1) * 16
+        |              + (strpos('0123456789ABCDEF', substr(hx, 2*i+2, 1)) - 1) AS HUGEINT)) AS bs
+        |  FROM b)
+        |SELECT doc_id,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT), bs),
+        |       (h, x) -> (h * 31 + x) % 2305843009213693951) AS BIGINT) AS fp
+        |FROM bytes""".stripMargin,
+    // Hull-edge characterization instead of a hull walk: a directed pair
+    // (p,q) is a ccw hull edge iff every other point is strictly left of
+    // p→q, or collinear and strictly inside the segment (so three
+    // collinear boundary points contribute ONE spanning edge, exactly
+    // what the strict monotone chain keeps). The shoelace term sum over
+    // the edge SET is order-independent as a set aggregate; the ~1e-9 km²
+    // double noise is absorbed by ROUND(_, 2), legal here because the
+    // EPSG:6933 projection (sin/radians) is irrational. Cross-checked
+    // against a Python mirror of ConvexHullAreaKm2 on all 50 sf0.01
+    // groups before landing.
+    "range_convex_hull" ->
+      ("WITH " + DomainQueries.OCC_SQL + ",\n" + DomainQueries.VALID_SQL + ",\n" +
+        """pts AS (SELECT DISTINCT species, lon, lat FROM valid),
+          |cnt AS (SELECT species, CAST(COUNT(*) AS BIGINT) AS n_points
+          |        FROM valid GROUP BY species),
+          |edges AS (
+          |  SELECT p.species, p.lon AS px, p.lat AS py, q.lon AS qx, q.lat AS qy
+          |  FROM pts p JOIN pts q ON p.species = q.species
+          |    AND NOT (p.lon = q.lon AND p.lat = q.lat)
+          |  WHERE NOT EXISTS (
+          |    SELECT 1 FROM pts r
+          |    WHERE r.species = p.species
+          |      AND NOT (r.lon = p.lon AND r.lat = p.lat)
+          |      AND NOT (r.lon = q.lon AND r.lat = q.lat)
+          |      AND ((q.lon - p.lon) * (r.lat - p.lat) - (q.lat - p.lat) * (r.lon - p.lon) < 0
+          |        OR ((q.lon - p.lon) * (r.lat - p.lat) - (q.lat - p.lat) * (r.lon - p.lon) = 0
+          |            AND NOT ((r.lon - p.lon) * (q.lon - p.lon) + (r.lat - p.lat) * (q.lat - p.lat) > 0
+          |                 AND (r.lon - p.lon) * (q.lon - p.lon) + (r.lat - p.lat) * (q.lat - p.lat)
+          |                     < (q.lon - p.lon) * (q.lon - p.lon) + (q.lat - p.lat) * (q.lat - p.lat)))))),
+          |area AS (
+          |  SELECT species,
+          |    ABS(SUM( (CAST(6378137 AS DOUBLE) * radians(px) * cos(radians(CAST(30 AS DOUBLE))))
+          |           * (CAST(6378137 AS DOUBLE) * sin(radians(qy)) / cos(radians(CAST(30 AS DOUBLE))))
+          |           - (CAST(6378137 AS DOUBLE) * radians(qx) * cos(radians(CAST(30 AS DOUBLE))))
+          |           * (CAST(6378137 AS DOUBLE) * sin(radians(py)) / cos(radians(CAST(30 AS DOUBLE)))) ))
+          |      / 2 / CAST(1000000 AS DOUBLE) AS raw
+          |  FROM edges GROUP BY species)
+          |SELECT c.species, c.n_points, ROUND(a.raw, 2) AS area_km2,
+          |  CASE WHEN a.raw IS NULL THEN 'Insufficient points for convex hull' END AS note
+          |FROM cnt c LEFT JOIN area a USING (species)""".stripMargin),
     "sim_lsh_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |d AS (SELECT e.vec_id, p,
