@@ -187,7 +187,36 @@ object CoreQueries {
         col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_mktsegment"))
 
+  /** KMV (k-minimum-values) distinct-count sketch — the deterministic,
+    * cross-engine sibling of q14's HLL: per group keep the k smallest
+    * distinct 60-bit md5-prefix hashes; estimate = (k-1)·2^60 / h_k (or
+    * the exact sketch size when it never fills). The plan is the true
+    * sketch shape: distinct on (group, hash) partial-aggregates map-side,
+    * then the k-bounded TopKByScore buffer combines map-side too, so the
+    * final shuffle carries O(k) per group — never the key universe,
+    * unlike an exact count distinct. Hash order is preserved through the
+    * Double score because Long→Double is monotone and exact ties fall
+    * back to the exact Long id. */
+  def q17(s: SparkSession, dir: String): DataFrame = {
+    val K = 64
+    val kmv = udaf(new graft.functions.TopKByScore(K))
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag"),
+        expr("cast(conv(substring(md5(cast(cast(l_partkey as string) as binary)), 1, 15), 16, 10) as bigint)")
+          .as("h"))
+      .distinct()
+      .groupBy("l_returnflag")
+      .agg(kmv(col("h"), negate(col("h").cast("double"))).as("sk"))
+      .select(col("l_returnflag"),
+        size(col("sk")).cast("long").as("n_kept"),
+        element_at(col("sk"), -1)("_1").as("kth_hash"),
+        when(size(col("sk")) < K, size(col("sk")).cast("double"))
+          .otherwise(lit((K - 1).toDouble) * lit(1152921504606846976L).cast("double")
+            / element_at(col("sk"), -1)("_1").cast("double")).as("kmv_distinct"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q17_kmv_distinct" -> (q17 _),
     "q13_pivot" -> (q13 _),
     "q14_approx_distinct" -> (q14 _),
     "q15_scalar_subquery" -> (q15 _),
@@ -210,6 +239,22 @@ object CoreQueries {
   private val DP = "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))"
 
   val oracle: Map[String, String] = Map(
+    "q17_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT l_returnflag,
+        |    ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM lineitem),
+        |r AS (SELECT l_returnflag, h,
+        |        ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+        |      FROM h),
+        |sk AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |         MAX(h) AS kth_hash
+        |       FROM r WHERE rn <= 64 GROUP BY l_returnflag)
+        |SELECT l_returnflag, n_kept, kth_hash,
+        |  CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+        |       ELSE CAST(63 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+        |            / CAST(kth_hash AS DOUBLE) END AS kmv_distinct
+        |FROM sk""".stripMargin,
     "q13_pivot" ->
       """SELECT user_id,
         |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,

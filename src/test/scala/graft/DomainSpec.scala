@@ -125,6 +125,21 @@ class DomainSpec extends SparkSpec {
     }
   }
 
+  test("KMV sketch estimate lands within 30% of exact distinct") {
+    // k=64 ⇒ expected relative error ~1/sqrt(62) ≈ 13%; 30% is a safe
+    // deterministic bound for the 3 lineitem return-flag groups.
+    val kmv = CoreQueries.q17(spark, sf)
+      .select("l_returnflag", "kmv_distinct").as[(String, Double)].collect().toMap
+    val exact = Tables.t(spark, sf, "lineitem")
+      .groupBy("l_returnflag").agg(countDistinct("l_partkey").as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(kmv.keySet === exact.keySet)
+    for ((k, a) <- kmv) {
+      val e = exact(k).toDouble
+      assert(math.abs(a - e) / e < 0.30, s"$k: kmv $a vs exact $e")
+    }
+  }
+
   test("core topk returns exactly 10 descending rows") {
     val v = CoreQueries.q04(spark, sf).select("total_spent").as[Double].collect()
     assert(v.length === 10)
