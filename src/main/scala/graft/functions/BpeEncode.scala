@@ -57,12 +57,19 @@ object BpeEncode {
     ("s", "t"), ("l", "e"), ("c", "o"), ("d", "e"), ("r", "o"),
     ("de", "r"), ("or", "d"), ("st", "a"), ("ou", "t"), ("re", "s"))
 
+  private def idOf(tok: String): Int =
+    if (tok.length == 1) tok.charAt(0).toInt
+    else 256 + Merges.indexWhere { case (a, b) => a + b == tok }
+
+  /** Merge table packed as `leftId * 1024 + rightId` in rank order — the
+    * cross-engine form the DuckDB oracle inlines (token ids < 1024), so
+    * the oracle SQL is generated from THIS table and cannot drift. */
+  def packedKeys: Seq[Int] =
+    Merges.map { case (a, b) => idOf(a) * 1024 + idOf(b) }
+
   // (leftId, rightId) -> merged id, built over byte ids then merge ids
   private val table: java.util.HashMap[Long, Integer] = {
     val m = new java.util.HashMap[Long, Integer]()
-    def idOf(tok: String): Int =
-      if (tok.length == 1) tok.charAt(0).toInt
-      else 256 + Merges.indexWhere { case (a, b) => a + b == tok }
     Merges.zipWithIndex.foreach { case ((a, b), rank) =>
       m.put((idOf(a).toLong << 32) | idOf(b).toLong, 256 + rank)
     }

@@ -312,8 +312,9 @@ object SketchQueries {
   /** True-BPE token counts via the native bpe_encode Expression (fixed
     * merge table, greedy lowest-rank fusion) next to the byte length —
     * the compression ratio is the curation signal (boilerplate compresses
-    * hard, natural text less so). Codegen'd end to end; rows-only (no
-    * SQL-expressible equivalent), semantics spec-tested in SketchSpec. */
+    * hard, natural text less so). Codegen'd end to end; the greedy merge
+    * loop is replayed per word in DuckDB as a recursive CTE (full hash
+    * oracle), semantics also spec-tested in SketchSpec. */
   def textBpeTokens(s: SparkSession, dir: String): DataFrame = {
     register(s)
     t(s, dir, "documents")
@@ -336,7 +337,54 @@ object SketchQueries {
     * oracle long-forms the signature as (doc_id, seed_i, min) rows and
     * rebuilds band keys with the same '_'-concatenation, so candidate
     * generation (not just the final estimate) is cross-checked. */
+  /** Greedy-BPE fuse step as SQL: the candidate list maps each adjacent
+    * token pair to its merged id via the packed literal merge table
+    * (generated from BpeEncode.Merges — cannot drift); `list_position`
+    * needs the `> 0` guard because DuckDB 1.0 returns 0, not NULL, for
+    * absent elements. */
+  private val bpeCand: String = {
+    val keys = graft.functions.BpeEncode.packedKeys.mkString("[", ",", "]")
+    s"""list_transform(generate_series(1, len(ids) - 1),
+       |      i -> CASE WHEN list_position($keys, ids[i] * 1024 + ids[i+1]) > 0
+       |                THEN 255 + list_position($keys, ids[i] * 1024 + ids[i+1]) END)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    // The greedy lowest-rank-first merge loop is replayed per word as a
+    // recursive CTE over token-id lists: each step fuses the leftmost
+    // occurrence of the minimal mergeable pair (list_min + list_position
+    // mirror `hit < bestId` keeping the first hit), terminal states are
+    // the rows with no mergeable pair, and spaces (byte 32) re-enter as
+    // len(split)-1 singleton tokens exactly like the kernel emits them.
+    "text_bpe_tokens" ->
+      s"""WITH RECURSIVE w AS (
+         |  SELECT doc_id, generate_subscripts(str_split(text, ' '), 1) AS wi,
+         |         unnest(str_split(text, ' ')) AS word
+         |  FROM documents),
+         |sp AS (SELECT doc_id, len(str_split(text, ' ')) - 1 AS n_sp,
+         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents),
+         |init AS (
+         |  SELECT doc_id, wi,
+         |    list_transform(generate_series(0, CAST(len(hx) // 2 - 1 AS BIGINT)),
+         |      i -> (strpos('0123456789ABCDEF', substr(hx, 2*i+1, 1)) - 1) * 16
+         |         + (strpos('0123456789ABCDEF', substr(hx, 2*i+2, 1)) - 1)) AS ids
+         |  FROM (SELECT doc_id, wi, hex(encode(word)) AS hx FROM w WHERE word <> '')),
+         |merged AS (
+         |  SELECT doc_id, wi, ids FROM init
+         |  UNION ALL
+         |  SELECT doc_id, wi, ids[:p-1] || [b] || ids[p+2:] AS ids
+         |  FROM (SELECT doc_id, wi, ids, list_min(cand) AS b,
+         |               list_position(cand, list_min(cand)) AS p
+         |        FROM (SELECT doc_id, wi, ids, $bpeCand AS cand FROM merged))
+         |  WHERE b IS NOT NULL),
+         |fin AS (
+         |  SELECT doc_id, wi, len(ids) AS n
+         |  FROM (SELECT doc_id, wi, ids, $bpeCand AS cand FROM merged)
+         |  WHERE list_min(cand) IS NULL),
+         |wsum AS (SELECT doc_id, CAST(COALESCE(SUM(n), 0) AS BIGINT) AS nw
+         |         FROM fin GROUP BY doc_id)
+         |SELECT s.doc_id, CAST(COALESCE(w2.nw, 0) + s.n_sp AS BIGINT) AS n_bpe, s.n_bytes
+         |FROM sp s LEFT JOIN wsum w2 ON s.doc_id = w2.doc_id""".stripMargin,
     // The polynomial rolling hash h = (h*31 + byte) mod 2^61-1 is exact
     // integer arithmetic: DuckDB replays it over the UTF-8 bytes (via the
     // hex encoding) in HUGEINT space with list_reduce — h*31+b < 2^66
