@@ -4,15 +4,17 @@ import graft.Tables.t
 import graft.functions.{ConvexHullAreaKm2, RollingHash}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Sketch/ANN/geometry operators — the 100 TB-scale paths for the §2c
   * additions. Round 3 moved MinHash, SimHash and both ANN variants onto
   * cross-engine-computable primitives (md5-prefix hashes, deterministic
-  * integer hyperplanes, left-to-right dot products), so they now carry
-  * full DuckDB hash oracles; only the genuinely engine-specific rest
-  * (custom codegen expressions, HLL, convex hull, binary stubs) stays
-  * rows-only with spec coverage.
+  * integer hyperplanes, left-to-right dot products), so they carry full
+  * DuckDB hash oracles; round 4 extended the same discipline to the
+  * rolling-hash fingerprint (HUGEINT fold replay), the convex hull
+  * (hull-edge characterization) and greedy BPE (recursive-CTE merge
+  * replay), leaving only the genuinely engine-specific HLL rows-only.
   *
   *  - MinHash+LSH near-dup: signatures via shingle explode + 32 codegen'd
   *    `min(h ^ seed)` aggregates (ONE partial-aggregated shuffle — the
@@ -195,15 +197,14 @@ object SketchQueries {
       .dropDuplicates("doc1", "doc2")
   }
 
-  /** Random-hyperplane LSH bucketing + exact rerank: the scale path for
-    * sim_cosine_topk (only same-bucket candidates are scored). */
-  def simLshTopk(s: SparkSession, dir: String): DataFrame = {
-    // 6 planes → 64 buckets: sized so buckets hold enough candidates for
-    // top-10 recall at the test scales; at production scale this rises
-    // with corpus size (buckets ≈ corpus / desired candidate-set size).
-    // Plane projections as codegen'd SUM aggregates over exploded dims
-    // (interpreted-HOF avoidance, cf. minhashPairs); integer-weight
-    // pseudo-random hyperplanes w(p,j) = (p*131 + j*31) % 19 - 9.
+  /** Random-hyperplane bucket per vector: 6 planes → 64 buckets, sized so
+    * buckets hold enough candidates for top-k recall at the test scales;
+    * at production scale this rises with corpus size (buckets ≈ corpus /
+    * desired candidate-set size). Plane projections as codegen'd SUM
+    * aggregates over exploded dims (interpreted-HOF avoidance, cf.
+    * minhashPairs); integer-weight pseudo-random hyperplanes
+    * w(p,j) = (p*131 + j*31) % 19 - 9, exactly recomputable in DuckDB. */
+  private def lshBuckets(s: SparkSession, dir: String): DataFrame = {
     val planes = 6
     val dotCols = (0 until planes).map { p =>
       sum(col("x") * ((lit(p) * 131 + col("j") * 31) % 19 - 9)).as(s"d$p")
@@ -211,15 +212,20 @@ object SketchQueries {
     val bucketCol = (0 until planes).map(p =>
       when(col(s"d$p") > 0, lit(1L << (planes - 1 - p))).otherwise(0L))
       .reduce(_ + _)
-    val buckets = t(s, dir, "embeddings")
+    t(s, dir, "embeddings")
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("j", "xf")))
       .withColumn("x", col("xf").cast("double"))
       .groupBy("vec_id")
       .agg(dotCols.head, dotCols.tail: _*)
       .select(col("vec_id"), bucketCol.as("bucket"))
+  }
+
+  /** Random-hyperplane LSH bucketing + exact rerank: the scale path for
+    * sim_cosine_topk (only same-bucket candidates are scored). */
+  def simLshTopk(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").as("v"))
-      .join(buckets, Seq("vec_id"))
+      .join(lshBuckets(s, dir), Seq("vec_id"))
     val q = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket"))
     val d = emb.filter(col("vec_id") >= 5)
@@ -227,6 +233,59 @@ object SketchQueries {
     Rerank.topK(
       d.join(broadcast(q), Seq("bucket"))
         .select(col("qid"), col("vec_id"), dot.as("dot")), 10)
+  }
+
+  /** k-NN graph over the whole corpus: every vector's top-5 same-bucket
+    * neighbors — the primitive that clustering, near-dup mining and
+    * diversity sampling consume downstream. Plan: one bucket-assignment
+    * pass (codegen'd plane sums), a bucket-key self-join whose candidate
+    * count is bounded by bucket occupancy (bucket count scales with the
+    * corpus at production so occupancy stays flat — SURVEY §5), then the
+    * k-bounded map-side TopKByScore rerank, so the final shuffle carries
+    * O(k) per vector. */
+  def simKnnGraph(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").as("v"))
+      .join(lshBuckets(s, dir), Seq("vec_id"))
+    val nbrs = emb.select(col("bucket"), col("vec_id").as("nid"), col("v").as("w"))
+    val dot = graft.functions.Vectors.dot(col("qv"), col("w"))
+    Rerank.topK(
+      emb.select(col("bucket"), col("vec_id").as("qid"), col("v").as("qv"))
+        .join(nbrs, Seq("bucket"))
+        .filter(col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid").as("vec_id"), dot.as("dot")), 5)
+  }
+
+  /** Winnowing document fingerprint (the MOSS scheme): hash every
+    * 3-token shingle, slide a window of 4 hashes, keep each window's min
+    * — any shared token run of length ≥ 6 between two documents is then
+    * guaranteed to share a fingerprint. Exact integer outputs (window
+    * count, distinct-fingerprint count, XOR digest of the distinct set)
+    * make the whole pipeline a DuckDB hash oracle. Plan: one exchange on
+    * doc_id feeds both window passes (lead-composed shingles, then the
+    * running min — same partitioning and order, so Spark plans a single
+    * sort), and the final per-doc aggregate reuses the partitioning. */
+  def textWinnowing(s: SparkSession, dir: String): DataFrame = {
+    val W = 4
+    val wOrd = Window.partitionBy("doc_id").orderBy("pos")
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
+          .as(Seq("pos", "tok")))
+    val grams = toks
+      .withColumn("t1", lead("tok", 1).over(wOrd))
+      .withColumn("t2", lead("tok", 2).over(wOrd))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"), col("pos"),
+        expr("cast(conv(substring(md5(cast(concat_ws(' ', tok, t1, t2) as binary)), 1, 15), 16, 10) as bigint)")
+          .as("h"))
+    grams
+      .withColumn("m", min(col("h")).over(wOrd.rowsBetween(-(W - 1), 0)))
+      .filter(col("pos") >= W - 1)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        count_distinct(col("m")).as("n_fp"),
+        expr("bit_xor(DISTINCT m)").as("fp_xor"))
   }
 
   /** IVF-style ANN: assign every vector to its nearest "centroid" (here
@@ -328,6 +387,8 @@ object SketchQueries {
     "dedup_simhash" -> (dedupSimhash _),
     "sim_lsh_topk" -> (simLshTopk _),
     "sim_ivf_topk" -> (ivfTopk _),
+    "sim_knn_graph" -> (simKnnGraph _),
+    "text_winnowing" -> (textWinnowing _),
     "range_convex_hull" -> (rangeConvexHull _),
     "text_fingerprint" -> (textFingerprint _),
     "text_bpe_tokens" -> (textBpeTokens _))
@@ -442,6 +503,43 @@ object SketchQueries {
           |SELECT c.species, c.n_points, ROUND(a.raw, 2) AS area_km2,
           |  CASE WHEN a.raw IS NULL THEN 'Insufficient points for convex hull' END AS note
           |FROM cnt c LEFT JOIN area a USING (species)""".stripMargin),
+    "sim_knn_graph" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |d AS (SELECT e.vec_id, p,
+        |        list_dot_product(v, list_transform(generate_series(0, 63),
+        |          j -> CAST((p * 131 + j * 31) % 19 - 9 AS DOUBLE))) AS dp
+        |      FROM e CROSS JOIN generate_series(0, 5) t(p)),
+        |bkt AS (SELECT vec_id,
+        |          CAST(SUM(CASE WHEN dp > 0 THEN (1::BIGINT << (5 - p)) ELSE 0 END)
+        |            AS BIGINT) AS bucket
+        |        FROM d GROUP BY vec_id),
+        |eb AS (SELECT e.vec_id, v, bucket FROM e JOIN bkt USING (vec_id)),
+        |sims AS (SELECT a.vec_id AS qid, b.vec_id AS vec_id,
+        |           list_dot_product(a.v, b.v) AS dot
+        |         FROM eb a JOIN eb b
+        |           ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+        |SELECT qid, vec_id, dot, rank FROM (
+        |  SELECT qid, vec_id, dot,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id)
+        |      AS BIGINT) AS rank
+        |  FROM sims) WHERE rank <= 5""".stripMargin,
+    "text_winnowing" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+        |  FROM documents),
+        |g AS (SELECT doc_id, i AS pos,
+        |        ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] AS g
+        |      FROM tok, LATERAL unnest(generate_series(0, len(ts) - 3)) t(i)),
+        |h AS (SELECT doc_id, pos, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h FROM g),
+        |w AS (SELECT doc_id, pos,
+        |        MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS m
+        |      FROM h),
+        |f AS (SELECT doc_id, m FROM w WHERE pos >= 3)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+        |  CAST(COUNT(DISTINCT m) AS BIGINT) AS n_fp,
+        |  bit_xor(DISTINCT m) AS fp_xor
+        |FROM f GROUP BY doc_id""".stripMargin,
     "sim_lsh_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |d AS (SELECT e.vec_id, p,

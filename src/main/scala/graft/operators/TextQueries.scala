@@ -216,7 +216,27 @@ object TextQueries {
     out.toDF("v1", "v2", "cos_sim")
   }
 
+  /** Gini–Simpson lexical diversity: 1 − Σ(cᵢ/N)² per document — a
+    * boilerplate/concentration quality signal (spammy pages concentrate
+    * token mass; natural prose spreads it). Computed as (N² − Σcᵢ²)/N²
+    * entirely in exact BIGINT space so the single final double division
+    * is the only float op — cross-engine deterministic without any
+    * rounding. Plan: explode → (doc, tok) count → per-doc aggregate, both
+    * shuffles partial-aggregated map-side and keyed by doc_id so the
+    * second reuses the first's partitioning. */
+  def textDiversity(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(col("c") * col("c")).as("s2"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        ((col("n_tokens") * col("n_tokens") - col("s2")).cast("double") /
+          (col("n_tokens") * col("n_tokens")).cast("double")).as("simpson"))
+
   val queries: Map[String, Q] = Map(
+    "text_diversity" -> (textDiversity _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
@@ -226,6 +246,18 @@ object TextQueries {
     "sim_cosine_topk" -> (simCosineTopk _))
 
   val oracle: Map[String, String] = Map(
+    "text_diversity" -> withSql(TOK_SQL)(
+      """SELECT doc_id, n_tokens, n_types,
+        |  CAST(n_tokens * n_tokens - s2 AS DOUBLE)
+        |    / CAST(n_tokens * n_tokens AS DOUBLE) AS simpson
+        |FROM (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(*) AS BIGINT) AS n_types,
+        |    CAST(SUM(c * c) AS BIGINT) AS s2
+        |  FROM (SELECT doc_id, tk, COUNT(*) AS c
+        |        FROM (SELECT doc_id, unnest(ts) AS tk FROM tok)
+        |        GROUP BY doc_id, tk)
+        |  GROUP BY doc_id)""".stripMargin),
     "dedup_embedding_cosine" ->
       """SELECT a.vec_id AS v1, b.vec_id AS v2,
         |  list_dot_product(CAST(a.embedding AS DOUBLE[]),

@@ -240,6 +240,58 @@ class SketchSpec extends SparkSpec {
     assert(got.as[(Long, Seq[Int])].collect().toSeq.sortBy(_._1) === kernel)
   }
 
+  test("knn graph: <=5 neighbors per vector, dot descending, symmetric candidates") {
+    val g = SketchQueries.simKnnGraph(spark, sf)
+      .select("qid", "vec_id", "dot", "rank").as[(Long, Long, Double, Long)].collect()
+    assert(g.nonEmpty)
+    val byQ = g.groupBy(_._1)
+    assert(byQ.values.forall(_.length <= 5))
+    for ((_, rows) <- byQ) {
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._3).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+      assert(sorted.map(_._4).toSeq === (1L to sorted.length))
+    }
+    assert(g.forall(r => r._1 != r._2)) // no self edges
+  }
+
+  test("winnowing: shared >=6-token run guarantees a shared fingerprint") {
+    // the winnowing property: window w=4 over k=3 shingles ⇒ any common
+    // substring of w+k-1 = 6 tokens shares at least one selected min.
+    import org.apache.spark.sql.SaveMode
+    val run = "quick brown foxes jump over lazy"
+    val docs = Seq(
+      (0L, s"alpha beta $run gamma delta epsilon"),
+      (1L, s"one two three four $run five six"),
+      (2L, "totally unrelated words only here nothing shared at all")
+    ).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("winnow").toString
+    docs.write.mode(SaveMode.Overwrite).parquet(s"$tmp/documents.parquet")
+    val fps = SketchQueries.textWinnowing(spark, tmp)
+      .select("doc_id", "n_windows", "n_fp", "fp_xor")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // recompute the full fingerprint SETS via the same pipeline pieces to
+    // check overlap (the query returns digests, the property needs sets)
+    def fpSet(text: String): Set[Long] = {
+      val toks = "[a-z0-9]+".r.findAllIn(text.toLowerCase).toArray
+      val hs = toks.sliding(3).filter(_.length == 3).map { g =>
+        BigInt(java.security.MessageDigest.getInstance("MD5")
+          .digest(g.mkString(" ").getBytes("UTF-8")).map("%02x".format(_)).mkString
+          .take(15), 16).toLong
+      }.toArray
+      hs.sliding(4).filter(_.length == 4).map(_.min).toSet
+    }
+    val s0 = fpSet(s"alpha beta $run gamma delta epsilon")
+    val s1 = fpSet(s"one two three four $run five six")
+    val s2 = fpSet("totally unrelated words only here nothing shared at all")
+    assert((s0 & s1).nonEmpty)   // the guarantee
+    assert((s0 & s2).isEmpty)
+    // and the query's digests agree with the recomputed sets
+    assert(fps(0L)._3 === s0.size)
+    assert(fps(0L)._4 === s0.foldLeft(0L)(_ ^ _))
+    assert(fps(1L)._3 === s1.size)
+    assert(fps(1L)._4 === s1.foldLeft(0L)(_ ^ _))
+  }
+
   test("TopK rerank matches the ROW_NUMBER window, including NaN scores") {
     // Spark's ORDER BY dot DESC ranks NaN first; TopKByScore must impose
     // the same total order (java.lang.Double.compare), not primitive >,

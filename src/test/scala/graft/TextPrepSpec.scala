@@ -94,4 +94,19 @@ class TextPrepSpec extends SparkSpec {
     assert(scored(2L) === 0.0)
     assert(scored(3L) === 1.0) // every token unique to doc 3
   }
+
+  test("text_diversity: 0 for a single repeated token, 1 - 1/n for all-distinct") {
+    import org.apache.spark.sql.SaveMode
+    val docs = Seq(
+      (1L, "spam spam spam spam"),           // N=4, one type  → simpson 0
+      (2L, "alpha beta gamma delta epsilon") // N=5, all types → 1 - 1/5
+    ).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("diversity").toString
+    docs.write.mode(SaveMode.Overwrite).parquet(s"$tmp/documents.parquet")
+    val got = operators.TextQueries.textDiversity(spark, tmp)
+      .select("doc_id", "n_tokens", "n_types", "simpson")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 4L, 1L, 0.0)))
+    assert(got(2L) === ((2L, 5L, 5L, 0.8)))
+  }
 }
