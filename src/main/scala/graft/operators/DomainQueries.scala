@@ -714,9 +714,45 @@ object DomainQueries {
         (max(col("ts_ns")) - min(col("ts_ns"))).as("dur_ns"))
   }
 
+  /** Sequence-pattern match within sessions — the MATCH_RECOGNIZE /
+    * funnel-analysis shape: first view → first LATER click → first LATER
+    * purchase per 6h-gap session, with conversion latency. Plan: the
+    * ordered per-user window derives session ids (exchange #1), then
+    * three chained unordered min-if windows over (user, session) resolve
+    * the ordered pattern without any self-join (exchange #2 — each stage
+    * references the previous stage's window output as a per-session
+    * constant), and the final aggregate reuses that partitioning, so the
+    * whole pattern match is two shuffles regardless of pattern length. */
+  def eventsFunnel(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    val bySes = Window.partitionBy("user_id", "session_id")
+    val gapNs = 21600000000000L // 6h
+    events(s, dir)
+      .withColumn("is_new",
+        when(col("ts_ns") - lag(col("ts_ns"), 1).over(byUser) > gapNs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("is_new"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("t_view",
+        min(when(col("event_type") === "view", col("ts_ns"))).over(bySes))
+      .withColumn("t_click",
+        min(when(col("event_type") === "click" && col("ts_ns") > col("t_view"),
+          col("ts_ns"))).over(bySes))
+      .withColumn("t_purchase",
+        min(when(col("event_type") === "purchase" && col("ts_ns") > col("t_click"),
+          col("ts_ns"))).over(bySes))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("t_view")).as("t_view"),
+        min(col("t_click")).as("t_click"),
+        min(col("t_purchase")).as("t_purchase"))
+      .withColumn("conv_ns",
+        when(col("t_purchase").isNotNull, col("t_purchase") - col("t_view")))
+  }
+
   // -------------------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "events_funnel" -> (eventsFunnel _),
     "occ_clean_coords" -> (occCleanCoords _),
     "occ_uncertainty_band" -> (occUncertaintyBand _),
     "occ_land_filter" -> (occLandFilter _),
@@ -984,6 +1020,38 @@ object DomainQueries {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "events_funnel" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |            epoch_ns(ts) // 1000 * 1000 AS ts_ns FROM events),
+        |seq AS (
+        |  SELECT user_id, event_type, ts_ns,
+        |    CASE WHEN ts_ns - LAG(ts_ns) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id)
+        |              > 21600000000000 THEN 1 ELSE 0 END AS is_new,
+        |    event_id
+        |  FROM e),
+        |ses AS (
+        |  SELECT user_id, event_type, ts_ns,
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM seq),
+        |s1 AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts_ns END)
+        |              OVER (PARTITION BY user_id, session_id) AS t_view
+        |  FROM ses),
+        |s2 AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts_ns > t_view THEN ts_ns END)
+        |              OVER (PARTITION BY user_id, session_id) AS t_click
+        |  FROM s1),
+        |s3 AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts_ns > t_click THEN ts_ns END)
+        |              OVER (PARTITION BY user_id, session_id) AS t_purchase
+        |  FROM s2)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  MIN(t_view) AS t_view, MIN(t_click) AS t_click,
+        |  MIN(t_purchase) AS t_purchase,
+        |  CASE WHEN MIN(t_purchase) IS NOT NULL
+        |       THEN MIN(t_purchase) - MIN(t_view) END AS conv_ns
+        |FROM s3 GROUP BY user_id, session_id""".stripMargin,
     "events_sessionize" ->
       """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 * 1000 AS ts_ns FROM events),
         |seq AS (

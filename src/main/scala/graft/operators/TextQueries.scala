@@ -235,7 +235,41 @@ object TextQueries {
         ((col("n_tokens") * col("n_tokens") - col("s2")).cast("double") /
           (col("n_tokens") * col("n_tokens")).cast("double")).as("simpson"))
 
+  /** Curation funnel: the cumulative document-filter cascade every
+    * training-data pipeline runs (the text analogue of
+    * occ_clean_pipeline), reported as per-stage survivor counts — ascii
+    * ratio → token-length band → type-token ratio → digit-token ratio.
+    * All four signals are exact integer comparisons (ratios as
+    * cross-multiplications, never a float divide) computed in ONE narrow
+    * codegen'd projection over the scan — no joins, no explode — folding
+    * into a single-row aggregate that partial-aggregates map-side, so the
+    * whole funnel is one pass over the corpus at any scale. */
+  def textCurationFunnel(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        length(col("text")).as("n_chars_t"),
+        length(regexp_replace(col("text"), "[\\x20-\\x7e]", "")).as("n_nonascii"),
+        size(tokens(col("text"))).cast("long").as("n_tok"),
+        size(array_distinct(tokens(col("text")))).cast("long").as("n_dis"),
+        size(regexp_extract_all(lower(col("text")), lit("[0-9]+"), lit(0)))
+          .cast("long").as("n_dig"))
+      .select(
+        (col("n_nonascii") * 10 <= col("n_chars_t")).as("ascii_ok"),
+        col("n_tok").between(20L, 10000L).as("len_ok"),
+        (col("n_dis") * 10 >= col("n_tok") * 3).as("ttr_ok"),
+        (col("n_dig") * 5 <= col("n_tok")).as("dig_ok"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("ascii_ok"), 1L).otherwise(0L)).as("n_after_ascii"),
+        sum(when(col("ascii_ok") && col("len_ok"), 1L).otherwise(0L))
+          .as("n_after_len"),
+        sum(when(col("ascii_ok") && col("len_ok") && col("ttr_ok"), 1L)
+          .otherwise(0L)).as("n_after_ttr"),
+        sum(when(col("ascii_ok") && col("len_ok") && col("ttr_ok") && col("dig_ok"), 1L)
+          .otherwise(0L)).as("n_kept"))
+
   val queries: Map[String, Q] = Map(
+    "text_curation_funnel" -> (textCurationFunnel _),
     "text_diversity" -> (textDiversity _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
     "text_tokens" -> (textTokens _),
@@ -246,6 +280,28 @@ object TextQueries {
     "sim_cosine_topk" -> (simCosineTopk _))
 
   val oracle: Map[String, String] = Map(
+    // DuckDB regexp_replace needs the explicit 'g' flag (Spark's always
+    // replaces all matches).
+    "text_curation_funnel" ->
+      s"""WITH f AS (
+         |  SELECT length(text) AS n_chars_t,
+         |    length(regexp_replace(text, '[\\x20-\\x7e]', '', 'g')) AS n_nonascii,
+         |    CAST(len(regexp_extract_all(lower(text), '$TOKEN_RE')) AS BIGINT) AS n_tok,
+         |    CAST(len(list_distinct(regexp_extract_all(lower(text), '$TOKEN_RE'))) AS BIGINT) AS n_dis,
+         |    CAST(len(regexp_extract_all(lower(text), '[0-9]+')) AS BIGINT) AS n_dig
+         |  FROM documents),
+         |g AS (
+         |  SELECT n_nonascii * 10 <= n_chars_t AS ascii_ok,
+         |    n_tok BETWEEN 20 AND 10000 AS len_ok,
+         |    n_dis * 10 >= n_tok * 3 AS ttr_ok,
+         |    n_dig * 5 <= n_tok AS dig_ok
+         |  FROM f)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN ascii_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_after_ascii,
+         |  CAST(SUM(CASE WHEN ascii_ok AND len_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_after_len,
+         |  CAST(SUM(CASE WHEN ascii_ok AND len_ok AND ttr_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_after_ttr,
+         |  CAST(SUM(CASE WHEN ascii_ok AND len_ok AND ttr_ok AND dig_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM g""".stripMargin,
     "text_diversity" -> withSql(TOK_SQL)(
       """SELECT doc_id, n_tokens, n_types,
         |  CAST(n_tokens * n_tokens - s2 AS DOUBLE)

@@ -125,6 +125,25 @@ class DomainSpec extends SparkSpec {
     }
   }
 
+  test("events_funnel: pattern requires strict view<click<purchase order") {
+    val funnel = DomainQueries.eventsFunnel(spark, sf)
+      .select("n_events", "t_view", "t_click", "t_purchase", "conv_ns")
+      .as[(Long, Option[Long], Option[Long], Option[Long], Option[Long])].collect()
+    assert(funnel.nonEmpty)
+    for ((_, v, c, p, lat) <- funnel) {
+      // stage timestamps must be strictly increasing where present
+      for (tv <- v; tc <- c) assert(tc > tv)
+      for (tc <- c; tp <- p) assert(tp > tc)
+      // a later stage cannot exist without the earlier one
+      if (c.isDefined) assert(v.isDefined)
+      if (p.isDefined) assert(c.isDefined)
+      assert(lat.isDefined === p.isDefined)
+      for (tp <- p; tv <- v; l <- lat) assert(l === tp - tv)
+    }
+    // both converted and unconverted sessions exist in the testdata
+    assert(funnel.exists(_._4.isDefined) && funnel.exists(_._4.isEmpty))
+  }
+
   test("KMV sketch estimate lands within 30% of exact distinct") {
     // k=64 ⇒ expected relative error ~1/sqrt(62) ≈ 13%; 30% is a safe
     // deterministic bound for the 3 lineitem return-flag groups.
