@@ -48,7 +48,13 @@ class PlanAuditSpec extends SparkSpec {
     "dedup_minhash_lsh" -> 4, // signature agg + band agg + two sig join sides
     "dedup_simhash" -> 3, // fingerprint agg + band-bucket agg + pair dedup
     "sim_ivf_topk" -> 3, // assignment agg + probe agg + rerank agg
-    "events_asof" -> 1) // the ONE union-tag window exchange
+    "events_asof" -> 1, // the ONE union-tag window exchange
+    "text_winnowing" -> 1, // one doc_id exchange feeds both windows + agg
+    "events_funnel" -> 2, // per-user session window + per-session windows/agg
+    "text_diversity" -> 2, // (doc,tok) count + per-doc agg
+    "text_curation_funnel" -> 1, // single-row final agg after map-side partials
+    "q17_kmv_distinct" -> 2, // (flag,hash) distinct + k-bounded sketch agg
+    "sim_knn_graph" -> 3) // two bucket-assignment aggs (self-join sides) + rerank agg
 
   test("heavy queries stay within their exchange budgets") {
     val over = maxExchanges.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
