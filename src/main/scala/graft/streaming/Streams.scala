@@ -140,4 +140,52 @@ object Streams {
         out.iterator
     }
   }
+
+  case class FunnelState(start: Long, last: Long, n: Long,
+                         tView: Long, tClick: Long, tPurchase: Long) // -1 = unset
+  case class FunnelOut(user_id: Long, session_start_ns: Long, n_events: Long,
+                       converted: Boolean, conv_ns: Long) // -1 when not converted
+
+  /** Streaming counterpart of the batch events_funnel pattern match:
+    * per-user session state additionally tracks the first view, the first
+    * LATER click and the first LATER purchase — processing events in
+    * ascending ts order makes the incremental greedy update equivalent to
+    * the batch min-if windows (strict `>` on both stage transitions).
+    * Sessions close on gap expiry and emit whether the full pattern
+    * completed plus the view→purchase latency. State per user is one
+    * fixed-size record — bounded regardless of stream length. Input:
+    * (user_id, ts_ns, event_type). */
+  def funnel(events: Dataset[(Long, Long, String)], gapNs: Long,
+             emitOpen: Boolean = false): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    def out(uid: Long, st: FunnelState): FunnelOut =
+      FunnelOut(uid, st.start, st.n, st.tPurchase >= 0,
+        if (st.tPurchase >= 0) st.tPurchase - st.tView else -1L)
+    def advance(st: FunnelState, tm: Long, tpe: String): FunnelState = {
+      var (v, c, p) = (st.tView, st.tClick, st.tPurchase)
+      if (tpe == "view" && v < 0) v = tm
+      else if (tpe == "click" && v >= 0 && c < 0 && tm > v) c = tm
+      else if (tpe == "purchase" && c >= 0 && p < 0 && tm > c) p = tm
+      FunnelState(st.start, tm, st.n + 1, v, c, p)
+    }
+    events.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (uid: Long, it: Iterator[(Long, Long, String)], state: GroupState[FunnelState]) =>
+        val evs = it.map(e => (e._2, e._3)).toArray.sortBy(_._1)
+        val res = ArrayBuffer.empty[FunnelOut]
+        var cur = state.getOption.orNull
+        for ((tm, tpe) <- evs) {
+          if (cur == null) cur = advance(FunnelState(tm, tm, 0, -1, -1, -1), tm, tpe)
+          else if (tm - cur.last > gapNs) {
+            res += out(uid, cur)
+            cur = advance(FunnelState(tm, tm, 0, -1, -1, -1), tm, tpe)
+          } else cur = advance(cur, tm, tpe)
+        }
+        if (cur != null) {
+          state.update(cur)
+          if (emitOpen) res += out(uid, cur)
+        }
+        res.iterator
+    }
+  }
 }

@@ -29,6 +29,41 @@ class StreamsSpec extends SparkSpec {
     assert(stateful === windowed)
   }
 
+  test("streaming funnel detects the strict pattern and splits sessions") {
+    val gap = 100L
+    // user 1, session A: view(0) → click(5) → purchase(7) = converted;
+    // session B (after gap): purchase before click → NOT converted;
+    // user 2: click with ts == view's ts fails the strict > gate.
+    val events = Seq(
+      (1L, 0L, "view"), (1L, 5L, "click"), (1L, 7L, "purchase"),
+      (1L, 10000L, "view"), (1L, 10001L, "purchase"), (1L, 10002L, "click"),
+      (2L, 3L, "view"), (2L, 3L, "click")
+    ).toDS()
+    val out = Streams.funnel(events, gap, emitOpen = true)
+      .collect().map(f => (f.user_id, f.session_start_ns, f.n_events, f.converted, f.conv_ns)).toSet
+    assert(out === Set(
+      (1L, 0L, 3L, true, 7L),
+      (1L, 10000L, 3L, false, -1L),
+      (2L, 3L, 2L, false, -1L)))
+  }
+
+  test("streaming funnel agrees with the batch min-if window funnel") {
+    val ev = DomainQueries.events(spark, sf)
+      .select(col("user_id"), col("ts_ns"), col("event_type"))
+      .as[(Long, Long, String)]
+    val stateful = Streams.funnel(ev, 21600000000000L, emitOpen = true)
+      .collect().map(f => (f.user_id, f.n_events, f.converted, f.conv_ns))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val windowed = DomainQueries.eventsFunnel(spark, sf)
+      .select(col("user_id"), col("n_events"),
+        col("t_purchase").isNotNull.as("converted"),
+        coalesce(col("conv_ns"), lit(-1L)).as("conv_ns"))
+      .as[(Long, Long, Boolean, Long)]
+      .collect().map(r => (r._1, r._2, r._3, r._4))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(stateful === windowed)
+  }
+
   test("streaming dedup within watermark drops repeated ids across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long)]
