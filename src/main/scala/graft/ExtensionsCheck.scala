@@ -23,7 +23,12 @@ object ExtensionsCheck {
       "SELECT dot_f(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)), " +
         "array(CAST(3.0 AS FLOAT), CAST(0.5 AS FLOAT))) AS d").head().getDouble(0)
     assert(dot == 1.5 * 3.0 + 2.0 * 0.5, s"dot_f registration broken: $dot")
-    println(s"OK rolling_hash('graft') = $viaSql, dot_f = $dot")
+    val cdc = spark.sql("SELECT cdc_chunks('graft graft graft graft') AS c")
+      .head().getSeq[Int](0)
+    val cdcDirect = functions.CdcChunks
+      .chunkLengths("graft graft graft graft".getBytes("UTF-8")).toSeq
+    assert(cdc == cdcDirect, s"cdc_chunks registration broken: $cdc != $cdcDirect")
+    println(s"OK rolling_hash('graft') = $viaSql, dot_f = $dot, cdc_chunks = $cdc")
     spark.stop()
   }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BpeEncode, DotF, RollingHash, TokenCount}
+import graft.functions.{BpeEncode, CdcChunks, DotF, RollingHash, TokenCount}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -27,6 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("bpe_encode"),
       new ExpressionInfo(classOf[BpeEncode].getName, "bpe_encode"),
       (children: Seq[Expression]) => BpeEncode(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("cdc_chunks"),
+      new ExpressionInfo(classOf[CdcChunks].getName, "cdc_chunks"),
+      (children: Seq[Expression]) => CdcChunks(children.head)))
     ext.injectFunction((
       new FunctionIdentifier("dot_f"),
       new ExpressionInfo(classOf[DotF].getName, "dot_f"),

@@ -46,6 +46,9 @@ object SketchQueries {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bpe_encode",
       (exprs: Seq[Expression]) => graft.functions.BpeEncode(exprs.head), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cdc_chunks",
+      (exprs: Seq[Expression]) => graft.functions.CdcChunks(exprs.head), "built-in")
   }
 
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
@@ -382,7 +385,25 @@ object SketchQueries {
         octet_length(col("text")).cast("long").as("n_bytes"))
   }
 
+  /** Content-defined chunking over documents via the native cdc_chunks
+    * Expression: variable-size chunks whose boundaries follow content
+    * (rolling-hash ≡ 0 mod 64 over a 16-byte window), the primitive under
+    * chunk-level dedup that stays robust to insertions. Empty documents
+    * are dropped on both sides (no chunkable content). Chunk lengths ride
+    * as an exact-integer CSV so the driver's pandas compare can sort the
+    * rows. */
+  def textCdcChunks(s: SparkSession, dir: String): DataFrame = {
+    register(s)
+    t(s, dir, "documents")
+      .where(octet_length(col("text")) > 0)
+      .select(col("doc_id"), expr("cdc_chunks(text)").as("ls"))
+      .select(col("doc_id"),
+        size(col("ls")).cast("long").as("n_chunks"),
+        array_join(col("ls"), ",").as("chunks_csv"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_cdc_chunks" -> (textCdcChunks _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
     "sim_lsh_topk" -> (simLshTopk _),
@@ -411,6 +432,36 @@ object SketchQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // Every window hash is replayed INDEPENDENTLY (list_reduce over the
+    // 16-byte slice) — by construction equal to the kernel's rolling
+    // subtract-the-outgoing-byte recurrence, all in exact integer space.
+    // The W and boundary constants come from CdcChunks so they cannot
+    // drift from the Expression.
+    "text_cdc_chunks" -> {
+      val w = graft.functions.CdcChunks.W
+      val div = graft.functions.CdcChunks.Mask + 1
+      s"""WITH b AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+         |bs AS (SELECT doc_id,
+         |    list_transform(generate_series(0, CAST(len(hx) // 2 - 1 AS BIGINT)),
+         |      i -> CAST((strpos('0123456789ABCDEF', substr(hx, 2*i+1, 1)) - 1) * 16
+         |              + (strpos('0123456789ABCDEF', substr(hx, 2*i+2, 1)) - 1) AS HUGEINT)) AS bs
+         |  FROM b),
+         |e AS (SELECT doc_id, bs, len(bs) AS n,
+         |    list_filter(generate_series($w, len(bs)), e ->
+         |      list_reduce(list_prepend(CAST(0 AS HUGEINT), bs[e-${w - 1}:e]),
+         |        (h, x) -> (h * 31 + x) % 2305843009213693951) % $div = 0) AS ends0
+         |  FROM bs),
+         |ae AS (SELECT doc_id, n,
+         |    CASE WHEN len(ends0) > 0 AND ends0[-1] = n THEN ends0 ELSE ends0 || [n] END AS ends
+         |  FROM e WHERE n > 0),
+         |lens AS (SELECT doc_id,
+         |    list_transform(generate_series(1, len(ends)),
+         |      i -> ends[i] - COALESCE(ends[i-1], 0)) AS ls
+         |  FROM ae)
+         |SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_chunks,
+         |  array_to_string(ls, ',') AS chunks_csv
+         |FROM lens""".stripMargin
+    },
     // The greedy lowest-rank-first merge loop is replayed per word as a
     // recursive CTE over token-id lists: each step fuses the leftmost
     // occurrence of the minimal mergeable pair (list_min + list_position

@@ -240,6 +240,51 @@ class SketchSpec extends SparkSpec {
     assert(got.as[(Long, Seq[Int])].collect().toSeq.sortBy(_._1) === kernel)
   }
 
+  test("cdc_chunks: BigInt window-hash reference, edge cases, codegen-consistent") {
+    import graft.functions.CdcChunks
+    val P = BigInt((1L << 61) - 1)
+    def ref(str: String): Seq[Int] = {
+      val bs = str.getBytes("UTF-8").map(_ & 0xff)
+      if (bs.isEmpty) return Seq.empty
+      val ends = (CdcChunks.W to bs.length).filter { e =>
+        val h = bs.slice(e - CdcChunks.W, e)
+          .foldLeft(BigInt(0))((h, b) => (h * 31 + b) mod P)
+        (h % (CdcChunks.Mask + 1)) == 0
+      }
+      val all = if (ends.nonEmpty && ends.last == bs.length) ends else ends :+ bs.length
+      all.zip(0 +: all.init).map { case (e, p) => e - p }
+    }
+    val samples = Seq("", "short", "x" * 15, "y" * 16,
+      (0 until 2000).map(i => ('a' + i % 26).toChar).mkString,
+      "Hello wörld ⚡ " * 40)
+    for (s <- samples)
+      assert(CdcChunks.chunkLengths(s.getBytes("UTF-8")).toSeq === ref(s), s"for len ${s.length}")
+    // chunk lengths always sum to the byte length, all positive
+    for (s <- samples if s.nonEmpty) {
+      val cl = CdcChunks.chunkLengths(s.getBytes("UTF-8"))
+      assert(cl.sum === s.getBytes("UTF-8").length)
+      assert(cl.forall(_ > 0))
+    }
+    // content-defined stability: two docs sharing a long suffix share
+    // their trailing chunks (the property fixed-size blocking lacks)
+    // periodic content (e.g. 'abcabc…') cycles through too few window
+    // hashes to ever hit a boundary — use seeded-random content instead
+    val rnd = new scala.util.Random(42)
+    val shared = (0 until 600).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val c1 = CdcChunks.chunkLengths(("PREFIX ONE " + shared).getBytes("UTF-8")).toSeq
+    val c2 = CdcChunks.chunkLengths(("totally different and longer prologue " + shared).getBytes("UTF-8")).toSeq
+    val common = c1.reverse.zip(c2.reverse).takeWhile { case (a, b) => a == b }.length
+    assert(common >= 2, s"common trailing chunks: $common ($c1 vs $c2)")
+    // Expression path agrees with the kernel, codegen and interpreted
+    SketchQueries.register(spark)
+    val df = Seq("alpha beta gamma " * 10, "").toDF("text")
+    val viaSql = df.selectExpr("cdc_chunks(text) AS ls").as[Seq[Int]].collect()
+    assert(viaSql.toSeq === Seq(ref("alpha beta gamma " * 10), Seq.empty))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try assert(df.selectExpr("cdc_chunks(text) AS ls").as[Seq[Int]].collect().toSeq === viaSql.toSeq)
+    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
   test("knn graph: <=5 neighbors per vector, dot descending, symmetric candidates") {
     val g = SketchQueries.simKnnGraph(spark, sf)
       .select("qid", "vec_id", "dot", "rank").as[(Long, Long, Double, Long)].collect()
