@@ -246,14 +246,26 @@ object SketchQueries {
     * corpus at production so occupancy stays flat — SURVEY §5), then the
     * k-bounded map-side TopKByScore rerank, so the final shuffle carries
     * O(k) per vector. */
+  /** Candidate-volume guard for the bucket self-join: a degenerate bucket
+    * of k vectors (e.g. a corpus full of zero vectors collapsing to one
+    * sign pattern) yields k² candidates; buckets above the cap are
+    * excluded on BOTH engines (documented recall trade, same discipline
+    * as the minhash/simhash BAND_CUTOFF). The cap never triggers at the
+    * test scales; at production it bounds the worst task. */
+  private val KNN_BUCKET_CAP = 4096
+
   def simKnnGraph(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").as("v"))
       .join(lshBuckets(s, dir), Seq("vec_id"))
-    val nbrs = emb.select(col("bucket"), col("vec_id").as("nid"), col("v").as("w"))
+    // ≤ 2^planes rows — always broadcastable
+    val oversized = emb.groupBy("bucket").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > KNN_BUCKET_CAP).select("bucket")
+    val capped = emb.join(broadcast(oversized), Seq("bucket"), "left_anti")
+    val nbrs = capped.select(col("bucket"), col("vec_id").as("nid"), col("v").as("w"))
     val dot = graft.functions.Vectors.dot(col("qv"), col("w"))
     Rerank.topK(
-      emb.select(col("bucket"), col("vec_id").as("qid"), col("v").as("qv"))
+      capped.select(col("bucket"), col("vec_id").as("qid"), col("v").as("qv"))
         .join(nbrs, Seq("bucket"))
         .filter(col("qid") =!= col("nid"))
         .select(col("qid"), col("nid").as("vec_id"), dot.as("dot")), 5)
@@ -564,7 +576,9 @@ object SketchQueries {
         |          CAST(SUM(CASE WHEN dp > 0 THEN (1::BIGINT << (5 - p)) ELSE 0 END)
         |            AS BIGINT) AS bucket
         |        FROM d GROUP BY vec_id),
-        |eb AS (SELECT e.vec_id, v, bucket FROM e JOIN bkt USING (vec_id)),
+        |eb AS (SELECT e.vec_id, v, bucket FROM e JOIN bkt USING (vec_id)
+        |       WHERE bucket IN (SELECT bucket FROM bkt
+        |                        GROUP BY bucket HAVING COUNT(*) <= 4096)),
         |sims AS (SELECT a.vec_id AS qid, b.vec_id AS vec_id,
         |           list_dot_product(a.v, b.v) AS dot
         |         FROM eb a JOIN eb b

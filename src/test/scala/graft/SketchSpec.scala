@@ -299,6 +299,24 @@ class SketchSpec extends SparkSpec {
     assert(g.forall(r => r._1 != r._2)) // no self edges
   }
 
+  test("knn graph bucket cap excludes a degenerate all-identical corpus") {
+    import org.apache.spark.sql.SaveMode
+    // 4200 identical vectors collapse into ONE bucket above the 4096 cap
+    // → every vector is excluded and the graph is empty (bounded work),
+    // while a small corpus below the cap still yields neighbors.
+    val vec = Array.fill(64)(1.0f)
+    val big = spark.range(4200).select(col("id").as("vec_id"),
+      typedLit(vec).as("embedding"))
+    val tmp = java.nio.file.Files.createTempDirectory("knncap").toString
+    big.write.mode(SaveMode.Overwrite).parquet(s"$tmp/embeddings.parquet")
+    assert(SketchQueries.simKnnGraph(spark, tmp).count() === 0)
+    val small = spark.range(40).select(col("id").as("vec_id"),
+      typedLit(vec).as("embedding"))
+    val tmp2 = java.nio.file.Files.createTempDirectory("knncap2").toString
+    small.write.mode(SaveMode.Overwrite).parquet(s"$tmp2/embeddings.parquet")
+    assert(SketchQueries.simKnnGraph(spark, tmp2).count() > 0)
+  }
+
   test("winnowing: shared >=6-token run guarantees a shared fingerprint") {
     // the winnowing property: window w=4 over k=3 shingles ⇒ any common
     // substring of w+k-1 = 6 tokens shares at least one selected min.
