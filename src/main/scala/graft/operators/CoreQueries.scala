@@ -215,7 +215,26 @@ object CoreQueries {
             / element_at(col("sk"), -1)("_1").cast("double")).as("kmv_distinct"))
   }
 
+  /** Frame-based running aggregates — the cumulative-total and moving-
+    * window shapes (ROWS UNBOUNDED PRECEDING and ROWS 2 PRECEDING) the
+    * rank-only q07 doesn't exercise. One exchange on the partition key;
+    * both frames share the same sort. The ORDER BY carries o_orderkey as
+    * tie-break so the frame contents are a deterministic total order, and
+    * all sums run in DECIMAL before the final double cast (SURVEY §4). */
+  def q18(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val last3 = w.rowsBetween(-2, Window.currentRow)
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        sum(dec2(col("o_totalprice"))).over(cum).cast("double").as("run_total"),
+        count(lit(1)).over(cum).as("n_so_far"),
+        (sum(dec2(col("o_totalprice"))).over(last3).cast("double")
+          / count(lit(1)).over(last3)).as("avg3"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q18_running_window" -> (q18 _),
     "q17_kmv_distinct" -> (q17 _),
     "q13_pivot" -> (q13 _),
     "q14_approx_distinct" -> (q14 _),
@@ -239,6 +258,21 @@ object CoreQueries {
   private val DP = "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))"
 
   val oracle: Map[String, String] = Map(
+    "q18_running_window" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS run_total,
+        |  CAST(COUNT(*)
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_so_far,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |  / COUNT(*)
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS avg3
+        |FROM orders""".stripMargin,
     "q17_kmv_distinct" ->
       """WITH h AS (
         |  SELECT DISTINCT l_returnflag,
