@@ -276,7 +276,37 @@ object TextPrep {
        |  FROM d JOIN walk w ON d.bucket = w.bucket AND d.rn = w.rn + 1)
        |SELECT bucket, doc_id, n_tokens, example_id FROM walk""".stripMargin
 
+  /** Deterministic corpus shuffle into training shards: every document
+    * gets a content-independent pseudo-random shard and a stable position
+    * within it (the "global shuffle before sharded ingestion" step —
+    * hash-ordered so retries and re-runs produce byte-identical shards).
+    * Plan: one narrow projection computes the 60-bit md5-prefix order
+    * key, one exchange on shard id, and the intra-shard row_number rides
+    * that partitioning — at production, shards map 1:1 to output files
+    * via partitionBy(shard). */
+  def dataShuffleShards(s: SparkSession, dir: String): DataFrame = {
+    val SHARDS = 8
+    val w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        expr("cast(conv(substring(md5(cast(concat('shard:', doc_id) as binary)), 1, 15), 16, 10) as bigint)")
+          .as("h"))
+      .withColumn("shard", pmod(col("h"), lit(SHARDS.toLong)))
+      .select(col("doc_id"), col("shard"),
+        row_number().over(w).cast("long").as("pos"))
+  }
+
+  private val SHARDS_SQL =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM documents)
+      |SELECT doc_id, h % 8 AS shard,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS BIGINT) AS pos
+      |FROM h""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "data_shuffle_shards" -> (dataShuffleShards _),
     "text_scrub" -> (textScrub _),
     "text_stopword_filter" -> (textStopwordFilter _),
     "text_length_deciles" -> (textLengthDeciles _),
@@ -286,6 +316,7 @@ object TextPrep {
     "data_pack_sequences" -> (dataPackSequences _))
 
   val oracle: Map[String, String] = Map(
+    "data_shuffle_shards" -> SHARDS_SQL,
     "text_scrub" -> SCRUB_SQL,
     "text_stopword_filter" -> STOPWORD_SQL,
     "text_length_deciles" -> DECILES_SQL,
