@@ -215,7 +215,58 @@ object TextRank {
       |  FROM cnt)
       |WHERE rn <= 10""".stripMargin
 
+  /** Count-min heavy-hitter sketch — the frequency member of the sketch
+    * family (KMV=distinct, MinHash=similarity): a 4×64 counter matrix
+    * over md5-prefix row hashes, estimate = min over rows. The sketch
+    * aggregate is 256 rows regardless of vocabulary size and partial-
+    * aggregates map-side — the scale path when the token universe doesn't
+    * fit a shuffle. The query reports the top-20 true heavy hitters next
+    * to their sketch estimates (est ≥ true by construction — one-sided
+    * error is THE count-min property, spec-asserted); the exact counts
+    * exist here only as the checkable comparator, as with the brute-force
+    * similarity baselines. Deterministic md5 hashing makes the whole
+    * matrix DuckDB-replayable. */
+  def freqCountMin(s: SparkSession, dir: String): DataFrame = {
+    val toksDf = t(s, dir, "documents")
+      .select(toks("text").as(Seq("p", "tok"))).select("tok")
+    val exact = toksDf.groupBy("tok").agg(count(lit(1)).as("true_n"))
+    val top = exact.orderBy(desc("true_n"), asc("tok")).limit(20)
+    val hashed = toksDf
+      .select(col("tok"), explode(sequence(lit(0), lit(3))).as("r"))
+      .select(col("r"),
+        expr("pmod(cast(conv(substring(md5(cast(concat(cast(r as string), ':', tok) as binary)), 1, 15), 16, 10) as bigint), 64)")
+          .as("bucket"))
+    val sketch = hashed.groupBy("r", "bucket").agg(count(lit(1)).as("cell"))
+    top
+      .select(col("tok"), col("true_n"), explode(sequence(lit(0), lit(3))).as("r"))
+      .select(col("tok"), col("true_n"), col("r"),
+        expr("pmod(cast(conv(substring(md5(cast(concat(cast(r as string), ':', tok) as binary)), 1, 15), 16, 10) as bigint), 64)")
+          .as("bucket"))
+      .join(broadcast(sketch), Seq("r", "bucket"))
+      .groupBy("tok", "true_n")
+      .agg(min(col("cell")).as("est_n"))
+  }
+
+  private val CM_SQL =
+    """WITH tk AS (
+      |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      |  FROM documents),
+      |exact AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS true_n FROM tk GROUP BY tok),
+      |top AS (SELECT tok, true_n FROM exact ORDER BY true_n DESC, tok LIMIT 20),
+      |h AS (SELECT tok,  r,
+      |        ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || tok), 1, 15))::BIGINT % 64 AS bucket
+      |      FROM tk CROSS JOIN generate_series(0, 3) t(r)),
+      |sketch AS (SELECT r, bucket, CAST(COUNT(*) AS BIGINT) AS cell
+      |           FROM h GROUP BY r, bucket),
+      |cand AS (SELECT top.tok, top.true_n, g.r,
+      |           ('0x' || substr(md5(CAST(g.r AS VARCHAR) || ':' || top.tok), 1, 15))::BIGINT % 64 AS bucket
+      |         FROM top CROSS JOIN generate_series(0, 3) g(r))
+      |SELECT c.tok, c.true_n, MIN(s.cell) AS est_n
+      |FROM cand c JOIN sketch s ON c.r = s.r AND c.bucket = s.bucket
+      |GROUP BY c.tok, c.true_n""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "freq_count_min" -> (freqCountMin _),
     "text_bm25_topk" -> (textBm25Topk _),
     "data_sample_stratified" -> (dataSampleStratified _),
     "data_sample_fixed_k" -> (dataSampleFixedK _),
@@ -223,6 +274,7 @@ object TextRank {
     "text_top_ngrams" -> (textTopNgrams _))
 
   val oracle: Map[String, String] = Map(
+    "freq_count_min" -> CM_SQL,
     "text_bm25_topk" -> BM25_SQL,
     "data_sample_stratified" -> SAMPLE_SQL,
     "data_sample_fixed_k" -> FIXEDK_SQL,

@@ -95,6 +95,16 @@ class TextPrepSpec extends SparkSpec {
     assert(scored(3L) === 1.0) // every token unique to doc 3
   }
 
+  test("count-min sketch: estimates dominate true counts (one-sided error)") {
+    val rows = operators.TextRank.freqCountMin(spark, sf)
+      .select("tok", "true_n", "est_n").as[(String, Long, Long)].collect()
+    assert(rows.length === 20)
+    assert(rows.forall { case (_, t, e) => e >= t }) // CM never underestimates
+    // the heavy hitters are genuinely heavy: estimates within 2x of truth
+    // for the top-20 of this corpus (width 64 vs ~2k vocab)
+    assert(rows.count { case (_, t, e) => e < 2 * t } >= 15)
+  }
+
   test("text_diversity: 0 for a single repeated token, 1 - 1/n for all-distinct") {
     import org.apache.spark.sql.SaveMode
     val docs = Seq(
