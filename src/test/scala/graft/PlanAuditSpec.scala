@@ -54,7 +54,9 @@ class PlanAuditSpec extends SparkSpec {
     "text_diversity" -> 2, // (doc,tok) count + per-doc agg
     "text_curation_funnel" -> 1, // single-row final agg after map-side partials
     "q17_kmv_distinct" -> 2, // (flag,hash) distinct + k-bounded sketch agg
-    "sim_knn_graph" -> 4) // two bucket-assignment aggs (self-join sides) + cap agg + rerank agg
+    "sim_knn_graph" -> 4, // two bucket-assignment aggs (self-join sides) + cap agg + rerank agg
+    "q18_running_window" -> 1, // one partition-key exchange, shared sort
+    "data_shuffle_shards" -> 1) // one shard-id exchange, row_number rides it
 
   test("heavy queries stay within their exchange budgets") {
     val over = maxExchanges.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
