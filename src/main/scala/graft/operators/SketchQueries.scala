@@ -443,6 +443,16 @@ object SketchQueries {
        |                THEN 255 + list_position($keys, ids[i] * 1024 + ids[i+1]) END)""".stripMargin
   }
 
+  /** `hex(encode(text)) AS hx` → list of byte values: the shared decode
+    * idiom of every byte-level oracle (cdc/bpe/fingerprint) — ONE
+    * definition so the sites cannot drift (same discipline as bpeCand /
+    * BpeEncode.packedKeys). `cast` picks the element type (HUGEINT when
+    * the fold multiplies past 64 bits, BIGINT otherwise). */
+  private def hexByteList(cast: String): String =
+    s"""list_transform(generate_series(0, CAST(len(hx) // 2 - 1 AS BIGINT)),
+       |      i -> CAST((strpos('0123456789ABCDEF', substr(hx, 2*i+1, 1)) - 1) * 16
+       |              + (strpos('0123456789ABCDEF', substr(hx, 2*i+2, 1)) - 1) AS $cast))""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // Every window hash is replayed INDEPENDENTLY (list_reduce over the
     // 16-byte slice) — by construction equal to the kernel's rolling
@@ -454,9 +464,7 @@ object SketchQueries {
       val div = graft.functions.CdcChunks.Mask + 1
       s"""WITH b AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
          |bs AS (SELECT doc_id,
-         |    list_transform(generate_series(0, CAST(len(hx) // 2 - 1 AS BIGINT)),
-         |      i -> CAST((strpos('0123456789ABCDEF', substr(hx, 2*i+1, 1)) - 1) * 16
-         |              + (strpos('0123456789ABCDEF', substr(hx, 2*i+2, 1)) - 1) AS HUGEINT)) AS bs
+         |    ${hexByteList("HUGEINT")} AS bs
          |  FROM b),
          |e AS (SELECT doc_id, bs, len(bs) AS n,
          |    list_filter(generate_series($w, len(bs)), e ->
@@ -489,9 +497,7 @@ object SketchQueries {
          |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents),
          |init AS (
          |  SELECT doc_id, wi,
-         |    list_transform(generate_series(0, CAST(len(hx) // 2 - 1 AS BIGINT)),
-         |      i -> (strpos('0123456789ABCDEF', substr(hx, 2*i+1, 1)) - 1) * 16
-         |         + (strpos('0123456789ABCDEF', substr(hx, 2*i+2, 1)) - 1)) AS ids
+         |    ${hexByteList("BIGINT")} AS ids
          |  FROM (SELECT doc_id, wi, hex(encode(word)) AS hx FROM w WHERE word <> '')),
          |merged AS (
          |  SELECT doc_id, wi, ids FROM init
@@ -515,17 +521,15 @@ object SketchQueries {
     // never overflows int128, and the prepended 0 seeds the fold so empty
     // documents hash to 0 exactly like RollingHash.hashBytes.
     "text_fingerprint" ->
-      """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
-        |bytes AS (
-        |  SELECT doc_id,
-        |    list_transform(generate_series(0, CAST(len(hx) // 2 - 1 AS BIGINT)),
-        |      i -> CAST((strpos('0123456789ABCDEF', substr(hx, 2*i+1, 1)) - 1) * 16
-        |              + (strpos('0123456789ABCDEF', substr(hx, 2*i+2, 1)) - 1) AS HUGEINT)) AS bs
-        |  FROM b)
-        |SELECT doc_id,
-        |  CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT), bs),
-        |       (h, x) -> (h * 31 + x) % 2305843009213693951) AS BIGINT) AS fp
-        |FROM bytes""".stripMargin,
+      s"""WITH b AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+         |bytes AS (
+         |  SELECT doc_id,
+         |    ${hexByteList("HUGEINT")} AS bs
+         |  FROM b)
+         |SELECT doc_id,
+         |  CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT), bs),
+         |       (h, x) -> (h * 31 + x) % 2305843009213693951) AS BIGINT) AS fp
+         |FROM bytes""".stripMargin,
     // Hull-edge characterization instead of a hull walk: a directed pair
     // (p,q) is a ccw hull edge iff every other point is strictly left of
     // p→q, or collinear and strictly inside the segment (so three
@@ -535,7 +539,11 @@ object SketchQueries {
     // double noise is absorbed by ROUND(_, 2), legal here because the
     // EPSG:6933 projection (sin/radians) is irrational. Cross-checked
     // against a Python mirror of ConvexHullAreaKm2 on all 50 sf0.01
-    // groups before landing.
+    // groups before landing. Degenerate groups (2 distinct points, or
+    // ≥3 all-collinear) keep the spanning edge in BOTH directions so the
+    // shoelace sum cancels to exactly 0 — mapped to NULL + note below,
+    // matching the aggregator's -1 sentinel (a genuine hull's area is
+    // always > 0 at coordinate-grid scale).
     "range_convex_hull" ->
       ("WITH " + DomainQueries.OCC_SQL + ",\n" + DomainQueries.VALID_SQL + ",\n" +
         """pts AS (SELECT DISTINCT species, lon, lat FROM valid),
@@ -563,8 +571,10 @@ object SketchQueries {
           |           * (CAST(6378137 AS DOUBLE) * sin(radians(py)) / cos(radians(CAST(30 AS DOUBLE)))) ))
           |      / 2 / CAST(1000000 AS DOUBLE) AS raw
           |  FROM edges GROUP BY species)
-          |SELECT c.species, c.n_points, ROUND(a.raw, 2) AS area_km2,
-          |  CASE WHEN a.raw IS NULL THEN 'Insufficient points for convex hull' END AS note
+          |SELECT c.species, c.n_points,
+          |  CASE WHEN a.raw > 0 THEN ROUND(a.raw, 2) END AS area_km2,
+          |  CASE WHEN a.raw IS NULL OR a.raw = 0
+          |       THEN 'Insufficient points for convex hull' END AS note
           |FROM cnt c LEFT JOIN area a USING (species)""".stripMargin),
     "sim_knn_graph" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

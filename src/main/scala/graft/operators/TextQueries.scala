@@ -247,8 +247,8 @@ object TextQueries {
   def textCurationFunnel(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(
-        length(col("text")).as("n_chars_t"),
-        length(regexp_replace(col("text"), "[\\x20-\\x7e]", "")).as("n_nonascii"),
+        length(col("text")).cast("long").as("n_chars_t"),
+        length(regexp_replace(col("text"), "[\\x20-\\x7e]", "")).cast("long").as("n_nonascii"),
         size(tokens(col("text"))).cast("long").as("n_tok"),
         size(array_distinct(tokens(col("text")))).cast("long").as("n_dis"),
         size(regexp_extract_all(lower(col("text")), lit("[0-9]+"), lit(0)))

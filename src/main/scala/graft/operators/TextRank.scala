@@ -226,6 +226,12 @@ object TextRank {
     * exist here only as the checkable comparator, as with the brute-force
     * similarity baselines. Deterministic md5 hashing makes the whole
     * matrix DuckDB-replayable. */
+  /** The (row, token) → bucket hash, used by BOTH the sketch build and
+    * the candidate probe — one definition, or a drift makes every probe
+    * miss the sketch with no compile-time signal. */
+  private val cmBucket =
+    "pmod(cast(conv(substring(md5(cast(concat(cast(r as string), ':', tok) as binary)), 1, 15), 16, 10) as bigint), 64)"
+
   def freqCountMin(s: SparkSession, dir: String): DataFrame = {
     val toksDf = t(s, dir, "documents")
       .select(toks("text").as(Seq("p", "tok"))).select("tok")
@@ -233,15 +239,11 @@ object TextRank {
     val top = exact.orderBy(desc("true_n"), asc("tok")).limit(20)
     val hashed = toksDf
       .select(col("tok"), explode(sequence(lit(0), lit(3))).as("r"))
-      .select(col("r"),
-        expr("pmod(cast(conv(substring(md5(cast(concat(cast(r as string), ':', tok) as binary)), 1, 15), 16, 10) as bigint), 64)")
-          .as("bucket"))
+      .select(col("r"), expr(cmBucket).as("bucket"))
     val sketch = hashed.groupBy("r", "bucket").agg(count(lit(1)).as("cell"))
     top
       .select(col("tok"), col("true_n"), explode(sequence(lit(0), lit(3))).as("r"))
-      .select(col("tok"), col("true_n"), col("r"),
-        expr("pmod(cast(conv(substring(md5(cast(concat(cast(r as string), ':', tok) as binary)), 1, 15), 16, 10) as bigint), 64)")
-          .as("bucket"))
+      .select(col("tok"), col("true_n"), col("r"), expr(cmBucket).as("bucket"))
       .join(broadcast(sketch), Seq("r", "bucket"))
       .groupBy("tok", "true_n")
       .agg(min(col("cell")).as("est_n"))
