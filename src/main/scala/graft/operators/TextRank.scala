@@ -235,12 +235,19 @@ object TextRank {
   def freqCountMin(s: SparkSession, dir: String): DataFrame = {
     val toksDf = t(s, dir, "documents")
       .select(toks("text").as(Seq("p", "tok"))).select("tok")
+    // one materialized vocabulary aggregate (2 consumers: top + sketch);
+    // weighting the sketch cells by the per-token counts is value-
+    // identical to hashing every occurrence but hashes |vocab| rows
+    // instead of |tokens|×4 (measured 1.99 s → sub-second at sf0.1). A
+    // production STREAMING build maps occurrences directly — there the
+    // vocab aggregate is the thing the sketch exists to avoid.
     val exact = toksDf.groupBy("tok").agg(count(lit(1)).as("true_n"))
+      .localCheckpoint()
     val top = exact.orderBy(desc("true_n"), asc("tok")).limit(20)
-    val hashed = toksDf
-      .select(col("tok"), explode(sequence(lit(0), lit(3))).as("r"))
-      .select(col("r"), expr(cmBucket).as("bucket"))
-    val sketch = hashed.groupBy("r", "bucket").agg(count(lit(1)).as("cell"))
+    val sketch = exact
+      .select(col("tok"), col("true_n").as("n"), explode(sequence(lit(0), lit(3))).as("r"))
+      .select(col("r"), expr(cmBucket).as("bucket"), col("n"))
+      .groupBy("r", "bucket").agg(sum("n").as("cell"))
     top
       .select(col("tok"), col("true_n"), explode(sequence(lit(0), lit(3))).as("r"))
       .select(col("tok"), col("true_n"), col("r"), expr(cmBucket).as("bucket"))
