@@ -145,16 +145,32 @@ object TextRank {
     * inverted-index key space, NOT doc pairs), one left join on the
     * shingle — at scale this is a bloom-filter-friendly semi-join shape
     * whose shuffle carries only (shingle) keys. */
-  def dedupContamination(s: SparkSession, dir: String): DataFrame = {
+  /** Distinct 5-token grams per doc (codegen window-lead composition) —
+    * shared by the contamination screen and the repeated-ngram
+    * boilerplate scorer; ONE definition so their gram universes cannot
+    * drift. */
+  private def gram5(df: DataFrame): DataFrame = {
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
-    def grams(df: DataFrame) = df
-      .select(col("doc_id"), toks("text").as(Seq("pos", "w")))
+    df.select(col("doc_id"), toks("text").as(Seq("pos", "w")))
       .select(col("doc_id"), concat_ws("_", col("w"),
         lead("w", 1).over(byDoc), lead("w", 2).over(byDoc),
         lead("w", 3).over(byDoc), lead("w", 4).over(byDoc)).as("g"),
         lead("w", 4).over(byDoc).as("tail"))
       .filter(col("tail").isNotNull) // drop short tail grams
       .select("doc_id", "g").distinct()
+  }
+
+  /** The matching gram CTE for the oracles (body of `g`). */
+  private val GRAM5_CTE =
+    """g AS (
+      |  SELECT DISTINCT doc_id,
+      |    ts[i] || '_' || ts[i+1] || '_' || ts[i+2] || '_' || ts[i+3] || '_' || ts[i+4] AS g
+      |  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 4)) AS i
+      |        FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+      |              FROM documents)))""".stripMargin
+
+  def dedupContamination(s: SparkSession, dir: String): DataFrame = {
+    def grams(df: DataFrame) = gram5(df)
     val docs = t(s, dir, "documents")
     val evalG = grams(docs.filter(col("doc_id") < 25))
     val trainG = grams(docs.filter(col("doc_id") >= 25))
@@ -168,12 +184,7 @@ object TextRank {
   }
 
   private val CONTAM_SQL =
-    """WITH g AS (
-      |  SELECT DISTINCT doc_id,
-      |    ts[i] || '_' || ts[i+1] || '_' || ts[i+2] || '_' || ts[i+3] || '_' || ts[i+4] AS g
-      |  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 4)) AS i
-      |        FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
-      |              FROM documents))),
+    s"""WITH $GRAM5_CTE,
       |ev AS (SELECT doc_id, g FROM g WHERE doc_id < 25),
       |tr AS (SELECT DISTINCT g FROM g WHERE doc_id >= 25)
       |SELECT ev.doc_id, COUNT(*) AS n_grams,
@@ -274,7 +285,39 @@ object TextRank {
       |FROM cand c JOIN sketch s ON c.r = s.r AND c.bucket = s.bucket
       |GROUP BY c.tok, c.true_n""".stripMargin
 
+  /** Corpus-boilerplate scoring — the C4/RefinedWeb "repeated span"
+    * curation step re-expressed at gram granularity (the testdata has no
+    * sentence structure): for each document, the fraction of its
+    * distinct 5-grams that also occur in at least one OTHER document.
+    * Near-dup pairs and template boilerplate score high; unique prose
+    * scores 0. Distinct from dedup_ngram_jaccard (pairwise similarity)
+    * and dedup_contamination (train/eval leakage) — this is corpus-wide
+    * repetition per doc. Plan: the distinct-gram aggregate, a document-
+    * frequency aggregate, and one big-big AQE-planned join on the gram —
+    * the standard inverted-index shape, every stage partial-aggregated. */
+  def dedupRepeatedNgrams(s: SparkSession, dir: String): DataFrame = {
+    val g = gram5(t(s, dir, "documents"))
+    val df = g.groupBy("g").agg(count(lit(1)).as("df"))
+    g.join(df, Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_repeated"))
+      .withColumn("boiler_frac",
+        col("n_repeated").cast("double") / col("n_grams"))
+  }
+
+  private val REPEATED_SQL =
+    s"""WITH $GRAM5_CTE,
+      |df AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS df FROM g GROUP BY g)
+      |SELECT doc_id, COUNT(*) AS n_grams,
+      |  CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated,
+      |  CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*) AS boiler_frac
+      |FROM g JOIN df USING (g)
+      |GROUP BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "dedup_repeated_ngrams" -> (dedupRepeatedNgrams _),
     "freq_count_min" -> (freqCountMin _),
     "text_bm25_topk" -> (textBm25Topk _),
     "data_sample_stratified" -> (dataSampleStratified _),
@@ -283,6 +326,7 @@ object TextRank {
     "text_top_ngrams" -> (textTopNgrams _))
 
   val oracle: Map[String, String] = Map(
+    "dedup_repeated_ngrams" -> REPEATED_SQL,
     "freq_count_min" -> CM_SQL,
     "text_bm25_topk" -> BM25_SQL,
     "data_sample_stratified" -> SAMPLE_SQL,

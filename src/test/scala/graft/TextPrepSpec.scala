@@ -95,6 +95,22 @@ class TextPrepSpec extends SparkSpec {
     assert(scored(3L) === 1.0) // every token unique to doc 3
   }
 
+  test("repeated-ngrams: duplicated docs score 1.0, unique docs score 0.0") {
+    import org.apache.spark.sql.SaveMode
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+      (3L, "completely unique words nowhere else repeated in corpus")
+    ).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("repng").toString
+    docs.write.mode(SaveMode.Overwrite).parquet(s"$tmp/documents.parquet")
+    val got = operators.TextRank.dedupRepeatedNgrams(spark, tmp)
+      .select("doc_id", "boiler_frac").as[(Long, Double)].collect().toMap
+    assert(got(1L) === 1.0)
+    assert(got(2L) === 1.0)
+    assert(got(3L) === 0.0)
+  }
+
   test("count-min sketch: estimates dominate true counts (one-sided error)") {
     val rows = operators.TextRank.freqCountMin(spark, sf)
       .select("tok", "true_n", "est_n").as[(String, Long, Long)].collect()
