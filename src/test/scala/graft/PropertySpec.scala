@@ -154,4 +154,44 @@ class PropertySpec extends SparkSpec {
       assert(dist === exact, s"mismatch at n=$n")
     }
   }
+
+  test("streaming funnel matches a plain-Scala reference on random streams") {
+    import spark.implicits._
+    val rnd = new Random(47)
+    val types = Array("view", "click", "purchase", "other")
+    // plain-Scala reference: split per-user ts-sorted events on the gap,
+    // then scan each session for first view < first later click < first
+    // later purchase (strict >)
+    def ref(evs: Seq[(Long, Long, String)], gap: Long): Map[(Long, Long, Boolean, Long), Int] =
+      evs.groupBy(_._1).toSeq.flatMap { case (uid, es) =>
+        val sorted = es.map(e => (e._2, e._3)).sortBy(_._1)
+        val sessions = sorted.tail.foldLeft(Vector(Vector(sorted.head))) {
+          case (acc, e) =>
+            if (e._1 - acc.last.last._1 > gap) acc :+ Vector(e)
+            else acc.init :+ (acc.last :+ e)
+        }
+        sessions.map { ses =>
+          val tv = ses.collectFirst { case (t, "view") => t }
+          val tc = tv.flatMap(v => ses.collectFirst { case (t, "click") if t > v => t })
+          val tp = tc.flatMap(c => ses.collectFirst { case (t, "purchase") if t > c => t })
+          (uid, ses.length.toLong, tp.isDefined,
+            tp.flatMap(p => tv.map(p - _)).getOrElse(-1L))
+        }
+      }.groupBy(identity).view.mapValues(_.length).toMap
+    for (round <- 1 to 30) {
+      val gap = 50L + rnd.nextInt(100)
+      // small ts range forces ties and gap boundaries; shuffled input
+      // order exercises the sort inside the stateful function
+      val evs = List.fill(30 + rnd.nextInt(120))(
+        (rnd.nextInt(4).toLong, rnd.nextInt(800).toLong, types(rnd.nextInt(4))))
+      // ties (same user, same ts, different types) stay in: every output
+      // is a ts value and the strict > gates make tie ORDER unobservable,
+      // which is itself the property worth exercising
+      val shuffled = rnd.shuffle(evs)
+      val got = streaming.Streams.funnel(shuffled.toDS(), gap, emitOpen = true)
+        .collect().map(f => (f.user_id, f.n_events, f.converted, f.conv_ns)).toSeq
+        .groupBy(identity).view.mapValues(_.length).toMap
+      assert(got === ref(shuffled, gap), s"round $round gap $gap")
+    }
+  }
 }
