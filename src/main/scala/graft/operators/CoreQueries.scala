@@ -148,17 +148,40 @@ object CoreQueries {
       .select(col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
   }
 
-  /** Approximate count-distinct (HyperLogLog++): the scale-native distinct
-    * path — partial sketches merge map-side, so the shuffle carries
-    * fixed-size sketches instead of the key universe. Sketch values are
-    * engine-specific ⇒ rows-only oracle; accuracy is spec-tested against
-    * exact counts. */
-  def q14(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .groupBy("l_returnflag")
-      .agg(
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-        approx_count_distinct(col("l_partkey")).as("approx_parts"))
+  /** Approximate count-distinct via a DETERMINISTIC 64-register
+    * HyperLogLog both engines replay exactly (the same cross-engine
+    * discipline as q17's KMV): 60-bit md5-prefix hash → register = low 6
+    * bits, ρ = leading-zero-count(+1) of the remaining 54 bits (via
+    * `bin()` length — exact string arithmetic, no log2 rounding), per-
+    * register MAX(ρ), then the harmonic sum is kept as an EXACT BIGINT
+    * (Σ 2^(55-ρ), empty registers contribute 2^55) so aggregation order
+    * cannot perturb a float sum; one final cast + one correctly-rounded
+    * division yield a bit-identical estimate in Spark and DuckDB.
+    * α₆₄ = 0.709 (Flajolet et al.); no small-range ln() correction — ln is
+    * not correctly-rounded across engines, and the raw estimate's bias
+    * only matters below ~2.5·m distincts (spec-covered tolerance).
+    * Plan shape is the real HLL merge: the shuffle carries (group,
+    * register) partial maxima — 64 rows per group — never the key
+    * universe. */
+  def q14(s: SparkSession, dir: String): DataFrame = {
+    def sketch(key: String, alias: String): DataFrame =
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          expr(s"cast(conv(substring(md5(cast(cast($key as string) as binary)), 1, 15), 16, 10) as bigint)")
+            .as("h"))
+        .select(col("l_returnflag"), expr("h & 63").as("reg"),
+          expr("case when shiftright(h, 6) = 0 then 55" +
+            " else 55 - length(bin(shiftright(h, 6))) end").as("rho"))
+        .groupBy("l_returnflag", "reg").agg(max("rho").as("rho"))
+        .groupBy("l_returnflag")
+        .agg((sum(expr("shiftleft(1L, 55 - rho)")) +
+          (lit(64L) - count(lit(1))) * lit(36028797018963968L)).as("w"))
+        .select(col("l_returnflag"),
+          (lit(0.709 * 64 * 64 * 36028797018963968.0) / col("w").cast("double"))
+            .as(alias))
+    sketch("l_orderkey", "approx_orders")
+      .join(sketch("l_partkey", "approx_parts"), Seq("l_returnflag"))
+  }
 
   /** Correlated scalar subquery: orders priced above 1.5× their
     * customer's average — the threshold-vs-own-group-mean filter shape.
@@ -273,6 +296,38 @@ object CoreQueries {
         |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS avg3
         |FROM orders""".stripMargin,
+    // mirrors q14's deterministic HLL exactly: same md5-prefix hash, same
+    // bin()-length ρ, same exact-BIGINT register sum, same single cast +
+    // correctly-rounded ops — so the double estimates hash-match.
+    "q14_approx_distinct" ->
+      """WITH ro AS (
+        |  SELECT l_returnflag, h & 63 AS reg,
+        |    CASE WHEN (h >> 6) = 0 THEN 55
+        |         ELSE 55 - length(bin(h >> 6)) END AS rho
+        |  FROM (SELECT l_returnflag,
+        |          ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT AS h
+        |        FROM lineitem)),
+        |mo AS (SELECT l_returnflag, reg, MAX(rho) AS rho FROM ro GROUP BY 1, 2),
+        |go AS (SELECT l_returnflag,
+        |         SUM(1::BIGINT << (55 - rho)) + (64 - COUNT(*)) * (1::BIGINT << 55) AS w
+        |       FROM mo GROUP BY 1),
+        |rp AS (
+        |  SELECT l_returnflag, h & 63 AS reg,
+        |    CASE WHEN (h >> 6) = 0 THEN 55
+        |         ELSE 55 - length(bin(h >> 6)) END AS rho
+        |  FROM (SELECT l_returnflag,
+        |          ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h
+        |        FROM lineitem)),
+        |mp AS (SELECT l_returnflag, reg, MAX(rho) AS rho FROM rp GROUP BY 1, 2),
+        |gp AS (SELECT l_returnflag,
+        |         SUM(1::BIGINT << (55 - rho)) + (64 - COUNT(*)) * (1::BIGINT << 55) AS w
+        |       FROM mp GROUP BY 1)
+        |SELECT go.l_returnflag,
+        |  CAST(0.709 AS DOUBLE) * 64 * 64 * CAST(36028797018963968 AS DOUBLE)
+        |    / CAST(go.w AS DOUBLE) AS approx_orders,
+        |  CAST(0.709 AS DOUBLE) * 64 * 64 * CAST(36028797018963968 AS DOUBLE)
+        |    / CAST(gp.w AS DOUBLE) AS approx_parts
+        |FROM go JOIN gp USING (l_returnflag)""".stripMargin,
     "q17_kmv_distinct" ->
       """WITH h AS (
         |  SELECT DISTINCT l_returnflag,

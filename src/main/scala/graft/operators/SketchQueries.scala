@@ -112,10 +112,21 @@ object SketchQueries {
     val bands = sigs.select(col("doc_id"), explode(col("bds")).as("bd"))
       .select(col("doc_id"), col("bd.band").as("band"), col("bd.bh").as("bh"))
     // Posting-list pair generation (one groupBy shuffle, no self-join)
-    // with the BAND_CUTOFF skew cap: ds is sorted, so j > i ⟺ doc2 > doc1.
-    val cand = bands.groupBy("band", "bh")
+    // with the BAND_CUTOFF skew cap applied BEFORE any posting list
+    // materializes: bucket sizes first (partial-aggregated map-side, one
+    // row per distinct (band, bh)), then oversized buckets removed with a
+    // broadcast anti-join — the same two-pass guard as simKnnGraph's
+    // KNN_BUCKET_CAP — so a degenerate band value never allocates O(k)
+    // single-task collect_list state. Oversized buckets are rare by
+    // construction (they need k > cutoff docs sharing a signature), so
+    // the anti-join side stays broadcastable at any corpus size.
+    // ds is sorted, so j > i ⟺ doc2 > doc1.
+    val oversized = bands.groupBy("band", "bh").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > BAND_CUTOFF).select("band", "bh")
+    val cand = bands.join(broadcast(oversized), Seq("band", "bh"), "left_anti")
+      .groupBy("band", "bh")
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")).between(2, BAND_CUTOFF))
+      .filter(size(col("ds")) >= 2)
       .select(col("ds"), posexplode(col("ds")).as(Seq("i", "doc1")))
       .select(col("i"), col("doc1"), posexplode(col("ds")).as(Seq("j", "doc2")))
       .filter(col("j") > col("i"))
@@ -188,9 +199,15 @@ object SketchQueries {
       .select(col("doc_id"), col("fp"), col("bd.band").as("band"), col("bd.bv").as("bv"))
     // sort_array on (doc_id, fp) structs orders by doc_id; the fps ride
     // along so the Hamming check needs no join back to the corpus.
-    bands.groupBy("band", "bv")
+    // BAND_CUTOFF is enforced BEFORE the collect via the same two-pass
+    // count + broadcast anti-join guard as minhashPairs, so an over-full
+    // bucket never materializes as single-task state.
+    val oversized = bands.groupBy("band", "bv").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > BAND_CUTOFF).select("band", "bv")
+    bands.join(broadcast(oversized), Seq("band", "bv"), "left_anti")
+      .groupBy("band", "bv")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("fp")))).as("ds"))
-      .filter(size(col("ds")).between(2, BAND_CUTOFF))
+      .filter(size(col("ds")) >= 2)
       .select(col("ds"), posexplode(col("ds")).as(Seq("i", "a")))
       .select(col("i"), col("a"), posexplode(col("ds")).as(Seq("j", "b")))
       .filter(col("j") > col("i"))

@@ -276,34 +276,56 @@ object TextPrep {
        |  FROM d JOIN walk w ON d.bucket = w.bucket AND d.rn = w.rn + 1)
        |SELECT bucket, doc_id, n_tokens, example_id FROM walk""".stripMargin
 
+  /** Target documents per training shard: the shard count scales with the
+    * corpus (ceil(n / target)), so parallelism grows at 100 TB instead of
+    * funnelling the whole corpus through a fixed task count. The oracle
+    * SQL embeds the SAME heuristic as a scalar subquery, so both engines
+    * derive the shard count from the table itself. */
+  private[graft] val SHARD_TARGET_DOCS = 64L
+
+  /** Effective shard count: explicit conf override (production knob —
+    * e.g. to pin shard count across incremental runs), else the
+    * size-derived default. Verify's oracle mirrors only the default
+    * heuristic; the override path is spec-covered instead. */
+  private[graft] def shardCount(s: SparkSession, nDocs: Long): Long =
+    s.conf.getOption("graft.shuffle.shards").map(_.toLong)
+      .getOrElse(math.max(1L, (nDocs + SHARD_TARGET_DOCS - 1) / SHARD_TARGET_DOCS))
+
   /** Deterministic corpus shuffle into training shards: every document
     * gets a content-independent pseudo-random shard and a stable position
     * within it (the "global shuffle before sharded ingestion" step —
     * hash-ordered so retries and re-runs produce byte-identical shards).
-    * Plan: one narrow projection computes the 60-bit md5-prefix order
-    * key, one exchange on shard id, and the intra-shard row_number rides
-    * that partitioning — at production, shards map 1:1 to output files
-    * via partitionBy(shard). */
+    * Plan: one driver-side metadata count sizes the shard grid (same
+    * class as range-partition sampling; column-pruned, so the scan reads
+    * no data pages), then one narrow projection computes the 60-bit
+    * md5-prefix order key, one exchange on shard id, and the intra-shard
+    * row_number rides that partitioning — at production, shards map 1:1
+    * to output files via partitionBy(shard). */
   def dataShuffleShards(s: SparkSession, dir: String): DataFrame = {
-    val SHARDS = 8
+    val docs = t(s, dir, "documents")
+    val shards = shardCount(s, docs.count())
     val w = Window.partitionBy("shard").orderBy("h", "doc_id")
-    t(s, dir, "documents")
+    docs
       .select(col("doc_id"),
         expr("cast(conv(substring(md5(cast(concat('shard:', doc_id) as binary)), 1, 15), 16, 10) as bigint)")
           .as("h"))
-      .withColumn("shard", pmod(col("h"), lit(SHARDS.toLong)))
+      .withColumn("shard", pmod(col("h"), lit(shards)))
       .select(col("doc_id"), col("shard"),
         row_number().over(w).cast("long").as("pos"))
   }
 
   private val SHARDS_SQL =
-    """WITH h AS (
-      |  SELECT doc_id,
-      |    ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
-      |  FROM documents)
-      |SELECT doc_id, h % 8 AS shard,
-      |  CAST(ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS BIGINT) AS pos
-      |FROM h""".stripMargin
+    s"""WITH n AS (
+       |  SELECT GREATEST(1, CAST(CEIL(COUNT(*) / $SHARD_TARGET_DOCS.0) AS BIGINT)) AS nsh
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+       |  FROM documents)
+       |SELECT doc_id, h % (SELECT nsh FROM n) AS shard,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY h % (SELECT nsh FROM n)
+       |    ORDER BY h, doc_id) AS BIGINT) AS pos
+       |FROM h""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "data_shuffle_shards" -> (dataShuffleShards _),

@@ -112,16 +112,21 @@ class DomainSpec extends SparkSpec {
     assert(total === DomainQueries.events(spark, sf).count())
   }
 
-  test("approx_count_distinct lands within 10% of exact") {
+  test("deterministic 64-register HLL lands within 3 sigma of exact") {
+    // m=64 ⇒ standard error ≈ 1.04/√64 = 13%; gate at 3σ so the spec
+    // pins accuracy without flaking on an unlucky hash draw.
     val approx = CoreQueries.q14(spark, sf)
-      .select("l_returnflag", "approx_orders").as[(String, Long)].collect().toMap
+      .select("l_returnflag", "approx_orders", "approx_parts")
+      .as[(String, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
     val exact = Tables.t(spark, sf, "lineitem")
-      .groupBy("l_returnflag").agg(countDistinct("l_orderkey").as("n"))
-      .as[(String, Long)].collect().toMap
+      .groupBy("l_returnflag").agg(
+        countDistinct("l_orderkey").as("no"), countDistinct("l_partkey").as("np"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
     assert(approx.keySet === exact.keySet)
-    for ((k, a) <- approx) {
-      val e = exact(k)
-      assert(math.abs(a - e).toDouble / e < 0.10, s"$k: approx $a vs exact $e")
+    for ((k, (ao, ap)) <- approx) {
+      val (eo, ep) = exact(k)
+      assert(math.abs(ao - eo) / eo < 0.39, s"$k orders: approx $ao vs exact $eo")
+      assert(math.abs(ap - ep) / ep < 0.39, s"$k parts: approx $ap vs exact $ep")
     }
   }
 

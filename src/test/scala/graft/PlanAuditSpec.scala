@@ -45,8 +45,8 @@ class PlanAuditSpec extends SparkSpec {
     "q01_agg_summary" -> 1, // one partial-aggregated shuffle
     "q03_join_agg" -> 1, // both dims broadcast; one agg shuffle
     "dedup_ngram_jaccard" -> 4, // shingle agg + posting agg + pair agg + AQE size joins
-    "dedup_minhash_lsh" -> 4, // signature agg + band agg + two sig join sides
-    "dedup_simhash" -> 3, // fingerprint agg + band-bucket agg + pair dedup
+    "dedup_minhash_lsh" -> 5, // signature agg + bucket-cap count + band agg + two sig join sides
+    "dedup_simhash" -> 4, // fingerprint agg + bucket-cap count + band-bucket agg + pair dedup
     "sim_ivf_topk" -> 3, // assignment agg + probe agg + rerank agg
     "events_asof" -> 1, // the ONE union-tag window exchange
     "text_winnowing" -> 1, // one doc_id exchange feeds both windows + agg
@@ -57,6 +57,15 @@ class PlanAuditSpec extends SparkSpec {
     "sim_knn_graph" -> 4, // two bucket-assignment aggs (self-join sides) + cap agg + rerank agg
     "q18_running_window" -> 1, // one partition-key exchange, shared sort
     "data_shuffle_shards" -> 1) // one shard-id exchange, row_number rides it
+
+  test("data_shuffle_shards partitions its one exchange on the shard id") {
+    // the shard grid must drive the exchange (parallelism = shard count),
+    // not a constant-width round-robin or a single-task sort
+    val plan = SparkEntry.queries("data_shuffle_shards")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(shard"),
+      s"shard exchange not partitioned on shard id:\n$plan")
+  }
 
   test("heavy queries stay within their exchange budgets") {
     val over = maxExchanges.toSeq.sortBy(_._1).flatMap { case (name, cap) =>

@@ -95,15 +95,20 @@ class SketchSpec extends SparkSpec {
   }
 
   test("band-bucket skew cap bounds candidates on an adversarial corpus") {
-    // 1000 identical docs collapse every band to ONE value: uncapped,
-    // that is C(1000,2) ≈ 500k candidate pairs per band — the quadratic
+    // 10k identical docs collapse every band to ONE value: uncapped,
+    // that is C(10k,2) ≈ 50M candidate pairs per band — the quadratic
     // blowup the BAND_CUTOFF guards against at 100 TB. Capped, the
     // over-full buckets generate nothing (exact dups stay covered by
-    // dedup_exact).
+    // dedup_exact) — and the cap is enforced BEFORE any posting list
+    // exists: the plan must carry the broadcast anti-join guard, so the
+    // degenerate bucket never materializes as collect_list state.
     val text = "the quick brown fox jumps over the lazy dog again and again today"
-    val big = (1L to 1000L).map(i => (i, text)).toDF("doc_id", "text")
-    assert(SketchQueries.minhashPairs(big).count() === 0)
-    assert(SketchQueries.simhashPairs(big).count() === 0)
+    val big = (1L to 10000L).map(i => (i, text)).toDF("doc_id", "text")
+    for (pairs <- Seq(SketchQueries.minhashPairs(big), SketchQueries.simhashPairs(big))) {
+      assert(pairs.queryExecution.executedPlan.toString.contains("LeftAnti"),
+        "bucket-cap anti-join missing from plan")
+      assert(pairs.count() === 0)
+    }
     // A cluster within the cap still yields its full C(k,2) pair set.
     val small = (1L to 50L).map(i => (i, text)).toDF("doc_id", "text")
     assert(SketchQueries.minhashPairs(small).count() === 50L * 49 / 2)

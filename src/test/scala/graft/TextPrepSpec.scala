@@ -121,6 +121,31 @@ class TextPrepSpec extends SparkSpec {
     assert(rows.count { case (_, t, e) => e < 2 * t } >= 15)
   }
 
+  test("shuffle shards: size-derived shard count, dense positions, conf override") {
+    val n = Tables.t(spark, sf, "documents").count()
+    val expected = math.max(1L, (n + TextPrep.SHARD_TARGET_DOCS - 1) / TextPrep.SHARD_TARGET_DOCS)
+    val out = TextPrep.dataShuffleShards(spark, sf)
+    assert(out.queryExecution.executedPlan.toString.contains("hashpartitioning(shard"),
+      "shard exchange must partition on the derived shard id")
+    val rows = out.as[(Long, Long, Long)].collect()
+    assert(rows.length.toLong === n) // every doc exactly once
+    assert(rows.forall { case (_, sh, _) => sh >= 0 && sh < expected })
+    // positions are a dense 1..k within each shard (byte-identical shards)
+    for ((sh, g) <- rows.groupBy(_._2))
+      assert(g.map(_._3).sorted.toSeq === (1L to g.length.toLong),
+        s"shard $sh positions not dense")
+    // non-default shard count via the production knob: same invariants
+    spark.conf.set("graft.shuffle.shards", "13")
+    try {
+      val o = TextPrep.dataShuffleShards(spark, sf).as[(Long, Long, Long)].collect()
+      assert(o.length.toLong === n)
+      assert(o.forall { case (_, sh, _) => sh >= 0 && sh < 13 })
+      for ((sh, g) <- o.groupBy(_._2))
+        assert(g.map(_._3).sorted.toSeq === (1L to g.length.toLong),
+          s"override shard $sh positions not dense")
+    } finally spark.conf.unset("graft.shuffle.shards")
+  }
+
   test("text_diversity: 0 for a single repeated token, 1 - 1/n for all-distinct") {
     import org.apache.spark.sql.SaveMode
     val docs = Seq(
