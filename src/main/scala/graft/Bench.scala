@@ -56,7 +56,14 @@ object Bench {
     // records this line keeps only the LAST ~2 KB of output, so the
     // per-query map goes first and the suite total goes last — a
     // head-truncated tail still shows the total (BENCH_r03 lost it).
-    val json = s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"errors":$errors,"value":${fmt(total)}}"""
+    // Machine-load marker: a uniform inflation across ALL queries (the
+    // r5 driver run was ~27% hot on unchanged code) is an environment
+    // artifact, not a regression — loadavg + timestamp in the artifact
+    // makes that diagnosable from the JSON alone.
+    val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
+    val env = s""""load_avg":${fmt(load)},"epoch_ms":${System.currentTimeMillis()},"cpus":$cpus"""
+    val json = s"""{"metric":"total","unit":"sec","sf":"$sfDir",$env,"queries":$qs,"errors":$errors,"value":${fmt(total)}}"""
     // Durable copy: survives any stdout/stderr truncation.
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
       (json + "\n").getBytes("UTF-8"))

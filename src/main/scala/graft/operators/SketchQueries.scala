@@ -561,11 +561,47 @@ object SketchQueries {
     // shoelace sum cancels to exactly 0 — mapped to NULL + note below,
     // matching the aggregator's -1 sentinel (a genuine hull's area is
     // always > 0 at coordinate-grid scale).
+    // Scale ceiling: the edge test is O(n³) per group, so `pts` applies
+    // the Akl–Toussaint prefilter first — a point STRICTLY inside either
+    // quadrilateral of directional extreme POINTS (axis extremes W/S/E/N,
+    // diagonal extremes SW/SE/NE/NW, each via a single list-valued
+    // arg-extreme so ties can't mix coordinates across rows; any
+    // data-point quad is ⊆ the hull) is strictly interior to the hull,
+    // so it is never a hull vertex, and every non-edge pair keeps a
+    // surviving witness (the support point of any strictly-right
+    // direction is a hull vertex; a collinear-only witness line supports
+    // the hull, so its points are boundary and both survive). "Strictly
+    // inside" = strictly left of all four ccw edges; degenerate/
+    // collinear quads only make cross terms 0, i.e. the filter keeps
+    // MORE points — every failure mode is conservative. Edge set is
+    // EXACTLY unchanged (checked value-identical at sf0.01 AND sf0.1);
+    // the cubic test runs on the O(rim) surviving points per group:
+    // 157 s → 2.7 s at sf0.1, so the oracle stays tractable at larger
+    // gate scales.
     "range_convex_hull" ->
       ("WITH " + DomainQueries.OCC_SQL + ",\n" + DomainQueries.VALID_SQL + ",\n" +
-        """pts AS (SELECT DISTINCT species, lon, lat FROM valid),
+        """pts0 AS (SELECT DISTINCT species, lon, lat FROM valid),
           |cnt AS (SELECT species, CAST(COUNT(*) AS BIGINT) AS n_points
           |        FROM valid GROUP BY species),
+          |ext AS (SELECT species,
+          |          ARG_MIN([lon, lat], lon) AS w, ARG_MAX([lon, lat], lon) AS e2,
+          |          ARG_MIN([lon, lat], lat) AS s, ARG_MAX([lon, lat], lat) AS n,
+          |          ARG_MIN([lon, lat], lon + lat) AS sw, ARG_MAX([lon, lat], lon - lat) AS se,
+          |          ARG_MAX([lon, lat], lon + lat) AS ne, ARG_MIN([lon, lat], lon - lat) AS nw
+          |        FROM pts0 GROUP BY species),
+          |pts AS (
+          |  SELECT p.species, p.lon, p.lat
+          |  FROM pts0 p JOIN ext x USING (species)
+          |  WHERE NOT (
+          |        (x.s[1]-x.w[1])*(p.lat-x.w[2]) - (x.s[2]-x.w[2])*(p.lon-x.w[1]) > 0
+          |    AND (x.e2[1]-x.s[1])*(p.lat-x.s[2]) - (x.e2[2]-x.s[2])*(p.lon-x.s[1]) > 0
+          |    AND (x.n[1]-x.e2[1])*(p.lat-x.e2[2]) - (x.n[2]-x.e2[2])*(p.lon-x.e2[1]) > 0
+          |    AND (x.w[1]-x.n[1])*(p.lat-x.n[2]) - (x.w[2]-x.n[2])*(p.lon-x.n[1]) > 0)
+          |  AND NOT (
+          |        (x.se[1]-x.sw[1])*(p.lat-x.sw[2]) - (x.se[2]-x.sw[2])*(p.lon-x.sw[1]) > 0
+          |    AND (x.ne[1]-x.se[1])*(p.lat-x.se[2]) - (x.ne[2]-x.se[2])*(p.lon-x.se[1]) > 0
+          |    AND (x.nw[1]-x.ne[1])*(p.lat-x.ne[2]) - (x.nw[2]-x.ne[2])*(p.lon-x.ne[1]) > 0
+          |    AND (x.sw[1]-x.nw[1])*(p.lat-x.nw[2]) - (x.sw[2]-x.nw[2])*(p.lon-x.nw[1]) > 0)),
           |edges AS (
           |  SELECT p.species, p.lon AS px, p.lat AS py, q.lon AS qx, q.lat AS qy
           |  FROM pts p JOIN pts q ON p.species = q.species

@@ -243,6 +243,22 @@ object TextRank {
   private val cmBucket =
     "pmod(cast(conv(substring(md5(cast(concat(cast(r as string), ':', tok) as binary)), 1, 15), 16, 10) as bigint), 64)"
 
+  /** Occurrence-direct count-min build — the PRODUCTION shape: every
+    * token occurrence hashes straight into the 4×64 matrix, so the plan
+    * contains NO vocabulary aggregate anywhere (that aggregate is the
+    * thing the sketch exists to avoid) and the one shuffle carries at
+    * most 256 partial cells per map task regardless of token-universe
+    * size — the same shape a streaming foreachBatch build uses.
+    * Cell-for-cell identical to the vocab-weighted build inside
+    * [[freqCountMin]] (spec-asserted); the weighted build stays as the
+    * bench/oracle comparator because it shares the exact aggregate the
+    * heavy-hitter report needs anyway. */
+  private[graft] def cmSketchDirect(toks: DataFrame): DataFrame =
+    toks
+      .select(col("tok"), explode(sequence(lit(0), lit(3))).as("r"))
+      .select(col("r"), expr(cmBucket).as("bucket"))
+      .groupBy("r", "bucket").agg(count(lit(1)).as("cell"))
+
   def freqCountMin(s: SparkSession, dir: String): DataFrame = {
     val toksDf = t(s, dir, "documents")
       .select(toks("text").as(Seq("p", "tok"))).select("tok")

@@ -1,0 +1,65 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Atomic rebuild-then-swap publish — the Spark-native modeling of the
+  * reference's articles-index rollup (`update_articles_index.py:7-44`:
+  * rebuild each articles index in full, then re-point the serving alias
+  * at the fresh index in one aliases call): every publish writes a
+  * COMPLETE snapshot under a fresh versioned directory, then "swaps the
+  * alias" by creating that version's `_PUBLISHED` marker. Creating one
+  * file is atomic on any filesystem/object store, so readers — who
+  * resolve max(published version) first — always see exactly one full
+  * snapshot, never a half-written mix. A crashed publish leaves an
+  * unmarked orphan directory and the alias untouched (re-run safe);
+  * rollback is deleting one marker. Unlike [[Upsert]] (partition-level
+  * in-place refresh) this is the full-rebuild/atomic-replace shape.
+  */
+object AliasPublish {
+  private val MARKER = "_PUBLISHED"
+
+  private def fs(s: SparkSession, root: String) =
+    new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** Versions under `root` that completed their alias swap, ascending. */
+  def publishedVersions(s: SparkSession, root: String): Seq[Long] = {
+    val f = fs(s, root)
+    val rootPath = new Path(root)
+    if (!f.exists(rootPath)) Seq.empty
+    else f.listStatus(rootPath).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+      .map(_.getPath.getName.stripPrefix("v=").toLong)
+      .filter(v => f.exists(new Path(rootPath, s"v=$v/$MARKER")))
+      .sorted
+  }
+
+  /** Write a full snapshot as the next version and atomically publish it.
+    * Returns the published version number. */
+  def publish(df: DataFrame, root: String): Long = {
+    val s = df.sparkSession
+    val f = fs(s, root)
+    val next = (publishedVersions(s, root) ++ unpublished(s, root)).foldLeft(0L)(math.max) + 1
+    df.write.mode("error").parquet(s"$root/v=$next")
+    f.create(new Path(root, s"v=$next/$MARKER"), false).close() // the swap
+    next
+  }
+
+  /** Orphan (crashed-publish) versions: snapshot dirs with no marker. */
+  def unpublished(s: SparkSession, root: String): Seq[Long] = {
+    val f = fs(s, root)
+    val rootPath = new Path(root)
+    if (!f.exists(rootPath)) Seq.empty
+    else f.listStatus(rootPath).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+      .map(_.getPath.getName.stripPrefix("v=").toLong)
+      .filterNot(v => f.exists(new Path(rootPath, s"v=$v/$MARKER")))
+  }
+
+  /** Resolve the alias and read the current snapshot. */
+  def readCurrent(s: SparkSession, root: String): DataFrame = {
+    val vs = publishedVersions(s, root)
+    require(vs.nonEmpty, s"no published snapshot under $root")
+    s.read.parquet(s"$root/v=${vs.last}")
+  }
+}

@@ -56,7 +56,10 @@ class PlanAuditSpec extends SparkSpec {
     "q17_kmv_distinct" -> 2, // (flag,hash) distinct + k-bounded sketch agg
     "sim_knn_graph" -> 4, // two bucket-assignment aggs (self-join sides) + cap agg + rerank agg
     "q18_running_window" -> 1, // one partition-key exchange, shared sort
-    "data_shuffle_shards" -> 1) // one shard-id exchange, row_number rides it
+    "data_shuffle_shards" -> 1, // one shard-id exchange, row_number rides it
+    "dedup_repeated_ngrams" -> 2, // gram window exchange + df agg; AQE broadcasts the df side
+    "freq_count_min" -> 1, // sketch cell agg; exact agg is checkpointed, probe side broadcast
+    "text_cdc_chunks" -> 0) // scan-bound native expression: ZERO shuffles
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
     // the shard grid must drive the exchange (parallelism = shard count),

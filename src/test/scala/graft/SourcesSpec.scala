@@ -149,6 +149,28 @@ class SourcesSpec extends SparkSpec {
       (2L, "sp_b", 2), (9L, "sp_b", 2))) // rewritten partition fully replaced
   }
 
+  test("alias publish: rebuild-then-swap is atomic, crash leaves alias untouched") {
+    import graft.sources.AliasPublish
+    val root = Files.createTempDirectory("alias").toString
+    val v1 = AliasPublish.publish(Seq((1L, "a"), (2L, "b")).toDF("id", "x"), root)
+    val v2 = AliasPublish.publish(Seq((1L, "a2"), (2L, "b2"), (3L, "c")).toDF("id", "x"), root)
+    assert(Seq(v1, v2) === Seq(1L, 2L))
+    // readers resolve the alias: full second snapshot, never a mix
+    assert(AliasPublish.readCurrent(spark, root).count() === 3)
+    assert(AliasPublish.readCurrent(spark, root)
+      .filter(col("x") === "a").count() === 0)
+    // previous snapshot stays intact for rollback
+    assert(spark.read.parquet(s"$root/v=1").count() === 2)
+    // crashed publish: snapshot dir exists but no marker — alias unmoved
+    Seq((9L, "dead")).toDF("id", "x").write.parquet(s"$root/v=3")
+    assert(AliasPublish.publishedVersions(spark, root) === Seq(1L, 2L))
+    assert(AliasPublish.unpublished(spark, root) === Seq(3L))
+    assert(AliasPublish.readCurrent(spark, root).count() === 3)
+    // the next publish steps past the orphan instead of colliding with it
+    assert(AliasPublish.publish(Seq((4L, "d")).toDF("id", "x"), root) === 4L)
+    assert(AliasPublish.readCurrent(spark, root).count() === 1)
+  }
+
   test("GraftExtensions injects rolling_hash into a fresh session") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // builder wiring smoke test

@@ -121,6 +121,27 @@ class TextPrepSpec extends SparkSpec {
     assert(rows.count { case (_, t, e) => e < 2 * t } >= 15)
   }
 
+  test("occurrence-direct count-min build matches the weighted build, one shuffle") {
+    import operators.TextRank
+    val toks = Tables.t(spark, sf, "documents")
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("tok"))
+    val direct = TextRank.cmSketchDirect(toks)
+    // production shape: a single partial-aggregated exchange, no vocab agg
+    val plan = direct.queryExecution.executedPlan.toString
+    val nEx = "(?m)^\\s*[+:*-]*\\s*\\(?\\d*\\)?\\s*Exchange ".r.findAllIn(plan).size
+    assert(nEx === 1, s"direct CM build should shuffle once, saw $nEx:\n$plan")
+    // cell-for-cell identical to the vocab-weighted comparator build
+    val weighted = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+      .select(col("tok"), col("n"), explode(sequence(lit(0), lit(3))).as("r"))
+      .select(col("r"),
+        expr("pmod(cast(conv(substring(md5(cast(concat(cast(r as string), ':', tok) as binary)), 1, 15), 16, 10) as bigint), 64)").as("bucket"),
+        col("n"))
+      .groupBy("r", "bucket").agg(sum("n").as("cell"))
+    val d = direct.as[(Int, Long, Long)].collect().toSet
+    val w = weighted.as[(Int, Long, Long)].collect().toSet
+    assert(d === w)
+  }
+
   test("shuffle shards: size-derived shard count, dense positions, conf override") {
     val n = Tables.t(spark, sf, "documents").count()
     val expected = math.max(1L, (n + TextPrep.SHARD_TARGET_DOCS - 1) / TextPrep.SHARD_TARGET_DOCS)
