@@ -18,6 +18,13 @@ object Bench {
       // r3 q02/q03 "regression" (0.18→1.27 s on unchanged code). Size the
       // cache to hold the whole suite.
       .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // Each testdata table is ONE small parquet file (lineitem 10.8 MB),
+      // so the default 128 MB split size plans every scan as a single
+      // task and scan-bound stages run 1-wide on a 32-core harness. 1 MB
+      // splits feed the cores at bench SF; on a real cluster the default
+      // is correct (files >> splits), so this is harness sizing, not an
+      // operator setting — same class as shuffle.partitions=32.
+      .config("spark.sql.files.maxPartitionBytes", "1m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -160,27 +160,34 @@ object CoreQueries {
     * α₆₄ = 0.709 (Flajolet et al.); no small-range ln() correction — ln is
     * not correctly-rounded across engines, and the raw estimate's bias
     * only matters below ~2.5·m distincts (spec-covered tolerance).
-    * Plan shape is the real HLL merge: the shuffle carries (group,
-    * register) partial maxima — 64 rows per group — never the key
-    * universe. */
+    * Plan shape is the real HLL merge: ONE lineitem scan feeds both
+    * measures, and the shuffle carries (group, measure, register)
+    * partial maxima — 128 rows per group — never the key universe. */
   def q14(s: SparkSession, dir: String): DataFrame = {
-    def sketch(key: String, alias: String): DataFrame =
-      t(s, dir, "lineitem")
-        .select(col("l_returnflag"),
-          expr(s"cast(conv(substring(md5(cast(cast($key as string) as binary)), 1, 15), 16, 10) as bigint)")
-            .as("h"))
-        .select(col("l_returnflag"), expr("h & 63").as("reg"),
-          expr("case when shiftright(h, 6) = 0 then 55" +
-            " else 55 - length(bin(shiftright(h, 6))) end").as("rho"))
-        .groupBy("l_returnflag", "reg").agg(max("rho").as("rho"))
-        .groupBy("l_returnflag")
-        .agg((sum(expr("shiftleft(1L, 55 - rho)")) +
-          (lit(64L) - count(lit(1))) * lit(36028797018963968L)).as("w"))
-        .select(col("l_returnflag"),
-          (lit(0.709 * 64 * 64 * 36028797018963968.0) / col("w").cast("double"))
-            .as(alias))
-    sketch("l_orderkey", "approx_orders")
-      .join(sketch("l_partkey", "approx_parts"), Seq("l_returnflag"))
+    // ONE lineitem scan for both sketches: explode an inline (key-tag,
+    // hash) pair per measure, so the two register matrices build in the
+    // same partial-aggregated shuffle instead of two scans + a join.
+    // (explode, NOT stack: Stack is CodegenFallback, which would drag
+    // the md5 hashing into interpreted eval for every row.)
+    def h(k: String) =
+      s"cast(conv(substring(md5(cast(cast($k as string) as binary)), 1, 15), 16, 10) as bigint)"
+    val est = lit(0.709 * 64 * 64 * 36028797018963968.0) / col("w").cast("double")
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag"), explode(array(
+        struct(lit(0).as("k"), expr(h("l_orderkey")).as("h")),
+        struct(lit(1).as("k"), expr(h("l_partkey")).as("h")))).as("kh"))
+      .select(col("l_returnflag"), col("kh.k").as("k"), expr("kh.h").as("h"))
+      .select(col("l_returnflag"), col("k"), expr("h & 63").as("reg"),
+        expr("case when shiftright(h, 6) = 0 then 55" +
+          " else 55 - length(bin(shiftright(h, 6))) end").as("rho"))
+      .groupBy("l_returnflag", "k", "reg").agg(max("rho").as("rho"))
+      .groupBy("l_returnflag", "k")
+      .agg((sum(expr("shiftleft(1L, 55 - rho)")) +
+        (lit(64L) - count(lit(1))) * lit(36028797018963968L)).as("w"))
+      .select(col("l_returnflag"), col("k"), est.as("est"))
+      .groupBy("l_returnflag")
+      .agg(max(when(col("k") === 0, col("est"))).as("approx_orders"),
+        max(when(col("k") === 1, col("est"))).as("approx_parts"))
   }
 
   /** Correlated scalar subquery: orders priced above 1.5× their
