@@ -10,11 +10,11 @@ object SparkEntry {
     operators.CoreQueries.queries ++ operators.DomainQueries.queries ++
       operators.TextQueries.queries ++ operators.SketchQueries.queries ++
       operators.Multimodal.queries ++ operators.Records.queries ++
-      operators.TextPrep.queries ++ operators.EventJoins.queries ++ operators.TextRank.queries ++ operators.Graphs.queries
+      operators.TextPrep.queries ++ operators.EventJoins.queries ++ operators.TextRank.queries ++ operators.Graphs.queries ++ operators.Analytics.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.CoreQueries.oracle ++ operators.DomainQueries.oracle ++
       operators.TextQueries.oracle ++ operators.TextPrep.oracle ++
-      operators.Records.oracle ++ operators.EventJoins.oracle ++ operators.TextRank.oracle ++ operators.Graphs.oracle ++ operators.SketchQueries.oracle ++ operators.Multimodal.oracle
+      operators.Records.oracle ++ operators.EventJoins.oracle ++ operators.TextRank.oracle ++ operators.Graphs.oracle ++ operators.SketchQueries.oracle ++ operators.Multimodal.oracle ++ operators.Analytics.oracle
 }

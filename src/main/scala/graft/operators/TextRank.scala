@@ -195,6 +195,57 @@ object TextRank {
       |FROM ev LEFT JOIN tr ON ev.g = tr.g
       |GROUP BY ev.doc_id""".stripMargin
 
+  /** Asymmetric near-dup containment — the long-doc-swallows-short-doc
+    * case Jaccard misses (a 100-gram doc pasted inside a 10k-gram doc has
+    * jaccard ≈ 0.01 but containment 1.0): for candidate pairs sharing a
+    * rare 5-gram, containment = |shared| / |grams(smaller doc)|, computed
+    * over the rare-gram space (df ≤ cutoff; exact dups still score 1.0
+    * since both sides lose the same grams). Plan: the df cutoff is a
+    * pre-collect big-big join on the gram (the r6 bucket-cap discipline —
+    * posting lists are bounded ≤ cutoff BEFORE collect_list exists), then
+    * local C(df,2) pair-gen and AQE-sized joins for the per-doc sizes. */
+  def dedupShingleContainment(s: SparkSession, dir: String): DataFrame = {
+    val DF_CUTOFF = 100
+    val g = gram5(t(s, dir, "documents"))
+    val dfc = g.groupBy("g").agg(count(lit(1)).as("df"))
+    val rare = g.join(dfc.filter(col("df") <= DF_CUTOFF).select("g"), Seq("g"))
+    val szs = rare.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val cand = rare.groupBy("g")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(col("ds"), posexplode(col("ds")).as(Seq("i", "doc1")))
+      .select(col("i"), col("doc1"), posexplode(col("ds")).as(Seq("j", "doc2")))
+      .filter(col("j") > col("i"))
+      .groupBy("doc1", "doc2")
+      .agg(count(lit(1)).as("shared"))
+    val containment = col("shared").cast("double") / least(col("s1.sz"), col("s2.sz"))
+    cand
+      .join(szs.as("s1"), col("doc1") === col("s1.doc_id"))
+      .join(szs.as("s2"), col("doc2") === col("s2.doc_id"))
+      .filter(containment >= 0.8)
+      .select(
+        when(col("s1.sz") <= col("s2.sz"), col("doc1")).otherwise(col("doc2")).as("doc_small"),
+        when(col("s1.sz") <= col("s2.sz"), col("doc2")).otherwise(col("doc1")).as("doc_big"),
+        col("shared"), containment.as("containment"))
+  }
+
+  private val CONTAINMENT_SQL =
+    s"""WITH $GRAM5_CTE,
+      |dfc AS (SELECT g, COUNT(*) AS df FROM g GROUP BY g),
+      |rare AS (SELECT g.doc_id, g.g FROM g JOIN dfc USING (g) WHERE dfc.df <= 100),
+      |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM rare GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, CAST(COUNT(*) AS BIGINT) AS shared
+      |  FROM rare a JOIN rare b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT CASE WHEN s1.sz <= s2.sz THEN doc1 ELSE doc2 END AS doc_small,
+      |  CASE WHEN s1.sz <= s2.sz THEN doc2 ELSE doc1 END AS doc_big,
+      |  shared,
+      |  CAST(shared AS DOUBLE) / LEAST(s1.sz, s2.sz) AS containment
+      |FROM pairs JOIN sz s1 ON pairs.doc1 = s1.doc_id
+      |           JOIN sz s2 ON pairs.doc2 = s2.doc_id
+      |WHERE CAST(shared AS DOUBLE) / LEAST(s1.sz, s2.sz) >= 0.8""".stripMargin
+
   /** Vocabulary building: top-10 word bigrams per language by frequency.
     * Bigrams via the codegen window-lead trick (cf. [[Shingles]]); the
     * rank-≤-10 window compiles to WindowGroupLimit, so each partition
@@ -333,6 +384,7 @@ object TextRank {
       |GROUP BY doc_id""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "dedup_shingle_containment" -> (dedupShingleContainment _),
     "dedup_repeated_ngrams" -> (dedupRepeatedNgrams _),
     "freq_count_min" -> (freqCountMin _),
     "text_bm25_topk" -> (textBm25Topk _),
@@ -342,6 +394,7 @@ object TextRank {
     "text_top_ngrams" -> (textTopNgrams _))
 
   val oracle: Map[String, String] = Map(
+    "dedup_shingle_containment" -> CONTAINMENT_SQL,
     "dedup_repeated_ngrams" -> REPEATED_SQL,
     "freq_count_min" -> CM_SQL,
     "text_bm25_topk" -> BM25_SQL,
