@@ -115,13 +115,134 @@ object Analytics {
     s"SELECT vec_id,\n$cols\nFROM embeddings"
   }
 
+  /** SCD2 (slowly-changing-dimension type-2) history build from the raw
+    * event stream: per user, consecutive runs of the same event_type
+    * collapse to ONE validity interval [valid_from_ns, valid_to_ns), the
+    * open current state carries a NULL end — the warehouse-history shape
+    * behind the reference's status-tracking upserts. Plan: both windows
+    * (change detection, then interval close-out) partition on user_id, so
+    * ONE exchange feeds the whole operator. */
+  def metaScd2History(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    DomainQueries.events(s, dir)
+      .select(col("user_id"), col("event_type").as("state"),
+        col("ts_ns"), col("event_id"))
+      .withColumn("prev", lag("state", 1).over(byUser))
+      .filter(col("prev").isNull || col("prev") =!= col("state"))
+      .select(col("user_id"), col("state"),
+        col("ts_ns").as("valid_from_ns"),
+        lead("ts_ns", 1).over(byUser).as("valid_to_ns"))
+  }
+
+  private val SCD2_SQL =
+    """WITH e AS (
+      |  SELECT user_id, event_type AS state, event_id,
+      |    epoch_ns(ts) // 1000 * 1000 AS ts_ns
+      |  FROM events),
+      |chg AS (
+      |  SELECT user_id, state, ts_ns, event_id
+      |  FROM (SELECT *, LAG(state, 1) OVER w AS prev FROM e
+      |        WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id))
+      |  WHERE prev IS NULL OR prev <> state)
+      |SELECT user_id, state, ts_ns AS valid_from_ns,
+      |  LEAD(ts_ns, 1) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id)
+      |    AS valid_to_ns
+      |FROM chg""".stripMargin
+
+  /** Exact discrete quantiles (p50/p90/p99 of event value per type) via
+    * rank targets ceil(q·n) computed in INTEGER arithmetic — element
+    * picking, so the doubles are exact corpus values and cross-engine
+    * (interpolating quantile_cont formulas differ between engines in the
+    * last ulp). One exchange: the rank window and the final aggregate
+    * share the event_type partitioning. */
+  def eventsValueQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val byType = Window.partitionBy("event_type").orderBy("value", "event_id")
+    // rank target ceil(p·n/100) in pure integer arithmetic
+    def pick(p: Int) = max(when(
+      col("rn") === expr(s"(n * $p + 99) div 100"), col("value")))
+    DomainQueries.events(s, dir)
+      .select(col("event_type"), col("value"), col("event_id"))
+      .filter(col("value").isNotNull) // NULL sort order differs per engine
+      .withColumn("rn", row_number().over(byType).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      .groupBy("event_type")
+      .agg(max(col("n")).as("n"),
+        pick(50).as("p50"), pick(90).as("p90"), pick(99).as("p99"))
+  }
+
+  private val QUANTILES_SQL =
+    """WITH e AS (
+      |  SELECT event_type, value, event_id FROM events
+      |  WHERE value IS NOT NULL),
+      |r AS (SELECT event_type, value,
+      |        CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+      |          ORDER BY value, event_id) AS BIGINT) AS rn,
+      |        CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      |      FROM e)
+      |SELECT event_type, MAX(n) AS n,
+      |  MAX(CASE WHEN rn = (n * 50 + 99) // 100 THEN value END) AS p50,
+      |  MAX(CASE WHEN rn = (n * 90 + 99) // 100 THEN value END) AS p90,
+      |  MAX(CASE WHEN rn = (n * 99 + 99) // 100 THEN value END) AS p99
+      |FROM r GROUP BY event_type""".stripMargin
+
+  /** Stride-scheduled source interleaving within training shards — the
+    * data-mixture step: inside each hash shard, documents from weighted
+    * domains (language here; en 3×, de/fr 2×, rest 1×) interleave by the
+    * exact-integer stride key rank·(LCM/weight), so a shard's prefix of
+    * any length holds the domains in target ratio. Shard-parallel (both
+    * windows partition on the shard; no global order), shard count from
+    * the same size heuristic as data_shuffle_shards. */
+  def dataInterleaveSources(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val shards = TextPrep.shardCount(s, docs.count())
+    val byDomain = Window.partitionBy("shard", "lang").orderBy("h", "doc_id")
+    val byShard = Window.partitionBy("shard").orderBy("key", "lang", "doc_id")
+    // stride = LCM(3,2,1)/weight, precomputed so the key math stays integer
+    val stride = when(col("lang") === "en", 2L)
+      .when(col("lang").isin("de", "fr"), 3L).otherwise(6L)
+    docs
+      .select(col("doc_id"), col("lang"),
+        expr("cast(conv(substring(md5(cast(concat('mix:', doc_id) as binary)), 1, 15), 16, 10) as bigint)")
+          .as("h"))
+      .withColumn("shard", pmod(col("h"), lit(shards)))
+      .withColumn("key", row_number().over(byDomain).cast("long") * stride)
+      .select(col("shard"), col("lang"), col("doc_id"),
+        row_number().over(byShard).cast("long").as("pos"))
+  }
+
+  private val INTERLEAVE_SQL =
+    s"""WITH n AS (
+       |  SELECT GREATEST(1, CAST(CEIL(COUNT(*) / ${TextPrep.SHARD_TARGET_DOCS}.0) AS BIGINT)) AS nsh
+       |  FROM documents),
+       |d AS (
+       |  SELECT doc_id, lang,
+       |    ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h,
+       |    CASE WHEN lang = 'en' THEN 2 WHEN lang IN ('de', 'fr') THEN 3
+       |         ELSE 6 END AS stride
+       |  FROM documents),
+       |k AS (
+       |  SELECT doc_id, lang, h % (SELECT nsh FROM n) AS shard,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY h % (SELECT nsh FROM n), lang
+       |      ORDER BY h, doc_id) AS BIGINT) * stride AS key
+       |  FROM d)
+       |SELECT shard, lang, doc_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY key, lang, doc_id)
+       |    AS BIGINT) AS pos
+       |FROM k""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "events_retention" -> (eventsRetention _),
     "events_top_paths" -> (eventsTopPaths _),
-    "sim_random_projection" -> (simRandomProjection _))
+    "sim_random_projection" -> (simRandomProjection _),
+    "meta_scd2_history" -> (metaScd2History _),
+    "events_value_quantiles" -> (eventsValueQuantiles _),
+    "data_interleave_sources" -> (dataInterleaveSources _))
 
   val oracle: Map[String, String] = Map(
     "events_retention" -> RETENTION_SQL,
     "events_top_paths" -> PATHS_SQL,
-    "sim_random_projection" -> RP_SQL)
+    "sim_random_projection" -> RP_SQL,
+    "meta_scd2_history" -> SCD2_SQL,
+    "events_value_quantiles" -> QUANTILES_SQL,
+    "data_interleave_sources" -> INTERLEAVE_SQL)
 }

@@ -62,6 +62,68 @@ class AnalyticsSpec extends SparkSpec {
   }
   private val filler2 = (61 to 99).map(i => s"y$i").mkString(" ")
 
+  test("containment: identical-doc flood generates zero pairs, bounded state") {
+    // 1000 identical docs give every gram df = 1000 > cutoff, so the
+    // rare-gram join drops them all BEFORE any posting list exists —
+    // the adversarial corpus costs nothing (exact dups stay covered by
+    // dedup_exact).
+    import org.apache.spark.sql.SaveMode
+    val text = (1 to 30).map(i => s"c$i").mkString(" ")
+    val docs = (1L to 1000L).map(i => (i, text)).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("contflood").toString
+    docs.write.mode(SaveMode.Overwrite).parquet(s"$tmp/documents.parquet")
+    assert(TextRank.dedupShingleContainment(spark, tmp).count() === 0)
+  }
+
+  test("scd2: intervals chain per user, consecutive states differ, one open row") {
+    val rows = Analytics.metaScd2History(spark, sf)
+      .as[(Long, String, Long, Option[Long])].collect()
+    assert(rows.nonEmpty)
+    for ((_, g) <- rows.groupBy(_._1)) {
+      val ordered = g.sortBy(_._3)
+      // exactly one open (current) interval, and it is the last one
+      assert(g.count(_._4.isEmpty) === 1)
+      assert(ordered.last._4.isEmpty)
+      for (w <- ordered.sliding(2).map(_.toSeq) if w.length == 2 && w.head._4.isDefined) {
+        val (a, b) = (w.head, w(1))
+        assert(a._2 !== b._2, s"user ${a._1}: un-collapsed repeat state")
+        assert(a._4.get === b._3, s"user ${a._1}: interval gap")
+      }
+    }
+  }
+
+  test("quantiles: monotone, and p90 matches a sorted recount") {
+    val q = Analytics.eventsValueQuantiles(spark, sf)
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(q.nonEmpty)
+    for ((t, n, p50, p90, p99) <- q) {
+      assert(n > 0 && p50 <= p90 && p90 <= p99, s"$t not monotone")
+      val vals = operators.DomainQueries.events(spark, sf)
+        .filter(col("event_type") === t).select("value").as[Double]
+        .collect().sorted
+      assert(p90 === vals((90 * vals.length + 99) / 100 - 1), s"$t p90")
+    }
+  }
+
+  test("interleave: every doc once, dense shard positions, stride order holds") {
+    val rows = Analytics.dataInterleaveSources(spark, sf)
+      .as[(Long, String, Long, Long)].collect()
+    val nDocs = Tables.t(spark, sf, "documents").count()
+    assert(rows.length.toLong === nDocs)
+    assert(rows.map(_._3).distinct.length === rows.length)
+    for ((sh, g) <- rows.groupBy(_._1)) {
+      assert(g.map(_._4).sorted.toSeq === (1L to g.length.toLong),
+        s"shard $sh positions not dense")
+      // stride guarantee: the k-th en doc (stride 2) precedes the k-th
+      // stride-6 doc of the same shard whenever both exist
+      val en = g.filter(_._2 == "en").map(_._4).sorted
+      val rest = g.filter(r => r._2 != "en" && r._2 != "de" && r._2 != "fr")
+        .map(_._4).sorted
+      for (k <- 0 until math.min(en.length, rest.length))
+        assert(en(k) < rest(k), s"shard $sh: ${k + 1}-th en after ${k + 1}-th 1x-domain doc")
+    }
+  }
+
   test("random projection: hand-computed dot for one vector matches") {
     val out = Analytics.simRandomProjection(spark, sf)
     val row = out.filter(col("vec_id") === 7).collect().head

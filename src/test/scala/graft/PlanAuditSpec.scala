@@ -59,7 +59,14 @@ class PlanAuditSpec extends SparkSpec {
     "data_shuffle_shards" -> 1, // one shard-id exchange, row_number rides it
     "dedup_repeated_ngrams" -> 2, // gram window exchange + df agg; AQE broadcasts the df side
     "freq_count_min" -> 1, // sketch cell agg; exact agg is checkpointed, probe side broadcast
-    "text_cdc_chunks" -> 0) // scan-bound native expression: ZERO shuffles
+    "text_cdc_chunks" -> 0, // scan-bound native expression: ZERO shuffles
+    "events_retention" -> 2, // user_id agg + (cohort, offset) cell agg — no join
+    "events_top_paths" -> 2, // user window + path count; rank rides WindowGroupLimit
+    "sim_random_projection" -> 1, // ONE partial-aggregated vec_id exchange
+    "dedup_shingle_containment" -> 2, // gram window + df/pair aggs; AQE broadcasts the size joins
+    "meta_scd2_history" -> 1, // both windows ride one user_id exchange
+    "events_value_quantiles" -> 1, // rank window + aggregate share the type partitioning
+    "data_interleave_sources" -> 2) // (shard, lang) stride window + shard position window
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
     // the shard grid must drive the exchange (parallelism = shard count),
