@@ -141,6 +141,44 @@ object Streams {
     }
   }
 
+  case class Scd2State(state: String, from: Long, lastTs: Long, lastId: Long)
+  case class Scd2Out(user_id: Long, state: String,
+                     valid_from_ns: Long, valid_to_ns: Long) // -1 = still open
+
+  /** Streaming counterpart of the batch meta_scd2_history (SCD2 validity
+    * intervals): per-user state holds only the CURRENT (state,
+    * valid_from) record; a state change closes the previous interval at
+    * the changing event's timestamp and emits it, repeats of the current
+    * state fold away. Events sort by (ts, event_id) inside each batch —
+    * with per-user ascending arrival across batches this reproduces the
+    * batch lag/lead windows exactly. State per user is ONE fixed-size
+    * record, bounded regardless of stream length. Input: (user_id,
+    * ts_ns, event_id, event_type). */
+  def scd2(events: Dataset[(Long, Long, Long, String)],
+           emitOpen: Boolean = false): Dataset[Scd2Out] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (uid: Long, it: Iterator[(Long, Long, Long, String)],
+       state: GroupState[Scd2State]) =>
+        val evs = it.map(e => (e._2, e._3, e._4)).toArray.sortBy(e => (e._1, e._2))
+        val res = ArrayBuffer.empty[Scd2Out]
+        var cur = state.getOption.orNull
+        for ((tm, id, tpe) <- evs) {
+          if (cur == null) cur = Scd2State(tpe, tm, tm, id)
+          else if (tpe != cur.state) {
+            res += Scd2Out(uid, cur.state, cur.from, tm)
+            cur = Scd2State(tpe, tm, tm, id)
+          } else cur = cur.copy(lastTs = tm, lastId = id)
+        }
+        if (cur != null) {
+          state.update(cur)
+          if (emitOpen) res += Scd2Out(uid, cur.state, cur.from, -1L)
+        }
+        res.iterator
+    }
+  }
+
   case class FunnelState(start: Long, last: Long, n: Long,
                          tView: Long, tClick: Long, tPurchase: Long) // -1 = unset
   case class FunnelOut(user_id: Long, session_start_ns: Long, n_events: Long,

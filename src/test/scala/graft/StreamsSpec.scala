@@ -64,6 +64,37 @@ class StreamsSpec extends SparkSpec {
     assert(stateful === windowed)
   }
 
+  test("streaming scd2 agrees with the batch lag/lead history build") {
+    val ev = DomainQueries.events(spark, sf)
+      .select(col("user_id"), col("ts_ns"), col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+    val stateful = Streams.scd2(ev, emitOpen = true)
+      .collect().map(o => (o.user_id, o.state, o.valid_from_ns, o.valid_to_ns)).toSet
+    val batch = operators.Analytics.metaScd2History(spark, sf)
+      .select(col("user_id"), col("state"), col("valid_from_ns"),
+        coalesce(col("valid_to_ns"), lit(-1L)))
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(stateful === batch)
+  }
+
+  test("streaming scd2 closes intervals across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val q = Streams.scd2(mem.toDS())
+      .writeStream.format("memory").queryName("scd2_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, 10L, 1L, "view"), (1L, 20L, 2L, "view"))
+      q.processAllAvailable() // same state twice: nothing closes
+      assert(spark.sql("SELECT * FROM scd2_out").count() === 0)
+      mem.addData((1L, 30L, 3L, "click")) // change arrives in a LATER batch
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM scd2_out")
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(rows === Set((1L, "view", 10L, 30L)))
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark drops repeated ids across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long)]
