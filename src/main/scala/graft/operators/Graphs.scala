@@ -71,7 +71,37 @@ object Graphs {
         col("doc1").as("a"), col("doc2").as("b")))
       .select(col("node").as("doc_id"), col("cluster_id"))
 
-  val queries: Map[String, Q] = Map("dedup_cluster" -> (dedupCluster _))
+  /** Per-node triangle counts over an undirected edge list — the
+    * local-density metric behind clustering-coefficient curation: a true
+    * near-dup cluster is triangle-rich, while spurious LSH-bucket
+    * neighbors are mostly triangle-free, so triangle counts separate the
+    * two BEFORE committing to a transitive-closure merge (cf.
+    * [[connectedComponents]], which gladly chains spurious edges).
+    * Exact integers end-to-end. `edges` needs two long columns; duplicate
+    * and self edges are dropped. Plan: each triangle is enumerated ONCE
+    * via the ordered wedge join u<v<w + a closing-edge semi-join — three
+    * AQE-sized equi-joins, no node ever sees more than its own wedge
+    * list. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val raw = edges.toDF("x", "y")
+    val e = raw.select(least(col("x"), col("y")).as("u"),
+        greatest(col("x"), col("y")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    e.as("e1").join(e.as("e2"), col("e1.v") === col("e2.u"))
+      .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
+      .join(e.select(col("u").as("a"), col("v").as("c")), Seq("a", "c"), "left_semi")
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Triangle counts over the k-NN similarity graph
+    * ([[SketchQueries.simKnnGraph]] pairs, symmetrized). */
+  def graphTriangles(s: SparkSession, dir: String): DataFrame =
+    triangleCounts(SketchQueries.simKnnGraph(s, dir).select("qid", "vec_id"))
+
+  val queries: Map[String, Q] = Map(
+    "dedup_cluster" -> (dedupCluster _),
+    "graph_triangles" -> (graphTriangles _))
 
   /** The oracle computes the transitive closure of the same pair graph
     * with a recursive CTE and takes the min reachable node — an
@@ -88,5 +118,19 @@ object Graphs {
          |  SELECT r.a, e.b FROM r JOIN e ON r.b = e.a)
          |SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
          |FROM r GROUP BY a""".stripMargin
+    },
+    "graph_triangles" -> {
+      val knnSql = SketchQueries.oracle("sim_knn_graph")
+      s"""WITH knn AS ($knnSql),
+         |eg AS (SELECT DISTINCT LEAST(qid, vec_id) AS u,
+         |         GREATEST(qid, vec_id) AS v
+         |       FROM knn WHERE qid <> vec_id),
+         |tg AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+         |       FROM eg e1 JOIN eg e2 ON e1.v = e2.u
+         |       WHERE EXISTS (SELECT 1 FROM eg e3
+         |                     WHERE e3.u = e1.u AND e3.v = e2.v)),
+         |nodes AS (SELECT unnest([a, b, c]) AS node FROM tg)
+         |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+         |FROM nodes GROUP BY node""".stripMargin
     })
 }

@@ -47,4 +47,29 @@ class GraphsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got === referenceCC(edges))
   }
+
+  test("triangle counts match brute force on a random graph, K4 gives 3 each") {
+    // K4 has C(4,3)=4 triangles; each node sits in exactly 3 of them
+    val k4 = (for (i <- 0L to 3L; j <- i + 1 to 3L) yield (i, j)).toDF("a", "b")
+    assert(Graphs.triangleCounts(k4).as[(Long, Long)].collect().toMap ===
+      (0L to 3L).map(_ -> 3L).toMap)
+    // chain 4-5-6 has none; duplicates/direction/self edges are ignored
+    val noisy = Seq((4L, 5L), (5L, 4L), (5L, 6L), (6L, 6L)).toDF("a", "b")
+    assert(Graphs.triangleCounts(noisy).count() === 0)
+    // random graph vs brute-force enumeration
+    val rnd = new Random(11)
+    val edges = Seq.fill(150)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }
+    val eset = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val brute = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    val nodes = eset.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    for {
+      Seq(a, b, c) <- nodes.combinations(3)
+      if eset((a, b)) && eset((b, c)) && eset((a, c))
+      n <- Seq(a, b, c)
+    } brute(n) += 1
+    val got = Graphs.triangleCounts(edges.toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === brute.toMap)
+  }
 }

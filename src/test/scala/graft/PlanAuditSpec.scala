@@ -66,7 +66,8 @@ class PlanAuditSpec extends SparkSpec {
     "dedup_shingle_containment" -> 2, // gram window + df/pair aggs; AQE broadcasts the size joins
     "meta_scd2_history" -> 1, // both windows ride one user_id exchange
     "events_value_quantiles" -> 1, // rank window + aggregate share the type partitioning
-    "data_interleave_sources" -> 2) // (shard, lang) stride window + shard position window
+    "data_interleave_sources" -> 2, // (shard, lang) stride window + shard position window
+    "graph_triangles" -> 5) // knn build (4, cf. sim_knn_graph) + edge distinct; wedge joins ride AQE broadcasts
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
     // the shard grid must drive the exchange (parallelism = shard count),
