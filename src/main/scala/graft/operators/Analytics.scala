@@ -322,7 +322,33 @@ object Analytics {
        |    AS BIGINT) AS pos
        |FROM k""".stripMargin
 
+  /** Deterministic ingestion throttle: at most 3 events per user per
+    * hour survive (first-arrived by (ts, event_id) win) — the rate-limit
+    * gate in front of an event store, stable under retries/backfill
+    * replays because the keep-set is a pure function of the data. The
+    * rank-≤-3 window compiles to WindowGroupLimit, so each map partition
+    * pre-prunes to its local top-3 before the (user, hour) exchange ever
+    * sees a row. */
+  def eventsThrottle(s: SparkSession, dir: String): DataFrame = {
+    val byUserHour = Window.partitionBy("user_id", "hour").orderBy("ts_ns", "event_id")
+    DomainQueries.events(s, dir)
+      .withColumn("hour", expr("ts_ns div 3600000000000"))
+      .withColumn("rn", row_number().over(byUserHour).cast("long"))
+      .filter(col("rn") <= 3)
+      .select("event_id", "user_id", "hour", "ts_ns", "rn")
+  }
+
+  private val THROTTLE_SQL =
+    """SELECT event_id, user_id, hour, ts_ns, rn FROM (
+      |  SELECT event_id, user_id, ts_ns, ts_ns // 3600000000000 AS hour,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id, ts_ns // 3600000000000
+      |      ORDER BY ts_ns, event_id) AS BIGINT) AS rn
+      |  FROM (SELECT event_id, user_id,
+      |          epoch_ns(ts) // 1000 * 1000 AS ts_ns FROM events))
+      |WHERE rn <= 3""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "events_throttle" -> (eventsThrottle _),
     "events_retention" -> (eventsRetention _),
     "events_top_paths" -> (eventsTopPaths _),
     "sim_random_projection" -> (simRandomProjection _),
@@ -332,6 +358,7 @@ object Analytics {
     "data_interleave_sources" -> (dataInterleaveSources _))
 
   val oracle: Map[String, String] = Map(
+    "events_throttle" -> THROTTLE_SQL,
     "events_retention" -> RETENTION_SQL,
     "events_top_paths" -> PATHS_SQL,
     "sim_random_projection" -> RP_SQL,

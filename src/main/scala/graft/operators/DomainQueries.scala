@@ -155,6 +155,25 @@ object DomainQueries {
         "left_anti")
       .select("occ_id", "species", "lat", "lon")
 
+  /** Grid density map: per 1°-cell occurrence count, species richness and
+    * dominant species — the range-map rasterization step downstream of
+    * the cleaning pipeline (the raster twin of range_bbox's vector
+    * summary). Plan: the (cell, species) count partial-aggregates
+    * map-side, then the dominant-class rank and the final per-cell
+    * aggregate share the cellid partitioning; tie-break (n desc, species
+    * asc) is deterministic on both engines. */
+  def spatialGridDensity(s: SparkSession, dir: String): DataFrame = {
+    val byCell = Window.partitionBy("cellid").orderBy(col("n").desc, col("species"))
+    valid(s, dir)
+      .withColumn("cellid", cell1(col("lat"), col("lon")))
+      .groupBy("cellid", "species").agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(byCell))
+      .groupBy("cellid")
+      .agg(sum("n").as("n_occ"), count(lit(1)).as("n_species"),
+        max(when(col("rn") === 1, col("species"))).as("dominant"),
+        max(when(col("rn") === 1, col("n"))).as("dom_n"))
+  }
+
   /** select_best_record per (species, 1°-cell): min uncertainty wins. */
   def occDedupeBest(s: SparkSession, dir: String): DataFrame = {
     val d = valid(s, dir)
@@ -779,7 +798,8 @@ object DomainQueries {
     "events_tumbling" -> (eventsTumbling _),
     "events_hopping" -> (eventsHopping _),
     "events_session_window" -> (eventsSessionWindow _),
-    "events_sessionize" -> (eventsSessionize _))
+    "events_sessionize" -> (eventsSessionize _),
+    "spatial_grid_density" -> (spatialGridDensity _))
 
   /** Oracle bodies shared between the standalone summary queries and the
     * [[spatialSummaryJoin]] composition. */
@@ -812,6 +832,18 @@ object DomainQueries {
       |FROM bg GROUP BY accession, species""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "spatial_grid_density" -> withSql(OCC_SQL, VALID_SQL)(
+      s"""SELECT cellid, CAST(SUM(n) AS BIGINT) AS n_occ,
+         |  CAST(COUNT(*) AS BIGINT) AS n_species,
+         |  MAX(CASE WHEN rn = 1 THEN species END) AS dominant,
+         |  MAX(CASE WHEN rn = 1 THEN n END) AS dom_n
+         |FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY cellid
+         |      ORDER BY n DESC, species) AS rn
+         |  FROM (SELECT $CELL1_SQL AS cellid, species,
+         |          CAST(COUNT(*) AS BIGINT) AS n
+         |        FROM valid GROUP BY 1, 2))
+         |GROUP BY cellid""".stripMargin),
     "occ_clean_coords" -> withSql(OCC_SQL, VALID_SQL)(
       "SELECT occ_id, species, lat, lon FROM valid"),
     "occ_uncertainty_band" -> withSql(OCC_SQL, VALID_SQL)(

@@ -167,6 +167,34 @@ class AnalyticsSpec extends SparkSpec {
     assert(planted.length === 5)
   }
 
+  test("throttle: at most 3 per user-hour, keeps the earliest, stable") {
+    val kept = Analytics.eventsThrottle(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(kept.nonEmpty)
+    val byKey = kept.groupBy(r => (r._2, r._3))
+    assert(byKey.values.forall(_.length <= 3))
+    // kept events are exactly the 3 earliest of each (user, hour)
+    val all = operators.DomainQueries.events(spark, sf)
+      .select("event_id", "user_id", "ts_ns").as[(Long, Long, Long)].collect()
+    for (((u, h), g) <- byKey) {
+      val expect = all.filter(e => e._2 == u && e._3 / 3600000000000L == h)
+        .sortBy(e => (e._3, e._1)).take(3).map(_._1).toSet
+      assert(g.map(_._1).toSet === expect, s"user $u hour $h")
+    }
+    // the sf events never exceed the cap, so force a burst that does:
+    // 5 events inside one hour → exactly the 3 earliest survive
+    import org.apache.spark.sql.SaveMode
+    val h = 3600000000000L
+    val burst = Seq((1L, 1000L, 7L), (2L, 2000L, 7L), (3L, 3000L, 7L),
+      (4L, 4000L, 7L), (5L, 5000L, 7L), (6L, h + 10L, 7L))
+      .toDF("event_id", "ts", "user_id")
+    val tmp = java.nio.file.Files.createTempDirectory("throttle").toString
+    burst.write.mode(SaveMode.Overwrite).parquet(s"$tmp/events.parquet")
+    val got = Analytics.eventsThrottle(spark, tmp)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.map(_._1).toSet === Set(1L, 2L, 3L, 6L))
+  }
+
   test("random projection: hand-computed dot for one vector matches") {
     val out = Analytics.simRandomProjection(spark, sf)
     val row = out.filter(col("vec_id") === 7).collect().head

@@ -130,6 +130,19 @@ class DomainSpec extends SparkSpec {
     }
   }
 
+  test("grid density: totals reconcile and dominant species is the cell mode") {
+    val cells = DomainQueries.spatialGridDensity(spark, sf)
+      .as[(Long, Long, Long, String, Long)].collect()
+    assert(cells.nonEmpty)
+    // occurrence mass is conserved: cell totals sum to the cleaned count
+    assert(cells.map(_._2).sum === DomainQueries.occCleanCoords(spark, sf).count())
+    for ((_, nOcc, nSpecies, _, domN) <- cells) {
+      assert(nSpecies >= 1 && domN >= 1 && domN <= nOcc)
+      // the dominant class can never hold less than an equal share
+      assert(domN * nSpecies >= nOcc)
+    }
+  }
+
   test("events_funnel: pattern requires strict view<click<purchase order") {
     val funnel = DomainQueries.eventsFunnel(spark, sf)
       .select("n_events", "t_view", "t_click", "t_purchase", "conv_ns")

@@ -71,7 +71,9 @@ class PlanAuditSpec extends SparkSpec {
     "events_value_quantiles" -> 1, // rank window + aggregate share the type partitioning
     "data_interleave_sources" -> 2, // (shard, lang) stride window + shard position window
     "graph_triangles" -> 5, // edge distinct over checkpointed knn + wedge/semi joins + node agg
-    "sim_rp_topk" -> 3) // projection agg + shortlist rank + rerank agg; query sides broadcast
+    "sim_rp_topk" -> 3, // projection agg + shortlist rank + rerank agg; query sides broadcast
+    "spatial_grid_density" -> 2, // (cell, species) agg + cellid window/agg
+    "events_throttle" -> 1) // one (user, hour) exchange, WindowGroupLimit pre-prunes
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
     // the shard grid must drive the exchange (parallelism = shard count),
