@@ -347,7 +347,32 @@ object Analytics {
       |          epoch_ns(ts) // 1000 * 1000 AS ts_ns FROM events))
       |WHERE rn <= 3""".stripMargin
 
+  /** Semi-structured extraction: typed values pulled out of the JSON
+    * `props` column with a schema'd from_json, then per-type stats — the
+    * payload-parsing step of every event-ingestion pipeline. Caveat
+    * worth stating: JsonToStructs is CodegenFallback, so the parse runs
+    * interpreted — fine HERE because parsing is the query's entire
+    * point and it is scan-bound; never hide a from_json inside a hot
+    * join/aggregate chain (SURVEY §5 interpreted-eval discipline). */
+  def eventsJsonStats(s: SparkSession, dir: String): DataFrame =
+    DomainQueries.events(s, dir)
+      .select(col("event_type"),
+        expr("from_json(props, 'k BIGINT').k").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("k_sum"),
+        countDistinct("k").as("k_distinct"),
+        min("k").as("k_min"), max("k").as("k_max"))
+
+  private val JSON_STATS_SQL =
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(k) AS BIGINT) AS k_sum,
+      |  CAST(COUNT(DISTINCT k) AS BIGINT) AS k_distinct,
+      |  MIN(k) AS k_min, MAX(k) AS k_max
+      |FROM (SELECT event_type, CAST(props->>'k' AS BIGINT) AS k FROM events)
+      |GROUP BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "events_json_stats" -> (eventsJsonStats _),
     "events_throttle" -> (eventsThrottle _),
     "events_retention" -> (eventsRetention _),
     "events_top_paths" -> (eventsTopPaths _),
@@ -358,6 +383,7 @@ object Analytics {
     "data_interleave_sources" -> (dataInterleaveSources _))
 
   val oracle: Map[String, String] = Map(
+    "events_json_stats" -> JSON_STATS_SQL,
     "events_throttle" -> THROTTLE_SQL,
     "events_retention" -> RETENTION_SQL,
     "events_top_paths" -> PATHS_SQL,

@@ -195,6 +195,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.map(_._1).toSet === Set(1L, 2L, 3L, 6L))
   }
 
+  test("json stats: typed extraction reconciles with a manual parse") {
+    val got = Analytics.eventsJsonStats(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got.nonEmpty)
+    val manual = operators.DomainQueries.events(spark, sf)
+      .select("event_type", "props").as[(String, String)].collect()
+      .map { case (t, p) => (t, """"k":\s*(\d+)""".r.findFirstMatchIn(p).get.group(1).toLong) }
+    for ((t, g) <- manual.groupBy(_._1)) {
+      val ks = g.map(_._2)
+      assert(got(t) === ((t, ks.length.toLong, ks.sum, ks.distinct.length.toLong,
+        ks.min, ks.max)), s"type $t")
+    }
+  }
+
   test("random projection: hand-computed dot for one vector matches") {
     val out = Analytics.simRandomProjection(spark, sf)
     val row = out.filter(col("vec_id") === 7).collect().head

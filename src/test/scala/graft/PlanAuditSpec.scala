@@ -73,7 +73,8 @@ class PlanAuditSpec extends SparkSpec {
     "graph_triangles" -> 5, // edge distinct over checkpointed knn + wedge/semi joins + node agg
     "sim_rp_topk" -> 3, // projection agg + shortlist rank + rerank agg; query sides broadcast
     "spatial_grid_density" -> 2, // (cell, species) agg + cellid window/agg
-    "events_throttle" -> 1) // one (user, hour) exchange, WindowGroupLimit pre-prunes
+    "events_throttle" -> 1, // one (user, hour) exchange, WindowGroupLimit pre-prunes
+    "events_json_stats" -> 2) // count-distinct expand: partial distinct + final agg
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
     // the shard grid must drive the exchange (parallelism = shard count),
