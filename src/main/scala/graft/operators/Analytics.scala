@@ -59,7 +59,9 @@ object Analytics {
       .select(col("e1"),
         lead("e1", 1).over(byUser).as("e2"),
         lead("e1", 2).over(byUser).as("e3"))
-      .filter(col("e3").isNotNull)
+      // all three must be non-null: a NULL event_type would otherwise
+      // diverge (concat_ws skips nulls, the oracle's || propagates them)
+      .filter(col("e1").isNotNull && col("e2").isNotNull && col("e3").isNotNull)
       .select(concat_ws(">", col("e1"), col("e2"), col("e3")).as("path"))
       .groupBy("path").agg(count(lit(1)).as("n"))
       .withColumn("rn", row_number().over(ranked).cast("long"))
@@ -75,7 +77,8 @@ object Analytics {
       |        LEAD(event_type, 1) OVER w AS e2,
       |        LEAD(event_type, 2) OVER w AS e3
       |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id)),
-      |p AS (SELECT e1 || '>' || e2 || '>' || e3 AS path FROM o WHERE e3 IS NOT NULL),
+      |p AS (SELECT e1 || '>' || e2 || '>' || e3 AS path FROM o
+      |      WHERE e1 IS NOT NULL AND e2 IS NOT NULL AND e3 IS NOT NULL),
       |c AS (SELECT path, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY path)
       |SELECT path, n, rn FROM (
       |  SELECT path, n,
@@ -287,17 +290,23 @@ object Analytics {
   def dataInterleaveSources(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val shards = TextPrep.shardCount(s, docs.count())
-    val byDomain = Window.partitionBy("shard", "lang").orderBy("h", "doc_id")
-    val byShard = Window.partitionBy("shard").orderBy("key", "lang", "doc_id")
     // stride = LCM(3,2,1)/weight, precomputed so the key math stays integer
     val stride = when(col("lang") === "en", 2L)
       .when(col("lang").isin("de", "fr"), 3L).otherwise(6L)
+    val byDomain = Window.partitionBy("shard", "lang").orderBy("h", "doc_id")
+    // key ties break by stride (heavier domain first — the natural
+    // mixture semantics, and it makes the k-th-heavy-before-k-th-light
+    // guarantee unconditional), then by NULL-safe lang so a null lang
+    // cannot hit the engines' divergent NULL orderings.
+    val byShard = Window.partitionBy("shard")
+      .orderBy(col("key"), col("stride"), coalesce(col("lang"), lit("")), col("doc_id"))
     docs
       .select(col("doc_id"), col("lang"),
         expr("cast(conv(substring(md5(cast(concat('mix:', doc_id) as binary)), 1, 15), 16, 10) as bigint)")
           .as("h"))
       .withColumn("shard", pmod(col("h"), lit(shards)))
-      .withColumn("key", row_number().over(byDomain).cast("long") * stride)
+      .withColumn("stride", stride)
+      .withColumn("key", row_number().over(byDomain).cast("long") * col("stride"))
       .select(col("shard"), col("lang"), col("doc_id"),
         row_number().over(byShard).cast("long").as("pos"))
   }
@@ -313,13 +322,13 @@ object Analytics {
        |         ELSE 6 END AS stride
        |  FROM documents),
        |k AS (
-       |  SELECT doc_id, lang, h % (SELECT nsh FROM n) AS shard,
+       |  SELECT doc_id, lang, stride, h % (SELECT nsh FROM n) AS shard,
        |    CAST(ROW_NUMBER() OVER (PARTITION BY h % (SELECT nsh FROM n), lang
        |      ORDER BY h, doc_id) AS BIGINT) * stride AS key
        |  FROM d)
        |SELECT shard, lang, doc_id,
-       |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY key, lang, doc_id)
-       |    AS BIGINT) AS pos
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY shard
+       |    ORDER BY key, stride, COALESCE(lang, ''), doc_id) AS BIGINT) AS pos
        |FROM k""".stripMargin
 
   /** Deterministic ingestion throttle: at most 3 events per user per
@@ -368,7 +377,8 @@ object Analytics {
       |  CAST(SUM(k) AS BIGINT) AS k_sum,
       |  CAST(COUNT(DISTINCT k) AS BIGINT) AS k_distinct,
       |  MIN(k) AS k_min, MAX(k) AS k_max
-      |FROM (SELECT event_type, CAST(props->>'k' AS BIGINT) AS k FROM events)
+      |FROM (SELECT event_type,
+      |        TRY_CAST(props->>'k' AS BIGINT) AS k FROM events)
       |GROUP BY event_type""".stripMargin
 
   val queries: Map[String, Q] = Map(

@@ -248,7 +248,7 @@ object TextRank {
       |  CAST(shared AS DOUBLE) / LEAST(s1.sz, s2.sz) AS containment
       |FROM pairs JOIN sz s1 ON pairs.doc1 = s1.doc_id
       |           JOIN sz s2 ON pairs.doc2 = s2.doc_id
-      |WHERE CAST(shared AS DOUBLE) / LEAST(s1.sz, s2.sz) >= 0.8""".stripMargin
+      |WHERE CAST(shared AS DOUBLE) / LEAST(s1.sz, s2.sz) >= CAST(0.8 AS DOUBLE)""".stripMargin
 
   /** Vocabulary building: top-10 word bigrams per language by frequency.
     * Bigrams via the codegen window-lead trick (cf. [[Shingles]]); the

@@ -18,42 +18,45 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object AliasPublish {
   private val MARKER = "_PUBLISHED"
+  private val VersionDir = "v=(\\d+)".r
 
   private def fs(s: SparkSession, root: String) =
     new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
 
-  /** Versions under `root` that completed their alias swap, ascending. */
-  def publishedVersions(s: SparkSession, root: String): Seq[Long] = {
+  /** One root listing + one marker probe per version dir (object-store
+    * round trips are the cost model here); non-numeric `v=` names — a
+    * manual v=2.bak, a tool's v=tmp — are skipped, never fatal. Returns
+    * (version, published) ascending. */
+  private def listVersions(s: SparkSession, root: String): Seq[(Long, Boolean)] = {
     val f = fs(s, root)
     val rootPath = new Path(root)
     if (!f.exists(rootPath)) Seq.empty
     else f.listStatus(rootPath).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
-      .map(_.getPath.getName.stripPrefix("v=").toLong)
-      .filter(v => f.exists(new Path(rootPath, s"v=$v/$MARKER")))
-      .sorted
+      .filter(_.isDirectory)
+      .flatMap(st => st.getPath.getName match {
+        case VersionDir(v) =>
+          Some(v.toLong -> f.exists(new Path(st.getPath, MARKER)))
+        case _ => None
+      })
+      .sortBy(_._1)
   }
+
+  /** Versions under `root` that completed their alias swap, ascending. */
+  def publishedVersions(s: SparkSession, root: String): Seq[Long] =
+    listVersions(s, root).collect { case (v, true) => v }
+
+  /** Orphan (crashed-publish) versions: snapshot dirs with no marker. */
+  def unpublished(s: SparkSession, root: String): Seq[Long] =
+    listVersions(s, root).collect { case (v, false) => v }
 
   /** Write a full snapshot as the next version and atomically publish it.
     * Returns the published version number. */
   def publish(df: DataFrame, root: String): Long = {
     val s = df.sparkSession
-    val f = fs(s, root)
-    val next = (publishedVersions(s, root) ++ unpublished(s, root)).foldLeft(0L)(math.max) + 1
+    val next = listVersions(s, root).foldLeft(0L) { case (m, (v, _)) => math.max(m, v) } + 1
     df.write.mode("error").parquet(s"$root/v=$next")
-    f.create(new Path(root, s"v=$next/$MARKER"), false).close() // the swap
+    fs(s, root).create(new Path(root, s"v=$next/$MARKER"), false).close() // the swap
     next
-  }
-
-  /** Orphan (crashed-publish) versions: snapshot dirs with no marker. */
-  def unpublished(s: SparkSession, root: String): Seq[Long] = {
-    val f = fs(s, root)
-    val rootPath = new Path(root)
-    if (!f.exists(rootPath)) Seq.empty
-    else f.listStatus(rootPath).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
-      .map(_.getPath.getName.stripPrefix("v=").toLong)
-      .filterNot(v => f.exists(new Path(rootPath, s"v=$v/$MARKER")))
   }
 
   /** Resolve the alias and read the current snapshot. */

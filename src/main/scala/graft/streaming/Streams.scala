@@ -141,7 +141,7 @@ object Streams {
     }
   }
 
-  case class Scd2State(state: String, from: Long, lastTs: Long, lastId: Long)
+  case class Scd2State(state: String, from: Long)
   case class Scd2Out(user_id: Long, state: String,
                      valid_from_ns: Long, valid_to_ns: Long) // -1 = still open
 
@@ -164,12 +164,12 @@ object Streams {
         val evs = it.map(e => (e._2, e._3, e._4)).toArray.sortBy(e => (e._1, e._2))
         val res = ArrayBuffer.empty[Scd2Out]
         var cur = state.getOption.orNull
-        for ((tm, id, tpe) <- evs) {
-          if (cur == null) cur = Scd2State(tpe, tm, tm, id)
+        for ((tm, _, tpe) <- evs) {
+          if (cur == null) cur = Scd2State(tpe, tm)
           else if (tpe != cur.state) {
             res += Scd2Out(uid, cur.state, cur.from, tm)
-            cur = Scd2State(tpe, tm, tm, id)
-          } else cur = cur.copy(lastTs = tm, lastId = id)
+            cur = Scd2State(tpe, tm)
+          } // a repeat of the current state folds away: no state change
         }
         if (cur != null) {
           state.update(cur)
