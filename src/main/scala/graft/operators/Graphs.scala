@@ -78,23 +78,45 @@ object Graphs {
     * two BEFORE committing to a transitive-closure merge (cf.
     * [[connectedComponents]], which gladly chains spurious edges).
     * Exact integers end-to-end. `edges` needs two long columns; duplicate
-    * and self edges are dropped. Plan: each triangle is enumerated ONCE
-    * via the ordered wedge join u<v<w + a closing-edge semi-join — three
-    * AQE-sized equi-joins, no node ever sees more than its own wedge
-    * list. */
+    * and self edges are dropped.
+    *
+    * Plan: DEGREE-ORDERED orientation (every edge points toward its
+    * higher-(degree, id) endpoint), wedges built only at each edge's
+    * lower-ranked endpoint, then a closing-edge semi-join — each triangle
+    * enumerated exactly once at its lowest-ranked corner. Orienting by id
+    * alone would let one celebrity hub of degree d own d² wedges; degree
+    * orientation bounds per-node wedge fan-out by out-degree² =
+    * O(√|E|)², the classic arboricity bound, so the plan survives skewed
+    * degree distributions, not just the degree-capped knn input. */
   def triangleCounts(edges: DataFrame): DataFrame = {
     val raw = edges.toDF("x", "y")
-    // materialize the (small) canonical edge list ONCE: the wedge join
-    // references it three times, and without the checkpoint each
+    // materialize the (small) canonical edge list ONCE: degrees and the
+    // orientation both consume it, and without the checkpoint each
     // reference replays the entire upstream edge construction (28 planned
     // shuffles for the knn-graph input vs 5 after)
-    val e = raw.select(least(col("x"), col("y")).as("u"),
+    val und = raw.select(least(col("x"), col("y")).as("u"),
         greatest(col("x"), col("y")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
       .localCheckpoint()
-    e.as("e1").join(e.as("e2"), col("e1.v") === col("e2.u"))
-      .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
-      .join(e.select(col("u").as("a"), col("v").as("c")), Seq("a", "c"), "left_semi")
+    val deg = und.select(col("u").as("n")).union(und.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val firstLower = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    // oriented edge (a → b) with b's rank carried for the wedge ordering
+    val oriented = und
+      .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
+      .select(
+        when(firstLower, col("u")).otherwise(col("v")).as("a"),
+        when(firstLower, col("v")).otherwise(col("u")).as("b"),
+        when(firstLower, col("dv")).otherwise(col("du")).as("db"))
+      .localCheckpoint()
+    val o2BeforeO3 = col("o2.db") < col("o3.db") ||
+      (col("o2.db") === col("o3.db") && col("o2.b") < col("o3.b"))
+    oriented.as("o2").join(oriented.as("o3"),
+        col("o2.a") === col("o3.a") && o2BeforeO3)
+      .select(col("o2.a").as("a"), col("o2.b").as("b"), col("o3.b").as("c"))
+      .join(oriented.select(col("a").as("b"), col("b").as("c")), Seq("b", "c"), "left_semi")
       .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
