@@ -56,6 +56,12 @@ class GraphsSpec extends SparkSpec {
     // chain 4-5-6 has none; duplicates/direction/self edges are ignored
     val noisy = Seq((4L, 5L), (5L, 4L), (5L, 6L), (6L, 6L)).toDF("a", "b")
     assert(Graphs.triangleCounts(noisy).count() === 0)
+    // hub-heavy graph (the degree-orientation stress case): a star
+    // contributes NO triangles no matter how large the hub degree, and
+    // a triangle hanging off the hub still counts exactly once
+    val star = ((1L to 30L).map(i => (0L, i)) ++ Seq((1L, 2L))).toDF("a", "b")
+    assert(Graphs.triangleCounts(star).as[(Long, Long)].collect().toMap ===
+      Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
     // random graph vs brute-force enumeration
     val rnd = new Random(11)
     val edges = Seq.fill(150)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
