@@ -179,6 +179,42 @@ object Streams {
     }
   }
 
+  case class ThrottleState(hour: Long, n: Long)
+  case class ThrottleOut(user_id: Long, event_id: Long, hour: Long,
+                         ts_ns: Long, rn: Long)
+
+  /** Streaming counterpart of the batch events_throttle rate limit: per
+    * user the state is ONE (current hour, kept-count) pair; an event in
+    * the same hour passes while count < perHour, a later hour resets the
+    * window. With per-user ascending arrival across batches (the same
+    * assumption as [[scd2]]/[[funnel]]) this reproduces the batch
+    * row_number gate exactly — verified against it on the full event
+    * table, and the cap holds when a burst splits across micro-batches.
+    * Input: (user_id, ts_ns, event_id). */
+  def throttle(events: Dataset[(Long, Long, Long)],
+               perHour: Int = 3): Dataset[ThrottleOut] = {
+    import events.sparkSession.implicits._
+    val hourNs = 3600000000000L
+    events.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (uid: Long, it: Iterator[(Long, Long, Long)],
+       state: GroupState[ThrottleState]) =>
+        val evs = it.map(e => (e._2, e._3)).toArray.sortBy(identity)
+        val res = ArrayBuffer.empty[ThrottleOut]
+        var cur = state.getOption.getOrElse(ThrottleState(Long.MinValue, 0))
+        for ((tm, id) <- evs) {
+          val h = tm / hourNs
+          if (h > cur.hour) cur = ThrottleState(h, 0)
+          if (cur.n < perHour) {
+            cur = cur.copy(n = cur.n + 1)
+            res += ThrottleOut(uid, id, h, tm, cur.n)
+          }
+        }
+        state.update(cur)
+        res.iterator
+    }
+  }
+
   case class FunnelState(start: Long, last: Long, n: Long,
                          tView: Long, tClick: Long, tPurchase: Long) // -1 = unset
   case class FunnelOut(user_id: Long, session_start_ns: Long, n_events: Long,

@@ -95,6 +95,35 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming throttle agrees with the batch rate-limit gate") {
+    val ev = DomainQueries.events(spark, sf)
+      .select(col("user_id"), col("ts_ns"), col("event_id"))
+      .as[(Long, Long, Long)]
+    val stateful = Streams.throttle(ev)
+      .collect().map(o => (o.user_id, o.event_id, o.hour, o.ts_ns, o.rn)).toSet
+    val batch = operators.Analytics.eventsThrottle(spark, sf)
+      .select("user_id", "event_id", "hour", "ts_ns", "rn")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(stateful === batch)
+  }
+
+  test("streaming throttle enforces the cap across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long)]
+    val q = Streams.throttle(mem.toDS())
+      .writeStream.format("memory").queryName("throttle_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((7L, 1000L, 1L), (7L, 2000L, 2L))
+      q.processAllAvailable() // 2 kept, budget 1 left for this hour
+      mem.addData((7L, 3000L, 3L), (7L, 4000L, 4L)) // SAME hour, later batch
+      q.processAllAvailable() // only one more may pass
+      val kept = spark.sql("SELECT event_id FROM throttle_out")
+        .as[Long].collect().toSet
+      assert(kept === Set(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark drops repeated ids across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long)]
