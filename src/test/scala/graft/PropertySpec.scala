@@ -155,6 +155,57 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("streaming scd2 matches a plain-Scala reference on random streams") {
+    import spark.implicits._
+    val rnd = new Random(53)
+    val types = Array("a", "b", "c")
+    def ref(evs: Seq[(Long, Long, Long, String)]): Set[(Long, String, Long, Long)] =
+      evs.groupBy(_._1).toSeq.flatMap { case (uid, es) =>
+        val sorted = es.map(e => (e._2, e._3, e._4)).sortBy(e => (e._1, e._2))
+        val changes = sorted.foldLeft(Vector.empty[(String, Long)]) {
+          case (acc, (tm, _, tpe)) =>
+            if (acc.isEmpty || acc.last._1 != tpe) acc :+ ((tpe, tm)) else acc
+        }
+        changes.zipWithIndex.map { case ((st, from), i) =>
+          (uid, st, from,
+            if (i + 1 < changes.length) changes(i + 1)._2 else -1L)
+        }
+      }.toSet
+    for (round <- 1 to 30) {
+      val evs = List.tabulate(20 + rnd.nextInt(100))(i =>
+        (rnd.nextInt(4).toLong, rnd.nextInt(500).toLong, i.toLong,
+          types(rnd.nextInt(3))))
+      val shuffled = rnd.shuffle(evs)
+      val got = streaming.Streams.scd2(shuffled.toDS(), emitOpen = true)
+        .collect().map(o => (o.user_id, o.state, o.valid_from_ns, o.valid_to_ns))
+        .toSet
+      assert(got === ref(shuffled), s"round $round")
+    }
+  }
+
+  test("streaming throttle matches a plain-Scala reference on random streams") {
+    import spark.implicits._
+    val rnd = new Random(59)
+    val hourNs = 3600000000000L
+    def ref(evs: Seq[(Long, Long, Long)]): Set[(Long, Long, Long, Long, Long)] =
+      evs.groupBy(_._1).toSeq.flatMap { case (uid, es) =>
+        es.map(e => (e._2, e._3)).groupBy(_._1 / hourNs).toSeq.flatMap {
+          case (h, g) => g.sortBy(identity).take(3).zipWithIndex.map {
+            case ((tm, id), i) => (uid, id, h, tm, (i + 1).toLong)
+          }
+        }
+      }.toSet
+    for (round <- 1 to 30) {
+      // ts spread over ~4 hours so several windows fill and reset
+      val evs = List.tabulate(20 + rnd.nextInt(100))(i =>
+        (rnd.nextInt(3).toLong, math.abs(rnd.nextLong()) % (4 * hourNs), i.toLong))
+      val shuffled = rnd.shuffle(evs)
+      val got = streaming.Streams.throttle(shuffled.toDS())
+        .collect().map(o => (o.user_id, o.event_id, o.hour, o.ts_ns, o.rn)).toSet
+      assert(got === ref(shuffled), s"round $round")
+    }
+  }
+
   test("streaming funnel matches a plain-Scala reference on random streams") {
     import spark.implicits._
     val rnd = new Random(47)
