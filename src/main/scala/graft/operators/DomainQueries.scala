@@ -140,6 +140,52 @@ object DomainQueries {
   def occCleanCoords(s: SparkSession, dir: String): DataFrame =
     valid(s, dir).select("occ_id", "species", "lat", "lon")
 
+  /** MAD-based spatial outlier flags per species — the robust-statistics
+    * cleaning step (CoordinateCleaner's outlier test shape): a point is
+    * flagged when its deviation from the species' median exceeds 5× the
+    * median absolute deviation on EITHER axis. Medians are exact DISC
+    * element picks via integer rank targets (cf. events_value_quantiles
+    * — no interpolation, so the doubles are corpus values and the whole
+    * query hash-oracles). mad = 0 (≥half the points identical on an
+    * axis) flags nothing on that axis — degenerate clusters are not
+    * outliers. The registered query uses the Tukey-style 1.5× fence:
+    * the synthetic corpus is near-uniform (max deviation ≈ 2× the
+    * median deviation by construction), so CoordinateCleaner's default
+    * 5× would be vacuously empty here — the 5× semantics are
+    * spec-proven on a planted cluster instead. Plan: two
+    * species-partitioned window stages (median, then MAD over
+    * deviations), each sharing one exchange. */
+  def occOutlierMad(s: SparkSession, dir: String): DataFrame =
+    occOutlierMad(s, dir, mult = 1.5)
+
+  private[graft] def occOutlierMad(s: SparkSession, dir: String,
+                                   mult: Double): DataFrame = {
+    // both axes' medians from ONE species exchange (two sorts ride it) —
+    // a per-axis helper would replay the base relation per call (was 8
+    // planned shuffles, now 4)
+    def medians2(df: DataFrame, c1: String, c2: String,
+                 o1: String, o2: String): DataFrame = {
+      val w1 = Window.partitionBy("species").orderBy(c1, "occ_id")
+      val w2 = Window.partitionBy("species").orderBy(c2, "occ_id")
+      df.withColumn("rn1", row_number().over(w1).cast("long"))
+        .withColumn("rn2", row_number().over(w2).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("species")))
+        .groupBy("species")
+        .agg(max(when(col("rn1") === expr("(n + 1) div 2"), col(c1))).as(o1),
+          max(when(col("rn2") === expr("(n + 1) div 2"), col(c2))).as(o2))
+    }
+    val d = valid(s, dir).select("occ_id", "species", "lat", "lon")
+    val meds = medians2(d, "lat", "lon", "med_lat", "med_lon")
+    val devs = d.join(meds, Seq("species"))
+      .withColumn("dev_lat", abs(col("lat") - col("med_lat")))
+      .withColumn("dev_lon", abs(col("lon") - col("med_lon")))
+    val mads = medians2(devs, "dev_lat", "dev_lon", "mad_lat", "mad_lon")
+    devs.join(mads, Seq("species"))
+      .filter((col("mad_lat") > 0 && col("dev_lat") > col("mad_lat") * mult) ||
+        (col("mad_lon") > 0 && col("dev_lon") > col("mad_lon") * mult))
+      .select("occ_id", "species", "lat", "lon")
+  }
+
   def occUncertaintyBand(s: SparkSession, dir: String): DataFrame =
     valid(s, dir).filter(col("uncert").between(1000.0, 5000.0))
       .select("occ_id", "species", "uncert")
@@ -799,7 +845,8 @@ object DomainQueries {
     "events_hopping" -> (eventsHopping _),
     "events_session_window" -> (eventsSessionWindow _),
     "events_sessionize" -> (eventsSessionize _),
-    "spatial_grid_density" -> (spatialGridDensity _))
+    "spatial_grid_density" -> (spatialGridDensity _),
+    "occ_outlier_mad" -> (occOutlierMad _))
 
   /** Oracle bodies shared between the standalone summary queries and the
     * [[spatialSummaryJoin]] composition. */
@@ -832,6 +879,57 @@ object DomainQueries {
       |FROM bg GROUP BY accession, species""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "occ_outlier_mad" -> withSql(OCC_SQL, VALID_SQL)(
+      """SELECT occ_id, species, lat, lon FROM (
+        |  SELECT d.occ_id, d.species, d.lat, d.lon, dev_lat, dev_lon,
+        |    mad_lat, mad_lon
+        |  FROM (
+        |    SELECT v.occ_id, v.species, v.lat, v.lon,
+        |      ABS(v.lat - med_lat) AS dev_lat, ABS(v.lon - med_lon) AS dev_lon
+        |    FROM valid v
+        |    JOIN (SELECT species,
+        |            MAX(CASE WHEN rn = (n + 1) // 2 THEN lat END) AS med_lat
+        |          FROM (SELECT species, lat,
+        |                  ROW_NUMBER() OVER (PARTITION BY species
+        |                    ORDER BY lat, occ_id) AS rn,
+        |                  COUNT(*) OVER (PARTITION BY species) AS n FROM valid)
+        |          GROUP BY species) USING (species)
+        |    JOIN (SELECT species,
+        |            MAX(CASE WHEN rn = (n + 1) // 2 THEN lon END) AS med_lon
+        |          FROM (SELECT species, lon,
+        |                  ROW_NUMBER() OVER (PARTITION BY species
+        |                    ORDER BY lon, occ_id) AS rn,
+        |                  COUNT(*) OVER (PARTITION BY species) AS n FROM valid)
+        |          GROUP BY species) USING (species)) d
+        |  JOIN (SELECT species,
+        |          MAX(CASE WHEN rn = (n + 1) // 2 THEN dev_lat END) AS mad_lat,
+        |          MAX(CASE WHEN rn2 = (n + 1) // 2 THEN dev_lon END) AS mad_lon
+        |        FROM (
+        |          SELECT v.species,
+        |            ABS(v.lat - med_lat) AS dev_lat, ABS(v.lon - med_lon) AS dev_lon,
+        |            ROW_NUMBER() OVER (PARTITION BY v.species
+        |              ORDER BY ABS(v.lat - med_lat), occ_id) AS rn,
+        |            ROW_NUMBER() OVER (PARTITION BY v.species
+        |              ORDER BY ABS(v.lon - med_lon), occ_id) AS rn2,
+        |            COUNT(*) OVER (PARTITION BY v.species) AS n
+        |          FROM valid v
+        |          JOIN (SELECT species,
+        |                  MAX(CASE WHEN rn = (n + 1) // 2 THEN lat END) AS med_lat
+        |                FROM (SELECT species, lat,
+        |                        ROW_NUMBER() OVER (PARTITION BY species
+        |                          ORDER BY lat, occ_id) AS rn,
+        |                        COUNT(*) OVER (PARTITION BY species) AS n FROM valid)
+        |                GROUP BY species) USING (species)
+        |          JOIN (SELECT species,
+        |                  MAX(CASE WHEN rn = (n + 1) // 2 THEN lon END) AS med_lon
+        |                FROM (SELECT species, lon,
+        |                        ROW_NUMBER() OVER (PARTITION BY species
+        |                          ORDER BY lon, occ_id) AS rn,
+        |                        COUNT(*) OVER (PARTITION BY species) AS n FROM valid)
+        |                GROUP BY species) USING (species))
+        |        GROUP BY species) USING (species))
+        |WHERE (mad_lat > 0 AND dev_lat > mad_lat * CAST(1.5 AS DOUBLE))
+        |   OR (mad_lon > 0 AND dev_lon > mad_lon * CAST(1.5 AS DOUBLE))""".stripMargin),
     "spatial_grid_density" -> withSql(OCC_SQL, VALID_SQL)(
       s"""SELECT cellid, CAST(SUM(n) AS BIGINT) AS n_occ,
          |  CAST(COUNT(*) AS BIGINT) AS n_species,

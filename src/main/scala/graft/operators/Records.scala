@@ -250,7 +250,54 @@ object Records {
         col("rnk").cast("long").as("rnk"))
   }
 
+  /** Snapshot change-set — the incremental re-index primitive behind the
+    * reference's periodic index refreshes: instead of republishing the
+    * whole corpus (AliasPublish's full-rebuild path), diff the new
+    * snapshot against the old by content hash and ship only
+    * added/removed/changed keys. One full-outer hash join on the key;
+    * payloads never leave their scan (only the md5 travels), so the
+    * shuffle carries 16 bytes per row at any document size. */
+  def diffSnapshots(oldDf: DataFrame, newDf: DataFrame,
+                    key: String, payload: String): DataFrame = {
+    val o = oldDf.select(col(key), md5(col(payload).cast("binary")).as("oh"))
+    val n = newDf.select(col(key), md5(col(payload).cast("binary")).as("nh"))
+    o.join(n, Seq(key), "full_outer")
+      .withColumn("change", when(col("oh").isNull, "added")
+        .when(col("nh").isNull, "removed")
+        .when(col("oh") =!= col("nh"), "changed"))
+      .filter(col("change").isNotNull)
+      .select(col(key), col("change"))
+  }
+
+  /** diffSnapshots demo on a deterministic edit of `documents`: drop
+    * %13 ids, edit %7 texts, add %11 ids shifted by 100000. */
+  def dataSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val old = t(s, dir, "documents")
+    val nw = old.filter(col("doc_id") % 13 =!= 0)
+      .withColumn("text", when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      .unionByName(old.filter(col("doc_id") % 11 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000))
+    diffSnapshots(old, nw, "doc_id", "text")
+  }
+
+  private val DIFF_SQL =
+    """WITH oldt AS (SELECT doc_id, md5(text) AS oh FROM documents),
+      |newt AS (
+      |  SELECT doc_id,
+      |    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS nh
+      |  FROM documents WHERE doc_id % 13 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 100000, md5(text) FROM documents WHERE doc_id % 11 = 0)
+      |SELECT doc_id,
+      |  CASE WHEN oh IS NULL THEN 'added' WHEN nh IS NULL THEN 'removed'
+      |       WHEN oh <> nh THEN 'changed' END AS change
+      |FROM oldt FULL OUTER JOIN newt USING (doc_id)
+      |WHERE (CASE WHEN oh IS NULL THEN 'added' WHEN nh IS NULL THEN 'removed'
+      |            WHEN oh <> nh THEN 'changed' END) IS NOT NULL""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "data_snapshot_diff" -> (dataSnapshotDiff _),
     "meta_portal_records" -> (portalRecordsFlat _),
     "meta_dwh_records" -> (dwhRecords _),
     "meta_taxon_rollup" -> (taxonRollup _),
@@ -308,6 +355,7 @@ object Records {
         |FROM err""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "data_snapshot_diff" -> DIFF_SQL,
     "meta_dwh_records" -> DWH_SQL,
     "meta_taxon_rollup" ->
       s"""WITH dwh AS ($DWH_SQL)

@@ -143,6 +143,63 @@ class DomainSpec extends SparkSpec {
     }
   }
 
+  test("MAD outliers match a plain-Scala robust-statistics reference") {
+    val d = DomainQueries.occCleanCoords(spark, sf)
+      .as[(Long, String, Double, Double)].collect()
+    def discMedian(vs: Seq[(Double, Long)]): Double =
+      vs.sorted.apply((vs.length + 1) / 2 - 1)._1
+    val expected = d.groupBy(_._2).toSeq.flatMap { case (_, g) =>
+      val medLat = discMedian(g.map(r => (r._3, r._1)).toSeq)
+      val medLon = discMedian(g.map(r => (r._4, r._1)).toSeq)
+      val madLat = discMedian(g.map(r => (math.abs(r._3 - medLat), r._1)).toSeq)
+      val madLon = discMedian(g.map(r => (math.abs(r._4 - medLon), r._1)).toSeq)
+      g.filter(r => (madLat > 0 && math.abs(r._3 - medLat) > madLat * 1.5) ||
+        (madLon > 0 && math.abs(r._4 - medLon) > madLon * 1.5))
+    }.map(_._1).toSet
+    val got = DomainQueries.occOutlierMad(spark, sf)
+      .select("occ_id").as[Long].collect().toSet
+    assert(got === expected)
+    assert(got.nonEmpty, "the 1.5x fence must flag the uniform corpus' tails")
+  }
+
+  test("MAD outliers: a planted far point is the ONLY 5x-fence flag") {
+    import org.apache.spark.sql.SaveMode
+    // occ derives lat/lon from event_id arithmetic, so plant by searching
+    // ids: one species (user_id 7), a tight coordinate cluster, one far
+    // point. The 5x fence must flag exactly the far point.
+    def lat(id: Long) = if (id % 97 == 0) 0.0 else (id * 37 % 2200) / 10.0 - 105.0
+    def lon(id: Long) = if (id % 97 == 0) 0.0 else (id * 61 % 4400) / 10.0 - 210.0
+    // keep one id per distinct (lat, lon) so the cluster has genuine
+    // spread — duplicate coordinates would push MAD to 0 and the guard
+    // (mad > 0) would suppress every flag. Only id mod 4400 matters for
+    // the coordinate pair, so the box must be wide to hold enough
+    // distinct points (~37 in 20°×40°; MAD ≈ 5°/10°, far dev ≫ 5×MAD).
+    val ids = (1L to 300000L).filter(id => id % 97 != 0 &&
+        lat(id) > 0 && lat(id) < 20 && lon(id) > 0 && lon(id) < 40)
+      .groupBy(id => (lat(id), lon(id))).values.map(_.min).toSeq.sorted
+    assert(ids.length >= 30, s"search found only ${ids.length} distinct cluster points")
+    val far = (1L to 300000L).find(id => id % 97 != 0 &&
+      lat(id) > 60 && lat(id) < 80 && lon(id) > -170 && lon(id) < -150).get
+    val chosen = ids :+ far
+    val events = chosen.map(id => (id, id * 1000L, 7L, "view", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("madplant").toString
+    events.write.mode(SaveMode.Overwrite).parquet(s"$tmp/events.parquet")
+    val flagged = DomainQueries.occOutlierMad(spark, tmp, mult = 5.0)
+      .select("occ_id").as[Long].collect().toSet
+    assert(flagged === Set(far))
+  }
+
+  test("snapshot diff classifies added/removed/changed exactly") {
+    val got = operators.Records.dataSnapshotDiff(spark, sf)
+      .as[(Long, String)].collect().groupBy(_._2)
+      .view.mapValues(_.map(_._1).toSet).toMap
+    val ids = Tables.t(spark, sf, "documents").select("doc_id").as[Long].collect().toSet
+    assert(got("removed") === ids.filter(_ % 13 == 0))
+    assert(got("added") === ids.filter(_ % 11 == 0).map(_ + 100000L))
+    assert(got("changed") === ids.filter(i => i % 7 == 0 && i % 13 != 0))
+  }
+
   test("events_funnel: pattern requires strict view<click<purchase order") {
     val funnel = DomainQueries.eventsFunnel(spark, sf)
       .select("n_events", "t_view", "t_click", "t_purchase", "conv_ns")

@@ -74,7 +74,9 @@ class PlanAuditSpec extends SparkSpec {
     "sim_rp_topk" -> 3, // projection agg + shortlist rank + rerank agg; query sides broadcast
     "spatial_grid_density" -> 2, // (cell, species) agg + cellid window/agg
     "events_throttle" -> 1, // one (user, hour) exchange, WindowGroupLimit pre-prunes
-    "events_json_stats" -> 2) // count-distinct expand: partial distinct + final agg
+    "events_json_stats" -> 2, // count-distinct expand: partial distinct + final agg
+    "occ_outlier_mad" -> 3, // fused two-axis median windows: one species exchange per stage
+    "data_snapshot_diff" -> 2) // two hash-only sides of the full-outer key join
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
     // the shard grid must drive the exchange (parallelism = shard count),
