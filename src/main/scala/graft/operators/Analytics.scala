@@ -378,7 +378,10 @@ object Analytics {
       |  CAST(COUNT(DISTINCT k) AS BIGINT) AS k_distinct,
       |  MIN(k) AS k_min, MAX(k) AS k_max
       |FROM (SELECT event_type,
-      |        TRY_CAST(props->>'k' AS BIGINT) AS k FROM events)
+      |        CASE WHEN json_valid(props)
+      |              AND json_type(props->'k') IN ('BIGINT', 'UBIGINT')
+      |             THEN TRY_CAST(CAST(props->'k' AS VARCHAR) AS BIGINT)
+      |        END AS k FROM events)
       |GROUP BY event_type""".stripMargin
 
   val queries: Map[String, Q] = Map(

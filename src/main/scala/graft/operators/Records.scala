@@ -259,42 +259,51 @@ object Records {
     * shuffle carries 16 bytes per row at any document size. */
   def diffSnapshots(oldDf: DataFrame, newDf: DataFrame,
                     key: String, payload: String): DataFrame = {
-    val o = oldDf.select(col(key), md5(col(payload).cast("binary")).as("oh"))
-    val n = newDf.select(col(key), md5(col(payload).cast("binary")).as("nh"))
+    // presence markers, not hash nullability: md5(NULL) is NULL, so a
+    // NULL payload would otherwise read as an absent ROW and misclassify
+    // (a key present on both sides with NULL payloads is unchanged —
+    // the null-safe <=> hash compare handles that)
+    val o = oldDf.select(col(key),
+      md5(col(payload).cast("binary")).as("oh"), lit(1).as("op"))
+    val n = newDf.select(col(key),
+      md5(col(payload).cast("binary")).as("nh"), lit(1).as("np"))
     o.join(n, Seq(key), "full_outer")
-      .withColumn("change", when(col("oh").isNull, "added")
-        .when(col("nh").isNull, "removed")
-        .when(col("oh") =!= col("nh"), "changed"))
+      .withColumn("change", when(col("op").isNull, "added")
+        .when(col("np").isNull, "removed")
+        .when(!(col("oh") <=> col("nh")), "changed"))
       .filter(col("change").isNotNull)
       .select(col(key), col("change"))
   }
 
   /** diffSnapshots demo on a deterministic edit of `documents`: drop
-    * %13 ids, edit %7 texts, add %11 ids shifted by 100000. */
+    * %13 ids, edit %7 texts, add %11 ids mirrored to -(id+1) — the
+    * negative mirror cannot collide with a real doc_id at ANY corpus
+    * size, unlike a fixed additive shift. */
   def dataSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
     val old = t(s, dir, "documents")
     val nw = old.filter(col("doc_id") % 13 =!= 0)
       .withColumn("text", when(col("doc_id") % 7 === 0,
         concat(col("text"), lit(" v2"))).otherwise(col("text")))
       .unionByName(old.filter(col("doc_id") % 11 === 0)
-        .withColumn("doc_id", col("doc_id") + 100000))
+        .withColumn("doc_id", -col("doc_id") - 1))
     diffSnapshots(old, nw, "doc_id", "text")
   }
 
   private val DIFF_SQL =
-    """WITH oldt AS (SELECT doc_id, md5(text) AS oh FROM documents),
+    """WITH oldt AS (SELECT doc_id, md5(text) AS oh, 1 AS op FROM documents),
       |newt AS (
       |  SELECT doc_id,
-      |    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS nh
+      |    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS nh,
+      |    1 AS np
       |  FROM documents WHERE doc_id % 13 <> 0
       |  UNION ALL
-      |  SELECT doc_id + 100000, md5(text) FROM documents WHERE doc_id % 11 = 0)
+      |  SELECT -doc_id - 1, md5(text), 1 FROM documents WHERE doc_id % 11 = 0)
       |SELECT doc_id,
-      |  CASE WHEN oh IS NULL THEN 'added' WHEN nh IS NULL THEN 'removed'
-      |       WHEN oh <> nh THEN 'changed' END AS change
+      |  CASE WHEN op IS NULL THEN 'added' WHEN np IS NULL THEN 'removed'
+      |       WHEN oh IS DISTINCT FROM nh THEN 'changed' END AS change
       |FROM oldt FULL OUTER JOIN newt USING (doc_id)
-      |WHERE (CASE WHEN oh IS NULL THEN 'added' WHEN nh IS NULL THEN 'removed'
-      |            WHEN oh <> nh THEN 'changed' END) IS NOT NULL""".stripMargin
+      |WHERE (CASE WHEN op IS NULL THEN 'added' WHEN np IS NULL THEN 'removed'
+      |            WHEN oh IS DISTINCT FROM nh THEN 'changed' END) IS NOT NULL""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "data_snapshot_diff" -> (dataSnapshotDiff _),

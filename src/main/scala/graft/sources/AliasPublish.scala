@@ -18,7 +18,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object AliasPublish {
   private val MARKER = "_PUBLISHED"
-  private val VersionDir = "v=(\\d+)".r
+  // ≤18 digits: all-digit names beyond Long range must SKIP, not throw
+  private val VersionDir = "v=(\\d{1,18})".r
 
   private def fs(s: SparkSession, root: String) =
     new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)

@@ -205,7 +205,12 @@ object Streams {
         for ((tm, id) <- evs) {
           val h = tm / hourNs
           if (h > cur.hour) cur = ThrottleState(h, 0)
-          if (cur.n < perHour) {
+          // h < cur.hour: a late event from an already-closed hour.
+          // Charging it to the newer hour's budget would both exceed the
+          // closed hour's cap and duplicate (user, hour, rn) — fail SAFE
+          // by dropping it (the batch twin, which sees all data, is the
+          // backfill authority).
+          if (h == cur.hour && cur.n < perHour) {
             cur = cur.copy(n = cur.n + 1)
             res += ThrottleOut(uid, id, h, tm, cur.n)
           }

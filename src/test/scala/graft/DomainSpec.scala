@@ -196,7 +196,7 @@ class DomainSpec extends SparkSpec {
       .view.mapValues(_.map(_._1).toSet).toMap
     val ids = Tables.t(spark, sf, "documents").select("doc_id").as[Long].collect().toSet
     assert(got("removed") === ids.filter(_ % 13 == 0))
-    assert(got("added") === ids.filter(_ % 11 == 0).map(_ + 100000L))
+    assert(got("added") === ids.filter(_ % 11 == 0).map(i => -i - 1L))
     assert(got("changed") === ids.filter(i => i % 7 == 0 && i % 13 != 0))
   }
 

@@ -121,6 +121,16 @@ class StreamsSpec extends SparkSpec {
       val kept = spark.sql("SELECT event_id FROM throttle_out")
         .as[Long].collect().toSet
       assert(kept === Set(1L, 2L, 3L))
+      // advance to the next hour, then replay a LATE hour-0 event: it must
+      // drop (charging it to hour 1 would exceed hour 0's closed cap and
+      // duplicate a (user, hour, rn) tuple)
+      mem.addData((7L, 3600000000000L + 1L, 5L))
+      q.processAllAvailable()
+      mem.addData((7L, 5000L, 6L)) // late: hour 0 after hour 1 opened
+      q.processAllAvailable()
+      val after = spark.sql("SELECT event_id FROM throttle_out")
+        .as[Long].collect().toSet
+      assert(after === Set(1L, 2L, 3L, 5L))
     } finally q.stop()
   }
 
