@@ -18,7 +18,9 @@ object Explain {
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q02_filter_project", "q03_join_agg", "occ_clean_pipeline",
         "dedup_ngram_jaccard", "sim_cosine_topk", "events_tumbling",
-        "events_asof", "events_interval_join", "text_bm25_topk")
+        "events_asof", "events_interval_join", "text_bm25_topk",
+        "dedup_minhash_lsh", "graph_triangles", "sim_rp_topk",
+        "occ_outlier_mad", "data_shuffle_shards")
     for (n <- names) {
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, dir).explain("formatted")

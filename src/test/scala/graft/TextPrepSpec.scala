@@ -167,6 +167,24 @@ class TextPrepSpec extends SparkSpec {
     } finally spark.conf.unset("graft.shuffle.shards")
   }
 
+  test("shard count keeps scaling on a 20k-doc corpus (derived parallelism)") {
+    import org.apache.spark.sql.SaveMode
+    // 20k docs → ceil(20000/64) = 313 shards: the derived-parallelism
+    // path well beyond the sf defaults, asserting the grid keeps pace
+    // with corpus growth instead of saturating at a constant
+    val docs = (0L until 20000L).map(i => (i, s"doc $i body"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("shardscale").toString
+    docs.write.mode(SaveMode.Overwrite).parquet(s"$tmp/documents.parquet")
+    val out = TextPrep.dataShuffleShards(spark, tmp)
+    val expected = (20000L + TextPrep.SHARD_TARGET_DOCS - 1) / TextPrep.SHARD_TARGET_DOCS
+    assert(expected === 313L)
+    val dist = out.groupBy("shard").count()
+    assert(dist.count() === expected) // every shard occupied at this density
+    assert(out.agg(max("shard")).as[Long].head() === expected - 1)
+    assert(out.count() === 20000L)
+  }
+
   test("text_diversity: 0 for a single repeated token, 1 - 1/n for all-distinct") {
     import org.apache.spark.sql.SaveMode
     val docs = Seq(
