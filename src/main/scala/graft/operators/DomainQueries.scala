@@ -220,6 +220,34 @@ object DomainQueries {
         max(when(col("rn") === 1, col("n"))).as("dom_n"))
   }
 
+  /** Z-order (Morton) spatial layout summary — the file-clustering
+    * primitive behind OPTIMIZE ZORDER-style layouts: interleaving the
+    * 1°-cell x/y bits gives a single sort key whose ranges are compact
+    * lat/lon rectangles, so range-partitioned files prune spatial
+    * predicates at 100 TB. The z-code is 9+9 unrolled bit terms (pure
+    * integer arithmetic, codegen'd, byte-identical in DuckDB); the
+    * summary buckets the code space uniformly (bucket = z·32 div 2^18 —
+    * no global sort, unlike ntile) and reports each bucket's occupancy
+    * and geographic extent, which the spec asserts is LOCAL (bounded
+    * lat span) — the property the layout exists for. */
+  def spatialZorderLayout(s: SparkSession, dir: String): DataFrame = {
+    val interleave = (0 until 9).map { b =>
+      s"(((cx >> $b) & 1) << ${2 * b}) + (((cy >> $b) & 1) << ${2 * b + 1})"
+    }.mkString(" + ")
+    valid(s, dir)
+      .select(col("species"), col("lat"), col("lon"),
+        (floor(col("lon")).cast("long") + 180).as("cx"),
+        (floor(col("lat")).cast("long") + 90).as("cy"))
+      .withColumn("z", expr(interleave))
+      .withColumn("bucket", expr("z * 32 div 262144"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("species")).as("n_species"),
+        min("z").as("z_min"), max("z").as("z_max"),
+        min("lat").as("lat_min"), max("lat").as("lat_max"),
+        min("lon").as("lon_min"), max("lon").as("lon_max"))
+  }
+
   /** select_best_record per (species, 1°-cell): min uncertainty wins. */
   def occDedupeBest(s: SparkSession, dir: String): DataFrame = {
     val d = valid(s, dir)
@@ -846,6 +874,7 @@ object DomainQueries {
     "events_session_window" -> (eventsSessionWindow _),
     "events_sessionize" -> (eventsSessionize _),
     "spatial_grid_density" -> (spatialGridDensity _),
+    "spatial_zorder_layout" -> (spatialZorderLayout _),
     "occ_outlier_mad" -> (occOutlierMad _))
 
   /** Oracle bodies shared between the standalone summary queries and the
@@ -879,6 +908,23 @@ object DomainQueries {
       |FROM bg GROUP BY accession, species""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "spatial_zorder_layout" -> withSql(OCC_SQL, VALID_SQL)({
+      val interleave = (0 until 9).map { b =>
+        s"(((cx >> $b) & 1) << ${2 * b}) + (((cy >> $b) & 1) << ${2 * b + 1})"
+      }.mkString(" + ")
+      s"""SELECT z * 32 // 262144 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_occ,
+         |  CAST(COUNT(DISTINCT species) AS BIGINT) AS n_species,
+         |  MIN(z) AS z_min, MAX(z) AS z_max,
+         |  MIN(lat) AS lat_min, MAX(lat) AS lat_max,
+         |  MIN(lon) AS lon_min, MAX(lon) AS lon_max
+         |FROM (
+         |  SELECT species, lat, lon, $interleave AS z
+         |  FROM (SELECT species, lat, lon,
+         |          CAST(FLOOR(lon) AS BIGINT) + 180 AS cx,
+         |          CAST(FLOOR(lat) AS BIGINT) + 90 AS cy
+         |        FROM valid))
+         |GROUP BY 1""".stripMargin
+    }),
     "occ_outlier_mad" -> withSql(OCC_SQL, VALID_SQL)(
       """SELECT occ_id, species, lat, lon FROM (
         |  SELECT d.occ_id, d.species, d.lat, d.lon, dev_lat, dev_lon,

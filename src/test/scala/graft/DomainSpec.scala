@@ -190,6 +190,21 @@ class DomainSpec extends SparkSpec {
     assert(flagged === Set(far))
   }
 
+  test("z-order buckets are geographically local and conserve occupancy") {
+    val b = DomainQueries.spatialZorderLayout(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Double, Double, Double, Double)].collect()
+    assert(b.nonEmpty)
+    for ((bk, n, _, zmin, zmax, latMin, latMax, lonMin, lonMax) <- b) {
+      assert(n > 0 && zmin <= zmax)
+      assert(zmin / 8192 === bk && zmax / 8192 === bk) // buckets partition z-space
+      // fixing the top 5 interleaved bits pins 3 cy bits and 2 cx bits:
+      // every bucket is a ≤64°×128° rectangle — THE locality property
+      assert(latMax - latMin <= 65.0, s"bucket $bk lat span")
+      assert(lonMax - lonMin <= 129.0, s"bucket $bk lon span")
+    }
+    assert(b.map(_._2).sum === DomainQueries.occCleanCoords(spark, sf).count())
+  }
+
   test("snapshot diff classifies added/removed/changed exactly") {
     val got = operators.Records.dataSnapshotDiff(spark, sf)
       .as[(Long, String)].collect().groupBy(_._2)
