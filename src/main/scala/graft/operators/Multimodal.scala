@@ -101,14 +101,34 @@ object Multimodal {
       .toDF("media_id", "kind", "n_bytes", "nibble_counts")
   }
 
+  /** The frame-sample plumbing as an oracle-checked query: every 4th
+    * 32-byte window of each payload, identified by the md5 of its hex
+    * rendering (both engines hash the same uppercase hex string — DuckDB's
+    * md5 is VARCHAR-only, so hashing raw bytes cross-engine is not an
+    * option). Chunking is pure binary slicing — the decode stub never
+    * runs — which is exactly the video-frame-sampling I/O shape: the
+    * payload bytes stream through one narrow stage, nothing shuffles. */
+  def multimodalFrameSample(s: SparkSession, dir: String): DataFrame =
+    frameSample(fromDocuments(s, dir), chunkBytes = 32, everyN = 4)
+      .select(col("media_id"), col("chunk_idx"),
+        md5(hex(col("chunk")).cast("binary")).as("chunk_md5"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "multimodal_meta" -> (multimodalMeta _))
+    "multimodal_meta" -> (multimodalMeta _),
+    "multimodal_frame_sample" -> (multimodalFrameSample _))
 
   /** The oracle rebuilds each byte's high nibble from the hex encoding of
     * the UTF-8 payload: byte i ⟺ hex chars (2i+1, 2i+2), and the first of
     * the pair IS the high nibble. A doc × 16-bin grid left join fills the
     * empty bins with 0 so the joined string always has 16 entries. */
   val oracle: Map[String, String] = Map(
+    "multimodal_frame_sample" ->
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents)
+        |SELECT doc_id AS media_id, i AS chunk_idx,
+        |  md5(substr(hx, CAST(64 * i + 1 AS BIGINT), 64)) AS chunk_md5
+        |FROM b, LATERAL unnest(generate_series(0,
+        |  CAST((len(hx) + 63) // 64 - 1 AS BIGINT))) t(i)
+        |WHERE i % 4 = 0""".stripMargin,
     "multimodal_meta" ->
       """WITH b AS (
         |  SELECT doc_id, hex(encode(text)) AS hx,

@@ -77,7 +77,8 @@ class PlanAuditSpec extends SparkSpec {
     "events_json_stats" -> 2, // count-distinct expand: partial distinct + final agg
     "occ_outlier_mad" -> 3, // fused two-axis median windows: one species exchange per stage
     "data_snapshot_diff" -> 2, // two hash-only sides of the full-outer key join
-    "spatial_zorder_layout" -> 2) // count-distinct expand over the bucket agg
+    "spatial_zorder_layout" -> 2, // count-distinct expand over the bucket agg
+    "multimodal_frame_sample" -> 0) // narrow binary slicing: ZERO shuffles
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
     // the shard grid must drive the exchange (parallelism = shard count),
