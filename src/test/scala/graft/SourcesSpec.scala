@@ -169,6 +169,12 @@ class SourcesSpec extends SparkSpec {
     // the next publish steps past the orphan instead of colliding with it
     assert(AliasPublish.publish(Seq((4L, "d")).toDF("id", "x"), root) === 4L)
     assert(AliasPublish.readCurrent(spark, root).count() === 1)
+    // stray non-version dirs — including an all-digit name beyond Long
+    // range — are skipped, never fatal
+    new java.io.File(s"$root/v=2.bak").mkdir()
+    new java.io.File(s"$root/v=12345678901234567890").mkdir()
+    assert(AliasPublish.publishedVersions(spark, root) === Seq(1L, 2L, 4L))
+    assert(AliasPublish.readCurrent(spark, root).count() === 1)
   }
 
   test("GraftExtensions injects rolling_hash into a fresh session") {
