@@ -141,6 +141,22 @@ object SketchQueries {
       .select("doc1", "doc2", "est_jaccard")
   }
 
+  /** Shared winnowing CTE prefix (tok → grams → hash → running min →
+    * post-warmup fingerprints `f`) for the digest and pair oracles. */
+  private val WINNOW_CTE =
+    """tok AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+      |  FROM documents),
+      |g AS (SELECT doc_id, i AS pos,
+      |        ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] AS g
+      |      FROM tok, LATERAL unnest(generate_series(0, len(ts) - 3)) t(i)),
+      |h AS (SELECT doc_id, pos, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h FROM g),
+      |w AS (SELECT doc_id, pos,
+      |        MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+      |                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS m
+      |      FROM h),
+      |f AS (SELECT doc_id, m FROM w WHERE pos >= 3)""".stripMargin
+
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     simhashPairs(t(s, dir, "documents"))
 
@@ -297,27 +313,55 @@ object SketchQueries {
     * doc_id feeds both window passes (lead-composed shingles, then the
     * running min — same partitioning and order, so Spark plans a single
     * sort), and the final per-doc aggregate reuses the partitioning. */
-  def textWinnowing(s: SparkSession, dir: String): DataFrame = {
+  /** The shared winnowing pipeline: (doc_id, m) fingerprint rows, one per
+    * post-warmup window — consumed by the per-doc digest query AND the
+    * pair detector. */
+  private def winnowRows(s: SparkSession, dir: String): DataFrame = {
     val W = 4
     val wOrd = Window.partitionBy("doc_id").orderBy("pos")
     val toks = t(s, dir, "documents")
       .select(col("doc_id"),
         posexplode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
           .as(Seq("pos", "tok")))
-    val grams = toks
+    toks
       .withColumn("t1", lead("tok", 1).over(wOrd))
       .withColumn("t2", lead("tok", 2).over(wOrd))
       .filter(col("t2").isNotNull)
       .select(col("doc_id"), col("pos"),
         expr("cast(conv(substring(md5(cast(concat_ws(' ', tok, t1, t2) as binary)), 1, 15), 16, 10) as bigint)")
           .as("h"))
-    grams
       .withColumn("m", min(col("h")).over(wOrd.rowsBetween(-(W - 1), 0)))
       .filter(col("pos") >= W - 1)
+      .select("doc_id", "m")
+  }
+
+  def textWinnowing(s: SparkSession, dir: String): DataFrame =
+    winnowRows(s, dir)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_windows"),
         count_distinct(col("m")).as("n_fp"),
         expr("bit_xor(DISTINCT m)").as("fp_xor"))
+
+  /** Winnowing PAIR detection — MOSS's actual use: two documents sharing
+    * ≥ 2 distinct selected fingerprints share (with the winnowing
+    * guarantee) token runs of length ≥ 6 — local plagiarism/boilerplate
+    * pairs that whole-document Jaccard dilutes away. Same capped
+    * inverted-index shape as [[minhashPairs]]: fingerprint df counted
+    * first (partial-aggregated), oversized postings dropped with a
+    * broadcast anti-join BEFORE any collect_list exists, then local
+    * C(df,2) pair-gen. */
+  def dedupWinnowPairs(s: SparkSession, dir: String): DataFrame = {
+    val fps = winnowRows(s, dir).distinct()
+    val oversized = fps.groupBy("m").agg(count(lit(1)).as("k"))
+      .filter(col("k") > BAND_CUTOFF).select("m")
+    fps.join(broadcast(oversized), Seq("m"), "left_anti")
+      .groupBy("m").agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(col("ds"), posexplode(col("ds")).as(Seq("i", "doc1")))
+      .select(col("i"), col("doc1"), posexplode(col("ds")).as(Seq("j", "doc2")))
+      .filter(col("j") > col("i"))
+      .groupBy("doc1", "doc2").agg(count(lit(1)).as("shared_fp"))
+      .filter(col("shared_fp") >= 2)
   }
 
   /** IVF-style ANN: assign every vector to its nearest "centroid" (here
@@ -439,6 +483,7 @@ object SketchQueries {
     "sim_ivf_topk" -> (ivfTopk _),
     "sim_knn_graph" -> (simKnnGraph _),
     "text_winnowing" -> (textWinnowing _),
+    "dedup_winnow_pairs" -> (dedupWinnowPairs _),
     "range_convex_hull" -> (rangeConvexHull _),
     "text_fingerprint" -> (textFingerprint _),
     "text_bpe_tokens" -> (textBpeTokens _))
@@ -652,22 +697,21 @@ object SketchQueries {
         |      AS BIGINT) AS rank
         |  FROM sims) WHERE rank <= 5""".stripMargin,
     "text_winnowing" ->
-      """WITH tok AS (
-        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
-        |  FROM documents),
-        |g AS (SELECT doc_id, i AS pos,
-        |        ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] AS g
-        |      FROM tok, LATERAL unnest(generate_series(0, len(ts) - 3)) t(i)),
-        |h AS (SELECT doc_id, pos, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h FROM g),
-        |w AS (SELECT doc_id, pos,
-        |        MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
-        |                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS m
-        |      FROM h),
-        |f AS (SELECT doc_id, m FROM w WHERE pos >= 3)
+      s"""WITH $WINNOW_CTE
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
         |  CAST(COUNT(DISTINCT m) AS BIGINT) AS n_fp,
         |  bit_xor(DISTINCT m) AS fp_xor
         |FROM f GROUP BY doc_id""".stripMargin,
+    "dedup_winnow_pairs" ->
+      s"""WITH $WINNOW_CTE,
+        |fps AS (SELECT DISTINCT doc_id, m FROM f),
+        |keep AS (SELECT m FROM fps GROUP BY m
+        |         HAVING COUNT(*) BETWEEN 2 AND $BAND_CUTOFF)
+        |SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+        |  CAST(COUNT(*) AS BIGINT) AS shared_fp
+        |FROM fps a JOIN fps b ON a.m = b.m AND a.doc_id < b.doc_id
+        |WHERE a.m IN (SELECT m FROM keep)
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin,
     "sim_lsh_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |d AS (SELECT e.vec_id, p,

@@ -78,7 +78,8 @@ class PlanAuditSpec extends SparkSpec {
     "occ_outlier_mad" -> 3, // fused two-axis median windows: one species exchange per stage
     "data_snapshot_diff" -> 2, // two hash-only sides of the full-outer key join
     "spatial_zorder_layout" -> 2, // count-distinct expand over the bucket agg
-    "multimodal_frame_sample" -> 0) // narrow binary slicing: ZERO shuffles
+    "multimodal_frame_sample" -> 0, // narrow binary slicing: ZERO shuffles
+    "dedup_winnow_pairs" -> 5) // winnow window exchange + fp distinct + df cap + posting + pair aggs
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
     // the shard grid must drive the exchange (parallelism = shard count),

@@ -326,7 +326,7 @@ class SketchSpec extends SparkSpec {
     // the winnowing property: window w=4 over k=3 shingles ⇒ any common
     // substring of w+k-1 = 6 tokens shares at least one selected min.
     import org.apache.spark.sql.SaveMode
-    val run = "quick brown foxes jump over lazy"
+    val run = "quick brown foxes jump over lazy dogs daily here"
     val docs = Seq(
       (0L, s"alpha beta $run gamma delta epsilon"),
       (1L, s"one two three four $run five six"),
@@ -334,6 +334,12 @@ class SketchSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     val tmp = java.nio.file.Files.createTempDirectory("winnow").toString
     docs.write.mode(SaveMode.Overwrite).parquet(s"$tmp/documents.parquet")
+    // the pair detector surfaces exactly the overlapping pair: the long
+    // shared run yields ≥2 shared selected fingerprints for (0,1), and
+    // doc 2 shares none
+    val pairs = SketchQueries.dedupWinnowPairs(spark, tmp)
+      .select("doc1", "doc2").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((0L, 1L)))
     val fps = SketchQueries.textWinnowing(spark, tmp)
       .select("doc_id", "n_windows", "n_fp", "fp_xor")
       .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
