@@ -230,15 +230,19 @@ object DomainQueries {
     * no global sort, unlike ntile) and reports each bucket's occupancy
     * and geographic extent, which the spec asserts is LOCAL (bounded
     * lat span) — the property the layout exists for. */
+  /** The 9+9-bit Morton interleave, ONE definition consumed by both the
+    * Spark plan and the DuckDB oracle — identical `>>`/`&`/`<<` syntax in
+    * both engines, so the two sides cannot drift. */
+  private val MORTON18 = (0 until 9).map { b =>
+    s"(((cx >> $b) & 1) << ${2 * b}) + (((cy >> $b) & 1) << ${2 * b + 1})"
+  }.mkString(" + ")
+
   def spatialZorderLayout(s: SparkSession, dir: String): DataFrame = {
-    val interleave = (0 until 9).map { b =>
-      s"(((cx >> $b) & 1) << ${2 * b}) + (((cy >> $b) & 1) << ${2 * b + 1})"
-    }.mkString(" + ")
     valid(s, dir)
       .select(col("species"), col("lat"), col("lon"),
         (floor(col("lon")).cast("long") + 180).as("cx"),
         (floor(col("lat")).cast("long") + 90).as("cy"))
-      .withColumn("z", expr(interleave))
+      .withColumn("z", expr(MORTON18))
       .withColumn("bucket", expr("z * 32 div 262144"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_occ"),
@@ -909,16 +913,13 @@ object DomainQueries {
 
   val oracle: Map[String, String] = Map(
     "spatial_zorder_layout" -> withSql(OCC_SQL, VALID_SQL)({
-      val interleave = (0 until 9).map { b =>
-        s"(((cx >> $b) & 1) << ${2 * b}) + (((cy >> $b) & 1) << ${2 * b + 1})"
-      }.mkString(" + ")
       s"""SELECT z * 32 // 262144 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_occ,
          |  CAST(COUNT(DISTINCT species) AS BIGINT) AS n_species,
          |  MIN(z) AS z_min, MAX(z) AS z_max,
          |  MIN(lat) AS lat_min, MAX(lat) AS lat_max,
          |  MIN(lon) AS lon_min, MAX(lon) AS lon_max
          |FROM (
-         |  SELECT species, lat, lon, $interleave AS z
+         |  SELECT species, lat, lon, $MORTON18 AS z
          |  FROM (SELECT species, lat, lon,
          |          CAST(FLOOR(lon) AS BIGINT) + 180 AS cx,
          |          CAST(FLOOR(lat) AS BIGINT) + 90 AS cy

@@ -75,6 +75,30 @@ object SketchQueries {
     * near-dup cluster size), and exact duplicates remain fully covered by
     * dedup_exact. */
   private[graft] val BAND_CUTOFF = 100
+
+  /** Capped posting-list pair generation — the ONE copy of the r6 skew
+    * discipline shared by the minhash and winnowing inverted indexes
+    * (simhash keeps its own variant: its postings carry the fingerprint
+    * struct for the local Hamming check): bucket sizes count first
+    * (partial-aggregated map-side, one row per distinct key), buckets
+    * over [[BAND_CUTOFF]] drop via broadcast anti-join BEFORE any
+    * collect_list exists, then each surviving posting list emits its
+    * C(df,2) ordered pairs locally (ds sorted ⇒ j > i ⟺ doc2 > doc1).
+    * Emits one (doc1, doc2) row PER shared bucket — callers dedup or
+    * count as their semantics require. */
+  private def cappedPostingPairs(rows: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val keys = keyCols.map(col)
+    val oversized = rows.groupBy(keys: _*).agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > BAND_CUTOFF).select(keys: _*)
+    rows.join(broadcast(oversized), keyCols, "left_anti")
+      .groupBy(keys: _*)
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(col("ds"), posexplode(col("ds")).as(Seq("i", "doc1")))
+      .select(col("i"), col("doc1"), posexplode(col("ds")).as(Seq("j", "doc2")))
+      .filter(col("j") > col("i"))
+      .select("doc1", "doc2")
+  }
   private val seeds: IndexedSeq[Long] = (0 until K).map { k =>
     var z = k.toLong + 0x9E3779B97F4A7C15L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
@@ -111,26 +135,7 @@ object SketchQueries {
       array((0 until K).map(k => col(s"m$k")): _*).as("sig"), bandArr.as("bds"))
     val bands = sigs.select(col("doc_id"), explode(col("bds")).as("bd"))
       .select(col("doc_id"), col("bd.band").as("band"), col("bd.bh").as("bh"))
-    // Posting-list pair generation (one groupBy shuffle, no self-join)
-    // with the BAND_CUTOFF skew cap applied BEFORE any posting list
-    // materializes: bucket sizes first (partial-aggregated map-side, one
-    // row per distinct (band, bh)), then oversized buckets removed with a
-    // broadcast anti-join — the same two-pass guard as simKnnGraph's
-    // KNN_BUCKET_CAP — so a degenerate band value never allocates O(k)
-    // single-task collect_list state. Oversized buckets are rare by
-    // construction (they need k > cutoff docs sharing a signature), so
-    // the anti-join side stays broadcastable at any corpus size.
-    // ds is sorted, so j > i ⟺ doc2 > doc1.
-    val oversized = bands.groupBy("band", "bh").agg(count(lit(1)).as("bn"))
-      .filter(col("bn") > BAND_CUTOFF).select("band", "bh")
-    val cand = bands.join(broadcast(oversized), Seq("band", "bh"), "left_anti")
-      .groupBy("band", "bh")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")) >= 2)
-      .select(col("ds"), posexplode(col("ds")).as(Seq("i", "doc1")))
-      .select(col("i"), col("doc1"), posexplode(col("ds")).as(Seq("j", "doc2")))
-      .filter(col("j") > col("i"))
-      .select(col("doc1"), col("doc2"))
+    val cand = cappedPostingPairs(bands, Seq("band", "bh"))
       .dropDuplicates("doc1", "doc2")
     cand
       .join(sigs.select(col("doc_id").as("doc1"), col("sig").as("sig1")), Seq("doc1"))
@@ -350,19 +355,10 @@ object SketchQueries {
     * first (partial-aggregated), oversized postings dropped with a
     * broadcast anti-join BEFORE any collect_list exists, then local
     * C(df,2) pair-gen. */
-  def dedupWinnowPairs(s: SparkSession, dir: String): DataFrame = {
-    val fps = winnowRows(s, dir).distinct()
-    val oversized = fps.groupBy("m").agg(count(lit(1)).as("k"))
-      .filter(col("k") > BAND_CUTOFF).select("m")
-    fps.join(broadcast(oversized), Seq("m"), "left_anti")
-      .groupBy("m").agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")) >= 2)
-      .select(col("ds"), posexplode(col("ds")).as(Seq("i", "doc1")))
-      .select(col("i"), col("doc1"), posexplode(col("ds")).as(Seq("j", "doc2")))
-      .filter(col("j") > col("i"))
+  def dedupWinnowPairs(s: SparkSession, dir: String): DataFrame =
+    cappedPostingPairs(winnowRows(s, dir).distinct(), Seq("m"))
       .groupBy("doc1", "doc2").agg(count(lit(1)).as("shared_fp"))
       .filter(col("shared_fp") >= 2)
-  }
 
   /** IVF-style ANN: assign every vector to its nearest "centroid" (here
     * the first C vectors stand in for a trained codebook), then answer

@@ -326,7 +326,9 @@ class SketchSpec extends SparkSpec {
     // the winnowing property: window w=4 over k=3 shingles ⇒ any common
     // substring of w+k-1 = 6 tokens shares at least one selected min.
     import org.apache.spark.sql.SaveMode
-    val run = "quick brown foxes jump over lazy dogs daily here"
+    // run length = EXACTLY w+k-1 = 6 tokens: the minimal boundary the
+    // guarantee covers (a longer run would mask warm-up off-by-ones)
+    val run = "quick brown foxes jump over lazy"
     val docs = Seq(
       (0L, s"alpha beta $run gamma delta epsilon"),
       (1L, s"one two three four $run five six"),
@@ -334,10 +336,18 @@ class SketchSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     val tmp = java.nio.file.Files.createTempDirectory("winnow").toString
     docs.write.mode(SaveMode.Overwrite).parquet(s"$tmp/documents.parquet")
-    // the pair detector surfaces exactly the overlapping pair: the long
-    // shared run yields ≥2 shared selected fingerprints for (0,1), and
-    // doc 2 shares none
-    val pairs = SketchQueries.dedupWinnowPairs(spark, tmp)
+    // the PAIR detector needs ≥2 shared selected fingerprints, so its
+    // corpus uses a longer run — kept separate so the 6-token boundary
+    // case above stays covered
+    val runLong = "quick brown foxes jump over lazy dogs daily here"
+    val docsLong = Seq(
+      (0L, s"alpha beta $runLong gamma delta epsilon"),
+      (1L, s"one two three four $runLong five six"),
+      (2L, "totally unrelated words only here nothing shared at all")
+    ).toDF("doc_id", "text")
+    val tmp2 = java.nio.file.Files.createTempDirectory("winnowpair").toString
+    docsLong.write.mode(SaveMode.Overwrite).parquet(s"$tmp2/documents.parquet")
+    val pairs = SketchQueries.dedupWinnowPairs(spark, tmp2)
       .select("doc1", "doc2").as[(Long, Long)].collect().toSet
     assert(pairs === Set((0L, 1L)))
     val fps = SketchQueries.textWinnowing(spark, tmp)

@@ -171,8 +171,8 @@ class SourcesSpec extends SparkSpec {
     assert(AliasPublish.readCurrent(spark, root).count() === 1)
     // stray non-version dirs — including an all-digit name beyond Long
     // range — are skipped, never fatal
-    new java.io.File(s"$root/v=2.bak").mkdir()
-    new java.io.File(s"$root/v=12345678901234567890").mkdir()
+    assert(new java.io.File(s"$root/v=2.bak").mkdir())
+    assert(new java.io.File(s"$root/v=12345678901234567890").mkdir())
     assert(AliasPublish.publishedVersions(spark, root) === Seq(1L, 2L, 4L))
     assert(AliasPublish.readCurrent(spark, root).count() === 1)
   }
