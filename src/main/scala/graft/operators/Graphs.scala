@@ -40,12 +40,20 @@ object Graphs {
     while (changed && iter < maxIter) {
       val nbrMin = sym.join(labels, sym("b") === labels("node"))
         .groupBy(sym("a").as("node")).agg(min("label").as("nbr_label"))
+      // the convergence boolean rides the checkpoint action as an
+      // observed metric — one job per round instead of checkpoint +
+      // a second convergence scan
+      val obs = org.apache.spark.sql.Observation(s"cc_round_$iter")
       val next = labels.join(nbrMin, Seq("node"), "left_outer")
         .select(col("node"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .localCheckpoint() // materialize + cut lineage
-      changed = next.agg(coalesce(max(col("label") < col("old_label")), lit(false)))
-        .head.getBoolean(0)
+        .observe(obs, coalesce(max(col("label") < col("old_label")), lit(false))
+          .as("moved"))
+        .localCheckpoint() // materialize + cut lineage (fires the metric)
+      changed = obs.get.get("moved") match {
+        case Some(b: java.lang.Boolean) => b.booleanValue
+        case _ => false
+      }
       labels = next.select("node", "label")
       iter += 1
     }
