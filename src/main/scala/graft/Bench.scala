@@ -69,8 +69,11 @@ object Bench {
     // makes that diagnosable from the JSON alone.
     val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage
-    // cpus is a free-form master spec (e.g. "32" or "*") — quote it
-    val env = s""""load_avg":${fmt(load)},"epoch_ms":${System.currentTimeMillis()},"cpus":"$cpus""""
+    // cpus is a free-form master spec (e.g. "32" or "*") — quote it, and
+    // strip anything outside [0-9*,] so a quote/backslash in the env var
+    // can't corrupt the JSON artifact
+    val cpusSafe = cpus.filter(c => c.isDigit || c == '*' || c == ',')
+    val env = s""""load_avg":${fmt(load)},"epoch_ms":${System.currentTimeMillis()},"cpus":"$cpusSafe""""
     val json = s"""{"metric":"total","unit":"sec","sf":"$sfDir",$env,"queries":$qs,"errors":$errors,"value":${fmt(total)}}"""
     // Durable copy: survives any stdout/stderr truncation.
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),

@@ -86,23 +86,22 @@ object Analytics {
       |  FROM c)
       |WHERE rn <= 25""".stripMargin
 
-  /** Deterministic random-projection reduction 64 → 8 dims — the cheap
-    * Johnson–Lindenstrauss step before ANN indexing (sim_lsh_topk keeps
-    * only the SIGN of such projections; this keeps the values). Exactly
-    * cross-engine: inputs are floored to 2^-20 fixed-point BIGINTs and
-    * the dot products fold in EXACT integer arithmetic (≤ 2^29, no float
-    * sum-order sensitivity), so the final power-of-two division is the
-    * only — exact — float op. Integer pseudo-random weights
-    * w(p,j) = (p·73 + j·37) mod 17 − 8, same discipline as lshBuckets.
-    * Plan: codegen'd SUM aggregates over exploded dims, one
-    * partial-aggregated exchange. */
-  /** Rademacher ±1 JL weights, splitmix64-derived, computed ONCE and
+  /** Rademacher ±1 JL weights for the 64 → 8 dim random-projection
+    * reduction — the cheap Johnson–Lindenstrauss step before ANN
+    * indexing (sim_lsh_topk keeps only the SIGN of such projections;
+    * this keeps the values). Splitmix64-derived, computed ONCE and
     * embedded as plain integer literals in both engines' plans (8×64).
     * A closed-form lattice like (p·73+j·37) mod 17 — fine for sign
     * BUCKETS (lshBuckets) — is useless here: its rows are phase-shifted
     * copies of one periodic sequence, so the projections correlate and
     * preserve no distances. Independent-looking signs do (measured
-    * recall@10 jumped from 4% to >60% on the bench embeddings). */
+    * recall@10 jumped from 4% to >60% on the bench embeddings).
+    * Exactly cross-engine: inputs are floored to 2^-20 fixed-point
+    * BIGINTs and the dot products fold in EXACT integer arithmetic
+    * (≤ 2^29, no float sum-order sensitivity), so the final
+    * power-of-two division is the only — exact — float op. Plan:
+    * codegen'd SUM aggregates over exploded dims, one
+    * partial-aggregated exchange. */
   private[graft] val rpWeights: IndexedSeq[IndexedSeq[Int]] =
     IndexedSeq.tabulate(8, 64) { (p, j) =>
       var z = (p * 64 + j).toLong + 0x9E3779B97F4A7C15L

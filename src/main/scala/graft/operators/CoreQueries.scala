@@ -190,6 +190,22 @@ object CoreQueries {
         max(when(col("k") === 1, col("est"))).as("approx_parts"))
   }
 
+  /** Production twin of [[q14]]: the engine's HLL++
+    * (`approx_count_distinct`, codegen'd xxhash64, rsd 5%) — no
+    * md5-per-row, no explode, ONE aggregate whose shuffle carries a
+    * fixed-size sketch per (group, measure). The engine sketch is not
+    * oracle-replayable (HLL++ internals differ per engine), so [[q14]]
+    * keeps the deterministic 64-register sketch as the oracle/bench
+    * comparator — the same production/comparator split as
+    * [[TextRank.cmSketchDirect]] vs the vocab-weighted count-min build.
+    * Spec-asserted within HLL++ error bounds of the exact counts. */
+  private[graft] def q14Production(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_orderkey"), 0.05).as("approx_orders"),
+        approx_count_distinct(col("l_partkey"), 0.05).as("approx_parts"))
+
   /** Correlated scalar subquery: orders priced above 1.5× their
     * customer's average — the threshold-vs-own-group-mean filter shape.
     * Planned as a join against the pre-aggregated per-customer means (one

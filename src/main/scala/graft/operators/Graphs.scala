@@ -24,6 +24,16 @@ import org.apache.spark.sql.functions._
 object Graphs {
   type Q = (SparkSession, String) => DataFrame
 
+  /** obs.get with a 10 s ceiling; None on timeout (global EC threads are
+    * daemons, so an abandoned waiter can't pin the JVM). */
+  private def awaitMetric(obs: org.apache.spark.sql.Observation): Option[Map[String, Any]] = {
+    import scala.concurrent.{Await, Future, TimeoutException}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    try Some(Await.result(Future(obs.get), 10.seconds))
+    catch { case _: TimeoutException => None }
+  }
+
   /** (node, cluster_id) for every node in `edges`, cluster_id = min node
     * id reachable. `edges` needs two long columns (a, b); direction and
     * duplicates don't matter. */
@@ -50,9 +60,16 @@ object Graphs {
         .observe(obs, coalesce(max(col("label") < col("old_label")), lit(false))
           .as("moved"))
         .localCheckpoint() // materialize + cut lineage (fires the metric)
-      changed = obs.get.get("moved") match {
+      // Bounded wait, not bare obs.get: get blocks FOREVER if the metric
+      // never fires, and it only fires because localCheckpoint happens to
+      // run through withAction on Spark 4.1.2 (getOrEmpty is
+      // private[spark]). The checkpoint action has already completed, so
+      // the metric is normally available instantly; if that internal ever
+      // changes, fall back to an explicit convergence scan over the
+      // just-materialized checkpoint instead of hanging.
+      changed = awaitMetric(obs).flatMap(_.get("moved")) match {
         case Some(b: java.lang.Boolean) => b.booleanValue
-        case _ => false
+        case _ => !next.where(col("label") < col("old_label")).isEmpty
       }
       labels = next.select("node", "label")
       iter += 1

@@ -3,10 +3,12 @@ package graft.sources
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Atomic rebuild-then-swap publish — the Spark-native modeling of the
-  * reference's articles-index rollup (`update_articles_index.py:7-44`:
-  * rebuild each articles index in full, then re-point the serving alias
-  * at the fresh index in one aliases call): every publish writes a
+/** Atomic rebuild-then-swap publish — the atomic-replace alternative to
+  * the reference's articles-index refresh (`update_articles_index.py:7-44`
+  * bulk-upserts documents IN PLACE into a fixed index, so readers can
+  * observe a half-refreshed mix; this module models the shape such a
+  * refresh should have for exactly-one-snapshot reads): every publish
+  * writes a
   * COMPLETE snapshot under a fresh versioned directory, then "swaps the
   * alias" by creating that version's `_PUBLISHED` marker. Creating one
   * file is atomic on any filesystem/object store, so readers — who

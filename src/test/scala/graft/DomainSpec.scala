@@ -130,6 +130,26 @@ class DomainSpec extends SparkSpec {
     }
   }
 
+  test("q14 production path (engine HLL++) within rsd bounds, no md5 in plan") {
+    // rsd 5% ⇒ gate at 3σ = 15%. The production twin must also be free of
+    // the comparator's md5-per-row cost: no md5/conv in the executed plan.
+    val prod = CoreQueries.q14Production(spark, sf)
+    val plan = prod.queryExecution.executedPlan.toString
+    assert(!plan.contains("md5("), s"production path must not hash via md5:\n$plan")
+    val approx = prod.select("l_returnflag", "approx_orders", "approx_parts")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val exact = Tables.t(spark, sf, "lineitem")
+      .groupBy("l_returnflag").agg(
+        countDistinct("l_orderkey").as("no"), countDistinct("l_partkey").as("np"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(approx.keySet === exact.keySet)
+    for ((k, (ao, ap)) <- approx) {
+      val (eo, ep) = exact(k)
+      assert(math.abs(ao - eo).toDouble / eo < 0.15, s"$k orders: approx $ao vs exact $eo")
+      assert(math.abs(ap - ep).toDouble / ep < 0.15, s"$k parts: approx $ap vs exact $ep")
+    }
+  }
+
   test("grid density: totals reconcile and dominant species is the cell mode") {
     val cells = DomainQueries.spatialGridDensity(spark, sf)
       .as[(Long, Long, Long, String, Long)].collect()
