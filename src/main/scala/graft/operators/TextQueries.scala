@@ -155,16 +155,20 @@ object TextQueries {
     * (measured 87 s at sf0.1 vs ~1 s for this kernel; same left-to-right
     * accumulation order, so results are bit-identical).
     *
-    * Two physical plans share the kernel, picked by corpus size:
+    * Two physical plans, picked by corpus size:
     *  - `count ≤ maxBroadcast`: broadcast the corpus, scan it once per
-    *    input partition (one pass, no shuffle).
-    *  - larger: block-nested partition join — glom each partition into a
-    *    block, RDD-cartesian the block lists, process only the upper
-    *    triangle (i ≤ j) so every unordered pair is computed exactly once.
-    *    No driver collect, no single-executor corpus copy; each task holds
-    *    two blocks of |corpus|/P vectors. (Still O(n²) work — it IS the
-    *    brute-force baseline; the sub-quadratic scale paths are
-    *    sim_lsh_topk / sim_ivf_topk.)
+    *    input partition with the exact kernel (one pass, no shuffle) —
+    *    the exact brute-force baseline.
+    *  - larger: [[routedNearDupPairs]] — banded sign-LSH candidate
+    *    generation + exact [[graft.functions.DotF]] rerank. Approximate
+    *    (documented recall trade near the low 0.2 threshold; near-
+    *    identical vectors are found with probability ≈ 1), but NEVER
+    *    quadratic: candidate volume is bounded by band-bucket occupancy
+    *    and the bucket cap. The r6 block-cartesian fallback is gone —
+    *    at 100× scale it silently committed the cluster to O(n²/B²)
+    *    block pairs; over-threshold corpora now pay one banded shuffle
+    *    instead. Dot values on emitted pairs are bit-identical to the
+    *    exact kernel (same left-to-right accumulation).
     */
   def dedupEmbeddingCosine(s: SparkSession, dir: String): DataFrame =
     dedupEmbeddingCosine(s, dir, maxBroadcast = 1 << 20)
@@ -183,37 +187,100 @@ object TextQueries {
       acc
     }
 
-    val out: Dataset[(Long, Long, Double)] =
-      if (emb.count() <= maxBroadcast) {
-        val corpus = s.sparkContext.broadcast(emb.collect().sortBy(_._1))
-        emb.mapPartitions { it =>
-          val right = corpus.value
-          it.flatMap { case (v1, e1) =>
-            right.iterator
-              .filter(_._1 > v1)
-              .map { case (v2, e2) => (v1, v2, dot(e1, e2)) }
-              .filter(_._3 >= THRESH)
-          }
+    val n = emb.count()
+    if (n <= maxBroadcast) {
+      val corpus = s.sparkContext.broadcast(emb.collect().sortBy(_._1))
+      emb.mapPartitions { it =>
+        val right = corpus.value
+        it.flatMap { case (v1, e1) =>
+          right.iterator
+            .filter(_._1 > v1)
+            .map { case (v2, e2) => (v1, v2, dot(e1, e2)) }
+            .filter(_._3 >= THRESH)
         }
-      } else {
-        val blocks = emb.rdd.glom().zipWithIndex().map(_.swap)
-        val pairs = blocks.cartesian(blocks)
-          .filter { case ((i, _), (j, _)) => i <= j }
-          .flatMap { case ((i, bi), (j, bj)) =>
-            val cross = for {
-              (va, ea) <- bi.iterator
-              (vb, eb) <- bj.iterator
-              if i < j || va < vb // same block: upper triangle only
-            } yield {
-              val (v1, e1, v2, e2) = // ids are scattered across blocks
-                if (va < vb) (va, ea, vb, eb) else (vb, eb, va, ea)
-              (v1, v2, dot(e1, e2))
-            }
-            cross.filter { case (v1, v2, d) => v1 != v2 && d >= THRESH }
-          }
-        s.createDataset(pairs)
+      }.toDF("v1", "v2", "cos_sim")
+    } else routedNearDupPairs(s, emb, n, THRESH)
+  }
+
+  /** Banded random-hyperplane LSH near-dup pair mining — the routed
+    * scale path behind [[dedupEmbeddingCosine]] (same
+    * project→candidates→exact-rerank composition as sim_rp_topk /
+    * sim_knn_graph, specialized to threshold pairs instead of top-k).
+    *
+    *  - BANDS independent sign signatures of `planesPerBand` splitmix-
+    *    Rademacher hyperplanes each (literal ±1 weights — hash-derived,
+    *    NOT a lattice: bands must collide independently, the same lesson
+    *    as rpWeights). planesPerBand grows log₂ with the corpus so
+    *    bucket occupancy stays ~1k flat at any scale; a pair colliding
+    *    in ANY band becomes a candidate.
+    *  - Degenerate buckets above BUCKET_CAP are counted first and
+    *    excluded with a broadcast anti-join BEFORE any pair exists
+    *    (the simKnnGraph / cappedPostingPairs discipline), so no task
+    *    can ever see O(bucket²) candidates.
+    *  - Candidates rerank through the codegen'd [[functions.DotF]] —
+    *    an EQUI self-join on (band, bucket), so the threshold predicate
+    *    stays codegen'd (the BNLJ interpreted-eval trap only bites
+    *    non-equi joins); duplicate hits across bands collapse in a
+    *    final pair-keyed max (threshold survivors only — tiny).
+    *
+    * Work: O(n·B·(P·64 + occupancy·64)) — linear in the corpus at fixed
+    * occupancy, vs the removed block-cartesian's O(n²). Recall on
+    * near-identical vectors (the near-DUP regime, cos ≥ 0.999) is
+    * ≥ 1−(1−0.96^P)^B ≈ 1; pairs barely above the 0.2 cos threshold are
+    * found with lower probability — the documented approximation, spec-
+    * covered by a planted-near-dup recall assertion. */
+  private[graft] def routedNearDupPairs(
+      s: SparkSession, emb: Dataset[(Long, Array[Float])], n: Long,
+      thresh: Double): DataFrame = {
+    import s.implicits._
+    val BANDS = 4
+    val BUCKET_CAP = 4096
+    // ceil(log2(n / 1024)) clamped to [6, 30]: occupancy ≈ 1k at any n
+    val planesPerBand = math.min(30, math.max(6,
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, (n - 1) / 1024))))
+    val signs: Array[Array[Float]] =
+      Array.tabulate(BANDS * planesPerBand, 64) { (p, j) =>
+        var z = (p * 64 + j).toLong + 0x51ED270B9F112CC5L // routed-path seed
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z ^= z >>> 31
+        if (((z >>> 13) & 1L) == 1L) 1f else -1f
       }
-    out.toDF("v1", "v2", "cos_sim")
+    val banded = emb.mapPartitions { it =>
+      it.flatMap { case (id, v) =>
+        Iterator.tabulate(BANDS) { b =>
+          var bucket = 0L
+          var i = 0
+          while (i < planesPerBand) {
+            val w = signs(b * planesPerBand + i)
+            var acc = 0.0
+            var j = 0
+            val d = math.min(v.length, 64)
+            while (j < d) { acc += v(j).toDouble * w(j); j += 1 }
+            bucket = (bucket << 1) | (if (acc > 0) 1L else 0L)
+            i += 1
+          }
+          (b, bucket, id, v)
+        }
+      }
+    }.toDF("band", "bucket", "vec_id", "v")
+      // referenced three times below (cap count + both join sides):
+      // materialize once or the banding kernel replays per reference
+      .localCheckpoint()
+    val oversized = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > BUCKET_CAP).select("band", "bucket")
+    val capped = banded.join(broadcast(oversized), Seq("band", "bucket"), "left_anti")
+    val lhs = capped.select(col("band"), col("bucket"),
+      col("vec_id").as("v1"), col("v").as("e1"))
+    val rhs = capped.select(col("band"), col("bucket"),
+      col("vec_id").as("v2"), col("v").as("e2"))
+    lhs.join(rhs, Seq("band", "bucket"))
+      .filter(col("v1") < col("v2"))
+      .select(col("v1"), col("v2"),
+        graft.functions.Vectors.dot(col("e1"), col("e2")).as("cos_sim"))
+      .filter(col("cos_sim") >= thresh)
+      .groupBy("v1", "v2").agg(max("cos_sim").as("cos_sim"))
   }
 
   /** Gini–Simpson lexical diversity: 1 − Σ(cᵢ/N)² per document — a

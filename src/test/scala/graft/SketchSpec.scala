@@ -210,16 +210,53 @@ class SketchSpec extends SparkSpec {
     assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
-  test("embedding-cosine block-nested path is bit-identical to the broadcast path") {
-    // maxBroadcast = 0 forces the distributed block-nested partition join
-    // (no driver collect); the default path broadcasts. Same kernel, same
-    // left-to-right accumulation → exact Double equality required.
-    val bcast = operators.TextQueries.dedupEmbeddingCosine(spark, sf, maxBroadcast = Long.MaxValue)
-      .as[(Long, Long, Double)].collect().toSet
-    val block = operators.TextQueries.dedupEmbeddingCosine(spark, sf, maxBroadcast = 0L)
-      .as[(Long, Long, Double)].collect().toSet
-    assert(bcast.nonEmpty)
-    assert(block === bcast)
+  test("embedding-cosine routed path: exact subset, bit-identical dots, never quadratic") {
+    // maxBroadcast = 0 forces the banded-LSH routed path (the r6 block
+    // cartesian is gone). Routed output must be a SUBSET of the exact
+    // pairs with bit-identical dot values (DotF shares the kernel's
+    // left-to-right accumulation), and the plan must never contain a
+    // cartesian or nested-loop join at any corpus size.
+    val routedDf = operators.TextQueries.dedupEmbeddingCosine(spark, sf, maxBroadcast = 0L)
+    val plan = routedDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"routed path must stay equi-join only:\n$plan")
+    val exact = operators.TextQueries.dedupEmbeddingCosine(spark, sf, maxBroadcast = Long.MaxValue)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val routed = routedDf.as[(Long, Long, Double)].collect()
+    assert(exact.nonEmpty && routed.nonEmpty)
+    for ((v1, v2, d) <- routed) {
+      assert(exact.get((v1, v2)).contains(d),
+        s"routed pair ($v1,$v2,$d) not bit-identical to exact ${exact.get((v1, v2))}")
+    }
+  }
+
+  test("embedding-cosine routed path finds every planted near-dup") {
+    // Near-dup REGIME recall: 40 seeded unit vectors, each with a planted
+    // ~0.9999-cosine twin (ε=0.01 perturbation). Per-hyperplane sign-agree
+    // probability ≈ 1 − acos(.9999)/π ≈ 0.9955 ⇒ per-band ≥ 0.97,
+    // 4 bands ⇒ miss odds < 1e-6 per pair — and the splitmix weights are
+    // literals, so the outcome is fully deterministic.
+    val rnd = new scala.util.Random(42)
+    def unit(): Array[Float] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val rows = (0 until 40).flatMap { i =>
+      val base = unit()
+      val eps = unit()
+      val twin = base.zip(eps).map { case (b, e) => b + 0.01f * e }
+      val tn = math.sqrt(twin.map(x => x.toDouble * x).sum)
+      Seq((i.toLong * 2, base), (i.toLong * 2 + 1, twin.map(x => (x / tn).toFloat)))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("planted_emb").toString
+    rows.toDF("vec_id", "embedding").write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val routed = operators.TextQueries.dedupEmbeddingCosine(spark, dir, maxBroadcast = 0L)
+      .as[(Long, Long, Double)].collect()
+    val found = routed.collect { case (v1, v2, _) if v2 == v1 + 1 && v1 % 2 == 0 => v1 }.toSet
+    assert(found === (0 until 40).map(_.toLong * 2).toSet,
+      s"missing planted twins: ${(0 until 40).map(_.toLong * 2).toSet -- found}")
   }
 
   test("bpe_encode: greedy lowest-rank merges, word-bounded, codegen-consistent") {
