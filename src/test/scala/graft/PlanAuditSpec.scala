@@ -79,7 +79,13 @@ class PlanAuditSpec extends SparkSpec {
     "data_snapshot_diff" -> 2, // two hash-only sides of the full-outer key join
     "spatial_zorder_layout" -> 2, // count-distinct expand over the bucket agg
     "multimodal_frame_sample" -> 0, // narrow binary slicing: ZERO shuffles
-    "dedup_winnow_pairs" -> 5) // winnow window exchange + fp distinct + df cap + posting + pair aggs
+    "dedup_winnow_pairs" -> 5, // winnow window exchange + fp distinct + df cap + posting + pair aggs
+    "q14_approx_distinct" -> 3, // register-max agg + per-measure agg + final group agg, one scan
+    "biogeo_annotate" -> 1, // broadcast cell join; ONE dual-collect_set agg shuffle
+    "biogeo_summary" -> 1, // same broadcast join; one summary agg shuffle
+    "dedup_contamination" -> 3, // gram aggs both sides + pair agg; eval side broadcast
+    "dedup_exact" -> 1, // one text-hash agg shuffle, no join
+    "meta_summary_facets" -> 3) // facet explode agg + two rollup legs
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
     // the shard grid must drive the exchange (parallelism = shard count),
