@@ -86,6 +86,59 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("degenerate 100k-identical corpus: winnow + containment pair gens stay bounded") {
+    // All-identical docs collapse every fingerprint/gram to ONE posting of
+    // df = 100k: uncapped, pair-gen is C(100k,2) ≈ 5e9 candidates. The df
+    // cutoffs must drop the degenerate postings BEFORE any posting list
+    // exists (0 pairs out — exact dups stay covered by dedup_exact), no
+    // stage may process a quadratic record count, and nothing heavy may
+    // run single-task — the sim_knn_graph cap discipline applied to the
+    // round-6 pair generators, at 100× the oracle-gate doc count.
+    val text = "the quick brown fox jumps over the lazy dog again and again today just fine"
+    val dir = java.nio.file.Files.createTempDirectory("degen_docs").toString
+    spark.range(1, 100001).select(col("id").as("doc_id"), lit(text).as("text"))
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val stages = scala.collection.concurrent.TrieMap.empty[Int, (Int, Long)]
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        stages.put(sc.stageInfo.stageId, (sc.stageInfo.numTasks,
+          m.inputMetrics.recordsRead + m.shuffleReadMetrics.recordsRead))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val t0 = System.nanoTime()
+    try {
+      for (pairs <- Seq(operators.SketchQueries.dedupWinnowPairs(spark, dir),
+          operators.TextRank.dedupShingleContainment(spark, dir))) {
+        assert(pairs.queryExecution.executedPlan.toString.contains("LeftAnti") ||
+          pairs.queryExecution.executedPlan.toString.contains("Join"),
+          "df-cap guard missing from plan")
+        assert(pairs.count() === 0)
+      }
+    } finally {
+      val secs = (System.nanoTime() - t0) / 1e9
+      // runtime bound: linear-in-corpus work finishes in well under two
+      // minutes; a quadratic pair-gen would run for hours
+      assert(secs < 120, f"degenerate corpus took $secs%.1f s — candidate blowup?")
+      // let the listener bus drain before reading the stage map
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      var last = -1
+      while (System.nanoTime() < deadline && stages.size != last) {
+        last = stages.size; Thread.sleep(300)
+      }
+      spark.sparkContext.removeSparkListener(listener)
+    }
+    val worst = stages.values.map(_._2).max
+    assert(worst < 20000000L,
+      s"a stage processed $worst records — candidate count not bounded")
+    val singleTaskHeavy = stages.values.filter { case (n, recs) => n == 1 && recs >= 1000000L }
+    assert(singleTaskHeavy.isEmpty,
+      s"heavy single-task stages: $singleTaskHeavy")
+  }
+
   test("salted count equals plain count per key") {
     val df = Tables.t(spark, sf, "orders")
     val salted = Scale.saltedCount(df, "o_custkey", 8)
