@@ -110,6 +110,34 @@ object Streams {
       }
       .start()
 
+  /** Streaming counterpart of the batch data_snapshot_diff
+    * ([[graft.operators.Records.diffSnapshots]]): the currently-indexed
+    * snapshot is the STATIC side, reduced to (key, content-hash) once;
+    * new-snapshot rows arrive as the stream and each micro-batch emits
+    * ONLY its added/changed keys — the changed-keys-only incremental
+    * refresh behind the reference's periodic summary-index update
+    * (`update_summary_index.py` re-walks every study each period; this
+    * ships the delta instead). A stream-static left-outer hash join on
+    * the key: payloads never enter the join (only the 16-byte md5
+    * travels), the static hash side broadcasts at dim scale, and there
+    * is no streaming state at all — each arriving row classifies
+    * against the static index alone, so micro-batch boundaries cannot
+    * change the result. `removed` needs full-new-snapshot knowledge by
+    * definition and stays with the batch diff (or arrives as explicit
+    * tombstones upstream); the spec asserts the union of micro-batch
+    * outputs equals the batch diff's added+changed set exactly. */
+  def diffAgainstIndex(stream: DataFrame, indexed: DataFrame,
+                       key: String, payload: String): DataFrame = {
+    val idx = indexed.select(col(key),
+      md5(col(payload).cast("binary")).as("oh"), lit(1).as("op"))
+    stream.select(col(key), md5(col(payload).cast("binary")).as("nh"))
+      .join(idx, Seq(key), "left_outer")
+      .withColumn("change", when(col("op").isNull, "added")
+        .when(!(col("oh") <=> col("nh")), "changed"))
+      .filter(col("change").isNotNull)
+      .select(col(key), col("change"))
+  }
+
   case class SessState(start: Long, last: Long, n: Long)
   case class SessionOut(user_id: Long, session_start_ns: Long, n_events: Long, dur_ns: Long)
 

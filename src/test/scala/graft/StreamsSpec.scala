@@ -95,6 +95,41 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming snapshot diff agrees with the batch diff across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    // Same deterministic edit as the batch data_snapshot_diff demo: old =
+    // documents; new = drop %13, edit %7, add negative mirrors of %11.
+    val old = Tables.t(spark, sf, "documents")
+    val nw = old.filter(col("doc_id") % 13 =!= 0)
+      .withColumn("text", when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      .unionByName(old.filter(col("doc_id") % 11 === 0)
+        .withColumn("doc_id", -col("doc_id") - 1))
+      .select("doc_id", "text").as[(Long, String)].collect()
+    // the new snapshot arrives split across TWO micro-batches
+    val (first, second) = nw.splitAt(nw.length / 2)
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.diffAgainstIndex(
+        mem.toDS().toDF("doc_id", "text"), old, "doc_id", "text")
+      .writeStream.format("memory").queryName("snap_diff_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(first.toIndexedSeq)
+      q.processAllAvailable()
+      val afterFirst = spark.sql("SELECT COUNT(*) FROM snap_diff_out").as[Long].head()
+      mem.addData(second.toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM snap_diff_out")
+        .as[(Long, String)].collect().toSet
+      // both batches contributed (the edit pattern spreads across ids)
+      assert(afterFirst > 0 && streamed.size > afterFirst.toInt)
+      val batch = operators.Records.dataSnapshotDiff(spark, sf)
+        .filter(col("change") =!= "removed")
+        .as[(Long, String)].collect().toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("streaming throttle agrees with the batch rate-limit gate") {
     val ev = DomainQueries.events(spark, sf)
       .select(col("user_id"), col("ts_ns"), col("event_id"))
