@@ -6,8 +6,24 @@ import org.apache.spark.sql.SparkSession
   * formatted physical plan for each named query (default: a representative
   * set) against sf0.01 — used to audit pushdown, pruning, join strategy
   * and exchange counts (SURVEY.md §5).
+  *
+  * `runMain graft.Explain --out PLANS_r7 [query ...]` instead writes one
+  * `<dir>/<query>.txt` per query (default: [[heavySet]], the 10 heaviest
+  * bench queries) — the per-round committed artifact that makes plan
+  * drift diffable across rounds the way BENCH_LOCAL.json makes time
+  * drift diffable.
   */
 object Explain {
+  /** The 10 heaviest bench queries (BENCH_LOCAL.json, r7): the set whose
+    * plans get committed per round. dedup_cluster's plan is the
+    * post-convergence join over checkpointed labels — the per-round loop
+    * bodies do not appear in it. */
+  val heavySet: Seq[String] = Seq(
+    "dedup_cluster", "q14_approx_distinct", "dedup_shingle_containment",
+    "dedup_winnow_pairs", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "dedup_simhash", "dedup_repeated_ngrams", "graph_triangles",
+    "occ_outlier_mad")
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -15,15 +31,32 @@ object Explain {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    val names = if (args.nonEmpty) args.toSeq
+    val (outDir, requested) = args.toSeq match {
+      case "--out" +: d +: rest => (Some(d), rest)
+      case rest                 => (None, rest)
+    }
+    val names =
+      if (requested.nonEmpty) requested
+      else if (outDir.isDefined) heavySet
       else Seq("q02_filter_project", "q03_join_agg", "occ_clean_pipeline",
         "dedup_ngram_jaccard", "sim_cosine_topk", "events_tumbling",
         "events_asof", "events_interval_join", "text_bm25_topk",
         "dedup_minhash_lsh", "graph_triangles", "sim_rp_topk",
         "occ_outlier_mad", "data_shuffle_shards")
+    outDir.foreach(d => java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d)))
     for (n <- names) {
-      println(s"\n========== $n ==========")
-      SparkEntry.queries(n)(spark, dir).explain("formatted")
+      val df = SparkEntry.queries(n)(spark, dir)
+      outDir match {
+        case Some(d) =>
+          val txt = df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+          java.nio.file.Files.write(java.nio.file.Paths.get(d, s"$n.txt"),
+            txt.getBytes("UTF-8"))
+          println(s"wrote $d/$n.txt")
+        case None =>
+          println(s"\n========== $n ==========")
+          df.explain("formatted")
+      }
     }
     spark.stop()
   }
