@@ -151,8 +151,62 @@ object Graphs {
   def graphTriangles(s: SparkSession, dir: String): DataFrame =
     triangleCounts(SketchQueries.simKnnGraph(s, dir).select("qid", "vec_id"))
 
+  /** Fixed-point PageRank over an undirected edge list — the centrality
+    * score that picks CANONICAL representatives inside near-dup clusters
+    * (the best-connected document of a cluster, vs [[connectedComponents]]'
+    * arbitrary min-id) and down-weights barely-attached LSH stragglers.
+    *
+    * Cross-engine exact: ranks are 2^-30 fixed-point BIGINTs; the update
+    * r' = SCALE·3/20/N + Σ (r·17)/(20·deg) uses only positive-integer
+    * floor division and integer sums, so no float accumulation ever
+    * happens and DuckDB replays the identical lattice (the q14/KMV
+    * discipline applied to an ITERATIVE fixpoint — the oracle unrolls the
+    * same five rounds as chained CTEs). The single final 2^-30 division
+    * is exact. Mass leaks a few ULPs per round to flooring — identically
+    * in both engines.
+    *
+    * Plan per round: one (edge ⋈ rank) hash join + one partial-aggregated
+    * sum shuffle; ranks are localCheckpoint'd each round (lineage cut —
+    * the [[connectedComponents]] iteration discipline) and the edge list
+    * with degrees is checkpointed ONCE and reused by all rounds. Fixed
+    * round count (no convergence action): 5 damped rounds settle the
+    * small-diameter near-dup graphs this feeds on, and a deterministic
+    * round count is what keeps the oracle an unrolled CTE chain. */
+  def pageRank(edges: DataFrame, iters: Int = 5): DataFrame = {
+    val e = edges.toDF("x", "y").filter(col("x") =!= col("y"))
+    // duplicates DO change sums here (unlike the min-label CC), so the
+    // symmetrized edge set must be made distinct
+    val sym = e.select(col("x").as("a"), col("y").as("b"))
+      .union(e.select(col("y").as("a"), col("x").as("b")))
+      .distinct()
+    val deg = sym.groupBy("a").agg(count(lit(1)).as("deg"))
+    val outE = sym.join(deg, Seq("a")).localCheckpoint() // (a, b, deg(a))
+    val n = deg.count()
+    require(n > 0, "pageRank on an empty graph")
+    val SCALE = 1073741824L // 2^30
+    val tele = SCALE * 3 / 20 / n // 0.15/N, floored — same lattice in SQL
+    var ranks = outE.select(col("a").as("node")).distinct()
+      .withColumn("r", lit(SCALE / n)).localCheckpoint()
+    for (_ <- 1 to iters) {
+      ranks = outE.join(ranks, col("a") === col("node"))
+        .select(col("b"), expr("(r * 17) div (20 * deg)").as("c"))
+        .groupBy("b").agg((sum("c") + lit(tele)).as("r"))
+        .select(col("b").as("node"), col("r"))
+        .localCheckpoint()
+    }
+    ranks.select(col("node"), col("r").as("rank_fp"),
+      (col("r").cast("double") / SCALE.toDouble).as("rank_val"))
+  }
+
+  /** PageRank over the trigram-Jaccard near-dup pair graph (same input
+    * as [[dedupCluster]]): node = doc_id, rank = within-cluster
+    * centrality. */
+  def graphPagerank(s: SparkSession, dir: String): DataFrame =
+    pageRank(TextQueries.dedupNgramJaccard(s, dir).select("doc1", "doc2"))
+
   val queries: Map[String, Q] = Map(
     "dedup_cluster" -> (dedupCluster _),
+    "graph_pagerank" -> (graphPagerank _),
     "graph_triangles" -> (graphTriangles _))
 
   /** The oracle computes the transitive closure of the same pair graph
@@ -170,6 +224,34 @@ object Graphs {
          |  SELECT r.a, e.b FROM r JOIN e ON r.b = e.a)
          |SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
          |FROM r GROUP BY a""".stripMargin
+    },
+    "graph_pagerank" -> {
+      val pairsSql = TextQueries.oracle("dedup_ngram_jaccard")
+      // the five damped rounds unroll as chained CTEs — same positive-
+      // integer floor-division lattice as the Spark loop, so the BIGINT
+      // fixed-point ranks hash-match exactly; the final 2^-30 division
+      // is the one (exact) float op. DuckDB SUM(BIGINT) → HUGEINT: cast.
+      val rounds = (1 to 5).map { k =>
+        s"""r$k AS (
+           |  SELECT s.b AS node,
+           |    CAST((SELECT t FROM c) +
+           |      SUM((p.r * 17) // (20 * d.deg)) AS BIGINT) AS r
+           |  FROM sym s JOIN r${k - 1} p ON p.node = s.a
+           |             JOIN deg d ON d.a = s.a
+           |  GROUP BY s.b)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS ($pairsSql),
+         |sym AS (SELECT DISTINCT a, b FROM (
+         |  SELECT doc1 AS a, doc2 AS b FROM pairs WHERE doc1 <> doc2
+         |  UNION ALL SELECT doc2, doc1 FROM pairs WHERE doc1 <> doc2)),
+         |deg AS (SELECT a, COUNT(*) AS deg FROM sym GROUP BY a),
+         |c AS (SELECT CAST(1073741824 AS BIGINT) // COUNT(*) AS r0,
+         |             CAST(1073741824 AS BIGINT) * 3 // 20 // COUNT(*) AS t
+         |      FROM deg),
+         |r0 AS (SELECT a AS node, (SELECT r0 FROM c) AS r FROM deg),
+         |$rounds
+         |SELECT node, r AS rank_fp,
+         |  CAST(r AS DOUBLE) / 1073741824 AS rank_val FROM r5""".stripMargin
     },
     "graph_triangles" -> {
       val knnSql = SketchQueries.oracle("sim_knn_graph")

@@ -48,6 +48,44 @@ class GraphsSpec extends SparkSpec {
     assert(got === referenceCC(edges))
   }
 
+  test("fixed-point pagerank replays the integer lattice exactly; hub outranks leaves") {
+    // path 1-2-3-4 plus a hub 5 touching every path node, and a random
+    // graph: the Spark loop must equal a plain-Scala replay of the SAME
+    // positive-integer floor-division recurrence BIT FOR BIT (that
+    // equality is what makes the DuckDB unrolled-CTE oracle sound).
+    def replay(edges: Seq[(Long, Long)], iters: Int = 5): Map[Long, Long] = {
+      val sym = edges.filter(e => e._1 != e._2)
+        .flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+      val deg = sym.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val n = deg.size.toLong
+      val SCALE = 1073741824L
+      val tele = SCALE * 3 / 20 / n
+      var r = deg.keys.map(_ -> SCALE / n).toMap
+      for (_ <- 1 to iters) {
+        val next = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+        for ((a, b) <- sym) next(b) += (r(a) * 17) / (20 * deg(a))
+        r = next.map { case (k, v) => k -> (v + tele) }.toMap
+      }
+      r
+    }
+    val hubby = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (5L, 1L), (5L, 2L), (5L, 3L), (5L, 4L))
+    val got = Graphs.pageRank(hubby.toDF("x", "y"))
+      .select("node", "rank_fp").as[(Long, Long)].collect().toMap
+    assert(got === replay(hubby))
+    assert(got(5L) > got(1L) && got(5L) > got(4L), s"hub must outrank leaves: $got")
+    val rnd = new Random(13)
+    val rand = Seq.fill(100)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter { case (a, b) => a != b }
+    val gotR = Graphs.pageRank(rand.toDF("x", "y"))
+      .select("node", "rank_fp").as[(Long, Long)].collect().toMap
+    assert(gotR === replay(rand))
+    // rank_val is the exact 2^-30 scaling of the fixed-point rank
+    val vals = Graphs.pageRank(hubby.toDF("x", "y"))
+      .select("rank_fp", "rank_val").as[(Long, Double)].collect()
+    for ((fp, v) <- vals) assert(v === fp.toDouble / 1073741824.0)
+  }
+
   test("triangle counts match brute force on a random graph, K4 gives 3 each") {
     // K4 has C(4,3)=4 triangles; each node sits in exactly 3 of them
     val k4 = (for (i <- 0L to 3L; j <- i + 1 to 3L) yield (i, j)).toDF("a", "b")
