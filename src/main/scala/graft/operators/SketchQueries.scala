@@ -471,7 +471,77 @@ object SketchQueries {
         array_join(col("ls"), ",").as("chunks_csv"))
   }
 
+  /** Bloom-filter join gate — the runtime-filter primitive a 100 TB join
+    * leans on: build a 65536-bit / k=3 Bloom filter over the small side's
+    * key set (urgent orders), probe the big side's keys (lineitem FKs)
+    * against the BROADCAST filter, and report per key whether the bloom
+    * passes it alongside ground truth — bloom_pass must cover every
+    * actual member (no false negatives, the Bloom guarantee) while false
+    * positives stay at the designed ~0.2% (n≈3k keys → 13% fill,
+    * 0.13³). At scale the gate prunes the big side BEFORE the shuffle
+    * the way Spark's own runtime bloom does, but as an explicit,
+    * composable operator (e.g. in front of a multi-stage dedup probe).
+    *
+    * Deterministic cross-engine: positions are three 16-bit slices of
+    * the 60-bit md5-prefix hash (the q17/shards discipline), the filter
+    * is 2048 32-bit words built with bit_or aggregates — saturation-free
+    * BIGINT arithmetic both engines replay exactly. Plan: member + probe
+    * key sets partial-aggregate map-side; the 2048-word filter
+    * broadcasts; one bool_and aggregate per probe key. */
+  def dataBloomGate(s: SparkSession, dir: String): DataFrame = {
+    def h60(k: String) =
+      s"cast(conv(substring(md5(cast(cast($k as string) as binary)), 1, 15), 16, 10) as bigint)"
+    val members = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("mkey")).distinct()
+    def positions(df: DataFrame, key: String): DataFrame = df
+      .select(col(key), expr(h60(key)).as("h"))
+      .select(col(key), explode(array((0 until 3).map(i =>
+        expr(s"shiftright(h, ${i * 16}) & 65535")): _*)).as("p"))
+    val filt = positions(members, "mkey")
+      .select(expr("p div 32").as("w"),
+        expr("shiftleft(1L, cast(p % 32 as int))").as("b"))
+      .groupBy("w").agg(expr("bit_or(b)").as("bits")) // ≤ 2048 rows
+    val probe = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("okey")).distinct()
+    positions(probe, "okey")
+      .select(col("okey"), expr("p div 32").as("w"),
+        expr("shiftleft(1L, cast(p % 32 as int))").as("b"))
+      .join(broadcast(filt), Seq("w"), "left_outer")
+      .select(col("okey"),
+        (coalesce(col("bits"), lit(0L)).bitwiseAND(col("b")) =!= 0L).as("hit"))
+      .groupBy("okey").agg(expr("bool_and(hit)").as("bloom_pass"))
+      .join(members, col("okey") === col("mkey"), "left_outer")
+      .select(col("okey"), col("bloom_pass"), col("mkey").isNotNull.as("actual"))
+  }
+
+  private val BLOOM_SQL =
+    """WITH mem AS (
+      |  SELECT DISTINCT o_orderkey AS mkey FROM orders
+      |  WHERE o_orderpriority = '1-URGENT'),
+      |mpos AS (
+      |  SELECT ((('0x' || substr(md5(CAST(mkey AS VARCHAR)), 1, 15))::BIGINT
+      |           >> (16 * i)) & 65535) AS p
+      |  FROM mem CROSS JOIN (SELECT unnest([0, 1, 2]) AS i) ti),
+      |filt AS (
+      |  SELECT p // 32 AS w, bit_or(CAST(1 AS BIGINT) << (p % 32)) AS bits
+      |  FROM mpos GROUP BY 1),
+      |prob AS (SELECT DISTINCT l_orderkey AS okey FROM lineitem),
+      |ppos AS (
+      |  SELECT okey,
+      |    ((('0x' || substr(md5(CAST(okey AS VARCHAR)), 1, 15))::BIGINT
+      |      >> (16 * i)) & 65535) AS p
+      |  FROM prob CROSS JOIN (SELECT unnest([0, 1, 2]) AS i) ti),
+      |chk AS (
+      |  SELECT okey,
+      |    (COALESCE(f.bits, 0) & (CAST(1 AS BIGINT) << (p % 32))) <> 0 AS hit
+      |  FROM ppos LEFT JOIN filt f ON f.w = ppos.p // 32),
+      |pass AS (SELECT okey, bool_and(hit) AS bloom_pass FROM chk GROUP BY okey)
+      |SELECT c.okey, c.bloom_pass, (m.mkey IS NOT NULL) AS actual
+      |FROM pass c LEFT JOIN mem m ON m.mkey = c.okey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "data_bloom_gate" -> (dataBloomGate _),
     "text_cdc_chunks" -> (textCdcChunks _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -512,6 +582,7 @@ object SketchQueries {
        |              + (strpos('0123456789ABCDEF', substr(hx, 2*i+2, 1)) - 1) AS $cast))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "data_bloom_gate" -> BLOOM_SQL,
     // Every window hash is replayed INDEPENDENTLY (list_reduce over the
     // 16-byte slice) — by construction equal to the kernel's rolling
     // subtract-the-outgoing-byte recurrence, all in exact integer space.

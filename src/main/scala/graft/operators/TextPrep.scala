@@ -327,7 +327,60 @@ object TextPrep {
        |    ORDER BY h, doc_id) AS BIGINT) AS pos
        |FROM h""".stripMargin
 
+  /** Small-file compaction planner — the lakehouse maintenance primitive
+    * behind every 100 TB table: pack doc_id-ordered "files" (documents,
+    * size = octet_length) into contiguous target-size bins, preserving
+    * sort/cluster order so the rewrite stays a sequential scan per bin.
+    * bin = floor(exclusive-prefix-bytes / TARGET) over global doc_id
+    * order.
+    *
+    * The global running sum is computed as a two-level distributed
+    * prefix sum, NOT a single-partition window: doc_ids range-bucket
+    * into [[COMPACT_BUCKETS]] contiguous spans, per-bucket byte totals
+    * (one partial-aggregated shuffle over B rows) turn into exclusive
+    * bucket offsets via a window over those B rows only, and the
+    * broadcast offsets join back so each bucket computes its local
+    * cumsum independently — the orderBy window is partitionBy-bucket,
+    * so no task ever sees more than one bucket span. At 1000 executors
+    * the same plan holds with B scaled to the file count. All integer
+    * arithmetic (byte counts), so the oracle is the plain single-window
+    * formulation — two independent plans, one lattice. */
+  private[graft] val COMPACT_TARGET_BYTES = 65536L
+  private[graft] val COMPACT_BUCKETS = 32
+
+  def dataCompactFiles(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), octet_length(col("text")).cast("long").as("bytes"))
+    // one O(1) scalar agg (column-pruned scan) sizes the bucket grid
+    val mm = docs.agg(min("doc_id"), max("doc_id")).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val span = math.max(1L, hi - lo + 1)
+    val bucketed = docs.withColumn("bkt",
+      ((col("doc_id") - lit(lo)) * COMPACT_BUCKETS / span).cast("long"))
+    val wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy("bkt").agg(sum("bytes").as("bsum"))
+      .withColumn("boff", coalesce(sum("bsum").over(wb), lit(0L)))
+      .select("bkt", "boff") // ≤ B rows: the only global-ordered window
+    val wl = Window.partitionBy("bkt").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed.join(broadcast(offsets), Seq("bkt"))
+      .withColumn("cum0",
+        coalesce(sum("bytes").over(wl), lit(0L)) + col("boff"))
+      .select(col("doc_id"), col("bytes"),
+        expr(s"cum0 div $COMPACT_TARGET_BYTES").as("bin"))
+  }
+
+  // DuckDB: strlen = UTF-8 BYTE length (octet_length only binds to BLOB);
+  // length() would count characters and drift from Spark's octet_length
+  private val COMPACT_SQL =
+    s"""SELECT doc_id, CAST(strlen(text) AS BIGINT) AS bytes,
+       |  CAST(COALESCE(SUM(CAST(strlen(text) AS BIGINT))
+       |    OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |    0) // $COMPACT_TARGET_BYTES AS BIGINT) AS bin
+       |FROM documents""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "data_compact_files" -> (dataCompactFiles _),
     "data_shuffle_shards" -> (dataShuffleShards _),
     "text_scrub" -> (textScrub _),
     "text_stopword_filter" -> (textStopwordFilter _),
@@ -338,6 +391,7 @@ object TextPrep {
     "data_pack_sequences" -> (dataPackSequences _))
 
   val oracle: Map[String, String] = Map(
+    "data_compact_files" -> COMPACT_SQL,
     "data_shuffle_shards" -> SHARDS_SQL,
     "text_scrub" -> SCRUB_SQL,
     "text_stopword_filter" -> STOPWORD_SQL,

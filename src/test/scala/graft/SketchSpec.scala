@@ -259,6 +259,21 @@ class SketchSpec extends SparkSpec {
       s"missing planted twins: ${(0 until 40).map(_.toLong * 2).toSet -- found}")
   }
 
+  test("bloom gate: zero false negatives, designed FP rate, broadcast filter probe") {
+    val df = operators.SketchQueries.dataBloomGate(spark, sf)
+    val rows = df.as[(Long, Boolean, Boolean)].collect()
+    assert(rows.nonEmpty)
+    // the Bloom guarantee: every actual member passes
+    assert(rows.filter(_._3).forall(_._2), "false negative: member failed the bloom")
+    val nonMembers = rows.filter(!_._3)
+    assert(nonMembers.nonEmpty, "probe side must exceed the member set")
+    val fp = nonMembers.count(_._2).toDouble / nonMembers.length
+    assert(fp < 0.05, s"false-positive rate $fp too high for ~13% fill, k=3")
+    // the 2048-word filter must reach the probe as a broadcast, never a shuffle
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "bloom filter side lost its broadcast")
+  }
+
   test("bpe_encode: greedy lowest-rank merges, word-bounded, codegen-consistent") {
     import graft.functions.BpeEncode
     // "the": t+h (rank 0) fuses first -> th, then th+e (rank 10) -> the(266)

@@ -6,6 +6,23 @@ import org.apache.spark.sql.functions._
 class TextPrepSpec extends SparkSpec {
   import spark.implicits._
 
+  test("compaction planner equals a sequential replay; cumsum is two-level, not one task") {
+    val df = TextPrep.dataCompactFiles(spark, sf)
+    val got = df.as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.nonEmpty)
+    // bins must equal the sequential exclusive-cumsum replay exactly
+    var cum = 0L
+    val expect = got.map { case (id, b, _) =>
+      val bin = cum / TextPrep.COMPACT_TARGET_BYTES; cum += b; (id, b, bin)
+    }
+    assert(got.toSeq === expect.toSeq)
+    // the full-corpus window must ride the bucket partitioning (the only
+    // globally-ordered window is over <= COMPACT_BUCKETS offset rows)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(bkt"),
+      s"per-bucket cumsum window lost its bucket partitioning:\n$plan")
+  }
+
   test("sequence packing: budget respected, every doc exactly once, stable") {
     val packed = TextPrep.dataPackSequences(spark, sf)
       .as[(Long, Long, Long, Long)].collect()
