@@ -44,6 +44,59 @@ object Analytics {
        |FROM d JOIN c USING (user_id)
        |GROUP BY 1, 2""".stripMargin
 
+  /** CUSUM drift detection over the per-type event-value stream — the
+    * monitoring primitive that catches a distribution SHIFT (a feed
+    * suddenly emitting inflated values) long before a mean moves: the
+    * one-sided cumulative sum S_k = max(0, S_{k-1} + (x_k − target))
+    * grows only while values run consistently above target, and an
+    * alarm fires when it crosses the budget.
+    *
+    * The max-recurrence is NOT a window aggregate — but its closed form
+    * is: S_k = P_k − min(0, min_{j≤k} P_j) with P the plain prefix sum
+    * of (x − target), so the whole operator is TWO running windows
+    * riding ONE event_type exchange (same partitioning, same order —
+    * Spark plans a single sort). Exact integers end-to-end: values
+    * quantize to 2^-10 fixed point, the per-type target is the floored
+    * integer mean, and prefix sums/mins never touch a float — the
+    * oracle replays the identical lattice. */
+  private[graft] val CUSUM_ALARM_FP = 2048000L // 2000.0 in 2^-10 fixed point
+
+  def eventsCusum(s: SparkSession, dir: String): DataFrame = {
+    val ev = DomainQueries.events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"), col("ts_ns"),
+        expr("cast(floor(value * 1024) as bigint)").as("q"))
+    val target = ev.groupBy("event_type")
+      .agg(expr("sum(q) div count(1)").as("t")) // ≤ |event types| rows
+    val wc = Window.partitionBy("event_type").orderBy("ts_ns", "event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ev.join(broadcast(target), Seq("event_type"))
+      .withColumn("p", sum(col("q") - col("t")).over(wc))
+      .select(col("event_type"), col("event_id"),
+        (col("p") - least(min("p").over(wc), lit(0L))).as("cusum_fp"))
+      .withColumn("alarm", col("cusum_fp") > lit(CUSUM_ALARM_FP))
+  }
+
+  private val CUSUM_SQL =
+    s"""WITH e AS (
+       |  SELECT event_type, event_id,
+       |    epoch_ns(ts) // 1000 * 1000 AS ts_ns,
+       |    CAST(FLOOR(value * 1024) AS BIGINT) AS q
+       |  FROM events WHERE value IS NOT NULL),
+       |t AS (SELECT event_type, CAST(SUM(q) // COUNT(*) AS BIGINT) AS t
+       |      FROM e GROUP BY event_type),
+       |p AS (SELECT e.event_type, e.event_id, e.ts_ns,
+       |        CAST(SUM(e.q - t.t) OVER w AS BIGINT) AS p
+       |      FROM e JOIN t USING (event_type)
+       |      WINDOW w AS (PARTITION BY event_type ORDER BY ts_ns, event_id
+       |                   ROWS UNBOUNDED PRECEDING))
+       |SELECT event_type, event_id,
+       |  p - LEAST(MIN(p) OVER w2, 0) AS cusum_fp,
+       |  (p - LEAST(MIN(p) OVER w2, 0)) > $CUSUM_ALARM_FP AS alarm
+       |FROM p
+       |WINDOW w2 AS (PARTITION BY event_type ORDER BY ts_ns, event_id
+       |              ROWS UNBOUNDED PRECEDING)""".stripMargin
+
   /** Top-25 consecutive event-type trigram paths — sequence mining for
     * the dominant user journeys. The per-user lead window rides ONE
     * user_id exchange; the path universe is ≤ |event_types|³ rows, so the
@@ -392,6 +445,7 @@ object Analytics {
     "sim_rp_topk" -> (simRpTopk _),
     "meta_scd2_history" -> (metaScd2History _),
     "events_value_quantiles" -> (eventsValueQuantiles _),
+    "events_cusum" -> (eventsCusum _),
     "data_interleave_sources" -> (dataInterleaveSources _))
 
   val oracle: Map[String, String] = Map(
@@ -403,5 +457,6 @@ object Analytics {
     "sim_rp_topk" -> RP_TOPK_SQL,
     "meta_scd2_history" -> SCD2_SQL,
     "events_value_quantiles" -> QUANTILES_SQL,
+    "events_cusum" -> CUSUM_SQL,
     "data_interleave_sources" -> INTERLEAVE_SQL)
 }

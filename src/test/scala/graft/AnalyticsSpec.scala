@@ -25,6 +25,43 @@ class AnalyticsSpec extends SparkSpec {
     assert(day0.values.sum === users)
   }
 
+  test("cusum equals the max-recurrence replay; a planted drift alarms") {
+    // the window closed form (P_k − min(0, running-min P)) must equal the
+    // defining recurrence S_k = max(0, S_{k-1} + x_k) replayed in Scala
+    val gotFlat = Analytics.eventsCusum(spark, sf)
+      .select("event_type", "event_id", "cusum_fp")
+      .as[(String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // the replay walks ARRIVAL order (ts_ns, event_id) from the source
+    val src = operators.DomainQueries.events(spark, sf)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"), col("ts_ns"),
+        expr("cast(floor(value * 1024) as bigint)").as("q"))
+      .as[(String, Long, Long, Long)].collect()
+    val expect = src.groupBy(_._1).toSeq.flatMap { case (tpe, rows) =>
+      val ordered = rows.sortBy(r => (r._3, r._2))
+      val t = ordered.map(_._4).sum / ordered.length
+      var s = 0L
+      ordered.toSeq.map { case (_, id, _, q) =>
+        s = math.max(0L, s + (q - t)); (tpe, id) -> s
+      }
+    }
+    assert(gotFlat === expect.toMap)
+    assert(gotFlat.valuesIterator.forall(_ >= 0L))
+    // planted drift: 50 in-band events then 50 consistently +100 above
+    // them — the cumulative excess must cross the 2000-unit alarm budget
+    // (ts written as raw Long ns, the shape DomainQueries.events reads)
+    val dir = java.nio.file.Files.createTempDirectory("cusum_drift").toString
+    (1 to 100).map(i =>
+        (i.toLong, i.toLong * 1000000000L, 1L, "feed",
+          if (i <= 50) 10.0 else 110.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val drift = Analytics.eventsCusum(spark, dir)
+      .filter(col("alarm")).count()
+    assert(drift > 0, "planted +100 drift never crossed the 2000-unit alarm budget")
+  }
+
   test("top paths: dense rank, descending counts, recount of winner matches") {
     val rows = Analytics.eventsTopPaths(spark, sf)
       .orderBy("rn").as[(String, Long, Long)].collect()
