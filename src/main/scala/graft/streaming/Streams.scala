@@ -248,6 +248,38 @@ object Streams {
     }
   }
 
+  case class CusumState(s: Long)
+  case class CusumOut(event_type: String, event_id: Long, cusum_fp: Long,
+                      alarm: Boolean)
+
+  /** Streaming counterpart of the batch events_cusum drift monitor: per
+    * event type the state is ONE Long — the running one-sided sum
+    * S = max(0, S + (q − target)) — so state is bounded regardless of
+    * stream length. `targets` is the per-type fixed-point baseline (in
+    * production the profile comes from a prior batch run; the batch
+    * operator derives it from the full data, which a stream cannot).
+    * With per-type ascending arrival across batches this reproduces the
+    * batch closed form exactly (spec-verified). Input:
+    * (event_type, ts_ns, event_id, q) with q already 2^-10 fixed-point. */
+  def cusum(events: Dataset[(String, Long, Long, Long)],
+            targets: Map[String, Long], alarmFp: Long): Dataset[CusumOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (tpe: String, it: Iterator[(String, Long, Long, Long)],
+       state: GroupState[CusumState]) =>
+        val t = targets.getOrElse(tpe, 0L)
+        val evs = it.map(e => (e._2, e._3, e._4)).toArray.sortBy(e => (e._1, e._2))
+        var s = state.getOption.map(_.s).getOrElse(0L)
+        val res = evs.map { case (_, id, q) =>
+          s = math.max(0L, s + (q - t))
+          CusumOut(tpe, id, s, s > alarmFp)
+        }
+        state.update(CusumState(s))
+        res.iterator
+    }
+  }
+
   case class FunnelState(start: Long, last: Long, n: Long,
                          tView: Long, tClick: Long, tPurchase: Long) // -1 = unset
   case class FunnelOut(user_id: Long, session_start_ns: Long, n_events: Long,

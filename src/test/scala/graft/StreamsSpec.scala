@@ -95,6 +95,39 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming cusum agrees with the batch closed form and carries state") {
+    // targets = the batch-derived per-type baselines (floored integer mean)
+    val src = DomainQueries.events(spark, sf)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("ts_ns"), col("event_id"),
+        expr("cast(floor(value * 1024) as bigint)").as("q"))
+      .as[(String, Long, Long, Long)]
+    val targets = src.groupBy("event_type").agg(expr("sum(q) div count(1)").as("t"))
+      .as[(String, Long)].collect().toMap
+    val stateful = Streams.cusum(src, targets, operators.Analytics.CUSUM_ALARM_FP)
+      .collect().map(o => (o.event_type, o.event_id) -> (o.cusum_fp, o.alarm)).toMap
+    val batch = operators.Analytics.eventsCusum(spark, sf)
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(stateful === batch)
+    // state carries across micro-batches: a drift split across batches
+    // still accumulates to an alarm
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Long, Long)]
+    val q = Streams.cusum(mem.toDS(), Map("feed" -> 10240L), 2048000L)
+      .writeStream.format("memory").queryName("cusum_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L to 25L).map(i => ("feed", i, i, 112640L)): _*) // +100 each
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM cusum_out WHERE alarm").as[Long].head() === 5)
+      mem.addData((26L to 30L).map(i => ("feed", i, i, 112640L)): _*)
+      q.processAllAvailable()
+      // the second batch starts from the carried S, so ALL its rows alarm
+      assert(spark.sql("SELECT count(*) FROM cusum_out WHERE alarm").as[Long].head() === 10)
+    } finally q.stop()
+  }
+
   test("streaming snapshot diff agrees with the batch diff across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     // Same deterministic edit as the batch data_snapshot_diff demo: old =
