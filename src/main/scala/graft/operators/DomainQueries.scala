@@ -122,6 +122,13 @@ object DomainQueries {
       |         CAST(i * 97 % 351 AS DOUBLE) - 175.0 AS clon
       |  FROM (SELECT range AS i FROM range(20)))""".stripMargin
 
+  /** [[CENT_SQL]] with the centroid id carried (spatial_nearest argmin). */
+  private val CENTID_SQL =
+    """centid AS (
+      |  SELECT i AS cid, CAST(i * 53 % 171 AS DOUBLE) - 85.0 AS clat,
+      |         CAST(i * 97 % 351 AS DOUBLE) - 175.0 AS clon
+      |  FROM (SELECT range AS i FROM range(20)))""".stripMargin
+
   /** Great-circle distance in meters (cleaning_occs.py:107 haversine). */
   def haversineM(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
     val a = pow(sin(radians(lat2 - lat1) / 2), 2) +
@@ -200,6 +207,33 @@ object DomainQueries {
         haversineM(col("lat"), col("lon"), col("clat"), col("clon")) <= CENTROID_DIST_M,
         "left_anti")
       .select("occ_id", "species", "lat", "lon")
+
+  /** Nearest-reference-site assignment: every valid occurrence labeled
+    * with its closest of the 20 broadcast centroids — the
+    * assign-to-station step before per-site rollups (the argmin twin of
+    * [[occCentroidFilter]]'s radius test). Ranking uses a PLANAR squared
+    * distance with antimeridian wrap — only IEEE +,−,×,abs,min, no
+    * transcendentals — because the emitted measure must hash-match:
+    * haversine's sin/cos are not correctly-rounded cross-engine (fine
+    * under a ≤ threshold, not as output). argmin = MIN over a
+    * (d2, cid) struct — a hash aggregate with a deterministic id
+    * tie-break, never a when-chain over 20 distance columns (the
+    * ivfTopk max_by lesson). Plan: one broadcast nested-loop expand
+    * (20 rows) + one partial-aggregated shuffle. */
+  def spatialNearest(s: SparkSession, dir: String): DataFrame = {
+    val cents = s.range(20).select(col("id").as("cid"),
+      (col("id") * 53 % 171).cast("double").minus(85.0).as("clat"),
+      (col("id") * 97 % 351).cast("double").minus(175.0).as("clon"))
+    val dlat = col("lat") - col("clat")
+    val dlonRaw = abs(col("lon") - col("clon"))
+    val dlon = least(dlonRaw, lit(360.0) - dlonRaw)
+    val d2 = dlat * dlat + dlon * dlon
+    valid(s, dir).select("occ_id", "lat", "lon")
+      .crossJoin(broadcast(cents))
+      .select(col("occ_id"), struct(d2.as("d2"), col("cid")).as("dc"))
+      .groupBy("occ_id").agg(min("dc").as("m"))
+      .select(col("occ_id"), col("m.cid").as("centroid_id"), col("m.d2").as("d2"))
+  }
 
   /** Grid density map: per 1°-cell occurrence count, species richness and
     * dominant species — the range-map rasterization step downstream of
@@ -879,6 +913,7 @@ object DomainQueries {
     "events_sessionize" -> (eventsSessionize _),
     "spatial_grid_density" -> (spatialGridDensity _),
     "spatial_zorder_layout" -> (spatialZorderLayout _),
+    "spatial_nearest" -> (spatialNearest _),
     "occ_outlier_mad" -> (occOutlierMad _))
 
   /** Oracle bodies shared between the standalone summary queries and the
@@ -997,6 +1032,16 @@ object DomainQueries {
       s"""SELECT occ_id, species, lat, lon, cellid FROM
          |  (SELECT *, $CELL10_SQL AS cellid FROM valid)
          |WHERE cellid IN (SELECT cellid FROM land)""".stripMargin),
+    "spatial_nearest" -> withSql(OCC_SQL, VALID_SQL, CENTID_SQL)(
+      """SELECT occ_id, cid AS centroid_id, d2 FROM (
+        |  SELECT occ_id, cid, d2,
+        |    ROW_NUMBER() OVER (PARTITION BY occ_id ORDER BY d2, cid) AS rn
+        |  FROM (SELECT v.occ_id, c.cid,
+        |          (v.lat - c.clat) * (v.lat - c.clat) +
+        |          LEAST(ABS(v.lon - c.clon), 360.0 - ABS(v.lon - c.clon)) *
+        |          LEAST(ABS(v.lon - c.clon), 360.0 - ABS(v.lon - c.clon)) AS d2
+        |        FROM valid v CROSS JOIN centid c))
+        |WHERE rn = 1""".stripMargin),
     "occ_centroid_filter" -> withSql(OCC_SQL, VALID_SQL, CENT_SQL)(
       s"""SELECT occ_id, species, lat, lon FROM valid v
          |WHERE NOT EXISTS (SELECT 1 FROM cent c

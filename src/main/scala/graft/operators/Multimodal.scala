@@ -113,8 +113,37 @@ object Multimodal {
       .select(col("media_id"), col("chunk_idx"),
         md5(hex(col("chunk")).cast("binary")).as("chunk_md5"))
 
+  /** Content-addressed dedup of binary payloads — the CAS step every
+    * multimodal corpus runs before feature extraction (identical images
+    * re-crawled under different ids must decode once): group by
+    * (byte length, content md5) and report each duplicate group with its
+    * canonical (min) id. The length in the key is the production
+    * prefilter — at 100 TB the length histogram prunes candidate groups
+    * before any hash comparison, and here it also keeps the group key
+    * collision-proof against md5-input truncation bugs. Payloads never
+    * shuffle: only the 16-byte hash + length travel (the
+    * data_snapshot_diff discipline applied to binary columns). md5 is
+    * computed over the hex rendering because DuckDB's md5 only binds to
+    * VARCHAR (the [[multimodalFrameSample]] precedent). */
+  def multimodalDedupBytes(s: SparkSession, dir: String): DataFrame = {
+    val media = fromDocuments(s, dir).toDF().select(col("media_id"), col("payload"))
+    // the test corpus has no byte-identical payloads, so plant re-crawls:
+    // every %9 payload re-appears under a mirrored negative id
+    // (collision-free at any corpus size — the snapshot_diff discipline)
+    val recrawled = media.filter(col("media_id") % 9 === 0)
+      .withColumn("media_id", -col("media_id") - 1)
+    media.unionByName(recrawled)
+      .select(col("media_id"),
+        octet_length(col("payload")).cast("long").as("n_bytes"),
+        md5(hex(col("payload")).cast("binary")).as("content_md5"))
+      .groupBy("content_md5", "n_bytes")
+      .agg(count(lit(1)).as("n_copies"), min("media_id").as("canonical_media_id"))
+      .filter(col("n_copies") >= 2)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta" -> (multimodalMeta _),
+    "multimodal_dedup_bytes" -> (multimodalDedupBytes _),
     "multimodal_frame_sample" -> (multimodalFrameSample _))
 
   /** The oracle rebuilds each byte's high nibble from the hex encoding of
@@ -122,6 +151,19 @@ object Multimodal {
     * the pair IS the high nibble. A doc × 16-bin grid left join fills the
     * empty bins with 0 so the joined string always has 16 entries. */
   val oracle: Map[String, String] = Map(
+    "multimodal_dedup_bytes" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, text FROM documents
+        |  UNION ALL
+        |  SELECT -doc_id - 1, text FROM documents WHERE doc_id % 9 = 0),
+        |b AS (
+        |  SELECT media_id, md5(hex(encode(text))) AS content_md5,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  FROM m)
+        |SELECT content_md5, n_bytes, CAST(COUNT(*) AS BIGINT) AS n_copies,
+        |  MIN(media_id) AS canonical_media_id
+        |FROM b GROUP BY content_md5, n_bytes
+        |HAVING COUNT(*) >= 2""".stripMargin,
     "multimodal_frame_sample" ->
       """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents)
         |SELECT doc_id AS media_id, i AS chunk_idx,

@@ -150,6 +150,27 @@ class DomainSpec extends SparkSpec {
     }
   }
 
+  test("spatial_nearest picks the true planar argmin for every occurrence") {
+    val got = DomainQueries.spatialNearest(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    val cents = (0 until 20).map(i =>
+      (i.toLong, (i * 53 % 171).toDouble - 85.0, (i * 97 % 351).toDouble - 175.0))
+    val pts = DomainQueries.valid(spark, sf).select("occ_id", "lat", "lon")
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.length === pts.size) // exactly one assignment per occurrence
+    for ((occ, cid, d2) <- got) {
+      val (lat, lon) = pts(occ)
+      val best = cents.map { case (c, clat, clon) =>
+        val dlat = lat - clat
+        val dlonRaw = math.abs(lon - clon)
+        val dlon = math.min(dlonRaw, 360.0 - dlonRaw)
+        (dlat * dlat + dlon * dlon, c)
+      }.min
+      assert((d2, cid) === best, s"occ $occ: got ($d2,$cid), brute force $best")
+    }
+  }
+
   test("grid density: totals reconcile and dominant species is the cell mode") {
     val cells = DomainQueries.spatialGridDensity(spark, sf)
       .as[(Long, Long, Long, String, Long)].collect()

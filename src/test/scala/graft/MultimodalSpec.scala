@@ -13,6 +13,19 @@ class MultimodalSpec extends SparkSpec {
     assert(r.meta.format.startsWith("src"))
   }
 
+  test("byte-level CAS dedup: every planted re-crawl forms exactly one pair group") {
+    val groups = Multimodal.multimodalDedupBytes(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+    val nNinth = Tables.t(spark, sf, "documents")
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 9 === 0).count()
+    // the corpus has no natural byte dups (asserted by dedup_exact's
+    // spec history), so groups == planted mirrors, each of exactly 2
+    assert(groups.length.toLong === nNinth)
+    assert(groups.forall(_._3 == 2L), "a planted group lost or gained a copy")
+    // canonical is the group min — the negative mirror id
+    assert(groups.forall(_._4 < 0L))
+  }
+
   test("feature extraction is deterministic, 16-dim, L1-normalized") {
     def run() = Multimodal.extractFeatures(Multimodal.fromDocuments(spark, sf))
       .toDF().select("media_id", "features")

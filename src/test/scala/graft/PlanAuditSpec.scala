@@ -18,7 +18,8 @@ class PlanAuditSpec extends SparkSpec {
     "sim_cosine_topk" -> "documented brute-force baseline: query side is 5 broadcast rows",
     "sim_ivf_topk" -> "codebook assignment crossJoin against 8 broadcast centroid rows",
     "text_bm25_topk" -> "crossJoin against two single-row broadcast stats frames",
-    "sim_rp_topk" -> "shortlist crossJoin against 5 broadcast reduced-dim query rows")
+    "sim_rp_topk" -> "shortlist crossJoin against 5 broadcast reduced-dim query rows",
+    "spatial_nearest" -> "argmin expand against a broadcast 20-row centroid dim")
 
   test("no query plans a nested-loop or cartesian join outside the whitelist") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
