@@ -387,7 +387,88 @@ object TextRank {
       |FROM g JOIN df USING (g)
       |GROUP BY doc_id""".stripMargin
 
+  /** Exact-integer unigram surprisal — the perplexity-shaped quality
+    * signal without the engine-divergent ln(): per token, bits of
+    * surprise = floor(log₂(N / c)) computed EXACTLY as
+    * length(bin(N div c)) − 1 (powers of two are integers, so flooring
+    * the integer quotient first never changes the floored log — and
+    * bin() is unpadded in both engines, the q14 rho discipline). A doc
+    * of rare tokens scores high, boilerplate scores low; the per-token
+    * average ships as exact milli-bits (integer cross-multiplication,
+    * no float division). Plan: one token explode feeds both the global
+    * vocabulary counts and the per-doc fold; the (token → count) join
+    * shuffles on the token (the vocabulary is NOT broadcastable at
+    * corpus scale), the single-row total broadcasts. */
+  def textSurprisal(s: SparkSession, dir: String): DataFrame = {
+    val tok = t(s, dir, "documents")
+      .select(col("doc_id"), toks("text").as(Seq("pos", "w")))
+      .select("doc_id", "w")
+    val counts = tok.groupBy("w").agg(count(lit(1)).as("c"))
+    val total = tok.agg(count(lit(1)).as("n")) // single row — broadcast
+    tok.join(counts, Seq("w"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        expr("cast(length(bin(n div c)) - 1 as bigint)").as("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("b").as("total_bits"))
+      .withColumn("milli_bits_per_tok",
+        expr("total_bits * 1000 div n_tokens"))
+  }
+
+  private val SURPRISAL_SQL =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      |  FROM documents),
+      |cnt AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+      |tot AS (SELECT COUNT(*) AS n FROM tok),
+      |b AS (SELECT doc_id,
+      |        CAST(length(bin((SELECT n FROM tot) // c)) - 1 AS BIGINT) AS b
+      |      FROM tok JOIN cnt USING (w))
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(b) AS BIGINT) AS total_bits,
+      |  CAST(SUM(b) * 1000 // COUNT(*) AS BIGINT) AS milli_bits_per_tok
+      |FROM b GROUP BY doc_id""".stripMargin
+
+  /** Cross-document paragraph-level exact dedup — the C4-style
+    * boilerplate pass that whole-document hashing misses: split on
+    * sentence boundaries, hash fragments ≥ 20 chars, report every
+    * fragment seen in ≥ 2 distinct documents. The corpus shares no
+    * natural sentences, so the rotating license footer every web crawl
+    * drags along is planted on %5 docs (17 variants) — exactly what
+    * this operator exists to catch. Only 16-byte hashes shuffle; the
+    * paragraph text never leaves its scan. */
+  def dedupParagraphs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(". standard license footer variant "),
+            (col("doc_id") % 17).cast("string"), lit(" applies to this record")))
+          .otherwise(col("text")).as("text"))
+      .select(col("doc_id"), explode(split(col("text"), "\\. ")).as("p"))
+      .filter(length(col("p")) >= 20)
+      .groupBy(md5(col("p").cast("binary")).as("para_md5"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        count_distinct(col("doc_id")).as("n_docs"),
+        min("doc_id").as("first_doc"))
+      .filter(col("n_docs") >= 2)
+
+  private val PARAGRAPHS_SQL =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 0
+      |      THEN text || '. standard license footer variant '
+      |           || CAST(doc_id % 17 AS VARCHAR) || ' applies to this record'
+      |      ELSE text END AS text
+      |  FROM documents),
+      |p AS (SELECT doc_id, unnest(string_split(text, '. ')) AS p FROM d)
+      |SELECT md5(p) AS para_md5, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+      |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs, MIN(doc_id) AS first_doc
+      |FROM p WHERE length(p) >= 20
+      |GROUP BY md5(p) HAVING COUNT(DISTINCT doc_id) >= 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "text_surprisal" -> (textSurprisal _),
+    "dedup_paragraphs" -> (dedupParagraphs _),
     "dedup_shingle_containment" -> (dedupShingleContainment _),
     "dedup_repeated_ngrams" -> (dedupRepeatedNgrams _),
     "freq_count_min" -> (freqCountMin _),
@@ -398,6 +479,8 @@ object TextRank {
     "text_top_ngrams" -> (textTopNgrams _))
 
   val oracle: Map[String, String] = Map(
+    "text_surprisal" -> SURPRISAL_SQL,
+    "dedup_paragraphs" -> PARAGRAPHS_SQL,
     "dedup_shingle_containment" -> CONTAINMENT_SQL,
     "dedup_repeated_ngrams" -> REPEATED_SQL,
     "freq_count_min" -> CM_SQL,

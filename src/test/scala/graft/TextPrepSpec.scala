@@ -6,6 +6,40 @@ import org.apache.spark.sql.functions._
 class TextPrepSpec extends SparkSpec {
   import spark.implicits._
 
+  test("surprisal equals an exact-integer replay over the token stream") {
+    import operators.TextRank
+    val got = TextRank.textSurprisal(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val toks = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w"))
+      .as[(Long, String)].collect()
+    val n = toks.length.toLong
+    val counts = toks.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    def bits(c: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(n / c)
+    val expect = toks.groupBy(_._1).view.mapValues { ws =>
+      val total = ws.map(w => bits(counts(w._2))).sum
+      (ws.length.toLong, total, total * 1000 / ws.length)
+    }.toMap
+    assert(got === expect)
+    assert(got.nonEmpty)
+  }
+
+  test("paragraph dedup finds exactly the planted footer variants") {
+    import operators.TextRank
+    val got = TextRank.dedupParagraphs(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+    // expected: %5 docs grouped by their %17 footer variant, groups >= 2
+    val planted = Tables.t(spark, sf, "documents").select("doc_id").as[Long].collect()
+      .filter(_ % 5 == 0).groupBy(_ % 17).filter(_._2.length >= 2)
+    assert(got.length === planted.size, s"got ${got.length} groups, planted ${planted.size}")
+    val byVariant = got.map(r => r._4 % 17 -> (r._2, r._3, r._4)).toMap
+    for ((variant, ids) <- planted) {
+      val (nOcc, nDocs, first) = byVariant(variant)
+      assert(nOcc === ids.length.toLong && nDocs === ids.distinct.length.toLong)
+      assert(first === ids.min)
+    }
+  }
+
   test("compaction planner equals a sequential replay; cumsum is two-level, not one task") {
     val df = TextPrep.dataCompactFiles(spark, sf)
     val got = df.as[(Long, Long, Long)].collect().sortBy(_._1)
