@@ -19,7 +19,8 @@ class PlanAuditSpec extends SparkSpec {
     "sim_ivf_topk" -> "codebook assignment crossJoin against 8 broadcast centroid rows",
     "text_bm25_topk" -> "crossJoin against two single-row broadcast stats frames",
     "sim_rp_topk" -> "shortlist crossJoin against 5 broadcast reduced-dim query rows",
-    "spatial_nearest" -> "argmin expand against a broadcast 20-row centroid dim")
+    "spatial_nearest" -> "argmin expand against a broadcast 20-row centroid dim",
+    "text_surprisal" -> "crossJoin against the single-row broadcast corpus-total frame")
 
   test("no query plans a nested-loop or cartesian join outside the whitelist") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
