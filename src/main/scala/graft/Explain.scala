@@ -19,10 +19,10 @@ object Explain {
     * post-convergence join over checkpointed labels — the per-round loop
     * bodies do not appear in it. */
   val heavySet: Seq[String] = Seq(
-    "dedup_cluster", "q14_approx_distinct", "dedup_shingle_containment",
-    "dedup_winnow_pairs", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_simhash", "dedup_repeated_ngrams", "graph_triangles",
-    "occ_outlier_mad")
+    "graph_pagerank", "dedup_cluster", "dedup_shingle_containment",
+    "dedup_winnow_pairs", "q14_approx_distinct", "dedup_minhash_lsh",
+    "graph_triangles", "dedup_simhash", "dedup_repeated_ngrams",
+    "dedup_ngram_jaccard")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
@@ -32,8 +32,11 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val (outDir, requested) = args.toSeq match {
-      case "--out" +: d +: rest => (Some(d), rest)
-      case rest                 => (None, rest)
+      case "--out" +: d +: rest if !d.startsWith("--") => (Some(d), rest)
+      case rest if rest.contains("--out") =>
+        System.err.println("usage: Explain [--out DIR] [query ...] (--out needs a directory and must come first)")
+        spark.stop(); sys.exit(2)
+      case rest => (None, rest)
     }
     val names =
       if (requested.nonEmpty) requested

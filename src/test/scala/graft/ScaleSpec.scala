@@ -111,13 +111,17 @@ class ScaleSpec extends SparkSpec {
     spark.sparkContext.addSparkListener(listener)
     val t0 = System.nanoTime()
     try {
-      for (pairs <- Seq(operators.SketchQueries.dedupWinnowPairs(spark, dir),
-          operators.TextRank.dedupShingleContainment(spark, dir))) {
-        assert(pairs.queryExecution.executedPlan.toString.contains("LeftAnti") ||
-          pairs.queryExecution.executedPlan.toString.contains("Join"),
-          "df-cap guard missing from plan")
-        assert(pairs.count() === 0)
-      }
+      // winnow's cap guard is visible in its final plan (broadcast
+      // anti-join); containment's df cutoff runs BEFORE its internal
+      // localCheckpoint, so the final plan reads from the checkpoint and
+      // cannot show it — there the 0-count, worst-stage-records and
+      // runtime bounds below ARE the guard (an uncapped run would blow
+      // all three). A bare contains("Join") would match any plan.
+      val winnow = operators.SketchQueries.dedupWinnowPairs(spark, dir)
+      assert(winnow.queryExecution.executedPlan.toString.contains("LeftAnti"),
+        "winnow posting cap lost its broadcast anti-join")
+      val containment = operators.TextRank.dedupShingleContainment(spark, dir)
+      for (pairs <- Seq(winnow, containment)) assert(pairs.count() === 0)
     } finally {
       val secs = (System.nanoTime() - t0) / 1e9
       // runtime bound: linear-in-corpus work finishes in well under two
