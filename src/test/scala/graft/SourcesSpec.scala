@@ -177,6 +177,30 @@ class SourcesSpec extends SparkSpec {
     assert(AliasPublish.readCurrent(spark, root).count() === 1)
   }
 
+  test("alias vacuum keeps the serving window, spares in-flight orphans") {
+    import graft.sources.AliasPublish
+    val root = Files.createTempDirectory("alias_vac").toString
+    // no published version yet → nothing is safely deletable
+    Seq((0L, "early")).toDF("id", "x").write.parquet(s"$root/v=1")
+    assert(AliasPublish.vacuum(spark, root) === Seq.empty)
+    assert(AliasPublish.unpublished(spark, root) === Seq(1L))
+    // three published versions (stepping past the orphan) + a NEWER
+    // in-flight orphan that must survive
+    val vs = (1 to 3).map(i =>
+      AliasPublish.publish(Seq((i.toLong, s"s$i")).toDF("id", "x"), root))
+    assert(vs === Seq(2L, 3L, 4L))
+    Seq((9L, "inflight")).toDF("id", "x").write.parquet(s"$root/v=5")
+    // keep=2: published v2 and the old orphan v1 go; v3, v4, v5 stay
+    assert(AliasPublish.vacuum(spark, root, keep = 2) === Seq(1L, 2L))
+    assert(AliasPublish.publishedVersions(spark, root) === Seq(3L, 4L))
+    assert(AliasPublish.unpublished(spark, root) === Seq(5L))
+    assert(AliasPublish.readCurrent(spark, root)
+      .select("x").as[String].head() === "s3")
+    // the in-flight publish can still complete after the vacuum
+    assert(!new java.io.File(s"$root/v=2").exists())
+    assert(new java.io.File(s"$root/v=5").exists())
+  }
+
   test("GraftExtensions injects rolling_hash into a fresh session") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // builder wiring smoke test
