@@ -87,7 +87,15 @@ class PlanAuditSpec extends SparkSpec {
     "biogeo_summary" -> 1, // same broadcast join; one summary agg shuffle
     "dedup_contamination" -> 3, // gram aggs both sides + pair agg; eval side broadcast
     "dedup_exact" -> 1, // one text-hash agg shuffle, no join
-    "meta_summary_facets" -> 3) // facet explode agg + two rollup legs
+    "meta_summary_facets" -> 3, // facet explode agg + two rollup legs
+    "graph_pagerank" -> 6, // init distinct + 5 fixed-round rank aggs off the checkpointed edges
+    "events_cusum" -> 2, // per-type target agg (broadcast back) + ONE window exchange
+    "data_compact_files" -> 3, // bucket totals agg + 32-row offsets window + per-bucket cumsum
+    "data_bloom_gate" -> 4, // member distinct + 2048-word filter agg + probe distinct + bool_and
+    "spatial_nearest" -> 1, // broadcast centroid expand; ONE argmin agg shuffle
+    "text_surprisal" -> 4, // vocab agg (planned twice: join side + total fold) + total + doc agg
+    "dedup_paragraphs" -> 2, // paragraph-hash agg; count-distinct expand
+    "multimodal_dedup_bytes" -> 1) // ONE (md5, len) agg; hashes only, payloads stay in the scan
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
     // the shard grid must drive the exchange (parallelism = shard count),
