@@ -214,9 +214,47 @@ object Graphs {
   def graphPagerank(s: SparkSession, dir: String): DataFrame =
     pageRank(TextQueries.dedupNgramJaccard(s, dir).select("doc1", "doc2"))
 
+  /** Synchronous label propagation — community detection between
+    * [[connectedComponents]] (which gladly chains spurious bridge edges
+    * into one blob) and [[triangleCounts]] (which only scores local
+    * density): labels flow to the neighbourhood MAJORITY, so a thin
+    * bridge between two dense near-dup groups does not merge them.
+    * FIXED 4 rounds with fully deterministic updates — label_{k+1}(v) =
+    * the most frequent label among v's neighbours, ties to the SMALLEST
+    * label — so the (possibly non-converged) output is well-defined on
+    * both engines and the oracle unrolls the rounds as CTEs exactly
+    * like graph_pagerank's. Argmax = MIN over (−count, label) structs:
+    * a hash aggregate, integer-only, deterministic tie-break (the
+    * ivfTopk lesson). Plan: edge list checkpointed once; per round one
+    * (edge ⋈ label) join + two partial-aggregated shuffles; bounded
+    * lineage (fixed rounds) ⇒ no per-round checkpoint. */
+  def labelPropagation(edges: DataFrame, iters: Int = 4): DataFrame = {
+    val e = edges.toDF("x", "y").filter(col("x") =!= col("y"))
+    val sym = e.select(col("x").as("a"), col("y").as("b"))
+      .union(e.select(col("y").as("a"), col("x").as("b")))
+      .distinct()
+      .localCheckpoint()
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to iters) {
+      labels = sym.join(labels, col("a") === col("node"))
+        .groupBy(col("b"), col("label")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("b"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("label").as("l"))).as("m"))
+        .select(col("b").as("node"), col("m.l").as("label"))
+    }
+    labels.select(col("node"), col("label").as("community"))
+  }
+
+  /** Label-propagation communities over the trigram-Jaccard pair graph
+    * (the third member of the cluster/pagerank family on one input). */
+  def graphCommunities(s: SparkSession, dir: String): DataFrame =
+    labelPropagation(TextQueries.dedupNgramJaccard(s, dir).select("doc1", "doc2"))
+
   val queries: Map[String, Q] = Map(
     "dedup_cluster" -> (dedupCluster _),
     "graph_pagerank" -> (graphPagerank _),
+    "graph_communities" -> (graphCommunities _),
     "graph_triangles" -> (graphTriangles _))
 
   /** The oracle computes the transitive closure of the same pair graph
@@ -262,6 +300,29 @@ object Graphs {
          |$rounds
          |SELECT node, r AS rank_fp,
          |  CAST(r AS DOUBLE) / 1073741824 AS rank_val FROM r5""".stripMargin
+    },
+    "graph_communities" -> {
+      val pairsSql = TextQueries.oracle("dedup_ngram_jaccard")
+      // four synchronous rounds unrolled as CTEs; per round the majority
+      // label with ROW_NUMBER ordered (cnt DESC, label) — the exact
+      // mirror of the Spark min(-cnt, label) struct argmax
+      val rounds = (1 to 4).map { k =>
+        s"""l$k AS (
+           |  SELECT b AS node, label FROM (
+           |    SELECT b, label,
+           |      ROW_NUMBER() OVER (PARTITION BY b ORDER BY cnt DESC, label) AS rn
+           |    FROM (SELECT s.b, p.label, COUNT(*) AS cnt
+           |          FROM sym s JOIN l${k - 1} p ON p.node = s.a
+           |          GROUP BY s.b, p.label))
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS ($pairsSql),
+         |sym AS (SELECT DISTINCT a, b FROM (
+         |  SELECT doc1 AS a, doc2 AS b FROM pairs WHERE doc1 <> doc2
+         |  UNION ALL SELECT doc2, doc1 FROM pairs WHERE doc1 <> doc2)),
+         |l0 AS (SELECT DISTINCT a AS node, a AS label FROM sym),
+         |$rounds
+         |SELECT node, label AS community FROM l4""".stripMargin
     },
     "graph_triangles" -> {
       val knnSql = SketchQueries.oracle("sim_knn_graph")

@@ -380,7 +380,59 @@ object TextPrep {
        |    0) // $COMPACT_TARGET_BYTES AS BIGINT) AS bin
        |FROM documents""".stripMargin
 
+  /** Target language mix, percent by document count. Languages outside
+    * the table get weight 0 (excluded from the mixture). */
+  private[graft] val MIX_WEIGHTS =
+    Seq("en" -> 40L, "de" -> 20L, "fr" -> 20L, "es" -> 10L, "zh" -> 10L)
+
+  /** Data-mixture sampling — the quota step behind every training-mix
+    * spec ("40% English, 20% German, …"): a per-language document quota
+    * is derived from the corpus size (budget = half the corpus, quota =
+    * budget·w/100, integer floor both engines), and each language fills
+    * its quota with a DETERMINISTIC unbiased sample — documents in
+    * 60-bit md5-hash order, the data_shuffle_shards discipline, so
+    * re-runs and engines agree byte-for-byte and the sample is
+    * content-independent. A language with fewer documents than its
+    * quota contributes all of them (documented under-fill — the mixture
+    * degrades gracefully instead of failing). Plan: one metadata count
+    * sizes the quotas (column-pruned), one narrow projection computes
+    * the hash order key, ONE language-partitioned window ranks, and the
+    * tiny quota table broadcasts into the filter. */
+  def dataMixtureSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val budget = docs.count() / 2
+    val quotas = MIX_WEIGHTS.map { case (l, w) => (l, budget * w / 100) }
+    val quotaDf = s.createDataFrame(quotas).toDF("lang", "quota")
+    val w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    docs
+      .select(col("doc_id"), col("lang"),
+        expr("cast(conv(substring(md5(cast(concat('mix:', doc_id) as binary)), 1, 15), 16, 10) as bigint)")
+          .as("h"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .join(broadcast(quotaDf), Seq("lang"))
+      .filter(col("pos") <= col("quota"))
+      .select(col("doc_id"), col("lang"), col("pos"))
+  }
+
+  private val MIX_SQL = {
+    val weights = MIX_WEIGHTS.map { case (l, w) => s"('$l', $w)" }.mkString(", ")
+    s"""WITH n AS (SELECT COUNT(*) // 2 AS budget FROM documents),
+       |wt AS (SELECT * FROM (VALUES $weights) AS t(lang, w)),
+       |q AS (SELECT lang, (SELECT budget FROM n) * w // 100 AS quota FROM wt),
+       |h AS (
+       |  SELECT doc_id, lang,
+       |    ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+       |  FROM documents),
+       |r AS (SELECT doc_id, lang,
+       |        CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS BIGINT) AS pos
+       |      FROM h)
+       |SELECT r.doc_id, r.lang, r.pos
+       |FROM r JOIN q ON q.lang = r.lang
+       |WHERE r.pos <= q.quota""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "data_mixture_sample" -> (dataMixtureSample _),
     "data_compact_files" -> (dataCompactFiles _),
     "data_shuffle_shards" -> (dataShuffleShards _),
     "text_scrub" -> (textScrub _),
@@ -392,6 +444,7 @@ object TextPrep {
     "data_pack_sequences" -> (dataPackSequences _))
 
   val oracle: Map[String, String] = Map(
+    "data_mixture_sample" -> MIX_SQL,
     "data_compact_files" -> COMPACT_SQL,
     "data_shuffle_shards" -> SHARDS_SQL,
     "text_scrub" -> SCRUB_SQL,

@@ -86,6 +86,39 @@ class GraphsSpec extends SparkSpec {
     for ((fp, v) <- vals) assert(v === fp.toDouble / 1073741824.0)
   }
 
+  test("label propagation replays the synchronous majority update; bridge does not merge") {
+    def replay(edges: Seq[(Long, Long)], iters: Int = 4): Map[Long, Long] = {
+      val sym = edges.filter(e => e._1 != e._2)
+        .flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+      val nbrs = sym.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+      var lab = nbrs.keys.map(k => k -> k).toMap
+      for (_ <- 1 to iters) {
+        lab = nbrs.map { case (v, as) =>
+          val cnt = as.map(lab).groupBy(identity).view.mapValues(_.size.toLong).toMap
+          v -> cnt.toSeq.map { case (l, c) => (-c, l) }.min._2
+        }
+      }
+      lab
+    }
+    // two triangles joined by ONE bridge edge: CC merges them into one
+    // component; majority propagation must keep them separate
+    val twoTri = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L))
+    val got = Graphs.labelPropagation(twoTri.toDF("x", "y"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === replay(twoTri))
+    assert(got(1L) === got(2L) && got(2L) === got(3L))
+    assert(got(10L) === got(11L) && got(11L) === got(12L))
+    assert(got(1L) !== got(10L), "bridge edge merged the two dense groups")
+    // bit-exact on an arbitrary graph too
+    val rnd = new Random(17)
+    val rand = Seq.fill(90)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter { case (a, b) => a != b }
+    val gotR = Graphs.labelPropagation(rand.toDF("x", "y"))
+      .as[(Long, Long)].collect().toMap
+    assert(gotR === replay(rand))
+  }
+
   test("triangle counts match brute force on a random graph, K4 gives 3 each") {
     // K4 has C(4,3)=4 triangles; each node sits in exactly 3 of them
     val k4 = (for (i <- 0L to 3L; j <- i + 1 to 3L) yield (i, j)).toDF("a", "b")

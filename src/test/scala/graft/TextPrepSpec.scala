@@ -6,6 +6,31 @@ import org.apache.spark.sql.functions._
 class TextPrepSpec extends SparkSpec {
   import spark.implicits._
 
+  test("mixture sample fills every quota with the exact hash-order prefix") {
+    import operators.TextPrep
+    val got = TextPrep.dataMixtureSample(spark, sf)
+      .as[(Long, String, Long)].collect()
+    val docs = Tables.t(spark, sf, "documents").select("doc_id", "lang")
+      .as[(Long, String)].collect()
+    val budget = docs.length.toLong / 2
+    def h(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"mix:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val byLang = docs.groupBy(_._2)
+    for ((lang, w) <- TextPrep.MIX_WEIGHTS) {
+      val quota = budget * w / 100
+      val ids = byLang.getOrElse(lang, Array.empty).map(_._1)
+      val expect = ids.sortBy(id => (h(id), id)).take(quota.toInt)
+        .zipWithIndex.map { case (id, i) => (id, lang, i.toLong + 1) }.toSet
+      val gotLang = got.filter(_._2 == lang).toSet
+      assert(gotLang === expect, s"$lang: quota $quota mismatch")
+    }
+    // nothing outside the weighted languages leaks in
+    assert(got.map(_._2).toSet.subsetOf(TextPrep.MIX_WEIGHTS.map(_._1).toSet))
+  }
+
   test("surprisal equals an exact-integer replay over the token stream") {
     import operators.TextRank
     val got = TextRank.textSurprisal(spark, sf)
