@@ -251,10 +251,53 @@ object Graphs {
   def graphCommunities(s: SparkSession, dir: String): DataFrame =
     labelPropagation(TextQueries.dedupNgramJaccard(s, dir).select("doc1", "doc2"))
 
+  /** Pointer-doubling ancestor closure: (node → root, depth) over a
+    * parent-pointer table in O(log depth) ROUNDS — the technique that
+    * makes hierarchy walks feasible at cluster scale (a naive
+    * walk-one-level loop needs depth ≈ 34 sequential joins on a
+    * 100 TB-scale tree; doubling needs 6). Each round composes the
+    * mapping with itself: f ← f∘f, so covered distance doubles. The
+    * root must self-loop (dist 0).
+    *
+    * Unlike [[pageRank]]'s single-reference loop, each round references
+    * the previous mapping TWICE (both join sides) — without a per-round
+    * localCheckpoint the PLAN doubles per round (2^rounds copies of the
+    * base scan, the PlanAuditSpec landmine), so here the checkpoint is
+    * load-bearing, not optional. Non-convergence (2^rounds < tree
+    * depth) leaves some anc short of the root — checked with one
+    * anti-join action and failed LOUDLY, the connectedComponents
+    * discipline. */
+  def ancestorClosure(parents: DataFrame, rounds: Int = 6): DataFrame = {
+    val p = parents.toDF("node", "anc")
+    var f = p.withColumn("dist",
+      when(col("node") === col("anc"), 0L).otherwise(1L)).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      f = f.as("x").join(f.as("y"), col("x.anc") === col("y.node"))
+        .select(col("x.node").as("node"), col("y.anc").as("anc"),
+          (col("x.dist") + col("y.dist")).as("dist"))
+        .localCheckpoint()
+    }
+    // converged ⟺ every anc is a root (self-parented); else fail loudly
+    val roots = p.filter(col("node") === col("anc")).select(col("node").as("anc"))
+    if (!f.join(broadcast(roots), Seq("anc"), "left_anti").isEmpty)
+      throw new IllegalStateException(
+        s"ancestorClosure did not reach roots in $rounds rounds " +
+          "(2^rounds < tree depth); raise rounds")
+    f.select(col("node"), col("anc").as("root"), col("dist").as("depth"))
+  }
+
+  /** Ancestor closure over the implicit doc binary tree
+    * (parent = doc_id div 2, root = 1) — depth log₂(corpus). */
+  def graphAncestorClosure(s: SparkSession, dir: String): DataFrame =
+    ancestorClosure(graft.Tables.t(s, dir, "documents")
+      .select(col("doc_id").as("node"),
+        greatest(expr("doc_id div 2"), lit(1L)).as("anc")))
+
   val queries: Map[String, Q] = Map(
     "dedup_cluster" -> (dedupCluster _),
     "graph_pagerank" -> (graphPagerank _),
     "graph_communities" -> (graphCommunities _),
+    "graph_ancestor_closure" -> (graphAncestorClosure _),
     "graph_triangles" -> (graphTriangles _))
 
   /** The oracle computes the transitive closure of the same pair graph
@@ -301,6 +344,22 @@ object Graphs {
          |SELECT node, r AS rank_fp,
          |  CAST(r AS DOUBLE) / 1073741824 AS rank_val FROM r5""".stripMargin
     },
+    "graph_ancestor_closure" ->
+      // the oracle walks one level per recursion step (depth steps, fine
+      // at oracle scale); the Spark side doubles pointers (log steps) —
+      // two independent algorithms, one answer
+      """WITH RECURSIVE p AS (
+        |  SELECT doc_id AS node, GREATEST(doc_id // 2, 1) AS parent
+        |  FROM documents),
+        |walk(node, anc, dist) AS (
+        |  SELECT node, parent, CASE WHEN node = parent THEN 0 ELSE 1 END
+        |  FROM p
+        |  UNION ALL
+        |  SELECT w.node, p2.parent, w.dist + 1
+        |  FROM walk w JOIN p p2 ON p2.node = w.anc
+        |  WHERE w.anc <> 1)
+        |SELECT node, anc AS root, CAST(dist AS BIGINT) AS depth
+        |FROM walk WHERE anc = 1""".stripMargin,
     "graph_communities" -> {
       val pairsSql = TextQueries.oracle("dedup_ngram_jaccard")
       // four synchronous rounds unrolled as CTEs; per round the majority

@@ -119,6 +119,25 @@ class GraphsSpec extends SparkSpec {
     assert(gotR === replay(rand))
   }
 
+  test("ancestor closure: binary-tree depth is exactly bitlength-1; shallow rounds fail loudly") {
+    // for parent = node div 2 the depth to root 1 is floor(log2(node))
+    val got = Graphs.graphAncestorClosure(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    for ((node, root, depth) <- got) {
+      assert(root === 1L)
+      // doc_id 0 hangs directly off root 1 (greatest(0 div 2, 1) = 1)
+      val want = if (node == 0L) 1L else 63L - java.lang.Long.numberOfLeadingZeros(node)
+      assert(depth === want, s"node $node: depth $depth != $want")
+    }
+    // 2^rounds < depth must throw, not silently return partial ancestors
+    val chain = (1L to 10L).map(v => (v, math.max(v - 1, 1L))).toDF("node", "anc")
+    val e = intercept[IllegalStateException] {
+      Graphs.ancestorClosure(chain, rounds = 2).collect()
+    }
+    assert(e.getMessage.contains("raise rounds"))
+  }
+
   test("triangle counts match brute force on a random graph, K4 gives 3 each") {
     // K4 has C(4,3)=4 triangles; each node sits in exactly 3 of them
     val k4 = (for (i <- 0L to 3L; j <- i + 1 to 3L) yield (i, j)).toDF("a", "b")
