@@ -95,6 +95,53 @@ object TextQueries {
       .groupBy(md5(col("text").cast("binary")).as("text_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Incremental exact dedup — the PRODUCTION dedup shape: a new batch
+    * classifies against the STANDING corpus's hash index instead of
+    * re-hashing 100 TB per increment (the batch sibling of the
+    * streaming diffAgainstIndex). index = docs with doc_id % 3 ≠ 0;
+    * batch = the % 3 = 0 increment, with planted re-crawls (negative
+    * mirrors, collision-free at any size): copies of INDEX content
+    * (% 21 = 1 → must classify dup_of_index) and in-batch copies
+    * (% 21 = 3 → the non-minimal id must classify dup_in_batch).
+    * Per batch doc: dup_of_index (content already indexed) >
+    * dup_in_batch (not the batch-minimal id for its content) > unique.
+    * Only (hash, id) pairs shuffle; the index side is exactly the
+    * 16-byte-per-doc hash index production keeps warm. */
+  def dedupIncrementalExact(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val index = docs.filter(col("doc_id") % 3 =!= 0)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+      .unionByName(docs.filter(col("doc_id") % 21 === 1)
+        .select((-col("doc_id") - 1).as("doc_id"), col("text")))
+      .unionByName(docs.filter(col("doc_id") % 21 === 3)
+        .select((-col("doc_id") - 2).as("doc_id"), col("text")))
+    val idxHashes = index.select(md5(col("text").cast("binary")).as("h"))
+      .distinct().withColumn("in_idx", lit(1))
+    val b = batch.select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+    val minIds = b.groupBy("h").agg(min("doc_id").as("min_id"))
+    b.join(minIds, Seq("h"))
+      .join(idxHashes, Seq("h"), "left_outer")
+      .select(col("doc_id"),
+        when(col("in_idx").isNotNull, "dup_of_index")
+          .when(col("doc_id") =!= col("min_id"), "dup_in_batch")
+          .otherwise("unique").as("status"))
+  }
+
+  private val INCREMENTAL_SQL =
+    """WITH docs AS (SELECT doc_id, text FROM documents),
+      |idx AS (SELECT DISTINCT md5(text) AS h FROM docs WHERE doc_id % 3 <> 0),
+      |batch AS (
+      |  SELECT doc_id, text FROM docs WHERE doc_id % 3 = 0
+      |  UNION ALL SELECT -doc_id - 1, text FROM docs WHERE doc_id % 21 = 1
+      |  UNION ALL SELECT -doc_id - 2, text FROM docs WHERE doc_id % 21 = 3),
+      |b AS (SELECT doc_id, md5(text) AS h FROM batch),
+      |m AS (SELECT h, MIN(doc_id) AS min_id FROM b GROUP BY h)
+      |SELECT b.doc_id,
+      |  CASE WHEN b.h IN (SELECT h FROM idx) THEN 'dup_of_index'
+      |       WHEN b.doc_id <> m.min_id THEN 'dup_in_batch'
+      |       ELSE 'unique' END AS status
+      |FROM b JOIN m USING (h)""".stripMargin
+
   /** Near-dup pairs by word-trigram Jaccard with document-frequency
     * pruning: shingles whose df exceeds the cutoff are dropped from the
     * inverted index (they only generate candidate pairs, never decide
@@ -343,10 +390,12 @@ object TextQueries {
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
     "dedup_exact" -> (dedupExact _),
+    "dedup_incremental_exact" -> (dedupIncrementalExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "sim_cosine_topk" -> (simCosineTopk _))
 
   val oracle: Map[String, String] = Map(
+    "dedup_incremental_exact" -> INCREMENTAL_SQL,
     // DuckDB regexp_replace needs the explicit 'g' flag (Spark's always
     // replaces all matches).
     "text_curation_funnel" ->

@@ -95,7 +95,10 @@ class PlanAuditSpec extends SparkSpec {
     "spatial_nearest" -> 1, // broadcast centroid expand; ONE argmin agg shuffle
     "text_surprisal" -> 4, // vocab agg (planned twice: join side + total fold) + total + doc agg
     "dedup_paragraphs" -> 2, // paragraph-hash agg; count-distinct expand
-    "multimodal_dedup_bytes" -> 1) // ONE (md5, len) agg; hashes only, payloads stay in the scan
+    "multimodal_dedup_bytes" -> 1, // ONE (md5, len) agg; hashes only, payloads stay in the scan
+    "graph_communities" -> 9, // init distinct + 4 fixed rounds x (label count + argmin agg)
+    "data_mixture_sample" -> 1, // ONE lang-partitioned rank window; quotas broadcast
+    "graph_ancestor_closure" -> 0) // returned plan reads the final checkpoint: ZERO
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
     // the shard grid must drive the exchange (parallelism = shard count),

@@ -259,6 +259,23 @@ class SketchSpec extends SparkSpec {
       s"missing planted twins: ${(0 until 40).map(_.toLong * 2).toSet -- found}")
   }
 
+  test("incremental dedup classifies every planted re-crawl class exactly") {
+    val got = operators.TextQueries.dedupIncrementalExact(spark, sf)
+      .as[(Long, String)].collect().toMap
+    val ids = Tables.t(spark, sf, "documents").select("doc_id").as[Long].collect()
+    val batchOrig = ids.filter(_ % 3 == 0).toSet
+    val idxCopies = ids.filter(_ % 21 == 1).map(i => -i - 1).toSet
+    val batchCopies = ids.filter(_ % 21 == 3).map(i => -i - 2).toSet
+    assert(got.keySet === batchOrig ++ idxCopies ++ batchCopies)
+    // copies of indexed content → dup_of_index, always
+    for (id <- idxCopies) assert(got(id) === "dup_of_index", s"$id")
+    // in-batch copy pairs: the negative mirror holds the min id (unique),
+    // the original positive id is the redundant one (dup_in_batch)
+    for (id <- ids.filter(_ % 21 == 3)) assert(got(id) === "dup_in_batch", s"$id")
+    for (id <- batchCopies) assert(got(id) === "unique", s"$id")
+    for (id <- batchOrig -- ids.filter(_ % 21 == 3)) assert(got(id) === "unique", s"$id")
+  }
+
   test("bloom gate: zero false negatives, designed FP rate, broadcast filter probe") {
     val df = operators.SketchQueries.dataBloomGate(spark, sf)
     val rows = df.as[(Long, Boolean, Boolean)].collect()
