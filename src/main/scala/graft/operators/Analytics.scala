@@ -97,6 +97,73 @@ object Analytics {
        |WINDOW w2 AS (PARTITION BY event_type ORDER BY ts_ns, event_id
        |              ROWS UNBOUNDED PRECEDING)""".stripMargin
 
+  /** Per-type retention TTLs in days — the policy table a lakehouse
+    * sweep reads (views are ephemeral, purchases are kept for audit). */
+  private[graft] val TTL_DAYS = Seq(
+    "view" -> 7L, "click" -> 30L, "error" -> 90L,
+    "signup" -> 365L, "purchase" -> 365L)
+
+  /** TTL retention sweep — the partition-drop PLANNER behind data
+    * retention at 100 TB: per (event_type, day) partition report its
+    * row count and whether it is past its type's TTL relative to the
+    * corpus watermark (max event day). The sweep never touches row
+    * data beyond one partial-aggregated count — exactly the metadata
+    * a `DROP PARTITION` loop consumes; emitting the plan as a table
+    * (instead of deleting) keeps the operator pure and auditable.
+    * Watermark and TTL table both broadcast (single row / 5 rows). */
+  def eventsTtlSweep(s: SparkSession, dir: String): DataFrame = {
+    val days = DomainQueries.events(s, dir)
+      .select(col("event_type"), expr(s"ts_ns div $DAY_NS").as("day"))
+    val counts = days.groupBy("event_type", "day").agg(count(lit(1)).as("n_events"))
+    val wm = days.agg(max("day").as("wm")) // single row
+    val ttl = s.createDataFrame(TTL_DAYS).toDF("event_type", "ttl_days")
+    counts.join(broadcast(ttl), Seq("event_type"))
+      .crossJoin(broadcast(wm))
+      .select(col("event_type"), col("day"), col("n_events"),
+        (col("day") < col("wm") - col("ttl_days")).as("expired"))
+  }
+
+  private val TTL_SQL = {
+    val ttlValues = TTL_DAYS.map { case (t, d) => s"('$t', $d)" }.mkString(", ")
+    s"""WITH d AS (
+       |  SELECT event_type, epoch_ns(ts) // $DAY_NS AS day FROM events),
+       |c AS (SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS n_events
+       |      FROM d GROUP BY event_type, day),
+       |wm AS (SELECT MAX(day) AS wm FROM d),
+       |ttl AS (SELECT * FROM (VALUES $ttlValues) AS t(event_type, ttl_days))
+       |SELECT c.event_type, c.day, c.n_events,
+       |  c.day < (SELECT wm FROM wm) - ttl.ttl_days AS expired
+       |FROM c JOIN ttl USING (event_type)""".stripMargin
+  }
+
+  /** JSON schema-drift monitor over the event `props` payloads — the
+    * observability primitive that catches a producer adding, renaming
+    * or dropping a field: per JSON key, the first/last day it was seen,
+    * how many distinct days it appeared, and total occurrences. A key
+    * whose last_day stops advancing (or whose first_day is new) IS the
+    * drift signal. Only OBJECT payloads count on both engines (Spark's
+    * json_object_keys is NULL for malformed AND non-object JSON; the
+    * oracle mirrors with json_valid + json_type = 'OBJECT' — the
+    * CLAUDE.md malformed-JSON parity class). */
+  def metaSchemaDrift(s: SparkSession, dir: String): DataFrame =
+    DomainQueries.events(s, dir)
+      .select(expr(s"ts_ns div $DAY_NS").as("day"),
+        explode(expr("json_object_keys(props)")).as("k"))
+      .groupBy("k")
+      .agg(min("day").as("first_day"), max("day").as("last_day"),
+        count_distinct(col("day")).as("n_days"), count(lit(1)).as("n_events"))
+
+  private val DRIFT_SQL =
+    s"""WITH k AS (
+       |  SELECT epoch_ns(ts) // $DAY_NS AS day,
+       |    unnest(json_keys(props)) AS k
+       |  FROM events
+       |  WHERE json_valid(props) AND json_type(props::JSON) = 'OBJECT')
+       |SELECT k, MIN(day) AS first_day, MAX(day) AS last_day,
+       |  CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days,
+       |  CAST(COUNT(*) AS BIGINT) AS n_events
+       |FROM k GROUP BY k""".stripMargin
+
   /** Top-25 consecutive event-type trigram paths — sequence mining for
     * the dominant user journeys. The per-user lead window rides ONE
     * user_id exchange; the path universe is ≤ |event_types|³ rows, so the
@@ -446,6 +513,8 @@ object Analytics {
     "meta_scd2_history" -> (metaScd2History _),
     "events_value_quantiles" -> (eventsValueQuantiles _),
     "events_cusum" -> (eventsCusum _),
+    "events_ttl_sweep" -> (eventsTtlSweep _),
+    "meta_schema_drift" -> (metaSchemaDrift _),
     "data_interleave_sources" -> (dataInterleaveSources _))
 
   val oracle: Map[String, String] = Map(
@@ -458,5 +527,7 @@ object Analytics {
     "meta_scd2_history" -> SCD2_SQL,
     "events_value_quantiles" -> QUANTILES_SQL,
     "events_cusum" -> CUSUM_SQL,
+    "events_ttl_sweep" -> TTL_SQL,
+    "meta_schema_drift" -> DRIFT_SQL,
     "data_interleave_sources" -> INTERLEAVE_SQL)
 }

@@ -62,6 +62,47 @@ class AnalyticsSpec extends SparkSpec {
     assert(drift > 0, "planted +100 drift never crossed the 2000-unit alarm budget")
   }
 
+  test("ttl sweep: expiry matches the per-type watermark arithmetic, mass conserved") {
+    val rows = Analytics.eventsTtlSweep(spark, sf)
+      .as[(String, Long, Long, Boolean)].collect()
+    assert(rows.nonEmpty)
+    val src = operators.DomainQueries.events(spark, sf)
+      .select(col("event_type"), expr("ts_ns div 86400000000000").as("day"))
+      .as[(String, Long)].collect()
+    val wm = src.map(_._2).max
+    val ttl = Analytics.TTL_DAYS.toMap
+    for ((tpe, day, n, expired) <- rows) {
+      assert(expired === (day < wm - ttl(tpe)), s"$tpe day $day")
+      assert(n === src.count(r => r._1 == tpe && r._2 == day).toLong)
+    }
+    assert(rows.map(_._3).sum === src.length.toLong) // every event in one cell
+  }
+
+  test("schema drift: planted late-arriving key reports its exact day window") {
+    // two stable keys from day 0; "new_field" appears only from day 10 on
+    val dayNs = 86400000000000L
+    val dir = java.nio.file.Files.createTempDirectory("drift").toString
+    (0 until 20).map { i =>
+      val props = if (i >= 10) s"""{"a":$i,"b":2,"new_field":true}"""
+      else s"""{"a":$i,"b":2}"""
+      (i.toLong, i.toLong * dayNs + 5L, 1L, "view", 1.0, props)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Analytics.metaSchemaDrift(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(got("a") === ((0L, 19L, 20L, 20L)))
+    assert(got("b") === ((0L, 19L, 20L, 20L)))
+    assert(got("new_field") === ((10L, 19L, 10L, 10L)))
+    // invariants on the real corpus (malformed/non-object rows excluded)
+    val real = Analytics.metaSchemaDrift(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(real.nonEmpty)
+    for ((k, first, last, nDays, nEv) <- real) {
+      assert(first <= last && nDays >= 1 && nDays <= last - first + 1 && nEv >= nDays, k)
+    }
+  }
+
   test("top paths: dense rank, descending counts, recount of winner matches") {
     val rows = Analytics.eventsTopPaths(spark, sf)
       .orderBy("rn").as[(String, Long, Long)].collect()
