@@ -20,7 +20,8 @@ class PlanAuditSpec extends SparkSpec {
     "text_bm25_topk" -> "crossJoin against two single-row broadcast stats frames",
     "sim_rp_topk" -> "shortlist crossJoin against 5 broadcast reduced-dim query rows",
     "spatial_nearest" -> "argmin expand against a broadcast 20-row centroid dim",
-    "text_surprisal" -> "crossJoin against the single-row broadcast corpus-total frame")
+    "text_surprisal" -> "crossJoin against the single-row broadcast corpus-total frame",
+    "events_ttl_sweep" -> "crossJoin against the single-row broadcast watermark frame")
 
   test("no query plans a nested-loop or cartesian join outside the whitelist") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -98,7 +99,10 @@ class PlanAuditSpec extends SparkSpec {
     "multimodal_dedup_bytes" -> 1, // ONE (md5, len) agg; hashes only, payloads stay in the scan
     "graph_communities" -> 9, // init distinct + 4 fixed rounds x (label count + argmin agg)
     "data_mixture_sample" -> 1, // ONE lang-partitioned rank window; quotas broadcast
-    "graph_ancestor_closure" -> 0) // returned plan reads the final checkpoint: ZERO
+    "graph_ancestor_closure" -> 0, // returned plan reads the final checkpoint: ZERO
+    "dedup_incremental_exact" -> 2, // batch min-id agg + index-hash distinct; AQE broadcasts both
+    "events_ttl_sweep" -> 2, // (type, day) count + watermark agg; ttl + wm broadcast
+    "meta_schema_drift" -> 2) // count-distinct expand over the per-key agg
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
     // the shard grid must drive the exchange (parallelism = shard count),
