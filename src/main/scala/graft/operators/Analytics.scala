@@ -97,6 +97,55 @@ object Analytics {
        |WINDOW w2 AS (PARTITION BY event_type ORDER BY ts_ns, event_id
        |              ROWS UNBOUNDED PRECEDING)""".stripMargin
 
+  /** Bottom-k uniform sample sketch + quantile estimates — the missing
+    * member of the sketch family (q17 KMV = distinct cardinality,
+    * freq_count_min = frequency, q14 = cardinality): per event type
+    * keep the K = 64 rows with the SMALLEST md5 hash. Bottom-k is
+    * MERGEABLE (the bottom-k of a union is the bottom-k of the merged
+    * per-partition bottom-ks) and hash-uniform, so the kept rows are a
+    * deterministic unbiased sample usable for any statistic — here
+    * disc p50/p95 of the 2^-10 fixed-point value. Same k-bounded
+    * ObjectHashAggregate as q17/Rerank: O(k) per group shuffles, never
+    * the row population. The 64-element per-group sort runs through
+    * interpreted HOFs — fine OFF the hot path (k² work per GROUP, not
+    * per row). */
+  def eventsBottomkSample(s: SparkSession, dir: String): DataFrame = {
+    val K = 64
+    val bk = udaf(new graft.functions.TopKByScore(K))
+    DomainQueries.events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        expr("cast(floor(value * 1024) as bigint)").as("v_fp"),
+        expr("cast(conv(substring(md5(cast(concat('bk:', event_id) as binary)), 1, 15), 16, 10) as bigint)").as("h"))
+      .groupBy("event_type")
+      .agg(bk(col("v_fp"), negate(col("h").cast("double"))).as("sk"))
+      .select(col("event_type"),
+        expr("array_sort(transform(sk, x -> x._1))").as("vals"))
+      .select(col("event_type"),
+        size(col("vals")).cast("long").as("n_sample"),
+        expr("element_at(vals, cast((size(vals) + 1) div 2 as int))").as("p50_fp"),
+        expr("element_at(vals, cast((19 * size(vals) + 19) div 20 as int))").as("p95_fp"))
+  }
+
+  private val BOTTOMK_SQL =
+    """WITH e AS (
+      |  SELECT event_type, event_id,
+      |    CAST(FLOOR(value * 1024) AS BIGINT) AS v_fp,
+      |    ('0x' || substr(md5('bk:' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM events WHERE value IS NOT NULL),
+      |s AS (SELECT event_type, v_fp FROM (
+      |    SELECT event_type, v_fp,
+      |      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h, event_id) AS rn
+      |    FROM e) WHERE rn <= 64),
+      |o AS (SELECT event_type, v_fp,
+      |        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v_fp) AS vr,
+      |        COUNT(*) OVER (PARTITION BY event_type) AS n
+      |      FROM s)
+      |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_sample,
+      |  MAX(CASE WHEN vr = (n + 1) // 2 THEN v_fp END) AS p50_fp,
+      |  MAX(CASE WHEN vr = (19 * n + 19) // 20 THEN v_fp END) AS p95_fp
+      |FROM o GROUP BY event_type""".stripMargin
+
   /** Per-type retention TTLs in days — the policy table a lakehouse
     * sweep reads (views are ephemeral, purchases are kept for audit). */
   private[graft] val TTL_DAYS = Seq(
@@ -514,6 +563,7 @@ object Analytics {
     "events_value_quantiles" -> (eventsValueQuantiles _),
     "events_cusum" -> (eventsCusum _),
     "events_ttl_sweep" -> (eventsTtlSweep _),
+    "events_bottomk_sample" -> (eventsBottomkSample _),
     "meta_schema_drift" -> (metaSchemaDrift _),
     "data_interleave_sources" -> (dataInterleaveSources _))
 
@@ -528,6 +578,7 @@ object Analytics {
     "events_value_quantiles" -> QUANTILES_SQL,
     "events_cusum" -> CUSUM_SQL,
     "events_ttl_sweep" -> TTL_SQL,
+    "events_bottomk_sample" -> BOTTOMK_SQL,
     "meta_schema_drift" -> DRIFT_SQL,
     "data_interleave_sources" -> INTERLEAVE_SQL)
 }

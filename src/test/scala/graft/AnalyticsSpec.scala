@@ -62,6 +62,35 @@ class AnalyticsSpec extends SparkSpec {
     assert(drift > 0, "planted +100 drift never crossed the 2000-unit alarm budget")
   }
 
+  test("bottom-k sample replays md5 order exactly; estimates near exact quantiles") {
+    val got = Analytics.eventsBottomkSample(spark, sf)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val src = operators.DomainQueries.events(spark, sf)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        expr("cast(floor(value * 1024) as bigint)").as("v_fp"))
+      .as[(String, Long, Long)].collect()
+    def h(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"bk:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    for ((tpe, rows) <- src.groupBy(_._1)) {
+      val sample = rows.sortBy(r => (h(r._2), r._2)).take(64).map(_._3).sorted
+      val n = sample.length
+      val (gn, p50, p95) = got(tpe)
+      assert(gn === n.toLong)
+      assert(p50 === sample(((n + 1) / 2) - 1), s"$tpe p50")
+      assert(p95 === sample(((19 * n + 19) / 20) - 1), s"$tpe p95")
+      // the hash-uniform sample estimate must land near the exact disc
+      // quantile: rank error for K=64 is ~6% sd — gate at p50 ± p20
+      val exact = rows.map(_._3).sorted
+      val lo = exact((exact.length * 3 / 10).max(0))
+      val hi = exact((exact.length * 7 / 10).min(exact.length - 1))
+      assert(p50 >= lo && p50 <= hi, s"$tpe sample p50 $p50 outside [$lo, $hi]")
+    }
+  }
+
   test("ttl sweep: expiry matches the per-type watermark arithmetic, mass conserved") {
     val rows = Analytics.eventsTtlSweep(spark, sf)
       .as[(String, Long, Long, Boolean)].collect()

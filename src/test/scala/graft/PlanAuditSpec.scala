@@ -102,7 +102,8 @@ class PlanAuditSpec extends SparkSpec {
     "graph_ancestor_closure" -> 0, // returned plan reads the final checkpoint: ZERO
     "dedup_incremental_exact" -> 2, // batch min-id agg + index-hash distinct; AQE broadcasts both
     "events_ttl_sweep" -> 2, // (type, day) count + watermark agg; ttl + wm broadcast
-    "meta_schema_drift" -> 2) // count-distinct expand over the per-key agg
+    "meta_schema_drift" -> 2, // count-distinct expand over the per-key agg
+    "events_bottomk_sample" -> 1) // ONE k-bounded sketch agg shuffle, O(k) per group
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
     // the shard grid must drive the exchange (parallelism = shard count),
