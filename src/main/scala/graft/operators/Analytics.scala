@@ -108,7 +108,16 @@ object Analytics {
     * ObjectHashAggregate as q17/Rerank: O(k) per group shuffles, never
     * the row population. The 64-element per-group sort runs through
     * interpreted HOFs — fine OFF the hot path (k² work per GROUP, not
-    * per row). */
+    * per row).
+    *
+    * The hash is 52-BIT (13 hex chars), not the usual 60: the sketch
+    * orders by the hash THROUGH a Double score, and 2^52 < 2^53 means
+    * the cast is EXACT — a 60-bit hash would let two distinct hashes
+    * round to one double at the K boundary and diverge from the
+    * oracle's exact-integer ordering (the q17 exact-tie discipline).
+    * Score ties are then true 52-bit collisions, broken by v_fp on
+    * BOTH engines (TopKByScore _1 asc ⟺ ORDER BY h, v_fp), so the
+    * sample multiset is identical at any corpus size. */
   def eventsBottomkSample(s: SparkSession, dir: String): DataFrame = {
     val K = 64
     val bk = udaf(new graft.functions.TopKByScore(K))
@@ -116,7 +125,7 @@ object Analytics {
       .filter(col("value").isNotNull)
       .select(col("event_type"),
         expr("cast(floor(value * 1024) as bigint)").as("v_fp"),
-        expr("cast(conv(substring(md5(cast(concat('bk:', event_id) as binary)), 1, 15), 16, 10) as bigint)").as("h"))
+        expr("cast(conv(substring(md5(cast(concat('bk:', event_id) as binary)), 1, 13), 16, 10) as bigint)").as("h"))
       .groupBy("event_type")
       .agg(bk(col("v_fp"), negate(col("h").cast("double"))).as("sk"))
       .select(col("event_type"),
@@ -131,11 +140,11 @@ object Analytics {
     """WITH e AS (
       |  SELECT event_type, event_id,
       |    CAST(FLOOR(value * 1024) AS BIGINT) AS v_fp,
-      |    ('0x' || substr(md5('bk:' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      |    ('0x' || substr(md5('bk:' || CAST(event_id AS VARCHAR)), 1, 13))::BIGINT AS h
       |  FROM events WHERE value IS NOT NULL),
       |s AS (SELECT event_type, v_fp FROM (
       |    SELECT event_type, v_fp,
-      |      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h, event_id) AS rn
+      |      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h, v_fp) AS rn
       |    FROM e) WHERE rn <= 64),
       |o AS (SELECT event_type, v_fp,
       |        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v_fp) AS vr,

@@ -269,6 +269,13 @@ object Graphs {
     * discipline. */
   def ancestorClosure(parents: DataFrame, rounds: Int = 6): DataFrame = {
     val p = parents.toDF("node", "anc")
+    // a parent pointer targeting a missing node would silently DROP its
+    // subtree from the inner self-joins below — validate up front so a
+    // sparse/filtered input fails loudly instead of shrinking
+    if (!p.select(col("anc").as("tgt")).distinct()
+        .join(p.select("node"), col("tgt") === col("node"), "left_anti").isEmpty)
+      throw new IllegalArgumentException(
+        "ancestorClosure: parent pointers reference nodes absent from the mapping")
     var f = p.withColumn("dist",
       when(col("node") === col("anc"), 0L).otherwise(1L)).localCheckpoint()
     for (_ <- 1 to rounds) {

@@ -406,7 +406,10 @@ object TextPrep {
     val w = Window.partitionBy("lang").orderBy("h", "doc_id")
     docs
       .select(col("doc_id"), col("lang"),
-        expr("cast(conv(substring(md5(cast(concat('mix:', doc_id) as binary)), 1, 15), 16, 10) as bigint)")
+        // 'mixs:' salt — 'mix:' is data_interleave_sources' salt, and a
+        // shared salt would correlate this "independent" sample with the
+        // interleave order (the sim_rp_topk correlated-randomness class)
+        expr("cast(conv(substring(md5(cast(concat('mixs:', doc_id) as binary)), 1, 15), 16, 10) as bigint)")
           .as("h"))
       .withColumn("pos", row_number().over(w).cast("long"))
       .join(broadcast(quotaDf), Seq("lang"))
@@ -421,7 +424,7 @@ object TextPrep {
        |q AS (SELECT lang, (SELECT budget FROM n) * w // 100 AS quota FROM wt),
        |h AS (
        |  SELECT doc_id, lang,
-       |    ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+       |    ('0x' || substr(md5('mixs:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
        |  FROM documents),
        |r AS (SELECT doc_id, lang,
        |        CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS BIGINT) AS pos

@@ -70,24 +70,29 @@ object AliasPublish {
   }
 
   /** Retention vacuum: delete all but the newest `keep` PUBLISHED
-    * versions, plus unpublished orphans STRICTLY OLDER than the current
-    * version (a crashed publish's leftovers). Orphans newer than the
-    * current version are never touched — one may be an in-flight
-    * publish about to create its marker. Readers are unaffected: the
-    * resolved max(published) version is always in the keep set, so a
-    * concurrent read never loses its snapshot mid-scan. Returns the
-    * deleted version numbers (ascending). */
+    * versions, plus unpublished orphans STRICTLY OLDER than the oldest
+    * kept published version (a crashed publish's leftovers). Orphans at
+    * or above the retained window are never touched — one may be an
+    * in-flight publish about to create its marker, and an in-flight
+    * version number is always > the newest version published when the
+    * write began, hence ≥ every version the window can retain under
+    * the same single-writer assumption [[publish]] itself carries (two
+    * concurrent publishers can collide on a version number regardless
+    * of vacuum — writer coordination is external to this module).
+    * Readers are unaffected: the resolved max(published) version is
+    * always in the keep set, so a concurrent read never loses its
+    * snapshot mid-scan. Returns the deleted versions (ascending). */
   def vacuum(s: SparkSession, root: String, keep: Int = 2): Seq[Long] = {
     require(keep >= 1, "must keep at least the current version")
     val all = listVersions(s, root)
     val published = all.collect { case (v, true) => v }
     if (published.isEmpty) Seq.empty // nothing is safely deletable yet
     else {
-      val newest = published.last
       val keepSet = published.takeRight(keep).toSet
+      val oldestKept = keepSet.min
       val doomed = all.collect {
         case (v, true) if !keepSet.contains(v) => v
-        case (v, false) if v < newest => v
+        case (v, false) if v < oldestKept => v
       }
       val f = fs(s, root)
       doomed.foreach(v => f.delete(new Path(root, s"v=$v"), true))

@@ -73,10 +73,11 @@ class AnalyticsSpec extends SparkSpec {
     def h(id: Long): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
       val hex = md.digest(s"bk:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(hex.take(15), 16)
+      java.lang.Long.parseLong(hex.take(13), 16)
     }
     for ((tpe, rows) <- src.groupBy(_._1)) {
-      val sample = rows.sortBy(r => (h(r._2), r._2)).take(64).map(_._3).sorted
+      // 52-bit hash order with the v_fp tie-break both engines use
+      val sample = rows.sortBy(r => (h(r._2), r._3)).take(64).map(_._3).sorted
       val n = sample.length
       val (gn, p50, p95) = got(tpe)
       assert(gn === n.toLong)

@@ -15,7 +15,7 @@ class TextPrepSpec extends SparkSpec {
     val budget = docs.length.toLong / 2
     def h(id: Long): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(s"mix:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val hex = md.digest(s"mixs:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
       java.lang.Long.parseLong(hex.take(15), 16)
     }
     val byLang = docs.groupBy(_._2)
