@@ -19,10 +19,10 @@ object Explain {
     * post-convergence join over checkpointed labels — the per-round loop
     * bodies do not appear in it. */
   val heavySet: Seq[String] = Seq(
-    "graph_pagerank", "dedup_cluster", "dedup_shingle_containment",
-    "dedup_winnow_pairs", "q14_approx_distinct", "dedup_minhash_lsh",
-    "graph_triangles", "dedup_simhash", "dedup_repeated_ngrams",
-    "dedup_ngram_jaccard")
+    "graph_pagerank", "q14_approx_distinct", "dedup_cluster",
+    "graph_communities", "dedup_shingle_containment", "dedup_winnow_pairs",
+    "dedup_minhash_lsh", "q11_grouping_sets", "graph_triangles",
+    "dedup_simhash")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
