@@ -206,6 +206,35 @@ object CoreQueries {
         approx_count_distinct(col("l_orderkey"), 0.05).as("approx_orders"),
         approx_count_distinct(col("l_partkey"), 0.05).as("approx_parts"))
 
+  /** TPC-H Q5 shape ("local supplier volume"): the six-table
+    * star/snowflake join with a CROSS-DIMENSION equality — customer and
+    * supplier must share a nation — that no two-table join can express
+    * (q03 is the two-dim base case). Join strategy at scale: the one
+    * fact-fact join (lineitem ⋈ filtered orders) shuffles on the order
+    * key; EVERY dimension (customer, supplier, nation, region)
+    * broadcasts, and the c_nationkey = s_nationkey constraint rides the
+    * supplier broadcast join as an extra equi-conjunct — so the whole
+    * snowflake costs exactly ONE shuffle join plus one aggregate
+    * exchange. Revenue follows the §4 decimal discipline. */
+  def q19(s: SparkSession, dir: String): DataFrame = {
+    val revenue = dec2(col("l_extendedprice")) * dec2(lit(1) - col("l_discount"))
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01") &&
+            col("o_orderdate") < lit("1997-01-01")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "EUROPE")
+      .groupBy("n_name")
+      .agg(sum(revenue).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** Correlated scalar subquery: orders priced above 1.5× their
     * customer's average — the threshold-vs-own-group-mean filter shape.
     * Planned as a join against the pre-aggregated per-customer means (one
@@ -280,6 +309,7 @@ object CoreQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "q19_star_join" -> (q19 _),
     "q18_running_window" -> (q18 _),
     "q17_kmv_distinct" -> (q17 _),
     "q13_pivot" -> (q13 _),
@@ -304,6 +334,20 @@ object CoreQueries {
   private val DP = "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))"
 
   val oracle: Map[String, String] = Map(
+    "q19_star_join" ->
+      s"""SELECT n_name,
+         |  CAST(SUM($DP) AS DOUBLE) AS revenue,
+         |  CAST(COUNT(*) AS BIGINT) AS n_items
+         |FROM lineitem
+         |JOIN orders   ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation   ON s_nationkey = n_nationkey
+         |JOIN region   ON n_regionkey = r_regionkey
+         |WHERE r_name = 'EUROPE'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01'
+         |GROUP BY n_name""".stripMargin,
     "q18_running_window" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))

@@ -280,6 +280,37 @@ object Streams {
     }
   }
 
+  case class BkState(items: Seq[(Long, Long)], nSeen: Long) // (h, v_fp) asc, ≤ k
+  case class BkOut(event_type: String, n_seen: Long, n_sample: Long,
+                   p50_fp: Long, p95_fp: Long)
+
+  /** Streaming counterpart of the batch events_bottomk_sample: per-type
+    * state IS the bottom-k sketch (≤ k (hash, value) pairs), and because
+    * the bottom-k of a union equals the bottom-k of merged bottom-ks,
+    * absorbing each micro-batch into the state gives EXACTLY the batch
+    * sketch over everything seen so far — mergeability exercised as
+    * streaming state, with the same (h, v_fp) ordering as the batch op.
+    * Emits refreshed disc p50/p95 estimates (+ the cumulative row count,
+    * which also orders the emissions) each batch. Input:
+    * (event_type, h, v_fp) with h the 52-bit sample hash. */
+  def bottomkSample(events: Dataset[(String, Long, Long)],
+                    k: Int = 64): Dataset[BkOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (tpe: String, it: Iterator[(String, Long, Long)], state: GroupState[BkState]) =>
+        val prev = state.getOption.getOrElse(BkState(Seq.empty, 0L))
+        val batch = it.map(e => (e._2, e._3)).toSeq
+        val merged = (prev.items ++ batch).sortBy(identity).take(k)
+        val nSeen = prev.nSeen + batch.length
+        state.update(BkState(merged, nSeen))
+        val vals = merged.map(_._2).sorted
+        val n = vals.length
+        Iterator.single(BkOut(tpe, nSeen, n.toLong,
+          vals((n + 1) / 2 - 1), vals((19 * n + 19) / 20 - 1)))
+    }
+  }
+
   case class FunnelState(start: Long, last: Long, n: Long,
                          tView: Long, tClick: Long, tPurchase: Long) // -1 = unset
   case class FunnelOut(user_id: Long, session_start_ns: Long, n_events: Long,

@@ -103,7 +103,8 @@ class PlanAuditSpec extends SparkSpec {
     "dedup_incremental_exact" -> 2, // batch min-id agg + index-hash distinct; AQE broadcasts both
     "events_ttl_sweep" -> 2, // (type, day) count + watermark agg; ttl + wm broadcast
     "meta_schema_drift" -> 2, // count-distinct expand over the per-key agg
-    "events_bottomk_sample" -> 1) // ONE k-bounded sketch agg shuffle, O(k) per group
+    "events_bottomk_sample" -> 1, // ONE k-bounded sketch agg shuffle, O(k) per group
+    "q19_star_join" -> 1) // at gate scale even filtered orders broadcasts: agg shuffle only
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
     // the shard grid must drive the exchange (parallelism = shard count),

@@ -128,6 +128,35 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming bottom-k sketch converges to the batch sample across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    // same 52-bit hash + fixed-point value the batch operator computes
+    val src = DomainQueries.events(spark, sf)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        expr("cast(conv(substring(md5(cast(concat('bk:', event_id) as binary)), 1, 13), 16, 10) as bigint)").as("h"),
+        expr("cast(floor(value * 1024) as bigint)").as("v_fp"))
+      .as[(String, Long, Long)].collect()
+    val (first, second) = src.splitAt(src.length / 2)
+    val mem = MemoryStream[(String, Long, Long)]
+    val q = Streams.bottomkSample(mem.toDS())
+      .writeStream.format("memory").queryName("bk_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(first.toIndexedSeq); q.processAllAvailable()
+      mem.addData(second.toIndexedSeq); q.processAllAvailable()
+      // final emission per type (max n_seen) must equal the batch sketch
+      val streamed = spark.sql(
+        """SELECT event_type, n_sample, p50_fp, p95_fp FROM (
+          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+          |    ORDER BY n_seen DESC) AS rn FROM bk_out) WHERE rn = 1""".stripMargin)
+        .as[(String, Long, Long, Long)].collect().toSet
+      val batch = operators.Analytics.eventsBottomkSample(spark, sf)
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("streaming snapshot diff agrees with the batch diff across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     // Same deterministic edit as the batch data_snapshot_diff demo: old =
