@@ -387,6 +387,38 @@ object TextRank {
       |FROM g JOIN df USING (g)
       |GROUP BY doc_id""".stripMargin
 
+  /** End-to-end per-document curation VERDICT — the composition a user
+    * of this library actually ships: every document classified by the
+    * first failing gate, in severity order
+    * exact_dup (its content hash has an earlier keeper) >
+    * near_dup (its trigram-Jaccard cluster elects a different
+    * canonical doc — [[Graphs.dedupCluster]]) >
+    * boilerplate (≥ half its distinct 5-grams occur in other docs,
+    * exact cross-multiplied test on [[dedupRepeatedNgrams]]) >
+    * keep. Demonstrates that the operator family COMPOSES: three
+    * independent pipelines join on doc_id/hash only (no payload ever
+    * re-shuffles), and the oracle nests the components' own oracle SQL
+    * as subquery CTEs — two independently-composed DAGs, one answer.
+    * Docs outside the pair graph / gram universe fall through their
+    * gates via NULL-skipping CASE arms on both engines. */
+  def textCurationVerdict(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+    val keepers = docs.groupBy("h").agg(min("doc_id").as("keep_id"))
+    val clusters = Graphs.dedupCluster(s, dir)
+    val boiler = dedupRepeatedNgrams(s, dir).select("doc_id", "n_grams", "n_repeated")
+    docs.join(keepers, Seq("h"))
+      .join(clusters, Seq("doc_id"), "left_outer")
+      .join(boiler, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        when(col("doc_id") =!= col("keep_id"), "exact_dup")
+          .when(col("cluster_id").isNotNull && col("cluster_id") =!= col("doc_id"),
+            "near_dup")
+          .when(col("n_repeated") * 2 >= col("n_grams") && col("n_grams") > 0,
+            "boilerplate")
+          .otherwise("keep").as("verdict"))
+  }
+
   /** Exact-integer unigram surprisal — the perplexity-shaped quality
     * signal without the engine-divergent ln(): per token, bits of
     * surprise = floor(log₂(N / c)) computed EXACTLY as
@@ -470,6 +502,7 @@ object TextRank {
       |GROUP BY md5(p) HAVING COUNT(DISTINCT doc_id) >= 2""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "text_curation_verdict" -> (textCurationVerdict _),
     "text_surprisal" -> (textSurprisal _),
     "dedup_paragraphs" -> (dedupParagraphs _),
     "dedup_shingle_containment" -> (dedupShingleContainment _),
@@ -482,6 +515,23 @@ object TextRank {
     "text_top_ngrams" -> (textTopNgrams _))
 
   val oracle: Map[String, String] = Map(
+    "text_curation_verdict" ->
+      // nests the component operators' own oracle statements as
+      // subquery CTEs — the SQL mirror of the Spark-side composition
+      s"""WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
+         |k AS (SELECT h, MIN(doc_id) AS keep_id FROM d GROUP BY h),
+         |cl AS (SELECT * FROM (${Graphs.oracle("dedup_cluster")})),
+         |bo AS (SELECT * FROM ($REPEATED_SQL))
+         |SELECT d.doc_id,
+         |  CASE WHEN d.doc_id <> k.keep_id THEN 'exact_dup'
+         |       WHEN cl.cluster_id IS NOT NULL AND cl.cluster_id <> d.doc_id
+         |         THEN 'near_dup'
+         |       WHEN bo.n_repeated * 2 >= bo.n_grams AND bo.n_grams > 0
+         |         THEN 'boilerplate'
+         |       ELSE 'keep' END AS verdict
+         |FROM d JOIN k USING (h)
+         |LEFT JOIN cl ON cl.doc_id = d.doc_id
+         |LEFT JOIN bo ON bo.doc_id = d.doc_id""".stripMargin,
     "text_surprisal" -> SURPRISAL_SQL,
     "dedup_paragraphs" -> PARAGRAPHS_SQL,
     "dedup_shingle_containment" -> CONTAINMENT_SQL,

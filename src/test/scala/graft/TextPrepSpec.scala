@@ -6,6 +6,28 @@ import org.apache.spark.sql.functions._
 class TextPrepSpec extends SparkSpec {
   import spark.implicits._
 
+  test("curation verdict composes its component gates with correct precedence") {
+    import operators.{Graphs, TextRank}
+    val v = TextRank.textCurationVerdict(spark, sf)
+      .as[(Long, String)].collect().toMap
+    val ids = Tables.t(spark, sf, "documents").select("doc_id").as[Long].collect()
+    assert(v.keySet === ids.toSet) // exactly one verdict per document
+    val cl = Graphs.dedupCluster(spark, sf).as[(Long, Long)].collect().toMap
+    val bo = TextRank.dedupRepeatedNgrams(spark, sf)
+      .select("doc_id", "n_grams", "n_repeated")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // the corpus has no exact text dups, so the first gate never fires
+    for ((id, verdict) <- v) {
+      val want =
+        if (cl.get(id).exists(_ != id)) "near_dup"
+        else if (bo.get(id).exists { case (n, r) => r * 2 >= n && n > 0 }) "boilerplate"
+        else "keep"
+      assert(verdict === want, s"doc $id")
+    }
+    assert(v.values.exists(_ == "near_dup"), "near-dup gate never fired")
+    assert(v.values.count(_ == "keep") > 0)
+  }
+
   test("mixture sample fills every quota with the exact hash-order prefix") {
     import operators.TextPrep
     val got = TextPrep.dataMixtureSample(spark, sf)
