@@ -19,9 +19,9 @@ object Explain {
     * post-convergence join over checkpointed labels — the per-round loop
     * bodies do not appear in it. */
   val heavySet: Seq[String] = Seq(
-    "graph_pagerank", "q14_approx_distinct", "dedup_cluster",
-    "graph_communities", "dedup_shingle_containment", "dedup_winnow_pairs",
-    "dedup_minhash_lsh", "q11_grouping_sets", "graph_triangles",
+    "text_curation_verdict", "graph_pagerank", "q14_approx_distinct",
+    "dedup_cluster", "graph_communities", "dedup_shingle_containment",
+    "dedup_winnow_pairs", "dedup_minhash_lsh", "graph_triangles",
     "dedup_simhash")
 
   def main(args: Array[String]): Unit = {

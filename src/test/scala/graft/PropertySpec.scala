@@ -245,4 +245,46 @@ class PropertySpec extends SparkSpec {
       assert(got === ref(shuffled, gap), s"round $round gap $gap")
     }
   }
+
+  test("TopKByScore: any reduce/merge split equals the single-pass fold") {
+    // the mergeability every consumer leans on: q17's KMV, the rerank
+    // family, events_bottomk_sample and its streaming twin all assume
+    // partial buffers combine to exactly the global top-k
+    val rnd = new Random(47)
+    for (round <- 1 to 200) {
+      val k = 1 + rnd.nextInt(8)
+      val agg = new graft.functions.TopKByScore(k)
+      // duplicate scores AND duplicate ids force the tie-break paths
+      val xs = List.fill(1 + rnd.nextInt(40))(
+        (rnd.nextInt(12).toLong, rnd.nextInt(6).toDouble))
+      val whole = xs.foldLeft(agg.zero)(agg.reduce)
+      val cut = rnd.nextInt(xs.length + 1)
+      val (a, b) = xs.splitAt(cut)
+      val merged = agg.merge(
+        a.foldLeft(agg.zero)(agg.reduce), b.foldLeft(agg.zero)(agg.reduce))
+      assert(merged === whole, s"round $round k=$k cut=$cut")
+      // and the buffer really is the global top-k (score desc, id asc)
+      val want = xs.map(e => (e._2, e._1)).sortBy(t => (-t._1, t._2)).take(k)
+      assert(whole === want, s"round $round k=$k")
+    }
+  }
+
+  test("CUSUM closed form equals the max-recurrence on arbitrary integer series") {
+    // events_cusum rests on S_k = P_k - min(0, min_{j<=k} P_j); prove it
+    // against the defining recurrence for random (negative-heavy,
+    // positive-heavy, mixed) integer series
+    val rnd = new Random(48)
+    for (round <- 1 to 200) {
+      val bias = rnd.nextInt(21) - 10
+      val xs = List.fill(1 + rnd.nextInt(60))(rnd.nextInt(41) - 20 + bias)
+      var s = 0L
+      val rec = xs.map { x => s = math.max(0L, s + x); s }
+      var p = 0L
+      var minP = 0L
+      val closed = xs.map { x =>
+        p += x; minP = math.min(minP, p); p - math.min(0L, minP)
+      }
+      assert(rec === closed, s"round $round bias $bias")
+    }
+  }
 }
