@@ -280,6 +280,35 @@ object Streams {
     }
   }
 
+  case class DriftState(first: Long, last: Long, days: Seq[Long], n: Long)
+  case class DriftOut(k: String, first_day: Long, last_day: Long,
+                      n_days: Long, n_events: Long)
+
+  /** Streaming counterpart of the batch meta_schema_drift: per JSON key
+    * the state is (first day, last day, distinct-day set, count) —
+    * bounded by the CALENDAR (days per key), never by event volume, the
+    * same state argument as the retention cohort build. Each batch
+    * absorbs its (key, day) pairs and emits the refreshed drift row, so
+    * the latest emission per key always equals the batch operator over
+    * everything seen. Input: (key, day) — the upstream json key
+    * explosion is the stateless part and stays in the DataFrame layer. */
+  def schemaDrift(keyDays: Dataset[(String, Long)]): Dataset[DriftOut] = {
+    import keyDays.sparkSession.implicits._
+    keyDays.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (k: String, it: Iterator[(String, Long)], state: GroupState[DriftState]) =>
+        val days = it.map(_._2).toSeq
+        val prev = state.getOption.getOrElse(
+          DriftState(Long.MaxValue, Long.MinValue, Seq.empty, 0L))
+        val merged = DriftState(
+          math.min(prev.first, days.min), math.max(prev.last, days.max),
+          (prev.days ++ days).distinct, prev.n + days.length)
+        state.update(merged)
+        Iterator.single(DriftOut(k, merged.first, merged.last,
+          merged.days.length.toLong, merged.n))
+    }
+  }
+
   case class BkState(items: Seq[(Long, Long)], nSeen: Long) // (h, v_fp) asc, ≤ k
   case class BkOut(event_type: String, n_seen: Long, n_sample: Long,
                    p50_fp: Long, p95_fp: Long)

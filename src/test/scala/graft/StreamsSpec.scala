@@ -128,6 +128,31 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming schema drift converges to the batch monitor across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = DomainQueries.events(spark, sf)
+      .select(expr("ts_ns div 86400000000000").as("day"),
+        explode(expr("json_object_keys(props)")).as("k"))
+      .select("k", "day").as[(String, Long)].collect()
+    val (first, second) = src.splitAt(src.length / 2)
+    val mem = MemoryStream[(String, Long)]
+    val q = Streams.schemaDrift(mem.toDS())
+      .writeStream.format("memory").queryName("drift_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(first.toIndexedSeq); q.processAllAvailable()
+      mem.addData(second.toIndexedSeq); q.processAllAvailable()
+      val streamed = spark.sql(
+        """SELECT k, first_day, last_day, n_days, n_events FROM (
+          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY k
+          |    ORDER BY n_events DESC) AS rn FROM drift_out) WHERE rn = 1""".stripMargin)
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      val batch = operators.Analytics.metaSchemaDrift(spark, sf)
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("streaming bottom-k sketch converges to the batch sample across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     // same 52-bit hash + fixed-point value the batch operator computes
