@@ -193,6 +193,32 @@ object DomainQueries {
       .select("occ_id", "species", "lat", "lon")
   }
 
+  /** Per-species temporal trend from yearly occurrence counts — the
+    * population-trajectory signal occurrence archives exist to answer
+    * (is this species' recorded presence growing or collapsing?).
+    * Least-squares over the OBSERVED (year, count) points, kept entirely
+    * in exact integers: only the slope's SIGN is reported, and
+    * sign(slope) = sign(n·Σxy − Σx·Σy) — the denominator is positive, so
+    * the classification needs no division, no floats, no ties beyond
+    * exact zero (reported as 'stable'). Absent years are absent points
+    * (observed-years regression), documented and mirrored in the oracle.
+    * Plan: (species, year) count partial-aggregates map-side, the
+    * per-species fold reuses nothing heavier than BIGINT sums. */
+  def occTemporalTrend(s: SparkSession, dir: String): DataFrame = {
+    val yearly = valid(s, dir)
+      .select(col("species"),
+        year(timestamp_micros(expr("ts_ns div 1000"))).cast("long").as("yr"))
+      .groupBy("species", "yr").agg(count(lit(1)).as("n"))
+    yearly.groupBy("species")
+      .agg(count(lit(1)).as("n_years"), sum("n").as("n_total"),
+        (count(lit(1)) * sum(col("yr") * col("n")) -
+          sum("yr") * sum("n")).as("trend_num"))
+      .select(col("species"), col("n_years"), col("n_total"), col("trend_num"),
+        when(col("trend_num") > 0, "increasing")
+          .when(col("trend_num") < 0, "declining")
+          .otherwise("stable").as("trend"))
+  }
+
   def occUncertaintyBand(s: SparkSession, dir: String): DataFrame =
     valid(s, dir).filter(col("uncert").between(1000.0, 5000.0))
       .select("occ_id", "species", "uncert")
@@ -914,6 +940,7 @@ object DomainQueries {
     "spatial_grid_density" -> (spatialGridDensity _),
     "spatial_zorder_layout" -> (spatialZorderLayout _),
     "spatial_nearest" -> (spatialNearest _),
+    "occ_temporal_trend" -> (occTemporalTrend _),
     "occ_outlier_mad" -> (occOutlierMad _))
 
   /** Oracle bodies shared between the standalone summary queries and the
@@ -1032,6 +1059,20 @@ object DomainQueries {
       s"""SELECT occ_id, species, lat, lon, cellid FROM
          |  (SELECT *, $CELL10_SQL AS cellid FROM valid)
          |WHERE cellid IN (SELECT cellid FROM land)""".stripMargin),
+    "occ_temporal_trend" -> withSql(OCC_SQL, VALID_SQL)(
+      """SELECT species, n_years, n_total, trend_num,
+        |  CASE WHEN trend_num > 0 THEN 'increasing'
+        |       WHEN trend_num < 0 THEN 'declining'
+        |       ELSE 'stable' END AS trend
+        |FROM (
+        |  SELECT species, CAST(COUNT(*) AS BIGINT) AS n_years,
+        |    CAST(SUM(n) AS BIGINT) AS n_total,
+        |    CAST(COUNT(*) * SUM(yr * n) - SUM(yr) * SUM(n) AS BIGINT) AS trend_num
+        |  FROM (SELECT species,
+        |          CAST(year(make_timestamp(ts_ns // 1000)) AS BIGINT) AS yr,
+        |          CAST(COUNT(*) AS BIGINT) AS n
+        |        FROM valid GROUP BY 1, 2)
+        |  GROUP BY species)""".stripMargin),
     "spatial_nearest" -> withSql(OCC_SQL, VALID_SQL, CENTID_SQL)(
       """SELECT occ_id, cid AS centroid_id, d2 FROM (
         |  SELECT occ_id, cid, d2,

@@ -150,6 +150,29 @@ class DomainSpec extends SparkSpec {
     }
   }
 
+  test("temporal trend equals an exact least-squares-sign replay per species") {
+    val got = DomainQueries.occTemporalTrend(spark, sf)
+      .as[(String, Long, Long, Long, String)].collect()
+    assert(got.nonEmpty)
+    val src = DomainQueries.valid(spark, sf)
+      .select(col("species"),
+        year(timestamp_micros(expr("ts_ns div 1000"))).cast("long").as("yr"))
+      .as[(String, Long)].collect()
+    val bySpecies = src.groupBy(_._1)
+    assert(got.length === bySpecies.size)
+    for ((sp, nYears, nTotal, num, trend) <- got) {
+      val counts = bySpecies(sp).groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      assert(nYears === counts.size.toLong && nTotal === counts.values.sum)
+      val k = counts.size.toLong
+      val want = k * counts.map { case (y, n) => y * n }.sum -
+        counts.keys.sum * counts.values.sum
+      assert(num === want, sp)
+      val wantTrend =
+        if (num > 0) "increasing" else if (num < 0) "declining" else "stable"
+      assert(trend === wantTrend, sp)
+    }
+  }
+
   test("spatial_nearest picks the true planar argmin for every occurrence") {
     val got = DomainQueries.spatialNearest(spark, sf)
       .as[(Long, Long, Double)].collect()
