@@ -155,6 +155,35 @@ object Analytics {
       |  MAX(CASE WHEN vr = (19 * n + 19) // 20 THEN v_fp END) AS p95_fp
       |FROM o GROUP BY event_type""".stripMargin
 
+  /** HDR-style log₂ value histogram per event type — the fixed-size
+    * distribution summary monitoring systems keep at any volume
+    * (64 possible bins regardless of value range, relative-error
+    * buckets): bin = floor(log₂(1 + v_fp)) computed EXACTLY as
+    * length(bin(1 + v_fp)) − 1 (the text_surprisal/q14 integer-log
+    * discipline), with each bin's exact fixed-point bounds carried so
+    * consumers can render without re-deriving the bucketing. One
+    * partial-aggregated shuffle of ≤ 64 rows per type. */
+  def eventsValueHistogram(s: SparkSession, dir: String): DataFrame =
+    DomainQueries.events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        expr("cast(length(bin(1 + cast(floor(value * 1024) as bigint))) - 1 as bigint)")
+          .as("bin"))
+      .groupBy("event_type", "bin").agg(count(lit(1)).as("n"))
+      .select(col("event_type"), col("bin"), col("n"),
+        expr("shiftleft(1L, cast(bin as int)) - 1").as("lo_fp"),
+        expr("shiftleft(1L, cast(bin as int) + 1) - 2").as("hi_fp"))
+
+  private val HISTOGRAM_SQL =
+    """WITH b AS (
+      |  SELECT event_type,
+      |    CAST(length(bin(1 + CAST(FLOOR(value * 1024) AS BIGINT))) - 1 AS BIGINT) AS bin
+      |  FROM events WHERE value IS NOT NULL)
+      |SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS n,
+      |  (CAST(1 AS BIGINT) << bin) - 1 AS lo_fp,
+      |  (CAST(1 AS BIGINT) << (bin + 1)) - 2 AS hi_fp
+      |FROM b GROUP BY event_type, bin""".stripMargin
+
   /** Per-type retention TTLs in days — the policy table a lakehouse
     * sweep reads (views are ephemeral, purchases are kept for audit). */
   private[graft] val TTL_DAYS = Seq(
@@ -573,6 +602,7 @@ object Analytics {
     "events_cusum" -> (eventsCusum _),
     "events_ttl_sweep" -> (eventsTtlSweep _),
     "events_bottomk_sample" -> (eventsBottomkSample _),
+    "events_value_histogram" -> (eventsValueHistogram _),
     "meta_schema_drift" -> (metaSchemaDrift _),
     "data_interleave_sources" -> (dataInterleaveSources _))
 
@@ -588,6 +618,7 @@ object Analytics {
     "events_cusum" -> CUSUM_SQL,
     "events_ttl_sweep" -> TTL_SQL,
     "events_bottomk_sample" -> BOTTOMK_SQL,
+    "events_value_histogram" -> HISTOGRAM_SQL,
     "meta_schema_drift" -> DRIFT_SQL,
     "data_interleave_sources" -> INTERLEAVE_SQL)
 }

@@ -62,6 +62,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(drift > 0, "planted +100 drift never crossed the 2000-unit alarm budget")
   }
 
+  test("log2 histogram: bins partition mass exactly, bounds bracket every value") {
+    val rows = Analytics.eventsValueHistogram(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val src = operators.DomainQueries.events(spark, sf)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), expr("cast(floor(value * 1024) as bigint)").as("q"))
+      .as[(String, Long)].collect()
+    // mass is conserved and every bin count matches the integer-log replay
+    assert(rows.map(_._3).sum === src.length.toLong)
+    def bin(q: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(1 + q)
+    val expect = src.groupBy(r => (r._1, bin(r._2))).view.mapValues(_.length.toLong).toMap
+    assert(rows.map(r => (r._1, r._2) -> r._3).toMap === expect)
+    // bounds really bracket the bin: lo = 2^b - 1, hi = 2^(b+1) - 2
+    for ((_, b, _, lo, hi) <- rows) {
+      assert(lo === (1L << b) - 1 && hi === (1L << (b + 1)) - 2)
+      assert(bin(lo) === b && bin(hi) === b)
+    }
+  }
+
   test("bottom-k sample replays md5 order exactly; estimates near exact quantiles") {
     val got = Analytics.eventsBottomkSample(spark, sf)
       .as[(String, Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap

@@ -105,7 +105,9 @@ class PlanAuditSpec extends SparkSpec {
     "meta_schema_drift" -> 2, // count-distinct expand over the per-key agg
     "events_bottomk_sample" -> 1, // ONE k-bounded sketch agg shuffle, O(k) per group
     "q19_star_join" -> 1, // at gate scale even filtered orders broadcasts: agg shuffle only
-    "text_curation_verdict" -> 6) // hash keeper agg + gram df/doc aggs + 3 doc_id join legs; cluster leg reads its checkpoint
+    "text_curation_verdict" -> 6, // hash keeper agg + gram df/doc aggs + 3 doc_id join legs; cluster leg reads its checkpoint
+    "events_value_histogram" -> 1, // ONE (type, bin) agg, <=64 rows per type
+    "occ_temporal_trend" -> 2) // (species, year) count + per-species fold
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
     // the shard grid must drive the exchange (parallelism = shard count),
