@@ -184,6 +184,60 @@ object Analytics {
       |  (CAST(1 AS BIGINT) << (bin + 1)) - 2 AS hi_fp
       |FROM b GROUP BY event_type, bin""".stripMargin
 
+  /** Volume-anomaly detection per event type via the median/MAD fence —
+    * the robust monitoring primitive next to events_cusum (CUSUM catches
+    * sustained SHIFTS; the MAD fence catches single-day SPIKES and
+    * outages without letting the outlier itself drag the threshold, the
+    * occ_outlier_mad discipline applied to the time dimension): a
+    * (type, day) is anomalous when |count − median| > 5 × MAD. Exact
+    * integers throughout — the median and the MAD are disc rank targets
+    * ((c+1)//2 lower medians, deterministic (value, day) tie order), so
+    * no interpolation ever touches a float. Plan: one (type, day)
+    * partial-agg exchange builds the daily counts; both rank windows and
+    * the final projection ride ONE further event_type exchange over the
+    * CALENDAR-bounded aggregate (≤ types × days rows), with the two
+    * ≤|types|-row median relations broadcast back. */
+  def eventsAnomalyMad(s: SparkSession, dir: String): DataFrame = {
+    val daily = DomainQueries.events(s, dir)
+      .select(col("event_type"), expr(s"ts_ns div $DAY_NS").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+    def discMedian(df: DataFrame, valueCol: String, out: String): DataFrame = {
+      val w = Window.partitionBy("event_type").orderBy(valueCol, "day")
+      df.withColumn("vr", row_number().over(w).cast("long"))
+        .withColumn("ct", count(lit(1)).over(Window.partitionBy("event_type")).cast("long"))
+        .filter(col("vr") === expr("(ct + 1) div 2"))
+        .select(col("event_type"), col(valueCol).as(out))
+    }
+    val med = discMedian(daily, "n", "med")
+    val withDev = daily.join(broadcast(med), Seq("event_type"))
+      .withColumn("dev", abs(col("n") - col("med")))
+    val mad = discMedian(withDev, "dev", "mad")
+    withDev.join(broadcast(mad), Seq("event_type"))
+      .select(col("event_type"), col("day"), col("n"), col("med"), col("mad"),
+        (col("dev") > lit(5L) * col("mad")).as("anomaly"))
+  }
+
+  private val ANOMALY_SQL =
+    s"""WITH d AS (
+       |  SELECT event_type, epoch_ns(ts) // $DAY_NS AS day,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM events GROUP BY 1, 2),
+       |m AS (SELECT event_type, n AS med FROM (
+       |    SELECT event_type, n, day,
+       |      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n, day) AS vr,
+       |      COUNT(*) OVER (PARTITION BY event_type) AS ct
+       |    FROM d) WHERE vr = (ct + 1) // 2),
+       |dv AS (SELECT d.event_type, d.day, d.n, m.med, ABS(d.n - m.med) AS dev
+       |       FROM d JOIN m USING (event_type)),
+       |md AS (SELECT event_type, dev AS mad FROM (
+       |    SELECT event_type, dev, day,
+       |      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev, day) AS vr,
+       |      COUNT(*) OVER (PARTITION BY event_type) AS ct
+       |    FROM dv) WHERE vr = (ct + 1) // 2)
+       |SELECT dv.event_type, dv.day, dv.n, dv.med, md.mad,
+       |  dv.dev > 5 * md.mad AS anomaly
+       |FROM dv JOIN md USING (event_type)""".stripMargin
+
   /** Per-type retention TTLs in days — the policy table a lakehouse
     * sweep reads (views are ephemeral, purchases are kept for audit). */
   private[graft] val TTL_DAYS = Seq(
@@ -416,6 +470,115 @@ object Analytics {
     s"SELECT vec_id,\n$cols\nFROM embeddings"
   }
 
+  /** Lloyd's k-means (K = 8, 2 update rounds) over the shared 8-dim
+    * fixed-point RP projections — the clustering primitive next to the
+    * three ANN families (bucket/cell/shortlist): IVF cell builds,
+    * mixture balancing and canonical-representative picks all start
+    * from exactly this assignment. Exact integers end-to-end: the
+    * projections are 2^-20 fixed-point BIGITs (|r| ≤ 2^26), distances
+    * are integer L2² (≤ 2^57 — no overflow), centroid updates are
+    * SUM div COUNT (Spark `div` and DuckDB `//` both truncate toward
+    * zero, so negative coordinate sums agree), and argmin is
+    * least(struct(d2, k)) — codegen'd, each distance evaluated once,
+    * ties to the smaller cluster id (the max_by/struct-min discipline;
+    * an array_min would drag all eight 8-term subtrees interpreted).
+    *
+    * Scale shape: centroids COLLECT to the driver each round (K×8
+    * BIGINTs — O(K), the lengthDeciles justification) and re-enter the
+    * plan as literals, so every assignment pass is a shuffle-FREE scan
+    * and each update shuffles ≤ K partial-agg rows per partition. At
+    * 100 TB that is 3 scans + 2 metadata shuffles — no per-round corpus
+    * exchange, no join. The projection is localCheckpoint'd once: three
+    * downstream references would otherwise replay the posexplode build
+    * per reference (the multi-reference plan-replay landmine). Seeds
+    * are the K smallest 52-bit md5('km:'||vec_id) rows — own salt,
+    * integer-ordered. Empty clusters keep their previous centroid
+    * (mirrored in the oracle via LEFT JOIN + COALESCE per dim). */
+  def simKmeansAssign(s: SparkSession, dir: String): DataFrame = {
+    val proj = rpFixedPoint(t(s, dir, "embeddings")).localCheckpoint()
+    val seedH = expr(
+      "cast(conv(substring(md5(cast(concat('km:', vec_id) as binary)), 1, 13), 16, 10) as bigint)")
+    val seeds: Array[Array[Long]] = proj
+      .withColumn("h", seedH)
+      .orderBy("h", "vec_id").limit(8)
+      .select((0 until 8).map(i => col(s"r$i")): _*)
+      .collect().map(r => Array.tabulate(8)(r.getLong))
+    // assignment keeps the coordinates alongside amin so the centroid
+    // update is a groupBy on the SAME scan — a join back to proj would
+    // re-shuffle the corpus per round
+    def assign(cent: Array[Array[Long]]): DataFrame = {
+      val pairs = cent.zipWithIndex.map { case (c, k) =>
+        val d2 = (0 until 8)
+          .map(i => (col(s"r$i") - lit(c(i))) * (col(s"r$i") - lit(c(i))))
+          .reduce(_ + _)
+        struct(d2.as("d2"), lit(k.toLong).as("k"))
+      }
+      proj.withColumn("amin", least(pairs.toSeq: _*))
+    }
+    var cent = seeds
+    for (_ <- 1 to 2) {
+      val updCols = (0 until 8).map(i => expr(s"sum(r$i) div count(1)").as(s"c$i"))
+      val upd = assign(cent)
+        .groupBy(col("amin.k").as("cluster"))
+        .agg(updCols.head, updCols.tail: _*)
+        .collect().map(r => r.getLong(0).toInt -> Array.tabulate(8)(i => r.getLong(i + 1))).toMap
+      cent = Array.tabulate(cent.length)(k => upd.getOrElse(k, cent(k)))
+    }
+    assign(cent)
+      .select(col("vec_id"), col("amin.k").as("cluster"), col("amin.d2").as("d2"))
+  }
+
+  private val KMEANS_SQL = {
+    // the integer projection as an 8-element list, shared with RP_TOPK_SQL
+    val projList = (0 until 8).map { p =>
+      s"""list_sum(list_transform(generate_series(1, 64),
+         |      j -> q[j] * (${wSql(p)})[j]))""".stripMargin
+    }.mkString("[\n    ", ",\n    ", "]")
+    def assignCte(a: String, c: String) =
+      s"""$a AS (
+         |  SELECT vec_id, cluster, d2 FROM (
+         |    SELECT pr.vec_id, $c.k AS cluster,
+         |      list_sum(list_transform(generate_series(1, 8),
+         |        i -> (pr.p[i] - $c.c[i]) * (pr.p[i] - $c.c[i]))) AS d2,
+         |      ROW_NUMBER() OVER (PARTITION BY pr.vec_id
+         |        ORDER BY list_sum(list_transform(generate_series(1, 8),
+         |          i -> (pr.p[i] - $c.c[i]) * (pr.p[i] - $c.c[i]))), $c.k) AS rn
+         |    FROM pr CROSS JOIN $c) WHERE rn = 1)""".stripMargin
+    def updateCte(c: String, a: String, prev: String) = {
+      // CAST back to BIGINT: DuckDB SUM(BIGINT) is HUGEINT, and a
+      // HUGEINT centroid would propagate into every downstream d2
+      val dims = (0 until 8)
+        .map(i => s"CAST(SUM(pr.p[${i + 1}]) // COUNT(*) AS BIGINT)")
+        .mkString("[", ",\n        ", "]")
+      s"""${c}u AS (
+         |  SELECT cluster AS k, $dims AS c
+         |  FROM $a JOIN pr USING (vec_id) GROUP BY cluster),
+         |$c AS (
+         |  SELECT $prev.k, COALESCE(${c}u.c, $prev.c) AS c
+         |  FROM $prev LEFT JOIN ${c}u USING (k))""".stripMargin
+    }
+    s"""WITH ql AS (
+       |  SELECT vec_id,
+       |    list_transform(generate_series(1, 64),
+       |      j -> CAST(FLOOR(CAST(embedding[j] AS DOUBLE) * 1048576) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |pr AS (
+       |  SELECT vec_id, $projList AS p
+       |  FROM ql),
+       |c0 AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, vec_id) AS BIGINT) - 1 AS k, p AS c
+       |  FROM (SELECT vec_id, p,
+       |          ('0x' || substr(md5('km:' || CAST(vec_id AS VARCHAR)), 1, 13))::BIGINT AS h
+       |        FROM pr)
+       |  ORDER BY h, vec_id LIMIT 8),
+       |${assignCte("a1", "c0")},
+       |${updateCte("c1", "a1", "c0")},
+       |${assignCte("a2", "c1")},
+       |${updateCte("c2", "a2", "c1")},
+       |${assignCte("a3", "c2")}
+       |SELECT vec_id, cluster, CAST(d2 AS BIGINT) AS d2 FROM a3""".stripMargin
+  }
+
   /** SCD2 (slowly-changing-dimension type-2) history build from the raw
     * event stream: per user, consecutive runs of the same event_type
     * collapse to ONE validity interval [valid_from_ns, valid_to_ns), the
@@ -597,6 +760,8 @@ object Analytics {
     "events_top_paths" -> (eventsTopPaths _),
     "sim_random_projection" -> (simRandomProjection _),
     "sim_rp_topk" -> (simRpTopk _),
+    "sim_kmeans_assign" -> (simKmeansAssign _),
+    "events_anomaly_mad" -> (eventsAnomalyMad _),
     "meta_scd2_history" -> (metaScd2History _),
     "events_value_quantiles" -> (eventsValueQuantiles _),
     "events_cusum" -> (eventsCusum _),
@@ -613,6 +778,8 @@ object Analytics {
     "events_top_paths" -> PATHS_SQL,
     "sim_random_projection" -> RP_SQL,
     "sim_rp_topk" -> RP_TOPK_SQL,
+    "sim_kmeans_assign" -> KMEANS_SQL,
+    "events_anomaly_mad" -> ANOMALY_SQL,
     "meta_scd2_history" -> SCD2_SQL,
     "events_value_quantiles" -> QUANTILES_SQL,
     "events_cusum" -> CUSUM_SQL,

@@ -434,7 +434,59 @@ object TextPrep {
        |WHERE r.pos <= q.quota""".stripMargin
   }
 
+  /** Join-key skew audit — the diagnostic a 100 TB join runs BEFORE
+    * choosing salting/AQE-skew settings: per-key row counts over the
+    * fact table's join key (lineitem.l_suppkey), summarized as the
+    * top-10 heaviest keys with the key-space stats planners consume —
+    * key count, max/p50/p99 frequency (exact disc rank targets, no
+    * interpolation) and the max/p50 skew ratio in exact milli-units.
+    * The per-key count is ONE partial-aggregated exchange over the key
+    * space; every window after it runs over the AGGREGATE (≤ |keys|
+    * rows, the events_top_paths discipline) — the top-10 rank compiles
+    * to WindowGroupLimit so each partition pre-prunes to its local 10.
+    * All integers: a skew_milli of 1000 means perfectly uniform. */
+  def dataSkewAudit(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "lineitem")
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n"))
+    val byN = Window.orderBy("n", "l_suppkey")
+    val stats = counts
+      .withColumn("vr", row_number().over(byN).cast("long"))
+      .withColumn("nk", count(lit(1)).over(Window.partitionBy()).cast("long"))
+      .agg(max("nk").as("n_keys"),
+        sum("n").as("total_n"),
+        max("n").as("max_n"),
+        max(when(col("vr") === expr("(nk + 1) div 2"), col("n"))).as("p50_n"),
+        max(when(col("vr") === expr("(99 * nk + 99) div 100"), col("n"))).as("p99_n"))
+    val byHeavy = Window.orderBy(col("n").desc, col("l_suppkey"))
+    counts
+      .withColumn("rank", row_number().over(byHeavy).cast("long"))
+      .filter(col("rank") <= 10)
+      .crossJoin(broadcast(stats))
+      .withColumn("skew_milli", expr("max_n * 1000 div p50_n"))
+  }
+
+  private val SKEW_SQL =
+    """WITH c AS (
+      |  SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM lineitem GROUP BY l_suppkey),
+      |r AS (SELECT l_suppkey, n,
+      |        CAST(ROW_NUMBER() OVER (ORDER BY n, l_suppkey) AS BIGINT) AS vr,
+      |        CAST(COUNT(*) OVER () AS BIGINT) AS nk
+      |      FROM c),
+      |st AS (SELECT MAX(nk) AS n_keys, CAST(SUM(n) AS BIGINT) AS total_n,
+      |         MAX(n) AS max_n,
+      |         MAX(CASE WHEN vr = (nk + 1) // 2 THEN n END) AS p50_n,
+      |         MAX(CASE WHEN vr = (99 * nk + 99) // 100 THEN n END) AS p99_n
+      |       FROM r),
+      |top AS (SELECT l_suppkey, n,
+      |          CAST(ROW_NUMBER() OVER (ORDER BY n DESC, l_suppkey) AS BIGINT) AS rank
+      |        FROM c QUALIFY rank <= 10)
+      |SELECT top.l_suppkey, top.n, top.rank, st.n_keys, st.total_n,
+      |  st.max_n, st.p50_n, st.p99_n, st.max_n * 1000 // st.p50_n AS skew_milli
+      |FROM top CROSS JOIN st""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "data_skew_audit" -> (dataSkewAudit _),
     "data_mixture_sample" -> (dataMixtureSample _),
     "data_compact_files" -> (dataCompactFiles _),
     "data_shuffle_shards" -> (dataShuffleShards _),
@@ -447,6 +499,7 @@ object TextPrep {
     "data_pack_sequences" -> (dataPackSequences _))
 
   val oracle: Map[String, String] = Map(
+    "data_skew_audit" -> SKEW_SQL,
     "data_mixture_sample" -> MIX_SQL,
     "data_compact_files" -> COMPACT_SQL,
     "data_shuffle_shards" -> SHARDS_SQL,

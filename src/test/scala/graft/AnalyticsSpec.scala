@@ -337,6 +337,84 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("kmeans assignment matches a full independent Scala replay of Lloyd's") {
+    val got = Analytics.simKmeansAssign(spark, sf)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // replay from the raw embeddings: fixed-point projection, md5 seeds,
+    // 2 truncating-div centroid updates, final struct-min assignment
+    val emb = Tables.t(spark, sf, "embeddings")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    val proj: Map[Long, Array[Long]] = emb.map { case (id, v) =>
+      id -> Array.tabulate(8)(p => v.zipWithIndex.map { case (x, j) =>
+        math.floor(x.toDouble * 1048576).toLong * Analytics.rpWeights(p)(j)
+      }.sum)
+    }.toMap
+    def h52(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"km:$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(7).map(b => f"$b%02x").mkString.take(13), 16)
+    }
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      (0 until 8).map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    def assign(cent: IndexedSeq[Array[Long]]): Map[Long, (Long, Long)] =
+      proj.map { case (id, r) =>
+        val (dist, k) = cent.zipWithIndex
+          .map { case (c, k) => (d2(r, c), k.toLong) }.min
+        id -> (k, dist)
+      }
+    var cent: IndexedSeq[Array[Long]] =
+      proj.toSeq.sortBy { case (id, _) => (h52(id), id) }.take(8).map(_._2).toIndexedSeq
+    for (_ <- 1 to 2) {
+      val byK = assign(cent).toSeq.groupBy(_._2._1)
+      cent = cent.zipWithIndex.map { case (old, k) =>
+        byK.get(k.toLong).fold(old) { members =>
+          val rs = members.map(m => proj(m._1))
+          Array.tabulate(8)(i => rs.map(_(i)).sum / rs.length)
+        }
+      }
+    }
+    assert(got === assign(cent))
+    assert(got.values.map(_._1).toSet.subsetOf((0L until 8L).toSet))
+  }
+
+  test("skew audit: planted hot key dominates and the stats reconcile") {
+    val tmp = java.nio.file.Files.createTempDirectory("skew").toString
+    // 20 uniform keys x 5 rows + one hot key with 500 rows
+    val rows = (1 to 20).flatMap(k => Seq.fill(5)(k.toLong)) ++
+      Seq.fill(500)(99L)
+    rows.toDF("l_suppkey").write.mode(SaveMode.Overwrite)
+      .parquet(s"$tmp/lineitem.parquet")
+    val out = operators.TextPrep.dataSkewAudit(spark, tmp)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+      .sortBy(_._3)
+    assert(out.length === 10)
+    assert(out.head === ((99L, 500L, 1L, 21L, 600L, 500L, 5L, 500L, 100000L)))
+    // ranks are dense 1..10 in non-increasing count order
+    assert(out.map(_._3) === (1L to 10L))
+    assert(out.sliding(2).forall(p => p(0)._2 >= p(1)._2))
+  }
+
+  test("anomaly mad: a planted single-day spike flags, stable days do not") {
+    val tmp = java.nio.file.Files.createTempDirectory("mad").toString
+    val day = 86400000000000L
+    // 29 days x 10 events, day 15 gets 100 events (the spike)
+    val rows = (0 until 29).flatMap { d =>
+      val n = if (d == 15) 100 else 10
+      (0 until n).map(i =>
+        ((d * 1000 + i).toLong, d * day + i * 1000L, 1L, "feed", 1.0, "{}"))
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/events.parquet")
+    val got = Analytics.eventsAnomalyMad(spark, tmp)
+      .as[(String, Long, Long, Long, Long, Boolean)].collect()
+    assert(got.length === 29)
+    val flagged = got.filter(_._6)
+    assert(flagged.map(_._2).toSeq === Seq(15L))
+    assert(flagged.head._3 === 100L)
+    // median sits on the stable level and MAD is zero-deviation-robust
+    assert(got.forall(r => r._4 === 10L && r._5 === 0L))
+  }
+
   test("random projection: hand-computed dot for one vector matches") {
     val out = Analytics.simRandomProjection(spark, sf)
     val row = out.filter(col("vec_id") === 7).collect().head
