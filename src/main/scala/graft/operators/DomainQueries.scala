@@ -280,6 +280,30 @@ object DomainQueries {
         max(when(col("rn") === 1, col("n"))).as("dom_n"))
   }
 
+  /** Per-cell Shannon-style diversity in exact integers — the evenness
+    * signal spatial_grid_density's richness count misses (a cell with
+    * 99 records of one species and 1 of another is "2 species" but has
+    * near-zero diversity): per species in a 1°-cell, surprisal bits =
+    * floor(log₂(n_cell / n_s)) computed exactly as
+    * length(bin(n_cell div n_s)) − 1 (the text_surprisal lattice), and
+    * the cell's bits_sum = Σ n_s·b_s — a coarse integer Shannon index
+    * ships alongside as exact milli-bits per occurrence. Plan: the
+    * (cell, species) count partial-aggregates map-side; the cell-total
+    * window and the final per-cell aggregate ride the SAME cellid
+    * exchange (the grid-density shape). */
+  def occCellDiversity(s: SparkSession, dir: String): DataFrame = {
+    val wCell = Window.partitionBy("cellid")
+    valid(s, dir)
+      .withColumn("cellid", cell1(col("lat"), col("lon")))
+      .groupBy("cellid", "species").agg(count(lit(1)).as("ns"))
+      .withColumn("n_cell", sum("ns").over(wCell))
+      .withColumn("b", expr("cast(length(bin(n_cell div ns)) - 1 as bigint)"))
+      .groupBy("cellid")
+      .agg(max("n_cell").as("n_occ"), count(lit(1)).as("n_species"),
+        sum(col("ns") * col("b")).as("bits_sum"))
+      .withColumn("milli_bits_per_occ", expr("bits_sum * 1000 div n_occ"))
+  }
+
   /** Z-order (Morton) spatial layout summary — the file-clustering
     * primitive behind OPTIMIZE ZORDER-style layouts: interleaving the
     * 1°-cell x/y bits gives a single sort key whose ranges are compact
@@ -310,6 +334,55 @@ object DomainQueries {
         min("z").as("z_min"), max("z").as("z_max"),
         min("lat").as("lat_min"), max("lat").as("lat_max"),
         min("lon").as("lon_min"), max("lon").as("lon_max"))
+  }
+
+  /** Species-accumulation (rarefaction) curve — the survey-completeness
+    * question behind every occurrence archive: after the first k records
+    * in an unbiased order, how many distinct species has the survey
+    * seen? A curve still climbing at k = N means the region is
+    * under-sampled. "Unbiased order" = 52-bit md5('acc:'||occ_id) order
+    * (own salt, deterministic, content-independent); checkpoints are
+    * log-spaced (k = 2^j capped at N) so the output is ≤ 64 rows at ANY
+    * corpus size. Exact integers: a new-species record at global
+    * position p first counts at checkpoint j = ceil(log₂ p) =
+    * length(bin(p−1)) (0 for p = 1 — the bin()-length lattice), and the
+    * curve is a cumulative sum over the ≤ 64-row checkpoint table.
+    *
+    * The global position is the compact_files two-level rank, never a
+    * single-partition corpus window: 256 hash-range buckets (top 8 bits
+    * — bucket order ≡ hash order), per-bucket row_number + exclusive
+    * bucket offsets from a ≤ 256-row window; bucket counts come from
+    * their own column-pruned scan (cheaper than checkpointing the
+    * corpus-size flagged relation for reuse), and the corpus total
+    * folds from those 256 rows, never a third scan. */
+  def occAccumulationCurve(s: SparkSession, dir: String): DataFrame = {
+    val hExpr = expr(
+      "cast(conv(substring(md5(cast(concat('acc:', occ_id) as binary)), 1, 13), 16, 10) as bigint)")
+    val base = valid(s, dir).select(col("occ_id"), col("species"))
+      .withColumn("h", hExpr).withColumn("bkt", expr("h >> 44"))
+    val wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy("bkt").agg(count(lit(1)).as("bn"))
+      .withColumn("boff", coalesce(sum("bn").over(wb), lit(0L)))
+    val total = offsets.agg(sum("bn").as("n")) // folds from ≤256 rows
+    val bySp = Window.partitionBy("species").orderBy("h", "occ_id")
+    val wl = Window.partitionBy("bkt").orderBy("h", "occ_id")
+    val jm = base
+      .withColumn("is_new", row_number().over(bySp) === 1)
+      .join(broadcast(offsets.select("bkt", "boff")), Seq("bkt"))
+      .withColumn("pos", row_number().over(wl).cast("long") + col("boff"))
+      .filter(col("is_new"))
+      .withColumn("j", when(col("pos") === 1, 0L)
+        .otherwise(expr("cast(length(bin(pos - 1)) as bigint)")))
+      .groupBy("j").agg(count(lit(1)).as("nn"))
+    val wj = Window.orderBy("j").rowsBetween(Window.unboundedPreceding, 0)
+    val js = total.select(explode(expr("sequence(0L, 63L)")).as("j"), col("n"))
+      .filter(col("j") === 0 ||
+        (col("n") >= 2 && col("j") <= expr("length(bin(n - 1))")))
+    js.join(jm, Seq("j"), "left_outer")
+      .withColumn("n_species", sum(coalesce(col("nn"), lit(0L))).over(wj))
+      .select(col("j"),
+        least(expr("shiftleft(1L, cast(j as int))"), col("n")).as("k"),
+        col("n_species"))
   }
 
   /** select_best_record per (species, 1°-cell): min uncertainty wins. */
@@ -938,6 +1011,8 @@ object DomainQueries {
     "events_session_window" -> (eventsSessionWindow _),
     "events_sessionize" -> (eventsSessionize _),
     "spatial_grid_density" -> (spatialGridDensity _),
+    "occ_cell_diversity" -> (occCellDiversity _),
+    "occ_accumulation_curve" -> (occAccumulationCurve _),
     "spatial_zorder_layout" -> (spatialZorderLayout _),
     "spatial_nearest" -> (spatialNearest _),
     "occ_temporal_trend" -> (occTemporalTrend _),
@@ -1039,6 +1114,46 @@ object DomainQueries {
         |        GROUP BY species) USING (species))
         |WHERE (mad_lat > 0 AND dev_lat > mad_lat * CAST(1.5 AS DOUBLE))
         |   OR (mad_lon > 0 AND dev_lon > mad_lon * CAST(1.5 AS DOUBLE))""".stripMargin),
+    "occ_accumulation_curve" -> withSql(OCC_SQL, VALID_SQL,
+      """acc AS (
+        |  SELECT occ_id, species,
+        |    ('0x' || substr(md5('acc:' || CAST(occ_id AS VARCHAR)), 1, 13))::BIGINT AS h
+        |  FROM valid)""".stripMargin,
+      """facc AS (
+        |  SELECT occ_id, species, h,
+        |    ROW_NUMBER() OVER (PARTITION BY species ORDER BY h, occ_id) = 1 AS is_new,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY h, occ_id) AS BIGINT) AS pos
+        |  FROM acc)""".stripMargin,
+      """nacc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM acc)""",
+      """jmacc AS (
+        |  SELECT CASE WHEN pos = 1 THEN 0
+        |              ELSE CAST(length(bin(pos - 1)) AS BIGINT) END AS j,
+        |    CAST(COUNT(*) AS BIGINT) AS nn
+        |  FROM facc WHERE is_new GROUP BY 1)""".stripMargin,
+      """jsacc AS (
+        |  SELECT CAST(t.j AS BIGINT) AS j, (SELECT n FROM nacc) AS n
+        |  FROM generate_series(0, 63) AS t(j)
+        |  WHERE t.j = 0 OR ((SELECT n FROM nacc) >= 2
+        |    AND t.j <= length(bin((SELECT n FROM nacc) - 1))))""".stripMargin)(
+      """SELECT js.j, LEAST(CAST(1 AS BIGINT) << js.j, js.n) AS k,
+        |  CAST(SUM(COALESCE(jm.nn, 0)) OVER (ORDER BY js.j
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_species
+        |FROM jsacc js LEFT JOIN jmacc jm USING (j)""".stripMargin),
+    "occ_cell_diversity" -> withSql(OCC_SQL, VALID_SQL,
+      s"""cdiv AS (
+         |  SELECT $CELL1_SQL AS cellid, species, CAST(COUNT(*) AS BIGINT) AS ns
+         |  FROM valid GROUP BY 1, 2)""".stripMargin,
+      """wdiv AS (SELECT cellid, species, ns,
+        |    CAST(SUM(ns) OVER (PARTITION BY cellid) AS BIGINT) AS n_cell
+        |  FROM cdiv)""".stripMargin,
+      """bdiv AS (SELECT cellid, ns, n_cell,
+        |    CAST(length(bin(n_cell // ns)) - 1 AS BIGINT) AS b
+        |  FROM wdiv)""".stripMargin)(
+      """SELECT cellid, MAX(n_cell) AS n_occ,
+        |  CAST(COUNT(*) AS BIGINT) AS n_species,
+        |  CAST(SUM(ns * b) AS BIGINT) AS bits_sum,
+        |  CAST(SUM(ns * b) * 1000 // MAX(n_cell) AS BIGINT) AS milli_bits_per_occ
+        |FROM bdiv GROUP BY cellid""".stripMargin),
     "spatial_grid_density" -> withSql(OCC_SQL, VALID_SQL)(
       s"""SELECT cellid, CAST(SUM(n) AS BIGINT) AS n_occ,
          |  CAST(COUNT(*) AS BIGINT) AS n_species,

@@ -464,6 +464,59 @@ object TextRank {
       |  CAST(SUM(b) * 1000 // COUNT(*) AS BIGINT) AS milli_bits_per_tok
       |FROM b GROUP BY doc_id""".stripMargin
 
+  /** Per-document top-5 keywords by exact-integer tf·idf — the
+    * tagging/indexing primitive next to text_bm25_topk (BM25 ranks DOCS
+    * for a fixed query; this ranks TERMS within every doc): score =
+    * tf × floor(log₂(N/df)) with the floored log computed exactly as
+    * length(bin(N div df)) − 1 (the text_surprisal lattice — no
+    * engine-divergent ln, no float anywhere). A term in every document
+    * gets idf 0 and can never surface; rare terms win in proportion to
+    * their in-doc frequency. Plan: one corpus explode feeds the
+    * (doc, term) tf aggregate; document frequencies fold from THAT
+    * aggregate (already distinct per doc — never a second corpus
+    * explode); the tf⋈df join shuffles on the term (a corpus vocabulary
+    * is not broadcastable), the single-row N broadcasts, and the top-5
+    * rank compiles to WindowGroupLimit so each partition pre-prunes
+    * before the doc_id exchange. Ties (score, then term asc) are
+    * deterministic on both engines. */
+  def textKeywordTfidf(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val tf = docs
+      .select(col("doc_id"), toks("text").as(Seq("pos", "w")))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).as("n")) // single row — broadcast
+    val byDoc = Window.partitionBy("doc_id").orderBy(col("score").desc, col("w"))
+    tf.join(df, Seq("w"))
+      .crossJoin(broadcast(total))
+      .withColumn("idf_bits", expr("cast(length(bin(n div df)) - 1 as bigint)"))
+      .withColumn("score", col("tf") * col("idf_bits"))
+      .filter(col("score") > 0)
+      .withColumn("rank", row_number().over(byDoc).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("doc_id", "w", "tf", "idf_bits", "score", "rank")
+  }
+
+  private val TFIDF_SQL =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      |  FROM documents),
+      |tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+      |       FROM tok GROUP BY doc_id, w),
+      |df AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+      |sc AS (
+      |  SELECT tf.doc_id, tf.w, tf.tf,
+      |    CAST(length(bin((SELECT n FROM n) // df.df)) - 1 AS BIGINT) AS idf_bits,
+      |    tf.tf * CAST(length(bin((SELECT n FROM n) // df.df)) - 1 AS BIGINT) AS score
+      |  FROM tf JOIN df USING (w))
+      |SELECT doc_id, w, tf, idf_bits, score,
+      |  CAST(rank AS BIGINT) AS rank
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |        ORDER BY score DESC, w) AS rank
+      |      FROM sc WHERE score > 0)
+      |WHERE rank <= 5""".stripMargin
+
   /** Cross-document paragraph-level exact dedup — the C4-style
     * boilerplate pass that whole-document hashing misses: split on
     * sentence boundaries, hash fragments ≥ 20 chars, report every
@@ -512,6 +565,7 @@ object TextRank {
     "data_sample_stratified" -> (dataSampleStratified _),
     "data_sample_fixed_k" -> (dataSampleFixedK _),
     "dedup_contamination" -> (dedupContamination _),
+    "text_keyword_tfidf" -> (textKeywordTfidf _),
     "text_top_ngrams" -> (textTopNgrams _))
 
   val oracle: Map[String, String] = Map(
@@ -541,5 +595,6 @@ object TextRank {
     "data_sample_stratified" -> SAMPLE_SQL,
     "data_sample_fixed_k" -> FIXEDK_SQL,
     "dedup_contamination" -> CONTAM_SQL,
+    "text_keyword_tfidf" -> TFIDF_SQL,
     "text_top_ngrams" -> NGRAMS_SQL)
 }

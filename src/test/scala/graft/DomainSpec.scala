@@ -372,4 +372,50 @@ class DomainSpec extends SparkSpec {
         bv.length == nb && bv == bv.sorted && bv.distinct == bv
     })
   }
+
+  test("cell diversity matches a full Scala replay; single-species cells score 0") {
+    val got = DomainQueries.occCellDiversity(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got.nonEmpty)
+    def floorLog2(x: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    val cells = DomainQueries.valid(spark, sf)
+      .select("species", "lat", "lon").as[(String, Double, Double)].collect()
+      .map { case (sp, lat, lon) =>
+        ((math.floor(lat).toLong + 90) * 360 + math.floor(lon).toLong + 180, sp)
+      }
+    val expected = cells.groupBy(_._1).map { case (cell, rows) =>
+      val bySp = rows.groupBy(_._2).map(g => g._2.length.toLong)
+      val n = bySp.sum
+      val bits = bySp.map(ns => ns * floorLog2(n / ns)).sum
+      cell -> ((cell, n, bySp.size.toLong, bits, bits * 1000 / n))
+    }
+    assert(got === expected)
+    assert(got.values.filter(_._3 == 1L).forall(_._4 == 0L))
+    // sf0.001's lattice puts at most one species per 1°-cell, so the
+    // mixed-cell (> 0 bits) case is exercised by the sf0.01 oracle gate
+    // (2947 cells), not here; the replay above is the exactness check
+  }
+
+  test("accumulation curve matches a Scala rarefaction replay, monotone to the total") {
+    val got = DomainQueries.occAccumulationCurve(spark, sf)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val occs = DomainQueries.valid(spark, sf)
+      .select("occ_id", "species").as[(Long, String)].collect()
+    def h52(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"acc:$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(7).map(b => f"$b%02x").mkString.take(13), 16)
+    }
+    val ordered = occs.sortBy { case (id, _) => (h52(id), id) }
+    val n = ordered.length.toLong
+    // distinct species among the first k records, at k = 2^j capped at n
+    val jMax = if (n < 2) 0 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
+    val expected = (0L to jMax.toLong).map { j =>
+      val k = math.min(1L << j, n)
+      (j, k, ordered.take(k.toInt).map(_._2).distinct.length.toLong)
+    }
+    assert(got.toSeq === expected)
+    assert(got.map(_._3).toSeq === got.map(_._3).sorted.toSeq)
+    assert(got.last._3 === occs.map(_._2).distinct.length.toLong)
+  }
 }

@@ -283,6 +283,23 @@ class TextPrepSpec extends SparkSpec {
     assert(out.count() === 20000L)
   }
 
+  test("tfidf keywords: ubiquitous terms never surface, rare terms rank by tf") {
+    import org.apache.spark.sql.SaveMode
+    // "the" in all 4 docs -> idf 0 (excluded); "zebra" df 1 -> idf 2;
+    // "yak" df 2 -> idf 1
+    val docs = Seq(
+      (1L, "the zebra zebra yak"), (2L, "the yak"),
+      (3L, "the"), (4L, "the")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("tfidf").toString
+    docs.write.mode(SaveMode.Overwrite).parquet(s"$tmp/documents.parquet")
+    val got = operators.TextRank.textKeywordTfidf(spark, tmp)
+      .as[(Long, String, Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._6).toSeq).toMap
+    assert(got(1L) === Seq((1L, "zebra", 2L, 2L, 4L, 1L), (1L, "yak", 1L, 1L, 1L, 2L)))
+    assert(got(2L) === Seq((2L, "yak", 1L, 1L, 1L, 1L)))
+    assert(!got.contains(3L) && !got.contains(4L)) // only zero-idf terms
+  }
+
   test("text_diversity: 0 for a single repeated token, 1 - 1/n for all-distinct") {
     import org.apache.spark.sql.SaveMode
     val docs = Seq(
