@@ -347,6 +347,43 @@ object Analytics {
       |  FROM c)
       |WHERE rn <= 25""".stripMargin
 
+  /** First-order Markov transition matrix over per-user event sequences
+    * — the journey model events_top_paths' trigram mining reads OUT of:
+    * for every consecutive (prev → next) pair, its count and the exact
+    * row-normalized transition probability in milli-units (integer
+    * cross-multiplication — n·1000 div row total — no float division).
+    * The pair extraction is ONE lead window on the user_id exchange
+    * (the top_paths shape); the matrix is ≤ |types|² rows, so the
+    * row-total window runs over the aggregate, never the corpus. */
+  def eventsTransitionMatrix(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    val byPrev = Window.partitionBy("prev")
+    DomainQueries.events(s, dir)
+      .select(col("user_id"), col("ts_ns"), col("event_id"),
+        col("event_type").as("prev"))
+      .withColumn("next", lead("prev", 1).over(byUser))
+      .filter(col("next").isNotNull)
+      .groupBy("prev", "next").agg(count(lit(1)).as("n"))
+      .withColumn("row_n", sum("n").over(byPrev))
+      .withColumn("milli_p", expr("n * 1000 div row_n"))
+  }
+
+  private val TRANSITION_SQL =
+    """WITH e AS (
+      |  SELECT user_id, event_type, event_id,
+      |    epoch_ns(ts) // 1000 * 1000 AS ts_ns
+      |  FROM events),
+      |p AS (SELECT event_type AS prev,
+      |        LEAD(event_type, 1) OVER (PARTITION BY user_id
+      |          ORDER BY ts_ns, event_id) AS next
+      |      FROM e),
+      |c AS (SELECT prev, next, CAST(COUNT(*) AS BIGINT) AS n
+      |      FROM p WHERE next IS NOT NULL GROUP BY prev, next)
+      |SELECT prev, next, n,
+      |  CAST(SUM(n) OVER (PARTITION BY prev) AS BIGINT) AS row_n,
+      |  CAST(n * 1000 // SUM(n) OVER (PARTITION BY prev) AS BIGINT) AS milli_p
+      |FROM c""".stripMargin
+
   /** Rademacher ±1 JL weights for the 64 → 8 dim random-projection
     * reduction — the cheap Johnson–Lindenstrauss step before ANN
     * indexing (sim_lsh_topk keeps only the SIGN of such projections;
@@ -762,6 +799,7 @@ object Analytics {
     "sim_rp_topk" -> (simRpTopk _),
     "sim_kmeans_assign" -> (simKmeansAssign _),
     "events_anomaly_mad" -> (eventsAnomalyMad _),
+    "events_transition_matrix" -> (eventsTransitionMatrix _),
     "meta_scd2_history" -> (metaScd2History _),
     "events_value_quantiles" -> (eventsValueQuantiles _),
     "events_cusum" -> (eventsCusum _),
@@ -780,6 +818,7 @@ object Analytics {
     "sim_rp_topk" -> RP_TOPK_SQL,
     "sim_kmeans_assign" -> KMEANS_SQL,
     "events_anomaly_mad" -> ANOMALY_SQL,
+    "events_transition_matrix" -> TRANSITION_SQL,
     "meta_scd2_history" -> SCD2_SQL,
     "events_value_quantiles" -> QUANTILES_SQL,
     "events_cusum" -> CUSUM_SQL,

@@ -305,7 +305,59 @@ object Records {
       |WHERE (CASE WHEN op IS NULL THEN 'added' WHEN np IS NULL THEN 'removed'
       |            WHEN oh IS DISTINCT FROM nh THEN 'changed' END) IS NOT NULL""".stripMargin
 
+  /** Referential-integrity audit over the star schema's foreign keys —
+    * the data-quality gate an ingestion pipeline runs before publishing
+    * a snapshot (the reference's dead-letter splits catch BROKEN rows;
+    * this catches broken RELATIONSHIPS — an annotation pointing at a
+    * taxon that never arrived): for each FK edge, total rows, orphan
+    * rows (no parent), and distinct orphan keys. Each edge is one
+    * left-anti count — small parents (customer/supplier/part) broadcast;
+    * the lineitem→orders edge shuffles on the key as it must at scale.
+    * All four audits union into one ≤4-row report; a healthy snapshot
+    * reads zeros, and the spec proves the non-zero path on planted
+    * orphans. */
+  def metaFkAudit(s: SparkSession, dir: String): DataFrame = {
+    def audit(rel: String, fk: String, child: DataFrame, key: String,
+              parent: DataFrame, pkey: String, bcast: Boolean): DataFrame = {
+      val p = parent.select(col(pkey).as(key)).distinct()
+      val orphans = child.select(col(key))
+        .join(if (bcast) broadcast(p) else p, Seq(key), "left_anti")
+      val totals = child.agg(count(lit(1)).as("n_rows"))
+      orphans.agg(count(lit(1)).as("n_orphans"),
+          countDistinct(col(key)).as("n_orphan_keys"))
+        .crossJoin(totals)
+        .select(lit(rel).as("relation"), lit(fk).as("fk"),
+          col("n_rows"), col("n_orphans"), col("n_orphan_keys"))
+    }
+    val li = t(s, dir, "lineitem")
+    audit("lineitem", "l_partkey", li, "l_partkey",
+        t(s, dir, "part"), "p_partkey", bcast = true)
+      .unionAll(audit("lineitem", "l_suppkey", li, "l_suppkey",
+        t(s, dir, "supplier"), "s_suppkey", bcast = true))
+      .unionAll(audit("lineitem", "l_orderkey", li, "l_orderkey",
+        t(s, dir, "orders"), "o_orderkey", bcast = false))
+      .unionAll(audit("orders", "o_custkey", t(s, dir, "orders"), "o_custkey",
+        t(s, dir, "customer"), "c_custkey", bcast = true))
+  }
+
+  private val FK_SQL = {
+    def one(rel: String, fk: String, child: String, parent: String, pkey: String) =
+      s"""SELECT '$rel' AS relation, '$fk' AS fk,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $child) AS n_rows,
+         |  CAST(COUNT(*) AS BIGINT) AS n_orphans,
+         |  CAST(COUNT(DISTINCT $fk) AS BIGINT) AS n_orphan_keys
+         |FROM $child c WHERE NOT EXISTS (
+         |  SELECT 1 FROM $parent p WHERE p.$pkey = c.$fk)""".stripMargin
+    Seq(
+      one("lineitem", "l_partkey", "lineitem", "part", "p_partkey"),
+      one("lineitem", "l_suppkey", "lineitem", "supplier", "s_suppkey"),
+      one("lineitem", "l_orderkey", "lineitem", "orders", "o_orderkey"),
+      one("orders", "o_custkey", "orders", "customer", "c_custkey")
+    ).mkString("\nUNION ALL\n")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "meta_fk_audit" -> (metaFkAudit _),
     "data_snapshot_diff" -> (dataSnapshotDiff _),
     "meta_portal_records" -> (portalRecordsFlat _),
     "meta_dwh_records" -> (dwhRecords _),
@@ -364,6 +416,7 @@ object Records {
         |FROM err""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "meta_fk_audit" -> FK_SQL,
     "data_snapshot_diff" -> DIFF_SQL,
     "meta_dwh_records" -> DWH_SQL,
     "meta_taxon_rollup" ->

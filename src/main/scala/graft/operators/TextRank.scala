@@ -517,6 +517,58 @@ object TextRank {
       |      FROM sc WHERE score > 0)
       |WHERE rank <= 5""".stripMargin
 
+  /** Bigram conditional surprisal — the 2-gram language-model quality
+    * gate next to text_surprisal's unigram one (a doc of individually
+    * common words in IMPROBABLE order — shuffled text, keyword stuffing
+    * — scores high here while the unigram gate sleeps): per consecutive
+    * token pair, bits = floor(log₂(c(w₁)/c(w₁w₂))) — the exact integer
+    * form of −log₂ p(w₂|w₁) — with the context count c(w₁) counted over
+    * PAIR LEFT SLOTS so the conditional distribution sums to 1 by
+    * construction. The bin()-length lattice keeps everything integer;
+    * per-doc averages ship as exact milli-bits. Plan: one corpus
+    * explode + ONE doc_id lead window builds the pairs; bigram and
+    * context counts both fold from that pair relation (no second
+    * explode); the two vocabulary joins shuffle on the token keys
+    * (vocabularies are not broadcastable at corpus scale). */
+  def textBigramSurprisal(s: SparkSession, dir: String): DataFrame = {
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val pairs = t(s, dir, "documents")
+      .select(col("doc_id"), toks("text").as(Seq("pos", "w1")))
+      .withColumn("w2", lead("w1", 1).over(byDoc))
+      .filter(col("w2").isNotNull)
+    val c2 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
+    pairs.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .select(col("doc_id"),
+        expr("cast(length(bin(c1 div c2)) - 1 as bigint)").as("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("b").as("total_bits"))
+      .withColumn("milli_bits_per_bigram",
+        expr("total_bits * 1000 div n_bigrams"))
+  }
+
+  private val BIGRAM_SQL =
+    """WITH tok AS (
+      |  SELECT doc_id, p.i AS pos, p.w FROM (
+      |    SELECT doc_id,
+      |      unnest(list_apply(regexp_extract_all(lower(text), '[a-z0-9]+'),
+      |        (w, i) -> struct_pack(w := w, i := i))) AS p
+      |    FROM documents)),
+      |pr AS (SELECT doc_id, w AS w1,
+      |         LEAD(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      |       FROM tok),
+      |pairs AS (SELECT doc_id, w1, w2 FROM pr WHERE w2 IS NOT NULL),
+      |c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+      |       FROM pairs GROUP BY w1, w2),
+      |c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1),
+      |b AS (SELECT doc_id,
+      |        CAST(length(bin(c1.c1 // c2.c2)) - 1 AS BIGINT) AS b
+      |      FROM pairs JOIN c2 USING (w1, w2) JOIN c1 USING (w1))
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |  CAST(SUM(b) AS BIGINT) AS total_bits,
+      |  CAST(SUM(b) * 1000 // COUNT(*) AS BIGINT) AS milli_bits_per_bigram
+      |FROM b GROUP BY doc_id""".stripMargin
+
   /** Cross-document paragraph-level exact dedup — the C4-style
     * boilerplate pass that whole-document hashing misses: split on
     * sentence boundaries, hash fragments ≥ 20 chars, report every
@@ -566,6 +618,7 @@ object TextRank {
     "data_sample_fixed_k" -> (dataSampleFixedK _),
     "dedup_contamination" -> (dedupContamination _),
     "text_keyword_tfidf" -> (textKeywordTfidf _),
+    "text_bigram_surprisal" -> (textBigramSurprisal _),
     "text_top_ngrams" -> (textTopNgrams _))
 
   val oracle: Map[String, String] = Map(
@@ -596,5 +649,6 @@ object TextRank {
     "data_sample_fixed_k" -> FIXEDK_SQL,
     "dedup_contamination" -> CONTAM_SQL,
     "text_keyword_tfidf" -> TFIDF_SQL,
+    "text_bigram_surprisal" -> BIGRAM_SQL,
     "text_top_ngrams" -> NGRAMS_SQL)
 }

@@ -415,6 +415,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.forall(r => r._4 === 10L && r._5 === 0L))
   }
 
+  test("transition matrix: rows normalize, counts match a manual lead replay") {
+    val got = Analytics.eventsTransitionMatrix(spark, sf)
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    // per-prev row totals are consistent and milli-probabilities
+    // underflow at most |row| units (integer floor per cell)
+    for ((prev, g) <- got.groupBy(_._1)) {
+      assert(g.map(_._3).sum === g.head._4, s"row total for $prev")
+      val milliSum = g.map(_._5).sum
+      assert(milliSum <= 1000 && milliSum > 1000 - g.length, s"milli sum for $prev")
+    }
+    // full recount from the raw events
+    val src = operators.DomainQueries.events(spark, sf)
+      .select("user_id", "ts_ns", "event_id", "event_type")
+      .as[(Long, Long, Long, String)].collect()
+    val expected = src.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val types = rows.sortBy(r => (r._2, r._3)).map(_._4)
+      types.zip(types.drop(1))
+    }.groupBy(p => p).map { case (k, v) => k -> v.size.toLong }
+    assert(got.map(r => (r._1, r._2) -> r._3).toMap === expected)
+  }
+
   test("random projection: hand-computed dot for one vector matches") {
     val out = Analytics.simRandomProjection(spark, sf)
     val row = out.filter(col("vec_id") === 7).collect().head

@@ -300,6 +300,52 @@ class TextPrepSpec extends SparkSpec {
     assert(!got.contains(3L) && !got.contains(4L)) // only zero-idf terms
   }
 
+  test("bigram surprisal: perfectly periodic text scores 0, branching context pays") {
+    import org.apache.spark.sql.SaveMode
+    // d1: every context has ONE continuation -> 0 bits everywhere
+    // d2: context 'a' branches to b/c (c1=2, c2=1 -> 1 bit each);
+    //     (b,a) is b's only continuation -> 0 bits
+    val docs = Seq(
+      (1L, "x y x y x y x y x"),
+      (2L, "a b a c")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("bigram").toString
+    docs.write.mode(SaveMode.Overwrite).parquet(s"$tmp/documents.parquet")
+    val got = operators.TextRank.textBigramSurprisal(spark, tmp)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 8L, 0L, 0L)))
+    assert(got(2L) === ((2L, 3L, 2L, 666L)))
+  }
+
+  test("fk audit: clean star schema reads zero; planted orphans are counted") {
+    import org.apache.spark.sql.SaveMode
+    val clean = operators.Records.metaFkAudit(spark, sf)
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(clean.length === 4)
+    assert(clean.forall(r => r._4 === 0L && r._5 === 0L)) // no orphans in testdata
+    assert(clean.forall(_._3 > 0L))
+    // planted: 2 lineitem rows point at a part that does not exist,
+    // 1 order at a ghost customer
+    val tmp = java.nio.file.Files.createTempDirectory("fk").toString
+    Seq((1L, 10L, 100L), (2L, 999L, 100L), (3L, 999L, 101L), (4L, 11L, 102L))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey")
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/lineitem.parquet")
+    Seq(Tuple1(10L), Tuple1(11L)).toDF("p_partkey")
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/part.parquet")
+    Seq(Tuple1(100L), Tuple1(101L), Tuple1(102L)).toDF("s_suppkey")
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/supplier.parquet")
+    Seq((1L, 7L), (2L, 7L), (3L, 8L), (4L, 9L)).toDF("o_orderkey", "o_custkey")
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/orders.parquet")
+    Seq(Tuple1(7L), Tuple1(8L)).toDF("c_custkey")
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/customer.parquet")
+    val planted = operators.Records.metaFkAudit(spark, tmp)
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => r._2 -> r).toMap
+    assert(planted("l_partkey") === (("lineitem", "l_partkey", 4L, 2L, 1L)))
+    assert(planted("l_suppkey") === (("lineitem", "l_suppkey", 4L, 0L, 0L)))
+    assert(planted("l_orderkey") === (("lineitem", "l_orderkey", 4L, 0L, 0L)))
+    assert(planted("o_custkey") === (("orders", "o_custkey", 4L, 1L, 1L)))
+  }
+
   test("text_diversity: 0 for a single repeated token, 1 - 1/n for all-distinct") {
     import org.apache.spark.sql.SaveMode
     val docs = Seq(
