@@ -198,9 +198,14 @@ object Analytics {
     * CALENDAR-bounded aggregate (≤ types × days rows), with the two
     * ≤|types|-row median relations broadcast back. */
   def eventsAnomalyMad(s: SparkSession, dir: String): DataFrame = {
+    // the daily aggregate is CALENDAR-bounded (≤ types × days rows) and
+    // referenced by three downstream paths (median, deviation, output) —
+    // checkpoint it so the corpus scan+agg is planned once, not replayed
+    // per reference (the multi-reference plan-replay landmine)
     val daily = DomainQueries.events(s, dir)
       .select(col("event_type"), expr(s"ts_ns div $DAY_NS").as("day"))
       .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
     def discMedian(df: DataFrame, valueCol: String, out: String): DataFrame = {
       val w = Window.partitionBy("event_type").orderBy(valueCol, "day")
       df.withColumn("vr", row_number().over(w).cast("long"))
@@ -211,6 +216,7 @@ object Analytics {
     val med = discMedian(daily, "n", "med")
     val withDev = daily.join(broadcast(med), Seq("event_type"))
       .withColumn("dev", abs(col("n") - col("med")))
+      .localCheckpoint() // same calendar bound, referenced twice
     val mad = discMedian(withDev, "dev", "mad")
     withDev.join(broadcast(mad), Seq("event_type"))
       .select(col("event_type"), col("day"), col("n"), col("med"), col("mad"),

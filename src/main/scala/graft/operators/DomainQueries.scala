@@ -361,8 +361,11 @@ object DomainQueries {
     val base = valid(s, dir).select(col("occ_id"), col("species"))
       .withColumn("h", hExpr).withColumn("bkt", expr("h >> 44"))
     val wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    // ≤256 rows, referenced by the position join AND the total fold —
+    // checkpoint so neither path replays the corpus count
     val offsets = base.groupBy("bkt").agg(count(lit(1)).as("bn"))
       .withColumn("boff", coalesce(sum("bn").over(wb), lit(0L)))
+      .localCheckpoint()
     val total = offsets.agg(sum("bn").as("n")) // folds from ≤256 rows
     val bySp = Window.partitionBy("species").orderBy("h", "occ_id")
     val wl = Window.partitionBy("bkt").orderBy("h", "occ_id")
@@ -378,11 +381,43 @@ object DomainQueries {
     val js = total.select(explode(expr("sequence(0L, 63L)")).as("j"), col("n"))
       .filter(col("j") === 0 ||
         (col("n") >= 2 && col("j") <= expr("length(bin(n - 1))")))
-    js.join(jm, Seq("j"), "left_outer")
+    js.join(broadcast(jm), Seq("j"), "left_outer")
       .withColumn("n_species", sum(coalesce(col("nn"), lit(0L))).over(wj))
       .select(col("j"),
         least(expr("shiftleft(1L, cast(j as int))"), col("n")).as("k"),
         col("n_species"))
+  }
+
+  /** Pairwise range-overlap matrix — the co-occurrence question range
+    * estimation feeds (which species pairs COULD interact?): per
+    * species the bbox in exact deci-degree integers (floor(x·10) —
+    * min/max are order-free, so the aggregate is engine-exact without
+    * the decimal-cast machinery sums need), then every pair with a
+    * positive bbox intersection, its lat/lon overlap spans and overlap
+    * area in deci-degree² BIGINTs. Plan: ONE partial-aggregated
+    * exchange builds the ≤|species|-row bbox table; the pair generator
+    * is a broadcast self-join over that tiny relation with the a < b
+    * triangle predicate — the corpus itself never joins. */
+  def occRangeOverlap(s: SparkSession, dir: String): DataFrame = {
+    val bbox = valid(s, dir)
+      .select(col("species"),
+        expr("cast(floor(lat * 10.0) as bigint)").as("lat10"),
+        expr("cast(floor(lon * 10.0) as bigint)").as("lon10"))
+      .groupBy("species")
+      .agg(min("lat10").as("lat_lo"), max("lat10").as("lat_hi"),
+        min("lon10").as("lon_lo"), max("lon10").as("lon_hi"))
+    val a = bbox.select(bbox.columns.map(c => col(c).as(s"a_$c")): _*)
+    val b = bbox.select(bbox.columns.map(c => col(c).as(s"b_$c")): _*)
+    val dlat = least(col("a_lat_hi"), col("b_lat_hi")) -
+      greatest(col("a_lat_lo"), col("b_lat_lo"))
+    val dlon = least(col("a_lon_hi"), col("b_lon_hi")) -
+      greatest(col("a_lon_lo"), col("b_lon_lo"))
+    a.join(broadcast(b), col("a_species") < col("b_species"))
+      .select(col("a_species").as("sp1"), col("b_species").as("sp2"),
+        dlat.as("overlap_lat_deci"), dlon.as("overlap_lon_deci"))
+      .filter(col("overlap_lat_deci") > 0 && col("overlap_lon_deci") > 0)
+      .withColumn("overlap_deci2",
+        col("overlap_lat_deci") * col("overlap_lon_deci"))
   }
 
   /** select_best_record per (species, 1°-cell): min uncertainty wins. */
@@ -1013,6 +1048,7 @@ object DomainQueries {
     "spatial_grid_density" -> (spatialGridDensity _),
     "occ_cell_diversity" -> (occCellDiversity _),
     "occ_accumulation_curve" -> (occAccumulationCurve _),
+    "occ_range_overlap" -> (occRangeOverlap _),
     "spatial_zorder_layout" -> (spatialZorderLayout _),
     "spatial_nearest" -> (spatialNearest _),
     "occ_temporal_trend" -> (occTemporalTrend _),
@@ -1114,6 +1150,22 @@ object DomainQueries {
         |        GROUP BY species) USING (species))
         |WHERE (mad_lat > 0 AND dev_lat > mad_lat * CAST(1.5 AS DOUBLE))
         |   OR (mad_lon > 0 AND dev_lon > mad_lon * CAST(1.5 AS DOUBLE))""".stripMargin),
+    "occ_range_overlap" -> withSql(OCC_SQL, VALID_SQL,
+      """bbox AS (
+        |  SELECT species,
+        |    MIN(CAST(FLOOR(lat * 10.0) AS BIGINT)) AS lat_lo,
+        |    MAX(CAST(FLOOR(lat * 10.0) AS BIGINT)) AS lat_hi,
+        |    MIN(CAST(FLOOR(lon * 10.0) AS BIGINT)) AS lon_lo,
+        |    MAX(CAST(FLOOR(lon * 10.0) AS BIGINT)) AS lon_hi
+        |  FROM valid GROUP BY species)""".stripMargin)(
+      """SELECT a.species AS sp1, b.species AS sp2,
+        |  LEAST(a.lat_hi, b.lat_hi) - GREATEST(a.lat_lo, b.lat_lo) AS overlap_lat_deci,
+        |  LEAST(a.lon_hi, b.lon_hi) - GREATEST(a.lon_lo, b.lon_lo) AS overlap_lon_deci,
+        |  (LEAST(a.lat_hi, b.lat_hi) - GREATEST(a.lat_lo, b.lat_lo))
+        |    * (LEAST(a.lon_hi, b.lon_hi) - GREATEST(a.lon_lo, b.lon_lo)) AS overlap_deci2
+        |FROM bbox a JOIN bbox b ON a.species < b.species
+        |WHERE LEAST(a.lat_hi, b.lat_hi) - GREATEST(a.lat_lo, b.lat_lo) > 0
+        |  AND LEAST(a.lon_hi, b.lon_hi) - GREATEST(a.lon_lo, b.lon_lo) > 0""".stripMargin),
     "occ_accumulation_curve" -> withSql(OCC_SQL, VALID_SQL,
       """acc AS (
         |  SELECT occ_id, species,

@@ -251,6 +251,47 @@ object Graphs {
   def graphCommunities(s: SparkSession, dir: String): DataFrame =
     labelPropagation(TextQueries.dedupNgramJaccard(s, dir).select("doc1", "doc2"))
 
+  /** Synchronous k-core peeling, FIXED rounds — the density gate between
+    * [[triangleCounts]] (purely local) and [[connectedComponents]]
+    * (purely global): a node survives a round iff it keeps ≥ k
+    * neighbours among the CURRENT survivors, so tree-like fringe and
+    * chains peel away layer by layer while genuinely dense near-dup
+    * groups (where every member has ≥ k partners) survive — the
+    * "cluster or coincidence" test run before a transitive merge.
+    * Fixed-round discipline (the labelPropagation precedent): 4
+    * deterministic synchronous rounds, so the output is well-defined on
+    * both engines and the oracle unrolls as chained CTEs. Each round
+    * references the survivor set TWICE (both endpoint filters) — the
+    * ancestorClosure plan-doubling case, so the per-round
+    * localCheckpoint is load-bearing. Edges checkpointed once; per
+    * round two broadcast-able semi-joins + one partial-agg degree
+    * shuffle. */
+  def kcorePeel(edges: DataFrame, k: Int = 2, rounds: Int = 4): DataFrame = {
+    val e = edges.toDF("x", "y").filter(col("x") =!= col("y"))
+    val sym = e.select(col("x").as("a"), col("y").as("b"))
+      .union(e.select(col("y").as("a"), col("x").as("b")))
+      .distinct()
+      .localCheckpoint()
+    val nodes = sym.select(col("a").as("node")).distinct().localCheckpoint()
+    var alive = nodes
+    for (_ <- 1 to rounds) {
+      alive = sym
+        .join(alive.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(alive.select(col("node").as("b")), Seq("b"), "left_semi")
+        .groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("node")
+        .localCheckpoint()
+    }
+    nodes.join(alive.withColumn("flag", lit(true)), Seq("node"), "left_outer")
+      .select(col("node"), coalesce(col("flag"), lit(false)).as("in_core"))
+  }
+
+  /** 2-core peel over the trigram-Jaccard pair graph — the fourth member
+    * of the one-graph family (components / communities / pagerank /
+    * triangles / core). */
+  def graphKcore(s: SparkSession, dir: String): DataFrame =
+    kcorePeel(TextQueries.dedupNgramJaccard(s, dir).select("doc1", "doc2"))
+
   /** Pointer-doubling ancestor closure: (node → root, depth) over a
     * parent-pointer table in O(log depth) ROUNDS — the technique that
     * makes hierarchy walks feasible at cluster scale (a naive
@@ -305,6 +346,7 @@ object Graphs {
     "graph_pagerank" -> (graphPagerank _),
     "graph_communities" -> (graphCommunities _),
     "graph_ancestor_closure" -> (graphAncestorClosure _),
+    "graph_kcore" -> (graphKcore _),
     "graph_triangles" -> (graphTriangles _))
 
   /** The oracle computes the transitive closure of the same pair graph
@@ -389,6 +431,26 @@ object Graphs {
          |l0 AS (SELECT DISTINCT a AS node, a AS label FROM sym),
          |$rounds
          |SELECT node, label AS community FROM l4""".stripMargin
+    },
+    "graph_kcore" -> {
+      val pairsSql = TextQueries.oracle("dedup_ngram_jaccard")
+      // four synchronous peel rounds unrolled as CTEs: a node survives
+      // round t iff >= 2 of its neighbours survived round t-1
+      val rounds = (1 to 4).map { t =>
+        s"""s$t AS (
+           |  SELECT s.a AS node FROM sym s
+           |  JOIN s${t - 1} x ON x.node = s.a
+           |  JOIN s${t - 1} y ON y.node = s.b
+           |  GROUP BY s.a HAVING COUNT(*) >= 2)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS ($pairsSql),
+         |sym AS (SELECT DISTINCT a, b FROM (
+         |  SELECT doc1 AS a, doc2 AS b FROM pairs WHERE doc1 <> doc2
+         |  UNION ALL SELECT doc2, doc1 FROM pairs WHERE doc1 <> doc2)),
+         |s0 AS (SELECT DISTINCT a AS node FROM sym),
+         |$rounds
+         |SELECT n.node, s4.node IS NOT NULL AS in_core
+         |FROM s0 n LEFT JOIN s4 ON s4.node = n.node""".stripMargin
     },
     "graph_triangles" -> {
       val knnSql = SketchQueries.oracle("sim_knn_graph")

@@ -141,16 +141,109 @@ object Multimodal {
       .filter(col("n_copies") >= 2)
   }
 
+  /** Chunk-level dedup over binary payloads — the shift-resistant CAS
+    * layer [[multimodalDedupBytes]] cannot reach: a re-crawled payload
+    * with a small leading edit shares NO whole-payload hash, but its
+    * content-defined chunks re-synchronize right after the edit, so
+    * chunk-level dedup still collapses ~all of its bytes. Planted
+    * re-crawls (%9, mirrored negative id) carry an 8-byte prefix edit
+    * for exactly this reason. Chunking + hashing run in ONE
+    * mapPartitions pass (the documented multimodal decode-batching
+    * shape — graft.functions.CdcChunks.chunkLengths is the same static
+    * kernel the native Expression calls, and slicing here keeps payload
+    * bytes OUT of every shuffle): only (16-byte md5, length, media_id)
+    * rows reach the group-by. Hashes are md5 over the chunk's uppercase
+    * hex rendering (DuckDB md5 binds to VARCHAR — the frame-sample
+    * precedent). */
+  def multimodalChunkDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = t(s, dir, "documents").select(
+      col("doc_id").as("media_id"), col("text"))
+    val recrawled = media.filter(col("media_id") % 9 === 0)
+      .select((-col("media_id") - 1).as("media_id"),
+        concat(lit("edited: "), col("text")).as("text"))
+    val hexDigits = "0123456789ABCDEF".toCharArray
+    media.unionByName(recrawled).as[(Long, String)]
+      .mapPartitions { it =>
+        // per-partition codec/hasher init would go here
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          var off = 0
+          graft.functions.CdcChunks.chunkLengths(bytes).iterator.map { len =>
+            val hx = new Array[Byte](2 * len)
+            var i = 0
+            while (i < len) {
+              val b = bytes(off + i) & 0xff
+              hx(2 * i) = hexDigits(b >> 4).toByte
+              hx(2 * i + 1) = hexDigits(b & 15).toByte
+              i += 1
+            }
+            off += len
+            md.reset()
+            val dig = md.digest(hx)
+            (dig.map(b => f"$b%02x").mkString, len.toLong, id)
+          }
+        }
+      }
+      .toDF("chunk_md5", "chunk_bytes", "media_id")
+      .groupBy("chunk_md5", "chunk_bytes")
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col("media_id")).as("n_media"),
+        min("media_id").as("first_media"))
+      .filter(col("n_media") >= 2)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_dedup_bytes" -> (multimodalDedupBytes _),
+    "multimodal_chunk_dedup" -> (multimodalChunkDedup _),
     "multimodal_frame_sample" -> (multimodalFrameSample _))
 
   /** The oracle rebuilds each byte's high nibble from the hex encoding of
     * the UTF-8 payload: byte i ⟺ hex chars (2i+1, 2i+2), and the first of
     * the pair IS the high nibble. A doc × 16-bin grid left join fills the
     * empty bins with 0 so the joined string always has 16 entries. */
+  /** The chunk oracle replays the CDC kernel the way text_cdc_chunks'
+    * oracle does (every 16-byte window hash recomputed independently
+    * with list_reduce in mod-2^61-1 space), then slices each chunk out
+    * of the hex rendering (2 hex chars per byte — charset-proof) and
+    * hashes it. */
+  private val CHUNK_SQL = {
+    val w = graft.functions.CdcChunks.W
+    val div = graft.functions.CdcChunks.Mask + 1
+    val byteList =
+      s"""list_transform(generate_series(0, CAST(len(hx) // 2 - 1 AS BIGINT)),
+         |      i -> CAST((strpos('0123456789ABCDEF', substr(hx, 2*i+1, 1)) - 1) * 16
+         |              + (strpos('0123456789ABCDEF', substr(hx, 2*i+2, 1)) - 1) AS HUGEINT))""".stripMargin
+    s"""WITH m AS (
+       |  SELECT doc_id AS media_id, text FROM documents
+       |  UNION ALL
+       |  SELECT -doc_id - 1, 'edited: ' || text FROM documents WHERE doc_id % 9 = 0),
+       |b AS (SELECT media_id, hex(encode(text)) AS hx FROM m),
+       |bs AS (SELECT media_id, hx, $byteList AS bs FROM b),
+       |e AS (SELECT media_id, hx, len(bs) AS n,
+       |    list_filter(generate_series($w, len(bs)), e ->
+       |      list_reduce(list_prepend(CAST(0 AS HUGEINT), bs[e-${w - 1}:e]),
+       |        (h, x) -> (h * 31 + x) % 2305843009213693951) % $div = 0) AS ends0
+       |  FROM bs),
+       |ae AS (SELECT media_id, hx, n,
+       |    CASE WHEN len(ends0) > 0 AND ends0[-1] = n THEN ends0 ELSE ends0 || [n] END AS ends
+       |  FROM e WHERE n > 0),
+       |ch AS (SELECT media_id,
+       |    md5(substr(hx, 2 * CAST(COALESCE(ends[i-1], 0) AS BIGINT) + 1,
+       |        2 * CAST(ends[i] - COALESCE(ends[i-1], 0) AS BIGINT))) AS chunk_md5,
+       |    CAST(ends[i] - COALESCE(ends[i-1], 0) AS BIGINT) AS chunk_bytes
+       |  FROM ae, LATERAL unnest(generate_series(1, len(ends))) t(i))
+       |SELECT chunk_md5, chunk_bytes, CAST(COUNT(*) AS BIGINT) AS n_copies,
+       |  CAST(COUNT(DISTINCT media_id) AS BIGINT) AS n_media,
+       |  MIN(media_id) AS first_media
+       |FROM ch GROUP BY 1, 2
+       |HAVING COUNT(DISTINCT media_id) >= 2""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "multimodal_chunk_dedup" -> CHUNK_SQL,
     "multimodal_dedup_bytes" ->
       """WITH m AS (
         |  SELECT doc_id AS media_id, text FROM documents

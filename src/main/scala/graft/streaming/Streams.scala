@@ -309,6 +309,37 @@ object Streams {
     }
   }
 
+  case class TransState(ts: Long, id: Long, tpe: String)
+  case class TransOut(user_id: Long, prev: String, next: String)
+
+  /** Streaming counterpart of the batch events_transition_matrix pair
+    * extraction: per user the state is ONE (ts, id, type) triple — the
+    * last event seen — so a consecutive pair that straddles a
+    * micro-batch boundary is still emitted (the lead-window semantics a
+    * stateless stream map cannot reproduce). State is bounded by the
+    * user population, never by event volume. With per-user ascending
+    * arrival across batches the emitted multiset of (prev, next) pairs
+    * equals the batch lead window's exactly (spec-verified); the
+    * downstream count/normalize step is the stateless aggregate both
+    * sides share. Input: (user_id, ts_ns, event_id, event_type). */
+  def transitions(events: Dataset[(Long, Long, Long, String)]): Dataset[TransOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (uid: Long, it: Iterator[(Long, Long, Long, String)],
+       state: GroupState[TransState]) =>
+        val evs = it.map(e => (e._2, e._3, e._4)).toArray.sortBy(e => (e._1, e._2))
+        var last = state.getOption
+        val out = Array.newBuilder[TransOut]
+        for ((ts, id, tpe) <- evs) {
+          last.foreach(p => out += TransOut(uid, p.tpe, tpe))
+          last = Some(TransState(ts, id, tpe))
+        }
+        last.foreach(state.update)
+        out.result().iterator
+    }
+  }
+
   case class BkState(items: Seq[(Long, Long)], nSeen: Long) // (h, v_fp) asc, ≤ k
   case class BkOut(event_type: String, n_seen: Long, n_sample: Long,
                    p50_fp: Long, p95_fp: Long)

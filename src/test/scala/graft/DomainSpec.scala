@@ -396,6 +396,29 @@ class DomainSpec extends SparkSpec {
     // (2947 cells), not here; the replay above is the exactness check
   }
 
+  test("range overlap matches a Scala bbox replay; overlap bounded by either range") {
+    val got = DomainQueries.occRangeOverlap(spark, sf)
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    val pts = DomainQueries.valid(spark, sf)
+      .select("species", "lat", "lon").as[(String, Double, Double)].collect()
+    val bbox = pts.groupBy(_._1).map { case (sp, g) =>
+      val las = g.map(p => math.floor(p._2 * 10.0).toLong)
+      val los = g.map(p => math.floor(p._3 * 10.0).toLong)
+      sp -> (las.min, las.max, los.min, los.max)
+    }
+    val sps = bbox.keys.toSeq.sorted
+    val expected = (for {
+      s1 <- sps; s2 <- sps if s1 < s2
+      (alo, ahi, blo, bhi) = bbox(s1)
+      (clo, chi, dlo, dhi) = bbox(s2)
+      dlat = math.min(ahi, chi) - math.max(alo, clo)
+      dlon = math.min(bhi, dhi) - math.max(blo, dlo)
+      if dlat > 0 && dlon > 0
+    } yield (s1, s2) -> ((dlat, dlon, dlat * dlon))).toMap
+    assert(got === expected)
+  }
+
   test("accumulation curve matches a Scala rarefaction replay, monotone to the total") {
     val got = DomainQueries.occAccumulationCurve(spark, sf)
       .as[(Long, Long, Long)].collect().sortBy(_._1)

@@ -168,4 +168,16 @@ class GraphsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got === brute.toMap)
   }
+
+  test("kcore: a triangle survives the peel, its tail strips layer by layer") {
+    // 1-2-3 triangle with a 3-4-5 tail: 5 peels first, then 4; the
+    // triangle keeps degree 2 forever
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L)).toDF("x", "y")
+    val got = Graphs.kcorePeel(edges).as[(Long, Boolean)].collect().toMap
+    assert(got === Map(1L -> true, 2L -> true, 3L -> true, 4L -> false, 5L -> false))
+    // a pure cycle is its own 2-core: nothing peels
+    val cycle = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 10L)).toDF("x", "y")
+    val gotC = Graphs.kcorePeel(cycle).as[(Long, Boolean)].collect().toMap
+    assert(gotC.values.forall(identity) && gotC.size === 4)
+  }
 }

@@ -59,4 +59,34 @@ class MultimodalSpec extends SparkSpec {
     assert(idx.nonEmpty)
     assert(idx.forall(_ % 2 == 0))
   }
+
+  test("chunk dedup: a prefix-edited re-crawl shares chunks whole-payload hashing misses") {
+    val shared = Multimodal.multimodalChunkDedup(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(shared.nonEmpty)
+    assert(shared.forall(r => r._4 >= 2 && r._3 >= r._4)) // copies >= media
+    // replay: for one planted pair, the edited copy's chunk hash multiset
+    // must intersect the original's even though the full payloads differ
+    val doc = graft.Tables.t(spark, sf, "documents")
+      .filter("doc_id % 9 = 0 AND length(text) > 200")
+      .select("doc_id", "text").as[(Long, String)].head()
+    def chunkSet(text: String): Set[String] = {
+      val bytes = text.getBytes("UTF-8")
+      var off = 0
+      graft.functions.CdcChunks.chunkLengths(bytes).map { len =>
+        val hx = bytes.slice(off, off + len).map(b => f"${b & 0xff}%02X").mkString
+        off += len
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(hx.getBytes("US-ASCII")).map(b => f"$b%02x").mkString
+      }.toSet
+    }
+    val orig = chunkSet(doc._2)
+    val edited = chunkSet("edited: " + doc._2)
+    assert(orig !== edited) // the edit does change the leading chunk(s)
+    val common = orig.intersect(edited)
+    assert(common.nonEmpty, "CDC boundaries failed to re-synchronize")
+    // every shared chunk of this pair is visible in the operator output
+    val outHashes = shared.map(_._1).toSet
+    assert(common.subsetOf(outHashes))
+  }
 }

@@ -21,7 +21,11 @@ class PlanAuditSpec extends SparkSpec {
     "sim_rp_topk" -> "shortlist crossJoin against 5 broadcast reduced-dim query rows",
     "spatial_nearest" -> "argmin expand against a broadcast 20-row centroid dim",
     "text_surprisal" -> "crossJoin against the single-row broadcast corpus-total frame",
-    "events_ttl_sweep" -> "crossJoin against the single-row broadcast watermark frame")
+    "events_ttl_sweep" -> "crossJoin against the single-row broadcast watermark frame",
+    "data_skew_audit" -> "crossJoin against the single-row broadcast key-space stats frame",
+    "text_keyword_tfidf" -> "crossJoin against the single-row broadcast corpus-total frame",
+    "meta_fk_audit" -> "per-leg crossJoin against a single-row broadcast total frame",
+    "occ_range_overlap" -> "triangle (a < b) BNLJ against the broadcast ≤|species|-row bbox table")
 
   test("no query plans a nested-loop or cartesian join outside the whitelist") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -107,7 +111,19 @@ class PlanAuditSpec extends SparkSpec {
     "q19_star_join" -> 1, // at gate scale even filtered orders broadcasts: agg shuffle only
     "text_curation_verdict" -> 6, // hash keeper agg + gram df/doc aggs + 3 doc_id join legs; cluster leg reads its checkpoint
     "events_value_histogram" -> 1, // ONE (type, bin) agg, <=64 rows per type
-    "occ_temporal_trend" -> 2) // (species, year) count + per-species fold
+    "occ_temporal_trend" -> 2, // (species, year) count + per-species fold
+    "sim_kmeans_assign" -> 0, // final assignment scans the checkpointed projection: ZERO
+    "data_skew_audit" -> 3, // key-count agg + rank window + heavy-rank window (aggregate-sized)
+    "events_anomaly_mad" -> 1, // ONE type window off the checkpointed calendar-bounded daily agg
+    "text_keyword_tfidf" -> 5, // tf agg (planned per reference) + df agg + top-5 doc window
+    "text_bigram_surprisal" -> 6, // pair window replayed per vocab reference; ReusedExchange dedupes at runtime
+    "occ_cell_diversity" -> 2, // (cell, species) agg + cellid window/agg ride one exchange
+    "occ_accumulation_curve" -> 5, // species window + bucket window + j agg; total/curve legs are ≤256-row
+    "occ_range_overlap" -> 2, // bbox agg planned per self-join side; runtime reuses
+    "events_transition_matrix" -> 3, // lead window + pair agg + row-total window (aggregate-sized)
+    "meta_fk_audit" -> 16, // four independent audit legs; single-row count aggs dominate
+    "multimodal_chunk_dedup" -> 2, // chunk-hash agg + count-distinct expand; payloads never shuffle
+    "graph_kcore" -> 0) // returned plan joins the node/survivor checkpoints: ZERO
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
     // the shard grid must drive the exchange (parallelism = shard count),

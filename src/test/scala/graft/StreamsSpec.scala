@@ -128,6 +128,35 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming transitions equal the batch lead window, pairs cross batch bounds") {
+    // whole-corpus agreement with the batch matrix
+    val src = DomainQueries.events(spark, sf)
+      .select(col("user_id"), col("ts_ns"), col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+    val stateful = Streams.transitions(src).collect()
+      .groupBy(o => (o.prev, o.next)).map { case (k, v) => k -> v.length.toLong }
+    val batch = operators.Analytics.eventsTransitionMatrix(spark, sf)
+      .select("prev", "next", "n").as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(stateful === batch)
+    // a pair straddling the micro-batch boundary is still emitted
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val q = Streams.transitions(mem.toDS())
+      .writeStream.format("memory").queryName("trans_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((7L, 1000L, 1L, "view"), (7L, 2000L, 2L, "click"))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM trans_out").as[Long].head() === 1)
+      mem.addData((7L, 3000L, 3L, "purchase")) // pairs with batch-1's click
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT prev, next FROM trans_out ORDER BY next")
+        .as[(String, String)].collect().toSeq
+      assert(rows === Seq(("view", "click"), ("click", "purchase")))
+    } finally q.stop()
+  }
+
   test("streaming schema drift converges to the batch monitor across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val src = DomainQueries.events(spark, sf)
