@@ -353,6 +353,43 @@ object Analytics {
       |  FROM c)
       |WHERE rn <= 25""".stripMargin
 
+  /** Rolling 7-day distinct users (WAU) with same-day distinct (DAU) and
+    * the DAU/WAU stickiness ratio in exact milli-units — THE
+    * product-health triple, and a genuinely hard distinct at scale
+    * because distinct counts do not merge across overlapping windows.
+    * The scale-correct shape: dedup to CALENDAR-bounded (user, day)
+    * pairs first (one partial-agg exchange over at most users ×
+    * active-days rows), then each pair contributes to the 7 windows
+    * ending on days d..d+6 via a static explode, and ONE aggregation
+    * finishes both counts — DAU is the off=0 filtered distinct of the
+    * SAME exploded relation, so there is no second scan, no join, and
+    * the dau ≥ 1 filter IS the clamp that drops phantom trailing
+    * windows (a window day is real iff some pair lands on it at
+    * offset 0). */
+  def eventsUniquesSliding(s: SparkSession, dir: String): DataFrame =
+    DomainQueries.events(s, dir)
+      .select(col("user_id"), expr(s"ts_ns div $DAY_NS").as("day"))
+      .distinct()
+      .select(col("user_id"), col("day"),
+        explode(expr("sequence(0L, 6L)")).as("off"))
+      .groupBy((col("day") + col("off")).as("day"))
+      .agg(countDistinct("user_id").as("wau"),
+        countDistinct(when(col("off") === 0, col("user_id"))).as("dau"))
+      .filter(col("dau") >= 1)
+      .withColumn("milli_stickiness", expr("dau * 1000 div wau"))
+
+  private val UNIQUES_SQL =
+    s"""WITH du AS (
+       |  SELECT DISTINCT user_id, epoch_ns(ts) // $DAY_NS AS day FROM events),
+       |w AS (SELECT du.user_id, du.day + t.o AS day, t.o
+       |      FROM du, LATERAL unnest(generate_series(0, 6)) t(o))
+       |SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau,
+       |  CAST(COUNT(DISTINCT CASE WHEN o = 0 THEN user_id END) AS BIGINT) AS dau,
+       |  CAST(COUNT(DISTINCT CASE WHEN o = 0 THEN user_id END) * 1000
+       |    // COUNT(DISTINCT user_id) AS BIGINT) AS milli_stickiness
+       |FROM w GROUP BY day
+       |HAVING COUNT(DISTINCT CASE WHEN o = 0 THEN user_id END) >= 1""".stripMargin
+
   /** First-order Markov transition matrix over per-user event sequences
     * — the journey model events_top_paths' trigram mining reads OUT of:
     * for every consecutive (prev → next) pair, its count and the exact
@@ -806,6 +843,7 @@ object Analytics {
     "sim_kmeans_assign" -> (simKmeansAssign _),
     "events_anomaly_mad" -> (eventsAnomalyMad _),
     "events_transition_matrix" -> (eventsTransitionMatrix _),
+    "events_uniques_sliding" -> (eventsUniquesSliding _),
     "meta_scd2_history" -> (metaScd2History _),
     "events_value_quantiles" -> (eventsValueQuantiles _),
     "events_cusum" -> (eventsCusum _),
@@ -825,6 +863,7 @@ object Analytics {
     "sim_kmeans_assign" -> KMEANS_SQL,
     "events_anomaly_mad" -> ANOMALY_SQL,
     "events_transition_matrix" -> TRANSITION_SQL,
+    "events_uniques_sliding" -> UNIQUES_SQL,
     "meta_scd2_history" -> SCD2_SQL,
     "events_value_quantiles" -> QUANTILES_SQL,
     "events_cusum" -> CUSUM_SQL,

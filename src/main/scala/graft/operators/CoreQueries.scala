@@ -235,6 +235,34 @@ object CoreQueries {
         count(lit(1)).as("n_items"))
   }
 
+  /** TPC-H Q20-shaped nested-aggregate semi-join chain: suppliers who
+    * dominate at least one part's supply — shipped more than an EIGHTH
+    * of that part's total (every part has 13-41 suppliers in this
+    * schema, so uniform share is 2.4-7.7% and >12.5% marks a genuinely
+    * concentrated supplier; the corpus p99 share is 11.6%) — the
+    * two-level aggregate feeding a semi-join that q15/q16's
+    * correlations don't cover. Quantities go through the DECIMAL cast
+    * before summing (order-free exact), and the dominance compare
+    * multiplies by 8 instead of dividing (no rational rounding on
+    * either engine). Plan: the (part, supp) partial
+    * aggregate is ONE lineitem exchange; part totals fold from that
+    * aggregate via a partkey window riding a second (aggregate-sized)
+    * exchange; the supplier join is broadcast; one final per-supplier
+    * count. */
+  def q20(s: SparkSession, dir: String): DataFrame = {
+    val ps = t(s, dir, "lineitem")
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum(dec2(col("l_quantity"))).as("qty"))
+    val withTot = ps.withColumn("tot",
+      sum("qty").over(Window.partitionBy("l_partkey")))
+    val dominant = withTot.filter(col("qty") * 8 > col("tot"))
+    dominant
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("s_suppkey"), col("s_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_parts_dominated"))
+  }
+
   /** Correlated scalar subquery: orders priced above 1.5× their
     * customer's average — the threshold-vs-own-group-mean filter shape.
     * Planned as a join against the pre-aggregated per-customer means (one
@@ -310,6 +338,7 @@ object CoreQueries {
 
   val queries: Map[String, Q] = Map(
     "q19_star_join" -> (q19 _),
+    "q20_dominant_supplier" -> (q20 _),
     "q18_running_window" -> (q18 _),
     "q17_kmv_distinct" -> (q17 _),
     "q13_pivot" -> (q13 _),
@@ -334,6 +363,21 @@ object CoreQueries {
   private val DP = "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))"
 
   val oracle: Map[String, String] = Map(
+    "q20_dominant_supplier" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+        |wt AS (SELECT l_partkey, l_suppkey, qty,
+        |         SUM(qty) OVER (PARTITION BY l_partkey) AS tot
+        |       FROM ps)
+        |SELECT s_suppkey, s_name, n_name,
+        |  CAST(COUNT(*) AS BIGINT) AS n_parts_dominated
+        |FROM wt
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE qty * 8 > tot
+        |GROUP BY s_suppkey, s_name, n_name""".stripMargin,
     "q19_star_join" ->
       s"""SELECT n_name,
          |  CAST(SUM($DP) AS DOUBLE) AS revenue,

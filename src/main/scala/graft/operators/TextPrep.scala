@@ -485,7 +485,37 @@ object TextPrep {
       |  st.max_n, st.p50_n, st.p99_n, st.max_n * 1000 // st.p50_n AS skew_milli
       |FROM top CROSS JOIN st""".stripMargin
 
+  /** Vocabulary frequency-spectrum audit — the fixed-size corpus-health
+    * diagnostic behind every Zipf sanity check (a crawl whose spectrum
+    * bends away from the power law has a boilerplate flood or a parser
+    * bug): vocabulary terms bucket by floor(log₂ frequency) (the exact
+    * bin()-length lattice), each bin reporting its word count and total
+    * token mass. ≤ 64 rows at ANY corpus size and NO global rank — the
+    * log-bucketing replaces the rank-frequency sort that would need a
+    * single-task vocabulary window. The Zipf check itself (n_words
+    * roughly halving per bin) is the consumer's one-liner over the ≤64
+    * rows; hapax mass sits in bin 0 by construction. Plan: one (token)
+    * partial-agg exchange + one ≤64-row bin aggregate. */
+  def textFreqSpectrum(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .select(expr("cast(length(bin(c)) - 1 as bigint)").as("freq_bits"), col("c"))
+      .groupBy("freq_bits")
+      .agg(count(lit(1)).as("n_words"), sum("c").as("token_mass"))
+
+  private val SPECTRUM_SQL =
+    """WITH tok AS (
+      |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      |  FROM documents),
+      |v AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY w)
+      |SELECT CAST(length(bin(c)) - 1 AS BIGINT) AS freq_bits,
+      |  CAST(COUNT(*) AS BIGINT) AS n_words,
+      |  CAST(SUM(c) AS BIGINT) AS token_mass
+      |FROM v GROUP BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "text_freq_spectrum" -> (textFreqSpectrum _),
     "data_skew_audit" -> (dataSkewAudit _),
     "data_mixture_sample" -> (dataMixtureSample _),
     "data_compact_files" -> (dataCompactFiles _),
@@ -499,6 +529,7 @@ object TextPrep {
     "data_pack_sequences" -> (dataPackSequences _))
 
   val oracle: Map[String, String] = Map(
+    "text_freq_spectrum" -> SPECTRUM_SQL,
     "data_skew_audit" -> SKEW_SQL,
     "data_mixture_sample" -> MIX_SQL,
     "data_compact_files" -> COMPACT_SQL,

@@ -437,6 +437,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.map(r => (r._1, r._2) -> r._3).toMap === expected)
   }
 
+  test("sliding uniques: planted overlap gives the hand-computed WAU/DAU") {
+    val day = 86400000000000L
+    val tmp = java.nio.file.Files.createTempDirectory("wau").toString
+    // u1@d0, u2@d0, u2@d3, u3@d7 (duplicate event same user-day dedups)
+    Seq((1L, 0L * day, 1L), (2L, 0L * day + 5L, 2L), (3L, 0L * day + 9L, 2L),
+        (4L, 3L * day, 2L), (5L, 7L * day, 3L))
+      .toDF("event_id", "ts", "user_id")
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/events.parquet")
+    val got = Analytics.eventsUniquesSliding(spark, tmp)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // windows exist only for days present in the stream: 0, 3, 7
+    assert(got.keySet === Set(0L, 3L, 7L))
+    assert(got(0L) === ((0L, 2L, 2L, 1000L))) // window -6..0: u1, u2
+    assert(got(3L) === ((3L, 2L, 1L, 500L)))  // window -3..3: u1, u2
+    assert(got(7L) === ((7L, 2L, 1L, 500L)))  // window 1..7: u2(d3), u3
+  }
+
   test("random projection: hand-computed dot for one vector matches") {
     val out = Analytics.simRandomProjection(spark, sf)
     val row = out.filter(col("vec_id") === 7).collect().head

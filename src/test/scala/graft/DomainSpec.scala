@@ -396,6 +396,25 @@ class DomainSpec extends SparkSpec {
     // (2947 cells), not here; the replay above is the exactness check
   }
 
+  test("q20: planted supply shares split exactly at the one-eighth fence") {
+    import org.apache.spark.sql.SaveMode
+    val tmp = java.nio.file.Files.createTempDirectory("q20").toString
+    // part 1: 90/10 split -> only supp 10 dominates; part 2: 50/50 -> both
+    Seq((1L, 10L, 90.0), (1L, 11L, 10.0), (2L, 10L, 50.0), (2L, 11L, 50.0))
+      .toDF("l_partkey", "l_suppkey", "l_quantity")
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/lineitem.parquet")
+    Seq((10L, "SUPA", 0L), (11L, "SUPB", 0L))
+      .toDF("s_suppkey", "s_name", "s_nationkey")
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/supplier.parquet")
+    Seq((0L, "GERMANY")).toDF("n_nationkey", "n_name")
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/nation.parquet")
+    val got = CoreQueries.q20(spark, tmp)
+      .as[(Long, String, String, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got === Map(
+      10L -> ((10L, "SUPA", "GERMANY", 2L)),
+      11L -> ((11L, "SUPB", "GERMANY", 1L))))
+  }
+
   test("range overlap matches a Scala bbox replay; overlap bounded by either range") {
     val got = DomainQueries.occRangeOverlap(spark, sf)
       .as[(String, String, Long, Long, Long)].collect()

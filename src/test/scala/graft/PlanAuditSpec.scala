@@ -123,7 +123,10 @@ class PlanAuditSpec extends SparkSpec {
     "events_transition_matrix" -> 3, // lead window + pair agg + row-total window (aggregate-sized)
     "meta_fk_audit" -> 16, // four independent audit legs; single-row count aggs dominate
     "multimodal_chunk_dedup" -> 2, // chunk-hash agg + count-distinct expand; payloads never shuffle
-    "graph_kcore" -> 0) // returned plan joins the node/survivor checkpoints: ZERO
+    "graph_kcore" -> 0, // returned plan joins the node/survivor checkpoints: ZERO
+    "q20_dominant_supplier" -> 3, // (part,supp) agg + partkey window + final agg; dims broadcast
+    "events_uniques_sliding" -> 3, // (user,day) distinct + dual-distinct expand, ONE pass, no join
+    "text_freq_spectrum" -> 2) // vocab agg + ≤64-row bin agg
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
     // the shard grid must drive the exchange (parallelism = shard count),

@@ -300,6 +300,17 @@ class TextPrepSpec extends SparkSpec {
     assert(!got.contains(3L) && !got.contains(4L)) // only zero-idf terms
   }
 
+  test("freq spectrum: planted frequencies land in their exact log2 bins") {
+    import org.apache.spark.sql.SaveMode
+    // a,b,c,d once (bin 0), e twice (bin 1), f four times (bin 2)
+    val docs = Seq((1L, "a b c d e f f"), (2L, "e f f")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("spectrum").toString
+    docs.write.mode(SaveMode.Overwrite).parquet(s"$tmp/documents.parquet")
+    val got = operators.TextPrep.textFreqSpectrum(spark, tmp)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got === Map(0L -> ((4L, 4L)), 1L -> ((1L, 2L)), 2L -> ((1L, 4L))))
+  }
+
   test("bigram surprisal: perfectly periodic text scores 0, branching context pays") {
     import org.apache.spark.sql.SaveMode
     // d1: every context has ONE continuation -> 0 bits everywhere
