@@ -390,6 +390,90 @@ object Analytics {
        |FROM w GROUP BY day
        |HAVING COUNT(DISTINCT CASE WHEN o = 0 THEN user_id END) >= 1""".stripMargin
 
+  /** Inter-arrival gap histogram per event type — the temporal sibling of
+    * events_value_histogram and THE diagnostic read before choosing a
+    * sessionize gap, a throttle window, or a streaming watermark (the
+    * p99.9 gap bin IS the watermark you need): consecutive same-(user,
+    * type) events' gaps in seconds, bucketed by the exact floor-log2
+    * lattice (length(bin(gap+1))-1 — gap 0 lands in bin 0, no float log
+    * anywhere). Output is ≤ |types| × ~40 bins at ANY event volume.
+    * Plan: ONE (user_id, event_type) exchange carries the lag window,
+    * then a tiny bin aggregate — no join, no second scan. */
+  def eventsGapHistogram(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type").orderBy("ts_ns", "event_id")
+    DomainQueries.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts_ns"), col("event_id"))
+      .withColumn("prev", lag("ts_ns", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("event_type"),
+        expr("cast(length(bin((ts_ns - prev) div 1000000000 + 1)) - 1 as bigint)")
+          .as("gap_bits"))
+      .groupBy("event_type", "gap_bits")
+      .agg(count(lit(1)).as("n_gaps"))
+  }
+
+  private val GAP_SQL =
+    """WITH e AS (
+      |  SELECT user_id, event_type, event_id, epoch_ns(ts) AS ts_ns FROM events),
+      |g AS (SELECT event_type,
+      |        ts_ns - LAG(ts_ns) OVER (
+      |          PARTITION BY user_id, event_type ORDER BY ts_ns, event_id) AS gap
+      |      FROM e)
+      |SELECT event_type,
+      |  CAST(length(bin(gap // 1000000000 + 1)) - 1 AS BIGINT) AS gap_bits,
+      |  CAST(COUNT(*) AS BIGINT) AS n_gaps
+      |FROM g WHERE gap IS NOT NULL GROUP BY 1, 2""".stripMargin
+
+  /** Market-basket brand affinity — the co-occurrence/lift mining that
+    * drives "bought together" recommendation candidates and (in a
+    * training-data pipeline) source-correlation audits: for every brand
+    * pair sharing an order, the support count and the exact milli-lift
+    * support·N·1000 div (cnt_a·cnt_b) (> 1000 means the pair co-occurs
+    * MORE than independent brands would — all-integer, no rational
+    * rounding on either engine). The (order, brand) dedup bounds the
+    * self-join: pairs per order ≤ (distinct brands per order)², and the
+    * pair space itself is ≤ |brands|² regardless of fact size. Plan: one
+    * partkey join, one dedup exchange, then the pair self-join rides a
+    * single orderkey exchange of the CHECKPOINTED dedup relation (four
+    * references — checkpoint stops the plan replaying the join per
+    * reference, the triangles/containment discipline); brand counts and
+    * the order total broadcast back. */
+  def affinityBrandPairs(s: SparkSession, dir: String): DataFrame = {
+    val ob = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      .join(t(s, dir, "part").select("p_partkey", "p_brand"),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
+      .distinct()
+      .localCheckpoint()
+    val nOrders = ob.agg(countDistinct("ok").as("n_orders"))
+    val brandCnt = ob.groupBy("brand").agg(count(lit(1)).as("cnt"))
+    ob.as("a").join(ob.as("b"),
+        col("a.ok") === col("b.ok") && col("a.brand") < col("b.brand"))
+      .groupBy(col("a.brand").as("brand_a"), col("b.brand").as("brand_b"))
+      .agg(count(lit(1)).as("support"))
+      .join(broadcast(brandCnt.select(col("brand").as("brand_a"), col("cnt").as("cnt_a"))), "brand_a")
+      .join(broadcast(brandCnt.select(col("brand").as("brand_b"), col("cnt").as("cnt_b"))), "brand_b")
+      .crossJoin(broadcast(nOrders))
+      .select(col("brand_a"), col("brand_b"), col("support"),
+        expr("support * n_orders * 1000 div (cnt_a * cnt_b)").as("lift_milli"))
+  }
+
+  private val AFFINITY_SQL =
+    """WITH ob AS (
+      |  SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM ob),
+      |bc AS (SELECT brand, CAST(COUNT(*) AS BIGINT) AS cnt FROM ob GROUP BY brand),
+      |p AS (SELECT a.brand AS brand_a, b.brand AS brand_b,
+      |        CAST(COUNT(*) AS BIGINT) AS support
+      |      FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand < b.brand
+      |      GROUP BY 1, 2)
+      |SELECT brand_a, brand_b, support,
+      |  CAST(support * n.n_orders * 1000 // (ca.cnt * cb.cnt) AS BIGINT) AS lift_milli
+      |FROM p CROSS JOIN n
+      |JOIN bc ca ON brand_a = ca.brand
+      |JOIN bc cb ON brand_b = cb.brand""".stripMargin
+
   /** First-order Markov transition matrix over per-user event sequences
     * — the journey model events_top_paths' trigram mining reads OUT of:
     * for every consecutive (prev → next) pair, its count and the exact
@@ -844,6 +928,8 @@ object Analytics {
     "events_anomaly_mad" -> (eventsAnomalyMad _),
     "events_transition_matrix" -> (eventsTransitionMatrix _),
     "events_uniques_sliding" -> (eventsUniquesSliding _),
+    "events_gap_histogram" -> (eventsGapHistogram _),
+    "affinity_brand_pairs" -> (affinityBrandPairs _),
     "meta_scd2_history" -> (metaScd2History _),
     "events_value_quantiles" -> (eventsValueQuantiles _),
     "events_cusum" -> (eventsCusum _),
@@ -864,6 +950,8 @@ object Analytics {
     "events_anomaly_mad" -> ANOMALY_SQL,
     "events_transition_matrix" -> TRANSITION_SQL,
     "events_uniques_sliding" -> UNIQUES_SQL,
+    "events_gap_histogram" -> GAP_SQL,
+    "affinity_brand_pairs" -> AFFINITY_SQL,
     "meta_scd2_history" -> SCD2_SQL,
     "events_value_quantiles" -> QUANTILES_SQL,
     "events_cusum" -> CUSUM_SQL,

@@ -356,7 +356,63 @@ object Records {
     ).mkString("\nUNION ALL\n")
   }
 
+  /** Per-column statistical profile of the orders snapshot — the
+    * analyze-table / data-quality profiler every pipeline runs before
+    * publishing (null density, distinct cardinality, value range per
+    * column), deequ-shaped but exact. All six columns profile in ONE
+    * scan: a single aggregate computes every (n_null, n_distinct,
+    * min, max) tuple (the multi-count-distinct plans as one Expand —
+    * 6× row replication in-place, still one pass and one exchange),
+    * then explode(array(struct…)) unpivots the 1-row aggregate into
+    * 6 rows — NOT Stack(), which is CodegenFallback and would drag
+    * the whole aggregate output into interpreted eval. min/max render
+    * through type-stable casts (bigint→string, double→DECIMAL(18,2)
+    * →string, timestamp→date→string) so both engines print identical
+    * text. */
+  def metaColumnProfile(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    def stats(c: String, render: org.apache.spark.sql.Column => org.apache.spark.sql.Column) = Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+      countDistinct(col(c)).as(s"nd_$c"),
+      render(min(col(c))).cast("string").as(s"mn_$c"),
+      render(max(col(c))).cast("string").as(s"mx_$c"))
+    val ident = (x: org.apache.spark.sql.Column) => x
+    val money = (x: org.apache.spark.sql.Column) => x.cast("decimal(18,2)")
+    val day = (x: org.apache.spark.sql.Column) => x.cast("date")
+    val cols = Seq(
+      "o_orderkey" -> ident, "o_custkey" -> ident, "o_orderstatus" -> ident,
+      "o_totalprice" -> money, "o_orderdate" -> day, "o_orderpriority" -> ident)
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { case (c, r) => stats(c, r) }
+    o.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map { case (c, _) =>
+        struct(lit(c).as("col_name"), col("n_rows"),
+          col(s"nn_$c").as("n_null"), col(s"nd_$c").as("n_distinct"),
+          col(s"mn_$c").as("min_v"), col(s"mx_$c").as("max_v"))
+      }: _*)).as("p"))
+      .select(col("p.*"))
+  }
+
+  private val PROFILE_SQL = {
+    def leg(c: String, renderMin: String, renderMax: String) =
+      s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_null,
+         |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST($renderMin AS VARCHAR) AS min_v,
+         |  CAST($renderMax AS VARCHAR) AS max_v
+         |FROM orders""".stripMargin
+    Seq(
+      leg("o_orderkey", "MIN(o_orderkey)", "MAX(o_orderkey)"),
+      leg("o_custkey", "MIN(o_custkey)", "MAX(o_custkey)"),
+      leg("o_orderstatus", "MIN(o_orderstatus)", "MAX(o_orderstatus)"),
+      leg("o_totalprice", "MIN(CAST(o_totalprice AS DECIMAL(18,2)))",
+        "MAX(CAST(o_totalprice AS DECIMAL(18,2)))"),
+      leg("o_orderdate", "CAST(MIN(o_orderdate) AS DATE)", "CAST(MAX(o_orderdate) AS DATE)"),
+      leg("o_orderpriority", "MIN(o_orderpriority)", "MAX(o_orderpriority)")
+    ).mkString("\nUNION ALL\n")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "meta_column_profile" -> (metaColumnProfile _),
     "meta_fk_audit" -> (metaFkAudit _),
     "data_snapshot_diff" -> (dataSnapshotDiff _),
     "meta_portal_records" -> (portalRecordsFlat _),
@@ -416,6 +472,7 @@ object Records {
         |FROM err""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "meta_column_profile" -> PROFILE_SQL,
     "meta_fk_audit" -> FK_SQL,
     "data_snapshot_diff" -> DIFF_SQL,
     "meta_dwh_records" -> DWH_SQL,

@@ -454,6 +454,35 @@ class AnalyticsSpec extends SparkSpec {
     assert(got(7L) === ((7L, 2L, 1L, 500L)))  // window 1..7: u2(d3), u3
   }
 
+  test("gap histogram: planted gaps land in exact log2 second bins") {
+    val sec = 1000000000L
+    val tmp = java.nio.file.Files.createTempDirectory("gaps").toString
+    // u1/a: gaps 1s,2s,7s -> bins 1,1,3; u1/b: single event, no gap;
+    // u2/a: two events SAME ts -> gap 0 -> bin 0
+    Seq((1L, 0L, 1L, "a"), (2L, 1L * sec, 1L, "a"), (3L, 3L * sec, 1L, "a"),
+        (4L, 10L * sec, 1L, "a"), (5L, 0L, 1L, "b"),
+        (6L, 5L * sec, 2L, "a"), (7L, 5L * sec, 2L, "a"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/events.parquet")
+    val got = Analytics.eventsGapHistogram(spark, tmp)
+      .as[(String, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got === Map(("a", 1L) -> 2L, ("a", 3L) -> 1L, ("a", 0L) -> 1L))
+  }
+
+  test("brand affinity: planted baskets give exact support and milli-lift") {
+    val tmp = java.nio.file.Files.createTempDirectory("affinity").toString
+    // o1 {B1,B2} (B1 twice -> dedups), o2 {B1,B2}, o3 {B1}
+    Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L), (3L, 1L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/lineitem.parquet")
+    Seq((1L, "B1"), (2L, "B2"), (3L, "B1")).toDF("p_partkey", "p_brand")
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/part.parquet")
+    val got = Analytics.affinityBrandPairs(spark, tmp)
+      .as[(String, String, Long, Long)].collect()
+    // support 2 of 3 orders; cnt(B1)=3, cnt(B2)=2 -> lift = 2*3*1000/6 = 1000
+    assert(got.toSeq === Seq(("B1", "B2", 2L, 1000L)))
+  }
+
   test("random projection: hand-computed dot for one vector matches") {
     val out = Analytics.simRandomProjection(spark, sf)
     val row = out.filter(col("vec_id") === 7).collect().head

@@ -415,6 +415,27 @@ class DomainSpec extends SparkSpec {
       11L -> ((11L, "SUPB", "GERMANY", 1L))))
   }
 
+  test("column profile: planted nulls, ranges and renders are exact") {
+    import org.apache.spark.sql.SaveMode
+    import java.time.LocalDateTime
+    val tmp = java.nio.file.Files.createTempDirectory("profile").toString
+    Seq(
+      (1L, Option(10L), "F", 100.5, LocalDateTime.of(1995, 1, 2, 0, 0), "1-URGENT"),
+      (2L, Option.empty[Long], "O", 200.0, LocalDateTime.of(1995, 3, 4, 0, 0), "2-HIGH"),
+      (3L, Option(10L), "F", 50.25, LocalDateTime.of(1995, 1, 2, 0, 0), "3-MEDIUM"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/orders.parquet")
+    val got = graft.operators.Records.metaColumnProfile(spark, tmp)
+      .as[(String, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.size === 6 && got.values.forall(_._2 == 3L))
+    assert(got("o_custkey") === (("o_custkey", 3L, 1L, 1L, "10", "10")))
+    assert(got("o_totalprice") === (("o_totalprice", 3L, 0L, 3L, "50.25", "200.00")))
+    assert(got("o_orderdate") === (("o_orderdate", 3L, 0L, 2L, "1995-01-02", "1995-03-04")))
+    assert(got("o_orderstatus") === (("o_orderstatus", 3L, 0L, 2L, "F", "O")))
+  }
+
   test("range overlap matches a Scala bbox replay; overlap bounded by either range") {
     val got = DomainQueries.occRangeOverlap(spark, sf)
       .as[(String, String, Long, Long, Long)].collect()

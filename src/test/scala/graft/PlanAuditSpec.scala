@@ -25,7 +25,8 @@ class PlanAuditSpec extends SparkSpec {
     "data_skew_audit" -> "crossJoin against the single-row broadcast key-space stats frame",
     "text_keyword_tfidf" -> "crossJoin against the single-row broadcast corpus-total frame",
     "meta_fk_audit" -> "per-leg crossJoin against a single-row broadcast total frame",
-    "occ_range_overlap" -> "triangle (a < b) BNLJ against the broadcast ≤|species|-row bbox table")
+    "occ_range_overlap" -> "triangle (a < b) BNLJ against the broadcast ≤|species|-row bbox table",
+    "affinity_brand_pairs" -> "crossJoin against the single-row broadcast order-total frame")
 
   test("no query plans a nested-loop or cartesian join outside the whitelist") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -126,7 +127,10 @@ class PlanAuditSpec extends SparkSpec {
     "graph_kcore" -> 0, // returned plan joins the node/survivor checkpoints: ZERO
     "q20_dominant_supplier" -> 3, // (part,supp) agg + partkey window + final agg; dims broadcast
     "events_uniques_sliding" -> 3, // (user,day) distinct + dual-distinct expand, ONE pass, no join
-    "text_freq_spectrum" -> 2) // vocab agg + ≤64-row bin agg
+    "text_freq_spectrum" -> 2, // vocab agg + ≤64-row bin agg
+    "events_gap_histogram" -> 2, // one (user,type) window exchange + tiny bin agg
+    "affinity_brand_pairs" -> 7, // all over the CHECKPOINTED dedup: SMJ pair sides + pair agg + 2 brand-count legs + 2-step distinct total
+    "meta_column_profile" -> 2) // one Expand-fused profile agg (partial + final); unpivot is exchange-free
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
     // the shard grid must drive the exchange (parallelism = shard count),
