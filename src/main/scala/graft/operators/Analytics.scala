@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables.t
+import graft.Determinism.dec2
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -389,6 +390,194 @@ object Analytics {
        |    // COUNT(DISTINCT user_id) AS BIGINT) AS milli_stickiness
        |FROM w GROUP BY day
        |HAVING COUNT(DISTINCT CASE WHEN o = 0 THEN user_id END) >= 1""".stripMargin
+
+  /** Distributed exact global row_number — the primitive that replaces
+    * the single-task `Window.orderBy(...)` (Spark plans a partition-less
+    * window as ONE task holding the whole relation): range-repartition on
+    * the sort key (a distributed sort — boundaries come from sampling,
+    * but the RANK is invariant to where the cuts land because the order
+    * is total), then per-partition counts (an O(partitions) driver
+    * collect, the lengthDeciles discipline) turn local positions into
+    * global ranks in one more pass. Sort keys MUST include a unique
+    * tiebreaker or the rank is nondeterministic. */
+  private def globalRowNumber(df: DataFrame, order: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val s = df.sparkSession
+    val np = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val sorted = df.repartitionByRange(np, order: _*).sortWithinPartitions(order: _*)
+    val rdd = sorted.rdd
+    rdd.localCheckpoint() // counts + emit both read it; don't recompute the sort
+    val counts = rdd.mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val bc = s.sparkContext.broadcast(offsets)
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+      var k = bc.value(i)
+      it.map { r => k += 1; Row.fromSeq(r.toSeq :+ k) }
+    }
+    s.createDataFrame(out, sorted.schema.add("rn", LongType, nullable = false))
+  }
+
+  /** Exact NTILE(k) bucket from a 1-based global rank — the SQL-standard
+    * split (first n mod k buckets get one extra row), in pure integer
+    * arithmetic (div, never float division) so both engines agree on
+    * every tie-boundary row. */
+  private def ntileFromRank(rnCol: String, n: Long, k: Int) = {
+    val base = n / k; val rem = n % k; val cut = rem * (base + 1)
+    val b = if (base == 0) 1L else base
+    expr(s"cast(case when $cut > 0 and $rnCol <= $cut " +
+      s"then ($rnCol - 1) div ${base + 1} + 1 " +
+      s"else $rem + ($rnCol - $cut - 1) div $b + 1 end as bigint)")
+  }
+
+  /** RFM segmentation — recency / frequency / monetary quintiles per
+    * user, the behavioral-cohort primitive behind churn and LTV models.
+    * Monetary sums in 2^-10 fixed point (order-free exact); each
+    * dimension's quintile is an EXACT global NTILE(5) computed WITHOUT a
+    * partition-less window: [[globalRowNumber]] range-repartitions and
+    * offsets local positions (three range exchanges over the |users|-row
+    * aggregate — never a single task holding all users), and
+    * [[ntileFromRank]] replays the standard NTILE split integer-exact.
+    * Quintile 5 = best (most recent / most frequent / highest spend),
+    * ties broken by user_id on both engines. */
+  def eventsRfm(s: SparkSession, dir: String): DataFrame = {
+    val perUser = DomainQueries.events(s, dir)
+      .select(col("user_id"), expr(s"ts_ns div $DAY_NS").as("day"),
+        expr("cast(floor(value * 1024) as bigint)").as("v_fp"))
+      .groupBy("user_id")
+      .agg(max("day").as("last_day"), count(lit(1)).as("freq"),
+        coalesce(sum("v_fp"), lit(0L)).as("monetary_fp"))
+    val maxDay = perUser.agg(max("last_day").as("max_day"))
+    // checkpoint: count() + the first rank sort would otherwise replay
+    // the events aggregate twice (the pagerank edge-list lesson)
+    val scored = perUser.crossJoin(broadcast(maxDay))
+      .select(col("user_id"), (col("max_day") - col("last_day")).as("r_days"),
+        col("freq"), col("monetary_fp"))
+      .localCheckpoint()
+    val n = scored.count()
+    val r1 = globalRowNumber(scored, Seq(col("r_days").desc, col("user_id")))
+      .withColumnRenamed("rn", "r_rank")
+    val r2 = globalRowNumber(r1, Seq(col("freq"), col("user_id")))
+      .withColumnRenamed("rn", "f_rank")
+    val r3 = globalRowNumber(r2, Seq(col("monetary_fp"), col("user_id")))
+      .withColumnRenamed("rn", "m_rank")
+    r3.select(col("user_id"), col("r_days"), col("freq"), col("monetary_fp"),
+        ntileFromRank("r_rank", n, 5).as("r_q"),
+        ntileFromRank("f_rank", n, 5).as("f_q"),
+        ntileFromRank("m_rank", n, 5).as("m_q"))
+      .withColumn("rfm_code", col("r_q") * 100 + col("f_q") * 10 + col("m_q"))
+  }
+
+  private val RFM_SQL =
+    s"""WITH u AS (
+       |  SELECT user_id, MAX(epoch_ns(ts) // $DAY_NS) AS last_day,
+       |    CAST(COUNT(*) AS BIGINT) AS freq,
+       |    CAST(COALESCE(SUM(CAST(FLOOR(value * 1024) AS BIGINT)), 0) AS BIGINT)
+       |      AS monetary_fp
+       |  FROM events GROUP BY user_id),
+       |sc AS (SELECT user_id, (SELECT MAX(last_day) FROM u) - last_day AS r_days,
+       |         freq, monetary_fp FROM u),
+       |q AS (SELECT *,
+       |        CAST(NTILE(5) OVER (ORDER BY r_days DESC, user_id) AS BIGINT) AS r_q,
+       |        CAST(NTILE(5) OVER (ORDER BY freq, user_id) AS BIGINT) AS f_q,
+       |        CAST(NTILE(5) OVER (ORDER BY monetary_fp, user_id) AS BIGINT) AS m_q
+       |      FROM sc)
+       |SELECT user_id, r_days, freq, monetary_fp, r_q, f_q, m_q,
+       |  r_q * 100 + f_q * 10 + m_q AS rfm_code
+       |FROM q""".stripMargin
+
+  /** Per-nation Pareto/ABC classification of suppliers by revenue — the
+    * concentration audit (which 20% of sources carry 80% of the mass)
+    * every mixture curator runs: revenue sums DECIMAL-exact, scales to
+    * integral 10⁻⁴ fixed point, and the cumulative share + A/<=70% /
+    * B/<=90% / C class fences are pure BIGINT compares (cum*10 vs tot*7
+    * — no rational division anywhere). The windows partition by NATION
+    * (bounded groups over the supplier-level aggregate), never
+    * globally. */
+  def supplierParetoClass(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("s_suppkey"))
+      .agg(sum(dec2(col("l_extendedprice")) * dec2(lit(1) - col("l_discount")))
+        .as("rev"))
+      .select(col("n_name"), col("s_suppkey"),
+        // ×10⁴ clears ALL four decimal digits of the scale-4 product, so
+        // the value is integral BEFORE the cast — Spark truncates and
+        // DuckDB rounds decimal→bigint, which only agree on integers
+        (col("rev") * 10000).cast("long").as("rev_e4"))
+    val byNation = Window.partitionBy("n_name")
+    val ordered = Window.partitionBy("n_name")
+      .orderBy(col("rev_e4").desc, col("s_suppkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev.withColumn("cum", sum("rev_e4").over(ordered))
+      .withColumn("tot", sum("rev_e4").over(byNation))
+      .select(col("n_name"), col("s_suppkey"), col("rev_e4"),
+        expr("cum * 1000 div tot").as("cum_share_milli"),
+        when(col("cum") * 10 <= col("tot") * 7, "A")
+          .when(col("cum") * 10 <= col("tot") * 9, "B")
+          .otherwise("C").as("abc_class"))
+  }
+
+  private val PARETO_SQL =
+    """WITH r AS (
+      |  SELECT n_name, s_suppkey,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |             CAST(1 - l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT)
+      |      AS rev_e4
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  GROUP BY n_name, s_suppkey),
+      |w AS (SELECT n_name, s_suppkey, rev_e4,
+      |        CAST(SUM(rev_e4) OVER (PARTITION BY n_name
+      |          ORDER BY rev_e4 DESC, s_suppkey
+      |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+      |        CAST(SUM(rev_e4) OVER (PARTITION BY n_name) AS BIGINT) AS tot
+      |      FROM r)
+      |SELECT n_name, s_suppkey, rev_e4, cum * 1000 // tot AS cum_share_milli,
+      |  CASE WHEN cum * 10 <= tot * 7 THEN 'A'
+      |       WHEN cum * 10 <= tot * 9 THEN 'B' ELSE 'C' END AS abc_class
+      |FROM w""".stripMargin
+
+  /** Embedding-health audit before any ANN index build — the QA gate
+    * that catches the three classic upstream failures (zero vectors
+    * from a crashed encoder, truncated dimensions from a bad batch,
+    * norm drift between sources): per-label vector count, zero-vector
+    * count, dimension min/max, and the norm² range/mass in EXACT 2^-40
+    * fixed point (elements quantize at 2^-20, squares sum as BIGINTs —
+    * no float accumulation order anywhere). Plan: posexplode → per-vec
+    * aggregate → tiny per-label aggregate; two exchanges, codegen
+    * end-to-end (no HOF lambdas). */
+  def simNormAudit(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("j", "xf")))
+      .select(col("vec_id"), col("label"),
+        expr("cast(floor(cast(xf as double) * 1048576) as bigint)").as("x"))
+      .groupBy("vec_id", "label")
+      .agg(count(lit(1)).as("n_dims"), sum(expr("x * x")).as("normsq_fp"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("normsq_fp") === 0, 1L).otherwise(0L)).as("n_zero_vecs"),
+        min("n_dims").as("min_dims"), max("n_dims").as("max_dims"),
+        min("normsq_fp").as("min_normsq"), max("normsq_fp").as("max_normsq"),
+        sum("normsq_fp").as("total_normsq"))
+
+  private val NORM_SQL =
+    """WITH x AS (
+      |  SELECT vec_id, label,
+      |    CAST(FLOOR(CAST(e AS DOUBLE) * 1048576) AS BIGINT) AS x
+      |  FROM embeddings, LATERAL unnest(embedding) t(e)),
+      |v AS (SELECT vec_id, label, CAST(COUNT(*) AS BIGINT) AS n_dims,
+      |        CAST(SUM(x * x) AS BIGINT) AS normsq_fp
+      |      FROM x GROUP BY vec_id, label)
+      |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      |  CAST(SUM(CASE WHEN normsq_fp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_vecs,
+      |  MIN(n_dims) AS min_dims, MAX(n_dims) AS max_dims,
+      |  MIN(normsq_fp) AS min_normsq, MAX(normsq_fp) AS max_normsq,
+      |  CAST(SUM(normsq_fp) AS BIGINT) AS total_normsq
+      |FROM v GROUP BY label""".stripMargin
 
   /** Inter-arrival gap histogram per event type — the temporal sibling of
     * events_value_histogram and THE diagnostic read before choosing a
@@ -930,6 +1119,9 @@ object Analytics {
     "events_uniques_sliding" -> (eventsUniquesSliding _),
     "events_gap_histogram" -> (eventsGapHistogram _),
     "affinity_brand_pairs" -> (affinityBrandPairs _),
+    "events_rfm" -> (eventsRfm _),
+    "supplier_pareto_class" -> (supplierParetoClass _),
+    "sim_norm_audit" -> (simNormAudit _),
     "meta_scd2_history" -> (metaScd2History _),
     "events_value_quantiles" -> (eventsValueQuantiles _),
     "events_cusum" -> (eventsCusum _),
@@ -952,6 +1144,9 @@ object Analytics {
     "events_uniques_sliding" -> UNIQUES_SQL,
     "events_gap_histogram" -> GAP_SQL,
     "affinity_brand_pairs" -> AFFINITY_SQL,
+    "events_rfm" -> RFM_SQL,
+    "supplier_pareto_class" -> PARETO_SQL,
+    "sim_norm_audit" -> NORM_SQL,
     "meta_scd2_history" -> SCD2_SQL,
     "events_value_quantiles" -> QUANTILES_SQL,
     "events_cusum" -> CUSUM_SQL,

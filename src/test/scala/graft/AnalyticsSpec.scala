@@ -483,6 +483,56 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.toSeq === Seq(("B1", "B2", 2L, 1000L)))
   }
 
+  test("rfm: planted 7 users replay the standard NTILE split exactly") {
+    val day = 86400000000000L
+    val tmp = java.nio.file.Files.createTempDirectory("rfm").toString
+    // user u: one event on day u with value 10·u — all three dimensions
+    // order identically by user for f/m, reversed for recency rank
+    Seq.tabulate(7)(i => (i + 1L, (i + 1L) * day, i + 1L, (i + 1) * 10.0))
+      .toDF("event_id", "ts", "user_id", "value")
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/events.parquet")
+    val got = Analytics.eventsRfm(spark, tmp)
+      .select("user_id", "r_days", "r_q", "f_q", "m_q").as[(Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    // n=7, k=5 -> bucket sizes 2,2,1,1,1 (first n%k buckets get the extra)
+    val expQ = Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 3L, 6L -> 4L, 7L -> 5L)
+    for (u <- 1L to 7L) {
+      assert(got(u)._2 === 7L - u) // recency in days
+      assert(got(u)._3 === expQ(u)) // r order: oldest first -> same split
+      assert(got(u)._4 === expQ(u) && got(u)._5 === expQ(u))
+    }
+  }
+
+  test("pareto: planted 70/20/10 revenue splits exactly at the ABC fences") {
+    val tmp = java.nio.file.Files.createTempDirectory("pareto").toString
+    Seq((1L, 70.0, 0.0), (2L, 20.0, 0.0), (3L, 10.0, 0.0))
+      .toDF("l_suppkey", "l_extendedprice", "l_discount")
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/lineitem.parquet")
+    Seq((1L, 0L), (2L, 0L), (3L, 0L)).toDF("s_suppkey", "s_nationkey")
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/supplier.parquet")
+    Seq((0L, "X")).toDF("n_nationkey", "n_name")
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/nation.parquet")
+    val got = Analytics.supplierParetoClass(spark, tmp)
+      .as[(String, Long, Long, Long, String)].collect().map(r => r._2 -> r).toMap
+    assert(got(1L) === (("X", 1L, 700000L, 700L, "A"))) // 70% is still A
+    assert(got(2L) === (("X", 2L, 200000L, 900L, "B"))) // 90% is still B
+    assert(got(3L) === (("X", 3L, 100000L, 1000L, "C")))
+  }
+
+  test("norm audit: planted vectors give exact fixed-point norms and zero count") {
+    val tmp = java.nio.file.Files.createTempDirectory("norms").toString
+    Seq((1L, Array(0.5f, -0.5f), "a"), (2L, Array(0.0f, 0.0f), "a"),
+        (3L, Array(0.25f), "b"))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/embeddings.parquet")
+    val got = Analytics.simNormAudit(spark, tmp)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    val half = 524288L * 524288L // floor(±0.5·2^20)² — exact, no rounding
+    assert(got("a") === (("a", 2L, 1L, 2L, 2L, 0L, 2 * half, 2 * half)))
+    assert(got("b") === (("b", 1L, 0L, 1L, 1L, half / 4, half / 4, half / 4)))
+  }
+
   test("random projection: hand-computed dot for one vector matches") {
     val out = Analytics.simRandomProjection(spark, sf)
     val row = out.filter(col("vec_id") === 7).collect().head

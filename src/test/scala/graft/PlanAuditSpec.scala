@@ -130,7 +130,10 @@ class PlanAuditSpec extends SparkSpec {
     "text_freq_spectrum" -> 2, // vocab agg + ≤64-row bin agg
     "events_gap_histogram" -> 2, // one (user,type) window exchange + tiny bin agg
     "affinity_brand_pairs" -> 7, // all over the CHECKPOINTED dedup: SMJ pair sides + pair agg + 2 brand-count legs + 2-step distinct total
-    "meta_column_profile" -> 2) // one Expand-fused profile agg (partial + final); unpivot is exchange-free
+    "meta_column_profile" -> 2, // one Expand-fused profile agg (partial + final); unpivot is exchange-free
+    "events_rfm" -> 0, // returned plan reads the ranked RDD: rank exchanges happen at build
+    "supplier_pareto_class" -> 2, // (nation,supp) agg + nation window; both dims broadcast
+    "sim_norm_audit" -> 2) // per-vec agg + tiny per-label agg
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
     // the shard grid must drive the exchange (parallelism = shard count),
