@@ -579,6 +579,74 @@ object Analytics {
       |  CAST(SUM(normsq_fp) AS BIGINT) AS total_normsq
       |FROM v GROUP BY label""".stripMargin
 
+  /** Product quantization — the compression step inside every IVF-PQ
+    * ANN index: the 64-dim vector splits into 8 subspaces of 8 dims,
+    * each subvector snaps to the nearest of 4 codebook entries, and the
+    * vector becomes a 16-bit code (8 base-4 digits) plus an exact
+    * reconstruction error. Codebook = the 4 md5-order seed vectors
+    * ('pq:' salt — every operator derives its OWN hash stream), shared
+    * across subspaces by slicing; everything is 2^-20 fixed point so
+    * argmin ties and error sums are BIGINT-exact on both engines.
+    * Plan: the fixed-point widening is checkpointed (seed collect +
+    * assignment both scan it), assignment itself is a PURE codegen'd
+    * projection — zero exchanges in the returned plan, the shape that
+    * lets a 100 TB corpus quantize embarrassingly parallel. */
+  def simPqQuantize(s: SparkSession, dir: String): DataFrame = {
+    val fixed = t(s, dir, "embeddings")
+      .select(col("vec_id") +: (0 until 64).map(i =>
+        expr(s"cast(floor(cast(embedding[$i] as double) * 1048576) as bigint)").as(s"x$i")): _*)
+      .localCheckpoint()
+    val seedH = expr(
+      "cast(conv(substring(md5(cast(concat('pq:', vec_id) as binary)), 1, 13), 16, 10) as bigint)")
+    val seeds: Array[Array[Long]] = fixed
+      .withColumn("h", seedH)
+      .orderBy("h", "vec_id").limit(4)
+      .select((0 until 64).map(i => col(s"x$i")): _*)
+      .collect().map(r => Array.tabulate(64)(r.getLong))
+    val subCols = (0 until 8).map { c =>
+      val pairs = seeds.zipWithIndex.map { case (sv, k) =>
+        val d2 = (0 until 8)
+          .map { i => val d = col(s"x${c * 8 + i}") - lit(sv(c * 8 + i)); d * d }
+          .reduce(_ + _)
+        struct(d2.as("d2"), lit(k.toLong).as("k"))
+      }
+      least(pairs.toSeq: _*).as(s"a$c")
+    }
+    fixed.select(col("vec_id") +: subCols: _*)
+      .select(col("vec_id"),
+        (0 until 8).map(c => expr(s"shiftleft(a$c.k, ${2 * c})")).reduce(_ + _).as("pq_code"),
+        (0 until 8).map(c => col(s"a$c.d2")).reduce(_ + _).as("recon_err"))
+  }
+
+  private val PQ_SQL =
+    """WITH f AS (
+      |  SELECT vec_id,
+      |    list_transform(generate_series(1, 64),
+      |      j -> CAST(FLOOR(CAST(embedding[j] AS DOUBLE) * 1048576) AS BIGINT)) AS x
+      |  FROM embeddings),
+      |sd AS (
+      |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, vec_id) AS BIGINT) - 1 AS k, x AS c
+      |  FROM (SELECT vec_id, x,
+      |          ('0x' || substr(md5('pq:' || CAST(vec_id AS VARCHAR)), 1, 13))::BIGINT AS h
+      |        FROM f)
+      |  ORDER BY h, vec_id LIMIT 4),
+      |d AS (
+      |  SELECT f.vec_id, g.sub, sd.k,
+      |    list_sum(list_transform(generate_series(1, 8),
+      |      i -> (f.x[g.sub * 8 + i] - sd.c[g.sub * 8 + i]) *
+      |           (f.x[g.sub * 8 + i] - sd.c[g.sub * 8 + i]))) AS d2
+      |  FROM f
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS sub) g
+      |  CROSS JOIN sd),
+      |a AS (
+      |  SELECT vec_id, sub, k, d2,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, k) AS rn
+      |  FROM d)
+      |SELECT vec_id,
+      |  CAST(SUM(CASE WHEN rn = 1 THEN k << (2 * sub) END) AS BIGINT) AS pq_code,
+      |  CAST(SUM(CASE WHEN rn = 1 THEN d2 END) AS BIGINT) AS recon_err
+      |FROM a GROUP BY vec_id""".stripMargin
+
   /** Inter-arrival gap histogram per event type — the temporal sibling of
     * events_value_histogram and THE diagnostic read before choosing a
     * sessionize gap, a throttle window, or a streaming watermark (the
@@ -1122,6 +1190,7 @@ object Analytics {
     "events_rfm" -> (eventsRfm _),
     "supplier_pareto_class" -> (supplierParetoClass _),
     "sim_norm_audit" -> (simNormAudit _),
+    "sim_pq_quantize" -> (simPqQuantize _),
     "meta_scd2_history" -> (metaScd2History _),
     "events_value_quantiles" -> (eventsValueQuantiles _),
     "events_cusum" -> (eventsCusum _),
@@ -1147,6 +1216,7 @@ object Analytics {
     "events_rfm" -> RFM_SQL,
     "supplier_pareto_class" -> PARETO_SQL,
     "sim_norm_audit" -> NORM_SQL,
+    "sim_pq_quantize" -> PQ_SQL,
     "meta_scd2_history" -> SCD2_SQL,
     "events_value_quantiles" -> QUANTILES_SQL,
     "events_cusum" -> CUSUM_SQL,

@@ -263,6 +263,31 @@ object CoreQueries {
       .agg(count(lit(1)).as("n_parts_dominated"))
   }
 
+  /** TPC-H Q21-shaped "who alone held up the order" blame query,
+    * re-expressed Spark-first: the classic form is TWO correlated
+    * self-joins on lineitem (EXISTS another supplier in the order,
+    * NOT EXISTS another LATE supplier); here both collapse into ONE
+    * per-order aggregate — distinct-supplier count, distinct-LATE-
+    * supplier count, and (via max over a guarded case) the identity of
+    * the single late supplier — so the fact table is scanned once and
+    * shuffled once on orderkey instead of three scans + two self-join
+    * shuffles. Late = shipped >90 days after the order date
+    * (timestamp-interval compare, exact on both engines). Orders with
+    * ≥2 suppliers where EXACTLY ONE shipped late blame that supplier. */
+  def q21(s: SparkSession, dir: String): DataFrame = {
+    val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS")
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey")
+      .agg(countDistinct("l_suppkey").as("n_supp"),
+        countDistinct(when(late, col("l_suppkey"))).as("n_late_supp"),
+        max(when(late, col("l_suppkey"))).as("blame_supp"))
+      .filter(col("n_supp") > 1 && col("n_late_supp") === 1)
+      .join(broadcast(t(s, dir, "supplier")), col("blame_supp") === col("s_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(count(lit(1)).as("n_orders_blamed"))
+  }
+
   /** Correlated scalar subquery: orders priced above 1.5× their
     * customer's average — the threshold-vs-own-group-mean filter shape.
     * Planned as a join against the pre-aggregated per-customer means (one
@@ -339,6 +364,7 @@ object CoreQueries {
   val queries: Map[String, Q] = Map(
     "q19_star_join" -> (q19 _),
     "q20_dominant_supplier" -> (q20 _),
+    "q21_single_late_blame" -> (q21 _),
     "q18_running_window" -> (q18 _),
     "q17_kmv_distinct" -> (q17 _),
     "q13_pivot" -> (q13 _),
@@ -363,6 +389,20 @@ object CoreQueries {
   private val DP = "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))"
 
   val oracle: Map[String, String] = Map(
+    "q21_single_late_blame" ->
+      """WITH per_order AS (
+        |  SELECT l_orderkey,
+        |    COUNT(DISTINCT l_suppkey) AS n_supp,
+        |    COUNT(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |      THEN l_suppkey END) AS n_late_supp,
+        |    MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |      THEN l_suppkey END) AS blame_supp
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY l_orderkey)
+        |SELECT s_suppkey, s_name, CAST(COUNT(*) AS BIGINT) AS n_orders_blamed
+        |FROM per_order JOIN supplier ON blame_supp = s_suppkey
+        |WHERE n_supp > 1 AND n_late_supp = 1
+        |GROUP BY s_suppkey, s_name""".stripMargin,
     "q20_dominant_supplier" ->
       """WITH ps AS (
         |  SELECT l_partkey, l_suppkey,

@@ -382,7 +382,35 @@ object TextQueries {
         sum(when(col("ascii_ok") && col("len_ok") && col("ttr_ok") && col("dig_ok"), 1L)
           .otherwise(0L)).as("n_kept"))
 
+  /** Prefix-duplicate (template/boilerplate) detection — the crawl-
+    * curation gate the full-document dedups sleep through: two docs that
+    * share their first 12 normalized tokens almost always share a
+    * TEMPLATE (scraped headers, license preambles, mirror banners) even
+    * when their tails diverge, so neither exact nor near-dup hashing
+    * groups them. Group key = md5 of the joined prefix tokens; groups of
+    * ≥2 report their size and the min-doc_id canonical. Plan: one
+    * codegen'd scan (regexp + slice + md5) and ONE hash-aggregate
+    * exchange on the 16-byte key — no pair generation at any scale. */
+  def dedupDocPrefix(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        md5(concat_ws(" ",
+          slice(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)),
+            1, 12))).as("prefix_hash"))
+      .groupBy("prefix_hash")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("canonical_doc_id"))
+      .filter(col("n_docs") >= 2)
+
+  private val PREFIX_SQL =
+    """SELECT md5(array_to_string(
+      |    list_slice(regexp_extract_all(lower(text), '[a-z0-9]+'), 1, 12), ' '))
+      |    AS prefix_hash,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  MIN(doc_id) AS canonical_doc_id
+      |FROM documents GROUP BY 1 HAVING COUNT(*) >= 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "dedup_doc_prefix" -> (dedupDocPrefix _),
     "text_curation_funnel" -> (textCurationFunnel _),
     "text_diversity" -> (textDiversity _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
@@ -395,6 +423,7 @@ object TextQueries {
     "sim_cosine_topk" -> (simCosineTopk _))
 
   val oracle: Map[String, String] = Map(
+    "dedup_doc_prefix" -> PREFIX_SQL,
     "dedup_incremental_exact" -> INCREMENTAL_SQL,
     // DuckDB regexp_replace needs the explicit 'g' flag (Spark's always
     // replaces all matches).

@@ -533,6 +533,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(got("b") === (("b", 1L, 0L, 1L, 1L, half / 4, half / 4, half / 4)))
   }
 
+  test("pq quantize: every vector gets a 16-bit code; errors are nonnegative") {
+    val out = Analytics.simPqQuantize(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    val nVecs = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(out.length === nVecs)
+    assert(out.forall(r => r._2 >= 0 && r._2 < (1 << 16) && r._3 >= 0))
+    // codes must actually spread (a constant code means assignment broke)
+    assert(out.map(_._2).distinct.length > 1)
+  }
+
+  test("pq quantize: planted codebook vector reconstructs itself exactly") {
+    val tmp = java.nio.file.Files.createTempDirectory("pq").toString
+    // 5 vectors; whichever 4 become seeds, each seed's own error is 0
+    Seq.tabulate(5)(v => (v.toLong, Array.tabulate(64)(i => (v * 0.01f + i * 0.001f)), "x"))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/embeddings.parquet")
+    val got = Analytics.simPqQuantize(spark, tmp)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(got.size === 5)
+    assert(got.values.count(_ == 0L) >= 4) // the 4 codebook members are exact
+  }
+
   test("random projection: hand-computed dot for one vector matches") {
     val out = Analytics.simRandomProjection(spark, sf)
     val row = out.filter(col("vec_id") === 7).collect().head

@@ -436,6 +436,27 @@ class DomainSpec extends SparkSpec {
     assert(got("o_orderstatus") === (("o_orderstatus", 3L, 0L, 2L, "F", "O")))
   }
 
+  test("q21: only the order with exactly one late supplier assigns blame") {
+    import org.apache.spark.sql.SaveMode
+    import java.sql.Timestamp
+    val tmp = java.nio.file.Files.createTempDirectory("q21").toString
+    def ts(d: String) = Timestamp.valueOf(s"$d 00:00:00")
+    // o1: supp 1 late, supp 2 on time -> blame 1; o2: both late -> no blame;
+    // o3: single-supplier order, late -> no blame (needs >1 suppliers)
+    Seq((1L, 1L, ts("1995-06-01")), (1L, 2L, ts("1995-01-15")),
+        (2L, 1L, ts("1995-06-01")), (2L, 2L, ts("1995-06-01")),
+        (3L, 1L, ts("1995-06-01")))
+      .toDF("l_orderkey", "l_suppkey", "l_shipdate")
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/lineitem.parquet")
+    Seq((1L, ts("1995-01-01")), (2L, ts("1995-01-01")), (3L, ts("1995-01-01")))
+      .toDF("o_orderkey", "o_orderdate")
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/orders.parquet")
+    Seq((1L, "SUPA"), (2L, "SUPB")).toDF("s_suppkey", "s_name")
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/supplier.parquet")
+    val got = CoreQueries.q21(spark, tmp).as[(Long, String, Long)].collect()
+    assert(got.toSeq === Seq((1L, "SUPA", 1L)))
+  }
+
   test("range overlap matches a Scala bbox replay; overlap bounded by either range") {
     val got = DomainQueries.occRangeOverlap(spark, sf)
       .as[(String, String, Long, Long, Long)].collect()

@@ -133,7 +133,10 @@ class PlanAuditSpec extends SparkSpec {
     "meta_column_profile" -> 2, // one Expand-fused profile agg (partial + final); unpivot is exchange-free
     "events_rfm" -> 0, // returned plan reads the ranked RDD: rank exchanges happen at build
     "supplier_pareto_class" -> 2, // (nation,supp) agg + nation window; both dims broadcast
-    "sim_norm_audit" -> 2) // per-vec agg + tiny per-label agg
+    "sim_norm_audit" -> 2, // per-vec agg + tiny per-label agg
+    "q21_single_late_blame" -> 3, // orderkey dual-distinct agg (2-step) + final supplier agg
+    "dedup_doc_prefix" -> 1, // one hash-agg exchange on the 16-byte prefix key
+    "sim_pq_quantize" -> 0) // pure codegen projection over the checkpointed fixed-point scan
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
     // the shard grid must drive the exchange (parallelism = shard count),

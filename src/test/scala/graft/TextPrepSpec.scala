@@ -300,6 +300,24 @@ class TextPrepSpec extends SparkSpec {
     assert(!got.contains(3L) && !got.contains(4L)) // only zero-idf terms
   }
 
+  test("doc prefix dedup: same first-12-token template groups; divergent tails don't split it") {
+    import org.apache.spark.sql.SaveMode
+    // exactly 12 shared tokens — the 13th diverges and must not matter
+    val head = "creative commons license applies to this mirrored page content follows right now"
+    val docs = Seq(
+      (10L, s"$head alpha beta gamma"),
+      (7L, s"$head totally different tail text here"),
+      (3L, "a short unique document"),
+      (4L, "another unique one"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("prefix").toString
+    docs.write.mode(SaveMode.Overwrite).parquet(s"$tmp/documents.parquet")
+    val got = operators.TextQueries.dedupDocPrefix(spark, tmp)
+      .as[(String, Long, Long)].collect()
+    assert(got.length === 1)
+    assert(got.head._2 === 2L && got.head._3 === 7L) // min doc_id is canonical
+  }
+
   test("freq spectrum: planted frequencies land in their exact log2 bins") {
     import org.apache.spark.sql.SaveMode
     // a,b,c,d once (bin 0), e twice (bin 1), f four times (bin 2)
