@@ -31,3 +31,31 @@ object Determinism {
   /** AVG with deterministic arithmetic: exact decimal sum, double divide. */
   def davg2(c: Column): Column = dsum2(c) / count(c)
 }
+
+/** Closed-form SQL-standard NTILE(k) over n rows — the ONE shared
+  * implementation of the bucket-boundary arithmetic (the first n mod k
+  * buckets take one extra row), so every operator that replays NTILE
+  * against a DuckDB oracle (lengthDeciles' weighted histogram,
+  * eventsRfm's quintiles) agrees tie-for-tie on the same math. All
+  * integer `div`, never float division. */
+final case class NtileSplit(n: Long, k: Int) {
+  val q: Long = n / k
+  val m: Long = n % k
+  val cut: Long = m * (q + 1)
+  private def intDiv(a: Column, b: Long): Column = call_function("div", a, lit(b))
+
+  /** Bucket (1..k) of a 1-based rank column. When n < k the rank IS the
+    * bucket (every bucket holds at most one row). */
+  def tile(r: Column): Column =
+    if (q == 0) r
+    else when(r <= cut, intDiv(r - 1, q + 1) + 1)
+      .otherwise(intDiv(r - cut - 1, q) + m + 1)
+
+  /** First 1-based rank inside bucket b. */
+  def bucketStart(b: Column): Column =
+    when(b <= m, (b - 1) * (q + 1) + 1).otherwise(lit(cut) + (b - m - 1) * q + 1)
+
+  /** Last 1-based rank inside bucket b. */
+  def bucketEnd(b: Column): Column =
+    when(b <= m, b * (q + 1)).otherwise(lit(cut) + (b - m) * q)
+}

@@ -407,28 +407,9 @@ object Analytics {
     val np = s.conf.get("spark.sql.shuffle.partitions").toInt
     val sorted = df.repartitionByRange(np, order: _*).sortWithinPartitions(order: _*)
     val rdd = sorted.rdd
-    rdd.localCheckpoint() // counts + emit both read it; don't recompute the sort
-    val counts = rdd.mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
-      .collect().sortBy(_._1).map(_._2)
-    val offsets = counts.scanLeft(0L)(_ + _)
-    val bc = s.sparkContext.broadcast(offsets)
-    val out = rdd.mapPartitionsWithIndex { (i, it) =>
-      var k = bc.value(i)
-      it.map { r => k += 1; Row.fromSeq(r.toSeq :+ k) }
-    }
+    rdd.localCheckpoint() // zipWithIndex's count job + emit pass both read it
+    val out = rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1)) }
     s.createDataFrame(out, sorted.schema.add("rn", LongType, nullable = false))
-  }
-
-  /** Exact NTILE(k) bucket from a 1-based global rank — the SQL-standard
-    * split (first n mod k buckets get one extra row), in pure integer
-    * arithmetic (div, never float division) so both engines agree on
-    * every tie-boundary row. */
-  private def ntileFromRank(rnCol: String, n: Long, k: Int) = {
-    val base = n / k; val rem = n % k; val cut = rem * (base + 1)
-    val b = if (base == 0) 1L else base
-    expr(s"cast(case when $cut > 0 and $rnCol <= $cut " +
-      s"then ($rnCol - 1) div ${base + 1} + 1 " +
-      s"else $rem + ($rnCol - $cut - 1) div $b + 1 end as bigint)")
   }
 
   /** RFM segmentation — recency / frequency / monetary quintiles per
@@ -462,10 +443,12 @@ object Analytics {
       .withColumnRenamed("rn", "f_rank")
     val r3 = globalRowNumber(r2, Seq(col("monetary_fp"), col("user_id")))
       .withColumnRenamed("rn", "m_rank")
+    // shared closed-form NTILE math (graft.NtileSplit, the lengthDeciles twin)
+    val sp = graft.NtileSplit(n, 5)
     r3.select(col("user_id"), col("r_days"), col("freq"), col("monetary_fp"),
-        ntileFromRank("r_rank", n, 5).as("r_q"),
-        ntileFromRank("f_rank", n, 5).as("f_q"),
-        ntileFromRank("m_rank", n, 5).as("m_q"))
+        sp.tile(col("r_rank")).cast("long").as("r_q"),
+        sp.tile(col("f_rank")).cast("long").as("f_q"),
+        sp.tile(col("m_rank")).cast("long").as("m_q"))
       .withColumn("rfm_code", col("r_q") * 100 + col("f_q") * 10 + col("m_q"))
   }
 

@@ -95,28 +95,17 @@ object TextPrep {
     }
     import s.implicits._
     val offDf = offsets.toSeq.toDF("pid", "off")
-    val q = n / 10
-    val m = n % 10
-    val cut = m * (q + 1) // rank cut: deciles 1..m have q+1 rows, rest q
-    def intDiv(a: Column, b: Long): Column = call_function("div", a, lit(b))
-    // closed-form NTILE: bucket of rank r, and [start, end] ranks of bucket b
-    def tile(r: Column): Column =
-      if (q == 0) r
-      else when(r <= cut, intDiv(r - 1, q + 1) + 1)
-        .otherwise(intDiv(r - cut - 1, q) + m + 1)
-    def bStart(b: Column): Column =
-      when(b <= m, (b - 1) * (q + 1) + 1).otherwise(lit(cut) + (b - m - 1) * q + 1)
-    def bEnd(b: Column): Column =
-      when(b <= m, b * (q + 1)).otherwise(lit(cut) + (b - m) * q)
+    // closed-form NTILE boundary math — shared with eventsRfm (graft.NtileSplit)
+    val sp = graft.NtileSplit(n, 10)
     val w = Window.partitionBy("pid").orderBy("n_chars")
     hist.withColumn("lcum", sum("cnt").over(w))
       .join(broadcast(offDf), "pid")
       .withColumn("hi", col("off") + col("lcum"))
       .withColumn("lo", col("hi") - col("cnt") + 1)
-      .withColumn("decile", explode(sequence(tile(col("lo")), tile(col("hi")))))
+      .withColumn("decile", explode(sequence(sp.tile(col("lo")), sp.tile(col("hi")))))
       .withColumn("rows_in",
-        least(col("hi"), bEnd(col("decile"))) -
-          greatest(col("lo"), bStart(col("decile"))) + 1)
+        least(col("hi"), sp.bucketEnd(col("decile"))) -
+          greatest(col("lo"), sp.bucketStart(col("decile"))) + 1)
       .groupBy("decile")
       .agg(sum("rows_in").as("n_docs"),
         min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))

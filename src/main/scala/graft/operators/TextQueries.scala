@@ -394,20 +394,29 @@ object TextQueries {
   def dedupDocPrefix(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"),
-        md5(concat_ws(" ",
-          slice(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)),
-            1, 12))).as("prefix_hash"))
+        slice(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)),
+          1, 12).as("pre"))
+      // token-free docs (NULL text, pure punctuation) are not templates,
+      // and the engines disagree on their render: Spark concat_ws('')
+      // hashes the empty string while DuckDB array_to_string yields NULL
+      // (the concat_ws-vs-NULL-propagation landmine class) — fence them
+      // out on BOTH sides instead of hashing them
+      .filter(size(col("pre")) >= 1)
+      .select(col("doc_id"), md5(concat_ws(" ", col("pre"))).as("prefix_hash"))
       .groupBy("prefix_hash")
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("canonical_doc_id"))
       .filter(col("n_docs") >= 2)
 
   private val PREFIX_SQL =
-    """SELECT md5(array_to_string(
-      |    list_slice(regexp_extract_all(lower(text), '[a-z0-9]+'), 1, 12), ' '))
-      |    AS prefix_hash,
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    list_slice(regexp_extract_all(lower(text), '[a-z0-9]+'), 1, 12) AS pre
+      |  FROM documents)
+      |SELECT md5(array_to_string(pre, ' ')) AS prefix_hash,
       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
       |  MIN(doc_id) AS canonical_doc_id
-      |FROM documents GROUP BY 1 HAVING COUNT(*) >= 2""".stripMargin
+      |FROM p WHERE len(pre) >= 1
+      |GROUP BY 1 HAVING COUNT(*) >= 2""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "dedup_doc_prefix" -> (dedupDocPrefix _),

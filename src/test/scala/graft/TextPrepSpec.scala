@@ -304,11 +304,15 @@ class TextPrepSpec extends SparkSpec {
     import org.apache.spark.sql.SaveMode
     // exactly 12 shared tokens — the 13th diverges and must not matter
     val head = "creative commons license applies to this mirrored page content follows right now"
+    // token-free docs (punctuation-only, NULL) must be fenced out, never
+    // grouped as a fake shared template (the concat_ws-vs-NULL landmine)
     val docs = Seq(
       (10L, s"$head alpha beta gamma"),
       (7L, s"$head totally different tail text here"),
       (3L, "a short unique document"),
-      (4L, "another unique one"))
+      (4L, "another unique one"),
+      (5L, "!!! ### ..."),
+      (6L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
     val tmp = java.nio.file.Files.createTempDirectory("prefix").toString
     docs.write.mode(SaveMode.Overwrite).parquet(s"$tmp/documents.parquet")
