@@ -288,6 +288,32 @@ object CoreQueries {
       .agg(count(lit(1)).as("n_orders_blamed"))
   }
 
+  /** TPC-H Q22-shaped "win-back prospect" query: customers with an
+    * above-average positive balance and NO order since 2000-01-01 (every
+    * synthetic customer has SOME order, so the lapse window is what makes
+    * the gate selective) — the one TPC-H composition that chains a GLOBAL
+    * scalar aggregate (not per-group like q15) into a filtered anti-join
+    * gate (q16's shape) into a final rollup. Plan: the threshold is a
+    * single-row aggregate broadcast-cross-joined into the customer scan
+    * (zero shuffle), the lapse gate is one left-anti hash join on custkey
+    * with the date filter pushed to the orders scan, and the segment
+    * rollup is one partial-aggregated exchange of |segments| rows. The
+    * average follows the §4 decimal discipline (DECIMAL sum, one final
+    * double division) so both engines derive the identical threshold. */
+  def q22(s: SparkSession, dir: String): DataFrame = {
+    val thr = t(s, dir, "customer").filter(col("c_acctbal") > 0.0)
+      .agg(davg2(col("c_acctbal")).as("avg_bal"))
+    t(s, dir, "customer")
+      .join(broadcast(thr))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(t(s, dir, "orders").filter(col("o_orderdate") >= lit("2000-01-01"))
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_prospects"),
+        dsum2(col("c_acctbal")).as("total_bal"))
+  }
+
   /** Correlated scalar subquery: orders priced above 1.5× their
     * customer's average — the threshold-vs-own-group-mean filter shape.
     * Planned as a join against the pre-aggregated per-customer means (one
@@ -365,6 +391,7 @@ object CoreQueries {
     "q19_star_join" -> (q19 _),
     "q20_dominant_supplier" -> (q20 _),
     "q21_single_late_blame" -> (q21 _),
+    "q22_prospect_share" -> (q22 _),
     "q18_running_window" -> (q18 _),
     "q17_kmv_distinct" -> (q17 _),
     "q13_pivot" -> (q13 _),
@@ -389,6 +416,19 @@ object CoreQueries {
   private val DP = "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))"
 
   val oracle: Map[String, String] = Map(
+    "q22_prospect_share" ->
+      """WITH thr AS (
+        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |           / COUNT(c_acctbal) AS avg_bal
+        |  FROM customer WHERE c_acctbal > 0.0)
+        |SELECT c_mktsegment,
+        |  CAST(COUNT(*) AS BIGINT) AS n_prospects,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer, thr
+        |WHERE c_acctbal > avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY c_mktsegment""".stripMargin,
     "q21_single_late_blame" ->
       """WITH per_order AS (
         |  SELECT l_orderkey,

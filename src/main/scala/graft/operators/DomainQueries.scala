@@ -420,6 +420,27 @@ object DomainQueries {
         col("overlap_lat_deci") * col("overlap_lon_deci"))
   }
 
+  /** IUCN-style range metrics next to the hull area (range_convex_hull,
+    * cf. range_estimation_pipeline, reference transforms.py:889-934):
+    * AOO — area of occupancy — as the count of DISTINCT occupied
+    * 0.02°-grid cells, and the EOO proxy as the bounding-box spans, all
+    * in exact integers (floor of a scaled coordinate; min/max/count are
+    * order-free, so no decimal machinery is needed). Plan: one
+    * partial-aggregated exchange of |species| rows — the distinct-cell
+    * count partial-aggregates on (species, cell) map-side first. */
+  def occEooAoo(s: SparkSession, dir: String): DataFrame =
+    valid(s, dir)
+      .select(col("species"),
+        expr("cast(floor(lat * 50.0) as bigint)").as("lat50"),
+        expr("cast(floor(lon * 50.0) as bigint)").as("lon50"),
+        expr("cast(floor(lat * 10.0) as bigint)").as("lat10"),
+        expr("cast(floor(lon * 10.0) as bigint)").as("lon10"))
+      .groupBy("species")
+      .agg(count(lit(1)).as("n_pts"),
+        countDistinct(col("lat50") * 20000 + col("lon50")).as("aoo_cells"),
+        (max("lat10") - min("lat10")).as("lat_span_deci"),
+        (max("lon10") - min("lon10")).as("lon_span_deci"))
+
   /** select_best_record per (species, 1°-cell): min uncertainty wins. */
   def occDedupeBest(s: SparkSession, dir: String): DataFrame = {
     val d = valid(s, dir)
@@ -1049,6 +1070,7 @@ object DomainQueries {
     "occ_cell_diversity" -> (occCellDiversity _),
     "occ_accumulation_curve" -> (occAccumulationCurve _),
     "occ_range_overlap" -> (occRangeOverlap _),
+    "occ_eoo_aoo" -> (occEooAoo _),
     "spatial_zorder_layout" -> (spatialZorderLayout _),
     "spatial_nearest" -> (spatialNearest _),
     "occ_temporal_trend" -> (occTemporalTrend _),
@@ -1150,6 +1172,15 @@ object DomainQueries {
         |        GROUP BY species) USING (species))
         |WHERE (mad_lat > 0 AND dev_lat > mad_lat * CAST(1.5 AS DOUBLE))
         |   OR (mad_lon > 0 AND dev_lon > mad_lon * CAST(1.5 AS DOUBLE))""".stripMargin),
+    "occ_eoo_aoo" -> withSql(OCC_SQL, VALID_SQL)(
+      """SELECT species, CAST(COUNT(*) AS BIGINT) AS n_pts,
+        |  CAST(COUNT(DISTINCT CAST(FLOOR(lat * 50.0) AS BIGINT) * 20000
+        |    + CAST(FLOOR(lon * 50.0) AS BIGINT)) AS BIGINT) AS aoo_cells,
+        |  MAX(CAST(FLOOR(lat * 10.0) AS BIGINT))
+        |    - MIN(CAST(FLOOR(lat * 10.0) AS BIGINT)) AS lat_span_deci,
+        |  MAX(CAST(FLOOR(lon * 10.0) AS BIGINT))
+        |    - MIN(CAST(FLOOR(lon * 10.0) AS BIGINT)) AS lon_span_deci
+        |FROM valid GROUP BY species""".stripMargin),
     "occ_range_overlap" -> withSql(OCC_SQL, VALID_SQL,
       """bbox AS (
         |  SELECT species,

@@ -411,7 +411,33 @@ object Records {
     ).mkString("\nUNION ALL\n")
   }
 
+  /** CDC apply — collapse a keyed change log to final table state, the
+    * incremental sibling of [[dataSnapshotDiff]] (models the reference's
+    * periodic index re-upserts, update_summary_index.py shape, as
+    * last-write-wins MERGE semantics). The events stream is read as the
+    * change log: user_id is the record key, `error` events are deletes,
+    * everything else upserts its payload; (ts, event_id) is the total
+    * change order, so replays are idempotent. A key survives iff its
+    * LATEST change is not a delete. Plan: ONE exchange on the key; the
+    * latest-change rank and the per-key change count share its sort. */
+  def cdcApply(s: SparkSession, dir: String): DataFrame = {
+    val log = DomainQueries.events(s, dir).select(
+      col("user_id").as("ukey"),
+      when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+      col("event_type"), col("value"), col("ts_ns"), col("event_id"))
+    val byKey = org.apache.spark.sql.expressions.Window.partitionBy("ukey")
+    val latest = byKey.orderBy(col("ts_ns").desc, col("event_id").desc)
+    log
+      .withColumn("rn", row_number().over(latest))
+      .withColumn("n_changes", count(lit(1)).over(byKey))
+      .filter(col("rn") === 1 && col("op") === "U")
+      .select(col("ukey"), col("event_type").as("last_type"),
+        col("value").as("last_val"), col("ts_ns").as("last_ts_ns"),
+        col("n_changes"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "meta_cdc_apply" -> (cdcApply _),
     "meta_column_profile" -> (metaColumnProfile _),
     "meta_fk_audit" -> (metaFkAudit _),
     "data_snapshot_diff" -> (dataSnapshotDiff _),
@@ -472,6 +498,21 @@ object Records {
         |FROM err""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "meta_cdc_apply" ->
+      """WITH chg AS (
+        |  SELECT user_id AS ukey,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    event_type, value, epoch_ns(ts) // 1000 * 1000 AS ts_ns, event_id
+        |  FROM events),
+        |ranked AS (
+        |  SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY ukey
+        |      ORDER BY ts_ns DESC, event_id DESC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY ukey) AS n_changes
+        |  FROM chg)
+        |SELECT ukey, event_type AS last_type, value AS last_val,
+        |  ts_ns AS last_ts_ns, CAST(n_changes AS BIGINT) AS n_changes
+        |FROM ranked WHERE rn = 1 AND op = 'U'""".stripMargin,
     "meta_column_profile" -> PROFILE_SQL,
     "meta_fk_audit" -> FK_SQL,
     "data_snapshot_diff" -> DIFF_SQL,

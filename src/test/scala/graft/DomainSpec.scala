@@ -502,4 +502,60 @@ class DomainSpec extends SparkSpec {
     assert(got.map(_._3).toSeq === got.map(_._3).sorted.toSeq)
     assert(got.last._3 === occs.map(_._2).distinct.length.toLong)
   }
+
+  test("q22: lapse gate and balance threshold select exactly the planted prospect") {
+    import org.apache.spark.sql.SaveMode
+    import java.sql.Timestamp
+    val tmp = java.nio.file.Files.createTempDirectory("q22").toString
+    // avg positive balance = (100+100+10)/3 = 70; negatives excluded from it
+    Seq((1L, "A", 0, 100.0, "AUTO"), (2L, "B", 0, 100.0, "BIKE"),
+        (3L, "C", 0, 10.0, "BIKE"), (4L, "D", 0, -50.0, "AUTO"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/customer.parquet")
+    // c1 ordered inside the lapse window -> excluded; c2 only before it
+    Seq((1L, 1L, Timestamp.valueOf("2000-05-01 00:00:00")),
+        (2L, 2L, Timestamp.valueOf("1999-01-01 00:00:00")))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/orders.parquet")
+    val got = CoreQueries.q22(spark, tmp).as[(String, Long, Double)].collect()
+    assert(got.toSeq === Seq(("BIKE", 1L, 100.0)))
+  }
+
+  test("eoo/aoo: metrics match an exact Scala replay of the grid") {
+    val got = DomainQueries.occEooAoo(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    val pts = DomainQueries.valid(spark, sf)
+      .select("species", "lat", "lon").as[(String, Double, Double)].collect()
+    val expect = pts.groupBy(_._1).map { case (sp, g) =>
+      val cells = g.map(p => math.floor(p._2 * 50.0).toLong * 20000 +
+        math.floor(p._3 * 50.0).toLong).distinct.length.toLong
+      val las = g.map(p => math.floor(p._2 * 10.0).toLong)
+      val los = g.map(p => math.floor(p._3 * 10.0).toLong)
+      sp -> ((g.length.toLong, cells, las.max - las.min, los.max - los.min))
+    }
+    assert(got === expect)
+    // AOO can never exceed the point count; spans are non-negative
+    assert(got.values.forall(v => v._2 <= v._1 && v._3 >= 0 && v._4 >= 0))
+  }
+
+  test("cdc apply: last write wins, trailing deletes drop the key, ties break on event_id") {
+    import org.apache.spark.sql.SaveMode
+    val tmp = java.nio.file.Files.createTempDirectory("cdc").toString
+    // (event_id, ts_ns, user_id, event_type, value): key 1 double-upsert,
+    // key 2 ends deleted, key 3 re-created after a delete, key 4 ts tie
+    Seq((1L, 1000L, 1L, "view", 1.0), (2L, 2000L, 1L, "click", 2.0),
+        (3L, 1000L, 2L, "view", 9.0), (4L, 2000L, 2L, "error", 0.0),
+        (5L, 1000L, 3L, "error", 0.0), (6L, 2000L, 3L, "signup", 3.0),
+        (7L, 5000L, 4L, "view", 4.0), (8L, 5000L, 4L, "purchase", 5.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/events.parquet")
+    val got = operators.Records.cdcApply(spark, tmp)
+      .as[(Long, String, Double, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got === Map(
+      1L -> ((1L, "click", 2.0, 2000L, 2L)),
+      3L -> ((3L, "signup", 3.0, 2000L, 2L)),
+      4L -> ((4L, "purchase", 5.0, 5000L, 2L))))
+  }
 }

@@ -26,7 +26,8 @@ class PlanAuditSpec extends SparkSpec {
     "text_keyword_tfidf" -> "crossJoin against the single-row broadcast corpus-total frame",
     "meta_fk_audit" -> "per-leg crossJoin against a single-row broadcast total frame",
     "occ_range_overlap" -> "triangle (a < b) BNLJ against the broadcast ≤|species|-row bbox table",
-    "affinity_brand_pairs" -> "crossJoin against the single-row broadcast order-total frame")
+    "affinity_brand_pairs" -> "crossJoin against the single-row broadcast order-total frame",
+    "q22_prospect_share" -> "crossJoin against the single-row broadcast balance-threshold frame")
 
   test("no query plans a nested-loop or cartesian join outside the whitelist") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
