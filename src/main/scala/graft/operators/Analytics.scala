@@ -1157,7 +1157,72 @@ object Analytics {
       |        END AS k FROM events)
       |GROUP BY event_type""".stripMargin
 
+  /** Multi-touch conversion attribution: every purchase credits the
+    * view/click touches of the same user in the preceding 7 days —
+    * last-touch (the latest touch by (ts, event_id) wins outright) and
+    * linear (each of the k touches earns ⌊1000/k⌋ credit-millis, integer
+    * division so both engines truncate identically) side by side;
+    * touchless purchases roll up under the 'direct' channel with the
+    * full 1000. Plan: ONE equi hash join on user_id (the 7-day window
+    * rides the join as a residual range predicate — never a BNLJ), one
+    * window exchange on the conversion id shared by the touch count and
+    * the last-touch rank, and a |channels|-row final rollup. */
+  def eventsAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = DomainQueries.events(s, dir)
+    val windowNs = 7L * 86400L * 1000000000L
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("cid"), col("user_id").as("cu"),
+        col("ts_ns").as("cts"))
+    val touch = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id").as("tu"), col("ts_ns").as("tts"),
+        col("event_id").as("tid"), col("event_type").as("raw_ch"))
+    val wc = Window.partitionBy("cid")
+    val lastFirst = wc.orderBy(col("tts").desc, col("tid").desc)
+    conv
+      .join(touch, col("cu") === col("tu") &&
+        col("tts") < col("cts") && col("tts") >= col("cts") - windowNs,
+        "left_outer")
+      .withColumn("k", count(col("tid")).over(wc))
+      .withColumn("rn", row_number().over(lastFirst))
+      .withColumn("channel", coalesce(col("raw_ch"), lit("direct")))
+      .withColumn("credit_millis",
+        when(col("k") > 0, expr("1000 div k")).otherwise(lit(1000L)))
+      .groupBy("channel")
+      .agg(count(col("tid")).as("n_touches"),
+        countDistinct(col("cid")).as("n_conversions"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("last_touch_wins"),
+        sum(col("credit_millis")).as("linear_millis"))
+  }
+
+  private val ATTRIBUTION_SQL =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type,
+      |    epoch_ns(ts) // 1000 * 1000 AS ts_ns
+      |  FROM events),
+      |conv AS (SELECT event_id AS cid, user_id AS cu, ts_ns AS cts
+      |         FROM ev WHERE event_type = 'purchase'),
+      |touch AS (SELECT user_id AS tu, ts_ns AS tts, event_id AS tid,
+      |            event_type AS raw_ch
+      |          FROM ev WHERE event_type IN ('view', 'click')),
+      |joined AS (
+      |  SELECT * FROM conv LEFT JOIN touch
+      |  ON cu = tu AND tts < cts AND tts >= cts - 604800000000000),
+      |scored AS (
+      |  SELECT cid, tid,
+      |    COUNT(tid) OVER (PARTITION BY cid) AS k,
+      |    ROW_NUMBER() OVER (PARTITION BY cid
+      |      ORDER BY tts DESC, tid DESC) AS rn,
+      |    COALESCE(raw_ch, 'direct') AS channel
+      |  FROM joined)
+      |SELECT channel,
+      |  CAST(COUNT(tid) AS BIGINT) AS n_touches,
+      |  CAST(COUNT(DISTINCT cid) AS BIGINT) AS n_conversions,
+      |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS last_touch_wins,
+      |  CAST(SUM(CASE WHEN k > 0 THEN 1000 // k ELSE 1000 END) AS BIGINT) AS linear_millis
+      |FROM scored GROUP BY channel""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "events_attribution" -> (eventsAttribution _),
     "events_json_stats" -> (eventsJsonStats _),
     "events_throttle" -> (eventsThrottle _),
     "events_retention" -> (eventsRetention _),
@@ -1184,6 +1249,7 @@ object Analytics {
     "data_interleave_sources" -> (dataInterleaveSources _))
 
   val oracle: Map[String, String] = Map(
+    "events_attribution" -> ATTRIBUTION_SQL,
     "events_json_stats" -> JSON_STATS_SQL,
     "events_throttle" -> THROTTLE_SQL,
     "events_retention" -> RETENTION_SQL,

@@ -182,6 +182,35 @@ object TextQueries {
     * embeddings are L2-normalized so cosine = dot product, computed with a
     * codegen'd zip_with/aggregate fold (no UDF). The LSH-bucketed variant
     * (rows-only oracle) is the 100 TB path. */
+  /** Multi-vector late-interaction (MaxSim, the ColBERT scoring shape):
+    * each 64-dim embedding is read as FOUR 16-dim sub-vectors (token /
+    * patch slots); score(q,d) = Σᵢ maxⱼ ⟨qᵢ, dⱼ⟩ — every query slot
+    * matches its best document slot, so a strong local match scores
+    * where whole-vector cosine dilutes it. All 16 slot dots are native
+    * codegen'd [[graft.functions.DotF]] calls over array slices, folded
+    * with greatest() + left-assoc addition inside ONE projection (each
+    * dot referenced once — no CollapseProject re-evaluation), so both
+    * engines combine doubles in the identical order. Plan: the
+    * simCosineTopk shape — 5 broadcast query rows crossJoin the corpus,
+    * and TopKByScore keeps the shuffle O(k) per query. */
+  def simMaxsimTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val d = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id"), col("embedding").as("dv"))
+    val score = (0 until 4).map { i =>
+      greatest((0 until 4).map { j =>
+        graft.functions.Vectors.dot(
+          slice(col("qv"), 1 + 16 * i, 16), slice(col("dv"), 1 + 16 * j, 16))
+      }: _*)
+    }.reduce(_ + _)
+    Rerank.topK(
+      d.crossJoin(broadcast(q))
+        .select(col("qid"), col("vec_id"), score.as("dot")), 10)
+      .withColumnRenamed("dot", "maxsim")
+  }
+
   def simCosineTopk(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val q = emb.filter(col("vec_id") < 5)
@@ -429,7 +458,8 @@ object TextQueries {
     "dedup_exact" -> (dedupExact _),
     "dedup_incremental_exact" -> (dedupIncrementalExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
-    "sim_cosine_topk" -> (simCosineTopk _))
+    "sim_cosine_topk" -> (simCosineTopk _),
+    "sim_maxsim_topk" -> (simMaxsimTopk _))
 
   val oracle: Map[String, String] = Map(
     "dedup_doc_prefix" -> PREFIX_SQL,
@@ -533,5 +563,28 @@ object TextQueries {
         |SELECT qid, vec_id, dot, rank FROM (
         |  SELECT qid, vec_id, dot,
         |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id) AS BIGINT) AS rank
-        |  FROM sims) WHERE rank <= 10""".stripMargin)
+        |  FROM sims) WHERE rank <= 10""".stripMargin,
+    "sim_maxsim_topk" -> MAXSIM_SQL)
+
+  /** MaxSim oracle: the same 16 slot-dot expressions (DuckDB 1-based
+    * inclusive list slices), GREATEST per query slot, left-assoc sum —
+    * double arithmetic identical to the Spark projection. */
+  private lazy val MAXSIM_SQL: String = {
+    def sl(v: String, i: Int) = s"$v[${1 + 16 * i}:${16 * (i + 1)}]"
+    val score = (0 until 4).map { i =>
+      "GREATEST(" + (0 until 4).map(j =>
+        s"list_dot_product(${sl("qv", i)}, ${sl("dv", j)})").mkString(", ") + ")"
+    }.mkString("\n      + ")
+    s"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+       |           FROM embeddings WHERE vec_id < 5),
+       |d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv
+       |      FROM embeddings WHERE vec_id >= 5),
+       |sims AS (SELECT qid, vec_id,
+       |      $score AS maxsim
+       |  FROM q CROSS JOIN d)
+       |SELECT qid, vec_id, maxsim, rank FROM (
+       |  SELECT qid, vec_id, maxsim,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY maxsim DESC, vec_id) AS BIGINT) AS rank
+       |  FROM sims) WHERE rank <= 10""".stripMargin
+  }
 }

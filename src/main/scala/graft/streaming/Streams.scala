@@ -418,4 +418,39 @@ object Streams {
         res.iterator
     }
   }
+
+  case class CdcState(ts: Long, id: Long, tpe: String, value: Double, n: Long)
+  case class CdcOut(ukey: Long, last_type: String, last_val: Double,
+                    last_ts_ns: Long, n_changes: Long, deleted: Boolean)
+
+  /** Streaming counterpart of the batch meta_cdc_apply: per-key state is
+    * the latest change by the (ts, event_id) total order plus the
+    * cumulative change count, so last-write-wins survives micro-batch
+    * boundaries and out-of-order arrival WITHIN a batch (each batch is
+    * sorted before the merge; a stale batch row never overwrites a newer
+    * state). Emits the refreshed survivor per key each batch with a
+    * tombstone flag (`error` = delete, the batch op's D-mapping) — the
+    * continuous form of the periodic re-index upsert. State is bounded
+    * by the key population, never by change volume. Input:
+    * (user_id, ts_ns, event_id, event_type, value). */
+  def cdcApply(events: Dataset[(Long, Long, Long, String, Double)]): Dataset[CdcOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (uid: Long, it: Iterator[(Long, Long, Long, String, Double)],
+       state: GroupState[CdcState]) =>
+        val evs = it.map(e => (e._2, e._3, e._4, e._5)).toArray.sortBy(e => (e._1, e._2))
+        val prev = state.getOption
+        var cur = prev
+        for ((ts, id, tpe, v) <- evs) {
+          if (cur.forall(p => p.ts < ts || (p.ts == ts && p.id < id)))
+            cur = Some(CdcState(ts, id, tpe, v, 0L))
+        }
+        val n = prev.map(_.n).getOrElse(0L) + evs.length
+        val merged = cur.get.copy(n = n)
+        state.update(merged)
+        Iterator.single(CdcOut(uid, merged.tpe, merged.value, merged.ts, n,
+          merged.tpe == "error"))
+    }
+  }
 }

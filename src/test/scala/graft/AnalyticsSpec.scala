@@ -569,4 +569,30 @@ class AnalyticsSpec extends SparkSpec {
     }
     assert(out.count() === Tables.t(spark, sf, "embeddings").count())
   }
+
+  test("attribution: linear splits floor-exact, last touch wins, direct catches touchless") {
+    import org.apache.spark.sql.SaveMode
+    val tmp = java.nio.file.Files.createTempDirectory("attr").toString
+    val day = 86400000000000L
+    // user 1: view, click -> purchase (k=2, last=click)
+    // user 2: touchless purchase -> direct
+    // user 3: 3 views -> purchase (k=3, floor credit 333)
+    // user 4: view 8 days before purchase -> outside window -> direct
+    Seq((1L, 1000L, 1L, "view", 0.0), (2L, 2000L, 1L, "click", 0.0),
+        (3L, 3000L, 1L, "purchase", 9.0),
+        (4L, 1000L, 2L, "purchase", 9.0),
+        (5L, 1000L, 3L, "view", 0.0), (6L, 2000L, 3L, "view", 0.0),
+        (7L, 3000L, 3L, "view", 0.0), (8L, 4000L, 3L, "purchase", 9.0),
+        (9L, 1000L, 4L, "view", 0.0), (10L, 1000L + 8 * day, 4L, "purchase", 9.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/events.parquet")
+    val got = Analytics.eventsAttribution(spark, tmp)
+      .as[(String, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got === Map(
+      "view" -> (("view", 4L, 2L, 1L, 500L + 3 * 333L)),
+      "click" -> (("click", 1L, 1L, 1L, 500L)),
+      "direct" -> (("direct", 0L, 2L, 2L, 2000L))))
+    // every conversion is last-touch-attributed exactly once
+    assert(got.values.map(_._4).sum === 4L)
+  }
 }

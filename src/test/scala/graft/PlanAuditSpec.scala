@@ -27,7 +27,8 @@ class PlanAuditSpec extends SparkSpec {
     "meta_fk_audit" -> "per-leg crossJoin against a single-row broadcast total frame",
     "occ_range_overlap" -> "triangle (a < b) BNLJ against the broadcast ≤|species|-row bbox table",
     "affinity_brand_pairs" -> "crossJoin against the single-row broadcast order-total frame",
-    "q22_prospect_share" -> "crossJoin against the single-row broadcast balance-threshold frame")
+    "q22_prospect_share" -> "crossJoin against the single-row broadcast balance-threshold frame",
+    "sim_maxsim_topk" -> "documented late-interaction scorer: query side is 5 broadcast rows")
 
   test("no query plans a nested-loop or cartesian join outside the whitelist") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

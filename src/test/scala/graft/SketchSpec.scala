@@ -462,4 +462,33 @@ class SketchSpec extends SparkSpec {
     assert(want.contains((1L, 2L, 1L))) // sanity: NaN really ranks first
     assert(got === want)
   }
+
+  test("maxsim: bit-exact Scala replay; local slot match outranks the cosine order") {
+    val got = operators.TextQueries.simMaxsimTopk(spark, sf)
+      .as[(Long, Long, Double, Long)].collect()
+      .map(r => (r._1, r._4) -> (r._2, r._3)).toMap
+    val emb = Tables.t(spark, sf, "embeddings")
+      .as[(Long, Array[Float], Int)].collect().map(r => r._1 -> r._2)
+    def dotSeg(a: Array[Float], b: Array[Float], ai: Int, bj: Int): Double = {
+      var s = 0.0; var i = 0
+      while (i < 16) { s += a(ai * 16 + i).toDouble * b(bj * 16 + i).toDouble; i += 1 }
+      s
+    }
+    def maxsim(q: Array[Float], d: Array[Float]): Double =
+      (0 until 4).map(i => (0 until 4).map(j => dotSeg(q, d, i, j)).max).sum
+    val qs = emb.filter(_._1 < 5)
+    val ds = emb.filter(_._1 >= 5)
+    val expect = qs.flatMap { case (qid, qv) =>
+      ds.map { case (did, dv) => (qid, did, maxsim(qv, dv)) }
+        .sortBy(t => (-t._3, t._2)).take(10).zipWithIndex
+        .map { case ((_, did, sc), i) => (qid, i + 1L) -> ((did, sc)) }
+    }.toMap
+    assert(got === expect)
+    // MaxSim can only gain vs the whole-vector dot (max_j >= the aligned j)
+    val ql = qs.toMap; val dl = ds.toMap
+    for (((qid, _), (did, sc)) <- got) {
+      val whole = (0 until 4).map(i => dotSeg(ql(qid), dl(did), i, i)).sum
+      assert(sc >= whole - 1e-9)
+    }
+  }
 }

@@ -439,4 +439,40 @@ class StreamsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/ok").count() === 2)
     assert(spark.read.parquet(s"$root/dead").count() === 1)
   }
+
+  test("streaming cdc apply equals the batch survivors, deletes tombstone across batches") {
+    // whole-corpus agreement with the batch operator
+    val src = operators.DomainQueries.events(spark, sf)
+      .select(col("user_id"), col("ts_ns"), col("event_id"),
+        col("event_type"), col("value"))
+      .as[(Long, Long, Long, String, Double)]
+    val live = Streams.cdcApply(src).collect().filterNot(_.deleted)
+      .map(o => o.ukey -> ((o.last_type, o.last_val, o.last_ts_ns, o.n_changes))).toMap
+    val batch = operators.Records.cdcApply(spark, sf)
+      .as[(Long, String, Double, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(live === batch)
+    // cross-batch: an upsert then a later delete tombstones the key;
+    // a stale replay in batch 3 must NOT resurrect it
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String, Double)]
+    val q = Streams.cdcApply(mem.toDS())
+      .writeStream.format("memory").queryName("cdc_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((7L, 1000L, 1L, "view", 1.0), (8L, 1000L, 2L, "view", 2.0))
+      q.processAllAvailable()
+      mem.addData((7L, 2000L, 3L, "error", 0.0))
+      q.processAllAvailable()
+      mem.addData((7L, 1500L, 4L, "click", 5.0)) // stale: older than the delete
+      q.processAllAvailable()
+      val last = spark.sql(
+        "SELECT ukey, last_type, deleted, n_changes FROM (" +
+        "  SELECT *, ROW_NUMBER() OVER (PARTITION BY ukey ORDER BY n_changes DESC) rn" +
+        "  FROM cdc_out) WHERE rn = 1")
+        .as[(Long, String, Boolean, Long)].collect().map(r => r._1 -> r).toMap
+      assert(last(7L) === ((7L, "error", true, 3L)))
+      assert(last(8L) === ((8L, "view", false, 1L)))
+    } finally q.stop()
+  }
 }
