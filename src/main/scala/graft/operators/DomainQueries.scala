@@ -441,6 +441,27 @@ object DomainQueries {
         (max("lat10") - min("lat10")).as("lat_span_deci"),
         (max("lon10") - min("lon10")).as("lon_span_deci"))
 
+  /** Phenology profile — the seasonality question occurrence archives
+    * answer next to the where of range maps: per species the month
+    * histogram collapsed to peak month (argmax = min over
+    * (−count, month) structs: hash aggregate, integer-only,
+    * deterministic tie to the EARLIEST month — the ivfTopk lesson, no
+    * window skew), month breadth, and the peak's exact integer
+    * milli-share. Plan: two partial-aggregated exchanges —
+    * (species, month) then species — both tiny. */
+  def occSeasonality(s: SparkSession, dir: String): DataFrame =
+    valid(s, dir)
+      .select(col("species"),
+        month(expr("timestamp_micros(ts_ns div 1000)")).cast("long").as("m"))
+      .groupBy("species", "m").agg(count(lit(1)).as("n"))
+      .groupBy("species")
+      .agg(sum("n").as("n_total"),
+        count(lit(1)).as("n_months"),
+        min(struct((-col("n")).as("nn"), col("m").as("mm"))).as("pk"))
+      .select(col("species"), col("n_total"), col("n_months"),
+        col("pk.mm").as("peak_month"), (-col("pk.nn")).as("peak_n"),
+        expr("(-pk.nn) * 1000 div n_total").as("peak_millis"))
+
   /** select_best_record per (species, 1°-cell): min uncertainty wins. */
   def occDedupeBest(s: SparkSession, dir: String): DataFrame = {
     val d = valid(s, dir)
@@ -1071,6 +1092,7 @@ object DomainQueries {
     "occ_accumulation_curve" -> (occAccumulationCurve _),
     "occ_range_overlap" -> (occRangeOverlap _),
     "occ_eoo_aoo" -> (occEooAoo _),
+    "occ_seasonality" -> (occSeasonality _),
     "spatial_zorder_layout" -> (spatialZorderLayout _),
     "spatial_nearest" -> (spatialNearest _),
     "occ_temporal_trend" -> (occTemporalTrend _),
@@ -1172,6 +1194,23 @@ object DomainQueries {
         |        GROUP BY species) USING (species))
         |WHERE (mad_lat > 0 AND dev_lat > mad_lat * CAST(1.5 AS DOUBLE))
         |   OR (mad_lon > 0 AND dev_lon > mad_lon * CAST(1.5 AS DOUBLE))""".stripMargin),
+    "occ_seasonality" -> withSql(OCC_SQL, VALID_SQL,
+      """bym AS (
+        |  SELECT species,
+        |    CAST(MONTH(make_timestamp(ts_ns // 1000)) AS BIGINT) AS m,
+        |    COUNT(*) AS n
+        |  FROM valid GROUP BY species, m)""".stripMargin)(
+      """SELECT species, CAST(n_total AS BIGINT) AS n_total,
+        |  CAST(n_months AS BIGINT) AS n_months,
+        |  m AS peak_month, CAST(n AS BIGINT) AS peak_n,
+        |  CAST(n * 1000 // n_total AS BIGINT) AS peak_millis
+        |FROM (
+        |  SELECT species, m, n,
+        |    ROW_NUMBER() OVER (PARTITION BY species ORDER BY n DESC, m) AS rn,
+        |    SUM(n) OVER (PARTITION BY species) AS n_total,
+        |    COUNT(*) OVER (PARTITION BY species) AS n_months
+        |  FROM bym)
+        |WHERE rn = 1""".stripMargin),
     "occ_eoo_aoo" -> withSql(OCC_SQL, VALID_SQL)(
       """SELECT species, CAST(COUNT(*) AS BIGINT) AS n_pts,
         |  CAST(COUNT(DISTINCT CAST(FLOOR(lat * 50.0) AS BIGINT) * 20000

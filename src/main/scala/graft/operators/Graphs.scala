@@ -341,7 +341,48 @@ object Graphs {
       .select(col("doc_id").as("node"),
         greatest(expr("doc_id div 2"), lit(1L)).as("anc")))
 
+  /** Multi-source BFS distance layers, FIXED synchronous rounds — the
+    * "how far from a trusted seed" signal (contamination spread, label
+    * propagation radius) between k-core's density and CC's reachability:
+    * dist_{t+1}(v) = min(dist_t(v), 1 + min over in-neighbours
+    * dist_t(u)), seeds at distance 0, so after R rounds the output is
+    * the EXACT ≤R-hop distance (unreached = −1) — well-defined on both
+    * engines with no convergence detection; the oracle unrolls the same
+    * recurrence as CTEs. Like [[labelPropagation]], a fixed round count
+    * bounds lineage (single-reference loop ⇒ no per-round checkpoint);
+    * each round is one (edge ⋈ dist) join + a min aggregate. */
+  def bfsLayers(edges: DataFrame, seed: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+                rounds: Int = 4): DataFrame = {
+    val e = edges.toDF("x", "y").filter(col("x") =!= col("y"))
+    val sym = e.select(col("x").as("a"), col("y").as("b"))
+      .union(e.select(col("y").as("a"), col("x").as("b")))
+      .distinct()
+      .localCheckpoint()
+    var dist = sym.select(col("a").as("node")).distinct()
+      .withColumn("d", when(seed(col("node")), 0L)
+        .otherwise(lit(null).cast("long")))
+    for (_ <- 1 to rounds) {
+      val viaNbr = sym.join(dist, col("a") === col("node"))
+        .filter(col("d").isNotNull)
+        .groupBy(col("b").as("nb")).agg(min(col("d") + 1L).as("nd"))
+      dist = dist.join(viaNbr, col("node") === col("nb"), "left_outer")
+        .select(col("node"),
+          when(col("d").isNull, col("nd"))
+            .when(col("nd").isNull, col("d"))
+            .otherwise(least(col("d"), col("nd"))).as("d"))
+    }
+    dist.select(col("node"), coalesce(col("d"), lit(-1L)).as("dist4"))
+  }
+
+  /** BFS layers over the trigram-Jaccard pair graph, seeded at
+    * doc_id % 7 == 0 (the audited-clean sample): how many hops of
+    * near-duplication separate each document from a trusted one. */
+  def graphBfsLayers(s: SparkSession, dir: String): DataFrame =
+    bfsLayers(TextQueries.dedupNgramJaccard(s, dir).select("doc1", "doc2"),
+      n => n % 7 === 0)
+
   val queries: Map[String, Q] = Map(
+    "graph_bfs_layers" -> (graphBfsLayers _),
     "dedup_cluster" -> (dedupCluster _),
     "graph_pagerank" -> (graphPagerank _),
     "graph_communities" -> (graphCommunities _),
@@ -431,6 +472,30 @@ object Graphs {
          |l0 AS (SELECT DISTINCT a AS node, a AS label FROM sym),
          |$rounds
          |SELECT node, label AS community FROM l4""".stripMargin
+    },
+    "graph_bfs_layers" -> {
+      val pairsSql = TextQueries.oracle("dedup_ngram_jaccard")
+      // four synchronous relaxation rounds unrolled as CTEs — the exact
+      // integer recurrence of the Spark loop (NULL = unreached)
+      val rounds = (1 to 4).map { t =>
+        s"""d$t AS (
+           |  SELECT x.node,
+           |    CASE WHEN x.d IS NULL THEN n.nd
+           |         WHEN n.nd IS NULL THEN x.d
+           |         ELSE LEAST(x.d, n.nd) END AS d
+           |  FROM d${t - 1} x LEFT JOIN (
+           |    SELECT s.b AS node, MIN(p.d + 1) AS nd
+           |    FROM sym s JOIN d${t - 1} p ON p.node = s.a
+           |    WHERE p.d IS NOT NULL GROUP BY s.b) n ON n.node = x.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS ($pairsSql),
+         |sym AS (SELECT DISTINCT a, b FROM (
+         |  SELECT doc1 AS a, doc2 AS b FROM pairs WHERE doc1 <> doc2
+         |  UNION ALL SELECT doc2, doc1 FROM pairs WHERE doc1 <> doc2)),
+         |d0 AS (SELECT DISTINCT a AS node,
+         |         CASE WHEN a % 7 = 0 THEN 0 ELSE NULL END AS d FROM sym),
+         |$rounds
+         |SELECT node, CAST(COALESCE(d, -1) AS BIGINT) AS dist4 FROM d4""".stripMargin
     },
     "graph_kcore" -> {
       val pairsSql = TextQueries.oracle("dedup_ngram_jaccard")

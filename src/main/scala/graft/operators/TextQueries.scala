@@ -182,6 +182,31 @@ object TextQueries {
     * embeddings are L2-normalized so cosine = dot product, computed with a
     * codegen'd zip_with/aggregate fold (no UDF). The LSH-bucketed variant
     * (rows-only oracle) is the 100 TB path. */
+  /** Context-window chunking — the split every training/RAG pipeline
+    * runs between curation and tokenization: each document becomes
+    * overlapping W-token windows on a stride-token stride (the overlap
+    * keeps boundary context), each chunk carrying its exact token
+    * extent and a 52-bit content fingerprint for downstream chunk-level
+    * dedup. Production sizing is 256/192; the queries entry binds 32/24
+    * so the synthetic 10-99-token docs actually exercise multi-chunk
+    * documents. Plan: pure narrow pipeline — tokenize once, explode the
+    * stride lattice (`sequence`), slice per start; zero shuffles,
+    * embarrassingly parallel at any corpus size. */
+  def textChunkWindows(s: SparkSession, dir: String,
+                       W: Long = 32L, STRIDE: Long = 24L): DataFrame = {
+    val ts = tokens(col("text"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), ts.as("ts"), size(ts).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("ts"), col("n_tokens"),
+        explode(sequence(lit(1L), col("n_tokens"), lit(STRIDE))).as("start_tok"))
+      .select(col("doc_id"), col("start_tok"),
+        least(lit(W), col("n_tokens") - col("start_tok") + 1L).as("n_toks"),
+        expr(s"""cast(conv(substring(md5(cast(concat('ck:',
+             array_join(slice(ts, start_tok, $W), ' ')) as binary)),
+             1, 13), 16, 10) as bigint)""").as("chunk_hash52"))
+  }
+
   /** Multi-vector late-interaction (MaxSim, the ColBERT scoring shape):
     * each 64-dim embedding is read as FOUR 16-dim sub-vectors (token /
     * patch slots); score(q,d) = Σᵢ maxⱼ ⟨qᵢ, dⱼ⟩ — every query slot
@@ -459,7 +484,8 @@ object TextQueries {
     "dedup_incremental_exact" -> (dedupIncrementalExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "sim_cosine_topk" -> (simCosineTopk _),
-    "sim_maxsim_topk" -> (simMaxsimTopk _))
+    "sim_maxsim_topk" -> (simMaxsimTopk _),
+    "text_chunk_windows" -> ((s: SparkSession, dir: String) => textChunkWindows(s, dir)))
 
   val oracle: Map[String, String] = Map(
     "dedup_doc_prefix" -> PREFIX_SQL,
@@ -564,7 +590,22 @@ object TextQueries {
         |  SELECT qid, vec_id, dot,
         |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id) AS BIGINT) AS rank
         |  FROM sims) WHERE rank <= 10""".stripMargin,
-    "sim_maxsim_topk" -> MAXSIM_SQL)
+    "sim_maxsim_topk" -> MAXSIM_SQL,
+    "text_chunk_windows" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '$TOKEN_RE') AS ts,
+         |    CAST(len(regexp_extract_all(lower(text), '$TOKEN_RE')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |starts AS (
+         |  SELECT doc_id, ts, n_tokens,
+         |    unnest(generate_series(1, n_tokens, 24)) AS start_tok
+         |  FROM d WHERE n_tokens > 0)
+         |SELECT doc_id, start_tok,
+         |  LEAST(32, n_tokens - start_tok + 1) AS n_toks,
+         |  ('0x' || substr(md5('ck:' ||
+         |    array_to_string(ts[start_tok:start_tok + 31], ' ')), 1, 13))::BIGINT
+         |    AS chunk_hash52
+         |FROM starts""".stripMargin)
 
   /** MaxSim oracle: the same 16 slot-dot expressions (DuckDB 1-based
     * inclusive list slices), GREATEST per query slot, left-assoc sum —

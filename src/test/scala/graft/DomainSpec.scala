@@ -539,6 +539,51 @@ class DomainSpec extends SparkSpec {
     assert(got.values.forall(v => v._2 <= v._1 && v._3 >= 0 && v._4 >= 0))
   }
 
+  test("seasonality: peak month matches a UTC calendar replay, shares sum sanely") {
+    val got = DomainQueries.occSeasonality(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val pts = DomainQueries.valid(spark, sf)
+      .select("species", "ts_ns").as[(String, Long)].collect()
+    def monthOf(ns: Long): Long =
+      java.time.Instant.ofEpochSecond(0L, ns)
+        .atZone(java.time.ZoneOffset.UTC).getMonthValue.toLong
+    val expect = pts.groupBy(_._1).map { case (sp, g) =>
+      val byM = g.groupBy(p => monthOf(p._2)).map(kv => kv._1 -> kv._2.length.toLong)
+      val (pm, pn) = byM.toSeq.minBy { case (m, n) => (-n, m) }
+      sp -> ((sp, g.length.toLong, byM.size.toLong, pm, pn, pn * 1000 / g.length))
+    }
+    assert(got === expect)
+    assert(got.values.forall(v => v._4 >= 1 && v._4 <= 12 && v._6 <= 1000))
+  }
+
+  test("chunk windows: stride lattice covers every token, overlap is exact") {
+    import org.apache.spark.sql.SaveMode
+    val tmp = java.nio.file.Files.createTempDirectory("chunks").toString
+    // 80 tokens "w1 .. w80" -> starts 1,25,49,73; extents 32,32,32,8
+    val text80 = (1 to 80).map(i => s"w$i").mkString(" ")
+    Seq((1L, text80, "en", "s", text80.length.toLong),
+        (2L, "", "en", "s", 0L), (3L, "one", "en", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/documents.parquet")
+    val got = operators.TextQueries.textChunkWindows(spark, tmp)
+      .as[(Long, Long, Long, Long)].collect().groupBy(_._1)
+    assert(!got.contains(2L)) // empty doc yields no chunks
+    assert(got(3L).map(r => (r._2, r._3)).toSeq === Seq((1L, 1L)))
+    val c1 = got(1L).sortBy(_._2)
+    assert(c1.map(r => (r._2, r._3)).toSeq ===
+      Seq((1L, 32L), (25L, 32L), (49L, 32L), (73L, 8L)))
+    // hash replay: md5('ck:' + joined window), first 13 hex digits
+    def h52(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(("ck:" + s).getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(7).map(b => f"$b%02x").mkString.take(13), 16)
+    }
+    val toks = (1 to 80).map(i => s"w$i")
+    for ((_, st, n, h) <- c1)
+      assert(h === h52(toks.slice(st.toInt - 1, st.toInt - 1 + n.toInt).mkString(" ")))
+  }
+
   test("cdc apply: last write wins, trailing deletes drop the key, ties break on event_id") {
     import org.apache.spark.sql.SaveMode
     val tmp = java.nio.file.Files.createTempDirectory("cdc").toString

@@ -180,4 +180,15 @@ class GraphsSpec extends SparkSpec {
     val gotC = Graphs.kcorePeel(cycle).as[(Long, Boolean)].collect().toMap
     assert(gotC.values.forall(identity) && gotC.size === 4)
   }
+
+  test("bfs layers: chain distances exact, horizon truncates, two seeds race") {
+    // chain 14-1-2-3-4-5: seed 14 (14%7=0); node 5 is 5 hops -> unreached in 4
+    val chain = Seq((14L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("x", "y")
+    val got = Graphs.bfsLayers(chain, n => n % 7 === 0).as[(Long, Long)].collect().toMap
+    assert(got === Map(14L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> -1L))
+    // two seeds: every node takes the NEARER one (7 and 21 both seeds)
+    val twoSeeds = Seq((7L, 2L), (2L, 3L), (3L, 21L)).toDF("x", "y")
+    val got2 = Graphs.bfsLayers(twoSeeds, n => n % 7 === 0).as[(Long, Long)].collect().toMap
+    assert(got2 === Map(7L -> 0L, 21L -> 0L, 2L -> 1L, 3L -> 1L))
+  }
 }
