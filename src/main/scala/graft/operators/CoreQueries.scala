@@ -314,6 +314,39 @@ object CoreQueries {
         dsum2(col("c_acctbal")).as("total_bal"))
   }
 
+  /** TPC-H Q8-shaped market-share query: each supplier nation's share of
+    * the yearly revenue EUROPE customers generate — the share-of-total
+    * composition (per-group aggregate vs same-grain total) q20's
+    * single-fence semi-join doesn't expose. Determinism: revenue stays
+    * DECIMAL through both aggregation levels (group sum + year-total
+    * window over the tiny aggregate); the only doubles are one exact
+    * cast each and a single correctly-rounded multiply/divide for the
+    * share — no float ever aggregates, no decimal division rounds.
+    * Plan: one fact-fact shuffle (lineitem ⋈ filtered orders chain),
+    * every dimension broadcast, one (year, nation) aggregate exchange,
+    * year totals via a window over ≤ years×nations rows. */
+  def q23(s: SparkSession, dir: String): DataFrame = {
+    val rev = dec2(col("l_extendedprice")) * dec2(lit(1) - col("l_discount"))
+    val cnat = t(s, dir, "nation")
+      .select(col("n_nationkey").as("cn_key"), col("n_regionkey").as("cn_region"))
+    val perNation = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(cnat), col("c_nationkey") === col("cn_key"))
+      .join(broadcast(t(s, dir, "region")), col("cn_region") === col("r_regionkey"))
+      .filter(col("r_name") === "EUROPE")
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"), col("n_name"))
+      .agg(sum(rev).as("rev_dec"))
+    perNation
+      .withColumn("tot_dec", sum(col("rev_dec")).over(Window.partitionBy("yr")))
+      .select(col("yr"), col("n_name"),
+        col("rev_dec").cast("double").as("revenue"),
+        (col("rev_dec").cast("double") * 1000.0 / col("tot_dec").cast("double"))
+          .as("share_pm"))
+  }
+
   /** Correlated scalar subquery: orders priced above 1.5× their
     * customer's average — the threshold-vs-own-group-mean filter shape.
     * Planned as a join against the pre-aggregated per-customer means (one
@@ -392,6 +425,7 @@ object CoreQueries {
     "q20_dominant_supplier" -> (q20 _),
     "q21_single_late_blame" -> (q21 _),
     "q22_prospect_share" -> (q22 _),
+    "q23_market_share" -> (q23 _),
     "q18_running_window" -> (q18 _),
     "q17_kmv_distinct" -> (q17 _),
     "q13_pivot" -> (q13 _),
@@ -416,6 +450,23 @@ object CoreQueries {
   private val DP = "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))"
 
   val oracle: Map[String, String] = Map(
+    "q23_market_share" ->
+      s"""WITH pn AS (
+         |  SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS yr, sn.n_name AS n_name,
+         |    SUM($DP) AS rev_dec
+         |  FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+         |  JOIN region ON cn.n_regionkey = r_regionkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+         |  WHERE r_name = 'EUROPE'
+         |  GROUP BY yr, sn.n_name)
+         |SELECT yr, n_name, CAST(rev_dec AS DOUBLE) AS revenue,
+         |  CAST(rev_dec AS DOUBLE) * 1000.0
+         |    / CAST(SUM(rev_dec) OVER (PARTITION BY yr) AS DOUBLE) AS share_pm
+         |FROM pn""".stripMargin,
     "q22_prospect_share" ->
       """WITH thr AS (
         |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)

@@ -381,8 +381,34 @@ object Graphs {
     bfsLayers(TextQueries.dedupNgramJaccard(s, dir).select("doc1", "doc2"),
       n => n % 7 === 0)
 
+  /** Survivorship resolution — the END of the dedup pipeline: after
+    * clustering (CC over the near-dup pair graph) every document maps to
+    * its cluster's canonical representative, chosen as the best-QUALITY
+    * member (argmax = min over (−quality, doc_id) structs: deterministic
+    * tie to the smallest id, hash aggregate — no per-cluster window
+    * skew). Singletons (docs in no pair) are their own canonical. The
+    * labeled relation is localCheckpoint'd: TWO downstream references
+    * would otherwise each replay the iterative CC build (the
+    * multi-reference plan-replay landmine). */
+  def dedupSurvivorship(s: SparkSession, dir: String): DataFrame = {
+    val clusters = dedupCluster(s, dir)
+    val quality = TextQueries.textQuality(s, dir).select("doc_id", "quality")
+    val labeled = quality.join(clusters, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        col("quality"))
+      .localCheckpoint()
+    val canon = labeled.groupBy("cluster_id")
+      .agg(min(struct((-col("quality")).as("nq"), col("doc_id").as("d"))).as("c"))
+      .select(col("cluster_id").as("ck"), col("c.d").as("canonical_doc"))
+    labeled.join(canon, col("cluster_id") === col("ck"))
+      .select(col("doc_id"), col("cluster_id"), col("canonical_doc"),
+        (col("doc_id") === col("canonical_doc")).as("is_canonical"))
+  }
+
   val queries: Map[String, Q] = Map(
     "graph_bfs_layers" -> (graphBfsLayers _),
+    "dedup_survivorship" -> (dedupSurvivorship _),
     "dedup_cluster" -> (dedupCluster _),
     "graph_pagerank" -> (graphPagerank _),
     "graph_communities" -> (graphCommunities _),
@@ -472,6 +498,33 @@ object Graphs {
          |l0 AS (SELECT DISTINCT a AS node, a AS label FROM sym),
          |$rounds
          |SELECT node, label AS community FROM l4""".stripMargin
+    },
+    "dedup_survivorship" -> {
+      val pairsSql = TextQueries.oracle("dedup_ngram_jaccard")
+      val qualSql = TextQueries.oracle("text_quality")
+      s"""WITH RECURSIVE pairs AS ($pairsSql),
+         |e AS (SELECT doc1 AS a, doc2 AS b FROM pairs
+         |      UNION SELECT doc2, doc1 FROM pairs),
+         |r(a, b) AS (
+         |  SELECT a, b FROM e
+         |  UNION
+         |  SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
+         |clus AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+         |         FROM r GROUP BY a),
+         |q AS ($qualSql),
+         |lab AS (
+         |  SELECT q.doc_id, COALESCE(c.cluster_id, q.doc_id) AS cluster_id,
+         |    q.quality
+         |  FROM q LEFT JOIN clus c ON c.doc_id = q.doc_id),
+         |canon AS (
+         |  SELECT cluster_id, doc_id AS canonical_doc FROM (
+         |    SELECT cluster_id, doc_id,
+         |      ROW_NUMBER() OVER (PARTITION BY cluster_id
+         |        ORDER BY quality DESC, doc_id) AS rn
+         |    FROM lab) WHERE rn = 1)
+         |SELECT l.doc_id, l.cluster_id, c.canonical_doc,
+         |  l.doc_id = c.canonical_doc AS is_canonical
+         |FROM lab l JOIN canon c USING (cluster_id)""".stripMargin
     },
     "graph_bfs_layers" -> {
       val pairsSql = TextQueries.oracle("dedup_ngram_jaccard")

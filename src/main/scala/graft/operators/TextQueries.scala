@@ -207,6 +207,28 @@ object TextQueries {
              1, 13), 16, 10) as bigint)""").as("chunk_hash52"))
   }
 
+  /** Chunk-level duplication profile — the consumer the chunk
+    * fingerprints exist for: a chunk is SHARED when its 52-bit
+    * fingerprint occurs in ≥2 distinct documents; per document the
+    * chunk count, shared-chunk count, and exact integer duplicated
+    * milli-fraction (the score a curation gate thresholds to drop
+    * boilerplate-heavy docs that exact/doc-level dedup misses). Plan:
+    * the chunk relation is localCheckpoint'd — THREE downstream
+    * references would otherwise each replay the tokenize+explode scan
+    * (the triangles/containment plan-replay lesson) — then one
+    * fingerprint aggregate, one hash join back, one doc rollup. */
+  def dedupChunkLevel(s: SparkSession, dir: String): DataFrame = {
+    val chunks = textChunkWindows(s, dir)
+      .select("doc_id", "chunk_hash52").localCheckpoint()
+    val perHash = chunks.groupBy("chunk_hash52")
+      .agg(countDistinct("doc_id").as("n_docs"))
+    chunks.join(perHash, Seq("chunk_hash52"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("dup_millis", expr("n_shared * 1000 div n_chunks"))
+  }
+
   /** Multi-vector late-interaction (MaxSim, the ColBERT scoring shape):
     * each 64-dim embedding is read as FOUR 16-dim sub-vectors (token /
     * patch slots); score(q,d) = Σᵢ maxⱼ ⟨qᵢ, dⱼ⟩ — every query slot
@@ -485,7 +507,8 @@ object TextQueries {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "sim_cosine_topk" -> (simCosineTopk _),
     "sim_maxsim_topk" -> (simMaxsimTopk _),
-    "text_chunk_windows" -> ((s: SparkSession, dir: String) => textChunkWindows(s, dir)))
+    "text_chunk_windows" -> ((s: SparkSession, dir: String) => textChunkWindows(s, dir)),
+    "dedup_chunk_level" -> (dedupChunkLevel _))
 
   val oracle: Map[String, String] = Map(
     "dedup_doc_prefix" -> PREFIX_SQL,
@@ -592,20 +615,37 @@ object TextQueries {
         |  FROM sims) WHERE rank <= 10""".stripMargin,
     "sim_maxsim_topk" -> MAXSIM_SQL,
     "text_chunk_windows" ->
-      s"""WITH d AS (
-         |  SELECT doc_id, regexp_extract_all(lower(text), '$TOKEN_RE') AS ts,
-         |    CAST(len(regexp_extract_all(lower(text), '$TOKEN_RE')) AS BIGINT) AS n_tokens
-         |  FROM documents),
-         |starts AS (
-         |  SELECT doc_id, ts, n_tokens,
-         |    unnest(generate_series(1, n_tokens, 24)) AS start_tok
-         |  FROM d WHERE n_tokens > 0)
-         |SELECT doc_id, start_tok,
-         |  LEAST(32, n_tokens - start_tok + 1) AS n_toks,
-         |  ('0x' || substr(md5('ck:' ||
-         |    array_to_string(ts[start_tok:start_tok + 31], ' ')), 1, 13))::BIGINT
-         |    AS chunk_hash52
-         |FROM starts""".stripMargin)
+      s"""WITH $CHUNK_CTES
+         |SELECT doc_id, start_tok, n_toks, chunk_hash52 FROM cw_chunks""".stripMargin,
+    "dedup_chunk_level" ->
+      s"""WITH $CHUNK_CTES,
+         |ph AS (SELECT chunk_hash52, COUNT(DISTINCT doc_id) AS n_docs
+         |       FROM cw_chunks GROUP BY chunk_hash52)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         |  CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+         |  CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) * 1000 // COUNT(*)
+         |    AS BIGINT) AS dup_millis
+         |FROM cw_chunks JOIN ph USING (chunk_hash52)
+         |GROUP BY doc_id""".stripMargin)
+
+  /** Shared chunk-window CTEs (the text_chunk_windows derivation, reused
+    * by dedup_chunk_level) — 32-token windows on a 24-token stride. */
+  private lazy val CHUNK_CTES: String =
+    s"""cw_d AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '$TOKEN_RE') AS ts,
+       |    CAST(len(regexp_extract_all(lower(text), '$TOKEN_RE')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |cw_starts AS (
+       |  SELECT doc_id, ts, n_tokens,
+       |    unnest(generate_series(1, n_tokens, 24)) AS start_tok
+       |  FROM cw_d WHERE n_tokens > 0),
+       |cw_chunks AS (
+       |  SELECT doc_id, start_tok,
+       |    LEAST(32, n_tokens - start_tok + 1) AS n_toks,
+       |    ('0x' || substr(md5('ck:' ||
+       |      array_to_string(ts[start_tok:start_tok + 31], ' ')), 1, 13))::BIGINT
+       |      AS chunk_hash52
+       |  FROM cw_starts)""".stripMargin
 
   /** MaxSim oracle: the same 16 slot-dot expressions (DuckDB 1-based
     * inclusive list slices), GREATEST per query slot, left-assoc sum —

@@ -584,6 +584,54 @@ class DomainSpec extends SparkSpec {
       assert(h === h52(toks.slice(st.toInt - 1, st.toInt - 1 + n.toInt).mkString(" ")))
   }
 
+  test("chunk dedup: identical docs share every chunk, unique doc shares none") {
+    import org.apache.spark.sql.SaveMode
+    val tmp = java.nio.file.Files.createTempDirectory("chunkdup").toString
+    val shared = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val unique = (1 to 60).map(i => s"only$i").mkString(" ")
+    Seq((1L, shared, "en", "s", 0L), (2L, shared, "en", "s", 0L),
+        (3L, unique, "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/documents.parquet")
+    val got = operators.TextQueries.dedupChunkLevel(spark, tmp)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // 60 tokens -> starts 1,25,49 = 3 chunks each
+    assert(got(1L) === ((1L, 3L, 3L, 1000L)))
+    assert(got(2L) === ((2L, 3L, 3L, 1000L)))
+    assert(got(3L) === ((3L, 3L, 0L, 0L)))
+  }
+
+  test("q23: planted two-supplier year splits market share 750/250") {
+    import org.apache.spark.sql.SaveMode
+    import java.sql.Timestamp
+    val tmp = java.nio.file.Files.createTempDirectory("q23").toString
+    Seq((0, "EUROPE"), (1, "ASIA")).toDF("r_regionkey", "r_name")
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/region.parquet")
+    Seq((0, "FRANCE", 0), (1, "CHINA", 1), (2, "JAPAN", 1))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/nation.parquet")
+    Seq((1L, "C1", 0, 0.0, "AUTO")).toDF("c_custkey", "c_name", "c_nationkey",
+        "c_acctbal", "c_mktsegment")
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/customer.parquet")
+    Seq((10L, "S1", 1, 0.0), (11L, "S2", 2, 0.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/supplier.parquet")
+    Seq((1L, 1L, "O", 400.0, Timestamp.valueOf("1995-06-01 00:00:00"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/orders.parquet")
+    Seq((1L, 1L, 10L, 1, 1.0, 300.0, 0.0, 0.0, "N", "O", Timestamp.valueOf("1995-07-01 00:00:00")),
+        (1L, 2L, 11L, 2, 1.0, 100.0, 0.0, 0.0, "N", "O", Timestamp.valueOf("1995-07-01 00:00:00")))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/lineitem.parquet")
+    val got = CoreQueries.q23(spark, tmp)
+      .as[(Long, String, Double, Double)].collect().map(r => r._2 -> r).toMap
+    assert(got === Map(
+      "CHINA" -> ((1995L, "CHINA", 300.0, 750.0)),
+      "JAPAN" -> ((1995L, "JAPAN", 100.0, 250.0))))
+  }
+
   test("cdc apply: last write wins, trailing deletes drop the key, ties break on event_id") {
     import org.apache.spark.sql.SaveMode
     val tmp = java.nio.file.Files.createTempDirectory("cdc").toString

@@ -191,4 +191,25 @@ class GraphsSpec extends SparkSpec {
     val got2 = Graphs.bfsLayers(twoSeeds, n => n % 7 === 0).as[(Long, Long)].collect().toMap
     assert(got2 === Map(7L -> 0L, 21L -> 0L, 2L -> 1L, 3L -> 1L))
   }
+
+  test("survivorship: one canonical per cluster, it has the cluster-max quality") {
+    val got = Graphs.dedupSurvivorship(spark, sf)
+      .as[(Long, Long, Long, Boolean)].collect()
+    val quality = operators.TextQueries.textQuality(spark, sf)
+      .select("doc_id", "quality").as[(Long, Double)].collect().toMap
+    assert(got.length === quality.size) // every document is mapped
+    val byCluster = got.groupBy(_._2)
+    for ((cl, members) <- byCluster) {
+      val canons = members.map(_._3).distinct
+      assert(canons.length === 1, s"cluster $cl has ${canons.length} canonicals")
+      val canon = canons.head
+      assert(members.exists(m => m._1 == canon && m._4), s"cluster $cl canonical not a member")
+      val best = members.map(m => (-quality(m._1), m._1)).min
+      assert(canon === best._2, s"cluster $cl canonical is not the quality argmax")
+    }
+    // clusters correspond to dedupCluster labels where they exist
+    val clusters = Graphs.dedupCluster(spark, sf).as[(Long, Long)].collect().toMap
+    for ((doc, cl, _, _) <- got)
+      assert(cl === clusters.getOrElse(doc, doc))
+  }
 }
