@@ -348,9 +348,12 @@ object Graphs {
     * dist_t(u)), seeds at distance 0, so after R rounds the output is
     * the EXACT ≤R-hop distance (unreached = −1) — well-defined on both
     * engines with no convergence detection; the oracle unrolls the same
-    * recurrence as CTEs. Like [[labelPropagation]], a fixed round count
-    * bounds lineage (single-reference loop ⇒ no per-round checkpoint);
-    * each round is one (edge ⋈ dist) join + a min aggregate. */
+    * recurrence as CTEs. Each round references the previous dist table
+    * TWICE (the relaxation source and the left-join base), so — like
+    * [[kcorePeel]]/[[ancestorClosure]], unlike [[labelPropagation]]'s
+    * single-reference loop — a per-round localCheckpoint is
+    * load-bearing: without it the plan doubles per round (2^rounds
+    * copies of the node-distinct subtree). */
   def bfsLayers(edges: DataFrame, seed: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
                 rounds: Int = 4): DataFrame = {
     val e = edges.toDF("x", "y").filter(col("x") =!= col("y"))
@@ -361,6 +364,7 @@ object Graphs {
     var dist = sym.select(col("a").as("node")).distinct()
       .withColumn("d", when(seed(col("node")), 0L)
         .otherwise(lit(null).cast("long")))
+      .localCheckpoint()
     for (_ <- 1 to rounds) {
       val viaNbr = sym.join(dist, col("a") === col("node"))
         .filter(col("d").isNotNull)
@@ -370,6 +374,7 @@ object Graphs {
           when(col("d").isNull, col("nd"))
             .when(col("nd").isNull, col("d"))
             .otherwise(least(col("d"), col("nd"))).as("d"))
+        .localCheckpoint()
     }
     dist.select(col("node"), coalesce(col("d"), lit(-1L)).as("dist4"))
   }
@@ -416,6 +421,27 @@ object Graphs {
     "graph_kcore" -> (graphKcore _),
     "graph_triangles" -> (graphTriangles _))
 
+  /** Shared oracle CTEs over the trigram-Jaccard pair graph. [[SYM_CTE]]
+    * is the symmetrized distinct edge list (expects a `pairs` CTE in
+    * scope); [[CLOSURE_CTES]] is the recursive transitive closure ending
+    * in a `clus(doc_id, cluster_id)` CTE (outer WITH must be RECURSIVE).
+    * One definition — the dedup_cluster and dedup_survivorship labels
+    * (and every sym-based walk) cannot silently desync. */
+  private lazy val SYM_CTE: String =
+    """sym AS (SELECT DISTINCT a, b FROM (
+      |  SELECT doc1 AS a, doc2 AS b FROM pairs WHERE doc1 <> doc2
+      |  UNION ALL SELECT doc2, doc1 FROM pairs WHERE doc1 <> doc2))""".stripMargin
+
+  private lazy val CLOSURE_CTES: String =
+    """e AS (SELECT doc1 AS a, doc2 AS b FROM pairs
+      |      UNION SELECT doc2, doc1 FROM pairs),
+      |r(a, b) AS (
+      |  SELECT a, b FROM e
+      |  UNION
+      |  SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
+      |clus AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+      |         FROM r GROUP BY a)""".stripMargin
+
   /** The oracle computes the transitive closure of the same pair graph
     * with a recursive CTE and takes the min reachable node — an
     * independent formulation of the same semantics. */
@@ -423,14 +449,8 @@ object Graphs {
     "dedup_cluster" -> {
       val pairsSql = TextQueries.oracle("dedup_ngram_jaccard")
       s"""WITH RECURSIVE pairs AS ($pairsSql),
-         |e AS (SELECT doc1 AS a, doc2 AS b FROM pairs
-         |      UNION SELECT doc2, doc1 FROM pairs),
-         |r(a, b) AS (
-         |  SELECT a, b FROM e
-         |  UNION
-         |  SELECT r.a, e.b FROM r JOIN e ON r.b = e.a)
-         |SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
-         |FROM r GROUP BY a""".stripMargin
+         |$CLOSURE_CTES
+         |SELECT doc_id, cluster_id FROM clus""".stripMargin
     },
     "graph_pagerank" -> {
       val pairsSql = TextQueries.oracle("dedup_ngram_jaccard")
@@ -448,9 +468,7 @@ object Graphs {
            |  GROUP BY s.b)""".stripMargin
       }.mkString(",\n")
       s"""WITH pairs AS ($pairsSql),
-         |sym AS (SELECT DISTINCT a, b FROM (
-         |  SELECT doc1 AS a, doc2 AS b FROM pairs WHERE doc1 <> doc2
-         |  UNION ALL SELECT doc2, doc1 FROM pairs WHERE doc1 <> doc2)),
+         |$SYM_CTE,
          |deg AS (SELECT a, COUNT(*) AS deg FROM sym GROUP BY a),
          |c AS (SELECT CAST(1073741824 AS BIGINT) // COUNT(*) AS r0,
          |             CAST(1073741824 AS BIGINT) * 3 // 20 // COUNT(*) AS t
@@ -492,9 +510,7 @@ object Graphs {
            |  WHERE rn = 1)""".stripMargin
       }.mkString(",\n")
       s"""WITH pairs AS ($pairsSql),
-         |sym AS (SELECT DISTINCT a, b FROM (
-         |  SELECT doc1 AS a, doc2 AS b FROM pairs WHERE doc1 <> doc2
-         |  UNION ALL SELECT doc2, doc1 FROM pairs WHERE doc1 <> doc2)),
+         |$SYM_CTE,
          |l0 AS (SELECT DISTINCT a AS node, a AS label FROM sym),
          |$rounds
          |SELECT node, label AS community FROM l4""".stripMargin
@@ -503,14 +519,7 @@ object Graphs {
       val pairsSql = TextQueries.oracle("dedup_ngram_jaccard")
       val qualSql = TextQueries.oracle("text_quality")
       s"""WITH RECURSIVE pairs AS ($pairsSql),
-         |e AS (SELECT doc1 AS a, doc2 AS b FROM pairs
-         |      UNION SELECT doc2, doc1 FROM pairs),
-         |r(a, b) AS (
-         |  SELECT a, b FROM e
-         |  UNION
-         |  SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
-         |clus AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
-         |         FROM r GROUP BY a),
+         |$CLOSURE_CTES,
          |q AS ($qualSql),
          |lab AS (
          |  SELECT q.doc_id, COALESCE(c.cluster_id, q.doc_id) AS cluster_id,
@@ -542,9 +551,7 @@ object Graphs {
            |    WHERE p.d IS NOT NULL GROUP BY s.b) n ON n.node = x.node)""".stripMargin
       }.mkString(",\n")
       s"""WITH pairs AS ($pairsSql),
-         |sym AS (SELECT DISTINCT a, b FROM (
-         |  SELECT doc1 AS a, doc2 AS b FROM pairs WHERE doc1 <> doc2
-         |  UNION ALL SELECT doc2, doc1 FROM pairs WHERE doc1 <> doc2)),
+         |$SYM_CTE,
          |d0 AS (SELECT DISTINCT a AS node,
          |         CASE WHEN a % 7 = 0 THEN 0 ELSE NULL END AS d FROM sym),
          |$rounds
@@ -562,9 +569,7 @@ object Graphs {
            |  GROUP BY s.a HAVING COUNT(*) >= 2)""".stripMargin
       }.mkString(",\n")
       s"""WITH pairs AS ($pairsSql),
-         |sym AS (SELECT DISTINCT a, b FROM (
-         |  SELECT doc1 AS a, doc2 AS b FROM pairs WHERE doc1 <> doc2
-         |  UNION ALL SELECT doc2, doc1 FROM pairs WHERE doc1 <> doc2)),
+         |$SYM_CTE,
          |s0 AS (SELECT DISTINCT a AS node FROM sym),
          |$rounds
          |SELECT n.node, s4.node IS NOT NULL AS in_core

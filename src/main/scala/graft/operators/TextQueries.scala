@@ -178,10 +178,6 @@ object TextQueries {
       .select(col("doc1"), col("doc2"), jac.as("jaccard"))
   }
 
-  /** Brute-force cosine top-k: the query side (vec_id < 5) is broadcast;
-    * embeddings are L2-normalized so cosine = dot product, computed with a
-    * codegen'd zip_with/aggregate fold (no UDF). The LSH-bucketed variant
-    * (rows-only oracle) is the 100 TB path. */
   /** Context-window chunking — the split every training/RAG pipeline
     * runs between curation and tokenization: each document becomes
     * overlapping W-token windows on a stride-token stride (the overlap
@@ -258,6 +254,10 @@ object TextQueries {
       .withColumnRenamed("dot", "maxsim")
   }
 
+  /** Brute-force cosine top-k: the query side (vec_id < 5) is broadcast;
+    * embeddings are L2-normalized so cosine = dot product, computed with a
+    * codegen'd zip_with/aggregate fold (no UDF). The LSH-bucketed variant
+    * (rows-only oracle) is the 100 TB path. */
   def simCosineTopk(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val q = emb.filter(col("vec_id") < 5)

@@ -425,10 +425,11 @@ object Streams {
 
   /** Streaming counterpart of the batch meta_cdc_apply: per-key state is
     * the latest change by the (ts, event_id) total order plus the
-    * cumulative change count, so last-write-wins survives micro-batch
-    * boundaries and out-of-order arrival WITHIN a batch (each batch is
-    * sorted before the merge; a stale batch row never overwrites a newer
-    * state). Emits the refreshed survivor per key each batch with a
+    * cumulative change count. The strict (ts, id) guard on every
+    * replacement is what makes the fold order-independent — a stale row
+    * never overwrites a newer state, whether the two arrived in the same
+    * batch (any order) or batches apart — so no per-batch sort is
+    * needed. Emits the refreshed survivor per key each batch with a
     * tombstone flag (`error` = delete, the batch op's D-mapping) — the
     * continuous form of the periodic re-index upsert. State is bounded
     * by the key population, never by change volume. Input:
@@ -439,14 +440,14 @@ object Streams {
       OutputMode.Append, GroupStateTimeout.NoTimeout) {
       (uid: Long, it: Iterator[(Long, Long, Long, String, Double)],
        state: GroupState[CdcState]) =>
-        val evs = it.map(e => (e._2, e._3, e._4, e._5)).toArray.sortBy(e => (e._1, e._2))
         val prev = state.getOption
         var cur = prev
-        for ((ts, id, tpe, v) <- evs) {
+        var n = prev.map(_.n).getOrElse(0L)
+        for ((_, ts, id, tpe, v) <- it) {
+          n += 1
           if (cur.forall(p => p.ts < ts || (p.ts == ts && p.id < id)))
             cur = Some(CdcState(ts, id, tpe, v, 0L))
         }
-        val n = prev.map(_.n).getOrElse(0L) + evs.length
         val merged = cur.get.copy(n = n)
         state.update(merged)
         Iterator.single(CdcOut(uid, merged.tpe, merged.value, merged.ts, n,

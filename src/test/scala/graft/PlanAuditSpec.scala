@@ -138,7 +138,18 @@ class PlanAuditSpec extends SparkSpec {
     "sim_norm_audit" -> 2, // per-vec agg + tiny per-label agg
     "q21_single_late_blame" -> 3, // orderkey dual-distinct agg (2-step) + final supplier agg
     "dedup_doc_prefix" -> 1, // one hash-agg exchange on the 16-byte prefix key
-    "sim_pq_quantize" -> 0) // pure codegen projection over the checkpointed fixed-point scan
+    "sim_pq_quantize" -> 0, // pure codegen projection over the checkpointed fixed-point scan
+    "q22_prospect_share" -> 2, // anti-join shuffle + segment agg; threshold broadcast
+    "q23_market_share" -> 2, // fact-fact shuffle + (year,nation) agg; dims broadcast, year window rides the agg
+    "events_attribution" -> 2, // conv⋈touch equi shuffle + conversion-id window; channel rollup partial-aggregates
+    "occ_eoo_aoo" -> 2, // two-phase distinct-cell count on the species agg
+    "occ_seasonality" -> 2, // (species,month) agg + species argmax rollup
+    "sim_maxsim_topk" -> 1, // query side broadcast; one O(k)-rerank agg exchange
+    "text_chunk_windows" -> 0, // pure narrow tokenize+explode pipeline
+    "dedup_chunk_level" -> 3, // fingerprint agg + join-back + doc rollup over the checkpointed chunks
+    "graph_bfs_layers" -> 0, // per-round checkpoints cut lineage: no planned exchange survives
+    "dedup_survivorship" -> 2, // cluster argmax agg + canonical join over the checkpointed labels
+    "meta_cdc_apply" -> 1) // one keyed exchange shared by rank + change count
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
     // the shard grid must drive the exchange (parallelism = shard count),
