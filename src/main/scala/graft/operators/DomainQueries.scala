@@ -462,6 +462,29 @@ object DomainQueries {
         col("pk.mm").as("peak_month"), (-col("pk.nn")).as("peak_n"),
         expr("(-pk.nn) * 1000 div n_total").as("peak_millis"))
 
+  /** Chao1 species-richness estimate per 1°-cell — the "how many species
+    * are we MISSING here" question next to occ_cell_diversity's observed
+    * counts (the richness readout over range_estimation_pipeline's
+    * cleaned occurrences, cf. reference transforms.py:889-934): S_obs
+    * plus the bias-corrected singleton/doubleton term
+    * f1·(f1−1) / (2·(f2+1)), kept exact — counts are integers and the
+    * single floor division happens once at the end in milli units.
+    * Plan: two partial-aggregated exchanges — (cell, species) then
+    * cell — both map-side combined; |cells| rows out. */
+  def occChao1Richness(s: SparkSession, dir: String): DataFrame =
+    valid(s, dir)
+      .select(floor(col("lat")).cast("long").as("cell_lat"),
+        floor(col("lon")).cast("long").as("cell_lon"), col("species"))
+      .groupBy("cell_lat", "cell_lon", "species")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("cell_lat", "cell_lon")
+      .agg(count(lit(1)).as("s_obs"),
+        sum("n").as("n_occ"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("n") === 2, 1L).otherwise(0L)).as("f2"))
+      .withColumn("chao1_millis",
+        expr("s_obs * 1000 + (1000 * f1 * (f1 - 1)) div (2 * (f2 + 1))"))
+
   /** select_best_record per (species, 1°-cell): min uncertainty wins. */
   def occDedupeBest(s: SparkSession, dir: String): DataFrame = {
     val d = valid(s, dir)
@@ -1093,6 +1116,7 @@ object DomainQueries {
     "occ_range_overlap" -> (occRangeOverlap _),
     "occ_eoo_aoo" -> (occEooAoo _),
     "occ_seasonality" -> (occSeasonality _),
+    "occ_chao1_richness" -> (occChao1Richness _),
     "spatial_zorder_layout" -> (spatialZorderLayout _),
     "spatial_nearest" -> (spatialNearest _),
     "occ_temporal_trend" -> (occTemporalTrend _),
@@ -1211,6 +1235,21 @@ object DomainQueries {
         |    COUNT(*) OVER (PARTITION BY species) AS n_months
         |  FROM bym)
         |WHERE rn = 1""".stripMargin),
+    "occ_chao1_richness" -> withSql(OCC_SQL, VALID_SQL,
+      """csp AS (
+        |  SELECT CAST(FLOOR(lat) AS BIGINT) AS cell_lat,
+        |    CAST(FLOOR(lon) AS BIGINT) AS cell_lon, species,
+        |    COUNT(*) AS n
+        |  FROM valid GROUP BY 1, 2, 3)""".stripMargin)(
+      """SELECT cell_lat, cell_lon, s_obs, n_occ, f1, f2,
+        |  s_obs * 1000 + (1000 * f1 * (f1 - 1)) // (2 * (f2 + 1)) AS chao1_millis
+        |FROM (
+        |  SELECT cell_lat, cell_lon,
+        |    CAST(COUNT(*) AS BIGINT) AS s_obs,
+        |    CAST(SUM(n) AS BIGINT) AS n_occ,
+        |    CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        |    CAST(SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+        |  FROM csp GROUP BY cell_lat, cell_lon)""".stripMargin),
     "occ_eoo_aoo" -> withSql(OCC_SQL, VALID_SQL)(
       """SELECT species, CAST(COUNT(*) AS BIGINT) AS n_pts,
         |  CAST(COUNT(DISTINCT CAST(FLOOR(lat * 50.0) AS BIGINT) * 20000

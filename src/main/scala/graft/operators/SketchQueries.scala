@@ -276,6 +276,27 @@ object SketchQueries {
         .select(col("qid"), col("vec_id"), dot.as("dot")), 10)
   }
 
+  /** ANN index QA: recall@10 of the LSH-bucketed top-k against the exact
+    * brute-force top-k per query — the acceptance gate every approximate
+    * index build runs before serving (the ANN-family analogue of
+    * sim_norm_audit's encoder gate). Both component top-k sets are
+    * individually hash-green (dots fold left-to-right identically in
+    * both engines, ties broken by vec_id), so set membership — and
+    * therefore the recall counts — is deterministic. Plan: the two
+    * component pipelines run once each (both linear scans), then a
+    * 50-row left join + one |queries|-row aggregate — audit cost is the
+    * component cost, nothing quadratic on top. */
+  def simAnnRecallAudit(s: SparkSession, dir: String): DataFrame = {
+    val exact = TextQueries.simCosineTopk(s, dir).select("qid", "vec_id")
+    val approx = simLshTopk(s, dir)
+      .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("qid", "vec_id"), "left")
+      .select(col("qid"), coalesce(col("hit"), lit(0L)).as("hit"))
+      .groupBy("qid")
+      .agg(count(lit(1)).as("n_exact"), sum("hit").as("hits"))
+      .withColumn("recall_millis", expr("hits * 1000 div n_exact"))
+  }
+
   /** k-NN graph over the whole corpus: every vector's top-5 same-bucket
     * neighbors — the primitive that clustering, near-dup mining and
     * diversity sampling consume downstream. Plan: one bucket-assignment
@@ -546,6 +567,7 @@ object SketchQueries {
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
     "sim_lsh_topk" -> (simLshTopk _),
+    "sim_ann_recall_audit" -> (simAnnRecallAudit _),
     "sim_ivf_topk" -> (ivfTopk _),
     "sim_knn_graph" -> (simKnnGraph _),
     "text_winnowing" -> (textWinnowing _),
@@ -800,6 +822,43 @@ object SketchQueries {
         |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id)
         |      AS BIGINT) AS rank
         |  FROM sims) WHERE rank <= 10""".stripMargin,
+    "sim_ann_recall_audit" ->
+      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |eq AS (SELECT vec_id AS qid, v AS qv FROM emb WHERE vec_id < 5),
+        |ed AS (SELECT vec_id, v AS dv FROM emb WHERE vec_id >= 5),
+        |exact AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT qid, vec_id,
+        |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id) AS rank
+        |    FROM (SELECT qid, vec_id, list_dot_product(qv, dv) AS dot
+        |          FROM eq CROSS JOIN ed))
+        |  WHERE rank <= 10),
+        |pd AS (SELECT emb.vec_id, p,
+        |        list_dot_product(v, list_transform(generate_series(0, 63),
+        |          j -> CAST((p * 131 + j * 31) % 19 - 9 AS DOUBLE))) AS dp
+        |      FROM emb CROSS JOIN generate_series(0, 5) t(p)),
+        |bkt AS (SELECT vec_id,
+        |          CAST(SUM(CASE WHEN dp > 0 THEN (1::BIGINT << (5 - p)) ELSE 0 END)
+        |            AS BIGINT) AS bucket
+        |        FROM pd GROUP BY vec_id),
+        |aq AS (SELECT vec_id AS qid, v AS qv, bucket
+        |       FROM emb JOIN bkt USING (vec_id) WHERE vec_id < 5),
+        |ad AS (SELECT vec_id, v, bucket
+        |       FROM emb JOIN bkt USING (vec_id) WHERE vec_id >= 5),
+        |approx AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT qid, vec_id,
+        |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id) AS rank
+        |    FROM (SELECT qid, ad.vec_id, list_dot_product(qv, v) AS dot
+        |          FROM aq JOIN ad USING (bucket)))
+        |  WHERE rank <= 10),
+        |hit AS (SELECT e.qid, CASE WHEN a.vec_id IS NULL THEN 0 ELSE 1 END AS hit
+        |        FROM exact e LEFT JOIN approx a
+        |          ON e.qid = a.qid AND e.vec_id = a.vec_id)
+        |SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_exact,
+        |  CAST(SUM(hit) AS BIGINT) AS hits,
+        |  CAST(SUM(hit) * 1000 // COUNT(*) AS BIGINT) AS recall_millis
+        |FROM hit GROUP BY qid""".stripMargin,
     "sim_ivf_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),

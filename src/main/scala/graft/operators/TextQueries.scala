@@ -56,6 +56,33 @@ object TextQueries {
           .otherwise(0.0))
   }
 
+  /** Readability audit — the grade-level quality gate next to
+    * text_quality's lexical ratios: words (token runs), sentences
+    * (sentence-final punctuation runs, floored at 1 so headline-only
+    * docs stay defined), and a syllable proxy (vowel runs — the classic
+    * cheap estimator), folded into a Flesch-reading-ease-shaped score
+    * kept ENTIRELY in exact milli integers: 206.835 − 1.015·(W/S) −
+    * 84.6·(Syll/W) becomes 206835 − 1015·wps_milli/1000 −
+    * 84600·spw_milli/1000 with every division a floor division in a
+    * fixed order (SURVEY §4 float discipline — no engine-divergent
+    * double ratios). Plan: one narrow codegen projection, no shuffle. */
+  def textReadability(s: SparkSession, dir: String): DataFrame = {
+    val nWords = size(tokens(col("text"))).cast("long")
+    val nSents = greatest(
+      size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))).cast("long"),
+      lit(1L))
+    val nSyll = size(regexp_extract_all(lower(col("text")), lit("[aeiou]+"), lit(0)))
+      .cast("long")
+    t(s, dir, "documents")
+      .select(col("doc_id"), nWords.as("n_words"), nSents.as("n_sents"),
+        nSyll.as("n_syll"))
+      .filter(col("n_words") > 0)
+      .withColumn("wps_milli", expr("n_words * 1000 div n_sents"))
+      .withColumn("spw_milli", expr("n_syll * 1000 div n_words"))
+      .withColumn("flesch_milli",
+        expr("206835 - (1015 * wps_milli) div 1000 - (84600 * spw_milli) div 1000"))
+  }
+
   /** Stopword-lexicon language scoring. The lexicon is a compile-time
     * constant, so instead of explode→broadcast-join→groupBy→window (three
     * shuffles of |tokens| rows) the per-language hit counts fold into ONE
@@ -501,6 +528,7 @@ object TextQueries {
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
+    "text_readability" -> (textReadability _),
     "text_langid" -> (textLangid _),
     "dedup_exact" -> (dedupExact _),
     "dedup_incremental_exact" -> (dedupIncrementalExact _),
@@ -567,6 +595,19 @@ object TextQueries {
         |  ELSE 0.0 END AS quality
         |FROM (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
         |        CAST(len(list_distinct(ts)) AS BIGINT) AS n_distinct FROM tok)""".stripMargin),
+    "text_readability" ->
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(lower(text), '$TOKEN_RE')) AS BIGINT) AS n_words,
+         |    GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1) AS n_sents,
+         |    CAST(len(regexp_extract_all(lower(text), '[aeiou]+')) AS BIGINT) AS n_syll
+         |  FROM documents)
+         |SELECT doc_id, n_words, n_sents, n_syll,
+         |  n_words * 1000 // n_sents AS wps_milli,
+         |  n_syll * 1000 // n_words AS spw_milli,
+         |  206835 - (1015 * (n_words * 1000 // n_sents)) // 1000
+         |    - (84600 * (n_syll * 1000 // n_words)) // 1000 AS flesch_milli
+         |FROM m WHERE n_words > 0""".stripMargin,
     "text_langid" -> withSql(TOK_SQL, LEX_SQL)(
       """SELECT d.doc_id, COALESCE(b.lng, 'unknown') AS pred_lang,
         |  COALESCE(b.n_hits, 0) AS n_hits

@@ -28,7 +28,8 @@ class PlanAuditSpec extends SparkSpec {
     "occ_range_overlap" -> "triangle (a < b) BNLJ against the broadcast ≤|species|-row bbox table",
     "affinity_brand_pairs" -> "crossJoin against the single-row broadcast order-total frame",
     "q22_prospect_share" -> "crossJoin against the single-row broadcast balance-threshold frame",
-    "sim_maxsim_topk" -> "documented late-interaction scorer: query side is 5 broadcast rows")
+    "sim_maxsim_topk" -> "documented late-interaction scorer: query side is 5 broadcast rows",
+    "sim_ann_recall_audit" -> "inherits sim_cosine_topk's 5-broadcast-row brute-force crossJoin")
 
   test("no query plans a nested-loop or cartesian join outside the whitelist") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -149,7 +150,10 @@ class PlanAuditSpec extends SparkSpec {
     "dedup_chunk_level" -> 3, // fingerprint agg + join-back + doc rollup over the checkpointed chunks
     "graph_bfs_layers" -> 0, // per-round checkpoints cut lineage: no planned exchange survives
     "dedup_survivorship" -> 2, // cluster argmax agg + canonical join over the checkpointed labels
-    "meta_cdc_apply" -> 1) // one keyed exchange shared by rank + change count
+    "meta_cdc_apply" -> 1, // one keyed exchange shared by rank + change count
+    "occ_chao1_richness" -> 2, // (cell, species) agg + cell rollup, both partial-aggregated
+    "text_readability" -> 0, // pure narrow codegen projection: ZERO shuffles
+    "sim_ann_recall_audit" -> 7) // exact rerank agg + lsh bucket/rerank aggs + 50-row recall agg
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
     // the shard grid must drive the exchange (parallelism = shard count),
