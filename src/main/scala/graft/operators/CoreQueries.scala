@@ -235,6 +235,28 @@ object CoreQueries {
         count(lit(1)).as("n_items"))
   }
 
+  /** TPC-H Q10-shaped returned-item blame: the top-20 customers by
+    * DECIMAL-exact revenue lost to returned lineitems, with nation
+    * context — the who-is-hurting-us readout next to q04's plain
+    * top-spend. Plan: the returnflag filter prunes the fact FIRST
+    * (pushed to the scan), one fact-fact orderkey shuffle join,
+    * customer/nation broadcast, then TakeOrderedAndProject — per-
+    * partition top-20 and a 20-row driver merge, never a full sort.
+    * Ties (equal lost revenue) break on c_custkey in both engines. */
+  def q24(s: SparkSession, dir: String): DataFrame = {
+    val revenue = dec2(col("l_extendedprice")) * dec2(lit(1) - col("l_discount"))
+    t(s, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(sum(revenue).cast("double").as("rev_lost"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("rev_lost").desc, col("c_custkey"))
+      .limit(20)
+  }
+
   /** TPC-H Q20-shaped nested-aggregate semi-join chain: suppliers who
     * dominate at least one part's supply — shipped more than an EIGHTH
     * of that part's total (every part has 13-41 suppliers in this
@@ -422,6 +444,7 @@ object CoreQueries {
 
   val queries: Map[String, Q] = Map(
     "q19_star_join" -> (q19 _),
+    "q24_returned_revenue" -> (q24 _),
     "q20_dominant_supplier" -> (q20 _),
     "q21_single_late_blame" -> (q21 _),
     "q22_prospect_share" -> (q22 _),
@@ -450,6 +473,17 @@ object CoreQueries {
   private val DP = "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))"
 
   val oracle: Map[String, String] = Map(
+    "q24_returned_revenue" ->
+      s"""SELECT c_custkey, c_name, n_name,
+         |  CAST(SUM($DP) AS DOUBLE) AS rev_lost,
+         |  COUNT(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |GROUP BY c_custkey, c_name, n_name
+         |ORDER BY rev_lost DESC, c_custkey LIMIT 20""".stripMargin,
     "q23_market_share" ->
       s"""WITH pn AS (
          |  SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS yr, sn.n_name AS n_name,

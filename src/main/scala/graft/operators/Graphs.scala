@@ -158,6 +158,44 @@ object Graphs {
   def graphTriangles(s: SparkSession, dir: String): DataFrame =
     triangleCounts(SketchQueries.simKnnGraph(s, dir).select("qid", "vec_id"))
 
+  /** Per-edge NEIGHBORHOOD Jaccard over an undirected edge list — the
+    * link-prediction / edge-strength primitive between
+    * [[triangleCounts]]' per-node density and [[connectedComponents]]'
+    * global reach: an edge whose endpoints share most of their
+    * neighbors sits inside a dense near-dup clique (merge with
+    * confidence); one with no shared neighbors is a bridge a single
+    * noisy pair created (the edge dedup_cluster should doubt). Exact
+    * milli integers: common = |N(u)∩N(v)|, union = du + dv − common
+    * (≥ 2 always — each endpoint neighbors the other, never itself, so
+    * no zero guard is needed). Plan: canonical edges checkpointed once
+    * (degrees + wedge join + result all reuse it), common-neighbor
+    * counts via the per-endpoint adjacency join — wedge fan-out is
+    * bounded by degree exactly like the triangle plan, never |V|². */
+  def neighborJaccard(edges: DataFrame): DataFrame = {
+    val und = edges.toDF("x", "y")
+      .select(least(col("x"), col("y")).as("u"),
+        greatest(col("x"), col("y")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint()
+    val adj = und.select(col("u").as("x"), col("v").as("n"))
+      .union(und.select(col("v").as("x"), col("u").as("n")))
+    val deg = adj.groupBy("x").agg(count(lit(1)).as("d"))
+    val cmn = und
+      .join(adj.select(col("x").as("u"), col("n")), Seq("u"))
+      .join(adj.select(col("x").as("v"), col("n")), Seq("v", "n"))
+      .groupBy("u", "v").agg(count(lit(1)).as("common"))
+    und.join(cmn, Seq("u", "v"), "left")
+      .na.fill(0L, Seq("common"))
+      .join(deg.select(col("x").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), Seq("v"))
+      .select(col("u"), col("v"), col("du"), col("dv"), col("common"),
+        expr("common * 1000 div (du + dv - common)").as("jaccard_millis"))
+  }
+
+  /** Neighborhood Jaccard over the k-NN similarity graph edges. */
+  def graphNeighborJaccard(s: SparkSession, dir: String): DataFrame =
+    neighborJaccard(SketchQueries.simKnnGraph(s, dir).select("qid", "vec_id"))
+
   /** Fixed-point PageRank over an undirected edge list — the centrality
     * score that picks CANONICAL representatives inside near-dup clusters
     * (the best-connected document of a cluster, vs [[connectedComponents]]'
@@ -419,7 +457,8 @@ object Graphs {
     "graph_communities" -> (graphCommunities _),
     "graph_ancestor_closure" -> (graphAncestorClosure _),
     "graph_kcore" -> (graphKcore _),
-    "graph_triangles" -> (graphTriangles _))
+    "graph_triangles" -> (graphTriangles _),
+    "graph_neighbor_jaccard" -> (graphNeighborJaccard _))
 
   /** Shared oracle CTEs over the trigram-Jaccard pair graph. [[SYM_CTE]]
     * is the symmetrized distinct edge list (expects a `pairs` CTE in
@@ -588,5 +627,26 @@ object Graphs {
          |nodes AS (SELECT unnest([a, b, c]) AS node FROM tg)
          |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
          |FROM nodes GROUP BY node""".stripMargin
+    },
+    "graph_neighbor_jaccard" -> {
+      val knnSql = SketchQueries.oracle("sim_knn_graph")
+      s"""WITH knn AS ($knnSql),
+         |eg AS (SELECT DISTINCT LEAST(qid, vec_id) AS u,
+         |         GREATEST(qid, vec_id) AS v
+         |       FROM knn WHERE qid <> vec_id),
+         |adj AS (SELECT u AS x, v AS n FROM eg
+         |        UNION ALL SELECT v, u FROM eg),
+         |deg AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY x),
+         |cmn AS (SELECT eg.u, eg.v, CAST(COUNT(*) AS BIGINT) AS common
+         |        FROM eg JOIN adj a1 ON a1.x = eg.u
+         |                JOIN adj a2 ON a2.x = eg.v AND a2.n = a1.n
+         |        GROUP BY eg.u, eg.v)
+         |SELECT eg.u, eg.v, degu.d AS du, degv.d AS dv,
+         |  COALESCE(c.common, 0) AS common,
+         |  COALESCE(c.common, 0) * 1000
+         |    // (degu.d + degv.d - COALESCE(c.common, 0)) AS jaccard_millis
+         |FROM eg LEFT JOIN cmn c ON c.u = eg.u AND c.v = eg.v
+         |JOIN deg degu ON degu.x = eg.u
+         |JOIN deg degv ON degv.x = eg.v""".stripMargin
     })
 }

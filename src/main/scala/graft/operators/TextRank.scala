@@ -387,6 +387,36 @@ object TextRank {
       |FROM g JOIN df USING (g)
       |GROUP BY doc_id""".stripMargin
 
+  /** Per-document n-gram NOVELTY against the corpus in doc_id order —
+    * the "is this document adding anything" curation signal dual to
+    * [[dedupRepeatedNgrams]]'s boilerplate fraction: a distinct 5-gram
+    * is novel for the document that FIRST introduces it (min doc_id
+    * over the corpus), so re-crawls, quotes and templated text score
+    * near zero while fresh prose scores near 1000. Exact milli
+    * integers. Plan: the repeated-ngrams shape — one gram-hash
+    * aggregate (min instead of count) + the inverted-index join back;
+    * shuffle carries gram keys, never text. */
+  def textNgramNovelty(s: SparkSession, dir: String): DataFrame = {
+    val g = gram5(t(s, dir, "documents"))
+    val first = g.groupBy("g").agg(min("doc_id").as("first_doc"))
+    g.join(first, Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novel_millis", expr("n_novel * 1000 div n_grams"))
+  }
+
+  private val NOVELTY_SQL =
+    s"""WITH $GRAM5_CTE,
+      |fd AS (SELECT g, MIN(doc_id) AS first_doc FROM g GROUP BY g)
+      |SELECT doc_id, COUNT(*) AS n_grams,
+      |  CAST(SUM(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+      |  CAST(SUM(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) * 1000 // COUNT(*)
+      |    AS BIGINT) AS novel_millis
+      |FROM g JOIN fd USING (g)
+      |GROUP BY doc_id""".stripMargin
+
   /** End-to-end per-document curation VERDICT — the composition a user
     * of this library actually ships: every document classified by the
     * first failing gate, in severity order
@@ -612,6 +642,7 @@ object TextRank {
     "dedup_paragraphs" -> (dedupParagraphs _),
     "dedup_shingle_containment" -> (dedupShingleContainment _),
     "dedup_repeated_ngrams" -> (dedupRepeatedNgrams _),
+    "text_ngram_novelty" -> (textNgramNovelty _),
     "freq_count_min" -> (freqCountMin _),
     "text_bm25_topk" -> (textBm25Topk _),
     "data_sample_stratified" -> (dataSampleStratified _),
@@ -643,6 +674,7 @@ object TextRank {
     "dedup_paragraphs" -> PARAGRAPHS_SQL,
     "dedup_shingle_containment" -> CONTAINMENT_SQL,
     "dedup_repeated_ngrams" -> REPEATED_SQL,
+    "text_ngram_novelty" -> NOVELTY_SQL,
     "freq_count_min" -> CM_SQL,
     "text_bm25_topk" -> BM25_SQL,
     "data_sample_stratified" -> SAMPLE_SQL,

@@ -153,7 +153,10 @@ class PlanAuditSpec extends SparkSpec {
     "meta_cdc_apply" -> 1, // one keyed exchange shared by rank + change count
     "occ_chao1_richness" -> 2, // (cell, species) agg + cell rollup, both partial-aggregated
     "text_readability" -> 0, // pure narrow codegen projection: ZERO shuffles
-    "sim_ann_recall_audit" -> 7) // exact rerank agg + lsh bucket/rerank aggs + 50-row recall agg
+    "sim_ann_recall_audit" -> 7, // exact rerank agg + lsh bucket/rerank aggs + 50-row recall agg
+    "text_ngram_novelty" -> 3, // gram window + first-doc agg + doc rollup; AQE broadcasts the join
+    "graph_neighbor_jaccard" -> 10, // deg agg + wedge join legs + cmn agg + joins over the checkpointed edges
+    "q24_returned_revenue" -> 1) // at gate scale orders broadcasts: agg shuffle only; TakeOrdered caps the sort
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
     // the shard grid must drive the exchange (parallelism = shard count),
