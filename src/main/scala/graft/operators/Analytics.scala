@@ -664,6 +664,84 @@ object Analytics {
       |  CAST(COUNT(*) AS BIGINT) AS n_gaps
       |FROM g WHERE gap IS NOT NULL GROUP BY 1, 2""".stripMargin
 
+  /** Per-conversion time-to-convert — the HOW-LONG readout between
+    * events_attribution's WHO-gets-credit and events_funnel's
+    * DID-it-happen: every purchase paired with the user's most recent
+    * preceding view inside a 7-day lookback, with the exact integer
+    * lag in seconds and its floor-log2 bin (the gap_histogram lattice,
+    * so downstream dashboards bucket identically). Plan: ONE user_id
+    * window exchange — the running MAX-of-view-ts rides the same sort
+    * the funnel uses; no self-join, no per-conversion rescan. */
+  def eventsConversionLag(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    DomainQueries.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts_ns"), col("event_id"))
+      .withColumn("last_view",
+        max(when(col("event_type") === "view", col("ts_ns"))).over(w))
+      .filter(col("event_type") === "purchase" && col("last_view").isNotNull &&
+        col("ts_ns") - col("last_view") <= lit(604800000000000L))
+      .select(col("event_id"), col("user_id"),
+        expr("(ts_ns - last_view) div 1000000000").as("lag_s"),
+        expr("cast(length(bin((ts_ns - last_view) div 1000000000 + 1)) - 1 as bigint)")
+          .as("lag_bits"))
+  }
+
+  private val CONV_LAG_SQL =
+    """WITH e AS (
+      |  SELECT user_id, event_type, event_id, epoch_ns(ts) AS ts_ns FROM events),
+      |lv AS (SELECT user_id, event_type, event_id, ts_ns,
+      |         MAX(CASE WHEN event_type = 'view' THEN ts_ns END) OVER (
+      |           PARTITION BY user_id ORDER BY ts_ns, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view
+      |       FROM e)
+      |SELECT event_id, user_id,
+      |  (ts_ns - last_view) // 1000000000 AS lag_s,
+      |  CAST(length(bin((ts_ns - last_view) // 1000000000 + 1)) - 1 AS BIGINT)
+      |    AS lag_bits
+      |FROM lv
+      |WHERE event_type = 'purchase' AND last_view IS NOT NULL
+      |  AND ts_ns - last_view <= 604800000000000""".stripMargin
+
+  /** Curriculum staging — the easy→hard ordering curriculum training
+    * schedules read from: per-doc difficulty as an exact integer
+    * (mean token length in milli-chars + token count — longer words
+    * and longer documents rank harder; no floats, no engine-divergent
+    * scoring), then an EXACT global NTILE(4) into training stages via
+    * the distributed rank machinery ([[globalRowNumber]] +
+    * [[graft.NtileSplit]] — the events_rfm discipline: range
+    * repartition + per-partition offsets, never a single-task global
+    * window). Ties break on doc_id in both engines. */
+  def dataCurriculumStages(s: SparkSession, dir: String): DataFrame = {
+    val nTok = size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
+      .cast("long")
+    val nChr = length(regexp_replace(lower(col("text")), "[^a-z0-9]", "")).cast("long")
+    val scored = t(s, dir, "documents")
+      .select(col("doc_id"), nTok.as("n_tokens"), nChr.as("n_alnum"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("difficulty_milli", expr("n_alnum * 1000 div n_tokens + n_tokens"))
+      .localCheckpoint() // count() + rank sort would replay the scan twice
+    val n = scored.count()
+    val ranked = globalRowNumber(scored, Seq(col("difficulty_milli"), col("doc_id")))
+    val sp = graft.NtileSplit(n, 4)
+    ranked.select(col("doc_id"), col("n_tokens"), col("difficulty_milli"),
+      sp.tile(col("rn")).cast("long").as("stage"))
+  }
+
+  private val CURRICULUM_SQL =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+      |    CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS BIGINT)
+      |      AS n_alnum
+      |  FROM documents),
+      |d AS (SELECT doc_id, n_tokens,
+      |        n_alnum * 1000 // n_tokens + n_tokens AS difficulty_milli
+      |      FROM m WHERE n_tokens > 0)
+      |SELECT doc_id, n_tokens, difficulty_milli,
+      |  CAST(NTILE(4) OVER (ORDER BY difficulty_milli, doc_id) AS BIGINT) AS stage
+      |FROM d""".stripMargin
+
   /** Market-basket brand affinity — the co-occurrence/lift mining that
     * drives "bought together" recommendation candidates and (in a
     * training-data pipeline) source-correlation audits: for every brand
@@ -1234,6 +1312,8 @@ object Analytics {
     "events_transition_matrix" -> (eventsTransitionMatrix _),
     "events_uniques_sliding" -> (eventsUniquesSliding _),
     "events_gap_histogram" -> (eventsGapHistogram _),
+    "events_conversion_lag" -> (eventsConversionLag _),
+    "data_curriculum_stages" -> (dataCurriculumStages _),
     "affinity_brand_pairs" -> (affinityBrandPairs _),
     "events_rfm" -> (eventsRfm _),
     "supplier_pareto_class" -> (supplierParetoClass _),
@@ -1261,6 +1341,8 @@ object Analytics {
     "events_transition_matrix" -> TRANSITION_SQL,
     "events_uniques_sliding" -> UNIQUES_SQL,
     "events_gap_histogram" -> GAP_SQL,
+    "events_conversion_lag" -> CONV_LAG_SQL,
+    "data_curriculum_stages" -> CURRICULUM_SQL,
     "affinity_brand_pairs" -> AFFINITY_SQL,
     "events_rfm" -> RFM_SQL,
     "supplier_pareto_class" -> PARETO_SQL,

@@ -276,6 +276,23 @@ object SketchQueries {
         .select(col("qid"), col("vec_id"), dot.as("dot")), 10)
   }
 
+  /** LSH bucket-occupancy audit — the index-health companion to
+    * [[simAnnRecallAudit]]'s answer-quality gate: bucket sizes folded
+    * into a floor-log2 histogram (≤ ~40 rows at any corpus size) with
+    * per-bin bucket/vector counts and size extrema. A healthy index
+    * shows mass concentrated in mid bins; a fat top bin means collapsed
+    * sign patterns (zero vectors, duplicated embeddings) that will blow
+    * past KNN_BUCKET_CAP and cost recall. Plan: two partial-aggregated
+    * exchanges over the bucket assignment — bucket sizes then bins. */
+  def simBucketAudit(s: SparkSession, dir: String): DataFrame =
+    lshBuckets(s, dir)
+      .groupBy("bucket").agg(count(lit(1)).as("sz"))
+      .select(col("sz"),
+        expr("cast(length(bin(sz)) - 1 as bigint)").as("sz_bits"))
+      .groupBy("sz_bits")
+      .agg(count(lit(1)).as("n_buckets"), sum("sz").as("n_vectors"),
+        min("sz").as("min_sz"), max("sz").as("max_sz"))
+
   /** ANN index QA: recall@10 of the LSH-bucketed top-k against the exact
     * brute-force top-k per query — the acceptance gate every approximate
     * index build runs before serving (the ANN-family analogue of
@@ -568,6 +585,7 @@ object SketchQueries {
     "dedup_simhash" -> (dedupSimhash _),
     "sim_lsh_topk" -> (simLshTopk _),
     "sim_ann_recall_audit" -> (simAnnRecallAudit _),
+    "sim_bucket_audit" -> (simBucketAudit _),
     "sim_ivf_topk" -> (ivfTopk _),
     "sim_knn_graph" -> (simKnnGraph _),
     "text_winnowing" -> (textWinnowing _),
@@ -822,6 +840,22 @@ object SketchQueries {
         |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id)
         |      AS BIGINT) AS rank
         |  FROM sims) WHERE rank <= 10""".stripMargin,
+    "sim_bucket_audit" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |d AS (SELECT e.vec_id, p,
+        |        list_dot_product(v, list_transform(generate_series(0, 63),
+        |          j -> CAST((p * 131 + j * 31) % 19 - 9 AS DOUBLE))) AS dp
+        |      FROM e CROSS JOIN generate_series(0, 5) t(p)),
+        |bkt AS (SELECT vec_id,
+        |          CAST(SUM(CASE WHEN dp > 0 THEN (1::BIGINT << (5 - p)) ELSE 0 END)
+        |            AS BIGINT) AS bucket
+        |        FROM d GROUP BY vec_id),
+        |bs AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS sz FROM bkt GROUP BY bucket)
+        |SELECT CAST(length(bin(sz)) - 1 AS BIGINT) AS sz_bits,
+        |  CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        |  CAST(SUM(sz) AS BIGINT) AS n_vectors,
+        |  MIN(sz) AS min_sz, MAX(sz) AS max_sz
+        |FROM bs GROUP BY 1""".stripMargin,
     "sim_ann_recall_audit" ->
       """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |eq AS (SELECT vec_id AS qid, v AS qv FROM emb WHERE vec_id < 5),

@@ -156,7 +156,10 @@ class PlanAuditSpec extends SparkSpec {
     "sim_ann_recall_audit" -> 7, // exact rerank agg + lsh bucket/rerank aggs + 50-row recall agg
     "text_ngram_novelty" -> 3, // gram window + first-doc agg + doc rollup; AQE broadcasts the join
     "graph_neighbor_jaccard" -> 10, // deg agg + wedge join legs + cmn agg + joins over the checkpointed edges
-    "q24_returned_revenue" -> 1) // at gate scale orders broadcasts: agg shuffle only; TakeOrdered caps the sort
+    "q24_returned_revenue" -> 1, // at gate scale orders broadcasts: agg shuffle only; TakeOrdered caps the sort
+    "events_conversion_lag" -> 1, // ONE user_id window exchange; running max-of-view rides the sort
+    "data_curriculum_stages" -> 0, // returned plan reads the ranked RDD: rank exchanges happen at build
+    "sim_bucket_audit" -> 3) // plane-sum agg + bucket-size agg + ≤40-row bin agg
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
     // the shard grid must drive the exchange (parallelism = shard count),
