@@ -19,6 +19,7 @@ object Analytics {
   type Q = (SparkSession, String) => DataFrame
 
   private val DAY_NS = 86400000000000L
+  private val HOUR_NS = 3600000000000L
 
   /** Cohort retention matrix: users bucketed by first-active day, counted
     * on every (cohort, day-offset) cell they were active in. ONE exchange
@@ -703,6 +704,47 @@ object Analytics {
       |WHERE event_type = 'purchase' AND last_view IS NOT NULL
       |  AND ts_ns - last_view <= 604800000000000""".stripMargin
 
+  /** Inactivity churn by signup cohort — the WHERE-did-they-go readout
+    * next to events_retention's day-offset matrix: a user is churned
+    * when their last activity predates the corpus watermark (max last
+    * activity hour — the same derived-watermark anchor events_ttl_sweep
+    * uses) by more than 24 HOURS; cohort = signup day. The hour lattice
+    * (not days) is what discriminates on a corpus whose users all span
+    * the same few weeks — the production threshold is a constant swap.
+    * Exact milli churn rates. Plan: one user_id aggregate, the
+    * single-row watermark broadcast back (never a driver collect), then
+    * a |cohorts|-row rollup. */
+  def eventsInactivityChurn(s: SparkSession, dir: String): DataFrame = {
+    val perUser = DomainQueries.events(s, dir)
+      .select(col("user_id"), expr(s"ts_ns div $HOUR_NS").as("hr"))
+      .groupBy("user_id")
+      .agg(min("hr").as("first_hr"), max("hr").as("last_hr"))
+      // referenced by the watermark fold AND the cohort rollup — without
+      // the checkpoint both references replay the events scan + aggregate
+      .localCheckpoint()
+    val wm = perUser.agg(max("last_hr").as("wm"))
+    perUser.crossJoin(broadcast(wm))
+      .select(expr("first_hr div 24").as("cohort_day"),
+        when(col("last_hr") < col("wm") - 24, 1L).otherwise(0L).as("churned"))
+      .groupBy("cohort_day")
+      .agg(count(lit(1)).as("n_users"), sum("churned").as("n_churned"))
+      .withColumn("churn_millis", expr("n_churned * 1000 div n_users"))
+  }
+
+  private val CHURN_SQL =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_ns(ts) // $HOUR_NS AS hr FROM events),
+       |u AS (SELECT user_id, MIN(hr) AS first_hr, MAX(hr) AS last_hr
+       |      FROM e GROUP BY user_id),
+       |w AS (SELECT MAX(last_hr) AS wm FROM u)
+       |SELECT first_hr // 24 AS cohort_day,
+       |  CAST(COUNT(*) AS BIGINT) AS n_users,
+       |  CAST(SUM(CASE WHEN last_hr < wm - 24 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_churned,
+       |  CAST(SUM(CASE WHEN last_hr < wm - 24 THEN 1 ELSE 0 END) * 1000
+       |    // COUNT(*) AS BIGINT) AS churn_millis
+       |FROM u CROSS JOIN w GROUP BY 1""".stripMargin
+
   /** Curriculum staging — the easy→hard ordering curriculum training
     * schedules read from: per-doc difficulty as an exact integer
     * (mean token length in milli-chars + token count — longer words
@@ -1313,6 +1355,7 @@ object Analytics {
     "events_uniques_sliding" -> (eventsUniquesSliding _),
     "events_gap_histogram" -> (eventsGapHistogram _),
     "events_conversion_lag" -> (eventsConversionLag _),
+    "events_inactivity_churn" -> (eventsInactivityChurn _),
     "data_curriculum_stages" -> (dataCurriculumStages _),
     "affinity_brand_pairs" -> (affinityBrandPairs _),
     "events_rfm" -> (eventsRfm _),
@@ -1342,6 +1385,7 @@ object Analytics {
     "events_uniques_sliding" -> UNIQUES_SQL,
     "events_gap_histogram" -> GAP_SQL,
     "events_conversion_lag" -> CONV_LAG_SQL,
+    "events_inactivity_churn" -> CHURN_SQL,
     "data_curriculum_stages" -> CURRICULUM_SQL,
     "affinity_brand_pairs" -> AFFINITY_SQL,
     "events_rfm" -> RFM_SQL,

@@ -462,6 +462,29 @@ object DomainQueries {
         col("pk.mm").as("peak_month"), (-col("pk.nn")).as("peak_n"),
         expr("(-pk.nn) * 1000 div n_total").as("peak_millis"))
 
+  /** Per-species climatic-niche ENVELOPE — the temperature/precipitation
+    * tolerance box species-distribution models start from (the niche
+    * question clim_summary's per-accession stats stop short of): each
+    * occurrence samples the synthetic climate raster at its 1°-cell
+    * (the [[climAnnotate]] lattice, point sample — no buffer), and the
+    * species folds to min/max per variable plus the envelope breadth,
+    * ALL in the raster's exact deci-unit integers (deci-Kelvin ×
+    * deci-mm — no unit conversion, no floats, nothing to diverge).
+    * Plan: one partial-aggregated |species|-row exchange. */
+  def occClimateEnvelope(s: SparkSession, dir: String): DataFrame = {
+    val cid = cell1(col("lat"), col("lon"))
+    valid(s, dir)
+      .filter(cid >= 0 && cid <= 64799)
+      .select(col("species"),
+        (cid * 7919 % 4000).as("t_deci"),
+        (cid * 104729 % 12000).as("p_deci"))
+      .groupBy("species")
+      .agg(count(lit(1)).as("n_pts"),
+        min("t_deci").as("t_lo"), max("t_deci").as("t_hi"),
+        min("p_deci").as("p_lo"), max("p_deci").as("p_hi"))
+      .withColumn("breadth", expr("(t_hi - t_lo) * (p_hi - p_lo)"))
+  }
+
   /** Chao1 species-richness estimate per 1°-cell — the "how many species
     * are we MISSING here" question next to occ_cell_diversity's observed
     * counts (the richness readout over range_estimation_pipeline's
@@ -1117,6 +1140,7 @@ object DomainQueries {
     "occ_eoo_aoo" -> (occEooAoo _),
     "occ_seasonality" -> (occSeasonality _),
     "occ_chao1_richness" -> (occChao1Richness _),
+    "occ_climate_envelope" -> (occClimateEnvelope _),
     "spatial_zorder_layout" -> (spatialZorderLayout _),
     "spatial_nearest" -> (spatialNearest _),
     "occ_temporal_trend" -> (occTemporalTrend _),
@@ -1235,6 +1259,16 @@ object DomainQueries {
         |    COUNT(*) OVER (PARTITION BY species) AS n_months
         |  FROM bym)
         |WHERE rn = 1""".stripMargin),
+    "occ_climate_envelope" -> withSql(OCC_SQL, VALID_SQL,
+      s"""cv AS (
+        |  SELECT species, $CELL1_SQL AS cid FROM valid
+        |  WHERE $CELL1_SQL BETWEEN 0 AND 64799)""".stripMargin)(
+      """SELECT species, CAST(COUNT(*) AS BIGINT) AS n_pts,
+        |  MIN(cid * 7919 % 4000) AS t_lo, MAX(cid * 7919 % 4000) AS t_hi,
+        |  MIN(cid * 104729 % 12000) AS p_lo, MAX(cid * 104729 % 12000) AS p_hi,
+        |  (MAX(cid * 7919 % 4000) - MIN(cid * 7919 % 4000))
+        |    * (MAX(cid * 104729 % 12000) - MIN(cid * 104729 % 12000)) AS breadth
+        |FROM cv GROUP BY species""".stripMargin),
     "occ_chao1_richness" -> withSql(OCC_SQL, VALID_SQL,
       """csp AS (
         |  SELECT CAST(FLOOR(lat) AS BIGINT) AS cell_lat,

@@ -309,6 +309,43 @@ object Streams {
     }
   }
 
+  case class ViewState(ts: Long)
+  case class ConvLagOut(user_id: Long, event_id: Long, lag_s: Long, lag_bits: Long)
+
+  /** Streaming counterpart of the batch events_conversion_lag: per-user
+    * state is ONE timestamp — the most recent view seen so far (views
+    * arrive ascending, so latest = running max, the batch window's
+    * MAX-of-preceding-views) — and every purchase within the 7-day
+    * lookback emits its exact lag + floor-log2 bin as the batch op
+    * computes them. A conversion whose triggering view landed in an
+    * earlier micro-batch is still credited (the cross-batch case a
+    * stateless window cannot see). State is one long per user. With
+    * per-user ascending arrival the emitted set equals the batch
+    * window's exactly (spec-verified).
+    * Input: (user_id, ts_ns, event_id, event_type). */
+  def conversionLag(events: Dataset[(Long, Long, Long, String)]): Dataset[ConvLagOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (uid: Long, it: Iterator[(Long, Long, Long, String)],
+       state: GroupState[ViewState]) =>
+        val evs = it.map(e => (e._2, e._3, e._4)).toArray.sortBy(e => (e._1, e._2))
+        var lastView = state.getOption
+        val out = Array.newBuilder[ConvLagOut]
+        for ((ts, id, tpe) <- evs) {
+          if (tpe == "purchase")
+            lastView.filter(v => ts - v.ts <= 604800000000000L).foreach { v =>
+              val lagS = (ts - v.ts) / 1000000000L
+              out += ConvLagOut(uid, id, lagS,
+                63L - java.lang.Long.numberOfLeadingZeros(lagS + 1))
+            }
+          if (tpe == "view") lastView = Some(ViewState(ts))
+        }
+        lastView.foreach(state.update)
+        out.result().iterator
+    }
+  }
+
   case class TransState(ts: Long, id: Long, tpe: String)
   case class TransOut(user_id: Long, prev: String, next: String)
 

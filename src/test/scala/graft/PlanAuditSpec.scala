@@ -29,7 +29,8 @@ class PlanAuditSpec extends SparkSpec {
     "affinity_brand_pairs" -> "crossJoin against the single-row broadcast order-total frame",
     "q22_prospect_share" -> "crossJoin against the single-row broadcast balance-threshold frame",
     "sim_maxsim_topk" -> "documented late-interaction scorer: query side is 5 broadcast rows",
-    "sim_ann_recall_audit" -> "inherits sim_cosine_topk's 5-broadcast-row brute-force crossJoin")
+    "sim_ann_recall_audit" -> "inherits sim_cosine_topk's 5-broadcast-row brute-force crossJoin",
+    "events_inactivity_churn" -> "crossJoin against the single-row broadcast watermark frame")
 
   test("no query plans a nested-loop or cartesian join outside the whitelist") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -159,7 +160,9 @@ class PlanAuditSpec extends SparkSpec {
     "q24_returned_revenue" -> 1, // at gate scale orders broadcasts: agg shuffle only; TakeOrdered caps the sort
     "events_conversion_lag" -> 1, // ONE user_id window exchange; running max-of-view rides the sort
     "data_curriculum_stages" -> 0, // returned plan reads the ranked RDD: rank exchanges happen at build
-    "sim_bucket_audit" -> 3) // plane-sum agg + bucket-size agg + ≤40-row bin agg
+    "sim_bucket_audit" -> 3, // plane-sum agg + bucket-size agg + ≤40-row bin agg
+    "occ_climate_envelope" -> 1, // ONE partial-aggregated |species|-row exchange
+    "events_inactivity_churn" -> 2) // user agg checkpointed; wm fold + cohort rollup
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
     // the shard grid must drive the exchange (parallelism = shard count),

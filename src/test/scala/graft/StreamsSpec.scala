@@ -157,6 +157,34 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming conversion lag equals the batch window op, credit crosses batch bounds") {
+    val src = DomainQueries.events(spark, sf)
+      .select(col("user_id"), col("ts_ns"), col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+    val stateful = Streams.conversionLag(src).collect()
+      .map(o => (o.user_id, o.event_id, o.lag_s, o.lag_bits)).toSet
+    val batch = operators.Analytics.eventsConversionLag(spark, sf)
+      .select("user_id", "event_id", "lag_s", "lag_bits")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(stateful === batch)
+    // a purchase pairing with a view from the PREVIOUS micro-batch
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val q = Streams.conversionLag(mem.toDS())
+      .writeStream.format("memory").queryName("convlag_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((9L, 1000000000L, 1L, "view"))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM convlag_out").as[Long].head() === 0)
+      mem.addData((9L, 5000000000L, 2L, "purchase"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user_id, lag_s, lag_bits FROM convlag_out")
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(rows === Seq((9L, 4L, 2L)))
+    } finally q.stop()
+  }
+
   test("streaming schema drift converges to the batch monitor across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val src = DomainQueries.events(spark, sf)
