@@ -98,6 +98,16 @@ object DomainQueries {
   private val CELL1_SQL =
     "(CAST(FLOOR(lat) AS BIGINT) + 90) * 360 + CAST(FLOOR(lon) AS BIGINT) + 180"
 
+  /** Synthetic climate raster sampled at a 1°-cell id: deci-Kelvin
+    * temperature and deci-mm precipitation lattices. ONE definition
+    * (Scala + SQL) shared by [[climAnnotate]]/CLIM_SQL and
+    * [[occClimateEnvelope]] — the coupling the envelope's "samples the
+    * climAnnotate lattice" claim depends on. */
+  private def rasterT(cid: Column): Column = cid * 7919 % 4000
+  private def rasterP(cid: Column): Column = cid * 104729 % 12000
+  private val RASTER_T_SQL = "cid * 7919 % 4000"
+  private val RASTER_P_SQL = "cid * 104729 % 12000"
+
   /** Pseudo-random land mask over the 10° grid (55% land). Stands in for
     * the Natural Earth polygon layer: point-in-polygon becomes an integer
     * cell semi-join against a broadcastable table. */
@@ -476,8 +486,8 @@ object DomainQueries {
     valid(s, dir)
       .filter(cid >= 0 && cid <= 64799)
       .select(col("species"),
-        (cid * 7919 % 4000).as("t_deci"),
-        (cid * 104729 % 12000).as("p_deci"))
+        rasterT(cid).as("t_deci"),
+        rasterP(cid).as("p_deci"))
       .groupBy("species")
       .agg(count(lit(1)).as("n_pts"),
         min("t_deci").as("t_lo"), max("t_deci").as("t_hi"),
@@ -616,8 +626,8 @@ object DomainQueries {
       .select(col("occ_id"), col("accession"), col("species"), cid.as("cid"))
       .groupBy("occ_id", "accession", "species")
       .agg(count(lit(1)).as("n_cells"),
-        sum(col("cid") * 7919 % 4000).as("s1"),
-        sum(col("cid") * 104729 % 12000).as("s12"))
+        sum(rasterT(col("cid"))).as("s1"),
+        sum(rasterP(col("cid"))).as("s12"))
       .select(col("occ_id"), col("accession"), col("species"), col("n_cells"),
         (col("s1").cast("double") / (col("n_cells") * 10.0) - 273.15).as("bio1"),
         round(col("s12").cast("double") / (col("n_cells") * 10.0), 0).as("bio12"))
@@ -630,8 +640,8 @@ object DomainQueries {
        |    ROUND(CAST(s12 AS DOUBLE) / (n_cells * 10.0), 0) AS bio12
        |  FROM (
        |    SELECT occ_id, accession, species, COUNT(*) AS n_cells,
-       |      CAST(SUM(cid * 7919 % 4000) AS BIGINT) AS s1,
-       |      CAST(SUM(cid * 104729 % 12000) AS BIGINT) AS s12
+       |      CAST(SUM($RASTER_T_SQL) AS BIGINT) AS s1,
+       |      CAST(SUM($RASTER_P_SQL) AS BIGINT) AS s12
        |    FROM (
        |      SELECT occ_id, accession, species,
        |        (la + 90) * 360 + ((lo + 180) % 360 + 360) % 360 AS cid
@@ -1263,11 +1273,11 @@ object DomainQueries {
       s"""cv AS (
         |  SELECT species, $CELL1_SQL AS cid FROM valid
         |  WHERE $CELL1_SQL BETWEEN 0 AND 64799)""".stripMargin)(
-      """SELECT species, CAST(COUNT(*) AS BIGINT) AS n_pts,
-        |  MIN(cid * 7919 % 4000) AS t_lo, MAX(cid * 7919 % 4000) AS t_hi,
-        |  MIN(cid * 104729 % 12000) AS p_lo, MAX(cid * 104729 % 12000) AS p_hi,
-        |  (MAX(cid * 7919 % 4000) - MIN(cid * 7919 % 4000))
-        |    * (MAX(cid * 104729 % 12000) - MIN(cid * 104729 % 12000)) AS breadth
+      s"""SELECT species, CAST(COUNT(*) AS BIGINT) AS n_pts,
+        |  MIN($RASTER_T_SQL) AS t_lo, MAX($RASTER_T_SQL) AS t_hi,
+        |  MIN($RASTER_P_SQL) AS p_lo, MAX($RASTER_P_SQL) AS p_hi,
+        |  (MAX($RASTER_T_SQL) - MIN($RASTER_T_SQL))
+        |    * (MAX($RASTER_P_SQL) - MIN($RASTER_P_SQL)) AS breadth
         |FROM cv GROUP BY species""".stripMargin),
     "occ_chao1_richness" -> withSql(OCC_SQL, VALID_SQL,
       """csp AS (

@@ -621,6 +621,35 @@ object SketchQueries {
        |      i -> CAST((strpos('0123456789ABCDEF', substr(hx, 2*i+1, 1)) - 1) * 16
        |              + (strpos('0123456789ABCDEF', substr(hx, 2*i+2, 1)) - 1) AS $cast))""".stripMargin
 
+  /** Shared LSH bucket-assignment CTEs (e / d / bkt) and the bucketed
+    * top-k oracle built on them — ONE definition so the topk,
+    * occupancy-audit and recall-audit oracles cannot drift apart (the
+    * GRAM5_CTE discipline). */
+  private val LSH_BKT_CTES =
+    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |d AS (SELECT e.vec_id, p,
+      |        list_dot_product(v, list_transform(generate_series(0, 63),
+      |          j -> CAST((p * 131 + j * 31) % 19 - 9 AS DOUBLE))) AS dp
+      |      FROM e CROSS JOIN generate_series(0, 5) t(p)),
+      |bkt AS (SELECT vec_id,
+      |          CAST(SUM(CASE WHEN dp > 0 THEN (1::BIGINT << (5 - p)) ELSE 0 END)
+      |            AS BIGINT) AS bucket
+      |        FROM d GROUP BY vec_id)""".stripMargin
+
+  private val LSH_TOPK_SQL =
+    s"""WITH $LSH_BKT_CTES,
+      |q AS (SELECT vec_id AS qid, v AS qv, bucket
+      |      FROM e JOIN bkt USING (vec_id) WHERE vec_id < 5),
+      |dd AS (SELECT vec_id, v, bucket
+      |       FROM e JOIN bkt USING (vec_id) WHERE vec_id >= 5),
+      |sims AS (SELECT qid, dd.vec_id, list_dot_product(qv, v) AS dot
+      |         FROM q JOIN dd USING (bucket))
+      |SELECT qid, vec_id, dot, rank FROM (
+      |  SELECT qid, vec_id, dot,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id)
+      |      AS BIGINT) AS rank
+      |  FROM sims) WHERE rank <= 10""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "data_bloom_gate" -> BLOOM_SQL,
     // Every window hash is replayed INDEPENDENTLY (list_reduce over the
@@ -819,80 +848,27 @@ object SketchQueries {
         |FROM fps a JOIN fps b ON a.m = b.m AND a.doc_id < b.doc_id
         |WHERE a.m IN (SELECT m FROM keep)
         |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin,
-    "sim_lsh_topk" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |d AS (SELECT e.vec_id, p,
-        |        list_dot_product(v, list_transform(generate_series(0, 63),
-        |          j -> CAST((p * 131 + j * 31) % 19 - 9 AS DOUBLE))) AS dp
-        |      FROM e CROSS JOIN generate_series(0, 5) t(p)),
-        |bkt AS (SELECT vec_id,
-        |          CAST(SUM(CASE WHEN dp > 0 THEN (1::BIGINT << (5 - p)) ELSE 0 END)
-        |            AS BIGINT) AS bucket
-        |        FROM d GROUP BY vec_id),
-        |q AS (SELECT vec_id AS qid, v AS qv, bucket
-        |      FROM e JOIN bkt USING (vec_id) WHERE vec_id < 5),
-        |dd AS (SELECT vec_id, v, bucket
-        |       FROM e JOIN bkt USING (vec_id) WHERE vec_id >= 5),
-        |sims AS (SELECT qid, dd.vec_id, list_dot_product(qv, v) AS dot
-        |         FROM q JOIN dd USING (bucket))
-        |SELECT qid, vec_id, dot, rank FROM (
-        |  SELECT qid, vec_id, dot,
-        |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id)
-        |      AS BIGINT) AS rank
-        |  FROM sims) WHERE rank <= 10""".stripMargin,
+    "sim_lsh_topk" -> LSH_TOPK_SQL,
     "sim_bucket_audit" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |d AS (SELECT e.vec_id, p,
-        |        list_dot_product(v, list_transform(generate_series(0, 63),
-        |          j -> CAST((p * 131 + j * 31) % 19 - 9 AS DOUBLE))) AS dp
-        |      FROM e CROSS JOIN generate_series(0, 5) t(p)),
-        |bkt AS (SELECT vec_id,
-        |          CAST(SUM(CASE WHEN dp > 0 THEN (1::BIGINT << (5 - p)) ELSE 0 END)
-        |            AS BIGINT) AS bucket
-        |        FROM d GROUP BY vec_id),
+      s"""WITH $LSH_BKT_CTES,
         |bs AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS sz FROM bkt GROUP BY bucket)
         |SELECT CAST(length(bin(sz)) - 1 AS BIGINT) AS sz_bits,
         |  CAST(COUNT(*) AS BIGINT) AS n_buckets,
         |  CAST(SUM(sz) AS BIGINT) AS n_vectors,
         |  MIN(sz) AS min_sz, MAX(sz) AS max_sz
         |FROM bs GROUP BY 1""".stripMargin,
-    "sim_ann_recall_audit" ->
-      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |eq AS (SELECT vec_id AS qid, v AS qv FROM emb WHERE vec_id < 5),
-        |ed AS (SELECT vec_id, v AS dv FROM emb WHERE vec_id >= 5),
-        |exact AS (
-        |  SELECT qid, vec_id FROM (
-        |    SELECT qid, vec_id,
-        |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id) AS rank
-        |    FROM (SELECT qid, vec_id, list_dot_product(qv, dv) AS dot
-        |          FROM eq CROSS JOIN ed))
-        |  WHERE rank <= 10),
-        |pd AS (SELECT emb.vec_id, p,
-        |        list_dot_product(v, list_transform(generate_series(0, 63),
-        |          j -> CAST((p * 131 + j * 31) % 19 - 9 AS DOUBLE))) AS dp
-        |      FROM emb CROSS JOIN generate_series(0, 5) t(p)),
-        |bkt AS (SELECT vec_id,
-        |          CAST(SUM(CASE WHEN dp > 0 THEN (1::BIGINT << (5 - p)) ELSE 0 END)
-        |            AS BIGINT) AS bucket
-        |        FROM pd GROUP BY vec_id),
-        |aq AS (SELECT vec_id AS qid, v AS qv, bucket
-        |       FROM emb JOIN bkt USING (vec_id) WHERE vec_id < 5),
-        |ad AS (SELECT vec_id, v, bucket
-        |       FROM emb JOIN bkt USING (vec_id) WHERE vec_id >= 5),
-        |approx AS (
-        |  SELECT qid, vec_id FROM (
-        |    SELECT qid, vec_id,
-        |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id) AS rank
-        |    FROM (SELECT qid, ad.vec_id, list_dot_product(qv, v) AS dot
-        |          FROM aq JOIN ad USING (bucket)))
-        |  WHERE rank <= 10),
+    "sim_ann_recall_audit" -> {
+      val exactSql = TextQueries.oracle("sim_cosine_topk")
+      s"""WITH exact AS (SELECT qid, vec_id FROM ($exactSql)),
+        |approx AS (SELECT qid, vec_id FROM ($LSH_TOPK_SQL)),
         |hit AS (SELECT e.qid, CASE WHEN a.vec_id IS NULL THEN 0 ELSE 1 END AS hit
         |        FROM exact e LEFT JOIN approx a
         |          ON e.qid = a.qid AND e.vec_id = a.vec_id)
         |SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_exact,
         |  CAST(SUM(hit) AS BIGINT) AS hits,
         |  CAST(SUM(hit) * 1000 // COUNT(*) AS BIGINT) AS recall_millis
-        |FROM hit GROUP BY qid""".stripMargin,
+        |FROM hit GROUP BY qid""".stripMargin
+    },
     "sim_ivf_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),

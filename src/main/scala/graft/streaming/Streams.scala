@@ -334,7 +334,11 @@ object Streams {
         val out = Array.newBuilder[ConvLagOut]
         for ((ts, id, tpe) <- evs) {
           if (tpe == "purchase")
-            lastView.filter(v => ts - v.ts <= 604800000000000L).foreach { v =>
+            // the 0 <= lower bound guards out-of-order cross-batch input
+            // (a stale state ts AFTER this purchase) from emitting
+            // negative lags the batch window can never produce
+            lastView.filter(v => 0L <= ts - v.ts && ts - v.ts <= 604800000000000L)
+              .foreach { v =>
               val lagS = (ts - v.ts) / 1000000000L
               out += ConvLagOut(uid, id, lagS,
                 63L - java.lang.Long.numberOfLeadingZeros(lagS + 1))
