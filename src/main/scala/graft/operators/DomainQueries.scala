@@ -29,14 +29,20 @@ object DomainQueries {
 
   // ---- derived occurrence view -------------------------------------------
 
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects; read it as raw Long ns (matches DuckDB's epoch_ns). */
+  /** events.parquet historically carried TIMESTAMP(NANOS) (read as raw
+    * Long ns via nanosAsLong); current driver data is plain timestamp[us].
+    * Normalize both to a BIGINT `ts_ns` of µs-truncated nanoseconds —
+    * exactly DuckDB's `epoch_ns(ts) // 1000 * 1000` under a UTC session. */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // Truncate to µs ticks: DuckDB (the oracle) reads parquet ns as
-    // µs-precision TIMESTAMP by truncation, so we match it exactly.
-    t(s, dir, "events").withColumnRenamed("ts", "ts_raw")
-      .withColumn("ts_ns", expr("ts_raw div 1000 * 1000")).drop("ts_raw")
+    val raw = t(s, dir, "events").withColumnRenamed("ts", "ts_raw")
+    val tsNs = raw.schema("ts_raw").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        expr("ts_raw div 1000 * 1000") // ns file: truncate to µs ticks
+      case _ => // timestamp[us] (NTZ or LTZ): UTC instant → ns
+        expr("unix_micros(cast(ts_raw as timestamp)) * 1000")
+    }
+    raw.withColumn("ts_ns", tsNs).drop("ts_raw")
   }
 
   /** Occurrence-like view: species/accession from user_id, lat/lon/uncert
