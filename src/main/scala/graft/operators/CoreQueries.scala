@@ -243,6 +243,33 @@ object CoreQueries {
     * customer/nation broadcast, then TakeOrderedAndProject — per-
     * partition top-20 and a 20-row driver merge, never a full sort.
     * Ties (equal lost revenue) break on c_custkey in both engines. */
+  /** Quarter-over-quarter revenue growth per nation — the TREND readout
+    * next to q23's market-share levels: revenue folds to exact cents
+    * (DECIMAL sum × 100 → BIGINT) per (nation, year-quarter), one lag
+    * window over the |nations × quarters|-row aggregate, and growth in
+    * exact milli units via positive-operand integer division
+    * (rev·1000 div prev − 1000 — Spark `div` truncates and DuckDB `//`
+    * floors, identical on the non-negative operands the prev>0 guard
+    * admits; no rational rounding on either engine). Plan: orders
+    * shuffles ONCE into the group aggregate (customer and nation are
+    * broadcast), and the window rides the aggregate-sized relation —
+    * at 100 TB the only full-data exchange is the partial-aggregated
+    * groupBy. */
+  def q25(s: SparkSession, dir: String): DataFrame = {
+    val byQ = t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"),
+        (year(col("o_orderdate")) * 10 + quarter(col("o_orderdate")))
+          .cast("long").as("yq"))
+      .agg((sum(dec2(col("o_totalprice"))) * 100).cast("bigint").as("rev_cents"))
+    val w = Window.partitionBy("n_name").orderBy("yq")
+    byQ.withColumn("prev_cents", lag("rev_cents", 1).over(w))
+      .select(col("n_name"), col("yq"), col("rev_cents"), col("prev_cents"),
+        when(col("prev_cents") > 0,
+          expr("rev_cents * 1000 div prev_cents - 1000")).as("growth_milli"))
+  }
+
   def q24(s: SparkSession, dir: String): DataFrame = {
     val revenue = dec2(col("l_extendedprice")) * dec2(lit(1) - col("l_discount"))
     t(s, dir, "lineitem")
@@ -445,6 +472,7 @@ object CoreQueries {
   val queries: Map[String, Q] = Map(
     "q19_star_join" -> (q19 _),
     "q24_returned_revenue" -> (q24 _),
+    "q25_quarter_growth" -> (q25 _),
     "q20_dominant_supplier" -> (q20 _),
     "q21_single_late_blame" -> (q21 _),
     "q22_prospect_share" -> (q22 _),
@@ -473,6 +501,24 @@ object CoreQueries {
   private val DP = "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))"
 
   val oracle: Map[String, String] = Map(
+    "q25_quarter_growth" ->
+      """WITH q AS (
+        |  SELECT n_name,
+        |    CAST(YEAR(o_orderdate) * 10 + QUARTER(o_orderdate) AS BIGINT) AS yq,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS rev_cents
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |l AS (SELECT n_name, yq, rev_cents,
+        |        LAG(rev_cents) OVER (PARTITION BY n_name ORDER BY yq)
+        |          AS prev_cents
+        |      FROM q)
+        |SELECT n_name, yq, rev_cents, prev_cents,
+        |  CASE WHEN prev_cents > 0
+        |    THEN rev_cents * 1000 // prev_cents - 1000 END AS growth_milli
+        |FROM l""".stripMargin,
     "q24_returned_revenue" ->
       s"""SELECT c_custkey, c_name, n_name,
          |  CAST(SUM($DP) AS DOUBLE) AS rev_lost,

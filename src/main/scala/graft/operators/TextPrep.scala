@@ -406,6 +406,68 @@ object TextPrep {
       .select(col("doc_id"), col("lang"), col("pos"))
   }
 
+  /** Largest-remainder proportional quota sample — the ALLOCATION
+    * counterpart of data_mixture_sample's fixed lang weights: a global
+    * budget of QUOTA_K docs is split across sources proportionally to
+    * their row counts with the Hamilton/largest-remainder rule
+    * (base = K·nᵢ div N, the K − Σbase leftover seats go to the largest
+    * K·nᵢ mod N, source-name tiebreak) — exact integers end to end, and
+    * the seat count always sums to K (floor allocation + remainder
+    * top-up is total by construction). Per source the quota picks the
+    * docs with the smallest md5('qs:'‖doc_id) — 'qs:' is this
+    * operator's own salt (the shared-salt correlation landmine).
+    * Plan: the allocation runs on the |sources|-row count aggregate
+    * (two windows over one tiny relation), quotas broadcast back, and
+    * doc selection is ONE shuffle on source; the per-source rank is a
+    * window at gate scale — at 100 TB swap it for the TopKByScore
+    * k-bounded aggregate (Rerank.scala) with per-source k = quota. */
+  def dataQuotaSample(s: SparkSession, dir: String): DataFrame = {
+    val wAll = Window.partitionBy()
+    val alloc = t(s, dir, "documents")
+      .groupBy("source").agg(count(lit(1)).as("n"))
+      .withColumn("nn", sum("n").over(wAll))
+      .withColumn("base", expr(s"$QUOTA_K * n div nn"))
+      .withColumn("rem", expr(s"$QUOTA_K * n % nn"))
+      .withColumn("extra", lit(QUOTA_K) - sum("base").over(wAll))
+      .withColumn("rn",
+        row_number().over(wAll.orderBy(col("rem").desc, col("source"))))
+      .select(col("source"),
+        (col("base") + when(col("rn") <= col("extra"), 1L).otherwise(0L))
+          .as("quota"))
+    val wSrc = Window.partitionBy("source").orderBy("h", "doc_id")
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        md5(concat(lit("qs:"), col("doc_id")).cast("binary")).as("h"))
+      .withColumn("pos", row_number().over(wSrc).cast("long"))
+      .join(broadcast(alloc), Seq("source"))
+      .filter(col("pos") <= col("quota"))
+      .select(col("source"), col("quota"), col("doc_id"), col("pos"))
+  }
+
+  private val QUOTA_K = 97
+
+  private val QUOTA_SQL =
+    s"""WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+       |           FROM documents GROUP BY 1),
+       |t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM c),
+       |a AS (SELECT source, n, nn,
+       |        $QUOTA_K * n // nn AS base, $QUOTA_K * n % nn AS rem
+       |      FROM c, t),
+       |q AS (SELECT source,
+       |        CAST(base + CASE WHEN ROW_NUMBER() OVER
+       |            (ORDER BY rem DESC, source)
+       |          <= $QUOTA_K - (SELECT CAST(SUM(base) AS BIGINT) FROM a)
+       |          THEN 1 ELSE 0 END AS BIGINT) AS quota
+       |      FROM a),
+       |h AS (SELECT doc_id, source,
+       |        md5('qs:' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+       |r AS (SELECT doc_id, source,
+       |        CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id)
+       |          AS BIGINT) AS pos
+       |      FROM h)
+       |SELECT r.source, q.quota, r.doc_id, r.pos
+       |FROM r JOIN q USING (source) WHERE r.pos <= q.quota""".stripMargin
+
   private val MIX_SQL = {
     val weights = MIX_WEIGHTS.map { case (l, w) => s"('$l', $w)" }.mkString(", ")
     s"""WITH n AS (SELECT COUNT(*) // 2 AS budget FROM documents),
@@ -507,6 +569,7 @@ object TextPrep {
     "text_freq_spectrum" -> (textFreqSpectrum _),
     "data_skew_audit" -> (dataSkewAudit _),
     "data_mixture_sample" -> (dataMixtureSample _),
+    "data_quota_sample" -> (dataQuotaSample _),
     "data_compact_files" -> (dataCompactFiles _),
     "data_shuffle_shards" -> (dataShuffleShards _),
     "text_scrub" -> (textScrub _),
@@ -521,6 +584,7 @@ object TextPrep {
     "text_freq_spectrum" -> SPECTRUM_SQL,
     "data_skew_audit" -> SKEW_SQL,
     "data_mixture_sample" -> MIX_SQL,
+    "data_quota_sample" -> QUOTA_SQL,
     "data_compact_files" -> COMPACT_SQL,
     "data_shuffle_shards" -> SHARDS_SQL,
     "text_scrub" -> SCRUB_SQL,

@@ -122,6 +122,40 @@ object TextQueries {
       .groupBy(md5(col("text").cast("binary")).as("text_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Edit-distance near-dup pairs — the FUZZY member of the dedup family
+    * (exact = hash equality, jaccard/minhash = set overlap; this catches
+    * the single-character-edit re-crawls both miss): documents block on
+    * their 24-char prefix, blocks over 64 docs are dropped before any
+    * pair exists (the cappedPostingPairs discipline — a degenerate
+    * boilerplate prefix can never materialize O(block²) candidates), and
+    * surviving within-block pairs keep levenshtein ≤ 12 on the 128-char
+    * skeleton. Both engines run plain Levenshtein on ASCII skeletons —
+    * exact integer, no float. Plan: ONE shuffle on the block key (the
+    * self-join's equi condition), candidate pairs bounded by
+    * Σ C(block,2) ≤ blocks × C(64,2); at 100 TB the prefix key swaps for
+    * a simhash band with the identical plan shape. */
+  def dedupFuzzyMatch(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"),
+      substring(col("text"), 1, 24).as("pre"),
+      substring(col("text"), 1, 128).as("sk"))
+    // tiny (oversized blocks only) but referenced via both self-join sides —
+    // localCheckpoint so the count aggregate plans/runs ONCE (triangles
+    // precedent), leaving the block-key join as the only real exchange
+    val oversized = d.groupBy("pre").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > FUZZY_BLOCK_CAP).select("pre").localCheckpoint()
+    val b = d.join(broadcast(oversized), Seq("pre"), "left_anti")
+    b.select(col("pre"), col("doc_id").as("doc_a"), col("sk").as("sk_a"))
+      .join(b.select(col("pre"), col("doc_id").as("doc_b"), col("sk").as("sk_b")),
+        Seq("pre"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("lev", levenshtein(col("sk_a"), col("sk_b")))
+      .filter(col("lev") <= FUZZY_MAX_LEV)
+      .select(col("doc_a"), col("doc_b"), col("lev").cast("long").as("lev"))
+  }
+
+  private val FUZZY_BLOCK_CAP = 64
+  private val FUZZY_MAX_LEV = 12
+
   /** Incremental exact dedup — the PRODUCTION dedup shape: a new batch
     * classifies against the STANDING corpus's hash index instead of
     * re-hashing 100 TB per increment (the batch sibling of the
@@ -531,6 +565,7 @@ object TextQueries {
     "text_readability" -> (textReadability _),
     "text_langid" -> (textLangid _),
     "dedup_exact" -> (dedupExact _),
+    "dedup_fuzzy_match" -> (dedupFuzzyMatch _),
     "dedup_incremental_exact" -> (dedupIncrementalExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "sim_cosine_topk" -> (simCosineTopk _),
@@ -623,6 +658,16 @@ object TextQueries {
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
+    "dedup_fuzzy_match" ->
+      s"""WITH d AS (SELECT doc_id, substr(text, 1, 24) AS pre,
+         |             substr(text, 1, 128) AS sk FROM documents),
+         |ok AS (SELECT pre FROM d GROUP BY pre
+         |       HAVING COUNT(*) <= $FUZZY_BLOCK_CAP),
+         |b AS (SELECT d.* FROM d JOIN ok USING (pre))
+         |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+         |  CAST(levenshtein(a.sk, c.sk) AS BIGINT) AS lev
+         |FROM b a JOIN b c ON a.pre = c.pre AND a.doc_id < c.doc_id
+         |WHERE levenshtein(a.sk, c.sk) <= $FUZZY_MAX_LEV""".stripMargin,
     "dedup_ngram_jaccard" -> withSql(TOK_SQL,
       """sh AS (
         |  SELECT DISTINCT doc_id, ts[i] || '_' || ts[i+1] || '_' || ts[i+2] AS sh

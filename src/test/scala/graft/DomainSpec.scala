@@ -651,4 +651,59 @@ class DomainSpec extends SparkSpec {
       3L -> ((3L, "signup", 3.0, 2000L, 2L)),
       4L -> ((4L, "purchase", 5.0, 5000L, 2L))))
   }
+
+  test("q25: planted quarter chain yields exact milli growth, first quarter null") {
+    import org.apache.spark.sql.SaveMode
+    import java.sql.Timestamp
+    val tmp = java.nio.file.Files.createTempDirectory("q25").toString
+    Seq((0, "FRANCE", 0)).toDF("n_nationkey", "n_name", "n_regionkey")
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/nation.parquet")
+    Seq((1L, "C1", 0, 0.0, "AUTO")).toDF("c_custkey", "c_name", "c_nationkey",
+        "c_acctbal", "c_mktsegment")
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/customer.parquet")
+    // Q1 100.00, Q2 250.00 (+150%), Q3 125.00 (−50%) — the negative-growth
+    // case still divides positive operands (trunc == floor on both engines)
+    Seq((1L, "1995-01-15", 60.0), (2L, "1995-02-15", 40.0),
+        (3L, "1995-05-15", 250.0), (4L, "1995-08-15", 125.0))
+      .map { case (k, d, p) =>
+        (k, 1L, "O", p, Timestamp.valueOf(d + " 00:00:00"), "1-URGENT") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/orders.parquet")
+    val got = CoreQueries.q25(spark, tmp)
+      .as[(String, Long, Long, Option[Long], Option[Long])].collect()
+      .map(r => r._2 -> r).toMap
+    assert(got === Map(
+      19951L -> (("FRANCE", 19951L, 10000L, None, None)),
+      19952L -> (("FRANCE", 19952L, 25000L, Some(10000L), Some(1500L))),
+      19953L -> (("FRANCE", 19953L, 12500L, Some(25000L), Some(-500L)))))
+  }
+
+  test("fuzzy match: within-block lev<=12 pairs only; oversized blocks drop") {
+    import org.apache.spark.sql.SaveMode
+    val tmp = java.nio.file.Files.createTempDirectory("fuzzy").toString
+    val pre = "the quick brown fox jump" // exactly 24 chars
+    val near = pre + " over the lazy dog again and again"
+    val docs = Seq(
+      (1L, near), (2L, near.dropRight(5) + "xgain"), // lev 1 on the skeleton
+      (3L, pre + " into a completely different continuation with many extra words"),
+      (4L, "unrelated prefix entirely " + near)) ++
+      // 65 same-prefix docs: block of 65 > cap 64 must produce no pairs
+      Seq.tabulate(65)(i => (100L + i, "boilerplate header block " + s"variant $i"))
+    docs.toDF("doc_id", "text")
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/documents.parquet")
+    val got = operators.TextQueries.dedupFuzzyMatch(spark, tmp)
+      .as[(Long, Long, Long)].collect().toSet
+    // plain-Scala Levenshtein over the planted skeletons confirms the distance
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expLev = lev(near.take(128), (near.dropRight(5) + "xgain").take(128))
+    assert(expLev === 1L)
+    assert(got === Set((1L, 2L, expLev.toLong)))
+  }
 }

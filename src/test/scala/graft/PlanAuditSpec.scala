@@ -97,6 +97,9 @@ class PlanAuditSpec extends SparkSpec {
     "biogeo_summary" -> 1, // same broadcast join; one summary agg shuffle
     "dedup_contamination" -> 3, // gram aggs both sides + pair agg; eval side broadcast
     "dedup_exact" -> 1, // one text-hash agg shuffle, no join
+    "dedup_fuzzy_match" -> 2, // block-key self-join sides; cap agg checkpointed
+    "q25_quarter_growth" -> 2, // orders agg + lag window on the aggregate
+    "data_quota_sample" -> 3, // source count agg + per-source rank window; alloc broadcast
     "meta_summary_facets" -> 3, // facet explode agg + two rollup legs
     "graph_pagerank" -> 6, // init distinct + 5 fixed-round rank aggs off the checkpointed edges
     "events_cusum" -> 2, // per-type target agg (broadcast back) + ONE window exchange

@@ -53,6 +53,54 @@ class TextPrepSpec extends SparkSpec {
     assert(got.map(_._2).toSet.subsetOf(TextPrep.MIX_WEIGHTS.map(_._1).toSet))
   }
 
+  test("quota sample: largest-remainder seats sum to K and fill in hash order") {
+    val got = TextPrep.dataQuotaSample(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+    // sf0.001: 20 sources × 25 docs, K = 97 → base 4 each (80 seats), the
+    // 17 leftovers land on the 17 lexicographically-smallest sources
+    // (uniform remainders tie) — picked rows must total exactly K
+    assert(got.length === 97)
+    val quotas = got.groupBy(_._1).map { case (src, rows) =>
+      assert(rows.map(_._2).distinct.length === 1, s"$src quota not constant")
+      assert(rows.length.toLong === rows.head._2, s"$src under-filled")
+      assert(rows.map(_._4).sorted.toSeq === (1L to rows.length).toSeq)
+      src -> rows.head._2
+    }
+    assert(quotas.values.sum === 97L)
+    assert(quotas.values.toSeq.sorted === (Seq.fill(3)(4L) ++ Seq.fill(17)(5L)))
+    val bumped = quotas.filter(_._2 == 5L).keys.toSeq.sorted
+    assert(bumped === quotas.keys.toSeq.sorted.take(17))
+    // per-source fill is the md5('qs:'||id) prefix of that source's docs
+    val docs = Tables.t(spark, sf, "documents").select("doc_id", "source")
+      .as[(Long, String)].collect()
+    def h(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s"qs:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    for ((src, rows) <- got.groupBy(_._1)) {
+      val expect = docs.filter(_._2 == src).map(_._1)
+        .sortBy(id => (h(id), id)).take(rows.length).toSet
+      assert(rows.map(_._3).toSet === expect, s"$src fill order")
+    }
+  }
+
+  test("quota sample under-fills gracefully when a source is smaller than its seats") {
+    import org.apache.spark.sql.SaveMode
+    val tmp = java.nio.file.Files.createTempDirectory("quota").toString
+    // K=97 over N=10 docs: every source's quota exceeds its size → the
+    // sample returns all rows, quota column still carries the allocation
+    val docs = (1L to 6L).map(i => (i, s"a$i", "srcA")) ++
+      (7L to 9L).map(i => (i, s"b$i", "srcB")) ++ Seq((10L, "c", "srcC"))
+    docs.toDF("doc_id", "text", "source")
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/documents.parquet")
+    val got = TextPrep.dataQuotaSample(spark, tmp)
+      .as[(String, Long, Long, Long)].collect()
+    val bySrc = got.groupBy(_._1).map { case (s, r) => s -> (r.head._2, r.length) }
+    // base: 58/29/9 (sum 96); remainders 2/1/7 → srcC takes the last seat
+    assert(bySrc === Map("srcA" -> ((58L, 6)), "srcB" -> ((29L, 3)),
+      "srcC" -> ((10L, 1))))
+  }
+
   test("surprisal equals an exact-integer replay over the token stream") {
     import operators.TextRank
     val got = TextRank.textSurprisal(spark, sf)
