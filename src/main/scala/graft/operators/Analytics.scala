@@ -28,6 +28,91 @@ object Analytics {
     * event volume; map-side partial aggregation dedups days early), and
     * the cell count is a second tiny exchange on (cohort, offset). No
     * join, no second scan. */
+  /** Cohort lifetime-value curve — the HOW-MUCH companion of
+    * eventsRetention's who-came-back matrix: per (signup-day cohort,
+    * day offset) the active-user count, the day's exact 2^-10
+    * fixed-point value mass, and the RUNNING cumulative mass (the LTV
+    * curve dashboards plot per cohort). Same no-join shape as
+    * retention: one (user, day) pre-aggregate (map-side combine dedups
+    * early), one user fold carrying calendar-bounded (day, value)
+    * state, explode, one (cohort, offset) cell aggregate — the cum
+    * window rides the aggregate-sized relation. Everything is
+    * non-negative BIGINT sums; the one cast happened at quantization. */
+  def eventsCohortLtv(s: SparkSession, dir: String): DataFrame = {
+    val ud = DomainQueries.events(s, dir)
+      .select(col("user_id"), expr(s"ts_ns div $DAY_NS").as("day"),
+        expr("cast(floor(value * 1024) as bigint)").as("q"))
+      .groupBy("user_id", "day").agg(sum("q").as("q"))
+    val wc = Window.partitionBy("cohort_day").orderBy("day_offset")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ud.groupBy("user_id")
+      .agg(min("day").as("cohort_day"),
+        collect_list(struct(col("day"), col("q"))).as("dq"))
+      .select(col("cohort_day"), explode(col("dq")).as("x"))
+      .groupBy(col("cohort_day"),
+        (col("x.day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"), sum(col("x.q")).as("sum_q"))
+      .withColumn("cum_q", sum("sum_q").over(wc))
+  }
+
+  private val LTV_SQL =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_ns(ts) // $DAY_NS AS day,
+       |    CAST(FLOOR(value * 1024) AS BIGINT) AS q FROM events),
+       |ud AS (SELECT user_id, day, CAST(SUM(q) AS BIGINT) AS q
+       |       FROM e GROUP BY 1, 2),
+       |c AS (SELECT user_id, MIN(day) AS cohort_day FROM ud GROUP BY 1),
+       |cell AS (
+       |  SELECT c.cohort_day, ud.day - c.cohort_day AS day_offset,
+       |    CAST(COUNT(*) AS BIGINT) AS n_users,
+       |    CAST(SUM(ud.q) AS BIGINT) AS sum_q
+       |  FROM ud JOIN c USING (user_id) GROUP BY 1, 2)
+       |SELECT cohort_day, day_offset, n_users, sum_q,
+       |  CAST(SUM(sum_q) OVER (PARTITION BY cohort_day ORDER BY day_offset
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_q
+       |FROM cell""".stripMargin
+
+  /** Discrete-time survival hazard over user lifespans — the WHEN-do-we
+    *-lose-them curve behind eventsInactivityChurn's binary verdict,
+    * computed per event_type (each type a product surface): a user's
+    * lifespan on a surface is last-active-day − first-active-day; for
+    * each offset d the hazard is churned(d) · 1000 div at-risk(d),
+    * where at-risk is the DESCENDING running sum of the lifespan
+    * histogram (everyone surviving to d — the Kaplan–Meier
+    * denominator). Exact integers throughout; the histogram window
+    * partitions by type over ≤ calendar-days rows, after two
+    * partial-aggregated exchanges (user-type fold, histogram). */
+  def eventsHazardRate(s: SparkSession, dir: String): DataFrame = {
+    val hist = DomainQueries.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        expr(s"ts_ns div $DAY_NS").as("day"))
+      .groupBy("user_id", "event_type")
+      .agg((max("day") - min("day")).as("day_offset"))
+      .groupBy("event_type", "day_offset")
+      .agg(count(lit(1)).as("n_churned"))
+    val w = Window.partitionBy("event_type").orderBy(col("day_offset").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    hist.withColumn("n_at_risk", sum("n_churned").over(w))
+      .withColumn("hazard_milli", expr("n_churned * 1000 div n_at_risk"))
+  }
+
+  private val HAZARD_SQL =
+    s"""WITH d AS (
+       |  SELECT user_id, event_type, epoch_ns(ts) // $DAY_NS AS day
+       |  FROM events),
+       |ls AS (SELECT user_id, event_type, MAX(day) - MIN(day) AS day_offset
+       |       FROM d GROUP BY 1, 2),
+       |h AS (SELECT event_type, day_offset,
+       |        CAST(COUNT(*) AS BIGINT) AS n_churned
+       |      FROM ls GROUP BY 1, 2)
+       |SELECT event_type, day_offset, n_churned,
+       |  CAST(SUM(n_churned) OVER w AS BIGINT) AS n_at_risk,
+       |  CAST(n_churned * 1000 //
+       |    SUM(n_churned) OVER w AS BIGINT) AS hazard_milli
+       |FROM h
+       |WINDOW w AS (PARTITION BY event_type ORDER BY day_offset DESC
+       |             ROWS UNBOUNDED PRECEDING)""".stripMargin
+
   def eventsRetention(s: SparkSession, dir: String): DataFrame =
     DomainQueries.events(s, dir)
       .select(col("user_id"), expr(s"ts_ns div $DAY_NS").as("day"))
@@ -1346,6 +1431,8 @@ object Analytics {
     "events_json_stats" -> (eventsJsonStats _),
     "events_throttle" -> (eventsThrottle _),
     "events_retention" -> (eventsRetention _),
+    "events_cohort_ltv" -> (eventsCohortLtv _),
+    "events_hazard_rate" -> (eventsHazardRate _),
     "events_top_paths" -> (eventsTopPaths _),
     "sim_random_projection" -> (simRandomProjection _),
     "sim_rp_topk" -> (simRpTopk _),
@@ -1376,6 +1463,8 @@ object Analytics {
     "events_json_stats" -> JSON_STATS_SQL,
     "events_throttle" -> THROTTLE_SQL,
     "events_retention" -> RETENTION_SQL,
+    "events_cohort_ltv" -> LTV_SQL,
+    "events_hazard_rate" -> HAZARD_SQL,
     "events_top_paths" -> PATHS_SQL,
     "sim_random_projection" -> RP_SQL,
     "sim_rp_topk" -> RP_TOPK_SQL,

@@ -478,6 +478,39 @@ object DomainQueries {
         col("pk.mm").as("peak_month"), (-col("pk.nn")).as("peak_n"),
         expr("(-pk.nn) * 1000 div n_total").as("peak_millis"))
 
+  /** Month-over-month range-centroid displacement per species — the
+    * MOVEMENT readout next to occ_seasonality's WHEN histogram (is the
+    * population's center of mass drifting — migration/shift signal over
+    * range_estimation_pipeline's cleaned points): coordinates quantize
+    * to OFFSET milli-degrees (floor((lat+90)·1000) — the +90/+180 shift
+    * keeps every sum non-negative, so the centroid's integer division
+    * truncates identically on both engines; the CLAUDE.md negative-div
+    * landmine never arises), centroids fold per (species, year-month),
+    * and displacement is the exact L1 milli-degree distance to the
+    * previous month's centroid (no sqrt — nothing irrational). Plan:
+    * one partial-aggregated (species, ym) exchange; the lag window
+    * rides the aggregate-sized relation. */
+  def occCentroidShift(s: SparkSession, dir: String): DataFrame = {
+    val ts = "timestamp_micros(ts_ns div 1000)"
+    val cent = valid(s, dir)
+      .select(col("species"),
+        (year(expr(ts)) * 100 + month(expr(ts))).cast("long").as("ym"),
+        expr("cast(floor((lat + 90.0) * 1000) as bigint)").as("latq"),
+        expr("cast(floor((lon + 180.0) * 1000) as bigint)").as("lonq"))
+      .groupBy("species", "ym")
+      .agg(count(lit(1)).as("n"),
+        expr("sum(latq) div count(1)").as("clat_q"),
+        expr("sum(lonq) div count(1)").as("clon_q"))
+    val w = Window.partitionBy("species").orderBy("ym")
+    cent
+      .withColumn("plat", lag("clat_q", 1).over(w))
+      .withColumn("plon", lag("clon_q", 1).over(w))
+      .select(col("species"), col("ym"), col("n"), col("clat_q"),
+        col("clon_q"),
+        (abs(col("clat_q") - col("plat")) + abs(col("clon_q") - col("plon")))
+          .as("l1_shift_mdeg"))
+  }
+
   /** Per-species climatic-niche ENVELOPE — the temperature/precipitation
     * tolerance box species-distribution models start from (the niche
     * question clim_summary's per-accession stats stop short of): each
@@ -1155,6 +1188,7 @@ object DomainQueries {
     "occ_range_overlap" -> (occRangeOverlap _),
     "occ_eoo_aoo" -> (occEooAoo _),
     "occ_seasonality" -> (occSeasonality _),
+    "occ_centroid_shift" -> (occCentroidShift _),
     "occ_chao1_richness" -> (occChao1Richness _),
     "occ_climate_envelope" -> (occClimateEnvelope _),
     "spatial_zorder_layout" -> (spatialZorderLayout _),
@@ -1258,6 +1292,24 @@ object DomainQueries {
         |        GROUP BY species) USING (species))
         |WHERE (mad_lat > 0 AND dev_lat > mad_lat * CAST(1.5 AS DOUBLE))
         |   OR (mad_lon > 0 AND dev_lon > mad_lon * CAST(1.5 AS DOUBLE))""".stripMargin),
+    "occ_centroid_shift" -> withSql(OCC_SQL, VALID_SQL,
+      """cm AS (
+        |  SELECT species,
+        |    CAST(YEAR(make_timestamp(ts_ns // 1000)) * 100 +
+        |         MONTH(make_timestamp(ts_ns // 1000)) AS BIGINT) AS ym,
+        |    CAST(FLOOR((lat + 90.0) * 1000) AS BIGINT) AS latq,
+        |    CAST(FLOOR((lon + 180.0) * 1000) AS BIGINT) AS lonq
+        |  FROM valid),
+        |cent AS (
+        |  SELECT species, ym, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(latq) // COUNT(*) AS BIGINT) AS clat_q,
+        |    CAST(SUM(lonq) // COUNT(*) AS BIGINT) AS clon_q
+        |  FROM cm GROUP BY 1, 2)""".stripMargin)(
+      """SELECT species, ym, n, clat_q, clon_q,
+        |  ABS(clat_q - LAG(clat_q) OVER w) + ABS(clon_q - LAG(clon_q) OVER w)
+        |    AS l1_shift_mdeg
+        |FROM cent
+        |WINDOW w AS (PARTITION BY species ORDER BY ym)""".stripMargin),
     "occ_seasonality" -> withSql(OCC_SQL, VALID_SQL,
       """bym AS (
         |  SELECT species,

@@ -25,6 +25,56 @@ class AnalyticsSpec extends SparkSpec {
     assert(day0.values.sum === users)
   }
 
+  test("cohort ltv: cum mass is a running total, day-0 users match cohorts") {
+    val cells = Analytics.eventsCohortLtv(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(cells.nonEmpty)
+    // per cohort: cum_q replays the running sum of sum_q in offset order
+    for ((cohort, rows) <- cells.groupBy(_._1)) {
+      val inOrder = rows.sortBy(_._2)
+      val expect = inOrder.map(_._4).scanLeft(0L)(_ + _).drop(1)
+      assert(inOrder.map(_._5).toSeq === expect.toSeq, s"cohort $cohort cum")
+    }
+    // total mass conserved vs a direct quantized fold over the raw events
+    val raw = operators.DomainQueries.events(spark, sf)
+      .select(expr("cast(floor(value * 1024) as bigint)").as("q"))
+      .agg(sum("q")).as[Long].head()
+    assert(cells.map(_._4).sum === raw)
+    // day-0 user counts are exactly retention's diagonal (same cohorts)
+    val day0 = cells.filter(_._2 == 0L).map(c => c._1 -> c._3).toMap
+    val retention = Analytics.eventsRetention(spark, sf)
+      .as[(Long, Long, Long)].collect()
+      .filter(_._2 == 0L).map(c => c._1 -> c._3).toMap
+    assert(day0 === retention)
+  }
+
+  test("hazard: at-risk replays the suffix sum, mass equals per-type users") {
+    val got = Analytics.eventsHazardRate(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val events = operators.DomainQueries.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        expr("ts_ns div 86400000000000").as("day"))
+      .as[(Long, String, Long)].collect()
+    val lifespans = events.groupBy(e => (e._1, e._2)).iterator
+      .map { case ((_, t), es) => t -> (es.map(_._3).max - es.map(_._3).min) }
+      .toSeq
+    for ((tpe, rows) <- got.groupBy(_._1)) {
+      val mine = lifespans.filter(_._1 == tpe).map(_._2)
+      // histogram matches the Scala lifespan replay
+      val hist = mine.groupBy(identity).map { case (o, xs) => o -> xs.size.toLong }
+      assert(rows.map(r => r._2 -> r._3).toMap === hist, s"$tpe histogram")
+      // at-risk is the descending suffix sum; hazard exact milli
+      for ((_, off, churned, atRisk, milli) <- rows) {
+        assert(atRisk === mine.count(_ >= off).toLong, s"$tpe@$off at-risk")
+        assert(milli === churned * 1000 / atRisk, s"$tpe@$off hazard")
+      }
+      // the longest-lived offset always churns everyone still at risk
+      val last = rows.maxBy(_._2)
+      assert(last._5 === 1000L)
+    }
+  }
+
   test("cusum equals the max-recurrence replay; a planted drift alarms") {
     // the window closed form (P_k − min(0, running-min P)) must equal the
     // defining recurrence S_k = max(0, S_{k-1} + x_k) replayed in Scala

@@ -652,6 +652,33 @@ class DomainSpec extends SparkSpec {
       4L -> ((4L, "purchase", 5.0, 5000L, 2L))))
   }
 
+  test("centroid shift matches a Scala replay; first month per species is null") {
+    val got = DomainQueries.occCentroidShift(spark, sf)
+      .as[(String, Long, Long, Long, Long, Option[Long])].collect()
+    assert(got.nonEmpty)
+    val rows = DomainQueries.valid(spark, sf)
+      .select(col("species"), col("lat"), col("lon"),
+        expr("year(timestamp_micros(ts_ns div 1000)) * 100 + " +
+          "month(timestamp_micros(ts_ns div 1000))").cast("long").as("ym"))
+      .as[(String, Double, Double, Long)].collect()
+    val cent = rows.groupBy(r => (r._1, r._4)).map { case ((sp, ym), es) =>
+      val lats = es.map(e => math.floor((e._2 + 90.0) * 1000).toLong)
+      val lons = es.map(e => math.floor((e._3 + 180.0) * 1000).toLong)
+      (sp, ym) -> ((es.length.toLong, lats.sum / es.length, lons.sum / es.length))
+    }
+    for ((sp, ym, n, clat, clon, shift) <- got) {
+      val (en, elat, elon) = cent((sp, ym))
+      assert((n, clat, clon) === ((en, elat, elon)), s"$sp/$ym centroid")
+      val prev = cent.keys.filter(k => k._1 == sp && k._2 < ym)
+        .map(_._2).maxOption
+      val expectShift = prev.map { p =>
+        val (_, plat, plon) = cent((sp, p))
+        math.abs(clat - plat) + math.abs(clon - plon)
+      }
+      assert(shift === expectShift, s"$sp/$ym shift")
+    }
+  }
+
   test("q25: planted quarter chain yields exact milli growth, first quarter null") {
     import org.apache.spark.sql.SaveMode
     import java.sql.Timestamp

@@ -100,6 +100,9 @@ class PlanAuditSpec extends SparkSpec {
     "dedup_fuzzy_match" -> 2, // block-key self-join sides; cap agg checkpointed
     "q25_quarter_growth" -> 2, // orders agg + lag window on the aggregate
     "data_quota_sample" -> 3, // source count agg + per-source rank window; alloc broadcast
+    "occ_centroid_shift" -> 2, // (species, ym) agg + lag window on the aggregate
+    "events_cohort_ltv" -> 4, // (user,day) agg + user fold + cell agg + cum window
+    "events_hazard_rate" -> 3, // user-type fold + histogram agg + at-risk window
     "meta_summary_facets" -> 3, // facet explode agg + two rollup legs
     "graph_pagerank" -> 6, // init distinct + 5 fixed-round rank aggs off the checkpointed edges
     "events_cusum" -> 2, // per-type target agg (broadcast back) + ONE window exchange
