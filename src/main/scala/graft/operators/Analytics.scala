@@ -113,6 +113,47 @@ object Analytics {
        |WINDOW w AS (PARTITION BY event_type ORDER BY day_offset DESC
        |             ROWS UNBOUNDED PRECEDING)""".stripMargin
 
+  /** SLO error-budget burn — the SRE readout over the event stream (is
+    * the error rate eating the budget, and when did we go over): per
+    * hour the total/error counts and the exact milli burn rate, plus
+    * the RUNNING burn since epoch and an over-budget verdict against
+    * [[SLO_MILLI]] (chosen at the corpus' ~200‰ error share so the
+    * verdict genuinely flips). Divisions are positive-integer only;
+    * the cumulative windows ride the ≤calendar-hours aggregate. */
+  def eventsErrorBudget(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy("hour_id").rowsBetween(Window.unboundedPreceding, 0)
+    DomainQueries.events(s, dir)
+      .select(expr(s"ts_ns div $HOUR_NS").as("hour_id"),
+        when(col("event_type") === "error", 1L).otherwise(0L).as("err"))
+      .groupBy("hour_id")
+      .agg(count(lit(1)).as("n_total"), sum("err").as("n_err"))
+      .withColumn("burn_milli", expr("n_err * 1000 div n_total"))
+      .withColumn("cum_err", sum("n_err").over(w))
+      .withColumn("cum_total", sum("n_total").over(w))
+      .withColumn("cum_burn_milli", expr("cum_err * 1000 div cum_total"))
+      .withColumn("over_budget", col("cum_burn_milli") > SLO_MILLI)
+      .drop("cum_err", "cum_total")
+  }
+
+  private[graft] val SLO_MILLI = 200L
+
+  private val BUDGET_SQL =
+    s"""WITH h AS (
+       |  SELECT epoch_ns(ts) // $HOUR_NS AS hour_id,
+       |    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS err
+       |  FROM events),
+       |c AS (SELECT hour_id, CAST(COUNT(*) AS BIGINT) AS n_total,
+       |        CAST(SUM(err) AS BIGINT) AS n_err
+       |      FROM h GROUP BY 1)
+       |SELECT hour_id, n_total, n_err,
+       |  CAST(n_err * 1000 // n_total AS BIGINT) AS burn_milli,
+       |  CAST(SUM(n_err) OVER w * 1000 // SUM(n_total) OVER w AS BIGINT)
+       |    AS cum_burn_milli,
+       |  CAST(SUM(n_err) OVER w * 1000 // SUM(n_total) OVER w AS BIGINT)
+       |    > $SLO_MILLI AS over_budget
+       |FROM c
+       |WINDOW w AS (ORDER BY hour_id ROWS UNBOUNDED PRECEDING)""".stripMargin
+
   def eventsRetention(s: SparkSession, dir: String): DataFrame =
     DomainQueries.events(s, dir)
       .select(col("user_id"), expr(s"ts_ns div $DAY_NS").as("day"))
@@ -1433,6 +1474,7 @@ object Analytics {
     "events_retention" -> (eventsRetention _),
     "events_cohort_ltv" -> (eventsCohortLtv _),
     "events_hazard_rate" -> (eventsHazardRate _),
+    "events_error_budget" -> (eventsErrorBudget _),
     "events_top_paths" -> (eventsTopPaths _),
     "sim_random_projection" -> (simRandomProjection _),
     "sim_rp_topk" -> (simRpTopk _),
@@ -1465,6 +1507,7 @@ object Analytics {
     "events_retention" -> RETENTION_SQL,
     "events_cohort_ltv" -> LTV_SQL,
     "events_hazard_rate" -> HAZARD_SQL,
+    "events_error_budget" -> BUDGET_SQL,
     "events_top_paths" -> PATHS_SQL,
     "sim_random_projection" -> RP_SQL,
     "sim_rp_topk" -> RP_TOPK_SQL,

@@ -270,6 +270,30 @@ object CoreQueries {
           expr("rev_cents * 1000 div prev_cents - 1000")).as("growth_milli"))
   }
 
+  /** TPC-H Q17-shaped small-order revenue: items whose quantity runs
+    * under a FIFTH of their part's average order size — the
+    * long-tail-fulfillment cost readout whose shape (per-group
+    * threshold re-applied to the group's own detail rows) q15's global
+    * scalar and q20's two-level semi-join don't cover. The threshold
+    * compare is division-free on both engines (qty·5·n < Σqty over the
+    * part window — DECIMAL sums, exact), and the per-part
+    * average never materializes: the window rides the partkey
+    * exchange, so lineitem shuffles ONCE; the brand dim is broadcast
+    * and the final rollup is aggregate-sized. */
+  def q26(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_partkey")
+    t(s, dir, "lineitem")
+      .select(col("l_partkey"), dec2(col("l_quantity")).as("qty"),
+        dec2(col("l_extendedprice")).as("price"))
+      .withColumn("tot", sum("qty").over(w))
+      .withColumn("n", count(lit(1)).over(w))
+      .filter(col("qty") * 5 * col("n") < col("tot"))
+      .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_small_items"),
+        sum(col("price")).cast("double").as("small_revenue"))
+  }
+
   def q24(s: SparkSession, dir: String): DataFrame = {
     val revenue = dec2(col("l_extendedprice")) * dec2(lit(1) - col("l_discount"))
     t(s, dir, "lineitem")
@@ -473,6 +497,7 @@ object CoreQueries {
     "q19_star_join" -> (q19 _),
     "q24_returned_revenue" -> (q24 _),
     "q25_quarter_growth" -> (q25 _),
+    "q26_small_qty_revenue" -> (q26 _),
     "q20_dominant_supplier" -> (q20 _),
     "q21_single_late_blame" -> (q21 _),
     "q22_prospect_share" -> (q22 _),
@@ -501,6 +526,19 @@ object CoreQueries {
   private val DP = "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))"
 
   val oracle: Map[String, String] = Map(
+    "q26_small_qty_revenue" ->
+      """WITH l AS (
+        |  SELECT l_partkey, CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2)))
+        |      OVER (PARTITION BY l_partkey) AS tot,
+        |    COUNT(*) OVER (PARTITION BY l_partkey) AS n
+        |  FROM lineitem)
+        |SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_small_items,
+        |  CAST(SUM(price) AS DOUBLE) AS small_revenue
+        |FROM l JOIN part ON l_partkey = p_partkey
+        |WHERE qty * 5 * n < tot
+        |GROUP BY p_brand""".stripMargin,
     "q25_quarter_growth" ->
       """WITH q AS (
         |  SELECT n_name,

@@ -54,6 +54,31 @@ object SketchQueries {
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
     minhashPairs(t(s, dir, "documents"))
 
+  /** Sketch-quality audit for the dedup side (the sibling of
+    * simAnnRecallAudit's ANN check): MinHash-LSH's thresholded pair set
+    * scored against the exact DF-filtered n-gram Jaccard pairs — corpus
+    * recall (near-dup pairs the sketch keeps) and precision (kept pairs
+    * that are real) in exact milli. Both pair sets are SMALL (the
+    * operators' outputs, not their inputs) but each is referenced twice
+    * — localCheckpoint cuts the heavy upstream replay (the triangles
+    * multi-reference discipline). Single-row output; guards keep the
+    * integer divisions off zero on both engines. */
+  def dedupLshRecallAudit(s: SparkSession, dir: String): DataFrame = {
+    val exact = TextQueries.dedupNgramJaccard(s, dir)
+      .select("doc1", "doc2").localCheckpoint()
+    val approx = dedupMinhashLsh(s, dir)
+      .select("doc1", "doc2").localCheckpoint()
+    val ne = exact.agg(count(lit(1)).as("n_exact"))
+    val na = approx.agg(count(lit(1)).as("n_lsh"))
+    val nh = exact.join(approx, Seq("doc1", "doc2"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    ne.crossJoin(na).crossJoin(nh)
+      .withColumn("recall_milli",
+        when(col("n_exact") > 0, expr("n_hit * 1000 div n_exact")))
+      .withColumn("precision_milli",
+        when(col("n_lsh") > 0, expr("n_hit * 1000 div n_lsh")))
+  }
+
   /** splitmix64-derived 60-bit xor seeds: the MinHash permutation family
     * is `h ↦ h XOR seed` over a 60-bit md5-prefix base hash — chosen so
     * BOTH engines compute it exactly (DuckDB: `('0x'||substr(md5(sh),1,
@@ -582,6 +607,7 @@ object SketchQueries {
     "data_bloom_gate" -> (dataBloomGate _),
     "text_cdc_chunks" -> (textCdcChunks _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_lsh_recall_audit" -> (dedupLshRecallAudit _),
     "dedup_simhash" -> (dedupSimhash _),
     "sim_lsh_topk" -> (simLshTopk _),
     "sim_ann_recall_audit" -> (simAnnRecallAudit _),
@@ -913,7 +939,24 @@ object SketchQueries {
         |FROM bk x JOIN bk y
         |  ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id
         |WHERE x.k <= 100 AND bit_count(xor(x.fp, y.fp)) <= 6""".stripMargin,
-    "dedup_minhash_lsh" -> {
+    "dedup_minhash_lsh" -> MINHASH_PAIR_SQL,
+    "dedup_lsh_recall_audit" -> {
+      val exactSql = TextQueries.oracle("dedup_ngram_jaccard")
+      s"""WITH exact AS (SELECT doc1, doc2 FROM ($exactSql)),
+         |approx AS (SELECT doc1, doc2 FROM ($MINHASH_PAIR_SQL)),
+         |ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM exact),
+         |na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_lsh FROM approx),
+         |nh AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hit
+         |       FROM exact e JOIN approx a USING (doc1, doc2))
+         |SELECT n_exact, n_lsh, n_hit,
+         |  CASE WHEN n_exact > 0
+         |    THEN n_hit * 1000 // n_exact END AS recall_milli,
+         |  CASE WHEN n_lsh > 0
+         |    THEN n_hit * 1000 // n_lsh END AS precision_milli
+         |FROM ne, na, nh""".stripMargin
+    })
+
+  private lazy val MINHASH_PAIR_SQL: String = {
       val seedRows = seeds.zipWithIndex
         .map { case (sv, i) => s"($i, $sv)" }.mkString(", ")
       s"""WITH sh AS (
@@ -945,5 +988,5 @@ object SketchQueries {
          |GROUP BY c.doc1, c.doc2
          |HAVING CAST(SUM(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) AS DOUBLE)
          |  / CAST($K AS DOUBLE) >= 0.5""".stripMargin
-    })
+  }
 }

@@ -369,6 +369,109 @@ object TextPrep {
        |    0) // $COMPACT_TARGET_BYTES AS BIGINT) AS bin
        |FROM documents""".stripMargin
 
+  /** Heaps'-law vocabulary-growth curve — the is-more-data-still-worth-
+    * it readout every corpus build wants (new types per marginal token;
+    * a flattening curve means the source is mined out): per doc the
+    * token count and the count of types whose FIRST corpus occurrence
+    * (min doc_id over the token posting) lands on this doc, then
+    * cumulative tokens/types in doc_id order. Exact integers; the
+    * cumulative sums use the same two-level distributed prefix sum as
+    * [[dataCompactFiles]] (per-bucket totals → ≤[[COMPACT_BUCKETS]]-row
+    * offsets window → within-bucket window), so no single-task global
+    * window exists at any corpus size — the oracle keeps the one-window
+    * formulation: two plans, one integer lattice. */
+  def textVocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    val tok = t(s, dir, "documents")
+      .select(col("doc_id"), explode(Shingles.tokens(col("text"))).as("w"))
+    val perDoc = tok.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+    val firstSeen = tok.groupBy("w").agg(min("doc_id").as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("new_types"))
+    // 3 longs per doc, but referenced by the grid-sizing action, the
+    // offsets aggregate AND the final join — checkpoint so the token
+    // explode + three aggregates run once (triangles discipline)
+    val base = perDoc.join(firstSeen, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .localCheckpoint()
+    val mm = base.agg(min("doc_id"), max("doc_id")).head()
+    require(!mm.isNullAt(0), "textVocabGrowth on an empty documents table")
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val span = math.max(1L, hi - lo + 1)
+    val bucketed = base.withColumn("bkt",
+      ((col("doc_id") - lit(lo)) * COMPACT_BUCKETS / span).cast("long"))
+    val wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy("bkt")
+      .agg(sum("n_tokens").as("tsum"), sum("new_types").as("ysum"))
+      .withColumn("toff", coalesce(sum("tsum").over(wb), lit(0L)))
+      .withColumn("yoff", coalesce(sum("ysum").over(wb), lit(0L)))
+      .select("bkt", "toff", "yoff")
+    val wl = Window.partitionBy("bkt").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    bucketed.join(broadcast(offsets), Seq("bkt"))
+      .select(col("doc_id"), col("n_tokens"), col("new_types"),
+        (sum("n_tokens").over(wl) + col("toff")).as("cum_tokens"),
+        (sum("new_types").over(wl) + col("yoff")).as("cum_types"))
+  }
+
+  private val VOCAB_SQL =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      |  FROM documents),
+      |pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens
+      |       FROM tok GROUP BY 1),
+      |fs AS (SELECT MIN(doc_id) AS doc_id FROM tok GROUP BY w),
+      |nt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS new_types
+      |       FROM fs GROUP BY 1)
+      |SELECT pd.doc_id, pd.n_tokens,
+      |  COALESCE(nt.new_types, 0) AS new_types,
+      |  CAST(SUM(pd.n_tokens) OVER w AS BIGINT) AS cum_tokens,
+      |  CAST(SUM(COALESCE(nt.new_types, 0)) OVER w AS BIGINT) AS cum_types
+      |FROM pd LEFT JOIN nt USING (doc_id)
+      |WINDOW w AS (ORDER BY pd.doc_id ROWS UNBOUNDED PRECEDING)""".stripMargin
+
+  /** Per-source cost of near-dup removal — the budget readout a corpus
+    * owner reads before signing off a dedup pass (which feeds are
+    * paying, and how many tokens go with them): victims are every doc
+    * appearing on the GREATER side of a [[TextQueries.dedupFuzzyMatch]]
+    * pair (greedy keep-smallest survivorship — transitive closure is
+    * dedup_cluster's job; this is the per-pair account), rolled up per
+    * source with exact token losses and a milli drop rate. Victim ids
+    * are a tiny checkpointed set broadcast-joined back, so the corpus
+    * scans once and only (id, source, token-count) rows aggregate. */
+  def dataDedupImpact(s: SparkSession, dir: String): DataFrame = {
+    val victims = TextQueries.dedupFuzzyMatch(s, dir)
+      .select(col("doc_b").as("doc_id")).distinct().localCheckpoint()
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(Shingles.tokens(col("text"))).cast("long").as("n_toks"))
+      .join(broadcast(victims.withColumn("dropped", lit(1L))),
+        Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("dropped"), lit(0L))).as("n_dropped"),
+        sum("n_toks").as("n_tokens"),
+        sum(when(col("dropped").isNotNull, col("n_toks")).otherwise(0L))
+          .as("tokens_dropped"))
+      .withColumn("drop_milli", expr("n_dropped * 1000 div n_docs"))
+  }
+
+  private lazy val IMPACT_SQL =
+    s"""WITH victims AS (
+       |  SELECT DISTINCT doc_b AS doc_id FROM (${TextQueries.FUZZY_SQL})),
+       |d AS (SELECT doc_id, source,
+       |        CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+       |          AS n_toks,
+       |        CASE WHEN doc_id IN (SELECT doc_id FROM victims)
+       |          THEN 1 ELSE 0 END AS dropped
+       |      FROM documents)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(dropped) AS BIGINT) AS n_dropped,
+       |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(CASE WHEN dropped = 1 THEN n_toks ELSE 0 END) AS BIGINT)
+       |    AS tokens_dropped,
+       |  CAST(SUM(dropped) * 1000 // COUNT(*) AS BIGINT) AS drop_milli
+       |FROM d GROUP BY source""".stripMargin
+
   /** Target language mix, percent by document count. Languages outside
     * the table get weight 0 (excluded from the mixture). */
   private[graft] val MIX_WEIGHTS =
@@ -570,6 +673,8 @@ object TextPrep {
     "data_skew_audit" -> (dataSkewAudit _),
     "data_mixture_sample" -> (dataMixtureSample _),
     "data_quota_sample" -> (dataQuotaSample _),
+    "text_vocab_growth" -> (textVocabGrowth _),
+    "data_dedup_impact" -> (dataDedupImpact _),
     "data_compact_files" -> (dataCompactFiles _),
     "data_shuffle_shards" -> (dataShuffleShards _),
     "text_scrub" -> (textScrub _),
@@ -585,6 +690,8 @@ object TextPrep {
     "data_skew_audit" -> SKEW_SQL,
     "data_mixture_sample" -> MIX_SQL,
     "data_quota_sample" -> QUOTA_SQL,
+    "text_vocab_growth" -> VOCAB_SQL,
+    "data_dedup_impact" -> IMPACT_SQL,
     "data_compact_files" -> COMPACT_SQL,
     "data_shuffle_shards" -> SHARDS_SQL,
     "text_scrub" -> SCRUB_SQL,

@@ -156,6 +156,17 @@ object TextQueries {
   private val FUZZY_BLOCK_CAP = 64
   private val FUZZY_MAX_LEV = 12
 
+  private[operators] lazy val FUZZY_SQL: String =
+    s"""WITH d AS (SELECT doc_id, substr(text, 1, 24) AS pre,
+       |             substr(text, 1, 128) AS sk FROM documents),
+       |ok AS (SELECT pre FROM d GROUP BY pre
+       |       HAVING COUNT(*) <= $FUZZY_BLOCK_CAP),
+       |b AS (SELECT d.* FROM d JOIN ok USING (pre))
+       |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+       |  CAST(levenshtein(a.sk, c.sk) AS BIGINT) AS lev
+       |FROM b a JOIN b c ON a.pre = c.pre AND a.doc_id < c.doc_id
+       |WHERE levenshtein(a.sk, c.sk) <= $FUZZY_MAX_LEV""".stripMargin
+
   /** Incremental exact dedup — the PRODUCTION dedup shape: a new batch
     * classifies against the STANDING corpus's hash index instead of
     * re-hashing 100 TB per increment (the batch sibling of the
@@ -658,16 +669,7 @@ object TextQueries {
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
-    "dedup_fuzzy_match" ->
-      s"""WITH d AS (SELECT doc_id, substr(text, 1, 24) AS pre,
-         |             substr(text, 1, 128) AS sk FROM documents),
-         |ok AS (SELECT pre FROM d GROUP BY pre
-         |       HAVING COUNT(*) <= $FUZZY_BLOCK_CAP),
-         |b AS (SELECT d.* FROM d JOIN ok USING (pre))
-         |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
-         |  CAST(levenshtein(a.sk, c.sk) AS BIGINT) AS lev
-         |FROM b a JOIN b c ON a.pre = c.pre AND a.doc_id < c.doc_id
-         |WHERE levenshtein(a.sk, c.sk) <= $FUZZY_MAX_LEV""".stripMargin,
+    "dedup_fuzzy_match" -> FUZZY_SQL,
     "dedup_ngram_jaccard" -> withSql(TOK_SQL,
       """sh AS (
         |  SELECT DISTINCT doc_id, ts[i] || '_' || ts[i+1] || '_' || ts[i+2] AS sh

@@ -75,6 +75,22 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("error budget: burn replays the hourly ledger, verdict tracks the SLO") {
+    val got = Analytics.eventsErrorBudget(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(got.nonEmpty)
+    var (cumErr, cumTot) = (0L, 0L)
+    for ((_, total, err, burn, cumBurn, over) <- got) {
+      assert(err <= total)
+      assert(burn === err * 1000 / total)
+      cumErr += err; cumTot += total
+      assert(cumBurn === cumErr * 1000 / cumTot)
+      assert(over === (cumBurn > Analytics.SLO_MILLI))
+    }
+    // the SLO sits at the corpus error share: the verdict must flip
+    assert(got.exists(_._6) && got.exists(!_._6))
+  }
+
   test("cusum equals the max-recurrence replay; a planted drift alarms") {
     // the window closed form (P_k − min(0, running-min P)) must equal the
     // defining recurrence S_k = max(0, S_{k-1} + x_k) replayed in Scala

@@ -679,6 +679,29 @@ class DomainSpec extends SparkSpec {
     }
   }
 
+  test("q26: only under-a-fifth-of-average items count, revenue recomputes") {
+    import org.apache.spark.sql.SaveMode
+    import java.sql.Timestamp
+    val tmp = java.nio.file.Files.createTempDirectory("q26").toString
+    Seq((1L, "P1", "B1", "T", 1, 0.0), (2L, "P2", "B2", "T", 1, 0.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/part.parquet")
+    val ship = Timestamp.valueOf("1995-07-01 00:00:00")
+    // part 1: qtys 1,10,10,10 (avg 7.75; 1*5*4=20 < 31 → only qty-1 counts;
+    // 10*5*4=200 >= 31 rejected). part 2: uniform qtys — nothing counts.
+    val rows = Seq((1L, 1.0, 100.0), (1L, 10.0, 5.0), (1L, 10.0, 5.0),
+      (1L, 10.0, 5.0), (2L, 4.0, 7.0), (2L, 4.0, 7.0))
+    rows.zipWithIndex.map { case ((pk, q, p), i) =>
+      (i.toLong, pk, 1L, i + 1, q, p, 0.0, 0.0, "N", "O", ship) }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+        "l_shipdate")
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/lineitem.parquet")
+    val got = CoreQueries.q26(spark, tmp)
+      .as[(String, Long, Double)].collect().toSet
+    assert(got === Set(("B1", 1L, 100.0)))
+  }
+
   test("q25: planted quarter chain yields exact milli growth, first quarter null") {
     import org.apache.spark.sql.SaveMode
     import java.sql.Timestamp

@@ -30,7 +30,8 @@ class PlanAuditSpec extends SparkSpec {
     "q22_prospect_share" -> "crossJoin against the single-row broadcast balance-threshold frame",
     "sim_maxsim_topk" -> "documented late-interaction scorer: query side is 5 broadcast rows",
     "sim_ann_recall_audit" -> "inherits sim_cosine_topk's 5-broadcast-row brute-force crossJoin",
-    "events_inactivity_churn" -> "crossJoin against the single-row broadcast watermark frame")
+    "events_inactivity_churn" -> "crossJoin against the single-row broadcast watermark frame",
+    "dedup_lsh_recall_audit" -> "crossJoin of three single-row count frames (1×1×1)")
 
   test("no query plans a nested-loop or cartesian join outside the whitelist") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -103,6 +104,11 @@ class PlanAuditSpec extends SparkSpec {
     "occ_centroid_shift" -> 2, // (species, ym) agg + lag window on the aggregate
     "events_cohort_ltv" -> 4, // (user,day) agg + user fold + cell agg + cum window
     "events_hazard_rate" -> 3, // user-type fold + histogram agg + at-risk window
+    "text_vocab_growth" -> 3, // checkpointed base: offsets window + bkt window + join
+    "dedup_lsh_recall_audit" -> 3, // single-row aggs over checkpointed pair sets
+    "q26_small_qty_revenue" -> 2, // partkey window + brand rollup; part broadcast
+    "data_dedup_impact" -> 1, // one source rollup; victim set checkpointed+broadcast
+    "events_error_budget" -> 2, // hour agg + cum window on the aggregate
     "meta_summary_facets" -> 3, // facet explode agg + two rollup legs
     "graph_pagerank" -> 6, // init distinct + 5 fixed-round rank aggs off the checkpointed edges
     "events_cusum" -> 2, // per-type target agg (broadcast back) + ONE window exchange

@@ -65,6 +65,24 @@ class SketchSpec extends SparkSpec {
     assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
   }
 
+  test("lsh recall audit recomputes exactly from the two pair sets") {
+    val got = SketchQueries.dedupLshRecallAudit(spark, sf)
+      .as[(Long, Long, Long, Option[Long], Option[Long])].collect()
+    assert(got.length === 1)
+    val (ne, na, nh, rec, prec) = got.head
+    val exact = operators.TextQueries.dedupNgramJaccard(spark, sf)
+      .select("doc1", "doc2").as[(Long, Long)].collect().toSet
+    val approx = SketchQueries.dedupMinhashLsh(spark, sf)
+      .select("doc1", "doc2").as[(Long, Long)].collect().toSet
+    assert(ne === exact.size.toLong)
+    assert(na === approx.size.toLong)
+    assert(nh === (exact intersect approx).size.toLong)
+    assert(rec === (if (ne > 0) Some(nh * 1000 / ne) else None))
+    assert(prec === (if (na > 0) Some(nh * 1000 / na) else None))
+    // the generator plants genuine near-dups: the audit must see signal
+    assert(ne > 0 && nh > 0)
+  }
+
   test("simhash gives hamming 0 for identical docs, filters dissimilar") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val other = "zq xw vv kj uu pp mm nn oo ww ee rr tt yy"

@@ -53,6 +53,49 @@ class TextPrepSpec extends SparkSpec {
     assert(got.map(_._2).toSet.subsetOf(TextPrep.MIX_WEIGHTS.map(_._1).toSet))
   }
 
+  test("vocab growth replays Heaps accounting; two-level cum equals one pass") {
+    val got = TextPrep.textVocabGrowth(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.nonEmpty)
+    // Scala replay: first-occurrence accounting over the same tokenizer
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), operators.Shingles.tokens(col("text")).as("ts"))
+      .as[(Long, Seq[String])].collect().sortBy(_._1)
+    val seen = scala.collection.mutable.Set.empty[String]
+    var (cumTok, cumTyp) = (0L, 0L)
+    val expect = docs.map { case (id, ts) =>
+      val fresh = ts.filterNot(seen).distinct.length.toLong
+      ts.foreach(seen += _)
+      cumTok += ts.length; cumTyp += fresh
+      (id, ts.length.toLong, fresh, cumTok, cumTyp)
+    }
+    assert(got.toSeq === expect.toSeq)
+    // totals close the books: all tokens, all distinct types
+    assert(got.last._4 === docs.map(_._2.length.toLong).sum)
+    assert(got.last._5 === docs.flatMap(_._2).distinct.length.toLong)
+  }
+
+  test("dedup impact: victims are exactly the fuzzy pairs' greater sides") {
+    val got = TextPrep.dataDedupImpact(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    val victims = operators.TextQueries.dedupFuzzyMatch(spark, sf)
+      .select("doc_b").as[Long].collect().toSet
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("source"),
+        size(operators.Shingles.tokens(col("text"))).cast("long").as("n"))
+      .as[(Long, String, Long)].collect()
+    assert(got.map(_._2).sum === docs.length.toLong)
+    assert(got.map(_._3).sum === victims.size.toLong)
+    for ((src, nDocs, nDrop, nToks, toksDrop, milli) <- got) {
+      val mine = docs.filter(_._2 == src)
+      assert(nDocs === mine.length.toLong)
+      assert(nDrop === mine.count(d => victims(d._1)).toLong)
+      assert(nToks === mine.map(_._3).sum)
+      assert(toksDrop === mine.filter(d => victims(d._1)).map(_._3).sum)
+      assert(milli === nDrop * 1000 / nDocs)
+    }
+  }
+
   test("quota sample: largest-remainder seats sum to K and fill in hash order") {
     val got = TextPrep.dataQuotaSample(spark, sf)
       .as[(String, Long, Long, Long)].collect()
