@@ -113,6 +113,96 @@ object Analytics {
        |WINDOW w AS (PARTITION BY event_type ORDER BY day_offset DESC
        |             ROWS UNBOUNDED PRECEDING)""".stripMargin
 
+  /** Peak concurrent sessions per hour — the capacity-planning readout
+    * (how many users were on SIMULTANEOUSLY, not merely active) that
+    * interval-overlap counting classically answers with one global sort:
+    * sessions (the 6h-gap sessionize convention) emit ±1 boundaries,
+    * end-exclusive ties resolve −1 before +1 (ORDER BY ts, delta — a
+    * back-to-back session pair never counts as 2), and concurrency is
+    * the running boundary sum. Scale shape: the running sum uses the
+    * two-level distributed prefix sum (per-hour delta totals → tiny
+    * offsets window → within-hour window), so NO single-task global
+    * window exists — the oracle keeps the textbook one-window
+    * formulation: two plans, one integer answer. Per-hour MAX is
+    * order-stable under equal-key permutations (a +1 run's value set is
+    * {off+1..off+k} however ties land). Sessions are checkpointed —
+    * both boundary selects read one materialization. */
+  def eventsPeakConcurrency(s: SparkSession, dir: String): DataFrame = {
+    val gapNs = 21600000000000L // 6h — the sessionize convention
+    val byUser = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    val sessions = DomainQueries.events(s, dir)
+      .select(col("user_id"), col("ts_ns"), col("event_id"))
+      .withColumn("is_new",
+        when(col("ts_ns") - lag("ts_ns", 1).over(byUser) > gapNs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum("is_new")
+        .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_id")
+      .agg(min("ts_ns").as("st"), max("ts_ns").as("en"))
+      .localCheckpoint()
+    val bounds = sessions.select(col("st").as("ts"), lit(1L).as("delta"))
+      .unionByName(sessions.select(col("en").as("ts"), lit(-1L).as("delta")))
+      .withColumn("hour_id", expr(s"ts div $HOUR_NS"))
+    val wOff = Window.orderBy("hour_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bounds.groupBy("hour_id").agg(sum("delta").as("dsum"))
+      .withColumn("off", coalesce(sum("dsum").over(wOff), lit(0L)))
+      .select("hour_id", "off")
+    val wIn = Window.partitionBy("hour_id").orderBy("ts", "delta")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    bounds.join(broadcast(offsets), Seq("hour_id"))
+      .withColumn("conc", sum("delta").over(wIn) + col("off"))
+      .groupBy("hour_id")
+      .agg(max("conc").as("peak_concurrent"),
+        count(lit(1)).as("n_boundaries"))
+  }
+
+  private val CONCURRENCY_SQL =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_ns(ts) AS ts_ns FROM events),
+       |x AS (SELECT user_id, ts_ns, event_id,
+       |        CASE WHEN ts_ns - LAG(ts_ns) OVER
+       |            (PARTITION BY user_id ORDER BY ts_ns, event_id)
+       |          > 21600000000000 THEN 1 ELSE 0 END AS is_new
+       |      FROM e),
+       |se AS (SELECT user_id, ts_ns,
+       |         SUM(is_new) OVER (PARTITION BY user_id
+       |           ORDER BY ts_ns, event_id ROWS UNBOUNDED PRECEDING)
+       |           AS session_id
+       |       FROM x),
+       |g AS (SELECT user_id, session_id, MIN(ts_ns) AS st, MAX(ts_ns) AS en
+       |      FROM se GROUP BY 1, 2),
+       |b AS (SELECT st AS ts, 1 AS delta FROM g
+       |      UNION ALL SELECT en, -1 FROM g),
+       |r AS (SELECT ts // $HOUR_NS AS hour_id,
+       |        SUM(delta) OVER (ORDER BY ts, delta ROWS UNBOUNDED PRECEDING)
+       |          AS conc
+       |      FROM b)
+       |SELECT hour_id, CAST(MAX(conc) AS BIGINT) AS peak_concurrent,
+       |  CAST(COUNT(*) AS BIGINT) AS n_boundaries
+       |FROM r GROUP BY 1""".stripMargin
+
+  /** Cluster-cohesion audit over the k-means assignment — the quality
+    * readout clustering dashboards plot (tight clusters = useful
+    * codebook): per cluster the population, the MEAN squared distance
+    * on the 2^-10-reduced lattice (d2 div 1024 BEFORE summing buys
+    * 2^73-row overflow headroom while both engines replay the identical
+    * floor arithmetic), and the exact min/max spread. One
+    * aggregate over [[simKmeansAssign]]'s output. */
+  def simClusterCohesion(s: SparkSession, dir: String): DataFrame =
+    simKmeansAssign(s, dir)
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_vectors"),
+        expr("sum(d2 div 1024) div count(1)").as("mean_d2q"),
+        min("d2").as("min_d2"), max("d2").as("max_d2"))
+
+  private lazy val COHESION_SQL =
+    s"""WITH a AS (SELECT cluster, d2 FROM ($KMEANS_SQL))
+       |SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       |  CAST(SUM(d2 // 1024) // COUNT(*) AS BIGINT) AS mean_d2q,
+       |  MIN(d2) AS min_d2, MAX(d2) AS max_d2
+       |FROM a GROUP BY cluster""".stripMargin
+
   /** SLO error-budget burn — the SRE readout over the event stream (is
     * the error rate eating the budget, and when did we go over): per
     * hour the total/error counts and the exact milli burn rate, plus
@@ -1475,6 +1565,8 @@ object Analytics {
     "events_cohort_ltv" -> (eventsCohortLtv _),
     "events_hazard_rate" -> (eventsHazardRate _),
     "events_error_budget" -> (eventsErrorBudget _),
+    "events_peak_concurrency" -> (eventsPeakConcurrency _),
+    "sim_cluster_cohesion" -> (simClusterCohesion _),
     "events_top_paths" -> (eventsTopPaths _),
     "sim_random_projection" -> (simRandomProjection _),
     "sim_rp_topk" -> (simRpTopk _),
@@ -1508,6 +1600,8 @@ object Analytics {
     "events_cohort_ltv" -> LTV_SQL,
     "events_hazard_rate" -> HAZARD_SQL,
     "events_error_budget" -> BUDGET_SQL,
+    "events_peak_concurrency" -> CONCURRENCY_SQL,
+    "sim_cluster_cohesion" -> COHESION_SQL,
     "events_top_paths" -> PATHS_SQL,
     "sim_random_projection" -> RP_SQL,
     "sim_rp_topk" -> RP_TOPK_SQL,

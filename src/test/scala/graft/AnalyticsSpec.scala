@@ -75,6 +75,66 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("peak concurrency: planted overlaps count, back-to-back does not") {
+    val tmp = java.nio.file.Files.createTempDirectory("conc").toString
+    val H = 3600000000000L
+    // users 1+2 overlap inside hour 0 → peak 2; user 3's session starts at
+    // the exact ns user 1's ends (hour 1) → end-exclusive tie keeps peak 1
+    Seq((1L, 0L, 1L, "view", 0.0), (2L, H + 1000L, 1L, "view", 0.0),
+        (3L, 500L, 2L, "view", 0.0), (4L, 2000L, 2L, "view", 0.0),
+        (5L, H + 1000L, 3L, "view", 0.0), (6L, H + 5000L, 3L, "view", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/events.parquet")
+    val got = Analytics.eventsPeakConcurrency(spark, tmp)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // hour 0: both sessions open (peaks at 2), user 3's closes here too
+    assert(got(0L) === ((2L, 3L)))
+    // hour 1: user 1 closes as user 3 opens — the -1 lands first, peak 1
+    assert(got(1L) === ((1L, 3L)))
+  }
+
+  test("peak concurrency equals a single global sweep replay on testdata") {
+    val got = Analytics.eventsPeakConcurrency(spark, sf)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.nonEmpty)
+    val gap = 21600000000000L
+    val events = operators.DomainQueries.events(spark, sf)
+      .select(col("user_id"), col("ts_ns"), col("event_id"))
+      .as[(Long, Long, Long)].collect()
+    val bounds = events.groupBy(_._1).values.flatMap { es =>
+      val ts = es.sortBy(e => (e._2, e._3)).map(_._2)
+      val sessions = ts.foldLeft(Vector.empty[(Long, Long)]) {
+        case (acc, t) if acc.nonEmpty && t - acc.last._2 <= gap =>
+          acc.init :+ (acc.last._1, t)
+        case (acc, t) => acc :+ (t, t)
+      }
+      sessions.flatMap { case (st, en) => Seq((st, 1L), (en, -1L)) }
+    }.toSeq.sortBy(identity)
+    var conc = 0L
+    val byHour = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    for ((ts, d) <- bounds) {
+      conc += d
+      val h = ts / 3600000000000L
+      val (p, n) = byHour.getOrElse(h, (Long.MinValue, 0L))
+      byHour(h) = (math.max(p, conc), n + 1)
+    }
+    assert(got === byHour.toMap)
+  }
+
+  test("cluster cohesion recomputes from the assignment") {
+    val got = Analytics.simClusterCohesion(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val assign = Analytics.simKmeansAssign(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    for ((k, rows) <- assign.groupBy(_._2)) {
+      val d2s = rows.map(_._3)
+      val expect = (k, d2s.length.toLong,
+        d2s.map(_ / 1024).sum / d2s.length, d2s.min, d2s.max)
+      assert(got(k) === expect, s"cluster $k")
+    }
+  }
+
   test("error budget: burn replays the hourly ledger, verdict tracks the SLO") {
     val got = Analytics.eventsErrorBudget(spark, sf)
       .as[(Long, Long, Long, Long, Long, Boolean)].collect().sortBy(_._1)

@@ -109,6 +109,8 @@ class PlanAuditSpec extends SparkSpec {
     "q26_small_qty_revenue" -> 2, // partkey window + brand rollup; part broadcast
     "data_dedup_impact" -> 1, // one source rollup; victim set checkpointed+broadcast
     "events_error_budget" -> 2, // hour agg + cum window on the aggregate
+    "events_peak_concurrency" -> 3, // checkpointed sessions: offsets + in-hour window + final agg
+    "sim_cluster_cohesion" -> 1, // one cluster rollup over the checkpointed assignment
     "meta_summary_facets" -> 3, // facet explode agg + two rollup legs
     "graph_pagerank" -> 6, // init distinct + 5 fixed-round rank aggs off the checkpointed edges
     "events_cusum" -> 2, // per-type target agg (broadcast back) + ONE window exchange
