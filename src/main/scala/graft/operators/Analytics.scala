@@ -128,30 +128,18 @@ object Analytics {
     * {off+1..off+k} however ties land). Sessions are checkpointed —
     * both boundary selects read one materialization. */
   def eventsPeakConcurrency(s: SparkSession, dir: String): DataFrame = {
-    val gapNs = 21600000000000L // 6h — the sessionize convention
-    val byUser = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
-    val sessions = DomainQueries.events(s, dir)
-      .select(col("user_id"), col("ts_ns"), col("event_id"))
-      .withColumn("is_new",
-        when(col("ts_ns") - lag("ts_ns", 1).over(byUser) > gapNs, 1L)
-          .otherwise(0L))
-      .withColumn("session_id", sum("is_new")
-        .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    val sessions = DomainQueries.withSessionIds(s, dir)
       .groupBy("user_id", "session_id")
       .agg(min("ts_ns").as("st"), max("ts_ns").as("en"))
       .localCheckpoint()
     val bounds = sessions.select(col("st").as("ts"), lit(1L).as("delta"))
       .unionByName(sessions.select(col("en").as("ts"), lit(-1L).as("delta")))
       .withColumn("hour_id", expr(s"ts div $HOUR_NS"))
-    val wOff = Window.orderBy("hour_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = bounds.groupBy("hour_id").agg(sum("delta").as("dsum"))
-      .withColumn("off", coalesce(sum("dsum").over(wOff), lit(0L)))
-      .select("hour_id", "off")
+    val offsets = Scale.bucketOffsets(bounds, "hour_id", Seq("delta"))
     val wIn = Window.partitionBy("hour_id").orderBy("ts", "delta")
       .rowsBetween(Window.unboundedPreceding, 0)
     bounds.join(broadcast(offsets), Seq("hour_id"))
-      .withColumn("conc", sum("delta").over(wIn) + col("off"))
+      .withColumn("conc", sum("delta").over(wIn) + col("delta_off"))
       .groupBy("hour_id")
       .agg(max("conc").as("peak_concurrent"),
         count(lit(1)).as("n_boundaries"))

@@ -1103,18 +1103,30 @@ object DomainQueries {
   /** Gap-based sessionization (6 h gap): lag → new-session flag → running
     * sum → per-session aggregate. Batch analogue of the
     * flatMapGroupsWithState streaming sessionizer. */
-  def eventsSessionize(s: SparkSession, dir: String): DataFrame = {
+  /** The 6h-gap sessionization convention — ONE definition for every
+    * session-derived operator (sessionize, funnel, peak concurrency):
+    * a new session opens when the per-user inter-event gap exceeds
+    * [[SESSION_GAP_NS]]. */
+  private[operators] val SESSION_GAP_NS = 21600000000000L // 6h
+
+  /** events plus the per-user running `session_id` under the shared gap
+    * rule — all event columns pass through, so callers aggregate or
+    * window further without re-deriving the fold. */
+  private[operators] def withSessionIds(s: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
-    val gapNs = 21600000000000L // 6h
     events(s, dir)
       .withColumn("is_new",
-        when(col("ts_ns") - lag(col("ts_ns"), 1).over(byUser) > gapNs, 1L).otherwise(0L))
+        when(col("ts_ns") - lag(col("ts_ns"), 1).over(byUser) > SESSION_GAP_NS,
+          1L).otherwise(0L))
       .withColumn("session_id", sum(col("is_new"))
         .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  def eventsSessionize(s: SparkSession, dir: String): DataFrame =
+    withSessionIds(s, dir)
       .groupBy("user_id", "session_id")
       .agg(count(lit(1)).as("n_events"),
         (max(col("ts_ns")) - min(col("ts_ns"))).as("dur_ns"))
-  }
 
   /** Sequence-pattern match within sessions — the MATCH_RECOGNIZE /
     * funnel-analysis shape: first view → first LATER click → first LATER
@@ -1126,14 +1138,8 @@ object DomainQueries {
     * constant), and the final aggregate reuses that partitioning, so the
     * whole pattern match is two shuffles regardless of pattern length. */
   def eventsFunnel(s: SparkSession, dir: String): DataFrame = {
-    val byUser = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
     val bySes = Window.partitionBy("user_id", "session_id")
-    val gapNs = 21600000000000L // 6h
-    events(s, dir)
-      .withColumn("is_new",
-        when(col("ts_ns") - lag(col("ts_ns"), 1).over(byUser) > gapNs, 1L).otherwise(0L))
-      .withColumn("session_id", sum(col("is_new"))
-        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    withSessionIds(s, dir)
       .withColumn("t_view",
         min(when(col("event_type") === "view", col("ts_ns"))).over(bySes))
       .withColumn("t_click",

@@ -19,6 +19,29 @@ object Scale {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Exclusive per-bucket offsets for a two-level distributed prefix sum
+    * — the shared core of dataCompactFiles / textVocabGrowth /
+    * eventsPeakConcurrency: per-bucket totals for each measure, then the
+    * EXCLUSIVE running sum over buckets (≤ |buckets| rows — the only
+    * globally-ordered window, always tiny). Callers broadcast-join the
+    * result back and add a within-bucket running window, so no
+    * single-task global sort ever touches row-level data. Offset columns
+    * come back as `<measure>_off`. */
+  def bucketOffsets(df: DataFrame, bucketCol: String,
+      measures: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOff = Window.orderBy(bucketCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sums = measures.map(m => sum(m).as(s"${m}_sum"))
+    val withOffs = measures.foldLeft(
+      df.groupBy(bucketCol).agg(sums.head, sums.tail: _*)) {
+      case (acc, m) =>
+        acc.withColumn(s"${m}_off",
+          coalesce(sum(s"${m}_sum").over(wOff), lit(0L)))
+    }
+    withOffs.select(col(bucketCol) +: measures.map(m => col(s"${m}_off")): _*)
+  }
+
   /** Salted aggregation for skewed keys: two-phase groupBy where phase 1
     * spreads each hot key over `salts` sub-keys (map-side partial combine
     * still applies), phase 2 merges the partials. Use for COUNT/SUM-like

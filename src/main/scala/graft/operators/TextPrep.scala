@@ -347,15 +347,12 @@ object TextPrep {
     val span = math.max(1L, hi - lo + 1)
     val bucketed = docs.withColumn("bkt",
       ((col("doc_id") - lit(lo)) * COMPACT_BUCKETS / span).cast("long"))
-    val wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = bucketed.groupBy("bkt").agg(sum("bytes").as("bsum"))
-      .withColumn("boff", coalesce(sum("bsum").over(wb), lit(0L)))
-      .select("bkt", "boff") // ≤ B rows: the only global-ordered window
+    val offsets = Scale.bucketOffsets(bucketed, "bkt", Seq("bytes"))
     val wl = Window.partitionBy("bkt").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     bucketed.join(broadcast(offsets), Seq("bkt"))
       .withColumn("cum0",
-        coalesce(sum("bytes").over(wl), lit(0L)) + col("boff"))
+        coalesce(sum("bytes").over(wl), lit(0L)) + col("bytes_off"))
       .select(col("doc_id"), col("bytes"),
         expr(s"cum0 div $COMPACT_TARGET_BYTES").as("bin"))
   }
@@ -381,15 +378,19 @@ object TextPrep {
     * window exists at any corpus size — the oracle keeps the one-window
     * formulation: two plans, one integer lattice. */
   def textVocabGrowth(s: SparkSession, dir: String): DataFrame = {
-    val tok = t(s, dir, "documents")
-      .select(col("doc_id"), explode(Shingles.tokens(col("text"))).as("w"))
-    val perDoc = tok.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
-    val firstSeen = tok.groupBy("w").agg(min("doc_id").as("doc_id"))
+    // per-doc token counts come from the docs scan itself (NOT the
+    // exploded stream) so zero-token documents keep their place on the
+    // curve; only the first-occurrence fold needs the explode
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), Shingles.tokens(col("text")).as("ts"))
+    val firstSeen = docs.select(col("doc_id"), explode(col("ts")).as("w"))
+      .groupBy("w").agg(min("doc_id").as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("new_types"))
     // 3 longs per doc, but referenced by the grid-sizing action, the
     // offsets aggregate AND the final join — checkpoint so the token
-    // explode + three aggregates run once (triangles discipline)
-    val base = perDoc.join(firstSeen, Seq("doc_id"), "left")
+    // explode + aggregates run once (triangles discipline)
+    val base = docs.select(col("doc_id"), size(col("ts")).cast("long").as("n_tokens"))
+      .join(firstSeen, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("new_types"), lit(0L)).as("new_types"))
       .localCheckpoint()
@@ -399,26 +400,24 @@ object TextPrep {
     val span = math.max(1L, hi - lo + 1)
     val bucketed = base.withColumn("bkt",
       ((col("doc_id") - lit(lo)) * COMPACT_BUCKETS / span).cast("long"))
-    val wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = bucketed.groupBy("bkt")
-      .agg(sum("n_tokens").as("tsum"), sum("new_types").as("ysum"))
-      .withColumn("toff", coalesce(sum("tsum").over(wb), lit(0L)))
-      .withColumn("yoff", coalesce(sum("ysum").over(wb), lit(0L)))
-      .select("bkt", "toff", "yoff")
+    val offsets = Scale.bucketOffsets(bucketed, "bkt",
+      Seq("n_tokens", "new_types"))
     val wl = Window.partitionBy("bkt").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, 0)
     bucketed.join(broadcast(offsets), Seq("bkt"))
       .select(col("doc_id"), col("n_tokens"), col("new_types"),
-        (sum("n_tokens").over(wl) + col("toff")).as("cum_tokens"),
-        (sum("new_types").over(wl) + col("yoff")).as("cum_types"))
+        (sum("n_tokens").over(wl) + col("n_tokens_off")).as("cum_tokens"),
+        (sum("new_types").over(wl) + col("new_types_off")).as("cum_types"))
   }
 
   private val VOCAB_SQL =
     """WITH tok AS (
       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
       |  FROM documents),
-      |pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens
-      |       FROM tok GROUP BY 1),
+      |pd AS (SELECT doc_id,
+      |         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+      |           AS n_tokens
+      |       FROM documents),
       |fs AS (SELECT MIN(doc_id) AS doc_id FROM tok GROUP BY w),
       |nt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS new_types
       |       FROM fs GROUP BY 1)

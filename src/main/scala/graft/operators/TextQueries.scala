@@ -161,11 +161,13 @@ object TextQueries {
        |             substr(text, 1, 128) AS sk FROM documents),
        |ok AS (SELECT pre FROM d GROUP BY pre
        |       HAVING COUNT(*) <= $FUZZY_BLOCK_CAP),
-       |b AS (SELECT d.* FROM d JOIN ok USING (pre))
-       |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
-       |  CAST(levenshtein(a.sk, c.sk) AS BIGINT) AS lev
-       |FROM b a JOIN b c ON a.pre = c.pre AND a.doc_id < c.doc_id
-       |WHERE levenshtein(a.sk, c.sk) <= $FUZZY_MAX_LEV""".stripMargin
+       |b AS (SELECT d.* FROM d JOIN ok USING (pre)),
+       |scored AS (
+       |  SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+       |    CAST(levenshtein(a.sk, c.sk) AS BIGINT) AS lev
+       |  FROM b a JOIN b c ON a.pre = c.pre AND a.doc_id < c.doc_id)
+       |SELECT doc_a, doc_b, lev FROM scored
+       |WHERE lev <= $FUZZY_MAX_LEV""".stripMargin
 
   /** Incremental exact dedup — the PRODUCTION dedup shape: a new batch
     * classifies against the STANDING corpus's hash index instead of
