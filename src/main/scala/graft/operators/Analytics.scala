@@ -191,6 +191,80 @@ object Analytics {
        |  MIN(d2) AS min_d2, MAX(d2) AS max_d2
        |FROM a GROUP BY cluster""".stripMargin
 
+  /** Label-distribution balance over the embedding corpus — the class
+    * audit a training-set owner reads before fitting anything: per-label
+    * population and exact milli share, plus the GLOBAL effective class
+    * count (Σn)²·1000 div Σn² (the participation-ratio / inverse-Simpson
+    * diversity: k balanced classes → k·1000, one dominant class → toward
+    * 1000) carried on every row. One |labels|-row aggregate; the global
+    * windows ride it. */
+  def dataClassBalance(s: SparkSession, dir: String): DataFrame = {
+    val wAll = Window.partitionBy()
+    t(s, dir, "embeddings")
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("total", sum("n").over(wAll))
+      .withColumn("sumsq", sum(col("n") * col("n")).over(wAll))
+      .select(col("label"), col("n"),
+        expr("n * 1000 div total").as("share_milli"),
+        expr("total * total * 1000 div sumsq").as("ess_class_milli"))
+  }
+
+  private val BALANCE_SQL =
+    """WITH c AS (SELECT CAST(label AS BIGINT) AS label,
+      |             CAST(COUNT(*) AS BIGINT) AS n
+      |           FROM embeddings GROUP BY 1),
+      |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+      |        CAST(SUM(n * n) AS BIGINT) AS sumsq FROM c)
+      |SELECT label, n,
+      |  CAST(n * 1000 // total AS BIGINT) AS share_milli,
+      |  CAST(total * total * 1000 // sumsq AS BIGINT) AS ess_class_milli
+      |FROM c, t""".stripMargin
+
+  /** Inter-arrival regularity per event surface — the burstiness
+    * readout (is traffic steady, Poisson-ish, or clumped) behind
+    * eventsGapHistogram's shape: per event_type the gap count, the
+    * floor mean gap in minutes, and the dispersion index
+    * 1000·E[g²]/E[g]² on the SAME floor lattice both engines replay
+    * (divide-by-n BEFORE the big products — every intermediate stays
+    * far inside BIGINT at any corpus size; a constant stream → 1000,
+    * exponential arrivals → ~2000, bursts → larger). One user-type
+    * window exchange + one |types|-row aggregate. */
+  def eventsArrivalRegularity(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type").orderBy("ts_ns", "event_id")
+    DomainQueries.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts_ns"), col("event_id"))
+      .withColumn("prev", lag("ts_ns", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("event_type"),
+        expr("(ts_ns - prev) div 60000000000").as("gap_min"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum("gap_min").as("sg"), sum(expr("gap_min * gap_min")).as("sg2"))
+      .select(col("event_type"), col("n_gaps"),
+        expr("sg div n_gaps").as("mean_gap_min"),
+        expr("(sg2 div n_gaps) * 1000 div ((sg div n_gaps) * (sg div n_gaps))")
+          .as("dispersion_milli"))
+  }
+
+  private val REGULARITY_SQL =
+    """WITH e AS (
+      |  SELECT user_id, event_type, event_id, epoch_ns(ts) AS ts_ns
+      |  FROM events),
+      |g AS (SELECT event_type,
+      |        (ts_ns - LAG(ts_ns) OVER (PARTITION BY user_id, event_type
+      |           ORDER BY ts_ns, event_id)) // 60000000000 AS gap_min
+      |      FROM e),
+      |a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+      |        CAST(SUM(gap_min) AS BIGINT) AS sg,
+      |        CAST(SUM(gap_min * gap_min) AS BIGINT) AS sg2
+      |      FROM g WHERE gap_min IS NOT NULL GROUP BY 1)
+      |SELECT event_type, n_gaps,
+      |  CAST(sg // n_gaps AS BIGINT) AS mean_gap_min,
+      |  CAST((sg2 // n_gaps) * 1000 // ((sg // n_gaps) * (sg // n_gaps))
+      |    AS BIGINT) AS dispersion_milli
+      |FROM a""".stripMargin
+
   /** SLO error-budget burn — the SRE readout over the event stream (is
     * the error rate eating the budget, and when did we go over): per
     * hour the total/error counts and the exact milli burn rate, plus
@@ -1555,6 +1629,8 @@ object Analytics {
     "events_error_budget" -> (eventsErrorBudget _),
     "events_peak_concurrency" -> (eventsPeakConcurrency _),
     "sim_cluster_cohesion" -> (simClusterCohesion _),
+    "data_class_balance" -> (dataClassBalance _),
+    "events_arrival_regularity" -> (eventsArrivalRegularity _),
     "events_top_paths" -> (eventsTopPaths _),
     "sim_random_projection" -> (simRandomProjection _),
     "sim_rp_topk" -> (simRpTopk _),
@@ -1590,6 +1666,8 @@ object Analytics {
     "events_error_budget" -> BUDGET_SQL,
     "events_peak_concurrency" -> CONCURRENCY_SQL,
     "sim_cluster_cohesion" -> COHESION_SQL,
+    "data_class_balance" -> BALANCE_SQL,
+    "events_arrival_regularity" -> REGULARITY_SQL,
     "events_top_paths" -> PATHS_SQL,
     "sim_random_projection" -> RP_SQL,
     "sim_rp_topk" -> RP_TOPK_SQL,

@@ -294,6 +294,43 @@ object CoreQueries {
         sum(col("price")).cast("double").as("small_revenue"))
   }
 
+  /** Nation trade-flow balance — the two-role dimension shape (nation
+    * joined through BOTH the customer and the supplier leg of every
+    * line item) q19/q23 touch but never read out as a flow matrix:
+    * per-nation selling revenue (its suppliers shipped), buying revenue
+    * (its customers ordered), and the signed balance. DECIMAL sums all
+    * the way — balance is a SUBTRACTION, never a division, so negative
+    * flows cost nothing in cross-engine exactness; three double casts
+    * at the very end. Plan: lineitem⋈orders is the one big shuffle
+    * (customer/supplier/nation broadcast), the (cust-nation,
+    * supp-nation) cell aggregate is ≤|nations|² rows, and both rollups
+    * + the full outer stitch run on that tiny relation. */
+  def q27(s: SparkSession, dir: String): DataFrame = {
+    val revenue = dec2(col("l_extendedprice")) * dec2(lit(1) - col("l_discount"))
+    val nations = t(s, dir, "nation")
+    val cells = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nations.select(col("n_nationkey").as("ck"),
+        col("n_name").as("cust_nation"))), col("c_nationkey") === col("ck"))
+      .join(broadcast(nations.select(col("n_nationkey").as("sk"),
+        col("n_name").as("supp_nation"))), col("s_nationkey") === col("sk"))
+      .groupBy("cust_nation", "supp_nation")
+      .agg(sum(revenue).as("rev"))
+      .localCheckpoint() // ≤|nations|² rows, read by both rollups
+    val exports = cells.groupBy(col("supp_nation").as("n_name"))
+      .agg(sum("rev").as("export_dec"))
+    val imports = cells.groupBy(col("cust_nation").as("n_name"))
+      .agg(sum("rev").as("import_dec"))
+    exports.join(imports, Seq("n_name"), "full_outer")
+      .select(col("n_name"),
+        coalesce(col("export_dec"), lit(0)).cast("double").as("export_rev"),
+        coalesce(col("import_dec"), lit(0)).cast("double").as("import_rev"),
+        (coalesce(col("export_dec"), lit(0)) - coalesce(col("import_dec"), lit(0)))
+          .cast("double").as("balance"))
+  }
+
   def q24(s: SparkSession, dir: String): DataFrame = {
     val revenue = dec2(col("l_extendedprice")) * dec2(lit(1) - col("l_discount"))
     t(s, dir, "lineitem")
@@ -498,6 +535,7 @@ object CoreQueries {
     "q24_returned_revenue" -> (q24 _),
     "q25_quarter_growth" -> (q25 _),
     "q26_small_qty_revenue" -> (q26 _),
+    "q27_trade_balance" -> (q27 _),
     "q20_dominant_supplier" -> (q20 _),
     "q21_single_late_blame" -> (q21 _),
     "q22_prospect_share" -> (q22 _),
@@ -526,6 +564,27 @@ object CoreQueries {
   private val DP = "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))"
 
   val oracle: Map[String, String] = Map(
+    "q27_trade_balance" ->
+      s"""WITH cells AS (
+         |  SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+         |    SUM($DP) AS rev
+         |  FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+         |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+         |  GROUP BY 1, 2),
+         |e AS (SELECT supp_nation AS n_name, SUM(rev) AS export_dec
+         |      FROM cells GROUP BY 1),
+         |i AS (SELECT cust_nation AS n_name, SUM(rev) AS import_dec
+         |      FROM cells GROUP BY 1)
+         |SELECT n_name,
+         |  CAST(COALESCE(export_dec, 0) AS DOUBLE) AS export_rev,
+         |  CAST(COALESCE(import_dec, 0) AS DOUBLE) AS import_rev,
+         |  CAST(COALESCE(export_dec, 0) - COALESCE(import_dec, 0) AS DOUBLE)
+         |    AS balance
+         |FROM e FULL OUTER JOIN i USING (n_name)""".stripMargin,
     "q26_small_qty_revenue" ->
       """WITH l AS (
         |  SELECT l_partkey, CAST(l_quantity AS DECIMAL(18,2)) AS qty,

@@ -135,6 +135,42 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("class balance: shares and effective class count replay exactly") {
+    val got = Analytics.dataClassBalance(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    val labels = Tables.t(spark, sf, "embeddings")
+      .select(col("label").cast("long")).as[Long].collect()
+    val byLabel = labels.groupBy(identity).map { case (l, xs) => l -> xs.length.toLong }
+    val total = labels.length.toLong
+    val sumsq = byLabel.values.map(n => n * n).sum
+    assert(got.map(_._1).toSet === byLabel.keySet)
+    for ((l, n, share, ess) <- got) {
+      assert(n === byLabel(l))
+      assert(share === n * 1000 / total)
+      assert(ess === total * total * 1000 / sumsq)
+    }
+    // near-balanced synthetic labels: effective classes close to the max
+    val k = byLabel.size.toLong
+    assert(got.head._4 > (k - 1) * 1000 && got.head._4 <= k * 1000)
+  }
+
+  test("arrival regularity: planted constant stream scores exactly 1000") {
+    val tmp = java.nio.file.Files.createTempDirectory("reg").toString
+    val M = 60000000000L
+    // user 1: metronome minutes (dispersion exactly 1000); user 2: one
+    // long + many short gaps (clumped — dispersion must exceed 1000)
+    val rows = (0 until 10).map(i => (i.toLong, i * M, 1L, "view", 0.0)) ++
+      Seq(100L, 101L, 102L, 103L, 160L).zipWithIndex.map { case (m, i) =>
+        (20L + i, m * M, 2L, "click", 0.0) }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/events.parquet")
+    val got = Analytics.eventsArrivalRegularity(spark, tmp)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got("view") === (("view", 9L, 1L, 1000L)))
+    // clicks: gaps 1,1,1,57 min → mean 15, sg2/4 = 813, disp 813000//225
+    assert(got("click") === (("click", 4L, 15L, 813 * 1000L / 225)))
+  }
+
   test("error budget: burn replays the hourly ledger, verdict tracks the SLO") {
     val got = Analytics.eventsErrorBudget(spark, sf)
       .as[(Long, Long, Long, Long, Long, Boolean)].collect().sortBy(_._1)

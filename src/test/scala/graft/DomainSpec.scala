@@ -679,6 +679,35 @@ class DomainSpec extends SparkSpec {
     }
   }
 
+  test("q27: a one-way flow lands as +export/-import on the two nations") {
+    import org.apache.spark.sql.SaveMode
+    import java.sql.Timestamp
+    val tmp = java.nio.file.Files.createTempDirectory("q27").toString
+    Seq((0, "FRANCE", 0), (1, "CHINA", 1))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/nation.parquet")
+    Seq((1L, "C1", 0, 0.0, "AUTO")).toDF("c_custkey", "c_name", "c_nationkey",
+        "c_acctbal", "c_mktsegment")
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/customer.parquet")
+    Seq((10L, "S1", 1, 0.0)).toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/supplier.parquet")
+    val d = Timestamp.valueOf("1995-06-01 00:00:00")
+    Seq((1L, 1L, "O", 100.0, d, "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/orders.parquet")
+    Seq((1L, 1L, 10L, 1, 1.0, 100.0, 0.0, 0.0, "N", "O", d))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+        "l_shipdate")
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/lineitem.parquet")
+    val got = CoreQueries.q27(spark, tmp)
+      .as[(String, Double, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got === Map(
+      "CHINA" -> (("CHINA", 100.0, 0.0, 100.0)),
+      "FRANCE" -> (("FRANCE", 0.0, 100.0, -100.0))))
+  }
+
   test("q26: only under-a-fifth-of-average items count, revenue recomputes") {
     import org.apache.spark.sql.SaveMode
     import java.sql.Timestamp

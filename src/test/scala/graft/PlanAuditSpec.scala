@@ -111,6 +111,9 @@ class PlanAuditSpec extends SparkSpec {
     "events_error_budget" -> 2, // hour agg + cum window on the aggregate
     "events_peak_concurrency" -> 3, // checkpointed sessions: offsets + in-hour window + final agg
     "sim_cluster_cohesion" -> 1, // one cluster rollup over the checkpointed assignment
+    "q27_trade_balance" -> 2, // two rollups over the checkpointed cell aggregate
+    "data_class_balance" -> 2, // label agg + tiny global window
+    "events_arrival_regularity" -> 2, // user-type window + |types|-row aggregate
     "meta_summary_facets" -> 3, // facet explode agg + two rollup legs
     "graph_pagerank" -> 6, // init distinct + 5 fixed-round rank aggs off the checkpointed edges
     "events_cusum" -> 2, // per-type target agg (broadcast back) + ONE window exchange
