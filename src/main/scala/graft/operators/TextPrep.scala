@@ -471,6 +471,45 @@ object TextPrep {
        |  CAST(SUM(dropped) * 1000 // COUNT(*) AS BIGINT) AS drop_milli
        |FROM d GROUP BY source""".stripMargin
 
+  /** Multi-epoch deterministic training order — the step AFTER
+    * dataShuffleShards every multi-pass run needs: each epoch re-shards
+    * and re-orders the SAME corpus under its own salt ('ep:'‖epoch‖':'
+    * — epoch inside the hash, so epoch orders are mutually independent;
+    * the shared-salt correlation landmine), with no data rewritten
+    * between passes — the order is a pure function a retry replays
+    * byte-identically. Plan: the epoch explode is a narrow 3× row
+    * multiply, then ONE exchange on (epoch, shard) carries the
+    * intra-shard rank — epochs are independent partitions, so at
+    * production each epoch's shards stream out in parallel. */
+  def dataEpochOrder(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val shards = shardCount(s, docs.count())
+    val w = Window.partitionBy("epoch", "shard").orderBy("h", "doc_id")
+    docs.select(col("doc_id"), explode(expr("sequence(0L, 2L)")).as("epoch"))
+      .withColumn("h", expr(
+        "cast(conv(substring(md5(cast(concat('ep:', epoch, ':', doc_id)" +
+          " as binary)), 1, 15), 16, 10) as bigint)"))
+      .withColumn("shard", pmod(col("h"), lit(shards)))
+      .select(col("epoch"), col("doc_id"), col("shard"),
+        row_number().over(w).cast("long").as("pos"))
+  }
+
+  private val EPOCH_SQL =
+    s"""WITH n AS (
+       |  SELECT GREATEST(1, CAST(CEIL(COUNT(*) / $SHARD_TARGET_DOCS.0) AS BIGINT))
+       |    AS nsh
+       |  FROM documents),
+       |e AS (SELECT doc_id, unnest(generate_series(0, 2)) AS epoch
+       |      FROM documents),
+       |h AS (SELECT CAST(epoch AS BIGINT) AS epoch, doc_id,
+       |        ('0x' || substr(md5('ep:' || CAST(epoch AS VARCHAR) || ':'
+       |          || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+       |      FROM e)
+       |SELECT epoch, doc_id, h % (SELECT nsh FROM n) AS shard,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY epoch, h % (SELECT nsh FROM n)
+       |    ORDER BY h, doc_id) AS BIGINT) AS pos
+       |FROM h""".stripMargin
+
   /** Target language mix, percent by document count. Languages outside
     * the table get weight 0 (excluded from the mixture). */
   private[graft] val MIX_WEIGHTS =
@@ -674,6 +713,7 @@ object TextPrep {
     "data_quota_sample" -> (dataQuotaSample _),
     "text_vocab_growth" -> (textVocabGrowth _),
     "data_dedup_impact" -> (dataDedupImpact _),
+    "data_epoch_order" -> (dataEpochOrder _),
     "data_compact_files" -> (dataCompactFiles _),
     "data_shuffle_shards" -> (dataShuffleShards _),
     "text_scrub" -> (textScrub _),
@@ -691,6 +731,7 @@ object TextPrep {
     "data_quota_sample" -> QUOTA_SQL,
     "text_vocab_growth" -> VOCAB_SQL,
     "data_dedup_impact" -> IMPACT_SQL,
+    "data_epoch_order" -> EPOCH_SQL,
     "data_compact_files" -> COMPACT_SQL,
     "data_shuffle_shards" -> SHARDS_SQL,
     "text_scrub" -> SCRUB_SQL,

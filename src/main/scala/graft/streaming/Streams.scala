@@ -280,6 +280,39 @@ object Streams {
     }
   }
 
+  case class RegState(lastTs: Long, n: Long, sg: Long, sg2: Long)
+  case class RegOut(user_id: Long, event_type: String,
+                    n_gaps: Long, sg: Long, sg2: Long)
+
+  /** Streaming counterpart of events_arrival_regularity's accumulators:
+    * per (user, type) the state is FOUR Longs — last timestamp plus the
+    * (n, Σg, Σg²) gap moments on the same floor-minute lattice the
+    * batch operator uses — so state is bounded regardless of stream
+    * length. Each batch absorbs its events in (ts, id) order and emits
+    * the refreshed accumulator row; folding the LATEST emission per key
+    * up to event_type replays the batch op's per-type sums exactly
+    * (gaps straddling micro-batch bounds included, via lastTs).
+    * Input: (user_id, event_type, ts_ns, event_id). */
+  def arrivalAccumulators(
+      events: Dataset[(Long, String, Long, Long)]): Dataset[RegOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(e => (e._1, e._2)).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (key: (Long, String), it: Iterator[(Long, String, Long, Long)],
+       state: GroupState[RegState]) =>
+        val evs = it.map(e => (e._3, e._4)).toArray.sorted
+        var st = state.getOption.getOrElse(RegState(Long.MinValue, 0L, 0L, 0L))
+        for ((ts, _) <- evs) {
+          if (st.lastTs != Long.MinValue) {
+            val g = (ts - st.lastTs) / 60000000000L
+            st = RegState(ts, st.n + 1, st.sg + g, st.sg2 + g * g)
+          } else st = st.copy(lastTs = ts)
+        }
+        state.update(st)
+        Iterator.single(RegOut(key._1, key._2, st.n, st.sg, st.sg2))
+    }
+  }
+
   case class DriftState(first: Long, last: Long, days: Seq[Long], n: Long)
   case class DriftOut(k: String, first_day: Long, last_day: Long,
                       n_days: Long, n_events: Long)

@@ -114,6 +114,7 @@ class PlanAuditSpec extends SparkSpec {
     "q27_trade_balance" -> 2, // two rollups over the checkpointed cell aggregate
     "data_class_balance" -> 2, // label agg + tiny global window
     "events_arrival_regularity" -> 2, // user-type window + |types|-row aggregate
+    "data_epoch_order" -> 1, // one (epoch, shard) exchange carries the rank
     "meta_summary_facets" -> 3, // facet explode agg + two rollup legs
     "graph_pagerank" -> 6, // init distinct + 5 fixed-round rank aggs off the checkpointed edges
     "events_cusum" -> 2, // per-type target agg (broadcast back) + ONE window exchange

@@ -503,4 +503,36 @@ class StreamsSpec extends SparkSpec {
       assert(last(8L) === ((8L, "view", false, 1L)))
     } finally q.stop()
   }
+
+  test("streaming arrival accumulators fold to the batch regularity rows") {
+    val src = DomainQueries.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("ts_ns"), col("event_id"))
+      .as[(Long, String, Long, Long)]
+    val folded = Streams.arrivalAccumulators(src).collect()
+      .groupBy(_.event_type).map { case (t, rs) =>
+        val (n, sg, sg2) = (rs.map(_.n_gaps).sum, rs.map(_.sg).sum, rs.map(_.sg2).sum)
+        t -> (n, sg / n, (sg2 / n) * 1000 / ((sg / n) * (sg / n)))
+      }
+    val batch = operators.Analytics.eventsArrivalRegularity(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(folded === batch)
+    // a gap straddling the micro-batch boundary still accumulates
+    implicit val sqlCtx = spark.sqlContext
+    val M = 60000000000L
+    val mem = MemoryStream[(Long, String, Long, Long)]
+    val q = Streams.arrivalAccumulators(mem.toDS())
+      .writeStream.format("memory").queryName("reg_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((9L, "view", 0L, 1L))
+      q.processAllAvailable()
+      mem.addData((9L, "view", 5 * M, 2L)) // pairs with batch-1's event
+      q.processAllAvailable()
+      val last = spark.sql(
+        "SELECT n_gaps, sg, sg2 FROM reg_out ORDER BY n_gaps DESC LIMIT 1")
+        .as[(Long, Long, Long)].head()
+      assert(last === ((1L, 5L, 25L)))
+    } finally q.stop()
+  }
 }

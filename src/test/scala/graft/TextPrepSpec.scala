@@ -75,6 +75,29 @@ class TextPrepSpec extends SparkSpec {
     assert(got.last._5 === docs.flatMap(_._2).distinct.length.toLong)
   }
 
+  test("epoch order: every epoch covers the corpus in an independent order") {
+    val got = TextPrep.dataEpochOrder(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    val docs = Tables.t(spark, sf, "documents").select("doc_id")
+      .as[Long].collect().toSet
+    val byEpoch = got.groupBy(_._1)
+    assert(byEpoch.keySet === Set(0L, 1L, 2L))
+    for ((_, rows) <- byEpoch) {
+      // complete coverage, contiguous positions within every shard
+      assert(rows.map(_._2).toSet === docs)
+      for ((_, srows) <- rows.groupBy(_._3))
+        assert(srows.map(_._4).sorted.toSeq === (1L to srows.length).toSeq)
+    }
+    // epochs are genuinely different permutations (independent salts)
+    def order(e: Long) = byEpoch(e).sortBy(r => (r._3, r._4)).map(_._2).toSeq
+    assert(order(0L) !== order(1L))
+    assert(order(1L) !== order(2L))
+    // re-running is byte-identical (retry stability)
+    val again = TextPrep.dataEpochOrder(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(again.toSet === got.toSet)
+  }
+
   test("dedup impact: victims are exactly the fuzzy pairs' greater sides") {
     val got = TextPrep.dataDedupImpact(spark, sf)
       .as[(String, Long, Long, Long, Long, Long)].collect()
