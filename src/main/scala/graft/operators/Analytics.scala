@@ -191,6 +191,46 @@ object Analytics {
        |  MIN(d2) AS min_d2, MAX(d2) AS max_d2
        |FROM a GROUP BY cluster""".stripMargin
 
+  /** Weekday activity profile per event surface — the calendar
+    * seasonality readout (weekday-heavy errors vs weekend-heavy
+    * purchases) next to occ_seasonality's month histogram: per
+    * event_type the 7-day histogram collapsed to the peak weekday
+    * (argmax = min over (−count, weekday) structs — hash aggregate,
+    * deterministic earliest-day tie; the ivfTopk discipline), day
+    * breadth, and the peak's exact milli share. Weekday is the DuckDB
+    * convention (Sunday = 0 — Spark's dayofweek is 1-based, shifted
+    * here). Two tiny partial-aggregated exchanges. */
+  def eventsWeekdayProfile(s: SparkSession, dir: String): DataFrame =
+    DomainQueries.events(s, dir)
+      .select(col("event_type"),
+        (dayofweek(expr("timestamp_micros(ts_ns div 1000)")) - 1)
+          .cast("long").as("wd"))
+      .groupBy("event_type", "wd").agg(count(lit(1)).as("n"))
+      .groupBy("event_type")
+      .agg(sum("n").as("n_total"), count(lit(1)).as("n_days"),
+        min(struct((-col("n")).as("nn"), col("wd").as("dd"))).as("pk"))
+      .select(col("event_type"), col("n_total"), col("n_days"),
+        col("pk.dd").as("peak_weekday"), (-col("pk.nn")).as("peak_n"),
+        expr("(-pk.nn) * 1000 div n_total").as("peak_millis"))
+
+  private val WEEKDAY_SQL =
+    """WITH w AS (
+      |  SELECT event_type,
+      |    CAST(dayofweek(ts) AS BIGINT) AS wd
+      |  FROM events),
+      |h AS (SELECT event_type, wd, COUNT(*) AS n FROM w GROUP BY 1, 2)
+      |SELECT event_type, CAST(n_total AS BIGINT) AS n_total,
+      |  CAST(n_days AS BIGINT) AS n_days,
+      |  wd AS peak_weekday, CAST(n AS BIGINT) AS peak_n,
+      |  CAST(n * 1000 // n_total AS BIGINT) AS peak_millis
+      |FROM (
+      |  SELECT event_type, wd, n,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n DESC, wd) AS rn,
+      |    SUM(n) OVER (PARTITION BY event_type) AS n_total,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n_days
+      |  FROM h)
+      |WHERE rn = 1""".stripMargin
+
   /** Label-distribution balance over the embedding corpus — the class
     * audit a training-set owner reads before fitting anything: per-label
     * population and exact milli share, plus the GLOBAL effective class
@@ -1631,6 +1671,7 @@ object Analytics {
     "sim_cluster_cohesion" -> (simClusterCohesion _),
     "data_class_balance" -> (dataClassBalance _),
     "events_arrival_regularity" -> (eventsArrivalRegularity _),
+    "events_weekday_profile" -> (eventsWeekdayProfile _),
     "events_top_paths" -> (eventsTopPaths _),
     "sim_random_projection" -> (simRandomProjection _),
     "sim_rp_topk" -> (simRpTopk _),
@@ -1668,6 +1709,7 @@ object Analytics {
     "sim_cluster_cohesion" -> COHESION_SQL,
     "data_class_balance" -> BALANCE_SQL,
     "events_arrival_regularity" -> REGULARITY_SQL,
+    "events_weekday_profile" -> WEEKDAY_SQL,
     "events_top_paths" -> PATHS_SQL,
     "sim_random_projection" -> RP_SQL,
     "sim_rp_topk" -> RP_TOPK_SQL,

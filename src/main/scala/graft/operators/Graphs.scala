@@ -424,6 +424,22 @@ object Graphs {
     bfsLayers(TextQueries.dedupNgramJaccard(s, dir).select("doc1", "doc2"),
       n => n % 7 === 0)
 
+  /** Cluster-size spectrum over the near-dup components — the
+    * how-big-are-my-dup-families readout a dedup owner checks before
+    * survivorship (a fat tail here means boilerplate is gluing
+    * unrelated docs into one family): component sizes from
+    * [[dedupCluster]] fold to floor-log2 bins (≤64 rows at any corpus
+    * size — the freq_spectrum discipline, no global sort) with count,
+    * doc mass, and exact min/max per bin. */
+  def dedupClusterSizes(s: SparkSession, dir: String): DataFrame =
+    dedupCluster(s, dir)
+      .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+      .select(expr("cast(length(bin(sz)) - 1 as bigint)").as("sz_bits"),
+        col("sz"))
+      .groupBy("sz_bits")
+      .agg(count(lit(1)).as("n_clusters"), sum("sz").as("n_docs"),
+        min("sz").as("min_sz"), max("sz").as("max_sz"))
+
   /** Survivorship resolution — the END of the dedup pipeline: after
     * clustering (CC over the near-dup pair graph) every document maps to
     * its cluster's canonical representative, chosen as the best-QUALITY
@@ -453,6 +469,7 @@ object Graphs {
     "graph_bfs_layers" -> (graphBfsLayers _),
     "dedup_survivorship" -> (dedupSurvivorship _),
     "dedup_cluster" -> (dedupCluster _),
+    "dedup_cluster_sizes" -> (dedupClusterSizes _),
     "graph_pagerank" -> (graphPagerank _),
     "graph_communities" -> (graphCommunities _),
     "graph_ancestor_closure" -> (graphAncestorClosure _),
@@ -490,6 +507,18 @@ object Graphs {
       s"""WITH RECURSIVE pairs AS ($pairsSql),
          |$CLOSURE_CTES
          |SELECT doc_id, cluster_id FROM clus""".stripMargin
+    },
+    "dedup_cluster_sizes" -> {
+      val pairsSql = TextQueries.oracle("dedup_ngram_jaccard")
+      s"""WITH RECURSIVE pairs AS ($pairsSql),
+         |$CLOSURE_CTES,
+         |cs AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS sz
+         |       FROM clus GROUP BY 1)
+         |SELECT CAST(length(bin(sz)) - 1 AS BIGINT) AS sz_bits,
+         |  CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         |  CAST(SUM(sz) AS BIGINT) AS n_docs,
+         |  MIN(sz) AS min_sz, MAX(sz) AS max_sz
+         |FROM cs GROUP BY 1""".stripMargin
     },
     "graph_pagerank" -> {
       val pairsSql = TextQueries.oracle("dedup_ngram_jaccard")

@@ -135,6 +135,28 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("weekday profile: peak matches a UTC calendar replay, shares bounded") {
+    val got = Analytics.eventsWeekdayProfile(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got.nonEmpty)
+    val events = operators.DomainQueries.events(spark, sf)
+      .select(col("event_type"), col("ts_ns")).as[(String, Long)].collect()
+    for ((tpe, rows) <- events.groupBy(_._1)) {
+      val wd = rows.map { case (_, ns) =>
+        // UTC weekday, Sunday = 0 (the DuckDB convention)
+        val days = ns / 86400000000000L
+        ((days + 4) % 7).toInt // 1970-01-01 was a Thursday
+      }
+      val hist = wd.groupBy(identity).map { case (d, xs) => d -> xs.length }
+      val (peakDay, peakN) = hist.toSeq.minBy { case (d, n) => (-n, d) }
+      val (_, total, nDays, gotPeak, gotN, millis) = got(tpe)
+      assert(total === rows.length.toLong)
+      assert(nDays === hist.size.toLong)
+      assert((gotPeak, gotN) === ((peakDay.toLong, peakN.toLong)))
+      assert(millis === peakN.toLong * 1000 / total)
+    }
+  }
+
   test("class balance: shares and effective class count replay exactly") {
     val got = Analytics.dataClassBalance(spark, sf)
       .as[(Long, Long, Long, Long)].collect()

@@ -212,4 +212,18 @@ class GraphsSpec extends SparkSpec {
     for ((doc, cl, _, _) <- got)
       assert(cl === clusters.getOrElse(doc, doc))
   }
+
+  test("cluster sizes bin the CC components exactly") {
+    val got = Graphs.dedupClusterSizes(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val sizes = Graphs.dedupCluster(spark, sf).as[(Long, Long)].collect()
+      .groupBy(_._2).values.map(_.length.toLong).toSeq
+    assert(sizes.nonEmpty)
+    val expect = sizes.groupBy(sz => 63L - java.lang.Long.numberOfLeadingZeros(sz))
+      .map { case (bits, szs) =>
+        bits -> ((bits, szs.length.toLong, szs.sum, szs.min, szs.max)) }
+    assert(got === expect)
+    // mass conservation: binned docs are exactly the clustered docs
+    assert(got.values.map(_._3).sum === sizes.sum)
+  }
 }

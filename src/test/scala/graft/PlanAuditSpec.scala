@@ -115,6 +115,8 @@ class PlanAuditSpec extends SparkSpec {
     "data_class_balance" -> 2, // label agg + tiny global window
     "events_arrival_regularity" -> 2, // user-type window + |types|-row aggregate
     "data_epoch_order" -> 1, // one (epoch, shard) exchange carries the rank
+    "dedup_cluster_sizes" -> 2, // cluster-size agg + bin agg over checkpointed CC
+    "events_weekday_profile" -> 2, // (type, weekday) agg + type argmax agg
     "meta_summary_facets" -> 3, // facet explode agg + two rollup legs
     "graph_pagerank" -> 6, // init distinct + 5 fixed-round rank aggs off the checkpointed edges
     "events_cusum" -> 2, // per-type target agg (broadcast back) + ONE window exchange
