@@ -510,6 +510,56 @@ object TextPrep {
        |    ORDER BY h, doc_id) AS BIGINT) AS pos
        |FROM h""".stripMargin
 
+  /** Budget-constrained curation cut — the take-the-best-docs-until-
+    * the-token-budget-runs-out step every fixed-compute training run
+    * ends on: documents rank by exact type-token-ratio milli (integer
+    * lattice — no engine-divergent double scores) with doc_id ties,
+    * and the cut keeps the prefix whose RUNNING token total stays
+    * inside the corpus-derived budget (half the total token mass).
+    * Scale shape: the running total uses [[Scale.bucketOffsets]] with
+    * the ≤1001-value ttr lattice itself as the bucket key — the only
+    * globally-ordered window rides ≤1001 rows, rows never see a global
+    * sort; the oracle keeps the one-window formulation. */
+  def dataTokenBudgetCut(s: SparkSession, dir: String): DataFrame = {
+    val ts = Shingles.tokens(col("text"))
+    val base = t(s, dir, "documents")
+      .select(col("doc_id"), size(ts).cast("long").as("n_toks"),
+        size(array_distinct(ts)).cast("long").as("n_dis"))
+      .withColumn("ttr_milli",
+        when(col("n_toks") > 0, expr("n_dis * 1000 div n_toks"))
+          .otherwise(0L))
+      .localCheckpoint() // budget action + offsets + main pass: scan once
+    val budget = base.agg(expr("sum(n_toks) div 2")).head().getLong(0)
+    val bucketed = base.withColumn("bkt", -col("ttr_milli"))
+    val offsets = Scale.bucketOffsets(bucketed, "bkt", Seq("n_toks"))
+    val wIn = Window.partitionBy("bkt").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    bucketed.join(broadcast(offsets), Seq("bkt"))
+      .withColumn("cum_toks", sum("n_toks").over(wIn) + col("n_toks_off"))
+      .filter(col("cum_toks") <= budget)
+      .select(col("doc_id"), col("ttr_milli"), col("n_toks"), col("cum_toks"))
+  }
+
+  private val BUDGET_CUT_SQL =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+      |      AS n_toks,
+      |    CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')))
+      |      AS BIGINT) AS n_dis
+      |  FROM documents),
+      |q AS (SELECT doc_id, n_toks,
+      |        CASE WHEN n_toks > 0 THEN n_dis * 1000 // n_toks ELSE 0 END
+      |          AS ttr_milli
+      |      FROM d),
+      |b AS (SELECT CAST(SUM(n_toks) // 2 AS BIGINT) AS budget FROM q),
+      |r AS (SELECT doc_id, ttr_milli, n_toks,
+      |        CAST(SUM(n_toks) OVER (ORDER BY ttr_milli DESC, doc_id
+      |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_toks
+      |      FROM q)
+      |SELECT doc_id, ttr_milli, n_toks, cum_toks FROM r
+      |WHERE cum_toks <= (SELECT budget FROM b)""".stripMargin
+
   /** Target language mix, percent by document count. Languages outside
     * the table get weight 0 (excluded from the mixture). */
   private[graft] val MIX_WEIGHTS =
@@ -714,6 +764,7 @@ object TextPrep {
     "text_vocab_growth" -> (textVocabGrowth _),
     "data_dedup_impact" -> (dataDedupImpact _),
     "data_epoch_order" -> (dataEpochOrder _),
+    "data_token_budget_cut" -> (dataTokenBudgetCut _),
     "data_compact_files" -> (dataCompactFiles _),
     "data_shuffle_shards" -> (dataShuffleShards _),
     "text_scrub" -> (textScrub _),
@@ -732,6 +783,7 @@ object TextPrep {
     "text_vocab_growth" -> VOCAB_SQL,
     "data_dedup_impact" -> IMPACT_SQL,
     "data_epoch_order" -> EPOCH_SQL,
+    "data_token_budget_cut" -> BUDGET_CUT_SQL,
     "data_compact_files" -> COMPACT_SQL,
     "data_shuffle_shards" -> SHARDS_SQL,
     "text_scrub" -> SCRUB_SQL,

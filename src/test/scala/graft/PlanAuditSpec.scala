@@ -117,6 +117,7 @@ class PlanAuditSpec extends SparkSpec {
     "data_epoch_order" -> 1, // one (epoch, shard) exchange carries the rank
     "dedup_cluster_sizes" -> 2, // cluster-size agg + bin agg over checkpointed CC
     "events_weekday_profile" -> 2, // (type, weekday) agg + type argmax agg
+    "data_token_budget_cut" -> 3, // ttr-lattice offsets agg + tiny window + bucket window
     "meta_summary_facets" -> 3, // facet explode agg + two rollup legs
     "graph_pagerank" -> 6, // init distinct + 5 fixed-round rank aggs off the checkpointed edges
     "events_cusum" -> 2, // per-type target agg (broadcast back) + ONE window exchange

@@ -75,6 +75,29 @@ class TextPrepSpec extends SparkSpec {
     assert(got.last._5 === docs.flatMap(_._2).distinct.length.toLong)
   }
 
+  test("budget cut: greedy ttr-order prefix, budget respected and tight") {
+    val got = TextPrep.dataTokenBudgetCut(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), operators.Shingles.tokens(col("text")).as("ts"))
+      .as[(Long, Seq[String])].collect()
+      .map { case (id, ts) =>
+        val ttr = if (ts.nonEmpty) ts.distinct.length.toLong * 1000 / ts.length else 0L
+        (id, ttr, ts.length.toLong)
+      }
+    val budget = docs.map(_._3).sum / 2
+    // replay the greedy order and the running totals exactly
+    val expect = docs.sortBy(d => (-d._2, d._1))
+      .scanLeft((0L, 0L, 0L, 0L)) { case ((_, _, _, cum), (id, ttr, n)) =>
+        (id, ttr, n, cum + n) }
+      .drop(1).takeWhile(_._4 <= budget)
+    assert(got.sortBy(_._4).toSeq === expect.toSeq)
+    // the cut is tight: the next doc would overflow the budget
+    val next = docs.sortBy(d => (-d._2, d._1)).drop(expect.length).headOption
+    next.foreach(n => assert(expect.last._4 + n._3 > budget))
+  }
+
   test("epoch order: every epoch covers the corpus in an independent order") {
     val got = TextPrep.dataEpochOrder(spark, sf)
       .as[(Long, Long, Long, Long)].collect()
