@@ -331,6 +331,24 @@ object CoreQueries {
           .cast("double").as("balance"))
   }
 
+  /** Fulfillment-latency spectrum per order priority — the HDR-style
+    * latency histogram (the events_value_histogram discipline applied
+    * to the relational side): ship-minus-order day lag split by sign
+    * (the synthetic data ships early AND late) with floor-log2
+    * magnitude bins — ≤ priorities × 2 × 13 rows at any scale, no
+    * quantile sort. datediff/date_diff('day') agree on the
+    * midnight-aligned timestamps both tables carry. One join shuffle,
+    * one partial-aggregated rollup. */
+  def q28(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("lag_d"))
+      .select(col("o_orderpriority"), (col("lag_d") >= 0).as("late"),
+        expr("cast(length(bin(abs(lag_d) + 1)) - 1 as bigint)").as("lag_bits"))
+      .groupBy("o_orderpriority", "late", "lag_bits")
+      .agg(count(lit(1)).as("n"))
+
   def q24(s: SparkSession, dir: String): DataFrame = {
     val revenue = dec2(col("l_extendedprice")) * dec2(lit(1) - col("l_discount"))
     t(s, dir, "lineitem")
@@ -536,6 +554,7 @@ object CoreQueries {
     "q25_quarter_growth" -> (q25 _),
     "q26_small_qty_revenue" -> (q26 _),
     "q27_trade_balance" -> (q27 _),
+    "q28_ship_latency" -> (q28 _),
     "q20_dominant_supplier" -> (q20 _),
     "q21_single_late_blame" -> (q21 _),
     "q22_prospect_share" -> (q22 _),
@@ -564,6 +583,14 @@ object CoreQueries {
   private val DP = "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))"
 
   val oracle: Map[String, String] = Map(
+    "q28_ship_latency" ->
+      """SELECT o_orderpriority,
+        |  date_diff('day', o_orderdate, l_shipdate) >= 0 AS late,
+        |  CAST(length(bin(abs(date_diff('day', o_orderdate, l_shipdate)) + 1))
+        |    - 1 AS BIGINT) AS lag_bits,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2, 3""".stripMargin,
     "q27_trade_balance" ->
       s"""WITH cells AS (
          |  SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,

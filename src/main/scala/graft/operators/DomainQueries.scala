@@ -511,6 +511,27 @@ object DomainQueries {
           .as("l1_shift_mdeg"))
   }
 
+  /** Survey-gap analysis per species — the WHERE-haven't-we-looked
+    * readout conservation planning runs over occurrence archives: at
+    * the 0.1° grid, the species' bounding box spans
+    * (lat_span+1)·(lon_span+1) cells but only `occupied` are sampled;
+    * the unsampled remainder's exact milli fraction is the gap.
+    * A high gap on a wide-bbox species flags under-surveyed range (or
+    * a fragmented one — read next to occ_eoo_aoo). All floor-grid
+    * integers, one partial-aggregated |species|-row exchange. */
+  def occGapAnalysis(s: SparkSession, dir: String): DataFrame =
+    valid(s, dir)
+      .select(col("species"),
+        expr("cast(floor(lat * 10.0) as bigint)").as("lat10"),
+        expr("cast(floor(lon * 10.0) as bigint)").as("lon10"))
+      .groupBy("species")
+      .agg(count(lit(1)).as("n_pts"),
+        countDistinct(col("lat10") * 4000 + col("lon10")).as("occupied"),
+        ((max("lat10") - min("lat10") + 1) *
+          (max("lon10") - min("lon10") + 1)).as("bbox_cells"))
+      .withColumn("gap_milli",
+        expr("(bbox_cells - occupied) * 1000 div bbox_cells"))
+
   /** Per-species climatic-niche ENVELOPE — the temperature/precipitation
     * tolerance box species-distribution models start from (the niche
     * question clim_summary's per-accession stats stop short of): each
@@ -1195,6 +1216,7 @@ object DomainQueries {
     "occ_eoo_aoo" -> (occEooAoo _),
     "occ_seasonality" -> (occSeasonality _),
     "occ_centroid_shift" -> (occCentroidShift _),
+    "occ_gap_analysis" -> (occGapAnalysis _),
     "occ_chao1_richness" -> (occChao1Richness _),
     "occ_climate_envelope" -> (occClimateEnvelope _),
     "spatial_zorder_layout" -> (spatialZorderLayout _),
@@ -1298,6 +1320,21 @@ object DomainQueries {
         |        GROUP BY species) USING (species))
         |WHERE (mad_lat > 0 AND dev_lat > mad_lat * CAST(1.5 AS DOUBLE))
         |   OR (mad_lon > 0 AND dev_lon > mad_lon * CAST(1.5 AS DOUBLE))""".stripMargin),
+    "occ_gap_analysis" -> withSql(OCC_SQL, VALID_SQL,
+      """g AS (
+        |  SELECT species,
+        |    CAST(FLOOR(lat * 10.0) AS BIGINT) AS lat10,
+        |    CAST(FLOOR(lon * 10.0) AS BIGINT) AS lon10
+        |  FROM valid),
+        |a AS (
+        |  SELECT species, CAST(COUNT(*) AS BIGINT) AS n_pts,
+        |    CAST(COUNT(DISTINCT lat10 * 4000 + lon10) AS BIGINT) AS occupied,
+        |    CAST((MAX(lat10) - MIN(lat10) + 1) *
+        |         (MAX(lon10) - MIN(lon10) + 1) AS BIGINT) AS bbox_cells
+        |  FROM g GROUP BY species)""".stripMargin)(
+      """SELECT species, n_pts, occupied, bbox_cells,
+        |  (bbox_cells - occupied) * 1000 // bbox_cells AS gap_milli
+        |FROM a""".stripMargin),
     "occ_centroid_shift" -> withSql(OCC_SQL, VALID_SQL,
       """cm AS (
         |  SELECT species,

@@ -122,6 +122,32 @@ object TextQueries {
       .groupBy(md5(col("text").cast("binary")).as("text_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Cross-source syndication matrix — WHO is republishing WHOM, the
+    * question a per-doc dup rate can't answer: each source's distinct
+    * chunk-fingerprint set (the text_chunk_windows lattice) scored
+    * against every other source's, emitting directed (a, b) rows with
+    * the shared-fingerprint count and the exact milli share of a's
+    * fingerprints that b also carries. The (source, fp) relation is
+    * checkpointed (three references) and candidate volume is bounded by
+    * construction: a fingerprint's posting is ≤ |sources|, so the
+    * fp self-join fans out ≤ |sources|² per fingerprint. */
+  def textSourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val srcFp = textChunkWindows(s, dir)
+      .join(t(s, dir, "documents").select("doc_id", "source"), Seq("doc_id"))
+      .select(col("source"), col("chunk_hash52")).distinct()
+      .localCheckpoint()
+    val sizes = srcFp.groupBy(col("source").as("src_a"))
+      .agg(count(lit(1)).as("n_fp_a"))
+    srcFp.select(col("source").as("src_a"), col("chunk_hash52"))
+      .join(srcFp.select(col("source").as("src_b"), col("chunk_hash52")),
+        Seq("chunk_hash52"))
+      .filter(col("src_a") =!= col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes), Seq("src_a"))
+      .select(col("src_a"), col("src_b"), col("n_shared"), col("n_fp_a"),
+        expr("n_shared * 1000 div n_fp_a").as("overlap_milli"))
+  }
+
   /** Edit-distance near-dup pairs — the FUZZY member of the dedup family
     * (exact = hash equality, jaccard/minhash = set overlap; this catches
     * the single-character-edit re-crawls both miss): documents block on
@@ -155,6 +181,21 @@ object TextQueries {
 
   private val FUZZY_BLOCK_CAP = 64
   private val FUZZY_MAX_LEV = 12
+
+  private lazy val OVERLAP_SQL: String =
+    s"""WITH $CHUNK_CTES,
+       |sf AS (SELECT DISTINCT d.source, c.chunk_hash52
+       |       FROM cw_chunks c JOIN documents d USING (doc_id)),
+       |sz AS (SELECT source AS src_a, CAST(COUNT(*) AS BIGINT) AS n_fp_a
+       |       FROM sf GROUP BY 1),
+       |sh AS (SELECT a.source AS src_a, b.source AS src_b,
+       |         CAST(COUNT(*) AS BIGINT) AS n_shared
+       |       FROM sf a JOIN sf b ON a.chunk_hash52 = b.chunk_hash52
+       |         AND a.source <> b.source
+       |       GROUP BY 1, 2)
+       |SELECT src_a, src_b, n_shared, n_fp_a,
+       |  CAST(n_shared * 1000 // n_fp_a AS BIGINT) AS overlap_milli
+       |FROM sh JOIN sz USING (src_a)""".stripMargin
 
   private[operators] lazy val FUZZY_SQL: String =
     s"""WITH d AS (SELECT doc_id, substr(text, 1, 24) AS pre,
@@ -579,6 +620,7 @@ object TextQueries {
     "text_langid" -> (textLangid _),
     "dedup_exact" -> (dedupExact _),
     "dedup_fuzzy_match" -> (dedupFuzzyMatch _),
+    "text_source_overlap" -> (textSourceOverlap _),
     "dedup_incremental_exact" -> (dedupIncrementalExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "sim_cosine_topk" -> (simCosineTopk _),
@@ -672,6 +714,7 @@ object TextQueries {
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
     "dedup_fuzzy_match" -> FUZZY_SQL,
+    "text_source_overlap" -> OVERLAP_SQL,
     "dedup_ngram_jaccard" -> withSql(TOK_SQL,
       """sh AS (
         |  SELECT DISTINCT doc_id, ts[i] || '_' || ts[i+1] || '_' || ts[i+2] AS sh
@@ -720,7 +763,7 @@ object TextQueries {
 
   /** Shared chunk-window CTEs (the text_chunk_windows derivation, reused
     * by dedup_chunk_level) — 32-token windows on a 24-token stride. */
-  private lazy val CHUNK_CTES: String =
+  private[operators] lazy val CHUNK_CTES: String =
     s"""cw_d AS (
        |  SELECT doc_id, regexp_extract_all(lower(text), '$TOKEN_RE') AS ts,
        |    CAST(len(regexp_extract_all(lower(text), '$TOKEN_RE')) AS BIGINT) AS n_tokens

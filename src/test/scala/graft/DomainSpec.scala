@@ -679,6 +679,48 @@ class DomainSpec extends SparkSpec {
     }
   }
 
+  test("q28: latency bins conserve mass and split on the sign correctly") {
+    val got = CoreQueries.q28(spark, sf)
+      .as[(String, Boolean, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val lags = Tables.t(spark, sf, "lineitem")
+      .join(Tables.t(spark, sf, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .select(datediff(col("l_shipdate"), col("o_orderdate")).cast("long"))
+      .as[Long].collect()
+    assert(got.map(_._4).sum === lags.length.toLong)
+    val expect = lags.groupBy(l =>
+        (l >= 0, 63L - java.lang.Long.numberOfLeadingZeros(math.abs(l) + 1)))
+      .map { case (k, xs) => k -> xs.length.toLong }
+    for ((pri, late, bits, n) <- got) {
+      assert(Set("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")(pri))
+      assert(bits >= 0)
+      val _ = (late, n) // per-(late,bits) totals checked below
+    }
+    val gotBins = got.groupBy(r => (r._2, r._3))
+      .map { case (k, rs) => k -> rs.map(_._4).sum }
+    assert(gotBins === expect)
+  }
+
+  test("gap analysis: occupied never exceeds bbox, fraction recomputes") {
+    val got = DomainQueries.occGapAnalysis(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val pts = DomainQueries.valid(spark, sf)
+      .select(col("species"), expr("cast(floor(lat * 10.0) as bigint)"),
+        expr("cast(floor(lon * 10.0) as bigint)"))
+      .as[(String, Long, Long)].collect()
+    for ((sp, nPts, occ, bbox, gap) <- got) {
+      val mine = pts.filter(_._1 == sp)
+      assert(nPts === mine.length.toLong)
+      assert(occ === mine.map(p => (p._2, p._3)).distinct.length.toLong)
+      val expBbox = (mine.map(_._2).max - mine.map(_._2).min + 1) *
+        (mine.map(_._3).max - mine.map(_._3).min + 1)
+      assert(bbox === expBbox)
+      assert(occ <= bbox)
+      assert(gap === (bbox - occ) * 1000 / bbox)
+    }
+  }
+
   test("q27: a one-way flow lands as +export/-import on the two nations") {
     import org.apache.spark.sql.SaveMode
     import java.sql.Timestamp

@@ -118,6 +118,9 @@ class PlanAuditSpec extends SparkSpec {
     "dedup_cluster_sizes" -> 2, // cluster-size agg + bin agg over checkpointed CC
     "events_weekday_profile" -> 2, // (type, weekday) agg + type argmax agg
     "data_token_budget_cut" -> 3, // ttr-lattice offsets agg + tiny window + bucket window
+    "q28_ship_latency" -> 2, // orders side broadcast; join + bin rollup
+    "text_source_overlap" -> 4, // checkpointed (source,fp): sizes + join sides + pair agg
+    "occ_gap_analysis" -> 2, // count-distinct expand over the species aggregate
     "meta_summary_facets" -> 3, // facet explode agg + two rollup legs
     "graph_pagerank" -> 6, // init distinct + 5 fixed-round rank aggs off the checkpointed edges
     "events_cusum" -> 2, // per-type target agg (broadcast back) + ONE window exchange

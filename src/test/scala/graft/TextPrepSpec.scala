@@ -121,6 +121,25 @@ class TextPrepSpec extends SparkSpec {
     assert(again.toSet === got.toSet)
   }
 
+  test("source overlap recomputes from per-source fingerprint sets") {
+    import operators.TextQueries
+    val got = TextQueries.textSourceOverlap(spark, sf)
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val sets = TextQueries.textChunkWindows(spark, sf)
+      .join(Tables.t(spark, sf, "documents").select("doc_id", "source"), "doc_id")
+      .select(col("source"), col("chunk_hash52"))
+      .as[(String, Long)].collect()
+      .groupBy(_._1).map { case (s, rows) => s -> rows.map(_._2).toSet }
+    val expect = (for {
+      (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq if a != b
+      shared = (sa intersect sb).size.toLong if shared > 0
+    } yield (a, b) -> ((shared, sa.size.toLong, shared * 1000 / sa.size))).toMap
+    assert(got.map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap === expect)
+    // directionality: a bigger set sharing the same chunks dilutes less
+    assert(got.forall(r => r._5 >= 0 && r._5 <= 1000))
+  }
+
   test("dedup impact: victims are exactly the fuzzy pairs' greater sides") {
     val got = TextPrep.dataDedupImpact(spark, sf)
       .as[(String, Long, Long, Long, Long, Long)].collect()
