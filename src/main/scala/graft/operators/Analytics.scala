@@ -147,7 +147,8 @@ object Analytics {
 
   private val CONCURRENCY_SQL =
     s"""WITH e AS (
-       |  SELECT user_id, event_id, epoch_ns(ts) AS ts_ns FROM events),
+       |  SELECT user_id, event_id, epoch_ns(ts) // 1000 * 1000 AS ts_ns
+       |  FROM events),
        |x AS (SELECT user_id, ts_ns, event_id,
        |        CASE WHEN ts_ns - LAG(ts_ns) OVER
        |            (PARTITION BY user_id ORDER BY ts_ns, event_id)
@@ -234,9 +235,11 @@ object Analytics {
   /** Label-distribution balance over the embedding corpus — the class
     * audit a training-set owner reads before fitting anything: per-label
     * population and exact milli share, plus the GLOBAL effective class
-    * count (Σn)²·1000 div Σn² (the participation-ratio / inverse-Simpson
-    * diversity: k balanced classes → k·1000, one dominant class → toward
-    * 1000) carried on every row. One |labels|-row aggregate; the global
+    * count Σn·1000 div (Σn² div Σn) — the participation-ratio /
+    * inverse-Simpson diversity on a divide-early floor lattice (k
+    * balanced classes → k·1000, one dominant class → toward 1000;
+    * the naive (Σn)²·1000 would overflow BIGINT past ~10⁸ rows) —
+    * carried on every row. One |labels|-row aggregate; the global
     * windows ride it. */
   def dataClassBalance(s: SparkSession, dir: String): DataFrame = {
     val wAll = Window.partitionBy()
@@ -247,7 +250,9 @@ object Analytics {
       .withColumn("sumsq", sum(col("n") * col("n")).over(wAll))
       .select(col("label"), col("n"),
         expr("n * 1000 div total").as("share_milli"),
-        expr("total * total * 1000 div sumsq").as("ess_class_milli"))
+        // divide-early lattice (CLAUDE.md overflow rule): sumsq ≥ total
+        // so the inner floor is ≥ 1 and total·1000 is the only product
+        expr("total * 1000 div (sumsq div total)").as("ess_class_milli"))
   }
 
   private val BALANCE_SQL =
@@ -258,7 +263,7 @@ object Analytics {
       |        CAST(SUM(n * n) AS BIGINT) AS sumsq FROM c)
       |SELECT label, n,
       |  CAST(n * 1000 // total AS BIGINT) AS share_milli,
-      |  CAST(total * total * 1000 // sumsq AS BIGINT) AS ess_class_milli
+      |  CAST(total * 1000 // (sumsq // total) AS BIGINT) AS ess_class_milli
       |FROM c, t""".stripMargin
 
   /** Inter-arrival regularity per event surface — the burstiness
@@ -283,13 +288,17 @@ object Analytics {
         sum("gap_min").as("sg"), sum(expr("gap_min * gap_min")).as("sg2"))
       .select(col("event_type"), col("n_gaps"),
         expr("sg div n_gaps").as("mean_gap_min"),
-        expr("(sg2 div n_gaps) * 1000 div ((sg div n_gaps) * (sg div n_gaps))")
+        // sub-minute pooled means floor to 0 — NULL the ratio instead of
+        // dividing by zero (ANSI Spark throws, DuckDB // 0 is NULL)
+        when(expr("sg div n_gaps") > 0,
+          expr("(sg2 div n_gaps) * 1000 div ((sg div n_gaps) * (sg div n_gaps))"))
           .as("dispersion_milli"))
   }
 
   private val REGULARITY_SQL =
     """WITH e AS (
-      |  SELECT user_id, event_type, event_id, epoch_ns(ts) AS ts_ns
+      |  SELECT user_id, event_type, event_id,
+      |    epoch_ns(ts) // 1000 * 1000 AS ts_ns
       |  FROM events),
       |g AS (SELECT event_type,
       |        (ts_ns - LAG(ts_ns) OVER (PARTITION BY user_id, event_type
@@ -301,8 +310,9 @@ object Analytics {
       |      FROM g WHERE gap_min IS NOT NULL GROUP BY 1)
       |SELECT event_type, n_gaps,
       |  CAST(sg // n_gaps AS BIGINT) AS mean_gap_min,
-      |  CAST((sg2 // n_gaps) * 1000 // ((sg // n_gaps) * (sg // n_gaps))
-      |    AS BIGINT) AS dispersion_milli
+      |  CASE WHEN sg // n_gaps > 0 THEN
+      |    CAST((sg2 // n_gaps) * 1000 // ((sg // n_gaps) * (sg // n_gaps))
+      |      AS BIGINT) END AS dispersion_milli
       |FROM a""".stripMargin
 
   /** SLO error-budget burn — the SRE readout over the event stream (is

@@ -344,7 +344,9 @@ object CoreQueries {
       .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
       .select(col("o_orderpriority"),
         datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("lag_d"))
-      .select(col("o_orderpriority"), (col("lag_d") >= 0).as("late"),
+      // late = shipped STRICTLY after the order day; same-day (lag 0)
+      // rides the not-late side's bin 0 with the genuinely-early rows
+      .select(col("o_orderpriority"), (col("lag_d") > 0).as("late"),
         expr("cast(length(bin(abs(lag_d) + 1)) - 1 as bigint)").as("lag_bits"))
       .groupBy("o_orderpriority", "late", "lag_bits")
       .agg(count(lit(1)).as("n"))
@@ -585,7 +587,7 @@ object CoreQueries {
   val oracle: Map[String, String] = Map(
     "q28_ship_latency" ->
       """SELECT o_orderpriority,
-        |  date_diff('day', o_orderdate, l_shipdate) >= 0 AS late,
+        |  date_diff('day', o_orderdate, l_shipdate) > 0 AS late,
         |  CAST(length(bin(abs(date_diff('day', o_orderdate, l_shipdate)) + 1))
         |    - 1 AS BIGINT) AS lag_bits,
         |  CAST(COUNT(*) AS BIGINT) AS n

@@ -272,6 +272,15 @@ object TextPrep {
     * derive the shard count from the table itself. */
   private[graft] val SHARD_TARGET_DOCS = 64L
 
+  /** The 60-bit md5-prefix order key shared by every salted sampling /
+    * sharding operator: ONE definition of the hash width and conv
+    * lattice, so a change lands everywhere at once (each caller still
+    * supplies its OWN salt — the shared-salt correlation landmine).
+    * `concatSql` is the salted SQL concat feeding the hash. */
+  private def h60(concatSql: String): Column =
+    expr(s"cast(conv(substring(md5(cast($concatSql as binary)), 1, 15)," +
+      " 16, 10) as bigint)")
+
   /** Effective shard count: explicit conf override (production knob —
     * e.g. to pin shard count across incremental runs), else the
     * size-derived default. Verify's oracle mirrors only the default
@@ -295,9 +304,7 @@ object TextPrep {
     val shards = shardCount(s, docs.count())
     val w = Window.partitionBy("shard").orderBy("h", "doc_id")
     docs
-      .select(col("doc_id"),
-        expr("cast(conv(substring(md5(cast(concat('shard:', doc_id) as binary)), 1, 15), 16, 10) as bigint)")
-          .as("h"))
+      .select(col("doc_id"), h60("concat('shard:', doc_id)").as("h"))
       .withColumn("shard", pmod(col("h"), lit(shards)))
       .select(col("doc_id"), col("shard"),
         row_number().over(w).cast("long").as("pos"))
@@ -486,9 +493,7 @@ object TextPrep {
     val shards = shardCount(s, docs.count())
     val w = Window.partitionBy("epoch", "shard").orderBy("h", "doc_id")
     docs.select(col("doc_id"), explode(expr("sequence(0L, 2L)")).as("epoch"))
-      .withColumn("h", expr(
-        "cast(conv(substring(md5(cast(concat('ep:', epoch, ':', doc_id)" +
-          " as binary)), 1, 15), 16, 10) as bigint)"))
+      .withColumn("h", h60("concat('ep:', epoch, ':', doc_id)"))
       .withColumn("shard", pmod(col("h"), lit(shards)))
       .select(col("epoch"), col("doc_id"), col("shard"),
         row_number().over(w).cast("long").as("pos"))
@@ -589,8 +594,7 @@ object TextPrep {
         // 'mixs:' salt — 'mix:' is data_interleave_sources' salt, and a
         // shared salt would correlate this "independent" sample with the
         // interleave order (the sim_rp_topk correlated-randomness class)
-        expr("cast(conv(substring(md5(cast(concat('mixs:', doc_id) as binary)), 1, 15), 16, 10) as bigint)")
-          .as("h"))
+        h60("concat('mixs:', doc_id)").as("h"))
       .withColumn("pos", row_number().over(w).cast("long"))
       .join(broadcast(quotaDf), Seq("lang"))
       .filter(col("pos") <= col("quota"))

@@ -289,10 +289,13 @@ object Streams {
     * (n, Σg, Σg²) gap moments on the same floor-minute lattice the
     * batch operator uses — so state is bounded regardless of stream
     * length. Each batch absorbs its events in (ts, id) order and emits
-    * the refreshed accumulator row; folding the LATEST emission per key
-    * up to event_type replays the batch op's per-type sums exactly
-    * (gaps straddling micro-batch bounds included, via lastTs).
-    * Input: (user_id, event_type, ts_ns, event_id). */
+    * the refreshed accumulator row; with per-key ascending arrival
+    * across batches (the cusum twin's contract) folding the LATEST
+    * emission per key up to event_type replays the batch op's per-type
+    * sums exactly, gaps straddling micro-batch bounds included via
+    * lastTs. Events older than the carried lastTs are DROPPED rather
+    * than folded as negative gaps — the batch op sorts globally and
+    * can never see one. Input: (user_id, event_type, ts_ns, event_id). */
   def arrivalAccumulators(
       events: Dataset[(Long, String, Long, Long)]): Dataset[RegOut] = {
     import events.sparkSession.implicits._
@@ -302,7 +305,7 @@ object Streams {
        state: GroupState[RegState]) =>
         val evs = it.map(e => (e._3, e._4)).toArray.sorted
         var st = state.getOption.getOrElse(RegState(Long.MinValue, 0L, 0L, 0L))
-        for ((ts, _) <- evs) {
+        for ((ts, _) <- evs if ts >= st.lastTs || st.lastTs == Long.MinValue) {
           if (st.lastTs != Long.MinValue) {
             val g = (ts - st.lastTs) / 60000000000L
             st = RegState(ts, st.n + 1, st.sg + g, st.sg2 + g * g)

@@ -169,7 +169,7 @@ class AnalyticsSpec extends SparkSpec {
     for ((l, n, share, ess) <- got) {
       assert(n === byLabel(l))
       assert(share === n * 1000 / total)
-      assert(ess === total * total * 1000 / sumsq)
+      assert(ess === total * 1000 / (sumsq / total))
     }
     // near-balanced synthetic labels: effective classes close to the max
     val k = byLabel.size.toLong
@@ -187,10 +187,10 @@ class AnalyticsSpec extends SparkSpec {
     rows.toDF("event_id", "ts", "user_id", "event_type", "value")
       .write.mode(SaveMode.Overwrite).parquet(s"$tmp/events.parquet")
     val got = Analytics.eventsArrivalRegularity(spark, tmp)
-      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
-    assert(got("view") === (("view", 9L, 1L, 1000L)))
+      .as[(String, Long, Long, Option[Long])].collect().map(r => r._1 -> r).toMap
+    assert(got("view") === (("view", 9L, 1L, Some(1000L))))
     // clicks: gaps 1,1,1,57 min → mean 15, sg2/4 = 813, disp 813000//225
-    assert(got("click") === (("click", 4L, 15L, 813 * 1000L / 225)))
+    assert(got("click") === (("click", 4L, 15L, Some(813 * 1000L / 225))))
   }
 
   test("error budget: burn replays the hourly ledger, verdict tracks the SLO") {

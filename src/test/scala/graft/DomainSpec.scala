@@ -689,7 +689,7 @@ class DomainSpec extends SparkSpec {
       .as[Long].collect()
     assert(got.map(_._4).sum === lags.length.toLong)
     val expect = lags.groupBy(l =>
-        (l >= 0, 63L - java.lang.Long.numberOfLeadingZeros(math.abs(l) + 1)))
+        (l > 0, 63L - java.lang.Long.numberOfLeadingZeros(math.abs(l) + 1)))
       .map { case (k, xs) => k -> xs.length.toLong }
     for ((pri, late, bits, n) <- got) {
       assert(Set("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")(pri))

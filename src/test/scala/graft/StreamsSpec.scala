@@ -509,13 +509,14 @@ class StreamsSpec extends SparkSpec {
       .select(col("user_id"), col("event_type"), col("ts_ns"), col("event_id"))
       .as[(Long, String, Long, Long)]
     val folded = Streams.arrivalAccumulators(src).collect()
-      .groupBy(_.event_type).map { case (t, rs) =>
+      .groupBy(_.event_type).collect { case (t, rs) if rs.exists(_.n_gaps > 0) =>
         val (n, sg, sg2) = (rs.map(_.n_gaps).sum, rs.map(_.sg).sum, rs.map(_.sg2).sum)
-        t -> (n, sg / n, (sg2 / n) * 1000 / ((sg / n) * (sg / n)))
+        val disp = if (sg / n > 0) Some((sg2 / n) * 1000 / ((sg / n) * (sg / n))) else None
+        t -> ((n, sg / n, disp))
       }
     val batch = operators.Analytics.eventsArrivalRegularity(spark, sf)
-      .as[(String, Long, Long, Long)].collect()
-      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      .as[(String, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
     assert(folded === batch)
     // a gap straddling the micro-batch boundary still accumulates
     implicit val sqlCtx = spark.sqlContext
