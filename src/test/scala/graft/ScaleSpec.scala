@@ -86,7 +86,7 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
-  test("degenerate 100k-identical corpus: winnow + containment pair gens stay bounded") {
+  test("degenerate 100k-identical corpus: winnow + containment + fuzzy pair gens stay bounded") {
     // All-identical docs collapse every fingerprint/gram to ONE posting of
     // df = 100k: uncapped, pair-gen is C(100k,2) ≈ 5e9 candidates. The df
     // cutoffs must drop the degenerate postings BEFORE any posting list
@@ -121,7 +121,12 @@ class ScaleSpec extends SparkSpec {
       assert(winnow.queryExecution.executedPlan.toString.contains("LeftAnti"),
         "winnow posting cap lost its broadcast anti-join")
       val containment = operators.TextRank.dedupShingleContainment(spark, dir)
-      for (pairs <- Seq(winnow, containment)) assert(pairs.count() === 0)
+      // fuzzy: all 100k docs share ONE 24-char-prefix block (>> cap 64);
+      // the pre-materialization cap must drop it before any pair exists
+      val fuzzy = operators.TextQueries.dedupFuzzyMatch(spark, dir)
+      assert(fuzzy.queryExecution.executedPlan.toString.contains("LeftAnti"),
+        "fuzzy block cap lost its broadcast anti-join")
+      for (pairs <- Seq(winnow, containment, fuzzy)) assert(pairs.count() === 0)
     } finally {
       val secs = (System.nanoTime() - t0) / 1e9
       // runtime bound: linear-in-corpus work finishes in well under two
