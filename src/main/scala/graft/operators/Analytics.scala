@@ -1669,7 +1669,83 @@ object Analytics {
       |  CAST(SUM(CASE WHEN k > 0 THEN 1000 // k ELSE 1000 END) AS BIGINT) AS linear_millis
       |FROM scored GROUP BY channel""".stripMargin
 
+  /** Watermark-lag audit — the measurement that SIZES a streaming
+    * watermark before anyone turns one on: given the ARRIVAL order
+    * (event_id = ingestion sequence) and each event's EVENT time, how far
+    * behind the high-water mark do events actually arrive? The raw feed
+    * is perfectly ordered (generator artifact), so event time is modeled
+    * as arrival minus a deterministic md5-derived network delay
+    * (0..7199 s, own 'lag:' salt — the mixture-sample independence
+    * lesson), which both engines replay bit-identically. An event is
+    * LATE iff some earlier arrival carried a later event time; the
+    * per-type late fraction and max lag (in whole seconds) are exactly
+    * what `withWatermark` needs as its delay threshold.
+    *
+    * Plan — the running max over arrival order NEVER runs as a global
+    * single-task window (the WindowExec landmine): two-level distributed
+    * prefix max, the bucketOffsets discipline with max for sum. Arrival
+    * ids bucket into ≤4096 width-derived ranges; per-bucket maxima fold
+    * in one partial-agg exchange, the exclusive prefix max runs on that
+    * ≤4096-row aggregate (the only ordered window — always tiny),
+    * broadcasts back, and the within-bucket running max rides one
+    * hash-partitioned window on bucket id. One more tiny exchange for
+    * the per-type rollup. */
+  def eventsWatermarkLag(s: SparkSession, dir: String): DataFrame = {
+    val e = DomainQueries.events(s, dir)
+      .select(col("event_id"), col("event_type"),
+        (col("ts_ns") - expr(
+          "cast(conv(substring(md5(cast(concat('lag:', event_id) as binary)), 1, 13), 16, 10) as bigint)" +
+            " % 7200 * 1000000000").cast("long")).as("etime_ns"))
+    // width-derived bucket lattice: ≤4096 buckets at any id range (the
+    // max(event_id) action is a column-pruned metadata-cheap scan)
+    val maxId = e.agg(max("event_id")).head.getLong(0)
+    val width = math.max(4096L, (maxId + 1 + 4095) / 4096)
+    val b = e.withColumn("bucket", expr(s"event_id div $width"))
+    val wOff = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    val offs = b.groupBy("bucket").agg(max("etime_ns").as("bmax"))
+      .withColumn("pmax", max("bmax").over(wOff))
+      .select("bucket", "pmax")
+    val wb = Window.partitionBy("bucket").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    b.join(broadcast(offs), Seq("bucket"))
+      .withColumn("pwmax", max("etime_ns").over(wb))
+      // Spark greatest skips NULLs: wm is NULL only for the very first
+      // arrival, which can never be late
+      .withColumn("wm", greatest(col("pmax"), col("pwmax")))
+      .select(col("event_type"),
+        when(col("wm") > col("etime_ns"), 1L).otherwise(0L).as("late"),
+        when(col("wm") > col("etime_ns"),
+          expr("(wm - etime_ns) div 1000000000")).as("lag_s"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), sum("late").as("n_late"),
+        coalesce(max("lag_s"), lit(0L)).as("max_lag_s"),
+        coalesce(sum("lag_s"), lit(0L)).as("sum_lag_s"))
+      .withColumn("late_millis", expr("n_late * 1000 div n_events"))
+  }
+
+  private val WM_LAG_SQL =
+    """WITH e AS (
+      |  SELECT event_id, event_type,
+      |    epoch_ns(ts) // 1000 * 1000
+      |      - ('0x' || substr(md5('lag:' || CAST(event_id AS VARCHAR)), 1, 13))::BIGINT
+      |        % 7200 * 1000000000 AS etime_ns
+      |  FROM events),
+      |w AS (SELECT event_type, etime_ns,
+      |        MAX(etime_ns) OVER (ORDER BY event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+      |      FROM e)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CASE WHEN wm > etime_ns THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+      |  CAST(COALESCE(MAX(CASE WHEN wm > etime_ns
+      |    THEN (wm - etime_ns) // 1000000000 END), 0) AS BIGINT) AS max_lag_s,
+      |  CAST(COALESCE(SUM(CASE WHEN wm > etime_ns
+      |    THEN (wm - etime_ns) // 1000000000 END), 0) AS BIGINT) AS sum_lag_s,
+      |  CAST(SUM(CASE WHEN wm > etime_ns THEN 1 ELSE 0 END) * 1000
+      |    // COUNT(*) AS BIGINT) AS late_millis
+      |FROM w GROUP BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "events_watermark_lag" -> (eventsWatermarkLag _),
     "events_attribution" -> (eventsAttribution _),
     "events_json_stats" -> (eventsJsonStats _),
     "events_throttle" -> (eventsThrottle _),
@@ -1708,6 +1784,7 @@ object Analytics {
     "data_interleave_sources" -> (dataInterleaveSources _))
 
   val oracle: Map[String, String] = Map(
+    "events_watermark_lag" -> WM_LAG_SQL,
     "events_attribution" -> ATTRIBUTION_SQL,
     "events_json_stats" -> JSON_STATS_SQL,
     "events_throttle" -> THROTTLE_SQL,

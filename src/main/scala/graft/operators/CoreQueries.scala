@@ -351,6 +351,23 @@ object CoreQueries {
       .groupBy("o_orderpriority", "late", "lag_bits")
       .agg(count(lit(1)).as("n"))
 
+  /** TPC-H Q13-shaped customer order-count distribution: how many
+    * customers placed exactly k orders, INCLUDING the zero-order
+    * customers an inner join would silently drop. Plan discipline: the
+    * per-customer count folds on ORDERS FIRST (one partial-aggregated
+    * exchange of |customers| rows), and only the aggregate joins the
+    * customer table — joining raw orders to customers before counting
+    * would shuffle the full fact width for nothing. The final
+    * distribution is a ≤max-orders-row aggregate. */
+  def q29(s: SparkSession, dir: String): DataFrame = {
+    val perCust = t(s, dir, "orders")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("c_count"))
+    t(s, dir, "customer")
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(coalesce(col("c_count"), lit(0L)).as("c_count"))
+      .groupBy("c_count").agg(count(lit(1)).as("n_customers"))
+  }
+
   def q24(s: SparkSession, dir: String): DataFrame = {
     val revenue = dec2(col("l_extendedprice")) * dec2(lit(1) - col("l_discount"))
     t(s, dir, "lineitem")
@@ -557,6 +574,7 @@ object CoreQueries {
     "q26_small_qty_revenue" -> (q26 _),
     "q27_trade_balance" -> (q27 _),
     "q28_ship_latency" -> (q28 _),
+    "q29_order_count_distribution" -> (q29 _),
     "q20_dominant_supplier" -> (q20 _),
     "q21_single_late_blame" -> (q21 _),
     "q22_prospect_share" -> (q22 _),
@@ -585,6 +603,13 @@ object CoreQueries {
   private val DP = "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))"
 
   val oracle: Map[String, String] = Map(
+    "q29_order_count_distribution" ->
+      """WITH pc AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS c_count
+        |           FROM orders GROUP BY 1)
+        |SELECT COALESCE(pc.c_count, 0) AS c_count,
+        |  CAST(COUNT(*) AS BIGINT) AS n_customers
+        |FROM customer LEFT JOIN pc ON pc.o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
     "q28_ship_latency" ->
       """SELECT o_orderpriority,
         |  date_diff('day', o_orderdate, l_shipdate) > 0 AS late,

@@ -440,6 +440,39 @@ object Graphs {
       .agg(count(lit(1)).as("n_clusters"), sum("sz").as("n_docs"),
         min("sz").as("min_sz"), max("sz").as("max_sz"))
 
+  /** Degree spectrum of an undirected edge list — the first graph-health
+    * readout a dedup owner checks BEFORE running anything iterative on
+    * the pair graph: near-dup graphs should be low-degree near-cliques,
+    * so mass in high floor-log2 degree bins means a boilerplate hub is
+    * gluing unrelated documents together (and the wedge joins downstream
+    * will pay degree² for it — this is the alarm that says "cap or cut
+    * before you merge"). ≤64 rows at any graph size (the freq_spectrum
+    * discipline, no global sort): node count, endpoint mass, exact
+    * min/max degree per bin. Plan: canonical-edge distinct + one degree
+    * aggregate + the tiny bin aggregate — two partial-agg exchanges. The
+    * canonical edge list is checkpointed: the endpoint union references
+    * it twice, and without the cut each leg replays the entire upstream
+    * pair generation in the plan (the multi-reference landmine —
+    * 14 planned shuffles vs 4 after). */
+  def degreeStats(edges: DataFrame): DataFrame = {
+    val und = edges.toDF("x", "y")
+      .select(least(col("x"), col("y")).as("u"),
+        greatest(col("x"), col("y")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint()
+    val deg = und.select(col("u").as("n")).union(und.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    deg.select(expr("cast(length(bin(d)) - 1 as bigint)").as("deg_bits"), col("d"))
+      .groupBy("deg_bits")
+      .agg(count(lit(1)).as("n_nodes"), sum("d").as("sum_deg"),
+        min("d").as("min_deg"), max("d").as("max_deg"))
+  }
+
+  /** Degree spectrum over the trigram-Jaccard pair graph (same input as
+    * the cluster/pagerank/communities/kcore family). */
+  def graphDegreeStats(s: SparkSession, dir: String): DataFrame =
+    degreeStats(TextQueries.dedupNgramJaccard(s, dir).select("doc1", "doc2"))
+
   /** Survivorship resolution — the END of the dedup pipeline: after
     * clustering (CC over the near-dup pair graph) every document maps to
     * its cluster's canonical representative, chosen as the best-QUALITY
@@ -475,6 +508,7 @@ object Graphs {
     "graph_ancestor_closure" -> (graphAncestorClosure _),
     "graph_kcore" -> (graphKcore _),
     "graph_triangles" -> (graphTriangles _),
+    "graph_degree_stats" -> (graphDegreeStats _),
     "graph_neighbor_jaccard" -> (graphNeighborJaccard _))
 
   /** Shared oracle CTEs over the trigram-Jaccard pair graph. [[SYM_CTE]]
@@ -624,6 +658,17 @@ object Graphs {
          |         CASE WHEN a % 7 = 0 THEN 0 ELSE NULL END AS d FROM sym),
          |$rounds
          |SELECT node, CAST(COALESCE(d, -1) AS BIGINT) AS dist4 FROM d4""".stripMargin
+    },
+    "graph_degree_stats" -> {
+      val pairsSql = TextQueries.oracle("dedup_ngram_jaccard")
+      s"""WITH pairs AS ($pairsSql),
+         |$SYM_CTE,
+         |deg AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY a)
+         |SELECT CAST(length(bin(d)) - 1 AS BIGINT) AS deg_bits,
+         |  CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         |  CAST(SUM(d) AS BIGINT) AS sum_deg,
+         |  MIN(d) AS min_deg, MAX(d) AS max_deg
+         |FROM deg GROUP BY 1""".stripMargin
     },
     "graph_kcore" -> {
       val pairsSql = TextQueries.oracle("dedup_ngram_jaccard")

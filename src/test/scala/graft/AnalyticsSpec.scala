@@ -779,4 +779,32 @@ class AnalyticsSpec extends SparkSpec {
     // every conversion is last-touch-attributed exactly once
     assert(got.values.map(_._4).sum === 4L)
   }
+
+  test("watermark lag: two-level prefix max equals the naive global window") {
+    import org.apache.spark.sql.expressions.Window
+    // naive single-window twin (fine at spec scale; the production path
+    // must never plan it) over the SAME derived event times
+    val e = operators.DomainQueries.events(spark, sf)
+      .select(col("event_id"), col("event_type"),
+        (col("ts_ns") - expr(
+          "cast(conv(substring(md5(cast(concat('lag:', event_id) as binary)), 1, 13), 16, 10) as bigint)" +
+            " % 7200 * 1000000000").cast("long")).as("etime_ns"))
+    val w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, -1)
+    val naive = e.withColumn("wm", max("etime_ns").over(w))
+      .select(col("event_type"),
+        when(col("wm") > col("etime_ns"), 1L).otherwise(0L).as("late"),
+        when(col("wm") > col("etime_ns"),
+          expr("(wm - etime_ns) div 1000000000")).as("lag_s"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), sum("late").as("n_late"),
+        coalesce(max("lag_s"), lit(0L)).as("max_lag_s"),
+        coalesce(sum("lag_s"), lit(0L)).as("sum_lag_s"))
+      .withColumn("late_millis", expr("n_late * 1000 div n_events"))
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    val got = Analytics.eventsWatermarkLag(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === naive)
+    // the modeled delays must actually produce late events (non-degenerate)
+    assert(got.exists(_._3 > 0L), "no late events — delay model degenerate")
+  }
 }

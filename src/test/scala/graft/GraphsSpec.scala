@@ -226,4 +226,21 @@ class GraphsSpec extends SparkSpec {
     // mass conservation: binned docs are exactly the clustered docs
     assert(got.values.map(_._3).sum === sizes.sum)
   }
+
+  test("degree spectrum: star + triangle bin exactly; dup/self edges ignored") {
+    // star center 0 with leaves 1..5 (deg 5 vs 1), disjoint triangle
+    // 10-11-12 (deg 2 each); duplicate and self edges must not count
+    val edges = Seq((0L, 1L), (1L, 0L), (0L, 2L), (0L, 3L), (0L, 4L), (0L, 5L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (10L, 10L))
+    val got = Graphs.degreeStats(edges.toDF("x", "y"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // deg 1 ⇒ bin 0 (5 leaves); deg 2 ⇒ bin 1 (triangle); deg 5 ⇒ bin 2
+    assert(got === Map(
+      0L -> ((5L, 5L, 1L, 1L)),
+      1L -> ((3L, 6L, 2L, 2L)),
+      2L -> ((1L, 5L, 5L, 5L))))
+    // handshake check: endpoint mass = 2·|E|
+    assert(got.values.map(_._2).sum === 16L)
+  }
 }

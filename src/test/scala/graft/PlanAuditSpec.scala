@@ -186,7 +186,10 @@ class PlanAuditSpec extends SparkSpec {
     "data_curriculum_stages" -> 0, // returned plan reads the ranked RDD: rank exchanges happen at build
     "sim_bucket_audit" -> 3, // plane-sum agg + bucket-size agg + ≤40-row bin agg
     "occ_climate_envelope" -> 1, // ONE partial-aggregated |species|-row exchange
-    "events_inactivity_churn" -> 2) // user agg checkpointed; wm fold + cohort rollup
+    "events_inactivity_churn" -> 2, // user agg checkpointed; wm fold + cohort rollup
+    "q29_order_count_distribution" -> 2, // orders pre-agg + distribution agg; customer side broadcast
+    "events_watermark_lag" -> 4, // bucket-max agg + ≤4096-row offsets window + in-bucket window + type agg
+    "graph_degree_stats" -> 2) // deg agg + ≤64-row bin agg over the checkpointed edges
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
     // the shard grid must drive the exchange (parallelism = shard count),
