@@ -876,6 +876,42 @@ object Analytics {
         min("normsq_fp").as("min_normsq"), max("normsq_fp").as("max_normsq"),
         sum("normsq_fp").as("total_normsq"))
 
+  /** Per-dimension embedding distribution audit — the d-row QA table
+    * (count, exact fixed-point sum / min / max / sum-of-squares per
+    * coordinate) that catches dead dimensions, scale drift, and
+    * anisotropy before any ANN index is built over the column.
+    * sim_norm_audit reads per-VECTOR norms; this is the per-DIMENSION
+    * transpose. Everything stays in exact integers: coordinates
+    * quantize at 2^-20 for the linear stats and at 2^-10 for the
+    * squared sum (x10² ≤ 2^20, so the Σx² fold stays BIGINT-safe past
+    * 2^40 vectors — the 2^-20 square would overflow at ~8M rows; no
+    * division anywhere, so no floor-vs-truncate divergence on the
+    * negative sums). Plan: posexplode → one partial-aggregated exchange
+    * of |dims| groups; output is ≤64 rows at any corpus size. */
+  def simDimStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .select(col("dim").cast("long").as("dim"),
+        expr("cast(floor(cast(xf as double) * 1048576) as bigint)").as("x20"),
+        expr("cast(floor(cast(xf as double) * 1024) as bigint)").as("x10"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n_vals"), sum("x20").as("sum_fp"),
+        min("x20").as("min_fp"), max("x20").as("max_fp"),
+        sum(expr("x10 * x10")).as("sumsq_fp10"))
+
+  private val DIM_STATS_SQL =
+    """WITH x AS (
+      |  SELECT j1 - 1 AS dim,
+      |    CAST(FLOOR(CAST(embedding[j1] AS DOUBLE) * 1048576) AS BIGINT) AS x20,
+      |    CAST(FLOOR(CAST(embedding[j1] AS DOUBLE) * 1024) AS BIGINT) AS x10
+      |  FROM embeddings, (SELECT unnest(range(1, 65)) AS j1) s
+      |  WHERE j1 <= len(embedding))
+      |SELECT CAST(dim AS BIGINT) AS dim, CAST(COUNT(*) AS BIGINT) AS n_vals,
+      |  CAST(SUM(x20) AS BIGINT) AS sum_fp,
+      |  MIN(x20) AS min_fp, MAX(x20) AS max_fp,
+      |  CAST(SUM(x10 * x10) AS BIGINT) AS sumsq_fp10
+      |FROM x GROUP BY 1""".stripMargin
+
   private val NORM_SQL =
     """WITH x AS (
       |  SELECT vec_id, label,
@@ -1773,6 +1809,7 @@ object Analytics {
     "events_rfm" -> (eventsRfm _),
     "supplier_pareto_class" -> (supplierParetoClass _),
     "sim_norm_audit" -> (simNormAudit _),
+    "sim_dim_stats" -> (simDimStats _),
     "sim_pq_quantize" -> (simPqQuantize _),
     "meta_scd2_history" -> (metaScd2History _),
     "events_value_quantiles" -> (eventsValueQuantiles _),
@@ -1812,6 +1849,7 @@ object Analytics {
     "events_rfm" -> RFM_SQL,
     "supplier_pareto_class" -> PARETO_SQL,
     "sim_norm_audit" -> NORM_SQL,
+    "sim_dim_stats" -> DIM_STATS_SQL,
     "sim_pq_quantize" -> PQ_SQL,
     "meta_scd2_history" -> SCD2_SQL,
     "events_value_quantiles" -> QUANTILES_SQL,

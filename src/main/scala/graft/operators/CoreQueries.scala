@@ -368,6 +368,53 @@ object CoreQueries {
       .groupBy("c_count").agg(count(lit(1)).as("n_customers"))
   }
 
+  /** TPC-H Q9-shaped product-line profit: (supplier nation × order year)
+    * revenue minus a supply-cost proxy (retailprice × qty / 10 — the
+    * schema has no partsupp table) over the part-name-filtered 5-way
+    * star. Plan discipline: the p_name LIKE filter lands ON THE PART
+    * SCAN (pushed), and part/supplier/nation all broadcast — the only
+    * exchange is the final (nation, year) partial aggregate. Both sums
+    * run in DECIMAL before the single double cast; the /10 and the
+    * profit subtraction happen AFTER the cast so both engines replay
+    * the identical two IEEE ops (SURVEY §4). */
+  def q30(s: SparkSession, dir: String): DataFrame = {
+    val revenue = dec2(col("l_extendedprice")) * dec2(lit(1) - col("l_discount"))
+    val cost = dec2(col("p_retailprice")) * dec2(col("l_quantity"))
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "part").filter(col("p_name").contains("gear"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(revenue).cast("double").as("revenue"),
+        (sum(cost).cast("double") / lit(10.0)).as("supply_cost"),
+        count(lit(1)).as("n_items"))
+      .withColumn("profit", col("revenue") - col("supply_cost"))
+  }
+
+  /** TPC-H Q18-shaped large-volume-customer report: orders whose summed
+    * quantity clears 300, carried back to the order/customer detail —
+    * the HAVING-gate-then-rejoin shape (aggregate first, join the
+    * survivors) q20's dominance chain doesn't cover. Plan discipline:
+    * the quantity fold happens on lineitem ALONE (one partial-agg
+    * exchange of |orders| rows, filtered to the handful of survivors
+    * BEFORE any join), then the tiny survivor set broadcasts into
+    * orders and the result broadcasts into customer — the fact table
+    * is never shuffled at full width. */
+  def q31(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sum(dec2(col("l_quantity"))).as("sq"))
+      .filter(col("sq") > 300)
+    t(s, dir, "orders")
+      .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice").cast("double").as("o_totalprice"),
+        col("sq").cast("double").as("sum_qty"))
+  }
+
   def q24(s: SparkSession, dir: String): DataFrame = {
     val revenue = dec2(col("l_extendedprice")) * dec2(lit(1) - col("l_discount"))
     t(s, dir, "lineitem")
@@ -575,6 +622,8 @@ object CoreQueries {
     "q27_trade_balance" -> (q27 _),
     "q28_ship_latency" -> (q28 _),
     "q29_order_count_distribution" -> (q29 _),
+    "q30_nation_profit" -> (q30 _),
+    "q31_large_volume_customers" -> (q31 _),
     "q20_dominant_supplier" -> (q20 _),
     "q21_single_late_blame" -> (q21 _),
     "q22_prospect_share" -> (q22 _),
@@ -603,6 +652,33 @@ object CoreQueries {
   private val DP = "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))"
 
   val oracle: Map[String, String] = Map(
+    "q30_nation_profit" ->
+      s"""SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |  CAST(SUM($DP) AS DOUBLE) AS revenue,
+         |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))
+         |    * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+         |    / CAST(10 AS DOUBLE) AS supply_cost,
+         |  CAST(COUNT(*) AS BIGINT) AS n_items,
+         |  CAST(SUM($DP) AS DOUBLE)
+         |    - CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))
+         |        * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+         |      / CAST(10 AS DOUBLE) AS profit
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN part ON l_partkey = p_partkey
+         |WHERE p_name LIKE '%gear%'
+         |GROUP BY 1, 2""".stripMargin,
+    "q31_large_volume_customers" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+        |  FROM lineitem GROUP BY 1
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+        |SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+        |  CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+        |  CAST(sq AS DOUBLE) AS sum_qty
+        |FROM big JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
     "q29_order_count_distribution" ->
       """WITH pc AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS c_count
         |           FROM orders GROUP BY 1)

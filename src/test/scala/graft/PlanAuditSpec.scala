@@ -188,6 +188,9 @@ class PlanAuditSpec extends SparkSpec {
     "occ_climate_envelope" -> 1, // ONE partial-aggregated |species|-row exchange
     "events_inactivity_churn" -> 2, // user agg checkpointed; wm fold + cohort rollup
     "q29_order_count_distribution" -> 2, // orders pre-agg + distribution agg; customer side broadcast
+    "q30_nation_profit" -> 1, // 4 broadcast joins; ONE (nation, year) agg shuffle
+    "q31_large_volume_customers" -> 1, // lineitem fold only; survivors broadcast twice
+    "sim_dim_stats" -> 1, // posexplode + one partial-aggregated |dims| exchange
     "events_watermark_lag" -> 4, // bucket-max agg + ≤4096-row offsets window + in-bucket window + type agg
     "graph_degree_stats" -> 2) // deg agg + ≤64-row bin agg over the checkpointed edges
 
