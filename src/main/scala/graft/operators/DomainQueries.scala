@@ -436,6 +436,57 @@ object DomainQueries {
         col("overlap_lat_deci") * col("overlap_lon_deci"))
   }
 
+  /** Raster-true range overlap — the cell-SET Jaccard that refines
+    * occ_range_overlap's bbox intersection (two species whose boxes
+    * overlap may share zero actual cells): per species-pair, shared
+    * 1°-cells / union cells in exact milli. Plan: the distinct
+    * (cell, species) relation is localCheckpoint'd (it feeds the
+    * self-join twice AND the per-species richness — the multi-reference
+    * replay trap); pair generation is the co-occurrence self-join on
+    * cellid (bounded by Σ_cell rich² — richness per cell is species-
+    * scale, not corpus-scale), and the ≤|species|-row richness table
+    * broadcasts into both ends. All-positive integer div, so Spark
+    * `div` and DuckDB `//` agree. */
+  def occRangeJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sp = valid(s, dir)
+      .select(cell1(col("lat"), col("lon")).as("cellid"), col("species"))
+      .distinct().localCheckpoint()
+    val rich = sp.groupBy("species").agg(count(lit(1)).as("n_cells"))
+      .localCheckpoint() // referenced twice below — don't replay the agg
+    val inter = sp.toDF("cellid", "sp1")
+      .join(sp.toDF("cellid2", "sp2"),
+        col("cellid") === col("cellid2") && col("sp1") < col("sp2"))
+      .groupBy("sp1", "sp2").agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(rich.toDF("sp1", "cells_1")), "sp1")
+      .join(broadcast(rich.toDF("sp2", "cells_2")), "sp2")
+      .select(col("sp1"), col("sp2"), col("inter"), col("cells_1"), col("cells_2"),
+        expr("inter * 1000 div (cells_1 + cells_2 - inter)").as("jaccard_milli"))
+  }
+
+  /** Sampling-effort bias curve — the per-cell effort-vs-richness read
+    * that tells you whether apparent richness is a collection artifact:
+    * cells bucket by floor-log2 occurrence count (≤64 bins at any
+    * scale), each bin reports cell count, occurrence mass, and exact
+    * richness min/max/milli-mean. Division only at the end, on
+    * positive integers (mean BEFORE any scaling product — the
+    * arrival_regularity overflow lesson doesn't bite because rich_sum
+    * ×1000 is ≤ 1000·cells·species, nowhere near 2^63). Plan: the
+    * (cell, species) partial agg, the per-cell fold, and the ≤64-row
+    * bin agg — two real exchanges. */
+  def occEffortCurve(s: SparkSession, dir: String): DataFrame =
+    valid(s, dir)
+      .select(cell1(col("lat"), col("lon")).as("cellid"), col("species"))
+      .groupBy("cellid", "species").agg(count(lit(1)).as("n"))
+      .groupBy("cellid").agg(sum("n").as("ns"), count(lit(1)).as("rich"))
+      .select(expr("cast(length(bin(ns)) - 1 as bigint)").as("effort_bits"),
+        col("ns"), col("rich"))
+      .groupBy("effort_bits")
+      .agg(count(lit(1)).as("n_cells"), sum("ns").as("n_occ"),
+        sum("rich").as("rich_sum"), min("rich").as("rich_min"),
+        max("rich").as("rich_max"))
+      .withColumn("rich_milli_mean", expr("rich_sum * 1000 div n_cells"))
+
   /** IUCN-style range metrics next to the hull area (range_convex_hull,
     * cf. range_estimation_pipeline, reference transforms.py:889-934):
     * AOO — area of occupancy — as the count of DISTINCT occupied
@@ -1213,6 +1264,8 @@ object DomainQueries {
     "occ_cell_diversity" -> (occCellDiversity _),
     "occ_accumulation_curve" -> (occAccumulationCurve _),
     "occ_range_overlap" -> (occRangeOverlap _),
+    "occ_range_jaccard" -> (occRangeJaccard _),
+    "occ_effort_curve" -> (occEffortCurve _),
     "occ_eoo_aoo" -> (occEooAoo _),
     "occ_seasonality" -> (occSeasonality _),
     "occ_centroid_shift" -> (occCentroidShift _),
@@ -1420,6 +1473,40 @@ object DomainQueries {
         |FROM bbox a JOIN bbox b ON a.species < b.species
         |WHERE LEAST(a.lat_hi, b.lat_hi) - GREATEST(a.lat_lo, b.lat_lo) > 0
         |  AND LEAST(a.lon_hi, b.lon_hi) - GREATEST(a.lon_lo, b.lon_lo) > 0""".stripMargin),
+    "occ_range_jaccard" -> withSql(OCC_SQL, VALID_SQL,
+      s"""sp AS (
+         |  SELECT DISTINCT $CELL1_SQL AS cellid, species FROM valid),
+         |rich AS (
+         |  SELECT species, CAST(COUNT(*) AS BIGINT) AS n_cells
+         |  FROM sp GROUP BY 1),
+         |ipair AS (
+         |  SELECT a.species AS sp1, b.species AS sp2,
+         |    CAST(COUNT(*) AS BIGINT) AS inter
+         |  FROM sp a JOIN sp b
+         |    ON a.cellid = b.cellid AND a.species < b.species
+         |  GROUP BY 1, 2)""".stripMargin)(
+      """SELECT sp1, sp2, inter,
+        |  ra.n_cells AS cells_1, rb.n_cells AS cells_2,
+        |  inter * 1000 // (ra.n_cells + rb.n_cells - inter) AS jaccard_milli
+        |FROM ipair
+        |JOIN rich ra ON ra.species = sp1
+        |JOIN rich rb ON rb.species = sp2""".stripMargin),
+    "occ_effort_curve" -> withSql(OCC_SQL, VALID_SQL,
+      s"""csp AS (
+         |  SELECT $CELL1_SQL AS cellid, species, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM valid GROUP BY 1, 2),
+         |cs AS (
+         |  SELECT cellid, CAST(SUM(n) AS BIGINT) AS ns,
+         |    CAST(COUNT(*) AS BIGINT) AS rich
+         |  FROM csp GROUP BY 1)""".stripMargin)(
+      """SELECT CAST(length(bin(ns)) - 1 AS BIGINT) AS effort_bits,
+        |  CAST(COUNT(*) AS BIGINT) AS n_cells,
+        |  CAST(SUM(ns) AS BIGINT) AS n_occ,
+        |  CAST(SUM(rich) AS BIGINT) AS rich_sum,
+        |  MIN(rich) AS rich_min, MAX(rich) AS rich_max,
+        |  CAST(SUM(rich) AS BIGINT) * 1000 // CAST(COUNT(*) AS BIGINT)
+        |    AS rich_milli_mean
+        |FROM cs GROUP BY 1""".stripMargin),
     "occ_accumulation_curve" -> withSql(OCC_SQL, VALID_SQL,
       """acc AS (
         |  SELECT occ_id, species,

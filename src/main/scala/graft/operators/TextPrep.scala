@@ -760,8 +760,62 @@ object TextPrep {
       |  CAST(SUM(c) AS BIGINT) AS token_mass
       |FROM v GROUP BY 1""".stripMargin
 
+  /** Zipf-law fit over the per-language frequency spectrum — the one-
+    * number "does this corpus look like natural language" gate (a
+    * scraped table dump or template farm fits far off the ~-1 slope):
+    * OLS slope of floor-log2(n_words-in-bin) against floor-log2(freq)
+    * bin, per language, entirely in exact integers. The slope ships as
+    * (num, den) BIGINTs plus sign and abs milli — abs() before the
+    * integer division because Spark `div` truncates toward zero while
+    * DuckDB `//` floors, and they only agree on non-negative operands.
+    * Plan: (lang, word) partial-agg exchange, then the ≤langs×64-bin
+    * spectrum and the per-lang OLS fold ride tiny aggregates. */
+  def textZipfSlope(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang"),
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("w"))
+      .groupBy("lang", "w").agg(count(lit(1)).as("c"))
+      .select(col("lang"), expr("cast(length(bin(c)) - 1 as bigint)").as("x"))
+      .groupBy("lang", "x").agg(count(lit(1)).as("nw"))
+      .select(col("lang"), col("x"),
+        expr("cast(length(bin(nw)) - 1 as bigint)").as("y"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_points"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
+      .filter(col("n_points") >= 2)
+      .select(col("lang"), col("n_points"),
+        expr("n_points * sxy - sx * sy").as("num"),
+        expr("n_points * sxx - sx * sx").as("den"))
+      .withColumn("slope_sign",
+        expr("cast(case when num < 0 then -1 else 1 end as bigint)"))
+      .withColumn("abs_slope_milli", expr("abs(num) * 1000 div den"))
+
+  private val ZIPF_SQL =
+    """WITH tok AS (
+      |  SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      |  FROM documents),
+      |v AS (SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+      |spec AS (
+      |  SELECT lang, CAST(length(bin(c)) - 1 AS BIGINT) AS x,
+      |    CAST(length(bin(CAST(COUNT(*) AS BIGINT))) - 1 AS BIGINT) AS y
+      |  FROM v GROUP BY 1, 2),
+      |ols AS (
+      |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_points,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+      |  FROM spec GROUP BY 1 HAVING COUNT(*) >= 2)
+      |SELECT lang, n_points,
+      |  n_points * sxy - sx * sy AS num,
+      |  n_points * sxx - sx * sx AS den,
+      |  CAST(CASE WHEN n_points * sxy - sx * sy < 0 THEN -1 ELSE 1 END
+      |    AS BIGINT) AS slope_sign,
+      |  abs(n_points * sxy - sx * sy) * 1000 // (n_points * sxx - sx * sx)
+      |    AS abs_slope_milli
+      |FROM ols""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "text_freq_spectrum" -> (textFreqSpectrum _),
+    "text_zipf_slope" -> (textZipfSlope _),
     "data_skew_audit" -> (dataSkewAudit _),
     "data_mixture_sample" -> (dataMixtureSample _),
     "data_quota_sample" -> (dataQuotaSample _),
@@ -781,6 +835,7 @@ object TextPrep {
 
   val oracle: Map[String, String] = Map(
     "text_freq_spectrum" -> SPECTRUM_SQL,
+    "text_zipf_slope" -> ZIPF_SQL,
     "data_skew_audit" -> SKEW_SQL,
     "data_mixture_sample" -> MIX_SQL,
     "data_quota_sample" -> QUOTA_SQL,

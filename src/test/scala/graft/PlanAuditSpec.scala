@@ -191,6 +191,9 @@ class PlanAuditSpec extends SparkSpec {
     "q30_nation_profit" -> 1, // 4 broadcast joins; ONE (nation, year) agg shuffle
     "q31_large_volume_customers" -> 1, // lineitem fold only; survivors broadcast twice
     "sim_dim_stats" -> 1, // posexplode + one partial-aggregated |dims| exchange
+    "occ_range_jaccard" -> 1, // pair agg only; sp + rich checkpointed, rich broadcast
+    "occ_effort_curve" -> 3, // (cell,species) agg + cell fold + ≤64-row bin agg
+    "text_zipf_slope" -> 3, // (lang,w) agg + spectrum agg + per-lang OLS fold
     "events_watermark_lag" -> 4, // bucket-max agg + ≤4096-row offsets window + in-bucket window + type agg
     "graph_degree_stats" -> 2) // deg agg + ≤64-row bin agg over the checkpointed edges
 
