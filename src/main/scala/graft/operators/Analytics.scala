@@ -356,6 +356,105 @@ object Analytics {
        |FROM c
        |WINDOW w AS (ORDER BY hour_id ROWS UNBOUNDED PRECEDING)""".stripMargin
 
+  /** Lag-1 rate autocorrelation per event type — the "is traffic
+    * momentum real" read that decides whether a forecaster (or an
+    * autoscaler) gets to assume hour-over-hour persistence. Rates enter
+    * as floor-log2 of the hourly count (x ≤ 63 forever, so every
+    * sufficient-statistic sum stays BIGINT-safe at any corpus size —
+    * raw-count products would overflow at ~1e10 events/hour), pairs are
+    * CONSECUTIVE hours only (lead + contiguity filter — a gap is not
+    * evidence), and the AR(1) regression slope ships as sign + abs
+    * milli (abs before div: Spark `div` truncates, DuckDB `//` floors;
+    * they agree only on non-negative operands), with the raw sums
+    * alongside. Plan: (type, hour) partial agg, the lead window rides
+    * the same type partitioning, then a ≤|types|-row fold. */
+  def eventsRateAutocorr(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("hour_id")
+    DomainQueries.events(s, dir)
+      .select(col("event_type"), expr(s"ts_ns div $HOUR_NS").as("hour_id"))
+      .groupBy("event_type", "hour_id").agg(count(lit(1)).as("c"))
+      .select(col("event_type"), col("hour_id"),
+        expr("cast(length(bin(c)) - 1 as bigint)").as("x"))
+      .withColumn("next_hour", lead("hour_id", 1).over(w))
+      .withColumn("y", lead("x", 1).over(w))
+      .filter(col("next_hour") === col("hour_id") + 1)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_pairs"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"),
+        sum(expr("y * y")).as("syy"))
+      .filter(col("n_pairs") >= 2)
+      .withColumn("num", expr("n_pairs * sxy - sx * sy"))
+      .withColumn("den", expr("n_pairs * sxx - sx * sx"))
+      .withColumn("ar1_sign",
+        expr("cast(case when num < 0 then -1 else 1 end as bigint)"))
+      .withColumn("abs_ar1_milli",
+        expr("case when den = 0 then 0 else abs(num) * 1000 div den end"))
+  }
+
+  private val AUTOCORR_SQL =
+    s"""WITH h AS (
+       |  SELECT event_type, epoch_ns(ts) // $HOUR_NS AS hour_id,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM events GROUP BY 1, 2),
+       |b AS (SELECT event_type, hour_id,
+       |        CAST(length(bin(c)) - 1 AS BIGINT) AS x FROM h),
+       |p AS (SELECT a.event_type, a.x AS x, bb.x AS y
+       |      FROM b a JOIN b bb ON bb.event_type = a.event_type
+       |        AND bb.hour_id = a.hour_id + 1),
+       |s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |        CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+       |        CAST(SUM(x * y) AS BIGINT) AS sxy,
+       |        CAST(SUM(x * x) AS BIGINT) AS sxx,
+       |        CAST(SUM(y * y) AS BIGINT) AS syy
+       |      FROM p GROUP BY 1 HAVING COUNT(*) >= 2)
+       |SELECT event_type, n_pairs, sx, sy, sxy, sxx, syy,
+       |  n_pairs * sxy - sx * sy AS num,
+       |  n_pairs * sxx - sx * sx AS den,
+       |  CAST(CASE WHEN n_pairs * sxy - sx * sy < 0 THEN -1 ELSE 1 END
+       |    AS BIGINT) AS ar1_sign,
+       |  CASE WHEN n_pairs * sxx - sx * sx = 0 THEN 0
+       |       ELSE abs(n_pairs * sxy - sx * sy) * 1000
+       |         // (n_pairs * sxx - sx * sx) END AS abs_ar1_milli
+       |FROM s""".stripMargin
+
+  /** Behavioral-entropy distribution — how concentrated is each user's
+    * event mix, rolled into a ≤~60-row histogram: per user the exact
+    * integer Shannon lattice (bits = Σ n_t·floor-log2(n/n_t), the
+    * occ_cell_diversity discipline applied to (user, type)), then users
+    * bucket by quarter-bit (milli-bits div 250). A bot that only ever
+    * fires one event type lands in bin 0; organic users spread. Plan:
+    * (user, type) partial agg, the user total window and the per-user
+    * fold ride ONE user_id exchange, then the tiny bin agg. */
+  def eventsUserEntropy(s: SparkSession, dir: String): DataFrame = {
+    val wUser = Window.partitionBy("user_id")
+    DomainQueries.events(s, dir)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("nt"))
+      .withColumn("n", sum("nt").over(wUser))
+      .withColumn("b", expr("cast(length(bin(n div nt)) - 1 as bigint)"))
+      .groupBy("user_id")
+      .agg(max("n").as("n"), count(lit(1)).as("k"),
+        sum(expr("nt * b")).as("bits_sum"))
+      .select(col("n"), col("k"), expr("bits_sum * 1000 div n").as("milli_bits"))
+      .groupBy(expr("milli_bits div 250").as("qbit_bin"))
+      .agg(count(lit(1)).as("n_users"), sum("n").as("n_events"),
+        min("k").as("k_min"), max("k").as("k_max"))
+  }
+
+  private val USER_ENTROPY_SQL =
+    """WITH ut AS (
+      |  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS nt
+      |  FROM events GROUP BY 1, 2),
+      |w AS (SELECT user_id, nt,
+      |        CAST(SUM(nt) OVER (PARTITION BY user_id) AS BIGINT) AS n
+      |      FROM ut),
+      |u AS (SELECT user_id, MAX(n) AS n, CAST(COUNT(*) AS BIGINT) AS k,
+      |        CAST(SUM(nt * (length(bin(n // nt)) - 1)) AS BIGINT) AS bits_sum
+      |      FROM w GROUP BY 1),
+      |m AS (SELECT n, k, bits_sum * 1000 // n AS milli_bits FROM u)
+      |SELECT milli_bits // 250 AS qbit_bin, CAST(COUNT(*) AS BIGINT) AS n_users,
+      |  CAST(SUM(n) AS BIGINT) AS n_events, MIN(k) AS k_min, MAX(k) AS k_max
+      |FROM m GROUP BY 1""".stripMargin
+
   def eventsRetention(s: SparkSession, dir: String): DataFrame =
     DomainQueries.events(s, dir)
       .select(col("user_id"), expr(s"ts_ns div $DAY_NS").as("day"))
@@ -1789,6 +1888,8 @@ object Analytics {
     "events_cohort_ltv" -> (eventsCohortLtv _),
     "events_hazard_rate" -> (eventsHazardRate _),
     "events_error_budget" -> (eventsErrorBudget _),
+    "events_rate_autocorr" -> (eventsRateAutocorr _),
+    "events_user_entropy" -> (eventsUserEntropy _),
     "events_peak_concurrency" -> (eventsPeakConcurrency _),
     "sim_cluster_cohesion" -> (simClusterCohesion _),
     "data_class_balance" -> (dataClassBalance _),
@@ -1829,6 +1930,8 @@ object Analytics {
     "events_cohort_ltv" -> LTV_SQL,
     "events_hazard_rate" -> HAZARD_SQL,
     "events_error_budget" -> BUDGET_SQL,
+    "events_rate_autocorr" -> AUTOCORR_SQL,
+    "events_user_entropy" -> USER_ENTROPY_SQL,
     "events_peak_concurrency" -> CONCURRENCY_SQL,
     "sim_cluster_cohesion" -> COHESION_SQL,
     "data_class_balance" -> BALANCE_SQL,

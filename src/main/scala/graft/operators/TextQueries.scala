@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables.t
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data pipeline operators over `documents` / `embeddings`
@@ -89,7 +90,10 @@ object TextQueries {
     * narrow codegen'd projection — zero shuffle, embarrassingly parallel.
     * Argmax ties break by language name, matching the relational oracle
     * (ORDER BY n_hits DESC, lng). */
-  def textLangid(s: SparkSession, dir: String): DataFrame = {
+  /** Shared langid scorer: per doc, the lexicon hit counts and the
+    * argmax predicted label, with the ground-truth lang carried
+    * through (textLangid drops it; the confusion matrix needs it). */
+  private def langidScored(s: SparkSession, dir: String): DataFrame = {
     val lex = Map(
       "alpha" -> Seq("table", "row", "column", "key"),
       "beta" -> Seq("spark", "query", "join", "scan"),
@@ -99,13 +103,31 @@ object TextQueries {
       expr(s"size(filter(ts, w -> w IN ($words)))").cast("long")
     }
     t(s, dir, "documents")
-      .select(col("doc_id"), tokens(col("text")).as("ts"))
-      .select(col("doc_id"), hits("alpha").as("ha"), hits("beta").as("hb"), hits("gamma").as("hg"))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("ts"))
+      .select(col("doc_id"), col("lang"),
+        hits("alpha").as("ha"), hits("beta").as("hb"), hits("gamma").as("hg"))
+      .select(col("doc_id"), col("lang"),
         when(greatest(col("ha"), col("hb"), col("hg")) === 0, "unknown")
           .when(col("ha") >= col("hb") && col("ha") >= col("hg"), "alpha")
           .when(col("hb") >= col("hg"), "beta").otherwise("gamma").as("pred_lang"),
         greatest(col("ha"), col("hb"), col("hg")).as("n_hits"))
+  }
+
+  def textLangid(s: SparkSession, dir: String): DataFrame =
+    langidScored(s, dir).select("doc_id", "pred_lang", "n_hits")
+
+  /** Classifier-vs-truth confusion matrix over the langid scorer — the
+    * standard model-QA read for ANY per-doc classifier in the curation
+    * stack: (actual, predicted) counts plus the row-normalized milli
+    * share (all-positive integer div). ≤ |langs|×|labels| rows at any
+    * scale; the row total rides a window over the tiny aggregate. */
+  def textLangidConfusion(s: SparkSession, dir: String): DataFrame = {
+    val wLang = Window.partitionBy("lang")
+    langidScored(s, dir)
+      .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+      .withColumn("tot", sum("n").over(wLang))
+      .withColumn("row_milli", expr("n * 1000 div tot"))
+      .drop("tot")
   }
 
   private val LEX_SQL =
@@ -618,6 +640,7 @@ object TextQueries {
     "text_quality" -> (textQuality _),
     "text_readability" -> (textReadability _),
     "text_langid" -> (textLangid _),
+    "text_langid_confusion" -> (textLangidConfusion _),
     "dedup_exact" -> (dedupExact _),
     "dedup_fuzzy_match" -> (dedupFuzzyMatch _),
     "text_source_overlap" -> (textSourceOverlap _),
@@ -698,6 +721,24 @@ object TextQueries {
          |  206835 - (1015 * (n_words * 1000 // n_sents)) // 1000
          |    - (84600 * (n_syll * 1000 // n_words)) // 1000 AS flesch_milli
          |FROM m WHERE n_words > 0""".stripMargin,
+    "text_langid_confusion" -> withSql(TOK_SQL, LEX_SQL)(
+      """SELECT lang, pred_lang, n,
+        |  n * 1000 // CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT)
+        |    AS row_milli
+        |FROM (
+        |  SELECT d.lang, COALESCE(b.lng, 'unknown') AS pred_lang,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM documents d LEFT JOIN (
+        |    SELECT doc_id, lng FROM (
+        |      SELECT doc_id, lng,
+        |        ROW_NUMBER() OVER (PARTITION BY doc_id
+        |          ORDER BY n_hits DESC, lng) AS rn
+        |      FROM (SELECT doc_id, lng, COUNT(*) AS n_hits
+        |            FROM (SELECT doc_id, unnest(ts) AS w FROM tok) u
+        |            JOIN lex ON u.w = lex.word
+        |            GROUP BY doc_id, lng)) WHERE rn = 1) b
+        |  ON d.doc_id = b.doc_id
+        |  GROUP BY 1, 2)""".stripMargin),
     "text_langid" -> withSql(TOK_SQL, LEX_SQL)(
       """SELECT d.doc_id, COALESCE(b.lng, 'unknown') AS pred_lang,
         |  COALESCE(b.n_hits, 0) AS n_hits

@@ -194,6 +194,9 @@ class PlanAuditSpec extends SparkSpec {
     "occ_range_jaccard" -> 1, // pair agg only; sp + rich checkpointed, rich broadcast
     "occ_effort_curve" -> 3, // (cell,species) agg + cell fold + ≤64-row bin agg
     "text_zipf_slope" -> 3, // (lang,w) agg + spectrum agg + per-lang OLS fold
+    "events_rate_autocorr" -> 2, // (type,hour) agg + type window; OLS fold rides it
+    "events_user_entropy" -> 3, // (user,type) agg + user window/fold + tiny bin agg
+    "text_langid_confusion" -> 2, // scorer is shuffle-free; (lang,pred) agg + lang window
     "events_watermark_lag" -> 4, // bucket-max agg + ≤4096-row offsets window + in-bucket window + type agg
     "graph_degree_stats" -> 2) // deg agg + ≤64-row bin agg over the checkpointed edges
 
