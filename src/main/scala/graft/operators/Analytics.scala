@@ -455,6 +455,51 @@ object Analytics {
       |  CAST(SUM(n) AS BIGINT) AS n_events, MIN(k) AS k_min, MAX(k) AS k_max
       |FROM m GROUP BY 1""".stripMargin
 
+  /** Seasonal-naive forecast audit — the MASE-style gate that decides
+    * whether "same hour yesterday" beats "last hour" as a baseline
+    * before anyone ships a fancier forecaster: per type, the exact
+    * integer absolute-error mass of the 24h-seasonal predictor vs the
+    * lag-1 naive predictor over hours where BOTH references exist, and
+    * their milli ratio (< 1000 ⟹ daily seasonality is real signal).
+    * The hourly aggregate is localCheckpoint'd — it feeds the anchor
+    * scan and both predictor joins, the multi-reference replay trap —
+    * and both reference joins are hour-shifted EQUI-joins (no window
+    * row-lag: with a missing hour in between, lag(24) lands on the
+    * wrong hour while the join stays honest). */
+  def eventsSeasonalNaive(s: SparkSession, dir: String): DataFrame = {
+    val h = DomainQueries.events(s, dir)
+      .select(col("event_type"), expr(s"ts_ns div $HOUR_NS").as("hour_id"))
+      .groupBy("event_type", "hour_id").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    h.join(h.toDF("et_p", "ph", "pc"),
+        col("et_p") === col("event_type") && col("ph") === col("hour_id") - 1)
+      .join(h.toDF("et_s", "sh", "sc"),
+        col("et_s") === col("event_type") && col("sh") === col("hour_id") - 24)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"),
+        sum(abs(col("c") - col("sc"))).as("sae_seasonal"),
+        sum(abs(col("c") - col("pc"))).as("sae_naive"))
+      .withColumn("mase_milli",
+        expr("case when sae_naive = 0 then -1 " +
+          "else sae_seasonal * 1000 div sae_naive end"))
+  }
+
+  private val SEASONAL_SQL =
+    s"""WITH h AS (
+       |  SELECT event_type, epoch_ns(ts) // $HOUR_NS AS hour_id,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM events GROUP BY 1, 2)
+       |SELECT a.event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+       |  CAST(SUM(abs(a.c - s.c)) AS BIGINT) AS sae_seasonal,
+       |  CAST(SUM(abs(a.c - p.c)) AS BIGINT) AS sae_naive,
+       |  CASE WHEN SUM(abs(a.c - p.c)) = 0 THEN -1
+       |       ELSE CAST(SUM(abs(a.c - s.c)) * 1000
+       |         // SUM(abs(a.c - p.c)) AS BIGINT) END AS mase_milli
+       |FROM h a
+       |JOIN h p ON p.event_type = a.event_type AND p.hour_id = a.hour_id - 1
+       |JOIN h s ON s.event_type = a.event_type AND s.hour_id = a.hour_id - 24
+       |GROUP BY 1""".stripMargin
+
   def eventsRetention(s: SparkSession, dir: String): DataFrame =
     DomainQueries.events(s, dir)
       .select(col("user_id"), expr(s"ts_ns div $DAY_NS").as("day"))
@@ -1889,6 +1934,7 @@ object Analytics {
     "events_hazard_rate" -> (eventsHazardRate _),
     "events_error_budget" -> (eventsErrorBudget _),
     "events_rate_autocorr" -> (eventsRateAutocorr _),
+    "events_seasonal_naive" -> (eventsSeasonalNaive _),
     "events_user_entropy" -> (eventsUserEntropy _),
     "events_peak_concurrency" -> (eventsPeakConcurrency _),
     "sim_cluster_cohesion" -> (simClusterCohesion _),
@@ -1931,6 +1977,7 @@ object Analytics {
     "events_hazard_rate" -> HAZARD_SQL,
     "events_error_budget" -> BUDGET_SQL,
     "events_rate_autocorr" -> AUTOCORR_SQL,
+    "events_seasonal_naive" -> SEASONAL_SQL,
     "events_user_entropy" -> USER_ENTROPY_SQL,
     "events_peak_concurrency" -> CONCURRENCY_SQL,
     "sim_cluster_cohesion" -> COHESION_SQL,

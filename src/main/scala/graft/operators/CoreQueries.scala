@@ -415,6 +415,24 @@ object CoreQueries {
         col("sq").cast("double").as("sum_qty"))
   }
 
+  /** Distribution-position windows — percent_rank and cume_dist over
+    * supplier balances within nation, the two rank-normalizing window
+    * functions q07's row_number/rank don't exercise. Both are pure
+    * rationals of integer rank counts ((r−1)/(n−1), rows≤x/n) computed
+    * as one IEEE division by either engine — deterministic without any
+    * fixed-point detour. s_acctbal is non-null in this schema, so the
+    * NULLS FIRST/LAST divergence (SURVEY §4) can't reorder the frame.
+    * One |nation|-partitioned exchange; nation dim broadcast. */
+  def q32(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("n_name").orderBy("acctbal")
+    t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"),
+        col("s_acctbal").cast("double").as("acctbal"))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+  }
+
   def q24(s: SparkSession, dir: String): DataFrame = {
     val revenue = dec2(col("l_extendedprice")) * dec2(lit(1) - col("l_discount"))
     t(s, dir, "lineitem")
@@ -624,6 +642,7 @@ object CoreQueries {
     "q29_order_count_distribution" -> (q29 _),
     "q30_nation_profit" -> (q30 _),
     "q31_large_volume_customers" -> (q31 _),
+    "q32_acctbal_percentile" -> (q32 _),
     "q20_dominant_supplier" -> (q20 _),
     "q21_single_late_blame" -> (q21 _),
     "q22_prospect_share" -> (q22 _),
@@ -652,6 +671,11 @@ object CoreQueries {
   private val DP = "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))"
 
   val oracle: Map[String, String] = Map(
+    "q32_acctbal_percentile" ->
+      """SELECT s_suppkey, n_name, CAST(s_acctbal AS DOUBLE) AS acctbal,
+        |  percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WINDOW w AS (PARTITION BY n_name ORDER BY s_acctbal)""".stripMargin,
     "q30_nation_profit" ->
       s"""SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
          |  CAST(SUM($DP) AS DOUBLE) AS revenue,

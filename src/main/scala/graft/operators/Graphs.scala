@@ -473,6 +473,44 @@ object Graphs {
   def graphDegreeStats(s: SparkSession, dir: String): DataFrame =
     degreeStats(TextQueries.dedupNgramJaccard(s, dir).select("doc1", "doc2"))
 
+  /** Degree assortativity — do high-degree nodes attach to other
+    * high-degree nodes (boilerplate hubs gluing to each other ⟹ one
+    * giant merge blob) or to leaves (star templates)? The OLS slope of
+    * floor-log2 destination degree on floor-log2 source degree over the
+    * symmetrized edge ends, in the exact sufficient-statistic lattice
+    * (x ≤ 63 forever, every sum BIGINT-safe; sign + abs-milli because
+    * Spark `div` truncates and DuckDB `//` floors). One row out. Plan:
+    * canonical edges and the degree table are both localCheckpoint'd
+    * (each is referenced twice), then two equi-joins onto the edge ends
+    * and a single-row fold. */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val und = edges.toDF("x", "y")
+      .select(least(col("x"), col("y")).as("u"),
+        greatest(col("x"), col("y")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint()
+    val sym = und.union(und.select(col("v"), col("u"))).toDF("a", "b")
+    val deg = sym.groupBy("a").agg(count(lit(1)).as("d")).localCheckpoint()
+    sym
+      .join(deg.toDF("a", "da"), "a")
+      .join(deg.toDF("b", "db"), "b")
+      .select(expr("cast(length(bin(da)) - 1 as bigint)").as("xx"),
+        expr("cast(length(bin(db)) - 1 as bigint)").as("yy"))
+      .agg(count(lit(1)).as("n_ends"), sum("xx").as("sx"), sum("yy").as("sy"),
+        sum(expr("xx * yy")).as("sxy"), sum(expr("xx * xx")).as("sxx"),
+        sum(expr("yy * yy")).as("syy"))
+      .withColumn("num", expr("n_ends * sxy - sx * sy"))
+      .withColumn("den", expr("n_ends * sxx - sx * sx"))
+      .withColumn("assort_sign",
+        expr("cast(case when num < 0 then -1 else 1 end as bigint)"))
+      .withColumn("abs_assort_milli",
+        expr("case when den = 0 then 0 else abs(num) * 1000 div den end"))
+  }
+
+  /** Assortativity over the trigram-Jaccard pair graph. */
+  def graphDegreeAssortativity(s: SparkSession, dir: String): DataFrame =
+    degreeAssortativity(TextQueries.dedupNgramJaccard(s, dir).select("doc1", "doc2"))
+
   /** Survivorship resolution — the END of the dedup pipeline: after
     * clustering (CC over the near-dup pair graph) every document maps to
     * its cluster's canonical representative, chosen as the best-QUALITY
@@ -509,6 +547,7 @@ object Graphs {
     "graph_kcore" -> (graphKcore _),
     "graph_triangles" -> (graphTriangles _),
     "graph_degree_stats" -> (graphDegreeStats _),
+    "graph_degree_assortativity" -> (graphDegreeAssortativity _),
     "graph_neighbor_jaccard" -> (graphNeighborJaccard _))
 
   /** Shared oracle CTEs over the trigram-Jaccard pair graph. [[SYM_CTE]]
@@ -669,6 +708,31 @@ object Graphs {
          |  CAST(SUM(d) AS BIGINT) AS sum_deg,
          |  MIN(d) AS min_deg, MAX(d) AS max_deg
          |FROM deg GROUP BY 1""".stripMargin
+    },
+    "graph_degree_assortativity" -> {
+      val pairsSql = TextQueries.oracle("dedup_ngram_jaccard")
+      s"""WITH pairs AS ($pairsSql),
+         |$SYM_CTE,
+         |deg AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY a),
+         |e AS (SELECT CAST(length(bin(da.d)) - 1 AS BIGINT) AS x,
+         |        CAST(length(bin(db.d)) - 1 AS BIGINT) AS y
+         |      FROM sym JOIN deg da ON da.a = sym.a
+         |      JOIN deg db ON db.a = sym.b),
+         |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_ends,
+         |        CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         |        CAST(SUM(x * y) AS BIGINT) AS sxy,
+         |        CAST(SUM(x * x) AS BIGINT) AS sxx,
+         |        CAST(SUM(y * y) AS BIGINT) AS syy
+         |      FROM e)
+         |SELECT n_ends, sx, sy, sxy, sxx, syy,
+         |  n_ends * sxy - sx * sy AS num,
+         |  n_ends * sxx - sx * sx AS den,
+         |  CAST(CASE WHEN n_ends * sxy - sx * sy < 0 THEN -1 ELSE 1 END
+         |    AS BIGINT) AS assort_sign,
+         |  CASE WHEN n_ends * sxx - sx * sx = 0 THEN 0
+         |       ELSE abs(n_ends * sxy - sx * sy) * 1000
+         |         // (n_ends * sxx - sx * sx) END AS abs_assort_milli
+         |FROM s""".stripMargin
     },
     "graph_kcore" -> {
       val pairsSql = TextQueries.oracle("dedup_ngram_jaccard")

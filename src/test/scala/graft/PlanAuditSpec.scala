@@ -197,6 +197,9 @@ class PlanAuditSpec extends SparkSpec {
     "events_rate_autocorr" -> 2, // (type,hour) agg + type window; OLS fold rides it
     "events_user_entropy" -> 3, // (user,type) agg + user window/fold + tiny bin agg
     "text_langid_confusion" -> 2, // scorer is shuffle-free; (lang,pred) agg + lang window
+    "events_seasonal_naive" -> 1, // hourly agg checkpointed+broadcast; ONE type fold
+    "graph_degree_assortativity" -> 1, // edges+deg checkpointed, deg broadcast; single-row fold
+    "q32_acctbal_percentile" -> 1, // nation broadcast; ONE |nation|-partitioned window exchange
     "events_watermark_lag" -> 4, // bucket-max agg + ≤4096-row offsets window + in-bucket window + type agg
     "graph_degree_stats" -> 2) // deg agg + ≤64-row bin agg over the checkpointed edges
 
