@@ -1870,12 +1870,18 @@ object Analytics {
     * broadcasts back, and the within-bucket running max rides one
     * hash-partitioned window on bucket id. One more tiny exchange for
     * the per-type rollup. */
-  def eventsWatermarkLag(s: SparkSession, dir: String): DataFrame = {
-    val e = DomainQueries.events(s, dir)
+  /** (event_id, event_type, etime_ns) with the md5-derived ('lag:' salt)
+    * out-of-order event time — shared by [[eventsWatermarkLag]] and the
+    * Streams.watermarkLag twin's spec so the two can't desync. */
+  private[graft] def watermarkEventTimes(s: SparkSession, dir: String): DataFrame =
+    DomainQueries.events(s, dir)
       .select(col("event_id"), col("event_type"),
         (col("ts_ns") - expr(
           "cast(conv(substring(md5(cast(concat('lag:', event_id) as binary)), 1, 13), 16, 10) as bigint)" +
             " % 7200 * 1000000000").cast("long")).as("etime_ns"))
+
+  def eventsWatermarkLag(s: SparkSession, dir: String): DataFrame = {
+    val e = watermarkEventTimes(s, dir)
     // width-derived bucket lattice: ≤4096 buckets at any id range (the
     // max(event_id) action is a column-pruned metadata-cheap scan)
     val maxId = e.agg(max("event_id")).head.getLong(0)

@@ -531,4 +531,39 @@ object Streams {
           merged.tpe == "error"))
     }
   }
+
+  case class WmState(maxEt: Long, n: Long, nLate: Long,
+                     maxLag: Long, sumLag: Long)
+  case class WmOut(event_type: String, n_events: Long, n_late: Long,
+                   max_lag_s: Long, sum_lag_s: Long)
+
+  /** Streaming counterpart of the batch events_watermark_lag lateness
+    * audit, scoped to a PER-TYPE running-max watermark proxy: an event
+    * is late iff an earlier arrival of the same type carried a later
+    * event time, and each micro-batch emits the refreshed cumulative
+    * (count, late count, max/sum lag seconds) row per type. State is
+    * ONE record per type — O(|types|), never event volume. Arrival
+    * order within a batch is the seq column (the batch op orders by
+    * event_id); the engine's own watermark is global min-across-
+    * partitions — this models the audit shape, not engine internals.
+    * Input: (event_type, arrival_seq, etime_ns). */
+  def watermarkLag(events: Dataset[(String, Long, Long)]): Dataset[WmOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (tpe: String, it: Iterator[(String, Long, Long)],
+       state: GroupState[WmState]) =>
+        var st = state.getOption.getOrElse(WmState(Long.MinValue, 0L, 0L, 0L, 0L))
+        for ((_, _, et) <- it.toArray.sortBy(_._2)) {
+          if (st.maxEt != Long.MinValue && et < st.maxEt) {
+            val lag = (st.maxEt - et) / 1000000000L
+            st = st.copy(n = st.n + 1, nLate = st.nLate + 1,
+              maxLag = math.max(st.maxLag, lag), sumLag = st.sumLag + lag)
+          } else st = WmState(math.max(st.maxEt, et), st.n + 1,
+            st.nLate, st.maxLag, st.sumLag)
+        }
+        state.update(st)
+        Iterator.single(WmOut(tpe, st.n, st.nLate, st.maxLag, st.sumLag))
+    }
+  }
 }

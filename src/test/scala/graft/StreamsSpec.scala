@@ -536,4 +536,48 @@ class StreamsSpec extends SparkSpec {
       assert(last === ((1L, 5L, 25L)))
     } finally q.stop()
   }
+
+  test("streaming watermark lag equals a per-type arrival fold, lateness crosses batch bounds") {
+    // whole-corpus agreement: fold the shared etime derivation per type
+    // in arrival (event_id) order — the twin is per-type scoped, so the
+    // expected values come from the same fold, not the global batch op
+    val src = operators.Analytics.watermarkEventTimes(spark, sf)
+      .select(col("event_type"), col("event_id"), col("etime_ns"))
+      .as[(String, Long, Long)]
+    val stateful = Streams.watermarkLag(src).collect()
+      .groupBy(_.event_type).view
+      .mapValues(rs => rs.maxBy(_.n_events))
+      .mapValues(o => (o.n_events, o.n_late, o.max_lag_s, o.sum_lag_s)).toMap
+    val expected = src.collect().groupBy(_._1).view.mapValues { rows =>
+      var maxEt = Long.MinValue
+      var (n, late, maxLag, sumLag) = (0L, 0L, 0L, 0L)
+      for ((_, _, et) <- rows.sortBy(_._2)) {
+        n += 1
+        if (maxEt != Long.MinValue && et < maxEt) {
+          val lag = (maxEt - et) / 1000000000L
+          late += 1; maxLag = math.max(maxLag, lag); sumLag += lag
+        } else maxEt = math.max(maxEt, et)
+      }
+      (n, late, maxLag, sumLag)
+    }.toMap
+    assert(stateful === expected)
+    assert(expected.values.exists(_._2 > 0)) // the corpus HAS late events
+    // an event late relative to a PREVIOUS micro-batch's high-water mark
+    implicit val sqlCtx = spark.sqlContext
+    val G = 1000000000L
+    val mem = MemoryStream[(String, Long, Long)]
+    val q = Streams.watermarkLag(mem.toDS())
+      .writeStream.format("memory").queryName("wm_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(("a", 1L, 100 * G), ("a", 2L, 50 * G)) // seq-2 late by 50s
+      q.processAllAvailable()
+      mem.addData(("a", 3L, 30 * G)) // late by 70s vs batch-1's max
+      q.processAllAvailable()
+      val last = spark.sql(
+        "SELECT n_events, n_late, max_lag_s, sum_lag_s FROM wm_out " +
+          "ORDER BY n_events DESC LIMIT 1").as[(Long, Long, Long, Long)].head()
+      assert(last === ((3L, 2L, 70L, 120L)))
+    } finally q.stop()
+  }
 }
