@@ -500,6 +500,85 @@ object Analytics {
        |JOIN h s ON s.event_type = a.event_type AND s.hour_id = a.hour_id - 24
        |GROUP BY 1""".stripMargin
 
+  /** Alert-flap rate per user — the monitoring primitive that separates
+    * "one incident" from "a pager storm": each user's event stream
+    * becomes a binary error/ok signal in arrival order (ts, event_id
+    * tiebreak — a deterministic total order on both engines) and the
+    * operator counts state FLIPS, shipping flips per opportunity as
+    * exact milli. One user_id window exchange; the per-user fold rides
+    * the same partitioning. */
+  def eventsFlapRate(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    DomainQueries.events(s, dir)
+      .select(col("user_id"), col("ts_ns"), col("event_id"),
+        when(col("event_type") === "error", 1L).otherwise(0L).as("st"))
+      .withColumn("pst", lag("st", 1).over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum("st").as("n_err"),
+        sum(when(col("pst").isNotNull && col("st") =!= col("pst"), 1L)
+          .otherwise(0L)).as("n_flips"))
+      .withColumn("flap_milli",
+        expr("case when n_events <= 1 then 0 " +
+          "else n_flips * 1000 div (n_events - 1) end"))
+  }
+
+  private val FLAP_SQL =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) // 1000 * 1000 AS ts_ns, event_id,
+      |    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS st
+      |  FROM events),
+      |l AS (SELECT user_id, st,
+      |        lag(st) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id) AS pst
+      |      FROM e)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(st) AS BIGINT) AS n_err,
+      |  CAST(SUM(CASE WHEN pst IS NOT NULL AND st <> pst THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_flips,
+      |  CASE WHEN COUNT(*) <= 1 THEN 0
+      |       ELSE CAST(SUM(CASE WHEN pst IS NOT NULL AND st <> pst
+      |           THEN 1 ELSE 0 END) * 1000 // (COUNT(*) - 1) AS BIGINT)
+      |  END AS flap_milli
+      |FROM l GROUP BY 1""".stripMargin
+
+  /** Incident run-length encoding — the gaps-and-islands pattern (group
+    * key = value minus rank, a relational shape nothing else on the
+    * board exercises): hours burning over the 200‰ SLO collapse into
+    * consecutive RUNS with start, length and error mass — "how LONG do
+    * incidents last", which events_error_budget's per-hour burn can't
+    * answer. The global row_number window runs over the post-filter
+    * HOURLY aggregate — bounded by the calendar (the error_budget
+    * precedent), never by event volume. */
+  def eventsIncidentRuns(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy("hour_id")
+    DomainQueries.events(s, dir)
+      .select(expr(s"ts_ns div $HOUR_NS").as("hour_id"),
+        when(col("event_type") === "error", 1L).otherwise(0L).as("err"))
+      .groupBy("hour_id").agg(count(lit(1)).as("n_total"), sum("err").as("n_err"))
+      .filter(expr(s"n_err * 1000 div n_total > $SLO_MILLI"))
+      .withColumn("grp", col("hour_id") - row_number().over(w))
+      .groupBy("grp")
+      .agg(min("hour_id").as("run_start_hour"), count(lit(1)).as("n_hours"),
+        sum("n_err").as("total_errs"))
+      .select("run_start_hour", "n_hours", "total_errs")
+  }
+
+  private val INCIDENT_SQL =
+    s"""WITH h AS (
+       |  SELECT epoch_ns(ts) // $HOUR_NS AS hour_id,
+       |    CAST(COUNT(*) AS BIGINT) AS n_total,
+       |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_err
+       |  FROM events GROUP BY 1),
+       |bad AS (SELECT hour_id, n_err FROM h
+       |        WHERE n_err * 1000 // n_total > $SLO_MILLI),
+       |isl AS (SELECT hour_id, n_err,
+       |          hour_id - ROW_NUMBER() OVER (ORDER BY hour_id) AS grp
+       |        FROM bad)
+       |SELECT MIN(hour_id) AS run_start_hour,
+       |  CAST(COUNT(*) AS BIGINT) AS n_hours,
+       |  CAST(SUM(n_err) AS BIGINT) AS total_errs
+       |FROM isl GROUP BY grp""".stripMargin
+
   def eventsRetention(s: SparkSession, dir: String): DataFrame =
     DomainQueries.events(s, dir)
       .select(col("user_id"), expr(s"ts_ns div $DAY_NS").as("day"))
@@ -1941,6 +2020,8 @@ object Analytics {
     "events_error_budget" -> (eventsErrorBudget _),
     "events_rate_autocorr" -> (eventsRateAutocorr _),
     "events_seasonal_naive" -> (eventsSeasonalNaive _),
+    "events_flap_rate" -> (eventsFlapRate _),
+    "events_incident_runs" -> (eventsIncidentRuns _),
     "events_user_entropy" -> (eventsUserEntropy _),
     "events_peak_concurrency" -> (eventsPeakConcurrency _),
     "sim_cluster_cohesion" -> (simClusterCohesion _),
@@ -1984,6 +2065,8 @@ object Analytics {
     "events_error_budget" -> BUDGET_SQL,
     "events_rate_autocorr" -> AUTOCORR_SQL,
     "events_seasonal_naive" -> SEASONAL_SQL,
+    "events_flap_rate" -> FLAP_SQL,
+    "events_incident_runs" -> INCIDENT_SQL,
     "events_user_entropy" -> USER_ENTROPY_SQL,
     "events_peak_concurrency" -> CONCURRENCY_SQL,
     "sim_cluster_cohesion" -> COHESION_SQL,

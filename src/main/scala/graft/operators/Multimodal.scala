@@ -113,6 +113,32 @@ object Multimodal {
       .select(col("media_id"), col("chunk_idx"),
         md5(hex(col("chunk")).cast("binary")).as("chunk_md5"))
 
+  /** Byte-size spectrum per media kind — the storage-planning read that
+    * sizes decode batches, file compaction targets and shuffle block
+    * expectations BEFORE any payload moves: kind × floor-log2(bytes)
+    * bins (≤ kinds×64 rows at any corpus size) with media count, byte
+    * mass and exact min/max. Pure narrow projection + one partial-agg
+    * exchange; the payload itself never shuffles — only its length. */
+  def multimodalSizeSpectrum(s: SparkSession, dir: String): DataFrame =
+    fromDocuments(s, dir).toDF()
+      .select(col("kind"), expr("cast(length(payload) as bigint)").as("nb"))
+      .select(col("kind"),
+        expr("cast(length(bin(nb)) - 1 as bigint)").as("size_bits"), col("nb"))
+      .groupBy("kind", "size_bits")
+      .agg(count(lit(1)).as("n_media"), sum("nb").as("byte_mass"),
+        min("nb").as("min_bytes"), max("nb").as("max_bytes"))
+
+  private val SIZE_SPECTRUM_SQL =
+    """WITH b AS (
+      |  SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS nb
+      |  FROM documents)
+      |SELECT kind, CAST(length(bin(nb)) - 1 AS BIGINT) AS size_bits,
+      |  CAST(COUNT(*) AS BIGINT) AS n_media, CAST(SUM(nb) AS BIGINT) AS byte_mass,
+      |  MIN(nb) AS min_bytes, MAX(nb) AS max_bytes
+      |FROM b GROUP BY 1, 2""".stripMargin
+
   /** Content-addressed dedup of binary payloads — the CAS step every
     * multimodal corpus runs before feature extraction (identical images
     * re-crawled under different ids must decode once): group by
@@ -196,6 +222,7 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta" -> (multimodalMeta _),
+    "multimodal_size_spectrum" -> (multimodalSizeSpectrum _),
     "multimodal_dedup_bytes" -> (multimodalDedupBytes _),
     "multimodal_chunk_dedup" -> (multimodalChunkDedup _),
     "multimodal_frame_sample" -> (multimodalFrameSample _))
@@ -244,6 +271,7 @@ object Multimodal {
 
   val oracle: Map[String, String] = Map(
     "multimodal_chunk_dedup" -> CHUNK_SQL,
+    "multimodal_size_spectrum" -> SIZE_SPECTRUM_SQL,
     "multimodal_dedup_bytes" ->
       """WITH m AS (
         |  SELECT doc_id AS media_id, text FROM documents

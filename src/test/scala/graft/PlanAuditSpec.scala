@@ -200,6 +200,9 @@ class PlanAuditSpec extends SparkSpec {
     "events_seasonal_naive" -> 1, // hourly agg checkpointed+broadcast; ONE type fold
     "graph_degree_assortativity" -> 1, // edges+deg checkpointed, deg broadcast; single-row fold
     "q32_acctbal_percentile" -> 1, // nation broadcast; ONE |nation|-partitioned window exchange
+    "multimodal_size_spectrum" -> 1, // narrow length projection + one partial-agg exchange
+    "events_flap_rate" -> 1, // ONE user_id window exchange; the fold rides it
+    "events_incident_runs" -> 2, // hour agg + calendar-bounded island window/fold
     "events_watermark_lag" -> 4, // bucket-max agg + ≤4096-row offsets window + in-bucket window + type agg
     "graph_degree_stats" -> 2) // deg agg + ≤64-row bin agg over the checkpointed edges
 
