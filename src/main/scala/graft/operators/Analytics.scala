@@ -579,6 +579,128 @@ object Analytics {
        |  CAST(SUM(n_err) AS BIGINT) AS total_errs
        |FROM isl GROUP BY grp""".stripMargin
 
+  /** Hash-split experiment calibration (the A/A read): users assign to
+    * two arms by md5 ('ab:' salt — its OWN hash stream, the operator-
+    * correlation landmine), and each arm reports exact user/event/
+    * purchase counts, fixed-point purchase-value mass, and milli rates.
+    * On an A/A corpus the two rows should agree within noise — the
+    * assignment-quality gate you run BEFORE trusting any experiment
+    * readout from the same splitter. Per-user partial agg then a 2-row
+    * arm fold; nothing but counters ever shuffles. */
+  def eventsAbLift(s: SparkSession, dir: String): DataFrame =
+    DomainQueries.events(s, dir)
+      .select(col("user_id"),
+        expr("cast(conv(substring(md5(cast(concat('ab:', user_id) as binary)), 1, 15), 16, 10) as bigint) % 2").as("arm"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("pur"),
+        when(col("event_type") === "purchase",
+          expr("cast(floor(value * 1000) as bigint)")).otherwise(0L).as("val_milli"))
+      .groupBy("arm", "user_id")
+      .agg(count(lit(1)).as("ne"), sum("pur").as("np"), sum("val_milli").as("v"))
+      .groupBy("arm")
+      .agg(count(lit(1)).as("n_users"), sum("ne").as("n_events"),
+        sum("np").as("n_pur"), sum("v").as("value_milli"))
+      .withColumn("pur_rate_milli", expr("n_pur * 1000 div n_events"))
+      .withColumn("pur_per_user_milli", expr("n_pur * 1000 div n_users"))
+      .withColumn("value_per_pur_milli", expr("value_milli div n_pur"))
+
+  private val AB_SQL =
+    """WITH e AS (
+      |  SELECT user_id,
+      |    ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS arm,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pur,
+      |    CASE WHEN event_type = 'purchase'
+      |         THEN CAST(FLOOR(value * 1000) AS BIGINT) ELSE 0 END AS val_milli
+      |  FROM events),
+      |u AS (SELECT arm, user_id, CAST(COUNT(*) AS BIGINT) AS ne,
+      |        CAST(SUM(pur) AS BIGINT) AS np, CAST(SUM(val_milli) AS BIGINT) AS v
+      |      FROM e GROUP BY 1, 2)
+      |SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+      |  CAST(SUM(ne) AS BIGINT) AS n_events,
+      |  CAST(SUM(np) AS BIGINT) AS n_pur,
+      |  CAST(SUM(v) AS BIGINT) AS value_milli,
+      |  CAST(SUM(np) AS BIGINT) * 1000 // CAST(SUM(ne) AS BIGINT) AS pur_rate_milli,
+      |  CAST(SUM(np) AS BIGINT) * 1000 // CAST(COUNT(*) AS BIGINT) AS pur_per_user_milli,
+      |  CAST(SUM(v) AS BIGINT) // CAST(SUM(np) AS BIGINT) AS value_per_pur_milli
+      |FROM u GROUP BY 1""".stripMargin
+
+  /** Distribution drift monitor — per-day L1 distance between the day's
+    * event-type mix and the global mix, in exact milli shares (the
+    * PSI/KL shape without the logs both engines would round apart):
+    * the one-number-per-day alarm that catches a producer silently
+    * changing its emit mix. ≤|days| rows; per-(day,type) cells join the
+    * broadcast ≤|types|-row global profile, and the day total rides a
+    * window on the same day partitioning. */
+  def eventsMixDrift(s: SparkSession, dir: String): DataFrame = {
+    val wDay = Window.partitionBy("day")
+    val c = DomainQueries.events(s, dir)
+      .select(expr(s"ts_ns div $DAY_NS").as("day"), col("event_type"))
+      .groupBy("day", "event_type").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // feeds the global profile AND the per-day cells
+    val g = c.groupBy("event_type").agg(sum("n").as("gn"))
+      .withColumn("tot", sum("gn").over(Window.partitionBy()))
+    c.withColumn("dn", sum("n").over(wDay))
+      .join(broadcast(g), "event_type")
+      .select(col("day"), col("dn"),
+        abs(expr("n * 1000 div dn") - expr("gn * 1000 div tot")).as("dev"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_types"), max("dn").as("n_day"),
+        sum("dev").as("l1_drift_milli"))
+  }
+
+  private val MIX_DRIFT_SQL =
+    s"""WITH c AS (
+       |  SELECT epoch_ns(ts) // $DAY_NS AS day, event_type,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM events GROUP BY 1, 2),
+       |g AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS gn FROM c GROUP BY 1),
+       |gt AS (SELECT CAST(SUM(gn) AS BIGINT) AS tot FROM g),
+       |d AS (SELECT day, CAST(SUM(n) AS BIGINT) AS dn FROM c GROUP BY 1)
+       |SELECT c.day, CAST(COUNT(*) AS BIGINT) AS n_types, MAX(d.dn) AS n_day,
+       |  CAST(SUM(abs(c.n * 1000 // d.dn - g.gn * 1000 // gt.tot)) AS BIGINT)
+       |    AS l1_drift_milli
+       |FROM c JOIN d ON d.day = c.day
+       |JOIN g ON g.event_type = c.event_type, gt
+       |GROUP BY 1""".stripMargin
+
+  /** Reorder-interval spectrum — per market segment, the floor-log2
+    * distribution of days between a customer's consecutive orders (ties
+    * broken by o_orderkey: a deterministic total order on both
+    * engines). The purchase-cadence read behind churn models and
+    * inventory planning, and the orders-table cousin of
+    * events_gap_histogram. One o_custkey window exchange + the ≤
+    * segments×13-row bin agg; customer broadcast for the segment. */
+  def customerReorderGaps(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+      .withColumn("prev_date", lag("o_orderdate", 1).over(w))
+      .filter(col("prev_date").isNotNull)
+      .select(col("o_custkey"),
+        datediff(col("o_orderdate"), col("prev_date")).cast("long").as("gap_days"))
+      .join(broadcast(t(s, dir, "customer")), col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_mktsegment"),
+        expr("cast(length(bin(gap_days + 1)) - 1 as bigint)").as("gap_bits"))
+      .agg(count(lit(1)).as("n_gaps"), sum("gap_days").as("day_mass"),
+        min("gap_days").as("min_days"), max("gap_days").as("max_days"))
+  }
+
+  private val REORDER_SQL =
+    """WITH o AS (
+      |  SELECT o_custkey, o_orderdate,
+      |    lag(o_orderdate) OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate, o_orderkey) AS prev_date
+      |  FROM orders),
+      |g AS (SELECT o_custkey,
+      |        CAST(date_diff('day', prev_date, o_orderdate) AS BIGINT) AS gap_days
+      |      FROM o WHERE prev_date IS NOT NULL)
+      |SELECT c_mktsegment,
+      |  CAST(length(bin(gap_days + 1)) - 1 AS BIGINT) AS gap_bits,
+      |  CAST(COUNT(*) AS BIGINT) AS n_gaps,
+      |  CAST(SUM(gap_days) AS BIGINT) AS day_mass,
+      |  MIN(gap_days) AS min_days, MAX(gap_days) AS max_days
+      |FROM g JOIN customer ON c_custkey = o_custkey
+      |GROUP BY 1, 2""".stripMargin
+
   def eventsRetention(s: SparkSession, dir: String): DataFrame =
     DomainQueries.events(s, dir)
       .select(col("user_id"), expr(s"ts_ns div $DAY_NS").as("day"))
@@ -2021,6 +2143,9 @@ object Analytics {
     "events_rate_autocorr" -> (eventsRateAutocorr _),
     "events_seasonal_naive" -> (eventsSeasonalNaive _),
     "events_flap_rate" -> (eventsFlapRate _),
+    "events_ab_lift" -> (eventsAbLift _),
+    "events_mix_drift" -> (eventsMixDrift _),
+    "customer_reorder_gaps" -> (customerReorderGaps _),
     "events_incident_runs" -> (eventsIncidentRuns _),
     "events_user_entropy" -> (eventsUserEntropy _),
     "events_peak_concurrency" -> (eventsPeakConcurrency _),
@@ -2066,6 +2191,9 @@ object Analytics {
     "events_rate_autocorr" -> AUTOCORR_SQL,
     "events_seasonal_naive" -> SEASONAL_SQL,
     "events_flap_rate" -> FLAP_SQL,
+    "events_ab_lift" -> AB_SQL,
+    "events_mix_drift" -> MIX_DRIFT_SQL,
+    "customer_reorder_gaps" -> REORDER_SQL,
     "events_incident_runs" -> INCIDENT_SQL,
     "events_user_entropy" -> USER_ENTROPY_SQL,
     "events_peak_concurrency" -> CONCURRENCY_SQL,

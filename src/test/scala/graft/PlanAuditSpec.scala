@@ -203,6 +203,9 @@ class PlanAuditSpec extends SparkSpec {
     "multimodal_size_spectrum" -> 1, // narrow length projection + one partial-agg exchange
     "events_flap_rate" -> 1, // ONE user_id window exchange; the fold rides it
     "events_incident_runs" -> 2, // hour agg + calendar-bounded island window/fold
+    "events_ab_lift" -> 2, // (arm,user) partial agg + 2-row arm fold
+    "events_mix_drift" -> 3, // checkpointed cells: type agg + ≤|types| global window + day window
+    "customer_reorder_gaps" -> 2, // custkey lag window + ≤segments×13 bin agg; customer broadcast
     "events_watermark_lag" -> 4, // bucket-max agg + ≤4096-row offsets window + in-bucket window + type agg
     "graph_degree_stats" -> 2) // deg agg + ≤64-row bin agg over the checkpointed edges
 
