@@ -1,6 +1,6 @@
 package graft
 
-import graft.sources.Jsonl
+import graft.sources.{Jsonl, Manifest}
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -211,5 +211,33 @@ class SourcesSpec extends SparkSpec {
     operators.SketchQueries.register(spark)
     val v = spark.sql("SELECT rolling_hash('abc') AS h").as[Long].head()
     assert(v === functions.RollingHash.hashBytes("abc".getBytes("UTF-8")))
+  }
+
+  test("manifest zone-map scan prunes files and agrees with the full filtered read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_manifest").toString
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    Manifest.writeSharded(li, dir, "l_orderkey", shards = 8)
+
+    val shards = Manifest.readManifest(dir)
+    assert(shards.length === 8)
+    // range layout ⇒ disjoint zone maps (sorted by lo, each hi < next lo)
+    val sorted = shards.sortBy(_.lo)
+    sorted.sliding(2).foreach { case Seq(a, b) => assert(a.hi <= b.lo); case _ => }
+    assert(shards.map(_.rows).sum === li.count())
+
+    // pick a range inside one shard: the scan must plan ≤2 files
+    val mid = sorted(3)
+    val pruned = Manifest.prunedRead(spark, dir, "l_orderkey", mid.lo, mid.hi)
+    assert(pruned.inputFiles.length < 8)
+    val expected = spark.read.parquet(dir)
+      .filter(col("l_orderkey") >= mid.lo && col("l_orderkey") <= mid.hi)
+    assert(pruned.count() === expected.count())
+    assert(pruned.agg(sum("l_quantity")).head.getDouble(0) ===
+      expected.agg(sum("l_quantity")).head.getDouble(0))
+
+    // non-overlapping range: zero rows, zero data files scanned
+    val top = sorted.map(_.hi).max
+    val empty = Manifest.prunedRead(spark, dir, "l_orderkey", top + 10, top + 20)
+    assert(empty.count() === 0L)
   }
 }
