@@ -701,6 +701,69 @@ object Analytics {
       |FROM g JOIN customer ON c_custkey = o_custkey
       |GROUP BY 1, 2""".stripMargin
 
+  /** Within-session event-type co-occurrence — market basket over
+    * SESSIONS (any order), the association read events_transition_matrix's
+    * adjacent-pair counts can't give: for each unordered type pair, how
+    * much more likely is b in a session that contains a than in a random
+    * session? Shipped as P(b|a) vs P(b) in exact milli — the two-number
+    * form that never computes the n_both·n_sessions product a classic
+    * lift ratio would overflow on at 1e10 sessions. Reuses the ONE
+    * sessionization fold (DomainQueries.withSessionIds). Plan: the
+    * distinct (user, session, type) relation is localCheckpoint'd (it
+    * feeds the self-join twice, the per-type totals and the session
+    * count), type totals broadcast, session count is a driver literal
+    * (the watermark-lag maxId precedent). */
+  def eventsSessionCooccurrence(s: SparkSession, dir: String): DataFrame = {
+    val st = DomainQueries.withSessionIds(s, dir)
+      .select("user_id", "session_id", "event_type").distinct()
+      .localCheckpoint()
+    val nSessions = st.select("user_id", "session_id").distinct().count()
+    val tn = st.groupBy("event_type").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // referenced twice below
+    st.toDF("user_id", "session_id", "type_a")
+      .join(st.toDF("u2", "s2", "type_b"),
+        col("u2") === col("user_id") && col("s2") === col("session_id") &&
+          col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_both"))
+      .join(broadcast(tn.toDF("type_a", "n_a")), "type_a")
+      .join(broadcast(tn.toDF("type_b", "n_b")), "type_b")
+      .select(col("type_a"), col("type_b"), col("n_both"), col("n_a"),
+        col("n_b"), lit(nSessions).as("n_sessions"),
+        expr("n_both * 1000 div n_a").as("p_b_given_a_milli"),
+        expr(s"n_b * 1000 div $nSessions").as("p_b_milli"))
+  }
+
+  private val COOCCUR_SQL =
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, epoch_ns(ts) // 1000 * 1000 AS ts_ns,
+       |    event_id
+       |  FROM events),
+       |seq AS (
+       |  SELECT user_id, event_type, ts_ns, event_id,
+       |    CASE WHEN ts_ns - LAG(ts_ns) OVER (PARTITION BY user_id
+       |           ORDER BY ts_ns, event_id) > 21600000000000
+       |         THEN 1 ELSE 0 END AS is_new
+       |  FROM e),
+       |ses AS (
+       |  SELECT user_id, event_type,
+       |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+       |                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+       |  FROM seq),
+       |st AS (SELECT DISTINCT user_id, sid, event_type FROM ses),
+       |ns AS (SELECT CAST(COUNT(DISTINCT (user_id, sid)) AS BIGINT) AS n_sessions
+       |       FROM st),
+       |tn AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM st GROUP BY 1),
+       |pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+       |         CAST(COUNT(*) AS BIGINT) AS n_both
+       |       FROM st a JOIN st b ON a.user_id = b.user_id AND a.sid = b.sid
+       |         AND a.event_type < b.event_type
+       |       GROUP BY 1, 2)
+       |SELECT type_a, type_b, n_both, ta.n AS n_a, tb.n AS n_b, ns.n_sessions,
+       |  n_both * 1000 // ta.n AS p_b_given_a_milli,
+       |  tb.n * 1000 // ns.n_sessions AS p_b_milli
+       |FROM pr JOIN tn ta ON ta.event_type = type_a
+       |JOIN tn tb ON tb.event_type = type_b, ns""".stripMargin
+
   def eventsRetention(s: SparkSession, dir: String): DataFrame =
     DomainQueries.events(s, dir)
       .select(col("user_id"), expr(s"ts_ns div $DAY_NS").as("day"))
@@ -2145,6 +2208,7 @@ object Analytics {
     "events_flap_rate" -> (eventsFlapRate _),
     "events_ab_lift" -> (eventsAbLift _),
     "events_mix_drift" -> (eventsMixDrift _),
+    "events_session_cooccurrence" -> (eventsSessionCooccurrence _),
     "customer_reorder_gaps" -> (customerReorderGaps _),
     "events_incident_runs" -> (eventsIncidentRuns _),
     "events_user_entropy" -> (eventsUserEntropy _),
@@ -2193,6 +2257,7 @@ object Analytics {
     "events_flap_rate" -> FLAP_SQL,
     "events_ab_lift" -> AB_SQL,
     "events_mix_drift" -> MIX_DRIFT_SQL,
+    "events_session_cooccurrence" -> COOCCUR_SQL,
     "customer_reorder_gaps" -> REORDER_SQL,
     "events_incident_runs" -> INCIDENT_SQL,
     "events_user_entropy" -> USER_ENTROPY_SQL,

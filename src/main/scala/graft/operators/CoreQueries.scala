@@ -433,6 +433,33 @@ object CoreQueries {
       .withColumn("cd", cume_dist().over(w))
   }
 
+  /** Discount-elasticity grid: quantity per item at each (brand,
+    * discount-percent) cell against the brand's own baseline — does a
+    * deeper discount actually move volume? Everything stays in exact
+    * integers (TPC-H quantities are integral; the band is the rounded
+    * percent both engines compute identically from the same doubles),
+    * and the lift is a DIFFERENCE of milli rates, not a ratio product —
+    * no overflow at any corpus size. Plan: part broadcast, one
+    * (brand, band) partial agg; the ≤|brands|-row baseline is a second
+    * fold over the cells, broadcast back. */
+  def q33(s: SparkSession, dir: String): DataFrame = {
+    val cells = t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"),
+        expr("cast(round(l_discount * 100) as bigint)").as("disc_pct"),
+        col("l_quantity").cast("long").as("qty"))
+      .groupBy("p_brand", "disc_pct")
+      .agg(count(lit(1)).as("n_items"), sum("qty").as("qty_mass"))
+      .localCheckpoint() // feeds both the baseline fold and the output
+    val base = cells.groupBy("p_brand")
+      .agg(expr("sum(qty_mass) * 1000 div sum(n_items)").as("base_milli"))
+    cells.join(broadcast(base), "p_brand")
+      .select(col("p_brand"), col("disc_pct"), col("n_items"), col("qty_mass"),
+        expr("qty_mass * 1000 div n_items").as("qty_per_item_milli"),
+        col("base_milli"),
+        expr("qty_mass * 1000 div n_items - base_milli").as("lift_milli"))
+  }
+
   def q24(s: SparkSession, dir: String): DataFrame = {
     val revenue = dec2(col("l_extendedprice")) * dec2(lit(1) - col("l_discount"))
     t(s, dir, "lineitem")
@@ -643,6 +670,7 @@ object CoreQueries {
     "q30_nation_profit" -> (q30 _),
     "q31_large_volume_customers" -> (q31 _),
     "q32_acctbal_percentile" -> (q32 _),
+    "q33_brand_discount_lift" -> (q33 _),
     "q20_dominant_supplier" -> (q20 _),
     "q21_single_late_blame" -> (q21 _),
     "q22_prospect_share" -> (q22 _),
@@ -676,6 +704,22 @@ object CoreQueries {
         |  percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |WINDOW w AS (PARTITION BY n_name ORDER BY s_acctbal)""".stripMargin,
+    "q33_brand_discount_lift" ->
+      """WITH x AS (
+        |  SELECT p_brand, CAST(ROUND(l_discount * 100) AS BIGINT) AS disc_pct,
+        |    CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |c AS (SELECT p_brand, disc_pct, CAST(COUNT(*) AS BIGINT) AS n_items,
+        |        CAST(SUM(qty) AS BIGINT) AS qty_mass
+        |      FROM x GROUP BY 1, 2),
+        |b AS (SELECT p_brand, CAST(SUM(qty_mass) AS BIGINT) * 1000
+        |        // CAST(SUM(n_items) AS BIGINT) AS base_milli
+        |      FROM c GROUP BY 1)
+        |SELECT c.p_brand, disc_pct, n_items, qty_mass,
+        |  qty_mass * 1000 // n_items AS qty_per_item_milli,
+        |  b.base_milli,
+        |  qty_mass * 1000 // n_items - b.base_milli AS lift_milli
+        |FROM c JOIN b ON b.p_brand = c.p_brand""".stripMargin,
     "q30_nation_profit" ->
       s"""SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
          |  CAST(SUM($DP) AS DOUBLE) AS revenue,

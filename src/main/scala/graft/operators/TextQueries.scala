@@ -57,6 +57,42 @@ object TextQueries {
           .otherwise(0.0))
   }
 
+  /** Per-source curation dashboard — the "which feed is garbage" rollup
+    * that decides sampling weights and kill-lists upstream of any mixing:
+    * per source, doc/token/distinct-token mass, the pooled type-token
+    * ratio, and the short-doc share, all exact integers (no per-doc
+    * double quality averaged — Σdistinct·1000 div Σtokens is the same
+    * lexical-health signal without the float detour). One narrow codegen
+    * projection + one partial-agg exchange of ≤|sources| groups. */
+  def textQualityBySource(s: SparkSession, dir: String): DataFrame = {
+    val ts = tokens(col("text"))
+    t(s, dir, "documents")
+      .select(col("source"), size(ts).cast("long").as("nt"),
+        size(array_distinct(ts)).cast("long").as("nd"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("nt").as("token_mass"),
+        sum("nd").as("distinct_mass"),
+        sum(when(col("nt") < 20, 1L).otherwise(0L)).as("n_short"))
+      .withColumn("ttr_milli", expr("distinct_mass * 1000 div token_mass"))
+      .withColumn("short_milli", expr("n_short * 1000 div n_docs"))
+  }
+
+  private val QUALITY_SOURCE_SQL =
+    """WITH tok AS (
+      |  SELECT source,
+      |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS nt,
+      |    CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')))
+      |      AS BIGINT) AS nd
+      |  FROM documents)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(nt) AS BIGINT) AS token_mass,
+      |  CAST(SUM(nd) AS BIGINT) AS distinct_mass,
+      |  CAST(SUM(CASE WHEN nt < 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+      |  CAST(SUM(nd) AS BIGINT) * 1000 // CAST(SUM(nt) AS BIGINT) AS ttr_milli,
+      |  CAST(SUM(CASE WHEN nt < 20 THEN 1 ELSE 0 END) AS BIGINT) * 1000
+      |    // CAST(COUNT(*) AS BIGINT) AS short_milli
+      |FROM tok GROUP BY 1""".stripMargin
+
   /** Readability audit — the grade-level quality gate next to
     * text_quality's lexical ratios: words (token runs), sentences
     * (sentence-final punctuation runs, floored at 1 so headline-only
@@ -638,6 +674,7 @@ object TextQueries {
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
+    "text_quality_by_source" -> (textQualityBySource _),
     "text_readability" -> (textReadability _),
     "text_langid" -> (textLangid _),
     "text_langid_confusion" -> (textLangidConfusion _),
@@ -652,6 +689,7 @@ object TextQueries {
     "dedup_chunk_level" -> (dedupChunkLevel _))
 
   val oracle: Map[String, String] = Map(
+    "text_quality_by_source" -> QUALITY_SOURCE_SQL,
     "dedup_doc_prefix" -> PREFIX_SQL,
     "dedup_incremental_exact" -> INCREMENTAL_SQL,
     // DuckDB regexp_replace needs the explicit 'g' flag (Spark's always

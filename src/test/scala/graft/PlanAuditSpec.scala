@@ -206,6 +206,9 @@ class PlanAuditSpec extends SparkSpec {
     "events_ab_lift" -> 2, // (arm,user) partial agg + 2-row arm fold
     "events_mix_drift" -> 3, // checkpointed cells: type agg + ≤|types| global window + day window
     "customer_reorder_gaps" -> 2, // custkey lag window + ≤segments×13 bin agg; customer broadcast
+    "events_session_cooccurrence" -> 1, // st + totals checkpointed/broadcast; ONE pair agg
+    "text_quality_by_source" -> 1, // narrow projection + ≤|sources| partial agg
+    "q33_brand_discount_lift" -> 1, // cells checkpointed; baseline fold, broadcast back
     "events_watermark_lag" -> 4, // bucket-max agg + ≤4096-row offsets window + in-bucket window + type agg
     "graph_degree_stats" -> 2) // deg agg + ≤64-row bin agg over the checkpointed edges
 
