@@ -782,6 +782,48 @@ object Analytics {
        |FROM d JOIN c USING (user_id)
        |GROUP BY 1, 2""".stripMargin
 
+  /** DAU/MAU stickiness per 30-day period — the engagement-depth ratio
+    * next to [[eventsRetention]]'s cohort decay: of the users active in
+    * a period, what fraction shows up on an average day? Shipped as
+    * (Σ daily-actives · 1000) div (n_days · period-actives) — exact
+    * BIGINTs, one floor division, both engines identical; never the
+    * avg(dau)/mau float pair, which would diverge in the sum-then-divide
+    * order. Plan: ONE wide exchange (the distinct user-day relation,
+    * partial-agg combined map-side), localCheckpoint'd because it feeds
+    * BOTH the per-day fold and the per-period distinct; everything
+    * downstream is day- or period-grain (thousands of rows at any
+    * corpus size). */
+  def eventsStickiness(s: SparkSession, dir: String): DataFrame = {
+    val du = DomainQueries.events(s, dir)
+      .select(col("user_id"), expr(s"ts_ns div $DAY_NS").as("day"))
+      .distinct()
+      .withColumn("period", expr("day div 30"))
+      .localCheckpoint() // feeds the dau fold and the mau distinct
+    val dau = du.groupBy("period", "day").agg(count(lit(1)).as("dau"))
+      .groupBy("period")
+      .agg(sum("dau").as("sum_dau"), count(lit(1)).as("n_days"))
+    val mau = du.select("period", "user_id").distinct()
+      .groupBy("period").agg(count(lit(1)).as("mau"))
+    dau.join(mau, "period")
+      .select(col("period"), col("n_days"), col("sum_dau"), col("mau"),
+        expr("sum_dau * 1000 div (n_days * mau)").as("stickiness_milli"))
+  }
+
+  private val STICKINESS_SQL =
+    s"""WITH du AS (
+       |  SELECT DISTINCT user_id, epoch_ns(ts) // $DAY_NS AS day FROM events),
+       |p AS (SELECT user_id, day, day // 30 AS period FROM du),
+       |dau AS (SELECT period, day, CAST(COUNT(*) AS BIGINT) AS dau
+       |        FROM p GROUP BY 1, 2),
+       |d2 AS (SELECT period, CAST(SUM(dau) AS BIGINT) AS sum_dau,
+       |         CAST(COUNT(*) AS BIGINT) AS n_days
+       |       FROM dau GROUP BY 1),
+       |mau AS (SELECT period, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+       |        FROM p GROUP BY 1)
+       |SELECT d2.period, n_days, sum_dau, mau,
+       |  sum_dau * 1000 // (n_days * mau) AS stickiness_milli
+       |FROM d2 JOIN mau ON mau.period = d2.period""".stripMargin
+
   /** CUSUM drift detection over the per-type event-value stream — the
     * monitoring primitive that catches a distribution SHIFT (a feed
     * suddenly emitting inflated values) long before a mean moves: the
@@ -2200,6 +2242,7 @@ object Analytics {
     "events_json_stats" -> (eventsJsonStats _),
     "events_throttle" -> (eventsThrottle _),
     "events_retention" -> (eventsRetention _),
+    "events_stickiness" -> (eventsStickiness _),
     "events_cohort_ltv" -> (eventsCohortLtv _),
     "events_hazard_rate" -> (eventsHazardRate _),
     "events_error_budget" -> (eventsErrorBudget _),
@@ -2249,6 +2292,7 @@ object Analytics {
     "events_json_stats" -> JSON_STATS_SQL,
     "events_throttle" -> THROTTLE_SQL,
     "events_retention" -> RETENTION_SQL,
+    "events_stickiness" -> STICKINESS_SQL,
     "events_cohort_ltv" -> LTV_SQL,
     "events_hazard_rate" -> HAZARD_SQL,
     "events_error_budget" -> BUDGET_SQL,

@@ -460,6 +460,43 @@ object CoreQueries {
         expr("qty_mass * 1000 div n_items - base_milli").as("lift_milli"))
   }
 
+  /** TPC-H Q2-shaped min-cost sourcing: for every small part (p_size ≤
+    * 10 — Q2's region/size fence), WHICH supplier has quoted the best
+    * unit price, with the supplier row joined back in — the
+    * argmin-then-enrich composition q04's global top-k and q20's
+    * share fence don't produce (there is no partsupp table in this
+    * schema; observed lineitem unit prices play ps_supplycost).
+    * Unit price is exact: cents·1000 div qty, all positive BIGINTs,
+    * floored identically by both engines; ties break to the lowest
+    * suppkey via a single struct-min (never a rank window — the
+    * min_by/max_by hash-aggregate discipline from the ivfTopk probe
+    * history). Plan: the part fence is broadcast so the filter reaches
+    * the fact scan as a semi side, lineitem shuffles once on
+    * (part, supp), the argmin rides a part-grain second exchange of
+    * aggregate-sized input, and supplier/nation are broadcast onto the
+    * |parts|-row result. */
+  def q34(s: SparkSession, dir: String): DataFrame = {
+    val p = broadcast(t(s, dir, "part").filter(col("p_size") <= 10)
+      .select("p_partkey", "p_brand", "p_type"))
+    val perSupp = t(s, dir, "lineitem")
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("l_suppkey"),
+        expr("""cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)
+                * 1000 div cast(l_quantity as bigint)""").as("unit"))
+      .groupBy("p_partkey", "p_brand", "p_type", "l_suppkey")
+      .agg(min("unit").as("best_unit"))
+    perSupp.groupBy("p_partkey", "p_brand", "p_type")
+      .agg(min(struct(col("best_unit"), col("l_suppkey"))).as("m"))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"),
+        col("m.best_unit").as("unit_milli_cents"),
+        col("m.l_suppkey").as("s_suppkey"))
+      .join(broadcast(t(s, dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")),
+        Seq("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .select("p_partkey", "p_brand", "p_type", "unit_milli_cents",
+        "s_suppkey", "s_name", "n_name")
+  }
+
   def q24(s: SparkSession, dir: String): DataFrame = {
     val revenue = dec2(col("l_extendedprice")) * dec2(lit(1) - col("l_discount"))
     t(s, dir, "lineitem")
@@ -671,6 +708,7 @@ object CoreQueries {
     "q31_large_volume_customers" -> (q31 _),
     "q32_acctbal_percentile" -> (q32 _),
     "q33_brand_discount_lift" -> (q33 _),
+    "q34_min_cost_supplier" -> (q34 _),
     "q20_dominant_supplier" -> (q20 _),
     "q21_single_late_blame" -> (q21 _),
     "q22_prospect_share" -> (q22 _),
@@ -720,6 +758,26 @@ object CoreQueries {
         |  b.base_milli,
         |  qty_mass * 1000 // n_items - b.base_milli AS lift_milli
         |FROM c JOIN b ON b.p_brand = c.p_brand""".stripMargin,
+    "q34_min_cost_supplier" ->
+      """WITH u AS (
+        |  SELECT p_partkey, p_brand, p_type, l_suppkey,
+        |    MIN(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |        * 1000 // CAST(l_quantity AS BIGINT)) AS best_unit
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_size <= 10
+        |  GROUP BY 1, 2, 3, 4),
+        |b AS (SELECT p_partkey, p_brand, p_type,
+        |        MIN(best_unit) AS unit_milli_cents
+        |      FROM u GROUP BY 1, 2, 3),
+        |w AS (SELECT b.p_partkey, b.p_brand, b.p_type, b.unit_milli_cents,
+        |        MIN(u.l_suppkey) AS s_suppkey
+        |      FROM b JOIN u ON u.p_partkey = b.p_partkey
+        |        AND u.best_unit = b.unit_milli_cents
+        |      GROUP BY 1, 2, 3, 4)
+        |SELECT w.p_partkey, w.p_brand, w.p_type, w.unit_milli_cents,
+        |  w.s_suppkey, s_name, n_name
+        |FROM w JOIN supplier ON supplier.s_suppkey = w.s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey""".stripMargin,
     "q30_nation_profit" ->
       s"""SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
          |  CAST(SUM($DP) AS DOUBLE) AS revenue,

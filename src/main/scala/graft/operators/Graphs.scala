@@ -158,6 +158,39 @@ object Graphs {
   def graphTriangles(s: SparkSession, dir: String): DataFrame =
     triangleCounts(SketchQueries.simKnnGraph(s, dir).select("qid", "vec_id"))
 
+  /** Per-node LOCAL clustering coefficient — the density readout that
+    * separates a node sitting inside a tight near-dup clique (most of
+    * its neighbors also neighbor each other → coefficient near 1) from
+    * a hub that merely BRIDGES unrelated documents (star center,
+    * coefficient near 0), the per-node refinement of
+    * [[triangleCounts]]' raw counts: coeff = 2·T(v) / (d(v)·(d(v)−1)),
+    * shipped in exact milli (one positive-operand floor division, both
+    * engines identical). Nodes of degree < 2 have no defined
+    * coefficient and are excluded; triangle-free nodes keep coeff 0 via
+    * the left join. Plan: the canonical edge list is checkpointed once
+    * and feeds both the degree fold and the degree-oriented triangle
+    * pipeline, so the arboricity-bounded wedge join stays the only
+    * super-linear step. */
+  def clusteringCoeff(edges: DataFrame): DataFrame = {
+    val und = edges.toDF("x", "y")
+      .select(least(col("x"), col("y")).as("u"),
+        greatest(col("x"), col("y")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint() // feeds degrees AND the triangle pipeline
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    deg.filter(col("d") >= 2)
+      .join(triangleCounts(und), Seq("node"), "left")
+      .na.fill(0L, Seq("n_triangles"))
+      .select(col("node"), col("d"), col("n_triangles"),
+        expr("n_triangles * 2000 div (d * (d - 1))").as("coeff_milli"))
+  }
+
+  /** Local clustering coefficients over the k-NN similarity graph. */
+  def graphClusteringCoeff(s: SparkSession, dir: String): DataFrame =
+    clusteringCoeff(SketchQueries.simKnnGraph(s, dir).select("qid", "vec_id"))
+
   /** Per-edge NEIGHBORHOOD Jaccard over an undirected edge list — the
     * link-prediction / edge-strength primitive between
     * [[triangleCounts]]' per-node density and [[connectedComponents]]'
@@ -546,6 +579,7 @@ object Graphs {
     "graph_ancestor_closure" -> (graphAncestorClosure _),
     "graph_kcore" -> (graphKcore _),
     "graph_triangles" -> (graphTriangles _),
+    "graph_clustering_coeff" -> (graphClusteringCoeff _),
     "graph_degree_stats" -> (graphDegreeStats _),
     "graph_degree_assortativity" -> (graphDegreeAssortativity _),
     "graph_neighbor_jaccard" -> (graphNeighborJaccard _))
@@ -765,6 +799,29 @@ object Graphs {
          |nodes AS (SELECT unnest([a, b, c]) AS node FROM tg)
          |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
          |FROM nodes GROUP BY node""".stripMargin
+    },
+    "graph_clustering_coeff" -> {
+      val knnSql = SketchQueries.oracle("sim_knn_graph")
+      s"""WITH knn AS ($knnSql),
+         |eg AS (SELECT DISTINCT LEAST(qid, vec_id) AS u,
+         |         GREATEST(qid, vec_id) AS v
+         |       FROM knn WHERE qid <> vec_id),
+         |tg AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+         |       FROM eg e1 JOIN eg e2 ON e1.v = e2.u
+         |       WHERE EXISTS (SELECT 1 FROM eg e3
+         |                     WHERE e3.u = e1.u AND e3.v = e2.v)),
+         |tri AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+         |        FROM (SELECT unnest([a, b, c]) AS node FROM tg)
+         |        GROUP BY node),
+         |adj AS (SELECT u AS node FROM eg UNION ALL SELECT v FROM eg),
+         |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+         |        FROM adj GROUP BY node)
+         |SELECT deg.node, d,
+         |  CAST(COALESCE(tri.n_triangles, 0) AS BIGINT) AS n_triangles,
+         |  CAST(COALESCE(tri.n_triangles, 0) AS BIGINT) * 2000
+         |    // (d * (d - 1)) AS coeff_milli
+         |FROM deg LEFT JOIN tri ON tri.node = deg.node
+         |WHERE d >= 2""".stripMargin
     },
     "graph_neighbor_jaccard" -> {
       val knnSql = SketchQueries.oracle("sim_knn_graph")
