@@ -266,6 +266,95 @@ object Analytics {
       |  CAST(total * 1000 // (sumsq // total) AS BIGINT) AS ess_class_milli
       |FROM c, t""".stripMargin
 
+  /** Upsampling plan toward class balance — the mixture intervention
+    * [[dataClassBalance]] only measures: per source class, the integer
+    * replication factor that lifts it toward the LARGEST class
+    * (rep = clamp(n_max div n, 1, 8) — capped so a sliver class can
+    * never explode the corpus), the post-upsample size, and the
+    * resulting share. All exact BIGINTs (floor divisions both engines
+    * replay); the plan itself is the deliverable — the actual
+    * replication is a generate_series explode against these factors.
+    * Plan: one |sources|-row aggregate; both global folds ride
+    * unpartitioned windows over that aggregate (rows = |classes|,
+    * never corpus-sized). */
+  def dataUpsamplePlan(s: SparkSession, dir: String): DataFrame = {
+    val wAll = Window.partitionBy()
+    t(s, dir, "documents").groupBy("source").agg(count(lit(1)).as("n"))
+      .withColumn("n_max", max("n").over(wAll))
+      .withColumn("rep", expr("least(8, greatest(1, n_max div n))"))
+      .withColumn("n_after", expr("n * rep"))
+      .withColumn("total_after", sum("n_after").over(wAll))
+      .select(col("source"), col("n"), col("n_max"), col("rep"),
+        col("n_after"),
+        expr("n_after * 1000 div total_after").as("share_after_milli"))
+  }
+
+  private val UPSAMPLE_SQL =
+    """WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+      |           FROM documents GROUP BY 1),
+      |m AS (SELECT CAST(MAX(n) AS BIGINT) AS n_max FROM c),
+      |r AS (SELECT source, n, n_max,
+      |        LEAST(8, GREATEST(1, n_max // n)) AS rep,
+      |        n * LEAST(8, GREATEST(1, n_max // n)) AS n_after
+      |      FROM c, m),
+      |t2 AS (SELECT CAST(SUM(n_after) AS BIGINT) AS total_after FROM r)
+      |SELECT source, n, n_max, rep, n_after,
+      |  n_after * 1000 // total_after AS share_after_milli
+      |FROM r, t2""".stripMargin
+
+  /** Benford first-digit audit over order totals — the fabricated-data
+    * screen finance runs on expense feeds, applied per order priority:
+    * organically-priced totals follow Benford's law closely, a
+    * synthesized or clamped feed does not. The observed per-digit
+    * milli frequency sits next to the Benford expectation
+    * (round(log10(1+1/d)·1000) — nine LITERALS embedded identically in
+    * both engines, never a runtime log) and the absolute deviation.
+    * Digit extraction is exact: first character of the BIGINT cents
+    * string — no float log, no locale formatting. Plan: one
+    * (priority, digit) partial-agg exchange (≤ priorities×9 rows),
+    * per-priority totals broadcast back. */
+  def dataBenfordAudit(s: SparkSession, dir: String): DataFrame = {
+    val cells = t(s, dir, "orders")
+      .select(col("o_orderpriority"), substring(
+        expr("cast(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint) as string)"),
+        1, 1).as("digit"))
+      .groupBy("o_orderpriority", "digit").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // feeds the total fold and the output
+    val tot = cells.groupBy("o_orderpriority").agg(sum("n").as("total"))
+    cells.join(broadcast(tot), "o_orderpriority")
+      .withColumn("obs_milli", expr("n * 1000 div total"))
+      .select(col("o_orderpriority"), col("digit"), col("n"), col("total"),
+        col("obs_milli"),
+        expr("""cast(case digit when '1' then 301 when '2' then 176
+                when '3' then 125 when '4' then 97 when '5' then 79
+                when '6' then 67 when '7' then 58 when '8' then 51
+                else 46 end as bigint)""").as("exp_milli"))
+      .withColumn("dev_milli", expr("abs(obs_milli - exp_milli)"))
+  }
+
+  private val BENFORD_SQL =
+    """WITH d AS (
+      |  SELECT o_orderpriority,
+      |    substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |      AS BIGINT) AS VARCHAR), 1, 1) AS digit
+      |  FROM orders),
+      |c AS (SELECT o_orderpriority, digit, CAST(COUNT(*) AS BIGINT) AS n
+      |      FROM d GROUP BY 1, 2),
+      |t AS (SELECT o_orderpriority, CAST(SUM(n) AS BIGINT) AS total
+      |      FROM c GROUP BY 1)
+      |SELECT c.o_orderpriority, digit, n, total,
+      |  n * 1000 // total AS obs_milli,
+      |  CAST(CASE digit WHEN '1' THEN 301 WHEN '2' THEN 176
+      |       WHEN '3' THEN 125 WHEN '4' THEN 97 WHEN '5' THEN 79
+      |       WHEN '6' THEN 67 WHEN '7' THEN 58 WHEN '8' THEN 51
+      |       ELSE 46 END AS BIGINT) AS exp_milli,
+      |  abs(n * 1000 // total
+      |    - CAST(CASE digit WHEN '1' THEN 301 WHEN '2' THEN 176
+      |           WHEN '3' THEN 125 WHEN '4' THEN 97 WHEN '5' THEN 79
+      |           WHEN '6' THEN 67 WHEN '7' THEN 58 WHEN '8' THEN 51
+      |           ELSE 46 END AS BIGINT)) AS dev_milli
+      |FROM c JOIN t ON t.o_orderpriority = c.o_orderpriority""".stripMargin
+
   /** Inter-arrival regularity per event surface — the burstiness
     * readout (is traffic steady, Poisson-ish, or clumped) behind
     * eventsGapHistogram's shape: per event_type the gap count, the
@@ -2258,6 +2347,8 @@ object Analytics {
     "events_peak_concurrency" -> (eventsPeakConcurrency _),
     "sim_cluster_cohesion" -> (simClusterCohesion _),
     "data_class_balance" -> (dataClassBalance _),
+    "data_upsample_plan" -> (dataUpsamplePlan _),
+    "data_benford_audit" -> (dataBenfordAudit _),
     "events_arrival_regularity" -> (eventsArrivalRegularity _),
     "events_weekday_profile" -> (eventsWeekdayProfile _),
     "events_top_paths" -> (eventsTopPaths _),
@@ -2308,6 +2399,8 @@ object Analytics {
     "events_peak_concurrency" -> CONCURRENCY_SQL,
     "sim_cluster_cohesion" -> COHESION_SQL,
     "data_class_balance" -> BALANCE_SQL,
+    "data_upsample_plan" -> UPSAMPLE_SQL,
+    "data_benford_audit" -> BENFORD_SQL,
     "events_arrival_regularity" -> REGULARITY_SQL,
     "events_weekday_profile" -> WEEKDAY_SQL,
     "events_top_paths" -> PATHS_SQL,

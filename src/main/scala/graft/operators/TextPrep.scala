@@ -164,6 +164,39 @@ object TextPrep {
       |       ELSE 'holdout' END AS split
       |FROM documents""".stripMargin
 
+  /** Cross-split contamination audit — the eval-integrity gate a
+    * hash split alone cannot give: [[dataSplitHash]] assigns documents
+    * independently, so two NEAR-duplicates (one crawl apart) can land
+    * on opposite sides of the train/holdout fence and leak eval
+    * answers into training. Every fuzzy near-dup pair
+    * ([[TextQueries.dedupFuzzyMatch]] — blocked, capped, lev ≤ 12)
+    * is labeled with both endpoints' splits and a `leaked` verdict;
+    * downstream curation drops the holdout twin of every leaked pair.
+    * Plan: the pair relation is bounded (Σ C(block,2) with block ≤ 64)
+    * and orders of magnitude smaller than the corpus, so both label
+    * joins broadcast it against the md5-split scan — the corpus never
+    * shuffles at all. */
+  def dataSplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val sp = dataSplitHash(s, dir)
+    val a = sp.toDF("doc_a", "split_a")
+      .join(broadcast(TextQueries.dedupFuzzyMatch(s, dir)), Seq("doc_a"))
+    sp.toDF("doc_b", "split_b").join(broadcast(a), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("lev"),
+        col("split_a"), col("split_b"),
+        (col("split_a") =!= col("split_b")).as("leaked"))
+  }
+
+  private val LEAKAGE_SQL =
+    s"""WITH pairs AS (${TextQueries.FUZZY_SQL}),
+       |sp AS (SELECT doc_id,
+       |         CASE WHEN substr(md5(text), 1, 1) <= 'd' THEN 'train'
+       |              ELSE 'holdout' END AS split
+       |       FROM documents)
+       |SELECT doc_a, doc_b, lev, sa.split AS split_a, sb.split AS split_b,
+       |  sa.split <> sb.split AS leaked
+       |FROM pairs JOIN sp sa ON sa.doc_id = doc_a
+       |JOIN sp sb ON sb.doc_id = doc_b""".stripMargin
+
   /** Corpus-frequency rarity scoring — the unigram-LM quality-signal
     * shape without the cross-engine hazard: a true logprob score sums
     * ln() outputs, and libm implementations differ in the last ulp, so
@@ -830,6 +863,7 @@ object TextPrep {
     "text_length_deciles" -> (textLengthDeciles _),
     "text_repetition" -> (textRepetition _),
     "data_split_hash" -> (dataSplitHash _),
+    "data_split_leakage" -> (dataSplitLeakage _),
     "text_rarity" -> (textRarity _),
     "data_pack_sequences" -> (dataPackSequences _))
 
@@ -850,6 +884,7 @@ object TextPrep {
     "text_length_deciles" -> DECILES_SQL,
     "text_repetition" -> REPETITION_SQL,
     "data_split_hash" -> SPLIT_SQL,
+    "data_split_leakage" -> LEAKAGE_SQL,
     "text_rarity" -> RARITY_SQL,
     "data_pack_sequences" -> PACK_SQL)
 }
