@@ -497,6 +497,53 @@ object CoreQueries {
         "s_suppkey", "s_name", "n_name")
   }
 
+  /** TPC-H Q14-shaped promo revenue share per ship month — the
+    * conditional-share TIME SERIES q09's static conditional tallies and
+    * q23's share-of-total don't produce: how much of each month's
+    * revenue moved on promoted parts? Both measures stay exact to the
+    * end: the discounted-price product has scale 4, so ×10000 lands on
+    * an integral DECIMAL and the BIGINT cast is exact on both engines
+    * (a ×100 cents cast here would hit Spark-truncate vs DuckDB-round
+    * divergence on the residual half-cent). Plan: part dim broadcast,
+    * ONE month-grain partial-agg exchange, share by one positive floor
+    * division. */
+  def q35(s: SparkSession, dir: String): DataFrame = {
+    val rev = dec2(col("l_extendedprice")) * dec2(lit(1) - col("l_discount"))
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part").select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy((year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+        .cast("long").as("ym"))
+      .agg(
+        (coalesce(sum(when(col("p_type") === "PROMO", rev)), lit(0)) * 10000)
+          .cast("bigint").as("promo_e4"),
+        (sum(rev) * 10000).cast("bigint").as("total_e4"))
+      .select(col("ym"), col("promo_e4"), col("total_e4"),
+        expr("promo_e4 * 1000 div total_e4").as("promo_share_milli"))
+  }
+
+  /** Open-order backlog time series — the interval-concurrency
+    * discipline (events_peak_concurrency's +1/−1 delta fold) applied to
+    * the relational side: an order is open from its order date until
+    * its LAST line ships, and the running delta sum is the day-grain
+    * backlog depth ops teams watch. No interval self-join ever happens:
+    * opens are a projection, closes one per-order max aggregate, and
+    * the cumulative window rides the day-grain aggregate (≤ a few
+    * thousand rows at ANY scale — the fact tables never reach the
+    * window). Exact integer days since epoch on both engines. */
+  def q36(s: SparkSession, dir: String): DataFrame = {
+    val opens = t(s, dir, "orders")
+      .select(expr("datediff(o_orderdate, date'1970-01-01')").cast("long")
+        .as("day"), lit(1L).as("delta"))
+    val closes = t(s, dir, "lineitem")
+      .groupBy("l_orderkey").agg(max("l_shipdate").as("ship"))
+      .select((expr("datediff(ship, date'1970-01-01')") + 1).cast("long")
+        .as("day"), lit(-1L).as("delta"))
+    opens.union(closes).groupBy("day").agg(sum("delta").as("delta"))
+      .withColumn("backlog", sum("delta").over(
+        Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
   def q24(s: SparkSession, dir: String): DataFrame = {
     val revenue = dec2(col("l_extendedprice")) * dec2(lit(1) - col("l_discount"))
     t(s, dir, "lineitem")
@@ -709,6 +756,8 @@ object CoreQueries {
     "q32_acctbal_percentile" -> (q32 _),
     "q33_brand_discount_lift" -> (q33 _),
     "q34_min_cost_supplier" -> (q34 _),
+    "q35_promo_share" -> (q35 _),
+    "q36_order_backlog" -> (q36 _),
     "q20_dominant_supplier" -> (q20 _),
     "q21_single_late_blame" -> (q21 _),
     "q22_prospect_share" -> (q22 _),
@@ -778,6 +827,35 @@ object CoreQueries {
         |  w.s_suppkey, s_name, n_name
         |FROM w JOIN supplier ON supplier.s_suppkey = w.s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey""".stripMargin,
+    "q35_promo_share" ->
+      s"""WITH m AS (
+         |  SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT)
+         |    AS ym,
+         |    CAST(COALESCE(SUM(CASE WHEN p_type = 'PROMO' THEN $DP END), 0)
+         |      * 10000 AS BIGINT) AS promo_e4,
+         |    CAST(SUM($DP) * 10000 AS BIGINT) AS total_e4
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  GROUP BY 1)
+         |SELECT ym, promo_e4, total_e4,
+         |  promo_e4 * 1000 // total_e4 AS promo_share_milli
+         |FROM m""".stripMargin,
+    "q36_order_backlog" ->
+      """WITH opens AS (
+        |  SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |    AS day, 1 AS delta
+        |  FROM orders),
+        |closes AS (
+        |  SELECT date_diff('day', DATE '1970-01-01',
+        |      CAST(MAX(l_shipdate) AS DATE)) + 1 AS day, -1 AS delta
+        |  FROM lineitem GROUP BY l_orderkey),
+        |d AS (SELECT CAST(day AS BIGINT) AS day, CAST(SUM(delta) AS BIGINT)
+        |        AS delta
+        |      FROM (SELECT * FROM opens UNION ALL SELECT * FROM closes)
+        |      GROUP BY 1)
+        |SELECT day, delta,
+        |  CAST(SUM(delta) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS backlog
+        |FROM d""".stripMargin,
     "q30_nation_profit" ->
       s"""SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
          |  CAST(SUM($DP) AS DOUBLE) AS revenue,

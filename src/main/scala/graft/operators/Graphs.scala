@@ -103,6 +103,22 @@ object Graphs {
         col("doc1").as("a"), col("doc2").as("b")))
       .select(col("node").as("doc_id"), col("cluster_id"))
 
+  /** Semantic near-dup clusters — [[connectedComponents]] over the k-NN
+    * SIMILARITY graph instead of [[dedupCluster]]'s lexical trigram
+    * pairs: embedding neighbors chain into clusters of documents that
+    * say the same thing in different words, the dedup pass lexical
+    * fingerprints structurally miss (and the reason both families exist:
+    * lexical CC catches re-crawls, semantic CC catches paraphrase
+    * mills). Same iterative min-label fixpoint (checkpoint-per-round,
+    * Observation-carried convergence, loud non-convergence throw); the
+    * oracle replays the closure recursively over the identical edge
+    * list. */
+  def dedupSemanticCluster(s: SparkSession, dir: String): DataFrame =
+    connectedComponents(SketchQueries.simKnnGraph(s, dir)
+      .select(col("qid").as("a"), col("vec_id").as("b"))
+      .filter(col("a") =!= col("b")))
+      .select(col("node").as("vec_id"), col("cluster_id"))
+
   /** Per-node triangle counts over an undirected edge list — the
     * local-density metric behind clustering-coefficient curation: a true
     * near-dup cluster is triangle-rich, while spurious LSH-bucket
@@ -580,6 +596,7 @@ object Graphs {
     "graph_kcore" -> (graphKcore _),
     "graph_triangles" -> (graphTriangles _),
     "graph_clustering_coeff" -> (graphClusteringCoeff _),
+    "dedup_semantic_cluster" -> (dedupSemanticCluster _),
     "graph_degree_stats" -> (graphDegreeStats _),
     "graph_degree_assortativity" -> (graphDegreeAssortativity _),
     "graph_neighbor_jaccard" -> (graphNeighborJaccard _))
@@ -614,6 +631,21 @@ object Graphs {
       s"""WITH RECURSIVE pairs AS ($pairsSql),
          |$CLOSURE_CTES
          |SELECT doc_id, cluster_id FROM clus""".stripMargin
+    },
+    "dedup_semantic_cluster" -> {
+      // CLOSURE_CTES' `e` name collides with a CTE inside the knn SQL —
+      // same closure, `s`-prefixed names
+      val knnSql = SketchQueries.oracle("sim_knn_graph")
+      s"""WITH RECURSIVE knn AS ($knnSql),
+         |se AS (SELECT qid AS a, vec_id AS b FROM knn WHERE qid <> vec_id
+         |       UNION SELECT vec_id, qid FROM knn WHERE qid <> vec_id),
+         |sr(a, b) AS (
+         |  SELECT a, b FROM se
+         |  UNION
+         |  SELECT sr.a, se.b FROM sr JOIN se ON sr.b = se.a),
+         |sclus AS (SELECT a AS vec_id, LEAST(a, MIN(b)) AS cluster_id
+         |          FROM sr GROUP BY a)
+         |SELECT vec_id, cluster_id FROM sclus""".stripMargin
     },
     "dedup_cluster_sizes" -> {
       val pairsSql = TextQueries.oracle("dedup_ngram_jaccard")
