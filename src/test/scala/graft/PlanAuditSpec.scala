@@ -210,7 +210,16 @@ class PlanAuditSpec extends SparkSpec {
     "text_quality_by_source" -> 1, // narrow projection + ≤|sources| partial agg
     "q33_brand_discount_lift" -> 1, // cells checkpointed; baseline fold, broadcast back
     "events_watermark_lag" -> 4, // bucket-max agg + ≤4096-row offsets window + in-bucket window + type agg
-    "graph_degree_stats" -> 2) // deg agg + ≤64-row bin agg over the checkpointed edges
+    "graph_degree_stats" -> 2, // deg agg + ≤64-row bin agg over the checkpointed edges
+    "events_stickiness" -> 4, // checkpointed (user,day): dau fold + period agg + mau distinct/agg
+    "graph_clustering_coeff" -> 6, // deg agg + triangle wedge/semi legs over the checkpointed edges
+    "q34_min_cost_supplier" -> 2, // (part,supp) agg + part argmin agg; part fence + dims broadcast
+    "data_split_leakage" -> 0, // bounded pair relation broadcast twice; corpus never shuffles
+    "data_upsample_plan" -> 2, // source agg + tiny unpartitioned window pair
+    "data_benford_audit" -> 1, // ONE (priority,digit) agg; totals checkpointed + broadcast
+    "q35_promo_share" -> 1, // part broadcast; ONE month-grain partial agg
+    "q36_order_backlog" -> 3, // closes agg + day agg + day-grain cumulative window
+    "dedup_semantic_cluster" -> 0) // returned plan reads the converged CC checkpoint: ZERO
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
     // the shard grid must drive the exchange (parallelism = shard count),
