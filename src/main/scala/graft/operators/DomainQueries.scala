@@ -1200,6 +1200,75 @@ object DomainQueries {
       .agg(count(lit(1)).as("n_events"),
         (max(col("ts_ns")) - min(col("ts_ns"))).as("dur_ns"))
 
+  /** Session-shape spectrum — the (duration × size) matrix over
+    * [[eventsSessionize]]'s per-session aggregates in floor-log2 bins
+    * (the freq_spectrum/degree_stats discipline: ≤ 13×13 cells at ANY
+    * corpus size): separates long-lazy sessions from short-busy bursts,
+    * the capacity-planning shape a mean session length hides. Exact
+    * integers only — minutes by floor division, bits via
+    * length(bin(x)) (both engines count leading bits identically).
+    * Plan: the session fold and per-session aggregate ride ONE user_id
+    * exchange; the bin rollup is a second, cell-bounded one. */
+  def eventsSessionStats(s: SparkSession, dir: String): DataFrame =
+    eventsSessionize(s, dir)
+      .select(
+        expr("cast(length(bin(dur_ns div 60000000000 + 1)) - 1 as bigint)")
+          .as("dur_bits"),
+        expr("cast(length(bin(n_events)) - 1 as bigint)").as("ev_bits"),
+        col("n_events"), expr("dur_ns div 60000000000").as("dur_min"))
+      .groupBy("dur_bits", "ev_bits")
+      .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("sum_events"),
+        min("dur_min").as("min_dur_min"), max("dur_min").as("max_dur_min"))
+
+  /** Hotspot adjacency (join-count spatial autocorrelation) over the
+    * 10°-grid — the clustering question density maps only imply: do
+    * above-mean cells NEIGHBOR each other more than chance? 10° (the
+    * land/sea index resolution), because the synthetic coordinate
+    * lattice never occupies ADJACENT 1°-cells (the rank-1-lattice
+    * degeneracy class CLAUDE.md documents). Hot is division-free
+    * (n_occ · n_cells > total), adjacency is the 8-cell planar
+    * neighborhood generated by an 8-offset explode (never a cell×cell
+    * join — the pair count is ≤ 8·|cells| at any scale; no
+    * antimeridian wrap, both engines agree), and the single output row
+    * carries observed hot-hot/cold-cold pair counts next to the hot
+    * share. Plan: one cell aggregate (checkpointed — both join sides
+    * and the global folds reuse it), tiny unpartitioned windows on the
+    * ≤649-row cell relation, one bounded neighbor join. */
+  def occHotspotAdjacency(s: SparkSession, dir: String): DataFrame = {
+    val wAll = Window.partitionBy()
+    val offs = Seq((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1),
+      (1, 0), (1, 1))
+      .map { case (dr, dc) => s"named_struct('dr', $dr, 'dc', $dc)" }
+      .mkString("explode(array(", ", ", "))")
+    val cells = valid(s, dir)
+      .select(cell10(col("lat"), col("lon")).as("cellid"))
+      .groupBy("cellid").agg(count(lit(1)).as("n_occ"))
+      .withColumn("total", sum("n_occ").over(wAll))
+      .withColumn("n_cells", count(lit(1)).over(wAll))
+      .withColumn("hot", (col("n_occ") * col("n_cells") > col("total"))
+        .cast("long"))
+      .withColumn("n_hot", sum("hot").over(wAll))
+      .select("cellid", "hot", "n_hot", "n_cells")
+      .localCheckpoint() // feeds both adjacency sides + the global counts
+    cells
+      .select(col("cellid"), col("hot").as("hot_a"), col("n_hot"),
+        col("n_cells"), expr(offs).as("o"))
+      .withColumn("nr", expr("cellid div 36 + o.dr"))
+      .withColumn("nc", expr("cellid % 36 + o.dc"))
+      .filter(col("nr").between(0, 18) && col("nc").between(0, 35))
+      .withColumn("ncell", expr("nr * 36 + nc"))
+      .filter(col("ncell") > col("cellid"))
+      .join(cells.select(col("cellid").as("ncell"), col("hot").as("hot_b")),
+        Seq("ncell"))
+      .agg(count(lit(1)).as("n_pairs"), sum(expr("hot_a * hot_b")).as("hh"),
+        sum(expr("(1 - hot_a) * (1 - hot_b)")).as("cc"),
+        max("n_hot").as("n_hot"), max("n_cells").as("n_cells"))
+      .select(col("n_pairs"), col("hh"), col("cc"),
+        expr("n_pairs - hh - cc").as("hc"), col("n_hot"), col("n_cells"),
+        expr("n_hot * 1000 div n_cells").as("hot_share_milli"),
+        expr("hh * 1000 div n_pairs").as("hh_share_milli"))
+  }
+
   /** Sequence-pattern match within sessions — the MATCH_RECOGNIZE /
     * funnel-analysis shape: first view → first LATER click → first LATER
     * purchase per 6h-gap session, with conversion latency. Plan: the
@@ -1260,6 +1329,8 @@ object DomainQueries {
     "events_hopping" -> (eventsHopping _),
     "events_session_window" -> (eventsSessionWindow _),
     "events_sessionize" -> (eventsSessionize _),
+    "events_session_stats" -> (eventsSessionStats _),
+    "occ_hotspot_adjacency" -> (occHotspotAdjacency _),
     "spatial_grid_density" -> (spatialGridDensity _),
     "occ_cell_diversity" -> (occCellDiversity _),
     "occ_accumulation_curve" -> (occAccumulationCurve _),
@@ -1823,6 +1894,59 @@ object DomainQueries {
         |  CASE WHEN MIN(t_purchase) IS NOT NULL
         |       THEN MIN(t_purchase) - MIN(t_view) END AS conv_ns
         |FROM s3 GROUP BY user_id, session_id""".stripMargin,
+    "events_session_stats" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 * 1000 AS ts_ns FROM events),
+        |seq AS (
+        |  SELECT user_id, ts_ns,
+        |    CASE WHEN ts_ns - LAG(ts_ns) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id)
+        |              > 21600000000000 THEN 1 ELSE 0 END AS is_new,
+        |    event_id
+        |  FROM e),
+        |ses AS (
+        |  SELECT user_id, ts_ns,
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM seq),
+        |s2 AS (SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |         MAX(ts_ns) - MIN(ts_ns) AS dur_ns
+        |       FROM ses GROUP BY 1, 2)
+        |SELECT CAST(length(bin(dur_ns // 60000000000 + 1)) - 1 AS BIGINT) AS dur_bits,
+        |  CAST(length(bin(n_events)) - 1 AS BIGINT) AS ev_bits,
+        |  CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |  CAST(SUM(n_events) AS BIGINT) AS sum_events,
+        |  MIN(dur_ns // 60000000000) AS min_dur_min,
+        |  MAX(dur_ns // 60000000000) AS max_dur_min
+        |FROM s2 GROUP BY 1, 2""".stripMargin,
+    "occ_hotspot_adjacency" -> withSql(OCC_SQL, VALID_SQL,
+      s"""cl AS (SELECT $CELL10_SQL AS cellid, CAST(COUNT(*) AS BIGINT) AS n_occ
+         |       FROM valid GROUP BY 1)""".stripMargin,
+      """g AS (SELECT CAST(SUM(n_occ) AS BIGINT) AS total,
+        |        CAST(COUNT(*) AS BIGINT) AS n_cells FROM cl)""".stripMargin,
+      """h AS (SELECT cellid,
+        |        CASE WHEN n_occ * n_cells > total THEN 1 ELSE 0 END AS hot
+        |      FROM cl, g)""".stripMargin,
+      """nh AS (SELECT CAST(SUM(hot) AS BIGINT) AS n_hot FROM h)""",
+      """offs(dr, dc) AS (
+        |  SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),
+        |                        (1,-1),(1,0),(1,1)) v(dr, dc))""".stripMargin,
+      """nbr AS (SELECT h.cellid AS ca, h.hot AS hot_a,
+        |          (h.cellid // 36 + dr) * 36 + (h.cellid % 36 + dc) AS cb
+        |        FROM h CROSS JOIN offs
+        |        WHERE h.cellid // 36 + dr BETWEEN 0 AND 18
+        |          AND h.cellid % 36 + dc BETWEEN 0 AND 35
+        |          AND (h.cellid // 36 + dr) * 36 + (h.cellid % 36 + dc)
+        |            > h.cellid)""".stripMargin,
+      """pr AS (SELECT hot_a, b.hot AS hot_b
+        |       FROM nbr JOIN h b ON b.cellid = nbr.cb)""".stripMargin,
+      """agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |          CAST(SUM(hot_a * hot_b) AS BIGINT) AS hh,
+        |          CAST(SUM((1 - hot_a) * (1 - hot_b)) AS BIGINT) AS cc
+        |        FROM pr)""".stripMargin)(
+      """SELECT n_pairs, hh, cc, n_pairs - hh - cc AS hc, n_hot,
+        |  (SELECT n_cells FROM g) AS n_cells,
+        |  n_hot * 1000 // (SELECT n_cells FROM g) AS hot_share_milli,
+        |  hh * 1000 // n_pairs AS hh_share_milli
+        |FROM agg, nh""".stripMargin),
     "events_sessionize" ->
       """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 * 1000 AS ts_ns FROM events),
         |seq AS (

@@ -517,6 +517,31 @@ object SketchQueries {
         octet_length(col("text")).cast("long").as("n_bytes"))
   }
 
+  /** Tokenizer fertility per source — the budget planner's bridge
+    * between corpus bytes and model tokens: BPE tokens per whitespace
+    * word (a fertility near 1000 milli means the tokenizer treats the
+    * source as in-distribution; boilerplate or unseen scripts fragment
+    * into far more pieces) and bytes per BPE token, both exact floor
+    * ratios over per-source sums. Token counts come from the SAME
+    * native bpe_encode Expression as [[textBpeTokens]] (codegen'd,
+    * scan-bound) and the oracle replays the identical greedy merges.
+    * Plan: narrow projection + ONE |sources|-row partial aggregate. */
+  def dataTokenizerFertility(s: SparkSession, dir: String): DataFrame = {
+    register(s)
+    t(s, dir, "documents")
+      .select(col("source"),
+        expr("size(bpe_encode(text))").cast("long").as("nb"),
+        size(split(col("text"), " ")).cast("long").as("nw"),
+        octet_length(col("text")).cast("long").as("nbytes"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("nb").as("n_bpe"),
+        sum("nw").as("n_words"), sum("nbytes").as("n_bytes"))
+      .select(col("source"), col("n_docs"), col("n_bpe"), col("n_words"),
+        col("n_bytes"),
+        expr("n_bpe * 1000 div n_words").as("fertility_milli"),
+        expr("n_bytes * 1000 div n_bpe").as("bytes_per_token_milli"))
+  }
+
   /** Content-defined chunking over documents via the native cdc_chunks
     * Expression: variable-size chunks whose boundaries follow content
     * (rolling-hash ≡ 0 mod 64 over a 16-byte window), the primitive under
@@ -618,7 +643,8 @@ object SketchQueries {
     "dedup_winnow_pairs" -> (dedupWinnowPairs _),
     "range_convex_hull" -> (rangeConvexHull _),
     "text_fingerprint" -> (textFingerprint _),
-    "text_bpe_tokens" -> (textBpeTokens _))
+    "text_bpe_tokens" -> (textBpeTokens _),
+    "data_tokenizer_fertility" -> (dataTokenizerFertility _))
 
   /** The md5+xor family makes the whole MinHash+LSH pipeline — signature,
     * band candidates, estimate, threshold — recomputable in DuckDB. The
@@ -676,6 +702,36 @@ object SketchQueries {
       |      AS BIGINT) AS rank
       |  FROM sims) WHERE rank <= 10""".stripMargin
 
+  /** The greedy BPE merge replay (recursive CTE over per-word id lists),
+    * shared by the text_bpe_tokens oracle and the fertility rollup. */
+  private lazy val BPE_TOKENS_SQL: String =
+    s"""WITH RECURSIVE w AS (
+       |  SELECT doc_id, generate_subscripts(str_split(text, ' '), 1) AS wi,
+       |         unnest(str_split(text, ' ')) AS word
+       |  FROM documents),
+       |sp AS (SELECT doc_id, len(str_split(text, ' ')) - 1 AS n_sp,
+       |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents),
+       |init AS (
+       |  SELECT doc_id, wi,
+       |    ${hexByteList("BIGINT")} AS ids
+       |  FROM (SELECT doc_id, wi, hex(encode(word)) AS hx FROM w WHERE word <> '')),
+       |merged AS (
+       |  SELECT doc_id, wi, ids FROM init
+       |  UNION ALL
+       |  SELECT doc_id, wi, ids[:p-1] || [b] || ids[p+2:] AS ids
+       |  FROM (SELECT doc_id, wi, ids, list_min(cand) AS b,
+       |               list_position(cand, list_min(cand)) AS p
+       |        FROM (SELECT doc_id, wi, ids, $bpeCand AS cand FROM merged))
+       |  WHERE b IS NOT NULL),
+       |fin AS (
+       |  SELECT doc_id, wi, len(ids) AS n
+       |  FROM (SELECT doc_id, wi, ids, $bpeCand AS cand FROM merged)
+       |  WHERE list_min(cand) IS NULL),
+       |wsum AS (SELECT doc_id, CAST(COALESCE(SUM(n), 0) AS BIGINT) AS nw
+       |         FROM fin GROUP BY doc_id)
+       |SELECT s.doc_id, CAST(COALESCE(w2.nw, 0) + s.n_sp AS BIGINT) AS n_bpe, s.n_bytes
+       |FROM sp s LEFT JOIN wsum w2 ON s.doc_id = w2.doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "data_bloom_gate" -> BLOOM_SQL,
     // Every window hash is replayed INDEPENDENTLY (list_reduce over the
@@ -712,33 +768,20 @@ object SketchQueries {
     // mirror `hit < bestId` keeping the first hit), terminal states are
     // the rows with no mergeable pair, and spaces (byte 32) re-enter as
     // len(split)-1 singleton tokens exactly like the kernel emits them.
-    "text_bpe_tokens" ->
-      s"""WITH RECURSIVE w AS (
-         |  SELECT doc_id, generate_subscripts(str_split(text, ' '), 1) AS wi,
-         |         unnest(str_split(text, ' ')) AS word
-         |  FROM documents),
-         |sp AS (SELECT doc_id, len(str_split(text, ' ')) - 1 AS n_sp,
-         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents),
-         |init AS (
-         |  SELECT doc_id, wi,
-         |    ${hexByteList("BIGINT")} AS ids
-         |  FROM (SELECT doc_id, wi, hex(encode(word)) AS hx FROM w WHERE word <> '')),
-         |merged AS (
-         |  SELECT doc_id, wi, ids FROM init
-         |  UNION ALL
-         |  SELECT doc_id, wi, ids[:p-1] || [b] || ids[p+2:] AS ids
-         |  FROM (SELECT doc_id, wi, ids, list_min(cand) AS b,
-         |               list_position(cand, list_min(cand)) AS p
-         |        FROM (SELECT doc_id, wi, ids, $bpeCand AS cand FROM merged))
-         |  WHERE b IS NOT NULL),
-         |fin AS (
-         |  SELECT doc_id, wi, len(ids) AS n
-         |  FROM (SELECT doc_id, wi, ids, $bpeCand AS cand FROM merged)
-         |  WHERE list_min(cand) IS NULL),
-         |wsum AS (SELECT doc_id, CAST(COALESCE(SUM(n), 0) AS BIGINT) AS nw
-         |         FROM fin GROUP BY doc_id)
-         |SELECT s.doc_id, CAST(COALESCE(w2.nw, 0) + s.n_sp AS BIGINT) AS n_bpe, s.n_bytes
-         |FROM sp s LEFT JOIN wsum w2 ON s.doc_id = w2.doc_id""".stripMargin,
+    "text_bpe_tokens" -> BPE_TOKENS_SQL,
+    "data_tokenizer_fertility" ->
+      // the BPE replay nests as a derived table; words/bytes re-derive
+      // from documents so the per-source sums share one scan
+      s"""SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(b.n_bpe) AS BIGINT) AS n_bpe,
+         |  CAST(SUM(len(str_split(d.text, ' '))) AS BIGINT) AS n_words,
+         |  CAST(SUM(octet_length(encode(d.text))) AS BIGINT) AS n_bytes,
+         |  CAST(SUM(b.n_bpe) * 1000
+         |    // SUM(len(str_split(d.text, ' '))) AS BIGINT) AS fertility_milli,
+         |  CAST(SUM(octet_length(encode(d.text))) * 1000
+         |    // SUM(b.n_bpe) AS BIGINT) AS bytes_per_token_milli
+         |FROM ($BPE_TOKENS_SQL) b JOIN documents d USING (doc_id)
+         |GROUP BY 1""".stripMargin,
     // The polynomial rolling hash h = (h*31 + byte) mod 2^61-1 is exact
     // integer arithmetic: DuckDB replays it over the UTF-8 bytes (via the
     // hex encoding) in HUGEINT space with list_reduce — h*31+b < 2^66
