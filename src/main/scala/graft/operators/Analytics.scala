@@ -266,6 +266,60 @@ object Analytics {
       |  CAST(total * 1000 // (sumsq // total) AS BIGINT) AS ess_class_milli
       |FROM c, t""".stripMargin
 
+  /** Cross-metric rate correlation — the which-signals-move-TOGETHER
+    * readout next to events_rate_autocorr's self-lag: for every pair of
+    * event types, the regression slope of one hourly rate on the other
+    * over their co-active hours, on the exact integer OLS lattice
+    * (n·Σxy − ΣxΣy over n·Σxx − Σx², sign + abs milli — the
+    * degree_assortativity discipline; no float ever accumulates). A
+    * strongly coupled pair (errors track retries) points at shared
+    * cause; a flat one rules it out. Plan: ONE (type, hour) partial
+    * aggregate (checkpointed — both self-join sides read it), the pair
+    * join keyed on hour, and a ≤|types|²-row final fold. */
+  def eventsRateXcorr(s: SparkSession, dir: String): DataFrame = {
+    val hourly = DomainQueries.events(s, dir)
+      .groupBy(col("event_type"), expr("ts_ns div 3600000000000").as("hour"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // both pair sides read it
+    hourly.toDF("type_a", "hour", "x")
+      .join(hourly.toDF("type_b", "h2", "y"),
+        col("h2") === col("hour") && col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("n_hours"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
+      .select(col("type_a"), col("type_b"), col("n_hours"), col("sx"),
+        col("sy"), col("sxy"),
+        expr("n_hours * sxy - sx * sy").as("cov_n"),
+        expr("cast(case when n_hours * sxy - sx * sy < 0 then -1 else 1 end as bigint)")
+          .as("slope_sign"),
+        expr("""case when n_hours * sxx - sx * sx = 0 then 0
+                else abs(n_hours * sxy - sx * sy) * 1000
+                  div (n_hours * sxx - sx * sx) end""").as("abs_slope_milli"))
+  }
+
+  private val XCORR_SQL =
+    """WITH e AS (SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour
+      |           FROM events),
+      |h AS (SELECT event_type, hour, CAST(COUNT(*) AS BIGINT) AS n
+      |      FROM e GROUP BY 1, 2),
+      |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |        a.n AS x, b.n AS y
+      |      FROM h a JOIN h b ON a.hour = b.hour
+      |        AND a.event_type < b.event_type),
+      |s AS (SELECT type_a, type_b, CAST(COUNT(*) AS BIGINT) AS n_hours,
+      |        CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |        CAST(SUM(x * y) AS BIGINT) AS sxy,
+      |        CAST(SUM(x * x) AS BIGINT) AS sxx
+      |      FROM p GROUP BY 1, 2)
+      |SELECT type_a, type_b, n_hours, sx, sy, sxy,
+      |  n_hours * sxy - sx * sy AS cov_n,
+      |  CAST(CASE WHEN n_hours * sxy - sx * sy < 0 THEN -1 ELSE 1 END
+      |    AS BIGINT) AS slope_sign,
+      |  CASE WHEN n_hours * sxx - sx * sx = 0 THEN 0
+      |       ELSE abs(n_hours * sxy - sx * sy) * 1000
+      |         // (n_hours * sxx - sx * sx) END AS abs_slope_milli
+      |FROM s""".stripMargin
+
   /** Upsampling plan toward class balance — the mixture intervention
     * [[dataClassBalance]] only measures: per source class, the integer
     * replication factor that lifts it toward the LARGEST class
@@ -2336,6 +2390,7 @@ object Analytics {
     "events_hazard_rate" -> (eventsHazardRate _),
     "events_error_budget" -> (eventsErrorBudget _),
     "events_rate_autocorr" -> (eventsRateAutocorr _),
+    "events_rate_xcorr" -> (eventsRateXcorr _),
     "events_seasonal_naive" -> (eventsSeasonalNaive _),
     "events_flap_rate" -> (eventsFlapRate _),
     "events_ab_lift" -> (eventsAbLift _),
@@ -2388,6 +2443,7 @@ object Analytics {
     "events_hazard_rate" -> HAZARD_SQL,
     "events_error_budget" -> BUDGET_SQL,
     "events_rate_autocorr" -> AUTOCORR_SQL,
+    "events_rate_xcorr" -> XCORR_SQL,
     "events_seasonal_naive" -> SEASONAL_SQL,
     "events_flap_rate" -> FLAP_SQL,
     "events_ab_lift" -> AB_SQL,

@@ -372,6 +372,40 @@ object SketchQueries {
         .select(col("qid"), col("nid").as("vec_id"), dot.as("dot")), 5)
   }
 
+  /** Similarity-threshold sweep over the k-NN pair graph — the
+    * dial-tuning readout every near-dup pass needs BEFORE committing to
+    * a cosine cutoff: at each of ten thresholds, how many candidate
+    * pairs survive and how many distinct documents they touch. Scores
+    * ride the SAME hash-matched dot doubles as [[simKnnGraph]], then
+    * quantize once onto the 2^20 fixed-point lattice (identical floor
+    * on both engines); thresholds are t·2^20 div 10 integer literals —
+    * the compare never happens in float space. Plan: the deduped pair
+    * relation is checkpointed (pair counts and endpoint-distinct folds
+    * both consume it); everything after the explode is ≤10-row or
+    * (10 × docs)-bounded aggregates. */
+  def simThresholdSweep(s: SparkSession, dir: String): DataFrame = {
+    val pairs = simKnnGraph(s, dir)
+      .select(least(col("qid"), col("vec_id")).as("a"),
+        greatest(col("qid"), col("vec_id")).as("b"), col("dot"))
+      .groupBy("a", "b").agg(max("dot").as("dot"))
+      .select(col("a"), col("b"),
+        expr("cast(floor(dot * 1048576) as bigint)").as("dot_fp"))
+      .localCheckpoint() // feeds the pair fold and the endpoint fold
+    val swept = pairs
+      .select(col("a"), col("b"), col("dot_fp"),
+        explode(expr("sequence(0L, 9L)")).as("t"))
+      .filter(col("dot_fp") >= expr("t * 1048576 div 10"))
+      .localCheckpoint() // feeds both rollups below
+    val np = swept.groupBy("t").agg(count(lit(1)).as("n_pairs"))
+    val nd = swept
+      .select(col("t"), explode(array(col("a"), col("b"))).as("doc"))
+      .distinct()
+      .groupBy("t").agg(count(lit(1)).as("n_docs"))
+    np.join(nd, Seq("t"))
+      .select(expr("t * 100").as("thresh_milli"), col("n_pairs"),
+        col("n_docs"))
+  }
+
   /** Winnowing document fingerprint (the MOSS scheme): hash every
     * 3-token shingle, slide a window of 4 hashes, keep each window's min
     * — any shared token run of length ≥ 6 between two documents is then
@@ -639,6 +673,7 @@ object SketchQueries {
     "sim_bucket_audit" -> (simBucketAudit _),
     "sim_ivf_topk" -> (ivfTopk _),
     "sim_knn_graph" -> (simKnnGraph _),
+    "sim_threshold_sweep" -> (simThresholdSweep _),
     "text_winnowing" -> (textWinnowing _),
     "dedup_winnow_pairs" -> (dedupWinnowPairs _),
     "range_convex_hull" -> (rangeConvexHull _),
@@ -701,6 +736,32 @@ object SketchQueries {
       |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id)
       |      AS BIGINT) AS rank
       |  FROM sims) WHERE rank <= 10""".stripMargin
+
+  /** The k-NN graph replay (bucketed dot top-5), shared by the
+    * sim_knn_graph oracle, the threshold sweep, and the graph-family
+    * oracles in [[Graphs]]. */
+  private lazy val KNN_GRAPH_SQL: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |d AS (SELECT e.vec_id, p,
+      |        list_dot_product(v, list_transform(generate_series(0, 63),
+      |          j -> CAST((p * 131 + j * 31) % 19 - 9 AS DOUBLE))) AS dp
+      |      FROM e CROSS JOIN generate_series(0, 5) t(p)),
+      |bkt AS (SELECT vec_id,
+      |          CAST(SUM(CASE WHEN dp > 0 THEN (1::BIGINT << (5 - p)) ELSE 0 END)
+      |            AS BIGINT) AS bucket
+      |        FROM d GROUP BY vec_id),
+      |eb AS (SELECT e.vec_id, v, bucket FROM e JOIN bkt USING (vec_id)
+      |       WHERE bucket IN (SELECT bucket FROM bkt
+      |                        GROUP BY bucket HAVING COUNT(*) <= 4096)),
+      |sims AS (SELECT a.vec_id AS qid, b.vec_id AS vec_id,
+      |           list_dot_product(a.v, b.v) AS dot
+      |         FROM eb a JOIN eb b
+      |           ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+      |SELECT qid, vec_id, dot, rank FROM (
+      |  SELECT qid, vec_id, dot,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id)
+      |      AS BIGINT) AS rank
+      |  FROM sims) WHERE rank <= 5""".stripMargin
 
   /** The greedy BPE merge replay (recursive CTE over per-word id lists),
     * shared by the text_bpe_tokens oracle and the fertility rollup. */
@@ -879,28 +940,24 @@ object SketchQueries {
           |  CASE WHEN a.raw IS NULL OR a.raw = 0
           |       THEN 'Insufficient points for convex hull' END AS note
           |FROM cnt c LEFT JOIN area a USING (species)""".stripMargin),
-    "sim_knn_graph" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |d AS (SELECT e.vec_id, p,
-        |        list_dot_product(v, list_transform(generate_series(0, 63),
-        |          j -> CAST((p * 131 + j * 31) % 19 - 9 AS DOUBLE))) AS dp
-        |      FROM e CROSS JOIN generate_series(0, 5) t(p)),
-        |bkt AS (SELECT vec_id,
-        |          CAST(SUM(CASE WHEN dp > 0 THEN (1::BIGINT << (5 - p)) ELSE 0 END)
-        |            AS BIGINT) AS bucket
-        |        FROM d GROUP BY vec_id),
-        |eb AS (SELECT e.vec_id, v, bucket FROM e JOIN bkt USING (vec_id)
-        |       WHERE bucket IN (SELECT bucket FROM bkt
-        |                        GROUP BY bucket HAVING COUNT(*) <= 4096)),
-        |sims AS (SELECT a.vec_id AS qid, b.vec_id AS vec_id,
-        |           list_dot_product(a.v, b.v) AS dot
-        |         FROM eb a JOIN eb b
-        |           ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
-        |SELECT qid, vec_id, dot, rank FROM (
-        |  SELECT qid, vec_id, dot,
-        |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id)
-        |      AS BIGINT) AS rank
-        |  FROM sims) WHERE rank <= 5""".stripMargin,
+    "sim_knn_graph" -> KNN_GRAPH_SQL,
+    "sim_threshold_sweep" -> {
+      val knnSql = KNN_GRAPH_SQL
+      s"""WITH knn AS ($knnSql),
+         |pr AS (SELECT LEAST(qid, vec_id) AS a, GREATEST(qid, vec_id) AS b,
+         |         CAST(FLOOR(MAX(dot) * 1048576) AS BIGINT) AS dot_fp
+         |       FROM knn GROUP BY 1, 2),
+         |sw AS (SELECT a, b, dot_fp, t
+         |       FROM pr CROSS JOIN generate_series(0, 9) g(t)
+         |       WHERE dot_fp >= t * 1048576 // 10),
+         |np AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |       FROM sw GROUP BY 1),
+         |nd AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_docs FROM (
+         |         SELECT DISTINCT t, unnest([a, b]) AS doc FROM sw)
+         |       GROUP BY 1)
+         |SELECT CAST(np.t * 100 AS BIGINT) AS thresh_milli, n_pairs, n_docs
+         |FROM np JOIN nd ON nd.t = np.t""".stripMargin
+    },
     "text_winnowing" ->
       s"""WITH $WINNOW_CTE
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,

@@ -57,6 +57,55 @@ object TextQueries {
           .otherwise(0.0))
   }
 
+  /** Quality-threshold survival curve — the curation dial [[textQuality]]
+    * only scores: at each quality decile, how many documents and (more
+    * importantly) how many TOKENS survive a "keep everything at or above
+    * this bin" cut? The integer quality lattice q_milli =
+    * least(nt,100)·10·nd div nt replays textQuality's
+    * min(nt/100,1)·(nd/nt) signal without its float detour, so the whole
+    * curve is exact BIGINTs. Plan: one narrow codegen projection + a
+    * ≤10-row bin aggregate; the survival cumulation and the total ride
+    * tiny windows over those 10 rows. */
+  def dataQualityMassCurve(s: SparkSession, dir: String): DataFrame = {
+    val ts = tokens(col("text"))
+    val wAll = Window.partitionBy()
+    val wCum = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "documents")
+      .select(size(ts).cast("long").as("nt"),
+        size(array_distinct(ts)).cast("long").as("nd"))
+      .filter(col("nt") > 0)
+      .select(expr("least(least(nt, 100) * 10 * nd div nt div 100, 9)")
+        .as("bin"), col("nt"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum("nt").as("token_mass"))
+      .withColumn("cum_docs", sum("n_docs").over(wCum))
+      .withColumn("cum_tokens", sum("token_mass").over(wCum))
+      .withColumn("total_tokens", sum("token_mass").over(wAll))
+      .select(col("bin"), col("n_docs"), col("token_mass"), col("cum_docs"),
+        col("cum_tokens"),
+        expr("cum_tokens * 1000 div total_tokens").as("cum_token_share_milli"))
+  }
+
+  private val QUALITY_CURVE_SQL =
+    """WITH d AS (
+      |  SELECT CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS nt,
+      |    CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')))
+      |      AS BIGINT) AS nd
+      |  FROM documents),
+      |b AS (SELECT LEAST(LEAST(nt, 100) * 10 * nd // nt // 100, 9) AS bin, nt
+      |      FROM d WHERE nt > 0),
+      |c AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |        CAST(SUM(nt) AS BIGINT) AS token_mass
+      |      FROM b GROUP BY 1)
+      |SELECT bin, n_docs, token_mass,
+      |  CAST(SUM(n_docs) OVER w AS BIGINT) AS cum_docs,
+      |  CAST(SUM(token_mass) OVER w AS BIGINT) AS cum_tokens,
+      |  CAST(SUM(token_mass) OVER w AS BIGINT) * 1000
+      |    // CAST(SUM(token_mass) OVER () AS BIGINT) AS cum_token_share_milli
+      |FROM c
+      |WINDOW w AS (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING)""".stripMargin
+
   /** Per-source curation dashboard — the "which feed is garbage" rollup
     * that decides sampling weights and kill-lists upstream of any mixing:
     * per source, doc/token/distinct-token mass, the pooled type-token
@@ -674,6 +723,7 @@ object TextQueries {
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
+    "data_quality_mass_curve" -> (dataQualityMassCurve _),
     "text_quality_by_source" -> (textQualityBySource _),
     "text_readability" -> (textReadability _),
     "text_langid" -> (textLangid _),
@@ -689,6 +739,7 @@ object TextQueries {
     "dedup_chunk_level" -> (dedupChunkLevel _))
 
   val oracle: Map[String, String] = Map(
+    "data_quality_mass_curve" -> QUALITY_CURVE_SQL,
     "text_quality_by_source" -> QUALITY_SOURCE_SQL,
     "dedup_doc_prefix" -> PREFIX_SQL,
     "dedup_incremental_exact" -> INCREMENTAL_SQL,
