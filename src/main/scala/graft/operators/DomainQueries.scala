@@ -1200,6 +1200,25 @@ object DomainQueries {
       .agg(count(lit(1)).as("n_events"),
         (max(col("ts_ns")) - min(col("ts_ns"))).as("dur_ns"))
 
+  /** Good–Turing sample coverage per 1°-cell — the "how much of this
+    * cell's community have we actually SEEN" estimate next to
+    * occ_chao1_richness's missing-species count: coverage ≈ 1 − f₁/n
+    * (f₁ = species observed exactly once), shipped as exact milli
+    * (1000 − f₁·1000 div n, positive floor division both engines
+    * replay). A cell at 990 is well-surveyed; one at 500 says half its
+    * next samples will be new species. Plan: the (cell, species) count
+    * partial-aggregates map-side, then ONE cell-grain rollup — the
+    * chao1 plan shape. */
+  def occSampleCoverage(s: SparkSession, dir: String): DataFrame =
+    valid(s, dir)
+      .select(cell1(col("lat"), col("lon")).as("cellid"), col("species"))
+      .groupBy("cellid", "species").agg(count(lit(1)).as("ns"))
+      .groupBy("cellid")
+      .agg(sum("ns").as("n_occ"), count(lit(1)).as("n_species"),
+        sum(when(col("ns") === 1, 1L).otherwise(0L)).as("f1"))
+      .select(col("cellid"), col("n_occ"), col("n_species"), col("f1"),
+        expr("1000 - f1 * 1000 div n_occ").as("coverage_milli"))
+
   /** Session-shape spectrum — the (duration × size) matrix over
     * [[eventsSessionize]]'s per-session aggregates in floor-log2 bins
     * (the freq_spectrum/degree_stats discipline: ≤ 13×13 cells at ANY
@@ -1331,6 +1350,7 @@ object DomainQueries {
     "events_sessionize" -> (eventsSessionize _),
     "events_session_stats" -> (eventsSessionStats _),
     "occ_hotspot_adjacency" -> (occHotspotAdjacency _),
+    "occ_sample_coverage" -> (occSampleCoverage _),
     "spatial_grid_density" -> (spatialGridDensity _),
     "occ_cell_diversity" -> (occCellDiversity _),
     "occ_accumulation_curve" -> (occAccumulationCurve _),
@@ -1917,6 +1937,16 @@ object DomainQueries {
         |  MIN(dur_ns // 60000000000) AS min_dur_min,
         |  MAX(dur_ns // 60000000000) AS max_dur_min
         |FROM s2 GROUP BY 1, 2""".stripMargin,
+    "occ_sample_coverage" -> withSql(OCC_SQL, VALID_SQL,
+      s"""cs AS (SELECT $CELL1_SQL AS cellid, species,
+         |         CAST(COUNT(*) AS BIGINT) AS ns
+         |       FROM valid GROUP BY 1, 2)""".stripMargin)(
+      """SELECT cellid, CAST(SUM(ns) AS BIGINT) AS n_occ,
+        |  CAST(COUNT(*) AS BIGINT) AS n_species,
+        |  CAST(SUM(CASE WHEN ns = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        |  1000 - CAST(SUM(CASE WHEN ns = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000 // CAST(SUM(ns) AS BIGINT) AS coverage_milli
+        |FROM cs GROUP BY cellid""".stripMargin),
     "occ_hotspot_adjacency" -> withSql(OCC_SQL, VALID_SQL,
       s"""cl AS (SELECT $CELL10_SQL AS cellid, CAST(COUNT(*) AS BIGINT) AS n_occ
          |       FROM valid GROUP BY 1)""".stripMargin,

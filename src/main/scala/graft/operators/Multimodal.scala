@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables.t
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: image/audio/video payloads as opaque
@@ -128,6 +129,43 @@ object Multimodal {
       .agg(count(lit(1)).as("n_media"), sum("nb").as("byte_mass"),
         min("nb").as("min_bytes"), max("nb").as("max_bytes"))
 
+  /** Media inventory per feed — the (source × kind) mix table a
+    * multimodal ingest dashboard leads with: how many blobs and bytes
+    * each feed contributes per modality, plus each kind's byte share
+    * WITHIN its feed (exact milli — per-source totals ride a tiny
+    * window over the ≤|sources|×3-row aggregate, never the blob scan).
+    * Payload bytes never shuffle: the narrow projection drops them to a
+    * length before the ONE partial-agg exchange. */
+  def multimodalSourceMix(s: SparkSession, dir: String): DataFrame = {
+    val wSrc = Window.partitionBy("format")
+    fromDocuments(s, dir).toDF()
+      .select(col("meta.format").as("format"), col("kind"),
+        expr("cast(length(payload) as bigint)").as("nb"))
+      .groupBy("format", "kind")
+      .agg(count(lit(1)).as("n_media"), sum("nb").as("byte_mass"))
+      .withColumn("src_bytes", sum("byte_mass").over(wSrc))
+      .select(col("format"), col("kind"), col("n_media"), col("byte_mass"),
+        col("src_bytes"),
+        expr("byte_mass * 1000 div src_bytes").as("byte_share_milli"))
+  }
+
+  private val SOURCE_MIX_SQL =
+    """WITH b AS (
+      |  SELECT source AS format,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS nb
+      |  FROM documents),
+      |c AS (SELECT format, kind, CAST(COUNT(*) AS BIGINT) AS n_media,
+      |        CAST(SUM(nb) AS BIGINT) AS byte_mass
+      |      FROM b GROUP BY 1, 2)
+      |SELECT format, kind, n_media, byte_mass,
+      |  CAST(SUM(byte_mass) OVER (PARTITION BY format) AS BIGINT) AS src_bytes,
+      |  byte_mass * 1000
+      |    // CAST(SUM(byte_mass) OVER (PARTITION BY format) AS BIGINT)
+      |    AS byte_share_milli
+      |FROM c""".stripMargin
+
   private val SIZE_SPECTRUM_SQL =
     """WITH b AS (
       |  SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
@@ -223,6 +261,7 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_size_spectrum" -> (multimodalSizeSpectrum _),
+    "multimodal_source_mix" -> (multimodalSourceMix _),
     "multimodal_dedup_bytes" -> (multimodalDedupBytes _),
     "multimodal_chunk_dedup" -> (multimodalChunkDedup _),
     "multimodal_frame_sample" -> (multimodalFrameSample _))
@@ -272,6 +311,7 @@ object Multimodal {
   val oracle: Map[String, String] = Map(
     "multimodal_chunk_dedup" -> CHUNK_SQL,
     "multimodal_size_spectrum" -> SIZE_SPECTRUM_SQL,
+    "multimodal_source_mix" -> SOURCE_MIX_SQL,
     "multimodal_dedup_bytes" ->
       """WITH m AS (
         |  SELECT doc_id AS media_id, text FROM documents
