@@ -266,6 +266,85 @@ object Analytics {
       |  CAST(total * 1000 // (sumsq // total) AS BIGINT) AS ess_class_milli
       |FROM c, t""".stripMargin
 
+  /** Daily HLL sketches merged into a period union — the MERGEABILITY
+    * demo that is the entire point of sketches on a cluster: per-day
+    * 64-register sketches (q14's deterministic md5 lattice) combine
+    * into the 30-day-period estimate by a register-wise MAX — no rescan
+    * of the raw stream — and the row ships that union next to the naive
+    * sum of daily estimates (which double-counts returning users) and
+    * the exact distinct count (the error yardstick). All register math
+    * is exact BIGINT; each estimate spends exactly ONE double division
+    * on an integer w (identical IEEE both engines, the q14 discipline);
+    * daily estimates cross the day→period fold as exact FLOORED
+    * integers so no float ever sums. Plan: one (day, reg) partial agg
+    * (checkpointed — the daily fold and the month merge both read it);
+    * every later stage is day- or period-grain. */
+  def eventsHllDailyUnion(s: SparkSession, dir: String): DataFrame = {
+    val h =
+      "cast(conv(substring(md5(cast(cast(user_id as string) as binary)), 1, 15), 16, 10) as bigint)"
+    val est = lit(0.709 * 64 * 64 * 36028797018963968.0) / col("w").cast("double")
+    val wAgg = (sum(expr("shiftleft(1L, 55 - rho)")) +
+      (lit(64L) - count(lit(1))) * lit(36028797018963968L)).as("w")
+    val dayreg = DomainQueries.events(s, dir)
+      .select(expr(s"ts_ns div $DAY_NS").as("day"), expr(h).as("h"))
+      .select(col("day"), expr("h & 63").as("reg"),
+        expr("case when shiftright(h, 6) = 0 then 55" +
+          " else 55 - length(bin(shiftright(h, 6))) end").as("rho"))
+      .groupBy("day", "reg").agg(max("rho").as("rho"))
+      .localCheckpoint() // feeds the daily fold AND the period merge
+    val daily = dayreg.groupBy("day").agg(wAgg)
+      .select(expr("day div 30").as("period"),
+        floor(est).cast("long").as("est_floor"))
+      .groupBy("period")
+      .agg(count(lit(1)).as("n_days"),
+        sum("est_floor").as("sum_daily_est_floor"))
+    val union = dayreg.withColumn("period", expr("day div 30"))
+      .groupBy("period", "reg").agg(max("rho").as("rho"))
+      .groupBy("period").agg(wAgg)
+      .select(col("period"), est.as("union_est"))
+    val exact = DomainQueries.events(s, dir)
+      .select(expr(s"ts_ns div $DAY_NS div 30").as("period"), col("user_id"))
+      .distinct().groupBy("period").agg(count(lit(1)).as("exact_users"))
+    daily.join(union, Seq("period")).join(exact, Seq("period"))
+  }
+
+  private val HLL_UNION_SQL =
+    s"""WITH e AS (SELECT user_id, epoch_ns(ts) // $DAY_NS AS day FROM events),
+       |hh AS (SELECT day,
+       |         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+       |       FROM e),
+       |r AS (SELECT day, h & 63 AS reg,
+       |        CASE WHEN (h >> 6) = 0 THEN 55
+       |             ELSE 55 - length(bin(h >> 6)) END AS rho
+       |      FROM hh),
+       |dr AS (SELECT day, reg, MAX(rho) AS rho FROM r GROUP BY 1, 2),
+       |dw AS (SELECT day, SUM(1::BIGINT << (55 - rho))
+       |         + (64 - COUNT(*)) * (1::BIGINT << 55) AS w
+       |       FROM dr GROUP BY 1),
+       |de AS (SELECT day // 30 AS period,
+       |         CAST(FLOOR(CAST(0.709 AS DOUBLE) * 64 * 64
+       |           * CAST(36028797018963968 AS DOUBLE) / CAST(w AS DOUBLE))
+       |           AS BIGINT) AS est_floor
+       |       FROM dw),
+       |dd AS (SELECT period, CAST(COUNT(*) AS BIGINT) AS n_days,
+       |         CAST(SUM(est_floor) AS BIGINT) AS sum_daily_est_floor
+       |       FROM de GROUP BY 1),
+       |mr AS (SELECT day // 30 AS period, reg, MAX(rho) AS rho
+       |       FROM dr GROUP BY 1, 2),
+       |mw AS (SELECT period, SUM(1::BIGINT << (55 - rho))
+       |         + (64 - COUNT(*)) * (1::BIGINT << 55) AS w
+       |       FROM mr GROUP BY 1),
+       |mu AS (SELECT period, CAST(0.709 AS DOUBLE) * 64 * 64
+       |         * CAST(36028797018963968 AS DOUBLE) / CAST(w AS DOUBLE)
+       |         AS union_est
+       |       FROM mw),
+       |ex AS (SELECT day // 30 AS period,
+       |         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+       |       FROM e GROUP BY 1)
+       |SELECT dd.period, n_days, sum_daily_est_floor, union_est, exact_users
+       |FROM dd JOIN mu ON mu.period = dd.period
+       |JOIN ex ON ex.period = dd.period""".stripMargin
+
   /** Cross-metric rate correlation — the which-signals-move-TOGETHER
     * readout next to events_rate_autocorr's self-lag: for every pair of
     * event types, the regression slope of one hourly rate on the other
@@ -2391,6 +2470,7 @@ object Analytics {
     "events_error_budget" -> (eventsErrorBudget _),
     "events_rate_autocorr" -> (eventsRateAutocorr _),
     "events_rate_xcorr" -> (eventsRateXcorr _),
+    "events_hll_daily_union" -> (eventsHllDailyUnion _),
     "events_seasonal_naive" -> (eventsSeasonalNaive _),
     "events_flap_rate" -> (eventsFlapRate _),
     "events_ab_lift" -> (eventsAbLift _),
@@ -2444,6 +2524,7 @@ object Analytics {
     "events_error_budget" -> BUDGET_SQL,
     "events_rate_autocorr" -> AUTOCORR_SQL,
     "events_rate_xcorr" -> XCORR_SQL,
+    "events_hll_daily_union" -> HLL_UNION_SQL,
     "events_seasonal_naive" -> SEASONAL_SQL,
     "events_flap_rate" -> FLAP_SQL,
     "events_ab_lift" -> AB_SQL,

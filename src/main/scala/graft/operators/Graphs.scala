@@ -103,6 +103,40 @@ object Graphs {
         col("doc1").as("a"), col("doc2").as("b")))
       .select(col("node").as("doc_id"), col("cluster_id"))
 
+  /** Global clustering coefficient (transitivity) — ONE number for the
+    * whole graph where [[clusteringCoeff]] gives one per node:
+    * 3·triangles / wedges, wedges = Σ d(d−1)/2. A near-dup pair graph
+    * should transit high (cliques); a hub-and-spoke LSH artifact
+    * transits low. Exact milli with a single positive floor division;
+    * triangle total and degree fold both read the ONE checkpointed
+    * canonical edge list. Single-row output: the two single-row
+    * aggregates meet in a 1×1 broadcast crossJoin (whitelisted — a
+    * keyed join on a shared literal constant-folds to the same BNLJ). */
+  def globalClustering(edges: DataFrame): DataFrame = {
+    val und = edges.toDF("x", "y")
+      .select(least(col("x"), col("y")).as("u"),
+        greatest(col("x"), col("y")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint()
+    val wedges = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+      .agg(sum(expr("d * (d - 1) div 2")).as("n_wedges"),
+        count(lit(1)).as("n_nodes"), sum("d").as("sum_deg"))
+    val tri = triangleCounts(und)
+      .agg(expr("sum(n_triangles) div 3").as("n_triangles"))
+    wedges.crossJoin(broadcast(tri))
+      .select(col("n_nodes"), expr("sum_deg div 2").as("n_edges"),
+        col("n_wedges"), col("n_triangles"),
+        expr("case when n_wedges = 0 then 0" +
+          " else n_triangles * 3000 div n_wedges end")
+          .as("transitivity_milli"))
+  }
+
+  /** Global transitivity of the k-NN similarity graph. */
+  def graphGlobalClustering(s: SparkSession, dir: String): DataFrame =
+    globalClustering(SketchQueries.simKnnGraph(s, dir).select("qid", "vec_id"))
+
   /** Semantic near-dup clusters — [[connectedComponents]] over the k-NN
     * SIMILARITY graph instead of [[dedupCluster]]'s lexical trigram
     * pairs: embedding neighbors chain into clusters of documents that
@@ -597,6 +631,7 @@ object Graphs {
     "graph_triangles" -> (graphTriangles _),
     "graph_clustering_coeff" -> (graphClusteringCoeff _),
     "dedup_semantic_cluster" -> (dedupSemanticCluster _),
+    "graph_global_clustering" -> (graphGlobalClustering _),
     "graph_degree_stats" -> (graphDegreeStats _),
     "graph_degree_assortativity" -> (graphDegreeAssortativity _),
     "graph_neighbor_jaccard" -> (graphNeighborJaccard _))
@@ -831,6 +866,29 @@ object Graphs {
          |nodes AS (SELECT unnest([a, b, c]) AS node FROM tg)
          |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
          |FROM nodes GROUP BY node""".stripMargin
+    },
+    "graph_global_clustering" -> {
+      val knnSql = SketchQueries.oracle("sim_knn_graph")
+      s"""WITH knn AS ($knnSql),
+         |eg AS (SELECT DISTINCT LEAST(qid, vec_id) AS u,
+         |         GREATEST(qid, vec_id) AS v
+         |       FROM knn WHERE qid <> vec_id),
+         |tg AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+         |       FROM eg e1 JOIN eg e2 ON e1.v = e2.u
+         |       WHERE EXISTS (SELECT 1 FROM eg e3
+         |                     WHERE e3.u = e1.u AND e3.v = e2.v)),
+         |tc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles FROM tg),
+         |adj AS (SELECT u AS node FROM eg UNION ALL SELECT v FROM eg),
+         |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+         |        FROM adj GROUP BY node),
+         |wg AS (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges,
+         |         CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         |         CAST(SUM(d) AS BIGINT) AS sum_deg
+         |       FROM deg)
+         |SELECT n_nodes, sum_deg // 2 AS n_edges, n_wedges, n_triangles,
+         |  CASE WHEN n_wedges = 0 THEN 0
+         |       ELSE n_triangles * 3000 // n_wedges END AS transitivity_milli
+         |FROM wg, tc""".stripMargin
     },
     "graph_clustering_coeff" -> {
       val knnSql = SketchQueries.oracle("sim_knn_graph")
