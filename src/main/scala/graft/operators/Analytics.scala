@@ -422,6 +422,47 @@ object Analytics {
         expr("n_after * 1000 div total_after").as("share_after_milli"))
   }
 
+  /** Temperature-scaled source mixing (T = 2) — the standard
+    * multilingual/multi-source corpus weighting between
+    * [[dataUpsamplePlan]]'s full equalization (T = ∞ toward the cap)
+    * and raw proportional sampling (T = 1): sampling weight
+    * w_s = √n_s flattens the source distribution without erasing it.
+    * Exact replay: w = floor(sqrt(n)) is deterministic cross-engine —
+    * IEEE-754 sqrt is a correctly-rounded basic op, and for n < 2^52
+    * the rounded value can never cross an integer boundary (the error
+    * 1/(2√n) dwarfs a half-ulp), so both engines floor identically;
+    * every share and the 100k-doc budget allocation are positive
+    * integer divisions. Plan: ONE |sources|-row partial-aggregated
+    * exchange; both totals ride tiny unpartitioned windows over that
+    * aggregate. */
+  def dataMixtureTemperature(s: SparkSession, dir: String): DataFrame = {
+    val wAll = Window.partitionBy()
+    t(s, dir, "documents").groupBy("source").agg(count(lit(1)).as("n"))
+      .withColumn("w", expr("cast(floor(sqrt(cast(n as double))) as bigint)"))
+      .withColumn("total", sum("n").over(wAll))
+      .withColumn("wsum", sum("w").over(wAll))
+      .select(col("source"), col("n"), col("w"),
+        expr("n * 1000 div total").as("raw_share_milli"),
+        expr("w * 1000 div wsum").as("temp_share_milli"),
+        expr("w * 100000 div wsum").as("quota"),
+        expr("(w * 100000 div wsum) * 1000 div n").as("sample_rate_milli"))
+  }
+
+  private val MIXTEMP_SQL =
+    """WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+      |           FROM documents GROUP BY 1),
+      |w AS (SELECT source, n,
+      |        CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT) AS w
+      |      FROM c),
+      |g AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+      |        CAST(SUM(w) AS BIGINT) AS wsum FROM w)
+      |SELECT source, n, w,
+      |  n * 1000 // total AS raw_share_milli,
+      |  w * 1000 // wsum AS temp_share_milli,
+      |  w * 100000 // wsum AS quota,
+      |  (w * 100000 // wsum) * 1000 // n AS sample_rate_milli
+      |FROM w, g""".stripMargin
+
   private val UPSAMPLE_SQL =
     """WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
       |           FROM documents GROUP BY 1),
@@ -2483,6 +2524,7 @@ object Analytics {
     "sim_cluster_cohesion" -> (simClusterCohesion _),
     "data_class_balance" -> (dataClassBalance _),
     "data_upsample_plan" -> (dataUpsamplePlan _),
+    "data_mixture_temperature" -> (dataMixtureTemperature _),
     "data_benford_audit" -> (dataBenfordAudit _),
     "events_arrival_regularity" -> (eventsArrivalRegularity _),
     "events_weekday_profile" -> (eventsWeekdayProfile _),
@@ -2537,6 +2579,7 @@ object Analytics {
     "sim_cluster_cohesion" -> COHESION_SQL,
     "data_class_balance" -> BALANCE_SQL,
     "data_upsample_plan" -> UPSAMPLE_SQL,
+    "data_mixture_temperature" -> MIXTEMP_SQL,
     "data_benford_audit" -> BENFORD_SQL,
     "events_arrival_regularity" -> REGULARITY_SQL,
     "events_weekday_profile" -> WEEKDAY_SQL,

@@ -1288,6 +1288,87 @@ object DomainQueries {
         expr("hh * 1000 div n_pairs").as("hh_share_milli"))
   }
 
+  /** Global Moran's I spatial autocorrelation of log-abundance over the
+    * 10°-grid — the CONTINUOUS-surface clustering statistic next to
+    * [[occHotspotAdjacency]]'s binary join counts: do cells with
+    * similar abundance MAGNITUDE neighbor each other? Computed on
+    * floor-log2 bit lengths (z = length(bin(n_occ)) ≤ 63 — the
+    * events_rate_autocorr lattice, BIGINT-safe at ANY corpus size where
+    * raw-count deviation products overflow past ~4e7 occ/cell), with
+    * deviations pre-scaled by n_cells (d = z·N − Σz — exact, no mean
+    * rounding; the N² factors cancel in the ratio). I = (N/W)·Σdᵢdⱼ/Σd²
+    * over the undirected 8-neighbor pairs; the possibly-negative
+    * numerator ships as sign + abs-milli (div/floor-div only ever see
+    * non-negative operands). Plan: one cell aggregate (checkpointed —
+    * the denominator fold and both neighbor-join sides reuse it), tiny
+    * unpartitioned windows on the ≤649-row relation, one bounded
+    * 8-offset neighbor join, and a whitelisted 1×1 crossJoin where the
+    * two single-row folds meet. */
+  def occMoransI(s: SparkSession, dir: String): DataFrame = {
+    val wAll = Window.partitionBy()
+    val offs = Seq((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1),
+      (1, 0), (1, 1))
+      .map { case (dr, dc) => s"named_struct('dr', $dr, 'dc', $dc)" }
+      .mkString("explode(array(", ", ", "))")
+    val cells = valid(s, dir)
+      .select(cell10(col("lat"), col("lon")).as("cellid"))
+      .groupBy("cellid").agg(count(lit(1)).as("n_occ"))
+      .select(col("cellid"), expr("cast(length(bin(n_occ)) as bigint)").as("z"))
+      .withColumn("n_cells", count(lit(1)).over(wAll))
+      .withColumn("zsum", sum("z").over(wAll))
+      .select(col("cellid"), expr("z * n_cells - zsum").as("d"),
+        col("n_cells"))
+      .localCheckpoint() // feeds the denominator fold + both pair sides
+    val den = cells.agg(sum(expr("d * d")).as("den"),
+      max("n_cells").as("n_cells"))
+    val num = cells
+      .select(col("cellid"), col("d").as("d_a"), expr(offs).as("o"))
+      .withColumn("nr", expr("cellid div 36 + o.dr"))
+      .withColumn("nc", expr("cellid % 36 + o.dc"))
+      .filter(col("nr").between(0, 18) && col("nc").between(0, 35))
+      .withColumn("ncell", expr("nr * 36 + nc"))
+      .filter(col("ncell") > col("cellid"))
+      .join(cells.select(col("cellid").as("ncell"), col("d").as("d_b")),
+        Seq("ncell"))
+      .agg(count(lit(1)).as("n_pairs"), sum(expr("d_a * d_b")).as("num"))
+    den.crossJoin(broadcast(num))
+      .select(col("n_cells"), col("n_pairs"), col("den"), col("num"),
+        expr("cast(case when num > 0 then 1 when num < 0 then -1" +
+          " else 0 end as bigint)").as("morans_sign"),
+        expr("case when den > 0 and n_pairs > 0" +
+          " then n_cells * abs(num) * 1000 div (n_pairs * den)" +
+          " else 0 end").as("morans_abs_milli"))
+  }
+
+  /** Whittaker beta diversity per 10° latitude band — the TURNOVER
+    * statistic [[occCellDiversity]]'s per-cell alpha and
+    * [[occRangeJaccard]]'s pairwise overlaps bracket but never compute:
+    * β = γ / ᾱ, the band-wide species pool over the mean per-cell
+    * richness. β ≈ 1 means every cell holds the whole pool (no
+    * turnover); large β means composition changes cell to cell — the
+    * single number that says whether a band's diversity lives WITHIN
+    * cells or BETWEEN them. Exact integers throughout: whittaker_milli
+    * = γ·n_cells·1000 div Σα (positive operands, both engines floor).
+    * Plan: one distinct (cell, species) aggregate (checkpointed — the
+    * alpha and gamma legs both read it), a per-cell fold riding a
+    * second exchange, band-grain rollups, and an AQE-broadcast join of
+    * two ≤19-row sides. */
+  def occBetaDiversity(s: SparkSession, dir: String): DataFrame = {
+    val cs = valid(s, dir)
+      .select(cell10(col("lat"), col("lon")).as("cellid"), col("species"))
+      .distinct()
+      .localCheckpoint() // feeds the alpha and gamma legs
+    val alpha = cs.groupBy("cellid").agg(count(lit(1)).as("n_sp"))
+      .groupBy(expr("cellid div 36").as("band"))
+      .agg(count(lit(1)).as("n_cells"), sum("n_sp").as("sum_alpha"))
+    val gamma = cs.select(expr("cellid div 36").as("band"), col("species"))
+      .distinct().groupBy("band").agg(count(lit(1)).as("gamma"))
+    alpha.join(gamma, Seq("band"))
+      .select(col("band"), col("n_cells"), col("sum_alpha"), col("gamma"),
+        expr("sum_alpha * 1000 div n_cells").as("mean_alpha_milli"),
+        expr("gamma * n_cells * 1000 div sum_alpha").as("whittaker_milli"))
+  }
+
   /** Sequence-pattern match within sessions — the MATCH_RECOGNIZE /
     * funnel-analysis shape: first view → first LATER click → first LATER
     * purchase per 6h-gap session, with conversion latency. Plan: the
@@ -1350,6 +1431,8 @@ object DomainQueries {
     "events_sessionize" -> (eventsSessionize _),
     "events_session_stats" -> (eventsSessionStats _),
     "occ_hotspot_adjacency" -> (occHotspotAdjacency _),
+    "occ_morans_i" -> (occMoransI _),
+    "occ_beta_diversity" -> (occBetaDiversity _),
     "occ_sample_coverage" -> (occSampleCoverage _),
     "spatial_grid_density" -> (spatialGridDensity _),
     "occ_cell_diversity" -> (occCellDiversity _),
@@ -1977,6 +2060,51 @@ object DomainQueries {
         |  n_hot * 1000 // (SELECT n_cells FROM g) AS hot_share_milli,
         |  hh * 1000 // n_pairs AS hh_share_milli
         |FROM agg, nh""".stripMargin),
+    "occ_morans_i" -> withSql(OCC_SQL, VALID_SQL,
+      s"""cl AS (SELECT $CELL10_SQL AS cellid, CAST(COUNT(*) AS BIGINT) AS n_occ
+         |       FROM valid GROUP BY 1)""".stripMargin,
+      """zc AS (SELECT cellid, CAST(length(bin(n_occ)) AS BIGINT) AS z
+        |       FROM cl)""".stripMargin,
+      """g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+        |        CAST(SUM(z) AS BIGINT) AS zsum FROM zc)""".stripMargin,
+      """dv AS (SELECT cellid, z * n_cells - zsum AS d FROM zc, g)""",
+      """dn AS (SELECT CAST(SUM(d * d) AS BIGINT) AS den FROM dv)""",
+      """offs(dr, dc) AS (
+        |  SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),
+        |                        (1,-1),(1,0),(1,1)) v(dr, dc))""".stripMargin,
+      """nbr AS (SELECT dv.cellid AS ca, dv.d AS d_a,
+        |          (dv.cellid // 36 + dr) * 36 + (dv.cellid % 36 + dc) AS cb
+        |        FROM dv CROSS JOIN offs
+        |        WHERE dv.cellid // 36 + dr BETWEEN 0 AND 18
+        |          AND dv.cellid % 36 + dc BETWEEN 0 AND 35
+        |          AND (dv.cellid // 36 + dr) * 36 + (dv.cellid % 36 + dc)
+        |            > dv.cellid)""".stripMargin,
+      """nm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |          CAST(SUM(d_a * b.d) AS BIGINT) AS num
+        |        FROM nbr JOIN dv b ON b.cellid = nbr.cb)""".stripMargin)(
+      """SELECT n_cells, n_pairs, den, num,
+        |  CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END
+        |    AS BIGINT) AS morans_sign,
+        |  CASE WHEN den > 0 AND n_pairs > 0
+        |       THEN n_cells * abs(num) * 1000 // (n_pairs * den)
+        |       ELSE 0 END AS morans_abs_milli
+        |FROM g, dn, nm""".stripMargin),
+    "occ_beta_diversity" -> withSql(OCC_SQL, VALID_SQL,
+      s"""cs AS (SELECT DISTINCT $CELL10_SQL AS cellid, species
+         |       FROM valid)""".stripMargin,
+      """al AS (SELECT cellid // 36 AS band,
+        |         CAST(COUNT(*) AS BIGINT) AS n_cells,
+        |         CAST(SUM(n_sp) AS BIGINT) AS sum_alpha
+        |       FROM (SELECT cellid, CAST(COUNT(*) AS BIGINT) AS n_sp
+        |             FROM cs GROUP BY 1)
+        |       GROUP BY 1)""".stripMargin,
+      """gm AS (SELECT band, CAST(COUNT(*) AS BIGINT) AS gamma
+        |       FROM (SELECT DISTINCT cellid // 36 AS band, species FROM cs)
+        |       GROUP BY 1)""".stripMargin)(
+      """SELECT al.band, n_cells, sum_alpha, gamma,
+        |  sum_alpha * 1000 // n_cells AS mean_alpha_milli,
+        |  gamma * n_cells * 1000 // sum_alpha AS whittaker_milli
+        |FROM al JOIN gm ON gm.band = al.band""".stripMargin),
     "events_sessionize" ->
       """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 * 1000 AS ts_ns FROM events),
         |seq AS (

@@ -32,7 +32,8 @@ class PlanAuditSpec extends SparkSpec {
     "sim_ann_recall_audit" -> "inherits sim_cosine_topk's 5-broadcast-row brute-force crossJoin",
     "events_inactivity_churn" -> "crossJoin against the single-row broadcast watermark frame",
     "dedup_lsh_recall_audit" -> "crossJoin of three single-row count frames (1×1×1)",
-    "graph_global_clustering" -> "crossJoin of the two single-row wedge/triangle aggregates (1×1)")
+    "graph_global_clustering" -> "crossJoin of the two single-row wedge/triangle aggregates (1×1)",
+    "occ_morans_i" -> "crossJoin of the two single-row numerator/denominator folds (1×1)")
 
   test("no query plans a nested-loop or cartesian join outside the whitelist") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -222,7 +223,10 @@ class PlanAuditSpec extends SparkSpec {
     "q36_order_backlog" -> 3, // closes agg + day agg + day-grain cumulative window
     "dedup_semantic_cluster" -> 0, // returned plan reads the converged CC checkpoint: ZERO
     "events_hll_daily_union" -> 6, // checkpointed (day,reg): daily+period folds ×2 each + exact distinct 2-step
-    "graph_global_clustering" -> 8) // deg fold (2) + triangle leg (6) over the checkpointed edges
+    "graph_global_clustering" -> 8, // deg fold (2) + triangle leg (6) over the checkpointed edges
+    "occ_morans_i" -> 2, // den fold + pair fold over the checkpointed ≤649-row cell relation
+    "occ_beta_diversity" -> 4, // alpha leg (cell+band aggs) + gamma leg (distinct+band agg) over the checkpoint
+    "data_mixture_temperature" -> 2) // source agg + tiny unpartitioned window pair
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
     // the shard grid must drive the exchange (parallelism = shard count),
