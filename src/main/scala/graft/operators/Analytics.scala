@@ -448,6 +448,52 @@ object Analytics {
         expr("(w * 100000 div wsum) * 1000 div n").as("sample_rate_milli"))
   }
 
+  /** Differentially-private count release (two-sided geometric
+    * mechanism, ε = ln 2) — the privacy-preserving STATISTICS-RELEASE
+    * step after [[Records.metaPseudonymizeAudit]]'s key rewrite: each
+    * per-source document count ships with additive noise z = g₁ − g₂,
+    * two independent Geometric(1/2) draws, whose difference is the
+    * discrete Laplace the geometric mechanism calls for. The draws are
+    * hash-derived and therefore bit-identical cross-engine: the
+    * leading-zero count of a 60-bit md5 lattice IS Geometric(1/2)
+    * (P(g=k) = 2^-(k+1)), the exact trick the HLL registers use — and
+    * the two draws use their OWN salts ('dpa:'/'dpb:', the
+    * one-salt-per-stream rule; a shared salt would make z ≡ 0).
+    * Deterministic replay of a "random" mechanism is exactly what a
+    * privacy audit wants: the released table is reproducible from the
+    * salt. Plan: ONE |sources|-row partial-aggregated exchange; the
+    * noise is a codegen projection on the aggregate. */
+  def dataDpCounts(s: SparkSession, dir: String): DataFrame = {
+    def g(salt: String) =
+      s"""case when h$salt = 0 then 60 else 60 - length(bin(h$salt)) end"""
+    def h(salt: String) =
+      s"cast(conv(substring(md5(cast(concat('dp$salt:', source) as binary)), 1, 15), 16, 10) as bigint)"
+    t(s, dir, "documents").groupBy("source").agg(count(lit(1)).as("n"))
+      .withColumn("ha", expr(h("a"))).withColumn("hb", expr(h("b")))
+      .select(col("source"), col("n"),
+        (expr(g("a")) - expr(g("b"))).cast("long").as("noise"))
+      .select(col("source"), col("n"), col("noise"),
+        expr("greatest(n + noise, 0L)").as("released"),
+        expr("abs(greatest(n + noise, 0L) - n)").as("abs_err"))
+  }
+
+  private val DP_SQL =
+    """WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+      |           FROM documents GROUP BY 1),
+      |hh AS (SELECT source, n,
+      |         ('0x' || substr(md5('dpa:' || source), 1, 15))::BIGINT AS ha,
+      |         ('0x' || substr(md5('dpb:' || source), 1, 15))::BIGINT AS hb
+      |       FROM c),
+      |z AS (SELECT source, n,
+      |        CAST((CASE WHEN ha = 0 THEN 60 ELSE 60 - length(bin(ha)) END)
+      |          - (CASE WHEN hb = 0 THEN 60 ELSE 60 - length(bin(hb)) END)
+      |          AS BIGINT) AS noise
+      |      FROM hh)
+      |SELECT source, n, noise,
+      |  GREATEST(n + noise, 0) AS released,
+      |  ABS(GREATEST(n + noise, 0) - n) AS abs_err
+      |FROM z""".stripMargin
+
   private val MIXTEMP_SQL =
     """WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
       |           FROM documents GROUP BY 1),
@@ -2525,6 +2571,7 @@ object Analytics {
     "data_class_balance" -> (dataClassBalance _),
     "data_upsample_plan" -> (dataUpsamplePlan _),
     "data_mixture_temperature" -> (dataMixtureTemperature _),
+    "data_dp_counts" -> (dataDpCounts _),
     "data_benford_audit" -> (dataBenfordAudit _),
     "events_arrival_regularity" -> (eventsArrivalRegularity _),
     "events_weekday_profile" -> (eventsWeekdayProfile _),
@@ -2580,6 +2627,7 @@ object Analytics {
     "data_class_balance" -> BALANCE_SQL,
     "data_upsample_plan" -> UPSAMPLE_SQL,
     "data_mixture_temperature" -> MIXTEMP_SQL,
+    "data_dp_counts" -> DP_SQL,
     "data_benford_audit" -> BENFORD_SQL,
     "events_arrival_regularity" -> REGULARITY_SQL,
     "events_weekday_profile" -> WEEKDAY_SQL,

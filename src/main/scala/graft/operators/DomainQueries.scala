@@ -1288,6 +1288,60 @@ object DomainQueries {
         expr("hh * 1000 div n_pairs").as("hh_share_milli"))
   }
 
+  /** Two fixed test polygons in exact deci-degree (lon, lat) vertices:
+    * A is deliberately NON-convex (an "M" notch — the case a bbox or
+    * convex-hull containment test gets wrong), B a plain rectangle. */
+  private val polyA =
+    Seq((-600, -300), (0, 500), (600, -300), (200, -300), (0, 100), (-200, -300))
+  private val polyB = Seq((900, -800), (1800, -800), (1800, 300), (900, 300))
+
+  /** Unrolled ray-casting crossing terms for one polygon — a SHARED
+    * SQL fragment (Spark and DuckDB parse it identically: only integer
+    * literals, comparisons, + and *). One term per non-horizontal edge:
+    * the eastward ray from (px, py) crosses edge (x1,y1)→(x2,y2) iff
+    * the edge straddles py (half-open, so a ray through a vertex counts
+    * once) and the crossing point lies strictly east of px — the usual
+    * px < x1 + (x2−x1)(py−y1)/(y2−y1) test cross-multiplied into pure
+    * integers, sign-corrected by dy's sign, so no division ever runs. */
+  private def pipTerms(poly: Seq[(Int, Int)]): String =
+    poly.indices.flatMap { i =>
+      val (x1, y1) = poly(i); val (x2, y2) = poly((i + 1) % poly.size)
+      val dy = y2 - y1
+      if (dy == 0) None
+      else Some(
+        s"(case when ($y1 > py) != ($y2 > py) and " +
+          s"(($x1 - px) * $dy + ${x2 - x1} * (py - $y1)) * ${if (dy > 0) 1 else -1} > 0 " +
+          "then 1 else 0 end)")
+    }.mkString("(", " + ", ")")
+
+  /** Point-in-polygon classification by ray casting — the REAL-geometry
+    * annotation the 10°/1° grid joins approximate: each occurrence is
+    * tested against two literal polygons (one non-convex — the shape a
+    * bbox or hull containment cannot express) via an UNROLLED
+    * per-edge crossing sum, pure integer arithmetic on floor'd
+    * deci-degree coordinates (floor once, identically, in both
+    * engines; the cross-multiplied east-of test never divides).
+    * Parity of the crossing count = containment. Plan: the whole test
+    * is a narrow whole-stage-codegen projection (edge terms are
+    * literal-folded — no join, no explode, no HOF lambda), so the only
+    * exchange is the ≤|species|-row partial aggregate; at 100 TB the
+    * polygon count scales as extra codegen terms, never as rows. */
+  def spatialPointInPolygon(s: SparkSession, dir: String): DataFrame =
+    valid(s, dir)
+      .select(col("species"),
+        expr("cast(floor(lon * 10) as bigint)").as("px"),
+        expr("cast(floor(lat * 10) as bigint)").as("py"))
+      .select(col("species"),
+        expr(s"${pipTerms(polyA)} % 2").as("in_a"),
+        expr(s"${pipTerms(polyB)} % 2").as("in_b"))
+      .groupBy("species")
+      .agg(count(lit(1)).as("n_occ"),
+        sum("in_a").cast("long").as("n_in_a"),
+        sum("in_b").cast("long").as("n_in_b"))
+      .select(col("species"), col("n_occ"), col("n_in_a"), col("n_in_b"),
+        expr("n_in_a * 1000 div n_occ").as("share_a_milli"),
+        expr("n_in_b * 1000 div n_occ").as("share_b_milli"))
+
   /** Global Moran's I spatial autocorrelation of log-abundance over the
     * 10°-grid — the CONTINUOUS-surface clustering statistic next to
     * [[occHotspotAdjacency]]'s binary join counts: do cells with
@@ -1433,6 +1487,7 @@ object DomainQueries {
     "occ_hotspot_adjacency" -> (occHotspotAdjacency _),
     "occ_morans_i" -> (occMoransI _),
     "occ_beta_diversity" -> (occBetaDiversity _),
+    "spatial_point_in_polygon" -> (spatialPointInPolygon _),
     "occ_sample_coverage" -> (occSampleCoverage _),
     "spatial_grid_density" -> (spatialGridDensity _),
     "occ_cell_diversity" -> (occCellDiversity _),
@@ -2089,6 +2144,23 @@ object DomainQueries {
         |       THEN n_cells * abs(num) * 1000 // (n_pairs * den)
         |       ELSE 0 END AS morans_abs_milli
         |FROM g, dn, nm""".stripMargin),
+    "spatial_point_in_polygon" -> withSql(OCC_SQL, VALID_SQL,
+      """pt AS (SELECT species,
+        |         CAST(FLOOR(lon * 10) AS BIGINT) AS px,
+        |         CAST(FLOOR(lat * 10) AS BIGINT) AS py
+        |       FROM valid)""".stripMargin,
+      s"""ind AS (SELECT species,
+         |          ${pipTerms(polyA)} % 2 AS in_a,
+         |          ${pipTerms(polyB)} % 2 AS in_b
+         |        FROM pt)""".stripMargin,
+      """ag AS (SELECT species, CAST(COUNT(*) AS BIGINT) AS n_occ,
+        |         CAST(SUM(in_a) AS BIGINT) AS n_in_a,
+        |         CAST(SUM(in_b) AS BIGINT) AS n_in_b
+        |       FROM ind GROUP BY 1)""".stripMargin)(
+      """SELECT species, n_occ, n_in_a, n_in_b,
+        |  n_in_a * 1000 // n_occ AS share_a_milli,
+        |  n_in_b * 1000 // n_occ AS share_b_milli
+        |FROM ag""".stripMargin),
     "occ_beta_diversity" -> withSql(OCC_SQL, VALID_SQL,
       s"""cs AS (SELECT DISTINCT $CELL10_SQL AS cellid, species
          |       FROM valid)""".stripMargin,

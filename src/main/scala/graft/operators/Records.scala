@@ -436,6 +436,43 @@ object Records {
         col("n_changes"))
   }
 
+  /** Deterministic key pseudonymization + the audit that licenses it —
+    * the privacy-preserving ETL shape (share a dataset without raw
+    * customer keys, keep it JOINABLE): every c_custkey maps to a salted
+    * 48-bit md5-prefix token ('pseu:' salt — its OWN hash stream per
+    * the one-salt-per-operator rule), and the single-row audit proves
+    * the mapping is fit to publish: token count equals key count (no
+    * collisions at this corpus; 48 bits ⇒ birthday ~2^24 keys — redo
+    * with a longer prefix past that), and the orders⋈customer row count
+    * on tokens equals the count on raw keys (referential integrity
+    * survives the rewrite). Plan: tokenization is a codegen projection;
+    * the audit costs one dual-distinct expand over the dim, two
+    * broadcast joins (customer is a dim — the fact never shuffles), and
+    * whitelisted 1×1 crossJoins where the single-row folds meet. */
+  def metaPseudonymizeAudit(s: SparkSession, dir: String): DataFrame = {
+    def tok(k: String): String =
+      s"substring(md5(cast(concat('pseu:', cast($k as string)) as binary)), 1, 12)"
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), expr(tok("c_custkey")).as("token"))
+    val keys = cust.agg(countDistinct(col("c_custkey")).as("n_keys"),
+      countDistinct(col("token")).as("n_tokens"))
+    val raw = t(s, dir, "orders")
+      .join(broadcast(cust.select("c_custkey")),
+        col("o_custkey") === col("c_custkey"))
+      .agg(count(lit(1)).as("n_joined_raw"))
+    val viaTok = t(s, dir, "orders")
+      .select(expr(tok("o_custkey")).as("token"))
+      .join(broadcast(cust.select("token")), Seq("token"))
+      .agg(count(lit(1)).as("n_joined_tok"))
+    keys.crossJoin(broadcast(raw)).crossJoin(broadcast(viaTok))
+      .select(col("n_keys"), col("n_tokens"),
+        expr("n_keys - n_tokens").as("collisions"),
+        col("n_joined_raw"), col("n_joined_tok"),
+        expr("cast(case when n_keys = n_tokens" +
+          " and n_joined_raw = n_joined_tok then 1 else 0 end as bigint)")
+          .as("publishable"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "meta_cdc_apply" -> (cdcApply _),
     "meta_column_profile" -> (metaColumnProfile _),
@@ -445,7 +482,8 @@ object Records {
     "meta_dwh_records" -> (dwhRecords _),
     "meta_taxon_rollup" -> (taxonRollup _),
     "meta_dedup_records" -> (dedupRecords _),
-    "meta_summary_facets" -> (summaryFacets _))
+    "meta_summary_facets" -> (summaryFacets _),
+    "meta_pseudonymize_audit" -> (metaPseudonymizeAudit _))
 
   private val DWH_SQL =
       """WITH e AS (
@@ -497,7 +535,27 @@ object Records {
         |  lifestage, habitat, tracking_system
         |FROM err""".stripMargin
 
+  private val PSEUDONYMIZE_SQL =
+    """WITH c AS (SELECT c_custkey,
+      |             substr(md5('pseu:' || CAST(c_custkey AS VARCHAR)), 1, 12)
+      |               AS token
+      |           FROM customer),
+      |k AS (SELECT CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_keys,
+      |        CAST(COUNT(DISTINCT token) AS BIGINT) AS n_tokens FROM c),
+      |r AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_joined_raw
+      |      FROM orders JOIN c ON o_custkey = c_custkey),
+      |tk AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_joined_tok
+      |       FROM (SELECT substr(md5('pseu:' || CAST(o_custkey AS VARCHAR)),
+      |                           1, 12) AS token
+      |             FROM orders) o JOIN c ON o.token = c.token)
+      |SELECT n_keys, n_tokens, n_keys - n_tokens AS collisions,
+      |  n_joined_raw, n_joined_tok,
+      |  CAST(CASE WHEN n_keys = n_tokens AND n_joined_raw = n_joined_tok
+      |       THEN 1 ELSE 0 END AS BIGINT) AS publishable
+      |FROM k, r, tk""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "meta_pseudonymize_audit" -> PSEUDONYMIZE_SQL,
     "meta_cdc_apply" ->
       """WITH chg AS (
         |  SELECT user_id AS ukey,

@@ -33,7 +33,8 @@ class PlanAuditSpec extends SparkSpec {
     "events_inactivity_churn" -> "crossJoin against the single-row broadcast watermark frame",
     "dedup_lsh_recall_audit" -> "crossJoin of three single-row count frames (1×1×1)",
     "graph_global_clustering" -> "crossJoin of the two single-row wedge/triangle aggregates (1×1)",
-    "occ_morans_i" -> "crossJoin of the two single-row numerator/denominator folds (1×1)")
+    "occ_morans_i" -> "crossJoin of the two single-row numerator/denominator folds (1×1)",
+    "meta_pseudonymize_audit" -> "crossJoins of three single-row audit folds (1×1×1)")
 
   test("no query plans a nested-loop or cartesian join outside the whitelist") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -226,7 +227,10 @@ class PlanAuditSpec extends SparkSpec {
     "graph_global_clustering" -> 8, // deg fold (2) + triangle leg (6) over the checkpointed edges
     "occ_morans_i" -> 2, // den fold + pair fold over the checkpointed ≤649-row cell relation
     "occ_beta_diversity" -> 4, // alpha leg (cell+band aggs) + gamma leg (distinct+band agg) over the checkpoint
-    "data_mixture_temperature" -> 2) // source agg + tiny unpartitioned window pair
+    "data_mixture_temperature" -> 2, // source agg + tiny unpartitioned window pair
+    "spatial_point_in_polygon" -> 1, // unrolled codegen edge tests: ONE |species|-row agg
+    "meta_pseudonymize_audit" -> 4, // dual-distinct expand (2) + two single-row broadcast-join folds
+    "data_dp_counts" -> 1) // ONE |sources|-row agg; noise is a projection on it
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
     // the shard grid must drive the exchange (parallelism = shard count),
