@@ -2233,6 +2233,50 @@ object Analytics {
     * behind the reference's status-tracking upserts. Plan: both windows
     * (change detection, then interval close-out) partition on user_id, so
     * ONE exchange feeds the whole operator. */
+  /** Hard-negative mining for embedding training — the composition the
+    * contrastive-learning data pipeline runs nightly: for each document,
+    * the top-3 embedding neighbors that land in a DIFFERENT k-means
+    * cluster: similar enough to confuse the model (they sit in its k-NN
+    * list), labeled different by the coarse partition — exactly the
+    * negatives that teach a bi-encoder its decision boundary. Negatives
+    * come from [[SketchQueries.simKnnGraph]]'s bucketed candidate
+    * generation (never brute force) and cluster labels from
+    * [[simKmeansAssign]]; scores are the SAME hash-matched dot doubles
+    * the knn oracle replays, ties on vec_id. Plan: two equi shuffle
+    * joins of the O(k)-per-doc edge list against the checkpointed label
+    * table, one qid window with WindowGroupLimit pre-pruning to
+    * rank ≤ 3. */
+  def simHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val labels = simKmeansAssign(s, dir).select("vec_id", "cluster")
+      .localCheckpoint() // both join legs read it; kmeans must not replay
+    val byQ = Window.partitionBy("qid").orderBy(col("dot").desc, col("vec_id"))
+    SketchQueries.simKnnGraph(s, dir).select("qid", "vec_id", "dot")
+      .join(labels.select(col("vec_id").as("qid"),
+        col("cluster").as("q_cluster")), Seq("qid"))
+      .join(labels.select(col("vec_id"), col("cluster").as("n_cluster")),
+        Seq("vec_id"))
+      .filter(col("q_cluster") =!= col("n_cluster"))
+      .withColumn("rank", row_number().over(byQ).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("qid", "vec_id", "dot", "rank")
+  }
+
+  private def HARDNEG_SQL: String = {
+    val knnSql = graft.operators.SketchQueries.oracle("sim_knn_graph")
+    s"""WITH knn AS ($knnSql),
+       |km AS ($KMEANS_SQL),
+       |hn AS (SELECT k.qid, k.vec_id, k.dot
+       |       FROM knn k
+       |       JOIN km q ON q.vec_id = k.qid
+       |       JOIN km d ON d.vec_id = k.vec_id
+       |       WHERE q.cluster <> d.cluster)
+       |SELECT qid, vec_id, dot, rank FROM (
+       |  SELECT qid, vec_id, dot,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id)
+       |      AS BIGINT) AS rank
+       |  FROM hn) WHERE rank <= 3""".stripMargin
+  }
+
   def metaScd2History(s: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
     DomainQueries.events(s, dir)
@@ -2572,6 +2616,7 @@ object Analytics {
     "data_upsample_plan" -> (dataUpsamplePlan _),
     "data_mixture_temperature" -> (dataMixtureTemperature _),
     "data_dp_counts" -> (dataDpCounts _),
+    "sim_hard_negatives" -> (simHardNegatives _),
     "data_benford_audit" -> (dataBenfordAudit _),
     "events_arrival_regularity" -> (eventsArrivalRegularity _),
     "events_weekday_profile" -> (eventsWeekdayProfile _),
@@ -2628,6 +2673,7 @@ object Analytics {
     "data_upsample_plan" -> UPSAMPLE_SQL,
     "data_mixture_temperature" -> MIXTEMP_SQL,
     "data_dp_counts" -> DP_SQL,
+    "sim_hard_negatives" -> HARDNEG_SQL,
     "data_benford_audit" -> BENFORD_SQL,
     "events_arrival_regularity" -> REGULARITY_SQL,
     "events_weekday_profile" -> WEEKDAY_SQL,

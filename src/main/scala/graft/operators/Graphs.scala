@@ -137,6 +137,45 @@ object Graphs {
   def graphGlobalClustering(s: SparkSession, dir: String): DataFrame =
     globalClustering(SketchQueries.simKnnGraph(s, dir).select("qid", "vec_id"))
 
+  /** Synchronous 3-truss peeling, FIXED rounds — the EDGE-grain density
+    * gate next to [[kcorePeel]]'s node-grain one: an edge survives a
+    * round iff it closes ≥ k−2 triangles with CURRENTLY-alive edges, so
+    * a high-degree hub whose edges share no triangles (the LSH-artifact
+    * star kcore cannot reject) peels away while clique edges survive.
+    * Same fixed-round discipline as kcore (3 synchronous rounds —
+    * deterministic on both engines; the oracle unrolls as chained
+    * CTEs). Per round the support join is the ordered-wedge shape of
+    * [[triangleCounts]] (candidates bounded by Σd², never edge²), and
+    * the survivor set is localCheckpoint'd — it is referenced three
+    * times per round (join base + both symmetric sides), the
+    * plan-doubling landmine. */
+  def trussPeel(edges: DataFrame, k: Int = 3, rounds: Int = 3): DataFrame = {
+    val und = edges.toDF("x", "y")
+      .select(least(col("x"), col("y")).as("u"),
+        greatest(col("x"), col("y")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint()
+    var alive = und
+    for (_ <- 1 to rounds) {
+      val sym = alive.select(col("u").as("a"), col("v").as("b"))
+        .union(alive.select(col("v").as("a"), col("u").as("b")))
+      alive = alive
+        .join(sym.select(col("a").as("u"), col("b").as("w")), Seq("u"))
+        .join(sym.select(col("a").as("v"), col("b").as("w")), Seq("v", "w"),
+          "left_semi")
+        .groupBy("u", "v").agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= k - 2).select("u", "v")
+        .localCheckpoint()
+    }
+    und.join(alive.withColumn("flag", lit(true)), Seq("u", "v"), "left_outer")
+      .select(col("u"), col("v"),
+        coalesce(col("flag"), lit(false)).as("in_truss"))
+  }
+
+  /** 3-truss of the k-NN similarity graph. */
+  def graphKtruss(s: SparkSession, dir: String): DataFrame =
+    trussPeel(SketchQueries.simKnnGraph(s, dir).select("qid", "vec_id"))
+
   /** Semantic near-dup clusters — [[connectedComponents]] over the k-NN
     * SIMILARITY graph instead of [[dedupCluster]]'s lexical trigram
     * pairs: embedding neighbors chain into clusters of documents that
@@ -632,6 +671,7 @@ object Graphs {
     "graph_clustering_coeff" -> (graphClusteringCoeff _),
     "dedup_semantic_cluster" -> (dedupSemanticCluster _),
     "graph_global_clustering" -> (graphGlobalClustering _),
+    "graph_ktruss" -> (graphKtruss _),
     "graph_degree_stats" -> (graphDegreeStats _),
     "graph_degree_assortativity" -> (graphDegreeAssortativity _),
     "graph_neighbor_jaccard" -> (graphNeighborJaccard _))
@@ -866,6 +906,27 @@ object Graphs {
          |nodes AS (SELECT unnest([a, b, c]) AS node FROM tg)
          |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
          |FROM nodes GROUP BY node""".stripMargin
+    },
+    "graph_ktruss" -> {
+      val knnSql = SketchQueries.oracle("sim_knn_graph")
+      // three synchronous peel rounds unrolled as CTEs: an edge survives
+      // round t iff it closes >= 1 triangle with round-(t-1) survivors
+      val rounds = (1 to 3).map { t =>
+        s"""s$t AS (SELECT u AS a, v AS b FROM e${t - 1}
+           |      UNION ALL SELECT v, u FROM e${t - 1}),
+           |e$t AS (
+           |  SELECT e.u, e.v FROM e${t - 1} e
+           |  JOIN s$t x ON x.a = e.u
+           |  JOIN s$t y ON y.a = e.v AND y.b = x.b
+           |  GROUP BY e.u, e.v HAVING COUNT(*) >= 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH knn AS ($knnSql),
+         |e0 AS (SELECT DISTINCT LEAST(qid, vec_id) AS u,
+         |         GREATEST(qid, vec_id) AS v
+         |       FROM knn WHERE qid <> vec_id),
+         |$rounds
+         |SELECT e0.u, e0.v, e3.u IS NOT NULL AS in_truss
+         |FROM e0 LEFT JOIN e3 ON e3.u = e0.u AND e3.v = e0.v""".stripMargin
     },
     "graph_global_clustering" -> {
       val knnSql = SketchQueries.oracle("sim_knn_graph")

@@ -473,6 +473,71 @@ object Records {
           .as("publishable"))
   }
 
+  /** Right-to-be-forgotten cascade audit — the OTHER half of the
+    * privacy surface next to [[metaPseudonymizeAudit]]'s share path:
+    * given an erasure list (customers with c_custkey ≡ 0 mod 97 — the
+    * operationally-small forget-me set), the per-relation blast radius
+    * of honoring it: customer rows erased directly, orders erased
+    * because their customer is listed, lineitems erased because their
+    * ORDER is — the two-hop cascade a flat predicate push cannot
+    * express, resolved by MEMBERSHIP joins (the erase-list is a list,
+    * not a predicate, in production). Plan: the list broadcasts into a
+    * customer flag fold and an orders semi-join; the erased-orders key
+    * set is fact-sized, so the lineitem leg is the one fact-fact
+    * shuffle (the meta_fk_audit shape); three single-row reports union.
+    */
+  def metaErasureCascade(s: SparkSession, dir: String): DataFrame = {
+    val victims = t(s, dir, "customer")
+      .filter(col("c_custkey") % 97 === 0).select("c_custkey")
+    val custRep = t(s, dir, "customer")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("c_custkey") % 97 === 0, 1L).otherwise(0L))
+          .as("n_erased"))
+      .select(lit("customer").as("rel"), col("n_rows"), col("n_erased"))
+    val erasedOrders = t(s, dir, "orders")
+      .join(broadcast(victims), col("o_custkey") === col("c_custkey"),
+        "left_semi")
+      .select("o_orderkey")
+    val orderRep = t(s, dir, "orders")
+      .join(broadcast(victims), col("o_custkey") === col("c_custkey"),
+        "left_outer")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("c_custkey").isNotNull, 1L).otherwise(0L))
+          .as("n_erased"))
+      .select(lit("orders").as("rel"), col("n_rows"), col("n_erased"))
+    val lineRep = t(s, dir, "lineitem")
+      .join(erasedOrders.withColumn("hit", lit(1L)),
+        col("l_orderkey") === col("o_orderkey"), "left_outer")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_erased"))
+      .select(lit("lineitem").as("rel"), col("n_rows"), col("n_erased"))
+    custRep.union(orderRep).union(lineRep)
+      .select(col("rel"), col("n_rows"), col("n_erased"),
+        expr("n_erased * 1000 div n_rows").as("erased_milli"))
+  }
+
+  private val ERASURE_SQL =
+    """WITH v AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+      |c AS (SELECT 'customer' AS rel, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |        CAST(SUM(CASE WHEN c_custkey % 97 = 0 THEN 1 ELSE 0 END)
+      |          AS BIGINT) AS n_erased
+      |      FROM customer),
+      |eo AS (SELECT o_orderkey FROM orders
+      |       WHERE o_custkey IN (SELECT c_custkey FROM v)),
+      |o AS (SELECT 'orders' AS rel, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |        CAST(SUM(CASE WHEN o_custkey IN (SELECT c_custkey FROM v)
+      |                      THEN 1 ELSE 0 END) AS BIGINT) AS n_erased
+      |      FROM orders),
+      |l AS (SELECT 'lineitem' AS rel, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |        CAST(SUM(CASE WHEN l_orderkey IN (SELECT o_orderkey FROM eo)
+      |                      THEN 1 ELSE 0 END) AS BIGINT) AS n_erased
+      |      FROM lineitem),
+      |u AS (SELECT * FROM c UNION ALL SELECT * FROM o
+      |      UNION ALL SELECT * FROM l)
+      |SELECT rel, n_rows, n_erased,
+      |  n_erased * 1000 // n_rows AS erased_milli
+      |FROM u""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "meta_cdc_apply" -> (cdcApply _),
     "meta_column_profile" -> (metaColumnProfile _),
@@ -483,7 +548,8 @@ object Records {
     "meta_taxon_rollup" -> (taxonRollup _),
     "meta_dedup_records" -> (dedupRecords _),
     "meta_summary_facets" -> (summaryFacets _),
-    "meta_pseudonymize_audit" -> (metaPseudonymizeAudit _))
+    "meta_pseudonymize_audit" -> (metaPseudonymizeAudit _),
+    "meta_erasure_cascade" -> (metaErasureCascade _))
 
   private val DWH_SQL =
       """WITH e AS (
@@ -556,6 +622,7 @@ object Records {
 
   val oracle: Map[String, String] = Map(
     "meta_pseudonymize_audit" -> PSEUDONYMIZE_SQL,
+    "meta_erasure_cascade" -> ERASURE_SQL,
     "meta_cdc_apply" ->
       """WITH chg AS (
         |  SELECT user_id AS ukey,

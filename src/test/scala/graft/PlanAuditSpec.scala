@@ -230,7 +230,10 @@ class PlanAuditSpec extends SparkSpec {
     "data_mixture_temperature" -> 2, // source agg + tiny unpartitioned window pair
     "spatial_point_in_polygon" -> 1, // unrolled codegen edge tests: ONE |species|-row agg
     "meta_pseudonymize_audit" -> 4, // dual-distinct expand (2) + two single-row broadcast-join folds
-    "data_dp_counts" -> 1) // ONE |sources|-row agg; noise is a projection on it
+    "data_dp_counts" -> 1, // ONE |sources|-row agg; noise is a projection on it
+    "graph_ktruss" -> 2, // returned plan joins the base/survivor checkpoints; peel rounds run at build
+    "sim_hard_negatives" -> 7, // knn leg (as pinned) + qid rank window; label joins AQE-broadcast off the checkpoint
+    "meta_erasure_cascade" -> 3) // customer fold + orders fold + ONE lineitem fact-fact leg
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
     // the shard grid must drive the exchange (parallelism = shard count),
