@@ -2277,6 +2277,165 @@ object Analytics {
        |  FROM hn) WHERE rank <= 3""".stripMargin
   }
 
+  /** Maximal-marginal-relevance diversity rerank (λ = ½, k = 5 from the
+    * top-8 cosine shortlist) — the retrieval-layer step after
+    * [[simHardNegatives]]'s mining: greedy selection of results that are
+    * relevant to the query AND dissimilar to what is already picked, so
+    * five near-copies collapse to one slot. The greedy argmax loop runs
+    * per query over a BOUNDED shortlist via typed flatMapGroups (state =
+    * 8 ids + an 8×8 sim matrix, O(k²) per query at any corpus size — the
+    * distributed-safe shape; the DuckDB oracle replays the same loop as
+    * a recursive CTE over list state, the BPE-merge discipline).
+    * Determinism: every score is a 2^-20 fixed-point BIGINT (one floor
+    * off the hash-matched dot doubles), λ = ½ makes the MMR compare
+    * rel_fp − maxsim_fp in pure integers, and ties break to the
+    * smallest vec_id (strict-> scan in vec_id order ≡ the oracle's
+    * leftmost list_position over vec_id-sorted candidates). Plan: the
+    * 40-row shortlist checkpoints once and BROADCASTS into the
+    * embeddings scan (the corpus never shuffles for the matrix build);
+    * the greedy group fold shuffles ≤ 64 rows per query. */
+  def simMmrRerank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val short = TextQueries.simCosineTopk(s, dir)
+      .filter(col("rank") <= 8)
+      .select(col("qid"), col("vec_id"),
+        expr("cast(floor(dot * 1048576) as bigint)").as("qd_fp"))
+      .localCheckpoint() // pair join sides + the vector-fetch leg
+    val vecs = t(s, dir, "embeddings")
+      .join(broadcast(short.select("vec_id").distinct()), Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"))
+    val sim = graft.functions.Vectors.dot(col("va"), col("vb"))
+    val pairs = short
+      .join(short.select(col("qid"), col("vec_id").as("b")), Seq("qid"))
+      .join(broadcast(vecs.select(col("vec_id"), col("embedding").as("va"))),
+        Seq("vec_id"))
+      .join(broadcast(vecs.select(col("vec_id").as("b"),
+        col("embedding").as("vb"))), Seq("b"))
+      .select(col("qid"), col("vec_id").as("a"), col("b"), col("qd_fp"),
+        floor(sim * lit(1048576)).cast("long").as("s_fp"))
+    pairs.as[(Long, Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Long, Long, Long)]) =>
+        val rows = it.toArray
+        val cand = rows.map(_._2).distinct.sorted
+        val qd = rows.map(r => r._2 -> r._4).toMap
+        val sm = rows.map(r => (r._2, r._3) -> r._5).toMap
+        val sel = scala.collection.mutable.ArrayBuffer.empty[Long]
+        while (sel.size < math.min(5, cand.length)) {
+          var bestV = -1L; var bestS = Long.MinValue
+          for (j <- cand if !sel.contains(j)) {
+            val sc = if (sel.isEmpty) qd(j)
+                     else qd(j) - sel.iterator.map(s0 => sm((j, s0))).max
+            if (sc > bestS) { bestS = sc; bestV = j }
+          }
+          sel += bestV
+        }
+        sel.iterator.zipWithIndex.map { case (v, i) => (qid, v, (i + 1).toLong) }
+      }
+      .toDF("qid", "vec_id", "mmr_rank")
+  }
+
+  private def MMR_SQL: String = {
+    val cosSql = graft.operators.TextQueries.oracle("sim_cosine_topk")
+    s"""WITH RECURSIVE short AS (
+       |  SELECT qid, vec_id, CAST(FLOOR(dot * 1048576) AS BIGINT) AS qd_fp
+       |  FROM ($cosSql) WHERE rank <= 8),
+       |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |       FROM embeddings
+       |       WHERE vec_id IN (SELECT vec_id FROM short)),
+       |cnd AS (SELECT qid, list(vec_id ORDER BY vec_id) AS cand,
+       |          list(qd_fp ORDER BY vec_id) AS qd
+       |        FROM short GROUP BY qid),
+       |ps AS (SELECT a.qid, a.vec_id AS av, b.vec_id AS bv,
+       |         CAST(FLOOR(list_dot_product(ea.v, eb.v) * 1048576) AS BIGINT)
+       |           AS s_fp
+       |       FROM short a JOIN short b ON a.qid = b.qid
+       |       JOIN ev ea ON ea.vec_id = a.vec_id
+       |       JOIN ev eb ON eb.vec_id = b.vec_id),
+       |mt AS (SELECT qid, list(s_fp ORDER BY av, bv) AS sm
+       |       FROM ps GROUP BY qid),
+       |st AS (
+       |  SELECT c.qid, cand, qd, sm, len(cand) AS n,
+       |    [list_position(qd, list_max(qd))] AS sel, 1 AS step
+       |  FROM cnd c JOIN mt USING (qid)
+       |  UNION ALL
+       |  SELECT qid, cand, qd, sm, n,
+       |    sel || [list_position(sc, list_max(sc))] AS sel, step + 1
+       |  FROM (SELECT qid, cand, qd, sm, n, sel, step,
+       |          list_transform(generate_series(1, n), j ->
+       |            CASE WHEN list_contains(sel, j) THEN NULL
+       |                 ELSE qd[j] - list_max(list_transform(sel,
+       |                        s2 -> sm[(j - 1) * n + s2]))
+       |            END) AS sc
+       |        FROM st)
+       |  WHERE step < 5 AND step < n),
+       |fin AS (SELECT qid, cand, sel FROM st
+       |        WHERE step = LEAST(5, len(cand)))
+       |SELECT qid, cand[s] AS vec_id, CAST(r AS BIGINT) AS mmr_rank
+       |FROM (SELECT qid, cand, unnest(sel) AS s,
+       |        generate_subscripts(sel, 1) AS r
+       |      FROM fin)""".stripMargin
+  }
+
+  /** Bitemporal restatement audit — the as-KNOWN vs as-FINAL reporting
+    * gap [[metaScd2History]]'s valid-time intervals and
+    * [[Records.cdcApply]]'s latest-state apply both presuppose but
+    * never measure: each event carries a transaction (arrival) time =
+    * event time + a hash-derived ingestion lag (md5 'lag:' salt,
+    * 0–72 h — deterministic replay of the late-data distribution), and
+    * the per-effective-day report compares the total a midnight+24h
+    * cutoff job would have published against the eventual total.
+    * Value mass folds as exact milli BIGINTs (floor(value·1000) per
+    * event BEFORE any sum — the §4 discipline); the restatement share
+    * is a positive integer division. Plan: ONE (day) partial-agg
+    * exchange — the known/final/late splits are conditional sums on the
+    * same scan, no self-join, no window. */
+  def eventsRestatementAudit(s: SparkSession, dir: String): DataFrame = {
+    val lag =
+      "cast(conv(substring(md5(cast(concat('lag:', cast(event_id as string)) as binary)), 1, 12), 16, 10) as bigint)" +
+        s" % ${3 * DAY_NS}"
+    DomainQueries.events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(expr(s"ts_ns div $DAY_NS").as("day"),
+        expr("cast(floor(value * 1000) as bigint)").as("v_milli"),
+        (expr(s"ts_ns + ($lag)") <=
+          (expr(s"(ts_ns div $DAY_NS + 2) * $DAY_NS")))
+          .cast("long").as("on_time"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("1 - on_time")).as("n_late"),
+        sum("v_milli").as("final_milli"),
+        sum(expr("v_milli * on_time")).as("known_milli"))
+      .select(col("day"), col("n_events"), col("n_late"),
+        col("final_milli"), col("known_milli"),
+        expr("case when final_milli > 0 then" +
+          " (final_milli - known_milli) * 1000 div final_milli" +
+          " else 0 end").as("restated_milli"))
+  }
+
+  private val RESTATEMENT_SQL =
+    s"""WITH e0 AS (
+       |  SELECT event_id, value, epoch_ns(ts) // 1000 * 1000 AS ts_ns
+       |  FROM events WHERE value IS NOT NULL),
+       |e AS (
+       |  SELECT ts_ns // $DAY_NS AS day,
+       |    CAST(FLOOR(value * 1000) AS BIGINT) AS v_milli,
+       |    CASE WHEN ts_ns +
+       |        ('0x' || substr(md5('lag:' || CAST(event_id AS VARCHAR)), 1, 12))::BIGINT
+       |          % ${3 * DAY_NS}
+       |      <= (ts_ns // $DAY_NS + 2) * $DAY_NS
+       |    THEN 1 ELSE 0 END AS on_time
+       |  FROM e0)
+       |SELECT day, CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  CAST(SUM(1 - on_time) AS BIGINT) AS n_late,
+       |  CAST(SUM(v_milli) AS BIGINT) AS final_milli,
+       |  CAST(SUM(v_milli * on_time) AS BIGINT) AS known_milli,
+       |  CASE WHEN SUM(v_milli) > 0
+       |       THEN CAST((SUM(v_milli) - SUM(v_milli * on_time)) * 1000
+       |              // SUM(v_milli) AS BIGINT)
+       |       ELSE 0 END AS restated_milli
+       |FROM e GROUP BY day""".stripMargin
+
   def metaScd2History(s: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
     DomainQueries.events(s, dir)
@@ -2617,6 +2776,8 @@ object Analytics {
     "data_mixture_temperature" -> (dataMixtureTemperature _),
     "data_dp_counts" -> (dataDpCounts _),
     "sim_hard_negatives" -> (simHardNegatives _),
+    "sim_mmr_rerank" -> (simMmrRerank _),
+    "events_restatement_audit" -> (eventsRestatementAudit _),
     "data_benford_audit" -> (dataBenfordAudit _),
     "events_arrival_regularity" -> (eventsArrivalRegularity _),
     "events_weekday_profile" -> (eventsWeekdayProfile _),
@@ -2674,6 +2835,8 @@ object Analytics {
     "data_mixture_temperature" -> MIXTEMP_SQL,
     "data_dp_counts" -> DP_SQL,
     "sim_hard_negatives" -> HARDNEG_SQL,
+    "sim_mmr_rerank" -> MMR_SQL,
+    "events_restatement_audit" -> RESTATEMENT_SQL,
     "data_benford_audit" -> BENFORD_SQL,
     "events_arrival_regularity" -> REGULARITY_SQL,
     "events_weekday_profile" -> WEEKDAY_SQL,

@@ -233,7 +233,9 @@ class PlanAuditSpec extends SparkSpec {
     "data_dp_counts" -> 1, // ONE |sources|-row agg; noise is a projection on it
     "graph_ktruss" -> 2, // returned plan joins the base/survivor checkpoints; peel rounds run at build
     "sim_hard_negatives" -> 7, // knn leg (as pinned) + qid rank window; label joins AQE-broadcast off the checkpoint
-    "meta_erasure_cascade" -> 3) // customer fold + orders fold + ONE lineitem fact-fact leg
+    "meta_erasure_cascade" -> 3, // customer fold + orders fold + ONE lineitem fact-fact leg
+    "sim_mmr_rerank" -> 5, // checkpointed 40-row shortlist: pair legs + vector fetch + group fold
+    "events_restatement_audit" -> 1) // ONE (day) partial agg; known/final/late are conditional sums
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
     // the shard grid must drive the exchange (parallelism = shard count),
