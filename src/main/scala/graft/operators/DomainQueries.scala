@@ -1291,7 +1291,7 @@ object DomainQueries {
   /** Two fixed test polygons in exact deci-degree (lon, lat) vertices:
     * A is deliberately NON-convex (an "M" notch — the case a bbox or
     * convex-hull containment test gets wrong), B a plain rectangle. */
-  private val polyA =
+  private[graft] val polyA =
     Seq((-600, -300), (0, 500), (600, -300), (200, -300), (0, 100), (-200, -300))
   private val polyB = Seq((900, -800), (1800, -800), (1800, 300), (900, 300))
 
@@ -1303,7 +1303,7 @@ object DomainQueries {
     * once) and the crossing point lies strictly east of px — the usual
     * px < x1 + (x2−x1)(py−y1)/(y2−y1) test cross-multiplied into pure
     * integers, sign-corrected by dy's sign, so no division ever runs. */
-  private def pipTerms(poly: Seq[(Int, Int)]): String =
+  private[graft] def pipTerms(poly: Seq[(Int, Int)]): String =
     poly.indices.flatMap { i =>
       val (x1, y1) = poly(i); val (x2, y2) = poly((i + 1) % poly.size)
       val dy = y2 - y1

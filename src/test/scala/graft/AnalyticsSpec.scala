@@ -7,6 +7,52 @@ import org.apache.spark.sql.functions._
 class AnalyticsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("mmr rerank: ranks dense from 1, first pick is the cosine argmax, picks distinct within the shortlist") {
+    val mmr = Analytics.simMmrRerank(spark, sf)
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+    val short = operators.TextQueries.simCosineTopk(spark, sf)
+      .select("qid", "vec_id", "rank").as[(Long, Long, Long)].collect()
+      .filter(_._3 <= 8).groupBy(_._1)
+    assert(mmr.keySet === short.keySet)
+    for ((qid, rows) <- mmr) {
+      val byRank = rows.sortBy(_._3)
+      assert(byRank.map(_._3).toSeq === (1L to rows.length).toSeq)
+      assert(rows.length === math.min(5, short(qid).length))
+      assert(rows.map(_._2).distinct.length === rows.length)
+      // slot 1 is pure relevance: the cosine rank-1 hit
+      val top1 = short(qid).find(_._3 == 1L).get._2
+      assert(byRank.head._2 === top1)
+      // every pick came from the top-8 shortlist
+      val pool = short(qid).map(_._2).toSet
+      assert(rows.forall(r => pool(r._2)))
+    }
+  }
+
+  test("dp counts: released table replays bit-identically, noise bounded, release clamped") {
+    val a = Analytics.dataDpCounts(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1)
+    val b = Analytics.dataDpCounts(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(a.toSeq === b.toSeq) // the mechanism is salt-reproducible
+    assert(a.nonEmpty)
+    assert(a.forall(r => r._3 >= -60 && r._3 <= 60)) // geometric diff range
+    assert(a.forall(_._4 >= 0)) // clamp
+    assert(a.forall(r => r._5 === math.abs(r._4 - r._2)))
+    // not all zero noise (20 sources, P(all g1==g2) is negligible)
+    assert(a.exists(_._3 != 0L))
+  }
+
+  test("restatement audit: known mass never exceeds final, shares within [0,1000]") {
+    val rows = Analytics.eventsRestatementAudit(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r._3 >= 0 && r._3 <= r._2)) // n_late <= n_events
+    assert(rows.forall(r => r._5 <= r._4)) // known <= final (values nonneg)
+    assert(rows.forall(r => r._6 >= 0 && r._6 <= 1000))
+    // the hash lag actually produces SOME late mass somewhere
+    assert(rows.exists(_._3 > 0))
+  }
+
   test("retention: offset-0 diagonal equals cohort sizes, cells never exceed it") {
     val cells = Analytics.eventsRetention(spark, sf)
       .as[(Long, Long, Long)].collect()

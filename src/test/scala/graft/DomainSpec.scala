@@ -31,6 +31,29 @@ class DomainSpec extends SparkSpec {
     assert(ts.forall(_ % 1000 == 0))
   }
 
+  test("point-in-polygon: ray casting handles the non-convex notch and the boundary of polyA") {
+    import spark.implicits._
+    // (px, py) deci-degree probes against the M-shaped polyA:
+    // center-top in, notch interior OUT (the case a bbox/hull gets
+    // wrong), left leg in, far east out, west of all edges out
+    val probes = Seq(
+      (0L, 300L, 1L),     // upper center: inside
+      (0L, -200L, 0L),    // inside the notch cut: outside
+      (-300L, -200L, 1L), // left leg: inside
+      (300L, -200L, 1L),  // right leg: inside
+      (700L, 0L, 0L),     // east of everything
+      (-700L, 0L, 0L),    // west of everything
+      (0L, 600L, 0L))     // above the apex
+    val got = probes.toDF("px", "py", "want")
+      .withColumn("in_a",
+        expr(s"${DomainQueries.pipTerms(DomainQueries.polyA)} % 2").cast("long"))
+      .select("px", "py", "want", "in_a")
+      .collect()
+    for (r <- got)
+      assert(r.getLong(3) === r.getLong(2),
+        s"(${r.getLong(0)}, ${r.getLong(1)}) classified ${r.getLong(3)}")
+  }
+
   test("occ_clean_coords removes (0,0) and out-of-range coordinates") {
     val rows = DomainQueries.occCleanCoords(spark, sf)
       .select("lat", "lon").as[(Double, Double)].collect()

@@ -181,6 +181,37 @@ class GraphsSpec extends SparkSpec {
     assert(gotC.values.forall(identity) && gotC.size === 4)
   }
 
+  test("ktruss: clique edges survive, star and pendant edges peel") {
+    // K4 on 1-4: every edge closes a triangle with survivors forever
+    val k4 = (for {
+      a <- 1L to 4L; b <- (a + 1) to 4L
+    } yield (a, b)).toDF("x", "y")
+    val gotK4 = Graphs.trussPeel(k4).as[(Long, Long, Boolean)].collect()
+    assert(gotK4.length === 6 && gotK4.forall(_._3))
+    // star 10-(11..15): kcore-style degree keeps the hub, truss rejects
+    // every edge (no edge closes a triangle)
+    val star = (11L to 15L).map(l => (10L, l)).toDF("x", "y")
+    val gotStar = Graphs.trussPeel(star).as[(Long, Long, Boolean)].collect()
+    assert(gotStar.length === 5 && gotStar.forall(!_._3))
+    // triangle 1-2-3 with pendant 3-4: triangle survives, pendant peels
+    val tp = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("x", "y")
+    val gotTp = Graphs.trussPeel(tp).as[(Long, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(gotTp === Map((1L, 2L) -> true, (2L, 3L) -> true,
+      (1L, 3L) -> true, (3L, 4L) -> false))
+    // cascade: triangle A leans on an edge that only triangle B makes
+    // alive; killing B's support edge in round 1 kills A in round 2
+    val chainT = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (2L, 4L),
+      (4L, 5L)).toDF("x", "y")
+    val gotCh = Graphs.trussPeel(chainT).as[(Long, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // 4-5 has no triangle -> peels round 1; 2-4/3-4 still share the
+    // 2-3 triangle so the two fused triangles all survive
+    assert(gotCh((4L, 5L)) === false)
+    assert(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (2L, 4L))
+      .forall(gotCh(_)))
+  }
+
   test("bfs layers: chain distances exact, horizon truncates, two seeds race") {
     // chain 14-1-2-3-4-5: seed 14 (14%7=0); node 5 is 5 hops -> unreached in 4
     val chain = Seq((14L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("x", "y")
