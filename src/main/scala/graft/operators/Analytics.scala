@@ -1698,18 +1698,24 @@ object Analytics {
     * assignment both scan it), assignment itself is a PURE codegen'd
     * projection — zero exchanges in the returned plan, the shape that
     * lets a 100 TB corpus quantize embarrassingly parallel. */
-  def simPqQuantize(s: SparkSession, dir: String): DataFrame = {
-    val fixed = t(s, dir, "embeddings")
+  private[operators] def pqFixed(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
       .select(col("vec_id") +: (0 until 64).map(i =>
         expr(s"cast(floor(cast(embedding[$i] as double) * 1048576) as bigint)").as(s"x$i")): _*)
       .localCheckpoint()
+
+  private[operators] def pqSeeds(fixed: DataFrame): Array[Array[Long]] = {
     val seedH = expr(
       "cast(conv(substring(md5(cast(concat('pq:', vec_id) as binary)), 1, 13), 16, 10) as bigint)")
-    val seeds: Array[Array[Long]] = fixed
-      .withColumn("h", seedH)
+    fixed.withColumn("h", seedH)
       .orderBy("h", "vec_id").limit(4)
       .select((0 until 64).map(i => col(s"x$i")): _*)
       .collect().map(r => Array.tabulate(64)(r.getLong))
+  }
+
+  def simPqQuantize(s: SparkSession, dir: String): DataFrame = {
+    val fixed = pqFixed(s, dir)
+    val seeds = pqSeeds(fixed)
     val subCols = (0 until 8).map { c =>
       val pairs = seeds.zipWithIndex.map { case (sv, k) =>
         val d2 = (0 until 8)
@@ -2261,6 +2267,56 @@ object Analytics {
       .select("qid", "vec_id", "dot", "rank")
   }
 
+  /** k-NN label-agreement eval — the embedding-QUALITY probe run before
+    * any model trains on the vectors: each document's label is
+    * predicted by majority vote of its ≤5 bucketed k-NN neighbors
+    * ([[SketchQueries.simKnnGraph]] — never brute force), and the
+    * (label, predicted) confusion rollup says whether the embedding
+    * space actually separates the classes the `label` column claims.
+    * Vote argmax = min(struct(−cnt, pred)) — the labelPropagation
+    * hash-aggregate idiom, ties to the smaller label id, no window over
+    * corpus-sized rows; the per-label share is a positive integer
+    * division riding a ≤|labels|²-row window. Plan: knn edges join the
+    * label projection twice (equi shuffles at scale, AQE-broadcast at
+    * gate scale), one (qid, pred) partial agg, one qid argmax agg, one
+    * confusion-cell agg. */
+  def simKnnLabelEval(s: SparkSession, dir: String): DataFrame = {
+    val lb = t(s, dir, "embeddings").select(col("vec_id"), col("label"))
+    val voted = SketchQueries.simKnnGraph(s, dir).select("qid", "vec_id")
+      .join(lb.withColumnRenamed("label", "pred"), Seq("vec_id"))
+      .groupBy("qid", "pred").agg(count(lit(1)).as("cnt"))
+      .groupBy("qid")
+      .agg(min(struct((-col("cnt")).as("nc"), col("pred").as("p"))).as("m"))
+      .select(col("qid"), col("m.p").as("pred"))
+    val wLabel = Window.partitionBy("label")
+    voted.join(lb.select(col("vec_id").as("qid"), col("label")), Seq("qid"))
+      .groupBy("label", "pred").agg(count(lit(1)).as("n"))
+      .withColumn("n_label", sum("n").over(wLabel))
+      .select(col("label"), col("pred"), col("n"),
+        expr("cast(case when label = pred then 1 else 0 end as bigint)")
+          .as("correct"),
+        expr("n * 1000 div n_label").as("share_milli"))
+  }
+
+  private def KNN_LABEL_SQL: String = {
+    val knnSql = graft.operators.SketchQueries.oracle("sim_knn_graph")
+    s"""WITH knn AS ($knnSql),
+       |lb AS (SELECT vec_id, label FROM embeddings),
+       |votes AS (SELECT k.qid, lb.label AS pred, COUNT(*) AS cnt
+       |          FROM knn k JOIN lb ON lb.vec_id = k.vec_id GROUP BY 1, 2),
+       |maj AS (SELECT qid, pred FROM (
+       |    SELECT qid, pred,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cnt DESC, pred) AS rn
+       |    FROM votes) WHERE rn = 1),
+       |cf AS (SELECT l2.label, m.pred, CAST(COUNT(*) AS BIGINT) AS n
+       |       FROM maj m JOIN lb l2 ON l2.vec_id = m.qid GROUP BY 1, 2)
+       |SELECT label, pred, n,
+       |  CAST(CASE WHEN label = pred THEN 1 ELSE 0 END AS BIGINT) AS correct,
+       |  n * 1000 // CAST(SUM(n) OVER (PARTITION BY label) AS BIGINT)
+       |    AS share_milli
+       |FROM cf""".stripMargin
+  }
+
   private def HARDNEG_SQL: String = {
     val knnSql = graft.operators.SketchQueries.oracle("sim_knn_graph")
     s"""WITH knn AS ($knnSql),
@@ -2778,6 +2834,7 @@ object Analytics {
     "sim_hard_negatives" -> (simHardNegatives _),
     "sim_mmr_rerank" -> (simMmrRerank _),
     "events_restatement_audit" -> (eventsRestatementAudit _),
+    "sim_knn_label_eval" -> (simKnnLabelEval _),
     "data_benford_audit" -> (dataBenfordAudit _),
     "events_arrival_regularity" -> (eventsArrivalRegularity _),
     "events_weekday_profile" -> (eventsWeekdayProfile _),
@@ -2837,6 +2894,7 @@ object Analytics {
     "sim_hard_negatives" -> HARDNEG_SQL,
     "sim_mmr_rerank" -> MMR_SQL,
     "events_restatement_audit" -> RESTATEMENT_SQL,
+    "sim_knn_label_eval" -> KNN_LABEL_SQL,
     "data_benford_audit" -> BENFORD_SQL,
     "events_arrival_regularity" -> REGULARITY_SQL,
     "events_weekday_profile" -> WEEKDAY_SQL,

@@ -484,32 +484,104 @@ object SketchQueries {
     * (16-27 s). The one-shuffle hash aggregate is the fast shape. */
   def ivfTopk(s: SparkSession, dir: String): DataFrame = ivfTopk(s, dir, 2)
 
-  private[graft] def ivfTopk(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
-    val C = 8
-    val emb = t(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding").as("v"))
-    val cents = emb.filter(col("vec_id") < C)
+  private val IVF_C = 8
+
+  private def ivfEmb(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").select(col("vec_id"), col("embedding").as("v"))
+
+  private def ivfCents(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") < IVF_C)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
+
+  /** Coarse cell assignment: argmax HASH aggregate over the broadcast
+    * codebook (see [[ivfTopk]]'s rejected-variants note); tie-break =
+    * highest cdot, then lowest cid (cid < C = 8, so C − cid is a safe
+    * ascending→descending flip inside the max_by key). */
+  private def ivfAssign(emb: DataFrame, cents: DataFrame): DataFrame = {
     val dotc = graft.functions.Vectors.dot(col("v"), col("cv"))
-    // tie-break: highest cdot, then lowest cid (cid < C = 8, so C - cid
-    // is a safe ascending→descending flip inside the max_by key)
-    val assigned = emb.crossJoin(broadcast(cents))
+    emb.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("v"), col("cid"), dotc.as("cdot"))
       .groupBy("vec_id")
       .agg(max_by(struct(col("cid"), col("v")),
-        struct(col("cdot"), (lit(C) - col("cid")).as("inv"))).as("best"))
+        struct(col("cdot"), (lit(IVF_C) - col("cid")).as("inv"))).as("best"))
       .select(col("vec_id"), col("best.cid").as("cid"), col("best.v").as("v"))
+  }
+
+  /** Per-query probed cells: one (qid, qv, cid) row per probe. */
+  private def ivfProbes(emb: DataFrame, cents: DataFrame,
+                        nprobe: Int): DataFrame = {
+    val dotc = graft.functions.Vectors.dot(col("v"), col("cv"))
     val probeK = udaf(new graft.functions.TopKByScore(nprobe))
-    val q = emb.filter(col("vec_id") < 5).crossJoin(broadcast(cents))
+    emb.filter(col("vec_id") < 5).crossJoin(broadcast(cents))
       .select(col("vec_id"), col("v"), col("cid"), dotc.as("cdot"))
       .groupBy("vec_id")
       .agg(any_value(col("v")).as("qv"), probeK(col("cid"), col("cdot")).as("cells"))
       .select(col("vec_id").as("qid"), col("qv"),
         explode(col("cells._1")).as("cid"))
-    val d = assigned.filter(col("vec_id") >= 5)
+  }
+
+  private[graft] def ivfTopk(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
+    val emb = ivfEmb(s, dir)
+    val cents = ivfCents(emb)
+    val d = ivfAssign(emb, cents).filter(col("vec_id") >= 5)
+    val q = ivfProbes(emb, cents, nprobe)
     val dot = graft.functions.Vectors.dot(col("qv"), col("v"))
     Rerank.topK(
       d.join(broadcast(q), Seq("cid"))
+        .select(col("qid"), col("vec_id"), dot.as("dot")), 10)
+  }
+
+  /** IVF-PQ with asymmetric-distance (ADC) scoring — the PRODUCTION ANN
+    * stack assembled from the board's parts: coarse quantizer
+    * ([[ivfAssign]], nprobe = 2 probes) prunes the corpus to ~nprobe/C,
+    * each surviving candidate scores against the query through its
+    * 16-bit product-quantization code (the [[Analytics.simPqQuantize]]
+    * codebook — digit = argmin subspace L2², ADC = Σ_sub ⟨q_sub,
+    * codebook[digit]_sub⟩, all exact 2^-40 fixed-point BIGINTs ≤ 2^46 so
+    * the Double ordering through TopKByScore is exact), the top-20 ADC
+    * shortlist reranks with TRUE dots, top-10 out. The PQ digits are
+    * recomputed inline as a pure codegen projection (the stored-codes
+    * equivalent with zero extra shuffle — no corpus-sized code-table
+    * join); the 10-row probe frame broadcasts, so the corpus moves only
+    * through the assignment aggregate and the two O(k)-per-query rerank
+    * aggregates. */
+  def simIvfpqTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = ivfEmb(s, dir)
+    val cents = ivfCents(emb)
+    val fixed = Analytics.pqFixed(s, dir)
+    val seeds = Analytics.pqSeeds(fixed)
+    val qq = ivfProbes(emb, cents, 2)
+      .join(broadcast(fixed.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid") +:
+          (0 until 64).map(i => col(s"x$i").as(s"qx$i")): _*)), Seq("qid"))
+    val cand = ivfAssign(emb, cents).filter(col("vec_id") >= 5)
+      .join(broadcast(qq.drop("qv")), Seq("cid"))
+    // candidate-side fixed-point coords, then per-subspace digit + the
+    // query⋅codebook partial — one unrolled codegen projection
+    val dx = (0 until 64).map(i =>
+      expr(s"cast(floor(cast(v[$i] as double) * 1048576) as bigint)"))
+    val adc = (0 until 8).map { c =>
+      val digit = least((0 until 4).map { k =>
+        val d2 = (0 until 8).map { i =>
+          val d = dx(c * 8 + i) - lit(seeds(k)(c * 8 + i)); d * d
+        }.reduce(_ + _)
+        struct(d2.as("d2"), lit(k.toLong).as("k"))
+      }: _*).getField("k")
+      val terms = (0 until 4).map { k =>
+        (0 until 8).map(i => col(s"qx${c * 8 + i}") * lit(seeds(k)(c * 8 + i)))
+          .reduce(_ + _)
+      }
+      when(digit === 0, terms(0)).when(digit === 1, terms(1))
+        .when(digit === 2, terms(2)).otherwise(terms(3))
+    }.reduce(_ + _)
+    val short = Rerank.topK(
+      cand.select(col("qid"), col("vec_id"), adc.cast("double").as("dot")), 20)
+      .select("qid", "vec_id")
+    val dot = graft.functions.Vectors.dot(col("qv"), col("v"))
+    Rerank.topK(
+      emb.join(broadcast(short), Seq("vec_id"))
+        .join(broadcast(emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("v").as("qv"))), Seq("qid"))
         .select(col("qid"), col("vec_id"), dot.as("dot")), 10)
   }
 
@@ -672,6 +744,7 @@ object SketchQueries {
     "sim_ann_recall_audit" -> (simAnnRecallAudit _),
     "sim_bucket_audit" -> (simBucketAudit _),
     "sim_ivf_topk" -> (ivfTopk _),
+    "sim_ivfpq_topk" -> (simIvfpqTopk _),
     "sim_knn_graph" -> (simKnnGraph _),
     "sim_threshold_sweep" -> (simThresholdSweep _),
     "text_winnowing" -> (textWinnowing _),
@@ -995,6 +1068,57 @@ object SketchQueries {
         |  CAST(SUM(hit) * 1000 // COUNT(*) AS BIGINT) AS recall_millis
         |FROM hit GROUP BY qid""".stripMargin
     },
+    "sim_ivfpq_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |f AS (SELECT vec_id,
+        |        list_transform(generate_series(1, 64),
+        |          j -> CAST(FLOOR(CAST(embedding[j] AS DOUBLE) * 1048576) AS BIGINT)) AS x
+        |      FROM embeddings),
+        |sd AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, vec_id) AS BIGINT) - 1 AS k,
+        |         x AS c
+        |       FROM (SELECT vec_id, x,
+        |               ('0x' || substr(md5('pq:' || CAST(vec_id AS VARCHAR)), 1, 13))::BIGINT AS h
+        |             FROM f)
+        |       ORDER BY h, vec_id LIMIT 4),
+        |ct AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |rn AS (SELECT e.vec_id, cid,
+        |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |           ORDER BY list_dot_product(v, cv) DESC, cid) AS rn
+        |       FROM e CROSS JOIN ct),
+        |asg AS (SELECT vec_id, cid FROM rn WHERE rn = 1 AND vec_id >= 5),
+        |pr AS (SELECT vec_id AS qid, cid FROM rn WHERE rn <= 2 AND vec_id < 5),
+        |cand AS (SELECT pr.qid, asg.vec_id FROM pr JOIN asg USING (cid)),
+        |dsub AS (SELECT c.qid, c.vec_id, g.sub, sd.k,
+        |           list_sum(list_transform(generate_series(1, 8),
+        |             i -> (fx.x[g.sub * 8 + i] - sd.c[g.sub * 8 + i])
+        |                * (fx.x[g.sub * 8 + i] - sd.c[g.sub * 8 + i]))) AS d2,
+        |           list_sum(list_transform(generate_series(1, 8),
+        |             i -> fq.x[g.sub * 8 + i] * sd.c[g.sub * 8 + i])) AS qdotc
+        |         FROM cand c
+        |         JOIN f fx ON fx.vec_id = c.vec_id
+        |         JOIN f fq ON fq.vec_id = c.qid
+        |         CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS sub) g
+        |         CROSS JOIN sd),
+        |best AS (SELECT qid, vec_id, sub, qdotc,
+        |           ROW_NUMBER() OVER (PARTITION BY qid, vec_id, sub
+        |             ORDER BY d2, k) AS brn
+        |         FROM dsub),
+        |adc AS (SELECT qid, vec_id,
+        |          CAST(SUM(CASE WHEN brn = 1 THEN qdotc END) AS BIGINT) AS adc
+        |        FROM best GROUP BY qid, vec_id),
+        |short AS (SELECT qid, vec_id FROM (
+        |    SELECT qid, vec_id,
+        |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id) AS srn
+        |    FROM adc) WHERE srn <= 20),
+        |x AS (SELECT s.qid, s.vec_id, list_dot_product(eq.v, ed.v) AS dot
+        |      FROM short s
+        |      JOIN e eq ON eq.vec_id = s.qid
+        |      JOIN e ed ON ed.vec_id = s.vec_id)
+        |SELECT qid, vec_id, dot, rank FROM (
+        |  SELECT qid, vec_id, dot,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id)
+        |      AS BIGINT) AS rank
+        |  FROM x) WHERE rank <= 10""".stripMargin,
     "sim_ivf_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),

@@ -34,7 +34,8 @@ class PlanAuditSpec extends SparkSpec {
     "dedup_lsh_recall_audit" -> "crossJoin of three single-row count frames (1×1×1)",
     "graph_global_clustering" -> "crossJoin of the two single-row wedge/triangle aggregates (1×1)",
     "occ_morans_i" -> "crossJoin of the two single-row numerator/denominator folds (1×1)",
-    "meta_pseudonymize_audit" -> "crossJoins of three single-row audit folds (1×1×1)")
+    "meta_pseudonymize_audit" -> "crossJoins of three single-row audit folds (1×1×1)",
+    "sim_ivfpq_topk" -> "inherits sim_ivf_topk's codebook-assignment crossJoin against 8 broadcast centroid rows")
 
   test("no query plans a nested-loop or cartesian join outside the whitelist") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -235,7 +236,9 @@ class PlanAuditSpec extends SparkSpec {
     "sim_hard_negatives" -> 7, // knn leg (as pinned) + qid rank window; label joins AQE-broadcast off the checkpoint
     "meta_erasure_cascade" -> 3, // customer fold + orders fold + ONE lineitem fact-fact leg
     "sim_mmr_rerank" -> 5, // checkpointed 40-row shortlist: pair legs + vector fetch + group fold
-    "events_restatement_audit" -> 1) // ONE (day) partial agg; known/final/late are conditional sums
+    "events_restatement_audit" -> 1, // ONE (day) partial agg; known/final/late are conditional sums
+    "sim_ivfpq_topk" -> 4, // assignment agg + probe agg + ADC-shortlist agg + exact rerank agg
+    "sim_knn_label_eval" -> 9) // knn leg (as pinned) + vote agg + argmax agg + confusion agg
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
     // the shard grid must drive the exchange (parallelism = shard count),
