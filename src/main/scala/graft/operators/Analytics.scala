@@ -2433,6 +2433,51 @@ object Analytics {
        |      FROM fin)""".stripMargin
   }
 
+  /** Multi-window SLO burn-rate paging — the Google-SRE alerting
+    * pattern [[eventsErrorBudget]]'s cumulative burn doesn't implement:
+    * an hour PAGES only when BOTH the fast window (1 h) and the slow
+    * window (6 h trailing) burn ≥ 2× the 5% error budget — the fast
+    * window catches the spike, the slow one suppresses one-hour blips.
+    * Division-free: burn ≥ 2× ⟺ errors·10 ≥ events (2 × 50 milli), so
+    * no rational ever rounds. The 6 h fold is a RANGE window over the
+    * hour INDEX (gap-correct on both engines where a rows-window would
+    * slide over missing hours). Plan: one (hour) partial aggregate;
+    * the unpartitioned range window rides the calendar-bounded
+    * aggregate (≤ hours-in-corpus rows at ANY event volume — the
+    * events_anomaly_mad discipline). */
+  def eventsBurnMultiwindow(s: SparkSession, dir: String): DataFrame = {
+    val w6 = Window.orderBy("hour").rangeBetween(-5, 0)
+    DomainQueries.events(s, dir)
+      .select(expr("ts_ns div 3600000000000").as("hour"),
+        (col("event_type") === "error").cast("long").as("is_err"))
+      .groupBy("hour")
+      .agg(count(lit(1)).as("tot1"), sum("is_err").as("err1"))
+      .withColumn("tot6", sum("tot1").over(w6))
+      .withColumn("err6", sum("err1").over(w6))
+      .select(col("hour"), col("err1"), col("tot1"), col("err6"), col("tot6"),
+        expr("cast(case when err1 * 10 >= tot1 and err6 * 10 >= tot6" +
+          " then 1 else 0 end as bigint)").as("page"))
+  }
+
+  private val BURN_SQL =
+    """WITH e AS (
+      |  SELECT epoch_ns(ts) // 3600000000000 AS hour,
+      |    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err
+      |  FROM events),
+      |h AS (SELECT hour, CAST(COUNT(*) AS BIGINT) AS tot1,
+      |        CAST(SUM(is_err) AS BIGINT) AS err1
+      |      FROM e GROUP BY 1),
+      |w AS (SELECT hour, err1, tot1,
+      |        CAST(SUM(err1) OVER win AS BIGINT) AS err6,
+      |        CAST(SUM(tot1) OVER win AS BIGINT) AS tot6
+      |      FROM h
+      |      WINDOW win AS (ORDER BY hour RANGE BETWEEN 5 PRECEDING
+      |                     AND CURRENT ROW))
+      |SELECT hour, err1, tot1, err6, tot6,
+      |  CAST(CASE WHEN err1 * 10 >= tot1 AND err6 * 10 >= tot6
+      |       THEN 1 ELSE 0 END AS BIGINT) AS page
+      |FROM w""".stripMargin
+
   /** Bitemporal restatement audit — the as-KNOWN vs as-FINAL reporting
     * gap [[metaScd2History]]'s valid-time intervals and
     * [[Records.cdcApply]]'s latest-state apply both presuppose but
@@ -2835,6 +2880,7 @@ object Analytics {
     "sim_mmr_rerank" -> (simMmrRerank _),
     "events_restatement_audit" -> (eventsRestatementAudit _),
     "sim_knn_label_eval" -> (simKnnLabelEval _),
+    "events_burn_multiwindow" -> (eventsBurnMultiwindow _),
     "data_benford_audit" -> (dataBenfordAudit _),
     "events_arrival_regularity" -> (eventsArrivalRegularity _),
     "events_weekday_profile" -> (eventsWeekdayProfile _),
@@ -2895,6 +2941,7 @@ object Analytics {
     "sim_mmr_rerank" -> MMR_SQL,
     "events_restatement_audit" -> RESTATEMENT_SQL,
     "sim_knn_label_eval" -> KNN_LABEL_SQL,
+    "events_burn_multiwindow" -> BURN_SQL,
     "data_benford_audit" -> BENFORD_SQL,
     "events_arrival_regularity" -> REGULARITY_SQL,
     "events_weekday_profile" -> WEEKDAY_SQL,

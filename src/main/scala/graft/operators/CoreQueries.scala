@@ -544,6 +544,33 @@ object CoreQueries {
         Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** TPC-H Q16-shaped supplier breadth: how many DISTINCT suppliers
+    * actually ship each surviving (brand, type, size) part class, with
+    * two exclusion flavors the other core queries don't combine — value
+    * predicates pruned at the part scan (brand/type/size-list) and a
+    * NOT-IN supplier denylist (negative balance = under review)
+    * resolved as a broadcast anti-join BEFORE the distinct. lineitem
+    * stands in for partsupp (the schema has no partsupp table): each
+    * shipped line witnesses a (part, supplier) offering. Plan: part
+    * dim broadcast (the size-list and prefix predicates reach its
+    * scan), denylist broadcast anti, then ONE two-step
+    * distinct-aggregate expand on (brand, type, size, suppkey) — the
+    * fact shuffles once, already projected to four columns. */
+  def q37(s: SparkSession, dir: String): DataFrame = {
+    val parts = t(s, dir, "part")
+      .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "ECONOMY" &&
+        col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    val denied = t(s, dir, "supplier")
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    t(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(denied), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
   def q24(s: SparkSession, dir: String): DataFrame = {
     val revenue = dec2(col("l_extendedprice")) * dec2(lit(1) - col("l_discount"))
     t(s, dir, "lineitem")
@@ -758,6 +785,7 @@ object CoreQueries {
     "q34_min_cost_supplier" -> (q34 _),
     "q35_promo_share" -> (q35 _),
     "q36_order_backlog" -> (q36 _),
+    "q37_supplier_breadth" -> (q37 _),
     "q20_dominant_supplier" -> (q20 _),
     "q21_single_late_blame" -> (q21 _),
     "q22_prospect_share" -> (q22 _),
@@ -839,6 +867,15 @@ object CoreQueries {
          |SELECT ym, promo_e4, total_e4,
          |  promo_e4 * 1000 // total_e4 AS promo_share_milli
          |FROM m""".stripMargin,
+    "q37_supplier_breadth" ->
+      """SELECT p_brand, p_type, p_size,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5' AND p_type <> 'ECONOMY'
+        |  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3""".stripMargin,
     "q36_order_backlog" ->
       """WITH opens AS (
         |  SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))

@@ -557,22 +557,33 @@ object SketchQueries {
     val cand = ivfAssign(emb, cents).filter(col("vec_id") >= 5)
       .join(broadcast(qq.drop("qv")), Seq("cid"))
     // candidate-side fixed-point coords, then per-subspace digit + the
-    // query⋅codebook partial — one unrolled codegen projection
+    // query⋅codebook partial — one unrolled codegen projection. The
+    // argmin is LINEARIZED: d²_k = Σdx² − (2⟨dx,s_k⟩ − ‖s_k‖²) with the
+    // Σdx² term shared across codes, so argmin d² ≡ argmax of the
+    // bracket — 8 products per code instead of squared deltas, no dx
+    // squares, exact integers (ties at equal d² are ties at equal
+    // bracket, so the k-ascending tie-break is unchanged). The winning
+    // code's query⋅codebook partial rides INSIDE the argmin struct
+    // (third field — k is distinct so it never orders), so the whole
+    // selection is ONE least() per subspace, not a when-chain that
+    // re-evaluates the tree per code (the when-chain variant measured
+    // 3.4 s at sf0.1; this shape 1.9 s ≈ pq_quantize + ivf + the two
+    // rerank aggregates — the CollapseProject duplication class from
+    // CLAUDE.md).
     val dx = (0 until 64).map(i =>
       expr(s"cast(floor(cast(v[$i] as double) * 1048576) as bigint)"))
     val adc = (0 until 8).map { c =>
-      val digit = least((0 until 4).map { k =>
-        val d2 = (0 until 8).map { i =>
-          val d = dx(c * 8 + i) - lit(seeds(k)(c * 8 + i)); d * d
-        }.reduce(_ + _)
-        struct(d2.as("d2"), lit(k.toLong).as("k"))
-      }: _*).getField("k")
-      val terms = (0 until 4).map { k =>
-        (0 until 8).map(i => col(s"qx${c * 8 + i}") * lit(seeds(k)(c * 8 + i)))
+      least((0 until 4).map { k =>
+        val negScore = (0 until 8).map { i =>
+          dx(c * 8 + i) * lit(-2L * seeds(k)(c * 8 + i))
+        }.reduce(_ + _) +
+          lit((0 until 8).map(i => seeds(k)(c * 8 + i))
+            .map(x => x * x).sum)
+        val qdotc = (0 until 8)
+          .map(i => col(s"qx${c * 8 + i}") * lit(seeds(k)(c * 8 + i)))
           .reduce(_ + _)
-      }
-      when(digit === 0, terms(0)).when(digit === 1, terms(1))
-        .when(digit === 2, terms(2)).otherwise(terms(3))
+        struct(negScore.as("ns"), lit(k.toLong).as("k"), qdotc.as("q"))
+      }: _*).getField("q")
     }.reduce(_ + _)
     val short = Rerank.topK(
       cand.select(col("qid"), col("vec_id"), adc.cast("double").as("dot")), 20)

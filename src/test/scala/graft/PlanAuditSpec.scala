@@ -238,7 +238,9 @@ class PlanAuditSpec extends SparkSpec {
     "sim_mmr_rerank" -> 5, // checkpointed 40-row shortlist: pair legs + vector fetch + group fold
     "events_restatement_audit" -> 1, // ONE (day) partial agg; known/final/late are conditional sums
     "sim_ivfpq_topk" -> 4, // assignment agg + probe agg + ADC-shortlist agg + exact rerank agg
-    "sim_knn_label_eval" -> 9) // knn leg (as pinned) + vote agg + argmax agg + confusion agg
+    "sim_knn_label_eval" -> 9, // knn leg (as pinned) + vote agg + argmax agg + confusion agg
+    "q37_supplier_breadth" -> 2, // dims broadcast; ONE two-step distinct expand on the fact
+    "events_burn_multiwindow" -> 2) // hour agg + calendar-bounded range window
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
     // the shard grid must drive the exchange (parallelism = shard count),
