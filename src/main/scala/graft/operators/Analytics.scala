@@ -2433,6 +2433,146 @@ object Analytics {
        |      FROM fin)""".stripMargin
   }
 
+  /** Growth accounting — the product-analytics state machine
+    * [[eventsRetention]]'s cohort grid and [[eventsStickiness]]'s
+    * DAU/MAU ratio both summarize away: every (user, week) activity
+    * cell classifies as NEW (first week ever), RETAINED (active the
+    * previous week too), or RESURRECTED (returning after ≥1 silent
+    * week), churn charges to the week AFTER a user's streak ends, and
+    * the per-week report ships the four counts plus quick ratio
+    * ((new+resurrected)·1000 div churned — growth per unit churn). All
+    * state resolves from lag/lead over each user's sorted week list —
+    * no calendar×user expansion, no self-join. Plan: ONE user_id window
+    * exchange (min/lag/lead share it), one period-grain aggregate; the
+    * trailing-churn cutoff rides an unpartitioned window over the
+    * ≤|weeks|-row result. */
+  def eventsGrowthAccounting(s: SparkSession, dir: String): DataFrame = {
+    val wk = 7 * DAY_NS
+    val byUser = Window.partitionBy("user_id").orderBy("period")
+    val uAll = Window.partitionBy("user_id")
+    val st = DomainQueries.events(s, dir)
+      .select(col("user_id"), expr(s"ts_ns div $wk").as("period"))
+      .distinct()
+      .withColumn("first_p", min("period").over(uAll))
+      .withColumn("prev", lag("period", 1).over(byUser))
+      .withColumn("nxt", lead("period", 1).over(byUser))
+      .localCheckpoint() // the active and churn union legs both read it
+    val active = st.select(col("period"),
+      (col("period") === col("first_p")).cast("long").as("is_new"),
+      // when/otherwise, not a bare cast: prev is NULL for every new
+      // user, and a NULL comparison would null the whole period-0 sum
+      when(col("prev") === col("period") - 1, 1L).otherwise(0L).as("is_ret"),
+      when(col("prev").isNotNull && col("prev") < col("period") - 1, 1L)
+        .otherwise(0L).as("is_res"),
+      lit(0L).as("is_churn"))
+    val churn = st
+      .filter(col("nxt").isNull || col("nxt") > col("period") + 1)
+      .select((col("period") + 1).as("period"), lit(0L).as("is_new"),
+        lit(0L).as("is_ret"), lit(0L).as("is_res"), lit(1L).as("is_churn"))
+    val wAll = Window.partitionBy()
+    active.union(churn)
+      .groupBy("period")
+      .agg(sum("is_new").as("n_new"), sum("is_ret").as("n_retained"),
+        sum("is_res").as("n_resurrected"), sum("is_churn").as("n_churned"))
+      .withColumn("maxact", max(when(
+        col("n_new") + col("n_retained") + col("n_resurrected") > 0,
+        col("period"))).over(wAll))
+      .filter(col("period") <= col("maxact"))
+      .select(col("period"), col("n_new"), col("n_retained"),
+        col("n_resurrected"), col("n_churned"),
+        expr("case when n_churned > 0 then" +
+          " (n_new + n_resurrected) * 1000 div n_churned" +
+          " else 0 end").as("quick_ratio_milli"))
+  }
+
+  private val GROWTH_SQL =
+    s"""WITH pres AS (
+       |  SELECT DISTINCT user_id, epoch_ns(ts) // ${7 * DAY_NS} AS period
+       |  FROM events),
+       |st AS (SELECT user_id, period,
+       |         MIN(period) OVER (PARTITION BY user_id) AS first_p,
+       |         LAG(period, 1) OVER w AS prev,
+       |         LEAD(period, 1) OVER w AS nxt
+       |       FROM pres
+       |       WINDOW w AS (PARTITION BY user_id ORDER BY period)),
+       |rows1 AS (
+       |  SELECT period,
+       |    CASE WHEN period = first_p THEN 1 ELSE 0 END AS is_new,
+       |    CASE WHEN prev = period - 1 THEN 1 ELSE 0 END AS is_ret,
+       |    CASE WHEN prev IS NOT NULL AND prev < period - 1 THEN 1 ELSE 0 END
+       |      AS is_res,
+       |    0 AS is_churn
+       |  FROM st
+       |  UNION ALL
+       |  SELECT period + 1, 0, 0, 0, 1 FROM st
+       |  WHERE nxt IS NULL OR nxt > period + 1),
+       |agg AS (SELECT period, CAST(SUM(is_new) AS BIGINT) AS n_new,
+       |          CAST(SUM(is_ret) AS BIGINT) AS n_retained,
+       |          CAST(SUM(is_res) AS BIGINT) AS n_resurrected,
+       |          CAST(SUM(is_churn) AS BIGINT) AS n_churned
+       |        FROM rows1 GROUP BY 1),
+       |cut AS (SELECT *, MAX(CASE WHEN n_new + n_retained + n_resurrected > 0
+       |          THEN period END) OVER () AS maxact
+       |        FROM agg)
+       |SELECT period, n_new, n_retained, n_resurrected, n_churned,
+       |  CASE WHEN n_churned > 0
+       |       THEN (n_new + n_resurrected) * 1000 // n_churned
+       |       ELSE 0 END AS quick_ratio_milli
+       |FROM cut WHERE period <= maxact""".stripMargin
+
+  /** Semantic split leakage — the EMBEDDING-space sibling of
+    * [[TextPrep.dataSplitLeakage]]'s lexical fuzzy pairs: a hash split
+    * assigns documents independently, so two semantic near-duplicates
+    * can land on opposite sides of the train/holdout fence even when
+    * their TEXTS share no edit-distance signal. Every deduped k-NN
+    * edge ([[SketchQueries.simKnnGraph]] — bucketed, never brute) is
+    * labeled with both endpoints' content-hash splits and rolled up by
+    * the ORDERED split pair; `n_strong` (2^-20 fixed-point dot ≥ 0.3)
+    * counts the pairs close enough to leak eval answers. Plan: pair
+    * dedup agg over the knn edges, two equi joins against the split
+    * projection, one ≤3-row rollup. */
+  def dataSemanticLeakage(s: SparkSession, dir: String): DataFrame = {
+    val split = TextPrep.dataSplitHash(s, dir)
+    val pairs = SketchQueries.simKnnGraph(s, dir)
+      .select(least(col("qid"), col("vec_id")).as("a"),
+        greatest(col("qid"), col("vec_id")).as("b"), col("dot"))
+      .groupBy("a", "b").agg(max("dot").as("dot"))
+      .select(col("a"), col("b"),
+        expr("cast(floor(dot * 1048576) as bigint)").as("dot_fp"))
+    pairs
+      .join(split.select(col("doc_id").as("a"), col("split").as("sa")), Seq("a"))
+      .join(split.select(col("doc_id").as("b"), col("split").as("sb")), Seq("b"))
+      .groupBy(least(col("sa"), col("sb")).as("split_lo"),
+        greatest(col("sa"), col("sb")).as("split_hi"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("dot_fp") >= 1048576 * 3 / 10, 1L).otherwise(0L))
+          .as("n_strong"))
+      .withColumn("cross_split",
+        expr("cast(case when split_lo <> split_hi then 1 else 0 end as bigint)"))
+  }
+
+  private def SEMLEAK_SQL: String = {
+    val knnSql = graft.operators.SketchQueries.oracle("sim_knn_graph")
+    s"""WITH knn AS ($knnSql),
+       |sp AS (SELECT doc_id,
+       |         CASE WHEN substr(md5(text), 1, 1) <= 'd' THEN 'train'
+       |              ELSE 'holdout' END AS split
+       |       FROM documents),
+       |pr AS (SELECT LEAST(qid, vec_id) AS a, GREATEST(qid, vec_id) AS b,
+       |         CAST(FLOOR(MAX(dot) * 1048576) AS BIGINT) AS dot_fp
+       |       FROM knn GROUP BY 1, 2),
+       |lb AS (SELECT pr.a, pr.b, pr.dot_fp, s1.split AS sa, s2.split AS sb
+       |       FROM pr JOIN sp s1 ON s1.doc_id = pr.a
+       |       JOIN sp s2 ON s2.doc_id = pr.b)
+       |SELECT LEAST(sa, sb) AS split_lo, GREATEST(sa, sb) AS split_hi,
+       |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  CAST(SUM(CASE WHEN dot_fp >= ${1048576 * 3 / 10} THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_strong,
+       |  CAST(CASE WHEN LEAST(sa, sb) <> GREATEST(sa, sb) THEN 1 ELSE 0 END
+       |    AS BIGINT) AS cross_split
+       |FROM lb GROUP BY 1, 2""".stripMargin
+  }
+
   /** Multi-window SLO burn-rate paging — the Google-SRE alerting
     * pattern [[eventsErrorBudget]]'s cumulative burn doesn't implement:
     * an hour PAGES only when BOTH the fast window (1 h) and the slow
@@ -2881,6 +3021,8 @@ object Analytics {
     "events_restatement_audit" -> (eventsRestatementAudit _),
     "sim_knn_label_eval" -> (simKnnLabelEval _),
     "events_burn_multiwindow" -> (eventsBurnMultiwindow _),
+    "events_growth_accounting" -> (eventsGrowthAccounting _),
+    "data_semantic_leakage" -> (dataSemanticLeakage _),
     "data_benford_audit" -> (dataBenfordAudit _),
     "events_arrival_regularity" -> (eventsArrivalRegularity _),
     "events_weekday_profile" -> (eventsWeekdayProfile _),
@@ -2942,6 +3084,8 @@ object Analytics {
     "events_restatement_audit" -> RESTATEMENT_SQL,
     "sim_knn_label_eval" -> KNN_LABEL_SQL,
     "events_burn_multiwindow" -> BURN_SQL,
+    "events_growth_accounting" -> GROWTH_SQL,
+    "data_semantic_leakage" -> SEMLEAK_SQL,
     "data_benford_audit" -> BENFORD_SQL,
     "events_arrival_regularity" -> REGULARITY_SQL,
     "events_weekday_profile" -> WEEKDAY_SQL,

@@ -240,7 +240,9 @@ class PlanAuditSpec extends SparkSpec {
     "sim_ivfpq_topk" -> 4, // assignment agg + probe agg + ADC-shortlist agg + exact rerank agg
     "sim_knn_label_eval" -> 9, // knn leg (as pinned) + vote agg + argmax agg + confusion agg
     "q37_supplier_breadth" -> 2, // dims broadcast; ONE two-step distinct expand on the fact
-    "events_burn_multiwindow" -> 2) // hour agg + calendar-bounded range window
+    "events_burn_multiwindow" -> 2, // hour agg + calendar-bounded range window
+    "events_growth_accounting" -> 2, // checkpointed user-window state; period agg + tiny cutoff window
+    "data_semantic_leakage" -> 9) // knn leg (as pinned) + pair dedup agg + ≤3-row rollup
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
     // the shard grid must drive the exchange (parallelism = shard count),
