@@ -258,7 +258,59 @@ object Multimodal {
       .filter(col("n_media") >= 2)
   }
 
+  /** Byte-entropy screen over binary payloads — the
+    * compressed-vs-raw detector a multimodal curation pass runs before
+    * wasting decode cycles (an already-deflated or encrypted blob reads
+    * as near-uniform bytes; text/raw bitmaps read low): per payload,
+    * the byte histogram folds to an EXACT floor-log2 entropy proxy
+    * H ≈ ⌊log2 N⌋·1000 − Σ n_b·⌊log2 n_b⌋·1000 div N (bit lengths via
+    * length(bin(x)) — the events_rate_autocorr lattice, no float log
+    * ever), plus distinct-byte count and the top byte's milli share.
+    * Bytes come off the hex rendering (two chars per byte — the
+    * frame-sample precedent; payloads never shuffle, only the ≤256-row
+    * per-doc histogram does). Plan: one (media, byte) partial-agg
+    * exchange + one media-grain fold. */
+  def multimodalByteEntropy(s: SparkSession, dir: String): DataFrame =
+    fromDocuments(s, dir).toDF()
+      .select(col("media_id"), hex(col("payload")).as("hx"))
+      .select(col("media_id"),
+        explode(expr("sequence(0L, cast(length(hx) div 2 - 1 as bigint))"))
+          .as("i"), col("hx"))
+      .select(col("media_id"),
+        expr("conv(substring(hx, cast(2 * i + 1 as int), 2), 16, 10)")
+          .cast("long").as("b"))
+      .groupBy("media_id", "b").agg(count(lit(1)).as("nb"))
+      .groupBy("media_id")
+      .agg(sum("nb").as("n_bytes"), count(lit(1)).as("n_distinct"),
+        max("nb").as("top_nb"),
+        sum(expr("nb * (length(bin(nb)) - 1)")).as("sum_nlog"))
+      .select(col("media_id"), col("n_bytes"), col("n_distinct"),
+        expr("top_nb * 1000 div n_bytes").as("top_share_milli"),
+        expr("(length(bin(n_bytes)) - 1) * 1000 - sum_nlog * 1000 div n_bytes")
+          .as("entropy_proxy_milli"))
+
+  private val ENTROPY_SQL =
+    """WITH b AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx
+      |           FROM documents),
+      |bs AS (SELECT media_id,
+      |         ('0x' || substr(hx, CAST(2 * i + 1 AS BIGINT), 2))::BIGINT AS b
+      |       FROM b, LATERAL unnest(generate_series(0,
+      |         CAST(len(hx) // 2 - 1 AS BIGINT))) t(i)),
+      |h AS (SELECT media_id, b, CAST(COUNT(*) AS BIGINT) AS nb
+      |      FROM bs GROUP BY 1, 2),
+      |f AS (SELECT media_id, CAST(SUM(nb) AS BIGINT) AS n_bytes,
+      |        CAST(COUNT(*) AS BIGINT) AS n_distinct,
+      |        CAST(MAX(nb) AS BIGINT) AS top_nb,
+      |        CAST(SUM(nb * (length(bin(nb)) - 1)) AS BIGINT) AS sum_nlog
+      |      FROM h GROUP BY 1)
+      |SELECT media_id, n_bytes, n_distinct,
+      |  top_nb * 1000 // n_bytes AS top_share_milli,
+      |  (length(bin(n_bytes)) - 1) * 1000 - sum_nlog * 1000 // n_bytes
+      |    AS entropy_proxy_milli
+      |FROM f""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_byte_entropy" -> (multimodalByteEntropy _),
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_size_spectrum" -> (multimodalSizeSpectrum _),
     "multimodal_source_mix" -> (multimodalSourceMix _),
@@ -309,6 +361,7 @@ object Multimodal {
   }
 
   val oracle: Map[String, String] = Map(
+    "multimodal_byte_entropy" -> ENTROPY_SQL,
     "multimodal_chunk_dedup" -> CHUNK_SQL,
     "multimodal_size_spectrum" -> SIZE_SPECTRUM_SQL,
     "multimodal_source_mix" -> SOURCE_MIX_SQL,

@@ -538,7 +538,48 @@ object Records {
       |  n_erased * 1000 // n_rows AS erased_milli
       |FROM u""".stripMargin
 
+  /** Merge-on-read deletion vectors — the Iceberg/Delta DV layout that
+    * makes [[metaErasureCascade]]-style deletes cheap at 100 TB: instead
+    * of rewriting a 64-row data file to drop its victims, the delete
+    * ships as a per-file BITMAP the reader ANDs out at scan time. Files
+    * are modeled as 64-row shards (shard = doc_id div 64, position =
+    * doc_id % 64), the victim list is the doc_id ≡ 0 mod 53 erasure
+    * set, and each shard's bitmap packs as two 32-bit words (sum of
+    * distinct shiftleft(1, pos%32) — positions are unique within a
+    * word, so the sum IS the bitwise-or, and a 32-bit word can never
+    * hit DuckDB's BIGINT-overflow check the way bit 63 would). The
+    * popcount audit column re-derives the deleted count from the bits —
+    * a corrupt vector shows as bit_count ≠ n_deleted. Plan: ONE
+    * (shard, word) partial-agg exchange; everything is a projection on
+    * the scan. */
+  def metaDeletionVectors(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(expr("doc_id div 64").as("shard"),
+        expr("(doc_id % 64) div 32").as("word"),
+        expr("cast(doc_id % 32 as int)").as("pos"),
+        expr("case when doc_id % 53 = 0 then 1L else 0L end").as("victim"))
+      .groupBy("shard", "word")
+      .agg(count(lit(1)).as("n_rows"), sum("victim").as("n_deleted"),
+        sum(expr("victim * shiftleft(1L, pos)")).as("dv_bits"))
+      .select(col("shard"), col("word"), col("n_rows"), col("n_deleted"),
+        col("dv_bits"),
+        expr("cast(bit_count(dv_bits) as bigint)").as("popcount"))
+
+  private val DV_SQL =
+    """WITH d AS (
+      |  SELECT doc_id // 64 AS shard, (doc_id % 64) // 32 AS word,
+      |    doc_id % 32 AS pos,
+      |    CASE WHEN doc_id % 53 = 0 THEN 1 ELSE 0 END AS victim
+      |  FROM documents)
+      |SELECT shard, word, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(victim) AS BIGINT) AS n_deleted,
+      |  CAST(SUM(victim * (1::BIGINT << pos)) AS BIGINT) AS dv_bits,
+      |  CAST(bit_count(CAST(SUM(victim * (1::BIGINT << pos)) AS BIGINT))
+      |    AS BIGINT) AS popcount
+      |FROM d GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "meta_deletion_vectors" -> (metaDeletionVectors _),
     "meta_cdc_apply" -> (cdcApply _),
     "meta_column_profile" -> (metaColumnProfile _),
     "meta_fk_audit" -> (metaFkAudit _),
@@ -623,6 +664,7 @@ object Records {
   val oracle: Map[String, String] = Map(
     "meta_pseudonymize_audit" -> PSEUDONYMIZE_SQL,
     "meta_erasure_cascade" -> ERASURE_SQL,
+    "meta_deletion_vectors" -> DV_SQL,
     "meta_cdc_apply" ->
       """WITH chg AS (
         |  SELECT user_id AS ukey,

@@ -846,7 +846,46 @@ object TextPrep {
       |    AS abs_slope_milli
       |FROM ols""".stripMargin
 
+  /** Feature-hashing vectorizer (the hashing trick) — the board
+    * CONSUMES the embeddings table everywhere; this is the step that
+    * PRODUCES a vector from raw text with no vocabulary, no model and
+    * no driver state: every token hashes to one of 64 dimensions
+    * (md5, 'fh:' salt — its own stream) and contributes a hash-derived
+    * ±1 (the signed trick that makes collisions cancel in expectation,
+    * Weinberger et al.'s vw scheme). Long-format output (doc_id, dim,
+    * w, n_hits) — exact integers, no normalization float. Plan: tokens
+    * explode in a narrow codegen stage; ONE (doc, dim) partial-agg
+    * exchange, ≤64 rows per doc at any corpus size. */
+  def textFeatureHashing(s: SparkSession, dir: String): DataFrame = {
+    val h =
+      "cast(conv(substring(md5(cast(concat('fh:', tok) as binary)), 1, 15), 16, 10) as bigint)"
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+          .as("tok"))
+      .select(col("doc_id"), expr(s"$h & 63").as("dim"),
+        expr(s"case when (shiftright($h, 6) & 1) = 1 then 1L else -1L end")
+          .as("sign"))
+      .groupBy("doc_id", "dim")
+      .agg(sum("sign").as("w"), count(lit(1)).as("n_hits"))
+  }
+
+  private val FEATHASH_SQL =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+      |    AS tok
+      |  FROM documents),
+      |h AS (SELECT doc_id,
+      |        ('0x' || substr(md5('fh:' || tok), 1, 15))::BIGINT AS h
+      |      FROM tok)
+      |SELECT doc_id, h & 63 AS dim,
+      |  CAST(SUM(CASE WHEN (h >> 6) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT)
+      |    AS w,
+      |  CAST(COUNT(*) AS BIGINT) AS n_hits
+      |FROM h GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "text_feature_hashing" -> (textFeatureHashing _),
     "text_freq_spectrum" -> (textFreqSpectrum _),
     "text_zipf_slope" -> (textZipfSlope _),
     "data_skew_audit" -> (dataSkewAudit _),
@@ -868,6 +907,7 @@ object TextPrep {
     "data_pack_sequences" -> (dataPackSequences _))
 
   val oracle: Map[String, String] = Map(
+    "text_feature_hashing" -> FEATHASH_SQL,
     "text_freq_spectrum" -> SPECTRUM_SQL,
     "text_zipf_slope" -> ZIPF_SQL,
     "data_skew_audit" -> SKEW_SQL,

@@ -242,7 +242,10 @@ class PlanAuditSpec extends SparkSpec {
     "q37_supplier_breadth" -> 2, // dims broadcast; ONE two-step distinct expand on the fact
     "events_burn_multiwindow" -> 2, // hour agg + calendar-bounded range window
     "events_growth_accounting" -> 2, // checkpointed user-window state; period agg + tiny cutoff window
-    "data_semantic_leakage" -> 9) // knn leg (as pinned) + pair dedup agg + ≤3-row rollup
+    "data_semantic_leakage" -> 9, // knn leg (as pinned) + pair dedup agg + ≤3-row rollup
+    "text_feature_hashing" -> 1, // narrow tokenize+hash; ONE (doc, dim) partial agg
+    "meta_deletion_vectors" -> 1, // ONE (shard, word) partial agg over a projection
+    "multimodal_byte_entropy" -> 2) // (media, byte) agg + media-grain fold
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
     // the shard grid must drive the exchange (parallelism = shard count),
