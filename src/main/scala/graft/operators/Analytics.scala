@@ -1244,6 +1244,94 @@ object Analytics {
       |  MAX(CASE WHEN vr = (19 * n + 19) // 20 THEN v_fp END) AS p95_fp
       |FROM o GROUP BY event_type""".stripMargin
 
+  /** Mergeable quantile sketch with a daily→period UNION — the
+    * quantile sibling of [[eventsHllDailyUnion]]'s register-max merge,
+    * proving the OTHER property sketches need on a cluster: per-day
+    * bottom-64 uniform samples (KMV rank = 52-bit md5 'qs:' salt —
+    * 52 bits so the Double score orders EXACTLY, the bottomk
+    * discipline) merge into the period sample by re-taking the bottom
+    * 64 of the union BY THE SAME HASH — no rescan of the raw days, and
+    * the result is bit-identical to sampling the period directly. The
+    * merged sample's element-picked p50/p90 sit next to the exact
+    * per-period ranks as the error yardstick. Plan: one (day)
+    * partial-agg sketch exchange, one period re-merge over ≤64·days
+    * rows, and the exact comparator's period rank window; the sample
+    * legs never carry more than K rows per group. */
+  def eventsQuantileSketchUnion(s: SparkSession, dir: String): DataFrame = {
+    val bk = udaf(new graft.functions.TopKByScore(64))
+    val base = DomainQueries.events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(expr(s"ts_ns div $DAY_NS").as("day"),
+        expr("cast(floor(value * 1024) as bigint)").as("v_fp"),
+        expr("cast(conv(substring(md5(cast(concat('qs:', event_id) as binary)), 1, 13), 16, 10) as bigint)").as("h"),
+        col("event_id"))
+    val daily = base
+      .groupBy(expr("day div 30").as("period"), col("day"))
+      .agg(bk(col("v_fp"), negate(col("h").cast("double"))).as("sk"))
+    val merged = daily
+      .select(col("period"), explode(col("sk")).as("x"))
+      .select(col("period"), expr("x._1").as("v_fp"), expr("x._2").as("ns"))
+      .groupBy("period").agg(bk(col("v_fp"), col("ns")).as("sk"))
+      .select(col("period"),
+        expr("array_sort(transform(sk, x -> x._1))").as("vals"))
+      .select(col("period"), size(col("vals")).cast("long").as("n_sample"),
+        expr("element_at(vals, cast((size(vals) + 1) div 2 as int))")
+          .as("est_p50_fp"),
+        expr("element_at(vals, cast((9 * size(vals) + 9) div 10 as int))")
+          .as("est_p90_fp"))
+    val byP = Window.partitionBy("period").orderBy("v_fp", "event_id")
+    val exact = base.withColumn("period", expr("day div 30"))
+      .withColumn("rn", row_number().over(byP).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("period")))
+      .groupBy("period")
+      .agg(max("n").as("n_events"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("v_fp")))
+          .as("exact_p50_fp"),
+        max(when(col("rn") === expr("(9 * n + 9) div 10"), col("v_fp")))
+          .as("exact_p90_fp"))
+    merged.join(exact, Seq("period"))
+  }
+
+  private val QSKETCH_SQL =
+    s"""WITH e AS (
+       |  SELECT epoch_ns(ts) // $DAY_NS AS day,
+       |    epoch_ns(ts) // $DAY_NS // 30 AS period,
+       |    CAST(FLOOR(value * 1024) AS BIGINT) AS v_fp,
+       |    ('0x' || substr(md5('qs:' || CAST(event_id AS VARCHAR)), 1, 13))::BIGINT AS h,
+       |    event_id
+       |  FROM events WHERE value IS NOT NULL),
+       |d1 AS (SELECT period, v_fp, h FROM (
+       |    SELECT period, v_fp, h,
+       |      ROW_NUMBER() OVER (PARTITION BY day ORDER BY h, v_fp) AS rn
+       |    FROM e) WHERE rn <= 64),
+       |m AS (SELECT period, v_fp FROM (
+       |    SELECT period, v_fp,
+       |      ROW_NUMBER() OVER (PARTITION BY period ORDER BY h, v_fp) AS rn
+       |    FROM d1) WHERE rn <= 64),
+       |o AS (SELECT period, v_fp,
+       |        ROW_NUMBER() OVER (PARTITION BY period ORDER BY v_fp) AS vr,
+       |        COUNT(*) OVER (PARTITION BY period) AS n
+       |      FROM m),
+       |es AS (SELECT period, CAST(MAX(n) AS BIGINT) AS n_sample,
+       |         MAX(CASE WHEN vr = (n + 1) // 2 THEN v_fp END) AS est_p50_fp,
+       |         MAX(CASE WHEN vr = (9 * n + 9) // 10 THEN v_fp END)
+       |           AS est_p90_fp
+       |       FROM o GROUP BY 1),
+       |xo AS (SELECT period, v_fp,
+       |         ROW_NUMBER() OVER (PARTITION BY period ORDER BY v_fp, event_id)
+       |           AS rn,
+       |         COUNT(*) OVER (PARTITION BY period) AS n
+       |       FROM e),
+       |ex AS (SELECT period, CAST(MAX(n) AS BIGINT) AS n_events,
+       |         MAX(CASE WHEN rn = (n + 1) // 2 THEN v_fp END)
+       |           AS exact_p50_fp,
+       |         MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN v_fp END)
+       |           AS exact_p90_fp
+       |       FROM xo GROUP BY 1)
+       |SELECT es.period, n_sample, est_p50_fp, est_p90_fp,
+       |  n_events, exact_p50_fp, exact_p90_fp
+       |FROM es JOIN ex ON ex.period = es.period""".stripMargin
+
   /** HDR-style log₂ value histogram per event type — the fixed-size
     * distribution summary monitoring systems keep at any volume
     * (64 possible bins regardless of value range, relative-error
@@ -3023,6 +3111,7 @@ object Analytics {
     "events_burn_multiwindow" -> (eventsBurnMultiwindow _),
     "events_growth_accounting" -> (eventsGrowthAccounting _),
     "data_semantic_leakage" -> (dataSemanticLeakage _),
+    "events_quantile_sketch_union" -> (eventsQuantileSketchUnion _),
     "data_benford_audit" -> (dataBenfordAudit _),
     "events_arrival_regularity" -> (eventsArrivalRegularity _),
     "events_weekday_profile" -> (eventsWeekdayProfile _),
@@ -3086,6 +3175,7 @@ object Analytics {
     "events_burn_multiwindow" -> BURN_SQL,
     "events_growth_accounting" -> GROWTH_SQL,
     "data_semantic_leakage" -> SEMLEAK_SQL,
+    "events_quantile_sketch_union" -> QSKETCH_SQL,
     "data_benford_audit" -> BENFORD_SQL,
     "events_arrival_regularity" -> REGULARITY_SQL,
     "events_weekday_profile" -> WEEKDAY_SQL,

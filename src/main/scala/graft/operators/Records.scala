@@ -578,8 +578,35 @@ object Records {
       |    AS BIGINT) AS popcount
       |FROM d GROUP BY 1, 2""".stripMargin
 
+  /** Merkle-style shard checksum manifest — the cheap
+    * change-detection layout replication and backup tools diff INSTEAD
+    * of re-reading data: per 64-row shard, the row count and the
+    * bit_xor of each row's 52-bit salted content hash ('ck:' salt);
+    * the GROUPING SETS total row is the root digest, and xor's
+    * associativity makes the invariant auditable — the root must equal
+    * the xor of the shard digests (spec-checked), and any single-row
+    * change flips exactly one shard digest AND the root. Plan: one
+    * expand aggregate (shard + total grouping sets share the scan),
+    * hashes only — text never shuffles. */
+  def metaShardChecksums(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(expr("doc_id div 64").as("shard"),
+        expr("cast(conv(substring(md5(cast(concat('ck:', text) as binary)), 1, 13), 16, 10) as bigint)").as("h"))
+      .rollup("shard")
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("digest"))
+
+  private val CHECKSUM_SQL =
+    """WITH d AS (
+      |  SELECT doc_id // 64 AS shard,
+      |    ('0x' || substr(md5('ck:' || text), 1, 13))::BIGINT AS h
+      |  FROM documents)
+      |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(bit_xor(h) AS BIGINT) AS digest
+      |FROM d GROUP BY ROLLUP(shard)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "meta_deletion_vectors" -> (metaDeletionVectors _),
+    "meta_shard_checksums" -> (metaShardChecksums _),
     "meta_cdc_apply" -> (cdcApply _),
     "meta_column_profile" -> (metaColumnProfile _),
     "meta_fk_audit" -> (metaFkAudit _),
@@ -665,6 +692,7 @@ object Records {
     "meta_pseudonymize_audit" -> PSEUDONYMIZE_SQL,
     "meta_erasure_cascade" -> ERASURE_SQL,
     "meta_deletion_vectors" -> DV_SQL,
+    "meta_shard_checksums" -> CHECKSUM_SQL,
     "meta_cdc_apply" ->
       """WITH chg AS (
         |  SELECT user_id AS ukey,

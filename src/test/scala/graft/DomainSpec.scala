@@ -54,6 +54,19 @@ class DomainSpec extends SparkSpec {
         s"(${r.getLong(0)}, ${r.getLong(1)}) classified ${r.getLong(3)}")
   }
 
+  test("shard checksums: root digest equals the xor of shard digests; dv popcounts reconcile") {
+    import spark.implicits._
+    val rows = operators.Records.metaShardChecksums(spark, sf)
+      .as[(Option[Long], Long, Long)].collect()
+    val (roots, shards) = rows.partition(_._1.isEmpty)
+    assert(roots.length === 1 && shards.nonEmpty)
+    assert(roots.head._2 === shards.map(_._2).sum) // row counts roll up
+    assert(roots.head._3 === shards.map(_._3).reduce(_ ^ _)) // xor assoc
+    val dv = operators.Records.metaDeletionVectors(spark, sf)
+      .select("n_deleted", "popcount").as[(Long, Long)].collect()
+    assert(dv.nonEmpty && dv.forall(r => r._1 === r._2))
+  }
+
   test("occ_clean_coords removes (0,0) and out-of-range coordinates") {
     val rows = DomainQueries.occCleanCoords(spark, sf)
       .select("lat", "lon").as[(Double, Double)].collect()
