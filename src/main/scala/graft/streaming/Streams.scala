@@ -417,6 +417,46 @@ object Streams {
     }
   }
 
+  case class GrowthState(first: Long, last: Long)
+  case class GrowthOut(user_id: Long, period: Long, kind: String)
+
+  /** Streaming counterpart of the batch events_growth_accounting state
+    * machine: per-user state is just (first, last) active period; each
+    * arriving (user, period) cell emits its lifecycle classification
+    * (new / retained / resurrected), and a GAP retroactively emits the
+    * churn row for last+1 — so with period-ascending arrival the
+    * emitted multiset equals the batch classification minus ONLY the
+    * trailing churn row per user (the one the batch charges after the
+    * final streak; in production that fires off an event-time timeout
+    * once the watermark passes the next period — here it stays pending
+    * state, spec-reconciled). Duplicate cells across batches are
+    * absorbed by the last-period compare. Input: (user_id, period). */
+  def growthStates(pres: Dataset[(Long, Long)]): Dataset[GrowthOut] = {
+    import pres.sparkSession.implicits._
+    pres.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (uid: Long, it: Iterator[(Long, Long)], state: GroupState[GrowthState]) =>
+        val ps = it.map(_._2).toArray.distinct.sorted
+        var st = state.getOption
+        val out = Array.newBuilder[GrowthOut]
+        for (p <- ps) {
+          st match {
+            case None => out += GrowthOut(uid, p, "new")
+            case Some(g) if p <= g.last => () // duplicate / out-of-order
+            case Some(g) if p == g.last + 1 =>
+              out += GrowthOut(uid, p, "retained")
+            case Some(g) =>
+              out += GrowthOut(uid, g.last + 1, "churned")
+              out += GrowthOut(uid, p, "resurrected")
+          }
+          st = Some(GrowthState(st.map(_.first).getOrElse(p),
+            math.max(p, st.map(_.last).getOrElse(p))))
+        }
+        st.foreach(state.update)
+        out.result().iterator
+    }
+  }
+
   case class BkState(items: Seq[(Long, Long)], nSeen: Long) // (h, v_fp) asc, ≤ k
   case class BkOut(event_type: String, n_seen: Long, n_sample: Long,
                    p50_fp: Long, p95_fp: Long)

@@ -239,6 +239,43 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming growth states + trailing churn reconcile with the batch accounting") {
+    implicit val sqlCtx = spark.sqlContext
+    val wk = 7L * 86400000000000L
+    val pres = DomainQueries.events(spark, sf)
+      .select(col("user_id"), expr(s"ts_ns div $wk").as("period"))
+      .distinct().as[(Long, Long)].collect()
+    // feed in period-ascending micro-batches (arrival order = event time)
+    val byPeriod = pres.groupBy(_._2).toSeq.sortBy(_._1)
+    val mem = MemoryStream[(Long, Long)]
+    val q = Streams.growthStates(mem.toDS())
+      .writeStream.format("memory").queryName("growth_out")
+      .outputMode("append").start()
+    try {
+      byPeriod.foreach { case (_, cells) =>
+        mem.addData(cells.toIndexedSeq); q.processAllAvailable()
+      }
+      val emitted = spark.table("growth_out")
+        .as[Streams.GrowthOut].collect()
+        .groupBy(o => (o.period, o.kind)).map { case (k, v) => k -> v.length.toLong }
+      // the batch op charges ONE trailing churn per user at last+1,
+      // clipped to the max active period; the stream leaves it pending
+      val lastByUser = pres.groupBy(_._1).map { case (u, c) => u -> c.map(_._2).max }
+      val maxact = pres.map(_._2).max
+      val trailing = lastByUser.values.map(_ + 1).filter(_ <= maxact)
+        .groupBy(identity).map { case (p, v) => (p, "churned") -> v.size.toLong }
+      val got = (emitted.toSeq ++ trailing.toSeq)
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+      val batch = operators.Analytics.eventsGrowthAccounting(spark, sf)
+        .as[(Long, Long, Long, Long, Long, Long)].collect()
+        .flatMap { case (p, nn, nr, ns, nc, _) =>
+          Seq((p, "new") -> nn, (p, "retained") -> nr,
+            (p, "resurrected") -> ns, (p, "churned") -> nc)
+        }.filter(_._2 > 0).toMap
+      assert(got === batch)
+    } finally q.stop()
+  }
+
   test("streaming snapshot diff agrees with the batch diff across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     // Same deterministic edit as the batch data_snapshot_diff demo: old =
