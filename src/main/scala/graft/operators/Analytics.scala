@@ -2813,6 +2813,22 @@ object Analytics {
         pick(50).as("p50"), pick(90).as("p90"), pick(99).as("p99"))
   }
 
+  /** Production twin of [[eventsValueQuantiles]]: the engine's
+    * `percentile_approx` (Greenwald-Khanna sketch, codegen'd, fixed
+    * memory per group, partial-agg mergeable) — not oracle-replayable
+    * (sketch internals differ per engine), so the exact element-picked
+    * ranks stay the comparator, the same production/comparator split as
+    * [[CoreQueries.q14Production]]. Spec-asserted within tolerance of
+    * the exact picks. */
+  private[graft] def valueQuantilesProduction(s: SparkSession, dir: String): DataFrame =
+    DomainQueries.events(s, dir)
+      .filter(col("value").isNotNull)
+      .groupBy("event_type")
+      .agg(percentile_approx(col("value"),
+        array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("qs"))
+      .select(col("event_type"), expr("qs[0]").as("p50"),
+        expr("qs[1]").as("p90"), expr("qs[2]").as("p99"))
+
   private val QUANTILES_SQL =
     """WITH e AS (
       |  SELECT event_type, value, event_id FROM events

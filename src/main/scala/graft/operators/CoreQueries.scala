@@ -571,6 +571,32 @@ object CoreQueries {
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
   }
 
+  /** Set-algebra cohort comparison — INTERSECT and EXCEPT as physical
+    * operators (the one relational surface no other core query
+    * exercises; Spark plans them as distinct-aggregated semi/anti
+    * joins): the 1996 and 1997 buyer cohorts compared as sets, with
+    * year-over-year churn and acquisition shares. Single-row output;
+    * the five single-row folds meet in whitelisted 1×1 crossJoins.
+    * At scale each set op is one shuffle on the already-distinct
+    * custkey projections — no fact column wider than the key ever
+    * moves. */
+  def q38(s: SparkSession, dir: String): DataFrame = {
+    def buyers(yr: Int) = t(s, dir, "orders")
+      .filter(year(col("o_orderdate")) === yr).select("o_custkey").distinct()
+    val a = buyers(1996); val b = buyers(1997)
+    val na = a.agg(count(lit(1)).as("n_1996"))
+    val nb = b.agg(count(lit(1)).as("n_1997"))
+    val nboth = a.intersect(b).agg(count(lit(1)).as("n_both"))
+    val only94 = a.except(b).agg(count(lit(1)).as("n_churned"))
+    val only95 = b.except(a).agg(count(lit(1)).as("n_acquired"))
+    na.crossJoin(broadcast(nb)).crossJoin(broadcast(nboth))
+      .crossJoin(broadcast(only94)).crossJoin(broadcast(only95))
+      .select(col("n_1996"), col("n_1997"), col("n_both"),
+        col("n_churned"), col("n_acquired"),
+        expr("n_churned * 1000 div n_1996").as("churn_milli"),
+        expr("n_acquired * 1000 div n_1997").as("acquisition_milli"))
+  }
+
   def q24(s: SparkSession, dir: String): DataFrame = {
     val revenue = dec2(col("l_extendedprice")) * dec2(lit(1) - col("l_discount"))
     t(s, dir, "lineitem")
@@ -786,6 +812,7 @@ object CoreQueries {
     "q35_promo_share" -> (q35 _),
     "q36_order_backlog" -> (q36 _),
     "q37_supplier_breadth" -> (q37 _),
+    "q38_customer_set_algebra" -> (q38 _),
     "q20_dominant_supplier" -> (q20 _),
     "q21_single_late_blame" -> (q21 _),
     "q22_prospect_share" -> (q22 _),
@@ -867,6 +894,23 @@ object CoreQueries {
          |SELECT ym, promo_e4, total_e4,
          |  promo_e4 * 1000 // total_e4 AS promo_share_milli
          |FROM m""".stripMargin,
+    "q38_customer_set_algebra" ->
+      """WITH a AS (SELECT DISTINCT o_custkey FROM orders
+        |           WHERE year(CAST(o_orderdate AS DATE)) = 1996),
+        |b AS (SELECT DISTINCT o_custkey FROM orders
+        |      WHERE year(CAST(o_orderdate AS DATE)) = 1997),
+        |na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_1996 FROM a),
+        |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_1997 FROM b),
+        |nx AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_both
+        |       FROM (SELECT * FROM a INTERSECT SELECT * FROM b)),
+        |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_churned
+        |       FROM (SELECT * FROM a EXCEPT SELECT * FROM b)),
+        |nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_acquired
+        |       FROM (SELECT * FROM b EXCEPT SELECT * FROM a))
+        |SELECT n_1996, n_1997, n_both, n_churned, n_acquired,
+        |  n_churned * 1000 // n_1996 AS churn_milli,
+        |  n_acquired * 1000 // n_1997 AS acquisition_milli
+        |FROM na, nb, nx, nc, nq""".stripMargin,
     "q37_supplier_breadth" ->
       """SELECT p_brand, p_type, p_size,
         |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt

@@ -1194,6 +1194,30 @@ object DomainQueries {
         .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** Sequence data-contract validation — the NEGATIVE-space check
+    * [[eventsFunnel]]'s happy path never runs: the contract "a purchase
+    * requires a PRIOR view in the same session" audited per user, with
+    * orphan purchases (no view yet when the purchase fired) counted
+    * against total purchases. This is how a pipeline detects
+    * instrumentation regressions (a client shipping purchases without
+    * view events) — the sequence sibling of meta_fk_audit's referential
+    * checks. Plan: the 6h-gap session ids and the per-session first-view
+    * window both ride the ONE user_id exchange; the user rollup is a
+    * second, partial-aggregated one. */
+  def eventsSequenceContract(s: SparkSession, dir: String): DataFrame = {
+    val bySes = Window.partitionBy("user_id", "session_id")
+    withSessionIds(s, dir)
+      .withColumn("t_view",
+        min(when(col("event_type") === "view", col("ts_ns"))).over(bySes))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        when(col("t_view").isNull || col("ts_ns") < col("t_view"), 1L)
+          .otherwise(0L).as("orphan"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_purchases"), sum("orphan").as("n_orphans"))
+      .withColumn("orphan_milli", expr("n_orphans * 1000 div n_purchases"))
+  }
+
   def eventsSessionize(s: SparkSession, dir: String): DataFrame =
     withSessionIds(s, dir)
       .groupBy("user_id", "session_id")
@@ -1456,6 +1480,7 @@ object DomainQueries {
 
   val queries: Map[String, Q] = Map(
     "events_funnel" -> (eventsFunnel _),
+    "events_sequence_contract" -> (eventsSequenceContract _),
     "occ_clean_coords" -> (occCleanCoords _),
     "occ_uncertainty_band" -> (occUncertaintyBand _),
     "occ_land_filter" -> (occLandFilter _),
@@ -2020,6 +2045,32 @@ object DomainQueries {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "events_sequence_contract" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |            epoch_ns(ts) // 1000 * 1000 AS ts_ns FROM events),
+        |seq AS (
+        |  SELECT user_id, event_type, ts_ns,
+        |    CASE WHEN ts_ns - LAG(ts_ns) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id)
+        |              > 21600000000000 THEN 1 ELSE 0 END AS is_new,
+        |    event_id
+        |  FROM e),
+        |ses AS (
+        |  SELECT user_id, event_type, ts_ns,
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM seq),
+        |s1 AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts_ns END)
+        |              OVER (PARTITION BY user_id, session_id) AS t_view
+        |  FROM ses),
+        |p AS (SELECT user_id,
+        |        CASE WHEN t_view IS NULL OR ts_ns < t_view THEN 1 ELSE 0 END
+        |          AS orphan
+        |      FROM s1 WHERE event_type = 'purchase')
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |  CAST(SUM(orphan) AS BIGINT) AS n_orphans,
+        |  CAST(SUM(orphan) AS BIGINT) * 1000 // COUNT(*) AS orphan_milli
+        |FROM p GROUP BY user_id""".stripMargin,
     "events_funnel" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
         |            epoch_ns(ts) // 1000 * 1000 AS ts_ns FROM events),

@@ -53,6 +53,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.exists(_._3 > 0))
   }
 
+  test("production percentile_approx lands within tolerance of the exact rank picks") {
+    val prod = Analytics.valueQuantilesProduction(spark, sf)
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val exact = Analytics.eventsValueQuantiles(spark, sf)
+      .select("event_type", "p50", "p90", "p99")
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(prod.keySet === exact.keySet && prod.nonEmpty)
+    for ((k, (a50, a90, a99)) <- prod) {
+      val (e50, e90, e99) = exact(k)
+      for (((a, e), tag) <- Seq((a50, e50), (a90, e90), (a99, e99))
+             .zip(Seq("p50", "p90", "p99")))
+        assert(math.abs(a - e) / (math.abs(e) + 1.0) < 0.05,
+          s"$k $tag: approx $a vs exact $e")
+    }
+  }
+
   test("retention: offset-0 diagonal equals cohort sizes, cells never exceed it") {
     val cells = Analytics.eventsRetention(spark, sf)
       .as[(Long, Long, Long)].collect()

@@ -35,7 +35,8 @@ class PlanAuditSpec extends SparkSpec {
     "graph_global_clustering" -> "crossJoin of the two single-row wedge/triangle aggregates (1×1)",
     "occ_morans_i" -> "crossJoin of the two single-row numerator/denominator folds (1×1)",
     "meta_pseudonymize_audit" -> "crossJoins of three single-row audit folds (1×1×1)",
-    "sim_ivfpq_topk" -> "inherits sim_ivf_topk's codebook-assignment crossJoin against 8 broadcast centroid rows")
+    "sim_ivfpq_topk" -> "inherits sim_ivf_topk's codebook-assignment crossJoin against 8 broadcast centroid rows",
+    "q38_customer_set_algebra" -> "crossJoins of five single-row set-cardinality folds (1×1)")
 
   test("no query plans a nested-loop or cartesian join outside the whitelist") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -247,7 +248,9 @@ class PlanAuditSpec extends SparkSpec {
     "meta_deletion_vectors" -> 1, // ONE (shard, word) partial agg over a projection
     "multimodal_byte_entropy" -> 2, // (media, byte) agg + media-grain fold
     "events_quantile_sketch_union" -> 3, // day sketch agg + period re-merge + exact rank window
-    "meta_shard_checksums" -> 1) // ONE rollup expand agg; hashes only
+    "meta_shard_checksums" -> 1, // ONE rollup expand agg; hashes only
+    "q38_customer_set_algebra" -> 13, // five folds x (2-step distinct + set-op join legs), all key-width
+    "events_sequence_contract" -> 1) // session ids + first-view window + user agg ride ONE user exchange
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
     // the shard grid must drive the exchange (parallelism = shard count),
