@@ -176,6 +176,37 @@ object Graphs {
   def graphKtruss(s: SparkSession, dir: String): DataFrame =
     trussPeel(SketchQueries.simKnnGraph(s, dir).select("qid", "vec_id"))
 
+  /** Global 4-cycle (square) count — the BIPARTITE-flavored density
+    * motif the triangle family is blind to (two documents sharing two
+    * distinct neighbors without being neighbors themselves — the
+    * "mutual-boilerplate" pattern): wedge counts w(a,c) fold per
+    * unordered endpoint pair through the standard mid-point join
+    * (candidates bounded by Σd², the [[triangleCounts]] discipline),
+    * then squares = Σ C(w,2) / 2 — each 4-cycle is seen once per
+    * diagonal, exactly twice, so the sum is always even and the halving
+    * exact. One row out: wedge-pair count, multi-wedge pairs, squares.
+    */
+  def squareCount(edges: DataFrame): DataFrame = {
+    val und = edges.toDF("x", "y")
+      .select(least(col("x"), col("y")).as("u"),
+        greatest(col("x"), col("y")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint()
+    val sym = und.select(col("u").as("a"), col("v").as("b"))
+      .union(und.select(col("v").as("a"), col("u").as("b")))
+    sym.select(col("a").as("x"), col("b").as("m"))
+      .join(sym.select(col("a").as("m"), col("b").as("z")), Seq("m"))
+      .filter(col("x") < col("z"))
+      .groupBy("x", "z").agg(count(lit(1)).as("w"))
+      .agg(count(lit(1)).as("n_wedge_pairs"),
+        sum(when(col("w") >= 2, 1L).otherwise(0L)).as("n_multi_pairs"),
+        expr("sum(w * (w - 1) div 2) div 2").as("n_squares"))
+  }
+
+  /** Square census of the k-NN similarity graph. */
+  def graphSquareCount(s: SparkSession, dir: String): DataFrame =
+    squareCount(SketchQueries.simKnnGraph(s, dir).select("qid", "vec_id"))
+
   /** Semantic near-dup clusters — [[connectedComponents]] over the k-NN
     * SIMILARITY graph instead of [[dedupCluster]]'s lexical trigram
     * pairs: embedding neighbors chain into clusters of documents that
@@ -672,6 +703,7 @@ object Graphs {
     "dedup_semantic_cluster" -> (dedupSemanticCluster _),
     "graph_global_clustering" -> (graphGlobalClustering _),
     "graph_ktruss" -> (graphKtruss _),
+    "graph_square_count" -> (graphSquareCount _),
     "graph_degree_stats" -> (graphDegreeStats _),
     "graph_degree_assortativity" -> (graphDegreeAssortativity _),
     "graph_neighbor_jaccard" -> (graphNeighborJaccard _))
@@ -906,6 +938,24 @@ object Graphs {
          |nodes AS (SELECT unnest([a, b, c]) AS node FROM tg)
          |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
          |FROM nodes GROUP BY node""".stripMargin
+    },
+    "graph_square_count" -> {
+      val knnSql = SketchQueries.oracle("sim_knn_graph")
+      s"""WITH knn AS ($knnSql),
+         |eg AS (SELECT DISTINCT LEAST(qid, vec_id) AS u,
+         |         GREATEST(qid, vec_id) AS v
+         |       FROM knn WHERE qid <> vec_id),
+         |sym AS (SELECT u AS a, v AS b FROM eg
+         |        UNION ALL SELECT v, u FROM eg),
+         |wp AS (SELECT s1.a AS x, s2.b AS z, CAST(COUNT(*) AS BIGINT) AS w
+         |       FROM sym s1 JOIN sym s2 ON s1.b = s2.a
+         |       WHERE s1.a < s2.b
+         |       GROUP BY 1, 2)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_wedge_pairs,
+         |  CAST(SUM(CASE WHEN w >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_multi_pairs,
+         |  CAST(SUM(w * (w - 1) // 2) // 2 AS BIGINT) AS n_squares
+         |FROM wp""".stripMargin
     },
     "graph_ktruss" -> {
       val knnSql = SketchQueries.oracle("sim_knn_graph")

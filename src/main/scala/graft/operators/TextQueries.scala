@@ -680,6 +680,48 @@ object TextQueries {
         sum(when(col("ascii_ok") && col("len_ok") && col("ttr_ok") && col("dig_ok"), 1L)
           .otherwise(0L)).as("n_kept"))
 
+  /** Leave-one-out filter attribution — the WHICH-filter-does-the-work
+    * readout [[textCurationFunnel]]'s sequential counts conflate (a
+    * funnel charges every kill to the FIRST filter in pipeline order;
+    * reordering changes the story): per filter, how many documents it
+    * flags at all, how many ONLY it flags (its marginal, order-free
+    * kill count — drop the filter and exactly these documents come
+    * back), and the marginal share. The four flag derivations are the
+    * funnel's own; rows come from an explode over literal structs
+    * (explode, NOT stack — Stack is CodegenFallback and would drag the
+    * regexp counters into interpreted eval). Plan: narrow codegen scan
+    * + ONE ≤4-row partial aggregate. */
+  def dataFilterAblation(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        length(col("text")).cast("long").as("n_chars_t"),
+        length(regexp_replace(col("text"), "[\\x20-\\x7e]", "")).cast("long").as("n_nonascii"),
+        size(tokens(col("text"))).cast("long").as("n_tok"),
+        size(array_distinct(tokens(col("text")))).cast("long").as("n_dis"),
+        size(regexp_extract_all(lower(col("text")), lit("[0-9]+"), lit(0)))
+          .cast("long").as("n_dig"))
+      .select(
+        (col("n_nonascii") * 10 <= col("n_chars_t")).as("ascii_ok"),
+        col("n_tok").between(20L, 10000L).as("len_ok"),
+        (col("n_dis") * 10 >= col("n_tok") * 3).as("ttr_ok"),
+        (col("n_dig") * 5 <= col("n_tok")).as("dig_ok"))
+      .select(explode(expr(
+        """array(
+          |  named_struct('filter', 'ascii', 'flagged', not ascii_ok,
+          |    'unique_kill', not ascii_ok and len_ok and ttr_ok and dig_ok),
+          |  named_struct('filter', 'len', 'flagged', not len_ok,
+          |    'unique_kill', not len_ok and ascii_ok and ttr_ok and dig_ok),
+          |  named_struct('filter', 'ttr', 'flagged', not ttr_ok,
+          |    'unique_kill', not ttr_ok and ascii_ok and len_ok and dig_ok),
+          |  named_struct('filter', 'dig', 'flagged', not dig_ok,
+          |    'unique_kill', not dig_ok and ascii_ok and len_ok and ttr_ok))
+          |""".stripMargin)).as("r"))
+      .groupBy(expr("r.filter").as("filter"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(expr("r.flagged"), 1L).otherwise(0L)).as("n_flagged"),
+        sum(when(expr("r.unique_kill"), 1L).otherwise(0L)).as("n_unique_kills"))
+      .withColumn("marginal_milli", expr("n_unique_kills * 1000 div n_docs"))
+
   /** Prefix-duplicate (template/boilerplate) detection — the crawl-
     * curation gate the full-document dedups sleep through: two docs that
     * share their first 12 normalized tokens almost always share a
@@ -719,6 +761,7 @@ object TextQueries {
   val queries: Map[String, Q] = Map(
     "dedup_doc_prefix" -> (dedupDocPrefix _),
     "text_curation_funnel" -> (textCurationFunnel _),
+    "data_filter_ablation" -> (dataFilterAblation _),
     "text_diversity" -> (textDiversity _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
     "text_tokens" -> (textTokens _),
@@ -745,6 +788,40 @@ object TextQueries {
     "dedup_incremental_exact" -> INCREMENTAL_SQL,
     // DuckDB regexp_replace needs the explicit 'g' flag (Spark's always
     // replaces all matches).
+    "data_filter_ablation" ->
+      s"""WITH f AS (
+         |  SELECT length(text) AS n_chars_t,
+         |    length(regexp_replace(text, '[\\x20-\\x7e]', '', 'g')) AS n_nonascii,
+         |    CAST(len(regexp_extract_all(lower(text), '$TOKEN_RE')) AS BIGINT) AS n_tok,
+         |    CAST(len(list_distinct(regexp_extract_all(lower(text), '$TOKEN_RE'))) AS BIGINT) AS n_dis,
+         |    CAST(len(regexp_extract_all(lower(text), '[0-9]+')) AS BIGINT) AS n_dig
+         |  FROM documents),
+         |g AS (
+         |  SELECT n_nonascii * 10 <= n_chars_t AS ascii_ok,
+         |    n_tok BETWEEN 20 AND 10000 AS len_ok,
+         |    n_dis * 10 >= n_tok * 3 AS ttr_ok,
+         |    n_dig * 5 <= n_tok AS dig_ok
+         |  FROM f),
+         |r AS (
+         |  SELECT 'ascii' AS filter, NOT ascii_ok AS flagged,
+         |    NOT ascii_ok AND len_ok AND ttr_ok AND dig_ok AS unique_kill FROM g
+         |  UNION ALL
+         |  SELECT 'len', NOT len_ok,
+         |    NOT len_ok AND ascii_ok AND ttr_ok AND dig_ok FROM g
+         |  UNION ALL
+         |  SELECT 'ttr', NOT ttr_ok,
+         |    NOT ttr_ok AND ascii_ok AND len_ok AND dig_ok FROM g
+         |  UNION ALL
+         |  SELECT 'dig', NOT dig_ok,
+         |    NOT dig_ok AND ascii_ok AND len_ok AND ttr_ok FROM g)
+         |SELECT filter, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_flagged,
+         |  CAST(SUM(CASE WHEN unique_kill THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_unique_kills,
+         |  CAST(SUM(CASE WHEN unique_kill THEN 1 ELSE 0 END) AS BIGINT)
+         |    * 1000 // COUNT(*) AS marginal_milli
+         |FROM r GROUP BY filter""".stripMargin,
     "text_curation_funnel" ->
       s"""WITH f AS (
          |  SELECT length(text) AS n_chars_t,

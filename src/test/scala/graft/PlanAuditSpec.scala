@@ -250,7 +250,9 @@ class PlanAuditSpec extends SparkSpec {
     "events_quantile_sketch_union" -> 3, // day sketch agg + period re-merge + exact rank window
     "meta_shard_checksums" -> 1, // ONE rollup expand agg; hashes only
     "q38_customer_set_algebra" -> 13, // five folds x (2-step distinct + set-op join legs), all key-width
-    "events_sequence_contract" -> 1) // session ids + first-view window + user agg ride ONE user exchange
+    "events_sequence_contract" -> 1, // session ids + first-view window + user agg ride ONE user exchange
+    "graph_square_count" -> 4, // sym join legs + pair agg + single-row fold over the checkpointed edges
+    "data_filter_ablation" -> 1) // narrow codegen flags + explode; ONE ≤4-row agg
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
     // the shard grid must drive the exchange (parallelism = shard count),
