@@ -1244,6 +1244,66 @@ object Analytics {
       |  MAX(CASE WHEN vr = (19 * n + 19) // 20 THEN v_fp END) AS p95_fp
       |FROM o GROUP BY event_type""".stripMargin
 
+  /** Calendar gap-fill with last-observation-carried-forward — the
+    * time-series REGULARIZATION step every downstream
+    * forecaster/autocorrelator on the board silently presupposes
+    * (events_rate_autocorr drops non-contiguous hours; this op CREATES
+    * the contiguous series): each type's hour calendar is generated
+    * from its own [min, max] span (sequence + explode — calendar-
+    * bounded, never event-volume-bounded), observed hours left-join
+    * onto it, and gaps fill by the LOCF ignore-nulls running window —
+    * the one window feature (IGNORE NULLS) nothing else on the board
+    * exercises. Value mass is exact per-event floor milli before any
+    * sum. Plan: one (type, hour) partial agg (checkpointed — the span
+    * fold and the join both read it), a ≤|types|-row span aggregate
+    * whose exploded calendar joins back, one type-partitioned LOCF
+    * window. */
+  def eventsGapFillLocf(s: SparkSession, dir: String): DataFrame = {
+    val obs = DomainQueries.events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), expr("ts_ns div 3600000000000").as("hour"),
+        expr("cast(floor(value * 1000) as bigint)").as("v_milli"))
+      .groupBy("event_type", "hour")
+      .agg(count(lit(1)).as("n_events"), sum("v_milli").as("value_milli"))
+      .localCheckpoint() // span fold + the calendar join both read it
+    val cal = obs.groupBy("event_type")
+      .agg(min("hour").as("h0"), max("hour").as("h1"))
+      .select(col("event_type"),
+        explode(expr("sequence(h0, h1)")).as("hour"))
+    val w = Window.partitionBy("event_type").orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cal.join(obs, Seq("event_type", "hour"), "left_outer")
+      .select(col("event_type"), col("hour"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(col("value_milli"), ignoreNulls = true).over(w)
+          .as("value_milli_locf"),
+        expr("cast(case when n_events is null then 1 else 0 end as bigint)")
+          .as("is_filled"))
+  }
+
+  private val GAPFILL_SQL =
+    """WITH e AS (
+      |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour,
+      |    CAST(FLOOR(value * 1000) AS BIGINT) AS v_milli
+      |  FROM events WHERE value IS NOT NULL),
+      |o AS (SELECT event_type, hour, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |        CAST(SUM(v_milli) AS BIGINT) AS value_milli
+      |      FROM e GROUP BY 1, 2),
+      |sp AS (SELECT event_type, MIN(hour) AS h0, MAX(hour) AS h1
+      |       FROM o GROUP BY 1),
+      |cal AS (SELECT event_type, CAST(h AS BIGINT) AS hour
+      |        FROM sp, LATERAL unnest(generate_series(h0, h1)) t(h))
+      |SELECT cal.event_type, cal.hour,
+      |  COALESCE(o.n_events, 0) AS n_events,
+      |  LAST_VALUE(o.value_milli IGNORE NULLS) OVER (
+      |    PARTITION BY cal.event_type ORDER BY cal.hour
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS value_milli_locf,
+      |  CAST(CASE WHEN o.n_events IS NULL THEN 1 ELSE 0 END AS BIGINT)
+      |    AS is_filled
+      |FROM cal LEFT JOIN o
+      |  ON o.event_type = cal.event_type AND o.hour = cal.hour""".stripMargin
+
   /** Mergeable quantile sketch with a daily→period UNION — the
     * quantile sibling of [[eventsHllDailyUnion]]'s register-max merge,
     * proving the OTHER property sketches need on a cluster: per-day
@@ -3128,6 +3188,7 @@ object Analytics {
     "events_growth_accounting" -> (eventsGrowthAccounting _),
     "data_semantic_leakage" -> (dataSemanticLeakage _),
     "events_quantile_sketch_union" -> (eventsQuantileSketchUnion _),
+    "events_gap_fill_locf" -> (eventsGapFillLocf _),
     "data_benford_audit" -> (dataBenfordAudit _),
     "events_arrival_regularity" -> (eventsArrivalRegularity _),
     "events_weekday_profile" -> (eventsWeekdayProfile _),
@@ -3192,6 +3253,7 @@ object Analytics {
     "events_growth_accounting" -> GROWTH_SQL,
     "data_semantic_leakage" -> SEMLEAK_SQL,
     "events_quantile_sketch_union" -> QSKETCH_SQL,
+    "events_gap_fill_locf" -> GAPFILL_SQL,
     "data_benford_audit" -> BENFORD_SQL,
     "events_arrival_regularity" -> REGULARITY_SQL,
     "events_weekday_profile" -> WEEKDAY_SQL,

@@ -252,7 +252,8 @@ class PlanAuditSpec extends SparkSpec {
     "q38_customer_set_algebra" -> 13, // five folds x (2-step distinct + set-op join legs), all key-width
     "events_sequence_contract" -> 1, // session ids + first-view window + user agg ride ONE user exchange
     "graph_square_count" -> 4, // sym join legs + pair agg + single-row fold over the checkpointed edges
-    "data_filter_ablation" -> 1) // narrow codegen flags + explode; ONE ≤4-row agg
+    "data_filter_ablation" -> 1, // narrow codegen flags + explode; ONE ≤4-row agg
+    "events_gap_fill_locf" -> 2) // checkpointed (type,hour) agg: span fold + LOCF window; calendar side broadcasts
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
     // the shard grid must drive the exchange (parallelism = shard count),
