@@ -382,14 +382,18 @@ object Records {
     val cols = Seq(
       "o_orderkey" -> ident, "o_custkey" -> ident, "o_orderstatus" -> ident,
       "o_totalprice" -> money, "o_orderdate" -> day, "o_orderpriority" -> ident)
-    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { case (c, r) => stats(c, r) }
-    o.agg(aggs.head, aggs.tail: _*)
-      .select(explode(array(cols.map { case (c, _) =>
-        struct(lit(c).as("col_name"), col("n_rows"),
+    // One aggregate per column, unioned — NOT one fused aggregate: six
+    // exact countDistincts in a single agg trigger the multi-distinct
+    // Expand rewrite (every row × 7 groupings, wide keys), measured
+    // 3.25 s at sf0.1; six independent 2-step distinct legs over the
+    // cheap column-pruned scans run 0.67 s. Each leg reads ONE column.
+    cols.map { case (c, r) =>
+      o.select(col(c))
+        .agg(count(lit(1)).as("n_rows"), stats(c, r): _*)
+        .select(lit(c).as("col_name"), col("n_rows"),
           col(s"nn_$c").as("n_null"), col(s"nd_$c").as("n_distinct"),
           col(s"mn_$c").as("min_v"), col(s"mx_$c").as("max_v"))
-      }: _*)).as("p"))
-      .select(col("p.*"))
+    }.reduce(_ unionByName _)
   }
 
   private val PROFILE_SQL = {

@@ -163,7 +163,7 @@ class PlanAuditSpec extends SparkSpec {
     "text_freq_spectrum" -> 2, // vocab agg + ≤64-row bin agg
     "events_gap_histogram" -> 2, // one (user,type) window exchange + tiny bin agg
     "affinity_brand_pairs" -> 7, // all over the CHECKPOINTED dedup: SMJ pair sides + pair agg + 2 brand-count legs + 2-step distinct total
-    "meta_column_profile" -> 2, // one Expand-fused profile agg (partial + final); unpivot is exchange-free
+    "meta_column_profile" -> 12, // six per-column legs x 2-step exact distinct — replaces the Expand-fused agg (3.25 s -> 0.67 s at sf0.1; each leg scans ONE pruned column)
     "events_rfm" -> 0, // returned plan reads the ranked RDD: rank exchanges happen at build
     "supplier_pareto_class" -> 2, // (nation,supp) agg + nation window; both dims broadcast
     "sim_norm_audit" -> 2, // per-vec agg + tiny per-label agg
