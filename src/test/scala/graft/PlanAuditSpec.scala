@@ -246,7 +246,7 @@ class PlanAuditSpec extends SparkSpec {
     "data_semantic_leakage" -> 9, // knn leg (as pinned) + pair dedup agg + ≤3-row rollup
     "text_feature_hashing" -> 1, // narrow tokenize+hash; ONE (doc, dim) partial agg
     "meta_deletion_vectors" -> 1, // ONE (shard, word) partial agg over a projection
-    "multimodal_byte_entropy" -> 2, // (media, byte) agg + media-grain fold
+    "multimodal_byte_entropy" -> 0, // one mapPartitions histogram kernel: ZERO shuffles (hex-explode variant was 3.25 s)
     "events_quantile_sketch_union" -> 3, // day sketch agg + period re-merge + exact rank window
     "meta_shard_checksums" -> 1, // ONE rollup expand agg; hashes only
     "q38_customer_set_algebra" -> 13, // five folds x (2-step distinct + set-op join legs), all key-width
