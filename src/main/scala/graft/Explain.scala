@@ -19,10 +19,10 @@ object Explain {
     * post-convergence join over checkpointed labels — the per-round loop
     * bodies do not appear in it. */
   val heavySet: Seq[String] = Seq(
-    "text_curation_verdict", "graph_pagerank", "q14_approx_distinct",
-    "dedup_cluster", "graph_communities", "dedup_shingle_containment",
-    "dedup_winnow_pairs", "dedup_minhash_lsh", "graph_triangles",
-    "dedup_simhash")
+    "graph_pagerank", "text_curation_verdict", "dedup_lsh_recall_audit",
+    "dedup_semantic_cluster", "q21_single_late_blame", "dedup_survivorship",
+    "dedup_cluster_sizes", "dedup_cluster", "q14_approx_distinct",
+    "graph_communities")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
