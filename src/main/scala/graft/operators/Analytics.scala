@@ -1244,6 +1244,76 @@ object Analytics {
       |  MAX(CASE WHEN vr = (19 * n + 19) // 20 THEN v_fp END) AS p95_fp
       |FROM o GROUP BY event_type""".stripMargin
 
+  /** Value-DISTRIBUTION drift per type — the histogram sibling of
+    * [[eventsMixDrift]]'s type-share L1: each type's first-half and
+    * second-half log₂-binned value distributions ([[eventsValueHistogram]]'s
+    * exact bit-length bins) compare as an L1 distance over milli
+    * shares, so a type whose VOLUME is steady but whose value SHAPE
+    * moved (payments doubling, latencies regressing) still alarms. The
+    * corpus midpoint day derives from the data (min+max+1 halves —
+    * exact), and bins present in only one half full-outer-join in with
+    * a zero share. All integer divisions on positive operands. Plan:
+    * one (type, day, bin) partial agg (checkpointed — midpoint fold +
+    * the half rollup read it), the single-row midpoint broadcast
+    * (whitelisted N×1), half/total aggs and the ≤types×bins join are
+    * all aggregate-sized. */
+  def eventsValueDrift(s: SparkSession, dir: String): DataFrame = {
+    val cells = DomainQueries.events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), expr(s"ts_ns div $DAY_NS").as("day"),
+        expr("cast(length(bin(1 + cast(floor(value * 1024) as bigint))) - 1 as bigint)")
+          .as("bin"))
+      .groupBy("event_type", "day", "bin").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // midpoint fold + the half rollup both read it
+    val mid = cells.agg(expr("(min(day) + max(day) + 1) div 2").as("mid"))
+    val halves = cells.crossJoin(broadcast(mid))
+      .groupBy(col("event_type"),
+        (col("day") >= col("mid")).cast("long").as("half"), col("bin"))
+      .agg(sum("n").as("n"))
+      .withColumn("tn",
+        sum("n").over(Window.partitionBy("event_type", "half")))
+      .select(col("event_type"), col("half"), col("bin"),
+        expr("n * 1000 div tn").as("share"))
+      .localCheckpoint() // both half filters read it; the build ran once
+    val h1 = halves.filter(col("half") === 0)
+      .select(col("event_type"), col("bin"), col("share").as("s1"))
+    val h2 = halves.filter(col("half") === 1)
+      .select(col("event_type"), col("bin"), col("share").as("s2"))
+    h1.join(h2, Seq("event_type", "bin"), "full_outer")
+      .select(col("event_type"), col("bin"),
+        coalesce(col("s1"), lit(0L)).as("s1"),
+        coalesce(col("s2"), lit(0L)).as("s2"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_bins"),
+        sum(expr("abs(s1 - s2)")).as("l1_drift_milli"))
+  }
+
+  private val VALUE_DRIFT_SQL =
+    s"""WITH c AS (
+       |  SELECT event_type, epoch_ns(ts) // $DAY_NS AS day,
+       |    CAST(length(bin(1 + CAST(FLOOR(value * 1024) AS BIGINT))) - 1
+       |      AS BIGINT) AS bin,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3),
+       |m AS (SELECT (MIN(day) + MAX(day) + 1) // 2 AS mid FROM c),
+       |h AS (SELECT event_type,
+       |        CASE WHEN day >= mid THEN 1 ELSE 0 END AS half, bin,
+       |        CAST(SUM(n) AS BIGINT) AS n
+       |      FROM c, m GROUP BY 1, 2, 3),
+       |sh AS (SELECT event_type, half, bin,
+       |         n * 1000 // CAST(SUM(n) OVER (PARTITION BY event_type, half)
+       |           AS BIGINT) AS share
+       |       FROM h),
+       |j AS (SELECT COALESCE(a.event_type, b.event_type) AS event_type,
+       |        COALESCE(a.bin, b.bin) AS bin,
+       |        COALESCE(a.share, 0) AS s1, COALESCE(b.share, 0) AS s2
+       |      FROM (SELECT * FROM sh WHERE half = 0) a
+       |      FULL OUTER JOIN (SELECT * FROM sh WHERE half = 1) b
+       |        ON b.event_type = a.event_type AND b.bin = a.bin)
+       |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_bins,
+       |  CAST(SUM(abs(s1 - s2)) AS BIGINT) AS l1_drift_milli
+       |FROM j GROUP BY 1""".stripMargin
+
   /** Calendar gap-fill with last-observation-carried-forward — the
     * time-series REGULARIZATION step every downstream
     * forecaster/autocorrelator on the board silently presupposes
@@ -3189,6 +3259,7 @@ object Analytics {
     "data_semantic_leakage" -> (dataSemanticLeakage _),
     "events_quantile_sketch_union" -> (eventsQuantileSketchUnion _),
     "events_gap_fill_locf" -> (eventsGapFillLocf _),
+    "events_value_drift" -> (eventsValueDrift _),
     "data_benford_audit" -> (dataBenfordAudit _),
     "events_arrival_regularity" -> (eventsArrivalRegularity _),
     "events_weekday_profile" -> (eventsWeekdayProfile _),
@@ -3254,6 +3325,7 @@ object Analytics {
     "data_semantic_leakage" -> SEMLEAK_SQL,
     "events_quantile_sketch_union" -> QSKETCH_SQL,
     "events_gap_fill_locf" -> GAPFILL_SQL,
+    "events_value_drift" -> VALUE_DRIFT_SQL,
     "data_benford_audit" -> BENFORD_SQL,
     "events_arrival_regularity" -> REGULARITY_SQL,
     "events_weekday_profile" -> WEEKDAY_SQL,

@@ -1418,6 +1418,56 @@ object DomainQueries {
           " else 0 end").as("morans_abs_milli"))
   }
 
+  /** Range fragmentation — per species, the number of CONNECTED patches
+    * its occupied 10°-cells form under 8-neighbor adjacency: one
+    * contiguous range vs an archipelago of fragments, the structural
+    * read [[occEooAoo]]'s extent/occupancy pair cannot give (same AOO,
+    * wildly different connectivity). Per-species cell graphs pack into
+    * ONE node space (node = species#·1024 + cellid — cellid < 684) and
+    * resolve in a single [[Graphs.connectedComponents]] run (iterative
+    * min-label, Observation-converged), so 50 species cost one CC, not
+    * 50; isolated occupied cells (no occupied neighbor — absent from
+    * the edge relation) re-enter as their own fragments via the cell
+    * count minus edge-endpoint count. Adjacency is the bounded
+    * 8-offset explode (≤8·cells candidates), never cell×cell. Oracle:
+    * recursive-CTE closure, the dedup_cluster pattern. */
+  def occRangeFragmentation(s: SparkSession, dir: String): DataFrame = {
+    val offs = Seq((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1),
+      (1, 0), (1, 1))
+      .map { case (dr, dc) => s"named_struct('dr', $dr, 'dc', $dc)" }
+      .mkString("explode(array(", ", ", "))")
+    val cells = valid(s, dir)
+      .select(col("species"),
+        expr("cast(substring(species, 4) as bigint)").as("sp"),
+        cell10(col("lat"), col("lon")).as("cellid"))
+      .distinct()
+      .localCheckpoint() // feeds both edge sides + the per-species counts
+    val edges = cells
+      .select(col("sp"), col("cellid"), expr(offs).as("o"))
+      .withColumn("nr", expr("cellid div 36 + o.dr"))
+      .withColumn("nc", expr("cellid % 36 + o.dc"))
+      .filter(col("nr").between(0, 18) && col("nc").between(0, 35))
+      .withColumn("ncell", expr("nr * 36 + nc"))
+      .filter(col("ncell") > col("cellid"))
+      .join(cells.select(col("sp"), col("cellid").as("ncell")),
+        Seq("sp", "ncell"))
+      .select(expr("sp * 1024 + cellid").as("a"),
+        expr("sp * 1024 + ncell").as("b"))
+    // maxIter = 64: min-label walks one hop per round and a single
+    // species' patch can snake up to the grid's 19+36-cell diameter
+    // (25 rounds converged at sf0.01, NOT at sf0.1 — fail-loudly caught)
+    val fromEdges = Graphs.connectedComponents(edges, maxIter = 64)
+      .groupBy(expr("node div 1024").as("sp"))
+      .agg(countDistinct(col("cluster_id")).as("n_conn"),
+        countDistinct(col("node")).as("n_edge_cells"))
+    cells.groupBy("species", "sp").agg(count(lit(1)).as("n_cells"))
+      .join(fromEdges, Seq("sp"), "left_outer")
+      .select(col("species"), col("n_cells"),
+        (coalesce(col("n_conn"), lit(0L)) + col("n_cells") -
+          coalesce(col("n_edge_cells"), lit(0L))).as("n_fragments"))
+      .withColumn("frag_milli", expr("n_fragments * 1000 div n_cells"))
+  }
+
   /** Whittaker beta diversity per 10° latitude band — the TURNOVER
     * statistic [[occCellDiversity]]'s per-cell alpha and
     * [[occRangeJaccard]]'s pairwise overlaps bracket but never compute:
@@ -1512,6 +1562,7 @@ object DomainQueries {
     "occ_hotspot_adjacency" -> (occHotspotAdjacency _),
     "occ_morans_i" -> (occMoransI _),
     "occ_beta_diversity" -> (occBetaDiversity _),
+    "occ_range_fragmentation" -> (occRangeFragmentation _),
     "spatial_point_in_polygon" -> (spatialPointInPolygon _),
     "occ_sample_coverage" -> (occSampleCoverage _),
     "spatial_grid_density" -> (spatialGridDensity _),
@@ -2212,6 +2263,47 @@ object DomainQueries {
         |  n_in_a * 1000 // n_occ AS share_a_milli,
         |  n_in_b * 1000 // n_occ AS share_b_milli
         |FROM ag""".stripMargin),
+    "occ_range_fragmentation" -> {
+      // recursive closure needs RECURSIVE on the outer WITH, so this one
+      // assembles its CTE chain by hand instead of via withSql
+      s"""WITH RECURSIVE $OCC_SQL,
+         |$VALID_SQL,
+         |cs AS (SELECT DISTINCT species,
+         |         CAST(substr(species, 4) AS BIGINT) AS sp,
+         |         $CELL10_SQL AS cellid
+         |       FROM valid),
+         |offs(dr, dc) AS (
+         |  SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),
+         |                        (1,-1),(1,0),(1,1)) v(dr, dc)),
+         |eg AS (SELECT c.sp * 1024 + c.cellid AS a,
+         |         c.sp * 1024 + n.cellid AS b
+         |       FROM cs c CROSS JOIN offs
+         |       JOIN cs n ON n.sp = c.sp
+         |         AND n.cellid = (c.cellid // 36 + dr) * 36
+         |                        + (c.cellid % 36 + dc)
+         |       WHERE c.cellid // 36 + dr BETWEEN 0 AND 18
+         |         AND c.cellid % 36 + dc BETWEEN 0 AND 35
+         |         AND n.cellid > c.cellid),
+         |e AS (SELECT a, b FROM eg UNION SELECT b, a FROM eg),
+         |r(a, b) AS (
+         |  SELECT a, b FROM e
+         |  UNION
+         |  SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
+         |clus AS (SELECT a AS node, LEAST(a, MIN(b)) AS cluster_id
+         |         FROM r GROUP BY a),
+         |fe AS (SELECT node // 1024 AS sp,
+         |         CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_conn,
+         |         CAST(COUNT(DISTINCT node) AS BIGINT) AS n_edge_cells
+         |       FROM clus GROUP BY 1),
+         |ct AS (SELECT species, sp, CAST(COUNT(*) AS BIGINT) AS n_cells
+         |       FROM cs GROUP BY 1, 2)
+         |SELECT species, n_cells,
+         |  COALESCE(n_conn, 0) + n_cells - COALESCE(n_edge_cells, 0)
+         |    AS n_fragments,
+         |  (COALESCE(n_conn, 0) + n_cells - COALESCE(n_edge_cells, 0))
+         |    * 1000 // n_cells AS frag_milli
+         |FROM ct LEFT JOIN fe ON fe.sp = ct.sp""".stripMargin
+    },
     "occ_beta_diversity" -> withSql(OCC_SQL, VALID_SQL,
       s"""cs AS (SELECT DISTINCT $CELL10_SQL AS cellid, species
          |       FROM valid)""".stripMargin,

@@ -253,7 +253,9 @@ class PlanAuditSpec extends SparkSpec {
     "events_sequence_contract" -> 1, // session ids + first-view window + user agg ride ONE user exchange
     "graph_square_count" -> 4, // sym join legs + pair agg + single-row fold over the checkpointed edges
     "data_filter_ablation" -> 1, // narrow codegen flags + explode; ONE ≤4-row agg
-    "events_gap_fill_locf" -> 2) // checkpointed (type,hour) agg: span fold + LOCF window; calendar side broadcasts
+    "events_gap_fill_locf" -> 2, // checkpointed (type,hour) agg: span fold + LOCF window; calendar side broadcasts
+    "events_value_drift" -> 3, // checkpointed shares: full-outer half legs + type fold
+    "occ_range_fragmentation" -> 4) // per-species counts + CC-label rollup over the converged checkpoint
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
     // the shard grid must drive the exchange (parallelism = shard count),
