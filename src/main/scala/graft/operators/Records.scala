@@ -608,8 +608,57 @@ object Records {
       |  CAST(bit_xor(h) AS BIGINT) AS digest
       |FROM d GROUP BY ROLLUP(shard)""".stripMargin
 
+  /** Tamper-evident hash chain — the ORDER-SENSITIVE integrity layer
+    * [[metaShardChecksums]]'s xor manifest deliberately isn't (xor is
+    * commutative: a reordered or swapped-pair shard keeps its digest;
+    * a chain h_i = md5(h_{i-1} ∥ md5('hc:'∥row_i)) breaks on ANY
+    * reorder, insert or edit): each 64-row shard folds its doc_id-
+    * ordered row hashes into one chain head, and the root row chains
+    * the shard heads in shard order — the audit-log / ledger
+    * checkpoint shape, sequential only WITHIN a 64-row shard (the
+    * fold is a bounded interpreted HOF off the hot path; shards
+    * parallelize freely, the lengthDeciles-class justification).
+    * Plan: one shard aggregate + a single-row root fold union. */
+  def metaHashChain(s: SparkSession, dir: String): DataFrame = {
+    val rows = t(s, dir, "documents")
+      .select(expr("doc_id div 64").as("shard"), col("doc_id"),
+        expr("md5(cast(concat('hc:', text) as binary))").as("h"))
+    val shards = rows.groupBy("shard")
+      .agg(count(lit(1)).as("n_rows"),
+        sort_array(collect_list(struct(col("doc_id"), col("h")))).as("xs"))
+      .select(col("shard"), col("n_rows"),
+        expr("aggregate(xs, '', (acc, x) -> md5(cast(concat(acc, x.h) as binary)))")
+          .as("chain"))
+      .localCheckpoint() // root fold + output both read it
+    val root = shards
+      .agg(sum("n_rows").as("n_rows"),
+        sort_array(collect_list(struct(col("shard"), col("chain")))).as("xs"))
+      .select(lit(null).cast("long").as("shard"), col("n_rows"),
+        expr("aggregate(xs, '', (acc, x) -> md5(cast(concat(acc, x.chain) as binary)))")
+          .as("chain"))
+    shards.select("shard", "n_rows", "chain").unionByName(root)
+  }
+
+  private val HASHCHAIN_SQL =
+    """WITH r AS (
+      |  SELECT doc_id // 64 AS shard, doc_id,
+      |    md5('hc:' || text) AS h
+      |  FROM documents),
+      |sh AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |         list_reduce(list_prepend('', list(h ORDER BY doc_id)),
+      |           (acc, x) -> md5(acc || x)) AS chain
+      |       FROM r GROUP BY 1),
+      |rt AS (SELECT CAST(NULL AS BIGINT) AS shard,
+      |         CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+      |         list_reduce(list_prepend('', list(chain ORDER BY shard)),
+      |           (acc, x) -> md5(acc || x)) AS chain
+      |       FROM sh)
+      |SELECT shard, n_rows, chain FROM sh
+      |UNION ALL SELECT shard, n_rows, chain FROM rt""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "meta_deletion_vectors" -> (metaDeletionVectors _),
+    "meta_hash_chain" -> (metaHashChain _),
     "meta_shard_checksums" -> (metaShardChecksums _),
     "meta_cdc_apply" -> (cdcApply _),
     "meta_column_profile" -> (metaColumnProfile _),
@@ -697,6 +746,7 @@ object Records {
     "meta_erasure_cascade" -> ERASURE_SQL,
     "meta_deletion_vectors" -> DV_SQL,
     "meta_shard_checksums" -> CHECKSUM_SQL,
+    "meta_hash_chain" -> HASHCHAIN_SQL,
     "meta_cdc_apply" ->
       """WITH chg AS (
         |  SELECT user_id AS ukey,
