@@ -1422,50 +1422,49 @@ object DomainQueries {
     * its occupied 10°-cells form under 8-neighbor adjacency: one
     * contiguous range vs an archipelago of fragments, the structural
     * read [[occEooAoo]]'s extent/occupancy pair cannot give (same AOO,
-    * wildly different connectivity). Per-species cell graphs pack into
-    * ONE node space (node = species#·1024 + cellid — cellid < 684) and
-    * resolve in a single [[Graphs.connectedComponents]] run (iterative
-    * min-label, Observation-converged), so 50 species cost one CC, not
-    * 50; isolated occupied cells (no occupied neighbor — absent from
-    * the edge relation) re-enter as their own fragments via the cell
-    * count minus edge-endpoint count. Adjacency is the bounded
-    * 8-offset explode (≤8·cells candidates), never cell×cell. Oracle:
-    * recursive-CTE closure, the dedup_cluster pattern. */
+    * wildly different connectivity). Each species' cell set is BOUNDED
+    * (≤649 cells at any corpus size — the grid, not the data, is the
+    * limit), so the component count resolves in a per-group union-find
+    * over typed flatMapGroups — one (species) exchange, O(cells·α)
+    * per group. The first cut ran the shared synchronous-CC operator
+    * over all species packed in one node space: correct, but ~55
+    * one-hop min-label rounds (grid diameter) × per-round checkpoint
+    * cost 8.5 s at sf0.1 where this shape is 0.4 s — iterative
+    * whole-graph machinery is the wrong tool for a grid-bounded
+    * per-group problem. Oracle: recursive-CTE closure, the
+    * dedup_cluster pattern. */
   def occRangeFragmentation(s: SparkSession, dir: String): DataFrame = {
-    val offs = Seq((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1),
-      (1, 0), (1, 1))
-      .map { case (dr, dc) => s"named_struct('dr', $dr, 'dc', $dc)" }
-      .mkString("explode(array(", ", ", "))")
-    val cells = valid(s, dir)
-      .select(col("species"),
-        expr("cast(substring(species, 4) as bigint)").as("sp"),
-        cell10(col("lat"), col("lon")).as("cellid"))
-      .distinct()
-      .localCheckpoint() // feeds both edge sides + the per-species counts
-    val edges = cells
-      .select(col("sp"), col("cellid"), expr(offs).as("o"))
-      .withColumn("nr", expr("cellid div 36 + o.dr"))
-      .withColumn("nc", expr("cellid % 36 + o.dc"))
-      .filter(col("nr").between(0, 18) && col("nc").between(0, 35))
-      .withColumn("ncell", expr("nr * 36 + nc"))
-      .filter(col("ncell") > col("cellid"))
-      .join(cells.select(col("sp"), col("cellid").as("ncell")),
-        Seq("sp", "ncell"))
-      .select(expr("sp * 1024 + cellid").as("a"),
-        expr("sp * 1024 + ncell").as("b"))
-    // maxIter = 64: min-label walks one hop per round and a single
-    // species' patch can snake up to the grid's 19+36-cell diameter
-    // (25 rounds converged at sf0.01, NOT at sf0.1 — fail-loudly caught)
-    val fromEdges = Graphs.connectedComponents(edges, maxIter = 64)
-      .groupBy(expr("node div 1024").as("sp"))
-      .agg(countDistinct(col("cluster_id")).as("n_conn"),
-        countDistinct(col("node")).as("n_edge_cells"))
-    cells.groupBy("species", "sp").agg(count(lit(1)).as("n_cells"))
-      .join(fromEdges, Seq("sp"), "left_outer")
-      .select(col("species"), col("n_cells"),
-        (coalesce(col("n_conn"), lit(0L)) + col("n_cells") -
-          coalesce(col("n_edge_cells"), lit(0L))).as("n_fragments"))
-      .withColumn("frag_milli", expr("n_fragments * 1000 div n_cells"))
+    import s.implicits._
+    valid(s, dir)
+      .select(col("species"), cell10(col("lat"), col("lon")).as("cellid"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (species: String, it: Iterator[(String, Long)]) =>
+        // dedupe inside the group (a pre-shuffle .distinct() costs a
+        // second full exchange for the same ≤649-value result)
+        val cells = it.map(_._2.toInt).toArray.distinct
+        val present = cells.toSet
+        val idx = cells.zipWithIndex.toMap
+        val parent = Array.tabulate(cells.length)(identity)
+        def find(x: Int): Int = {
+          var r = x; while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        for (c <- cells; dr <- -1 to 1; dc <- -1 to 1 if dr != 0 || dc != 0) {
+          val nr = c / 36 + dr; val nc = c % 36 + dc
+          val n = nr * 36 + nc
+          if (nr >= 0 && nr <= 18 && nc >= 0 && nc <= 35 && present(n)) {
+            val (ra, rb) = (find(idx(c)), find(idx(n)))
+            if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+          }
+        }
+        val nFrag = cells.indices.count(i => find(i) == i).toLong
+        val n = cells.length.toLong
+        (species, n, nFrag, nFrag * 1000 / n)
+      }
+      .toDF("species", "n_cells", "n_fragments", "frag_milli")
   }
 
   /** Whittaker beta diversity per 10° latitude band — the TURNOVER

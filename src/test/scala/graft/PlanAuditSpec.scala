@@ -255,7 +255,7 @@ class PlanAuditSpec extends SparkSpec {
     "data_filter_ablation" -> 1, // narrow codegen flags + explode; ONE ≤4-row agg
     "events_gap_fill_locf" -> 2, // checkpointed (type,hour) agg: span fold + LOCF window; calendar side broadcasts
     "events_value_drift" -> 3, // checkpointed shares: full-outer half legs + type fold
-    "occ_range_fragmentation" -> 4, // per-species counts + CC-label rollup over the converged checkpoint
+    "occ_range_fragmentation" -> 1, // ONE (species) group exchange; union-find per bounded ≤649-cell group (sync-CC variant was 8.5 s)
     "meta_hash_chain" -> 2) // shard chain agg + single-row root fold over its checkpoint
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
