@@ -34,7 +34,8 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
 
     // SPARK_GRAFT_QUERIES=q02_filter_project,q03_join_agg → isolation runs.
-    val names = sys.env.get("SPARK_GRAFT_QUERIES") match {
+    val subset = sys.env.get("SPARK_GRAFT_QUERIES")
+    val names = subset match {
       case Some(qs) => qs.split(',').map(_.trim).filter(SparkEntry.queries.contains).toSeq.sorted
       case None     => SparkEntry.queries.keys.toSeq.sorted
     }
@@ -45,18 +46,36 @@ object Bench {
     // Min of two timed runs: steady-state time, robust to JIT/GC noise.
     // A throwing query reports -1 (NOT its short failure wall time): a
     // fast-failing regression must read as an error, never as a speedup.
+    // Per-query gc_ms (collector-time delta over both timed runs) and
+    // peak_mb (max heap-pool peak, pools reset per query) make
+    // session-pressure spikes attributable from the artifact alone — a
+    // genuine regression shows flat gc/peak, an environment spike shows
+    // gc_ms dwarfing the delta (the r7 range_convex_hull diagnosis class).
+    import scala.jdk.CollectionConverters._
+    val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+    val heapPools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(p => p.getType == java.lang.management.MemoryType.HEAP && p.isValid)
+    def gcMs: Long = gcBeans.map(_.getCollectionTime).sum
     val results = names.map { name =>
+      heapPools.foreach(p => try p.resetPeakUsage() catch { case _: Throwable => () })
+      val gc0 = gcMs
       val timed = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { run(name); true } catch { case _: Throwable => false }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
-      name -> (if (timed.forall(_._2)) timed.map(_._1).min else -1.0)
+      val gcDelta = gcMs - gc0
+      val peakMb = heapPools.map(p => try p.getPeakUsage.getUsed catch { case _: Throwable => 0L }).sum >> 20
+      (name, if (timed.forall(_._2)) timed.map(_._1).min else -1.0, gcDelta, peakMb)
     }
     def fmt(v: Double): String = "%.3f".format(v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val gcs = results.map { case (k, _, g, _) => "\"" + k + "\":" + g }
+      .mkString("{", ",", "}")
+    val peaks = results.map { case (k, _, _, m) => "\"" + k + "\":" + m }
+      .mkString("{", ",", "}")
+    val errors = results.collect { case (k, v, _, _) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     // Key order matters for crash/truncation forensics: the harness that
@@ -74,9 +93,13 @@ object Bench {
     // can't corrupt the JSON artifact
     val cpusSafe = cpus.filter(c => c.isDigit || c == '*' || c == ',')
     val env = s""""load_avg":${fmt(load)},"epoch_ms":${System.currentTimeMillis()},"cpus":"$cpusSafe""""
-    val json = s"""{"metric":"total","unit":"sec","sf":"$sfDir",$env,"queries":$qs,"errors":$errors,"value":${fmt(total)}}"""
-    // Durable copy: survives any stdout/stderr truncation.
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+    val json = s"""{"metric":"total","unit":"sec","sf":"$sfDir",$env,"queries":$qs,"gc_ms":$gcs,"peak_mb":$peaks,"errors":$errors,"value":${fmt(total)}}"""
+    // Durable copy: survives any stdout/stderr truncation. A subset run
+    // (SPARK_GRAFT_QUERIES isolation protocol) writes BENCH_SUBSET.json —
+    // it must NEVER clobber the sealed full-suite artifact (a judge
+    // session lost the driver's 267-query re-run to exactly that).
+    val outFile = if (subset.isDefined) "BENCH_SUBSET.json" else "BENCH_LOCAL.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes("UTF-8"))
     println(json)
     spark.stop()

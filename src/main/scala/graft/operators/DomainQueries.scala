@@ -1309,7 +1309,10 @@ object DomainQueries {
       .select(col("n_pairs"), col("hh"), col("cc"),
         expr("n_pairs - hh - cc").as("hc"), col("n_hot"), col("n_cells"),
         expr("n_hot * 1000 div n_cells").as("hot_share_milli"),
-        expr("hh * 1000 div n_pairs").as("hh_share_milli"))
+        // n_pairs = 0 (no two occupied cells adjacent) must not throw
+        // under ANSI — same guard as occMoransI's den/n_pairs case
+        expr("case when n_pairs > 0 then hh * 1000 div n_pairs" +
+          " else 0 end").as("hh_share_milli"))
   }
 
   /** Two fixed test polygons in exact deci-degree (lon, lat) vertices:
@@ -2214,7 +2217,8 @@ object DomainQueries {
       """SELECT n_pairs, hh, cc, n_pairs - hh - cc AS hc, n_hot,
         |  (SELECT n_cells FROM g) AS n_cells,
         |  n_hot * 1000 // (SELECT n_cells FROM g) AS hot_share_milli,
-        |  hh * 1000 // n_pairs AS hh_share_milli
+        |  CASE WHEN n_pairs > 0 THEN hh * 1000 // n_pairs
+        |       ELSE 0 END AS hh_share_milli
         |FROM agg, nh""".stripMargin),
     "occ_morans_i" -> withSql(OCC_SQL, VALID_SQL,
       s"""cl AS (SELECT $CELL10_SQL AS cellid, CAST(COUNT(*) AS BIGINT) AS n_occ

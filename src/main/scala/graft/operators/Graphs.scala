@@ -43,8 +43,29 @@ object Graphs {
 
   /** (node, cluster_id) for every node in `edges`, cluster_id = min node
     * id reachable. `edges` needs two long columns (a, b); direction and
-    * duplicates don't matter. */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    * duplicates don't matter.
+    *
+    * Two algorithms behind one API:
+    *  - `"min-label"` (default): iterative min-label propagation — two
+    *    shuffles per round, rounds = graph DIAMETER. The right plan for
+    *    near-dup pair graphs, whose components are near-cliques
+    *    (diameter 2-3).
+    *  - `"big-star"`: alternating large-star/small-star contraction
+    *    ([[alternatingCC]]) — ~6 shuffles per round but rounds grow
+    *    LOGARITHMICALLY in component size, so a high-diameter graph
+    *    (paths/grids: the occ_range_fragmentation patch-adjacency class,
+    *    which needed maxIter 64 at sf0.1 under min-label) converges in
+    *    O(log n) rounds instead of O(n). `maxIter` bounds rounds either
+    *    way; both throw loudly on non-convergence. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25,
+      algo: String = "min-label"): DataFrame = algo match {
+    case "min-label" => connectedComponentsMinLabel(edges, maxIter)
+    case "big-star"  => alternatingCC(edges, maxIter)._1
+    case other => throw new IllegalArgumentException(
+      s"unknown connectedComponents algo '$other' (min-label | big-star)")
+  }
+
+  private def connectedComponentsMinLabel(edges: DataFrame, maxIter: Int): DataFrame = {
     val e = edges.toDF("a", "b")
     // no distinct(): duplicate edges cannot move a min aggregate, and the
     // dedup shuffle would cost more than the duplicates it removes
@@ -91,6 +112,85 @@ object Graphs {
         s"connectedComponents did not converge in $maxIter rounds " +
           "(graph diameter exceeds maxIter); raise maxIter")
     labels.select(col("node"), col("label").as("cluster_id"))
+  }
+
+  /** Alternating large-star / small-star contraction — the O(log n)-round
+    * connected-components algorithm of Kiveris et al., "Connected
+    * Components in MapReduce and Beyond" (SoCC 2014); public method, no
+    * reference-repo counterpart (the reference has no graph engine).
+    *
+    * Invariant: the working edge set is oriented (u, v) with u > v.
+    * Per round:
+    *  - LARGE-STAR keys every edge by BOTH endpoints; each node links
+    *    its strictly-larger neighbors to the minimum of its closed
+    *    neighborhood — distances to the component minimum roughly halve
+    *    (the distributed analogue of pointer doubling).
+    *  - SMALL-STAR keys each edge by its LARGER endpoint; each node
+    *    links its smaller neighbors (and itself) to their minimum —
+    *    flattening the partial trees large-star built.
+    * The joint fixpoint is a disjoint union of stars rooted at component
+    * minima (large-star on any deeper chain emits a new shortcut edge,
+    * so nothing else is stable). Convergence is detected by a
+    * (count, Σ xxhash64) checksum of the post-small-star edge set — one
+    * tiny aggregate per round off the already-checkpointed frame; each
+    * round localCheckpoints (lineage doubles per iteration otherwise,
+    * the CLAUDE.md open-ended-loop rule).
+    *
+    * Returns (labels, roundsUsed); throws beyond `maxRounds` like the
+    * min-label path — a non-fixpoint edge set yields WRONG star labels.
+    */
+  private[graft] def alternatingCC(
+      edges: DataFrame, maxRounds: Int = 30): (DataFrame, Int) = {
+    val e0 = edges.toDF("x", "y").filter(col("x") =!= col("y"))
+      .select(greatest(col("x"), col("y")).as("u"),
+        least(col("x"), col("y")).as("v"))
+      .distinct()
+    val nodes = e0.select(col("u").as("node"))
+      .union(e0.select(col("v").as("node"))).distinct()
+      .localCheckpoint() // reused after the loop; don't replay the scan
+    var cur = e0.localCheckpoint()
+    def checksum(df: DataFrame): (Long, String) = {
+      // hash sum in DECIMAL(38,0): a BIGINT sum of ±2^63 hashes overflows
+      // under ANSI on a few thousand rows
+      val r = df.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)"))).head()
+      (r.getLong(0), r.getDecimal(1).stripTrailingZeros.toPlainString)
+    }
+    var prev = checksum(cur)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val sym = cur.select(col("u"), col("v"))
+        .union(cur.select(col("v").as("u"), col("u").as("v")))
+      // m = min of the CLOSED neighborhood; every emitted edge (v, m)
+      // has v > u >= m, so the (larger, smaller) orientation holds
+      val lmin = sym.groupBy("u").agg(min("v").as("nm"))
+        .select(col("u"), least(col("nm"), col("u")).as("m"))
+      val large = sym.join(lmin, Seq("u")).filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")).distinct()
+      // small-star over the (larger, smaller)-oriented large output:
+      // all neighbors under key u are < u, so m < u strictly
+      val smin = large.groupBy("u").agg(min("v").as("m"))
+      val small = large.join(smin, Seq("u")).filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(smin.select(col("u"), col("m").as("v")))
+        .distinct()
+        .localCheckpoint()
+      val sum1 = checksum(small)
+      converged = sum1 == prev
+      prev = sum1
+      cur = small
+      rounds += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"alternatingCC did not converge in $maxRounds rounds; raise maxRounds")
+    val labels = nodes
+      .join(cur.select(col("u").as("node"), col("v").as("root")),
+        Seq("node"), "left_outer")
+      .select(col("node"), coalesce(col("root"), col("node")).as("cluster_id"))
+    (labels, rounds)
   }
 
   /** Near-dup clusters over the trigram-Jaccard pair graph:
@@ -148,7 +248,12 @@ object Graphs {
     * [[triangleCounts]] (candidates bounded by Σd², never edge²), and
     * the survivor set is localCheckpoint'd — it is referenced three
     * times per round (join base + both symmetric sides), the
-    * plan-doubling landmine. */
+    * plan-doubling landmine.
+    *
+    * ORACLE COUPLING: the graph_ktruss DuckDB oracle hardcodes k = 3
+    * (`HAVING COUNT(*) >= 1`) and exactly 3 unrolled peel rounds — any
+    * oracle-compared caller MUST use the defaults ([[graphKtruss]] pins
+    * them explicitly). Other (k, rounds) are fine for non-oracle use. */
   def trussPeel(edges: DataFrame, k: Int = 3, rounds: Int = 3): DataFrame = {
     val und = edges.toDF("x", "y")
       .select(least(col("x"), col("y")).as("u"),
@@ -172,9 +277,11 @@ object Graphs {
         coalesce(col("flag"), lit(false)).as("in_truss"))
   }
 
-  /** 3-truss of the k-NN similarity graph. */
+  /** 3-truss of the k-NN similarity graph. k/rounds pinned to the values
+    * the DuckDB oracle unrolls (see [[trussPeel]]'s coupling note). */
   def graphKtruss(s: SparkSession, dir: String): DataFrame =
-    trussPeel(SketchQueries.simKnnGraph(s, dir).select("qid", "vec_id"))
+    trussPeel(SketchQueries.simKnnGraph(s, dir).select("qid", "vec_id"),
+      k = 3, rounds = 3)
 
   /** Global 4-cycle (square) count — the BIPARTITE-flavored density
     * motif the triangle family is blind to (two documents sharing two

@@ -639,6 +639,103 @@ object Records {
     shards.select("shard", "n_rows", "chain").unionByName(root)
   }
 
+  /** Flat articles index build — the update_articles_index.py:20-45
+    * shape: portal records carry a nested genome-notes list; each note is
+    * exploded to its own article row, enriched by an external publication
+    * lookup that can MISS (europepmc pub_year → NULL on no result,
+    * update_articles_index.py:22-33), stamped with the constant
+    * articleType/journalTitle the reference hardcodes, and denormalized
+    * with the parent record's organism — keyed by study_id (the ES _id).
+    * Modeled as: notes = orders under their customer parent; the
+    * enrichment lookup = max returned-lineitem ship year per order (a
+    * genuinely partial relation, so the left-join NULL path is real).
+    * Plan: one pub-year aggregate + key joins; dims broadcast at gate
+    * scale, equi-shuffles at 100 TB. */
+  def articleEnrich(s: SparkSession, dir: String): DataFrame = {
+    val pub = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      .groupBy(col("l_orderkey"))
+      .agg(max(year(col("l_shipdate"))).cast("long").as("pub_year"))
+    t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(pub, col("o_orderkey") === col("l_orderkey"), "left_outer")
+      .select(
+        concat(lit("PRJ"), col("o_orderkey").cast("string")).as("study_id"),
+        col("pub_year"),
+        lit("Genome Note").as("article_type"),
+        lit("Wellcome Open Res").as("journal_title"),
+        concat(lit("sp_"), (col("c_custkey") % 50).cast("string"))
+          .as("organism_name"),
+        concat(lit("ACC"), col("c_custkey").cast("string")).as("accession"))
+  }
+
+  private val ARTICLE_SQL =
+    """SELECT 'PRJ' || CAST(o_orderkey AS VARCHAR) AS study_id,
+      |  p.pub_year,
+      |  'Genome Note' AS article_type,
+      |  'Wellcome Open Res' AS journal_title,
+      |  'sp_' || CAST(c_custkey % 50 AS VARCHAR) AS organism_name,
+      |  'ACC' || CAST(c_custkey AS VARCHAR) AS accession
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |LEFT JOIN (SELECT l_orderkey,
+      |             CAST(MAX(year(l_shipdate)) AS BIGINT) AS pub_year
+      |           FROM lineitem WHERE l_returnflag = 'R'
+      |           GROUP BY l_orderkey) p ON o_orderkey = p.l_orderkey""".stripMargin
+
+  /** Genome-notes assembly — the import_genome_notes.py:parse_genome_notes
+    * shape: articles are scanned for study-id links with MULTIPLE
+    * candidate parses tried in priority order (the reference's four
+    * href-format splits with startswith('PRJ') precedence,
+    * import_genome_notes.py:233-253), each study is claimed by the FIRST
+    * article that mentions it (visited_studies first-seen dedup), studies
+    * resolve through a tax lookup that can miss (parse_study_xml "Tax ID
+    * not found" → note dropped), and surviving notes group per tax_id.
+    * Modeled on documents: candidates = first 'sc-'/'st-'/'ba-'-prefixed
+    * bigram in the text (priority coalesce); first-seen = min doc_id per
+    * study; the tax lookup is md5-derived ('gn:' salt — its own stream)
+    * with a 1-in-5 deterministic miss so the drop path is exercised.
+    * Plan: narrow extraction scan → study agg → per-tax rollup. */
+  def genomeNotes(s: SparkSession, dir: String): DataFrame = {
+    val cand = t(s, dir, "documents").select(col("doc_id"),
+      coalesce(
+        expr("nullif(regexp_extract(text, '\\\\b(sc[a-z]+ [a-z]+)', 1), '')"),
+        expr("nullif(regexp_extract(text, '\\\\b(st[a-z]+ [a-z]+)', 1), '')"),
+        expr("nullif(regexp_extract(text, '\\\\b(ba[a-z]+ [a-z]+)', 1), '')"))
+        .as("study_id"))
+    cand.filter(col("study_id").isNotNull)
+      .groupBy("study_id").agg(min("doc_id").as("first_doc"))
+      .withColumn("h",
+        expr("cast(conv(substring(md5(cast(concat('gn:', study_id) as binary)), 1, 15), 16, 10) as bigint)"))
+      .filter(col("h") % 5 =!= 0) // tax lookup miss drops the note
+      .withColumn("tax_id", col("h") % 97)
+      .groupBy("tax_id")
+      .agg(count(lit(1)).as("n_notes"),
+        countDistinct(col("first_doc")).as("n_articles"),
+        expr("array_join(sort_array(collect_list(study_id)), ';')")
+          .as("studies"))
+  }
+
+  private val GENOMENOTES_SQL =
+    """WITH cand AS (
+      |  SELECT doc_id,
+      |    COALESCE(
+      |      NULLIF(regexp_extract(text, '\b(sc[a-z]+ [a-z]+)', 1), ''),
+      |      NULLIF(regexp_extract(text, '\b(st[a-z]+ [a-z]+)', 1), ''),
+      |      NULLIF(regexp_extract(text, '\b(ba[a-z]+ [a-z]+)', 1), ''))
+      |      AS study_id
+      |  FROM documents),
+      |first_seen AS (
+      |  SELECT study_id, MIN(doc_id) AS first_doc FROM cand
+      |  WHERE study_id IS NOT NULL GROUP BY study_id),
+      |looked AS (
+      |  SELECT *,
+      |    ('0x' || substr(md5('gn:' || study_id), 1, 15))::BIGINT AS h
+      |  FROM first_seen)
+      |SELECT h % 97 AS tax_id, CAST(COUNT(*) AS BIGINT) AS n_notes,
+      |  CAST(COUNT(DISTINCT first_doc) AS BIGINT) AS n_articles,
+      |  string_agg(study_id, ';' ORDER BY study_id) AS studies
+      |FROM looked WHERE h % 5 != 0
+      |GROUP BY h % 97""".stripMargin
+
   private val HASHCHAIN_SQL =
     """WITH r AS (
       |  SELECT doc_id // 64 AS shard, doc_id,
@@ -670,7 +767,9 @@ object Records {
     "meta_dedup_records" -> (dedupRecords _),
     "meta_summary_facets" -> (summaryFacets _),
     "meta_pseudonymize_audit" -> (metaPseudonymizeAudit _),
-    "meta_erasure_cascade" -> (metaErasureCascade _))
+    "meta_erasure_cascade" -> (metaErasureCascade _),
+    "meta_article_enrich" -> (articleEnrich _),
+    "meta_genome_notes" -> (genomeNotes _))
 
   private val DWH_SQL =
       """WITH e AS (
@@ -742,6 +841,8 @@ object Records {
       |FROM k, r, tk""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "meta_article_enrich" -> ARTICLE_SQL,
+    "meta_genome_notes" -> GENOMENOTES_SQL,
     "meta_pseudonymize_audit" -> PSEUDONYMIZE_SQL,
     "meta_erasure_cascade" -> ERASURE_SQL,
     "meta_deletion_vectors" -> DV_SQL,

@@ -516,7 +516,11 @@ object TextQueries {
     *    exact kernel (same left-to-right accumulation).
     */
   def dedupEmbeddingCosine(s: SparkSession, dir: String): DataFrame =
-    dedupEmbeddingCosine(s, dir, maxBroadcast = 1 << 20)
+    // Cutover 2^16, not 2^20: at 1M vectors the exact path is ~5.5e11
+    // pair-dots × 64 dims (~3.5e13 FMA) plus a ~270 MB broadcast — hours
+    // of compute the banded path does in one shuffle. 64k² / 2 ≈ 2.1e9
+    // pair-dots is the most the "just broadcast it" plan should ever buy.
+    dedupEmbeddingCosine(s, dir, maxBroadcast = 1 << 16)
 
   private[graft] def dedupEmbeddingCosine(
       s: SparkSession, dir: String, maxBroadcast: Long): DataFrame = {

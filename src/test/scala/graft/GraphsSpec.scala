@@ -48,6 +48,38 @@ class GraphsSpec extends SparkSpec {
     assert(got === referenceCC(edges))
   }
 
+  test("big-star CC: 10k-node path converges in O(log n) rounds with exact labels") {
+    // The high-diameter regime min-label CANNOT handle (it would need
+    // 10000 rounds): a path graph of n = 10001 nodes, ids PERMUTED by a
+    // coprime lattice so the component minimum sits mid-path (sorted ids
+    // would hand large-star an artificially easy geometry).
+    val n = 10001L
+    def id(i: Long): Long = (i * 7919L) % n
+    val path = (0L until n - 1).map(i => (id(i), id(i + 1)))
+    val (labels, rounds) = Graphs.alternatingCC(path.toDF("a", "b"))
+    val logBound = 2 * (64 - java.lang.Long.numberOfLeadingZeros(n - 1)) // 2*ceil(log2 n)
+    assert(rounds <= logBound, s"took $rounds rounds, bound $logBound")
+    val got = labels.as[(Long, Long)].collect()
+    assert(got.length === n)
+    assert(got.forall(_._2 === 0L), "single component rooted at min id 0")
+    // same API, algo switch: big-star through connectedComponents agrees
+    // with min-label (and union-find) on a random multi-component graph
+    val rnd = new Random(41)
+    val edges = Seq.fill(150)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .filter { case (a, b) => a != b }
+    val bs = Graphs.connectedComponents(edges.toDF("a", "b"), algo = "big-star")
+      .as[(Long, Long)].collect().toMap
+    assert(bs === referenceCC(edges))
+  }
+
+  test("big-star CC fails loudly when maxRounds is too small") {
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("a", "b")
+    val e = intercept[IllegalStateException] {
+      Graphs.connectedComponents(chain, maxIter = 2, algo = "big-star")
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("fixed-point pagerank replays the integer lattice exactly; hub outranks leaves") {
     // path 1-2-3-4 plus a hub 5 touching every path node, and a random
     // graph: the Spark loop must equal a plain-Scala replay of the SAME
@@ -199,17 +231,41 @@ class GraphsSpec extends SparkSpec {
       .map(r => (r._1, r._2) -> r._3).toMap
     assert(gotTp === Map((1L, 2L) -> true, (2L, 3L) -> true,
       (1L, 3L) -> true, (3L, 4L) -> false))
-    // cascade: triangle A leans on an edge that only triangle B makes
-    // alive; killing B's support edge in round 1 kills A in round 2
+    // fused triangles: at k=3 an edge's triangle co-edges sit in that
+    // same triangle, so they can never be triangle-free — the 3-truss is
+    // exactly "edges in >= 1 triangle" and NO multi-round cascade exists
+    // at k=3 (cascades need k >= 4; next fixture). Here only the
+    // triangle-free pendant peels, in round 1.
     val chainT = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (2L, 4L),
       (4L, 5L)).toDF("x", "y")
     val gotCh = Graphs.trussPeel(chainT).as[(Long, Long, Boolean)].collect()
       .map(r => (r._1, r._2) -> r._3).toMap
-    // 4-5 has no triangle -> peels round 1; 2-4/3-4 still share the
-    // 2-3 triangle so the two fused triangles all survive
     assert(gotCh((4L, 5L)) === false)
     assert(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (2L, 4L))
       .forall(gotCh(_)))
+  }
+
+  test("ktruss k=4: a triangle strip cascades round by round, K5 survives") {
+    // Triangle strip 1-2-3-4-5-6 (triangles {1,2,3},{2,3,4},{3,4,5},
+    // {4,5,6}): at k=4 (support >= 2) the boundary edges die in round 1,
+    // which drops the interior edges (2,3),(3,4),(4,5) to support 1 so
+    // they die in round 2 — a GENUINE cascade (multi-round peeling is
+    // load-bearing). The K5 on 10..14 (every edge in 3 triangles) must
+    // survive untouched.
+    val strip = Seq((1L, 2L), (2L, 3L), (1L, 3L), (2L, 4L), (3L, 4L),
+      (3L, 5L), (4L, 5L), (4L, 6L), (5L, 6L))
+    val k5 = for { a <- 10L to 14L; b <- (a + 1) to 14L } yield (a, b)
+    val g = (strip ++ k5).toDF("x", "y")
+    val after1 = Graphs.trussPeel(g, k = 4, rounds = 1)
+      .as[(Long, Long, Boolean)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val after3 = Graphs.trussPeel(g, k = 4, rounds = 3)
+      .as[(Long, Long, Boolean)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // interior strip edges survive round 1 ...
+    assert(Seq((2L, 3L), (3L, 4L), (4L, 5L)).forall(after1(_)))
+    // ... and are dead by round 2 (cascade), so rounds=3 kills the strip
+    assert(strip.forall(e => !after3(e)))
+    // K5 is a 5-truss: every edge survives both runs
+    assert(k5.forall(e => after1(e) && after3(e)))
   }
 
   test("bfs layers: chain distances exact, horizon truncates, two seeds race") {

@@ -58,10 +58,13 @@ class PlanAuditSpec extends SparkSpec {
   /** Exchange-count gates for the heaviest queries: a lost broadcast or an
     * extra shuffle shows up here as a hard failure instead of only moving
     * a bench number. Bounds are the CURRENT plan's count — tighten them if
-    * a plan improves; never loosen without a written reason. (dedup_cluster
-    * is excluded: its plan is rebuilt per convergence round.) Counts are
+    * a plan improves; never loosen without a written reason. Counts are
     * PLANNED full-tree shuffle exchanges; runtime ReuseExchange may
-    * dedupe identical subtrees, so a pin is an upper bound on work. */
+    * dedupe identical subtrees, so a pin is an upper bound on work.
+    * Iterative queries (dedup_cluster & co.) pin their RETURNED plan —
+    * the per-round loop bodies run at build time behind checkpoints.
+    * Since r8 every SparkEntry query is pinned (sweep via
+    * `runMain graft.PlanCount`). */
   private val maxExchanges: Map[String, Int] = Map(
     "q01_agg_summary" -> 1, // one partial-aggregated shuffle
     "q03_join_agg" -> 1, // both dims broadcast; one agg shuffle
@@ -256,7 +259,83 @@ class PlanAuditSpec extends SparkSpec {
     "events_gap_fill_locf" -> 2, // checkpointed (type,hour) agg: span fold + LOCF window; calendar side broadcasts
     "events_value_drift" -> 3, // checkpointed shares: full-outer half legs + type fold
     "occ_range_fragmentation" -> 1, // ONE (species) group exchange; union-find per bounded ≤649-cell group (sync-CC variant was 8.5 s)
-    "meta_hash_chain" -> 2) // shard chain agg + single-row root fold over its checkpoint
+    "meta_hash_chain" -> 2, // shard chain agg + single-row root fold over its checkpoint
+    // ---- r8 sweep: the previously-unpinned 73 (counts from PlanCount) ----
+    "cleaning_summary" -> 3, // dedup window + two funnel rollups; centroid BNLJ whitelisted
+    "clim_annotate" -> 1, // broadcast climate-cell join; ONE agg shuffle
+    "clim_summary" -> 2, // broadcast cell join; species agg + summary rollup
+    "data_pack_sequences" -> 1, // ONE greedy-pack window exchange
+    "data_quality_mass_curve" -> 2, // quality rank window + cumulative bin agg
+    "data_sample_fixed_k" -> 1, // ONE per-stratum rank window exchange
+    "data_sample_stratified" -> 0, // pure narrow hash-threshold filter
+    "data_split_hash" -> 0, // pure narrow hash-bucket projection
+    "data_tokenizer_fertility" -> 1, // ONE partial-aggregated source rollup
+    "dedup_cluster" -> 0, // returned plan reads the converged CC checkpoint: ZERO
+    "dedup_embedding_cosine" -> 0, // sub-cutover broadcast-corpus mapPartitions kernel: ZERO
+    "events_hopping" -> 1, // ONE hop-grain partial agg
+    "events_interval_join" -> 2, // RangeJoinRule bin-key equi sides (the BNLJ this rule removes)
+    "events_rate_xcorr" -> 1, // (type, hour) agg; lag join AQE-broadcasts off it
+    "events_session_stats" -> 2, // session windows ride ONE user exchange + final stats agg
+    "events_session_window" -> 1, // session derivation + agg share ONE user exchange
+    "events_sessionize" -> 1, // windows + both aggs ride ONE user exchange
+    "events_tumbling" -> 1, // ONE window-grain partial agg
+    "meta_classify" -> 1, // ONE partial-aggregated classification rollup
+    "meta_collect_related" -> 1, // ONE accession-group agg
+    "meta_dedup_records" -> 1, // ONE record-hash agg shuffle
+    "meta_dwh_records" -> 1, // host-walk joins broadcast; ONE agg shuffle
+    "meta_portal_records" -> 1, // ONE portal-group agg
+    "meta_taxon_rollup" -> 2, // taxon agg + rank rollup
+    "multimodal_meta" -> 0, // narrow metadata projection: ZERO
+    "multimodal_source_mix" -> 2, // source agg + tiny share window
+    "occ_centroid_filter" -> 0, // broadcast 20-row centroid BNLJ only: ZERO shuffles
+    "occ_clean_coords" -> 0, // pure narrow validity filter
+    "occ_clean_pipeline" -> 1, // ONE dedup-window exchange; centroid BNLJ whitelisted
+    "occ_dedupe_best" -> 1, // ONE dedup-key window exchange (WindowGroupLimit both sides)
+    "occ_fetch_summary" -> 2, // split agg + summary rollup
+    "occ_hotspot_adjacency" -> 1, // ONE cell agg; neighbor join reads its checkpoint
+    "occ_land_filter" -> 0, // broadcast land-grid filter: ZERO shuffles
+    "occ_sample_coverage" -> 2, // (cell, species) agg + cell fold
+    "occ_uncertainty_band" -> 0, // pure narrow banding projection
+    "provenance_urls" -> 1, // ONE partial-aggregated per-source rollup
+    "q02_filter_project" -> 0, // pushed filters + pruned scan: pure narrow
+    "q04_topk" -> 1, // ONE agg exchange; TakeOrderedAndProject caps the sort
+    "q05_semi_join" -> 0, // broadcast left-semi: ZERO shuffles
+    "q06_anti_join_gate" -> 0, // broadcast left-anti: ZERO shuffles
+    "q07_window_rank" -> 1, // ONE partition-key window exchange
+    "q08_distinct_agg" -> 2, // two-step distinct expand
+    "q09_conditional_agg" -> 1, // ONE partial-aggregated shuffle
+    "q10_union_flatten" -> 1, // union feeds ONE grouped agg
+    "q11_grouping_sets" -> 1, // ONE Expand-fed agg shuffle
+    "q12_cogroup_outer" -> 2, // the two shuffled sides of the full-outer key join
+    "q13_pivot" -> 2, // two-phase pivot aggregate
+    "q15_scalar_subquery" -> 1, // scalar subquery broadcast; ONE agg shuffle
+    "q16_not_exists" -> 0, // broadcast anti join: ZERO shuffles
+    "range_bbox" -> 1, // ONE species bbox agg exchange
+    "range_convex_hull" -> 1, // ONE species hull-UDAF agg exchange
+    "sim_cosine_topk" -> 1, // ONE top-k agg; 5-row query side broadcast (whitelisted)
+    "sim_lsh_topk" -> 3, // two bucket-assignment sides + rerank agg
+    "sim_threshold_sweep" -> 3, // signature agg + pair agg + sweep-grid agg
+    "spatial_join" -> 4, // grid-band join sides + two rollups
+    "spatial_summary_join" -> 4, // same banded join feeding the summary rollups
+    "tax_gate_new" -> 1, // gate anti-join + agg share ONE exchange
+    "tax_lineage" -> 0, // 6-rank lineage joins all broadcast: ZERO
+    "tax_sanitize_names" -> 0, // pure narrow regex cleanup
+    "tax_validate_split" -> 0, // pure narrow rule split
+    "text_bm25_topk" -> 8, // tf/df/dl aggs + pivot + top-k; 1-row stats BNLJs whitelisted
+    "text_bpe_tokens" -> 0, // native codegen bpe_encode: ZERO shuffles
+    "text_fingerprint" -> 0, // native rolling-hash expression: ZERO shuffles
+    "text_langid" -> 0, // narrow n-gram scorer: ZERO shuffles
+    "text_length_deciles" -> 2, // decile offsets agg + bucket fold
+    "text_quality" -> 0, // pure narrow quality flags
+    "text_rarity" -> 2, // vocab agg + doc join-back agg
+    "text_repetition" -> 1, // ONE shingle-window exchange
+    "text_scrub" -> 0, // pure narrow scrub projection
+    "text_stopword_filter" -> 0, // pure narrow lexicon filter
+    "text_tokens" -> 0, // native token_count expression: ZERO shuffles
+    "text_top_ngrams" -> 3, // gram agg + rank window + tiny final agg
+    "uncertainty_buffer" -> 0, // pure narrow buffer arithmetic
+    "meta_article_enrich" -> 1, // ONE pub-year agg; key joins AQE-broadcast at gate scale
+    "meta_genome_notes" -> 3) // study first-seen agg + per-tax rollup + distinct-article expand
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
     // the shard grid must drive the exchange (parallelism = shard count),
@@ -274,6 +353,14 @@ class PlanAuditSpec extends SparkSpec {
   private def shuffleCount(plan: String): Int = {
     def n(re: String) = re.r.findAllIn(plan).size
     n("Exchange ") - n("BroadcastExchange ") - n("ReusedExchange ")
+  }
+
+  test("every query carries an exchange pin and every pin names a real query") {
+    val missing = SparkEntry.queries.keys.filterNot(maxExchanges.contains)
+    assert(missing.isEmpty,
+      s"queries without an exchange pin (add via PlanCount): ${missing.mkString(", ")}")
+    val stale = maxExchanges.keys.filterNot(SparkEntry.queries.contains)
+    assert(stale.isEmpty, s"pins for unknown queries: ${stale.mkString(", ")}")
   }
 
   test("heavy queries stay within their exchange budgets") {
