@@ -3223,7 +3223,322 @@ object Analytics {
       |    // COUNT(*) AS BIGINT) AS late_millis
       |FROM w GROUP BY 1""".stripMargin
 
+  /** Dyadic EWMA forecast + residual anomaly flag per event type — the
+    * one-step-ahead smoother next to [[eventsSeasonalNaive]]'s lag-24
+    * baseline: each hour's forecast is the exponentially-weighted sum of
+    * the PREVIOUS 8 hourly counts with power-of-two weights (w_i =
+    * 2^(8-i), denominator 255 = Σw kept as an exact numerator — no
+    * division anywhere on the hot path, so both engines replay the
+    * lattice bit-for-bit; a calendar hour with no events contributes 0,
+    * the true count). An hour flags `high` when the count exceeds 2× the
+    * forecast, `low` under half. Forecast assembly is contribution-
+    * EXPLODE (each observed hour scatters into its 8 future targets) —
+    * one extra (type, hour) aggregate instead of 8 self-joins. Warm-up
+    * hours (fewer than 8 predecessors since the type's first hour) are
+    * fenced via the per-type min. Plan: hourly agg + contribution agg +
+    * an AQE-sized join back; min-hour dim broadcast. */
+  def eventsEwmaResidual(s: SparkSession, dir: String): DataFrame = {
+    val h = DomainQueries.events(s, dir)
+      .select(col("event_type"), expr(s"ts_ns div $HOUR_NS").as("hour_id"))
+      .groupBy("event_type", "hour_id").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // contributions + actuals + min fence all read it
+    val contrib = h
+      .select(col("event_type"), col("hour_id"), col("c"),
+        explode(expr("array(1L,2L,3L,4L,5L,6L,7L,8L)")).as("i"))
+      .select(col("event_type"), (col("hour_id") + col("i")).as("hour_id"),
+        (col("c") * expr("shiftleft(1L, cast(8 - i as int))")).as("wc"))
+      .groupBy("event_type", "hour_id").agg(sum("wc").as("forecast_num"))
+    val mins = h.groupBy("event_type").agg(min("hour_id").as("h0"))
+    h.join(contrib, Seq("event_type", "hour_id"))
+      .join(broadcast(mins), Seq("event_type"))
+      .filter(col("hour_id") >= col("h0") + 8)
+      .select(col("event_type"), col("hour_id"), col("c"),
+        col("forecast_num"),
+        (col("c") * 255 - col("forecast_num")).as("resid_num"),
+        when(col("c") * 255 > col("forecast_num") * 2, "high")
+          .when(col("c") * 510 < col("forecast_num"), "low")
+          .otherwise("ok").as("flag"))
+  }
+
+  private val EWMA_SQL =
+    s"""WITH h AS (
+       |  SELECT event_type, epoch_ns(ts) // $HOUR_NS AS hour_id,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM events GROUP BY 1, 2),
+       |contrib AS (
+       |  SELECT event_type, hour_id + i AS hour_id,
+       |    CAST(SUM(c * (1 << (8 - i))) AS BIGINT) AS forecast_num
+       |  FROM h, (SELECT unnest(range(1, 9)) AS i) s
+       |  GROUP BY 1, 2),
+       |m AS (SELECT event_type, MIN(hour_id) AS h0 FROM h GROUP BY 1)
+       |SELECT h.event_type, h.hour_id, h.c, contrib.forecast_num,
+       |  h.c * 255 - contrib.forecast_num AS resid_num,
+       |  CASE WHEN h.c * 255 > contrib.forecast_num * 2 THEN 'high'
+       |       WHEN h.c * 510 < contrib.forecast_num THEN 'low'
+       |       ELSE 'ok' END AS flag
+       |FROM h
+       |JOIN contrib ON contrib.event_type = h.event_type
+       |  AND contrib.hour_id = h.hour_id
+       |JOIN m ON m.event_type = h.event_type
+       |WHERE h.hour_id >= m.h0 + 8""".stripMargin
+
+  /** Per-type traffic burstiness — the capacity-planning readout next to
+    * [[eventsEwmaResidual]]'s per-hour flags: over the type's OBSERVED
+    * hours (conditional on activity, documented), peak-to-mean ratio and
+    * a Fano factor (variance/mean index of dispersion: 1000 ≈ Poisson,
+    * ≫1000 bursty, ≪1000 metronomic). Both ship as exact milli on the
+    * divide-by-n-FIRST lattice (arrival_regularity discipline:
+    * (Σc² div n) − (Σc div n)² never overflows at any SF where the raw
+    * n·Σc² product would) — a deterministic floor-approximated index,
+    * identical on both engines, not a float statistic. ONE (type, hour)
+    * agg + a ≤|types|-row fold. */
+  def eventsBurstiness(s: SparkSession, dir: String): DataFrame =
+    DomainQueries.events(s, dir)
+      .select(col("event_type"), expr(s"ts_ns div $HOUR_NS").as("hour_id"))
+      .groupBy("event_type", "hour_id").agg(count(lit(1)).as("c"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"), sum("c").as("n_events"),
+        max("c").as("peak"), sum(expr("c * c")).as("sumsq"))
+      .select(col("event_type"), col("n_hours"), col("n_events"), col("peak"),
+        expr("n_events * 1000 div n_hours").as("mean_milli"),
+        expr("peak * n_hours * 1000 div n_events").as("peak_to_mean_milli"),
+        expr("((sumsq div n_hours) - (n_events div n_hours) * (n_events div n_hours)) * 1000" +
+          " div greatest(n_events div n_hours, 1)").as("fano_milli"))
+
+  private val BURSTINESS_SQL =
+    s"""WITH h AS (
+       |  SELECT event_type, epoch_ns(ts) // $HOUR_NS AS hour_id,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM events GROUP BY 1, 2),
+       |f AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+       |        CAST(SUM(c) AS BIGINT) AS n_events, MAX(c) AS peak,
+       |        CAST(SUM(c * c) AS BIGINT) AS sumsq
+       |      FROM h GROUP BY 1)
+       |SELECT event_type, n_hours, n_events, peak,
+       |  n_events * 1000 // n_hours AS mean_milli,
+       |  peak * n_hours * 1000 // n_events AS peak_to_mean_milli,
+       |  ((sumsq // n_hours) - (n_events // n_hours) * (n_events // n_hours))
+       |    * 1000 // GREATEST(n_events // n_hours, 1) AS fano_milli
+       |FROM f""".stripMargin
+
+  /** Deterministic fixed-point power iteration for the dominant
+    * eigenvector of the embedding second-moment matrix — the
+    * distributed PCA primitive (top principal axis without
+    * mean-centering, documented) that sizes how anisotropic the
+    * embedding cloud is before an ANN index commits to it. Everything
+    * is exact integer: coordinates quantize at 2^-10 (the simDimStats
+    * square-safe scale), C = Σ x·xᵀ accumulates BIGINT outer products
+    * through ONE self-join on vec_id (8.4M intermediate rows at 2k
+    * vectors — linear in corpus size at fixed dim), and five matvec
+    * rounds renormalize by max-|component| with truncating division
+    * (both engines truncate toward zero — spec-asserted; no floats, no
+    * sqrt, so the whole trajectory hash-matches). Per-round state is a
+    * 64-row frame: the max fold is an O(1) driver scalar (the
+    * centroid-fold class), the next matvec broadcasts v. The oracle
+    * replays the identical five rounds as MATERIALIZED CTEs. */
+  def simPowerIteration(s: SparkSession, dir: String): DataFrame = {
+    val x = t(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("j", "xf")))
+      .select(col("vec_id"), col("j").cast("long").as("j"),
+        expr("cast(floor(cast(xf as double) * 1024) as bigint)").as("x"))
+      .localCheckpoint() // both sides of the outer-product self-join
+    val cov = x.toDF("vec_id", "i", "xi")
+      .join(x.toDF("vid2", "j", "xj"), col("vec_id") === col("vid2"))
+      .groupBy("i", "j").agg(sum(expr("xi * xj")).as("c"))
+      .localCheckpoint() // read by all five matvec rounds
+    var v = s.range(64).select(col("id").as("j"), lit(1048576L).as("v"))
+    for (_ <- 1 to 5) {
+      val y = cov.join(broadcast(v), Seq("j"))
+        .groupBy(col("i")).agg(sum(expr("c * v")).as("y"))
+        .localCheckpoint() // max fold + renormalize both read it
+      // 64-row driver scalar: the O(1) centroid-fold class, documented
+      val m = y.agg(max(abs(col("y")))).head().getLong(0)
+      val d = math.max(m / 1048576L, 1L)
+      v = y.select(col("i").as("j"), expr(s"y div $d").as("v"))
+    }
+    v.select(col("j").as("dim"), col("v").as("v_fp"))
+  }
+
+  private val POWER_ITER_SQL = {
+    val rounds = (1 to 5).map { r =>
+      s"""y$r AS MATERIALIZED (
+         |  SELECT c.i AS j, CAST(SUM(c.c * v.v) AS BIGINT) AS y
+         |  FROM c JOIN v${r - 1} v ON c.j = v.j GROUP BY 1),
+         |m$r AS (SELECT GREATEST(MAX(ABS(y)) // 1048576, 1) AS d FROM y$r),
+         |v$r AS MATERIALIZED (
+         |  SELECT j, CAST(y // d AS BIGINT) AS v FROM y$r, m$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH x AS MATERIALIZED (
+       |  SELECT vec_id, j1 - 1 AS j,
+       |    CAST(FLOOR(CAST(embedding[j1] AS DOUBLE) * 1024) AS BIGINT) AS x
+       |  FROM embeddings, (SELECT unnest(range(1, 65)) AS j1) s
+       |  WHERE j1 <= len(embedding)),
+       |c AS MATERIALIZED (
+       |  SELECT a.j AS i, b.j AS j, CAST(SUM(a.x * b.x) AS BIGINT) AS c
+       |  FROM x a JOIN x b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+       |v0 AS (SELECT CAST(j AS BIGINT) AS j, CAST(1048576 AS BIGINT) AS v
+       |       FROM (SELECT range AS j FROM range(64))),
+       |$rounds
+       |SELECT j AS dim, v AS v_fp FROM v5""".stripMargin
+  }
+
+  /** Approximate stationary distribution of the user-journey Markov
+    * chain — [[eventsTransitionMatrix]]'s long-run readout: where does a
+    * user's session settle if the observed transition dynamics keep
+    * running? Five synchronous v·P steps from uniform, entirely on the
+    * positive fixed-point lattice (p = c·2^20 div row_total, each step
+    * Σ(v·p) div 2^20 — floor AFTER the sum, engine-identical;
+    * deliberately NO per-round renormalization: P's truncated rows sum
+    * to ≤ 2^20, so mass only shrinks and nothing can overflow — the
+    * share is normalized ONCE at the end). Fixed round count ⟹ bounded
+    * lineage, no per-round checkpoint (the pagerank lesson); the |types|²
+    * matrix is checkpointed once and broadcast into each tiny step.
+    * Oracle: five unrolled CTE rounds off a MATERIALIZED matrix. */
+  def eventsMarkovStationary(s: SparkSession, dir: String): DataFrame = {
+    val byPrev = Window.partitionBy("prev")
+    val byUser = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    val m = DomainQueries.events(s, dir)
+      .select(col("user_id"), col("ts_ns"), col("event_id"),
+        col("event_type").as("prev"))
+      .withColumn("next", lead("prev", 1).over(byUser))
+      .filter(col("next").isNotNull)
+      .groupBy("prev", "next").agg(count(lit(1)).as("n"))
+      .withColumn("p_fp", expr("n * 1048576 div sum(n) over (partition by prev)"))
+      .select("prev", "next", "p_fp")
+      .localCheckpoint() // read by all five steps
+    var v = m.select(col("prev").as("et")).distinct()
+      .withColumn("v", lit(1048576L))
+    for (_ <- 1 to 5)
+      v = m.join(broadcast(v), col("prev") === col("et"))
+        .groupBy(col("next").as("et2")).agg(expr("sum(v * p_fp) div 1048576").as("v"))
+        .withColumnRenamed("et2", "et")
+    v.withColumn("stationary_milli",
+        expr("v * 1000 div sum(v) over ()"))
+      .select(col("et").as("event_type"), col("v").as("v_fp"),
+        col("stationary_milli"))
+  }
+
+  private val MARKOV_SQL = {
+    val rounds = (1 to 5).map { r =>
+      s"""v$r AS (SELECT m.next AS et,
+         |  CAST(SUM(v.v * m.p_fp) // 1048576 AS BIGINT) AS v
+         |FROM m JOIN v${r - 1} v ON m.prev = v.et GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    """WITH p AS (
+      |  SELECT user_id, event_type, event_id,
+      |    epoch_ns(ts) // 1000 * 1000 AS ts_ns
+      |  FROM events),
+      |l AS (SELECT event_type AS prev,
+      |        LEAD(event_type, 1) OVER (PARTITION BY user_id
+      |          ORDER BY ts_ns, event_id) AS next
+      |      FROM p),
+      |c AS (SELECT prev, next, CAST(COUNT(*) AS BIGINT) AS n
+      |      FROM l WHERE next IS NOT NULL GROUP BY prev, next),
+      |m AS MATERIALIZED (
+      |  SELECT prev, next,
+      |    CAST(n * 1048576 // SUM(n) OVER (PARTITION BY prev) AS BIGINT)
+      |      AS p_fp
+      |  FROM c),
+      |v0 AS (SELECT DISTINCT prev AS et, CAST(1048576 AS BIGINT) AS v FROM m),
+      |""".stripMargin + rounds + """
+      |SELECT et AS event_type, v AS v_fp,
+      |  CAST(v * 1000 // SUM(v) OVER () AS BIGINT) AS stationary_milli
+      |FROM v5""".stripMargin
+  }
+
+  /** Training-order mixing audit — did the shuffle actually interleave
+    * sources, or will the loader see same-source runs? Documents take
+    * the 'oa:' md5 order key (its own salt), adjacency is evaluated
+    * WITHIN each of the 256 leading-byte shards of that order (a global
+    * rank would be one task at any scale — the distributed-prefix
+    * landmine; shard-boundary pairs are dropped identically on both
+    * engines), and the single-row output sets the observed same-source
+    * adjacent share against the expected share under a perfect random
+    * order (Σ n_s(n_s−1) / N(N−1), exact milli) — observed ≫ expected
+    * means clumping. Plan: one shard-window exchange + two tiny folds. */
+  def dataOrderAutocorr(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
+      expr("md5(cast(concat('oa:', cast(doc_id as string)) as binary))").as("ok"))
+      .withColumn("shard", expr("cast(conv(substring(ok, 1, 2), 16, 10) as bigint)"))
+    val byShard = Window.partitionBy("shard").orderBy("ok")
+    val adj = d.withColumn("nxt", lead("source", 1).over(byShard))
+      .filter(col("nxt").isNotNull)
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("source") === col("nxt"), 1L).otherwise(0L)).as("n_same"))
+    val exp = d.groupBy("source").agg(count(lit(1)).as("ns"))
+      .agg(sum("ns").as("n_docs"), sum(expr("ns * (ns - 1)")).as("same_mass"))
+    adj.crossJoin(broadcast(exp)) // 1×1 fold join (whitelisted class)
+      .select(col("n_docs"), col("n_pairs"), col("n_same"),
+        expr("n_same * 1000 div n_pairs").as("observed_milli"),
+        expr("same_mass * 1000 div (n_docs * (n_docs - 1))")
+          .as("expected_milli"))
+  }
+
+  private val ORDER_AUTOCORR_SQL =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    md5('oa:' || CAST(doc_id AS VARCHAR)) AS ok
+      |  FROM documents),
+      |sh AS (SELECT source, ok,
+      |         ('0x' || substr(ok, 1, 2))::BIGINT AS shard
+      |       FROM d),
+      |a AS (SELECT source,
+      |        LEAD(source, 1) OVER (PARTITION BY shard ORDER BY ok) AS nxt
+      |      FROM sh),
+      |obs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |          CAST(SUM(CASE WHEN source = nxt THEN 1 ELSE 0 END) AS BIGINT)
+      |            AS n_same
+      |        FROM a WHERE nxt IS NOT NULL),
+      |e AS (SELECT CAST(SUM(ns) AS BIGINT) AS n_docs,
+      |        CAST(SUM(ns * (ns - 1)) AS BIGINT) AS same_mass
+      |      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS ns FROM d GROUP BY source))
+      |SELECT n_docs, n_pairs, n_same,
+      |  n_same * 1000 // n_pairs AS observed_milli,
+      |  same_mass * 1000 // (n_docs * (n_docs - 1)) AS expected_milli
+      |FROM obs, e""".stripMargin
+
+  /** Gini concentration of (source, lang) partition sizes — the
+    * storage-balance inequality index next to data_skew_audit's
+    * per-key report: G = Σ(2i−n−1)·x_(i) / (n·Σx) over size-sorted
+    * buckets, exact milli (ties broken by bucket name — a total order
+    * both engines share). The bucket list is aggregate-sized (≤
+    * |sources|×|langs|), so the rank window is a tiny unpartitioned
+    * frame, NOT a fact-table global window. 0 ⟹ balanced, →1000 ⟹ one
+    * bucket holds everything. */
+  def dataShardSkewGini(s: SparkSession, dir: String): DataFrame = {
+    val buckets = t(s, dir, "documents")
+      .groupBy("source", "lang").agg(count(lit(1)).as("x"))
+    val w = Window.orderBy(col("x"), col("source"), col("lang"))
+    buckets.withColumn("i", row_number().over(w).cast("long"))
+      .agg(count(lit(1)).as("n_buckets"), sum("x").as("n_docs"),
+        max("x").as("max_bucket"),
+        sum(expr("(2 * i - 1) * x")).as("wsum"))
+      // Σ(2i−n−1)x = Σ(2i−1)x − n·Σx = wsum − n_buckets·n_docs
+      .select(col("n_buckets"), col("n_docs"), col("max_bucket"),
+        expr("(wsum - n_buckets * n_docs) * 1000" +
+          " div (n_buckets * n_docs)").as("gini_milli"))
+  }
+
+  private val GINI_SQL =
+    """WITH b AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS x
+      |           FROM documents GROUP BY 1, 2),
+      |r AS (SELECT x,
+      |        CAST(ROW_NUMBER() OVER (ORDER BY x, source, lang) AS BIGINT) AS i
+      |      FROM b)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+      |  CAST(SUM(x) AS BIGINT) AS n_docs, MAX(x) AS max_bucket,
+      |  (CAST(SUM((2 * i - 1) * x) AS BIGINT)
+      |    - COUNT(*) * CAST(SUM(x) AS BIGINT)) * 1000
+      |    // (COUNT(*) * CAST(SUM(x) AS BIGINT)) AS gini_milli
+      |FROM r""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "events_markov_stationary" -> (eventsMarkovStationary _),
+    "data_order_autocorr" -> (dataOrderAutocorr _),
+    "data_shard_skew_gini" -> (dataShardSkewGini _),
+    "events_ewma_residual" -> (eventsEwmaResidual _),
+    "events_burstiness" -> (eventsBurstiness _),
+    "sim_power_iteration" -> (simPowerIteration _),
     "events_watermark_lag" -> (eventsWatermarkLag _),
     "events_attribution" -> (eventsAttribution _),
     "events_json_stats" -> (eventsJsonStats _),
@@ -3290,6 +3605,12 @@ object Analytics {
     "data_interleave_sources" -> (dataInterleaveSources _))
 
   val oracle: Map[String, String] = Map(
+    "events_markov_stationary" -> MARKOV_SQL,
+    "data_order_autocorr" -> ORDER_AUTOCORR_SQL,
+    "data_shard_skew_gini" -> GINI_SQL,
+    "events_ewma_residual" -> EWMA_SQL,
+    "events_burstiness" -> BURSTINESS_SQL,
+    "sim_power_iteration" -> POWER_ITER_SQL,
     "events_watermark_lag" -> WM_LAG_SQL,
     "events_attribution" -> ATTRIBUTION_SQL,
     "events_json_stats" -> JSON_STATS_SQL,

@@ -193,6 +193,67 @@ object Graphs {
     (labels, rounds)
   }
 
+  /** Premium supply-chain co-membership clusters — connected components
+    * of the part↔supplier BIPARTITE graph induced by premium line items
+    * (l_extendedprice > 104000; supplier nodes offset by 10^8), the
+    * "which parts/suppliers form one procurement bloc" readout. This is
+    * the [[alternatingCC]] (`algo = "big-star"`) production caller: the
+    * bipartite graph mixes a giant hub component with hundreds of small
+    * ones (39 components at sf0.01, 286 at sf0.1), exactly the
+    * unknown-diameter regime where min-label's O(diameter) rounds are a
+    * gamble and the O(log n) contraction is the safe default. The oracle
+    * replays TEN unrolled large-star/small-star rounds in SQL (fixpoint
+    * reached by round 7 at both gate SFs — scale margin per the CC
+    * maxIter landmine) — an independent derivation of the same labels,
+    * the pagerank unrolled-CTE discipline. */
+  def graphBipartiteComponents(s: SparkSession, dir: String): DataFrame = {
+    val edges = graft.Tables.t(s, dir, "lineitem")
+      .filter(col("l_extendedprice") > 104000)
+      .select(col("l_partkey").as("a"),
+        (col("l_suppkey") + lit(100000000L)).as("b"))
+      .distinct()
+    connectedComponents(edges, maxIter = 30, algo = "big-star")
+      .select(col("node"), col("cluster_id"),
+        (col("node") < 100000000L).cast("long").as("is_part"))
+  }
+
+  private lazy val BIPARTITE_CC_SQL: String = {
+    val rounds = 10
+    // every CTE MATERIALIZED: DuckDB inlines plain CTEs per reference, so
+    // a 10-round chain whose every stage reads its predecessor 2-3 times
+    // would otherwise expand exponentially (observed as "Too many open
+    // files" — thousands of inlined parquet scans)
+    val head =
+      """e0 AS MATERIALIZED (
+        |  SELECT DISTINCT CAST(100000000 + l_suppkey AS BIGINT) AS u,
+        |    CAST(l_partkey AS BIGINT) AS v
+        |  FROM lineitem WHERE l_extendedprice > 104000)""".stripMargin
+    val body = (0 until rounds).map { i =>
+      s"""s$i AS MATERIALIZED (
+         |  SELECT u, v FROM e$i UNION ALL SELECT v AS u, u AS v FROM e$i),
+         |lm$i AS MATERIALIZED (
+         |  SELECT u, LEAST(MIN(v), u) AS m FROM s$i GROUP BY u),
+         |lg$i AS MATERIALIZED (
+         |  SELECT DISTINCT s.v AS u, l.m AS v
+         |  FROM s$i s JOIN lm$i l ON s.u = l.u WHERE s.v > s.u),
+         |sm$i AS MATERIALIZED (
+         |  SELECT u, MIN(v) AS m FROM lg$i GROUP BY u),
+         |e${i + 1} AS MATERIALIZED (SELECT DISTINCT u, v FROM (
+         |  SELECT g.v AS u, m.m AS v FROM lg$i g JOIN sm$i m ON g.u = m.u
+         |  WHERE g.v <> m.m
+         |  UNION ALL SELECT u, m AS v FROM sm$i WHERE u <> m))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $head,
+       |$body,
+       |nodes AS (SELECT u AS node FROM e0 UNION SELECT v FROM e0),
+       |lab AS (SELECT n.node, COALESCE(MIN(e.v), n.node) AS cluster_id
+       |        FROM nodes n LEFT JOIN e$rounds e ON e.u = n.node
+       |        GROUP BY n.node)
+       |SELECT node, cluster_id,
+       |  CAST(CASE WHEN node < 100000000 THEN 1 ELSE 0 END AS BIGINT) AS is_part
+       |FROM lab""".stripMargin
+  }
+
   /** Near-dup clusters over the trigram-Jaccard pair graph:
     * [[TextQueries.dedupNgramJaccard]] emits colliding pairs; this
     * resolves them into canonical clusters (doc_id → min doc_id in the
@@ -813,7 +874,8 @@ object Graphs {
     "graph_square_count" -> (graphSquareCount _),
     "graph_degree_stats" -> (graphDegreeStats _),
     "graph_degree_assortativity" -> (graphDegreeAssortativity _),
-    "graph_neighbor_jaccard" -> (graphNeighborJaccard _))
+    "graph_neighbor_jaccard" -> (graphNeighborJaccard _),
+    "graph_bipartite_components" -> (graphBipartiteComponents _))
 
   /** Shared oracle CTEs over the trigram-Jaccard pair graph. [[SYM_CTE]]
     * is the symmetrized distinct edge list (expects a `pairs` CTE in
@@ -840,6 +902,7 @@ object Graphs {
     * with a recursive CTE and takes the min reachable node — an
     * independent formulation of the same semantics. */
   val oracle: Map[String, String] = Map(
+    "graph_bipartite_components" -> BIPARTITE_CC_SQL,
     "dedup_cluster" -> {
       val pairsSql = TextQueries.oracle("dedup_ngram_jaccard")
       s"""WITH RECURSIVE pairs AS ($pairsSql),

@@ -762,7 +762,61 @@ object TextQueries {
       |FROM p WHERE len(pre) >= 1
       |GROUP BY 1 HAVING COUNT(*) >= 2""".stripMargin
 
+  /** Sampled dedup-rate estimator — the QA readout that makes exact
+    * dedup affordable to AUDIT at 100 TB: sampling BLOCKS (the
+    * [[dedupDocPrefix]] 12-token prefix key), not documents, preserves
+    * every within-block pair, so the 1-in-8 md5 block sample ('ndr:'
+    * salt — its own hash stream) yields an unbiased pair-count estimate
+    * (sampled_pairs × 8) that the single-row output sets NEXT TO the
+    * exact count and the signed error. Pair counts are Σ n(n−1)/2 per
+    * block — pure counting, no pair is ever materialized. Plan: one
+    * block aggregate + a single-row conditional fold. */
+  def dataNearDupRate(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        slice(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)),
+          1, 12).as("pre"))
+      .filter(size(col("pre")) >= 1) // the dedup_doc_prefix NULL fence
+      .select(col("doc_id"), md5(concat_ws(" ", col("pre"))).as("prefix_hash"))
+      .groupBy("prefix_hash").agg(count(lit(1)).as("n"))
+      .withColumn("samp",
+        expr("cast(conv(substring(md5(cast(concat('ndr:', prefix_hash) as binary)), 1, 15), 16, 10) as bigint) % 8 = 0"))
+      .agg(count(lit(1)).as("n_blocks"), sum("n").as("n_docs"),
+        sum(expr("n * (n - 1) div 2")).as("exact_pairs"),
+        sum(when(col("samp"), col("n")).otherwise(0L)).as("sampled_docs"),
+        sum(when(col("samp"), expr("n * (n - 1) div 2")).otherwise(0L))
+          .as("sampled_pairs"))
+      .select(col("n_blocks"), col("n_docs"), col("exact_pairs"),
+        col("sampled_docs"), col("sampled_pairs"),
+        (col("sampled_pairs") * 8).as("est_pairs"),
+        (col("sampled_pairs") * 8 - col("exact_pairs")).as("est_error"))
+
+  private val NEARDUP_RATE_SQL =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    list_slice(regexp_extract_all(lower(text), '[a-z0-9]+'), 1, 12) AS pre
+      |  FROM documents),
+      |b AS (SELECT md5(array_to_string(pre, ' ')) AS prefix_hash,
+      |        CAST(COUNT(*) AS BIGINT) AS n
+      |      FROM p WHERE len(pre) >= 1 GROUP BY 1),
+      |sb AS (SELECT n,
+      |         ('0x' || substr(md5('ndr:' || prefix_hash), 1, 15))::BIGINT % 8 = 0
+      |           AS samp
+      |       FROM b)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+      |  CAST(SUM(n) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS exact_pairs,
+      |  CAST(SUM(CASE WHEN samp THEN n ELSE 0 END) AS BIGINT) AS sampled_docs,
+      |  CAST(SUM(CASE WHEN samp THEN n * (n - 1) // 2 ELSE 0 END) AS BIGINT)
+      |    AS sampled_pairs,
+      |  CAST(SUM(CASE WHEN samp THEN n * (n - 1) // 2 ELSE 0 END) * 8 AS BIGINT)
+      |    AS est_pairs,
+      |  CAST(SUM(CASE WHEN samp THEN n * (n - 1) // 2 ELSE 0 END) * 8
+      |    - SUM(n * (n - 1) // 2) AS BIGINT) AS est_error
+      |FROM sb""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "data_near_dup_rate" -> (dataNearDupRate _),
     "dedup_doc_prefix" -> (dedupDocPrefix _),
     "text_curation_funnel" -> (textCurationFunnel _),
     "data_filter_ablation" -> (dataFilterAblation _),
@@ -786,6 +840,7 @@ object TextQueries {
     "dedup_chunk_level" -> (dedupChunkLevel _))
 
   val oracle: Map[String, String] = Map(
+    "data_near_dup_rate" -> NEARDUP_RATE_SQL,
     "data_quality_mass_curve" -> QUALITY_CURVE_SQL,
     "text_quality_by_source" -> QUALITY_SOURCE_SQL,
     "dedup_doc_prefix" -> PREFIX_SQL,

@@ -871,4 +871,72 @@ class AnalyticsSpec extends SparkSpec {
     // the modeled delays must actually produce late events (non-degenerate)
     assert(got.exists(_._3 > 0L), "no late events — delay model degenerate")
   }
+
+  test("integral divide truncates toward zero (the power-iteration renormalize contract)") {
+    // sim_power_iteration divides NEGATIVE eigvec components by the max
+    // norm; its oracle relies on Spark `div` and DuckDB `//` agreeing on
+    // negatives. DuckDB truncates toward zero ((-7)//2 = -3, verified);
+    // pin Spark to the same semantics so an engine change fails here.
+    val r = spark.sql("SELECT -7 div 2 AS a, 7 div 2 AS b, -7 div -2 AS c")
+      .as[(Long, Long, Long)].head()
+    assert(r === ((-3L, 3L, 3L)))
+  }
+
+  test("power iteration replays a plain-Scala fixed-point trajectory bit for bit") {
+    // Same lattice as the operator (floor ·2^10 quantize, integer outer
+    // products, truncating renormalize) over the real sf table: the Spark
+    // loop must equal an independent in-memory replay EXACTLY — the
+    // property the unrolled-CTE oracle also checks, derived a third way.
+    val vecs = graft.Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .collect()
+    val q = vecs.map { case (_, a) =>
+      a.map(f => math.floor(f.toDouble * 1024).toLong)
+    }
+    val dims = q.head.length
+    val c = Array.ofDim[Long](dims, dims)
+    for (x <- q; i <- 0 until dims; j <- 0 until dims) c(i)(j) += x(i) * x(j)
+    var v = Array.fill(dims)(1048576L)
+    for (_ <- 1 to 5) {
+      val y = Array.tabulate(dims)(i =>
+        (0 until dims).map(j => c(i)(j) * v(j)).sum)
+      val m = y.map(math.abs).max
+      val d = math.max(m / 1048576L, 1L)
+      v = y.map(_ / d) // JVM Long division truncates toward zero, like div
+    }
+    val got = Analytics.simPowerIteration(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    assert(got === v.indices.map(i => i.toLong -> v(i)).toMap)
+    // non-degenerate: the dominant axis is not the all-equal vector
+    assert(v.distinct.length > 1, s"degenerate eigvec: ${v.toSeq}")
+  }
+
+  test("burstiness lattice: error spikes read bursty, steady types read near-Poisson") {
+    val got = Analytics.eventsBurstiness(spark, sf)
+      .select("event_type", "fano_milli", "peak_to_mean_milli")
+      .as[(String, Long, Long)].collect()
+    assert(got.nonEmpty)
+    // peak >= mean always => ratio >= 1000 by construction
+    assert(got.forall(_._3 >= 1000L), s"peak below mean: ${got.toSeq}")
+  }
+
+  test("ewma residual: forecast numerator equals the 8-hour dyadic window by hand") {
+    val h = operators.DomainQueries.events(spark, sf)
+      .select(col("event_type"), expr("ts_ns div 3600000000000").as("hour_id"))
+      .groupBy("event_type", "hour_id").agg(count(lit(1)).as("c"))
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).map { case (t, rows) =>
+        t -> rows.map(r => r._2 -> r._3).toMap
+      }
+    val got = Analytics.eventsEwmaResidual(spark, sf)
+      .select("event_type", "hour_id", "forecast_num")
+      .as[(String, Long, Long)].collect()
+    assert(got.nonEmpty)
+    for ((t, hr, f) <- got.take(200)) {
+      val cs = h(t)
+      val expect = (1 to 8).map(i =>
+        cs.getOrElse(hr - i, 0L) * (1L << (8 - i))).sum
+      assert(f === expect, s"$t hour $hr")
+    }
+  }
 }

@@ -72,6 +72,20 @@ class GraphsSpec extends SparkSpec {
     assert(bs === referenceCC(edges))
   }
 
+  test("bipartite premium components agree with union-find over the same edges") {
+    import org.apache.spark.sql.functions.col
+    val edges = graft.Tables.t(spark, sf, "lineitem")
+      .filter(col("l_extendedprice") > 104000)
+      .select(col("l_partkey"), col("l_suppkey") + 100000000L)
+      .as[(Long, Long)].collect().toSeq
+    val got = Graphs.graphBipartiteComponents(spark, sf)
+      .select("node", "cluster_id").as[(Long, Long)].collect().toMap
+    assert(got === referenceCC(edges))
+    // structure is non-degenerate: multiple components (5 at spec SF
+    // 0.001, 39 at the sf0.01 gate, 286 at sf0.1)
+    assert(got.values.toSet.size > 1, "expected multiple components")
+  }
+
   test("big-star CC fails loudly when maxRounds is too small") {
     val chain = (0L until 40L).map(i => (i, i + 1)).toDF("a", "b")
     val e = intercept[IllegalStateException] {

@@ -36,7 +36,8 @@ class PlanAuditSpec extends SparkSpec {
     "occ_morans_i" -> "crossJoin of the two single-row numerator/denominator folds (1×1)",
     "meta_pseudonymize_audit" -> "crossJoins of three single-row audit folds (1×1×1)",
     "sim_ivfpq_topk" -> "inherits sim_ivf_topk's codebook-assignment crossJoin against 8 broadcast centroid rows",
-    "q38_customer_set_algebra" -> "crossJoins of five single-row set-cardinality folds (1×1)")
+    "q38_customer_set_algebra" -> "crossJoins of five single-row set-cardinality folds (1×1)",
+    "data_order_autocorr" -> "crossJoin of the two single-row observed/expected folds (1×1)")
 
   test("no query plans a nested-loop or cartesian join outside the whitelist") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -335,7 +336,15 @@ class PlanAuditSpec extends SparkSpec {
     "text_top_ngrams" -> 3, // gram agg + rank window + tiny final agg
     "uncertainty_buffer" -> 0, // pure narrow buffer arithmetic
     "meta_article_enrich" -> 1, // ONE pub-year agg; key joins AQE-broadcast at gate scale
-    "meta_genome_notes" -> 3) // study first-seen agg + per-tax rollup + distinct-article expand
+    "meta_genome_notes" -> 3, // study first-seen agg + per-tax rollup + distinct-article expand
+    "events_ewma_residual" -> 2, // hourly agg + contribution-explode agg; join-back AQE-sized
+    "events_burstiness" -> 2, // (type, hour) agg + <=|types|-row fold
+    "sim_power_iteration" -> 0, // returned plan reads the round-5 checkpointed 64-row frame
+    "data_near_dup_rate" -> 2, // block agg + single-row conditional fold
+    "graph_bipartite_components" -> 2, // edge distinct + label join off the big-star checkpoints
+    "events_markov_stationary" -> 7, // transition agg + row window + 5 tiny fixed-round matvec aggs
+    "data_order_autocorr" -> 4, // shard window + adjacency fold + source agg + 1-row combine
+    "data_shard_skew_gini" -> 2) // bucket agg + aggregate-sized rank window
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
     // the shard grid must drive the exchange (parallelism = shard count),
