@@ -3249,9 +3249,13 @@ object Analytics {
         (col("c") * expr("shiftleft(1L, cast(8 - i as int))")).as("wc"))
       .groupBy("event_type", "hour_id").agg(sum("wc").as("forecast_num"))
     val mins = h.groupBy("event_type").agg(min("hour_id").as("h0"))
-    h.join(contrib, Seq("event_type", "hour_id"))
+    // LEFT join + coalesce-0: an active hour whose whole 8-hour history
+    // is empty has forecast 0 — the strongest anomaly, not a dropped row
+    // (and the streaming twin emits it; inner-join parity bug class)
+    h.join(contrib, Seq("event_type", "hour_id"), "left_outer")
       .join(broadcast(mins), Seq("event_type"))
       .filter(col("hour_id") >= col("h0") + 8)
+      .withColumn("forecast_num", coalesce(col("forecast_num"), lit(0L)))
       .select(col("event_type"), col("hour_id"), col("c"),
         col("forecast_num"),
         (col("c") * 255 - col("forecast_num")).as("resid_num"),
@@ -3271,13 +3275,14 @@ object Analytics {
        |  FROM h, (SELECT unnest(range(1, 9)) AS i) s
        |  GROUP BY 1, 2),
        |m AS (SELECT event_type, MIN(hour_id) AS h0 FROM h GROUP BY 1)
-       |SELECT h.event_type, h.hour_id, h.c, contrib.forecast_num,
-       |  h.c * 255 - contrib.forecast_num AS resid_num,
-       |  CASE WHEN h.c * 255 > contrib.forecast_num * 2 THEN 'high'
-       |       WHEN h.c * 510 < contrib.forecast_num THEN 'low'
+       |SELECT h.event_type, h.hour_id, h.c,
+       |  COALESCE(contrib.forecast_num, 0) AS forecast_num,
+       |  h.c * 255 - COALESCE(contrib.forecast_num, 0) AS resid_num,
+       |  CASE WHEN h.c * 255 > COALESCE(contrib.forecast_num, 0) * 2 THEN 'high'
+       |       WHEN h.c * 510 < COALESCE(contrib.forecast_num, 0) THEN 'low'
        |       ELSE 'ok' END AS flag
        |FROM h
-       |JOIN contrib ON contrib.event_type = h.event_type
+       |LEFT JOIN contrib ON contrib.event_type = h.event_type
        |  AND contrib.hour_id = h.hour_id
        |JOIN m ON m.event_type = h.event_type
        |WHERE h.hour_id >= m.h0 + 8""".stripMargin

@@ -815,7 +815,106 @@ object TextQueries {
       |    - SUM(n * (n - 1) // 2) AS BIGINT) AS est_error
       |FROM sb""".stripMargin
 
+  /** LSH band-geometry planner — which (bands b × rows-per-band r),
+    * b·r = 64, should the MinHash index run? For every observed jaccard
+    * DECILE of the candidate-pair graph (the dedup_ngram_jaccard
+    * candidates WITHOUT its ≥0.5 keep-filter — the planner must see the
+    * sub-threshold mass the index should reject) and all seven 64-hash
+    * geometries, reports the S-curve detection probability
+    * p = 1 − (1 − s^r)^b and the expected caught-pair count. The powers
+    * are FIXED-POINT chains at 2^20 (each step multiplies then
+    * truncating-divides — generated per literal (b, r) as nested
+    * expressions, identical text modulo the div spelling in both
+    * engines), so the whole table hash-matches. Plan: the pair
+    * histogram is aggregate-sized (≤11 rows) and checkpointed; seven
+    * narrow projections union over it. */
+  def dedupLshBandTuning(s: SparkSession, dir: String): DataFrame = {
+    val DF_CUTOFF = 100
+    val sh = Shingles.trigramRows(t(s, dir, "documents"), dedup = true)
+    val szs = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val postings = sh.groupBy("sh")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")).between(2, DF_CUTOFF))
+    val cand = postings
+      .select(col("ds"), posexplode(col("ds")).as(Seq("i", "doc1")))
+      .select(col("i"), col("doc1"), posexplode(col("ds")).as(Seq("j", "doc2")))
+      .filter(col("j") > col("i"))
+      .groupBy("doc1", "doc2").agg(count(lit(1)).as("shared"))
+    val hist = cand
+      .join(szs.as("s1"), col("doc1") === col("s1.doc_id"))
+      .join(szs.as("s2"), col("doc2") === col("s2.doc_id"))
+      .select(expr("shared * 1000 div (s1.sz + s2.sz - shared)").as("jm"))
+      .groupBy(expr("jm div 100").as("bucket"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .localCheckpoint() // seven config projections read it
+    val configs = Seq(64 -> 1, 32 -> 2, 16 -> 4, 8 -> 8, 4 -> 16, 2 -> 32, 1 -> 64)
+    // square-and-multiply, NOT a sequential fold: a depth-64 nested chain
+    // exceeds DuckDB's 128-deep binder; this is O(log k) deep, and both
+    // engines share the exact same truncation structure (that shared
+    // lattice — not mathematical pow — is the determinism contract)
+    def powFp(base: String, k: Int): String = lshPowFp(base, k, "div")
+    configs.map { case (b, r) =>
+      val s_ = "(least(bucket * 100 + 50, 1000) * 1048576 div 1000)"
+      val p = s"(1048576 - ${powFp(s"(1048576 - ${powFp(s_, r)})", b)})"
+      hist.select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+        col("bucket"), expr("least(bucket * 100 + 50, 1000)").as("rep_milli"),
+        col("n_pairs"),
+        expr(s"$p * 1000 div 1048576").as("p_milli"),
+        expr(s"n_pairs * ($p) div 1048576").as("exp_caught"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Fixed-point 2^20 power by square-and-multiply; `div` is the
+    * integer-division spelling (`div` Spark / `//` DuckDB). The SAME
+    * recursion shape on both sides is what makes the values match. */
+  private def lshPowFp(base: String, k: Int, div: String): String =
+    if (k == 1) base
+    else if (k % 2 == 0) {
+      val h = lshPowFp(base, k / 2, div)
+      s"(($h) * ($h) $div 1048576)"
+    } else {
+      val h = lshPowFp(base, k - 1, div)
+      s"(($h) * ($base) $div 1048576)"
+    }
+
+  private val BAND_TUNING_SQL = {
+    def powFp(base: String, k: Int): String = lshPowFp(base, k, "//")
+    val configs = Seq(64 -> 1, 32 -> 2, 16 -> 4, 8 -> 8, 4 -> 16, 2 -> 32, 1 -> 64)
+    val legs = configs.map { case (b, r) =>
+      val s_ = "(LEAST(bucket * 100 + 50, 1000) * 1048576 // 1000)"
+      val p = s"(1048576 - ${powFp(s"(1048576 - ${powFp(s_, r)})", b)})"
+      s"""SELECT CAST($b AS BIGINT) AS bands, CAST($r AS BIGINT) AS rows_per_band,
+         |  bucket, LEAST(bucket * 100 + 50, 1000) AS rep_milli, n_pairs,
+         |  CAST($p * 1000 // 1048576 AS BIGINT) AS p_milli,
+         |  CAST(n_pairs * ($p) // 1048576 AS BIGINT) AS exp_caught
+         |FROM hist""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $TOK_SQL,
+       |sh AS (
+       |  SELECT DISTINCT doc_id, ts[i] || '_' || ts[i+1] || '_' || ts[i+2] AS sh
+       |  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 2)) AS i
+       |        FROM tok)),
+       |szs AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+       |rare AS (
+       |  SELECT s.* FROM sh s
+       |  JOIN (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh) d USING (sh)
+       |  WHERE d.df <= 100),
+       |cand AS (
+       |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS shared
+       |  FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |hist AS MATERIALIZED (
+       |  SELECT (shared * 1000 // (s1.sz + s2.sz - shared)) // 100 AS bucket,
+       |    CAST(COUNT(*) AS BIGINT) AS n_pairs
+       |  FROM cand
+       |  JOIN szs s1 ON cand.doc1 = s1.doc_id
+       |  JOIN szs s2 ON cand.doc2 = s2.doc_id
+       |  GROUP BY 1)
+       |$legs""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "dedup_lsh_band_tuning" -> (dedupLshBandTuning _),
     "data_near_dup_rate" -> (dataNearDupRate _),
     "dedup_doc_prefix" -> (dedupDocPrefix _),
     "text_curation_funnel" -> (textCurationFunnel _),
@@ -840,6 +939,7 @@ object TextQueries {
     "dedup_chunk_level" -> (dedupChunkLevel _))
 
   val oracle: Map[String, String] = Map(
+    "dedup_lsh_band_tuning" -> BAND_TUNING_SQL,
     "data_near_dup_rate" -> NEARDUP_RATE_SQL,
     "data_quality_mass_curve" -> QUALITY_CURVE_SQL,
     "text_quality_by_source" -> QUALITY_SOURCE_SQL,

@@ -606,4 +606,42 @@ object Streams {
         Iterator.single(WmOut(tpe, st.n, st.nLate, st.maxLag, st.sumLag))
     }
   }
+
+  case class EwmaState(h0: Long, recent: Seq[(Long, Long)])
+  case class EwmaOut(event_type: String, hour_id: Long, c: Long,
+                     forecast_num: Long, resid_num: Long, flag: String)
+
+  /** Streaming counterpart of events_ewma_residual's dyadic forecaster:
+    * per type the state is the first-seen hour plus AT MOST the last 8
+    * (hour, count) cells — O(|types|·8) regardless of stream length.
+    * Input is the upstream watermarked hourly aggregate
+    * (event_type, hour_id, count), per-key ascending across batches
+    * (the cusum twin's contract); a calendar hour with no events never
+    * arrives and correctly contributes 0 to later forecasts. Warm-up
+    * hours (< first-seen + 8) update state but emit nothing — exactly
+    * the batch operator's fence. */
+  def ewma(hours: Dataset[(String, Long, Long)]): Dataset[EwmaOut] = {
+    import hours.sparkSession.implicits._
+    hours.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (tpe: String, it: Iterator[(String, Long, Long)],
+       state: GroupState[EwmaState]) =>
+        val rows = it.map(e => (e._2, e._3)).toArray.sortBy(_._1)
+        var st = state.getOption.getOrElse(EwmaState(Long.MaxValue, Seq.empty))
+        val out = rows.flatMap { case (h, c) =>
+          val h0 = math.min(st.h0, h)
+          val f = (1 to 8).map(i =>
+            st.recent.collectFirst { case (hh, cc) if hh == h - i => cc }
+              .getOrElse(0L) * (1L << (8 - i))).sum
+          st = EwmaState(h0, (st.recent :+ (h -> c)).filter(_._1 > h - 8))
+          if (h >= h0 + 8) {
+            val flag = if (c * 255 > f * 2) "high"
+              else if (c * 510 < f) "low" else "ok"
+            Some(EwmaOut(tpe, h, c, f, c * 255 - f, flag))
+          } else None
+        }
+        state.update(st)
+        out.iterator
+    }
+  }
 }

@@ -344,7 +344,8 @@ class PlanAuditSpec extends SparkSpec {
     "graph_bipartite_components" -> 2, // edge distinct + label join off the big-star checkpoints
     "events_markov_stationary" -> 7, // transition agg + row window + 5 tiny fixed-round matvec aggs
     "data_order_autocorr" -> 4, // shard window + adjacency fold + source agg + 1-row combine
-    "data_shard_skew_gini" -> 2) // bucket agg + aggregate-sized rank window
+    "data_shard_skew_gini" -> 2, // bucket agg + aggregate-sized rank window
+    "dedup_lsh_band_tuning" -> 0) // 7 narrow S-curve projections over the checkpointed <=11-row histogram
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
     // the shard grid must drive the exchange (parallelism = shard count),

@@ -617,4 +617,39 @@ class StreamsSpec extends SparkSpec {
       assert(last === ((3L, 2L, 70L, 120L)))
     } finally q.stop()
   }
+
+  test("streaming ewma equals the batch forecaster, history carries across batches") {
+    // whole-corpus agreement with the batch operator
+    val hours = DomainQueries.events(spark, sf)
+      .select(col("event_type"), expr("ts_ns div 3600000000000").as("h"))
+      .groupBy("event_type", "h").agg(count(lit(1)).as("c"))
+      .as[(String, Long, Long)]
+    val stateful = Streams.ewma(hours).collect()
+      .map(o => (o.event_type, o.hour_id) ->
+        (o.c, o.forecast_num, o.resid_num, o.flag)).toMap
+    val batch = operators.Analytics.eventsEwmaResidual(spark, sf)
+      .as[(String, Long, Long, Long, Long, String)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5, r._6)).toMap
+    assert(stateful === batch)
+    assert(batch.nonEmpty)
+    // an hour in batch 2 must see batch 1's hours in its forecast window
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Long)]
+    val q = Streams.ewma(mem.toDS())
+      .writeStream.format("memory").queryName("ewma_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((0L to 8L).map(h => ("a", h, 10L)): _*)
+      q.processAllAvailable()
+      // hour 8 forecast = 10 * (2^0+...+2^7) = 2550, resid = 10*255-2550 = 0
+      val r8 = spark.sql("SELECT forecast_num, flag FROM ewma_out WHERE hour_id = 8")
+        .as[(Long, String)].head()
+      assert(r8 === ((2550L, "ok")))
+      mem.addData(("a", 9L, 100L)) // spike: history lives in carried state
+      q.processAllAvailable()
+      val r9 = spark.sql("SELECT forecast_num, flag FROM ewma_out WHERE hour_id = 9")
+        .as[(Long, String)].head()
+      assert(r9 === ((2550L, "high")))
+    } finally q.stop()
+  }
 }
