@@ -3537,7 +3537,110 @@ object Analytics {
       |    // (COUNT(*) * CAST(SUM(x) AS BIGINT)) AS gini_milli
       |FROM r""".stripMargin
 
+  /** KMV set-INTERSECTION estimation across consecutive days — the
+    * sketch set-algebra the HLL register-max union cannot do: per day a
+    * bottom-64 sample of distinct user hashes ('ki:' salt, 52-bit so
+    * ordering survives any Double detour), per (day, day+1) pair the
+    * union sketch re-takes the bottom 64 OF THE MERGED HASHES (valid:
+    * bottom-k of a union ⊆ union of bottom-ks), θ = its k-th value,
+    * est_union = 63·2^52 div θ, and the intersection estimate scales
+    * the union by the share of sampled hashes present in BOTH days —
+    * computed as common · (est_union div 64) (div-first lattice; the
+    * raw product can graze BIGINT at tiny θ). The exact intersection /
+    * union ride the same (day, h) distinct relation for side-by-side
+    * error reading. State per day is O(k): the mergeability property
+    * that lets 100 TB of daily logs answer overlap questions without a
+    * re-scan. */
+  def eventsKmvIntersection(s: SparkSession, dir: String): DataFrame = {
+    val K = 64
+    val dh = DomainQueries.events(s, dir)
+      .select(expr(s"ts_ns div $DAY_NS").as("day"),
+        expr("cast(conv(substring(md5(cast(concat('ki:', user_id) as binary)), 1, 13), 16, 10) as bigint)").as("h"))
+      .distinct()
+      .localCheckpoint() // sketches + exact folds all read it
+    val wDay = Window.partitionBy("day").orderBy("h")
+    val sk = dh.withColumn("r", row_number().over(wDay))
+      .filter(col("r") <= K).select("day", "h")
+      .localCheckpoint() // both pair sides
+    val merged = sk
+      .select(col("day").as("day_a"), col("h"), lit(1L).as("in_a"))
+      .join(sk.select((col("day") - 1).as("day_a"), col("h"),
+        lit(1L).as("in_b")), Seq("day_a", "h"), "full_outer")
+      .filter(col("day_a").isNotNull)
+    val wPair = Window.partitionBy("day_a").orderBy("h")
+    val est = merged.withColumn("r", row_number().over(wPair))
+      .filter(col("r") <= K)
+      .groupBy("day_a")
+      .agg(count(lit(1)).as("k_used"), max("h").as("theta"),
+        sum(when(col("in_a").isNotNull && col("in_b").isNotNull, 1L)
+          .otherwise(0L)).as("common"))
+      .select(col("day_a"), col("k_used"), col("theta"), col("common"),
+        expr("(k_used - 1) * 4503599627370496 div theta").as("union_est"),
+        expr("common * ((k_used - 1) * 4503599627370496 div theta div k_used)")
+          .as("inter_est"))
+    val daily = dh.groupBy("day").agg(count(lit(1)).as("n_users"))
+    val inter = dh.select(col("day").as("day_a"), col("h"))
+      .join(dh.select((col("day") - 1).as("day_a"), col("h")),
+        Seq("day_a", "h"), "inner")
+      .groupBy("day_a").agg(count(lit(1)).as("exact_inter"))
+    est
+      .join(daily.select(col("day").as("day_a"), col("n_users").as("exact_a")),
+        Seq("day_a"))
+      .join(daily.select((col("day") - 1).as("day_a"),
+        col("n_users").as("exact_b")), Seq("day_a"))
+      .join(inter, Seq("day_a"), "left_outer")
+      .select(col("day_a"), (col("day_a") + 1).as("day_b"),
+        col("exact_a"), col("exact_b"),
+        coalesce(col("exact_inter"), lit(0L)).as("exact_inter"),
+        (col("exact_a") + col("exact_b") -
+          coalesce(col("exact_inter"), lit(0L))).as("exact_union"),
+        col("k_used"), col("theta"), col("common"),
+        col("union_est"), col("inter_est"))
+  }
+
+  private val KMV_INTERSECT_SQL =
+    s"""WITH dh AS MATERIALIZED (
+       |  SELECT DISTINCT epoch_ns(ts) // $DAY_NS AS day,
+       |    ('0x' || substr(md5('ki:' || CAST(user_id AS VARCHAR)), 1, 13))::BIGINT
+       |      AS h
+       |  FROM events),
+       |sk AS MATERIALIZED (
+       |  SELECT day, h FROM (
+       |    SELECT day, h, ROW_NUMBER() OVER (PARTITION BY day ORDER BY h) AS r
+       |    FROM dh) WHERE r <= 64),
+       |m AS (SELECT COALESCE(a.day_a, b.day_a) AS day_a,
+       |        COALESCE(a.h, b.h) AS h, a.in_a, b.in_b
+       |      FROM (SELECT day AS day_a, h, 1 AS in_a FROM sk) a
+       |      FULL OUTER JOIN (SELECT day - 1 AS day_a, h, 1 AS in_b FROM sk) b
+       |        ON a.day_a = b.day_a AND a.h = b.h),
+       |kept AS (SELECT * FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY day_a ORDER BY h) AS r
+       |    FROM m WHERE day_a IS NOT NULL) WHERE r <= 64),
+       |est AS (SELECT day_a, CAST(COUNT(*) AS BIGINT) AS k_used,
+       |          MAX(h) AS theta,
+       |          CAST(SUM(CASE WHEN in_a IS NOT NULL AND in_b IS NOT NULL
+       |            THEN 1 ELSE 0 END) AS BIGINT) AS common
+       |        FROM kept GROUP BY 1),
+       |daily AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_users
+       |          FROM dh GROUP BY 1),
+       |ix AS (SELECT a.day AS day_a, CAST(COUNT(*) AS BIGINT) AS exact_inter
+       |       FROM dh a JOIN dh b ON b.day = a.day + 1 AND b.h = a.h
+       |       GROUP BY 1)
+       |SELECT est.day_a, est.day_a + 1 AS day_b,
+       |  da.n_users AS exact_a, db.n_users AS exact_b,
+       |  COALESCE(ix.exact_inter, 0) AS exact_inter,
+       |  da.n_users + db.n_users - COALESCE(ix.exact_inter, 0) AS exact_union,
+       |  est.k_used, est.theta, est.common,
+       |  (est.k_used - 1) * 4503599627370496 // est.theta AS union_est,
+       |  est.common * ((est.k_used - 1) * 4503599627370496 // est.theta
+       |    // est.k_used) AS inter_est
+       |FROM est
+       |JOIN daily da ON da.day = est.day_a
+       |JOIN daily db ON db.day = est.day_a + 1
+       |LEFT JOIN ix ON ix.day_a = est.day_a""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "events_kmv_intersection" -> (eventsKmvIntersection _),
     "events_markov_stationary" -> (eventsMarkovStationary _),
     "data_order_autocorr" -> (dataOrderAutocorr _),
     "data_shard_skew_gini" -> (dataShardSkewGini _),
@@ -3610,6 +3713,7 @@ object Analytics {
     "data_interleave_sources" -> (dataInterleaveSources _))
 
   val oracle: Map[String, String] = Map(
+    "events_kmv_intersection" -> KMV_INTERSECT_SQL,
     "events_markov_stationary" -> MARKOV_SQL,
     "data_order_autocorr" -> ORDER_AUTOCORR_SQL,
     "data_shard_skew_gini" -> GINI_SQL,

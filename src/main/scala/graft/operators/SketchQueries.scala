@@ -531,6 +531,83 @@ object SketchQueries {
         .select(col("qid"), col("vec_id"), dot.as("dot")), 10)
   }
 
+  /** IVF nprobe recall sweep — the index-tuning table for the coarse
+    * quantizer: recall@10 of [[ivfTopk]] against the exact brute-force
+    * top-10 at nprobe ∈ {1, 2, 4, 8} (8 = all cells ⟹ recall 1000 by
+    * construction — the self-check row). The corpus assignment is
+    * computed ONCE and checkpointed (it is nprobe-independent); each
+    * sweep leg only re-derives the ≤ 5·nprobe-row probe frame and the
+    * O(k) rerank, so the sweep costs one assignment plus four cheap
+    * legs, not four full IVF runs. Single-row folds per leg (the recall-
+    * audit shape), unioned. */
+  def simRecallVsNprobe(s: SparkSession, dir: String): DataFrame = {
+    val emb = ivfEmb(s, dir)
+    val cents = ivfCents(emb)
+    val d = ivfAssign(emb, cents).filter(col("vec_id") >= 5)
+      .localCheckpoint() // shared by all four sweep legs
+    val exact = TextQueries.simCosineTopk(s, dir).select("qid", "vec_id")
+      .localCheckpoint()
+    val dot = graft.functions.Vectors.dot(col("qv"), col("v"))
+    Seq(1, 2, 4, 8).map { np =>
+      val q = ivfProbes(emb, cents, np)
+      val approx = Rerank.topK(
+        d.join(broadcast(q), Seq("cid"))
+          .select(col("qid"), col("vec_id"), dot.as("dot")), 10)
+        .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
+      exact.join(approx, Seq("qid", "vec_id"), "left_outer")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0L))).as("hits"))
+        .select(lit(np.toLong).as("nprobe"), col("n_exact"), col("hits"),
+          expr("hits * 1000 div n_exact").as("recall_milli"))
+    }.reduce(_ unionByName _)
+  }
+
+  private val NPROBE_SWEEP_SQL = {
+    val legs = Seq(1, 2, 4, 8).map { np =>
+      s"""SELECT CAST($np AS BIGINT) AS nprobe,
+         |  CAST(COUNT(*) AS BIGINT) AS n_exact,
+         |  CAST(SUM(CASE WHEN a.qid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS hits,
+         |  CAST(SUM(CASE WHEN a.qid IS NOT NULL THEN 1 ELSE 0 END) * 1000
+         |    // COUNT(*) AS BIGINT) AS recall_milli
+         |FROM exact x LEFT JOIN (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT q.qid, d.vec_id,
+         |      CAST(ROW_NUMBER() OVER (PARTITION BY q.qid
+         |        ORDER BY list_dot_product(q.qv, d.v) DESC, d.vec_id)
+         |        AS BIGINT) AS rank
+         |    FROM (SELECT p.vec_id AS qid, e.v AS qv, p.cid
+         |          FROM (SELECT vec_id, cid FROM rn
+         |                WHERE rn <= $np AND vec_id < 5) p
+         |          JOIN e ON p.vec_id = e.vec_id) q
+         |    JOIN d USING (cid)) WHERE rank <= 10) a
+         |  ON a.qid = x.qid AND a.vec_id = x.vec_id""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+       |scored AS (SELECT e.vec_id, cid, list_dot_product(v, cv) AS cdot
+       |           FROM e CROSS JOIN c),
+       |rn AS MATERIALIZED (
+       |  SELECT vec_id, cid,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cid) AS rn
+       |  FROM scored),
+       |d AS MATERIALIZED (
+       |  SELECT a.vec_id, e.v, a.cid
+       |  FROM (SELECT vec_id, cid FROM rn WHERE rn = 1) a
+       |  JOIN e USING (vec_id) WHERE a.vec_id >= 5),
+       |exact AS MATERIALIZED (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT q.vec_id AS qid, t.vec_id,
+       |      CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_dot_product(q.v, t.v) DESC, t.vec_id)
+       |        AS BIGINT) AS rank
+       |    FROM (SELECT * FROM e WHERE vec_id < 5) q
+       |    CROSS JOIN (SELECT * FROM e WHERE vec_id >= 5) t)
+       |  WHERE rank <= 10)
+       |$legs""".stripMargin
+  }
+
   /** IVF-PQ with asymmetric-distance (ADC) scoring — the PRODUCTION ANN
     * stack assembled from the board's parts: coarse quantizer
     * ([[ivfAssign]], nprobe = 2 probes) prunes the corpus to ~nprobe/C,
@@ -763,7 +840,8 @@ object SketchQueries {
     "range_convex_hull" -> (rangeConvexHull _),
     "text_fingerprint" -> (textFingerprint _),
     "text_bpe_tokens" -> (textBpeTokens _),
-    "data_tokenizer_fertility" -> (dataTokenizerFertility _))
+    "data_tokenizer_fertility" -> (dataTokenizerFertility _),
+    "sim_recall_vs_nprobe" -> (simRecallVsNprobe _))
 
   /** The md5+xor family makes the whole MinHash+LSH pipeline — signature,
     * band candidates, estimate, threshold — recomputable in DuckDB. The
@@ -878,6 +956,7 @@ object SketchQueries {
        |FROM sp s LEFT JOIN wsum w2 ON s.doc_id = w2.doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "sim_recall_vs_nprobe" -> NPROBE_SWEEP_SQL,
     "data_bloom_gate" -> BLOOM_SQL,
     // Every window hash is replayed INDEPENDENTLY (list_reduce over the
     // 16-byte slice) — by construction equal to the kernel's rolling
