@@ -1483,6 +1483,31 @@ object DomainQueries {
     * alpha and gamma legs both read it), a per-cell fold riding a
     * second exchange, band-grain rollups, and an AQE-broadcast join of
     * two ≤19-row sides. */
+  /** Temporal range turnover per species — [[occBetaDiversity]]'s TIME
+    * axis: each species' occupied 10°-cell set in the record's early
+    * half vs late half (split at the global (min+max)/2 timestamp — one
+    * broadcast single-row fold, the watermark-frame class) and the
+    * exact-milli Jaccard between them. Low turnover = stable recorded
+    * range; the early/late flags fold in ONE (species, cell) aggregate,
+    * so the whole query is two exchanges. Sums stay BIGINT-safe:
+    * min+max ts_ns ≈ 3.5e18 < 2^63. */
+  def occTemporalTurnover(s: SparkSession, dir: String): DataFrame = {
+    val v = valid(s, dir).select(col("species"),
+      cell10(col("lat"), col("lon")).as("cellid"), col("ts_ns"))
+    val mid = v.agg(expr("(min(ts_ns) + max(ts_ns)) div 2").as("mid"))
+    v.crossJoin(broadcast(mid))
+      .groupBy("species", "cellid")
+      .agg(max((col("ts_ns") < col("mid")).cast("long")).as("e"),
+        max((col("ts_ns") >= col("mid")).cast("long")).as("l"))
+      .groupBy("species")
+      .agg(sum("e").as("n_early_cells"), sum("l").as("n_late_cells"),
+        sum(expr("e * l")).as("n_common"))
+      .select(col("species"), col("n_early_cells"), col("n_late_cells"),
+        col("n_common"),
+        expr("n_common * 1000 div (n_early_cells + n_late_cells - n_common)")
+          .as("turnover_jaccard_milli"))
+  }
+
   def occBetaDiversity(s: SparkSession, dir: String): DataFrame = {
     val cs = valid(s, dir)
       .select(cell10(col("lat"), col("lon")).as("cellid"), col("species"))
@@ -1564,6 +1589,7 @@ object DomainQueries {
     "occ_hotspot_adjacency" -> (occHotspotAdjacency _),
     "occ_morans_i" -> (occMoransI _),
     "occ_beta_diversity" -> (occBetaDiversity _),
+    "occ_temporal_turnover" -> (occTemporalTurnover _),
     "occ_range_fragmentation" -> (occRangeFragmentation _),
     "spatial_point_in_polygon" -> (spatialPointInPolygon _),
     "occ_sample_coverage" -> (occSampleCoverage _),
@@ -2307,6 +2333,19 @@ object DomainQueries {
          |    * 1000 // n_cells AS frag_milli
          |FROM ct LEFT JOIN fe ON fe.sp = ct.sp""".stripMargin
     },
+    "occ_temporal_turnover" -> withSql(OCC_SQL, VALID_SQL,
+      s"""v AS (SELECT species, $CELL10_SQL AS cellid, ts_ns FROM valid)""",
+      """mid AS (SELECT (MIN(ts_ns) + MAX(ts_ns)) // 2 AS mid FROM v)""",
+      s"""cf AS (SELECT species, cellid,
+         |         MAX(CASE WHEN ts_ns < mid THEN 1 ELSE 0 END) AS e,
+         |         MAX(CASE WHEN ts_ns >= mid THEN 1 ELSE 0 END) AS l
+         |       FROM v, mid GROUP BY 1, 2)""".stripMargin)(
+      """SELECT species, CAST(SUM(e) AS BIGINT) AS n_early_cells,
+        |  CAST(SUM(l) AS BIGINT) AS n_late_cells,
+        |  CAST(SUM(e * l) AS BIGINT) AS n_common,
+        |  CAST(SUM(e * l) * 1000 // (SUM(e) + SUM(l) - SUM(e * l)) AS BIGINT)
+        |    AS turnover_jaccard_milli
+        |FROM cf GROUP BY species""".stripMargin),
     "occ_beta_diversity" -> withSql(OCC_SQL, VALID_SQL,
       s"""cs AS (SELECT DISTINCT $CELL10_SQL AS cellid, species
          |       FROM valid)""".stripMargin,

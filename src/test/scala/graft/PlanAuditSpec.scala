@@ -38,7 +38,8 @@ class PlanAuditSpec extends SparkSpec {
     "sim_ivfpq_topk" -> "inherits sim_ivf_topk's codebook-assignment crossJoin against 8 broadcast centroid rows",
     "q38_customer_set_algebra" -> "crossJoins of five single-row set-cardinality folds (1×1)",
     "data_order_autocorr" -> "crossJoin of the two single-row observed/expected folds (1×1)",
-    "sim_recall_vs_nprobe" -> "four sweep legs inherit sim_ivf_topk's 8-broadcast-centroid-row probe crossJoin")
+    "sim_recall_vs_nprobe" -> "four sweep legs inherit sim_ivf_topk's 8-broadcast-centroid-row probe crossJoin",
+    "occ_temporal_turnover" -> "crossJoin against the single-row broadcast midpoint frame")
 
   test("no query plans a nested-loop or cartesian join outside the whitelist") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -348,7 +349,8 @@ class PlanAuditSpec extends SparkSpec {
     "data_shard_skew_gini" -> 2, // bucket agg + aggregate-sized rank window
     "dedup_lsh_band_tuning" -> 0, // 7 narrow S-curve projections over the checkpointed <=11-row histogram
     "sim_recall_vs_nprobe" -> 20, // 4 sweep legs x (probe agg + rerank + fold) over the checkpointed assignment + exact top-k
-    "events_kmv_intersection" -> 6) // (day,h) distinct + day window + pair window/agg + daily + exact-inter legs
+    "events_kmv_intersection" -> 6, // (day,h) distinct + day window + pair window/agg + daily + exact-inter legs
+    "occ_temporal_turnover" -> 3) // (species,cell) flag agg + species fold; midpoint frame broadcast
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
     // the shard grid must drive the exchange (parallelism = shard count),
