@@ -3639,7 +3639,189 @@ object Analytics {
        |JOIN daily db ON db.day = est.day_a + 1
        |LEFT JOIN ix ON ix.day_a = est.day_a""".stripMargin
 
+  /** 7-day trailing rolling MEDIAN of daily event counts per type — the
+    * robust smoother ops dashboards lay under every rate chart (a mean
+    * smoother drags on one spiky day; the median shrugs it off). New
+    * relational shape for the board: an ORDER STATISTIC over a sliding
+    * RANGE window. The lower median (element ceil(n/2) of the sorted
+    * window) keeps everything in exact BIGINTs — no interpolation, no
+    * floats — and the range frame (not rows) stays honest across missing
+    * days. The collect/sort runs over ≤7-element arrays on the DAILY
+    * aggregate — bounded by the calendar (the incident-runs precedent),
+    * never by event volume; the daily agg is the only data-sized
+    * exchange, the window rides a second tiny one. */
+  def eventsRollingMedian(s: SparkSession, dir: String): DataFrame = {
+    val daily = DomainQueries.events(s, dir)
+      .select(col("event_type"), expr(s"ts_ns div $DAY_NS").as("day_id"))
+      .groupBy("event_type", "day_id").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("event_type").orderBy("day_id")
+      .rangeBetween(-6, 0)
+    daily
+      .withColumn("win", collect_list("c").over(w))
+      .select(col("event_type"), col("day_id"), col("c"),
+        size(col("win")).cast("long").as("n_days_window"),
+        expr("element_at(sort_array(win), cast((size(win) + 1) div 2 as int))")
+          .as("med7"))
+  }
+
+  private val ROLLMED_SQL =
+    s"""WITH daily AS (
+       |  SELECT event_type, epoch_ns(ts) // $DAY_NS AS day_id,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM events GROUP BY 1, 2),
+       |w AS (
+       |  SELECT event_type, day_id, c,
+       |    list(c) OVER (PARTITION BY event_type ORDER BY day_id
+       |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS win
+       |  FROM daily)
+       |SELECT event_type, day_id, c,
+       |  CAST(len(win) AS BIGINT) AS n_days_window,
+       |  CAST(list_sort(win)[CAST((len(win) + 1) // 2 AS BIGINT)] AS BIGINT)
+       |    AS med7
+       |FROM w""".stripMargin
+
+  /** STL-lite weekly seasonal decomposition — the classic
+    * trend/seasonal split done entirely on the integer lattice: trend is
+    * the CENTERED 7-day moving sum div 7 (milli), taken only where the
+    * full window exists (the STL interior convention — a gap day
+    * truncates the window and is dropped, not fudged); the seasonal
+    * component is the per-weekday mean of the detrended residual.
+    * Residuals go negative, so the mean divides SIGN-SAFELY
+    * (truncation toward zero spelled out as a CASE on both engines —
+    * the floor-vs-trunc divergence never arises). Weekday = day_id % 7,
+    * pure integers, no calendar functions to diverge on. Plan: one
+    * data-sized daily exchange; trend window and weekday agg ride
+    * calendar-bounded relations. */
+  def eventsSeasonalDecompose(s: SparkSession, dir: String): DataFrame = {
+    val daily = DomainQueries.events(s, dir)
+      .select(col("event_type"), expr(s"ts_ns div $DAY_NS").as("day_id"))
+      .groupBy("event_type", "day_id").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("event_type").orderBy("day_id")
+      .rangeBetween(-3, 3)
+    daily
+      .withColumn("s7", sum("c").over(w))
+      .withColumn("n7", count(lit(1)).over(w))
+      .filter(col("n7") === 7)
+      .select(col("event_type"), (col("day_id") % 7).as("wd"),
+        (col("c") * 1000 - expr("s7 * 1000 div 7")).as("detr_milli"))
+      .groupBy("event_type", "wd")
+      .agg(count(lit(1)).as("n_days"), sum("detr_milli").as("detr_sum_milli"))
+      .withColumn("seasonal_milli",
+        expr("case when detr_sum_milli >= 0 then detr_sum_milli div n_days " +
+          "else -((-detr_sum_milli) div n_days) end"))
+  }
+
+  private val SEASONAL_DECOMP_SQL =
+    s"""WITH daily AS (
+       |  SELECT event_type, epoch_ns(ts) // $DAY_NS AS day_id,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM events GROUP BY 1, 2),
+       |tr AS (
+       |  SELECT event_type, day_id, c,
+       |    SUM(c) OVER (PARTITION BY event_type ORDER BY day_id
+       |      RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS s7,
+       |    COUNT(*) OVER (PARTITION BY event_type ORDER BY day_id
+       |      RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS n7
+       |  FROM daily),
+       |d AS (
+       |  SELECT event_type, day_id % 7 AS wd,
+       |    CAST(c * 1000 - s7 * 1000 // 7 AS BIGINT) AS detr_milli
+       |  FROM tr WHERE n7 = 7)
+       |SELECT event_type, wd, CAST(COUNT(*) AS BIGINT) AS n_days,
+       |  CAST(SUM(detr_milli) AS BIGINT) AS detr_sum_milli,
+       |  CAST(CASE WHEN SUM(detr_milli) >= 0
+       |    THEN SUM(detr_milli) // COUNT(*)
+       |    ELSE -((-SUM(detr_milli)) // COUNT(*)) END AS BIGINT)
+       |    AS seasonal_milli
+       |FROM d GROUP BY 1, 2""".stripMargin
+
+  /** Kaplan–Meier survival curve over user lifetimes — THE censoring-
+    * aware retention estimator (events_hazard_rate's per-step cousin,
+    * but multiplicative and censor-correct): lifetime = days between a
+    * user's first and last event; users still active in the final 3
+    * days of the window are CENSORED, not dead. S(t) folds
+    * S_k = S_{k-1}·(n_k − d_k) div n_k in exact micro units
+    * (floor at every step — the deterministic fixed-point product both
+    * engines replay identically; DuckDB via list_reduce over an
+    * encoded (survivors, at-risk) pair). The at-risk suffix sum and the
+    * fold run over ≤|window-days| distinct lifetimes — calendar-bounded
+    * (the incident-runs precedent) — while the per-user span agg is the
+    * one data-sized exchange. The censoring cutoff is a single-row
+    * broadcast watermark frame (whitelisted crossJoin). */
+  def eventsSurvivalKm(s: SparkSession, dir: String): DataFrame = {
+    val ev = DomainQueries.events(s, dir)
+    val spans = ev.groupBy("user_id")
+      .agg(min("ts_ns").as("first_ns"), max("ts_ns").as("last_ns"))
+    val cut = ev.agg(max("ts_ns").as("max_ns"))
+    val byT = spans.crossJoin(broadcast(cut))
+      .select(expr(s"(last_ns - first_ns) div $DAY_NS").as("t_day"),
+        when(col("last_ns") > col("max_ns") - lit(3L * DAY_NS), 1L)
+          .otherwise(0L).as("censored"))
+      .groupBy("t_day")
+      .agg(sum(expr("1 - censored")).as("n_deaths"),
+        sum("censored").as("n_censored"))
+    val wRisk = Window.orderBy("t_day")
+      .rangeBetween(Window.currentRow, Window.unboundedFollowing)
+    byT
+      .withColumn("n_at_risk",
+        sum(col("n_deaths") + col("n_censored")).over(wRisk))
+      .agg(sort_array(collect_list(struct(col("t_day"), col("n_deaths"),
+        col("n_censored"), col("n_at_risk")))).as("ts"))
+      .select(col("ts"), posexplode(col("ts")))
+      .select(col("col.t_day").as("t_day"),
+        col("col.n_deaths").as("n_deaths"),
+        col("col.n_censored").as("n_censored"),
+        col("col.n_at_risk").as("n_at_risk"),
+        expr("aggregate(slice(ts, 1, pos + 1), 1000000L, (acc, x) -> " +
+          "acc * (x.n_at_risk - x.n_deaths) div x.n_at_risk)")
+          .as("surv_micro"))
+  }
+
+  private val SURVIVAL_SQL =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_ns(ts) // 1000 * 1000 AS ts_ns FROM events),
+       |cut AS (SELECT MAX(ts_ns) AS max_ns FROM e),
+       |spans AS (
+       |  SELECT user_id, MIN(ts_ns) AS first_ns, MAX(ts_ns) AS last_ns
+       |  FROM e GROUP BY 1),
+       |marks AS (
+       |  SELECT (last_ns - first_ns) // $DAY_NS AS t_day,
+       |    CASE WHEN last_ns > max_ns - ${3L * DAY_NS} THEN 1 ELSE 0 END
+       |      AS censored
+       |  FROM spans, cut),
+       |byt AS (
+       |  SELECT t_day, CAST(SUM(1 - censored) AS BIGINT) AS n_deaths,
+       |    CAST(SUM(censored) AS BIGINT) AS n_censored
+       |  FROM marks GROUP BY 1),
+       |risk AS (
+       |  SELECT t_day, n_deaths, n_censored,
+       |    CAST(SUM(n_deaths + n_censored) OVER (ORDER BY t_day
+       |      RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+       |      AS n_at_risk
+       |  FROM byt),
+       |lst AS (
+       |  SELECT list(struct_pack(t_day := t_day, n_deaths := n_deaths,
+       |    n_censored := n_censored, n_at_risk := n_at_risk)
+       |    ORDER BY t_day) AS ts
+       |  FROM risk),
+       |idx AS (
+       |  SELECT ts, UNNEST(generate_series(1, len(ts))) AS i FROM lst)
+       |SELECT ts[i].t_day AS t_day,
+       |  CAST(ts[i].n_deaths AS BIGINT) AS n_deaths,
+       |  CAST(ts[i].n_censored AS BIGINT) AS n_censored,
+       |  CAST(ts[i].n_at_risk AS BIGINT) AS n_at_risk,
+       |  CAST(list_reduce(
+       |    list_prepend(CAST(1000000 AS HUGEINT),
+       |      [CAST(x.n_at_risk - x.n_deaths AS HUGEINT) * 4294967296
+       |         + x.n_at_risk FOR x IN ts[1:i]]),
+       |    (acc, e) -> acc * (e // 4294967296) // (e % 4294967296))
+       |    AS BIGINT) AS surv_micro
+       |FROM idx""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "events_rolling_median" -> (eventsRollingMedian _),
+    "events_seasonal_decompose" -> (eventsSeasonalDecompose _),
+    "events_survival_km" -> (eventsSurvivalKm _),
     "events_kmv_intersection" -> (eventsKmvIntersection _),
     "events_markov_stationary" -> (eventsMarkovStationary _),
     "data_order_autocorr" -> (dataOrderAutocorr _),
@@ -3713,6 +3895,9 @@ object Analytics {
     "data_interleave_sources" -> (dataInterleaveSources _))
 
   val oracle: Map[String, String] = Map(
+    "events_rolling_median" -> ROLLMED_SQL,
+    "events_seasonal_decompose" -> SEASONAL_DECOMP_SQL,
+    "events_survival_km" -> SURVIVAL_SQL,
     "events_kmv_intersection" -> KMV_INTERSECT_SQL,
     "events_markov_stationary" -> MARKOV_SQL,
     "data_order_autocorr" -> ORDER_AUTOCORR_SQL,

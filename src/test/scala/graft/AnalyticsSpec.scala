@@ -939,4 +939,80 @@ class AnalyticsSpec extends SparkSpec {
       assert(f === expect, s"$t hour $hr")
     }
   }
+
+  test("rolling median: matches brute-force trailing-7-day lower median, robust to one spike") {
+    val daily = operators.DomainQueries.events(spark, sf)
+      .select(col("event_type"), expr("ts_ns div 86400000000000").as("day_id"))
+      .groupBy("event_type", "day_id").agg(count(lit(1)).as("c"))
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).map { case (t, rows) => t -> rows.map(r => r._2 -> r._3).toMap }
+    val got = Analytics.eventsRollingMedian(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    for ((t, d, c, nw, med) <- got) {
+      val win = ((d - 6) to d).flatMap(daily(t).get).sorted
+      assert(nw === win.length)
+      assert(med === win((win.length + 1) / 2 - 1), s"$t day $d")
+      assert(c === daily(t)(d))
+    }
+    // the defining property: a lone spike never becomes the median of a
+    // full window (the mean smoother would move; the median must not)
+    val full = got.filter(_._4 == 7)
+    assert(full.nonEmpty)
+    for ((t, d, _, _, med) <- full) {
+      val win = ((d - 6) to d).flatMap(daily(t).get).sorted
+      assert(med < win.max || win.forall(_ == win.head), s"$t day $d spike leaked")
+    }
+  }
+
+  test("seasonal decompose: replays brute-force centered-window detrending, full-window interior only") {
+    val daily = operators.DomainQueries.events(spark, sf)
+      .select(col("event_type"), expr("ts_ns div 86400000000000").as("day_id"))
+      .groupBy("event_type", "day_id").agg(count(lit(1)).as("c"))
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).map { case (t, rows) => t -> rows.map(r => r._2 -> r._3).toMap }
+    // brute-force seasonal table
+    val expect = daily.toSeq.flatMap { case (t, cs) =>
+      cs.toSeq.flatMap { case (d, c) =>
+        val win = ((d - 3) to (d + 3)).flatMap(cs.get)
+        if (win.length == 7) Some(((t, d % 7), c * 1000 - win.sum * 1000 / 7))
+        else None
+      }
+    }.groupBy(_._1).map { case (k, vs) =>
+      val sum = vs.map(_._2).sum
+      val n = vs.length
+      val mean = if (sum >= 0) sum / n else -((-sum) / n)
+      k -> (n.toLong, sum, mean)
+    }
+    val got = Analytics.eventsSeasonalDecompose(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    assert(got.map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap === expect)
+  }
+
+  test("survival km: replays the censoring-aware fold by hand; curve is monotone from 1e6") {
+    val spans = operators.DomainQueries.events(spark, sf)
+      .groupBy("user_id").agg(min("ts_ns").as("f"), max("ts_ns").as("l"))
+      .as[(Long, Long, Long)].collect()
+    val dayNs = 86400000000000L
+    val maxNs = spans.map(_._3).max
+    val marks = spans.map { case (_, f, l) =>
+      ((l - f) / dayNs, if (l > maxNs - 3 * dayNs) 1L else 0L)
+    }
+    val byT = marks.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, ms) =>
+      (t, ms.count(_._2 == 0L).toLong, ms.count(_._2 == 1L).toLong)
+    }
+    var s = 1000000L
+    val expect = byT.map { case (t, d, c) =>
+      val atRisk = byT.filter(_._1 >= t).map(r => r._2 + r._3).sum
+      s = s * (atRisk - d) / atRisk
+      (t, d, c, atRisk, s)
+    }
+    val got = Analytics.eventsSurvivalKm(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === expect)
+    // monotone non-increasing, bounded by the unit start
+    assert(got.map(_._5).toSeq === got.map(_._5).sorted.reverse.toSeq)
+    assert(got.forall(_._5 <= 1000000L))
+  }
 }

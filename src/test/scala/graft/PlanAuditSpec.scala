@@ -39,7 +39,8 @@ class PlanAuditSpec extends SparkSpec {
     "q38_customer_set_algebra" -> "crossJoins of five single-row set-cardinality folds (1×1)",
     "data_order_autocorr" -> "crossJoin of the two single-row observed/expected folds (1×1)",
     "sim_recall_vs_nprobe" -> "four sweep legs inherit sim_ivf_topk's 8-broadcast-centroid-row probe crossJoin",
-    "occ_temporal_turnover" -> "crossJoin against the single-row broadcast midpoint frame")
+    "occ_temporal_turnover" -> "crossJoin against the single-row broadcast midpoint frame",
+    "events_survival_km" -> "crossJoin against the single-row broadcast censoring-watermark frame")
 
   test("no query plans a nested-loop or cartesian join outside the whitelist") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -350,7 +351,10 @@ class PlanAuditSpec extends SparkSpec {
     "dedup_lsh_band_tuning" -> 0, // 7 narrow S-curve projections over the checkpointed <=11-row histogram
     "sim_recall_vs_nprobe" -> 20, // 4 sweep legs x (probe agg + rerank + fold) over the checkpointed assignment + exact top-k
     "events_kmv_intersection" -> 6, // (day,h) distinct + day window + pair window/agg + daily + exact-inter legs
-    "occ_temporal_turnover" -> 3) // (species,cell) flag agg + species fold; midpoint frame broadcast
+    "occ_temporal_turnover" -> 3, // (species,cell) flag agg + species fold; midpoint frame broadcast
+    "events_rolling_median" -> 2, // daily agg + event_type window exchange; arrays calendar-bounded
+    "events_seasonal_decompose" -> 2, // daily agg + trend-window/weekday agg ride one type exchange
+    "events_survival_km" -> 4) // user span agg + t agg + at-risk window + single-group fold; watermark broadcast
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
     // the shard grid must drive the exchange (parallelism = shard count),
