@@ -1508,6 +1508,35 @@ object DomainQueries {
           .as("turnover_jaccard_milli"))
   }
 
+  /** Schoener's D temporal-activity overlap between species pairs — the
+    * niche-overlap statistic ecologists run on activity budgets: each
+    * species' occurrence stream becomes a DAILY activity profile in
+    * exact milli shares (n·1000 div total — floored identically on both
+    * engines), and D = Σ_d min(p_a, p_b) — the Σmin form needs no abs,
+    * no halving, and only the INNER day join (a day one species sits
+    * out contributes min(p, 0) = 0). The profile relation is
+    * localCheckpoint'd — it feeds both sides of the pair self-join (the
+    * multi-reference replay trap) — and every relation after the first
+    * aggregate is (species × calendar)-bounded: 50 species × |days|
+    * profiles, ≤ C(50,2) pairs. Scale-safe: the only event-volume-sized
+    * step is the (species, day) count. */
+  def occActivityOverlap(s: SparkSession, dir: String): DataFrame = {
+    val dayNs = 86400000000000L
+    val prof = valid(s, dir)
+      .select(col("species"), expr(s"ts_ns div $dayNs").as("day_id"))
+      .groupBy("species", "day_id").agg(count(lit(1)).as("n"))
+      .withColumn("tot", sum("n").over(Window.partitionBy("species")))
+      .select(col("species"), col("day_id"),
+        expr("n * 1000 div tot").as("pm"))
+      .localCheckpoint() // both self-join sides read it
+    prof.toDF("species_a", "day_id", "pa")
+      .join(prof.toDF("species_b", "day_id", "pb"), Seq("day_id"))
+      .filter(col("species_a") < col("species_b"))
+      .groupBy("species_a", "species_b")
+      .agg(count(lit(1)).as("n_shared_days"),
+        sum(least(col("pa"), col("pb"))).as("overlap_milli"))
+  }
+
   def occBetaDiversity(s: SparkSession, dir: String): DataFrame = {
     val cs = valid(s, dir)
       .select(cell10(col("lat"), col("lon")).as("cellid"), col("species"))
@@ -1590,6 +1619,7 @@ object DomainQueries {
     "occ_morans_i" -> (occMoransI _),
     "occ_beta_diversity" -> (occBetaDiversity _),
     "occ_temporal_turnover" -> (occTemporalTurnover _),
+    "occ_activity_overlap" -> (occActivityOverlap _),
     "occ_range_fragmentation" -> (occRangeFragmentation _),
     "spatial_point_in_polygon" -> (spatialPointInPolygon _),
     "occ_sample_coverage" -> (occSampleCoverage _),
@@ -2346,6 +2376,21 @@ object DomainQueries {
         |  CAST(SUM(e * l) * 1000 // (SUM(e) + SUM(l) - SUM(e * l)) AS BIGINT)
         |    AS turnover_jaccard_milli
         |FROM cf GROUP BY species""".stripMargin),
+    "occ_activity_overlap" -> withSql(OCC_SQL, VALID_SQL,
+      """prof AS (
+        |  SELECT species, ts_ns // 86400000000000 AS day_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM valid GROUP BY 1, 2)""".stripMargin,
+      """p AS (
+        |  SELECT species, day_id,
+        |    CAST(n * 1000 // SUM(n) OVER (PARTITION BY species) AS BIGINT)
+        |      AS pm
+        |  FROM prof)""".stripMargin)(
+      """SELECT a.species AS species_a, b.species AS species_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_shared_days,
+        |  CAST(SUM(LEAST(a.pm, b.pm)) AS BIGINT) AS overlap_milli
+        |FROM p a JOIN p b ON b.day_id = a.day_id AND a.species < b.species
+        |GROUP BY 1, 2""".stripMargin),
     "occ_beta_diversity" -> withSql(OCC_SQL, VALID_SQL,
       s"""cs AS (SELECT DISTINCT $CELL10_SQL AS cellid, species
          |       FROM valid)""".stripMargin,

@@ -913,7 +913,60 @@ object TextQueries {
        |$legs""".stripMargin
   }
 
+  /** Pareto frontier (SKYLINE) of the corpus on (length, quality) — the
+    * multi-objective curation shape nothing else on the board computes:
+    * the documents no other document beats on BOTH token count and the
+    * exact quality lattice (least(nt,100)·10·nd div nt — the mass-curve
+    * signal). Dominance: d is out iff some d' has nt' ≥ nt ∧ q' ≥ q with
+    * one strict. Distributed plan — NOT the textbook global sort: a
+    * per-nt max-q hash aggregate does the data-sized work, the suffix
+    * max runs over DISTINCT token counts only (bounded by max document
+    * length, not corpus size), and survivors come back via a broadcast
+    * join of the tiny frontier. Same-nt ties all survive iff they hit
+    * the nt's max q (equal points never dominate each other). */
+  def dataSkyline(s: SparkSession, dir: String): DataFrame = {
+    val ts = tokens(col("text"))
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), size(ts).cast("long").as("nt"),
+        size(array_distinct(ts)).cast("long").as("nd"))
+      .filter(col("nt") > 0)
+      .select(col("doc_id"), col("nt"),
+        expr("least(nt, 100) * 10 * nd div nt").as("q_milli"))
+    val perNt = docs.groupBy("nt").agg(max("q_milli").as("qmax"))
+    val wSuffix = Window.orderBy("nt")
+      .rangeBetween(1, Window.unboundedFollowing)
+    val frontier = perNt
+      .withColumn("ms", max("qmax").over(wSuffix))
+      .filter(col("ms").isNull || col("qmax") > col("ms"))
+      .select(col("nt"), col("qmax"))
+    docs.join(broadcast(frontier), Seq("nt"))
+      .filter(col("q_milli") === col("qmax"))
+      .select(col("doc_id"), col("nt").as("n_tokens"), col("q_milli"))
+  }
+
+  private val SKYLINE_SQL =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(lower(text), '$TOKEN_RE')) AS BIGINT)
+       |      AS nt,
+       |    CAST(len(list_distinct(regexp_extract_all(lower(text),
+       |      '$TOKEN_RE'))) AS BIGINT) AS nd
+       |  FROM documents),
+       |q AS (
+       |  SELECT doc_id, nt,
+       |    CAST(LEAST(nt, 100) * 10 * nd // nt AS BIGINT) AS q_milli
+       |  FROM d WHERE nt > 0),
+       |g AS (SELECT nt, MAX(q_milli) AS qmax FROM q GROUP BY 1),
+       |f AS (
+       |  SELECT nt, qmax, MAX(qmax) OVER (ORDER BY nt
+       |    RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS ms
+       |  FROM g)
+       |SELECT q.doc_id, q.nt AS n_tokens, q.q_milli
+       |FROM q JOIN f ON f.nt = q.nt AND q.q_milli = f.qmax
+       |WHERE f.ms IS NULL OR f.qmax > f.ms""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "data_skyline" -> (dataSkyline _),
     "dedup_lsh_band_tuning" -> (dedupLshBandTuning _),
     "data_near_dup_rate" -> (dataNearDupRate _),
     "dedup_doc_prefix" -> (dedupDocPrefix _),
@@ -939,6 +992,7 @@ object TextQueries {
     "dedup_chunk_level" -> (dedupChunkLevel _))
 
   val oracle: Map[String, String] = Map(
+    "data_skyline" -> SKYLINE_SQL,
     "dedup_lsh_band_tuning" -> BAND_TUNING_SQL,
     "data_near_dup_rate" -> NEARDUP_RATE_SQL,
     "data_quality_mass_curve" -> QUALITY_CURVE_SQL,

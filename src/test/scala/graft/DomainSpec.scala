@@ -863,4 +863,34 @@ class DomainSpec extends SparkSpec {
     assert(expLev === 1L)
     assert(got === Set((1L, 2L, expLev.toLong)))
   }
+
+  test("activity overlap replays Schoener's D = sum-min of milli day-profiles by hand") {
+    import spark.implicits._
+    val dayNs = 86400000000000L
+    val prof = DomainQueries.valid(spark, sf)
+      .select(col("species"), expr(s"ts_ns div $dayNs").as("d"))
+      .as[(String, Long)].collect()
+      .groupBy(_._1).map { case (sp, rows) =>
+        val tot = rows.length.toLong
+        sp -> rows.groupBy(_._2).map { case (d, g) =>
+          d -> g.length.toLong * 1000 / tot
+        }
+      }
+    val got = DomainQueries.occActivityOverlap(spark, sf)
+      .as[(String, String, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val sps = prof.keys.toSeq.sorted
+    // every a < b pair sharing >= 1 day appears exactly once
+    val expectKeys = (for {
+      a <- sps; b <- sps if a < b
+      if prof(a).keySet.intersect(prof(b).keySet).nonEmpty
+    } yield (a, b)).toSet
+    assert(got.map(r => (r._1, r._2)).toSet === expectKeys)
+    for ((a, b, nShared, ov) <- got) {
+      val shared = prof(a).keySet.intersect(prof(b).keySet)
+      assert(nShared === shared.size)
+      assert(ov === shared.toSeq.map(d => math.min(prof(a)(d), prof(b)(d))).sum)
+      assert(ov >= 0 && ov <= 1000)
+    }
+  }
 }

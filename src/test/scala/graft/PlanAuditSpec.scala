@@ -354,7 +354,9 @@ class PlanAuditSpec extends SparkSpec {
     "occ_temporal_turnover" -> 3, // (species,cell) flag agg + species fold; midpoint frame broadcast
     "events_rolling_median" -> 2, // daily agg + event_type window exchange; arrays calendar-bounded
     "events_seasonal_decompose" -> 2, // daily agg + trend-window/weekday agg ride one type exchange
-    "events_survival_km" -> 4) // user span agg + t agg + at-risk window + single-group fold; watermark broadcast
+    "events_survival_km" -> 4, // user span agg + t agg + at-risk window + single-group fold; watermark broadcast
+    "data_skyline" -> 2, // per-nt max agg + distinct-nt suffix window; frontier joins back broadcast
+    "occ_activity_overlap" -> 1) // one (species, day) agg; checkpointed profile self-join + pair agg AQE-sized
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
     // the shard grid must drive the exchange (parallelism = shard count),

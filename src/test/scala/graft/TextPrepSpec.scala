@@ -549,4 +549,36 @@ class TextPrepSpec extends SparkSpec {
     assert(got(1L) === ((1L, 4L, 1L, 0.0)))
     assert(got(2L) === ((2L, 5L, 5L, 0.8)))
   }
+
+  test("data_skyline: output is exactly the non-dominated set under brute force") {
+    val docs = operators.TextQueries.textQuality(spark, sf)
+      .filter(col("n_tokens") > 0)
+      .selectExpr("doc_id", "n_tokens",
+        "least(n_tokens, 100) * 10 * n_distinct div n_tokens as q")
+      .as[(Long, Long, Long)].collect()
+    def dominated(d: (Long, Long, Long)) = docs.exists(o =>
+      o._2 >= d._2 && o._3 >= d._3 && (o._2 > d._2 || o._3 > d._3))
+    val expect = docs.filterNot(dominated).map(d => (d._1, d._2, d._3)).toSet
+    val got = operators.TextQueries.dataSkyline(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got.nonEmpty)
+    assert(got === expect)
+  }
+
+  test("data_skyline: hand-built frontier keeps ties, drops equal-on-one-axis losers") {
+    import org.apache.spark.sql.SaveMode
+    // token counts 1..4 via distinct words; q = 10*nt*nd/nt = 10*nd (nt<100)
+    val docs = Seq(
+      (1L, "a b c d"),      // nt=4 nd=4 q=40  — frontier (max nt, max q)
+      (2L, "a b c c"),      // nt=4 nd=3 q=30  — dominated by 1 (same nt, lower q)
+      (3L, "a b c"),        // nt=3 nd=3 q=1000*3*10*3/3... recompute below
+      (4L, "a b c d".toUpperCase) // same as 1 after lower() — tie, BOTH kept
+    ).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("skyline").toString
+    docs.write.mode(SaveMode.Overwrite).parquet(s"$tmp/documents.parquet")
+    val got = operators.TextQueries.dataSkyline(spark, tmp)
+      .as[(Long, Long, Long)].collect().toSet
+    // q(1)=q(4)=least(4,100)*10*4 div 4=40; q(3)=30 with nt=3 < 4 → dominated
+    assert(got === Set((1L, 4L, 40L), (4L, 4L, 40L)))
+  }
 }
