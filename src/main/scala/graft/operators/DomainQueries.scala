@@ -1537,6 +1537,31 @@ object DomainQueries {
         sum(least(col("pa"), col("pb"))).as("overlap_milli"))
   }
 
+  /** Single-linkage clustering BACKBONE of the species range-similarity
+    * graph — the textbook MST application (an MST under a dissimilarity
+    * is exactly the single-linkage dendrogram's edge set): nodes are
+    * species, edges connect range-overlapping pairs
+    * ([[occRangeJaccard]]'s relation), weight = range dissimilarity
+    * (1000 − jaccard_milli) with the numeric species pair packed in as
+    * tiebreak (d·4096 + u·64 + v — strictly unique, so the forest is
+    * unique and DuckDB's Kruskal replay hash-matches the distributed
+    * Borůvka run edge for edge). Runs [[Graphs.boruvkaMsf]] — per-round
+    * min-edge grab + pointer-jump contraction, O(log n) rounds. */
+  def graphMstBackbone(s: SparkSession, dir: String): DataFrame = {
+    val ed = occRangeJaccard(s, dir)
+      .select(expr("cast(substring(sp1, 4) as bigint)").as("n1"),
+        expr("cast(substring(sp2, 4) as bigint)").as("n2"),
+        (lit(1000) - col("jaccard_milli")).as("d"))
+      .select(least(col("n1"), col("n2")).as("u"),
+        greatest(col("n1"), col("n2")).as("v"), col("d"))
+      .select(col("u"), col("v"),
+        (col("d") * 4096 + col("u") * 64 + col("v")).as("w"))
+    Graphs.boruvkaMsf(ed, maxRounds = 16)
+      .select(expr("concat('sp_', cast(u as string))").as("species_a"),
+        expr("concat('sp_', cast(v as string))").as("species_b"),
+        expr("w div 4096").as("dist_milli"))
+  }
+
   def occBetaDiversity(s: SparkSession, dir: String): DataFrame = {
     val cs = valid(s, dir)
       .select(cell10(col("lat"), col("lon")).as("cellid"), col("species"))
@@ -1620,6 +1645,7 @@ object DomainQueries {
     "occ_beta_diversity" -> (occBetaDiversity _),
     "occ_temporal_turnover" -> (occTemporalTurnover _),
     "occ_activity_overlap" -> (occActivityOverlap _),
+    "graph_mst_backbone" -> (graphMstBackbone _),
     "occ_range_fragmentation" -> (occRangeFragmentation _),
     "spatial_point_in_polygon" -> (spatialPointInPolygon _),
     "occ_sample_coverage" -> (occSampleCoverage _),
@@ -2391,6 +2417,61 @@ object DomainQueries {
         |  CAST(SUM(LEAST(a.pm, b.pm)) AS BIGINT) AS overlap_milli
         |FROM p a JOIN p b ON b.day_id = a.day_id AND a.species < b.species
         |GROUP BY 1, 2""".stripMargin),
+    // Kruskal replay over the sorted edge list with a flat 64-slot label
+    // array carried through a recursive CTE (the dedup_cluster
+    // WITH-RECURSIVE precedent): each step merges the two endpoint
+    // labels iff they differ and records the edge index. Unique weights
+    // (pair id packed into w) make this the SAME forest Borůvka picks.
+    "graph_mst_backbone" ->
+      (s"""WITH RECURSIVE $OCC_SQL,
+         |$VALID_SQL,
+         |sp AS (
+         |  SELECT DISTINCT $CELL1_SQL AS cellid, species FROM valid),
+         |rich AS (
+         |  SELECT species, CAST(COUNT(*) AS BIGINT) AS nc
+         |  FROM sp GROUP BY 1),
+         |ipair AS (
+         |  SELECT a.species AS s1, b.species AS s2,
+         |    CAST(COUNT(*) AS BIGINT) AS i
+         |  FROM sp a JOIN sp b
+         |    ON a.cellid = b.cellid AND a.species < b.species
+         |  GROUP BY 1, 2),
+         |ed AS (
+         |  SELECT LEAST(CAST(substring(s1, 4) AS BIGINT),
+         |           CAST(substring(s2, 4) AS BIGINT)) AS u,
+         |    GREATEST(CAST(substring(s1, 4) AS BIGINT),
+         |           CAST(substring(s2, 4) AS BIGINT)) AS v,
+         |    1000 - i * 1000 // (ra.nc + rb.nc - i) AS d
+         |  FROM ipair
+         |  JOIN rich ra ON ra.species = s1
+         |  JOIN rich rb ON rb.species = s2),
+         |el AS (
+         |  SELECT list(struct_pack(u := u, v := v,
+         |    w := d * 4096 + u * 64 + v) ORDER BY d * 4096 + u * 64 + v)
+         |    AS es
+         |  FROM ed),
+         |kr AS (
+         |  SELECT 0 AS i,
+         |    list_transform(generate_series(0, 63),
+         |      x -> CAST(x AS BIGINT)) AS lab,
+         |    CAST([] AS BIGINT[]) AS acc
+         |  UNION ALL
+         |  SELECT i + 1,
+         |    CASE WHEN lab[CAST(es[i + 1].u AS BIGINT) + 1]
+         |           <> lab[CAST(es[i + 1].v AS BIGINT) + 1]
+         |      THEN list_transform(lab, l -> CASE
+         |        WHEN l = lab[CAST(es[i + 1].u AS BIGINT) + 1]
+         |        THEN lab[CAST(es[i + 1].v AS BIGINT) + 1] ELSE l END)
+         |      ELSE lab END,
+         |    CASE WHEN lab[CAST(es[i + 1].u AS BIGINT) + 1]
+         |           <> lab[CAST(es[i + 1].v AS BIGINT) + 1]
+         |      THEN list_append(acc, CAST(i + 1 AS BIGINT)) ELSE acc END
+         |  FROM kr, el WHERE i < len(es))
+         |SELECT 'sp_' || CAST(es[j].u AS VARCHAR) AS species_a,
+         |  'sp_' || CAST(es[j].v AS VARCHAR) AS species_b,
+         |  CAST(es[j].w // 4096 AS BIGINT) AS dist_milli
+         |FROM (SELECT UNNEST(acc) AS j FROM kr, el
+         |      WHERE i = len(es)) picks, el""".stripMargin),
     "occ_beta_diversity" -> withSql(OCC_SQL, VALID_SQL,
       s"""cs AS (SELECT DISTINCT $CELL10_SQL AS cellid, species
          |       FROM valid)""".stripMargin,

@@ -338,6 +338,112 @@ object Graphs {
         coalesce(col("flag"), lit(false)).as("in_truss"))
   }
 
+  /** Minimum spanning FOREST via distributed Borůvka — the O(log n)-round
+    * contraction algorithm (each round every component grabs its minimum
+    * outgoing edge; component count at least halves). No reference-repo
+    * counterpart (the reference has no graph engine); the shape is the
+    * one a 100 TB single-linkage clustering or network-backbone job
+    * needs: per-round work is two hash joins + one min-struct aggregate,
+    * contraction is 2-cycle-broken POINTER JUMPING on the component
+    * relation (which shrinks geometrically), and every loop-carried
+    * relation localCheckpoints (the open-ended-loop lineage rule).
+    *
+    * `edges` needs three long columns (u, v, w) with STRICTLY DISTINCT
+    * weights — uniqueness makes the forest unique (cut property), which
+    * is what lets a DuckDB Kruskal replay hash-match; callers pack a
+    * tiebreak into w. Throws loudly on duplicate weights and on
+    * non-convergence. Returns the forest's (u, v, w) rows. */
+  def boruvkaMsf(edges: DataFrame, maxRounds: Int = 32): DataFrame =
+    boruvkaMsfRounds(edges, maxRounds)._1
+
+  /** [[boruvkaMsf]] plus the contraction-round count (spec hook for the
+    * O(log n) bound, mirroring [[alternatingCC]]). */
+  private[graft] def boruvkaMsfRounds(
+      edges: DataFrame, maxRounds: Int): (DataFrame, Int) = {
+    val und = edges.toDF("x", "y", "w")
+      .filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("u"),
+        greatest(col("x"), col("y")).as("v"), col("w"))
+      .distinct()
+      .localCheckpoint() // joined against comp every round — plan once
+    val wc = und.agg(count(lit(1)), countDistinct("w")).head()
+    require(wc.getLong(0) == wc.getLong(1),
+      s"boruvkaMsf needs strictly distinct edge weights " +
+        s"(${wc.getLong(0)} edges, ${wc.getLong(1)} distinct w); " +
+        "pack a tiebreak into w")
+    var comp = und.select(explode(array(col("u"), col("v"))).as("node"))
+      .distinct().withColumn("comp", col("node"))
+      .localCheckpoint()
+    val picked = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var rounds = 0
+    var done = false
+    while (!done && rounds < maxRounds) {
+      val e = und
+        .join(comp.toDF("u", "cu"), Seq("u"))
+        .join(comp.toDF("v", "cv"), Seq("v"))
+        .filter(col("cu") =!= col("cv"))
+        .localCheckpoint() // BEFORE isEmpty: the check must not replay
+      if (e.isEmpty) done = true
+      else {
+        // per-component minimum outgoing edge (min-struct: w is unique,
+        // so the winner and its payload are deterministic)
+        val half = e.select(col("cu").as("c"), col("w"), col("u"),
+            col("v"), col("cu"), col("cv"))
+          .union(e.select(col("cv").as("c"), col("w"), col("u"),
+            col("v"), col("cu"), col("cv")))
+        val sel = half.groupBy("c")
+          .agg(min(struct(col("w"), col("u"), col("v"), col("cu"),
+            col("cv"))).as("m"))
+          .select(col("c"), col("m.w").as("w"), col("m.u").as("u"),
+            col("m.v").as("v"), col("m.cu").as("cu"), col("m.cv").as("cv"))
+          .localCheckpoint()
+        // an edge picked by both endpoints appears twice — dedupe within
+        // the round; across rounds its endpoints share a component, so it
+        // can never be re-picked
+        picked += sel.select("u", "v", "w").distinct().localCheckpoint()
+        // pointer graph: every active component points at the OTHER
+        // endpoint of its min edge. Unique weights ⇒ the only cycles are
+        // mutual-min 2-cycles; break them toward the smaller id, leaving
+        // a forest of self-rooted trees.
+        val p0 = sel.select(col("c"),
+          when(col("cu") === col("c"), col("cv")).otherwise(col("cu"))
+            .as("p"))
+        var ptr = p0.join(p0.toDF("p", "pp"), Seq("p"))
+          .select(col("c"),
+            when(col("pp") === col("c"), least(col("c"), col("p")))
+              .otherwise(col("p")).as("p"))
+          .localCheckpoint()
+        // pointer jumping: p ← p(p) until fixpoint (≤ log depth rounds)
+        var jumping = true
+        var jumps = 0
+        while (jumping && jumps < maxRounds) {
+          val nxt = ptr.toDF("c0", "p0")
+            .join(ptr.toDF("p0", "p1"), Seq("p0"))
+            .select(col("c0").as("c"), col("p1").as("p"),
+              (col("p1") =!= col("p0")).cast("long").as("mv"))
+            .localCheckpoint()
+          jumping = nxt.agg(sum("mv")).head().getLong(0) > 0
+          ptr = nxt.select("c", "p")
+          jumps += 1
+        }
+        if (jumping) throw new IllegalStateException(
+          s"boruvkaMsf pointer jumping did not converge in $maxRounds " +
+            "rounds; raise maxRounds")
+        comp = comp.join(ptr.toDF("comp", "root"), Seq("comp"), "left_outer")
+          .select(col("node"), coalesce(col("root"), col("comp")).as("comp"))
+          .localCheckpoint()
+      }
+      rounds += 1
+    }
+    if (!done) throw new IllegalStateException(
+      s"boruvkaMsf did not converge in $maxRounds rounds " +
+        "(component count halves per round — this graph needs more); " +
+        "raise maxRounds")
+    val forest = if (picked.isEmpty) und.limit(0)
+      else picked.reduce(_ union _)
+    (forest, rounds)
+  }
+
   /** 3-truss of the k-NN similarity graph. k/rounds pinned to the values
     * the DuckDB oracle unrolls (see [[trussPeel]]'s coupling note). */
   def graphKtruss(s: SparkSession, dir: String): DataFrame =

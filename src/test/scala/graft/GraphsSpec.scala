@@ -344,4 +344,59 @@ class GraphsSpec extends SparkSpec {
     // handshake check: endpoint mass = 2·|E|
     assert(got.values.map(_._2).sum === 16L)
   }
+
+  /** Driver-side Kruskal over unique weights — the MSF ground truth. */
+  private def referenceMsf(edges: Seq[(Long, Long, Long)]): Set[(Long, Long, Long)] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    val out = scala.collection.mutable.Set[(Long, Long, Long)]()
+    for ((u, v, w) <- edges.sortBy(_._3)) {
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) { parent(ru) = rv; out += ((math.min(u, v), math.max(u, v), w)) }
+    }
+    out.toSet
+  }
+
+  test("boruvka msf matches driver Kruskal on random graphs, including a disconnected forest") {
+    val rnd = new Random(41)
+    // two islands of 30 nodes each (node ids 0-29 and 100-129) — the
+    // result must be a FOREST, one tree per island
+    val mk = (base: Long) => Seq.fill(120)(
+      (base + rnd.nextInt(30), base + rnd.nextInt(30))).filter(p => p._1 != p._2)
+    val raw = (mk(0L) ++ mk(100L)).distinct
+    // unique weights: hash-ish base + index tiebreak
+    val edges = raw.zipWithIndex.map { case ((u, v), i) =>
+      (u, v, (u * 7 + v * 13) % 50 * 1000 + i) }
+    val got = Graphs.boruvkaMsf(edges.toDF("u", "v", "w"))
+      .as[(Long, Long, Long)].collect().toSet
+    // canonicalize reference over the same (least, greatest) orientation
+    val canon = edges.map { case (u, v, w) => (math.min(u, v), math.max(u, v), w) }
+      .groupBy(e => (e._1, e._2)).map { case (_, g) => g.minBy(_._3) }.toSeq
+    assert(got === referenceMsf(canon))
+    // forest shape: |edges| = |nodes| - |components|
+    val nodes = raw.flatMap(p => Seq(p._1, p._2)).distinct.size
+    assert(got.size === nodes - 2)
+  }
+
+  test("boruvka msf converges in O(log n) rounds on a path graph") {
+    // a 1024-node path is the worst case for min-label CC (diameter n);
+    // Borůvka must finish in ~log2(n) contraction rounds
+    val n = 1024
+    val edges = (0L until (n - 1)).map(i => (i, i + 1, 5000 + (i * 2654435761L) % 100000 * 1024 + i))
+    val (forest, rounds) = Graphs.boruvkaMsfRounds(edges.toDF("u", "v", "w"), maxRounds = 16)
+    // every path edge is in the MSF (removing any disconnects the path)
+    assert(forest.count() === (n - 1).toLong)
+    assert(rounds <= 2 + (math.log(n) / math.log(2)).toInt,
+      s"needed $rounds rounds for a $n-node path")
+  }
+
+  test("boruvka msf refuses duplicate weights loudly") {
+    val e = intercept[IllegalArgumentException] {
+      Graphs.boruvkaMsf(Seq((1L, 2L, 7L), (2L, 3L, 7L)).toDF("u", "v", "w"))
+    }
+    assert(e.getMessage.contains("distinct edge weights"))
+  }
 }

@@ -356,7 +356,8 @@ class PlanAuditSpec extends SparkSpec {
     "events_seasonal_decompose" -> 2, // daily agg + trend-window/weekday agg ride one type exchange
     "events_survival_km" -> 4, // user span agg + t agg + at-risk window + single-group fold; watermark broadcast
     "data_skyline" -> 2, // per-nt max agg + distinct-nt suffix window; frontier joins back broadcast
-    "occ_activity_overlap" -> 1) // one (species, day) agg; checkpointed profile self-join + pair agg AQE-sized
+    "occ_activity_overlap" -> 1, // one (species, day) agg; checkpointed profile self-join + pair agg AQE-sized
+    "graph_mst_backbone" -> 0) // iterative Borůvka: per-round shuffles run at build behind checkpoints (dedup_cluster class)
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
     // the shard grid must drive the exchange (parallelism = shard count),
