@@ -3818,7 +3818,63 @@ object Analytics {
        |    AS BIGINT) AS surv_micro
        |FROM idx""".stripMargin
 
+  /** Poisson-bootstrap confidence interval for mean events/user — THE
+    * distributed resampling-inference pattern (the driver never holds
+    * the data, so classical resampling is out; Poisson bootstrap
+    * approximates the multinomial with an INDEPENDENT per-(row, replica)
+    * weight, here 16 Bernoulli(1/16) trials ≈ Poisson(1), hash-derived
+    * under this operator's own 'bs:' salt — the shared-salt correlation
+    * landmine). 32 replicas explode at USER grain (never event grain),
+    * each replica's weighted mean folds in exact milli, and the CI is
+    * pure order statistics over the 32-element sorted list (no float
+    * quantiles — the p5/p50/p95 are elements 2/16/31). The point
+    * estimate rides the same pipeline as replica b = −1 with weight 1 —
+    * no extra scan, no single-row crossJoin. */
+  def eventsBootstrapCi(s: SparkSession, dir: String): DataFrame =
+    DomainQueries.events(s, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("n"),
+        explode(sequence(lit(-1), lit(31))).as("b"))
+      .withColumn("w", expr(
+        "case when b = -1 then 1L else 16L - length(replace(" +
+          "substring(md5(cast(concat('bs:', user_id, ':', b) as binary))," +
+          " 1, 16), '0', '')) end"))
+      .groupBy("b").agg(sum(expr("w * n")).as("wn"), sum("w").as("sw"))
+      .filter(col("sw") > 0)
+      .select(col("b"), expr("wn * 1000 div sw").as("m"))
+      .agg(max(when(col("b") === -1, col("m"))).as("point_milli"),
+        sort_array(collect_list(when(col("b") >= 0, col("m")))).as("a"))
+      .select(expr("cast(size(a) as bigint)").as("n_resamples"),
+        col("point_milli"),
+        expr("try_element_at(a, 2)").as("lo_milli"),
+        expr("try_element_at(a, 16)").as("med_milli"),
+        expr("try_element_at(a, 31)").as("hi_milli"))
+
+  private val BOOTSTRAP_SQL =
+    """WITH n AS (
+      |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1),
+      |rep AS (
+      |  SELECT user_id, n, UNNEST(generate_series(-1, 31)) AS b FROM n),
+      |wts AS (
+      |  SELECT b, n,
+      |    CASE WHEN b = -1 THEN 1
+      |      ELSE 16 - length(replace(substring(
+      |        md5('bs:' || CAST(user_id AS VARCHAR) || ':'
+      |          || CAST(b AS VARCHAR)), 1, 16), '0', ''))
+      |    END AS w
+      |  FROM rep),
+      |means AS (
+      |  SELECT b, CAST(SUM(w * n) * 1000 // SUM(w) AS BIGINT) AS m
+      |  FROM wts GROUP BY b HAVING SUM(w) > 0)
+      |SELECT CAST(len(a) AS BIGINT) AS n_resamples, p AS point_milli,
+      |  a[2] AS lo_milli, a[16] AS med_milli, a[31] AS hi_milli
+      |FROM (SELECT list(m ORDER BY m) FILTER (WHERE b >= 0) AS a,
+      |        MAX(m) FILTER (WHERE b = -1) AS p
+      |      FROM means)""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "events_bootstrap_ci" -> (eventsBootstrapCi _),
     "events_rolling_median" -> (eventsRollingMedian _),
     "events_seasonal_decompose" -> (eventsSeasonalDecompose _),
     "events_survival_km" -> (eventsSurvivalKm _),
@@ -3895,6 +3951,7 @@ object Analytics {
     "data_interleave_sources" -> (dataInterleaveSources _))
 
   val oracle: Map[String, String] = Map(
+    "events_bootstrap_ci" -> BOOTSTRAP_SQL,
     "events_rolling_median" -> ROLLMED_SQL,
     "events_seasonal_decompose" -> SEASONAL_DECOMP_SQL,
     "events_survival_km" -> SURVIVAL_SQL,

@@ -884,7 +884,58 @@ object TextPrep {
       |  CAST(COUNT(*) AS BIGINT) AS n_hits
       |FROM h GROUP BY 1, 2""".stripMargin
 
+  /** LPT-greedy shard balancing (bin packing): documents stripe
+    * round-robin over 8 shards in DECREASING token-count order — the
+    * longest-processing-time heuristic that keeps the heaviest items
+    * spread while the small tail evens the loads (what a packing of
+    * training shards wants; data_shuffle_shards randomizes, this
+    * BALANCES). The global decreasing rank comes from the two-level
+    * distributed prefix sum ([[Scale.bucketOffsets]] over −token-count
+    * buckets): the only globally-ordered window runs on ≤|distinct
+    * lengths| rows, never a single-task sort of the corpus. Output is
+    * the per-shard load sheet with exact milli-of-ideal balance. */
+  def dataBinPacking(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"),
+          lit(0))).cast("long").as("nt"))
+      .withColumn("bkt", -col("nt"))
+      .withColumn("cnt", lit(1L))
+    val offsets = Scale.bucketOffsets(docs, "bkt", Seq("cnt"))
+    val wl = Window.partitionBy("bkt").orderBy("doc_id")
+    val wAll = Window.partitionBy()
+    docs.join(broadcast(offsets), Seq("bkt"))
+      .withColumn("rank", row_number().over(wl).cast("long") + col("cnt_off"))
+      .select(col("doc_id"), col("nt"), ((col("rank") - 1) % 8).as("shard"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("nt").as("token_load"))
+      .withColumn("total", sum("token_load").over(wAll))
+      .select(col("shard"), col("n_docs"), col("token_load"),
+        expr("token_load * 1000 div (total div 8)")
+          .as("load_milli_of_ideal"))
+  }
+
+  private val BINPACK_SQL =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+      |      AS nt
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, nt,
+      |    ROW_NUMBER() OVER (ORDER BY nt DESC, doc_id) AS rank
+      |  FROM d),
+      |sh AS (
+      |  SELECT (rank - 1) % 8 AS shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(nt) AS BIGINT) AS token_load
+      |  FROM r GROUP BY 1)
+      |SELECT shard, n_docs, token_load,
+      |  CAST(token_load * 1000 // (SUM(token_load) OVER () // 8) AS BIGINT)
+      |    AS load_milli_of_ideal
+      |FROM sh""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "data_bin_packing" -> (dataBinPacking _),
     "text_feature_hashing" -> (textFeatureHashing _),
     "text_freq_spectrum" -> (textFreqSpectrum _),
     "text_zipf_slope" -> (textZipfSlope _),
@@ -907,6 +958,7 @@ object TextPrep {
     "data_pack_sequences" -> (dataPackSequences _))
 
   val oracle: Map[String, String] = Map(
+    "data_bin_packing" -> BINPACK_SQL,
     "text_feature_hashing" -> FEATHASH_SQL,
     "text_freq_spectrum" -> SPECTRUM_SQL,
     "text_zipf_slope" -> ZIPF_SQL,

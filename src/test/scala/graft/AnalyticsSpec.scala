@@ -1015,4 +1015,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.map(_._5).toSeq === got.map(_._5).sorted.reverse.toSeq)
     assert(got.forall(_._5 <= 1000000L))
   }
+
+  test("bootstrap ci: point estimate is the exact mean, CI replays the hash weights by hand") {
+    val ns = operators.DomainQueries.events(spark, sf)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect()
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def weight(u: Long, b: Int): Long =
+      16L - md5hex(s"bs:$u:$b").take(16).count(_ != '0')
+    val means = (0 until 32).map { b =>
+      val (wn, sw) = ns.foldLeft((0L, 0L)) { case ((a, c), (u, n)) =>
+        val w = weight(u, b); (a + w * n, c + w)
+      }
+      wn * 1000 / sw
+    }.sorted
+    val Array((nRes, point, lo, med, hi)) = Analytics.eventsBootstrapCi(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(nRes === 32L)
+    assert(point === ns.map(_._2).sum * 1000 / ns.length)
+    assert((lo, med, hi) === ((means(1), means(15), means(30))))
+    assert(lo <= med && med <= hi)
+  }
 }

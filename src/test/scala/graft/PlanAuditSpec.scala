@@ -357,7 +357,9 @@ class PlanAuditSpec extends SparkSpec {
     "events_survival_km" -> 4, // user span agg + t agg + at-risk window + single-group fold; watermark broadcast
     "data_skyline" -> 2, // per-nt max agg + distinct-nt suffix window; frontier joins back broadcast
     "occ_activity_overlap" -> 1, // one (species, day) agg; checkpointed profile self-join + pair agg AQE-sized
-    "graph_mst_backbone" -> 0) // iterative Borůvka: per-round shuffles run at build behind checkpoints (dedup_cluster class)
+    "graph_mst_backbone" -> 0, // iterative Borůvka: per-round shuffles run at build behind checkpoints (dedup_cluster class)
+    "events_bootstrap_ci" -> 3, // user agg + 32-replica agg + single-group order-stat fold
+    "data_bin_packing" -> 5) // bucket agg + offset window + in-bucket rank + shard agg + 8-row ideal window
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
     // the shard grid must drive the exchange (parallelism = shard count),

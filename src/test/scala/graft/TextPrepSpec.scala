@@ -581,4 +581,24 @@ class TextPrepSpec extends SparkSpec {
     // q(1)=q(4)=least(4,100)*10*4 div 4=40; q(3)=30 with nt=3 < 4 → dominated
     assert(got === Set((1L, 4L, 40L), (4L, 4L, 40L)))
   }
+
+  test("bin packing replays driver LPT striping; loads stay near ideal") {
+    val docs = operators.TextQueries.textQuality(spark, sf)
+      .select("doc_id", "n_tokens").as[(Long, Long)].collect()
+    val expect = docs.sortBy { case (id, nt) => (-nt, id) }.zipWithIndex
+      .map { case ((_, nt), i) => (i % 8).toLong -> nt }
+      .groupBy(_._1).map { case (s, g) =>
+        s -> ((g.length.toLong, g.map(_._2).sum))
+      }
+    val total = docs.map(_._2).sum
+    val got = operators.TextPrep.dataBinPacking(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.length === 8)
+    for ((shard, nDocs, load, milli) <- got) {
+      assert((nDocs, load) === expect(shard))
+      assert(milli === load * 1000 / (total / 8))
+      // striped LPT keeps every shard within 2% of ideal on this corpus
+      assert(milli >= 980 && milli <= 1020, s"shard $shard at $milli")
+    }
+  }
 }
