@@ -3873,7 +3873,63 @@ object Analytics {
       |        MAX(m) FILTER (WHERE b = -1) AS p
       |      FROM means)""".stripMargin
 
+  /** SAX-style motif mining over the daily rate series — the symbolic
+    * time-series shape (discretize, then count recurring patterns):
+    * each type's daily counts become tercile symbols 0/1/2 by RANK
+    * (rank-based breakpoints, not z-scores — exact integers, no
+    * mean/σ floats to diverge on; ties break by day so both engines
+    * rank identically), and every run of three CONSECUTIVE calendar
+    * days contributes one 3-symbol motif ("201" = high, low, mid).
+    * Recurring motifs = routine; a motif that appears once = an event.
+    * Plan: daily agg (the data-sized exchange), then rank/lag windows
+    * and the motif count all ride calendar-bounded relations. */
+  def eventsSaxMotifs(s: SparkSession, dir: String): DataFrame = {
+    val wRank = Window.partitionBy("event_type").orderBy("c", "day_id")
+    val wDay = Window.partitionBy("event_type").orderBy("day_id")
+    DomainQueries.events(s, dir)
+      .select(col("event_type"), expr(s"ts_ns div $DAY_NS").as("day_id"))
+      .groupBy("event_type", "day_id").agg(count(lit(1)).as("c"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      .withColumn("sym",
+        expr("(row_number() over (partition by event_type " +
+          "order by c, day_id) - 1) * 3 div n"))
+      .withColumn("s1", lag("sym", 1).over(wDay))
+      .withColumn("s2", lag("sym", 2).over(wDay))
+      .withColumn("d1", lag("day_id", 1).over(wDay))
+      .withColumn("d2", lag("day_id", 2).over(wDay))
+      .filter(col("d1") === col("day_id") - 1 && col("d2") === col("day_id") - 2)
+      .select(col("event_type"),
+        expr("concat(s2, s1, sym)").as("motif"))
+      .groupBy("event_type", "motif")
+      .agg(count(lit(1)).as("n_windows"))
+  }
+
+  private val SAX_SQL =
+    s"""WITH daily AS (
+       |  SELECT event_type, epoch_ns(ts) // $DAY_NS AS day_id,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM events GROUP BY 1, 2),
+       |sym AS (
+       |  SELECT event_type, day_id,
+       |    (ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c, day_id)
+       |      - 1) * 3 // (COUNT(*) OVER (PARTITION BY event_type)) AS sym
+       |  FROM daily),
+       |lagged AS (
+       |  SELECT event_type, day_id, sym,
+       |    LAG(sym, 1) OVER w AS s1, LAG(sym, 2) OVER w AS s2,
+       |    LAG(day_id, 1) OVER w AS d1, LAG(day_id, 2) OVER w AS d2
+       |  FROM sym
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY day_id))
+       |SELECT event_type,
+       |  CAST(s2 AS VARCHAR) || CAST(s1 AS VARCHAR) || CAST(sym AS VARCHAR)
+       |    AS motif,
+       |  CAST(COUNT(*) AS BIGINT) AS n_windows
+       |FROM lagged
+       |WHERE d1 = day_id - 1 AND d2 = day_id - 2
+       |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "events_sax_motifs" -> (eventsSaxMotifs _),
     "events_bootstrap_ci" -> (eventsBootstrapCi _),
     "events_rolling_median" -> (eventsRollingMedian _),
     "events_seasonal_decompose" -> (eventsSeasonalDecompose _),
@@ -3951,6 +4007,7 @@ object Analytics {
     "data_interleave_sources" -> (dataInterleaveSources _))
 
   val oracle: Map[String, String] = Map(
+    "events_sax_motifs" -> SAX_SQL,
     "events_bootstrap_ci" -> BOOTSTRAP_SQL,
     "events_rolling_median" -> ROLLMED_SQL,
     "events_seasonal_decompose" -> SEASONAL_DECOMP_SQL,

@@ -644,4 +644,34 @@ object Streams {
         out.iterator
     }
   }
+
+  case class MedState(recent: Seq[(Long, Long)])
+  case class MedOut(event_type: String, day_id: Long, c: Long,
+                    n_days_window: Long, med7: Long)
+
+  /** Streaming counterpart of events_rolling_median's trailing-7-day
+    * lower median: per type the state is AT MOST the last 7 (day, count)
+    * cells — O(|types|·7) regardless of stream length. Same contract as
+    * [[ewma]]: input is the upstream watermarked DAILY aggregate,
+    * per-key ascending across batches; a silent day never arrives and
+    * simply falls out of the range frame, exactly like the batch
+    * operator's RANGE window. */
+  def rollingMedian(days: Dataset[(String, Long, Long)]): Dataset[MedOut] = {
+    import days.sparkSession.implicits._
+    days.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (tpe: String, it: Iterator[(String, Long, Long)],
+       state: GroupState[MedState]) =>
+        val rows = it.map(e => (e._2, e._3)).toArray.sortBy(_._1)
+        var st = state.getOption.getOrElse(MedState(Seq.empty))
+        val out = rows.map { case (d, c) =>
+          val win = (st.recent.filter(x => x._1 >= d - 6 && x._1 < d)
+            .map(_._2) :+ c).sorted
+          st = MedState((st.recent :+ (d -> c)).filter(_._1 >= d - 6))
+          MedOut(tpe, d, c, win.length, win((win.length + 1) / 2 - 1))
+        }
+        state.update(st)
+        out.iterator
+    }
+  }
 }

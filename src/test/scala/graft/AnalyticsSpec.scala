@@ -1038,4 +1038,30 @@ class AnalyticsSpec extends SparkSpec {
     assert((lo, med, hi) === ((means(1), means(15), means(30))))
     assert(lo <= med && med <= hi)
   }
+
+  test("sax motifs: symbols are balanced rank terciles and window mass matches the calendar") {
+    val daily = operators.DomainQueries.events(spark, sf)
+      .select(col("event_type"), expr("ts_ns div 86400000000000").as("day_id"))
+      .groupBy("event_type", "day_id").agg(count(lit(1)).as("c"))
+      .as[(String, Long, Long)].collect().groupBy(_._1)
+    val got = Analytics.eventsSaxMotifs(spark, sf)
+      .as[(String, String, Long)].collect()
+    assert(got.nonEmpty)
+    // every motif is three tercile symbols
+    assert(got.forall(r => r._2.length == 3 && r._2.forall("012".contains(_))))
+    for ((t, rows) <- got.groupBy(_._1)) {
+      // one window per run of three consecutive days
+      val days = daily(t).map(_._2).toSet
+      val expectWindows = days.count(d => days(d - 1) && days(d - 2))
+      assert(rows.map(_._3).sum === expectWindows, s"$t window mass")
+      // hand-replay the rank terciles and the motif counts
+      val n = daily(t).length
+      val sym = daily(t).sortBy(r => (r._3, r._2)).zipWithIndex
+        .map { case ((_, d, _), i) => d -> i.toLong * 3 / n }.toMap
+      val expect = days.toSeq.filter(d => days(d - 1) && days(d - 2))
+        .map(d => s"${sym(d - 2)}${sym(d - 1)}${sym(d)}")
+        .groupBy(identity).map { case (m, g) => m -> g.length.toLong }
+      assert(rows.map(r => r._2 -> r._3).toMap === expect, s"$t motifs")
+    }
+  }
 }

@@ -359,7 +359,8 @@ class PlanAuditSpec extends SparkSpec {
     "occ_activity_overlap" -> 1, // one (species, day) agg; checkpointed profile self-join + pair agg AQE-sized
     "graph_mst_backbone" -> 0, // iterative Borůvka: per-round shuffles run at build behind checkpoints (dedup_cluster class)
     "events_bootstrap_ci" -> 3, // user agg + 32-replica agg + single-group order-stat fold
-    "data_bin_packing" -> 5) // bucket agg + offset window + in-bucket rank + shard agg + 8-row ideal window
+    "data_bin_packing" -> 5, // bucket agg + offset window + in-bucket rank + shard agg + 8-row ideal window
+    "events_sax_motifs" -> 2) // daily agg + type window exchange; rank/lag/motif agg calendar-bounded
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
     // the shard grid must drive the exchange (parallelism = shard count),

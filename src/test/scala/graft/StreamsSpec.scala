@@ -652,4 +652,39 @@ class StreamsSpec extends SparkSpec {
       assert(r9 === ((2550L, "high")))
     } finally q.stop()
   }
+
+  test("streaming rolling median equals the batch operator, window carries across batches") {
+    val days = DomainQueries.events(spark, sf)
+      .select(col("event_type"), expr("ts_ns div 86400000000000").as("d"))
+      .groupBy("event_type", "d").agg(count(lit(1)).as("c"))
+      .as[(String, Long, Long)]
+    val stateful = Streams.rollingMedian(days).collect()
+      .map(o => (o.event_type, o.day_id) -> (o.c, o.n_days_window, o.med7))
+      .toMap
+    val batch = operators.Analytics.eventsRollingMedian(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    assert(stateful === batch)
+    assert(batch.nonEmpty)
+    // a day in batch 2 must see batch 1's days in its median window
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Long)]
+    val q = Streams.rollingMedian(mem.toDS())
+      .writeStream.format("memory").queryName("med_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(("a", 0L, 5L), ("a", 1L, 9L), ("a", 2L, 1L))
+      q.processAllAvailable()
+      // day 2 window = [1, 5, 9] → lower median 5
+      val r2 = spark.sql("SELECT n_days_window, med7 FROM med_out WHERE day_id = 2")
+        .as[(Long, Long)].head()
+      assert(r2 === ((3L, 5L)))
+      mem.addData(("a", 3L, 7L)) // history lives in carried state
+      q.processAllAvailable()
+      // day 3 window = [1, 5, 7, 9] → lower median (pos 2) = 5
+      val r3 = spark.sql("SELECT n_days_window, med7 FROM med_out WHERE day_id = 3")
+        .as[(Long, Long)].head()
+      assert(r3 === ((4L, 5L)))
+    } finally q.stop()
+  }
 }
