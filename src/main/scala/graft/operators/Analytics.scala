@@ -3928,7 +3928,58 @@ object Analytics {
        |WHERE d1 = day_id - 1 AND d2 = day_id - 2
        |GROUP BY 1, 2""".stripMargin
 
+  /** 5%-trimmed mean of event value per type — the robust location
+    * estimator (one fat-fingered 490.02 drags a mean; the trimmed mean
+    * ignores the tails entirely): ranks are a per-type window with the
+    * (value, event_id) deterministic tiebreak, the trim drops the
+    * bottom and top n div 20 ranks, and every sum runs on the exact
+    * floor(value·1000) milli lattice (the established value-column
+    * fixed point — a dec2 round here would diverge on half-way
+    * doubles). Both the rank and the per-type count ride ONE
+    * event_type exchange; the untrimmed mean comes from the same
+    * window pass, no second scan. */
+  def eventsTrimmedMean(s: SparkSession, dir: String): DataFrame = {
+    val byType = Window.partitionBy("event_type")
+    val w = byType.orderBy("value", "event_id")
+    DomainQueries.events(s, dir)
+      .select(col("event_type"), col("value"), col("event_id"),
+        expr("cast(floor(value * 1000) as bigint)").as("vm"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(byType))
+      .withColumn("all_vm", sum("vm").over(byType))
+      .filter(col("rk") > expr("n div 20") &&
+        col("rk") <= col("n") - expr("n div 20"))
+      .groupBy("event_type")
+      .agg(max("n").as("n_total"), count(lit(1)).as("n_kept"),
+        max("all_vm").as("all_vm"), sum("vm").as("kept_vm"))
+      .select(col("event_type"), col("n_total"), col("n_kept"),
+        expr("all_vm div n_total").as("mean_milli"),
+        expr("kept_vm div n_kept").as("trimmed_mean_milli"))
+  }
+
+  private val TRIMMED_SQL =
+    """WITH e AS (
+      |  SELECT event_type, value, event_id,
+      |    CAST(FLOOR(value * 1000) AS BIGINT) AS vm
+      |  FROM events),
+      |r AS (
+      |  SELECT event_type, vm,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY value, event_id) AS rk,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n,
+      |    CAST(SUM(vm) OVER (PARTITION BY event_type) AS BIGINT)
+      |      AS all_vm
+      |  FROM e)
+      |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_total,
+      |  CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |  CAST(MAX(all_vm) // MAX(n) AS BIGINT) AS mean_milli,
+      |  CAST(SUM(vm) // COUNT(*) AS BIGINT) AS trimmed_mean_milli
+      |FROM r
+      |WHERE rk > n // 20 AND rk <= n - n // 20
+      |GROUP BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "events_trimmed_mean" -> (eventsTrimmedMean _),
     "events_sax_motifs" -> (eventsSaxMotifs _),
     "events_bootstrap_ci" -> (eventsBootstrapCi _),
     "events_rolling_median" -> (eventsRollingMedian _),
@@ -4007,6 +4058,7 @@ object Analytics {
     "data_interleave_sources" -> (dataInterleaveSources _))
 
   val oracle: Map[String, String] = Map(
+    "events_trimmed_mean" -> TRIMMED_SQL,
     "events_sax_motifs" -> SAX_SQL,
     "events_bootstrap_ci" -> BOOTSTRAP_SQL,
     "events_rolling_median" -> ROLLMED_SQL,

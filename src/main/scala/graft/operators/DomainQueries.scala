@@ -1547,6 +1547,50 @@ object DomainQueries {
     * unique and DuckDB's Kruskal replay hash-matches the distributed
     * Borůvka run edge for edge). Runs [[Graphs.boruvkaMsf]] — per-round
     * min-edge grab + pointer-jump contraction, O(log n) rounds. */
+  /** Adaptive QUADTREE index over cleaned occurrences — the spatial
+    * indexing shape the fixed 10°/1° grids can't express (dense regions
+    * need deep cells, empty oceans shouldn't pay for them): each point
+    * lands at the SHALLOWEST depth 0–4 whose quadtree cell holds ≤ 1024
+    * points, so the tessellation refines exactly where the data is.
+    * Closed form, not iterative: per-depth cell counts are ONE
+    * aggregate over the ×5 depth-exploded keys (output bounded by
+    * Σ4^k = 341 cells), the per-point depth decision is five BROADCAST
+    * joins — the corpus never shuffles — and only the final
+    * (depth, cell) rollup exchanges at data size. Cell ids are exact
+    * integer floors of double arithmetic written identically on both
+    * engines (the cell10 discipline); the 2^k edge (lon = 180) clamps. */
+  def spatialQuadtreeCells(s: SparkSession, dir: String): DataFrame = {
+    def qcell(k: Int): Column = {
+      val side = (1 << k).toDouble
+      val qy = expr(s"least(cast(floor((lat + 90.0) * $side / 180.0) as bigint), ${(1 << k) - 1}L)")
+      val qx = expr(s"least(cast(floor((lon + 180.0) * $side / 360.0) as bigint), ${(1 << k) - 1}L)")
+      (qy * (1 << k) + qx).as(s"q$k")
+    }
+    val pts = valid(s, dir)
+      .select(Seq(col("occ_id")) ++ (0 to 4).map(qcell): _*)
+      .localCheckpoint() // feeds the count agg AND the five joins
+    val cnts = pts
+      .select(explode(array((0 to 4).map(k =>
+        struct(lit(k.toLong).as("k"), col(s"q$k").as("cid"))): _*)).as("e"))
+      .groupBy(col("e.k").as("k"), col("e.cid").as("cid"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val joined = (0 to 4).foldLeft(pts) { (acc, k) =>
+      acc.join(broadcast(cnts.filter(col("k") === k)
+          .select(col("cid").as(s"q$k"), col("n").as(s"n$k"))),
+        Seq(s"q$k"))
+    }
+    joined
+      .withColumn("depth",
+        expr("case when n0 <= 1024 then 0L when n1 <= 1024 then 1L " +
+          "when n2 <= 1024 then 2L when n3 <= 1024 then 3L else 4L end"))
+      .withColumn("cellid",
+        expr("case when depth = 0 then q0 when depth = 1 then q1 " +
+          "when depth = 2 then q2 when depth = 3 then q3 else q4 end"))
+      .groupBy("depth", "cellid")
+      .agg(count(lit(1)).as("n_points"))
+  }
+
   def graphMstBackbone(s: SparkSession, dir: String): DataFrame = {
     val ed = occRangeJaccard(s, dir)
       .select(expr("cast(substring(sp1, 4) as bigint)").as("n1"),
@@ -1646,6 +1690,7 @@ object DomainQueries {
     "occ_temporal_turnover" -> (occTemporalTurnover _),
     "occ_activity_overlap" -> (occActivityOverlap _),
     "graph_mst_backbone" -> (graphMstBackbone _),
+    "spatial_quadtree_cells" -> (spatialQuadtreeCells _),
     "occ_range_fragmentation" -> (occRangeFragmentation _),
     "spatial_point_in_polygon" -> (spatialPointInPolygon _),
     "occ_sample_coverage" -> (occSampleCoverage _),
@@ -2417,6 +2462,38 @@ object DomainQueries {
         |  CAST(SUM(LEAST(a.pm, b.pm)) AS BIGINT) AS overlap_milli
         |FROM p a JOIN p b ON b.day_id = a.day_id AND a.species < b.species
         |GROUP BY 1, 2""".stripMargin),
+    "spatial_quadtree_cells" -> {
+      val qcols = (0 to 4).map { k =>
+        val side = (1 << k).toDouble
+        val m = (1 << k) - 1
+        s"LEAST(CAST(FLOOR((lat + 90.0) * $side / 180.0) AS BIGINT), $m)" +
+          s" * ${1 << k} + " +
+          s"LEAST(CAST(FLOOR((lon + 180.0) * $side / 360.0) AS BIGINT), $m)" +
+          s" AS q$k"
+      }.mkString(",\n    ")
+      val cntCtes = (0 to 4).map(k =>
+        s"c$k AS (SELECT q$k AS cid, COUNT(*) AS n FROM pts GROUP BY 1)")
+        .mkString(",\n")
+      val joins = (0 to 4).map(k => s"JOIN c$k ON c$k.cid = pts.q$k")
+        .mkString("\n")
+      withSql(OCC_SQL, VALID_SQL,
+        s"""pts AS (
+           |  SELECT occ_id,
+           |    $qcols
+           |  FROM valid)""".stripMargin,
+        cntCtes)(
+        s"""SELECT depth, cellid, CAST(COUNT(*) AS BIGINT) AS n_points
+           |FROM (
+           |  SELECT CAST(CASE WHEN c0.n <= 1024 THEN 0
+           |      WHEN c1.n <= 1024 THEN 1 WHEN c2.n <= 1024 THEN 2
+           |      WHEN c3.n <= 1024 THEN 3 ELSE 4 END AS BIGINT) AS depth,
+           |    CASE WHEN c0.n <= 1024 THEN q0 WHEN c1.n <= 1024 THEN q1
+           |      WHEN c2.n <= 1024 THEN q2 WHEN c3.n <= 1024 THEN q3
+           |      ELSE q4 END AS cellid
+           |  FROM pts
+           |  $joins)
+           |GROUP BY 1, 2""".stripMargin)
+    },
     // Kruskal replay over the sorted edge list with a flat 64-slot label
     // array carried through a recursive CTE (the dedup_cluster
     // WITH-RECURSIVE precedent): each step merges the two endpoint

@@ -934,7 +934,75 @@ object TextPrep {
       |    AS load_milli_of_ideal
       |FROM sh""".stripMargin
 
+  /** Two-sample Kolmogorov–Smirnov drift between the train and holdout
+    * splits' length distributions — the UNBINNED sup-norm drift test
+    * (events_value_drift's PSI needs bins and misses tail shifts; KS is
+    * the whole-CDF answer): D = max over token counts of
+    * |ECDF_train − ECDF_holdout|, with each ECDF held in exact milli
+    * (cum·1000 div n — no n₁·n₂ cross-product, so nothing overflows at
+    * any corpus size). Split rule is byte-identical to
+    * [[dataSplitHash]]. The only data-sized step is the per-length
+    * count aggregate; the cumulative windows run over DISTINCT token
+    * counts (bounded by max document length — the bucketOffsets
+    * rationale), and the argmax is a min-struct fold, not a sort. A
+    * healthy hash split reads near 0; a big ks_milli means the split
+    * leaked a length covariate. */
+  def dataKsDrift(s: SparkSession, dir: String): DataFrame = {
+    val wCum = Window.orderBy("nt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    t(s, dir, "documents")
+      .select(
+        when(substring(md5(col("text").cast("binary")), 1, 1) <= "d", 1L)
+          .otherwise(0L).as("tr"),
+        size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"),
+          lit(0))).cast("long").as("nt"))
+      .groupBy("nt").agg(sum("tr").as("c1"), sum(expr("1 - tr")).as("c2"))
+      .withColumn("e1", sum("c1").over(wCum))
+      .withColumn("e2", sum("c2").over(wCum))
+      .withColumn("n1", sum("c1").over(wAll))
+      .withColumn("n2", sum("c2").over(wAll))
+      .select(col("n1"), col("n2"),
+        abs(expr("e1 * 1000 div n1") - expr("e2 * 1000 div n2")).as("d"),
+        col("nt"))
+      .agg(max("n1").as("n_train"), max("n2").as("n_holdout"),
+        min(struct((-col("d")).as("nd"), col("nt").as("at"))).as("pk"))
+      .select(col("n_train"), col("n_holdout"),
+        (-col("pk.nd")).as("ks_milli"), col("pk.at").as("at_tokens"))
+  }
+
+  private val KS_SQL =
+    """WITH d AS (
+      |  SELECT CASE WHEN substr(md5(text), 1, 1) <= 'd' THEN 1 ELSE 0 END
+      |      AS tr,
+      |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+      |      AS nt
+      |  FROM documents),
+      |g AS (
+      |  SELECT nt, CAST(SUM(tr) AS BIGINT) AS c1,
+      |    CAST(SUM(1 - tr) AS BIGINT) AS c2
+      |  FROM d GROUP BY 1),
+      |e AS (
+      |  SELECT nt,
+      |    CAST(SUM(c1) OVER (ORDER BY nt ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND CURRENT ROW) AS BIGINT) AS e1,
+      |    CAST(SUM(c2) OVER (ORDER BY nt ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND CURRENT ROW) AS BIGINT) AS e2,
+      |    CAST(SUM(c1) OVER () AS BIGINT) AS n1,
+      |    CAST(SUM(c2) OVER () AS BIGINT) AS n2
+      |  FROM g),
+      |k AS (
+      |  SELECT n1, n2, abs(e1 * 1000 // n1 - e2 * 1000 // n2) AS dd, nt
+      |  FROM e)
+      |SELECT MAX(n1) AS n_train, MAX(n2) AS n_holdout,
+      |  CAST(-(MIN(struct_pack(nd := -dd, at := nt)).nd) AS BIGINT)
+      |    AS ks_milli,
+      |  CAST(MIN(struct_pack(nd := -dd, at := nt)).at AS BIGINT)
+      |    AS at_tokens
+      |FROM k""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "data_ks_drift" -> (dataKsDrift _),
     "data_bin_packing" -> (dataBinPacking _),
     "text_feature_hashing" -> (textFeatureHashing _),
     "text_freq_spectrum" -> (textFreqSpectrum _),
@@ -958,6 +1026,7 @@ object TextPrep {
     "data_pack_sequences" -> (dataPackSequences _))
 
   val oracle: Map[String, String] = Map(
+    "data_ks_drift" -> KS_SQL,
     "data_bin_packing" -> BINPACK_SQL,
     "text_feature_hashing" -> FEATHASH_SQL,
     "text_freq_spectrum" -> SPECTRUM_SQL,

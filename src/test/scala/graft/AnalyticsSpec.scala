@@ -1064,4 +1064,27 @@ class AnalyticsSpec extends SparkSpec {
       assert(rows.map(r => r._2 -> r._3).toMap === expect, s"$t motifs")
     }
   }
+
+  test("trimmed mean replays the rank trim by hand and shrugs off the extremes") {
+    val ev = operators.DomainQueries.events(spark, sf)
+      .select("event_type", "value", "event_id")
+      .as[(String, Double, Long)].collect().groupBy(_._1)
+    val got = Analytics.eventsTrimmedMean(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(got.map(_._1).toSet === ev.keySet)
+    for ((t, nTotal, nKept, mean, trimmed) <- got) {
+      val vs = ev(t).sortBy(r => (r._2, r._3)).map(r => math.floor(r._2 * 1000).toLong)
+      val trim = vs.length / 20
+      val kept = vs.slice(trim, vs.length - trim)
+      assert(nTotal === vs.length)
+      assert(nKept === kept.length)
+      assert(mean === vs.sum / vs.length)
+      assert(trimmed === kept.sum / kept.length)
+      // replacing the trimmed tails with 100x outliers must not move it
+      val spiked = (vs.take(trim).map(_ => 0L) ++ kept ++
+        vs.takeRight(trim).map(_ => vs.max * 100)).sorted
+      val keptSpiked = spiked.slice(trim, spiked.length - trim)
+      assert(keptSpiked.sum / keptSpiked.length === trimmed)
+    }
+  }
 }

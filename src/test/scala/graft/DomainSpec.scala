@@ -893,4 +893,38 @@ class DomainSpec extends SparkSpec {
       assert(ov >= 0 && ov <= 1000)
     }
   }
+
+  test("quadtree cells: mass preserved, leaves under cap, refined cells have oversized parents") {
+    // sf0.01: large enough that depth actually splits (the sf0.001 corpus
+    // fits entirely in the root cell and would test nothing)
+    val dir = "/root/testdata/sf0.01"
+    import spark.implicits._
+    val pts = DomainQueries.valid(spark, dir)
+      .select("lat", "lon").as[(Double, Double)].collect()
+    def cell(k: Int, lat: Double, lon: Double): Long = {
+      val side = (1 << k).toDouble
+      val qy = math.min(math.floor((lat + 90.0) * side / 180.0).toLong, (1 << k) - 1L)
+      val qx = math.min(math.floor((lon + 180.0) * side / 360.0).toLong, (1 << k) - 1L)
+      qy * (1 << k) + qx
+    }
+    val got = DomainQueries.spatialQuadtreeCells(spark, dir)
+      .as[(Long, Long, Long)].collect()
+    assert(got.map(_._3).sum === pts.length)
+    // every cell above depth 0 refines a parent that was over the cap
+    val cnt = (0 to 4).map(k =>
+      k -> pts.groupBy(p => cell(k, p._1, p._2)).map { case (c, g) => c -> g.length.toLong }
+    ).toMap
+    for ((depth, cid, n) <- got) {
+      if (depth < 4) assert(cnt(depth.toInt)(cid) <= 1024, s"leaf over cap at $depth/$cid")
+      assert(n <= cnt(depth.toInt)(cid))
+      if (depth > 0) {
+        // the point's parent cell at depth-1 must have been over the cap
+        val k = depth.toInt
+        val parentOver = pts.exists { p =>
+          cell(k, p._1, p._2) == cid && cnt(k - 1)(cell(k - 1, p._1, p._2)) > 1024
+        }
+        assert(parentOver, s"cell $depth/$cid has no oversized parent")
+      }
+    }
+  }
 }

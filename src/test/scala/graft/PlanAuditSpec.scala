@@ -360,7 +360,10 @@ class PlanAuditSpec extends SparkSpec {
     "graph_mst_backbone" -> 0, // iterative Borůvka: per-round shuffles run at build behind checkpoints (dedup_cluster class)
     "events_bootstrap_ci" -> 3, // user agg + 32-replica agg + single-group order-stat fold
     "data_bin_packing" -> 5, // bucket agg + offset window + in-bucket rank + shard agg + 8-row ideal window
-    "events_sax_motifs" -> 2) // daily agg + type window exchange; rank/lag/motif agg calendar-bounded
+    "events_sax_motifs" -> 2, // daily agg + type window exchange; rank/lag/motif agg calendar-bounded
+    "data_ks_drift" -> 2, // per-length agg + distinct-length ECDF window; argmax is a fold
+    "events_trimmed_mean" -> 1, // rank + count + sum windows all ride one event_type exchange
+    "spatial_quadtree_cells" -> 1) // ×5-exploded count agg at build (checkpointed); 5 broadcast joins + final rollup
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
     // the shard grid must drive the exchange (parallelism = shard count),

@@ -601,4 +601,29 @@ class TextPrepSpec extends SparkSpec {
       assert(milli >= 980 && milli <= 1020, s"shard $shard at $milli")
     }
   }
+
+  test("ks drift replays the milli-ECDF sup norm by hand over the hash split") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (_, text) =>
+        val nt = "[a-z0-9]+".r.findAllIn(text.toLowerCase).length.toLong
+        (md5hex(text).head <= 'd', nt)
+      }
+    val n1 = docs.count(_._1).toLong
+    val n2 = docs.length - n1
+    val expect = docs.map(_._2).distinct.sorted.map { t =>
+      val e1 = docs.count(d => d._1 && d._2 <= t).toLong * 1000 / n1
+      val e2 = docs.count(d => !d._1 && d._2 <= t).toLong * 1000 / n2
+      (math.abs(e1 - e2), t)
+    }
+    val best = expect.maxBy(r => (r._1, -r._2))
+    val Array((gn1, gn2, ks, at)) = operators.TextPrep.dataKsDrift(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert((gn1, gn2) === ((n1, n2)))
+    assert(ks === best._1)
+    assert(at === expect.filter(_._1 == best._1).map(_._2).min)
+  }
 }
