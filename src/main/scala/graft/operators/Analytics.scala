@@ -3978,7 +3978,57 @@ object Analytics {
       |WHERE rk > n // 20 AND rk <= n - n // 20
       |GROUP BY 1""".stripMargin
 
+  /** Single-server queue wait per type — the Lindley recursion
+    * W_i = max(0, W_{i−1} + S − gap_i) for a fixed 30 s service time,
+    * answering "if one worker drained this stream, how long would jobs
+    * queue". The naive fold is sequential; the operator uses the
+    * classical REDUCTION to a running minimum — with x_i = S·i − A_i,
+    * W_i = x_i − min_{k≤i} x_k (k = i gives the max(0,·) for free) —
+    * so the whole recursion is one row_number + one running-min window
+    * riding a single event_type exchange: O(1) per row, fully
+    * distributed, no list fold anywhere. Waits quantize to exact ms
+    * BEFORE aggregation (a ns sum would overflow BIGINT near 10^10
+    * rows; the ms lattice never does). */
+  def eventsQueueWait(s: SparkSession, dir: String): DataFrame = {
+    val svcNs = 30000000000L // 30 s per job
+    val w = Window.partitionBy("event_type").orderBy("ts_ns", "event_id")
+    val wMin = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    DomainQueries.events(s, dir)
+      .select(col("event_type"), col("ts_ns"), col("event_id"))
+      .withColumn("x",
+        row_number().over(w).cast("long") * svcNs - col("ts_ns"))
+      .withColumn("rmin", min("x").over(wMin))
+      .select(col("event_type"), expr("(x - rmin) div 1000000").as("wms"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_arrivals"),
+        sum((col("wms") > 0).cast("long")).as("n_waited"),
+        max("wms").as("max_wait_ms"),
+        expr("sum(wms) div count(1)").as("mean_wait_ms"))
+  }
+
+  private val QUEUE_SQL =
+    """WITH e AS (
+      |  SELECT event_type, epoch_ns(ts) // 1000 * 1000 AS ts_ns, event_id
+      |  FROM events),
+      |x AS (
+      |  SELECT event_type, ts_ns, event_id,
+      |    ROW_NUMBER() OVER w * 30000000000 - ts_ns AS x
+      |  FROM e WINDOW w AS (PARTITION BY event_type ORDER BY ts_ns, event_id)),
+      |wt AS (
+      |  SELECT event_type,
+      |    (x - MIN(x) OVER (PARTITION BY event_type ORDER BY ts_ns, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) // 1000000
+      |      AS wms
+      |  FROM x)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_arrivals,
+      |  CAST(SUM(CASE WHEN wms > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_waited,
+      |  CAST(MAX(wms) AS BIGINT) AS max_wait_ms,
+      |  CAST(SUM(wms) // COUNT(*) AS BIGINT) AS mean_wait_ms
+      |FROM wt GROUP BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "events_queue_wait" -> (eventsQueueWait _),
     "events_trimmed_mean" -> (eventsTrimmedMean _),
     "events_sax_motifs" -> (eventsSaxMotifs _),
     "events_bootstrap_ci" -> (eventsBootstrapCi _),
@@ -4058,6 +4108,7 @@ object Analytics {
     "data_interleave_sources" -> (dataInterleaveSources _))
 
   val oracle: Map[String, String] = Map(
+    "events_queue_wait" -> QUEUE_SQL,
     "events_trimmed_mean" -> TRIMMED_SQL,
     "events_sax_motifs" -> SAX_SQL,
     "events_bootstrap_ci" -> BOOTSTRAP_SQL,

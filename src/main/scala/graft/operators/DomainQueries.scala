@@ -1559,6 +1559,39 @@ object DomainQueries {
     * (depth, cell) rollup exchanges at data size. Cell ids are exact
     * integer floors of double arithmetic written identically on both
     * engines (the cell10 discipline); the 2^k edge (lon = 180) clamps. */
+  /** Distance decay of community similarity — the first law of
+    * geography made a query ("near cells share species; far cells
+    * don't"): every pair of occupied 10°-cells sharing ≥ 1 species gets
+    * an exact-milli Jaccard over species sets, then pairs bin by
+    * CHEBYSHEV grid distance and each ring reports its mean similarity.
+    * A flat curve says the spatial signal is gone (shuffled data,
+    * broken coordinates) — the canary biogeographers run first. Pair
+    * generation is via the species posting join, so the candidate count
+    * is GRID-bounded: Σ_s C(cells_s, 2) ≤ |species|·C(648, 2),
+    * independent of event volume. The (cell, species) distinct relation
+    * localCheckpoints — it feeds both self-join sides; the cell
+    * richness dim broadcasts twice. */
+  def occDistanceDecay(s: SparkSession, dir: String): DataFrame = {
+    val cs = valid(s, dir)
+      .select(cell10(col("lat"), col("lon")).as("cellid"), col("species"))
+      .distinct().localCheckpoint()
+    val rich = cs.groupBy("cellid").agg(count(lit(1)).as("nsp"))
+    val pairs = cs.toDF("c1", "species")
+      .join(cs.toDF("c2", "species"), Seq("species"))
+      .filter(col("c1") < col("c2"))
+      .groupBy("c1", "c2").agg(count(lit(1)).as("shared"))
+    pairs
+      .join(broadcast(rich.toDF("c1", "n1")), Seq("c1"))
+      .join(broadcast(rich.toDF("c2", "n2")), Seq("c2"))
+      .select(
+        greatest(abs(expr("c1 div 36") - expr("c2 div 36")),
+          abs(expr("c1 % 36") - expr("c2 % 36"))).as("dist_cells"),
+        expr("shared * 1000 div (n1 + n2 - shared)").as("j"))
+      .groupBy("dist_cells")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(j) div count(1)").as("mean_jaccard_milli"))
+  }
+
   def spatialQuadtreeCells(s: SparkSession, dir: String): DataFrame = {
     def qcell(k: Int): Column = {
       val side = (1 << k).toDouble
@@ -1691,6 +1724,7 @@ object DomainQueries {
     "occ_activity_overlap" -> (occActivityOverlap _),
     "graph_mst_backbone" -> (graphMstBackbone _),
     "spatial_quadtree_cells" -> (spatialQuadtreeCells _),
+    "occ_distance_decay" -> (occDistanceDecay _),
     "occ_range_fragmentation" -> (occRangeFragmentation _),
     "spatial_point_in_polygon" -> (spatialPointInPolygon _),
     "occ_sample_coverage" -> (occSampleCoverage _),
@@ -2462,6 +2496,27 @@ object DomainQueries {
         |  CAST(SUM(LEAST(a.pm, b.pm)) AS BIGINT) AS overlap_milli
         |FROM p a JOIN p b ON b.day_id = a.day_id AND a.species < b.species
         |GROUP BY 1, 2""".stripMargin),
+    "occ_distance_decay" -> withSql(OCC_SQL, VALID_SQL,
+      s"""cs AS (
+         |  SELECT DISTINCT $CELL10_SQL AS cellid, species FROM valid)""".stripMargin,
+      """rich AS (
+        |  SELECT cellid, CAST(COUNT(*) AS BIGINT) AS nsp
+        |  FROM cs GROUP BY 1)""".stripMargin,
+      """pr AS (
+        |  SELECT a.cellid AS c1, b.cellid AS c2,
+        |    CAST(COUNT(*) AS BIGINT) AS shared
+        |  FROM cs a JOIN cs b
+        |    ON b.species = a.species AND a.cellid < b.cellid
+        |  GROUP BY 1, 2)""".stripMargin)(
+      """SELECT GREATEST(abs(c1 // 36 - c2 // 36), abs(c1 % 36 - c2 % 36))
+        |    AS dist_cells,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(shared * 1000 // (r1.nsp + r2.nsp - shared))
+        |    // COUNT(*) AS BIGINT) AS mean_jaccard_milli
+        |FROM pr
+        |JOIN rich r1 ON r1.cellid = pr.c1
+        |JOIN rich r2 ON r2.cellid = pr.c2
+        |GROUP BY 1""".stripMargin),
     "spatial_quadtree_cells" -> {
       val qcols = (0 to 4).map { k =>
         val side = (1 << k).toDouble

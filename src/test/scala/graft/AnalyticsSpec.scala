@@ -1087,4 +1087,30 @@ class AnalyticsSpec extends SparkSpec {
       assert(keptSpiked.sum / keptSpiked.length === trimmed)
     }
   }
+
+  test("queue wait: the running-min reduction equals the sequential Lindley fold") {
+    val svc = 30000000000L
+    val ev = operators.DomainQueries.events(spark, sf)
+      .select("event_type", "ts_ns", "event_id")
+      .as[(String, Long, Long)].collect().groupBy(_._1)
+    val got = Analytics.eventsQueueWait(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(got.map(_._1).toSet === ev.keySet)
+    for ((t, n, nWaited, maxW, meanW) <- got) {
+      val arr = ev(t).sortBy(r => (r._2, r._3)).map(_._2)
+      // the naive sequential recursion the operator must reproduce
+      var prev = 0L
+      var prevA = arr.head
+      val ws = scala.collection.mutable.ArrayBuffer(0L)
+      for (a <- arr.tail) {
+        prev = math.max(0L, prev + svc - (a - prevA)); prevA = a
+        ws += prev
+      }
+      val wms = ws.map(_ / 1000000L)
+      assert(n === arr.length)
+      assert(nWaited === wms.count(_ > 0))
+      assert(maxW === wms.max)
+      assert(meanW === wms.sum / wms.length)
+    }
+  }
 }

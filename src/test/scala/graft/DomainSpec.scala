@@ -927,4 +927,29 @@ class DomainSpec extends SparkSpec {
       }
     }
   }
+
+  test("distance decay replays ring-binned cell-pair jaccard by hand") {
+    import spark.implicits._
+    val cs = DomainQueries.valid(spark, sf)
+      .selectExpr("(cast(floor(lat / 10.0) as bigint) + 9) * 36 + " +
+        "cast(floor(lon / 10.0) as bigint) + 18 as cellid", "species")
+      .distinct().as[(Long, String)].collect()
+      .groupBy(_._1).map { case (c, g) => c -> g.map(_._2).toSet }
+    val cells = cs.keys.toSeq.sorted
+    val expect = (for {
+      i <- cells.indices; j <- (i + 1) until cells.length
+      (a, b) = (cells(i), cells(j))
+      shared = cs(a).intersect(cs(b)).size if shared > 0
+    } yield {
+      val dist = math.max(math.abs(a / 36 - b / 36), math.abs(a % 36 - b % 36))
+      dist -> shared.toLong * 1000 / (cs(a).size + cs(b).size - shared)
+    }).groupBy(_._1).map { case (d, g) =>
+      d -> ((g.length.toLong, g.map(_._2).sum / g.length))
+    }
+    val got = DomainQueries.occDistanceDecay(spark, sf)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.nonEmpty)
+    assert(got === expect)
+  }
 }

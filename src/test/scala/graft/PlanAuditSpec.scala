@@ -363,7 +363,9 @@ class PlanAuditSpec extends SparkSpec {
     "events_sax_motifs" -> 2, // daily agg + type window exchange; rank/lag/motif agg calendar-bounded
     "data_ks_drift" -> 2, // per-length agg + distinct-length ECDF window; argmax is a fold
     "events_trimmed_mean" -> 1, // rank + count + sum windows all ride one event_type exchange
-    "spatial_quadtree_cells" -> 1) // ×5-exploded count agg at build (checkpointed); 5 broadcast joins + final rollup
+    "spatial_quadtree_cells" -> 1, // ×5-exploded count agg at build (checkpointed); 5 broadcast joins + final rollup
+    "events_queue_wait" -> 1, // rank + running-min windows + agg all ride one event_type exchange
+    "occ_distance_decay" -> 4) // checkpointed (cell,species) distinct + rich agg + pair agg + ring agg
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
     // the shard grid must drive the exchange (parallelism = shard count),
