@@ -753,7 +753,77 @@ object Records {
       |SELECT shard, n_rows, chain FROM sh
       |UNION ALL SELECT shard, n_rows, chain FROM rt""".stripMargin
 
+  /** Sketch-based join-size estimation audit — what a query planner does
+    * before committing to a join strategy, made a first-class query:
+    * the exact |orders ⋈ lineitem| on the date key costs only two
+    * key-grain aggregates (Σ_d c_o(d)·c_l(d) — never materialize the
+    * join to size it), and the operator compares it against the
+    * BUCKETED-histogram estimate at 256 and 4096 md5 buckets
+    * (Σ_b c_o(b)·c_l(b)) — the collision-inflated upper bound a
+    * fixed-width histogram gives. inflation_milli says how much
+    * resolution buys: planners reading 256-bucket stats overestimate
+    * exactly this much. All integers; per-date sums fit BIGINT at any
+    * scale because the date grain is calendar-bounded. */
+  def metaJoinSizeEstimate(s: SparkSession, dir: String): DataFrame = {
+    def keyed(df: DataFrame, dcol: String): DataFrame = df
+      .select(col(dcol).cast("string").as("k"))
+      .select(col("k"),
+        expr("cast(conv(substring(md5(cast(concat('jse:', k) as binary))," +
+          " 1, 13), 16, 10) as bigint)").as("h"))
+      .groupBy("k", "h").agg(count(lit(1)).as("c"))
+    val o = keyed(t(s, dir, "orders"), "o_orderdate").localCheckpoint()
+    val l = keyed(t(s, dir, "lineitem"), "l_shipdate").localCheckpoint()
+    val exact = o.join(l.toDF("k", "h2", "c2"), Seq("k"))
+      .agg(sum(expr("c * c2")).as("exact_pairs"),
+        count(lit(1)).as("n_shared_keys"))
+    def bucketEst(bits: Int): DataFrame = {
+      val m = (1 << bits) - 1
+      val ob = o.groupBy(expr(s"h & $m").as("b")).agg(sum("c").as("co"))
+      val lb = l.groupBy(expr(s"h & $m").as("b")).agg(sum("c").as("cl"))
+      ob.join(lb, Seq("b")).agg(sum(expr("co * cl")).as(s"est_b${1 << bits}"))
+    }
+    exact.crossJoin(broadcast(bucketEst(8)))
+      .crossJoin(broadcast(bucketEst(12)))
+      .select(col("n_shared_keys"), col("exact_pairs"),
+        col("est_b256"), col("est_b4096"),
+        expr("est_b256 * 1000 div exact_pairs").as("infl256_milli"),
+        expr("est_b4096 * 1000 div exact_pairs").as("infl4096_milli"))
+  }
+
+  private val JOIN_EST_SQL =
+    """WITH ok AS (
+      |  SELECT CAST(o_orderdate AS VARCHAR) AS k,
+      |    ('0x' || substr(md5('jse:' || CAST(o_orderdate AS VARCHAR)),
+      |      1, 13))::BIGINT AS h,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM orders GROUP BY 1, 2),
+      |lk AS (
+      |  SELECT CAST(l_shipdate AS VARCHAR) AS k,
+      |    ('0x' || substr(md5('jse:' || CAST(l_shipdate AS VARCHAR)),
+      |      1, 13))::BIGINT AS h,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM lineitem GROUP BY 1, 2),
+      |ex AS (
+      |  SELECT CAST(SUM(ok.c * lk.c) AS BIGINT) AS exact_pairs,
+      |    CAST(COUNT(*) AS BIGINT) AS n_shared_keys
+      |  FROM ok JOIN lk ON lk.k = ok.k),
+      |e256 AS (
+      |  SELECT CAST(SUM(co * cl) AS BIGINT) AS est_b256 FROM
+      |    (SELECT h & 255 AS b, SUM(c) AS co FROM ok GROUP BY 1) a
+      |    JOIN (SELECT h & 255 AS b, SUM(c) AS cl FROM lk GROUP BY 1) b2
+      |      ON b2.b = a.b),
+      |e4096 AS (
+      |  SELECT CAST(SUM(co * cl) AS BIGINT) AS est_b4096 FROM
+      |    (SELECT h & 4095 AS b, SUM(c) AS co FROM ok GROUP BY 1) a
+      |    JOIN (SELECT h & 4095 AS b, SUM(c) AS cl FROM lk GROUP BY 1) b2
+      |      ON b2.b = a.b)
+      |SELECT n_shared_keys, exact_pairs, est_b256, est_b4096,
+      |  est_b256 * 1000 // exact_pairs AS infl256_milli,
+      |  est_b4096 * 1000 // exact_pairs AS infl4096_milli
+      |FROM ex, e256, e4096""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "meta_join_size_estimate" -> (metaJoinSizeEstimate _),
     "meta_deletion_vectors" -> (metaDeletionVectors _),
     "meta_hash_chain" -> (metaHashChain _),
     "meta_shard_checksums" -> (metaShardChecksums _),
@@ -841,6 +911,7 @@ object Records {
       |FROM k, r, tk""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "meta_join_size_estimate" -> JOIN_EST_SQL,
     "meta_article_enrich" -> ARTICLE_SQL,
     "meta_genome_notes" -> GENOMENOTES_SQL,
     "meta_pseudonymize_audit" -> PSEUDONYMIZE_SQL,

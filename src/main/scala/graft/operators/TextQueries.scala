@@ -965,7 +965,71 @@ object TextQueries {
        |FROM q JOIN f ON f.nt = q.nt AND q.q_milli = f.qmax
        |WHERE f.ms IS NULL OR f.qmax > f.ms""".stripMargin
 
+  /** Cohen's κ between two deterministic quality raters — the
+    * inter-annotator-agreement statistic every labeling pipeline
+    * reports, here between the LENGTH gate (n_tokens ≥ 40) and the
+    * DIVERSITY gate (distinct-ratio ≥ 460‰): observed agreement po,
+    * chance agreement pe from the marginals, κ = (po − pe)/(1 − pe).
+    * Exact milli throughout — pe multiplies MILLI RATES (rate·rate div
+    * 1000), never raw-count cross-products, so nothing overflows at any
+    * corpus size; κ_milli divides only at the end with a pe = 1 guard.
+    * One narrow codegen projection + a single 4-cell aggregate. */
+  def dataRaterKappa(s: SparkSession, dir: String): DataFrame = {
+    val ts = tokens(col("text"))
+    t(s, dir, "documents")
+      .select(size(ts).cast("long").as("nt"),
+        size(array_distinct(ts)).cast("long").as("nd"))
+      .filter(col("nt") > 0)
+      .select((col("nt") >= 40).cast("long").as("a"),
+        (expr("nd * 1000 div nt") >= 460).cast("long").as("b"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("a * b")).as("n11"),
+        sum(expr("a * (1 - b)")).as("n10"),
+        sum(expr("(1 - a) * b")).as("n01"),
+        sum(expr("(1 - a) * (1 - b)")).as("n00"))
+      .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+        expr("(n11 + n00) * 1000 div n").as("po_milli"),
+        expr("((n11 + n10) * 1000 div n) * ((n11 + n01) * 1000 div n)" +
+          " div 1000 + ((n01 + n00) * 1000 div n) *" +
+          " ((n10 + n00) * 1000 div n) div 1000").as("pe_milli"))
+      .withColumn("kappa_milli",
+        expr("case when pe_milli >= 1000 then 0 else " +
+          "(po_milli - pe_milli) * 1000 div (1000 - pe_milli) end"))
+  }
+
+  private val KAPPA_SQL =
+    s"""WITH d AS (
+       |  SELECT CAST(len(regexp_extract_all(lower(text), '$TOKEN_RE'))
+       |      AS BIGINT) AS nt,
+       |    CAST(len(list_distinct(regexp_extract_all(lower(text),
+       |      '$TOKEN_RE'))) AS BIGINT) AS nd
+       |  FROM documents),
+       |r AS (
+       |  SELECT CASE WHEN nt >= 40 THEN 1 ELSE 0 END AS a,
+       |    CASE WHEN nd * 1000 // nt >= 460 THEN 1 ELSE 0 END AS b
+       |  FROM d WHERE nt > 0),
+       |c AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(a * b) AS BIGINT) AS n11,
+       |    CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+       |    CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+       |    CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
+       |  FROM r),
+       |p AS (
+       |  SELECT n, n11, n10, n01, n00,
+       |    (n11 + n00) * 1000 // n AS po_milli,
+       |    ((n11 + n10) * 1000 // n) * ((n11 + n01) * 1000 // n) // 1000
+       |      + ((n01 + n00) * 1000 // n) * ((n10 + n00) * 1000 // n)
+       |        // 1000 AS pe_milli
+       |  FROM c)
+       |SELECT n, n11, n10, n01, n00, po_milli, pe_milli,
+       |  CASE WHEN pe_milli >= 1000 THEN 0
+       |    ELSE (po_milli - pe_milli) * 1000 // (1000 - pe_milli) END
+       |    AS kappa_milli
+       |FROM p""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "data_rater_kappa" -> (dataRaterKappa _),
     "data_skyline" -> (dataSkyline _),
     "dedup_lsh_band_tuning" -> (dedupLshBandTuning _),
     "data_near_dup_rate" -> (dataNearDupRate _),
@@ -992,6 +1056,7 @@ object TextQueries {
     "dedup_chunk_level" -> (dedupChunkLevel _))
 
   val oracle: Map[String, String] = Map(
+    "data_rater_kappa" -> KAPPA_SQL,
     "data_skyline" -> SKYLINE_SQL,
     "dedup_lsh_band_tuning" -> BAND_TUNING_SQL,
     "data_near_dup_rate" -> NEARDUP_RATE_SQL,

@@ -40,7 +40,8 @@ class PlanAuditSpec extends SparkSpec {
     "data_order_autocorr" -> "crossJoin of the two single-row observed/expected folds (1×1)",
     "sim_recall_vs_nprobe" -> "four sweep legs inherit sim_ivf_topk's 8-broadcast-centroid-row probe crossJoin",
     "occ_temporal_turnover" -> "crossJoin against the single-row broadcast midpoint frame",
-    "events_survival_km" -> "crossJoin against the single-row broadcast censoring-watermark frame")
+    "events_survival_km" -> "crossJoin against the single-row broadcast censoring-watermark frame",
+    "meta_join_size_estimate" -> "crossJoins of two single-row bucket-estimate folds (1×1)")
 
   test("no query plans a nested-loop or cartesian join outside the whitelist") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -365,7 +366,9 @@ class PlanAuditSpec extends SparkSpec {
     "events_trimmed_mean" -> 1, // rank + count + sum windows all ride one event_type exchange
     "spatial_quadtree_cells" -> 1, // ×5-exploded count agg at build (checkpointed); 5 broadcast joins + final rollup
     "events_queue_wait" -> 1, // rank + running-min windows + agg all ride one event_type exchange
-    "occ_distance_decay" -> 4) // checkpointed (cell,species) distinct + rich agg + pair agg + ring agg
+    "occ_distance_decay" -> 4, // checkpointed (cell,species) distinct + rich agg + pair agg + ring agg
+    "data_rater_kappa" -> 1, // one narrow projection into a single 4-cell aggregate
+    "meta_join_size_estimate" -> 7) // all on checkpointed date-grain (≤|dates|-row) relations: exact join + 2×2 bucket aggs + folds
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
     // the shard grid must drive the exchange (parallelism = shard count),

@@ -626,4 +626,45 @@ class TextPrepSpec extends SparkSpec {
     assert(ks === best._1)
     assert(at === expect.filter(_._1 == best._1).map(_._2).min)
   }
+
+  test("rater kappa replays the agreement table by hand; perfect raters give kappa 1000") {
+    val docs = operators.TextQueries.textQuality(spark, sf)
+      .filter(col("n_tokens") > 0)
+      .select("n_tokens", "n_distinct").as[(Long, Long)].collect()
+    val cells = docs.map { case (nt, nd) =>
+      (if (nt >= 40) 1 else 0, if (nd * 1000 / nt >= 460) 1 else 0)
+    }
+    val n = cells.length.toLong
+    def cnt(a: Int, b: Int) = cells.count(c => c._1 == a && c._2 == b).toLong
+    val (n11, n10, n01, n00) = (cnt(1, 1), cnt(1, 0), cnt(0, 1), cnt(0, 0))
+    val po = (n11 + n00) * 1000 / n
+    val pe = ((n11 + n10) * 1000 / n) * ((n11 + n01) * 1000 / n) / 1000 +
+      ((n01 + n00) * 1000 / n) * ((n10 + n00) * 1000 / n) / 1000
+    val kap = (po - pe) * 1000 / (1000 - pe)
+    val Array(got) = operators.TextQueries.dataRaterKappa(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got === ((n, n11, n10, n01, n00, po, pe, kap)))
+    // kappa is a CHANCE-CORRECTED score: two raters that always agree hit
+    // exactly 1000 regardless of class balance
+    assert((1000L - 600L) * 1000 / (1000 - 600) === 1000L)
+  }
+
+  test("join size estimate: exact by hand, bucket estimates bound it monotonically") {
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr("cast(o_orderdate as string) as k")
+      .groupBy("k").count().as[(String, Long)].collect().toMap
+    val l = spark.read.parquet(s"$sf/lineitem.parquet")
+      .selectExpr("cast(l_shipdate as string) as k")
+      .groupBy("k").count().as[(String, Long)].collect().toMap
+    val shared = o.keySet.intersect(l.keySet)
+    val exact = shared.toSeq.map(k => o(k) * l(k)).sum
+    val Array((nk, ep, e256, e4096, i256, i4096)) =
+      operators.Records.metaJoinSizeEstimate(spark, sf)
+        .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(nk === shared.size)
+    assert(ep === exact)
+    // collision inflation only ever ADDS mass, and resolution removes it
+    assert(e4096 >= ep && e256 >= e4096)
+    assert(i256 === e256 * 1000 / ep && i4096 === e4096 * 1000 / ep)
+  }
 }
