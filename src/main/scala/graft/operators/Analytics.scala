@@ -1186,6 +1186,78 @@ object Analytics {
        |WINDOW w2 AS (PARTITION BY event_type ORDER BY ts_ns, event_id
        |              ROWS UNBOUNDED PRECEDING)""".stripMargin
 
+  /** Single-changepoint detection by binary segmentation (the first
+    * split) over the per-type hourly count series — the OFFLINE twin of
+    * [[eventsCusum]]'s online drift alarm: for every admissible split
+    * index i the between-segment SSE reduction has the prefix-sum
+    * closed form gain(i) = S1²/n1 + S2²/n2 − S²/n (S1 the left running
+    * sum, S2 = S − S1), so ONE running window plus a struct-max
+    * aggregate finds the argmax split — no per-split rescan, no
+    * self-join, O(series) work regardless of where the split lands.
+    * Exact integers throughout: hourly counts are already integral and
+    * every quotient is a single truncating div; S² fits BIGINT to ~3e9
+    * events PER TYPE, and the div-before-milli final means keep it
+    * there at any corpus (the arrival_regularity discipline). Ties
+    * break to the EARLIEST split via the negated index riding the
+    * struct (bare max_by is nondeterministic on ties); the remaining
+    * struct fields are pure payload — i is unique per type, so the
+    * comparison never reaches them. Types with one occupied hour have
+    * no admissible split and drop out on both engines. Plan: the hourly
+    * aggregate shuffles on (type, hour); the rank/running/entire-frame
+    * windows and the final argmax all ride one event_type exchange. */
+  def eventsChangepoint(s: SparkSession, dir: String): DataFrame = {
+    val byType = Window.partitionBy("event_type")
+    val ord = byType.orderBy("hour_id")
+    val run = ord.rowsBetween(Window.unboundedPreceding, 0)
+    DomainQueries.events(s, dir)
+      .select(col("event_type"), expr(s"ts_ns div $HOUR_NS").as("hour_id"))
+      .groupBy("event_type", "hour_id").agg(count(lit(1)).as("x"))
+      .withColumn("i", row_number().over(ord).cast("long"))
+      .withColumn("s1", sum("x").over(run))
+      .withColumn("n", count(lit(1)).over(byType))
+      .withColumn("s", sum("x").over(byType))
+      .filter(col("i") < col("n"))
+      .withColumn("gain", expr(
+        "s1 * s1 div i + (s - s1) * (s - s1) div (n - i) - s * s div n"))
+      .groupBy("event_type")
+      .agg(max(struct(col("gain"), (-col("i")).as("ni"), col("hour_id"),
+        col("s1"), col("s"), col("n"), col("i"))).as("m"))
+      .select(col("event_type"), col("m.n").as("n_hours"),
+        col("m.i").as("split_i"), col("m.hour_id").as("split_hour"),
+        col("m.gain").as("gain_fp"),
+        expr("m.s1 * 1000 div m.i").as("mean_left_milli"),
+        expr("(m.s - m.s1) * 1000 div (m.n - m.i)").as("mean_right_milli"))
+  }
+
+  private val CHANGEPOINT_SQL =
+    s"""WITH h AS (
+       |  SELECT event_type, epoch_ns(ts) // $HOUR_NS AS hour_id,
+       |    CAST(COUNT(*) AS BIGINT) AS x
+       |  FROM events GROUP BY 1, 2),
+       |p AS (
+       |  SELECT event_type, hour_id,
+       |    CAST(ROW_NUMBER() OVER wi AS BIGINT) AS i,
+       |    CAST(SUM(x) OVER w AS BIGINT) AS s1,
+       |    CAST(SUM(x) OVER wp AS BIGINT) AS s,
+       |    CAST(COUNT(*) OVER wp AS BIGINT) AS n
+       |  FROM h
+       |  WINDOW wi AS (PARTITION BY event_type ORDER BY hour_id),
+       |    w AS (PARTITION BY event_type ORDER BY hour_id
+       |          ROWS UNBOUNDED PRECEDING),
+       |    wp AS (PARTITION BY event_type)),
+       |g AS (
+       |  SELECT event_type, hour_id, i, n, s, s1,
+       |    s1 * s1 // i + (s - s1) * (s - s1) // (n - i) - s * s // n AS gain
+       |  FROM p WHERE i < n),
+       |r AS (
+       |  SELECT g.*, ROW_NUMBER() OVER (PARTITION BY event_type
+       |    ORDER BY gain DESC, i) AS rn FROM g)
+       |SELECT event_type, n AS n_hours, i AS split_i, hour_id AS split_hour,
+       |  gain AS gain_fp,
+       |  s1 * 1000 // i AS mean_left_milli,
+       |  (s - s1) * 1000 // (n - i) AS mean_right_milli
+       |FROM r WHERE rn = 1""".stripMargin
+
   /** Bottom-k uniform sample sketch + quantile estimates — the missing
     * member of the sketch family (q17 KMV = distinct cardinality,
     * freq_count_min = frequency, q14 = cardinality): per event type
@@ -2366,6 +2438,19 @@ object Analytics {
     * integer-ordered. Empty clusters keep their previous centroid
     * (mirrored in the oracle via LEFT JOIN + COALESCE per dim). */
   def simKmeansAssign(s: SparkSession, dir: String): DataFrame = {
+    val (assign, cents) = kmeansFit(s, dir)
+    assign(cents.last)
+      .select(col("vec_id"), col("amin.k").as("cluster"), col("amin.d2").as("d2"))
+  }
+
+  /** Runs the shared Lloyd fit (K = 8, 2 rounds, seeds = smallest
+    * md5('km:'||vec_id)) and returns the assignment builder plus the
+    * full centroid HISTORY (c0 seeds, c1, c2) so callers can read
+    * either the final assignment ([[simKmeansAssign]]) or the
+    * round-over-round movement ([[simKmeansShift]]) without re-deriving
+    * the loop. */
+  private def kmeansFit(s: SparkSession, dir: String)
+      : (Array[Array[Long]] => DataFrame, Vector[Array[Array[Long]]]) = {
     val proj = rpFixedPoint(t(s, dir, "embeddings")).localCheckpoint()
     val seedH = expr(
       "cast(conv(substring(md5(cast(concat('km:', vec_id) as binary)), 1, 13), 16, 10) as bigint)")
@@ -2386,20 +2471,52 @@ object Analytics {
       }
       proj.withColumn("amin", least(pairs.toSeq: _*))
     }
-    var cent = seeds
+    var cents = Vector(seeds)
     for (_ <- 1 to 2) {
+      val cent = cents.last
       val updCols = (0 until 8).map(i => expr(s"sum(r$i) div count(1)").as(s"c$i"))
       val upd = assign(cent)
         .groupBy(col("amin.k").as("cluster"))
         .agg(updCols.head, updCols.tail: _*)
         .collect().map(r => r.getLong(0).toInt -> Array.tabulate(8)(i => r.getLong(i + 1))).toMap
-      cent = Array.tabulate(cent.length)(k => upd.getOrElse(k, cent(k)))
+      cents = cents :+ Array.tabulate(cent.length)(k => upd.getOrElse(k, cent(k)))
     }
-    assign(cent)
-      .select(col("vec_id"), col("amin.k").as("cluster"), col("amin.d2").as("d2"))
+    (assign, cents)
   }
 
-  private val KMEANS_SQL = {
+  /** Per-cluster k-means CONVERGENCE telemetry — the readout every
+    * distributed Lloyd job logs each round to decide whether to stop:
+    * cluster size, exact integer inertia (Σ d² in the 2^-20 fixed-point
+    * lattice of the shared fit), and shift_fp = ‖c2 − c1‖² — the last
+    * update's centroid movement. Sizes and inertia aggregate the FINAL
+    * assignment in one hash agg (≤ K rows out); the K×8 shift is pure
+    * driver arithmetic over [[kmeansFit]]'s centroid history re-entering
+    * the plan as a broadcast 8-row frame — at 100 TB this op costs one
+    * assignment scan plus a metadata join, the same shape as the fit
+    * rounds themselves. All integers, same truncating-div discipline as
+    * the fit; clusters that end empty are absent (no assignment rows),
+    * deterministic on both engines. */
+  def simKmeansShift(s: SparkSession, dir: String): DataFrame = {
+    val (assign, cents) = kmeansFit(s, dir)
+    val Vector(_, c1, c2) = cents
+    val shifts = (0 until 8).map { k =>
+      (k.toLong, (0 until 8).map(i => (c2(k)(i) - c1(k)(i)) * (c2(k)(i) - c1(k)(i))).sum)
+    }
+    import s.implicits._
+    val shiftDf = shifts.toDF("cluster", "shift_fp")
+    assign(cents.last)
+      .groupBy(col("amin.k").as("cluster"))
+      .agg(count(lit(1)).as("n_members"), sum(col("amin.d2")).as("inertia_fp"))
+      .join(broadcast(shiftDf), Seq("cluster"))
+      .select(col("cluster"), col("n_members"), col("inertia_fp"),
+        col("shift_fp"),
+        expr("inertia_fp div n_members").as("mean_d2_fp"))
+  }
+
+  /** The shared Lloyd-fit CTE chain (ql → pr → c0 → a1 → c1 → a2 → c2 →
+    * a3), factored so KMEANS_SQL and KMEANS_SHIFT_SQL replay the exact
+    * same fit. */
+  private val KMEANS_CTES = {
     // the integer projection as an 8-element list, shared with RP_TOPK_SQL
     val projList = (0 until 8).map { p =>
       s"""list_sum(list_transform(generate_series(1, 64),
@@ -2446,9 +2563,28 @@ object Analytics {
        |${updateCte("c1", "a1", "c0")},
        |${assignCte("a2", "c1")},
        |${updateCte("c2", "a2", "c1")},
-       |${assignCte("a3", "c2")}
-       |SELECT vec_id, cluster, CAST(d2 AS BIGINT) AS d2 FROM a3""".stripMargin
+       |${assignCte("a3", "c2")}""".stripMargin
   }
+
+  private val KMEANS_SQL =
+    s"""$KMEANS_CTES
+       |SELECT vec_id, cluster, CAST(d2 AS BIGINT) AS d2 FROM a3""".stripMargin
+
+  private val KMEANS_SHIFT_SQL =
+    s"""$KMEANS_CTES,
+       |agg AS (
+       |  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+       |    CAST(SUM(d2) AS BIGINT) AS inertia_fp
+       |  FROM a3 GROUP BY cluster),
+       |sh AS (
+       |  SELECT c2.k AS cluster,
+       |    CAST(list_sum(list_transform(generate_series(1, 8),
+       |      i -> (c2.c[i] - c1.c[i]) * (c2.c[i] - c1.c[i]))) AS BIGINT)
+       |      AS shift_fp
+       |  FROM c2 JOIN c1 ON c1.k = c2.k)
+       |SELECT agg.cluster, n_members, inertia_fp, shift_fp,
+       |  inertia_fp // n_members AS mean_d2_fp
+       |FROM agg JOIN sh ON sh.cluster = agg.cluster""".stripMargin
 
   /** SCD2 (slowly-changing-dimension type-2) history build from the raw
     * event stream: per user, consecutive runs of the same event_type
@@ -4028,6 +4164,8 @@ object Analytics {
       |FROM wt GROUP BY 1""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "events_changepoint_binseg" -> (eventsChangepoint _),
+    "sim_kmeans_shift" -> (simKmeansShift _),
     "events_queue_wait" -> (eventsQueueWait _),
     "events_trimmed_mean" -> (eventsTrimmedMean _),
     "events_sax_motifs" -> (eventsSaxMotifs _),
@@ -4108,6 +4246,8 @@ object Analytics {
     "data_interleave_sources" -> (dataInterleaveSources _))
 
   val oracle: Map[String, String] = Map(
+    "events_changepoint_binseg" -> CHANGEPOINT_SQL,
+    "sim_kmeans_shift" -> KMEANS_SHIFT_SQL,
     "events_queue_wait" -> QUEUE_SQL,
     "events_trimmed_mean" -> TRIMMED_SQL,
     "events_sax_motifs" -> SAX_SQL,

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Analytics, TextRank}
+import graft.operators.{Analytics, DomainQueries, TextRank}
 import org.apache.spark.sql.SaveMode
 import org.apache.spark.sql.functions._
 
@@ -1112,5 +1112,92 @@ class AnalyticsSpec extends SparkSpec {
       assert(maxW === wms.max)
       assert(meanW === wms.sum / wms.length)
     }
+  }
+
+  test("changepoint binseg: argmax split replays the prefix-sum gain scan by hand") {
+    val hourly = DomainQueries.events(spark, sf)
+      .selectExpr("event_type", "ts_ns div 3600000000000L as hour_id")
+      .groupBy("event_type", "hour_id").count()
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).map { case (t, rs) =>
+        t -> rs.sortBy(_._2).map(r => (r._2, r._3))
+      }
+    val got = Analytics.eventsChangepoint(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet === hourly.filter(_._2.length > 1).keySet)
+    for ((t, series) <- hourly if series.length > 1) {
+      val xs = series.map(_._2)
+      val n = xs.length.toLong
+      val s = xs.sum
+      // every split scored from the prefix sums, ties to the earliest
+      val best = (1 until xs.length).map { i =>
+        val s1 = xs.take(i).sum
+        val gain = s1 * s1 / i + (s - s1) * (s - s1) / (n - i) - s * s / n
+        (-gain, i.toLong, s1)
+      }.min
+      val (gain, i, s1) = (-best._1, best._2, best._3)
+      val (_, nH, splitI, splitHour, gainFp, ml, mr) = got(t)
+      assert(nH === n)
+      assert(splitI === i)
+      assert(splitHour === series(i.toInt - 1)._1)
+      assert(gainFp === gain)
+      assert(ml === s1 * 1000 / i)
+      assert(mr === (s - s1) * 1000 / (n - i))
+      // the split genuinely separates the means unless the series is flat
+      if (gain > 0) assert(ml !== mr)
+    }
+  }
+
+  test("kmeans shift telemetry reconciles with the assignment and a centroid replay") {
+    val shift = Analytics.simKmeansShift(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // sizes + inertia must aggregate the production assignment exactly
+    val byCluster = Analytics.simKmeansAssign(spark, sf)
+      .as[(Long, Long, Long)].collect().groupBy(_._2)
+    assert(shift.keySet === byCluster.keySet)
+    for ((k, rows) <- byCluster) {
+      val (_, n, inertia, shiftFp, meanD2) = shift(k)
+      assert(n === rows.length)
+      assert(inertia === rows.map(_._3).sum)
+      assert(shiftFp >= 0L)
+      assert(meanD2 === inertia / n)
+    }
+    // the centroid movement itself replays from the raw embeddings
+    val emb = Tables.t(spark, sf, "embeddings")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    val proj: Map[Long, Array[Long]] = emb.map { case (id, v) =>
+      id -> Array.tabulate(8)(p => v.zipWithIndex.map { case (x, j) =>
+        math.floor(x.toDouble * 1048576).toLong * Analytics.rpWeights(p)(j)
+      }.sum)
+    }.toMap
+    def h52(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"km:$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(7).map(b => f"$b%02x").mkString.take(13), 16)
+    }
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      (0 until 8).map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    def assign(cent: IndexedSeq[Array[Long]]): Map[Long, (Long, Long)] =
+      proj.map { case (id, r) =>
+        id -> cent.zipWithIndex.map { case (c, k) => (d2(r, c), k.toLong) }
+          .min.swap
+      }
+    var cent: IndexedSeq[Array[Long]] =
+      proj.toSeq.sortBy { case (id, _) => (h52(id), id) }.take(8).map(_._2).toIndexedSeq
+    var hist = Vector(cent)
+    for (_ <- 1 to 2) {
+      val byK = assign(cent).toSeq.groupBy(_._2._1)
+      cent = cent.zipWithIndex.map { case (old, k) =>
+        byK.get(k.toLong).fold(old) { members =>
+          val rs = members.map(m => proj(m._1))
+          Array.tabulate(8)(i => rs.map(_(i)).sum / rs.length)
+        }
+      }
+      hist = hist :+ cent
+    }
+    for ((k, (_, _, _, shiftFp, _)) <- shift)
+      assert(shiftFp === d2(hist(2)(k.toInt), hist(1)(k.toInt)))
   }
 }

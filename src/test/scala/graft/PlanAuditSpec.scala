@@ -368,6 +368,8 @@ class PlanAuditSpec extends SparkSpec {
     "events_queue_wait" -> 1, // rank + running-min windows + agg all ride one event_type exchange
     "occ_distance_decay" -> 4, // checkpointed (cell,species) distinct + rich agg + pair agg + ring agg
     "data_rater_kappa" -> 1, // one narrow projection into a single 4-cell aggregate
+    "events_changepoint_binseg" -> 2, // (type,hour) count agg; windows + argmax ride one event_type exchange
+    "sim_kmeans_shift" -> 1, // final assignment scan into one cluster agg; K-row shift frame broadcasts
     "meta_join_size_estimate" -> 7) // all on checkpointed date-grain (≤|dates|-row) relations: exact join + 2×2 bucket aggs + folds
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
