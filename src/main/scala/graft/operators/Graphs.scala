@@ -851,6 +851,61 @@ object Graphs {
     bfsLayers(TextQueries.dedupNgramJaccard(s, dir).select("doc1", "doc2"),
       n => n % 7 === 0)
 
+  /** Landmark HARMONIC centrality — the scalable stand-in for exact
+    * closeness (all-pairs BFS is O(n·m), dead at any real graph size):
+    * distances to L hash-picked landmarks, folded as Σ 1/d. Harmonic
+    * handles disconnection for free (an unreached landmark contributes
+    * 0 — no ∞ to dodge) and 1000 div d keeps the fold in exact
+    * integers. The L distance relaxations share ONE dense dist table
+    * with a COLUMN per landmark, so every round is a single neighbor
+    * join + min-aggregate regardless of L — the same shuffle bill as
+    * [[bfsLayers]], not L times it. least() skips nulls, which is
+    * exactly the relax semantics (unreached = null until first seen).
+    * Landmarks are the L smallest md5('lm:'||node) nodes — own salt
+    * (the shared-salt correlation landmine), O(L) collected. Fixed
+    * `rounds` horizon; per-round localCheckpoint because the dist
+    * relation is referenced twice per round (the plan-replay
+    * landmine). */
+  def landmarkHarmonic(edges: DataFrame, nLandmarks: Int = 4,
+                       rounds: Int = 6): DataFrame = {
+    val e = edges.toDF("x", "y").filter(col("x") =!= col("y"))
+    val sym = e.select(col("x").as("a"), col("y").as("b"))
+      .union(e.select(col("y").as("a"), col("x").as("b")))
+      .distinct()
+      .localCheckpoint()
+    val nodes = sym.select(col("a").as("node")).distinct()
+    val lms: Array[Long] = nodes
+      .withColumn("h", expr("cast(conv(substring(md5(cast(concat('lm:'," +
+        " node) as binary)), 1, 13), 16, 10) as bigint)"))
+      .orderBy("h", "node").limit(nLandmarks)
+      .select("node").collect().map(_.getLong(0))
+    val idx = lms.indices
+    var dist = nodes.select(col("node") +: idx.map(i =>
+      when(col("node") === lms(i), 0L).otherwise(lit(null).cast("long"))
+        .as(s"d$i")): _*)
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val mins = idx.map(i => min(col(s"d$i") + 1L).as(s"nd$i"))
+      val viaNbr = sym.join(dist, col("a") === col("node"))
+        .groupBy(col("b").as("nb")).agg(mins.head, mins.tail: _*)
+      dist = dist.join(viaNbr, col("node") === col("nb"), "left_outer")
+        .select(col("node") +: idx.map(i =>
+          least(col(s"d$i"), col(s"nd$i")).as(s"d$i")): _*)
+        .localCheckpoint()
+    }
+    dist.select(col("node"),
+      idx.map(i => when(col(s"d$i") > 0, 1L).otherwise(0L))
+        .reduce(_ + _).as("n_reached"),
+      idx.map(i => when(col(s"d$i") > 0, expr(s"1000 div d$i"))
+        .otherwise(0L)).reduce(_ + _).as("harmonic_milli"))
+  }
+
+  /** Harmonic centrality of the k-NN similarity graph from 4 hash
+    * landmarks at horizon 6 — which embeddings sit centrally in the
+    * neighborhood structure (retrieval hubs) vs on its fringe. */
+  def graphHarmonicCentrality(s: SparkSession, dir: String): DataFrame =
+    landmarkHarmonic(SketchQueries.simKnnGraph(s, dir).select("qid", "vec_id"))
+
   /** Cluster-size spectrum over the near-dup components — the
     * how-big-are-my-dup-families readout a dedup owner checks before
     * survivorship (a fat tail here means boilerplate is gluing
