@@ -24,6 +24,19 @@ import org.apache.spark.sql.functions._
 object Graphs {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Every checkpoint in this file routes through the stats-capped
+    * variant: plain localCheckpoint carries the origin plan's Statistics
+    * onto the new leaf, and the iterative loops here (CC, Borůvka) join
+    * the previous round's checkpoint several times per round, so the
+    * carried sizeInBytes estimate compounds GEOMETRICALLY — at ~14
+    * Borůvka rounds it is a ~10^6-digit BigInt and Catalyst planning
+    * hangs for minutes inside BigInteger multiplication (ScaleSpec's
+    * 16k-node Borůvka probe, r9). The cap is a passthrough whenever the
+    * carried stats are sane (≤ Long.MaxValue), so non-loop sites are
+    * unchanged. See [[org.apache.spark.sql.GraftStatsCheckpoint]]. */
+  private def ckpt(df: DataFrame): DataFrame =
+    org.apache.spark.sql.GraftStatsCheckpoint.localCheckpointCapped(df)
+
   /** obs.get with a 10 s ceiling; None on timeout. Each call gets its
     * own single-thread DAEMON executor, shut down on exit — parking the
     * waiter on the fixed-size global EC would leak one pool thread per
@@ -72,7 +85,7 @@ object Graphs {
     val sym = e.union(e.select(col("b"), col("a"))).persist()
     var labels = sym.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
-      .localCheckpoint()
+      .transform(ckpt)
     var iter = 0
     var changed = true
     while (changed && iter < maxIter) {
@@ -87,7 +100,7 @@ object Graphs {
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
         .observe(obs, coalesce(max(col("label") < col("old_label")), lit(false))
           .as("moved"))
-        .localCheckpoint() // materialize + cut lineage (fires the metric)
+        .transform(ckpt) // materialize + cut lineage (fires the metric)
       // Bounded wait, not bare obs.get: get blocks FOREVER if the metric
       // never fires, and it only fires because localCheckpoint happens to
       // run through withAction on Spark 4.1.2 (getOrEmpty is
@@ -147,8 +160,8 @@ object Graphs {
       .distinct()
     val nodes = e0.select(col("u").as("node"))
       .union(e0.select(col("v").as("node"))).distinct()
-      .localCheckpoint() // reused after the loop; don't replay the scan
-    var cur = e0.localCheckpoint()
+      .transform(ckpt) // reused after the loop; don't replay the scan
+    var cur = e0.transform(ckpt)
     def checksum(df: DataFrame): (Long, String) = {
       // hash sum in DECIMAL(38,0): a BIGINT sum of ±2^63 hashes overflows
       // under ANSI on a few thousand rows
@@ -176,7 +189,7 @@ object Graphs {
         .select(col("v").as("u"), col("m").as("v"))
         .union(smin.select(col("u"), col("m").as("v")))
         .distinct()
-        .localCheckpoint()
+        .transform(ckpt)
       val sum1 = checksum(small)
       converged = sum1 == prev
       prev = sum1
@@ -278,7 +291,7 @@ object Graphs {
       .select(least(col("x"), col("y")).as("u"),
         greatest(col("x"), col("y")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
-      .localCheckpoint()
+      .transform(ckpt)
     val wedges = und.select(col("u").as("node"))
       .union(und.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("d"))
@@ -320,7 +333,7 @@ object Graphs {
       .select(least(col("x"), col("y")).as("u"),
         greatest(col("x"), col("y")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
-      .localCheckpoint()
+      .transform(ckpt)
     var alive = und
     for (_ <- 1 to rounds) {
       val sym = alive.select(col("u").as("a"), col("v").as("b"))
@@ -331,7 +344,7 @@ object Graphs {
           "left_semi")
         .groupBy("u", "v").agg(count(lit(1)).as("sup"))
         .filter(col("sup") >= k - 2).select("u", "v")
-        .localCheckpoint()
+        .transform(ckpt)
     }
     und.join(alive.withColumn("flag", lit(true)), Seq("u", "v"), "left_outer")
       .select(col("u"), col("v"),
@@ -365,7 +378,7 @@ object Graphs {
       .select(least(col("x"), col("y")).as("u"),
         greatest(col("x"), col("y")).as("v"), col("w"))
       .distinct()
-      .localCheckpoint() // joined against comp every round — plan once
+      .transform(ckpt) // joined against comp every round — plan once
     val wc = und.agg(count(lit(1)), countDistinct("w")).head()
     require(wc.getLong(0) == wc.getLong(1),
       s"boruvkaMsf needs strictly distinct edge weights " +
@@ -373,7 +386,7 @@ object Graphs {
         "pack a tiebreak into w")
     var comp = und.select(explode(array(col("u"), col("v"))).as("node"))
       .distinct().withColumn("comp", col("node"))
-      .localCheckpoint()
+      .transform(ckpt)
     val picked = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var rounds = 0
     var done = false
@@ -382,7 +395,7 @@ object Graphs {
         .join(comp.toDF("u", "cu"), Seq("u"))
         .join(comp.toDF("v", "cv"), Seq("v"))
         .filter(col("cu") =!= col("cv"))
-        .localCheckpoint() // BEFORE isEmpty: the check must not replay
+        .transform(ckpt) // BEFORE isEmpty: the check must not replay
       if (e.isEmpty) done = true
       else {
         // per-component minimum outgoing edge (min-struct: w is unique,
@@ -396,11 +409,11 @@ object Graphs {
             col("cv"))).as("m"))
           .select(col("c"), col("m.w").as("w"), col("m.u").as("u"),
             col("m.v").as("v"), col("m.cu").as("cu"), col("m.cv").as("cv"))
-          .localCheckpoint()
+          .transform(ckpt)
         // an edge picked by both endpoints appears twice — dedupe within
         // the round; across rounds its endpoints share a component, so it
         // can never be re-picked
-        picked += sel.select("u", "v", "w").distinct().localCheckpoint()
+        picked += sel.select("u", "v", "w").distinct().transform(ckpt)
         // pointer graph: every active component points at the OTHER
         // endpoint of its min edge. Unique weights ⇒ the only cycles are
         // mutual-min 2-cycles; break them toward the smaller id, leaving
@@ -412,7 +425,7 @@ object Graphs {
           .select(col("c"),
             when(col("pp") === col("c"), least(col("c"), col("p")))
               .otherwise(col("p")).as("p"))
-          .localCheckpoint()
+          .transform(ckpt)
         // pointer jumping: p ← p(p) until fixpoint (≤ log depth rounds)
         var jumping = true
         var jumps = 0
@@ -421,7 +434,7 @@ object Graphs {
             .join(ptr.toDF("p0", "p1"), Seq("p0"))
             .select(col("c0").as("c"), col("p1").as("p"),
               (col("p1") =!= col("p0")).cast("long").as("mv"))
-            .localCheckpoint()
+            .transform(ckpt)
           jumping = nxt.agg(sum("mv")).head().getLong(0) > 0
           ptr = nxt.select("c", "p")
           jumps += 1
@@ -431,7 +444,7 @@ object Graphs {
             "rounds; raise maxRounds")
         comp = comp.join(ptr.toDF("comp", "root"), Seq("comp"), "left_outer")
           .select(col("node"), coalesce(col("root"), col("comp")).as("comp"))
-          .localCheckpoint()
+          .transform(ckpt)
       }
       rounds += 1
     }
@@ -465,7 +478,7 @@ object Graphs {
       .select(least(col("x"), col("y")).as("u"),
         greatest(col("x"), col("y")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
-      .localCheckpoint()
+      .transform(ckpt)
     val sym = und.select(col("u").as("a"), col("v").as("b"))
       .union(und.select(col("v").as("a"), col("u").as("b")))
     sym.select(col("a").as("x"), col("b").as("m"))
@@ -523,7 +536,7 @@ object Graphs {
     val und = raw.select(least(col("x"), col("y")).as("u"),
         greatest(col("x"), col("y")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
-      .localCheckpoint()
+      .transform(ckpt)
     val deg = und.select(col("u").as("n")).union(und.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
     val firstLower = col("du") < col("dv") ||
@@ -536,7 +549,7 @@ object Graphs {
         when(firstLower, col("u")).otherwise(col("v")).as("a"),
         when(firstLower, col("v")).otherwise(col("u")).as("b"),
         when(firstLower, col("dv")).otherwise(col("du")).as("db"))
-      .localCheckpoint()
+      .transform(ckpt)
     val o2BeforeO3 = col("o2.db") < col("o3.db") ||
       (col("o2.db") === col("o3.db") && col("o2.b") < col("o3.b"))
     oriented.as("o2").join(oriented.as("o3"),
@@ -570,7 +583,7 @@ object Graphs {
       .select(least(col("x"), col("y")).as("u"),
         greatest(col("x"), col("y")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
-      .localCheckpoint() // feeds degrees AND the triangle pipeline
+      .transform(ckpt) // feeds degrees AND the triangle pipeline
     val deg = und.select(col("u").as("node"))
       .union(und.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("d"))
@@ -603,7 +616,7 @@ object Graphs {
       .select(least(col("x"), col("y")).as("u"),
         greatest(col("x"), col("y")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
-      .localCheckpoint()
+      .transform(ckpt)
     val adj = und.select(col("u").as("x"), col("v").as("n"))
       .union(und.select(col("v").as("x"), col("u").as("n")))
     val deg = adj.groupBy("x").agg(count(lit(1)).as("d"))
@@ -656,7 +669,7 @@ object Graphs {
       .union(e.select(col("y").as("a"), col("x").as("b")))
       .distinct()
     val deg = sym.groupBy("a").agg(count(lit(1)).as("deg"))
-    val outE = sym.join(deg, Seq("a")).localCheckpoint() // (a, b, deg(a))
+    val outE = sym.join(deg, Seq("a")).transform(ckpt) // (a, b, deg(a))
     val n = outE.select("a").distinct().count() // off the checkpoint
     require(n > 0, "pageRank on an empty graph")
     val SCALE = 1073741824L // 2^30
@@ -698,7 +711,7 @@ object Graphs {
     val sym = e.select(col("x").as("a"), col("y").as("b"))
       .union(e.select(col("y").as("a"), col("x").as("b")))
       .distinct()
-      .localCheckpoint()
+      .transform(ckpt)
     var labels = sym.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
     for (_ <- 1 to iters) {
@@ -736,8 +749,8 @@ object Graphs {
     val sym = e.select(col("x").as("a"), col("y").as("b"))
       .union(e.select(col("y").as("a"), col("x").as("b")))
       .distinct()
-      .localCheckpoint()
-    val nodes = sym.select(col("a").as("node")).distinct().localCheckpoint()
+      .transform(ckpt)
+    val nodes = sym.select(col("a").as("node")).distinct().transform(ckpt)
     var alive = nodes
     for (_ <- 1 to rounds) {
       alive = sym
@@ -745,7 +758,7 @@ object Graphs {
         .join(alive.select(col("node").as("b")), Seq("b"), "left_semi")
         .groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select("node")
-        .localCheckpoint()
+        .transform(ckpt)
     }
     nodes.join(alive.withColumn("flag", lit(true)), Seq("node"), "left_outer")
       .select(col("node"), coalesce(col("flag"), lit(false)).as("in_core"))
@@ -783,12 +796,12 @@ object Graphs {
       throw new IllegalArgumentException(
         "ancestorClosure: parent pointers reference nodes absent from the mapping")
     var f = p.withColumn("dist",
-      when(col("node") === col("anc"), 0L).otherwise(1L)).localCheckpoint()
+      when(col("node") === col("anc"), 0L).otherwise(1L)).transform(ckpt)
     for (_ <- 1 to rounds) {
       f = f.as("x").join(f.as("y"), col("x.anc") === col("y.node"))
         .select(col("x.node").as("node"), col("y.anc").as("anc"),
           (col("x.dist") + col("y.dist")).as("dist"))
-        .localCheckpoint()
+        .transform(ckpt)
     }
     // converged ⟺ every anc is a root (self-parented); else fail loudly
     val roots = p.filter(col("node") === col("anc")).select(col("node").as("anc"))
@@ -825,11 +838,11 @@ object Graphs {
     val sym = e.select(col("x").as("a"), col("y").as("b"))
       .union(e.select(col("y").as("a"), col("x").as("b")))
       .distinct()
-      .localCheckpoint()
+      .transform(ckpt)
     var dist = sym.select(col("a").as("node")).distinct()
       .withColumn("d", when(seed(col("node")), 0L)
         .otherwise(lit(null).cast("long")))
-      .localCheckpoint()
+      .transform(ckpt)
     for (_ <- 1 to rounds) {
       val viaNbr = sym.join(dist, col("a") === col("node"))
         .filter(col("d").isNotNull)
@@ -839,7 +852,7 @@ object Graphs {
           when(col("d").isNull, col("nd"))
             .when(col("nd").isNull, col("d"))
             .otherwise(least(col("d"), col("nd"))).as("d"))
-        .localCheckpoint()
+        .transform(ckpt)
     }
     dist.select(col("node"), coalesce(col("d"), lit(-1L)).as("dist4"))
   }
@@ -872,7 +885,7 @@ object Graphs {
     val sym = e.select(col("x").as("a"), col("y").as("b"))
       .union(e.select(col("y").as("a"), col("x").as("b")))
       .distinct()
-      .localCheckpoint()
+      .transform(ckpt)
     val nodes = sym.select(col("a").as("node")).distinct()
     val lms: Array[Long] = nodes
       .withColumn("h", expr("cast(conv(substring(md5(cast(concat('lm:'," +
@@ -883,7 +896,7 @@ object Graphs {
     var dist = nodes.select(col("node") +: idx.map(i =>
       when(col("node") === lms(i), 0L).otherwise(lit(null).cast("long"))
         .as(s"d$i")): _*)
-      .localCheckpoint()
+      .transform(ckpt)
     for (_ <- 1 to rounds) {
       val mins = idx.map(i => min(col(s"d$i") + 1L).as(s"nd$i"))
       val viaNbr = sym.join(dist, col("a") === col("node"))
@@ -891,7 +904,7 @@ object Graphs {
       dist = dist.join(viaNbr, col("node") === col("nb"), "left_outer")
         .select(col("node") +: idx.map(i =>
           least(col(s"d$i"), col(s"nd$i")).as(s"d$i")): _*)
-        .localCheckpoint()
+        .transform(ckpt)
     }
     dist.select(col("node"),
       idx.map(i => when(col(s"d$i") > 0, 1L).otherwise(0L))
@@ -941,7 +954,7 @@ object Graphs {
       .select(least(col("x"), col("y")).as("u"),
         greatest(col("x"), col("y")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
-      .localCheckpoint()
+      .transform(ckpt)
     val deg = und.select(col("u").as("n")).union(und.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
     deg.select(expr("cast(length(bin(d)) - 1 as bigint)").as("deg_bits"), col("d"))
@@ -970,9 +983,9 @@ object Graphs {
       .select(least(col("x"), col("y")).as("u"),
         greatest(col("x"), col("y")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
-      .localCheckpoint()
+      .transform(ckpt)
     val sym = und.union(und.select(col("v"), col("u"))).toDF("a", "b")
-    val deg = sym.groupBy("a").agg(count(lit(1)).as("d")).localCheckpoint()
+    val deg = sym.groupBy("a").agg(count(lit(1)).as("d")).transform(ckpt)
     sym
       .join(deg.toDF("a", "da"), "a")
       .join(deg.toDF("b", "db"), "b")
@@ -1009,7 +1022,7 @@ object Graphs {
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
         col("quality"))
-      .localCheckpoint()
+      .transform(ckpt)
     val canon = labeled.groupBy("cluster_id")
       .agg(min(struct((-col("quality")).as("nq"), col("doc_id").as("d"))).as("c"))
       .select(col("cluster_id").as("ck"), col("c.d").as("canonical_doc"))
@@ -1036,7 +1049,8 @@ object Graphs {
     "graph_degree_stats" -> (graphDegreeStats _),
     "graph_degree_assortativity" -> (graphDegreeAssortativity _),
     "graph_neighbor_jaccard" -> (graphNeighborJaccard _),
-    "graph_bipartite_components" -> (graphBipartiteComponents _))
+    "graph_bipartite_components" -> (graphBipartiteComponents _),
+    "graph_harmonic_centrality" -> (graphHarmonicCentrality _))
 
   /** Shared oracle CTEs over the trigram-Jaccard pair graph. [[SYM_CTE]]
     * is the symmetrized distinct edge list (expects a `pairs` CTE in
@@ -1201,6 +1215,45 @@ object Graphs {
          |         CASE WHEN a % 7 = 0 THEN 0 ELSE NULL END AS d FROM sym),
          |$rounds
          |SELECT node, CAST(COALESCE(d, -1) AS BIGINT) AS dist4 FROM d4""".stripMargin
+    },
+    "graph_harmonic_centrality" -> {
+      // six synchronous relaxation rounds unrolled as CTEs over a
+      // (node, landmark) keyed dist table — the long-form of the Spark
+      // column-per-landmark layout; landmark pick mirrors the md5 'lm:'
+      // salt bit-exactly ('0x'-prefix cast = conv(,16,10)); h-prefixed
+      // CTE names dodge the knn SQL's internal e/d/bkt (the
+      // dedup_semantic_cluster collision class)
+      val knnSql = SketchQueries.oracle("sim_knn_graph")
+      val rounds = (1 to 6).map { t =>
+        s"""hd$t AS (
+           |  SELECT x.node, x.lm,
+           |    CASE WHEN x.d IS NULL THEN n.nd
+           |         WHEN n.nd IS NULL THEN x.d
+           |         ELSE LEAST(x.d, n.nd) END AS d
+           |  FROM hd${t - 1} x LEFT JOIN (
+           |    SELECT s.b AS node, p.lm, MIN(p.d + 1) AS nd
+           |    FROM hsym s JOIN hd${t - 1} p ON p.node = s.a
+           |    WHERE p.d IS NOT NULL GROUP BY s.b, p.lm) n
+           |  ON n.node = x.node AND n.lm = x.lm)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH knn AS ($knnSql),
+         |he AS (SELECT qid AS x, vec_id AS y FROM knn WHERE qid <> vec_id),
+         |hsym AS (SELECT DISTINCT a, b FROM (
+         |  SELECT x AS a, y AS b FROM he UNION ALL SELECT y, x FROM he)),
+         |hnodes AS (SELECT DISTINCT a AS node FROM hsym),
+         |hlms AS (SELECT node AS lm FROM (
+         |  SELECT node,
+         |    ('0x' || substr(md5('lm:' || CAST(node AS VARCHAR)), 1, 13))::BIGINT AS h
+         |  FROM hnodes) ORDER BY h, node LIMIT 4),
+         |hd0 AS (SELECT n.node, l.lm,
+         |          CASE WHEN n.node = l.lm THEN 0 END AS d
+         |        FROM hnodes n CROSS JOIN hlms l),
+         |$rounds
+         |SELECT node,
+         |  CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_reached,
+         |  CAST(SUM(CASE WHEN d > 0 THEN 1000 // d ELSE 0 END) AS BIGINT)
+         |    AS harmonic_milli
+         |FROM hd6 GROUP BY node""".stripMargin
     },
     "graph_degree_stats" -> {
       val pairsSql = TextQueries.oracle("dedup_ngram_jaccard")

@@ -1,0 +1,55 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.plans.logical.Statistics
+import org.apache.spark.sql.classic.{Dataset => CDataset, SparkSession => CSparkSession}
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Stats-hygienic localCheckpoint for iterative DataFrame loops.
+  *
+  * `Dataset.localCheckpoint` truncates LINEAGE but deliberately carries
+  * the origin plan's `Statistics` onto the resulting [[LogicalRDD]] leaf
+  * (so one checkpoint doesn't blind the optimizer). In an open-ended
+  * loop (connected components, Borůvka) whose per-round plan JOINS the
+  * previous round's checkpoint — possibly several times — the carried
+  * sizeInBytes estimates compound MULTIPLICATIVELY round over round
+  * (Catalyst's join estimate is the product of the child sizes), and
+  * when a round multiplies the carried stat into itself more than once
+  * the digit count grows GEOMETRICALLY: after Borůvka's ~14 contraction
+  * rounds the estimate is a BigInt with ~10^6 digits and
+  * SizeInBytesOnlyStatsPlanVisitor spends MINUTES per plan inside
+  * BigInteger.multiplyToomCook3 — a planning-time hang on a 16k-node
+  * graph, caught by ScaleSpec's Borůvka probe (r9). Fixed round counts
+  * (pagerank) and single-join rounds (min-label CC) only grow digits
+  * LINEARLY, which is why the sf-gate suite never tripped this.
+  *
+  * The fix: re-wrap the checkpoint leaf with the same RDD /
+  * partitioning / ordering / constraints but sizeInBytes (and rowCount)
+  * CAPPED at Long.MaxValue. Real stats small enough to matter (the
+  * early-round broadcast decisions) pass through untouched; the cap
+  * re-applies at every checkpoint, so a product can never escape one
+  * round's plan. Lives in package org.apache.spark.sql because
+  * `Dataset.ofRows` is private[sql]; everything touched is public Spark
+  * surface otherwise. */
+object GraftStatsCheckpoint {
+  private val Cap = BigInt(Long.MaxValue)
+
+  def localCheckpointCapped(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint() // eager: materialize exactly once
+    ck.queryExecution.analyzed match {
+      case lr: LogicalRDD =>
+        val st = lr.computeStats()
+        if (st.sizeInBytes <= Cap && st.rowCount.forall(_ <= Cap)) ck
+        else {
+          val capped = Statistics(
+            sizeInBytes = st.sizeInBytes.min(Cap),
+            rowCount = st.rowCount.map(_.min(Cap)))
+          val spark = ck.sparkSession.asInstanceOf[CSparkSession]
+          CDataset.ofRows(spark,
+            new LogicalRDD(lr.output, lr.rdd, lr.outputPartitioning,
+              lr.outputOrdering, lr.isStreaming, lr.stream)(
+              spark, Some(capped), Some(lr.constraints)))
+        }
+      case _ => ck // non-LogicalRDD leaf: nothing carried, nothing to cap
+    }
+  }
+}

@@ -399,4 +399,69 @@ class GraphsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("distinct edge weights"))
   }
+
+  /** Independent reference for [[Graphs.landmarkHarmonic]]'s landmark
+    * pick: java MessageDigest md5 of "lm:<node>", first 13 hex chars as
+    * a hex long — no Spark expression shared with the operator. */
+  private def lmHash(node: Long): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"lm:$node".getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(7).map("%02x".format(_)).mkString.take(13), 16)
+  }
+
+  private def referenceBfs(adj: Map[Long, Set[Long]], src: Long,
+                           horizon: Int): Map[Long, Int] = {
+    var dist = Map(src -> 0)
+    var frontier = Set(src)
+    for (d <- 1 to horizon) {
+      frontier = frontier.flatMap(adj.getOrElse(_, Set.empty))
+        .filterNot(dist.contains)
+      dist ++= frontier.map(_ -> d)
+    }
+    dist
+  }
+
+  test("landmark harmonic: exact integer folds, disconnected component contributes zero") {
+    // Component A: a 9-node path (ids chosen freely — the reference
+    // recomputes whatever landmarks the hash picks); component B: the
+    // pair {1000, 1001}. With 2 landmarks the hash may seat them both
+    // in A, both in B, or split — the reference BFS handles every case,
+    // and we additionally assert the zero-contribution path on whichever
+    // component ends up landmark-free (forced below).
+    val pathEdges = (1L to 8L).map(i => (i, i + 1))
+    val edges = (pathEdges :+ (1000L, 1001L)).toDF("x", "y")
+    val nodes = (1L to 9L) ++ Seq(1000L, 1001L)
+    val adj = (pathEdges ++ Seq((1000L, 1001L)))
+      .flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val lms = nodes.sortBy(n => (lmHash(n), n)).take(2)
+    val dists = lms.map(referenceBfs(adj, _, 6))
+    val expected = nodes.map { n =>
+      val ds = dists.flatMap(_.get(n)).filter(_ > 0)
+      n -> ((ds.size.toLong, ds.map(1000L / _).sum))
+    }.toMap
+    val got = Graphs.landmarkHarmonic(edges, nLandmarks = 2, rounds = 6)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === expected)
+    // Force the zero-contribution path: 4 landmarks over an 11-node
+    // clique component vs the isolated pair — at most 4 of 11 clique
+    // nodes are landmarks, and IF the hash seats all 4 in the clique
+    // (it does for these ids: verified by the reference pick below),
+    // the pair must read (0, 0), not NULL and not a crash.
+    val cliqueIds = (1L to 11L)
+    val clique = for { a <- cliqueIds; b <- cliqueIds if a < b } yield (a, b)
+    val nodes2 = cliqueIds ++ Seq(1000L, 1001L)
+    val lms2 = nodes2.sortBy(n => (lmHash(n), n)).take(4)
+    assume(lms2.forall(_ <= 11L), "hash seated a landmark in the pair; fixture ids need reshuffling")
+    val got2 = Graphs.landmarkHarmonic((clique :+ (1000L, 1001L)).toDF("x", "y"),
+      nLandmarks = 4, rounds = 6)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got2(1000L) === ((0L, 0L)) && got2(1001L) === ((0L, 0L)))
+    // clique non-landmarks sit at distance 1 from all 4 landmarks;
+    // landmarks see the OTHER 3 at distance 1 (self contributes 0)
+    cliqueIds.foreach { n =>
+      if (lms2.contains(n)) assert(got2(n) === ((3L, 3000L)))
+      else assert(got2(n) === ((4L, 4000L)))
+    }
+  }
 }

@@ -166,4 +166,95 @@ class ScaleSpec extends SparkSpec {
       .select("o_orderkey", "c_mktsegment").as[(Long, String)].collect().toSet
     assert(got === want)
   }
+
+  // ---- iterative-operator convergence probes beyond the oracle-gate SFs.
+  // The 100 TB posture claims (big-star O(log n), Borůvka O(log n)) are
+  // round-count claims; these pin the margins on graphs whose diameter /
+  // component size dwarfs anything the sf gates produce, with driver-side
+  // union-find / Kruskal references for exactness.
+
+  private def unionFind(edges: Iterable[(Long, Long)]): scala.collection.mutable.Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- edges) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keysIterator.foreach(k => parent(k) = find(k))
+    parent
+  }
+
+  test("big-star CC: 20k-node permuted path (diameter 20k) converges in <= 2 log2 n + 4 rounds; min-label guard fires") {
+    // high-diameter adversary: min-label walks ONE hop per round and can
+    // never finish inside any sane budget — the guard must throw, loudly,
+    // instead of shipping partial labels; big-star must converge in
+    // O(log n) with ids permuted so label order carries no free luck
+    val n = 20001L
+    val perm = (i: Long) => (i * 2654435761L) % 1000003L * 100000L + i
+    val edges = (0L until n - 1).map(i => (perm(i), perm(i + 1)))
+    val df = edges.toDF("a", "b")
+    val e = intercept[IllegalStateException] {
+      operators.Graphs.connectedComponents(df, maxIter = 8)
+    }
+    assert(e.getMessage.contains("did not converge"))
+    val (labels, rounds) = operators.Graphs.alternatingCC(df, maxRounds = 40)
+    val bound = 2 * (math.log(n.toDouble) / math.log(2)).ceil.toInt + 4
+    assert(rounds <= bound, s"big-star needed $rounds rounds (bound $bound)")
+    val got = labels.as[(Long, Long)].collect()
+    val minId = edges.iterator.flatMap(p => Iterator(p._1, p._2)).min
+    assert(got.length === n)
+    assert(got.forall(_._2 == minId), "path is ONE component labeled by its min id")
+  }
+
+  test("big-star CC: 32k-node hash-random giant component matches union-find exactly within the round bound") {
+    // giant-component adversary: m = 2n hash-derived edges sit way past
+    // the 0.5n percolation threshold, so ~all nodes fuse into one blob —
+    // the shape a near-dup graph takes when boilerplate glues a corpus
+    // together, and the regime where per-round frontier joins are widest
+    val n = 32768L
+    val edges = (0L until 2 * n).map { i =>
+      val a = (i * 6364136223846793005L + 1442695040888963407L) >>> 33
+      val b = (i * 2862933555777941757L + 3037000493L) >>> 33
+      (a % n, b % n)
+    }.filter(p => p._1 != p._2)
+    val df = edges.toDF("a", "b")
+    val (labels, rounds) = operators.Graphs.alternatingCC(df, maxRounds = 40)
+    val bound = 2 * (math.log(n.toDouble) / math.log(2)).ceil.toInt + 4
+    assert(rounds <= bound, s"big-star needed $rounds rounds (bound $bound)")
+    val want = unionFind(edges)
+    val got = labels.as[(Long, Long)].collect().toMap
+    assert(got === want.toMap)
+    val giant = want.groupBy(_._2).map(_._2.size).max
+    assert(giant > want.size * 9 / 10, "fixture lost its giant component")
+  }
+
+  test("boruvka MSF: 16k-node giant random graph matches driver Kruskal, rounds stay O(log n)") {
+    val n = 16384L
+    val raw = (0L until 2 * n).map { i =>
+      val a = (i * 6364136223846793005L + 1442695040888963407L) >>> 33
+      val b = (i * 2862933555777941757L + 3037000493L) >>> 33
+      // weights distinct by construction: hash-spread base + unique i
+      (a % n, b % n, ((i * 2654435761L) % 1000000L) * 4096L + i)
+    }.filter(p => p._1 != p._2)
+    val (forest, rounds) = operators.Graphs.boruvkaMsfRounds(
+      raw.toDF("u", "v", "w"), maxRounds = 20)
+    val bound = (math.log(n.toDouble) / math.log(2)).ceil.toInt + 2
+    assert(rounds <= bound, s"boruvka needed $rounds rounds (bound $bound)")
+    // driver Kruskal (distinct weights -> the MSF is unique as an edge SET)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    val want = scala.collection.mutable.Set[Long]()
+    for ((a, b, w) <- raw.sortBy(_._3)) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { parent(math.max(ra, rb)) = math.min(ra, rb); want += w }
+    }
+    val got = forest.select("w").as[Long].collect().toSet
+    assert(got === want.toSet)
+  }
 }
