@@ -822,7 +822,38 @@ object Records {
       |  est_b4096 * 1000 // exact_pairs AS infl4096_milli
       |FROM ex, e256, e4096""".stripMargin
 
+  /** Zone-map file pruning as a BOARD query — the end-to-end consumer of
+    * [[graft.sources.Manifest]]'s Iceberg/Delta-style scan planning
+    * (writeSharded's range layout + _manifest.json was spec-proven but
+    * nothing on the board exercised planning-time pruning until now):
+    * orders lands once as 16 range-sharded parquet files keyed on
+    * o_orderkey under /tmp (rebuilt iff the manifest is missing or its
+    * row total stops matching the source — the stale-cache guard), then
+    * the [4000, 9000] revenue rollup reads ONLY the overlapping shards —
+    * the driver touches one small JSON instead of listing and
+    * footer-reading all 16 files (O(survivors) planning; ~6 shards
+    * survive at sf0.01, ~2 at sf0.1 — the pruning RATIO grows with
+    * scale, which is the point). The oracle sees none of this: DuckDB
+    * filters the raw table, so the hash match proves pruning loses no
+    * rows and admits no strays. SourcesSpec pins the survivor count. */
+  def metaManifestPrune(s: SparkSession, dir: String): DataFrame = {
+    val shardDir = "/tmp/graft_zonemap_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_") + "/orders"
+    val src = t(s, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val manifestOk =
+      java.nio.file.Files.exists(java.nio.file.Paths.get(shardDir, "_manifest.json")) &&
+        graft.sources.Manifest.readManifest(shardDir).map(_.rows).sum == src.count()
+    if (!manifestOk)
+      graft.sources.Manifest.writeSharded(src, shardDir, "o_orderkey", 16)
+    graft.sources.Manifest.prunedRead(s, shardDir, "o_orderkey", 4000L, 9000L)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        graft.Determinism.dsum2(col("o_totalprice")).as("revenue"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "meta_manifest_prune" -> (metaManifestPrune _),
     "meta_join_size_estimate" -> (metaJoinSizeEstimate _),
     "meta_deletion_vectors" -> (metaDeletionVectors _),
     "meta_hash_chain" -> (metaHashChain _),
@@ -911,6 +942,14 @@ object Records {
       |FROM k, r, tk""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the oracle filters the RAW table — a hash match proves the
+    // manifest-pruned scan loses no rows and admits no strays
+    "meta_manifest_prune" ->
+      """SELECT o_orderstatus,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders WHERE o_orderkey BETWEEN 4000 AND 9000
+        |GROUP BY o_orderstatus""".stripMargin,
     "meta_join_size_estimate" -> JOIN_EST_SQL,
     "meta_article_enrich" -> ARTICLE_SQL,
     "meta_genome_notes" -> GENOMENOTES_SQL,

@@ -370,7 +370,9 @@ class PlanAuditSpec extends SparkSpec {
     "data_rater_kappa" -> 1, // one narrow projection into a single 4-cell aggregate
     "events_changepoint_binseg" -> 2, // (type,hour) count agg; windows + argmax ride one event_type exchange
     "sim_kmeans_shift" -> 1, // final assignment scan into one cluster agg; K-row shift frame broadcasts
-    "meta_join_size_estimate" -> 7) // all on checkpointed date-grain (≤|dates|-row) relations: exact join + 2×2 bucket aggs + folds
+    "meta_join_size_estimate" -> 7, // all on checkpointed date-grain (≤|dates|-row) relations: exact join + 2×2 bucket aggs + folds
+    "graph_harmonic_centrality" -> 0, // final fold scans the round-6 checkpoint: per-round shuffles run at build (bfs_layers class)
+    "meta_manifest_prune" -> 1) // ONE status rollup over the manifest-pruned union scan
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
     // the shard grid must drive the exchange (parallelism = shard count),

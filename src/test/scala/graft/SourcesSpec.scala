@@ -240,4 +240,27 @@ class SourcesSpec extends SparkSpec {
     val empty = Manifest.prunedRead(spark, dir, "l_orderkey", top + 10, top + 20)
     assert(empty.count() === 0L)
   }
+
+  test("meta_manifest_prune board query scans O(survivors) files, not the table") {
+    // force a fresh layout so the row-total stale-cache guard is what
+    // builds it, then pin the pruning: the [4000, 9000] scan must touch
+    // a strict subset of the 16 shards, and only manifest-overlapping ones
+    val shardDir = "/tmp/graft_zonemap_" +
+      sf.replaceAll("[^A-Za-z0-9.]", "_") + "/orders"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(shardDir))
+    operators.Records.metaManifestPrune(spark, sf).collect()
+    val shards = Manifest.readManifest(shardDir)
+    assert(shards.size === 16)
+    val survivors = shards.filter(s => s.hi >= 4000L && s.lo <= 9000L)
+    val scanned = Manifest.prunedRead(spark, shardDir, "o_orderkey", 4000L, 9000L)
+      .inputFiles.toSet
+    assert(scanned === survivors.map(_.path).toSet)
+    assert(scanned.size < 16, "pruning scanned every shard")
+    // second invocation reuses the cached layout (guard sees matching totals)
+    val before = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(shardDir, "_manifest.json"))
+    operators.Records.metaManifestPrune(spark, sf).collect()
+    assert(java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(shardDir, "_manifest.json")) === before)
+  }
 }
