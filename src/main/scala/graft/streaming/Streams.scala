@@ -674,4 +674,145 @@ object Streams {
         out.iterator
     }
   }
+
+  case class TmState(seen: Long, sample: Seq[(Long, Long)])
+  case class TmOut(event_type: String, n_seen: Long, n_sample: Long,
+                   trimmed_mean_est_milli: Long)
+
+  /** Streaming counterpart of events_trimmed_mean. An EXACT trimmed mean
+    * needs every value's rank — O(stream) state, dead on an infinite
+    * stream — so the twin rides the repo's canonical bounded answer to
+    * value-distribution statistics: the mergeable bottom-K KMV sample
+    * (eventsBottomkSample / quantile_sketch_union discipline). Per type
+    * the state is the K = 64 (hash, v_milli) pairs with the smallest
+    * 52-bit md5 under this operator's OWN 'tm:' salt (the shared-salt
+    * correlation landmine) — bottom-K of a union = bottom-K of merged
+    * bottom-Ks, so after any micro-batch split the sample is
+    * BIT-IDENTICAL to sampling the whole prefix directly (the spec
+    * asserts this against a batch-computed sample). Each batch emits the
+    * sample's 5%-trimmed mean on the same floor(value·1000) milli
+    * lattice as the batch operator: sorted sample, drop m div 20 from
+    * each tail, kept-sum div kept-count. The java-side md5 of
+    * "tm:<event_id>" is byte-identical to Spark's
+    * conv(substring(md5(concat('tm:', event_id)), 1, 13), 16, 10). */
+  def trimmedMean(events: Dataset[(String, Long, Long)],
+                  k: Int = 64): Dataset[TmOut] = {
+    import events.sparkSession.implicits._
+    def h13(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"tm:$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(7).map("%02x".format(_)).mkString.take(13), 16)
+    }
+    events.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (tpe: String, it: Iterator[(String, Long, Long)],
+       state: GroupState[TmState]) =>
+        val incoming = it.map(e => (h13(e._2), e._3)).toArray
+        val st = state.getOption.getOrElse(TmState(0L, Seq.empty))
+        val sample = (st.sample ++ incoming).sortBy(identity).take(k)
+        val seen = st.seen + incoming.length
+        state.update(TmState(seen, sample))
+        val vs = sample.map(_._2).sorted
+        val m = vs.length
+        val cut = m / 20
+        val kept = vs.slice(cut, m - cut)
+        if (kept.isEmpty) Iterator.empty
+        else Iterator(TmOut(tpe, seen, m.toLong, kept.sum / kept.length))
+    }
+  }
+
+  case class CpState(hours: Seq[(Long, Long)])
+  case class CpOut(event_type: String, n_hours: Long, split_i: Long,
+                   split_hour: Long, gain_fp: Long,
+                   mean_left_milli: Long, mean_right_milli: Long)
+
+  /** Streaming counterpart of events_changepoint_binseg's first split:
+    * every batch re-runs the prefix-sum argmax over the hourly series
+    * seen so far and emits the refreshed best split per updated type —
+    * the monitoring read ("where does the data CURRENTLY say behavior
+    * shifted"). State is the per-type (hour, count) series: bounded by
+    * the CALENDAR — the very relation the batch operator materializes
+    * per type (8.8k cells/year) — never by event volume; input is the
+    * upstream watermarked hourly aggregate, per-key ascending across
+    * batches (the ewma contract). Arithmetic is the batch operator's
+    * exact integer lattice verbatim (all-positive truncating divs, ties
+    * to the earliest split), so once the stream has seen the whole
+    * series its LAST emission per type equals the batch row exactly —
+    * the spec pins that equality. Types with one occupied hour have no
+    * admissible split and emit nothing, matching the batch drop. */
+  def changepoint(hours: Dataset[(String, Long, Long)]): Dataset[CpOut] = {
+    import hours.sparkSession.implicits._
+    hours.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (tpe: String, it: Iterator[(String, Long, Long)],
+       state: GroupState[CpState]) =>
+        val st = state.getOption.getOrElse(CpState(Seq.empty))
+        val hs = (st.hours ++ it.map(e => (e._2, e._3))).sortBy(_._1)
+        state.update(CpState(hs))
+        val n = hs.length.toLong
+        if (n < 2) Iterator.empty
+        else {
+          val s = hs.map(_._2).sum
+          var best: CpOut = null
+          var s1 = 0L
+          for (((hour, x), idx) <- hs.zipWithIndex; if idx < n - 1) {
+            s1 += x
+            val i = idx + 1L
+            val gain = s1 * s1 / i + (s - s1) * (s - s1) / (n - i) - s * s / n
+            if (best == null || gain > best.gain_fp)
+              best = CpOut(tpe, n, i, hour, gain,
+                s1 * 1000 / i, (s - s1) * 1000 / (n - i))
+          }
+          Iterator(best)
+        }
+    }
+  }
+
+  case class QwState(i: Long, minX: Long, n: Long, nWaited: Long,
+                     maxW: Long, sumW: Long)
+  case class QwOut(event_type: String, n_arrivals: Long, n_waited: Long,
+                   max_wait_ms: Long, mean_wait_ms: Long)
+
+  /** Streaming counterpart of events_queue_wait — the twin the Lindley
+    * recursion was BORN for: W_i = max(0, W_{i−1} + S − gap_i) is an
+    * online recurrence, and the batch operator's running-min reduction
+    * (x_i = S·i − A_i, W_i = x_i − min_{k≤i} x_k) carries across
+    * micro-batches as TWO longs — the arrival index and the running min
+    * of x. Unlike the sample/series twins above the state here is O(1)
+    * per key with no calendar bound needed: six longs, at any stream
+    * length. Input is (event_type, ts_ns, event_id), per-key ascending
+    * across batches (the ewma contract); within a batch rows sort on
+    * (ts_ns, event_id), matching the batch window order exactly. Each
+    * batch emits the refreshed whole-prefix aggregate on the same
+    * exact-ms lattice (wms is non-negative, so truncating div ==
+    * floor), so once the stream has drained the series the LAST
+    * emission per type equals the batch operator's row — the spec pins
+    * that equality whole-vs-split. */
+  def queueWait(events: Dataset[(String, Long, Long)],
+                svcNs: Long = 30000000000L): Dataset[QwOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (tpe: String, it: Iterator[(String, Long, Long)],
+       state: GroupState[QwState]) =>
+        val st = state.getOption.getOrElse(
+          QwState(0L, Long.MaxValue, 0L, 0L, 0L, 0L))
+        var (i, minX, n, nw, mx, sm) =
+          (st.i, st.minX, st.n, st.nWaited, st.maxW, st.sumW)
+        for ((_, ts, _) <- it.toArray.sortBy(e => (e._2, e._3))) {
+          i += 1
+          val x = i * svcNs - ts
+          if (x < minX) minX = x
+          val w = (x - minX) / 1000000L
+          n += 1
+          if (w > 0) nw += 1
+          if (w > mx) mx = w
+          sm += w
+        }
+        state.update(QwState(i, minX, n, nw, mx, sm))
+        if (n == 0) Iterator.empty
+        else Iterator(QwOut(tpe, n, nw, mx, sm / n))
+    }
+  }
 }

@@ -687,4 +687,119 @@ class StreamsSpec extends SparkSpec {
       assert(r3 === ((4L, 5L)))
     } finally q.stop()
   }
+
+  test("streaming trimmed mean: sample is merge-invariant and matches the Spark-md5 batch sample") {
+    // the java-side 'tm:' md5 must be byte-identical to Spark's expr —
+    // build the expected bottom-64 sample with SPARK md5 and compare
+    val ev = DomainQueries.events(spark, sf)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        expr("cast(floor(value * 1000) as bigint)").as("vm"))
+    val expected = ev
+      .withColumn("h", expr("cast(conv(substring(md5(cast(concat('tm:', " +
+        "event_id) as binary)), 1, 13), 16, 10) as bigint)"))
+      .as[(String, Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (tpe, rows) =>
+        val vs = rows.map(r => (r._4, r._3)).sorted.take(64).map(_._2).sorted
+        val kept = vs.slice(vs.length / 20, vs.length - vs.length / 20)
+        tpe -> ((rows.length.toLong, vs.length.toLong, kept.sum / kept.length))
+      }
+    val whole = Streams.trimmedMean(ev.as[(String, Long, Long)]).collect()
+      .map(o => o.event_type -> ((o.n_seen, o.n_sample, o.trimmed_mean_est_milli)))
+      .toMap
+    assert(whole === expected)
+    assert(whole.nonEmpty)
+    // merge-invariance: two micro-batches end at the same sample as one
+    implicit val sqlCtx = spark.sqlContext
+    val all = ev.as[(String, Long, Long)].collect().sortBy(_._2)
+    val (b1, b2) = all.splitAt(all.length / 2)
+    val mem = MemoryStream[(String, Long, Long)]
+    val q = Streams.trimmedMean(mem.toDS())
+      .writeStream.format("memory").queryName("tm_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+      val last = spark.sql(
+        "SELECT event_type, n_sample, trimmed_mean_est_milli FROM tm_out t " +
+          "WHERE n_seen = (SELECT max(n_seen) FROM tm_out u " +
+          "                WHERE u.event_type = t.event_type)")
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(last === expected.map { case (t, (_, m, tm)) => t -> ((m, tm)) })
+    } finally q.stop()
+  }
+
+  test("streaming changepoint converges to the batch binseg split across batches") {
+    val hours = DomainQueries.events(spark, sf)
+      .select(col("event_type"), expr("ts_ns div 3600000000000").as("h"))
+      .groupBy("event_type", "h").agg(count(lit(1)).as("x"))
+      .as[(String, Long, Long)]
+    val batch = operators.Analytics.eventsChangepoint(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+    // single batch = whole series: one emission per type, equal to batch op
+    val whole = Streams.changepoint(hours).collect()
+      .map(o => o.event_type -> ((o.n_hours, o.split_i, o.split_hour,
+        o.gain_fp, o.mean_left_milli, o.mean_right_milli))).toMap
+    assert(whole === batch)
+    assert(batch.nonEmpty)
+    // incremental: batch-2 hours see batch-1 history; final answer converges
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Long)]
+    val q = Streams.changepoint(mem.toDS())
+      .writeStream.format("memory").queryName("cp_out")
+      .outputMode("append").start()
+    try {
+      // planted level shift at hour 4: [2,2,2,2 | 10,10,10,10]
+      mem.addData((0L to 3L).map(h => ("a", h, 2L)): _*)
+      q.processAllAvailable()
+      mem.addData((4L to 7L).map(h => ("a", h, 10L)): _*)
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT n_hours, split_i, split_hour, " +
+        "mean_left_milli, mean_right_milli FROM cp_out ORDER BY n_hours")
+        .as[(Long, Long, Long, Long, Long)].collect()
+      assert(rows.length === 2) // one emission per micro-batch
+      // after the full series the split sits at i=4 (hour_id 3):
+      // means 2000 vs 10000 milli
+      assert(rows.last === ((8L, 4L, 3L, 2000L, 10000L)))
+    } finally q.stop()
+  }
+
+  test("streaming queue wait carries the Lindley running-min across batches in O(1) state") {
+    val ev = DomainQueries.events(spark, sf)
+      .select(col("event_type"), col("ts_ns"), col("event_id"))
+      .as[(String, Long, Long)]
+    val batch = operators.Analytics.eventsQueueWait(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // single batch = whole series: the one emission per type equals the
+    // batch operator's row exactly
+    val whole = Streams.queueWait(ev).collect()
+      .map(o => o.event_type ->
+        ((o.n_arrivals, o.n_waited, o.max_wait_ms, o.mean_wait_ms))).toMap
+    assert(whole === batch)
+    assert(batch.nonEmpty)
+    // split mid-stream (per-key ascending order preserved): the LAST
+    // emission per type converges to the same row — the running min and
+    // arrival index must survive the boundary
+    implicit val sqlCtx = spark.sqlContext
+    val all = ev.collect().sortBy(e => (e._2, e._3))
+    val (b1, b2) = all.splitAt(all.length / 3)
+    val mem = MemoryStream[(String, Long, Long)]
+    val q = Streams.queueWait(mem.toDS())
+      .writeStream.format("memory").queryName("qw_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+      val last = spark.sql(
+        "SELECT event_type, n_waited, max_wait_ms, mean_wait_ms " +
+          "FROM qw_out t WHERE n_arrivals = (SELECT max(n_arrivals) " +
+          "FROM qw_out u WHERE u.event_type = t.event_type)")
+        .as[(String, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(last === batch.map { case (t, (_, nw, mx, mn)) => t -> ((nw, mx, mn)) })
+    } finally q.stop()
+  }
 }
