@@ -22,6 +22,22 @@ object Tables {
   * and sums are exact and order-independent, and the single final
   * decimal→double conversion is deterministic in both engines.
   */
+/** Repo-wide checkpoint entry point: every `.localCheckpoint()` in
+  * operator code routes through the stats-capped variant
+  * ([[org.apache.spark.sql.GraftStatsCheckpoint]]). Plain localCheckpoint
+  * carries the origin plan's Statistics onto the new leaf; iterative
+  * loops that join the previous round's checkpoint more than once per
+  * round compound sizeInBytes GEOMETRICALLY until Catalyst planning
+  * hangs multiplying million-digit BigInts (caught by ScaleSpec's
+  * Borůvka probe, r9). The cap (Long.MaxValue) is a passthrough for
+  * sane stats and can never flip a broadcast decision — it only touches
+  * estimates already >8 EB, far beyond any autoBroadcastJoinThreshold —
+  * so converting non-loop sites is free inoculation. */
+object Ckpt {
+  def capped(df: DataFrame): DataFrame =
+    org.apache.spark.sql.GraftStatsCheckpoint.localCheckpointCapped(df)
+}
+
 object Determinism {
   def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
 

@@ -131,7 +131,7 @@ object Analytics {
     val sessions = DomainQueries.withSessionIds(s, dir)
       .groupBy("user_id", "session_id")
       .agg(min("ts_ns").as("st"), max("ts_ns").as("en"))
-      .localCheckpoint()
+      .transform(graft.Ckpt.capped)
     val bounds = sessions.select(col("st").as("ts"), lit(1L).as("delta"))
       .unionByName(sessions.select(col("en").as("ts"), lit(-1L).as("delta")))
       .withColumn("hour_id", expr(s"ts div $HOUR_NS"))
@@ -291,7 +291,7 @@ object Analytics {
         expr("case when shiftright(h, 6) = 0 then 55" +
           " else 55 - length(bin(shiftright(h, 6))) end").as("rho"))
       .groupBy("day", "reg").agg(max("rho").as("rho"))
-      .localCheckpoint() // feeds the daily fold AND the period merge
+      .transform(graft.Ckpt.capped) // feeds the daily fold AND the period merge
     val daily = dayreg.groupBy("day").agg(wAgg)
       .select(expr("day div 30").as("period"),
         floor(est).cast("long").as("est_floor"))
@@ -359,7 +359,7 @@ object Analytics {
     val hourly = DomainQueries.events(s, dir)
       .groupBy(col("event_type"), expr("ts_ns div 3600000000000").as("hour"))
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint() // both pair sides read it
+      .transform(graft.Ckpt.capped) // both pair sides read it
     hourly.toDF("type_a", "hour", "x")
       .join(hourly.toDF("type_b", "h2", "y"),
         col("h2") === col("hour") && col("type_a") < col("type_b"))
@@ -539,7 +539,7 @@ object Analytics {
         expr("cast(cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint) as string)"),
         1, 1).as("digit"))
       .groupBy("o_orderpriority", "digit").agg(count(lit(1)).as("n"))
-      .localCheckpoint() // feeds the total fold and the output
+      .transform(graft.Ckpt.capped) // feeds the total fold and the output
     val tot = cells.groupBy("o_orderpriority").agg(sum("n").as("total"))
     cells.join(broadcast(tot), "o_orderpriority")
       .withColumn("obs_milli", expr("n * 1000 div total"))
@@ -779,7 +779,7 @@ object Analytics {
     val h = DomainQueries.events(s, dir)
       .select(col("event_type"), expr(s"ts_ns div $HOUR_NS").as("hour_id"))
       .groupBy("event_type", "hour_id").agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      .transform(graft.Ckpt.capped)
     h.join(h.toDF("et_p", "ph", "pc"),
         col("et_p") === col("event_type") && col("ph") === col("hour_id") - 1)
       .join(h.toDF("et_s", "sh", "sc"),
@@ -944,7 +944,7 @@ object Analytics {
     val c = DomainQueries.events(s, dir)
       .select(expr(s"ts_ns div $DAY_NS").as("day"), col("event_type"))
       .groupBy("day", "event_type").agg(count(lit(1)).as("n"))
-      .localCheckpoint() // feeds the global profile AND the per-day cells
+      .transform(graft.Ckpt.capped) // feeds the global profile AND the per-day cells
     val g = c.groupBy("event_type").agg(sum("n").as("gn"))
       .withColumn("tot", sum("gn").over(Window.partitionBy()))
     c.withColumn("dn", sum("n").over(wDay))
@@ -1025,10 +1025,10 @@ object Analytics {
   def eventsSessionCooccurrence(s: SparkSession, dir: String): DataFrame = {
     val st = DomainQueries.withSessionIds(s, dir)
       .select("user_id", "session_id", "event_type").distinct()
-      .localCheckpoint()
+      .transform(graft.Ckpt.capped)
     val nSessions = st.select("user_id", "session_id").distinct().count()
     val tn = st.groupBy("event_type").agg(count(lit(1)).as("n"))
-      .localCheckpoint() // referenced twice below
+      .transform(graft.Ckpt.capped) // referenced twice below
     st.toDF("user_id", "session_id", "type_a")
       .join(st.toDF("u2", "s2", "type_b"),
         col("u2") === col("user_id") && col("s2") === col("session_id") &&
@@ -1107,7 +1107,7 @@ object Analytics {
       .select(col("user_id"), expr(s"ts_ns div $DAY_NS").as("day"))
       .distinct()
       .withColumn("period", expr("day div 30"))
-      .localCheckpoint() // feeds the dau fold and the mau distinct
+      .transform(graft.Ckpt.capped) // feeds the dau fold and the mau distinct
     val dau = du.groupBy("period", "day").agg(count(lit(1)).as("dau"))
       .groupBy("period")
       .agg(sum("dau").as("sum_dau"), count(lit(1)).as("n_days"))
@@ -1336,7 +1336,7 @@ object Analytics {
         expr("cast(length(bin(1 + cast(floor(value * 1024) as bigint))) - 1 as bigint)")
           .as("bin"))
       .groupBy("event_type", "day", "bin").agg(count(lit(1)).as("n"))
-      .localCheckpoint() // midpoint fold + the half rollup both read it
+      .transform(graft.Ckpt.capped) // midpoint fold + the half rollup both read it
     val mid = cells.agg(expr("(min(day) + max(day) + 1) div 2").as("mid"))
     val halves = cells.crossJoin(broadcast(mid))
       .groupBy(col("event_type"),
@@ -1346,7 +1346,7 @@ object Analytics {
         sum("n").over(Window.partitionBy("event_type", "half")))
       .select(col("event_type"), col("half"), col("bin"),
         expr("n * 1000 div tn").as("share"))
-      .localCheckpoint() // both half filters read it; the build ran once
+      .transform(graft.Ckpt.capped) // both half filters read it; the build ran once
     val h1 = halves.filter(col("half") === 0)
       .select(col("event_type"), col("bin"), col("share").as("s1"))
     val h2 = halves.filter(col("half") === 1)
@@ -1407,7 +1407,7 @@ object Analytics {
         expr("cast(floor(value * 1000) as bigint)").as("v_milli"))
       .groupBy("event_type", "hour")
       .agg(count(lit(1)).as("n_events"), sum("v_milli").as("value_milli"))
-      .localCheckpoint() // span fold + the calendar join both read it
+      .transform(graft.Ckpt.capped) // span fold + the calendar join both read it
     val cal = obs.groupBy("event_type")
       .agg(min("hour").as("h0"), max("hour").as("h1"))
       .select(col("event_type"),
@@ -1584,7 +1584,7 @@ object Analytics {
     val daily = DomainQueries.events(s, dir)
       .select(col("event_type"), expr(s"ts_ns div $DAY_NS").as("day"))
       .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
-      .localCheckpoint()
+      .transform(graft.Ckpt.capped)
     def discMedian(df: DataFrame, valueCol: String, out: String): DataFrame = {
       val w = Window.partitionBy("event_type").orderBy(valueCol, "day")
       df.withColumn("vr", row_number().over(w).cast("long"))
@@ -1595,7 +1595,7 @@ object Analytics {
     val med = discMedian(daily, "n", "med")
     val withDev = daily.join(broadcast(med), Seq("event_type"))
       .withColumn("dev", abs(col("n") - col("med")))
-      .localCheckpoint() // same calendar bound, referenced twice
+      .transform(graft.Ckpt.capped) // same calendar bound, referenced twice
     val mad = discMedian(withDev, "dev", "mad")
     withDev.join(broadcast(mad), Seq("event_type"))
       .select(col("event_type"), col("day"), col("n"), col("med"), col("mad"),
@@ -1813,7 +1813,7 @@ object Analytics {
     val scored = perUser.crossJoin(broadcast(maxDay))
       .select(col("user_id"), (col("max_day") - col("last_day")).as("r_days"),
         col("freq"), col("monetary_fp"))
-      .localCheckpoint()
+      .transform(graft.Ckpt.capped)
     val n = scored.count()
     val r1 = globalRowNumber(scored, Seq(col("r_days").desc, col("user_id")))
       .withColumnRenamed("rn", "r_rank")
@@ -1992,7 +1992,7 @@ object Analytics {
     t(s, dir, "embeddings")
       .select(col("vec_id") +: (0 until 64).map(i =>
         expr(s"cast(floor(cast(embedding[$i] as double) * 1048576) as bigint)").as(s"x$i")): _*)
-      .localCheckpoint()
+      .transform(graft.Ckpt.capped)
 
   private[operators] def pqSeeds(fixed: DataFrame): Array[Array[Long]] = {
     val seedH = expr(
@@ -2140,7 +2140,7 @@ object Analytics {
       .agg(min("hr").as("first_hr"), max("hr").as("last_hr"))
       // referenced by the watermark fold AND the cohort rollup — without
       // the checkpoint both references replay the events scan + aggregate
-      .localCheckpoint()
+      .transform(graft.Ckpt.capped)
     val wm = perUser.agg(max("last_hr").as("wm"))
     perUser.crossJoin(broadcast(wm))
       .select(expr("first_hr div 24").as("cohort_day"),
@@ -2181,7 +2181,7 @@ object Analytics {
       .select(col("doc_id"), nTok.as("n_tokens"), nChr.as("n_alnum"))
       .filter(col("n_tokens") > 0)
       .withColumn("difficulty_milli", expr("n_alnum * 1000 div n_tokens + n_tokens"))
-      .localCheckpoint() // count() + rank sort would replay the scan twice
+      .transform(graft.Ckpt.capped) // count() + rank sort would replay the scan twice
     val n = scored.count()
     val ranked = globalRowNumber(scored, Seq(col("difficulty_milli"), col("doc_id")))
     val sp = graft.NtileSplit(n, 4)
@@ -2223,7 +2223,7 @@ object Analytics {
         col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
       .distinct()
-      .localCheckpoint()
+      .transform(graft.Ckpt.capped)
     val nOrders = ob.agg(countDistinct("ok").as("n_orders"))
     val brandCnt = ob.groupBy("brand").agg(count(lit(1)).as("cnt"))
     ob.as("a").join(ob.as("b"),
@@ -2451,7 +2451,7 @@ object Analytics {
     * the loop. */
   private def kmeansFit(s: SparkSession, dir: String)
       : (Array[Array[Long]] => DataFrame, Vector[Array[Array[Long]]]) = {
-    val proj = rpFixedPoint(t(s, dir, "embeddings")).localCheckpoint()
+    val proj = rpFixedPoint(t(s, dir, "embeddings")).transform(graft.Ckpt.capped)
     val seedH = expr(
       "cast(conv(substring(md5(cast(concat('km:', vec_id) as binary)), 1, 13), 16, 10) as bigint)")
     val seeds: Array[Array[Long]] = proj
@@ -2608,7 +2608,7 @@ object Analytics {
     * rank ≤ 3. */
   def simHardNegatives(s: SparkSession, dir: String): DataFrame = {
     val labels = simKmeansAssign(s, dir).select("vec_id", "cluster")
-      .localCheckpoint() // both join legs read it; kmeans must not replay
+      .transform(graft.Ckpt.capped) // both join legs read it; kmeans must not replay
     val byQ = Window.partitionBy("qid").orderBy(col("dot").desc, col("vec_id"))
     SketchQueries.simKnnGraph(s, dir).select("qid", "vec_id", "dot")
       .join(labels.select(col("vec_id").as("qid"),
@@ -2710,7 +2710,7 @@ object Analytics {
       .filter(col("rank") <= 8)
       .select(col("qid"), col("vec_id"),
         expr("cast(floor(dot * 1048576) as bigint)").as("qd_fp"))
-      .localCheckpoint() // pair join sides + the vector-fetch leg
+      .transform(graft.Ckpt.capped) // pair join sides + the vector-fetch leg
     val vecs = t(s, dir, "embeddings")
       .join(broadcast(short.select("vec_id").distinct()), Seq("vec_id"))
       .select(col("vec_id"), col("embedding"))
@@ -2810,7 +2810,7 @@ object Analytics {
       .withColumn("first_p", min("period").over(uAll))
       .withColumn("prev", lag("period", 1).over(byUser))
       .withColumn("nxt", lead("period", 1).over(byUser))
-      .localCheckpoint() // the active and churn union legs both read it
+      .transform(graft.Ckpt.capped) // the active and churn union legs both read it
     val active = st.select(col("period"),
       (col("period") === col("first_p")).cast("long").as("is_new"),
       // when/otherwise, not a bare cast: prev is NULL for every new
@@ -3377,7 +3377,7 @@ object Analytics {
     val h = DomainQueries.events(s, dir)
       .select(col("event_type"), expr(s"ts_ns div $HOUR_NS").as("hour_id"))
       .groupBy("event_type", "hour_id").agg(count(lit(1)).as("c"))
-      .localCheckpoint() // contributions + actuals + min fence all read it
+      .transform(graft.Ckpt.capped) // contributions + actuals + min fence all read it
     val contrib = h
       .select(col("event_type"), col("hour_id"), col("c"),
         explode(expr("array(1L,2L,3L,4L,5L,6L,7L,8L)")).as("i"))
@@ -3482,16 +3482,16 @@ object Analytics {
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("j", "xf")))
       .select(col("vec_id"), col("j").cast("long").as("j"),
         expr("cast(floor(cast(xf as double) * 1024) as bigint)").as("x"))
-      .localCheckpoint() // both sides of the outer-product self-join
+      .transform(graft.Ckpt.capped) // both sides of the outer-product self-join
     val cov = x.toDF("vec_id", "i", "xi")
       .join(x.toDF("vid2", "j", "xj"), col("vec_id") === col("vid2"))
       .groupBy("i", "j").agg(sum(expr("xi * xj")).as("c"))
-      .localCheckpoint() // read by all five matvec rounds
+      .transform(graft.Ckpt.capped) // read by all five matvec rounds
     var v = s.range(64).select(col("id").as("j"), lit(1048576L).as("v"))
     for (_ <- 1 to 5) {
       val y = cov.join(broadcast(v), Seq("j"))
         .groupBy(col("i")).agg(sum(expr("c * v")).as("y"))
-        .localCheckpoint() // max fold + renormalize both read it
+        .transform(graft.Ckpt.capped) // max fold + renormalize both read it
       // 64-row driver scalar: the O(1) centroid-fold class, documented
       val m = y.agg(max(abs(col("y")))).head().getLong(0)
       val d = math.max(m / 1048576L, 1L)
@@ -3546,7 +3546,7 @@ object Analytics {
       .groupBy("prev", "next").agg(count(lit(1)).as("n"))
       .withColumn("p_fp", expr("n * 1048576 div sum(n) over (partition by prev)"))
       .select("prev", "next", "p_fp")
-      .localCheckpoint() // read by all five steps
+      .transform(graft.Ckpt.capped) // read by all five steps
     var v = m.select(col("prev").as("et")).distinct()
       .withColumn("v", lit(1048576L))
     for (_ <- 1 to 5)
@@ -3693,11 +3693,11 @@ object Analytics {
       .select(expr(s"ts_ns div $DAY_NS").as("day"),
         expr("cast(conv(substring(md5(cast(concat('ki:', user_id) as binary)), 1, 13), 16, 10) as bigint)").as("h"))
       .distinct()
-      .localCheckpoint() // sketches + exact folds all read it
+      .transform(graft.Ckpt.capped) // sketches + exact folds all read it
     val wDay = Window.partitionBy("day").orderBy("h")
     val sk = dh.withColumn("r", row_number().over(wDay))
       .filter(col("r") <= K).select("day", "h")
-      .localCheckpoint() // both pair sides
+      .transform(graft.Ckpt.capped) // both pair sides
     val merged = sk
       .select(col("day").as("day_a"), col("h"), lit(1L).as("in_a"))
       .join(sk.select((col("day") - 1).as("day_a"), col("h"),

@@ -318,7 +318,7 @@ object CoreQueries {
         col("n_name").as("supp_nation"))), col("s_nationkey") === col("sk"))
       .groupBy("cust_nation", "supp_nation")
       .agg(sum(revenue).as("rev"))
-      .localCheckpoint() // ≤|nations|² rows, read by both rollups
+      .transform(graft.Ckpt.capped) // ≤|nations|² rows, read by both rollups
     val exports = cells.groupBy(col("supp_nation").as("n_name"))
       .agg(sum("rev").as("export_dec"))
     val imports = cells.groupBy(col("cust_nation").as("n_name"))
@@ -450,7 +450,7 @@ object CoreQueries {
         col("l_quantity").cast("long").as("qty"))
       .groupBy("p_brand", "disc_pct")
       .agg(count(lit(1)).as("n_items"), sum("qty").as("qty_mass"))
-      .localCheckpoint() // feeds both the baseline fold and the output
+      .transform(graft.Ckpt.capped) // feeds both the baseline fold and the output
     val base = cells.groupBy("p_brand")
       .agg(expr("sum(qty_mass) * 1000 div sum(n_items)").as("base_milli"))
     cells.join(broadcast(base), "p_brand")

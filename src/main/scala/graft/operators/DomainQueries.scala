@@ -381,7 +381,7 @@ object DomainQueries {
     // checkpoint so neither path replays the corpus count
     val offsets = base.groupBy("bkt").agg(count(lit(1)).as("bn"))
       .withColumn("boff", coalesce(sum("bn").over(wb), lit(0L)))
-      .localCheckpoint()
+      .transform(graft.Ckpt.capped)
     val total = offsets.agg(sum("bn").as("n")) // folds from ≤256 rows
     val bySp = Window.partitionBy("species").orderBy("h", "occ_id")
     val wl = Window.partitionBy("bkt").orderBy("h", "occ_id")
@@ -450,9 +450,9 @@ object DomainQueries {
   def occRangeJaccard(s: SparkSession, dir: String): DataFrame = {
     val sp = valid(s, dir)
       .select(cell1(col("lat"), col("lon")).as("cellid"), col("species"))
-      .distinct().localCheckpoint()
+      .distinct().transform(graft.Ckpt.capped)
     val rich = sp.groupBy("species").agg(count(lit(1)).as("n_cells"))
-      .localCheckpoint() // referenced twice below — don't replay the agg
+      .transform(graft.Ckpt.capped) // referenced twice below — don't replay the agg
     val inter = sp.toDF("cellid", "sp1")
       .join(sp.toDF("cellid2", "sp2"),
         col("cellid") === col("cellid2") && col("sp1") < col("sp2"))
@@ -1292,7 +1292,7 @@ object DomainQueries {
         .cast("long"))
       .withColumn("n_hot", sum("hot").over(wAll))
       .select("cellid", "hot", "n_hot", "n_cells")
-      .localCheckpoint() // feeds both adjacency sides + the global counts
+      .transform(graft.Ckpt.capped) // feeds both adjacency sides + the global counts
     cells
       .select(col("cellid"), col("hot").as("hot_a"), col("n_hot"),
         col("n_cells"), expr(offs).as("o"))
@@ -1399,7 +1399,7 @@ object DomainQueries {
       .withColumn("zsum", sum("z").over(wAll))
       .select(col("cellid"), expr("z * n_cells - zsum").as("d"),
         col("n_cells"))
-      .localCheckpoint() // feeds the denominator fold + both pair sides
+      .transform(graft.Ckpt.capped) // feeds the denominator fold + both pair sides
     val den = cells.agg(sum(expr("d * d")).as("den"),
       max("n_cells").as("n_cells"))
     val num = cells
@@ -1528,7 +1528,7 @@ object DomainQueries {
       .withColumn("tot", sum("n").over(Window.partitionBy("species")))
       .select(col("species"), col("day_id"),
         expr("n * 1000 div tot").as("pm"))
-      .localCheckpoint() // both self-join sides read it
+      .transform(graft.Ckpt.capped) // both self-join sides read it
     prof.toDF("species_a", "day_id", "pa")
       .join(prof.toDF("species_b", "day_id", "pb"), Seq("day_id"))
       .filter(col("species_a") < col("species_b"))
@@ -1574,7 +1574,7 @@ object DomainQueries {
   def occDistanceDecay(s: SparkSession, dir: String): DataFrame = {
     val cs = valid(s, dir)
       .select(cell10(col("lat"), col("lon")).as("cellid"), col("species"))
-      .distinct().localCheckpoint()
+      .distinct().transform(graft.Ckpt.capped)
     val rich = cs.groupBy("cellid").agg(count(lit(1)).as("nsp"))
     val pairs = cs.toDF("c1", "species")
       .join(cs.toDF("c2", "species"), Seq("species"))
@@ -1601,13 +1601,13 @@ object DomainQueries {
     }
     val pts = valid(s, dir)
       .select(Seq(col("occ_id")) ++ (0 to 4).map(qcell): _*)
-      .localCheckpoint() // feeds the count agg AND the five joins
+      .transform(graft.Ckpt.capped) // feeds the count agg AND the five joins
     val cnts = pts
       .select(explode(array((0 to 4).map(k =>
         struct(lit(k.toLong).as("k"), col(s"q$k").as("cid"))): _*)).as("e"))
       .groupBy(col("e.k").as("k"), col("e.cid").as("cid"))
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint()
+      .transform(graft.Ckpt.capped)
     val joined = (0 to 4).foldLeft(pts) { (acc, k) =>
       acc.join(broadcast(cnts.filter(col("k") === k)
           .select(col("cid").as(s"q$k"), col("n").as(s"n$k"))),
@@ -1643,7 +1643,7 @@ object DomainQueries {
     val cs = valid(s, dir)
       .select(cell10(col("lat"), col("lon")).as("cellid"), col("species"))
       .distinct()
-      .localCheckpoint() // feeds the alpha and gamma legs
+      .transform(graft.Ckpt.capped) // feeds the alpha and gamma legs
     val alpha = cs.groupBy("cellid").agg(count(lit(1)).as("n_sp"))
       .groupBy(expr("cellid div 36").as("band"))
       .agg(count(lit(1)).as("n_cells"), sum("n_sp").as("sum_alpha"))

@@ -629,7 +629,7 @@ object Records {
       .select(col("shard"), col("n_rows"),
         expr("aggregate(xs, '', (acc, x) -> md5(cast(concat(acc, x.h) as binary)))")
           .as("chain"))
-      .localCheckpoint() // root fold + output both read it
+      .transform(graft.Ckpt.capped) // root fold + output both read it
     val root = shards
       .agg(sum("n_rows").as("n_rows"),
         sort_array(collect_list(struct(col("shard"), col("chain")))).as("xs"))
@@ -771,8 +771,8 @@ object Records {
         expr("cast(conv(substring(md5(cast(concat('jse:', k) as binary))," +
           " 1, 13), 16, 10) as bigint)").as("h"))
       .groupBy("k", "h").agg(count(lit(1)).as("c"))
-    val o = keyed(t(s, dir, "orders"), "o_orderdate").localCheckpoint()
-    val l = keyed(t(s, dir, "lineitem"), "l_shipdate").localCheckpoint()
+    val o = keyed(t(s, dir, "orders"), "o_orderdate").transform(graft.Ckpt.capped)
+    val l = keyed(t(s, dir, "lineitem"), "l_shipdate").transform(graft.Ckpt.capped)
     val exact = o.join(l.toDF("k", "h2", "c2"), Seq("k"))
       .agg(sum(expr("c * c2")).as("exact_pairs"),
         count(lit(1)).as("n_shared_keys"))

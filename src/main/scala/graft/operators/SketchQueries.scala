@@ -65,9 +65,9 @@ object SketchQueries {
     * integer divisions off zero on both engines. */
   def dedupLshRecallAudit(s: SparkSession, dir: String): DataFrame = {
     val exact = TextQueries.dedupNgramJaccard(s, dir)
-      .select("doc1", "doc2").localCheckpoint()
+      .select("doc1", "doc2").transform(graft.Ckpt.capped)
     val approx = dedupMinhashLsh(s, dir)
-      .select("doc1", "doc2").localCheckpoint()
+      .select("doc1", "doc2").transform(graft.Ckpt.capped)
     val ne = exact.agg(count(lit(1)).as("n_exact"))
     val na = approx.agg(count(lit(1)).as("n_lsh"))
     val nh = exact.join(approx, Seq("doc1", "doc2"), "left_semi")
@@ -390,12 +390,12 @@ object SketchQueries {
       .groupBy("a", "b").agg(max("dot").as("dot"))
       .select(col("a"), col("b"),
         expr("cast(floor(dot * 1048576) as bigint)").as("dot_fp"))
-      .localCheckpoint() // feeds the pair fold and the endpoint fold
+      .transform(graft.Ckpt.capped) // feeds the pair fold and the endpoint fold
     val swept = pairs
       .select(col("a"), col("b"), col("dot_fp"),
         explode(expr("sequence(0L, 9L)")).as("t"))
       .filter(col("dot_fp") >= expr("t * 1048576 div 10"))
-      .localCheckpoint() // feeds both rollups below
+      .transform(graft.Ckpt.capped) // feeds both rollups below
     val np = swept.groupBy("t").agg(count(lit(1)).as("n_pairs"))
     val nd = swept
       .select(col("t"), explode(array(col("a"), col("b"))).as("doc"))
@@ -544,9 +544,9 @@ object SketchQueries {
     val emb = ivfEmb(s, dir)
     val cents = ivfCents(emb)
     val d = ivfAssign(emb, cents).filter(col("vec_id") >= 5)
-      .localCheckpoint() // shared by all four sweep legs
+      .transform(graft.Ckpt.capped) // shared by all four sweep legs
     val exact = TextQueries.simCosineTopk(s, dir).select("qid", "vec_id")
-      .localCheckpoint()
+      .transform(graft.Ckpt.capped)
     val dot = graft.functions.Vectors.dot(col("qv"), col("v"))
     Seq(1, 2, 4, 8).map { np =>
       val q = ivfProbes(emb, cents, np)

@@ -85,7 +85,7 @@ object TextPrep {
       .repartitionByRange(col("n_chars"))
       .sortWithinPartitions("n_chars")
       .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
+      .transform(graft.Ckpt.capped)
     val partTotals = hist.groupBy("pid").agg(sum("cnt").as("t"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val n = partTotals.map(_._2).sum
@@ -433,7 +433,7 @@ object TextPrep {
       .join(firstSeen, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("new_types"), lit(0L)).as("new_types"))
-      .localCheckpoint()
+      .transform(graft.Ckpt.capped)
     val mm = base.agg(min("doc_id"), max("doc_id")).head()
     require(!mm.isNullAt(0), "textVocabGrowth on an empty documents table")
     val (lo, hi) = (mm.getLong(0), mm.getLong(1))
@@ -479,7 +479,7 @@ object TextPrep {
     * scans once and only (id, source, token-count) rows aggregate. */
   def dataDedupImpact(s: SparkSession, dir: String): DataFrame = {
     val victims = TextQueries.dedupFuzzyMatch(s, dir)
-      .select(col("doc_b").as("doc_id")).distinct().localCheckpoint()
+      .select(col("doc_b").as("doc_id")).distinct().transform(graft.Ckpt.capped)
     t(s, dir, "documents")
       .select(col("doc_id"), col("source"),
         size(Shingles.tokens(col("text"))).cast("long").as("n_toks"))
@@ -566,7 +566,7 @@ object TextPrep {
       .withColumn("ttr_milli",
         when(col("n_toks") > 0, expr("n_dis * 1000 div n_toks"))
           .otherwise(0L))
-      .localCheckpoint() // budget action + offsets + main pass: scan once
+      .transform(graft.Ckpt.capped) // budget action + offsets + main pass: scan once
     val budget = base.agg(expr("sum(n_toks) div 2")).head().getLong(0)
     val bucketed = base.withColumn("bkt", -col("ttr_milli"))
     val offsets = Scale.bucketOffsets(bucketed, "bkt", Seq("n_toks"))

@@ -242,7 +242,7 @@ object TextQueries {
     val srcFp = textChunkWindows(s, dir)
       .join(t(s, dir, "documents").select("doc_id", "source"), Seq("doc_id"))
       .select(col("source"), col("chunk_hash52")).distinct()
-      .localCheckpoint()
+      .transform(graft.Ckpt.capped)
     val sizes = srcFp.groupBy(col("source").as("src_a"))
       .agg(count(lit(1)).as("n_fp_a"))
     srcFp.select(col("source").as("src_a"), col("chunk_hash52"))
@@ -275,7 +275,7 @@ object TextQueries {
     // localCheckpoint so the count aggregate plans/runs ONCE (triangles
     // precedent), leaving the block-key join as the only real exchange
     val oversized = d.groupBy("pre").agg(count(lit(1)).as("bn"))
-      .filter(col("bn") > FUZZY_BLOCK_CAP).select("pre").localCheckpoint()
+      .filter(col("bn") > FUZZY_BLOCK_CAP).select("pre").transform(graft.Ckpt.capped)
     val b = d.join(broadcast(oversized), Seq("pre"), "left_anti")
     b.select(col("pre"), col("doc_id").as("doc_a"), col("sk").as("sk_a"))
       .join(b.select(col("pre"), col("doc_id").as("doc_b"), col("sk").as("sk_b")),
@@ -437,7 +437,7 @@ object TextQueries {
     * fingerprint aggregate, one hash join back, one doc rollup. */
   def dedupChunkLevel(s: SparkSession, dir: String): DataFrame = {
     val chunks = textChunkWindows(s, dir)
-      .select("doc_id", "chunk_hash52").localCheckpoint()
+      .select("doc_id", "chunk_hash52").transform(graft.Ckpt.capped)
     val perHash = chunks.groupBy("chunk_hash52")
       .agg(countDistinct("doc_id").as("n_docs"))
     chunks.join(perHash, Seq("chunk_hash52"))
@@ -615,7 +615,7 @@ object TextQueries {
     }.toDF("band", "bucket", "vec_id", "v")
       // referenced three times below (cap count + both join sides):
       // materialize once or the banding kernel replays per reference
-      .localCheckpoint()
+      .transform(graft.Ckpt.capped)
     val oversized = banded.groupBy("band", "bucket")
       .agg(count(lit(1)).as("bn"))
       .filter(col("bn") > BUCKET_CAP).select("band", "bucket")
@@ -846,7 +846,7 @@ object TextQueries {
       .select(expr("shared * 1000 div (s1.sz + s2.sz - shared)").as("jm"))
       .groupBy(expr("jm div 100").as("bucket"))
       .agg(count(lit(1)).as("n_pairs"))
-      .localCheckpoint() // seven config projections read it
+      .transform(graft.Ckpt.capped) // seven config projections read it
     val configs = Seq(64 -> 1, 32 -> 2, 16 -> 4, 8 -> 8, 4 -> 16, 2 -> 32, 1 -> 64)
     // square-and-multiply, NOT a sequential fold: a depth-64 nested chain
     // exceeds DuckDB's 128-deep binder; this is O(log k) deep, and both

@@ -212,7 +212,7 @@ object TextRank {
     // consume them, and without the checkpoint each consumer replays the
     // gram window + df join (11 planned shuffles vs ~6 after)
     val rare = g.join(dfc.filter(col("df") <= DF_CUTOFF).select("g"), Seq("g"))
-      .localCheckpoint()
+      .transform(graft.Ckpt.capped)
     val szs = rare.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val cand = rare.groupBy("g")
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
@@ -324,7 +324,7 @@ object TextRank {
     // production STREAMING build maps occurrences directly — there the
     // vocab aggregate is the thing the sketch exists to avoid.
     val exact = toksDf.groupBy("tok").agg(count(lit(1)).as("true_n"))
-      .localCheckpoint()
+      .transform(graft.Ckpt.capped)
     val top = exact.orderBy(desc("true_n"), asc("tok")).limit(20)
     val sketch = exact
       .select(col("tok"), col("true_n").as("n"), explode(sequence(lit(0), lit(3))).as("r"))
