@@ -815,4 +815,47 @@ object Streams {
         else Iterator(QwOut(tpe, n, nw, mx, sm / n))
     }
   }
+
+  case class SaxState(days: Seq[(Long, Long)])
+  case class SaxOut(event_type: String, n_days: Long, motif: String,
+                    n_windows: Long)
+
+  /** Streaming counterpart of events_sax_motifs. The tercile symbols are
+    * RANK-based over the whole series — a late day can re-symbolize every
+    * earlier day — so like [[changepoint]] the twin re-runs the exact
+    * batch discretization per micro-batch over the per-type (day, count)
+    * series and emits the refreshed motif histogram for every updated
+    * type. State is CALENDAR-bounded (≤365 cells/type/year), never
+    * event-volume-bounded; input is the upstream watermarked daily
+    * aggregate emitting each day once (the changepoint contract, though
+    * re-ranking makes arrival order immaterial here). Symbols replay the
+    * batch lattice verbatim — 0-based (c, day) rank ·3 div n — and each
+    * run of three consecutive calendar days contributes one motif, so
+    * once the stream has drained the series the rows of the LAST
+    * emission per type (the max-n_days rows the spec selects) equal the
+    * batch operator's exactly. Types still under 3 days emit nothing. */
+  def saxMotifs(days: Dataset[(String, Long, Long)]): Dataset[SaxOut] = {
+    import days.sparkSession.implicits._
+    days.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (tpe: String, it: Iterator[(String, Long, Long)],
+       state: GroupState[SaxState]) =>
+        val st = state.getOption.getOrElse(SaxState(Seq.empty))
+        val ds = st.days ++ it.map(e => (e._2, e._3))
+        state.update(SaxState(ds))
+        val n = ds.length
+        if (n < 3) Iterator.empty
+        else {
+          val sym = ds.sortBy { case (d, c) => (c, d) }.zipWithIndex
+            .map { case ((d, _), i) => d -> i.toLong * 3 / n }.toMap
+          val byDay = ds.map(_._1).sorted
+          byDay.sliding(3).collect {
+            case Seq(d2, d1, d0) if d1 == d0 - 1 && d2 == d0 - 2 =>
+              s"${sym(d2)}${sym(d1)}${sym(d0)}"
+          }.toSeq.groupBy(identity)
+            .map { case (m, xs) => SaxOut(tpe, n.toLong, m, xs.size.toLong) }
+            .iterator
+        }
+    }
+  }
 }

@@ -257,4 +257,35 @@ class ScaleSpec extends SparkSpec {
     val got = forest.select("w").as[Long].collect().toSet
     assert(got === want.toSet)
   }
+
+  test("capped checkpoint: compounding stats stay bounded, sane stats pass through, broadcast survives") {
+    val cap = BigInt(Long.MaxValue)
+    val base = Ckpt.capped((1L to 64L).map(i => (i, i * 2)).toDF("a", "b"))
+    // passthrough: a small relation keeps its REAL estimate (not the cap,
+    // not defaultSizeInBytes) — the early-round broadcast decisions depend
+    // on this
+    val s0 = base.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(s0 > 0 && s0 < BigInt(10L << 20), s"small ckpt reads huge: $s0")
+    // the compounding mechanism is real: PLAIN localCheckpoint squares the
+    // carried estimate when a round joins the previous checkpoint twice
+    var plain = base.localCheckpoint()
+    var capped = base
+    for (_ <- 1 to 6) {
+      def round(df: org.apache.spark.sql.DataFrame) =
+        df.toDF("a", "b").join(df.toDF("a", "c"), Seq("a"))
+          .select(col("a"), (col("b") + col("c")).as("b"))
+      plain = round(plain).localCheckpoint()
+      capped = Ckpt.capped(round(capped))
+    }
+    val sPlain = plain.queryExecution.optimizedPlan.stats.sizeInBytes
+    val sCapped = capped.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(sPlain > cap, s"expected plain-checkpoint compounding past the cap, got $sPlain")
+    assert(sCapped <= cap, s"capped checkpoint leaked a compounded stat: $sCapped")
+    // a passthrough-capped checkpoint still broadcasts under a
+    // small-side join — its REAL stats survived the wrapper
+    val fact = (1L to 1000L).map(i => (i % 64 + 1, i)).toDF("a", "v")
+    val joined = fact.join(base, Seq("a"))
+    val phys = joined.queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastHashJoin"), s"expected BHJ, got:\n$phys")
+  }
 }

@@ -802,4 +802,40 @@ class StreamsSpec extends SparkSpec {
       assert(last === batch.map { case (t, (_, nw, mx, mn)) => t -> ((nw, mx, mn)) })
     } finally q.stop()
   }
+
+  test("streaming sax motifs re-rank to the batch histogram after a late batch") {
+    val days = DomainQueries.events(spark, sf)
+      .select(col("event_type"), expr("ts_ns div 86400000000000").as("d"))
+      .groupBy("event_type", "d").agg(count(lit(1)).as("c"))
+      .as[(String, Long, Long)]
+    val batch = operators.Analytics.eventsSaxMotifs(spark, sf)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // single batch = whole series
+    val whole = Streams.saxMotifs(days).collect()
+      .map(o => (o.event_type, o.motif) -> o.n_windows).toMap
+    assert(whole === batch)
+    assert(batch.nonEmpty)
+    // split mid-calendar: the second batch's days re-rank the first
+    // batch's symbols (a rank-based breakpoint is a whole-series
+    // property); the max-n_days emission per type must equal batch
+    implicit val sqlCtx = spark.sqlContext
+    val all = days.collect().sortBy(_._2)
+    val (b1, b2) = all.splitAt(all.length / 2)
+    val mem = MemoryStream[(String, Long, Long)]
+    val q = Streams.saxMotifs(mem.toDS())
+      .writeStream.format("memory").queryName("sax_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+      val last = spark.sql(
+        "SELECT event_type, motif, n_windows FROM sax_out t " +
+          "WHERE n_days = (SELECT max(n_days) FROM sax_out u " +
+          "                WHERE u.event_type = t.event_type)")
+        .as[(String, String, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      assert(last === batch)
+    } finally q.stop()
+  }
 }
