@@ -34,8 +34,7 @@ object Graphs {
     * 16k-node Borůvka probe, r9). The cap is a passthrough whenever the
     * carried stats are sane (≤ Long.MaxValue), so non-loop sites are
     * unchanged. See [[org.apache.spark.sql.GraftStatsCheckpoint]]. */
-  private def ckpt(df: DataFrame): DataFrame =
-    org.apache.spark.sql.GraftStatsCheckpoint.localCheckpointCapped(df)
+  private def ckpt(df: DataFrame): DataFrame = graft.Ckpt.capped(df)
 
   /** obs.get with a 10 s ceiling; None on timeout. Each call gets its
     * own single-thread DAEMON executor, shut down on exit — parking the

@@ -827,25 +827,40 @@ object Records {
     * (writeSharded's range layout + _manifest.json was spec-proven but
     * nothing on the board exercised planning-time pruning until now):
     * orders lands once as 16 range-sharded parquet files keyed on
-    * o_orderkey under /tmp (rebuilt iff the manifest is missing or its
-    * row total stops matching the source — the stale-cache guard), then
-    * the [4000, 9000] revenue rollup reads ONLY the overlapping shards —
-    * the driver touches one small JSON instead of listing and
-    * footer-reading all 16 files (O(survivors) planning; ~6 shards
-    * survive at sf0.01, ~2 at sf0.1 — the pruning RATIO grows with
-    * scale, which is the point). The oracle sees none of this: DuckDB
-    * filters the raw table, so the hash match proves pruning loses no
-    * rows and admits no strays. SourcesSpec pins the survivor count. */
+    * o_orderkey under /tmp, then the [4000, 9000] revenue rollup reads
+    * ONLY the overlapping shards — the driver touches one small JSON
+    * instead of listing and footer-reading all 16 files (O(survivors)
+    * planning; ~6 shards survive at sf0.01, ~2 at sf0.1 — the pruning
+    * RATIO grows with scale, which is the point). The stale-cache guard
+    * rebuilds unless ALL hold: a source fingerprint sidecar matches the
+    * source parquet's (size, mtime) — an in-place testdata regen with
+    * unchanged row count is a REAL precedent here (2026-08-13, events
+    * ts type) and a row-count-only guard would serve stale payloads —
+    * AND every manifest shard file still exists (a partially swept /tmp
+    * must trigger a rebuild, not a mid-scan PATH_NOT_FOUND). The oracle
+    * sees none of this: DuckDB filters the raw table, so the hash match
+    * proves pruning loses no rows and admits no strays. SourcesSpec
+    * pins the survivor count and the rebuild-vs-reuse transitions. */
   def metaManifestPrune(s: SparkSession, dir: String): DataFrame = {
     val shardDir = "/tmp/graft_zonemap_" +
       dir.replaceAll("[^A-Za-z0-9.]", "_") + "/orders"
     val src = t(s, dir, "orders")
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val srcPath = java.nio.file.Paths.get(s"$dir/orders.parquet")
+    val fingerprint = s"${java.nio.file.Files.size(srcPath)}:" +
+      s"${java.nio.file.Files.getLastModifiedTime(srcPath).toMillis}"
+    val fpPath = java.nio.file.Paths.get(shardDir, "_source_fingerprint")
     val manifestOk =
       java.nio.file.Files.exists(java.nio.file.Paths.get(shardDir, "_manifest.json")) &&
-        graft.sources.Manifest.readManifest(shardDir).map(_.rows).sum == src.count()
-    if (!manifestOk)
+        java.nio.file.Files.exists(fpPath) &&
+        new String(java.nio.file.Files.readAllBytes(fpPath), "UTF-8") == fingerprint &&
+        graft.sources.Manifest.readManifest(shardDir).forall(sh =>
+          java.nio.file.Files.exists(java.nio.file.Paths.get(
+            new java.net.URI(sh.path).getPath)))
+    if (!manifestOk) {
       graft.sources.Manifest.writeSharded(src, shardDir, "o_orderkey", 16)
+      java.nio.file.Files.write(fpPath, fingerprint.getBytes("UTF-8"))
+    }
     graft.sources.Manifest.prunedRead(s, shardDir, "o_orderkey", 4000L, 9000L)
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n_orders"),

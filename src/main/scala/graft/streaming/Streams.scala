@@ -692,23 +692,18 @@ object Streams {
     * asserts this against a batch-computed sample). Each batch emits the
     * sample's 5%-trimmed mean on the same floor(value·1000) milli
     * lattice as the batch operator: sorted sample, drop m div 20 from
-    * each tail, kept-sum div kept-count. The java-side md5 of
-    * "tm:<event_id>" is byte-identical to Spark's
-    * conv(substring(md5(concat('tm:', event_id)), 1, 13), 16, 10). */
+    * each tail, kept-sum div kept-count. The JVM-side hash is the shared
+    * [[graft.functions.Md5Prefix]] contract (byte-identical to Spark's
+    * conv(substring(md5(concat('tm:', event_id)), 1, 13), 16, 10)). */
   def trimmedMean(events: Dataset[(String, Long, Long)],
                   k: Int = 64): Dataset[TmOut] = {
     import events.sparkSession.implicits._
-    def h13(id: Long): Long = {
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"tm:$id".getBytes("UTF-8"))
-      java.lang.Long.parseLong(
-        d.take(7).map("%02x".format(_)).mkString.take(13), 16)
-    }
     events.groupByKey(_._1).flatMapGroupsWithState(
       OutputMode.Append, GroupStateTimeout.NoTimeout) {
       (tpe: String, it: Iterator[(String, Long, Long)],
        state: GroupState[TmState]) =>
-        val incoming = it.map(e => (h13(e._2), e._3)).toArray
+        val incoming =
+          it.map(e => (graft.functions.Md5Prefix.hash52("tm:", e._2), e._3)).toArray
         val st = state.getOption.getOrElse(TmState(0L, Seq.empty))
         val sample = (st.sample ++ incoming).sortBy(identity).take(k)
         val seen = st.seen + incoming.length
@@ -788,7 +783,15 @@ object Streams {
     * exact-ms lattice (wms is non-negative, so truncating div ==
     * floor), so once the stream has drained the series the LAST
     * emission per type equals the batch operator's row — the spec pins
-    * that equality whole-vs-split. */
+    * that equality whole-vs-split.
+    *
+    * Overflow is LOUD, mirroring the batch operator's ANSI semantics:
+    * i·svcNs wraps Long near 3e8 arrivals per type, and on a DIVERGENT
+    * queue (mean gap < S) sumW grows ~i² and wraps first, near 2.5e7 —
+    * multiplyExact/addExact throw there instead of silently corrupting
+    * every later emission (r9 review finding). A stream that trips this
+    * has a structurally-overloaded queue; the fix is a shorter service
+    * time or windowed restarts, not a bigger integer. */
   def queueWait(events: Dataset[(String, Long, Long)],
                 svcNs: Long = 30000000000L): Dataset[QwOut] = {
     import events.sparkSession.implicits._
@@ -802,13 +805,13 @@ object Streams {
           (st.i, st.minX, st.n, st.nWaited, st.maxW, st.sumW)
         for ((_, ts, _) <- it.toArray.sortBy(e => (e._2, e._3))) {
           i += 1
-          val x = i * svcNs - ts
+          val x = Math.subtractExact(Math.multiplyExact(i, svcNs), ts)
           if (x < minX) minX = x
           val w = (x - minX) / 1000000L
           n += 1
           if (w > 0) nw += 1
           if (w > mx) mx = w
-          sm += w
+          sm = Math.addExact(sm, w)
         }
         state.update(QwState(i, minX, n, nw, mx, sm))
         if (n == 0) Iterator.empty

@@ -236,8 +236,11 @@ class ScaleSpec extends SparkSpec {
     val raw = (0L until 2 * n).map { i =>
       val a = (i * 6364136223846793005L + 1442695040888963407L) >>> 33
       val b = (i * 2862933555777941757L + 3037000493L) >>> 33
-      // weights distinct by construction: hash-spread base + unique i
-      (a % n, b % n, ((i * 2654435761L) % 1000000L) * 4096L + i)
+      // weights distinct by construction: the unique-i low field is 16
+      // bits wide and i < 2n = 2^15 edges, so base*65536 + i cannot
+      // collide (a 4096 stride here was NOT structural — i overflows a
+      // 12-bit field — and held only by luck; r9 review finding)
+      (a % n, b % n, ((i * 2654435761L) % 1000000L) * 65536L + i)
     }.filter(p => p._1 != p._2)
     val (forest, rounds) = operators.Graphs.boruvkaMsfRounds(
       raw.toDF("u", "v", "w"), maxRounds = 20)

@@ -256,11 +256,26 @@ class SourcesSpec extends SparkSpec {
       .inputFiles.toSet
     assert(scanned === survivors.map(_.path).toSet)
     assert(scanned.size < 16, "pruning scanned every shard")
-    // second invocation reuses the cached layout (guard sees matching totals)
-    val before = java.nio.file.Files.getLastModifiedTime(
-      java.nio.file.Paths.get(shardDir, "_manifest.json"))
+    // second invocation reuses the cached layout (fingerprint + shard
+    // existence all hold)
+    val manifestPath = java.nio.file.Paths.get(shardDir, "_manifest.json")
+    val before = java.nio.file.Files.getLastModifiedTime(manifestPath)
     operators.Records.metaManifestPrune(spark, sf).collect()
-    assert(java.nio.file.Files.getLastModifiedTime(
-      java.nio.file.Paths.get(shardDir, "_manifest.json")) === before)
+    assert(java.nio.file.Files.getLastModifiedTime(manifestPath) === before)
+    // a partially swept cache (one shard parquet gone, manifest intact)
+    // must REBUILD, not fail mid-scan on the missing file
+    val victim = new java.io.File(new java.net.URI(shards.head.path).getPath)
+    assert(victim.delete(), s"couldn't delete $victim")
+    operators.Records.metaManifestPrune(spark, sf).collect()
+    assert(java.nio.file.Files.getLastModifiedTime(manifestPath) !== before,
+      "sweep of a shard file did not trigger a rebuild")
+    // a source-fingerprint mismatch (in-place regen precedent) rebuilds too
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(shardDir, "_source_fingerprint"),
+      "stale".getBytes("UTF-8"))
+    val before2 = java.nio.file.Files.getLastModifiedTime(manifestPath)
+    operators.Records.metaManifestPrune(spark, sf).collect()
+    assert(java.nio.file.Files.getLastModifiedTime(manifestPath) !== before2,
+      "fingerprint mismatch did not trigger a rebuild")
   }
 }
