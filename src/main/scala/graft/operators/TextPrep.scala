@@ -1001,7 +1001,106 @@ object TextPrep {
       |    AS at_tokens
       |FROM k""".stripMargin
 
+  /** BPE merge LEARNING — the tokenizer-TRAINING step next to
+    * text_bpe_tokens' fixed-merge encoder (functions/BpeEncode applies a
+    * merge list; this operator is where such a list comes from): the
+    * classic greedy loop — count adjacent symbol pairs over the corpus,
+    * merge the most frequent, repeat — run for a FIXED 6 rounds (fixed
+    * ⟹ bounded lineage and an unrollable oracle, the pagerank
+    * discipline).
+    *
+    * Scale shape: every round operates on the DISTINCT-WORD frequency
+    * dict (vocab-sized, never corpus-sized — exactly how production BPE
+    * trainers work), so the corpus is scanned ONCE for the word-count
+    * aggregate (checkpointed) and each round is one pair-count hash agg
+    * + an O(1) argmax collect + a codegen'd string-replace projection.
+    *
+    * Symbol sequences are encoded as TWO-SPACE-separated strings
+    * ("  a  b  c  ") so that the per-round merge is a single literal
+    * replace(" a  b " → " ab "): each occurrence keeps one space of the
+    * surrounding separators on each side, so ADJACENT merge sites share
+    * no characters and left-to-right non-overlapping replace() — the
+    * same semantics in Spark and DuckDB — performs EXACTLY the classic
+    * left-to-right symbol-array merge ([x a b a b] → [x ab ab],
+    * [a a a] → [aa a]). A single-space separator would make adjacent
+    * sites share the boundary space and silently skip every second
+    * merge. Pair counting includes sequence-overlapping duplicates
+    * ([a a a] counts (a,a) twice) on both engines; ties break
+    * (count DESC, left ASC, right ASC), deterministic. The spec replays
+    * a hand-rolled symbol-array reference incl. the overlap and tie
+    * cases. */
+  private[graft] def bpeLearn(words: DataFrame, rounds: Int)
+      : Seq[(Long, String, String, Long)] = {
+    var cur = words
+      .select(concat(lit("  "),
+        regexp_replace(col("word"), "(.)", "$1  ")).as("s"), col("freq"))
+      .transform(graft.Ckpt.capped) // re-scanned every round
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val top = cur
+        .select(col("freq"), split(trim(col("s")), "  ").as("l"))
+        .filter(size(col("l")) >= 2) // sequence(0,-1) would DESCEND
+        .select(col("freq"), explode(expr(
+          "transform(sequence(0, size(l) - 2)," +
+            " i -> struct(l[i] as a, l[i + 1] as b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("freq").as("c"))
+        .orderBy(desc("c"), asc("a"), asc("b")).limit(1)
+        .collect()
+      require(top.nonEmpty, s"bpeLearn: no pairs left at round $r")
+      val (a, b, c) =
+        (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      merges += ((r.toLong, a, b, c))
+      cur = cur.select(replace(col("s"),
+        lit(s" $a  $b "), lit(s" $a$b ")).as("s"), col("freq"))
+    }
+    merges.toSeq
+  }
+
+  def textBpeLearn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    bpeLearn(words, 6).toDF("step", "left_sym", "right_sym", "pair_weight")
+  }
+
+  private val BPE_LEARN_SQL = {
+    val rounds = (1 to 6).map { r =>
+      s"""bp$r AS (
+         |  SELECT p.a AS a, p.b AS b, CAST(SUM(freq) AS BIGINT) AS c
+         |  FROM (SELECT freq,
+         |          UNNEST(list_transform(generate_series(1, len(l) - 1),
+         |            i -> {'a': l[i], 'b': l[i + 1]})) AS p
+         |        FROM (SELECT freq, string_split(trim(s), '  ') AS l
+         |              FROM bw${r - 1})
+         |        WHERE len(l) >= 2)
+         |  GROUP BY 1, 2),
+         |bm$r AS (SELECT a, b, c FROM bp$r ORDER BY c DESC, a, b LIMIT 1),
+         |bw$r AS (
+         |  SELECT replace(s, ' ' || m.a || '  ' || m.b || ' ',
+         |                 ' ' || m.a || m.b || ' ') AS s, freq
+         |  FROM bw${r - 1}, bm$r m)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to 6).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS step, a AS left_sym, b AS right_sym," +
+        s" c AS pair_weight FROM bm$r").mkString("\nUNION ALL\n")
+    s"""WITH bwf AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+       |    SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE word <> '' GROUP BY 1),
+       |bw0 AS (
+       |  SELECT '  ' || regexp_replace(word, '(.)', '\\1  ', 'g') AS s,
+       |    freq
+       |  FROM bwf),
+       |$rounds
+       |$out""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_bpe_learn" -> (textBpeLearn _),
     "data_ks_drift" -> (dataKsDrift _),
     "data_bin_packing" -> (dataBinPacking _),
     "text_feature_hashing" -> (textFeatureHashing _),
@@ -1026,6 +1125,7 @@ object TextPrep {
     "data_pack_sequences" -> (dataPackSequences _))
 
   val oracle: Map[String, String] = Map(
+    "text_bpe_learn" -> BPE_LEARN_SQL,
     "data_ks_drift" -> KS_SQL,
     "data_bin_packing" -> BINPACK_SQL,
     "text_feature_hashing" -> FEATHASH_SQL,

@@ -372,7 +372,8 @@ class PlanAuditSpec extends SparkSpec {
     "sim_kmeans_shift" -> 1, // final assignment scan into one cluster agg; K-row shift frame broadcasts
     "meta_join_size_estimate" -> 7, // all on checkpointed date-grain (≤|dates|-row) relations: exact join + 2×2 bucket aggs + folds
     "graph_harmonic_centrality" -> 0, // final fold scans the round-6 checkpoint: per-round shuffles run at build (bfs_layers class)
-    "meta_manifest_prune" -> 1) // ONE status rollup over the manifest-pruned union scan
+    "meta_manifest_prune" -> 1, // ONE status rollup over the manifest-pruned union scan
+    "text_bpe_learn" -> 0) // returned merge table is a collected 6-row local relation; the per-round pair aggs run at build (harmonic class)
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
     // the shard grid must drive the exchange (parallelism = shard count),

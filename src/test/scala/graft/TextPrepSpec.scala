@@ -667,4 +667,54 @@ class TextPrepSpec extends SparkSpec {
     assert(e4096 >= ep && e256 >= e4096)
     assert(i256 === e256 * 1000 / ep && i4096 === e4096 * 1000 / ep)
   }
+
+  /** Hand-rolled symbol-array BPE reference: count all adjacent pairs
+    * (sequence-overlapping duplicates included) weighted by word freq,
+    * pick (count DESC, left ASC, right ASC), merge left-to-right
+    * non-overlapping, repeat. No string encoding anywhere — if the
+    * operator's two-space replace() trick deviates from true
+    * symbol-array semantics, this catches it. */
+  private def referenceBpe(words: Seq[(String, Long)], rounds: Int)
+      : Seq[(Long, String, String, Long)] = {
+    var vocab = words.map { case (w, f) => (w.map(_.toString).toList, f) }
+    (1 to rounds).map { r =>
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      for ((syms, f) <- vocab; Seq(a, b) <- syms.sliding(2))
+        counts((a, b)) = counts.getOrElse((a, b), 0L) + f
+      val ((a, b), c) = counts.toSeq
+        .minBy { case ((a, b), c) => (-c, a, b) }
+      vocab = vocab.map { case (syms, f) =>
+        val out = scala.collection.mutable.ListBuffer[String]()
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += a + b; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        (out.toList, f)
+      }
+      (r.toLong, a, b, c)
+    }
+  }
+
+  test("bpe merge learning matches the symbol-array reference incl. overlap and tie cases") {
+    // "aaaa" forces the overlap semantics ([a a a a] -> [aa aa], NOT
+    // [aa a a]); equal-count pairs force the lexicographic tie-break;
+    // round 2+ must see merged symbols as atomic units
+    val words = Seq(("aaaa", 3L), ("abab", 2L), ("cbcb", 2L), ("ba", 1L))
+    val got = TextPrep.bpeLearn(words.toDF("word", "freq"), rounds = 4)
+    assert(got === referenceBpe(words, 4))
+    // corpus run agrees with its own reference on the first rounds
+    val corpus = Tables.t(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val corpusWords = corpus.as[(String, Long)].collect().toSeq
+    val gotCorpus = TextPrep.bpeLearn(corpus, rounds = 2)
+    assert(gotCorpus === referenceBpe(corpusWords, 2))
+    // merged pairs are real bigrams: weights strictly positive and
+    // non-increasing is NOT required (a merge can create a new frequent
+    // pair), but every weight is > 0
+    assert(gotCorpus.forall(_._4 > 0))
+  }
 }
