@@ -599,6 +599,94 @@ object TextRank {
       |  CAST(SUM(b) * 1000 // COUNT(*) AS BIGINT) AS milli_bits_per_bigram
       |FROM b GROUP BY doc_id""".stripMargin
 
+  /** Interpolated Kneser–Ney bigram probability scoring (Kneser & Ney
+    * 1995 / Chen & Goodman 1999, public literature) — the SMOOTHED
+    * language-model quality gate next to [[textBigramSurprisal]]'s raw
+    * MLE one: the MLE gate scores every UNSEEN-context bigram as if it
+    * were merely rare, while KN redistributes discount mass D=3/4 to a
+    * continuation distribution (how many distinct contexts a word
+    * follows), the thing that actually separates natural text from
+    * keyword salad. Per bigram occurrence, the probability ships as an
+    * exact 2^20 fixed-point on an all-integer lattice (SURVEY §4 float
+    * discipline — no ln, no float division anywhere):
+    *
+    *   p_fp = (4·c₂−3)·2^20 div (4·c₁)                    [discounted MLE]
+    *        + ((3·n1fw·2^20) div (4·c₁)) · n1pw div T     [λ(w₁)·P_cont(w₂)]
+    *
+    * with c₂ = bigram count, c₁ = Σc₂ over the context (left-slot
+    * counting, so the conditional sums to ~1), n1fw = |{w₂: c(w₁w₂)>0}|,
+    * n1pw = |{w₁: c(w₁w₂)>0}|, T = distinct bigram types. The λ factor
+    * is floored FIRST (it is ≤ 3·2^18, so the cascade never overflows at
+    * any corpus size where counts fit BIGINT; the single-product form
+    * would overflow at vocab ~1.4e6); the MLE term needs c₂ < 2^40 —
+    * ~40× the count of "the the" in a 100 TB crawl. Every quantity is
+    * nonnegative, so Spark `div` (truncate) and DuckDB `//` (floor)
+    * agree. Per-doc score = Σ occurrences (k-weighted), exact BIGINT.
+    *
+    * Plan: the corpus explodes ONCE into per-doc bigram counts
+    * (checkpointed — stats AND the final join read it); c₂ folds from
+    * that (checkpointed — 4 consumers); context/continuation stats fold
+    * from c₂ (never a second corpus pass); the three stat joins shuffle
+    * on vocabulary keys (not broadcastable at corpus scale), T is a
+    * single-row broadcast. */
+  private[graft] def kneserNey(pairs: DataFrame): DataFrame = {
+    val db = pairs.groupBy("doc_id", "w1", "w2")
+      .agg(count(lit(1)).as("k")).transform(graft.Ckpt.capped)
+    val c2 = db.groupBy("w1", "w2").agg(sum("k").as("c2"))
+      .transform(graft.Ckpt.capped)
+    val w1s = c2.groupBy("w1").agg(sum("c2").as("c1"), count(lit(1)).as("n1fw"))
+    val pw = c2.groupBy("w2").agg(count(lit(1)).as("n1pw"))
+    val tt = c2.agg(count(lit(1)).as("t")) // single row — broadcast
+    db.join(c2, Seq("w1", "w2")).join(w1s, Seq("w1")).join(pw, Seq("w2"))
+      .crossJoin(broadcast(tt))
+      .select(col("doc_id"), col("k"),
+        expr("(4 * c2 - 3) * 1048576 div (4 * c1)" +
+          " + ((3 * n1fw * 1048576) div (4 * c1)) * n1pw div t").as("p_fp"))
+      .groupBy("doc_id")
+      .agg(sum("k").as("n_bigrams"), sum(expr("k * p_fp")).as("kn_sum_fp"))
+      .withColumn("kn_milli",
+        expr("kn_sum_fp * 1000 div (n_bigrams * 1048576)"))
+  }
+
+  def textKneserNey(s: SparkSession, dir: String): DataFrame = {
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    kneserNey(t(s, dir, "documents")
+      .select(col("doc_id"), toks("text").as(Seq("pos", "w1")))
+      .withColumn("w2", lead("w1", 1).over(byDoc))
+      .filter(col("w2").isNotNull)
+      .select("doc_id", "w1", "w2"))
+  }
+
+  private val KNESER_NEY_SQL =
+    """WITH tok AS (
+      |  SELECT doc_id, p.i AS pos, p.w FROM (
+      |    SELECT doc_id,
+      |      unnest(list_apply(regexp_extract_all(lower(text), '[a-z0-9]+'),
+      |        (w, i) -> struct_pack(w := w, i := i))) AS p
+      |    FROM documents)),
+      |pr AS (SELECT doc_id, w AS w1,
+      |         LEAD(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      |       FROM tok),
+      |db AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS k
+      |       FROM pr WHERE w2 IS NOT NULL GROUP BY 1, 2, 3),
+      |c2 AS (SELECT w1, w2, CAST(SUM(k) AS BIGINT) AS c2
+      |       FROM db GROUP BY 1, 2),
+      |w1s AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1,
+      |          CAST(COUNT(*) AS BIGINT) AS n1fw
+      |        FROM c2 GROUP BY 1),
+      |pw AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1pw FROM c2 GROUP BY 1),
+      |tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM c2),
+      |p AS (SELECT db.doc_id, db.k,
+      |        (4 * c2.c2 - 3) * 1048576 // (4 * w1s.c1)
+      |          + ((3 * w1s.n1fw * 1048576) // (4 * w1s.c1)) * pw.n1pw // tt.t
+      |          AS p_fp
+      |      FROM db JOIN c2 USING (w1, w2) JOIN w1s USING (w1)
+      |        JOIN pw USING (w2) CROSS JOIN tt)
+      |SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
+      |  CAST(SUM(k * p_fp) AS BIGINT) AS kn_sum_fp,
+      |  CAST(SUM(k * p_fp) * 1000 // (SUM(k) * 1048576) AS BIGINT) AS kn_milli
+      |FROM p GROUP BY doc_id""".stripMargin
+
   /** Cross-document paragraph-level exact dedup — the C4-style
     * boilerplate pass that whole-document hashing misses: split on
     * sentence boundaries, hash fragments ≥ 20 chars, report every
@@ -650,6 +738,7 @@ object TextRank {
     "dedup_contamination" -> (dedupContamination _),
     "text_keyword_tfidf" -> (textKeywordTfidf _),
     "text_bigram_surprisal" -> (textBigramSurprisal _),
+    "text_kneser_ney" -> (textKneserNey _),
     "text_top_ngrams" -> (textTopNgrams _))
 
   val oracle: Map[String, String] = Map(
@@ -682,5 +771,6 @@ object TextRank {
     "dedup_contamination" -> CONTAM_SQL,
     "text_keyword_tfidf" -> TFIDF_SQL,
     "text_bigram_surprisal" -> BIGRAM_SQL,
+    "text_kneser_ney" -> KNESER_NEY_SQL,
     "text_top_ngrams" -> NGRAMS_SQL)
 }

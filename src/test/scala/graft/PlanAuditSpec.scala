@@ -18,6 +18,7 @@ class PlanAuditSpec extends SparkSpec {
     "sim_cosine_topk" -> "documented brute-force baseline: query side is 5 broadcast rows",
     "sim_ivf_topk" -> "codebook assignment crossJoin against 8 broadcast centroid rows",
     "text_bm25_topk" -> "crossJoin against two single-row broadcast stats frames",
+    "text_kneser_ney" -> "crossJoin against the single-row broadcast bigram-type total T",
     "sim_rp_topk" -> "shortlist crossJoin against 5 broadcast reduced-dim query rows",
     "spatial_nearest" -> "argmin expand against a broadcast 20-row centroid dim",
     "text_surprisal" -> "crossJoin against the single-row broadcast corpus-total frame",
@@ -373,7 +374,8 @@ class PlanAuditSpec extends SparkSpec {
     "meta_join_size_estimate" -> 7, // all on checkpointed date-grain (≤|dates|-row) relations: exact join + 2×2 bucket aggs + folds
     "graph_harmonic_centrality" -> 0, // final fold scans the round-6 checkpoint: per-round shuffles run at build (bfs_layers class)
     "meta_manifest_prune" -> 1, // ONE status rollup over the manifest-pruned union scan
-    "text_bpe_learn" -> 0) // returned merge table is a collected 6-row local relation; the per-round pair aggs run at build (harmonic class)
+    "text_bpe_learn" -> 0, // returned merge table is a collected 6-row local relation; the per-round pair aggs run at build (harmonic class)
+    "text_kneser_ney" -> 4) // db/c2 checkpointed (their aggs run at build); final: pair join + 2 vocab-stat joins + doc agg, T broadcast
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
     // the shard grid must drive the exchange (parallelism = shard count),

@@ -717,4 +717,62 @@ class TextPrepSpec extends SparkSpec {
     // pair), but every weight is > 0
     assert(gotCorpus.forall(_._4 > 0))
   }
+
+  /** Hand-rolled interpolated Kneser–Ney on the operator's exact 2^20
+    * integer lattice (discount 3/4, λ floored first, then ·n1pw div T) —
+    * driver Scala over plain Maps, no DataFrames. */
+  private def referenceKn(pairs: Seq[(Long, String, String)])
+      : Map[Long, (Long, Long, Long)] = {
+    val db = pairs.groupBy(identity).map { case (k, xs) => (k, xs.size.toLong) }
+    val c2 = pairs.groupBy(p => (p._2, p._3))
+      .map { case (k, xs) => (k, xs.size.toLong) }
+    val byW1 = c2.groupBy(_._1._1)
+    val c1 = byW1.map { case (w1, m) => (w1, m.values.sum) }
+    val n1fw = byW1.map { case (w1, m) => (w1, m.size.toLong) }
+    val n1pw = c2.groupBy(_._1._2).map { case (w2, m) => (w2, m.size.toLong) }
+    val t = c2.size.toLong
+    db.toSeq.groupBy(_._1._1).map { case (d, rows) =>
+      val scored = rows.map { case ((_, a, b), k) =>
+        val p = (4 * c2((a, b)) - 3) * 1048576L / (4 * c1(a)) +
+          ((3 * n1fw(a) * 1048576L) / (4 * c1(a))) * n1pw(b) / t
+        (k, k * p)
+      }
+      val n = scored.map(_._1).sum
+      val s = scored.map(_._2).sum
+      (d, (n, s, s * 1000 / (n * 1048576L)))
+    }
+  }
+
+  test("kneser-ney matches the hand lattice; backoff favors versatile continuations") {
+    import operators.TextRank
+    // 'b' continues 3 distinct contexts, 'z' only 1, both with the same
+    // bigram count where scored — the continuation-count signature KN
+    // exists for (raw MLE can't tell them apart)
+    val pairs = Seq(
+      (1L, "a", "b"), (1L, "b", "a"), (1L, "a", "b"), (1L, "b", "c"),
+      (2L, "c", "b"), (2L, "b", "b"), (2L, "x", "z"),
+      (3L, "d", "b"), (3L, "b", "a"), (3L, "x", "z"))
+    val got = TextRank.kneserNey(pairs.toDF("doc_id", "w1", "w2"))
+      .select("doc_id", "n_bigrams", "kn_sum_fp", "kn_milli")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got === referenceKn(pairs))
+    // KN signature on a direct probe: (e,b) and (y,z) are both singleton
+    // bigrams in singleton contexts — identical c2, c1, n1fw — so the
+    // ONLY difference is the continuation count (b follows 5 distinct
+    // contexts, z follows 2). Raw MLE scores them equal; KN must not.
+    val probe = TextRank
+      .kneserNey((pairs ++ Seq((9L, "e", "b"), (8L, "y", "z")))
+        .toDF("doc_id", "w1", "w2"))
+      .filter(col("doc_id") >= 8L)
+      .select("doc_id", "kn_sum_fp").as[(Long, Long)].collect().toMap
+    assert(probe(9L) > probe(8L))
+    // corpus run: probabilities land in (0, 2^20] so per-doc milli ≤ 1000
+    val corpus = TextRank.textKneserNey(spark, sf)
+      .select("n_bigrams", "kn_sum_fp", "kn_milli")
+      .as[(Long, Long, Long)].collect()
+    assert(corpus.nonEmpty)
+    assert(corpus.forall { case (n, s, m) =>
+      s > 0 && s <= n * 1048576L && m >= 0 && m <= 1000 })
+  }
 }
