@@ -3423,6 +3423,94 @@ object Analytics {
        |JOIN m ON m.event_type = h.event_type
        |WHERE h.hour_id >= m.h0 + 8""".stripMargin
 
+  /** Holt linear-trend smoothing per event type — the trend-aware
+    * forecaster next to [[eventsEwmaResidual]]'s level-only smoother
+    * (EWMA lags any ramp; Holt's coupled level+trend recurrence tracks
+    * it). Semantics: dyadic Holt (alpha = beta = 1/2) over the previous
+    * 8 calendar hours y1..y8 (missing hour = 0, the true count), init
+    * l2 = y2, b2 = y2 - y1, then 6 exact halving rounds — the coupled
+    * recurrence UNROLLS to fixed per-lag integer coefficients over
+    * denominator D = 4096 (verified: a constant series reproduces
+    * itself exactly, y = 1..8 forecasts exactly 9·D). The lag-indexed
+    * coefficient LITERALS are embedded identically in both engines
+    * (splitmix-Rademacher discipline), so level/trend/forecast replay
+    * bit-for-bit with no division anywhere on the hot path. Assembly is
+    * contribution-EXPLODE like the EWMA operator (each observed hour
+    * scatters into its 8 future targets carrying both weights) — one
+    * extra (type, hour) aggregate instead of 8 self-joins; warm-up
+    * hours fenced via the broadcast per-type min. The Holt-specific
+    * readout is the slope flag: `rising` when the trend exceeds ~6%/h
+    * of the level (16·b > l on the integer lattice), `falling` when
+    * below the negative band. Plan: hourly agg + contribution agg + an
+    * AQE-sized join back; min-hour dim broadcast — identical shuffle
+    * shape to events_ewma_residual, scale-safe at any corpus size. */
+  def eventsHoltTrend(s: SparkSession, dir: String): DataFrame = {
+    // lag-1..8 coefficients of the unrolled recurrence, D = 4096
+    val wLevel = "2048L,1536L,896L,352L,-8L,-186L,-372L,-170L"
+    val wTrend = "1024L,256L,-192L,-368L,-364L,-271L,-542L,457L"
+    val h = DomainQueries.events(s, dir)
+      .select(col("event_type"), expr(s"ts_ns div $HOUR_NS").as("hour_id"))
+      .groupBy("event_type", "hour_id").agg(count(lit(1)).as("c"))
+      .transform(graft.Ckpt.capped) // contributions + actuals + min fence all read it
+    val contrib = h
+      .select(col("event_type"), col("hour_id"), col("c"),
+        explode(expr("array(1,2,3,4,5,6,7,8)")).as("i"))
+      .select(col("event_type"), (col("hour_id") + col("i")).as("hour_id"),
+        (col("c") * expr(s"element_at(array($wLevel), i)")).as("lc"),
+        (col("c") * expr(s"element_at(array($wTrend), i)")).as("tc"))
+      .groupBy("event_type", "hour_id")
+      .agg(sum("lc").as("level_num"), sum("tc").as("trend_num"))
+    val mins = h.groupBy("event_type").agg(min("hour_id").as("h0"))
+    // LEFT join + coalesce-0: an active hour with an all-empty history
+    // window has level 0 / trend 0 — an emitted row, not a dropped one
+    // (events_ewma_residual's inner-join parity bug class)
+    h.join(contrib, Seq("event_type", "hour_id"), "left_outer")
+      .join(broadcast(mins), Seq("event_type"))
+      .filter(col("hour_id") >= col("h0") + 8)
+      .withColumn("level_num", coalesce(col("level_num"), lit(0L)))
+      .withColumn("trend_num", coalesce(col("trend_num"), lit(0L)))
+      .select(col("event_type"), col("hour_id"), col("c"),
+        col("level_num"), col("trend_num"),
+        (col("level_num") + col("trend_num")).as("forecast_num"),
+        (col("c") * 4096 - col("level_num") - col("trend_num"))
+          .as("resid_num"),
+        when(col("trend_num") * 16 > col("level_num"), "rising")
+          .when(col("trend_num") * 16 < -col("level_num"), "falling")
+          .otherwise("flat").as("flag"))
+  }
+
+  private val HOLT_SQL =
+    s"""WITH h AS (
+       |  SELECT event_type, epoch_ns(ts) // $HOUR_NS AS hour_id,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM events GROUP BY 1, 2),
+       |contrib AS (
+       |  SELECT event_type, hour_id + i AS hour_id,
+       |    CAST(SUM(c * ([2048,1536,896,352,-8,-186,-372,-170])[i])
+       |      AS BIGINT) AS level_num,
+       |    CAST(SUM(c * ([1024,256,-192,-368,-364,-271,-542,457])[i])
+       |      AS BIGINT) AS trend_num
+       |  FROM h, (SELECT unnest(range(1, 9)) AS i) s
+       |  GROUP BY 1, 2),
+       |m AS (SELECT event_type, MIN(hour_id) AS h0 FROM h GROUP BY 1)
+       |SELECT h.event_type, h.hour_id, h.c,
+       |  COALESCE(contrib.level_num, 0) AS level_num,
+       |  COALESCE(contrib.trend_num, 0) AS trend_num,
+       |  COALESCE(contrib.level_num, 0) + COALESCE(contrib.trend_num, 0)
+       |    AS forecast_num,
+       |  h.c * 4096 - COALESCE(contrib.level_num, 0)
+       |    - COALESCE(contrib.trend_num, 0) AS resid_num,
+       |  CASE WHEN COALESCE(contrib.trend_num, 0) * 16
+       |         > COALESCE(contrib.level_num, 0) THEN 'rising'
+       |       WHEN COALESCE(contrib.trend_num, 0) * 16
+       |         < -COALESCE(contrib.level_num, 0) THEN 'falling'
+       |       ELSE 'flat' END AS flag
+       |FROM h
+       |LEFT JOIN contrib ON contrib.event_type = h.event_type
+       |  AND contrib.hour_id = h.hour_id
+       |JOIN m ON m.event_type = h.event_type
+       |WHERE h.hour_id >= m.h0 + 8""".stripMargin
+
   /** Per-type traffic burstiness — the capacity-planning readout next to
     * [[eventsEwmaResidual]]'s per-hour flags: over the type's OBSERVED
     * hours (conditional on activity, documented), peak-to-mean ratio and
@@ -4178,6 +4266,7 @@ object Analytics {
     "data_order_autocorr" -> (dataOrderAutocorr _),
     "data_shard_skew_gini" -> (dataShardSkewGini _),
     "events_ewma_residual" -> (eventsEwmaResidual _),
+    "events_holt_trend" -> (eventsHoltTrend _),
     "events_burstiness" -> (eventsBurstiness _),
     "sim_power_iteration" -> (simPowerIteration _),
     "events_watermark_lag" -> (eventsWatermarkLag _),
@@ -4260,6 +4349,7 @@ object Analytics {
     "data_order_autocorr" -> ORDER_AUTOCORR_SQL,
     "data_shard_skew_gini" -> GINI_SQL,
     "events_ewma_residual" -> EWMA_SQL,
+    "events_holt_trend" -> HOLT_SQL,
     "events_burstiness" -> BURSTINESS_SQL,
     "sim_power_iteration" -> POWER_ITER_SQL,
     "events_watermark_lag" -> WM_LAG_SQL,

@@ -645,6 +645,54 @@ object Streams {
     }
   }
 
+  case class HoltState(h0: Long, recent: Seq[(Long, Long)])
+  case class HoltOut(event_type: String, hour_id: Long, c: Long,
+                     level_num: Long, trend_num: Long, forecast_num: Long,
+                     resid_num: Long, flag: String)
+
+  /** Streaming counterpart of events_holt_trend's dyadic Holt
+    * forecaster — same state shape as [[ewma]] (first-seen hour plus AT
+    * MOST the last 8 (hour, count) cells per type, O(|types|·8)
+    * forever), same upstream contract (watermarked hourly aggregate,
+    * per-key ascending across batches; a silent calendar hour never
+    * arrives and correctly reads 0 in the window). Per emitted hour the
+    * twin replays the SEQUENTIAL coupled recurrence in 1/4096 fixed
+    * point (l2 = y2, b2 = y2 − y1, six exact halving rounds — D = 2^12
+    * covers the 2 bits each round spends, so every `/2` is exact),
+    * which the batch operator's unrolled coefficient lattice equals
+    * bit-for-bit (AnalyticsSpec pins the equivalence). */
+  def holtTrend(hours: Dataset[(String, Long, Long)]): Dataset[HoltOut] = {
+    import hours.sparkSession.implicits._
+    hours.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (tpe: String, it: Iterator[(String, Long, Long)],
+       state: GroupState[HoltState]) =>
+        val rows = it.map(e => (e._2, e._3)).toArray.sortBy(_._1)
+        var st = state.getOption.getOrElse(HoltState(Long.MaxValue, Seq.empty))
+        val out = rows.flatMap { case (h, c) =>
+          val h0 = math.min(st.h0, h)
+          val y = (1 to 8).map(i =>
+            st.recent.collectFirst { case (hh, cc) if hh == h - 9 + i => cc }
+              .getOrElse(0L))
+          st = HoltState(h0, (st.recent :+ (h -> c)).filter(_._1 > h - 8))
+          if (h >= h0 + 8) {
+            var l = y(1) * 4096L
+            var b = (y(1) - y(0)) * 4096L
+            for (i <- 2 until 8) {
+              val lp = l
+              l = (y(i) * 4096L + lp + b) / 2
+              b = (l - lp) / 2 + b / 2
+            }
+            val flag = if (b * 16 > l) "rising"
+              else if (b * 16 < -l) "falling" else "flat"
+            Some(HoltOut(tpe, h, c, l, b, l + b, c * 4096L - l - b, flag))
+          } else None
+        }
+        state.update(st)
+        out.iterator
+    }
+  }
+
   case class MedState(recent: Seq[(Long, Long)])
   case class MedOut(event_type: String, day_id: Long, c: Long,
                     n_days_window: Long, med7: Long)

@@ -1114,6 +1114,49 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("holt trend: the coefficient lattice equals the sequential Holt recurrence") {
+    // hourly counts per type, calendar-contiguous with zero fill
+    val hourly = DomainQueries.events(spark, sf)
+      .selectExpr("event_type", "ts_ns div 3600000000000L as hour_id")
+      .groupBy("event_type", "hour_id").count()
+      .as[(String, Long, Long)].collect().groupBy(_._1)
+      .map { case (t, rs) => t -> rs.map(r => r._2 -> r._3).toMap }
+    val got = Analytics.eventsHoltTrend(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long, String)].collect()
+    assert(got.nonEmpty)
+    // emitted rows = observed hours past the warm-up fence
+    val expKeys = hourly.toSeq.flatMap { case (t, m) =>
+      val h0 = m.keys.min; m.keys.filter(_ >= h0 + 8).map(t -> _)
+    }.toSet
+    assert(got.map(r => (r._1, r._2)).toSet === expKeys)
+    var sawRise = false; var sawFall = false
+    for ((t, h, c, levelNum, trendNum, fNum, resid, flag) <- got) {
+      val m = hourly(t)
+      assert(c === m(h))
+      // the naive sequential dyadic Holt the lattice must reproduce:
+      // state in 1/4096 units; every halving is exact by construction
+      // (D = 2^12 covers the 6 rounds x 2 bits the recurrence spends)
+      val y = (1 to 8).map(i => m.getOrElse(h - 9 + i, 0L)) // y1 oldest
+      var lSt = y(1) * 4096L
+      var bSt = (y(1) - y(0)) * 4096L
+      for (i <- 2 until 8) {
+        val lp = lSt
+        lSt = (y(i) * 4096L + lp + bSt) / 2
+        bSt = (lSt - lp) / 2 + bSt / 2
+      }
+      assert(levelNum === lSt, s"level $t/$h")
+      assert(trendNum === bSt, s"trend $t/$h")
+      assert(fNum === lSt + bSt)
+      assert(resid === c * 4096L - fNum)
+      val expFlag = if (bSt * 16 > lSt) "rising"
+        else if (bSt * 16 < -lSt) "falling" else "flat"
+      assert(flag === expFlag)
+      if (flag == "rising") sawRise = true
+      if (flag == "falling") sawFall = true
+    }
+    assert(sawRise && sawFall) // both trend directions exercised
+  }
+
   test("changepoint binseg: argmax split replays the prefix-sum gain scan by hand") {
     val hourly = DomainQueries.events(spark, sf)
       .selectExpr("event_type", "ts_ns div 3600000000000L as hour_id")

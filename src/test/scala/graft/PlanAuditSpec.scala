@@ -343,6 +343,7 @@ class PlanAuditSpec extends SparkSpec {
     "meta_article_enrich" -> 1, // ONE pub-year agg; key joins AQE-broadcast at gate scale
     "meta_genome_notes" -> 3, // study first-seen agg + per-tax rollup + distinct-article expand
     "events_ewma_residual" -> 2, // hourly agg + contribution-explode agg; join-back AQE-sized
+    "events_holt_trend" -> 2, // same shape as ewma_residual: hourly agg + dual-weight scatter agg
     "events_burstiness" -> 2, // (type, hour) agg + <=|types|-row fold
     "sim_power_iteration" -> 0, // returned plan reads the round-5 checkpointed 64-row frame
     "data_near_dup_rate" -> 2, // block agg + single-row conditional fold

@@ -653,6 +653,45 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming holt trend equals the batch forecaster, ramp forecast is exact across batches") {
+    // whole-corpus agreement with the batch operator
+    val hours = DomainQueries.events(spark, sf)
+      .select(col("event_type"), expr("ts_ns div 3600000000000").as("h"))
+      .groupBy("event_type", "h").agg(count(lit(1)).as("c"))
+      .as[(String, Long, Long)]
+    val stateful = Streams.holtTrend(hours).collect()
+      .map(o => (o.event_type, o.hour_id) ->
+        (o.c, o.level_num, o.trend_num, o.forecast_num, o.resid_num, o.flag))
+      .toMap
+    val batch = operators.Analytics.eventsHoltTrend(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long, String)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5, r._6, r._7, r._8)).toMap
+    assert(stateful === batch)
+    assert(batch.nonEmpty)
+    // a linear ramp forecasts EXACTLY (the Holt-beats-EWMA property),
+    // and batch 2's hour must see batch 1's window in carried state
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Long)]
+    val q = Streams.holtTrend(mem.toDS())
+      .writeStream.format("memory").queryName("holt_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((0L to 8L).map(h => ("a", h, (h + 1) * 10L)): _*)
+      q.processAllAvailable()
+      // hour 8 window = 10..80: level 80*4096, trend 10*4096, resid 0
+      val r8 = spark.sql(
+        "SELECT level_num, trend_num, resid_num, flag FROM holt_out WHERE hour_id = 8")
+        .as[(Long, Long, Long, String)].head()
+      assert(r8 === ((327680L, 40960L, 0L, "rising")))
+      mem.addData(("a", 9L, 100L)) // ramp continues: history lives in state
+      q.processAllAvailable()
+      val r9 = spark.sql(
+        "SELECT forecast_num, resid_num, flag FROM holt_out WHERE hour_id = 9")
+        .as[(Long, Long, String)].head()
+      assert(r9 === ((409600L, 0L, "rising")))
+    } finally q.stop()
+  }
+
   test("streaming rolling median equals the batch operator, window carries across batches") {
     val days = DomainQueries.events(spark, sf)
       .select(col("event_type"), expr("ts_ns div 86400000000000").as("d"))
