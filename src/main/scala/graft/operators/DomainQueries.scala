@@ -1592,6 +1592,68 @@ object DomainQueries {
         expr("sum(j) div count(1)").as("mean_jaccard_milli"))
   }
 
+  /** Binned Ripley's K — the MULTI-SCALE clustering statistic next to
+    * [[occDistanceDecay]]'s similarity rings and occ_morans_i's single-
+    * lag autocorrelation: for radii r = 1..4 (10°-cell units; the 1°
+    * grid is degenerate here — the synthetic coordinate lattice never
+    * co-occupies neighboring 1° cells at gate SFs), the mean
+    * number of other points within EUCLIDEAN cell-center distance r of
+    * a point, against the CSR expectation λ·πr² (literal milli-π per
+    * radius, embedded identically in both engines). Clustered data
+    * exceeds CSR at small r; regular/dispersed data undershoots.
+    * Semantics: binned (distances between 10°-cell centers, same-cell
+    * pairs at distance 0), no edge correction, no torus wrap (a column
+    * guard stops the 81-offset scatter from wrapping the ±180°
+    * meridian; rows can't wrap — out-of-range ids simply miss the
+    * occupied-cell join). Pair generation is GRID-bounded, never
+    * point-bounded: per-cell counts aggregate first (the only
+    * data-sized shuffle), then each OCCUPIED cell scatters into its 81
+    * Chebyshev-4 neighbors and joins back on occupied cells — candidate
+    * rows ≤ 81·|occupied cells| ≤ 81·~650 regardless of corpus size.
+    * Ordered-pair algebra: distinct cells contribute n1·n2 once per
+    * direction, the self-offset contributes n·(n−1) — together the
+    * exact ordered pair count at each squared distance (≤ 26 distinct
+    * d² values), which one radius-scatter folds cumulatively (no
+    * theta-join). All-integer lattice: mean_neighbors_milli =
+    * pairs·1000 div n (safe while pairs·1000 < 2^63), csr via n·⌊1000πr²⌋
+    * div A (safe to ~1.8e14 points). The 1×4-row totals crossJoin is
+    * the whitelisted single-row-fold BNLJ. */
+  def occRipleyK(s: SparkSession, dir: String): DataFrame = {
+    val nc = valid(s, dir)
+      .select(cell10(col("lat"), col("lon")).as("cellid"))
+      .groupBy("cellid").agg(count(lit(1)).as("n"))
+      .transform(graft.Ckpt.capped) // scatter side + join side + totals fold
+    val offs = for { dy <- -4 to 4; dx <- -4 to 4 } yield (dy, dx)
+    val scat = nc.select(col("cellid"), col("n").as("n1"),
+        explode(array(offs.map { case (dy, dx) =>
+          struct(lit(dy.toLong).as("dy"), lit(dx.toLong).as("dx"))
+        }: _*)).as("o"))
+      .filter(col("cellid") % 36 + col("o.dx") >= 0 &&
+        col("cellid") % 36 + col("o.dx") <= 35)
+      .select((col("cellid") + col("o.dy") * 36 + col("o.dx")).as("cellid"),
+        col("n1"),
+        (col("o.dy") * col("o.dy") + col("o.dx") * col("o.dx")).as("d2"))
+    val byD2 = scat.join(nc.toDF("cellid", "n2"), Seq("cellid"))
+      .select(col("d2"), when(col("d2") === 0, col("n1") * (col("n1") - 1))
+        .otherwise(col("n1") * col("n2")).as("op"))
+      .groupBy("d2").agg(sum("op").as("pairs"))
+    val tot = nc.agg(sum("n").as("n_pts"), count(lit(1)).as("a_cells"))
+    val csr = "case radius when 1 then 3141L when 2 then 12566L " +
+      "when 3 then 28274L else 50265L end"
+    byD2
+      .select(explode(expr("array(1L,2L,3L,4L)")).as("radius"),
+        col("d2"), col("pairs"))
+      .filter(col("d2") <= col("radius") * col("radius"))
+      .groupBy("radius").agg(sum("pairs").as("n_pairs"))
+      .crossJoin(broadcast(tot))
+      .select(col("radius"), col("n_pairs"), col("n_pts"), col("a_cells"),
+        expr("n_pairs * 1000 div n_pts").as("mean_neighbors_milli"),
+        expr(s"n_pts * ($csr) div a_cells").as("csr_neighbors_milli"),
+        when(expr("n_pairs * 1000 div n_pts") >
+            expr(s"n_pts * ($csr) div a_cells"), "clustered")
+          .otherwise("dispersed").as("flag"))
+  }
+
   def spatialQuadtreeCells(s: SparkSession, dir: String): DataFrame = {
     def qcell(k: Int): Column = {
       val side = (1 << k).toDouble
@@ -1725,6 +1787,7 @@ object DomainQueries {
     "graph_mst_backbone" -> (graphMstBackbone _),
     "spatial_quadtree_cells" -> (spatialQuadtreeCells _),
     "occ_distance_decay" -> (occDistanceDecay _),
+    "occ_ripley_k" -> (occRipleyK _),
     "occ_range_fragmentation" -> (occRangeFragmentation _),
     "spatial_point_in_polygon" -> (spatialPointInPolygon _),
     "occ_sample_coverage" -> (occSampleCoverage _),
@@ -2517,6 +2580,37 @@ object DomainQueries {
         |JOIN rich r1 ON r1.cellid = pr.c1
         |JOIN rich r2 ON r2.cellid = pr.c2
         |GROUP BY 1""".stripMargin),
+    "occ_ripley_k" -> withSql(OCC_SQL, VALID_SQL,
+      s"""nc AS (
+         |  SELECT $CELL10_SQL AS cellid, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM valid GROUP BY 1)""".stripMargin,
+      """scat AS (
+        |  SELECT nc.cellid + dy.x * 36 + dx.x AS cellid, n AS n1,
+        |    dy.x * dy.x + dx.x * dx.x AS d2
+        |  FROM nc,
+        |    (SELECT unnest(range(-4, 5)) AS x) dy,
+        |    (SELECT unnest(range(-4, 5)) AS x) dx
+        |  WHERE nc.cellid % 36 + dx.x BETWEEN 0 AND 35)""".stripMargin,
+      """byd AS (
+        |  SELECT d2, CAST(SUM(CASE WHEN d2 = 0 THEN s.n1 * (s.n1 - 1)
+        |    ELSE s.n1 * nc.n END) AS BIGINT) AS pairs
+        |  FROM scat s JOIN nc ON nc.cellid = s.cellid GROUP BY 1)""".stripMargin,
+      """tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_pts,
+        |  CAST(COUNT(*) AS BIGINT) AS a_cells FROM nc)""".stripMargin,
+      """perr AS (
+        |  SELECT rr.r AS radius, CAST(SUM(pairs) AS BIGINT) AS n_pairs
+        |  FROM byd, (SELECT unnest(range(1, 5)) AS r) rr
+        |  WHERE d2 <= rr.r * rr.r GROUP BY 1)""".stripMargin)(
+      """SELECT radius, n_pairs, n_pts, a_cells,
+        |  n_pairs * 1000 // n_pts AS mean_neighbors_milli,
+        |  n_pts * (CASE radius WHEN 1 THEN 3141 WHEN 2 THEN 12566
+        |    WHEN 3 THEN 28274 ELSE 50265 END) // a_cells
+        |    AS csr_neighbors_milli,
+        |  CASE WHEN n_pairs * 1000 // n_pts > n_pts * (CASE radius
+        |      WHEN 1 THEN 3141 WHEN 2 THEN 12566 WHEN 3 THEN 28274
+        |      ELSE 50265 END) // a_cells
+        |    THEN 'clustered' ELSE 'dispersed' END AS flag
+        |FROM perr, tot""".stripMargin),
     "spatial_quadtree_cells" -> {
       val qcols = (0 to 4).map { k =>
         val side = (1 << k).toDouble

@@ -928,6 +928,44 @@ class DomainSpec extends SparkSpec {
     }
   }
 
+  test("ripley k replays brute-force binned pair counts at every radius") {
+    import spark.implicits._
+    val nc = DomainQueries.valid(spark, sf)
+      .selectExpr("(cast(floor(lat / 10.0) as bigint) + 9) * 36 + " +
+        "cast(floor(lon / 10.0) as bigint) + 18 as cellid")
+      .groupBy("cellid").count().as[(Long, Long)].collect().toMap
+    val cells = nc.keys.toSeq.sorted
+    val nPts = nc.values.sum
+    val aCells = cells.length.toLong
+    // brute-force ordered pair count over ALL occupied cell pairs (no
+    // offset scatter): the operator's neighborhood join must equal it
+    def pairsWithin(r: Long): Long = {
+      val r2 = r * r
+      val cross = (for {
+        i <- cells.indices; j <- (i + 1) until cells.length
+        (a, b) = (cells(i), cells(j))
+        dy = a / 36 - b / 36; dx = a % 36 - b % 36
+        if dy * dy + dx * dx <= r2
+      } yield 2L * nc(a) * nc(b)).sum
+      cross + cells.map(c => nc(c) * (nc(c) - 1)).sum
+    }
+    val got = DomainQueries.occRipleyK(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 4L))
+    val csr = Map(1L -> 3141L, 2L -> 12566L, 3L -> 28274L, 4L -> 50265L)
+    for ((r, (_, nPairs, n, a, mean, csrM, flag)) <- got) {
+      assert(n === nPts); assert(a === aCells)
+      assert(nPairs === pairsWithin(r), s"pairs at r=$r")
+      assert(nPairs > 0) // nonempty evidence at every radius
+      assert(mean === nPairs * 1000 / nPts)
+      assert(csrM === nPts * csr(r) / aCells)
+      assert(flag === (if (mean > csrM) "clustered" else "dispersed"))
+    }
+    // monotone in r: larger radius can only add pairs
+    assert((1L to 3L).forall(r => got(r)._2 <= got(r + 1)._2))
+  }
+
   test("distance decay replays ring-binned cell-pair jaccard by hand") {
     import spark.implicits._
     val cs = DomainQueries.valid(spark, sf)
