@@ -114,6 +114,53 @@ object Multimodal {
       .select(col("media_id"), col("chunk_idx"),
         md5(hex(col("chunk")).cast("binary")).as("chunk_md5"))
 
+  /** STFT-style audio framing — the OVERLAPPING-window twin of
+    * [[multimodalFrameSample]]'s disjoint chunks, and the windowing
+    * contract every spectrogram/mel pipeline starts from (25 ms frame /
+    * 10 ms hop analog): 64-byte frames every 32 bytes (50% overlap, the
+    * canonical STFT shape) over each AUDIO blob, complete frames only
+    * (n_frames = (n_bytes − 64) div 32 + 1), every 8th frame emitted
+    * with a deterministic fingerprint — the decode-free stand-in for
+    * the per-frame FFT a real deployment would run here. Duration
+    * assumes the meta contract's 16 kHz 16-bit mono (duration_ms =
+    * n_bytes div 32). Plan: ONE narrow scan + generator — zero
+    * shuffles; payload bytes never leave the scan task, only 16-byte
+    * fingerprints and frame arithmetic survive the projection. The
+    * framing lattice (start_byte = idx·32, hex offsets idx·64+1) is
+    * integer-exact and mirrored in the DuckDB oracle. */
+  def multimodalAudioWindows(s: SparkSession, dir: String): DataFrame =
+    fromDocuments(s, dir).toDF()
+      .filter(col("kind") === "audio")
+      .select(col("media_id"), hex(col("payload")).as("hx"),
+        expr("cast(length(payload) as bigint)").as("n_bytes"))
+      .filter(col("n_bytes") >= 64)
+      .withColumn("n_frames", expr("(n_bytes - 64) div 32 + 1"))
+      .withColumn("duration_ms", expr("n_bytes div 32"))
+      .select(col("media_id"), col("n_frames"), col("duration_ms"),
+        explode(expr("sequence(0L, n_frames - 1, 8L)")).as("frame_idx"),
+        col("hx"))
+      .select(col("media_id"), col("frame_idx"),
+        (col("frame_idx") * 32).as("start_byte"),
+        col("n_frames"), col("duration_ms"),
+        md5(expr("cast(substring(hx, cast(frame_idx * 64 + 1 as int), 128) as binary)"))
+          .as("frame_md5"))
+
+  private val AUDIO_WINDOWS_SQL =
+    """WITH b AS (
+      |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |f AS (
+      |  SELECT media_id, hx, (n_bytes - 64) // 32 + 1 AS n_frames,
+      |    n_bytes // 32 AS duration_ms
+      |  FROM b WHERE n_bytes >= 64)
+      |SELECT media_id, i AS frame_idx, i * 32 AS start_byte,
+      |  n_frames, duration_ms,
+      |  md5(substr(hx, CAST(i * 64 + 1 AS BIGINT), 128)) AS frame_md5
+      |FROM f, LATERAL unnest(generate_series(0,
+      |  CAST(n_frames - 1 AS BIGINT))) t(i)
+      |WHERE i % 8 = 0""".stripMargin
+
   /** Byte-size spectrum per media kind — the storage-planning read that
     * sizes decode batches, file compaction targets and shuffle block
     * expectations BEFORE any payload moves: kind × floor-log2(bytes)
@@ -336,7 +383,8 @@ object Multimodal {
     "multimodal_source_mix" -> (multimodalSourceMix _),
     "multimodal_dedup_bytes" -> (multimodalDedupBytes _),
     "multimodal_chunk_dedup" -> (multimodalChunkDedup _),
-    "multimodal_frame_sample" -> (multimodalFrameSample _))
+    "multimodal_frame_sample" -> (multimodalFrameSample _),
+    "multimodal_audio_windows" -> (multimodalAudioWindows _))
 
   /** The oracle rebuilds each byte's high nibble from the hex encoding of
     * the UTF-8 payload: byte i ⟺ hex chars (2i+1, 2i+2), and the first of
@@ -398,6 +446,7 @@ object Multimodal {
         |  MIN(media_id) AS canonical_media_id
         |FROM b GROUP BY content_md5, n_bytes
         |HAVING COUNT(*) >= 2""".stripMargin,
+    "multimodal_audio_windows" -> AUDIO_WINDOWS_SQL,
     "multimodal_frame_sample" ->
       """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents)
         |SELECT doc_id AS media_id, i AS chunk_idx,

@@ -60,6 +60,37 @@ class MultimodalSpec extends SparkSpec {
     assert(idx.forall(_ % 2 == 0))
   }
 
+  test("audio windows: overlapping STFT framing replays byte-for-byte") {
+    val payloads = Multimodal.fromDocuments(spark, sf)
+      .filter(_.kind == "audio").collect()
+      .map(r => r.media_id -> r.payload).toMap
+    val got = operators.Multimodal.multimodalAudioWindows(spark, sf)
+      .as[(Long, Long, Long, Long, Long, String)].collect()
+      .groupBy(_._1)
+    // every audio blob with >= 64 bytes appears; others don't
+    assert(got.keySet === payloads.filter(_._2.length >= 64).keys.toSet)
+    for ((id, frames) <- got) {
+      val p = payloads(id)
+      val nFrames = (p.length - 64) / 32 + 1
+      val hx = p.map(b => f"${b & 0xff}%02X").mkString
+      // emitted = every 8th frame index of the complete-frame range
+      assert(frames.map(_._2).sorted.toSeq ===
+        (0L until nFrames by 8).toSeq)
+      for ((_, idx, start, nf, durMs, md5got) <- frames) {
+        assert(nf === nFrames)
+        assert(start === idx * 32)
+        assert(durMs === p.length / 32) // 16 kHz 16-bit mono
+        assert(start + 64 <= p.length) // complete frames only
+        val slice = hx.substring((idx * 64).toInt, (idx * 64).toInt + 128)
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(slice.getBytes("UTF-8"))
+        assert(md5got === d.map(b => f"$b%02x").mkString, s"md5 $id/$idx")
+      }
+      // 50% overlap: consecutive frame STARTS are half a frame apart
+      assert(frames.forall(f => f._3 % 32 == 0))
+    }
+  }
+
   test("chunk dedup: a prefix-edited re-crawl shares chunks whole-payload hashing misses") {
     val shared = Multimodal.multimodalChunkDedup(spark, sf)
       .as[(String, Long, Long, Long, Long)].collect()

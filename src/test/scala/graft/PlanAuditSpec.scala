@@ -107,6 +107,7 @@ class PlanAuditSpec extends SparkSpec {
     "data_snapshot_diff" -> 2, // two hash-only sides of the full-outer key join
     "spatial_zorder_layout" -> 2, // count-distinct expand over the bucket agg
     "multimodal_frame_sample" -> 0, // narrow binary slicing: ZERO shuffles
+    "multimodal_audio_windows" -> 0, // narrow scan + generator: ZERO shuffles
     "dedup_winnow_pairs" -> 5, // winnow window exchange + fp distinct + df cap + posting + pair aggs
     "q14_approx_distinct" -> 3, // register-max agg + per-measure agg + final group agg, one scan
     "biogeo_annotate" -> 1, // broadcast cell join; ONE dual-collect_set agg shuffle
