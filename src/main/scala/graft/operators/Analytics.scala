@@ -214,6 +214,85 @@ object Analytics {
         col("pk.dd").as("peak_weekday"), (-col("pk.nn")).as("peak_n"),
         expr("(-pk.nn) * 1000 div n_total").as("peak_millis"))
 
+  /** Diurnal DFT — frequency-domain periodicity detection per event
+    * type, the readout [[eventsWeekdayProfile]]'s argmax and
+    * eventsSeasonalNaive's lag-24 baseline both presuppose but never
+    * measure: the discrete Fourier transform of the hour-of-day profile
+    * at harmonics k = 1..3 (24 h, 12 h, 8 h cycles) on an exact
+    * fixed-point lattice. Trig values are 24 floor(±·2^10) LITERALS
+    * embedded identically in both engines (splitmix-Rademacher
+    * discipline); per-type counts fold re = Σ c_b·C[(k·b) mod 24] and
+    * im likewise in exact BIGINTs, normalize by the type total
+    * (truncating div — verified identical in Spark `div` and DuckDB
+    * `//` for negatives), and square into |X_k|² ≤ 2·(1024·1000)² —
+    * overflow-free at ANY corpus size because normalization happens
+    * BEFORE squaring (the divide-by-n-first lattice). power_ppm scales
+    * against the constant DC² = 1024000²; a delta profile reads ~10^6,
+    * a flat one ~0. is_dominant marks the strongest harmonic per type
+    * (max-over-window on the 3-row group). Plan: ONE data-sized
+    * (type, hour-of-day) agg, then a ×3 harmonic scatter over the
+    * ≤|types|·24-row profile and tiny aggregates — nothing else touches
+    * corpus scale. */
+  def eventsDiurnalDft(s: SparkSession, dir: String): DataFrame = {
+    val cTab = "1024L,989L,886L,724L,512L,265L,0L,-266L,-512L,-725L,-887L," +
+      "-990L,-1024L,-990L,-887L,-725L,-513L,-266L,-1L,265L,512L,724L,886L,989L"
+    val sTab = "0L,265L,511L,724L,886L,989L,1024L,989L,886L,724L,511L,265L," +
+      "0L,-266L,-512L,-725L,-887L,-990L,-1024L,-990L,-887L,-725L,-513L,-266L"
+    DomainQueries.events(s, dir)
+      .select(col("event_type"), expr(s"ts_ns div $HOUR_NS % 24").as("b"))
+      .groupBy("event_type", "b").agg(count(lit(1)).as("c"))
+      .select(col("event_type"), col("b"), col("c"),
+        explode(expr("array(1L,2L,3L)")).as("k"))
+      .select(col("event_type"), col("k"), col("c"),
+        (col("c") * expr(s"element_at(array($cTab), cast(k * b % 24 + 1 as int))")).as("re_t"),
+        (col("c") * expr(s"element_at(array($sTab), cast(k * b % 24 + 1 as int))")).as("im_t"))
+      .groupBy("event_type", "k")
+      .agg(sum("re_t").as("re_raw"), sum("im_t").as("im_raw"),
+        sum("c").as("tot"))
+      .select(col("event_type"), col("k"),
+        expr("re_raw * 1000 div tot").as("re_norm"),
+        expr("im_raw * 1000 div tot").as("im_norm"))
+      .withColumn("power_num",
+        col("re_norm") * col("re_norm") + col("im_norm") * col("im_norm"))
+      .withColumn("power_ppm",
+        expr("power_num * 1000000 div 1048576000000"))
+      .withColumn("is_dominant",
+        col("power_num") === max("power_num")
+          .over(Window.partitionBy("event_type")))
+  }
+
+  private val DIURNAL_DFT_SQL = {
+    val c = "[1024,989,886,724,512,265,0,-266,-512,-725,-887,-990,-1024," +
+      "-990,-887,-725,-513,-266,-1,265,512,724,886,989]"
+    val sn = "[0,265,511,724,886,989,1024,989,886,724,511,265,0,-266," +
+      "-512,-725,-887,-990,-1024,-990,-887,-725,-513,-266]"
+    s"""WITH p AS (
+       |  SELECT event_type, epoch_ns(ts) // $HOUR_NS % 24 AS b,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM events GROUP BY 1, 2),
+       |t AS (
+       |  SELECT event_type, kk.k AS k,
+       |    CAST(SUM(c * ($c)[CAST(kk.k * b % 24 + 1 AS BIGINT)])
+       |      AS BIGINT) AS re_raw,
+       |    CAST(SUM(c * ($sn)[CAST(kk.k * b % 24 + 1 AS BIGINT)])
+       |      AS BIGINT) AS im_raw,
+       |    CAST(SUM(c) AS BIGINT) AS tot
+       |  FROM p, (SELECT unnest(range(1, 4)) AS k) kk GROUP BY 1, 2),
+       |n AS (
+       |  SELECT event_type, k, re_raw * 1000 // tot AS re_norm,
+       |    im_raw * 1000 // tot AS im_norm
+       |  FROM t),
+       |pw AS (
+       |  SELECT event_type, k, re_norm, im_norm,
+       |    re_norm * re_norm + im_norm * im_norm AS power_num
+       |  FROM n)
+       |SELECT event_type, k, re_norm, im_norm, power_num,
+       |  power_num * 1000000 // 1048576000000 AS power_ppm,
+       |  power_num = MAX(power_num) OVER (PARTITION BY event_type)
+       |    AS is_dominant
+       |FROM pw""".stripMargin
+  }
+
   private val WEEKDAY_SQL =
     """WITH w AS (
       |  SELECT event_type,
@@ -4267,6 +4346,7 @@ object Analytics {
     "data_shard_skew_gini" -> (dataShardSkewGini _),
     "events_ewma_residual" -> (eventsEwmaResidual _),
     "events_holt_trend" -> (eventsHoltTrend _),
+    "events_diurnal_dft" -> (eventsDiurnalDft _),
     "events_burstiness" -> (eventsBurstiness _),
     "sim_power_iteration" -> (simPowerIteration _),
     "events_watermark_lag" -> (eventsWatermarkLag _),
@@ -4350,6 +4430,7 @@ object Analytics {
     "data_shard_skew_gini" -> GINI_SQL,
     "events_ewma_residual" -> EWMA_SQL,
     "events_holt_trend" -> HOLT_SQL,
+    "events_diurnal_dft" -> DIURNAL_DFT_SQL,
     "events_burstiness" -> BURSTINESS_SQL,
     "sim_power_iteration" -> POWER_ITER_SQL,
     "events_watermark_lag" -> WM_LAG_SQL,

@@ -1114,6 +1114,46 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("diurnal dft: fixed-point harmonics replay the hour-of-day fold by hand") {
+    val C = Seq(1024L, 989L, 886L, 724L, 512L, 265L, 0L, -266L, -512L,
+      -725L, -887L, -990L, -1024L, -990L, -887L, -725L, -513L, -266L,
+      -1L, 265L, 512L, 724L, 886L, 989L)
+    val S = Seq(0L, 265L, 511L, 724L, 886L, 989L, 1024L, 989L, 886L,
+      724L, 511L, 265L, 0L, -266L, -512L, -725L, -887L, -990L, -1024L,
+      -990L, -887L, -725L, -513L, -266L)
+    val prof = DomainQueries.events(spark, sf)
+      .selectExpr("event_type", "ts_ns div 3600000000000L % 24 as b")
+      .groupBy("event_type", "b").count()
+      .as[(String, Long, Long)].collect().groupBy(_._1)
+      .map { case (t, rs) => t -> rs.map(r => r._2 -> r._3).toMap }
+    val got = Analytics.eventsDiurnalDft(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Boolean)].collect()
+    assert(got.map(r => (r._1, r._2)).toSet ===
+      prof.keys.flatMap(t => Seq(1L, 2L, 3L).map(t -> _)).toSet)
+    for ((t, k, reN, imN, pw, ppm, dom) <- got) {
+      val m = prof(t)
+      val tot = m.values.sum
+      val reRaw = m.map { case (b, c) => c * C(((k * b) % 24).toInt) }.sum
+      val imRaw = m.map { case (b, c) => c * S(((k * b) % 24).toInt) }.sum
+      assert(reN === reRaw * 1000 / tot, s"re $t/$k")
+      assert(imN === imRaw * 1000 / tot, s"im $t/$k")
+      assert(pw === reN * reN + imN * imN)
+      assert(ppm === pw * 1000000L / 1048576000000L)
+      // normalization bound: |X_k| can never exceed the DC gain
+      assert(math.abs(reN) <= 1024000L && math.abs(imN) <= 1024000L)
+    }
+    // exactly the argmax harmonics are flagged dominant, >= 1 per type
+    val byType = got.groupBy(_._1)
+    for ((_, rows) <- byType) {
+      val mx = rows.map(_._5).max
+      assert(rows.forall(r => r._7 === (r._5 == mx)))
+    }
+    // lattice sanity on a synthetic delta profile: all mass at hour 6
+    // puts k=1 power on the pure sine axis at ~DC magnitude
+    val re6 = 1000L * C(6); val im6 = 1000L * S(6)
+    assert(re6 === 0L && im6 === 1024000L)
+  }
+
   test("holt trend: the coefficient lattice equals the sequential Holt recurrence") {
     // hourly counts per type, calendar-contiguous with zero fill
     val hourly = DomainQueries.events(spark, sf)
