@@ -1030,7 +1030,52 @@ object Graphs {
         (col("doc_id") === col("canonical_doc")).as("is_canonical"))
   }
 
+  /** Newman modularity of the label-propagation partition — the quality
+    * audit [[graphCommunities]] ships without: per community c,
+    * Q_c = i_c/m − (d_c/2m)² (i_c internal edges, d_c degree mass, m
+    * total edges); Σ Q_c is the modularity of the whole partition.
+    * Positive contribution = denser inside than a random graph with the
+    * same degrees; a near-zero total says the "communities" are noise —
+    * run this before trusting any cluster-level dedup decision.
+    * Overflow discipline: the textbook (4m·i_c − d_c²)/4m² lattice dies
+    * at m ≳ 1.5e6 edges once scaled to micro, so both engines instead
+    * compute the divide-FIRST form t1 = i_c·10⁶ div m,
+    * half = d_c·1000 div 2m, contribution = t1 − half² — every
+    * intermediate ≤ max(m·10⁶, (10³·…)²) stays in BIGINT to ~10¹² edges
+    * (arrival_regularity discipline; floors match, all operands
+    * nonnegative before the final subtraction). Plan: the pair graph
+    * checkpoints once and feeds label propagation, the degree fold and
+    * both endpoint-label joins; labels checkpoint once (3 consumers);
+    * the single-row m fold broadcasts through the whitelisted
+    * crossJoin. */
+  def graphModularity(s: SparkSession, dir: String): DataFrame = {
+    val e = TextQueries.dedupNgramJaccard(s, dir)
+      .select(col("doc1").as("u"), col("doc2").as("v"))
+      .transform(ckpt)
+    val labels = labelPropagation(e).transform(ckpt)
+    val deg = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val m = e.agg(count(lit(1)).as("m"))
+    val internal = e
+      .join(labels.toDF("u", "cu"), Seq("u"))
+      .join(labels.toDF("v", "cv"), Seq("v"))
+      .filter(col("cu") === col("cv"))
+      .groupBy(col("cu").as("community")).agg(count(lit(1)).as("internal_edges"))
+    labels.toDF("node", "community").join(deg, Seq("node"))
+      .groupBy("community").agg(sum("deg").as("d_c"), count(lit(1)).as("n_nodes"))
+      .join(internal, Seq("community"), "left_outer")
+      .withColumn("internal_edges", coalesce(col("internal_edges"), lit(0L)))
+      .crossJoin(broadcast(m))
+      .select(col("community"), col("n_nodes"), col("internal_edges"),
+        col("d_c"), col("m"),
+        (expr("internal_edges * 1000000 div m") -
+          expr("d_c * 1000 div (2 * m)") * expr("d_c * 1000 div (2 * m)"))
+          .as("contribution_micro"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "graph_modularity" -> (graphModularity _),
     "graph_bfs_layers" -> (graphBfsLayers _),
     "dedup_survivorship" -> (dedupSurvivorship _),
     "dedup_cluster" -> (dedupCluster _),
@@ -1152,6 +1197,45 @@ object Graphs {
         |  WHERE w.anc <> 1)
         |SELECT node, anc AS root, CAST(dist AS BIGINT) AS depth
         |FROM walk WHERE anc = 1""".stripMargin,
+    "graph_modularity" -> {
+      val pairsSql = TextQueries.oracle("dedup_ngram_jaccard")
+      // the communities oracle's four unrolled rounds, then the
+      // divide-first modularity lattice over the labeled edge set
+      val rounds = (1 to 4).map { k =>
+        s"""l$k AS (
+           |  SELECT b AS node, label FROM (
+           |    SELECT b, label,
+           |      ROW_NUMBER() OVER (PARTITION BY b ORDER BY cnt DESC, label) AS rn
+           |    FROM (SELECT s.b, p.label, COUNT(*) AS cnt
+           |          FROM sym s JOIN l${k - 1} p ON p.node = s.a
+           |          GROUP BY s.b, p.label))
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS ($pairsSql),
+         |$SYM_CTE,
+         |l0 AS (SELECT DISTINCT a AS node, a AS label FROM sym),
+         |$rounds,
+         |lab AS (SELECT node, label AS community FROM l4),
+         |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM pairs),
+         |deg AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS deg
+         |        FROM sym GROUP BY 1),
+         |ie AS (
+         |  SELECT lu.community,
+         |    CAST(COUNT(*) AS BIGINT) AS internal_edges
+         |  FROM pairs p JOIN lab lu ON lu.node = p.doc1
+         |    JOIN lab lv ON lv.node = p.doc2
+         |  WHERE lu.community = lv.community GROUP BY 1),
+         |ds AS (
+         |  SELECT l.community, CAST(SUM(d.deg) AS BIGINT) AS d_c,
+         |    CAST(COUNT(*) AS BIGINT) AS n_nodes
+         |  FROM lab l JOIN deg d ON d.node = l.node GROUP BY 1)
+         |SELECT ds.community, ds.n_nodes,
+         |  COALESCE(ie.internal_edges, 0) AS internal_edges, ds.d_c, mm.m,
+         |  COALESCE(ie.internal_edges, 0) * 1000000 // mm.m
+         |    - (ds.d_c * 1000 // (2 * mm.m)) * (ds.d_c * 1000 // (2 * mm.m))
+         |    AS contribution_micro
+         |FROM ds LEFT JOIN ie USING (community), mm""".stripMargin
+    },
     "graph_communities" -> {
       val pairsSql = TextQueries.oracle("dedup_ngram_jaccard")
       // four synchronous rounds unrolled as CTEs; per round the majority

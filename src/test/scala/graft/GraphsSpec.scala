@@ -421,6 +421,40 @@ class GraphsSpec extends SparkSpec {
     dist
   }
 
+  test("modularity: divide-first lattice replays by hand, degree mass conserves") {
+    val edges = operators.TextQueries.dedupNgramJaccard(spark, sf)
+      .select("doc1", "doc2").as[(Long, Long)].collect()
+    val labels = Graphs.graphCommunities(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    val m = edges.length.toLong
+    val got = Graphs.graphModularity(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // same node universe and deterministic labels as graph_communities
+    val deg = edges.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .map { case (n, g) => n -> g.length.toLong }
+    val byC = labels.groupBy(_._2).map { case (c, g) => c -> g.keys.toSet }
+    assert(got.keySet === byC.keySet)
+    var total = 0L
+    for ((c, (_, nNodes, iC, dC, mGot, contrib)) <- got) {
+      val nodes = byC(c)
+      assert(nNodes === nodes.size)
+      assert(mGot === m)
+      assert(iC === edges.count(e => labels(e._1) == c && labels(e._2) == c))
+      assert(dC === nodes.toSeq.map(deg).sum)
+      val half = dC * 1000 / (2 * m)
+      assert(contrib === iC * 1000000L / m - half * half)
+      total += contrib
+    }
+    // degree mass conserves and the partition's Q stays in [-1, 1]
+    assert(got.values.map(_._4).sum === 2 * m)
+    assert(got.values.map(_._3).sum <= m)
+    assert(total >= -1000000L && total <= 1000000L)
+    // a one-community partition scores exactly zero on this lattice
+    assert(m * 1000000L / m - (2 * m * 1000 / (2 * m)) *
+      (2 * m * 1000 / (2 * m)) === 0L)
+  }
+
   test("landmark harmonic: exact integer folds, disconnected component contributes zero") {
     // Component A: a 9-node path (ids chosen freely — the reference
     // recomputes whatever landmarks the hash picks); component B: the

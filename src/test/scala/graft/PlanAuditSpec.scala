@@ -43,7 +43,8 @@ class PlanAuditSpec extends SparkSpec {
     "occ_temporal_turnover" -> "crossJoin against the single-row broadcast midpoint frame",
     "events_survival_km" -> "crossJoin against the single-row broadcast censoring-watermark frame",
     "meta_join_size_estimate" -> "crossJoins of two single-row bucket-estimate folds (1×1)",
-    "occ_ripley_k" -> "crossJoin against the single-row broadcast totals fold (4×1)")
+    "occ_ripley_k" -> "crossJoin against the single-row broadcast totals fold (4×1)",
+    "graph_modularity" -> "crossJoin against the single-row broadcast edge-count fold (1×1)")
 
   test("no query plans a nested-loop or cartesian join outside the whitelist") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -373,6 +374,7 @@ class PlanAuditSpec extends SparkSpec {
     "events_queue_wait" -> 1, // rank + running-min windows + agg all ride one event_type exchange
     "occ_distance_decay" -> 4, // checkpointed (cell,species) distinct + rich agg + pair agg + ring agg
     "occ_ripley_k" -> 3, // checkpointed cell-count agg + d2 pair agg + radius fold; totals broadcast
+    "graph_modularity" -> 4, // checkpointed edges+labels: degree agg + internal agg + dsum agg + join
     "data_rater_kappa" -> 1, // one narrow projection into a single 4-cell aggregate
     "events_changepoint_binseg" -> 2, // (type,hour) count agg; windows + argmax ride one event_type exchange
     "sim_kmeans_shift" -> 1, // final assignment scan into one cluster agg; K-row shift frame broadcasts
