@@ -453,6 +453,57 @@ object Records {
     * the audit costs one dual-distinct expand over the dim, two
     * broadcast joins (customer is a dim — the fact never shuffles), and
     * whitelisted 1×1 crossJoins where the single-row folds meet. */
+  /** k-anonymity audit over the documents corpus — the re-identification
+    * risk readout next to [[metaPseudonymizeAudit]]'s hashing audit and
+    * Analytics.dataDpCounts' noisy release: rows fall into equivalence
+    * classes on the quasi-identifier tuple (source, lang,
+    * floor-log2(n_chars) — the attributes a release inevitably keeps),
+    * and for each standard threshold k ∈ {2, 5, 10, 20} the audit
+    * reports how many classes and rows sit BELOW k (re-identifiable by
+    * an adversary who knows the QI values) plus the suppression cost of
+    * enforcing k. risk_milli = at-risk rows per thousand. A release is
+    * k-anonymous iff n_classes_below = 0 at that k. Flags use
+    * when/otherwise-0 (the NULL-poisoned conditional-sum landmine).
+    * Plan: ONE data-sized (QI-tuple) aggregate, then a ×4 threshold
+    * scatter over the class-size table and a 4-row fold — class count
+    * is bounded by |sources|·|langs|·64, so everything after the first
+    * exchange is dimension-sized at any corpus. */
+  def dataKAnonymity(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("source"), col("lang"),
+        expr("cast(length(bin(n_chars)) - 1 as bigint)").as("len_bits"))
+      .groupBy("source", "lang", "len_bits").agg(count(lit(1)).as("sz"))
+      .select(explode(expr("array(2L,5L,10L,20L)")).as("k"), col("sz"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_classes"), sum("sz").as("n_rows"),
+        sum(when(col("sz") < col("k"), 1L).otherwise(0L))
+          .as("n_classes_below"),
+        sum(when(col("sz") < col("k"), col("sz")).otherwise(0L))
+          .as("n_rows_at_risk"),
+        min("sz").as("min_class_size"))
+      .select(col("k"), col("n_classes"), col("n_classes_below"),
+        col("n_rows_at_risk"), col("min_class_size"),
+        expr("n_rows_at_risk * 1000 div n_rows").as("risk_milli"),
+        (col("n_classes_below") === 0L).as("is_k_anonymous"))
+
+  private val K_ANON_SQL =
+    """WITH cls AS (
+      |  SELECT source, lang,
+      |    CAST(LENGTH(bin(n_chars)) - 1 AS BIGINT) AS len_bits,
+      |    CAST(COUNT(*) AS BIGINT) AS sz
+      |  FROM documents GROUP BY 1, 2, 3)
+      |SELECT kk.k AS k, CAST(COUNT(*) AS BIGINT) AS n_classes,
+      |  CAST(SUM(CASE WHEN sz < kk.k THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_classes_below,
+      |  CAST(SUM(CASE WHEN sz < kk.k THEN sz ELSE 0 END) AS BIGINT)
+      |    AS n_rows_at_risk,
+      |  CAST(MIN(sz) AS BIGINT) AS min_class_size,
+      |  CAST(SUM(CASE WHEN sz < kk.k THEN sz ELSE 0 END) * 1000
+      |    // SUM(sz) AS BIGINT) AS risk_milli,
+      |  SUM(CASE WHEN sz < kk.k THEN 1 ELSE 0 END) = 0 AS is_k_anonymous
+      |FROM cls, (SELECT unnest([2, 5, 10, 20]) AS k) kk
+      |GROUP BY 1""".stripMargin
+
   def metaPseudonymizeAudit(s: SparkSession, dir: String): DataFrame = {
     def tok(k: String): String =
       s"substring(md5(cast(concat('pseu:', cast($k as string)) as binary)), 1, 12)"
@@ -883,6 +934,7 @@ object Records {
     "meta_dedup_records" -> (dedupRecords _),
     "meta_summary_facets" -> (summaryFacets _),
     "meta_pseudonymize_audit" -> (metaPseudonymizeAudit _),
+    "data_k_anonymity" -> (dataKAnonymity _),
     "meta_erasure_cascade" -> (metaErasureCascade _),
     "meta_article_enrich" -> (articleEnrich _),
     "meta_genome_notes" -> (genomeNotes _))
@@ -969,6 +1021,7 @@ object Records {
     "meta_article_enrich" -> ARTICLE_SQL,
     "meta_genome_notes" -> GENOMENOTES_SQL,
     "meta_pseudonymize_audit" -> PSEUDONYMIZE_SQL,
+    "data_k_anonymity" -> K_ANON_SQL,
     "meta_erasure_cascade" -> ERASURE_SQL,
     "meta_deletion_vectors" -> DV_SQL,
     "meta_shard_checksums" -> CHECKSUM_SQL,

@@ -928,6 +928,31 @@ class DomainSpec extends SparkSpec {
     }
   }
 
+  test("k-anonymity: class partition replays by hand, risk monotone in k") {
+    import spark.implicits._
+    val cls = graft.Tables.t(spark, sf, "documents")
+      .selectExpr("source", "lang",
+        "cast(length(bin(n_chars)) - 1 as bigint) as lb")
+      .as[(String, String, Long)].collect()
+      .groupBy(identity).map(_._2.length.toLong).toSeq
+    val total = cls.sum
+    val got = operators.Records.dataKAnonymity(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet === Set(2L, 5L, 10L, 20L))
+    for ((k, (_, nCls, below, atRisk, minSz, riskM, anon)) <- got) {
+      assert(nCls === cls.length.toLong)
+      assert(below === cls.count(_ < k).toLong)
+      assert(atRisk === cls.filter(_ < k).sum)
+      assert(minSz === cls.min)
+      assert(riskM === atRisk * 1000 / total)
+      assert(anon === (below == 0L))
+    }
+    // risk can only grow with k
+    assert((got(2L)._4 <= got(5L)._4) && (got(5L)._4 <= got(10L)._4) &&
+      (got(10L)._4 <= got(20L)._4))
+  }
+
   test("ripley k replays brute-force binned pair counts at every radius") {
     import spark.implicits._
     val nc = DomainQueries.valid(spark, sf)
