@@ -693,6 +693,57 @@ object Streams {
     }
   }
 
+  case class DftState(buckets: Seq[Long])
+  case class DftOut(event_type: String, k: Long, re_norm: Long,
+                    im_norm: Long, power_num: Long, power_ppm: Long,
+                    is_dominant: Boolean)
+
+  /** Streaming counterpart of events_diurnal_dft: per type the state is
+    * exactly 24 bucket counters — O(|types|·24) forever, the cleanest
+    * mergeable-state twin on the board (counter addition commutes, so
+    * ANY batch split of the stream yields the same counters). Input is
+    * the watermarked hourly aggregate ([[ewma]]'s contract); each batch
+    * folds its counts into hour-of-day buckets and emits the refreshed
+    * k = 1..3 harmonic rows from the CURRENT counters on the identical
+    * fixed-point lattice (same 24 trig literals, same
+    * normalize-before-square discipline) — the LATEST emission per
+    * (type, k) equals the batch operator over the stream prefix
+    * bit-for-bit (the arrivalAccumulators replay contract). */
+  def diurnalDft(hours: Dataset[(String, Long, Long)]): Dataset[DftOut] = {
+    val C = Seq(1024L, 989L, 886L, 724L, 512L, 265L, 0L, -266L, -512L,
+      -725L, -887L, -990L, -1024L, -990L, -887L, -725L, -513L, -266L,
+      -1L, 265L, 512L, 724L, 886L, 989L)
+    val S = Seq(0L, 265L, 511L, 724L, 886L, 989L, 1024L, 989L, 886L,
+      724L, 511L, 265L, 0L, -266L, -512L, -725L, -887L, -990L, -1024L,
+      -990L, -887L, -725L, -513L, -266L)
+    import hours.sparkSession.implicits._
+    hours.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (tpe: String, it: Iterator[(String, Long, Long)],
+       state: GroupState[DftState]) =>
+        val buckets = state.getOption.map(_.buckets.toArray)
+          .getOrElse(new Array[Long](24))
+        it.foreach { case (_, h, c) => buckets((h % 24).toInt) += c }
+        state.update(DftState(buckets.toSeq))
+        val tot = buckets.sum
+        if (tot == 0L) Iterator.empty
+        else {
+          val rows = (1L to 3L).map { k =>
+            val reRaw = (0 until 24).map(b => buckets(b) * C((k * b % 24).toInt)).sum
+            val imRaw = (0 until 24).map(b => buckets(b) * S((k * b % 24).toInt)).sum
+            val reN = reRaw * 1000 / tot
+            val imN = imRaw * 1000 / tot
+            (k, reN, imN, reN * reN + imN * imN)
+          }
+          val mx = rows.map(_._4).max
+          rows.map { case (k, reN, imN, pw) =>
+            DftOut(tpe, k, reN, imN, pw, pw * 1000000L / 1048576000000L,
+              pw == mx)
+          }.iterator
+        }
+    }
+  }
+
   case class MedState(recent: Seq[(Long, Long)])
   case class MedOut(event_type: String, day_id: Long, c: Long,
                     n_days_window: Long, med7: Long)

@@ -692,6 +692,50 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming diurnal dft equals the batch harmonics, counters accumulate across batches") {
+    // whole-corpus agreement with the batch operator
+    val hours = DomainQueries.events(spark, sf)
+      .select(col("event_type"), expr("ts_ns div 3600000000000").as("h"))
+      .groupBy("event_type", "h").agg(count(lit(1)).as("c"))
+      .as[(String, Long, Long)]
+    val stateful = Streams.diurnalDft(hours).collect()
+      .map(o => (o.event_type, o.k) ->
+        (o.re_norm, o.im_norm, o.power_num, o.power_ppm, o.is_dominant))
+      .toMap
+    val batch = operators.Analytics.eventsDiurnalDft(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5, r._6, r._7)).toMap
+    assert(stateful === batch)
+    assert(batch.nonEmpty)
+    // counters carry across batches: a 12h-period signal only emerges
+    // once batch 2's bucket lands
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Long)]
+    val q = Streams.diurnalDft(mem.toDS())
+      .writeStream.format("memory").queryName("dft_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(("a", 0L, 10L)) // all mass in bucket 0
+      q.processAllAvailable()
+      val r1 = spark.sql("SELECT k, re_norm, im_norm FROM dft_out")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(r1 === Set((1L, 1024000L, 0L), (2L, 1024000L, 0L),
+        (3L, 1024000L, 0L)))
+      mem.addData(("a", 36L, 10L)) // hour 36 -> bucket 12: 12h period
+      q.processAllAvailable()
+      // full multiset: batch 1's three tied-dominant rows plus batch 2's
+      // refreshed rows where ONLY the 12h harmonic survives
+      val r2 = spark.sql(
+        "SELECT k, re_norm, power_num, is_dominant FROM dft_out")
+        .as[(Long, Long, Long, Boolean)].collect().sortBy(r => (r._1, r._2))
+      assert(r2.toSeq === Seq(
+        (1L, 0L, 0L, false), (1L, 1024000L, 1048576000000L, true),
+        (2L, 1024000L, 1048576000000L, true),
+        (2L, 1024000L, 1048576000000L, true),
+        (3L, 0L, 0L, false), (3L, 1024000L, 1048576000000L, true)))
+    } finally q.stop()
+  }
+
   test("streaming rolling median equals the batch operator, window carries across batches") {
     val days = DomainQueries.events(spark, sf)
       .select(col("event_type"), expr("ts_ns div 86400000000000").as("d"))
