@@ -20,4 +20,13 @@ object Md5Prefix {
     java.lang.Long.parseLong(
       d.take(7).map("%02x".format(_)).mkString.take(13), 16)
   }
+
+  /** 60-bit variant — the JVM mirror of the operators' shared h60
+    * (conv(substring(md5(..), 1, 15), 16, 10)) sampling key. */
+  def hash60(salt: String, id: Long): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest((salt + id).getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      d.take(8).map("%02x".format(_)).mkString.take(15), 16)
+  }
 }

@@ -616,6 +616,55 @@ object TextPrep {
     * sizes the quotas (column-pruned), one narrow projection computes
     * the hash order key, ONE language-partitioned window ranks, and the
     * tiny quota table broadcasts into the filter. */
+  /** Importance-weighted Poisson sampling — the SHUFFLE-FREE member of
+    * the sampling family: every rank-based sampler here (quota /
+    * mixture / stratified / fixed-k) needs a per-group sort window, but
+    * Bernoulli-per-row inclusion needs nothing — each row accepts
+    * independently iff its salted 60-bit hash ('imps:', own salt per
+    * the shared-salt correlation landmine) falls under w·2^56, giving
+    * inclusion probability exactly w/16 with quality weight
+    * w ∈ {1, 4, 8} from the mid-length quality bands. At 100 TB this is
+    * THE sampler: the accept decision rides the scan (zero exchanges,
+    * retry-stable, mergeable across any partitioning); only the
+    * (source × weight)-bounded ACCEPTANCE AUDIT aggregates — expected
+    * vs actual accept rate per mille plus the first sampled doc as a
+    * determinism witness. Conditional sums are when/otherwise-0 and the
+    * all-rejected min is coalesced (NULL-poisoning landmine). */
+  def dataImportanceSample(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        expr("case when n_chars between 200 and 450 then 8L " +
+          "when n_chars between 100 and 520 then 4L else 1L end").as("w"),
+        h60("concat('imps:', doc_id)").as("h"))
+      .withColumn("accepted", col("h") < col("w") * lit(1L << 56))
+      .groupBy("source", "w")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("accepted"), 1L).otherwise(0L)).as("n_sampled"),
+        coalesce(min(when(col("accepted"), col("doc_id"))), lit(-1L))
+          .as("first_sampled_doc"))
+      .select(col("source"), col("w"), col("n_total"), col("n_sampled"),
+        expr("w * 1000 div 16").as("expected_milli"),
+        expr("n_sampled * 1000 div n_total").as("actual_milli"),
+        col("first_sampled_doc"))
+
+  private val IMPORTANCE_SQL =
+    """WITH b AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN n_chars BETWEEN 200 AND 450 THEN 8
+      |         WHEN n_chars BETWEEN 100 AND 520 THEN 4 ELSE 1 END AS w,
+      |    ('0x' || substr(md5('imps:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM documents)
+      |SELECT source, CAST(w AS BIGINT) AS w,
+      |  CAST(COUNT(*) AS BIGINT) AS n_total,
+      |  CAST(SUM(CASE WHEN h < w * 72057594037927936 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_sampled,
+      |  CAST(w * 1000 // 16 AS BIGINT) AS expected_milli,
+      |  CAST(SUM(CASE WHEN h < w * 72057594037927936 THEN 1 ELSE 0 END)
+      |    * 1000 // COUNT(*) AS BIGINT) AS actual_milli,
+      |  CAST(COALESCE(MIN(CASE WHEN h < w * 72057594037927936
+      |    THEN doc_id END), -1) AS BIGINT) AS first_sampled_doc
+      |FROM b GROUP BY source, w""".stripMargin
+
   def dataMixtureSample(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val budget = docs.count() / 2
@@ -1108,6 +1157,7 @@ object TextPrep {
     "text_zipf_slope" -> (textZipfSlope _),
     "data_skew_audit" -> (dataSkewAudit _),
     "data_mixture_sample" -> (dataMixtureSample _),
+    "data_importance_sample" -> (dataImportanceSample _),
     "data_quota_sample" -> (dataQuotaSample _),
     "text_vocab_growth" -> (textVocabGrowth _),
     "data_dedup_impact" -> (dataDedupImpact _),
@@ -1133,6 +1183,7 @@ object TextPrep {
     "text_zipf_slope" -> ZIPF_SQL,
     "data_skew_audit" -> SKEW_SQL,
     "data_mixture_sample" -> MIX_SQL,
+    "data_importance_sample" -> IMPORTANCE_SQL,
     "data_quota_sample" -> QUOTA_SQL,
     "text_vocab_growth" -> VOCAB_SQL,
     "data_dedup_impact" -> IMPACT_SQL,

@@ -602,6 +602,39 @@ class TextPrepSpec extends SparkSpec {
     }
   }
 
+  test("importance sample: hash-threshold acceptance replays exactly, rates track weights") {
+    import spark.implicits._
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .selectExpr("doc_id", "source", "n_chars")
+      .as[(Long, String, Long)].collect()
+    def w(nc: Long): Long =
+      if (nc >= 200 && nc <= 450) 8L else if (nc >= 100 && nc <= 520) 4L else 1L
+    val expect = docs.groupBy(d => (d._2, w(d._3))).map { case ((src, wt), g) =>
+      val acc = g.filter(d =>
+        graft.functions.Md5Prefix.hash60("imps:", d._1) < wt * (1L << 56))
+      (src, wt) -> ((g.length.toLong, acc.length.toLong,
+        if (acc.isEmpty) -1L else acc.map(_._1).min))
+    }
+    val got = operators.TextPrep.dataImportanceSample(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.map(r => (r._1, r._2)).toSet === expect.keySet)
+    for ((src, wt, nTot, nSamp, expM, actM, firstDoc) <- got) {
+      val (eTot, eSamp, eFirst) = expect((src, wt))
+      assert(nTot === eTot); assert(nSamp === eSamp)
+      assert(firstDoc === eFirst)
+      assert(expM === wt * 1000 / 16)
+      assert(actM === nSamp * 1000 / nTot)
+    }
+    // the sampler samples: every weight class accepts something overall,
+    // and pooled accept rates order by weight
+    val byW = got.groupBy(_._2).map { case (wt, g) =>
+      wt -> (g.map(_._4).sum * 1000 / g.map(_._3).sum)
+    }
+    assert(byW.keySet === Set(1L, 4L, 8L))
+    assert(byW(1L) < byW(4L) && byW(4L) < byW(8L))
+    assert(got.map(_._4).sum > 0)
+  }
+
   test("ks drift replays the milli-ECDF sup norm by hand over the hash split") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
