@@ -3629,6 +3629,87 @@ object Analytics {
        |    * 1000 // GREATEST(n_events // n_hours, 1) AS fano_milli
        |FROM f""".stripMargin
 
+  /** Haar wavelet energy by timescale — the MULTI-RESOLUTION member of
+    * the series family: [[eventsBurstiness]] says HOW bursty a type is,
+    * [[eventsDiurnalDft]] finds global periodicity; this one says WHICH
+    * timescale the variance lives at (2/4/8/16-hour burst structure),
+    * time-localized where the DFT is global. Semantics: hourly shares
+    * (c·1000 div per-type total — missing hours are true zeros), hours
+    * indexed relative to the type's first hour, and per scale
+    * j ∈ {1..4} each COMPLETE 2^j-hour block contributes the Haar
+    * detail d = Σ(first half) − Σ(second half); energy = Σ d² in micro
+    * (shares are milli so d² is micro; |d| ≤ 1000 ⇒ overflow-free at
+    * any corpus — the normalize-before-square discipline again).
+    * mean_block_micro = energy div n_blocks is the cross-scale-fair
+    * variance density; is_dominant marks each type's strongest scale.
+    * n_blocks comes from the span FORMULA, not a row count — all-zero
+    * blocks exist and contribute zero energy, they are not absent.
+    * Plan: ONE data-sized (type, hour) agg; the ×4 scatter, block agg
+    * and scale fold all run on the ≤|types|·hours profile with the
+    * span/total dim broadcast. */
+  def eventsHaarEnergy(s: SparkSession, dir: String): DataFrame = {
+    val h = DomainQueries.events(s, dir)
+      .select(col("event_type"), expr(s"ts_ns div $HOUR_NS").as("hour_id"))
+      .groupBy("event_type", "hour_id").agg(count(lit(1)).as("c"))
+      .transform(graft.Ckpt.capped) // span/total fold + scatter both read it
+    val dims = h.groupBy("event_type")
+      .agg(min("hour_id").as("h0"), (max("hour_id") - min("hour_id") + 1).as("span"),
+        sum("c").as("tot"))
+    h.join(broadcast(dims), Seq("event_type"))
+      .select(col("event_type"), (col("hour_id") - col("h0")).as("rel"),
+        expr("c * 1000 div tot").as("sh"), col("span"),
+        explode(array((1 to 4).map(j =>
+          struct(lit(j.toLong).as("j"), lit(1L << j).as("bs"))): _*)).as("s"))
+      .filter(expr("rel div s.bs < span div s.bs")) // complete blocks only
+      .select(col("event_type"), col("s.j").as("j"),
+        expr("span div s.bs").as("n_blocks"),
+        expr("rel div s.bs").as("block"),
+        (expr("1 - 2 * ((rel div (s.bs div 2)) % 2)") * col("sh")).as("term"))
+      .groupBy("event_type", "j", "n_blocks", "block")
+      .agg(sum("term").as("d"))
+      .groupBy("event_type", "j", "n_blocks")
+      .agg(sum(expr("d * d")).as("energy_micro"))
+      .select(col("event_type"), expr("shiftleft(1L, cast(j as int))").as("scale_hours"),
+        col("n_blocks"), col("energy_micro"),
+        expr("energy_micro div n_blocks").as("mean_block_micro"))
+      .withColumn("is_dominant",
+        col("mean_block_micro") === max("mean_block_micro")
+          .over(Window.partitionBy("event_type")))
+  }
+
+  private val HAAR_SQL =
+    s"""WITH h AS (
+       |  SELECT event_type, epoch_ns(ts) // $HOUR_NS AS hour_id,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM events GROUP BY 1, 2),
+       |dims AS (
+       |  SELECT event_type, MIN(hour_id) AS h0,
+       |    MAX(hour_id) - MIN(hour_id) + 1 AS span,
+       |    CAST(SUM(c) AS BIGINT) AS tot
+       |  FROM h GROUP BY 1),
+       |term AS (
+       |  SELECT h.event_type, s.j, d.span // s.bs AS n_blocks,
+       |    (h.hour_id - d.h0) // s.bs AS block,
+       |    (1 - 2 * (((h.hour_id - d.h0) // (s.bs // 2)) % 2))
+       |      * (h.c * 1000 // d.tot) AS term
+       |  FROM h JOIN dims d ON d.event_type = h.event_type,
+       |    (VALUES (1, 2), (2, 4), (3, 8), (4, 16)) s(j, bs)
+       |  WHERE (h.hour_id - d.h0) // s.bs < d.span // s.bs),
+       |det AS (
+       |  SELECT event_type, j, n_blocks, block,
+       |    CAST(SUM(term) AS BIGINT) AS d
+       |  FROM term GROUP BY 1, 2, 3, 4),
+       |en AS (
+       |  SELECT event_type, j, n_blocks,
+       |    CAST(SUM(d * d) AS BIGINT) AS energy_micro
+       |  FROM det GROUP BY 1, 2, 3)
+       |SELECT event_type, CAST(1 << j AS BIGINT) AS scale_hours,
+       |  CAST(n_blocks AS BIGINT) AS n_blocks, energy_micro,
+       |  energy_micro // n_blocks AS mean_block_micro,
+       |  energy_micro // n_blocks = MAX(energy_micro // n_blocks)
+       |    OVER (PARTITION BY event_type) AS is_dominant
+       |FROM en""".stripMargin
+
   /** Deterministic fixed-point power iteration for the dominant
     * eigenvector of the embedding second-moment matrix — the
     * distributed PCA primitive (top principal axis without
@@ -4347,6 +4428,7 @@ object Analytics {
     "events_ewma_residual" -> (eventsEwmaResidual _),
     "events_holt_trend" -> (eventsHoltTrend _),
     "events_diurnal_dft" -> (eventsDiurnalDft _),
+    "events_haar_energy" -> (eventsHaarEnergy _),
     "events_burstiness" -> (eventsBurstiness _),
     "sim_power_iteration" -> (simPowerIteration _),
     "events_watermark_lag" -> (eventsWatermarkLag _),
@@ -4431,6 +4513,7 @@ object Analytics {
     "events_ewma_residual" -> EWMA_SQL,
     "events_holt_trend" -> HOLT_SQL,
     "events_diurnal_dft" -> DIURNAL_DFT_SQL,
+    "events_haar_energy" -> HAAR_SQL,
     "events_burstiness" -> BURSTINESS_SQL,
     "sim_power_iteration" -> POWER_ITER_SQL,
     "events_watermark_lag" -> WM_LAG_SQL,

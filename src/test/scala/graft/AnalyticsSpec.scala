@@ -1114,6 +1114,40 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("haar energy: per-scale detail fold replays by hand, zero blocks counted") {
+    val hourly = DomainQueries.events(spark, sf)
+      .selectExpr("event_type", "ts_ns div 3600000000000L as hour_id")
+      .groupBy("event_type", "hour_id").count()
+      .as[(String, Long, Long)].collect().groupBy(_._1)
+      .map { case (t, rs) => t -> rs.map(r => r._2 -> r._3).toMap }
+    val got = Analytics.eventsHaarEnergy(spark, sf)
+      .as[(String, Long, Long, Long, Long, Boolean)].collect()
+    assert(got.nonEmpty)
+    for ((t, scaleH, nBlocks, energy, meanB, _) <- got) {
+      val m = hourly(t)
+      val h0 = m.keys.min
+      val span = m.keys.max - h0 + 1
+      val tot = m.values.sum
+      assert(nBlocks === span / scaleH)
+      // replay: shares over the FULL calendar span (missing hour = 0)
+      val half = scaleH / 2
+      val exp = (0L until nBlocks).map { blk =>
+        val d = (0L until scaleH).map { off =>
+          val sh = m.getOrElse(h0 + blk * scaleH + off, 0L) * 1000 / tot
+          if (off < half) sh else -sh
+        }.sum
+        d * d
+      }.sum
+      assert(energy === exp, s"energy $t/$scaleH")
+      assert(meanB === energy / nBlocks)
+    }
+    // exactly one dominant scale per type unless tied; flags consistent
+    for ((_, rows) <- got.groupBy(_._1)) {
+      val mx = rows.map(_._5).max
+      assert(rows.forall(r => r._6 === (r._5 == mx)))
+    }
+  }
+
   test("diurnal dft: fixed-point harmonics replay the hour-of-day fold by hand") {
     val C = Seq(1024L, 989L, 886L, 724L, 512L, 265L, 0L, -266L, -512L,
       -725L, -887L, -990L, -1024L, -990L, -887L, -725L, -513L, -266L,
