@@ -225,19 +225,32 @@ object Analytics {
     * im likewise in exact BIGINTs, normalize by the type total
     * (truncating div — verified identical in Spark `div` and DuckDB
     * `//` for negatives), and square into |X_k|² ≤ 2·(1024·1000)² —
-    * overflow-free at ANY corpus size because normalization happens
-    * BEFORE squaring (the divide-by-n-first lattice). power_ppm scales
+    * the square is overflow-free because normalization happens BEFORE
+    * it (divide-by-n-first lattice); the normalization itself computes
+    * re_raw·1000 ≤ 1024000·tot, so the finite envelope is ~9e12 events
+    * per type (the arrival_regularity documentation discipline). power_ppm scales
     * against the constant DC² = 1024000²; a delta profile reads ~10^6,
     * a flat one ~0. is_dominant marks the strongest harmonic per type
     * (max-over-window on the 3-row group). Plan: ONE data-sized
     * (type, hour-of-day) agg, then a ×3 harmonic scatter over the
     * ≤|types|·24-row profile and tiny aggregates — nothing else touches
     * corpus scale. */
+  /** floor(cos/sin(2πb/24)·2^10) for b = 0..23 — the ONE JVM-side
+    * definition shared by this operator and Streams.diurnalDft (a
+    * second hand-maintained copy could silently diverge the twin; the
+    * DuckDB embedding stays separate per the both-engines literal
+    * discipline, and AnalyticsSpec carries its own independent copy as
+    * the typo canary). */
+  private[graft] val DIURNAL_C: Seq[Long] = Seq(1024L, 989L, 886L, 724L,
+    512L, 265L, 0L, -266L, -512L, -725L, -887L, -990L, -1024L, -990L,
+    -887L, -725L, -513L, -266L, -1L, 265L, 512L, 724L, 886L, 989L)
+  private[graft] val DIURNAL_S: Seq[Long] = Seq(0L, 265L, 511L, 724L,
+    886L, 989L, 1024L, 989L, 886L, 724L, 511L, 265L, 0L, -266L, -512L,
+    -725L, -887L, -990L, -1024L, -990L, -887L, -725L, -513L, -266L)
+
   def eventsDiurnalDft(s: SparkSession, dir: String): DataFrame = {
-    val cTab = "1024L,989L,886L,724L,512L,265L,0L,-266L,-512L,-725L,-887L," +
-      "-990L,-1024L,-990L,-887L,-725L,-513L,-266L,-1L,265L,512L,724L,886L,989L"
-    val sTab = "0L,265L,511L,724L,886L,989L,1024L,989L,886L,724L,511L,265L," +
-      "0L,-266L,-512L,-725L,-887L,-990L,-1024L,-990L,-887L,-725L,-513L,-266L"
+    val cTab = DIURNAL_C.map(v => s"${v}L").mkString(",")
+    val sTab = DIURNAL_S.map(v => s"${v}L").mkString(",")
     DomainQueries.events(s, dir)
       .select(col("event_type"), expr(s"ts_ns div $HOUR_NS % 24").as("b"))
       .groupBy("event_type", "b").agg(count(lit(1)).as("c"))

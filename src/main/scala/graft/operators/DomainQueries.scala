@@ -1623,7 +1623,10 @@ object DomainQueries {
       .select(cell10(col("lat"), col("lon")).as("cellid"))
       .groupBy("cellid").agg(count(lit(1)).as("n"))
       .transform(graft.Ckpt.capped) // scatter side + join side + totals fold
-    val offs = for { dy <- -4 to 4; dx <- -4 to 4 } yield (dy, dx)
+    // only offsets reachable by the max radius (d2 <= 16) — the 32
+    // corner offsets of the 9x9 square can never pass a radius filter
+    val offs = for { dy <- -4 to 4; dx <- -4 to 4
+                     if dy * dy + dx * dx <= 16 } yield (dy, dx)
     val scat = nc.select(col("cellid"), col("n").as("n1"),
         explode(array(offs.map { case (dy, dx) =>
           struct(lit(dy.toLong).as("dy"), lit(dx.toLong).as("dx"))
@@ -2590,7 +2593,8 @@ object DomainQueries {
         |  FROM nc,
         |    (SELECT unnest(range(-4, 5)) AS x) dy,
         |    (SELECT unnest(range(-4, 5)) AS x) dx
-        |  WHERE nc.cellid % 36 + dx.x BETWEEN 0 AND 35)""".stripMargin,
+        |  WHERE dy.x * dy.x + dx.x * dx.x <= 16
+        |    AND nc.cellid % 36 + dx.x BETWEEN 0 AND 35)""".stripMargin,
       """byd AS (
         |  SELECT d2, CAST(SUM(CASE WHEN d2 = 0 THEN s.n1 * (s.n1 - 1)
         |    ELSE s.n1 * nc.n END) AS BIGINT) AS pairs

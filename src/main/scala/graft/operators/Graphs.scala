@@ -1102,6 +1102,24 @@ object Graphs {
     * in a `clus(doc_id, cluster_id)` CTE (outer WITH must be RECURSIVE).
     * One definition — the dedup_cluster and dedup_survivorship labels
     * (and every sym-based walk) cannot silently desync. */
+  /** The four unrolled label-propagation rounds as CTEs (l0 init +
+    * ROW_NUMBER majority/min-label tie-break — the exact mirror of the
+    * Spark min(-cnt, label) struct argmax). ONE definition shared by
+    * the graph_communities and graph_modularity oracles so the round
+    * count / tie-break can never drift between them. */
+  private lazy val LP_ROUNDS_CTES: String =
+    "l0 AS (SELECT DISTINCT a AS node, a AS label FROM sym),\n" +
+      (1 to 4).map { k =>
+        s"""l$k AS (
+           |  SELECT b AS node, label FROM (
+           |    SELECT b, label,
+           |      ROW_NUMBER() OVER (PARTITION BY b ORDER BY cnt DESC, label) AS rn
+           |    FROM (SELECT s.b, p.label, COUNT(*) AS cnt
+           |          FROM sym s JOIN l${k - 1} p ON p.node = s.a
+           |          GROUP BY s.b, p.label))
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+
   private lazy val SYM_CTE: String =
     """sym AS (SELECT DISTINCT a, b FROM (
       |  SELECT doc1 AS a, doc2 AS b FROM pairs WHERE doc1 <> doc2
@@ -1201,20 +1219,9 @@ object Graphs {
       val pairsSql = TextQueries.oracle("dedup_ngram_jaccard")
       // the communities oracle's four unrolled rounds, then the
       // divide-first modularity lattice over the labeled edge set
-      val rounds = (1 to 4).map { k =>
-        s"""l$k AS (
-           |  SELECT b AS node, label FROM (
-           |    SELECT b, label,
-           |      ROW_NUMBER() OVER (PARTITION BY b ORDER BY cnt DESC, label) AS rn
-           |    FROM (SELECT s.b, p.label, COUNT(*) AS cnt
-           |          FROM sym s JOIN l${k - 1} p ON p.node = s.a
-           |          GROUP BY s.b, p.label))
-           |  WHERE rn = 1)""".stripMargin
-      }.mkString(",\n")
       s"""WITH pairs AS ($pairsSql),
          |$SYM_CTE,
-         |l0 AS (SELECT DISTINCT a AS node, a AS label FROM sym),
-         |$rounds,
+         |$LP_ROUNDS_CTES,
          |lab AS (SELECT node, label AS community FROM l4),
          |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM pairs),
          |deg AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS deg
@@ -1241,20 +1248,9 @@ object Graphs {
       // four synchronous rounds unrolled as CTEs; per round the majority
       // label with ROW_NUMBER ordered (cnt DESC, label) — the exact
       // mirror of the Spark min(-cnt, label) struct argmax
-      val rounds = (1 to 4).map { k =>
-        s"""l$k AS (
-           |  SELECT b AS node, label FROM (
-           |    SELECT b, label,
-           |      ROW_NUMBER() OVER (PARTITION BY b ORDER BY cnt DESC, label) AS rn
-           |    FROM (SELECT s.b, p.label, COUNT(*) AS cnt
-           |          FROM sym s JOIN l${k - 1} p ON p.node = s.a
-           |          GROUP BY s.b, p.label))
-           |  WHERE rn = 1)""".stripMargin
-      }.mkString(",\n")
       s"""WITH pairs AS ($pairsSql),
          |$SYM_CTE,
-         |l0 AS (SELECT DISTINCT a AS node, a AS label FROM sym),
-         |$rounds
+         |$LP_ROUNDS_CTES
          |SELECT node, label AS community FROM l4""".stripMargin
     },
     "dedup_survivorship" -> {

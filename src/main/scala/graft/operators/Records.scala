@@ -440,19 +440,6 @@ object Records {
         col("n_changes"))
   }
 
-  /** Deterministic key pseudonymization + the audit that licenses it —
-    * the privacy-preserving ETL shape (share a dataset without raw
-    * customer keys, keep it JOINABLE): every c_custkey maps to a salted
-    * 48-bit md5-prefix token ('pseu:' salt — its OWN hash stream per
-    * the one-salt-per-operator rule), and the single-row audit proves
-    * the mapping is fit to publish: token count equals key count (no
-    * collisions at this corpus; 48 bits ⇒ birthday ~2^24 keys — redo
-    * with a longer prefix past that), and the orders⋈customer row count
-    * on tokens equals the count on raw keys (referential integrity
-    * survives the rewrite). Plan: tokenization is a codegen projection;
-    * the audit costs one dual-distinct expand over the dim, two
-    * broadcast joins (customer is a dim — the fact never shuffles), and
-    * whitelisted 1×1 crossJoins where the single-row folds meet. */
   /** k-anonymity audit over the documents corpus — the re-identification
     * risk readout next to [[metaPseudonymizeAudit]]'s hashing audit and
     * Analytics.dataDpCounts' noisy release: rows fall into equivalence
@@ -504,6 +491,19 @@ object Records {
       |FROM cls, (SELECT unnest([2, 5, 10, 20]) AS k) kk
       |GROUP BY 1""".stripMargin
 
+  /** Deterministic key pseudonymization + the audit that licenses it —
+    * the privacy-preserving ETL shape (share a dataset without raw
+    * customer keys, keep it JOINABLE): every c_custkey maps to a salted
+    * 48-bit md5-prefix token ('pseu:' salt — its OWN hash stream per
+    * the one-salt-per-operator rule), and the single-row audit proves
+    * the mapping is fit to publish: token count equals key count (no
+    * collisions at this corpus; 48 bits ⇒ birthday ~2^24 keys — redo
+    * with a longer prefix past that), and the orders⋈customer row count
+    * on tokens equals the count on raw keys (referential integrity
+    * survives the rewrite). Plan: tokenization is a codegen projection;
+    * the audit costs one dual-distinct expand over the dim, two
+    * broadcast joins (customer is a dim — the fact never shuffles), and
+    * whitelisted 1×1 crossJoins where the single-row folds meet. */
   def metaPseudonymizeAudit(s: SparkSession, dir: String): DataFrame = {
     def tok(k: String): String =
       s"substring(md5(cast(concat('pseu:', cast($k as string)) as binary)), 1, 12)"

@@ -710,12 +710,8 @@ object Streams {
     * (type, k) equals the batch operator over the stream prefix
     * bit-for-bit (the arrivalAccumulators replay contract). */
   def diurnalDft(hours: Dataset[(String, Long, Long)]): Dataset[DftOut] = {
-    val C = Seq(1024L, 989L, 886L, 724L, 512L, 265L, 0L, -266L, -512L,
-      -725L, -887L, -990L, -1024L, -990L, -887L, -725L, -513L, -266L,
-      -1L, 265L, 512L, 724L, 886L, 989L)
-    val S = Seq(0L, 265L, 511L, 724L, 886L, 989L, 1024L, 989L, 886L,
-      724L, 511L, 265L, 0L, -266L, -512L, -725L, -887L, -990L, -1024L,
-      -990L, -887L, -725L, -513L, -266L)
+    val C = graft.operators.Analytics.DIURNAL_C
+    val S = graft.operators.Analytics.DIURNAL_S
     import hours.sparkSession.implicits._
     hours.groupByKey(_._1).flatMapGroupsWithState(
       OutputMode.Append, GroupStateTimeout.NoTimeout) {
