@@ -63,6 +63,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("holt lattice: per-lag coefficients equal the sequential recurrence on random series") {
+    // the operator's by-lag coefficient literals (lag 1 = newest hour)
+    val wl = Seq(2048L, 1536L, 896L, 352L, -8L, -186L, -372L, -170L)
+    val wt = Seq(1024L, 256L, -192L, -368L, -364L, -271L, -542L, 457L)
+    def sequential(y: IndexedSeq[Long]): (Long, Long) = {
+      var l = y(1) * 4096L
+      var b = (y(1) - y(0)) * 4096L
+      for (i <- 2 until 8) {
+        val lp = l
+        l = (y(i) * 4096L + lp + b) / 2
+        b = (l - lp) / 2 + b / 2
+      }
+      (l, b)
+    }
+    def lattice(y: IndexedSeq[Long]): (Long, Long) = (
+      (1 to 8).map(lag => wl(lag - 1) * y(8 - lag)).sum,
+      (1 to 8).map(lag => wt(lag - 1) * y(8 - lag)).sum)
+    val rnd = new Random(46)
+    for (_ <- 1 to 500) {
+      val y = IndexedSeq.fill(8)(rnd.nextLong(1000000L))
+      assert(lattice(y) === sequential(y))
+    }
+    // constant series reproduces itself with zero trend
+    val const = IndexedSeq.fill(8)(7L)
+    assert(sequential(const) === ((7L * 4096, 0L)))
+    // a linear ramp forecasts the next point exactly
+    val ramp = IndexedSeq.tabulate(8)(i => (i + 1) * 10L)
+    val (l, b) = sequential(ramp)
+    assert(l + b === 90L * 4096)
+  }
+
   test("haversine: symmetric, non-negative, zero at identity, bounded") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
