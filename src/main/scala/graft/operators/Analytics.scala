@@ -3603,6 +3603,103 @@ object Analytics {
        |JOIN m ON m.event_type = h.event_type
        |WHERE h.hour_id >= m.h0 + 8""".stripMargin
 
+  /** Rolling-origin forecast backtest — the MODEL-SELECTION audit the
+    * forecaster family ([[eventsSeasonalNaive]] lag-24,
+    * [[eventsEwmaResidual]] dyadic EWMA, [[eventsHoltTrend]]
+    * level+trend) exists to feed: one pass over the shared hourly
+    * relation scores all three one-step-ahead forecasts on every hour
+    * past the common 24-hour fence and reports each type's exact
+    * integer MAE (milli-counts) plus the winner. Per-hour residuals
+    * floor to milli on each forecaster's OWN denominator (1 / 255 /
+    * 4096) before summing — the divide-first discipline; |holt resid|
+    * ≤ c·2·4096 so the per-type sums hold to ~10⁹ events/hour ×10⁵
+    * hours in BIGINT. Missing-history hours coalesce to forecast 0
+    * (the inner-join parity class). Winner = struct-min over
+    * (mae, fixed model order) — deterministic ties. Plan: ONE
+    * data-sized hourly agg (checkpointed — five consumers), three
+    * scatter/lag aggregates on the hourly relation, AQE-sized joins
+    * back, min-hour dim broadcast, one per-type fold. */
+  def eventsForecastBacktest(s: SparkSession, dir: String): DataFrame = {
+    val wf = "3072L,1792L,704L,-16L,-372L,-457L,-914L,287L" // holt fcast by lag
+    val h = DomainQueries.events(s, dir)
+      .select(col("event_type"), expr(s"ts_ns div $HOUR_NS").as("hour_id"))
+      .groupBy("event_type", "hour_id").agg(count(lit(1)).as("c"))
+      .transform(graft.Ckpt.capped) // 3 forecast legs + actuals + fence
+    val ew = h.select(col("event_type"), col("hour_id"), col("c"),
+        explode(expr("array(1L,2L,3L,4L,5L,6L,7L,8L)")).as("i"))
+      .select(col("event_type"), (col("hour_id") + col("i")).as("hour_id"),
+        (col("c") * expr("shiftleft(1L, cast(8 - i as int))")).as("wc"))
+      .groupBy("event_type", "hour_id").agg(sum("wc").as("f_ewma"))
+    val hl = h.select(col("event_type"), col("hour_id"), col("c"),
+        explode(expr("array(1,2,3,4,5,6,7,8)")).as("i"))
+      .select(col("event_type"), (col("hour_id") + col("i")).as("hour_id"),
+        (col("c") * expr(s"element_at(array($wf), i)")).as("wc"))
+      .groupBy("event_type", "hour_id").agg(sum("wc").as("f_holt"))
+    val nv = h.select(col("event_type"),
+      (col("hour_id") + 24).as("hour_id"), col("c").as("f_naive"))
+    val mins = h.groupBy("event_type").agg(min("hour_id").as("h0"))
+    h.join(ew, Seq("event_type", "hour_id"), "left_outer")
+      .join(hl, Seq("event_type", "hour_id"), "left_outer")
+      .join(nv, Seq("event_type", "hour_id"), "left_outer")
+      .join(broadcast(mins), Seq("event_type"))
+      .filter(col("hour_id") >= col("h0") + 24)
+      .select(col("event_type"),
+        expr("abs(c - coalesce(f_naive, 0L)) * 1000").as("r_naive"),
+        expr("abs(c * 255 - coalesce(f_ewma, 0L)) * 1000 div 255").as("r_ewma"),
+        expr("abs(c * 4096 - coalesce(f_holt, 0L)) * 1000 div 4096").as("r_holt"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"),
+        expr("sum(r_naive) div count(1)").as("mae_naive_milli"),
+        expr("sum(r_ewma) div count(1)").as("mae_ewma_milli"),
+        expr("sum(r_holt) div count(1)").as("mae_holt_milli"))
+      .withColumn("winner",
+        expr("least(struct(mae_naive_milli as m, 1 as o, 'naive24' as w)," +
+          " struct(mae_ewma_milli as m, 2 as o, 'ewma' as w)," +
+          " struct(mae_holt_milli as m, 3 as o, 'holt' as w)).w"))
+  }
+
+  private val BACKTEST_SQL =
+    s"""WITH h AS (
+       |  SELECT event_type, epoch_ns(ts) // $HOUR_NS AS hour_id,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM events GROUP BY 1, 2),
+       |ew AS (
+       |  SELECT event_type, hour_id + i AS hour_id,
+       |    CAST(SUM(c * (1 << (8 - i))) AS BIGINT) AS f_ewma
+       |  FROM h, (SELECT unnest(range(1, 9)) AS i) s GROUP BY 1, 2),
+       |hl AS (
+       |  SELECT event_type, hour_id + i AS hour_id,
+       |    CAST(SUM(c * ([3072,1792,704,-16,-372,-457,-914,287])[i])
+       |      AS BIGINT) AS f_holt
+       |  FROM h, (SELECT unnest(range(1, 9)) AS i) s GROUP BY 1, 2),
+       |nv AS (
+       |  SELECT event_type, hour_id + 24 AS hour_id, c AS f_naive FROM h),
+       |m AS (SELECT event_type, MIN(hour_id) AS h0 FROM h GROUP BY 1),
+       |r AS (
+       |  SELECT h.event_type,
+       |    abs(h.c - COALESCE(nv.f_naive, 0)) * 1000 AS r_naive,
+       |    abs(h.c * 255 - COALESCE(ew.f_ewma, 0)) * 1000 // 255 AS r_ewma,
+       |    abs(h.c * 4096 - COALESCE(hl.f_holt, 0)) * 1000 // 4096 AS r_holt
+       |  FROM h
+       |  LEFT JOIN ew ON ew.event_type = h.event_type
+       |    AND ew.hour_id = h.hour_id
+       |  LEFT JOIN hl ON hl.event_type = h.event_type
+       |    AND hl.hour_id = h.hour_id
+       |  LEFT JOIN nv ON nv.event_type = h.event_type
+       |    AND nv.hour_id = h.hour_id
+       |  JOIN m ON m.event_type = h.event_type
+       |  WHERE h.hour_id >= m.h0 + 24)
+       |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+       |  CAST(SUM(r_naive) // COUNT(*) AS BIGINT) AS mae_naive_milli,
+       |  CAST(SUM(r_ewma) // COUNT(*) AS BIGINT) AS mae_ewma_milli,
+       |  CAST(SUM(r_holt) // COUNT(*) AS BIGINT) AS mae_holt_milli,
+       |  CASE WHEN SUM(r_naive) // COUNT(*) <= SUM(r_ewma) // COUNT(*)
+       |         AND SUM(r_naive) // COUNT(*) <= SUM(r_holt) // COUNT(*)
+       |       THEN 'naive24'
+       |       WHEN SUM(r_ewma) // COUNT(*) <= SUM(r_holt) // COUNT(*)
+       |       THEN 'ewma' ELSE 'holt' END AS winner
+       |FROM r GROUP BY 1""".stripMargin
+
   /** Per-type traffic burstiness — the capacity-planning readout next to
     * [[eventsEwmaResidual]]'s per-hour flags: over the type's OBSERVED
     * hours (conditional on activity, documented), peak-to-mean ratio and
@@ -4442,6 +4539,7 @@ object Analytics {
     "events_holt_trend" -> (eventsHoltTrend _),
     "events_diurnal_dft" -> (eventsDiurnalDft _),
     "events_haar_energy" -> (eventsHaarEnergy _),
+    "events_forecast_backtest" -> (eventsForecastBacktest _),
     "events_burstiness" -> (eventsBurstiness _),
     "sim_power_iteration" -> (simPowerIteration _),
     "events_watermark_lag" -> (eventsWatermarkLag _),
@@ -4527,6 +4625,7 @@ object Analytics {
     "events_holt_trend" -> HOLT_SQL,
     "events_diurnal_dft" -> DIURNAL_DFT_SQL,
     "events_haar_energy" -> HAAR_SQL,
+    "events_forecast_backtest" -> BACKTEST_SQL,
     "events_burstiness" -> BURSTINESS_SQL,
     "sim_power_iteration" -> POWER_ITER_SQL,
     "events_watermark_lag" -> WM_LAG_SQL,

@@ -1114,6 +1114,40 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("forecast backtest: three MAEs replay by hand, winner is the argmin with fixed ties") {
+    val wf = Seq(3072L, 1792L, 704L, -16L, -372L, -457L, -914L, 287L)
+    val hourly = DomainQueries.events(spark, sf)
+      .selectExpr("event_type", "ts_ns div 3600000000000L as hour_id")
+      .groupBy("event_type", "hour_id").count()
+      .as[(String, Long, Long)].collect().groupBy(_._1)
+      .map { case (t, rs) => t -> rs.map(r => r._2 -> r._3).toMap }
+    val got = Analytics.eventsForecastBacktest(spark, sf)
+      .as[(String, Long, Long, Long, Long, String)].collect()
+    assert(got.map(_._1).toSet === hourly.keySet)
+    for ((t, nH, maeN, maeE, maeH, winner) <- got) {
+      val m = hourly(t)
+      val h0 = m.keys.min
+      val hours = m.keys.filter(_ >= h0 + 24).toSeq.sorted
+      assert(nH === hours.length.toLong)
+      def c(h: Long) = m.getOrElse(h, 0L)
+      var (sn, se, sh) = (0L, 0L, 0L)
+      for (h <- hours) {
+        sn += math.abs(c(h) - c(h - 24)) * 1000
+        val fe = (1 to 8).map(i => c(h - i) * (1L << (8 - i))).sum
+        se += math.abs(c(h) * 255 - fe) * 1000 / 255
+        val fh = (1 to 8).map(i => c(h - i) * wf(i - 1)).sum
+        sh += math.abs(c(h) * 4096 - fh) * 1000 / 4096
+      }
+      assert(maeN === sn / nH, s"naive $t")
+      assert(maeE === se / nH, s"ewma $t")
+      assert(maeH === sh / nH, s"holt $t")
+      val expWinner =
+        if (maeN <= maeE && maeN <= maeH) "naive24"
+        else if (maeE <= maeH) "ewma" else "holt"
+      assert(winner === expWinner)
+    }
+  }
+
   test("haar energy: per-scale detail fold replays by hand, zero blocks counted") {
     val hourly = DomainQueries.events(spark, sf)
       .selectExpr("event_type", "ts_ns div 3600000000000L as hour_id")

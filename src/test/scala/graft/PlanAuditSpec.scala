@@ -349,6 +349,7 @@ class PlanAuditSpec extends SparkSpec {
     "events_holt_trend" -> 2, // same shape as ewma_residual: hourly agg + dual-weight scatter agg
     "events_diurnal_dft" -> 3, // hour-of-day agg + harmonic agg + dominant window; last two are |types|-sized
     "events_haar_energy" -> 4, // hourly agg + block agg + scale agg + dominant window; dims broadcast
+    "events_forecast_backtest" -> 4, // hourly agg + three forecast-leg aggs; joins AQE-sized, fence broadcast
     "events_burstiness" -> 2, // (type, hour) agg + <=|types|-row fold
     "sim_power_iteration" -> 0, // returned plan reads the round-5 checkpointed 64-row frame
     "data_near_dup_rate" -> 2, // block agg + single-row conditional fold
