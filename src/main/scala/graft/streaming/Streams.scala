@@ -693,6 +693,66 @@ object Streams {
     }
   }
 
+  case class BtState(h0: Long, recent: Seq[(Long, Long)],
+                     n: Long, sn: Long, se: Long, sh: Long)
+  case class BtOut(event_type: String, n_hours: Long, mae_naive_milli: Long,
+                   mae_ewma_milli: Long, mae_holt_milli: Long, winner: String)
+
+  /** Streaming counterpart of events_forecast_backtest: per type the
+    * state is the first-seen hour, AT MOST the last 24 (hour, count)
+    * cells (the deepest lag any of the three models reads) and four
+    * accumulator Longs — O(|types|·24) forever. Same contract as
+    * [[ewma]] (watermarked hourly aggregate, per-key ascending; a
+    * silent hour never arrives and reads 0 in every window). Each
+    * batch folds its hours through the three residual lattices
+    * (identical per-hour milli floors, Holt via the same sequential
+    * recurrence the batch lattice unrolls) and emits the refreshed
+    * per-type MAE row — the LATEST emission per type equals the batch
+    * operator over the stream prefix (arrivalAccumulators contract). */
+  def forecastBacktest(hours: Dataset[(String, Long, Long)]): Dataset[BtOut] = {
+    import hours.sparkSession.implicits._
+    hours.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (tpe: String, it: Iterator[(String, Long, Long)],
+       state: GroupState[BtState]) =>
+        val rows = it.map(e => (e._2, e._3)).toArray.sortBy(_._1)
+        var st = state.getOption
+          .getOrElse(BtState(Long.MaxValue, Seq.empty, 0L, 0L, 0L, 0L))
+        rows.foreach { case (h, c) =>
+          val h0 = math.min(st.h0, h)
+          def cc(hh: Long): Long =
+            st.recent.collectFirst { case (x, v) if x == hh => v }
+              .getOrElse(0L)
+          var (n, sn, se, sh) = (st.n, st.sn, st.se, st.sh)
+          if (h >= h0 + 24) {
+            sn += math.abs(c - cc(h - 24)) * 1000
+            val fe = (1 to 8).map(i => cc(h - i) * (1L << (8 - i))).sum
+            se += math.abs(c * 255 - fe) * 1000 / 255
+            val y = (1 to 8).map(i => cc(h - 9 + i)) // y1 oldest
+            var l = y(1) * 4096L
+            var b = (y(1) - y(0)) * 4096L
+            for (i <- 2 until 8) {
+              val lp = l
+              l = (y(i) * 4096L + lp + b) / 2
+              b = (l - lp) / 2 + b / 2
+            }
+            sh += math.abs(c * 4096 - (l + b)) * 1000 / 4096
+            n += 1
+          }
+          st = BtState(h0,
+            (st.recent :+ (h -> c)).filter(_._1 > h - 24), n, sn, se, sh)
+        }
+        state.update(st)
+        if (st.n == 0L) Iterator.empty
+        else {
+          val (mn, me, mh) = (st.sn / st.n, st.se / st.n, st.sh / st.n)
+          val winner = if (mn <= me && mn <= mh) "naive24"
+            else if (me <= mh) "ewma" else "holt"
+          Iterator.single(BtOut(tpe, st.n, mn, me, mh, winner))
+        }
+    }
+  }
+
   case class DftState(buckets: Seq[Long])
   case class DftOut(event_type: String, k: Long, re_norm: Long,
                     im_norm: Long, power_num: Long, power_ppm: Long,

@@ -692,6 +692,45 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming forecast backtest equals the batch MAEs, residuals accrue across batches") {
+    // whole-corpus agreement with the batch operator
+    val hours = DomainQueries.events(spark, sf)
+      .select(col("event_type"), expr("ts_ns div 3600000000000").as("h"))
+      .groupBy("event_type", "h").agg(count(lit(1)).as("c"))
+      .as[(String, Long, Long)]
+    val stateful = Streams.forecastBacktest(hours).collect()
+      .map(o => o.event_type -> (o.n_hours, o.mae_naive_milli,
+        o.mae_ewma_milli, o.mae_holt_milli, o.winner)).toMap
+    val batch = operators.Analytics.eventsForecastBacktest(spark, sf)
+      .as[(String, Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5, r._6)).toMap
+    assert(stateful === batch)
+    assert(batch.nonEmpty)
+    // a residual straddling the micro-batch boundary uses carried state:
+    // constant 10s for hours 0..24, then a spike at 25 in batch 2
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Long)]
+    val q = Streams.forecastBacktest(mem.toDS())
+      .writeStream.format("memory").queryName("bt_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((0L to 24L).map(h => ("a", h, 10L)): _*)
+      q.processAllAvailable()
+      // hour 24 is the only scored hour: every model forecasts 10 exactly
+      val r1 = spark.sql("SELECT n_hours, mae_naive_milli, mae_ewma_milli," +
+        " mae_holt_milli, winner FROM bt_out")
+        .as[(Long, Long, Long, Long, String)].collect().toSeq
+      assert(r1 === Seq((1L, 0L, 0L, 0L, "naive24")))
+      mem.addData(("a", 25L, 110L)) // spike of +100 over every forecast
+      q.processAllAvailable()
+      val r2 = spark.sql("SELECT n_hours, mae_naive_milli, mae_ewma_milli," +
+        " mae_holt_milli FROM bt_out WHERE n_hours = 2")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      // each model still forecast 10 for hour 25: |110-10|*1000/2 = 50000
+      assert(r2 === Seq((2L, 50000L, 50000L, 50000L)))
+    } finally q.stop()
+  }
+
   test("streaming diurnal dft equals the batch harmonics, counters accumulate across batches") {
     // whole-corpus agreement with the batch operator
     val hours = DomainQueries.events(spark, sf)
