@@ -616,6 +616,64 @@ object TextPrep {
     * sizes the quotas (column-pruned), one narrow projection computes
     * the hash order key, ONE language-partitioned window ranks, and the
     * tiny quota table broadcasts into the filter. */
+  /** T5-style span-corruption PLAN — the denoising-objective preparation
+    * step between tokenization and packing that the board's curation
+    * ops feed but nothing emitted: for every document, deterministic
+    * masked spans over the whitespace-token index space. Semantics:
+    * token positions partition into fixed 8-token windows; each window
+    * draws its span from its OWN salted hash ('span:' || doc || ':' ||
+    * w — per-window independence, shared-salt landmine respected):
+    * span_len = h mod 4 (0 = window unmasked), start offset =
+    * (h div 4) mod (9 − len), so spans NEVER overlap by construction
+    * (no sequential merge logic — fully declarative, retry-stable, any
+    * partitioning) and E[len]/8 ≈ 18.75%, the T5 corruption-rate
+    * ballpark. Spans that would overrun the document's token count
+    * (the ragged last window) are dropped on both engines. Output is
+    * the long-form plan a trainer consumes: (doc, span_idx, start_tok,
+    * span_len). Plan: narrow scan + sequence generator — ZERO
+    * shuffles; like the importance sampler, the decision rides the
+    * scan at any corpus size. */
+  def dataSpanCorruption(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        expr("cast(size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) as bigint)")
+          .as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("n_win", expr("(n_tokens + 7) div 8"))
+      .select(col("doc_id"), col("n_tokens"),
+        explode(expr("sequence(0L, n_win - 1)")).as("w"))
+      .withColumn("h",
+        h60("concat('span:', cast(doc_id as string), ':', cast(w as string))"))
+      .withColumn("span_len", col("h") % 4)
+      .withColumn("start_tok",
+        col("w") * 8 + expr("(h div 4) % (9 - span_len)"))
+      .filter(col("span_len") > 0 &&
+        col("start_tok") + col("span_len") <= col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("w").as("span_idx"),
+        col("start_tok"), col("span_len"))
+
+  private val SPAN_SQL =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+      |      AS n_tokens
+      |  FROM documents),
+      |wn AS (
+      |  SELECT doc_id, n_tokens, (n_tokens + 7) // 8 AS n_win
+      |  FROM d WHERE n_tokens > 0),
+      |sp AS (
+      |  SELECT doc_id, n_tokens, i AS w,
+      |    ('0x' || substr(md5('span:' || CAST(doc_id AS VARCHAR) || ':'
+      |      || CAST(i AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM wn, LATERAL unnest(generate_series(0,
+      |    CAST(n_win - 1 AS BIGINT))) t(i))
+      |SELECT doc_id, n_tokens, w AS span_idx,
+      |  w * 8 + ((h // 4) % (9 - h % 4)) AS start_tok,
+      |  h % 4 AS span_len
+      |FROM sp
+      |WHERE h % 4 > 0
+      |  AND w * 8 + ((h // 4) % (9 - h % 4)) + h % 4 <= n_tokens""".stripMargin
+
   /** Importance-weighted Poisson sampling — the SHUFFLE-FREE member of
     * the sampling family: every rank-based sampler here (quota /
     * mixture / stratified / fixed-k) needs a per-group sort window, but
@@ -1158,6 +1216,7 @@ object TextPrep {
     "data_skew_audit" -> (dataSkewAudit _),
     "data_mixture_sample" -> (dataMixtureSample _),
     "data_importance_sample" -> (dataImportanceSample _),
+    "data_span_corruption" -> (dataSpanCorruption _),
     "data_quota_sample" -> (dataQuotaSample _),
     "text_vocab_growth" -> (textVocabGrowth _),
     "data_dedup_impact" -> (dataDedupImpact _),
@@ -1184,6 +1243,7 @@ object TextPrep {
     "data_skew_audit" -> SKEW_SQL,
     "data_mixture_sample" -> MIX_SQL,
     "data_importance_sample" -> IMPORTANCE_SQL,
+    "data_span_corruption" -> SPAN_SQL,
     "data_quota_sample" -> QUOTA_SQL,
     "text_vocab_growth" -> VOCAB_SQL,
     "data_dedup_impact" -> IMPACT_SQL,

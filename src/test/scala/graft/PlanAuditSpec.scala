@@ -379,6 +379,7 @@ class PlanAuditSpec extends SparkSpec {
     "graph_modularity" -> 4, // checkpointed edges+labels: degree agg + internal agg + dsum agg + join
     "data_k_anonymity" -> 2, // QI-class agg (data-sized) + 4-row threshold fold
     "data_importance_sample" -> 1, // accept decision rides the scan; ONE audit agg
+    "data_span_corruption" -> 0, // narrow scan + window generator: ZERO shuffles
     "data_rater_kappa" -> 1, // one narrow projection into a single 4-cell aggregate
     "events_changepoint_binseg" -> 2, // (type,hour) count agg; windows + argmax ride one event_type exchange
     "sim_kmeans_shift" -> 1, // final assignment scan into one cluster agg; K-row shift frame broadcasts

@@ -602,6 +602,48 @@ class TextPrepSpec extends SparkSpec {
     }
   }
 
+  test("span corruption: window plan replays exactly, spans never overlap, ratio near 3/16") {
+    import spark.implicits._
+    val nTok = graft.Tables.t(spark, sf, "documents")
+      .selectExpr("doc_id",
+        "cast(size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) as bigint) as n")
+      .as[(Long, Long)].collect().toMap
+    def h60(salt: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(salt.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(8).map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val got = operators.TextPrep.dataSpanCorruption(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val expect = nTok.toSeq.filter(_._2 > 0).flatMap { case (doc, n) =>
+      (0L until (n + 7) / 8).flatMap { w =>
+        val h = h60(s"span:$doc:$w")
+        val len = h % 4
+        val start = w * 8 + (h / 4) % (9 - len)
+        if (len > 0 && start + len <= n) Some((doc, n, w, start, len))
+        else None
+      }
+    }.toSet
+    assert(got.toSet === expect)
+    // spans are window-confined, so they can never overlap
+    for ((_, rows) <- got.groupBy(_._1)) {
+      val sorted = rows.sortBy(_._4)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 + a._5 <= b._4)
+        case _ =>
+      }
+      rows.foreach { r =>
+        assert(r._4 >= r._3 * 8 && r._4 + r._5 <= r._3 * 8 + 8)
+      }
+    }
+    // corpus mask ratio lands near the designed E[len]/8 = 3/16
+    val masked = got.map(_._5).sum.toDouble
+    val toks = nTok.values.sum.toDouble
+    assert(masked / toks > 0.12 && masked / toks < 0.25)
+  }
+
   test("importance sample: hash-threshold acceptance replays exactly, rates track weights") {
     import spark.implicits._
     val docs = graft.Tables.t(spark, sf, "documents")
