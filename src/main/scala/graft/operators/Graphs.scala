@@ -875,9 +875,12 @@ object Graphs {
     * exactly the relax semantics (unreached = null until first seen).
     * Landmarks are the L smallest md5('lm:'||node) nodes — own salt
     * (the shared-salt correlation landmine), O(L) collected. Fixed
-    * `rounds` horizon; per-round localCheckpoint because the dist
-    * relation is referenced twice per round (the plan-replay
-    * landmine). */
+    * `rounds` horizon — DOCUMENTED truncation, not convergence: a node
+    * farther than `rounds` hops from every landmark reads (0, 0),
+    * byte-identical to a disconnected one (ScaleSpec pins this on a
+    * 512-node path); callers wanting a wider view raise `rounds`.
+    * Per-round localCheckpoint because the dist relation is referenced
+    * twice per round (the plan-replay landmine). */
   def landmarkHarmonic(edges: DataFrame, nLandmarks: Int = 4,
                        rounds: Int = 6): DataFrame = {
     val e = edges.toDF("x", "y").filter(col("x") =!= col("y"))

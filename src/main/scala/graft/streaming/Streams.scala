@@ -890,7 +890,13 @@ object Streams {
     * to the earliest split), so once the stream has seen the whole
     * series its LAST emission per type equals the batch row exactly —
     * the spec pins that equality. Types with one occupied hour have no
-    * admissible split and emit nothing, matching the batch drop. */
+    * admissible split and emit nothing, matching the batch drop.
+    *
+    * Overflow is LOUD, mirroring the batch operator's ANSI semantics:
+    * the squared prefix sums s1² / (s−s1)² / s² wrap Long once a type's
+    * cumulative count passes ~3.04e9 (sqrt(Long.MaxValue)), so like
+    * queueWait the twin uses multiplyExact/addExact and throws there
+    * instead of silently corrupting every later split (ADVICE r9). */
   def changepoint(hours: Dataset[(String, Long, Long)]): Dataset[CpOut] = {
     import hours.sparkSession.implicits._
     hours.groupByKey(_._1).flatMapGroupsWithState(
@@ -903,13 +909,16 @@ object Streams {
         val n = hs.length.toLong
         if (n < 2) Iterator.empty
         else {
-          val s = hs.map(_._2).sum
+          val s = hs.map(_._2).foldLeft(0L)(Math.addExact)
           var best: CpOut = null
           var s1 = 0L
           for (((hour, x), idx) <- hs.zipWithIndex; if idx < n - 1) {
-            s1 += x
+            s1 = Math.addExact(s1, x)
             val i = idx + 1L
-            val gain = s1 * s1 / i + (s - s1) * (s - s1) / (n - i) - s * s / n
+            val s2 = s - s1
+            val gain = Math.multiplyExact(s1, s1) / i +
+              Math.multiplyExact(s2, s2) / (n - i) -
+              Math.multiplyExact(s, s) / n
             if (best == null || gain > best.gain_fp)
               best = CpOut(tpe, n, i, hour, gain,
                 s1 * 1000 / i, (s - s1) * 1000 / (n - i))

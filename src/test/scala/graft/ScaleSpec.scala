@@ -231,6 +231,52 @@ class ScaleSpec extends SparkSpec {
     assert(giant > want.size * 9 / 10, "fixture lost its giant component")
   }
 
+  test("landmark harmonic: path far past the horizon — beyond-horizon nodes read (0,0) like disconnected ones") {
+    // the horizon contract (r9 verdict): rounds=6 relaxations reach AT
+    // MOST 6 hops, so on a 512-node path (diameter 511) every node
+    // farther than 6 from ALL landmarks must read n_reached=0,
+    // harmonic=0 — byte-identical to a genuinely disconnected island.
+    // Driver replays the whole documented lattice (hash landmarks,
+    // horizon-capped BFS, 1000 div d fold) and compares full maps.
+    val n = 512L
+    val pathEdges = (0L until n - 1).map(i => (i, i + 1))
+    val edges = pathEdges :+ ((1000000L, 1000001L)) // disconnected island
+    val got = operators.Graphs.landmarkHarmonic(edges.toDF("a", "b"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // driver lattice: same salt, same 13-hex-digit md5 prefix, same tie order
+    def h(node: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"lm:$node".getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(7).map("%02x".format(_)).mkString.take(13), 16)
+    }
+    val nodes = edges.flatMap(p => Seq(p._1, p._2)).distinct
+    val lms = nodes.sortBy(x => (h(x), x)).take(4)
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    def bfs(src: Long): Map[Long, Int] = {
+      var dist = Map(src -> 0); var frontier = Seq(src)
+      for (d <- 1 to 6) {
+        frontier = frontier.flatMap(adj(_)).distinct.filterNot(dist.contains)
+        dist ++= frontier.map(_ -> d);
+      }
+      dist
+    }
+    val dists = lms.map(bfs)
+    val want = nodes.map { x =>
+      val ds = dists.flatMap(_.get(x)).filter(_ > 0)
+      x -> (ds.length.toLong, ds.map(1000L / _).sum)
+    }.toMap
+    assert(got === want)
+    // the contract's sharp edge: path nodes beyond every landmark's
+    // horizon and the island (when landmark-free) are indistinguishable
+    if (lms.toSet.intersect(Set(1000000L, 1000001L)).isEmpty) {
+      assert(got(1000000L) === ((0L, 0L)))
+      assert(got(1000001L) === ((0L, 0L)))
+    }
+    val beyond = (0L until n).filter(x => dists.forall(!_.contains(x)))
+    assert(beyond.nonEmpty, "fixture must leave path nodes past every horizon")
+    assert(beyond.forall(x => got(x) === ((0L, 0L))))
+  }
+
   test("boruvka MSF: 16k-node giant random graph matches driver Kruskal, rounds stay O(log n)") {
     val n = 16384L
     val raw = (0L until 2 * n).map { i =>

@@ -729,6 +729,29 @@ class StreamsSpec extends SparkSpec {
       // each model still forecast 10 for hour 25: |110-10|*1000/2 = 50000
       assert(r2 === Seq((2L, 50000L, 50000L, 50000L)))
     } finally q.stop()
+    // micro-batch split landing EXACTLY on the warm-up fence: batch 1 =
+    // hours 0..23 (zero scored hours, zero emissions), batch 2 opens at
+    // hour h0+24 — the first scored hour — whose 24-deep window lives
+    // entirely in carried state (r9 verdict boundary case)
+    val mem2 = MemoryStream[(String, Long, Long)]
+    val q2 = Streams.forecastBacktest(mem2.toDS())
+      .writeStream.format("memory").queryName("bt_fence")
+      .outputMode("append").start()
+    try {
+      mem2.addData((0L to 23L).map(h => ("b", h, (h + 1) * 2L)): _*)
+      q2.processAllAvailable()
+      assert(spark.sql("SELECT * FROM bt_fence").count() === 0L)
+      mem2.addData(("b", 24L, 50L)) // ramp continues: 2,4,..,48 then 50
+      q2.processAllAvailable()
+      val rf = spark.sql("SELECT n_hours, mae_naive_milli, mae_ewma_milli," +
+        " mae_holt_milli, winner FROM bt_fence")
+        .as[(Long, Long, Long, Long, String)].collect().toSeq
+      // naive24 forecasts cc(0)=2 → |50-2|*1000 = 48000; Holt on the
+      // exact linear ramp forecasts 50 exactly → 0; EWMA of the last 8
+      // ramp cells (34..48, weights 2^7..2^0 /255) underestimates:
+      // fe = Σ cc(24−i)·2^(8−i) = 11746, |50·255 − 11746|·1000/255 = 3937
+      assert(rf === Seq((1L, 48000L, 3937L, 0L, "holt")))
+    } finally q2.stop()
   }
 
   test("streaming diurnal dft equals the batch harmonics, counters accumulate across batches") {
