@@ -1183,6 +1183,98 @@ object Analytics {
        |FROM d JOIN c USING (user_id)
        |GROUP BY 1, 2""".stripMargin
 
+  /** Retention half-life — the one-number decay fit on top of
+    * [[eventsRetention]]'s cohort×offset table: pool cohorts per offset
+    * (numerator = actives at offset k, denominator = ONLY the cohorts
+    * whose observation window reaches k — the gap-correct pooling that
+    * keeps late cohorts from dragging the tail down), floor-log2 the
+    * per-mille retention, and fit the exact-integer OLS slope of bits
+    * vs offset (the zipf_slope discipline: raw sufficient statistics +
+    * sign + abs-milli, no float anywhere). A drop of one BIT is a
+    * halving, so half-life in offsets = 1/|slope|, shipped as
+    * halflife_milli = 10^6 div slope_abs_milli when decaying. Offsets
+    * are calendar-bounded (≤ the observation span); every aggregate
+    * past the one user fold is day-grain. */
+  def eventsRetentionHalflife(s: SparkSession, dir: String): DataFrame = {
+    val perUser = DomainQueries.events(s, dir)
+      .select(col("user_id"), expr(s"ts_ns div $DAY_NS").as("day"))
+      .groupBy("user_id")
+      .agg(min("day").as("cohort_day"), collect_set("day").as("days"))
+      .transform(graft.Ckpt.capped) // act + cohort-size folds both read it
+    val act = perUser
+      .select(col("cohort_day"), explode(col("days")).as("day"))
+      .select((col("day") - col("cohort_day")).as("k"))
+      .filter(col("k") >= 1)
+      .groupBy("k").agg(count(lit(1)).as("act"))
+    // observation horizon = the last OBSERVED day (not the last cohort
+    // day — r10 first cut used max(cohort_day) and collapsed the fit to
+    // one offset with a >1000‰ numerator/denominator mismatch)
+    val last = perUser.agg(max(expr("array_max(days)")).as("last_day"))
+    val den = perUser.groupBy("cohort_day")
+      .agg(count(lit(1)).as("size"))
+      .crossJoin(broadcast(last))
+      .filter(col("last_day") > col("cohort_day"))
+      .select(explode(expr("sequence(1L, last_day - cohort_day)")).as("k"),
+        col("size"))
+      .groupBy("k").agg(sum("size").as("den"))
+    act.join(den, Seq("k"))
+      .select(col("k"),
+        expr("cast(length(bin(act * 1000 div den)) - 1 as bigint)").as("y"))
+      .agg(count(lit(1)).as("n_offsets"),
+        sum("k").as("sk"), sum("y").as("sy"),
+        sum(expr("k * y")).as("sky"), sum(expr("k * k")).as("skk"))
+      .select(col("n_offsets"),
+        expr("n_offsets * sky - sk * sy").as("slope_num"),
+        expr("n_offsets * skk - sk * sk").as("slope_den"))
+      .select(col("n_offsets"),
+        when(col("slope_num") < 0, -1L).when(col("slope_num") > 0, 1L)
+          .otherwise(0L).as("slope_sign"),
+        expr("abs(slope_num) * 1000 div slope_den").as("slope_abs_milli"))
+      .withColumn("halflife_milli",
+        when(col("slope_sign") === -1 && col("slope_abs_milli") > 0,
+          expr("1000000 div slope_abs_milli")))
+  }
+
+  private val RETENTION_HALFLIFE_SQL =
+    s"""WITH d AS (
+       |  SELECT DISTINCT user_id, epoch_ns(ts) // $DAY_NS AS day FROM events),
+       |c AS (SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY user_id),
+       |act AS (
+       |  SELECT d.day - c.cohort_day AS k, CAST(COUNT(*) AS BIGINT) AS act
+       |  FROM d JOIN c USING (user_id) WHERE d.day - c.cohort_day >= 1
+       |  GROUP BY 1),
+       |sz AS (SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS size
+       |       FROM c GROUP BY 1),
+       |mx AS (SELECT MAX(day) AS last_day FROM d),
+       |den AS (
+       |  SELECT CAST(t.k AS BIGINT) AS k, CAST(SUM(size) AS BIGINT) AS den
+       |  FROM sz, mx, LATERAL unnest(generate_series(1, last_day - cohort_day)) t(k)
+       |  WHERE last_day > cohort_day
+       |  GROUP BY 1),
+       |y AS (
+       |  SELECT act.k,
+       |    CAST(length(bin(act * 1000 // den)) - 1 AS BIGINT) AS y
+       |  FROM act JOIN den USING (k)),
+       |f AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_offsets,
+       |    CAST(SUM(k) AS BIGINT) AS sk, CAST(SUM(y) AS BIGINT) AS sy,
+       |    CAST(SUM(k * y) AS BIGINT) AS sky,
+       |    CAST(SUM(k * k) AS BIGINT) AS skk
+       |  FROM y),
+       |s AS (
+       |  SELECT n_offsets,
+       |    n_offsets * sky - sk * sy AS slope_num,
+       |    n_offsets * skk - sk * sk AS slope_den
+       |  FROM f)
+       |SELECT n_offsets,
+       |  CAST(CASE WHEN slope_num < 0 THEN -1 WHEN slope_num > 0 THEN 1
+       |       ELSE 0 END AS BIGINT) AS slope_sign,
+       |  abs(slope_num) * 1000 // slope_den AS slope_abs_milli,
+       |  CASE WHEN slope_num < 0 AND abs(slope_num) * 1000 // slope_den > 0
+       |       THEN 1000000 // (abs(slope_num) * 1000 // slope_den)
+       |       END AS halflife_milli
+       |FROM s""".stripMargin
+
   /** DAU/MAU stickiness per 30-day period — the engagement-depth ratio
     * next to [[eventsRetention]]'s cohort decay: of the users active in
     * a period, what fraction shows up on an average day? Shipped as
@@ -1477,6 +1569,70 @@ object Analytics {
        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_bins,
        |  CAST(SUM(abs(s1 - s2)) AS BIGINT) AS l1_drift_milli
        |FROM j GROUP BY 1""".stripMargin
+
+  /** Temporal train/test leakage audit — the time-series twin of
+    * data_split_leakage's hash-split check: when a model trains on the
+    * past and evaluates on the future, the honest split is a time CUT,
+    * and the audit measures how much of the test window is reachable by
+    * memorizing train-window entities. Fixed cut = 2024-01-25T00:00Z
+    * (the corpus's last fifth — a literal, not a data-dependent
+    * quantile, so the split is reproducible across runs and engines).
+    * Per event type: train/test/overlap user counts, the user-overlap
+    * per-mille, and the WARM share — test events from users already
+    * seen in train (the mass a pure user-memorizer could fit). Two
+    * aggregates: one (type, user) fold, one type rollup — nothing wider
+    * than the key grain shuffles at any corpus size. */
+  def dataTemporalLeakage(s: SparkSession, dir: String): DataFrame =
+    DomainQueries.events(s, dir)
+      .select(col("event_type"), col("user_id"),
+        (col("ts_ns") >= 1706140800000000000L).as("is_test"))
+      .groupBy("event_type", "user_id")
+      .agg(sum(when(!col("is_test"), 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("is_test"), 1L).otherwise(0L)).as("n_test"))
+      .groupBy("event_type")
+      .agg(
+        sum(when(col("n_train") > 0, 1L).otherwise(0L)).as("train_users"),
+        sum(when(col("n_test") > 0, 1L).otherwise(0L)).as("test_users"),
+        sum(when(col("n_train") > 0 && col("n_test") > 0, 1L).otherwise(0L))
+          .as("overlap_users"),
+        sum("n_test").as("test_events"),
+        sum(when(col("n_train") > 0, col("n_test")).otherwise(0L))
+          .as("warm_test_events"))
+      .select(col("event_type"), col("train_users"), col("test_users"),
+        col("overlap_users"),
+        when(col("test_users") > 0,
+          expr("overlap_users * 1000 div test_users")).as("user_overlap_milli"),
+        col("test_events"), col("warm_test_events"),
+        when(col("test_events") > 0,
+          expr("warm_test_events * 1000 div test_events")).as("warm_share_milli"))
+
+  private val TEMPORAL_LEAKAGE_SQL =
+    """WITH u AS (
+      |  SELECT event_type, user_id,
+      |    CAST(SUM(CASE WHEN epoch_ns(ts) >= 1706140800000000000
+      |      THEN 0 ELSE 1 END) AS BIGINT) AS n_train,
+      |    CAST(SUM(CASE WHEN epoch_ns(ts) >= 1706140800000000000
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT event_type,
+      |    CAST(SUM(CASE WHEN n_train > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS train_users,
+      |    CAST(SUM(CASE WHEN n_test > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS test_users,
+      |    CAST(SUM(CASE WHEN n_train > 0 AND n_test > 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS overlap_users,
+      |    CAST(SUM(n_test) AS BIGINT) AS test_events,
+      |    CAST(SUM(CASE WHEN n_train > 0 THEN n_test ELSE 0 END) AS BIGINT)
+      |      AS warm_test_events
+      |  FROM u GROUP BY 1)
+      |SELECT event_type, train_users, test_users, overlap_users,
+      |  CASE WHEN test_users > 0
+      |    THEN overlap_users * 1000 // test_users END AS user_overlap_milli,
+      |  test_events, warm_test_events,
+      |  CASE WHEN test_events > 0
+      |    THEN warm_test_events * 1000 // test_events END AS warm_share_milli
+      |FROM r""".stripMargin
 
   /** Calendar gap-fill with last-observation-carried-forward — the
     * time-series REGULARIZATION step every downstream
@@ -4578,6 +4734,8 @@ object Analytics {
     "events_quantile_sketch_union" -> (eventsQuantileSketchUnion _),
     "events_gap_fill_locf" -> (eventsGapFillLocf _),
     "events_value_drift" -> (eventsValueDrift _),
+    "data_temporal_leakage" -> (dataTemporalLeakage _),
+    "events_retention_halflife" -> (eventsRetentionHalflife _),
     "data_benford_audit" -> (dataBenfordAudit _),
     "events_arrival_regularity" -> (eventsArrivalRegularity _),
     "events_weekday_profile" -> (eventsWeekdayProfile _),
@@ -4664,6 +4822,8 @@ object Analytics {
     "events_quantile_sketch_union" -> QSKETCH_SQL,
     "events_gap_fill_locf" -> GAPFILL_SQL,
     "events_value_drift" -> VALUE_DRIFT_SQL,
+    "data_temporal_leakage" -> TEMPORAL_LEAKAGE_SQL,
+    "events_retention_halflife" -> RETENTION_HALFLIFE_SQL,
     "data_benford_audit" -> BENFORD_SQL,
     "events_arrival_regularity" -> REGULARITY_SQL,
     "events_weekday_profile" -> WEEKDAY_SQL,

@@ -305,6 +305,79 @@ object Multimodal {
       .filter(col("n_media") >= 2)
   }
 
+  /** Perceptual near-dup fingerprint over binary payloads — the
+    * modality-agnostic pHash layer between [[multimodalDedupBytes]]
+    * (exact) and [[multimodalChunkDedup]] (shared-bytes accounting): a
+    * 60-bit WEIGHTED simhash per payload (Charikar 2002 / Manku et al.
+    * 2007, public literature) over the SET of its char 8-grams, each
+    * gram weighted by an integer idf (floor-log2 N − floor-log2 df).
+    * The weighting is load-bearing, not decoration: the r10 unweighted
+    * cut read a cross-corpus median Hamming of 12 (every payload drawn
+    * from the same Zipf vocabulary shares most of its gram mass, so
+    * unweighted majorities correlate globally) while idf weighting
+    * pushes strays to median ~29 and keeps the planted prefix-edited
+    * re-crawls at ≤8 — separation by physics, not by threshold tuning.
+    * A real deployment would swap char grams for decoded-frame features
+    * — the documented decode-stub seam. Payloads under 256 bytes are
+    * GATED OUT (a small edit on a tiny gram population is a large
+    * angular move; tiny blobs belong to the exact CAS / chunk layers).
+    * Candidate pairs come from 6×10-bit band buckets with a
+    * 64-per-bucket degeneracy cap applied BEFORE any pair materializes
+    * (band width scales with log2(corpus) in production — 10 bits fits
+    * the gate corpus; the cap is what keeps a saturated band harmless),
+    * survivors verify with bit_count(xor) ≤ 8. Gram explosion stays in
+    * whole-stage codegen (sequence + substring — the Shingles
+    * discipline, no interpreted HOF lambda); payload bytes never
+    * shuffle (8-byte gram hashes and sigs do). */
+  def multimodalPhashDedup(s: SparkSession, dir: String): DataFrame = {
+    val media = t(s, dir, "documents").select(
+      col("doc_id").as("media_id"), col("text"))
+    val recrawled = media.filter(col("media_id") % 9 === 0)
+      .select((-col("media_id") - 1).as("media_id"),
+        concat(lit("edited: "), col("text")).as("text"))
+    val gated = media.unionByName(recrawled)
+      .filter(octet_length(col("text").cast("binary")) >= 256)
+      .transform(graft.Ckpt.capped) // grams + the N fold both read it
+    val grams = gated
+      .select(col("media_id"), col("text"),
+        explode(expr("sequence(0, length(text) - 8)")).as("i"))
+      .select(col("media_id"),
+        expr("cast(conv(substring(md5(cast(concat('ph:', substring(text," +
+          " i + 1, 8)) as binary)), 1, 15), 16, 10) as bigint)").as("h"))
+      .dropDuplicates("media_id", "h") // set semantics: mass ≠ weight
+      .transform(graft.Ckpt.capped) // df fold + the weighted join read it
+    val dfr = grams.groupBy("h").agg(count(lit(1)).as("dfh"))
+    val n = gated.agg(count(lit(1)).as("nd"))
+    val bitCols = (0 until 60).map { j =>
+      sum(expr(s"w * ((h >> $j) & 1)")).as(s"c$j")
+    }
+    val sigExpr = (0 until 60).map(j =>
+      when(expr(s"2 * c$j >= tw"), expr(s"shiftleft(1L, $j)")).otherwise(0L))
+      .reduce((a, b) => a.bitwiseOR(b))
+    val sigs = grams.join(dfr, Seq("h"))
+      .crossJoin(broadcast(n))
+      .withColumn("w",
+        expr("(length(bin(nd)) - 1) - (length(bin(dfh)) - 1)"))
+      .groupBy("media_id")
+      .agg(sum("w").as("tw"), bitCols: _*)
+      .select(col("media_id"), sigExpr.as("sig"))
+      .transform(graft.Ckpt.capped) // referenced by both band-join sides
+    val bands = sigs.select(col("media_id"), col("sig"),
+        explode(expr("array(0L, 1L, 2L, 3L, 4L, 5L)")).as("band"))
+      .withColumn("bv", expr("(sig >> (band * 10)) & 1023"))
+    val ok = bands.groupBy("band", "bv").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= 64).select("band", "bv")
+    val capped = bands.join(ok, Seq("band", "bv"))
+    val a = capped.select(col("band"), col("bv"),
+      col("media_id").as("media_a"), col("sig").as("sa"))
+    val b = capped.select(col("band"), col("bv"),
+      col("media_id").as("media_b"), col("sig").as("sb"))
+    a.join(b, Seq("band", "bv")).filter(col("media_a") < col("media_b"))
+      .withColumn("hamming", expr("cast(bit_count(sa ^ sb) as bigint)"))
+      .filter(col("hamming") <= 8)
+      .select("media_a", "media_b", "hamming").distinct()
+  }
+
   /** Byte-entropy screen over binary payloads — the
     * compressed-vs-raw detector a multimodal curation pass runs before
     * wasting decode cycles (an already-deflated or encrypted blob reads
@@ -383,6 +456,7 @@ object Multimodal {
     "multimodal_source_mix" -> (multimodalSourceMix _),
     "multimodal_dedup_bytes" -> (multimodalDedupBytes _),
     "multimodal_chunk_dedup" -> (multimodalChunkDedup _),
+    "multimodal_phash_dedup" -> (multimodalPhashDedup _),
     "multimodal_frame_sample" -> (multimodalFrameSample _),
     "multimodal_audio_windows" -> (multimodalAudioWindows _))
 
@@ -395,7 +469,10 @@ object Multimodal {
     * with list_reduce in mod-2^61-1 space), then slices each chunk out
     * of the hex rendering (2 hex chars per byte — charset-proof) and
     * hashes it. */
-  private val CHUNK_SQL = {
+  /** Shared oracle CTEs ending at `ch(media_id, chunk_md5, chunk_bytes)`
+    * — the CDC chunk-hash replay both chunk_dedup and phash_dedup build
+    * on (same planted re-crawl fixture). */
+  private def cdcChunkCtes: String = {
     val w = graft.functions.CdcChunks.W
     val div = graft.functions.CdcChunks.Mask + 1
     val byteList =
@@ -420,17 +497,65 @@ object Multimodal {
        |    md5(substr(hx, 2 * CAST(COALESCE(ends[i-1], 0) AS BIGINT) + 1,
        |        2 * CAST(ends[i] - COALESCE(ends[i-1], 0) AS BIGINT))) AS chunk_md5,
        |    CAST(ends[i] - COALESCE(ends[i-1], 0) AS BIGINT) AS chunk_bytes
-       |  FROM ae, LATERAL unnest(generate_series(1, len(ends))) t(i))
+       |  FROM ae, LATERAL unnest(generate_series(1, len(ends))) t(i))""".stripMargin
+  }
+
+  private val CHUNK_SQL =
+    s"""$cdcChunkCtes
        |SELECT chunk_md5, chunk_bytes, CAST(COUNT(*) AS BIGINT) AS n_copies,
        |  CAST(COUNT(DISTINCT media_id) AS BIGINT) AS n_media,
        |  MIN(media_id) AS first_media
        |FROM ch GROUP BY 1, 2
        |HAVING COUNT(DISTINCT media_id) >= 2""".stripMargin
+
+  /** The oracle replays the weighted simhash exactly: per-gram md5
+    * hashes ('ph:' salt — its own stream), set semantics via DISTINCT,
+    * integer idf weights from bit lengths, bit-majority in 60 wide
+    * weighted sums (no 60× row explode), then the same 6×10-bit band
+    * join + cap + Hamming verify the Spark plan runs. */
+  private val PHASH_SQL = {
+    val bitSums = (0 until 60)
+      .map(j => s"CAST(SUM(w * ((h >> $j) & 1)) AS BIGINT) AS c$j")
+      .mkString(",\n        ")
+    val sigSum = (0 until 60)
+      .map(j => s"CASE WHEN 2 * c$j >= tw THEN CAST(${1L << j} AS BIGINT) ELSE 0 END")
+      .mkString("\n          + ")
+    s"""WITH m AS (
+       |  SELECT doc_id AS media_id, text FROM documents
+       |  UNION ALL
+       |  SELECT -doc_id - 1, 'edited: ' || text FROM documents WHERE doc_id % 9 = 0),
+       |g0 AS (SELECT media_id, text FROM m
+       |       WHERE octet_length(encode(text)) >= 256),
+       |gr AS (SELECT DISTINCT media_id,
+       |    ('0x' || substr(md5('ph:' || substr(text, CAST(i + 1 AS BIGINT), 8)),
+       |      1, 15))::BIGINT AS h
+       |  FROM g0, LATERAL unnest(generate_series(0,
+       |    CAST(length(text) - 8 AS BIGINT))) t(i)),
+       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM g0),
+       |dfr AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS dfh FROM gr GROUP BY h),
+       |wg AS (SELECT gr.media_id, gr.h,
+       |         (length(bin(nd)) - 1) - (length(bin(dfh)) - 1) AS w
+       |       FROM gr JOIN dfr USING (h) CROSS JOIN n),
+       |sg AS (SELECT media_id, CAST(SUM(w) AS BIGINT) AS tw,
+       |        $bitSums
+       |       FROM wg GROUP BY media_id),
+       |sig AS (SELECT media_id, CAST($sigSum AS BIGINT) AS sig FROM sg),
+       |bd AS (SELECT media_id, sig, CAST(t.j AS BIGINT) AS band,
+       |         ((sig >> (t.j * 10)) & 1023) AS bv
+       |       FROM sig, LATERAL unnest(generate_series(0, 5)) t(j)),
+       |ok AS (SELECT band, bv FROM bd GROUP BY band, bv HAVING COUNT(*) <= 64)
+       |SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+       |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+       |FROM bd a JOIN bd b ON a.band = b.band AND a.bv = b.bv
+       |  AND a.media_id < b.media_id
+       |JOIN ok ON ok.band = a.band AND ok.bv = a.bv
+       |WHERE bit_count(xor(a.sig, b.sig)) <= 8""".stripMargin
   }
 
   val oracle: Map[String, String] = Map(
     "multimodal_byte_entropy" -> ENTROPY_SQL,
     "multimodal_chunk_dedup" -> CHUNK_SQL,
+    "multimodal_phash_dedup" -> PHASH_SQL,
     "multimodal_size_spectrum" -> SIZE_SPECTRUM_SQL,
     "multimodal_source_mix" -> SOURCE_MIX_SQL,
     "multimodal_dedup_bytes" ->

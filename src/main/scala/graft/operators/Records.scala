@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables.t
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Nested document assembly — the metadata ETL's record-building surface
@@ -918,7 +918,311 @@ object Records {
         graft.Determinism.dsum2(col("o_totalprice")).as("revenue"))
   }
 
+  /** MGnify study-id enrichment — the import_mgnify_data.py:24-85 shape:
+    * portal records carry a nested metagenomes_records list; each member's
+    * biosample accession gets an external study-id lookup that can MISS
+    * (get_mgnify_study_id returns None on any error, line 39-41), members
+    * that resolve gain mgnify_study_ids, and the PARENT record's
+    * update_flag/mgnify_status="true" is set only when ANY member resolved
+    * (lines 47-80) — records with no metagenome members are never touched.
+    * Modeled as: metagenome members = every third order under its customer
+    * parent; the lookup is md5-derived ('mgy:' salt — its own stream) with
+    * a deterministic 1-in-3 miss so both the None path and the
+    * update-only-when-resolved rollup are exercised. Plan: one member
+    * aggregate + a parent key join (AQE-broadcast at gate scale,
+    * equi-shuffle at 100 TB); the lookup rides the member scan. */
+  def mgnifyEnrich(s: SparkSession, dir: String): DataFrame = {
+    val members = t(s, dir, "orders")
+      .filter(col("o_orderkey") % 3 === 2)
+      .select(col("o_custkey").as("k"),
+        concat(lit("SAMEA"), col("o_orderkey").cast("string")).as("biosample_id"))
+      .withColumn("h", expr("cast(conv(substring(md5(cast(concat('mgy:'," +
+        " biosample_id) as binary)), 1, 15), 16, 10) as bigint)"))
+      .withColumn("mgnify_id", when(col("h") % 3 =!= 0,
+        concat(lit("MGYS"), (col("h") % 100000).cast("string"))))
+    val agg = members.groupBy("k").agg(
+      count(lit(1)).as("n_metagenomes"),
+      sum(when(col("mgnify_id").isNotNull, 1L).otherwise(0L)).as("n_resolved"),
+      expr("array_join(sort_array(collect_list(mgnify_id)), ';')")
+        .as("mgnify_study_ids"))
+    t(s, dir, "customer").join(agg, col("c_custkey") === col("k"))
+      .select(
+        concat(lit("ACC"), col("c_custkey").cast("string")).as("accession"),
+        concat(lit("sp_"), (col("c_custkey") % 50).cast("string")).as("organism"),
+        col("n_metagenomes"), col("n_resolved"), col("mgnify_study_ids"),
+        when(col("n_resolved") > 0, "true").otherwise("").as("mgnify_status"))
+  }
+
+  private val MGNIFY_SQL =
+    """WITH ch AS (
+      |  SELECT o_custkey AS k,
+      |    'SAMEA' || CAST(o_orderkey AS VARCHAR) AS biosample_id
+      |  FROM orders WHERE o_orderkey % 3 = 2),
+      |lk AS (
+      |  SELECT k,
+      |    ('0x' || substr(md5('mgy:' || biosample_id), 1, 15))::BIGINT AS h
+      |  FROM ch),
+      |r AS (
+      |  SELECT k, CASE WHEN h % 3 != 0
+      |    THEN 'MGYS' || CAST(h % 100000 AS VARCHAR) END AS mgnify_id
+      |  FROM lk),
+      |agg AS (
+      |  SELECT k, CAST(COUNT(*) AS BIGINT) AS n_metagenomes,
+      |    CAST(SUM(CASE WHEN mgnify_id IS NOT NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_resolved,
+      |    COALESCE(string_agg(mgnify_id, ';' ORDER BY mgnify_id), '')
+      |      AS mgnify_study_ids
+      |  FROM r GROUP BY k)
+      |SELECT 'ACC' || CAST(c_custkey AS VARCHAR) AS accession,
+      |  'sp_' || CAST(c_custkey % 50 AS VARCHAR) AS organism,
+      |  n_metagenomes, n_resolved, mgnify_study_ids,
+      |  CASE WHEN n_resolved > 0 THEN 'true' ELSE '' END AS mgnify_status
+      |FROM customer JOIN agg ON c_custkey = k""".stripMargin
+
+  /** BioSamples relationship traversal — the
+    * collect_metadata_experiments_assemblies.py:109-142 shape: specimens
+    * carry "sample derived from" / "sample symbiont of" characteristics
+    * (derived-from checked FIRST — the reference's if/elif precedence),
+    * hosts are fetched by accession and can MISS (json decode error →
+    * skipped, lines 123-125 / 137-139), and a fetched host may itself
+    * carry a relationship — the walk here is bounded at 2 hops (each hop
+    * a lookup join, the relational analogue of the per-sample HTTP GETs).
+    * Synthesized links (derived host = k div 2, symbiont host = k−1,
+    * per-type precedence when both flags hold) keep the oracle
+    * arithmetic; fetch failure is md5-gated ('rel:' salt, 1-in-7).
+    * Statuses: root (no relationship), attached (a root ancestor within
+    * 2 hops, with depth), orphan (a hop's host missing or unfetchable),
+    * unresolved (chain still non-root at the bound). */
+  def sampleRelationships(s: SparkSession, dir: String): DataFrame = {
+    def relType(kc: Column): Column =
+      when(kc % 2 === 1, "derived_from")
+        .when(kc % 3 === 2, "symbiont_of").otherwise("root")
+    val base = t(s, dir, "customer").select(col("c_custkey").as("k"))
+      .withColumn("rel_type", relType(col("k")))
+      .withColumn("h1", expr(
+        "CASE WHEN k % 2 = 1 THEN k div 2 WHEN k % 3 = 2 THEN k - 1 END"))
+    def look(n: Int) = t(s, dir, "customer").select(col("c_custkey").as(s"hk$n"))
+    def fetchOk(name: String): Column =
+      expr(s"cast(conv(substring(md5(cast(concat('rel:', $name)" +
+        " as binary)), 1, 15), 16, 10) as bigint)") % 7 =!= 0
+    val j1 = base.join(look(1), col("h1") === col("hk1"), "left_outer")
+      .withColumn("t1", when(col("hk1").isNull, lit(null).cast("string"))
+        .otherwise(relType(col("hk1"))))
+      .withColumn("h2", expr("CASE WHEN hk1 IS NULL THEN NULL" +
+        " WHEN hk1 % 2 = 1 THEN hk1 div 2" +
+        " WHEN hk1 % 3 = 2 THEN hk1 - 1 END"))
+    val j2 = j1.join(look(2), col("h2") === col("hk2"), "left_outer")
+      .withColumn("t2", when(col("hk2").isNull, lit(null).cast("string"))
+        .otherwise(relType(col("hk2"))))
+      .withColumn("f1", coalesce(fetchOk("h1"), lit(false)))
+      .withColumn("f2", coalesce(fetchOk("h2"), lit(false)))
+    val status = when(col("rel_type") === "root", "root")
+      .when(col("hk1").isNull || !col("f1"), "orphan")
+      .when(col("t1") === "root", "attached")
+      .when(col("hk2").isNull || !col("f2"), "orphan")
+      .when(col("t2") === "root", "attached")
+      .otherwise("unresolved")
+    val parent = when(col("rel_type") === "root", col("k"))
+      .when(col("hk1").isNull || !col("f1"), lit(null).cast("long"))
+      .when(col("t1") === "root", col("hk1"))
+      .when(col("hk2").isNull || !col("f2"), lit(null).cast("long"))
+      .when(col("t2") === "root", col("hk2"))
+    val depth = when(col("rel_type") === "root", 0L)
+      .when(col("hk1").isNull || !col("f1"), lit(null).cast("long"))
+      .when(col("t1") === "root", 1L)
+      .when(col("hk2").isNull || !col("f2"), lit(null).cast("long"))
+      .when(col("t2") === "root", 2L)
+    j2.select(
+      concat(lit("ACC"), col("k").cast("string")).as("accession"),
+      col("rel_type"), status.as("status"), depth.as("depth"),
+      when(parent.isNotNull, concat(lit("ACC"), parent.cast("string")))
+        .as("parent_accession"))
+  }
+
+  private val RELATIONSHIPS_SQL =
+    """WITH c1 AS (SELECT c_custkey AS k FROM customer),
+      |b AS (
+      |  SELECT k,
+      |    CASE WHEN k % 2 = 1 THEN 'derived_from'
+      |         WHEN k % 3 = 2 THEN 'symbiont_of' ELSE 'root' END AS rel_type,
+      |    CASE WHEN k % 2 = 1 THEN k // 2
+      |         WHEN k % 3 = 2 THEN k - 1 END AS h1
+      |  FROM c1),
+      |j1 AS (
+      |  SELECT b.*, x.k AS hk1,
+      |    CASE WHEN x.k IS NULL THEN NULL
+      |         WHEN x.k % 2 = 1 THEN 'derived_from'
+      |         WHEN x.k % 3 = 2 THEN 'symbiont_of' ELSE 'root' END AS t1,
+      |    CASE WHEN x.k IS NULL THEN NULL
+      |         WHEN x.k % 2 = 1 THEN x.k // 2
+      |         WHEN x.k % 3 = 2 THEN x.k - 1 END AS h2
+      |  FROM b LEFT JOIN c1 x ON b.h1 = x.k),
+      |j2 AS (
+      |  SELECT j1.*, y.k AS hk2,
+      |    CASE WHEN y.k IS NULL THEN NULL
+      |         WHEN y.k % 2 = 1 THEN 'derived_from'
+      |         WHEN y.k % 3 = 2 THEN 'symbiont_of' ELSE 'root' END AS t2
+      |  FROM j1 LEFT JOIN c1 y ON j1.h2 = y.k),
+      |f AS (
+      |  SELECT *,
+      |    COALESCE(('0x' || substr(md5('rel:' || CAST(h1 AS VARCHAR)), 1, 15))
+      |      ::BIGINT % 7 != 0, FALSE) AS f1,
+      |    COALESCE(('0x' || substr(md5('rel:' || CAST(h2 AS VARCHAR)), 1, 15))
+      |      ::BIGINT % 7 != 0, FALSE) AS f2
+      |  FROM j2)
+      |SELECT 'ACC' || CAST(k AS VARCHAR) AS accession, rel_type,
+      |  CASE WHEN rel_type = 'root' THEN 'root'
+      |       WHEN hk1 IS NULL OR NOT f1 THEN 'orphan'
+      |       WHEN t1 = 'root' THEN 'attached'
+      |       WHEN hk2 IS NULL OR NOT f2 THEN 'orphan'
+      |       WHEN t2 = 'root' THEN 'attached'
+      |       ELSE 'unresolved' END AS status,
+      |  CASE WHEN rel_type = 'root' THEN 0
+      |       WHEN hk1 IS NULL OR NOT f1 THEN NULL
+      |       WHEN t1 = 'root' THEN 1
+      |       WHEN hk2 IS NULL OR NOT f2 THEN NULL
+      |       WHEN t2 = 'root' THEN 2 END AS depth,
+      |  CASE WHEN rel_type = 'root' THEN 'ACC' || CAST(k AS VARCHAR)
+      |       WHEN hk1 IS NULL OR NOT f1 THEN NULL
+      |       WHEN t1 = 'root' THEN 'ACC' || CAST(hk1 AS VARCHAR)
+      |       WHEN hk2 IS NULL OR NOT f2 THEN NULL
+      |       WHEN t2 = 'root' THEN 'ACC' || CAST(hk2 AS VARCHAR)
+      |       END AS parent_accession
+      |FROM f""".stripMargin
+
+  /** Link-rollup upserts — the import_tol_qc.py:29-43 + import_images.py:
+    * 28-41 shape run as ONE query: tolqc links (base/group/name) grouped
+    * under tax_id, and BioImage archive file URLs grouped under the NHMUK
+    * barcode attribute (only records carrying that attribute contribute,
+    * import_images.py:32-34). Both rollups are collect_list-under-key
+    * bodies of the ES bulk "index" actions; lists sort for hash
+    * stability. Two key-grain aggregates + a union — each
+    * partial-aggregates map-side, nothing data-sized crosses beyond its
+    * own group key at 100 TB. */
+  def linkRollups(s: SparkSession, dir: String): DataFrame = {
+    val tolqc = t(s, dir, "part")
+      .select((col("p_partkey") % 211).cast("string").as("doc_key"),
+        concat(lit("https://tolqc.cog.sanger.ac.uk/"), col("p_brand"),
+          lit("/p"), col("p_partkey").cast("string")).as("link"))
+      .groupBy("doc_key")
+      .agg(count(lit(1)).as("n_links"),
+        expr("array_join(sort_array(collect_list(link)), ';')").as("links"))
+      .withColumn("rollup_type", lit("tol_qc"))
+    val images = t(s, dir, "orders")
+      .filter(col("o_orderkey") % 5 === 0)
+      .select(concat(lit("NHMUK"), (col("o_custkey") % 97).cast("string"))
+          .as("doc_key"),
+        concat(lit("https://www.ebi.ac.uk/biostudies/files/S-BIAD588/"),
+          col("o_orderkey").cast("string"), lit(".tif")).as("link"))
+      .groupBy("doc_key")
+      .agg(count(lit(1)).as("n_links"),
+        expr("array_join(sort_array(collect_list(link)), ';')").as("links"))
+      .withColumn("rollup_type", lit("images"))
+    tolqc.unionByName(images)
+      .select("rollup_type", "doc_key", "n_links", "links")
+  }
+
+  private val LINKROLLUP_SQL =
+    """SELECT 'tol_qc' AS rollup_type,
+      |  CAST(p_partkey % 211 AS VARCHAR) AS doc_key,
+      |  CAST(COUNT(*) AS BIGINT) AS n_links,
+      |  string_agg('https://tolqc.cog.sanger.ac.uk/' || p_brand || '/p'
+      |    || CAST(p_partkey AS VARCHAR), ';'
+      |    ORDER BY 'https://tolqc.cog.sanger.ac.uk/' || p_brand || '/p'
+      |    || CAST(p_partkey AS VARCHAR)) AS links
+      |FROM part GROUP BY p_partkey % 211
+      |UNION ALL
+      |SELECT 'images' AS rollup_type,
+      |  'NHMUK' || CAST(o_custkey % 97 AS VARCHAR) AS doc_key,
+      |  CAST(COUNT(*) AS BIGINT) AS n_links,
+      |  string_agg('https://www.ebi.ac.uk/biostudies/files/S-BIAD588/'
+      |    || CAST(o_orderkey AS VARCHAR) || '.tif', ';'
+      |    ORDER BY 'https://www.ebi.ac.uk/biostudies/files/S-BIAD588/'
+      |    || CAST(o_orderkey AS VARCHAR) || '.tif') AS links
+      |FROM orders WHERE o_orderkey % 5 = 0
+      |GROUP BY 'NHMUK' || CAST(o_custkey % 97 AS VARCHAR)""".stripMargin
+
+  /** Annotations species-file explode — the import_annotations.py:55-126
+    * shape: a project is a LIST of species.yaml files, each file's records
+    * explode to annotation rows (a record lands in every project whose
+    * file list includes its file), each accession resolves a tax_id
+    * through a lookup that can MISS (XMLSyntaxError → row skipped, lines
+    * 68-72) with two HARD-PINNED accessions surviving the broken-XML path
+    * (lines 75-79: GCF_902459465.1→7604, GCF_902652985.1→6579), optional
+    * annotation/proteins/transcripts keys default absent (the KeyError
+    * ladder, lines 81-105), and surviving rows group per (project,
+    * tax_id) into the JSONL bodies. Modeled as: files = the 5 p_mfgr
+    * values, project→file config = a 10-row literal dim (broadcast);
+    * lookup = md5 ('ann:' salt, 1-in-7 miss); pins at p_partkey 42/99.
+    * Plan: broadcast config join riding the part scan + ONE group
+    * aggregate. */
+  def annotationsExplode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val config = Seq(
+      ("erga", "STANDARD"), ("erga", "LARGE"), ("erga", "MEDIUM"),
+      ("dtol", "STANDARD"), ("asg", "PROMO"),
+      ("gbdp", "STANDARD"), ("gbdp", "LARGE"), ("gbdp", "MEDIUM"),
+      ("gbdp", "PROMO"), ("gbdp", "ECONOMY"), ("gbdp", "SMALL"))
+      .toDF("project", "yaml_file")
+    val sp = t(s, dir, "part").select(
+      col("p_type"), col("p_partkey"), col("p_size"),
+      concat(lit("GCA_"), col("p_partkey").cast("string")).as("accession"))
+      .withColumn("h", expr("cast(conv(substring(md5(cast(concat('ann:'," +
+        " accession) as binary)), 1, 15), 16, 10) as bigint)"))
+      .withColumn("tax_id",
+        when(col("p_partkey") === 42, 7604L)
+          .when(col("p_partkey") === 99, 6579L)
+          .when(col("h") % 7 === 0, lit(null).cast("long"))
+          .otherwise(col("h") % 9973))
+      .filter(col("tax_id").isNotNull)
+    sp.join(broadcast(config), col("p_type") === col("yaml_file"))
+      .groupBy("project", "tax_id")
+      .agg(count(lit(1)).as("n_annotations"),
+        sum(when(col("p_size") % 2 === 0, 1L).otherwise(0L)).as("n_with_gtf"),
+        sum(when(col("p_size") % 3 === 0, 1L).otherwise(0L)).as("n_with_proteins"),
+        sum(when(col("p_size") % 11 === 0 || col("p_size") % 13 === 0, 1L)
+          .otherwise(0L)).as("n_browser"),
+        expr("array_join(sort_array(collect_list(accession)), ';')")
+          .as("accessions"))
+  }
+
+  private val ANNOTATIONS_SQL =
+    """WITH config(project, yaml_file) AS (VALUES
+      |  ('erga', 'STANDARD'), ('erga', 'LARGE'), ('erga', 'MEDIUM'),
+      |  ('dtol', 'STANDARD'), ('asg', 'PROMO'),
+      |  ('gbdp', 'STANDARD'), ('gbdp', 'LARGE'), ('gbdp', 'MEDIUM'),
+      |  ('gbdp', 'PROMO'), ('gbdp', 'ECONOMY'), ('gbdp', 'SMALL')),
+      |sp AS (
+      |  SELECT p_type, p_partkey, p_size,
+      |    'GCA_' || CAST(p_partkey AS VARCHAR) AS accession,
+      |    ('0x' || substr(md5('ann:GCA_' || CAST(p_partkey AS VARCHAR)),
+      |      1, 15))::BIGINT AS h
+      |  FROM part),
+      |tx AS (
+      |  SELECT *,
+      |    CASE WHEN p_partkey = 42 THEN 7604
+      |         WHEN p_partkey = 99 THEN 6579
+      |         WHEN h % 7 = 0 THEN NULL
+      |         ELSE h % 9973 END AS tax_id
+      |  FROM sp)
+      |SELECT project, tax_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_annotations,
+      |  CAST(SUM(CASE WHEN p_size % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_with_gtf,
+      |  CAST(SUM(CASE WHEN p_size % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_with_proteins,
+      |  CAST(SUM(CASE WHEN p_size % 11 = 0 OR p_size % 13 = 0 THEN 1 ELSE 0
+      |    END) AS BIGINT) AS n_browser,
+      |  string_agg(accession, ';' ORDER BY accession) AS accessions
+      |FROM tx JOIN config ON p_type = yaml_file
+      |WHERE tax_id IS NOT NULL
+      |GROUP BY project, tax_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "meta_mgnify_enrich" -> (mgnifyEnrich _),
+    "meta_sample_relationships" -> (sampleRelationships _),
+    "meta_link_rollups" -> (linkRollups _),
+    "meta_annotations_explode" -> (annotationsExplode _),
     "meta_manifest_prune" -> (metaManifestPrune _),
     "meta_join_size_estimate" -> (metaJoinSizeEstimate _),
     "meta_deletion_vectors" -> (metaDeletionVectors _),
@@ -1018,6 +1322,10 @@ object Records {
         |FROM orders WHERE o_orderkey BETWEEN 4000 AND 9000
         |GROUP BY o_orderstatus""".stripMargin,
     "meta_join_size_estimate" -> JOIN_EST_SQL,
+    "meta_mgnify_enrich" -> MGNIFY_SQL,
+    "meta_sample_relationships" -> RELATIONSHIPS_SQL,
+    "meta_link_rollups" -> LINKROLLUP_SQL,
+    "meta_annotations_explode" -> ANNOTATIONS_SQL,
     "meta_article_enrich" -> ARTICLE_SQL,
     "meta_genome_notes" -> GENOMENOTES_SQL,
     "meta_pseudonymize_audit" -> PSEUDONYMIZE_SQL,

@@ -215,6 +215,96 @@ object TextQueries {
       .drop("tot")
   }
 
+  /** Chunk-level language consistency — the mixed-document detector a
+    * CCNet-style pipeline runs after doc-level langid: a document whose
+    * 8-token windows classify to DIFFERENT languages is a concatenation
+    * artifact (boilerplate + body, template + payload) that should be
+    * split or dropped, and doc-level argmax alone cannot see it. Chunks
+    * classify with the SAME lexicon scorer as [[textLangid]] (ties
+    * alpha ≥ beta ≥ gamma, zero hits → unknown); per doc: chunk count,
+    * per-label chunk counts, the majority label and its milli share,
+    * distinct classified languages, and the is_mixed flag. Tokens
+    * explode once; both aggregates are key-grain (doc, chunk) →
+    * (doc). */
+  def textLangConsistency(s: SparkSession, dir: String): DataFrame = {
+    val lex = Map(
+      "ha" -> Seq("table", "row", "column", "key"),
+      "hb" -> Seq("spark", "query", "join", "scan"),
+      "hg" -> Seq("fast", "slow", "big", "small"))
+    val hitSums = lex.toSeq.sortBy(_._1).map { case (name, words) =>
+      sum(when(col("w").isin(words: _*), 1L).otherwise(0L)).as(name)
+    }
+    val chunks = t(s, dir, "documents")
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
+      .groupBy(col("doc_id"), expr("pos div 8").as("chunk"))
+      .agg(hitSums.head, hitSums.tail: _*)
+      .select(col("doc_id"),
+        when(greatest(col("ha"), col("hb"), col("hg")) === 0, "unknown")
+          .when(col("ha") >= col("hb") && col("ha") >= col("hg"), "alpha")
+          .when(col("hb") >= col("hg"), "beta").otherwise("gamma").as("lbl"))
+    chunks.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("lbl") === "alpha", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("lbl") === "beta", 1L).otherwise(0L)).as("cb"),
+        sum(when(col("lbl") === "gamma", 1L).otherwise(0L)).as("cg"),
+        sum(when(col("lbl") === "unknown", 1L).otherwise(0L)).as("cu"))
+      .select(col("doc_id"), col("n_chunks"),
+        when(greatest(col("ca"), col("cb"), col("cg")) === 0, "unknown")
+          .when(col("ca") >= col("cb") && col("ca") >= col("cg"), "alpha")
+          .when(col("cb") >= col("cg"), "beta").otherwise("gamma")
+          .as("major_lang"),
+        expr("(CASE WHEN greatest(ca, cb, cg) = 0 THEN cu" +
+          " ELSE greatest(ca, cb, cg) END) * 1000 div n_chunks")
+          .as("major_share_milli"),
+        expr("cast(ca > 0 as long) + cast(cb > 0 as long)" +
+          " + cast(cg > 0 as long)").as("n_langs"))
+      .withColumn("is_mixed", col("n_langs") >= 2)
+  }
+
+  private val LANG_CONSISTENCY_SQL =
+    """WITH tok AS (
+      |  SELECT doc_id, p.i AS pos, p.w FROM (
+      |    SELECT doc_id,
+      |      unnest(list_apply(regexp_extract_all(lower(text), '[a-z0-9]+'),
+      |        (w, i) -> struct_pack(w := w, i := i))) AS p
+      |    FROM documents)),
+      |ch AS (
+      |  SELECT doc_id, (pos - 1) // 8 AS chunk,
+      |    CAST(SUM(CASE WHEN w IN ('table','row','column','key')
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS ha,
+      |    CAST(SUM(CASE WHEN w IN ('spark','query','join','scan')
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS hb,
+      |    CAST(SUM(CASE WHEN w IN ('fast','slow','big','small')
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS hg
+      |  FROM tok GROUP BY 1, 2),
+      |lb AS (
+      |  SELECT doc_id,
+      |    CASE WHEN greatest(ha, hb, hg) = 0 THEN 'unknown'
+      |         WHEN ha >= hb AND ha >= hg THEN 'alpha'
+      |         WHEN hb >= hg THEN 'beta' ELSE 'gamma' END AS lbl
+      |  FROM ch),
+      |d AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+      |    CAST(SUM(CASE WHEN lbl = 'alpha' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |    CAST(SUM(CASE WHEN lbl = 'beta' THEN 1 ELSE 0 END) AS BIGINT) AS cb,
+      |    CAST(SUM(CASE WHEN lbl = 'gamma' THEN 1 ELSE 0 END) AS BIGINT) AS cg,
+      |    CAST(SUM(CASE WHEN lbl = 'unknown' THEN 1 ELSE 0 END) AS BIGINT) AS cu
+      |  FROM lb GROUP BY 1)
+      |SELECT doc_id, n_chunks,
+      |  CASE WHEN greatest(ca, cb, cg) = 0 THEN 'unknown'
+      |       WHEN ca >= cb AND ca >= cg THEN 'alpha'
+      |       WHEN cb >= cg THEN 'beta' ELSE 'gamma' END AS major_lang,
+      |  (CASE WHEN greatest(ca, cb, cg) = 0 THEN cu
+      |        ELSE greatest(ca, cb, cg) END) * 1000 // n_chunks
+      |    AS major_share_milli,
+      |  CAST(CASE WHEN ca > 0 THEN 1 ELSE 0 END
+      |    + CASE WHEN cb > 0 THEN 1 ELSE 0 END
+      |    + CASE WHEN cg > 0 THEN 1 ELSE 0 END AS BIGINT) AS n_langs,
+      |  (CASE WHEN ca > 0 THEN 1 ELSE 0 END
+      |    + CASE WHEN cb > 0 THEN 1 ELSE 0 END
+      |    + CASE WHEN cg > 0 THEN 1 ELSE 0 END) >= 2 AS is_mixed
+      |FROM d""".stripMargin
+
   private val LEX_SQL =
     """lex AS (SELECT * FROM (VALUES
       |  ('table','alpha'),('row','alpha'),('column','alpha'),('key','alpha'),
@@ -1044,6 +1134,7 @@ object TextQueries {
     "text_quality_by_source" -> (textQualityBySource _),
     "text_readability" -> (textReadability _),
     "text_langid" -> (textLangid _),
+    "text_lang_consistency" -> (textLangConsistency _),
     "text_langid_confusion" -> (textLangidConfusion _),
     "dedup_exact" -> (dedupExact _),
     "dedup_fuzzy_match" -> (dedupFuzzyMatch _),
@@ -1165,6 +1256,7 @@ object TextQueries {
          |  206835 - (1015 * (n_words * 1000 // n_sents)) // 1000
          |    - (84600 * (n_syll * 1000 // n_words)) // 1000 AS flesch_milli
          |FROM m WHERE n_words > 0""".stripMargin,
+    "text_lang_consistency" -> LANG_CONSISTENCY_SQL,
     "text_langid_confusion" -> withSql(TOK_SQL, LEX_SQL)(
       """SELECT lang, pred_lang, n,
         |  n * 1000 // CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT)

@@ -657,6 +657,62 @@ object TextRank {
       .select("doc_id", "w1", "w2"))
   }
 
+  /** CCNet-style perplexity filter readout (Wenzek et al. 2020, public
+    * literature) — the decision layer on top of [[textKneserNey]]'s
+    * per-doc LM score: docs bucket by their mean KN probability
+    * (kn_milli div 50, ≤21 bins at any corpus size), bins order by
+    * score DESCENDING (most natural first) and carry cumulative doc
+    * mass, and each bin labels head / middle / tail at the ⅓ and ⅔
+    * cumulative cuts — CCNet keeps head+middle, so `keep` ships the
+    * verdict and token_mass says how much training data survives.
+    * All integer (bin ids, counts, cumulative sums); the only window
+    * runs over the ≤21-row bin histogram (documented dimension-bounded
+    * class), and the per-doc relation is checkpointed so the bin agg
+    * is its single consumer — the corpus explodes exactly once. */
+  def dataPerplexityFilter(s: SparkSession, dir: String): DataFrame = {
+    val perDoc = textKneserNey(s, dir).transform(graft.Ckpt.capped)
+    val bins = perDoc
+      .select(expr("kn_milli div 50").as("kn_bin"), col("n_bigrams"))
+      .groupBy("kn_bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_bigrams").as("token_mass"))
+    val desc = Window.orderBy(col("kn_bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    bins
+      .withColumn("cum_docs", sum("n_docs").over(desc))
+      .withColumn("total_docs", sum("n_docs").over(all))
+      .withColumn("bucket",
+        when(col("cum_docs") * 3 <= col("total_docs"), "head")
+          .when(col("cum_docs") * 3 <= col("total_docs") * 2, "middle")
+          .otherwise("tail"))
+      .select(col("kn_bin"), col("n_docs"), col("token_mass"),
+        col("cum_docs"), col("bucket"),
+        (col("bucket") =!= "tail").as("keep"))
+  }
+
+  // def, not val: KNESER_NEY_SQL initializes later in the object body
+  private def PERPLEXITY_FILTER_SQL =
+    s"""WITH kn AS ($KNESER_NEY_SQL),
+      |bins AS (
+      |  SELECT kn_milli // 50 AS kn_bin,
+      |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(n_bigrams) AS BIGINT) AS token_mass
+      |  FROM kn GROUP BY kn_milli // 50),
+      |c AS (
+      |  SELECT *,
+      |    CAST(SUM(n_docs) OVER (ORDER BY kn_bin DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_docs,
+      |    CAST(SUM(n_docs) OVER () AS BIGINT) AS total_docs
+      |  FROM bins)
+      |SELECT kn_bin, n_docs, token_mass, cum_docs,
+      |  CASE WHEN cum_docs * 3 <= total_docs THEN 'head'
+      |       WHEN cum_docs * 3 <= total_docs * 2 THEN 'middle'
+      |       ELSE 'tail' END AS bucket,
+      |  CASE WHEN cum_docs * 3 <= total_docs * 2 THEN TRUE ELSE FALSE END
+      |    AS keep
+      |FROM c""".stripMargin
+
   private val KNESER_NEY_SQL =
     """WITH tok AS (
       |  SELECT doc_id, p.i AS pos, p.w FROM (
@@ -739,6 +795,7 @@ object TextRank {
     "text_keyword_tfidf" -> (textKeywordTfidf _),
     "text_bigram_surprisal" -> (textBigramSurprisal _),
     "text_kneser_ney" -> (textKneserNey _),
+    "data_perplexity_filter" -> (dataPerplexityFilter _),
     "text_top_ngrams" -> (textTopNgrams _))
 
   val oracle: Map[String, String] = Map(
@@ -772,5 +829,6 @@ object TextRank {
     "text_keyword_tfidf" -> TFIDF_SQL,
     "text_bigram_surprisal" -> BIGRAM_SQL,
     "text_kneser_ney" -> KNESER_NEY_SQL,
+    "data_perplexity_filter" -> PERPLEXITY_FILTER_SQL,
     "text_top_ngrams" -> NGRAMS_SQL)
 }

@@ -1351,4 +1351,71 @@ class AnalyticsSpec extends SparkSpec {
     for ((k, (_, _, _, shiftFp, _)) <- shift)
       assert(shiftFp === d2(hist(2)(k.toInt), hist(1)(k.toInt)))
   }
+
+  test("temporal leakage matches a driver replay of the time cut") {
+    import spark.implicits._
+    val cut = 1706140800000000000L
+    val got = operators.Analytics.dataTemporalLeakage(spark, sf)
+      .as[(String, Long, Long, Long, Option[Long], Long, Long, Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got.nonEmpty)
+    val ev = operators.DomainQueries.events(spark, sf)
+      .select("event_type", "user_id", "ts_ns")
+      .as[(String, Long, Long)].collect()
+    val want = ev.groupBy(_._1).map { case (tpe, g) =>
+      val byUser = g.groupBy(_._2).view.mapValues { e =>
+        (e.count(_._3 < cut).toLong, e.count(_._3 >= cut).toLong)
+      }.toMap
+      val train = byUser.count(_._2._1 > 0).toLong
+      val test = byUser.count(_._2._2 > 0).toLong
+      val overlap = byUser.count(u => u._2._1 > 0 && u._2._2 > 0).toLong
+      val testEv = byUser.values.map(_._2).sum
+      val warm = byUser.values.collect { case (tr, te) if tr > 0 => te }.sum
+      tpe -> ((tpe, train, test, overlap,
+        if (test > 0) Some(overlap * 1000 / test) else None,
+        testEv, warm,
+        if (testEv > 0) Some(warm * 1000 / testEv) else None))
+    }
+    assert(got === want)
+    // the cut is meaningful: both windows populated, overlap partial
+    assert(got.values.forall(r => r._2 > 0 && r._3 > 0))
+  }
+
+  test("retention halflife matches a driver replay of the pooled OLS lattice") {
+    import spark.implicits._
+    val got = operators.Analytics.eventsRetentionHalflife(spark, sf)
+      .as[(Long, Long, Long, Option[Long])].collect()
+    assert(got.length === 1)
+    val (n, sign, absMilli, hl) = (got(0)._1, got(0)._2, got(0)._3, got(0)._4)
+    // driver replay of the whole lattice from raw events
+    val day = 86400000000000L
+    val ud = operators.DomainQueries.events(spark, sf)
+      .select(col("user_id"), expr(s"ts_ns div $day").as("d"))
+      .distinct().as[(Long, Long)].collect()
+    val cohort = ud.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val lastDay = ud.map(_._2).max
+    val act = ud.map { case (u, d) => d - cohort(u) }.filter(_ >= 1)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val sizes = cohort.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    def bits(x: Long) = 63 - java.lang.Long.numberOfLeadingZeros(math.max(x, 1L))
+    val ys = act.keys.toSeq.sorted.flatMap { k =>
+      val den = sizes.collect { case (cd, sz) if cd + k <= lastDay => sz }.sum
+      if (den > 0) {
+        val rm = act(k) * 1000 / den
+        Some((k, if (rm == 0) 0L else bits(rm).toLong))
+      } else None
+    }
+    val (sk, sy) = (ys.map(_._1).sum, ys.map(_._2).sum)
+    val (sky, skk) = (ys.map(p => p._1 * p._2).sum, ys.map(p => p._1 * p._1).sum)
+    val num = ys.length * sky - sk * sy
+    val den2 = ys.length * skk - sk * sk
+    assert(n === ys.length.toLong)
+    assert(sign === (if (num < 0) -1L else if (num > 0) 1L else 0L))
+    val wantAbs = math.abs(num) * 1000 / den2
+    assert(absMilli === wantAbs)
+    // half-life ships exactly when the fit decays (at sf0.001 every
+    // user is active near-daily, so a flat slope-0 fit is legitimate)
+    assert(hl === (if (num < 0 && wantAbs > 0) Some(1000000L / wantAbs) else None))
+  }
 }

@@ -1015,4 +1015,87 @@ class DomainSpec extends SparkSpec {
     assert(got.nonEmpty)
     assert(got === expect)
   }
+
+  test("mgnify enrich: update flag set only when a member resolved, both lookup paths exercised") {
+    import spark.implicits._
+    val rows = operators.Records.mgnifyEnrich(spark, sf)
+      .select("n_metagenomes", "n_resolved", "mgnify_study_ids", "mgnify_status")
+      .as[(Long, Long, String, String)].collect()
+    assert(rows.nonEmpty)
+    // only parents WITH metagenome members appear (the reference's
+    // process_record guard), and the flag is exactly any-member-resolved
+    assert(rows.forall(_._1 >= 1))
+    assert(rows.forall(r => r._2 <= r._1))
+    assert(rows.forall(r => (r._2 > 0) == (r._4 == "true")))
+    // the None miss path and the resolved path both occur, and an
+    // all-missed parent carries an empty id list (record untouched)
+    assert(rows.exists(r => r._2 < r._1), "no lookup miss in fixture")
+    assert(rows.exists(_._2 > 0), "no lookup hit in fixture")
+    assert(rows.filter(_._2 == 0).forall(_._3 == ""))
+    // resolved count matches the id list length
+    assert(rows.filter(_._2 > 0)
+      .forall(r => r._3.split(';').length.toLong == r._2))
+  }
+
+  test("sample relationships: precedence, orphan miss, and a 2-hop attach all occur") {
+    import spark.implicits._
+    val rows = operators.Records.sampleRelationships(spark, sf)
+      .as[(String, String, String, Option[Long], Option[String])].collect()
+    assert(rows.nonEmpty)
+    val byStatus = rows.groupBy(_._3).view.mapValues(_.length).toMap
+    // all four documented statuses occur in the synthesized graph
+    assert(Set("root", "attached", "orphan", "unresolved").subsetOf(byStatus.keySet),
+      s"statuses seen: $byStatus")
+    // roots attach to themselves at depth 0; orphans carry no parent
+    assert(rows.filter(_._2 == "root")
+      .forall(r => r._4.contains(0L) && r._5.contains(r._1)))
+    assert(rows.filter(_._3 == "orphan").forall(r => r._4.isEmpty && r._5.isEmpty))
+    // the 2-hop chain resolves: some specimen attaches at depth 2
+    assert(rows.exists(r => r._3 == "attached" && r._4.contains(2L)),
+      "no depth-2 attachment in fixture")
+    // per-type precedence: a key with BOTH characteristics (odd and
+    // ≡2 mod 3, e.g. 5 ≡ both? 5%2=1, 5%3=2) reads derived_from
+    val both = rows.find(_._1 == "ACC5")
+    assert(both.exists(_._2 == "derived_from"))
+  }
+
+  test("link rollups: both rollup families, exact link mass, sorted lists") {
+    import spark.implicits._
+    val rows = operators.Records.linkRollups(spark, sf)
+      .as[(String, String, Long, String)].collect()
+    val byType = rows.groupBy(_._1)
+    assert(byType.keySet === Set("tol_qc", "images"))
+    // every part contributes exactly one tolqc link; every fifth order
+    // carries the NHMUK attribute (import_images.py:32-34 filter)
+    val nParts = graft.Tables.t(spark, sf, "part").count()
+    val nTagged = graft.Tables.t(spark, sf, "orders")
+      .filter(col("o_orderkey") % 5 === 0).count()
+    assert(byType("tol_qc").map(_._3).sum === nParts)
+    assert(byType("images").map(_._3).sum === nTagged)
+    // list bodies are sorted and sized to n_links (upsert hash stability)
+    assert(rows.forall { r =>
+      val ls = r._4.split(';')
+      ls.length.toLong == r._3 && (ls sameElements ls.sorted)
+    })
+  }
+
+  test("annotations explode: project fan-out, tax-lookup miss, and the two hard pins") {
+    import spark.implicits._
+    val rows = operators.Records.annotationsExplode(spark, sf)
+      .select("project", "tax_id", "n_annotations", "accessions")
+      .as[(String, Long, Long, String)].collect()
+    val perProject = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(perProject.keySet === Set("erga", "dtol", "asg", "gbdp"))
+    // file-list containment: dtol ⊂ erga ⊂ gbdp (same records explode
+    // into every project listing their yaml)
+    assert(perProject("dtol") <= perProject("erga"))
+    assert(perProject("erga") <= perProject("gbdp"))
+    // the XMLSyntaxError skip drops rows: gbdp (all 6 files) < all parts
+    val nParts = graft.Tables.t(spark, sf, "part").count()
+    assert(perProject("gbdp") < nParts)
+    // hard-pinned accessions survive with their pinned tax ids
+    // (import_annotations.py:75-79)
+    assert(rows.exists(r => r._2 == 7604L && r._4.split(';').contains("GCA_42")))
+    assert(rows.exists(r => r._2 == 6579L && r._4.split(';').contains("GCA_99")))
+  }
 }

@@ -120,4 +120,35 @@ class MultimodalSpec extends SparkSpec {
     val outHashes = shared.map(_._1).toSet
     assert(common.subsetOf(outHashes))
   }
+
+  test("phash dedup: planted prefix-edited re-crawls land in a small Hamming ball, word-salad stays apart") {
+    import spark.implicits._
+    val pairs = graft.operators.Multimodal.multimodalPhashDedup(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    // contract: ordered ids, verified distance
+    assert(pairs.forall(p => p._1 < p._2 && p._3 >= 0 && p._3 <= 8))
+    // recall on the planted re-crawls above the 256-byte gate: an
+    // 8-byte prefix edit perturbs ~8 of ≥249 gram features, so the
+    // bit-majority signature stays within the Hamming ball and ≥90%
+    // of planted (doc, -doc-1) pairs are found
+    val planted = graft.Tables.t(spark, sf, "documents")
+      .filter("doc_id % 9 = 0 AND octet_length(cast(text as binary)) >= 256")
+      .select("doc_id").as[Long].collect().toSet
+    val found = pairs.collect {
+      case (a, b, _) if a < 0 && b == -a - 1 => b
+      case (a, b, _) if b < 0 && a == -b - 1 => a
+    }.toSet
+    assert(found.size * 10 >= planted.size * 9,
+      s"phash recall ${found.size}/${planted.size}")
+    // selectivity: the banded+verified pair set is a sliver of all
+    // pairs (cross-doc survivors beyond the re-crawls are dominated by
+    // the corpus's planted FUZZY near-dup pairs — those are true
+    // positives for a perceptual layer, not strays)
+    val nSigs = graft.Tables.t(spark, sf, "documents")
+      .filter("octet_length(cast(text as binary)) >= 256").count() +
+      planted.size
+    assert(pairs.length.toLong * 10 <= nSigs * (nSigs - 1) / 2,
+      s"${pairs.length} pairs of ${nSigs * (nSigs - 1) / 2} possible")
+  }
 }

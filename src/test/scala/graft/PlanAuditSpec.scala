@@ -44,7 +44,9 @@ class PlanAuditSpec extends SparkSpec {
     "events_survival_km" -> "crossJoin against the single-row broadcast censoring-watermark frame",
     "meta_join_size_estimate" -> "crossJoins of two single-row bucket-estimate folds (1×1)",
     "occ_ripley_k" -> "crossJoin against the single-row broadcast totals fold (4×1)",
-    "graph_modularity" -> "crossJoin against the single-row broadcast edge-count fold (1×1)")
+    "graph_modularity" -> "crossJoin against the single-row broadcast edge-count fold (1×1)",
+    "events_retention_halflife" -> "crossJoin against the single-row broadcast observation-horizon frame",
+    "multimodal_phash_dedup" -> "crossJoin against the single-row broadcast corpus-count frame (idf weights)")
 
   test("no query plans a nested-loop or cartesian join outside the whitelist") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -386,6 +388,15 @@ class PlanAuditSpec extends SparkSpec {
     "meta_join_size_estimate" -> 7, // all on checkpointed date-grain (≤|dates|-row) relations: exact join + 2×2 bucket aggs + folds
     "graph_harmonic_centrality" -> 0, // final fold scans the round-6 checkpoint: per-round shuffles run at build (bfs_layers class)
     "meta_manifest_prune" -> 1, // ONE status rollup over the manifest-pruned union scan
+    "meta_mgnify_enrich" -> 1, // ONE member agg; lookup rides the scan, parent join AQE-broadcast
+    "meta_sample_relationships" -> 0, // both hop lookups broadcast at gate scale (dwh_records class)
+    "meta_link_rollups" -> 2, // one key-grain agg per rollup leg, union is free
+    "meta_annotations_explode" -> 1, // 11-row config broadcast; ONE (project, tax) agg
+    "data_temporal_leakage" -> 2, // (type, user) fold + type rollup — nothing wider than keys
+    "multimodal_phash_dedup" -> 3, // band-bucket cap agg + two band-join sides off the checkpointed sigs
+    "data_perplexity_filter" -> 2, // bin agg + ≤21-row histogram window over the checkpointed KN docs
+    "events_retention_halflife" -> 5, // user fold at build (checkpointed); act/den/size aggs + OLS fold; horizon broadcast
+    "text_lang_consistency" -> 2, // (doc, chunk) hit agg + doc rollup
     "text_bpe_learn" -> 0, // returned merge table is a collected 6-row local relation; the per-round pair aggs run at build (harmonic class)
     "text_kneser_ney" -> 4) // db/c2 checkpointed (their aggs run at build); final: pair join + 2 vocab-stat joins + doc agg, T broadcast
 

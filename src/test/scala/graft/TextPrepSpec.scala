@@ -850,4 +850,54 @@ class TextPrepSpec extends SparkSpec {
     assert(corpus.forall { case (n, s, m) =>
       s > 0 && s <= n * 1048576L && m >= 0 && m <= 1000 })
   }
+
+  test("perplexity filter buckets partition the corpus at the 1/3 cuts and keep head+middle") {
+    import operators.TextRank
+    val bins = TextRank.dataPerplexityFilter(spark, sf)
+      .select("kn_bin", "n_docs", "token_mass", "cum_docs", "bucket", "keep")
+      .as[(Long, Long, Long, Long, String, Boolean)].collect()
+      .sortBy(-_._1) // descending score order = the cumulative walk
+    assert(bins.nonEmpty)
+    // bin histogram accounts for every scored doc exactly once
+    val total = TextRank.textKneserNey(spark, sf).count()
+    assert(bins.map(_._2).sum === total)
+    // cum_docs is the running sum in DESC bin order and ends at total
+    val runs = bins.map(_._2).scanLeft(0L)(_ + _).tail
+    assert(bins.map(_._4).toSeq === runs.toSeq)
+    assert(bins.last._4 === total)
+    // label = position of the bin's cumulative mass vs the 1/3, 2/3 cuts
+    assert(bins.forall { b =>
+      val want = if (b._4 * 3 <= total) "head"
+        else if (b._4 * 3 <= total * 2) "middle" else "tail"
+      b._5 == want && b._6 == (want != "tail")
+    })
+    // CCNet keeps a nonempty head+middle and cuts a nonempty tail
+    assert(bins.exists(_._6) && bins.exists(!_._6))
+  }
+
+  test("lang consistency flags chunk-level language mixtures whole-doc argmax cannot see") {
+    import org.apache.spark.sql.SaveMode
+    val tmp = java.nio.file.Files.createTempDirectory("langmix").toString
+    // doc 1: pure alpha; doc 2: 8 alpha tokens then 8 beta tokens (the
+    // concatenation artifact); doc 3: lexicon-free → unknown
+    Seq(
+      (1L, "table row column key table row column key"),
+      (2L, "table row column key table row column key " +
+        "spark query join scan spark query join scan"),
+      (3L, "lorem ipsum dolor sit amet consectetur adipiscing elit"))
+      .toDF("doc_id", "text")
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/documents.parquet")
+    val got = operators.TextQueries.textLangConsistency(spark, tmp)
+      .as[(Long, Long, String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 1L, "alpha", 1000L, 1L, false)))
+    assert(got(2L) === ((2L, 2L, "alpha", 500L, 2L, true)))
+    assert(got(3L) === ((3L, 1L, "unknown", 1000L, 0L, false)))
+    // corpus run: shares are per-mille, labels consistent with counts
+    val corpus = operators.TextQueries.textLangConsistency(spark, sf)
+      .as[(Long, Long, String, Long, Long, Boolean)].collect()
+    assert(corpus.nonEmpty)
+    assert(corpus.forall(r => r._4 > 0 && r._4 <= 1000 &&
+      r._5 >= 0 && r._5 <= 3 && r._6 == (r._5 >= 2)))
+  }
 }
