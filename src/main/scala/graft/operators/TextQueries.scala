@@ -582,6 +582,82 @@ object TextQueries {
         .select(col("qid"), col("vec_id"), dot.as("dot")), 10)
   }
 
+  /** Matryoshka truncation-recall audit (Kusupati et al. 2022, public
+    * literature) — the buy-down curve for MRL-style embeddings: how much
+    * exact-search recall survives when the index stores only the first
+    * m dimensions? Per query and m ∈ {8, 16, 32}: the truncated-dot
+    * top-10 against the full-64-dim top-10, as overlap count + recall
+    * milli. One corpus pass scores ALL four dot columns (prefix slices
+    * share the scan; [[graft.functions.DotF]]'s left-to-right double
+    * accumulation matches DuckDB list_dot_product bit-for-bit, and a
+    * PREFIX dot is the same fold stopped early); the four rank windows
+    * ride one qid exchange over the checkpointed scored relation. At
+    * corpus scale the brute-force leg is the documented 5-broadcast-row
+    * baseline (sim_cosine_topk class) — the m-dim index one would
+    * actually deploy is sim_ivf/lsh's job, and this audit is what
+    * licenses shrinking it. */
+  def simMatryoshkaRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val d = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id"), col("embedding").as("dv"))
+    val scored = d.crossJoin(broadcast(q))
+      .select(Seq(col("qid"), col("vec_id"),
+        graft.functions.Vectors.dot(col("qv"), col("dv")).as("d64")) ++
+        Seq(8, 16, 32).map(m => graft.functions.Vectors
+          .dot(expr(s"slice(qv, 1, $m)"), expr(s"slice(dv, 1, $m)"))
+          .as(s"d$m")): _*)
+      .transform(graft.Ckpt.capped) // the 4-window rank pass reads it
+    // all four ranks ride ONE qid exchange (same partitioning, four
+    // sorts); overlap legs are then joint rank filters — no join at all
+    def rnk(dcol: String) = row_number().over(
+      Window.partitionBy("qid").orderBy(col(dcol).desc, col("vec_id")))
+    val ranked = scored.select(col("qid"), col("vec_id"),
+        rnk("d64").as("r64"), rnk("d8").as("r8"),
+        rnk("d16").as("r16"), rnk("d32").as("r32"))
+      .filter(col("r64") <= 10 ||
+        col("r8") <= 10 || col("r16") <= 10 || col("r32") <= 10)
+      .transform(graft.Ckpt.capped) // the three overlap legs read it
+    Seq(8, 16, 32).map { m =>
+      ranked.filter(col("r64") <= 10 && col(s"r$m") <= 10)
+        .groupBy("qid").agg(count(lit(1)).as("n_overlap"))
+        .select(lit(m.toLong).as("dims"), col("qid"), col("n_overlap"),
+          expr("n_overlap * 1000 div 10").as("recall_milli"))
+    }.reduce(_ unionByName _)
+  }
+
+  private val MATRYOSHKA_SQL = {
+    def leg(m: Int) =
+      s"""SELECT $m AS dims, f.qid, CAST(COUNT(*) AS BIGINT) AS n_overlap,
+         |  CAST(COUNT(*) * 1000 // 10 AS BIGINT) AS recall_milli
+         |FROM (SELECT qid, vec_id FROM r WHERE r64 <= 10) f
+         |JOIN (SELECT qid, vec_id FROM r WHERE r$m <= 10) t
+         |  USING (qid, vec_id)
+         |GROUP BY f.qid""".stripMargin
+    s"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+       |           FROM embeddings WHERE vec_id < 5),
+       |d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv
+       |      FROM embeddings WHERE vec_id >= 5),
+       |s AS (SELECT qid, vec_id,
+       |        list_dot_product(qv, dv) AS d64,
+       |        list_dot_product(qv[1:8], dv[1:8]) AS d8,
+       |        list_dot_product(qv[1:16], dv[1:16]) AS d16,
+       |        list_dot_product(qv[1:32], dv[1:32]) AS d32
+       |      FROM q CROSS JOIN d),
+       |r AS (SELECT qid, vec_id,
+       |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d64 DESC, vec_id) AS r64,
+       |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d8 DESC, vec_id) AS r8,
+       |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d16 DESC, vec_id) AS r16,
+       |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d32 DESC, vec_id) AS r32
+       |      FROM s)
+       |${leg(8)}
+       |UNION ALL
+       |${leg(16)}
+       |UNION ALL
+       |${leg(32)}""".stripMargin
+  }
+
   /** Embedding-cosine near-dup pairs: vectors are L2-normalized so the
     * threshold test is a dot product, computed in a tight JVM loop — the
     * one place the DataFrame expression layer genuinely loses: an
@@ -1142,6 +1218,7 @@ object TextQueries {
     "dedup_incremental_exact" -> (dedupIncrementalExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "sim_cosine_topk" -> (simCosineTopk _),
+    "sim_matryoshka_recall" -> (simMatryoshkaRecall _),
     "sim_maxsim_topk" -> (simMaxsimTopk _),
     "text_chunk_windows" -> ((s: SparkSession, dir: String) => textChunkWindows(s, dir)),
     "dedup_chunk_level" -> (dedupChunkLevel _))
@@ -1323,6 +1400,7 @@ object TextQueries {
         |  SELECT qid, vec_id, dot,
         |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id) AS BIGINT) AS rank
         |  FROM sims) WHERE rank <= 10""".stripMargin,
+    "sim_matryoshka_recall" -> MATRYOSHKA_SQL,
     "sim_maxsim_topk" -> MAXSIM_SQL,
     "text_chunk_windows" ->
       s"""WITH $CHUNK_CTES

@@ -46,7 +46,8 @@ class PlanAuditSpec extends SparkSpec {
     "occ_ripley_k" -> "crossJoin against the single-row broadcast totals fold (4×1)",
     "graph_modularity" -> "crossJoin against the single-row broadcast edge-count fold (1×1)",
     "events_retention_halflife" -> "crossJoin against the single-row broadcast observation-horizon frame",
-    "multimodal_phash_dedup" -> "crossJoin against the single-row broadcast corpus-count frame (idf weights)")
+    "multimodal_phash_dedup" -> "crossJoin against the single-row broadcast corpus-count frame (idf weights)",
+    "sim_matryoshka_recall" -> "documented brute-force baseline: query side is 5 broadcast rows (sim_cosine_topk class)")
 
   test("no query plans a nested-loop or cartesian join outside the whitelist") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -397,6 +398,7 @@ class PlanAuditSpec extends SparkSpec {
     "data_perplexity_filter" -> 2, // bin agg + ≤21-row histogram window over the checkpointed KN docs
     "events_retention_halflife" -> 5, // user fold at build (checkpointed); act/den/size aggs + OLS fold; horizon broadcast
     "text_lang_consistency" -> 2, // (doc, chunk) hit agg + doc rollup
+    "sim_matryoshka_recall" -> 3, // ONE shared qid window exchange + per-leg aggs off the rank checkpoint
     "text_bpe_learn" -> 0, // returned merge table is a collected 6-row local relation; the per-round pair aggs run at build (harmonic class)
     "text_kneser_ney" -> 4) // db/c2 checkpointed (their aggs run at build); final: pair join + 2 vocab-stat joins + doc agg, T broadcast
 

@@ -175,6 +175,34 @@ class SketchSpec extends SparkSpec {
       assert(av <= bv + 1e-6, s"hull > bbox for $sp")
   }
 
+  test("matryoshka recall matches a driver replay of truncated-dot ranks") {
+    val got = operators.TextQueries.simMatryoshkaRecall(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got.nonEmpty)
+    assert(got.forall { case (_, (n, rm)) => n >= 1 && n <= 10 && rm == n * 100 })
+    // driver replay: same float→double left-to-right accumulation
+    val emb = graft.Tables.t(spark, sf, "embeddings")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    val qs = emb.filter(_._1 < 5)
+    val ds = emb.filter(_._1 >= 5)
+    def dot(a: Array[Float], b: Array[Float], m: Int): Double = {
+      var s = 0.0; var i = 0
+      while (i < m) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def top10(q: Array[Float], m: Int): Set[Long] =
+      ds.map(d => (d._1, dot(q, d._2, m)))
+        .sortBy { case (id, sc) => (-sc, id) }.take(10).map(_._1).toSet
+    val want = (for {
+      (qid, qv) <- qs
+      m <- Seq(8, 16, 32)
+      overlap = (top10(qv, 64) intersect top10(qv, m)).size.toLong
+      if overlap > 0
+    } yield (m.toLong, qid) -> ((overlap, overlap * 100))).toMap
+    assert(got === want)
+  }
+
   test("ivf topk scores agree with brute force where they overlap") {
     val ivf = SketchQueries.ivfTopk(spark, sf)
       .select("qid", "vec_id", "dot").as[(Long, Long, Double)].collect()
