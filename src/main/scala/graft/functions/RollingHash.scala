@@ -35,7 +35,7 @@ object RollingHash {
   val Base: Long = 31L
 
   /** (a*b) mod 2^61-1 without overflow: 2^64 ≡ 8 (mod 2^61-1). */
-  private[graft] def mulMod(a: Long, b: Long): Long = {
+  private[functions] def mulMod(a: Long, b: Long): Long = {
     val hi = Math.multiplyHigh(a, b)
     val lo = a * b
     var r = (hi << 3) + (lo & Mod) + (lo >>> 61)

@@ -1229,7 +1229,10 @@ object Analytics {
       .select(col("n_offsets"),
         when(col("slope_num") < 0, -1L).when(col("slope_num") > 0, 1L)
           .otherwise(0L).as("slope_sign"),
-        expr("abs(slope_num) * 1000 div slope_den").as("slope_abs_milli"))
+        // single-offset corpora have slope_den = 0 (no fit exists):
+        // NULL like the occ_morans_i degenerate-input convention
+        when(col("slope_den") > 0,
+          expr("abs(slope_num) * 1000 div slope_den")).as("slope_abs_milli"))
       .withColumn("halflife_milli",
         when(col("slope_sign") === -1 && col("slope_abs_milli") > 0,
           expr("1000000 div slope_abs_milli")))
@@ -1269,8 +1272,10 @@ object Analytics {
        |SELECT n_offsets,
        |  CAST(CASE WHEN slope_num < 0 THEN -1 WHEN slope_num > 0 THEN 1
        |       ELSE 0 END AS BIGINT) AS slope_sign,
-       |  abs(slope_num) * 1000 // slope_den AS slope_abs_milli,
-       |  CASE WHEN slope_num < 0 AND abs(slope_num) * 1000 // slope_den > 0
+       |  CASE WHEN slope_den > 0
+       |       THEN abs(slope_num) * 1000 // slope_den END AS slope_abs_milli,
+       |  CASE WHEN slope_den > 0 AND slope_num < 0
+       |        AND abs(slope_num) * 1000 // slope_den > 0
        |       THEN 1000000 // (abs(slope_num) * 1000 // slope_den)
        |       END AS halflife_milli
        |FROM s""".stripMargin

@@ -330,13 +330,16 @@ object Multimodal {
     * discipline, no interpreted HOF lambda); payload bytes never
     * shuffle (8-byte gram hashes and sigs do). */
   def multimodalPhashDedup(s: SparkSession, dir: String): DataFrame = {
-    val media = t(s, dir, "documents").select(
-      col("doc_id").as("media_id"), col("text"))
+    // gate BEFORE planting re-crawls: a sub-gate original must not
+    // leave its 8-byte-longer edited twin behind as an unpairable
+    // singleton (r10 review finding)
+    val media = t(s, dir, "documents")
+      .select(col("doc_id").as("media_id"), col("text"))
+      .filter(octet_length(col("text").cast("binary")) >= 256)
     val recrawled = media.filter(col("media_id") % 9 === 0)
       .select((-col("media_id") - 1).as("media_id"),
         concat(lit("edited: "), col("text")).as("text"))
     val gated = media.unionByName(recrawled)
-      .filter(octet_length(col("text").cast("binary")) >= 256)
       .transform(graft.Ckpt.capped) // grams + the N fold both read it
     val grams = gated
       .select(col("media_id"), col("text"),
@@ -469,9 +472,9 @@ object Multimodal {
     * with list_reduce in mod-2^61-1 space), then slices each chunk out
     * of the hex rendering (2 hex chars per byte — charset-proof) and
     * hashes it. */
-  /** Shared oracle CTEs ending at `ch(media_id, chunk_md5, chunk_bytes)`
-    * — the CDC chunk-hash replay both chunk_dedup and phash_dedup build
-    * on (same planted re-crawl fixture). */
+  /** Oracle CTEs ending at `ch(media_id, chunk_md5, chunk_bytes)` — the
+    * CDC chunk-hash replay CHUNK_SQL selects from (kept factored for
+    * readability; phash abandoned these CTEs for per-gram hashes). */
   private def cdcChunkCtes: String = {
     val w = graft.functions.CdcChunks.W
     val div = graft.functions.CdcChunks.Mask + 1
@@ -520,12 +523,12 @@ object Multimodal {
     val sigSum = (0 until 60)
       .map(j => s"CASE WHEN 2 * c$j >= tw THEN CAST(${1L << j} AS BIGINT) ELSE 0 END")
       .mkString("\n          + ")
-    s"""WITH m AS (
-       |  SELECT doc_id AS media_id, text FROM documents
+    s"""WITH gd AS (SELECT doc_id, text FROM documents
+       |            WHERE octet_length(encode(text)) >= 256),
+       |g0 AS (
+       |  SELECT doc_id AS media_id, text FROM gd
        |  UNION ALL
-       |  SELECT -doc_id - 1, 'edited: ' || text FROM documents WHERE doc_id % 9 = 0),
-       |g0 AS (SELECT media_id, text FROM m
-       |       WHERE octet_length(encode(text)) >= 256),
+       |  SELECT -doc_id - 1, 'edited: ' || text FROM gd WHERE doc_id % 9 = 0),
        |gr AS (SELECT DISTINCT media_id,
        |    ('0x' || substr(md5('ph:' || substr(text, CAST(i + 1 AS BIGINT), 8)),
        |      1, 15))::BIGINT AS h

@@ -619,9 +619,13 @@ object TextQueries {
       .filter(col("r64") <= 10 ||
         col("r8") <= 10 || col("r16") <= 10 || col("r32") <= 10)
       .transform(graft.Ckpt.capped) // the three overlap legs read it
+    // conditional sums, not filters: a qid whose truncated top-10 is
+    // DISJOINT from the full one must emit recall 0 — the worst case
+    // is exactly what the audit exists to report (r10 review finding)
     Seq(8, 16, 32).map { m =>
-      ranked.filter(col("r64") <= 10 && col(s"r$m") <= 10)
-        .groupBy("qid").agg(count(lit(1)).as("n_overlap"))
+      ranked.groupBy("qid").agg(
+        sum(when(col("r64") <= 10 && col(s"r$m") <= 10, 1L).otherwise(0L))
+          .as("n_overlap"))
         .select(lit(m.toLong).as("dims"), col("qid"), col("n_overlap"),
           expr("n_overlap * 1000 div 10").as("recall_milli"))
     }.reduce(_ unionByName _)
@@ -629,12 +633,12 @@ object TextQueries {
 
   private val MATRYOSHKA_SQL = {
     def leg(m: Int) =
-      s"""SELECT $m AS dims, f.qid, CAST(COUNT(*) AS BIGINT) AS n_overlap,
-         |  CAST(COUNT(*) * 1000 // 10 AS BIGINT) AS recall_milli
-         |FROM (SELECT qid, vec_id FROM r WHERE r64 <= 10) f
-         |JOIN (SELECT qid, vec_id FROM r WHERE r$m <= 10) t
-         |  USING (qid, vec_id)
-         |GROUP BY f.qid""".stripMargin
+      s"""SELECT $m AS dims, qid,
+         |  CAST(SUM(CASE WHEN r64 <= 10 AND r$m <= 10 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_overlap,
+         |  CAST(SUM(CASE WHEN r64 <= 10 AND r$m <= 10 THEN 1 ELSE 0 END)
+         |    * 1000 // 10 AS BIGINT) AS recall_milli
+         |FROM r GROUP BY qid""".stripMargin
     s"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
        |           FROM embeddings WHERE vec_id < 5),
        |d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv

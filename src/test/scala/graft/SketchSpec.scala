@@ -180,7 +180,7 @@ class SketchSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect()
       .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
     assert(got.nonEmpty)
-    assert(got.forall { case (_, (n, rm)) => n >= 1 && n <= 10 && rm == n * 100 })
+    assert(got.forall { case (_, (n, rm)) => n >= 0 && n <= 10 && rm == n * 100 })
     // driver replay: same float→double left-to-right accumulation
     val emb = graft.Tables.t(spark, sf, "embeddings")
       .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
@@ -198,9 +198,8 @@ class SketchSpec extends SparkSpec {
       (qid, qv) <- qs
       m <- Seq(8, 16, 32)
       overlap = (top10(qv, 64) intersect top10(qv, m)).size.toLong
-      if overlap > 0
     } yield (m.toLong, qid) -> ((overlap, overlap * 100))).toMap
-    assert(got === want)
+    assert(got === want) // zero-overlap rows included: recall 0 is a row
   }
 
   test("ivf topk scores agree with brute force where they overlap") {
