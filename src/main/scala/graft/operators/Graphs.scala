@@ -276,6 +276,19 @@ object Graphs {
         col("doc1").as("a"), col("doc2").as("b")))
       .select(col("node").as("doc_id"), col("cluster_id"))
 
+  /** Perceptual-dup families: connected components over
+    * [[Multimodal.multimodalPhashDedup]]'s Hamming-ball pair graph —
+    * the survivorship input for binary payloads (which re-crawls and
+    * near-copies collapse to one canonical blob). Same min-label CC as
+    * [[dedupCluster]]: phash components are cliquey Hamming balls
+    * (planted re-crawl pairs + fuzzy families), not high-diameter
+    * chains; the fail-loudly guard covers the assumption. */
+  def multimodalPhashClusters(s: SparkSession, dir: String): DataFrame =
+    connectedComponents(
+      Multimodal.multimodalPhashDedup(s, dir).select(
+        col("media_a").as("a"), col("media_b").as("b")))
+      .select(col("node").as("media_id"), col("cluster_id"))
+
   /** Global clustering coefficient (transitivity) — ONE number for the
     * whole graph where [[clusteringCoeff]] gives one per node:
     * 3·triangles / wedges, wedges = Σ d(d−1)/2. A near-dup pair graph
@@ -1082,6 +1095,7 @@ object Graphs {
     "graph_bfs_layers" -> (graphBfsLayers _),
     "dedup_survivorship" -> (dedupSurvivorship _),
     "dedup_cluster" -> (dedupCluster _),
+    "multimodal_phash_clusters" -> (multimodalPhashClusters _),
     "dedup_cluster_sizes" -> (dedupClusterSizes _),
     "graph_pagerank" -> (graphPagerank _),
     "graph_communities" -> (graphCommunities _),
@@ -1148,6 +1162,21 @@ object Graphs {
       s"""WITH RECURSIVE pairs AS ($pairsSql),
          |$CLOSURE_CTES
          |SELECT doc_id, cluster_id FROM clus""".stripMargin
+    },
+    "multimodal_phash_clusters" -> {
+      // the semantic-cluster closure shape with p-prefixed CTE names
+      // (PHASH_SQL owns plain `b`/`gr`/`sig` internally)
+      val phashSql = Multimodal.oracle("multimodal_phash_dedup")
+      s"""WITH RECURSIVE ph AS ($phashSql),
+         |pe AS (SELECT media_a AS a, media_b AS b FROM ph
+         |       UNION SELECT media_b, media_a FROM ph),
+         |pr(a, b) AS (
+         |  SELECT a, b FROM pe
+         |  UNION
+         |  SELECT pr.a, pe.b FROM pr JOIN pe ON pr.b = pe.a),
+         |pclus AS (SELECT a AS media_id, LEAST(a, MIN(b)) AS cluster_id
+         |          FROM pr GROUP BY a)
+         |SELECT media_id, cluster_id FROM pclus""".stripMargin
     },
     "dedup_semantic_cluster" -> {
       // CLOSURE_CTES' `e` name collides with a CTE inside the knn SQL —

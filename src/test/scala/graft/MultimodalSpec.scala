@@ -151,4 +151,28 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.length.toLong * 10 <= nSigs * (nSigs - 1) / 2,
       s"${pairs.length} pairs of ${nSigs * (nSigs - 1) / 2} possible")
   }
+
+  test("phash clusters equal a driver union-find over the phash pair graph") {
+    import spark.implicits._
+    val pairs = graft.operators.Multimodal.multimodalPhashDedup(spark, sf)
+      .select("media_a", "media_b").as[(Long, Long)].collect()
+    val got = graft.operators.Graphs.multimodalPhashClusters(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    // driver union-find with min-label canonicalization
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- pairs) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(k => k -> find(k)).toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+    // every planted re-crawl pair found by phash shares its family
+    pairs.collect { case (a, b) if a < 0 && b == -a - 1 => (a, b) }
+      .foreach { case (a, b) => assert(got(a) === got(b)) }
+  }
 }

@@ -399,6 +399,7 @@ class PlanAuditSpec extends SparkSpec {
     "events_retention_halflife" -> 5, // user fold at build (checkpointed); act/den/size aggs + OLS fold; horizon broadcast
     "text_lang_consistency" -> 2, // (doc, chunk) hit agg + doc rollup
     "sim_matryoshka_recall" -> 3, // ONE shared qid window exchange + per-leg aggs off the rank checkpoint
+    "multimodal_phash_clusters" -> 0, // returned plan reads the converged CC checkpoint (dedup_cluster class)
     "text_bpe_learn" -> 0, // returned merge table is a collected 6-row local relation; the per-round pair aggs run at build (harmonic class)
     "text_kneser_ney" -> 4) // db/c2 checkpointed (their aggs run at build); final: pair join + 2 vocab-stat joins + doc agg, T broadcast
 

@@ -148,6 +148,23 @@ class ScaleSpec extends SparkSpec {
       s"heavy single-task stages: $singleTaskHeavy")
   }
 
+  test("degenerate 20k-identical payloads: phash band cap drops the saturated buckets before any pair exists") {
+    // all-identical ≥256-byte payloads produce ONE signature: every
+    // (band, bv) bucket holds the whole corpus (>> cap 64), so the
+    // pre-materialization cap must kill the buckets — 0 pairs out
+    // (exact dups belong to the CAS layer), never C(20k,2) candidates
+    val text = ("perceptual hash degenerate corpus payload sentence " * 6).trim
+    assert(text.getBytes("UTF-8").length >= 256)
+    val dir = java.nio.file.Files.createTempDirectory("degen_phash").toString
+    spark.range(1, 20001).select(col("id").as("doc_id"), lit(text).as("text"))
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val t0 = System.nanoTime()
+    assert(operators.Multimodal.multimodalPhashDedup(spark, dir).count() === 0L)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 120, f"degenerate phash took $secs%.1f s — candidate blowup?")
+  }
+
   test("salted count equals plain count per key") {
     val df = Tables.t(spark, sf, "orders")
     val salted = Scale.saltedCount(df, "o_custkey", 8)
