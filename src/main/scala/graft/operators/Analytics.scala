@@ -192,6 +192,74 @@ object Analytics {
        |  MIN(d2) AS min_d2, MAX(d2) AS max_d2
        |FROM a GROUP BY cluster""".stripMargin
 
+  /** Per-cluster simplified silhouette — the separation readout cohesion
+    * can't give (a tight cluster sitting INSIDE another one has great
+    * cohesion and silhouette ≈ 0): per vector a = d² to its own centroid,
+    * b = d² to the nearest OTHER centroid, sil = (b−a)/max(a,b) ∈ [0,1]
+    * on the exact lattice (both distances floored by 2^10 FIRST — the
+    * cohesion overflow discipline — then one milli division; b ≥ a by
+    * construction so every operand is nonnegative and div/​// agree).
+    * Best + runner-up come from ONE ×8 explode and a vec_id rank window
+    * (WindowGroupLimit prunes to rn ≤ 2) — NOT a when-chain over the
+    * argmin (the CollapseProject re-evaluation landmine) and NOT
+    * sort_array (CodegenFallback would drag all 8 d² trees into
+    * interpreted eval). Plan: the explode rides the checkpointed
+    * projection scan; rank + per-vector fold share ONE vec_id exchange;
+    * final ≤K-row cluster rollup. */
+  def simSilhouette(s: SparkSession, dir: String): DataFrame = {
+    val (assign, cents) = kmeansFit(s, dir)
+    val pairs = cents.last.zipWithIndex.map { case (c, k) =>
+      val d2 = (0 until 8)
+        .map(i => (col(s"r$i") - lit(c(i))) * (col(s"r$i") - lit(c(i))))
+        .reduce(_ + _)
+      struct(d2.as("d2"), lit(k.toLong).as("k"))
+    }
+    val byVec = Window.partitionBy("vec_id").orderBy(col("e.d2"), col("e.k"))
+    assign(cents.last)
+      .select(col("vec_id"), explode(array(pairs.toSeq: _*)).as("e"))
+      .withColumn("rn", row_number().over(byVec))
+      .filter(col("rn") <= 2)
+      .groupBy("vec_id")
+      .agg(min(when(col("rn") === 1, col("e.k"))).as("cluster"),
+        min(when(col("rn") === 1, col("e.d2"))).as("a"),
+        min(when(col("rn") === 2, col("e.d2"))).as("b"))
+      .select(col("cluster"),
+        expr("(b div 1024 - a div 1024) * 1000" +
+          " div greatest(b div 1024, a div 1024, 1L)").as("sil"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_vectors"),
+        expr("sum(sil) div count(1)").as("mean_sil_milli"),
+        min("sil").as("min_sil_milli"), max("sil").as("max_sil_milli"))
+  }
+
+  private lazy val SIL_SQL =
+    s"""$KMEANS_CTES,
+       |sl AS (
+       |  SELECT vec_id, k, CAST(d2 AS BIGINT) AS d2, rn FROM (
+       |    SELECT pr.vec_id, c2.k,
+       |      list_sum(list_transform(generate_series(1, 8),
+       |        i -> (pr.p[i] - c2.c[i]) * (pr.p[i] - c2.c[i]))) AS d2,
+       |      ROW_NUMBER() OVER (PARTITION BY pr.vec_id
+       |        ORDER BY list_sum(list_transform(generate_series(1, 8),
+       |          i -> (pr.p[i] - c2.c[i]) * (pr.p[i] - c2.c[i]))), c2.k) AS rn
+       |    FROM pr CROSS JOIN c2) WHERE rn <= 2),
+       |ab AS (
+       |  SELECT vec_id,
+       |    MIN(CASE WHEN rn = 1 THEN k END) AS cluster,
+       |    MIN(CASE WHEN rn = 1 THEN d2 END) AS a,
+       |    MIN(CASE WHEN rn = 2 THEN d2 END) AS b
+       |  FROM sl GROUP BY vec_id),
+       |sv AS (
+       |  SELECT cluster,
+       |    (b // 1024 - a // 1024) * 1000
+       |      // GREATEST(b // 1024, a // 1024, 1) AS sil
+       |  FROM ab)
+       |SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       |  CAST(SUM(sil) // COUNT(*) AS BIGINT) AS mean_sil_milli,
+       |  CAST(MIN(sil) AS BIGINT) AS min_sil_milli,
+       |  CAST(MAX(sil) AS BIGINT) AS max_sil_milli
+       |FROM sv GROUP BY cluster""".stripMargin
+
   /** Weekday activity profile per event surface — the calendar
     * seasonality readout (weekday-heavy errors vs weekend-heavy
     * purchases) next to occ_seasonality's month histogram: per
@@ -4683,6 +4751,7 @@ object Analytics {
       |FROM wt GROUP BY 1""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "sim_silhouette" -> (simSilhouette _),
     "events_changepoint_binseg" -> (eventsChangepoint _),
     "sim_kmeans_shift" -> (simKmeansShift _),
     "events_queue_wait" -> (eventsQueueWait _),
@@ -4813,6 +4882,7 @@ object Analytics {
     "events_user_entropy" -> USER_ENTROPY_SQL,
     "events_peak_concurrency" -> CONCURRENCY_SQL,
     "sim_cluster_cohesion" -> COHESION_SQL,
+    "sim_silhouette" -> SIL_SQL,
     "data_class_balance" -> BALANCE_SQL,
     "data_upsample_plan" -> UPSAMPLE_SQL,
     "data_mixture_temperature" -> MIXTEMP_SQL,

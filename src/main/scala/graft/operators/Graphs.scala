@@ -1090,7 +1090,55 @@ object Graphs {
           .as("contribution_micro"))
   }
 
+  /** Rich-club coefficient curve φ(k) over the symmetrized k-NN graph
+    * (same input as harmonic centrality — the jaccard pair graph is too
+    * sparse to have a club: almost every degree is 1) — do the
+    * high-degree nodes form their own densely-wired club? For each
+    * threshold k = 1..8: n_k = nodes with degree > k, e_k = edges with
+    * BOTH endpoints over the threshold, φ = 2·e_k / (n_k·(n_k−1)) in
+    * exact milli. A hub clique (the pathological merge blob) reads
+    * φ → 1000 at high k; a star template farm reads φ → 0. Plan:
+    * canonical edges and the degree table are checkpointed (degrees are
+    * referenced three times); the per-threshold fan-out is an ×8 EXPLODE
+    * over the ≤64-row degree/min-degree HISTOGRAMS — never a non-equi
+    * join against data-sized relations, so no BNLJ and nothing wider
+    * than the histograms ever shuffles. */
+  def graphRichClub(s: SparkSession, dir: String): DataFrame = {
+    val und = SketchQueries.simKnnGraph(s, dir)
+      .select(col("qid").as("doc1"), col("vec_id").as("doc2"))
+      .select(least(col("doc1"), col("doc2")).as("u"),
+        greatest(col("doc1"), col("doc2")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .transform(ckpt)
+    val deg = und.select(col("u").as("n")).union(und.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+      .transform(ckpt)
+    val kSeq = explode(expr("sequence(cast(1 as bigint), cast(8 as bigint))"))
+    val nk = deg.groupBy("d").agg(count(lit(1)).as("cnt"))
+      .withColumn("k", kSeq)
+      .filter(col("d") > col("k"))
+      .groupBy("k").agg(sum("cnt").as("n_nodes"))
+    val ek = und
+      .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
+      .select(least(col("du"), col("dv")).as("m"))
+      .groupBy("m").agg(count(lit(1)).as("cnt"))
+      .withColumn("k", kSeq)
+      .filter(col("m") > col("k"))
+      .groupBy("k").agg(sum("cnt").as("n_edges"))
+    s.range(1, 9).toDF("k")
+      .join(nk, Seq("k"), "left_outer").join(ek, Seq("k"), "left_outer")
+      .select(col("k"),
+        coalesce(col("n_nodes"), lit(0L)).as("n_nodes"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"))
+      .withColumn("phi_milli",
+        when(col("n_nodes") >= 2,
+          expr("n_edges * 2000 div (n_nodes * (n_nodes - 1))"))
+          .otherwise(0L))
+  }
+
   val queries: Map[String, Q] = Map(
+    "graph_rich_club" -> (graphRichClub _),
     "graph_modularity" -> (graphModularity _),
     "graph_bfs_layers" -> (graphBfsLayers _),
     "dedup_survivorship" -> (dedupSurvivorship _),
@@ -1157,6 +1205,28 @@ object Graphs {
     * independent formulation of the same semantics. */
   val oracle: Map[String, String] = Map(
     "graph_bipartite_components" -> BIPARTITE_CC_SQL,
+    "graph_rich_club" -> {
+      val knnSql = SketchQueries.oracle("sim_knn_graph")
+      s"""WITH knn AS ($knnSql),
+         |pairs AS (SELECT qid AS doc1, vec_id AS doc2 FROM knn),
+         |$SYM_CTE,
+         |deg AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY a),
+         |ks AS (SELECT CAST(k AS BIGINT) AS k FROM generate_series(1, 8) t(k)),
+         |nk AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_nodes
+         |       FROM ks JOIN deg ON deg.d > ks.k GROUP BY k),
+         |ce AS (SELECT da.d AS du, db.d AS dv
+         |       FROM sym JOIN deg da ON da.a = sym.a
+         |       JOIN deg db ON db.a = sym.b
+         |       WHERE sym.a < sym.b),
+         |ek AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_edges
+         |       FROM ks JOIN ce ON LEAST(ce.du, ce.dv) > ks.k GROUP BY k)
+         |SELECT ks.k, COALESCE(n_nodes, CAST(0 AS BIGINT)) AS n_nodes,
+         |  COALESCE(n_edges, CAST(0 AS BIGINT)) AS n_edges,
+         |  CAST(CASE WHEN COALESCE(n_nodes, 0) >= 2
+         |       THEN COALESCE(n_edges, 0) * 2000 // (n_nodes * (n_nodes - 1))
+         |       ELSE 0 END AS BIGINT) AS phi_milli
+         |FROM ks LEFT JOIN nk USING (k) LEFT JOIN ek USING (k)""".stripMargin
+    },
     "dedup_cluster" -> {
       val pairsSql = TextQueries.oracle("dedup_ngram_jaccard")
       s"""WITH RECURSIVE pairs AS ($pairsSql),

@@ -452,7 +452,59 @@ object Multimodal {
       |    AS entropy_proxy_milli
       |FROM f""".stripMargin
 
+  /** Aspect-ratio / bytes-per-pixel asset audit — the pre-training sanity
+    * sweep an image/video pipeline runs before decoding anything: bucket
+    * every asset by aspect class (portrait / square / landscape /
+    * degenerate-zero-dimension) from its declared metadata and report the
+    * byte-density spectrum per (kind, class) — a near-zero bytes-per-pixel
+    * row is a corrupt or over-compressed batch, a degenerate row is a
+    * broken extractor upstream. Dimensions are [[fromDocuments]]'s modeled
+    * meta (width = n_chars % 640, height = n_chars % 480 — keep in sync);
+    * all thresholds on the exact milli lattice (ratio floored BEFORE the
+    * class compare — both engines floor identically). Plan: one narrow
+    * metadata projection + ONE (kind, class) partial aggregate; payload
+    * bytes never shuffle — only their length. */
+  def multimodalAspectAudit(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio").otherwise("video").as("kind"),
+        (col("n_chars") % 640).as("w"), (col("n_chars") % 480).as("h"),
+        expr("cast(octet_length(text) as bigint)").as("nb"))
+      .select(col("kind"),
+        when(col("w") === 0 || col("h") === 0, "degenerate")
+          .when(expr("w * 1000 div h") < 900, "portrait")
+          .when(expr("w * 1000 div h") <= 1111, "square")
+          .otherwise("landscape").as("aspect_class"),
+        expr("nb * 1000 div greatest(w * h, 1L)").as("bpp"))
+      .groupBy("kind", "aspect_class")
+      .agg(count(lit(1)).as("n_assets"),
+        expr("sum(bpp) div count(1)").as("mean_bpp_milli"),
+        max("bpp").as("max_bpp_milli"))
+
+  private val ASPECT_SQL =
+    """WITH m AS (
+      |  SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |              WHEN doc_id % 3 = 1 THEN 'audio'
+      |              ELSE 'video' END AS kind,
+      |    n_chars % 640 AS w, n_chars % 480 AS h,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS nb
+      |  FROM documents),
+      |c AS (
+      |  SELECT kind,
+      |    CASE WHEN w = 0 OR h = 0 THEN 'degenerate'
+      |         WHEN w * 1000 // h < 900 THEN 'portrait'
+      |         WHEN w * 1000 // h <= 1111 THEN 'square'
+      |         ELSE 'landscape' END AS aspect_class,
+      |    nb * 1000 // GREATEST(w * h, 1) AS bpp
+      |  FROM m)
+      |SELECT kind, aspect_class, CAST(COUNT(*) AS BIGINT) AS n_assets,
+      |  CAST(SUM(bpp) // COUNT(*) AS BIGINT) AS mean_bpp_milli,
+      |  CAST(MAX(bpp) AS BIGINT) AS max_bpp_milli
+      |FROM c GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_aspect_audit" -> (multimodalAspectAudit _),
     "multimodal_byte_entropy" -> (multimodalByteEntropy _),
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_size_spectrum" -> (multimodalSizeSpectrum _),
@@ -556,6 +608,7 @@ object Multimodal {
   }
 
   val oracle: Map[String, String] = Map(
+    "multimodal_aspect_audit" -> ASPECT_SQL,
     "multimodal_byte_entropy" -> ENTROPY_SQL,
     "multimodal_chunk_dedup" -> CHUNK_SQL,
     "multimodal_phash_dedup" -> PHASH_SQL,

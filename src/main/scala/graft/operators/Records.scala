@@ -1218,7 +1218,114 @@ object Records {
       |WHERE tax_id IS NOT NULL
       |GROUP BY project, tax_id""".stripMargin
 
+  /** File-overlap clustering depth — the scan-amplification metric a
+    * lakehouse compaction planner reads before rewriting (Delta's
+    * clustering-depth / Iceberg's overlap statistics): orders model an
+    * ingest-time layout (one file per half-year batch), the probe key is
+    * the event day PLUS a ±15-day late-arrival jitter (md5 'ovl:' salt —
+    * real streams never land cleanly inside their batch), and the depth
+    * at key point p = how many files a point lookup at p must open.
+    * Computed as the classic boundary sweep: each file contributes
+    * (min, +1) and (max+1, −1), running sum over the sorted boundaries =
+    * depth per segment, rolled up to (depth → covered key width). Depth-0
+    * rows are coverage GAPS — kept, they are signal. Plan: ONE data-sized
+    * (file) aggregate; the sweep windows ride boundary rows bounded by
+    * 2×|files| (file count is a layout constant, not corpus-sized). */
+  def metaOverlapDepth(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val files = t(s, dir, "orders")
+      .select(
+        ((year(col("o_orderdate")) - 1995) * 2 +
+          when(month(col("o_orderdate")) > 6, 1).otherwise(0))
+          .cast("long").as("fid"),
+        (expr("datediff(o_orderdate, date'1970-01-01')").cast("long") +
+          expr("cast(conv(substring(md5(cast(concat('ovl:', cast(o_orderkey as string))" +
+            " as binary)), 1, 15), 16, 10) as bigint) % 31") - 15).as("w"))
+      .groupBy("fid").agg(min("w").as("lo"), max("w").as("hi"))
+    val ev = files.select(
+        explode(array(
+          struct(col("lo").as("pos"), lit(1L).as("delta")),
+          struct((col("hi") + 1).as("pos"), lit(-1L).as("delta")))).as("e"))
+      .select(col("e.pos").as("pos"), col("e.delta").as("delta"))
+      .groupBy("pos").agg(sum("delta").as("d"))
+    val byPos = Window.orderBy("pos")
+    ev.select(col("pos"),
+        sum("d").over(byPos.rowsBetween(Window.unboundedPreceding, 0)).as("depth"),
+        (lead("pos", 1).over(byPos) - col("pos")).as("width"))
+      .filter(col("width").isNotNull)
+      .groupBy("depth")
+      .agg(sum("width").as("key_width"), count(lit(1)).as("n_segments"))
+  }
+
+  private val OVERLAP_SQL =
+    """WITH f AS (
+      |  SELECT (EXTRACT(year FROM o_orderdate) - 1995) * 2
+      |      + CASE WHEN EXTRACT(month FROM o_orderdate) > 6 THEN 1 ELSE 0 END
+      |      AS fid,
+      |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+      |      + (('0x' || substr(md5('ovl:' || CAST(o_orderkey AS VARCHAR)),
+      |          1, 15))::BIGINT % 31) - 15 AS w
+      |  FROM orders),
+      |b AS (SELECT fid, MIN(w) AS lo, MAX(w) AS hi FROM f GROUP BY fid),
+      |ev AS (SELECT lo AS pos, CAST(1 AS BIGINT) AS delta FROM b
+      |       UNION ALL SELECT hi + 1, -1 FROM b),
+      |g AS (SELECT pos, CAST(SUM(delta) AS BIGINT) AS d FROM ev GROUP BY pos),
+      |sw AS (SELECT pos,
+      |    CAST(SUM(d) OVER (ORDER BY pos ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      |      AS depth,
+      |    LEAD(pos) OVER (ORDER BY pos) - pos AS width
+      |  FROM g)
+      |SELECT depth, CAST(SUM(width) AS BIGINT) AS key_width,
+      |  CAST(COUNT(*) AS BIGINT) AS n_segments
+      |FROM sw WHERE width IS NOT NULL
+      |GROUP BY depth""".stripMargin
+
+  /** Vacuum planning over the deletion-vector relation — the decision
+    * layer on top of [[metaDeletionVectors]]'s bitmaps: per 64-row shard,
+    * live/deleted row and byte accounting (n_chars as the byte proxy the
+    * manifest carries) and the rewrite decision deleted_milli ≥ 30 (at
+    * the modeled 1-in-53 victim rate a shard needs ≥ 2 victims to cross —
+    * the threshold actually splits the fleet instead of flagging
+    * everything or nothing). Per-shard grain only: a global priority rank
+    * would be an unpartitioned window over corpus/64 rows — NOT
+    * scale-safe, deliberately omitted. Plan: ONE (shard) partial
+    * aggregate; the flags ride the scan. */
+  def metaVacuumPlan(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(expr("doc_id div 64").as("shard"),
+        when(col("doc_id") % 53 === 0, 1L).otherwise(0L).as("victim"),
+        col("n_chars"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_rows"), sum("victim").as("n_deleted"),
+        sum(expr("case when victim = 1 then 0L else n_chars end")).as("live_chars"),
+        sum(expr("case when victim = 1 then n_chars else 0L end")).as("reclaim_chars"))
+      .select(col("shard"), col("n_rows"), col("n_deleted"),
+        expr("n_deleted * 1000 div n_rows").as("deleted_milli"),
+        col("live_chars"), col("reclaim_chars"),
+        (expr("n_deleted * 1000 div n_rows") >= 30).as("do_vacuum"))
+
+  private val VACUUM_SQL =
+    """WITH d AS (
+      |  SELECT doc_id // 64 AS shard,
+      |    CASE WHEN doc_id % 53 = 0 THEN 1 ELSE 0 END AS victim, n_chars
+      |  FROM documents),
+      |sh AS (
+      |  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |    CAST(SUM(victim) AS BIGINT) AS n_deleted,
+      |    CAST(SUM(CASE WHEN victim = 1 THEN 0 ELSE n_chars END) AS BIGINT)
+      |      AS live_chars,
+      |    CAST(SUM(CASE WHEN victim = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+      |      AS reclaim_chars
+      |  FROM d GROUP BY shard)
+      |SELECT shard, n_rows, n_deleted,
+      |  n_deleted * 1000 // n_rows AS deleted_milli,
+      |  live_chars, reclaim_chars,
+      |  n_deleted * 1000 // n_rows >= 30 AS do_vacuum
+      |FROM sh""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "meta_overlap_depth" -> (metaOverlapDepth _),
+    "meta_vacuum_plan" -> (metaVacuumPlan _),
     "meta_mgnify_enrich" -> (mgnifyEnrich _),
     "meta_sample_relationships" -> (sampleRelationships _),
     "meta_link_rollups" -> (linkRollups _),
@@ -1313,6 +1420,8 @@ object Records {
       |FROM k, r, tk""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "meta_overlap_depth" -> OVERLAP_SQL,
+    "meta_vacuum_plan" -> VACUUM_SQL,
     // the oracle filters the RAW table — a hash match proves the
     // manifest-pruned scan loses no rows and admits no strays
     "meta_manifest_prune" ->

@@ -1206,7 +1206,168 @@ object TextPrep {
        |$out""".stripMargin
   }
 
+  /** LPT greedy shard rebalance — the partition-to-worker assignment a
+    * training job computes before an epoch (longest-processing-time
+    * scheduling: items descending by load, each onto the currently
+    * least-loaded worker — the classic 4/3-approximation to makespan):
+    * items are the (source, lang) partitions of the corpus, load = total
+    * chars. The greedy fold is inherently sequential but runs over a
+    * DIMENSION-sized item list (|sources| × |langs| — the k-means-K
+    * collect class, never corpus rows): one distributed aggregate, an
+    * O(K) driver fold, and a local-relation result. Ties (equal worker
+    * loads) go to the lowest worker id on both engines (Scala indexOf
+    * first-min = DuckDB list_position first occurrence). */
+  def dataShardRebalance(s: SparkSession, dir: String): DataFrame = {
+    val groups = t(s, dir, "documents")
+      .groupBy("source", "lang").agg(sum("n_chars").as("load_chars"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy { case (src, lg, load) => (-load, src, lg) }
+    val loads = Array.fill(4)(0L)
+    val rows = groups.zipWithIndex.map { case ((src, lg, load), i) =>
+      val w = loads.indexOf(loads.min)
+      loads(w) += load
+      (i + 1L, src, lg, load, w.toLong)
+    }
+    import s.implicits._
+    rows.toSeq.toDF("assign_order", "source", "lang", "load_chars", "worker")
+  }
+
+  private val REBALANCE_SQL =
+    """WITH RECURSIVE g AS (
+      |  SELECT source, lang, CAST(SUM(n_chars) AS BIGINT) AS load_chars
+      |  FROM documents GROUP BY 1, 2),
+      |it AS (
+      |  SELECT source, lang, load_chars,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY load_chars DESC, source, lang)
+      |      AS BIGINT) AS rn
+      |  FROM g),
+      |st AS (
+      |  SELECT CAST(0 AS BIGINT) AS rn, CAST(NULL AS VARCHAR) AS source,
+      |    CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS BIGINT) AS load_chars,
+      |    CAST(NULL AS BIGINT) AS worker,
+      |    [CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+      |     CAST(0 AS BIGINT)] AS loads
+      |  UNION ALL
+      |  SELECT it.rn, it.source, it.lang, it.load_chars,
+      |    CAST(list_position(st.loads, list_min(st.loads)) - 1 AS BIGINT),
+      |    list_transform([1, 2, 3, 4],
+      |      i -> CASE WHEN i = list_position(st.loads, list_min(st.loads))
+      |                THEN st.loads[i] + it.load_chars ELSE st.loads[i] END)
+      |  FROM st JOIN it ON it.rn = st.rn + 1)
+      |SELECT rn AS assign_order, source, lang, load_chars, worker
+      |FROM st WHERE rn > 0""".stripMargin
+
+  /** Per-source unigram drift vs the corpus — the mixture-health monitor
+    * a data pipeline runs per ingest batch ("did src7 suddenly stop
+    * looking like the rest of the corpus"): χ²-style divergence of each
+    * source's unigram distribution against the corpus distribution,
+    * restricted to the corpus top-64 terms (rank by count desc, term — a
+    * bounded reference vocabulary, the production drift-monitor shape).
+    * Divide-FIRST discipline: both distributions are floored to milli
+    * shares before the squared difference, so every term's contribution
+    * is ≤ 1e6 and the statistic is engine-exact (a true χ² over raw-count
+    * products overflows and drags in float division). Plan: ONE
+    * corpus-sized (source, term) aggregate, checkpointed (two
+    * references); everything downstream is vocab- or |sources|-sized;
+    * the rank window rides the vocab aggregate (text_top_ngrams class). */
+  def textUnigramDrift(s: SparkSession, dir: String): DataFrame = {
+    val st = t(s, dir, "documents")
+      .select(col("source"),
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"),
+          lit(0))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      .transform(graft.Ckpt.capped)
+    val byCt = Window.orderBy(col("ct").desc, col("w"))
+    val top = st.groupBy("w").agg(sum("c").as("ct"))
+      .withColumn("rn", row_number().over(byCt))
+      .filter(col("rn") <= 64)
+      .withColumn("bm", expr(
+        "cast(ct * 1000 div sum(ct) over () as bigint)"))
+      .select("w", "bm")
+    val j = st.join(broadcast(top), Seq("w"))
+    val ns = j.groupBy("source").agg(sum("c").as("n_s"))
+    j.join(broadcast(ns), Seq("source"))
+      .select(col("source"), col("n_s"),
+        expr("((c * 1000 div n_s) - bm) * ((c * 1000 div n_s) - bm)" +
+          " div greatest(bm, 1L)").as("tdiv"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_top_present"), min("n_s").as("n_tokens_top"),
+        sum("tdiv").as("chi2_milli"))
+  }
+
+  private val DRIFT_SQL =
+    """WITH tok AS (
+      |  SELECT source,
+      |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      |  FROM documents),
+      |st AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+      |       FROM tok GROUP BY 1, 2),
+      |gl AS (SELECT w, CAST(SUM(c) AS BIGINT) AS ct FROM st GROUP BY w),
+      |top AS (SELECT w, ct FROM (
+      |    SELECT w, ct, ROW_NUMBER() OVER (ORDER BY ct DESC, w) AS rn
+      |    FROM gl) WHERE rn <= 64),
+      |tb AS (SELECT w, CAST(ct * 1000 // SUM(ct) OVER () AS BIGINT) AS bm
+      |       FROM top),
+      |j AS (SELECT st.source, st.w, st.c, tb.bm FROM st JOIN tb USING (w)),
+      |ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_s FROM j
+      |       GROUP BY source)
+      |SELECT j.source, CAST(COUNT(*) AS BIGINT) AS n_top_present,
+      |  MIN(ns.n_s) AS n_tokens_top,
+      |  CAST(SUM(((c * 1000 // n_s) - bm) * ((c * 1000 // n_s) - bm)
+      |    // GREATEST(bm, 1)) AS BIGINT) AS chi2_milli
+      |FROM j JOIN ns USING (source) GROUP BY j.source""".stripMargin
+
+  /** Prefix-LM objective construction audit — the split-point accounting
+    * for UL2/PrefixLM-style training (next to [[dataSpanCorruption]]'s
+    * T5 spans): each document gets a hash-derived split ('plm:' salt,
+    * retry-stable like the importance sampler), tokens before it are
+    * conditioning context (no loss), tokens after it carry the loss.
+    * Degenerate docs (< 2 tokens) cannot split — all context, zero loss,
+    * counted separately. Per-source rollup: docs, tokens, loss tokens,
+    * exact loss-share milli. Plan: the split decision rides the scan
+    * (zero extra shuffles), ONE |sources|-row partial aggregate. */
+  def dataPrefixLmSplit(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("source"),
+        size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"),
+          lit(0))).cast("long").as("nt"),
+        expr("cast(conv(substring(md5(cast(concat('plm:', cast(doc_id as string))" +
+          " as binary)), 1, 15), 16, 10) as bigint)").as("h"))
+      .withColumn("split",
+        when(col("nt") >= 2, expr("1L + h % (nt - 1)")).otherwise(col("nt")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"),
+        sum(expr("nt - split")).as("n_loss_tokens"),
+        sum(when(col("nt") < 2, 1L).otherwise(0L)).as("n_degenerate"))
+      .withColumn("loss_milli",
+        expr("n_loss_tokens * 1000 div greatest(n_tokens, 1L)"))
+
+  private val PREFIXLM_SQL =
+    """WITH d AS (
+      |  SELECT source,
+      |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+      |      AS nt,
+      |    ('0x' || substr(md5('plm:' || CAST(doc_id AS VARCHAR)), 1, 15))
+      |      ::BIGINT AS h
+      |  FROM documents),
+      |sp AS (
+      |  SELECT source, nt,
+      |    CASE WHEN nt >= 2 THEN 1 + h % (nt - 1) ELSE nt END AS split
+      |  FROM d)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(nt) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(nt - split) AS BIGINT) AS n_loss_tokens,
+      |  CAST(SUM(CASE WHEN nt < 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_degenerate,
+      |  CAST(SUM(nt - split) * 1000 // GREATEST(SUM(nt), 1) AS BIGINT)
+      |    AS loss_milli
+      |FROM sp GROUP BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "data_shard_rebalance" -> (dataShardRebalance _),
+    "text_unigram_drift" -> (textUnigramDrift _),
+    "data_prefix_lm_split" -> (dataPrefixLmSplit _),
     "text_bpe_learn" -> (textBpeLearn _),
     "data_ks_drift" -> (dataKsDrift _),
     "data_bin_packing" -> (dataBinPacking _),
@@ -1234,6 +1395,9 @@ object TextPrep {
     "data_pack_sequences" -> (dataPackSequences _))
 
   val oracle: Map[String, String] = Map(
+    "data_shard_rebalance" -> REBALANCE_SQL,
+    "text_unigram_drift" -> DRIFT_SQL,
+    "data_prefix_lm_split" -> PREFIXLM_SQL,
     "text_bpe_learn" -> BPE_LEARN_SQL,
     "data_ks_drift" -> KS_SQL,
     "data_bin_packing" -> BINPACK_SQL,

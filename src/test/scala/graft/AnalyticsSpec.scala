@@ -1418,4 +1418,19 @@ class AnalyticsSpec extends SparkSpec {
     // user is active near-daily, so a flat slope-0 fit is legitimate)
     assert(hl === (if (num < 0 && wantAbs > 0) Some(1000000L / wantAbs) else None))
   }
+
+  test("silhouette: bounds hold and cluster populations equal the cohesion rollup") {
+    val sil = Analytics.simSilhouette(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    sil.values.foreach { case (_, n, mean, mn, mx) =>
+      assert(n > 0)
+      assert(0L <= mn && mn <= mean && mean <= mx && mx <= 1000L)
+    }
+    // the rn=1 leg of the silhouette rank must be the SAME assignment the
+    // cohesion operator aggregates — population per cluster must agree
+    val coh = Analytics.simClusterCohesion(spark, sf)
+      .select("cluster", "n_vectors").as[(Long, Long)].collect().toMap
+    assert(sil.view.mapValues(_._2).toMap === coh)
+  }
+
 }

@@ -1098,4 +1098,27 @@ class DomainSpec extends SparkSpec {
     assert(rows.exists(r => r._2 == 7604L && r._4.split(';').contains("GCA_42")))
     assert(rows.exists(r => r._2 == 6579L && r._4.split(';').contains("GCA_99")))
   }
+
+  test("overlap depth sweep conserves total file coverage and respects the file-count ceiling") {
+    val got = operators.Records.metaOverlapDepth(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    // independent file-span replay: sum over segments of depth*width must
+    // equal the total covered length WITH multiplicity, i.e. the sum of
+    // every file's span (the sweep cannot invent or lose coverage)
+    val files = Tables.t(spark, sf, "orders")
+      .select(
+        ((year(col("o_orderdate")) - 1995) * 2 +
+          when(month(col("o_orderdate")) > 6, 1).otherwise(0)).cast("long").as("fid"),
+        (expr("datediff(o_orderdate, date'1970-01-01')").cast("long") +
+          expr("cast(conv(substring(md5(cast(concat('ovl:', cast(o_orderkey as string))" +
+            " as binary)), 1, 15), 16, 10) as bigint) % 31") - 15).as("w"))
+      .groupBy("fid").agg(min("w").as("lo"), max("w").as("hi"))
+      .as[(Long, Long, Long)].collect()
+    val totalSpan = files.map { case (_, lo, hi) => hi - lo + 1 }.sum
+    assert(got.map { case (d, w, _) => d * w }.sum === totalSpan)
+    assert(got.map(_._1).max <= files.length.toLong)
+    assert(got.forall(_._1 >= 0))
+  }
+
 }

@@ -498,4 +498,22 @@ class GraphsSpec extends SparkSpec {
       else assert(got2(n) === ((4L, 4000L)))
     }
   }
+
+  test("rich club: threshold populations shrink monotonically and phi stays in [0, 1000]") {
+    val got = Graphs.graphRichClub(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).sameElements(1L to 8L))
+    got.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b._2 <= a._2, "n_nodes must be non-increasing in k")
+        assert(b._3 <= a._3, "n_edges must be non-increasing in k")
+      case _ =>
+    }
+    got.foreach { case (_, nk, ek, phi) =>
+      assert(phi >= 0 && phi <= 1000)
+      if (nk >= 2) assert(ek * 2 <= nk * (nk - 1), "edge count exceeds clique size")
+      else assert(phi === 0L)
+    }
+  }
+
 }

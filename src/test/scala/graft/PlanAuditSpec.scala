@@ -401,7 +401,15 @@ class PlanAuditSpec extends SparkSpec {
     "sim_matryoshka_recall" -> 3, // ONE shared qid window exchange + per-leg aggs off the rank checkpoint
     "multimodal_phash_clusters" -> 0, // returned plan reads the converged CC checkpoint (dedup_cluster class)
     "text_bpe_learn" -> 0, // returned merge table is a collected 6-row local relation; the per-round pair aggs run at build (harmonic class)
-    "text_kneser_ney" -> 4) // db/c2 checkpointed (their aggs run at build); final: pair join + 2 vocab-stat joins + doc agg, T broadcast
+    "text_kneser_ney" -> 4, // db/c2 checkpointed (their aggs run at build); final: pair join + 2 vocab-stat joins + doc agg, T broadcast
+    "meta_overlap_depth" -> 3, // ONE file agg; boundary agg + sweep window are 2×|files|-row
+    "meta_vacuum_plan" -> 1, // ONE (shard) partial agg; flags ride the scan
+    "data_shard_rebalance" -> 0, // returned plan is the O(K)-collected LPT local relation (rfm class)
+    "text_unigram_drift" -> 4, // (source,term) agg checkpointed at build; vocab agg + rank window + ns/final aggs
+    "data_prefix_lm_split" -> 1, // split decision rides the scan; ONE |sources|-row agg
+    "sim_silhouette" -> 2, // ×8 explode off the checkpointed projection: ONE vec_id window+fold exchange + K-row rollup
+    "graph_rich_club" -> 9, // knn edges+degrees checkpointed at build; deg joins onto edge ends + histogram/threshold aggs
+    "multimodal_aspect_audit" -> 1) // narrow metadata projection + ONE (kind, class) partial agg
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
     // the shard grid must drive the exchange (parallelism = shard count),

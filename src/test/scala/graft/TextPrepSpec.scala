@@ -900,4 +900,36 @@ class TextPrepSpec extends SparkSpec {
     assert(corpus.forall(r => r._4 > 0 && r._4 <= 1000 &&
       r._5 >= 0 && r._5 <= 3 && r._6 == (r._5 >= 2)))
   }
+
+  test("shard rebalance is the exact LPT greedy and meets the 4/3 makespan bound") {
+    val got = TextPrep.dataShardRebalance(spark, sf)
+      .as[(Long, String, String, Long, Long)].collect().sortBy(_._1)
+    // descending-load order with (source, lang) tiebreak
+    val sorted = got.map(r => (-r._4, r._2, r._3))
+    assert(sorted.sameElements(sorted.sorted), "items not in LPT order")
+    // greedy replay: every item must land on the argmin-load worker
+    val loads = Array.fill(4)(0L)
+    got.foreach { case (_, _, _, load, w) =>
+      assert(w === loads.indexOf(loads.min).toLong)
+      loads(w.toInt) += load
+    }
+    // LPT guarantee vs the trivial lower bound max(total/4, max item)
+    val ideal = math.max(loads.sum / 4, got.map(_._4).max)
+    assert(loads.max * 3 <= ideal * 4 + 3, s"makespan ${loads.max} vs ideal $ideal")
+  }
+
+  test("prefix-LM split conserves tokens and never puts loss on degenerate docs") {
+    val got = TextPrep.dataPrefixLmSplit(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (_, nDocs, nTok, nLoss, nDegen, lossMilli) =>
+      assert(nLoss >= 0 && nLoss <= nTok)
+      assert(nDegen <= nDocs)
+      assert(lossMilli === nLoss * 1000 / math.max(nTok, 1L))
+      // every non-degenerate doc keeps >= 1 context and >= 1 loss token,
+      // so loss can reach neither 0 nor 100% unless all docs are degenerate
+      if (nDegen < nDocs) assert(nLoss >= 1 && nLoss < nTok)
+    }
+  }
+
 }
