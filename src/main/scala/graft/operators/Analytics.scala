@@ -2371,6 +2371,126 @@ object Analytics {
       |  CAST(SUM(CASE WHEN rn = 1 THEN d2 END) AS BIGINT) AS recon_err
       |FROM a GROUP BY vec_id""".stripMargin
 
+  /** Day-over-day top-k churn — the "who dominates traffic" stability
+    * monitor next to freq_count_min's heavy hitters: per day the top-8
+    * users by event count (count desc, user_id tiebreak), then the
+    * overlap with the PREVIOUS day's club in exact milli. A stable
+    * service reads high overlap; a crawler rotation or hot-account
+    * incident reads a cliff. Plan: one (day, user) partial-aggregated
+    * exchange + the per-day rank window (WindowGroupLimit prunes to 8);
+    * the club table is calendar-bounded (≤ 8·|days| rows), checkpointed
+    * (self-join for the day-over-day intersection), so the join and both
+    * rollups are metadata-sized at any corpus. */
+  def eventsTopkDrift(s: SparkSession, dir: String): DataFrame = {
+    val byDay = Window.partitionBy("day").orderBy(col("c").desc, col("user_id"))
+    val tp = DomainQueries.events(s, dir)
+      .select(expr(s"ts_ns div $DAY_NS").as("day"), col("user_id"))
+      .groupBy("day", "user_id").agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(byDay))
+      .filter(col("rn") <= 8)
+      .select("day", "user_id")
+      .transform(graft.Ckpt.capped)
+    val sz = tp.groupBy("day").agg(count(lit(1)).as("n_top"))
+    val cm = tp
+      .join(tp.select((col("day") + 1).as("day"), col("user_id")),
+        Seq("day", "user_id"))
+      .groupBy("day").agg(count(lit(1)).as("n_common"))
+    sz.join(cm, Seq("day"), "left_outer")
+      .select(col("day"), col("n_top"),
+        coalesce(col("n_common"), lit(0L)).as("n_common_prev"))
+      .withColumn("overlap_milli",
+        expr("n_common_prev * 1000 div n_top"))
+  }
+
+  private val TOPK_DRIFT_SQL =
+    s"""WITH dc AS (
+       |  SELECT epoch_ns(ts) // $DAY_NS AS day, user_id,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM events GROUP BY 1, 2),
+       |tp AS (SELECT day, user_id FROM (
+       |    SELECT day, user_id,
+       |      ROW_NUMBER() OVER (PARTITION BY day ORDER BY c DESC, user_id)
+       |        AS rn
+       |    FROM dc) WHERE rn <= 8),
+       |sz AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_top FROM tp
+       |       GROUP BY day),
+       |cm AS (SELECT t.day, CAST(COUNT(*) AS BIGINT) AS n_common
+       |       FROM tp t JOIN tp p
+       |         ON p.day = t.day - 1 AND p.user_id = t.user_id
+       |       GROUP BY t.day)
+       |SELECT sz.day, n_top,
+       |  COALESCE(n_common, CAST(0 AS BIGINT)) AS n_common_prev,
+       |  COALESCE(n_common, 0) * 1000 // n_top AS overlap_milli
+       |FROM sz LEFT JOIN cm USING (day)""".stripMargin
+
+  /** Per-subspace PQ codebook health — the distortion diagnosis that
+    * decides which subquantizer to retrain (the readout sitting under
+    * [[simPqQuantize]]'s per-vector codes): for each of the 8 subspaces,
+    * the chosen-code residual mass (mean/max ‖x_c − centroid‖² on the
+    * shared 2^-20 fixed-point lattice) and codebook utilization (a
+    * subspace using 2 of its 4 codes wastes half its bits). The per-
+    * subspace argmin is [[simPqQuantize]]'s least(struct) idiom — never
+    * a when-chain; the ×8 explode feeds ONE (sub, code) hash aggregate
+    * (32 rows out), then an 8-row rollup. */
+  def simPqDistortion(s: SparkSession, dir: String): DataFrame = {
+    val fixed = pqFixed(s, dir)
+    val seeds = pqSeeds(fixed)
+    val subStructs = (0 until 8).map { c =>
+      val pairs = seeds.zipWithIndex.map { case (sv, k) =>
+        val d2 = (0 until 8)
+          .map { i => val d = col(s"x${c * 8 + i}") - lit(sv(c * 8 + i)); d * d }
+          .reduce(_ + _)
+        struct(d2.as("d2"), lit(k.toLong).as("k"))
+      }
+      struct(lit(c.toLong).as("sub"), least(pairs.toSeq: _*).as("a"))
+    }
+    fixed.select(explode(array(subStructs: _*)).as("e"))
+      .select(col("e.sub").as("sub"), col("e.a.k").as("k"),
+        col("e.a.d2").as("d2"))
+      .groupBy("sub", "k")
+      .agg(count(lit(1)).as("n"), sum("d2").as("sd2"), max("d2").as("mx"))
+      .groupBy("sub")
+      .agg(sum("n").as("n_vectors"), count(lit(1)).as("n_codes_used"),
+        expr("sum(sd2) div sum(n)").as("mean_d2_fp"), max("mx").as("max_d2_fp"))
+      .withColumn("util_milli", expr("n_codes_used * 1000 div 4"))
+  }
+
+  private val PQ_DIST_SQL =
+    """WITH f AS (
+      |  SELECT vec_id,
+      |    list_transform(generate_series(1, 64),
+      |      j -> CAST(FLOOR(CAST(embedding[j] AS DOUBLE) * 1048576) AS BIGINT)) AS x
+      |  FROM embeddings),
+      |sd AS (
+      |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, vec_id) AS BIGINT) - 1 AS k, x AS c
+      |  FROM (SELECT vec_id, x,
+      |          ('0x' || substr(md5('pq:' || CAST(vec_id AS VARCHAR)), 1, 13))::BIGINT AS h
+      |        FROM f)
+      |  ORDER BY h, vec_id LIMIT 4),
+      |d AS (
+      |  SELECT f.vec_id, g.sub, sd.k,
+      |    list_sum(list_transform(generate_series(1, 8),
+      |      i -> (f.x[g.sub * 8 + i] - sd.c[g.sub * 8 + i]) *
+      |           (f.x[g.sub * 8 + i] - sd.c[g.sub * 8 + i]))) AS d2
+      |  FROM f
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS sub) g
+      |  CROSS JOIN sd),
+      |a AS (
+      |  SELECT vec_id, sub, k, d2,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, k) AS rn
+      |  FROM d),
+      |w1 AS (
+      |  SELECT sub, k, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(d2) AS BIGINT) AS sd2, CAST(MAX(d2) AS BIGINT) AS mx
+      |  FROM a WHERE rn = 1 GROUP BY sub, k)
+      |SELECT CAST(sub AS BIGINT) AS sub,
+      |  CAST(SUM(n) AS BIGINT) AS n_vectors,
+      |  CAST(COUNT(*) AS BIGINT) AS n_codes_used,
+      |  CAST(SUM(sd2) // SUM(n) AS BIGINT) AS mean_d2_fp,
+      |  MAX(mx) AS max_d2_fp,
+      |  CAST(COUNT(*) * 1000 // 4 AS BIGINT) AS util_milli
+      |FROM w1 GROUP BY sub""".stripMargin
+
   /** Inter-arrival gap histogram per event type — the temporal sibling of
     * events_value_histogram and THE diagnostic read before choosing a
     * sessionize gap, a throttle window, or a streaming watermark (the
@@ -4751,6 +4871,8 @@ object Analytics {
       |FROM wt GROUP BY 1""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "events_topk_drift" -> (eventsTopkDrift _),
+    "sim_pq_distortion" -> (simPqDistortion _),
     "sim_silhouette" -> (simSilhouette _),
     "events_changepoint_binseg" -> (eventsChangepoint _),
     "sim_kmeans_shift" -> (simKmeansShift _),
@@ -4883,6 +5005,8 @@ object Analytics {
     "events_peak_concurrency" -> CONCURRENCY_SQL,
     "sim_cluster_cohesion" -> COHESION_SQL,
     "sim_silhouette" -> SIL_SQL,
+    "events_topk_drift" -> TOPK_DRIFT_SQL,
+    "sim_pq_distortion" -> PQ_DIST_SQL,
     "data_class_balance" -> BALANCE_SQL,
     "data_upsample_plan" -> UPSAMPLE_SQL,
     "data_mixture_temperature" -> MIXTEMP_SQL,

@@ -606,6 +606,34 @@ object DomainQueries {
       .withColumn("breadth", expr("(t_hi - t_lo) * (p_hi - p_lo)"))
   }
 
+  /** Levins niche breadth per species — the inverse-Simpson B = 1/Σp²
+    * over 10 temperature bins of the shared climate lattice (the
+    * envelope's t_hi−t_lo range can't tell a generalist from a species
+    * with two extreme outposts; B can): shares floored to milli FIRST
+    * (divide-first — Σp_milli ≤ 1000 keeps Σp² ≤ 1e6, so B_milli =
+    * 1e9 div Σp²_micro ≥ 1000 and the standardized Levins
+    * (B−1)/(B_max−1) is a nonnegative division on both engines).
+    * Samples the SAME rasterT lattice as climAnnotate/occClimateEnvelope.
+    * Plan: one (species, bin) partial agg; the species-total window and
+    * both rollups ride ≤ |species|×10 rows. */
+  def occNicheBreadth(s: SparkSession, dir: String): DataFrame = {
+    val cid = cell1(col("lat"), col("lon"))
+    val bySp = Window.partitionBy("species")
+    valid(s, dir)
+      .filter(cid >= 0 && cid <= 64799)
+      .select(col("species"), rasterT(cid).as("t_deci"))
+      .withColumn("bin", expr("t_deci div 400"))
+      .groupBy("species", "bin").agg(count(lit(1)).as("nb"))
+      .withColumn("n", sum("nb").over(bySp))
+      .groupBy("species")
+      .agg(min("n").as("n_pts"), count(lit(1)).as("n_bins"),
+        sum(expr("(nb * 1000 div n) * (nb * 1000 div n)")).as("sum_p2_micro"))
+      .select(col("species"), col("n_pts"), col("n_bins"), col("sum_p2_micro"),
+        expr("1000000000 div greatest(sum_p2_micro, 1L)").as("b_milli"),
+        expr("(1000000000 div greatest(sum_p2_micro, 1L) - 1000) * 1000 div 9000")
+          .as("ba_milli"))
+  }
+
   /** Chao1 species-richness estimate per 1°-cell — the "how many species
     * are we MISSING here" question next to occ_cell_diversity's observed
     * counts (the richness readout over range_estimation_pipeline's
@@ -1806,6 +1834,7 @@ object DomainQueries {
     "occ_gap_analysis" -> (occGapAnalysis _),
     "occ_chao1_richness" -> (occChao1Richness _),
     "occ_climate_envelope" -> (occClimateEnvelope _),
+    "occ_niche_breadth" -> (occNicheBreadth _),
     "spatial_zorder_layout" -> (spatialZorderLayout _),
     "spatial_nearest" -> (spatialNearest _),
     "occ_temporal_trend" -> (occTemporalTrend _),
@@ -1967,6 +1996,26 @@ object DomainQueries {
         |  (MAX($RASTER_T_SQL) - MIN($RASTER_T_SQL))
         |    * (MAX($RASTER_P_SQL) - MIN($RASTER_P_SQL)) AS breadth
         |FROM cv GROUP BY species""".stripMargin),
+    "occ_niche_breadth" -> withSql(OCC_SQL, VALID_SQL,
+      s"""cv AS (
+        |  SELECT species, $CELL1_SQL AS cid FROM valid
+        |  WHERE $CELL1_SQL BETWEEN 0 AND 64799),
+        |tb AS (SELECT species, ($RASTER_T_SQL) // 400 AS bin FROM cv),
+        |bc AS (SELECT species, bin, CAST(COUNT(*) AS BIGINT) AS nb
+        |       FROM tb GROUP BY 1, 2),
+        |wn AS (SELECT species, bin, nb,
+        |         CAST(SUM(nb) OVER (PARTITION BY species) AS BIGINT) AS n
+        |       FROM bc),
+        |ag AS (SELECT species, MIN(n) AS n_pts,
+        |         CAST(COUNT(*) AS BIGINT) AS n_bins,
+        |         CAST(SUM((nb * 1000 // n) * (nb * 1000 // n)) AS BIGINT)
+        |           AS sum_p2_micro
+        |       FROM wn GROUP BY species)""".stripMargin)(
+      """SELECT species, n_pts, n_bins, sum_p2_micro,
+        |  1000000000 // GREATEST(sum_p2_micro, 1) AS b_milli,
+        |  (1000000000 // GREATEST(sum_p2_micro, 1) - 1000) * 1000 // 9000
+        |    AS ba_milli
+        |FROM ag""".stripMargin),
     "occ_chao1_richness" -> withSql(OCC_SQL, VALID_SQL,
       """csp AS (
         |  SELECT CAST(FLOOR(lat) AS BIGINT) AS cell_lat,

@@ -1364,7 +1364,132 @@ object TextPrep {
       |    AS loss_milli
       |FROM sp GROUP BY source""".stripMargin
 
+  /** Source-concentration HHI per language — the antitrust statistic
+    * applied to a training mixture: Herfindahl Σ share² of token mass
+    * across sources within each language, plus the effective source
+    * count 1/HHI (a lang whose "20 sources" are effectively 1.4 sources
+    * is a single-crawler monoculture — dedup and contamination risk
+    * concentrate exactly there). Divide-first: shares floored to milli
+    * BEFORE squaring, so hhi_micro ≤ 1e6 and the effective count is one
+    * nonnegative division. Plan: ONE corpus-sized (lang, source)
+    * aggregate; the lang-total window and both rollups ride
+    * ≤ |langs|×|sources| rows. */
+  def dataSourceHhi(s: SparkSession, dir: String): DataFrame = {
+    val byLang = Window.partitionBy("lang")
+    t(s, dir, "documents")
+      .select(col("lang"), col("source"),
+        size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"),
+          lit(0))).cast("long").as("nt"))
+      .groupBy("lang", "source").agg(sum("nt").as("m"))
+      .withColumn("mt", sum("m").over(byLang))
+      .select(col("lang"), expr("m * 1000 div greatest(mt, 1L)").as("sh"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sources"), sum(expr("sh * sh")).as("hhi_micro"),
+        max("sh").as("top_share_milli"))
+      .withColumn("effective_milli",
+        expr("1000000000 div greatest(hhi_micro, 1L)"))
+  }
+
+  private val HHI_SQL =
+    """WITH d AS (
+      |  SELECT lang, source,
+      |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+      |      AS nt
+      |  FROM documents),
+      |g AS (SELECT lang, source, CAST(SUM(nt) AS BIGINT) AS m
+      |      FROM d GROUP BY 1, 2),
+      |w AS (SELECT lang,
+      |        m * 1000 // GREATEST(CAST(SUM(m) OVER (PARTITION BY lang)
+      |          AS BIGINT), 1) AS sh
+      |      FROM g)
+      |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sources,
+      |  CAST(SUM(sh * sh) AS BIGINT) AS hhi_micro,
+      |  CAST(MAX(sh) AS BIGINT) AS top_share_milli,
+      |  1000000000 // GREATEST(CAST(SUM(sh * sh) AS BIGINT), 1)
+      |    AS effective_milli
+      |FROM w GROUP BY lang""".stripMargin
+
+  /** Quality-vs-length bias audit — "is the quality gate secretly a
+    * length gate?": per source, the exact-integer OLS slope of the
+    * mass-curve quality lattice q_milli = least(nt,100)·10·nd div nt on
+    * floor-log2(nt). A strongly positive slope means the gate mostly
+    * rewards length — curation would silently skew the corpus long.
+    * Sufficient statistics divide by n BEFORE any cross product (the
+    * arrival_regularity overflow discipline; x ≤ 63 and y ≤ 1000 keep
+    * every Σ BIGINT-safe to ~1e11 docs per source), covariance/variance
+    * in milli, slope as sign + abs-milli (abs BEFORE the division —
+    * Spark div truncates, DuckDB // floors; they agree on nonnegative
+    * operands). var_milli can floor to −1 when the true variance is 0;
+    * the division clamps with greatest(·, 1) and both engines carry the
+    * same raw value. Plan: narrow codegen projection + ONE |sources|-row
+    * aggregate. */
+  def dataQualityLengthBias(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("source"),
+        size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"),
+          lit(0))).cast("long").as("nt"),
+        size(array_distinct(regexp_extract_all(lower(col("text")),
+          lit("[a-z0-9]+"), lit(0)))).cast("long").as("nd"))
+      .filter(col("nt") > 0)
+      .select(col("source"),
+        expr("cast(length(bin(nt)) - 1 as bigint)").as("x"),
+        expr("least(nt, 100) * 10 * nd div nt").as("y"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
+      .select(col("source"), col("n_docs"),
+        expr("sx * 1000 div n_docs").as("mx_milli"),
+        expr("sy * 1000 div n_docs").as("my_milli"),
+        expr("(sxy * 1000 div n_docs)" +
+          " - (sx * 1000 div n_docs) * (sy * 1000 div n_docs) div 1000")
+          .as("cov_milli"),
+        expr("(sxx * 1000 div n_docs)" +
+          " - (sx * 1000 div n_docs) * (sx * 1000 div n_docs) div 1000")
+          .as("var_milli"))
+      .withColumn("bias_sign",
+        expr("cast(case when cov_milli < 0 then -1 when cov_milli > 0 then 1" +
+          " else 0 end as bigint)"))
+      .withColumn("abs_slope_milli",
+        expr("abs(cov_milli) * 1000 div greatest(var_milli, 1L)"))
+
+  private val QLBIAS_SQL =
+    """WITH d AS (
+      |  SELECT source,
+      |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+      |      AS nt,
+      |    CAST(len(list_distinct(regexp_extract_all(lower(text),
+      |      '[a-z0-9]+'))) AS BIGINT) AS nd
+      |  FROM documents),
+      |p AS (
+      |  SELECT source, CAST(length(bin(nt)) - 1 AS BIGINT) AS x,
+      |    LEAST(nt, 100) * 10 * nd // nt AS y
+      |  FROM d WHERE nt > 0),
+      |ag AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+      |    CAST(SUM(x * x) AS BIGINT) AS sxx
+      |  FROM p GROUP BY source),
+      |mm AS (
+      |  SELECT source, n_docs,
+      |    sx * 1000 // n_docs AS mx_milli,
+      |    sy * 1000 // n_docs AS my_milli,
+      |    (sxy * 1000 // n_docs)
+      |      - (sx * 1000 // n_docs) * (sy * 1000 // n_docs) // 1000
+      |      AS cov_milli,
+      |    (sxx * 1000 // n_docs)
+      |      - (sx * 1000 // n_docs) * (sx * 1000 // n_docs) // 1000
+      |      AS var_milli
+      |  FROM ag)
+      |SELECT source, n_docs, mx_milli, my_milli, cov_milli, var_milli,
+      |  CAST(CASE WHEN cov_milli < 0 THEN -1 WHEN cov_milli > 0 THEN 1
+      |       ELSE 0 END AS BIGINT) AS bias_sign,
+      |  abs(cov_milli) * 1000 // GREATEST(var_milli, 1) AS abs_slope_milli
+      |FROM mm""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "data_source_hhi" -> (dataSourceHhi _),
+    "data_quality_length_bias" -> (dataQualityLengthBias _),
     "data_shard_rebalance" -> (dataShardRebalance _),
     "text_unigram_drift" -> (textUnigramDrift _),
     "data_prefix_lm_split" -> (dataPrefixLmSplit _),
@@ -1395,6 +1520,8 @@ object TextPrep {
     "data_pack_sequences" -> (dataPackSequences _))
 
   val oracle: Map[String, String] = Map(
+    "data_source_hhi" -> HHI_SQL,
+    "data_quality_length_bias" -> QLBIAS_SQL,
     "data_shard_rebalance" -> REBALANCE_SQL,
     "text_unigram_drift" -> DRIFT_SQL,
     "data_prefix_lm_split" -> PREFIXLM_SQL,

@@ -1433,4 +1433,30 @@ class AnalyticsSpec extends SparkSpec {
     assert(sil.view.mapValues(_._2).toMap === coh)
   }
 
+
+  test("topk drift: club size capped at 8, intersection bounded, first day has no predecessor overlap") {
+    val got = Analytics.eventsTopkDrift(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.nonEmpty)
+    got.foreach { case (_, nTop, nCommon, ovl) =>
+      assert(nTop >= 1 && nTop <= 8)
+      assert(nCommon >= 0 && nCommon <= nTop)
+      assert(ovl === nCommon * 1000 / nTop)
+    }
+    assert(got.head._3 === 0L, "first day cannot overlap a previous club")
+  }
+
+  test("pq distortion: eight subspaces, full vector coverage, codes within the 2-bit book") {
+    val got = Analytics.simPqDistortion(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).sameElements(0L to 7L))
+    val nVec = got.head._2
+    got.foreach { case (_, n, codes, mean, mx, util) =>
+      assert(n === nVec, "every subspace assigns every vector exactly once")
+      assert(codes >= 1 && codes <= 4)
+      assert(util === codes * 1000 / 4)
+      assert(mean >= 0 && mean <= mx)
+    }
+  }
+
 }

@@ -1121,4 +1121,19 @@ class DomainSpec extends SparkSpec {
     assert(got.forall(_._1 >= 0))
   }
 
+
+  test("niche breadth: Levins B within [1, ~10] bins, standardized form consistent") {
+    val got = operators.DomainQueries.occNicheBreadth(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (_, nPts, nBins, sp2, b, ba) =>
+      assert(nPts > 0 && nBins >= 1 && nBins <= 10)
+      // floors keep sum(p_milli) <= 1000, so B_milli >= 1000 always;
+      // 10 bins cap the true B at 10 (floor slack allows slight overshoot)
+      assert(b >= 1000L && b <= 11000L)
+      assert(b === 1000000000L / math.max(sp2, 1L))
+      assert(ba === (b - 1000) * 1000 / 9000)
+    }
+  }
+
 }

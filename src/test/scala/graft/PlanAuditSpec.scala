@@ -409,7 +409,12 @@ class PlanAuditSpec extends SparkSpec {
     "data_prefix_lm_split" -> 1, // split decision rides the scan; ONE |sources|-row agg
     "sim_silhouette" -> 2, // ×8 explode off the checkpointed projection: ONE vec_id window+fold exchange + K-row rollup
     "graph_rich_club" -> 9, // knn edges+degrees checkpointed at build; deg joins onto edge ends + histogram/threshold aggs
-    "multimodal_aspect_audit" -> 1) // narrow metadata projection + ONE (kind, class) partial agg
+    "multimodal_aspect_audit" -> 1, // narrow metadata projection + ONE (kind, class) partial agg
+    "events_topk_drift" -> 2, // (day,user) agg + day rank window; club self-join reads the checkpoint
+    "sim_pq_distortion" -> 2, // ×8 subspace explode: (sub,code) agg + 8-row rollup
+    "occ_niche_breadth" -> 2, // (species,bin) agg + species-total window ride ≤|species|×10 rows
+    "data_source_hhi" -> 2, // (lang,source) agg + lang-total window on the aggregate
+    "data_quality_length_bias" -> 1) // narrow codegen projection + ONE |sources|-row agg
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
     // the shard grid must drive the exchange (parallelism = shard count),

@@ -932,4 +932,30 @@ class TextPrepSpec extends SparkSpec {
     }
   }
 
+
+  test("source HHI: effective source count never exceeds the real one; shares bounded") {
+    val got = TextPrep.dataSourceHhi(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (_, nSrc, hhi, top, eff) =>
+      assert(top >= 0 && top <= 1000)
+      assert(hhi >= 0 && hhi <= 1000000L)
+      // 1/HHI <= n for any distribution over n atoms (floor slack aside)
+      assert(eff <= nSrc * 1000 + 1000, s"effective $eff vs n $nSrc")
+    }
+  }
+
+  test("quality-length bias: sign agrees with covariance and the slope replays the division") {
+    val got = TextPrep.dataQualityLengthBias(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (_, n, mx, my, cov, varx, sign, slope) =>
+      assert(n > 0)
+      assert(varx >= -1, "floored variance can undershoot by at most 1")
+      assert(sign === (if (cov < 0) -1L else if (cov > 0) 1L else 0L))
+      assert(slope === math.abs(cov) * 1000 / math.max(varx, 1L))
+      assert(mx >= 0 && my >= 0 && my <= 1000000L)
+    }
+  }
+
 }
