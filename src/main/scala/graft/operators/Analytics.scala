@@ -2371,6 +2371,57 @@ object Analytics {
       |  CAST(SUM(CASE WHEN rn = 1 THEN d2 END) AS BIGINT) AS recon_err
       |FROM a GROUP BY vec_id""".stripMargin
 
+  /** Per-cluster embedding outlier gate — the embedding-QA sweep that
+    * catches corrupt vectors and mis-embedded documents BEFORE they
+    * poison an ANN index: within each k-means cluster, the exact lower
+    * median of d² (order statistic, (n+1) div 2 rank with vec_id
+    * tiebreak) and the count of vectors sitting beyond 4× that median —
+    * the robust threshold a mean+stddev gate can't give when the
+    * contamination itself inflates the moments. Plan: the rank/count
+    * windows ride ONE cluster exchange over [[simKmeansAssign]]'s
+    * checkpointed scan (K = 8 partitions — the trimmedMean robust-stats
+    * class: partition count is the CODEBOOK dimension, not the corpus);
+    * the ≤K-row median table joins back broadcast; final ≤K-row rollup. */
+  def simEmbeddingOutliers(s: SparkSession, dir: String): DataFrame = {
+    val byC = Window.partitionBy("cluster")
+    val byCd = byC.orderBy(col("d2"), col("vec_id"))
+    val ranked = simKmeansAssign(s, dir)
+      .withColumn("rn", row_number().over(byCd))
+      .withColumn("cnt", count(lit(1)).over(byC))
+    val med = ranked
+      .groupBy("cluster")
+      .agg(min(when(col("rn") === expr("(cnt + 1) div 2"), col("d2")))
+        .as("median_d2"))
+    ranked.join(broadcast(med), Seq("cluster"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_vectors"), min("median_d2").as("med_d2"),
+        sum(when(col("d2") > col("median_d2") * 4, 1L).otherwise(0L))
+          .as("n_outliers"),
+        max("d2").as("max_d2"))
+      .withColumn("outlier_milli",
+        expr("n_outliers * 1000 div n_vectors"))
+      .withColumnRenamed("med_d2", "median_d2")
+  }
+
+  private lazy val EMB_OUTLIER_SQL =
+    s"""WITH a AS (SELECT vec_id, cluster, d2 FROM ($KMEANS_SQL)),
+       |r AS (SELECT *,
+       |    ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY d2, vec_id)
+       |      AS rn,
+       |    COUNT(*) OVER (PARTITION BY cluster) AS cnt
+       |  FROM a),
+       |m AS (SELECT cluster,
+       |        MIN(CASE WHEN rn = (cnt + 1) // 2 THEN d2 END) AS median_d2
+       |      FROM r GROUP BY cluster)
+       |SELECT a.cluster, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       |  MIN(m.median_d2) AS median_d2,
+       |  CAST(SUM(CASE WHEN a.d2 > m.median_d2 * 4 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_outliers,
+       |  MAX(a.d2) AS max_d2,
+       |  CAST(SUM(CASE WHEN a.d2 > m.median_d2 * 4 THEN 1 ELSE 0 END)
+       |    AS BIGINT) * 1000 // COUNT(*) AS outlier_milli
+       |FROM a JOIN m USING (cluster) GROUP BY a.cluster""".stripMargin
+
   /** Day-over-day top-k churn — the "who dominates traffic" stability
     * monitor next to freq_count_min's heavy hitters: per day the top-8
     * users by event count (count desc, user_id tiebreak), then the
@@ -4871,6 +4922,7 @@ object Analytics {
       |FROM wt GROUP BY 1""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "sim_embedding_outliers" -> (simEmbeddingOutliers _),
     "events_topk_drift" -> (eventsTopkDrift _),
     "sim_pq_distortion" -> (simPqDistortion _),
     "sim_silhouette" -> (simSilhouette _),
@@ -5007,6 +5059,7 @@ object Analytics {
     "sim_silhouette" -> SIL_SQL,
     "events_topk_drift" -> TOPK_DRIFT_SQL,
     "sim_pq_distortion" -> PQ_DIST_SQL,
+    "sim_embedding_outliers" -> EMB_OUTLIER_SQL,
     "data_class_balance" -> BALANCE_SQL,
     "data_upsample_plan" -> UPSAMPLE_SQL,
     "data_mixture_temperature" -> MIXTEMP_SQL,

@@ -796,7 +796,31 @@ object CoreQueries {
           / count(lit(1)).over(last3)).as("avg3"))
   }
 
+  /** TPC-H Q4-shaped late-order rate per priority: count ORDERS (not
+    * lines — that's q28's grain) with at least one lineitem shipped more
+    * than 60 days after the order date, as an EXISTS/left-semi against
+    * the fact, plus each priority's total and the exact milli late rate.
+    * Plan discipline: the semi join reduces lineitem to a distinct
+    * late-orderkey set BEFORE touching orders (never orders⋈lineitem
+    * full width), and both rollups ride one |priorities|-row aggregate;
+    * at gate scale AQE broadcasts the filtered key set. */
+  def q39(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val late = orders
+      .join(t(s, dir, "lineitem"),
+        col("l_orderkey") === col("o_orderkey") &&
+          datediff(col("l_shipdate"), col("o_orderdate")) > 60,
+        "left_semi")
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n_late_orders"))
+    orders.groupBy("o_orderpriority").agg(count(lit(1)).as("n_orders"))
+      .join(late, Seq("o_orderpriority"), "left_outer")
+      .select(col("o_orderpriority"), col("n_orders"),
+        coalesce(col("n_late_orders"), lit(0L)).as("n_late_orders"))
+      .withColumn("late_milli", expr("n_late_orders * 1000 div n_orders"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q39_late_order_priority" -> (q39 _),
     "q19_star_join" -> (q19 _),
     "q24_returned_revenue" -> (q24 _),
     "q25_quarter_growth" -> (q25 _),
@@ -841,6 +865,22 @@ object CoreQueries {
   private val DP = "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))"
 
   val oracle: Map[String, String] = Map(
+    "q39_late_order_priority" ->
+      """WITH lt AS (
+        |  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_late_orders
+        |  FROM orders
+        |  WHERE EXISTS (
+        |    SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND date_diff('day', CAST(o_orderdate AS DATE),
+        |            CAST(l_shipdate AS DATE)) > 60)
+        |  GROUP BY o_orderpriority),
+        |al AS (SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+        |       FROM orders GROUP BY o_orderpriority)
+        |SELECT al.o_orderpriority, n_orders,
+        |  COALESCE(n_late_orders, CAST(0 AS BIGINT)) AS n_late_orders,
+        |  COALESCE(n_late_orders, 0) * 1000 // n_orders AS late_milli
+        |FROM al LEFT JOIN lt USING (o_orderpriority)""".stripMargin,
     "q32_acctbal_percentile" ->
       """SELECT s_suppkey, n_name, CAST(s_acctbal AS DOUBLE) AS acctbal,
         |  percent_rank() OVER w AS pr, cume_dist() OVER w AS cd

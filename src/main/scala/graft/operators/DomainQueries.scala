@@ -606,6 +606,41 @@ object DomainQueries {
       .withColumn("breadth", expr("(t_hi - t_lo) * (p_hi - p_lo)"))
   }
 
+  /** Envelope projection — the SDM-lite "potential range" readout the
+    * range-estimation pipeline publishes next to the observed map: for
+    * each species, how many of the 64 800 raster cells fall INSIDE its
+    * observed (t, p) climate box ([[occClimateEnvelope]]'s min/max), vs
+    * how many distinct cells it actually occupies. occupancy_milli ≤ 1000
+    * by construction (every observed cell's climate is inside its own
+    * envelope — spec-pinned); a tiny ratio = a wide-niche species that
+    * has barely been surveyed. Plan: the raster is a GENERATED 64 800-row
+    * range (never a table scan), the ≤|species|-row envelope boxes
+    * broadcast against it (the documented BNLJ class — both sides
+    * layout constants), and the corpus contributes only the two
+    * species-grain aggregates. */
+  def occEnvelopeProjection(s: SparkSession, dir: String): DataFrame = {
+    val cid = cell1(col("lat"), col("lon"))
+    val boxes = occClimateEnvelope(s, dir)
+      .select(col("species"), col("n_pts"), col("t_lo"), col("t_hi"),
+        col("p_lo"), col("p_hi"))
+    val obs = valid(s, dir)
+      .filter(cid >= 0 && cid <= 64799)
+      .select(col("species"), cid.as("cid")).distinct()
+      .groupBy("species").agg(count(lit(1)).as("observed_cells"))
+    val cells = s.range(0, 64800).toDF("cid")
+      .select(col("cid"), rasterT(col("cid")).as("t"), rasterP(col("cid")).as("p"))
+    val suit = cells
+      .join(broadcast(boxes),
+        col("t").between(col("t_lo"), col("t_hi")) &&
+          col("p").between(col("p_lo"), col("p_hi")))
+      .groupBy("species").agg(count(lit(1)).as("suitable_cells"))
+    boxes.select("species", "n_pts")
+      .join(obs, Seq("species"))
+      .join(suit, Seq("species"))
+      .withColumn("occupancy_milli",
+        expr("observed_cells * 1000 div greatest(suitable_cells, 1L)"))
+  }
+
   /** Levins niche breadth per species — the inverse-Simpson B = 1/Σp²
     * over 10 temperature bins of the shared climate lattice (the
     * envelope's t_hi−t_lo range can't tell a generalist from a species
@@ -1835,6 +1870,7 @@ object DomainQueries {
     "occ_chao1_richness" -> (occChao1Richness _),
     "occ_climate_envelope" -> (occClimateEnvelope _),
     "occ_niche_breadth" -> (occNicheBreadth _),
+    "occ_envelope_projection" -> (occEnvelopeProjection _),
     "spatial_zorder_layout" -> (spatialZorderLayout _),
     "spatial_nearest" -> (spatialNearest _),
     "occ_temporal_trend" -> (occTemporalTrend _),
@@ -1996,6 +2032,29 @@ object DomainQueries {
         |  (MAX($RASTER_T_SQL) - MIN($RASTER_T_SQL))
         |    * (MAX($RASTER_P_SQL) - MIN($RASTER_P_SQL)) AS breadth
         |FROM cv GROUP BY species""".stripMargin),
+    "occ_envelope_projection" -> withSql(OCC_SQL, VALID_SQL,
+      s"""cv AS (
+        |  SELECT species, $CELL1_SQL AS cid FROM valid
+        |  WHERE $CELL1_SQL BETWEEN 0 AND 64799),
+        |env AS (SELECT species, CAST(COUNT(*) AS BIGINT) AS n_pts,
+        |          MIN($RASTER_T_SQL) AS t_lo, MAX($RASTER_T_SQL) AS t_hi,
+        |          MIN($RASTER_P_SQL) AS p_lo, MAX($RASTER_P_SQL) AS p_hi
+        |        FROM cv GROUP BY species),
+        |obs AS (SELECT species, CAST(COUNT(DISTINCT cid) AS BIGINT)
+        |          AS observed_cells
+        |        FROM cv GROUP BY species),
+        |cells AS (SELECT g AS cid, (g * 7919) % 4000 AS t,
+        |            (g * 104729) % 12000 AS p
+        |          FROM generate_series(0, 64799) tg(g)),
+        |su AS (SELECT species, CAST(COUNT(*) AS BIGINT) AS suitable_cells
+        |       FROM env JOIN cells
+        |         ON t BETWEEN t_lo AND t_hi AND p BETWEEN p_lo AND p_hi
+        |       GROUP BY species)""".stripMargin)(
+      """SELECT env.species, n_pts, observed_cells, suitable_cells,
+        |  observed_cells * 1000 // GREATEST(suitable_cells, 1)
+        |    AS occupancy_milli
+        |FROM env JOIN obs ON obs.species = env.species
+        |JOIN su ON su.species = env.species""".stripMargin),
     "occ_niche_breadth" -> withSql(OCC_SQL, VALID_SQL,
       s"""cv AS (
         |  SELECT species, $CELL1_SQL AS cid FROM valid

@@ -780,7 +780,70 @@ object TextRank {
       |FROM p WHERE length(p) >= 20
       |GROUP BY md5(p) HAVING COUNT(DISTINCT doc_id) >= 2""".stripMargin
 
+  /** Pseudo-relevance-feedback query expansion — the classic IR
+    * composition (RM1-lite) on top of [[textBm25Topk]]: take the fixed
+    * query's top-3 documents, estimate the relevance model as the
+    * length-normalized term mass Σ_d tf(w,d)·1000 div dl(d) (exact milli
+    * — a tf·idf harvest was REJECTED: the 31-word shared vocabulary
+    * floors every feedback doc's idf_bits to 0, a corpus-degenerate
+    * weighting), drop the original query terms, rank the top-8 — the
+    * terms a retrieval pipeline ORs into the second-round query. Query
+    * terms duplicated from textBm25Topk — keep in sync. Plan: the bm25
+    * pipeline as pinned; the 3-row feedback set broadcasts back onto the
+    * token scan, everything after is a ≤|vocab|-row aggregate and an
+    * ≤|vocab|-row rank window. */
+  def textPrfExpansion(s: SparkSession, dir: String): DataFrame = {
+    val qTerms = Seq("spark", "join", "fast", "table")
+    val byScore = Window.orderBy(col("bm25").desc, col("doc_id"))
+    // 3-row feedback set CHECKPOINTED: the bm25 pipeline runs once at
+    // build instead of replanning under every downstream reference
+    val top3 = textBm25Topk(s, dir)
+      .withColumn("rn", row_number().over(byScore))
+      .filter(col("rn") <= 3).select("doc_id")
+      .transform(graft.Ckpt.capped)
+    val byDoc = Window.partitionBy("doc_id")
+    val byRank = Window.orderBy(col("score_milli").desc, col("w"))
+    t(s, dir, "documents")
+      .join(broadcast(top3), Seq("doc_id"))
+      .select(col("doc_id"), toks("text").as(Seq("pos", "w")))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      .withColumn("dl", sum("tf").over(byDoc)) // dl off the SAME aggregate
+      .filter(!col("w").isInCollection(qTerms))
+      .select(col("w"), expr("tf * 1000 div dl").as("c"))
+      .groupBy("w")
+      .agg(sum("c").as("score_milli"), count(lit(1)).as("n_docs"))
+      .withColumn("rank", row_number().over(byRank).cast("long"))
+      .filter(col("rank") <= 8)
+  }
+
+  private lazy val PRF_SQL =
+    s"""WITH pf_bm AS ($BM25_SQL),
+       |pf_t3 AS (SELECT doc_id FROM (
+       |    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id)
+       |      AS rn
+       |    FROM pf_bm) WHERE rn <= 3),
+       |pf_tok AS (
+       |  SELECT d.doc_id,
+       |    unnest(regexp_extract_all(lower(d.text), '[a-z0-9]+')) AS w
+       |  FROM documents d JOIN pf_t3 USING (doc_id)),
+       |pf_dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+       |          FROM pf_tok GROUP BY doc_id),
+       |pf_tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+       |          FROM pf_tok GROUP BY doc_id, w),
+       |pf_c AS (
+       |  SELECT w, CAST(SUM(tf * 1000 // dl) AS BIGINT) AS score_milli,
+       |    CAST(COUNT(*) AS BIGINT) AS n_docs
+       |  FROM pf_tf JOIN pf_dl USING (doc_id)
+       |  WHERE w NOT IN ('spark', 'join', 'fast', 'table')
+       |  GROUP BY w)
+       |SELECT w, score_milli, n_docs, rank FROM (
+       |  SELECT w, score_milli, n_docs,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY score_milli DESC, w) AS BIGINT)
+       |      AS rank
+       |  FROM pf_c) WHERE rank <= 8""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "text_prf_expansion" -> (textPrfExpansion _),
     "text_curation_verdict" -> (textCurationVerdict _),
     "text_surprisal" -> (textSurprisal _),
     "dedup_paragraphs" -> (dedupParagraphs _),
@@ -799,6 +862,7 @@ object TextRank {
     "text_top_ngrams" -> (textTopNgrams _))
 
   val oracle: Map[String, String] = Map(
+    "text_prf_expansion" -> PRF_SQL,
     "text_curation_verdict" ->
       // nests the component operators' own oracle statements as
       // subquery CTEs — the SQL mirror of the Spark-side composition

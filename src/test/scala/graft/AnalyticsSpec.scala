@@ -1459,4 +1459,23 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+
+  test("embedding outliers: median is a real order statistic and the 4x gate bounds the count") {
+    val got = Analytics.simEmbeddingOutliers(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val assign = Analytics.simKmeansAssign(spark, sf)
+      .as[(Long, Long, Long)].collect().groupBy(_._2)
+    got.foreach { case (c, n, med, nOut, mx, milli) =>
+      val d2s = assign(c).map(_._3).sorted
+      assert(n === d2s.length.toLong)
+      assert(med === d2s(((n + 1) / 2 - 1).toInt), "lower median mismatch")
+      assert(nOut === d2s.count(_ > med * 4).toLong)
+      assert(mx === d2s.max)
+      assert(milli === nOut * 1000 / n)
+      // beyond 4x the median can never be half the cluster or more
+      assert(nOut * 2 < n || n <= 1)
+    }
+  }
+
 }

@@ -1136,4 +1136,19 @@ class DomainSpec extends SparkSpec {
     }
   }
 
+
+  test("envelope projection: observed cells never exceed suitable cells") {
+    val got = operators.DomainQueries.occEnvelopeProjection(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (_, nPts, obs, suit, occ) =>
+      assert(nPts > 0 && obs >= 1)
+      // every observed cell's climate lies inside the species' own
+      // min/max box, so the projection is a superset by construction
+      assert(obs <= suit, s"observed $obs > suitable $suit")
+      assert(occ === obs * 1000 / math.max(suit, 1L))
+      assert(occ >= 0 && occ <= 1000)
+    }
+  }
+
 }

@@ -47,7 +47,8 @@ class PlanAuditSpec extends SparkSpec {
     "graph_modularity" -> "crossJoin against the single-row broadcast edge-count fold (1×1)",
     "events_retention_halflife" -> "crossJoin against the single-row broadcast observation-horizon frame",
     "multimodal_phash_dedup" -> "crossJoin against the single-row broadcast corpus-count frame (idf weights)",
-    "sim_matryoshka_recall" -> "documented brute-force baseline: query side is 5 broadcast rows (sim_cosine_topk class)")
+    "sim_matryoshka_recall" -> "documented brute-force baseline: query side is 5 broadcast rows (sim_cosine_topk class)",
+    "occ_envelope_projection" -> "generated 64800-row raster × broadcast ≤|species|-row envelope boxes — both sides layout constants")
 
   test("no query plans a nested-loop or cartesian join outside the whitelist") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -414,7 +415,11 @@ class PlanAuditSpec extends SparkSpec {
     "sim_pq_distortion" -> 2, // ×8 subspace explode: (sub,code) agg + 8-row rollup
     "occ_niche_breadth" -> 2, // (species,bin) agg + species-total window ride ≤|species|×10 rows
     "data_source_hhi" -> 2, // (lang,source) agg + lang-total window on the aggregate
-    "data_quality_length_bias" -> 1) // narrow codegen projection + ONE |sources|-row agg
+    "data_quality_length_bias" -> 1, // narrow codegen projection + ONE |sources|-row agg
+    "q39_late_order_priority" -> 2, // late-key semi join + priority aggs; AQE broadcasts the key set
+    "sim_embedding_outliers" -> 2, // rank/count windows ride ONE cluster exchange; median joins back broadcast
+    "occ_envelope_projection" -> 5, // envelope agg + observed 2-step distinct + suitability agg off the generated raster
+    "text_prf_expansion" -> 3) // bm25 feedback set checkpointed (3 rows); (doc,w) agg + doc window + vocab rank
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
     // the shard grid must drive the exchange (parallelism = shard count),

@@ -958,4 +958,25 @@ class TextPrepSpec extends SparkSpec {
     }
   }
 
+
+  test("PRF expansion: ranks dense from 1, query terms excluded, RM1 mass bounded by 3 docs") {
+    import operators.TextRank
+    val got = TextRank.textPrfExpansion(spark, sf)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._4)
+    assert(got.nonEmpty && got.length <= 8)
+    assert(got.map(_._4).sameElements(1L to got.length))
+    val q = Set("spark", "join", "fast", "table")
+    got.foreach { case (w, score, nDocs, _) =>
+      assert(!q.contains(w))
+      assert(nDocs >= 1 && nDocs <= 3)
+      // each doc contributes at most 1000 milli of normalized term mass
+      assert(score >= 0 && score <= nDocs * 1000)
+    }
+    // scores non-increasing in rank (w tiebreak ascending)
+    got.sliding(2).foreach {
+      case Array(a, b) => assert(b._2 <= a._2)
+      case _ =>
+    }
+  }
+
 }
