@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed connected components — the clustering step every near-dup
@@ -896,6 +897,23 @@ object Graphs {
     * twice per round (the plan-replay landmine). */
   def landmarkHarmonic(edges: DataFrame, nLandmarks: Int = 4,
                        rounds: Int = 6): DataFrame = {
+    val (dist, lms) = landmarkDistances(edges, nLandmarks, rounds)
+    val idx = lms.indices
+    dist.select(col("node"),
+      idx.map(i => when(col(s"d$i") > 0, 1L).otherwise(0L))
+        .reduce(_ + _).as("n_reached"),
+      idx.map(i => when(col(s"d$i") > 0, expr(s"1000 div d$i"))
+        .otherwise(0L)).reduce(_ + _).as("harmonic_milli"))
+  }
+
+  /** The shared landmark-BFS core: md5-'lm:'-picked landmarks, `rounds`
+    * synchronous relaxations over ONE dense (node, d0..dL-1) table —
+    * consumed by [[landmarkHarmonic]] and [[graphDiameterEstimate]].
+    * Returns the converged checkpointed dist table plus the landmark
+    * ids in pick order (the lm_idx the estimators report). */
+  private[operators] def landmarkDistances(
+      edges: DataFrame, nLandmarks: Int, rounds: Int)
+      : (DataFrame, Array[Long]) = {
     val e = edges.toDF("x", "y").filter(col("x") =!= col("y"))
     val sym = e.select(col("x").as("a"), col("y").as("b"))
       .union(e.select(col("y").as("a"), col("x").as("b")))
@@ -921,11 +939,7 @@ object Graphs {
           least(col(s"d$i"), col(s"nd$i")).as(s"d$i")): _*)
         .transform(ckpt)
     }
-    dist.select(col("node"),
-      idx.map(i => when(col(s"d$i") > 0, 1L).otherwise(0L))
-        .reduce(_ + _).as("n_reached"),
-      idx.map(i => when(col(s"d$i") > 0, expr(s"1000 div d$i"))
-        .otherwise(0L)).reduce(_ + _).as("harmonic_milli"))
+    (dist, lms)
   }
 
   /** Harmonic centrality of the k-NN similarity graph from 4 hash
@@ -933,6 +947,58 @@ object Graphs {
     * neighborhood structure (retrieval hubs) vs on its fringe. */
   def graphHarmonicCentrality(s: SparkSession, dir: String): DataFrame =
     landmarkHarmonic(SketchQueries.simKnnGraph(s, dir).select("qid", "vec_id"))
+
+  /** Landmark diameter LOWER bound of the k-NN graph — the one-number
+    * "how stretched is this graph" estimate all-pairs BFS can't deliver
+    * at scale: per landmark its observed eccentricity (max finite
+    * distance at the shared horizon-6 relaxation) and reach, plus
+    * diameter_lb = max over landmarks. Horizon-censoring keeps this an
+    * honest LOWER bound (an ecc reading of 6 means ≥ 6); disconnected
+    * nodes simply don't contribute (no ∞ poisoning — the harmonic
+    * discipline). A landmark radius upper bound is deliberately NOT
+    * reported: on a disconnected graph "radius" is ill-defined. Plan:
+    * the relaxation rounds run at build behind per-round checkpoints;
+    * the returned plan folds the converged dist checkpoint into 4 rows
+    * + one 4-row max window. */
+  def graphDiameterEstimate(s: SparkSession, dir: String): DataFrame = {
+    val (dist, lms) = landmarkDistances(
+      SketchQueries.simKnnGraph(s, dir).select("qid", "vec_id"),
+      nLandmarks = 4, rounds = 6)
+    val perLm = lms.indices.map { i =>
+      struct(lit(i.toLong).as("lm_idx"),
+        when(col(s"d$i") > 0, 1L).otherwise(0L).as("reach"),
+        coalesce(when(col(s"d$i") > 0, col(s"d$i")), lit(0L)).as("dd"))
+    }
+    val wAll = Window.partitionBy()
+    dist.select(explode(array(perLm: _*)).as("e"))
+      .groupBy(col("e.lm_idx").as("lm_idx"))
+      .agg(sum("e.reach").as("n_reached"), max("e.dd").as("ecc"))
+      .withColumn("diameter_lb", max("ecc").over(wAll))
+  }
+
+  /** Language purity of the near-dup families — the false-merge detector
+    * a dedup owner runs before survivorship collapses anything: a
+    * cluster mixing languages almost certainly glued unrelated documents
+    * through shared boilerplate (near-dup pairs should be same-language
+    * rewrites). Per component: size, distinct languages, the majority
+    * language and its exact milli share (argmax = min(−cnt, lang) struct
+    * — the labelPropagation hash-aggregate idiom, ties to the smaller
+    * lang), and the is_pure flag survivorship gates on. Plan: the CC
+    * labels read their converged checkpoint ([[dedupCluster]]); one
+    * (cluster, lang) agg + one cluster rollup, lang join AQE-sized. */
+  def dedupClusterPurity(s: SparkSession, dir: String): DataFrame = {
+    val pl = dedupCluster(s, dir)
+      .join(graft.Tables.t(s, dir, "documents").select("doc_id", "lang"),
+        Seq("doc_id"))
+      .groupBy("cluster_id", "lang").agg(count(lit(1)).as("n"))
+    pl.groupBy("cluster_id")
+      .agg(sum("n").as("n_docs"), count(lit(1)).as("n_langs"),
+        min(struct((-col("n")).as("nc"), col("lang").as("l"))).as("m"))
+      .select(col("cluster_id"), col("n_docs"), col("n_langs"),
+        col("m.l").as("top_lang"),
+        expr("(-m.nc) * 1000 div n_docs").as("top_share_milli"))
+      .withColumn("is_pure", col("n_langs") === 1)
+  }
 
   /** Cluster-size spectrum over the near-dup components — the
     * how-big-are-my-dup-families readout a dedup owner checks before
@@ -1139,6 +1205,8 @@ object Graphs {
 
   val queries: Map[String, Q] = Map(
     "graph_rich_club" -> (graphRichClub _),
+    "graph_diameter_estimate" -> (graphDiameterEstimate _),
+    "dedup_cluster_purity" -> (dedupClusterPurity _),
     "graph_modularity" -> (graphModularity _),
     "graph_bfs_layers" -> (graphBfsLayers _),
     "dedup_survivorship" -> (dedupSurvivorship _),
@@ -1184,6 +1252,45 @@ object Graphs {
            |          GROUP BY s.b, p.label))
            |  WHERE rn = 1)""".stripMargin
       }.mkString(",\n")
+
+  /** Six synchronous landmark-BFS relaxation rounds unrolled as CTEs
+    * over a (node, landmark) keyed dist table — the long-form of the
+    * Spark column-per-landmark layout ([[landmarkDistances]]); landmark
+    * pick mirrors the md5 'lm:' salt bit-exactly ('0x'-prefix cast =
+    * conv(,16,10)) and hlms carries the pick-order lm_idx. h-prefixed
+    * CTE names dodge the knn SQL's internal e/d/bkt (the
+    * dedup_semantic_cluster collision class). ONE definition shared by
+    * the harmonic-centrality and diameter-estimate oracles. */
+  private lazy val landmarkBfsCtes: String = {
+    val knnSql = SketchQueries.oracle("sim_knn_graph")
+    val rounds = (1 to 6).map { t =>
+      s"""hd$t AS (
+         |  SELECT x.node, x.lm,
+         |    CASE WHEN x.d IS NULL THEN n.nd
+         |         WHEN n.nd IS NULL THEN x.d
+         |         ELSE LEAST(x.d, n.nd) END AS d
+         |  FROM hd${t - 1} x LEFT JOIN (
+         |    SELECT s.b AS node, p.lm, MIN(p.d + 1) AS nd
+         |    FROM hsym s JOIN hd${t - 1} p ON p.node = s.a
+         |    WHERE p.d IS NOT NULL GROUP BY s.b, p.lm) n
+         |  ON n.node = x.node AND n.lm = x.lm)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH knn AS ($knnSql),
+       |he AS (SELECT qid AS x, vec_id AS y FROM knn WHERE qid <> vec_id),
+       |hsym AS (SELECT DISTINCT a, b FROM (
+       |  SELECT x AS a, y AS b FROM he UNION ALL SELECT y, x FROM he)),
+       |hnodes AS (SELECT DISTINCT a AS node FROM hsym),
+       |hlms AS (SELECT lm, lm_idx FROM (
+       |  SELECT node AS lm,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY
+       |      ('0x' || substr(md5('lm:' || CAST(node AS VARCHAR)), 1, 13))::BIGINT,
+       |      node) AS BIGINT) - 1 AS lm_idx
+       |  FROM hnodes) WHERE lm_idx < 4),
+       |hd0 AS (SELECT n.node, l.lm,
+       |          CASE WHEN n.node = l.lm THEN 0 END AS d
+       |        FROM hnodes n CROSS JOIN hlms l),
+       |$rounds""".stripMargin
+  }
 
   private lazy val SYM_CTE: String =
     """sym AS (SELECT DISTINCT a, b FROM (
@@ -1398,43 +1505,47 @@ object Graphs {
          |SELECT node, CAST(COALESCE(d, -1) AS BIGINT) AS dist4 FROM d4""".stripMargin
     },
     "graph_harmonic_centrality" -> {
-      // six synchronous relaxation rounds unrolled as CTEs over a
-      // (node, landmark) keyed dist table — the long-form of the Spark
-      // column-per-landmark layout; landmark pick mirrors the md5 'lm:'
-      // salt bit-exactly ('0x'-prefix cast = conv(,16,10)); h-prefixed
-      // CTE names dodge the knn SQL's internal e/d/bkt (the
-      // dedup_semantic_cluster collision class)
-      val knnSql = SketchQueries.oracle("sim_knn_graph")
-      val rounds = (1 to 6).map { t =>
-        s"""hd$t AS (
-           |  SELECT x.node, x.lm,
-           |    CASE WHEN x.d IS NULL THEN n.nd
-           |         WHEN n.nd IS NULL THEN x.d
-           |         ELSE LEAST(x.d, n.nd) END AS d
-           |  FROM hd${t - 1} x LEFT JOIN (
-           |    SELECT s.b AS node, p.lm, MIN(p.d + 1) AS nd
-           |    FROM hsym s JOIN hd${t - 1} p ON p.node = s.a
-           |    WHERE p.d IS NOT NULL GROUP BY s.b, p.lm) n
-           |  ON n.node = x.node AND n.lm = x.lm)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH knn AS ($knnSql),
-         |he AS (SELECT qid AS x, vec_id AS y FROM knn WHERE qid <> vec_id),
-         |hsym AS (SELECT DISTINCT a, b FROM (
-         |  SELECT x AS a, y AS b FROM he UNION ALL SELECT y, x FROM he)),
-         |hnodes AS (SELECT DISTINCT a AS node FROM hsym),
-         |hlms AS (SELECT node AS lm FROM (
-         |  SELECT node,
-         |    ('0x' || substr(md5('lm:' || CAST(node AS VARCHAR)), 1, 13))::BIGINT AS h
-         |  FROM hnodes) ORDER BY h, node LIMIT 4),
-         |hd0 AS (SELECT n.node, l.lm,
-         |          CASE WHEN n.node = l.lm THEN 0 END AS d
-         |        FROM hnodes n CROSS JOIN hlms l),
-         |$rounds
+      s"""$landmarkBfsCtes
          |SELECT node,
          |  CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_reached,
          |  CAST(SUM(CASE WHEN d > 0 THEN 1000 // d ELSE 0 END) AS BIGINT)
          |    AS harmonic_milli
          |FROM hd6 GROUP BY node""".stripMargin
+    },
+    "graph_diameter_estimate" -> {
+      s"""$landmarkBfsCtes,
+         |hper AS (
+         |  SELECT l.lm_idx,
+         |    CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_reached,
+         |    CAST(MAX(CASE WHEN d > 0 THEN d ELSE 0 END) AS BIGINT) AS ecc
+         |  FROM hd6 JOIN hlms l ON l.lm = hd6.lm GROUP BY l.lm_idx)
+         |SELECT lm_idx, n_reached, ecc,
+         |  CAST(MAX(ecc) OVER () AS BIGINT) AS diameter_lb
+         |FROM hper""".stripMargin
+    },
+    "dedup_cluster_purity" -> {
+      val pairsSql = TextQueries.oracle("dedup_ngram_jaccard")
+      s"""WITH RECURSIVE pairs AS ($pairsSql),
+         |$CLOSURE_CTES,
+         |pl AS (
+         |  SELECT c.cluster_id, d.lang, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM clus c JOIN documents d USING (doc_id)
+         |  GROUP BY 1, 2),
+         |pag AS (
+         |  SELECT cluster_id, CAST(SUM(n) AS BIGINT) AS n_docs,
+         |    CAST(COUNT(*) AS BIGINT) AS n_langs
+         |  FROM pl GROUP BY cluster_id),
+         |ptp AS (
+         |  SELECT cluster_id, lang AS top_lang, n AS top_n FROM (
+         |    SELECT cluster_id, lang, n,
+         |      ROW_NUMBER() OVER (PARTITION BY cluster_id
+         |        ORDER BY n DESC, lang) AS rn
+         |    FROM pl) WHERE rn = 1)
+         |SELECT pag.cluster_id, n_docs, n_langs, top_lang,
+         |  top_n * 1000 // n_docs AS top_share_milli,
+         |  n_langs = 1 AS is_pure
+         |FROM pag JOIN ptp USING (cluster_id)""".stripMargin
     },
     "graph_degree_stats" -> {
       val pairsSql = TextQueries.oracle("dedup_ngram_jaccard")

@@ -1409,6 +1409,82 @@ object TextPrep {
       |    AS effective_milli
       |FROM w GROUP BY lang""".stripMargin
 
+  /** Pairwise language divergence — the multilingual-mixture structure
+    * map next to [[textUnigramDrift]]'s source-vs-corpus reading: for
+    * every language pair (a < b) the symmetric χ²-distance
+    * Σ_t (p_a−p_b)² / (p_a+p_b) over the corpus top-64 terms, shares
+    * floored to milli FIRST. Terms present in only ONE of the pair
+    * contribute their full share exactly — (p−0)²/(p+0) = p — folded in
+    * closed form from the per-lang totals instead of a full-outer grid,
+    * so the pair join stays inner and the identity costs nothing. Plan:
+    * ONE corpus-sized (lang, term) agg, checkpointed; the share table is
+    * ≤ |langs|×64 rows, checkpointed for its self-join; everything after
+    * is pair-count-sized. */
+  def textLangDivergence(s: SparkSession, dir: String): DataFrame = {
+    val st = t(s, dir, "documents")
+      .select(col("lang"),
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"),
+          lit(0))).as("w"))
+      .groupBy("lang", "w").agg(count(lit(1)).as("c"))
+      .transform(graft.Ckpt.capped)
+    val byCt = Window.orderBy(col("ct").desc, col("w"))
+    val top = st.groupBy("w").agg(sum("c").as("ct"))
+      .withColumn("rn", row_number().over(byCt))
+      .filter(col("rn") <= 64).select("w")
+    val j = st.join(broadcast(top), Seq("w"))
+    val tot = j.groupBy("lang").agg(sum("c").as("nl"))
+    val sh = j.join(broadcast(tot), Seq("lang"))
+      .select(col("lang"), col("w"), expr("c * 1000 div nl").as("p"))
+      .transform(graft.Ckpt.capped)
+    val sl = sh.groupBy("lang").agg(sum("p").as("sp"))
+    sh.select(col("lang").as("lang_a"), col("w"), col("p").as("pa"))
+      .join(sh.select(col("lang").as("lang_b"), col("w"), col("p").as("pb")),
+        Seq("w"))
+      .filter(col("lang_a") < col("lang_b"))
+      .groupBy("lang_a", "lang_b")
+      .agg(count(lit(1)).as("n_common"),
+        sum(expr("(pa - pb) * (pa - pb) div greatest(pa + pb, 1L)"))
+          .as("pair_div"),
+        sum("pa").as("ca"), sum("pb").as("cb"))
+      .join(broadcast(sl.select(col("lang").as("lang_a"), col("sp").as("sa"))),
+        Seq("lang_a"))
+      .join(broadcast(sl.select(col("lang").as("lang_b"), col("sp").as("sb"))),
+        Seq("lang_b"))
+      .select(col("lang_a"), col("lang_b"), col("n_common"),
+        expr("pair_div + (sa - ca) + (sb - cb)").as("div_milli"))
+  }
+
+  private val LANGDIV_SQL =
+    """WITH tok AS (
+      |  SELECT lang,
+      |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      |  FROM documents),
+      |st AS (SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c
+      |       FROM tok GROUP BY 1, 2),
+      |gl AS (SELECT w, CAST(SUM(c) AS BIGINT) AS ct FROM st GROUP BY w),
+      |top AS (SELECT w FROM (
+      |    SELECT w, ROW_NUMBER() OVER (ORDER BY ct DESC, w) AS rn
+      |    FROM gl) WHERE rn <= 64),
+      |j AS (SELECT st.lang, st.w, st.c FROM st JOIN top USING (w)),
+      |tt AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS nl FROM j
+      |       GROUP BY lang),
+      |sh AS (SELECT j.lang, j.w, c * 1000 // nl AS p
+      |       FROM j JOIN tt USING (lang)),
+      |sl AS (SELECT lang, CAST(SUM(p) AS BIGINT) AS sp FROM sh
+      |       GROUP BY lang),
+      |pr AS (
+      |  SELECT a.lang AS lang_a, b.lang AS lang_b,
+      |    CAST(COUNT(*) AS BIGINT) AS n_common,
+      |    CAST(SUM((a.p - b.p) * (a.p - b.p)
+      |      // GREATEST(a.p + b.p, 1)) AS BIGINT) AS pair_div,
+      |    CAST(SUM(a.p) AS BIGINT) AS ca, CAST(SUM(b.p) AS BIGINT) AS cb
+      |  FROM sh a JOIN sh b ON a.w = b.w AND a.lang < b.lang
+      |  GROUP BY 1, 2)
+      |SELECT lang_a, lang_b, n_common,
+      |  pair_div + (sa.sp - ca) + (sb.sp - cb) AS div_milli
+      |FROM pr JOIN sl sa ON sa.lang = pr.lang_a
+      |JOIN sl sb ON sb.lang = pr.lang_b""".stripMargin
+
   /** Quality-vs-length bias audit — "is the quality gate secretly a
     * length gate?": per source, the exact-integer OLS slope of the
     * mass-curve quality lattice q_milli = least(nt,100)·10·nd div nt on
@@ -1488,6 +1564,7 @@ object TextPrep {
       |FROM mm""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "text_lang_divergence" -> (textLangDivergence _),
     "data_source_hhi" -> (dataSourceHhi _),
     "data_quality_length_bias" -> (dataQualityLengthBias _),
     "data_shard_rebalance" -> (dataShardRebalance _),
@@ -1520,6 +1597,7 @@ object TextPrep {
     "data_pack_sequences" -> (dataPackSequences _))
 
   val oracle: Map[String, String] = Map(
+    "text_lang_divergence" -> LANGDIV_SQL,
     "data_source_hhi" -> HHI_SQL,
     "data_quality_length_bias" -> QLBIAS_SQL,
     "data_shard_rebalance" -> REBALANCE_SQL,

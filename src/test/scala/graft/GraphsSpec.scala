@@ -516,4 +516,32 @@ class GraphsSpec extends SparkSpec {
     }
   }
 
+
+  test("diameter estimate: ecc bounded by the 6-hop horizon, diameter_lb is the landmark max") {
+    val got = Graphs.graphDiameterEstimate(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).sameElements(0L until got.length.toLong))
+    val dlb = got.map(_._3).max
+    got.foreach { case (_, reach, ecc, d) =>
+      assert(ecc >= 0 && ecc <= 6, "horizon-censored eccentricity")
+      assert(reach >= 0)
+      assert((ecc == 0) == (reach == 0), "zero reach iff zero eccentricity")
+      assert(d === dlb)
+    }
+  }
+
+  test("cluster purity: component sizes agree with the label table and shares replay") {
+    val purity = Graphs.dedupClusterPurity(spark, sf)
+      .as[(Long, Long, Long, String, Long, Boolean)].collect()
+    val labels = Graphs.dedupCluster(spark, sf).as[(Long, Long)].collect()
+    val sizes = labels.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    assert(purity.map(_._1).toSet === sizes.keySet)
+    purity.foreach { case (cid, n, nLangs, _, share, pure) =>
+      assert(n === sizes(cid))
+      assert(nLangs >= 1 && nLangs <= n)
+      assert(share >= 1000 / nLangs && share <= 1000)
+      assert(pure === (nLangs == 1))
+    }
+  }
+
 }

@@ -419,7 +419,10 @@ class PlanAuditSpec extends SparkSpec {
     "q39_late_order_priority" -> 2, // late-key semi join + priority aggs; AQE broadcasts the key set
     "sim_embedding_outliers" -> 2, // rank/count windows ride ONE cluster exchange; median joins back broadcast
     "occ_envelope_projection" -> 5, // envelope agg + observed 2-step distinct + suitability agg off the generated raster
-    "text_prf_expansion" -> 3) // bm25 feedback set checkpointed (3 rows); (doc,w) agg + doc window + vocab rank
+    "text_prf_expansion" -> 3, // bm25 feedback set checkpointed (3 rows); (doc,w) agg + doc window + vocab rank
+    "graph_diameter_estimate" -> 2, // dist checkpoint ×4-explode fold + 4-row max window; relaxation rounds run at build
+    "dedup_cluster_purity" -> 2, // (cluster,lang) agg + cluster argmax rollup off the converged CC checkpoint
+    "text_lang_divergence" -> 3) // (lang,term) agg checkpointed; vocab rank window + share/pair aggs on ≤|langs|×64 rows
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
     // the shard grid must drive the exchange (parallelism = shard count),

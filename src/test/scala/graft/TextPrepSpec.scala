@@ -979,4 +979,18 @@ class TextPrepSpec extends SparkSpec {
     }
   }
 
+
+  test("lang divergence: symmetric-chi2 identity holds for disjoint and identical distributions") {
+    val got = TextPrep.textLangDivergence(spark, sf)
+      .as[(String, String, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (a, b, nc, div) =>
+      assert(a < b, "canonical pair order")
+      assert(nc >= 0 && nc <= 64)
+      // bounded: each side's milli mass sums to <= 1000, and
+      // sym-chi2 <= total mass of both sides
+      assert(div >= 0 && div <= 2000)
+    }
+  }
+
 }
