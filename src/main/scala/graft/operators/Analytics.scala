@@ -2371,6 +2371,57 @@ object Analytics {
       |  CAST(SUM(CASE WHEN rn = 1 THEN d2 END) AS BIGINT) AS recon_err
       |FROM a GROUP BY vec_id""".stripMargin
 
+  /** Mann–Kendall trend test per event type — THE distribution-free
+    * monotone-trend detector next to the parametric family (holt fits a
+    * slope, cusum finds a shift; MK asks "is there ANY monotone drift"
+    * without assuming a form): S = Σ_{i<j} sign(c_j − c_i) over the
+    * daily counts, entirely in exact integers. Kendall's τ ships as
+    * sign + abs-milli (abs BEFORE the division — S is signed and
+    * Spark div truncates where DuckDB // floors; they agree only on
+    * nonnegative operands). Plan: one (type, day) partial agg,
+    * checkpointed; the i<j pair join runs on the CALENDAR-bounded
+    * daily table (≤ |types|·days²/2 rows — days grow with the
+    * calendar, not the corpus). */
+  def eventsTrendMannKendall(s: SparkSession, dir: String): DataFrame = {
+    val daily = DomainQueries.events(s, dir)
+      .select(col("event_type"), expr(s"ts_ns div $DAY_NS").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      .transform(graft.Ckpt.capped)
+    val a = daily.select(col("event_type"), col("day").as("di"), col("c").as("ci"))
+    val b = daily.select(col("event_type"), col("day").as("dj"), col("c").as("cj"))
+    a.join(b, Seq("event_type"))
+      .filter(col("di") < col("dj"))
+      .groupBy("event_type")
+      .agg(sum(expr("cast(sign(cj - ci) as bigint)")).as("s_stat"),
+        count(lit(1)).as("n_pairs"))
+      .join(daily.groupBy("event_type").agg(count(lit(1)).as("n_days")),
+        Seq("event_type"))
+      .select(col("event_type"), col("n_days"), col("s_stat"), col("n_pairs"),
+        expr("cast(sign(s_stat) as bigint)").as("trend_sign"),
+        expr("abs(s_stat) * 1000 div n_pairs").as("abs_tau_milli"))
+  }
+
+  private val MK_SQL =
+    s"""WITH d AS (
+       |  SELECT event_type, epoch_ns(ts) // $DAY_NS AS day,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM events GROUP BY 1, 2),
+       |p AS (
+       |  SELECT a.event_type,
+       |    CAST(SUM(CASE WHEN b.c > a.c THEN 1
+       |             WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT) AS s_stat,
+       |    CAST(COUNT(*) AS BIGINT) AS n_pairs
+       |  FROM d a JOIN d b
+       |    ON a.event_type = b.event_type AND a.day < b.day
+       |  GROUP BY a.event_type),
+       |nd AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+       |       FROM d GROUP BY event_type)
+       |SELECT p.event_type, n_days, s_stat, n_pairs,
+       |  CAST(CASE WHEN s_stat > 0 THEN 1 WHEN s_stat < 0 THEN -1
+       |       ELSE 0 END AS BIGINT) AS trend_sign,
+       |  abs(s_stat) * 1000 // n_pairs AS abs_tau_milli
+       |FROM p JOIN nd USING (event_type)""".stripMargin
+
   /** Per-cluster embedding outlier gate — the embedding-QA sweep that
     * catches corrupt vectors and mis-embedded documents BEFORE they
     * poison an ANN index: within each k-means cluster, the exact lower
@@ -4922,6 +4973,7 @@ object Analytics {
       |FROM wt GROUP BY 1""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "events_trend_mann_kendall" -> (eventsTrendMannKendall _),
     "sim_embedding_outliers" -> (simEmbeddingOutliers _),
     "events_topk_drift" -> (eventsTopkDrift _),
     "sim_pq_distortion" -> (simPqDistortion _),
@@ -5060,6 +5112,7 @@ object Analytics {
     "events_topk_drift" -> TOPK_DRIFT_SQL,
     "sim_pq_distortion" -> PQ_DIST_SQL,
     "sim_embedding_outliers" -> EMB_OUTLIER_SQL,
+    "events_trend_mann_kendall" -> MK_SQL,
     "data_class_balance" -> BALANCE_SQL,
     "data_upsample_plan" -> UPSAMPLE_SQL,
     "data_mixture_temperature" -> MIXTEMP_SQL,

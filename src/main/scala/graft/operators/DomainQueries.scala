@@ -606,6 +606,28 @@ object DomainQueries {
       .withColumn("breadth", expr("(t_hi - t_lo) * (p_hi - p_lo)"))
   }
 
+  /** Latitudinal diversity gradient — the first-order macroecology
+    * readout (richness should peak somewhere and decay poleward; a flat
+    * profile on real data is a sampling-bias alarm): per 10° latitude
+    * band the occurrence mass, observed species richness, occupied
+    * 1°-cell count, and the band's exact milli share of occurrences.
+    * Plan: one (band, species) partial agg + one (band, cell) distinct
+    * leg + the band rollup — the total window rides ≤ 18 band rows. */
+  def occLatitudeGradient(s: SparkSession, dir: String): DataFrame = {
+    val wAll = Window.partitionBy()
+    val base = valid(s, dir)
+      .select(floor(col("lat") / 10.0).cast("long").as("band"),
+        col("species"), cell1(col("lat"), col("lon")).as("cid"))
+    val sp = base.select("band", "species").distinct()
+      .groupBy("band").agg(count(lit(1)).as("n_species"))
+    val cl = base.select("band", "cid").distinct()
+      .groupBy("band").agg(count(lit(1)).as("n_cells"))
+    base.groupBy("band").agg(count(lit(1)).as("n_occ"))
+      .join(sp, Seq("band")).join(cl, Seq("band"))
+      .withColumn("occ_share_milli",
+        expr("n_occ * 1000 div greatest(sum(n_occ) over (), 1L)"))
+  }
+
   /** Envelope projection — the SDM-lite "potential range" readout the
     * range-estimation pipeline publishes next to the observed map: for
     * each species, how many of the 64 800 raster cells fall INSIDE its
@@ -1871,6 +1893,7 @@ object DomainQueries {
     "occ_climate_envelope" -> (occClimateEnvelope _),
     "occ_niche_breadth" -> (occNicheBreadth _),
     "occ_envelope_projection" -> (occEnvelopeProjection _),
+    "occ_latitude_gradient" -> (occLatitudeGradient _),
     "spatial_zorder_layout" -> (spatialZorderLayout _),
     "spatial_nearest" -> (spatialNearest _),
     "occ_temporal_trend" -> (occTemporalTrend _),
@@ -2032,6 +2055,22 @@ object DomainQueries {
         |  (MAX($RASTER_T_SQL) - MIN($RASTER_T_SQL))
         |    * (MAX($RASTER_P_SQL) - MIN($RASTER_P_SQL)) AS breadth
         |FROM cv GROUP BY species""".stripMargin),
+    "occ_latitude_gradient" -> withSql(OCC_SQL, VALID_SQL,
+      s"""b AS (
+        |  SELECT CAST(FLOOR(lat / 10.0) AS BIGINT) AS band, species,
+        |    $CELL1_SQL AS cid
+        |  FROM valid),
+        |oc AS (SELECT band, CAST(COUNT(*) AS BIGINT) AS n_occ FROM b
+        |       GROUP BY band),
+        |sp AS (SELECT band, CAST(COUNT(DISTINCT species) AS BIGINT)
+        |         AS n_species FROM b GROUP BY band),
+        |cl AS (SELECT band, CAST(COUNT(DISTINCT cid) AS BIGINT) AS n_cells
+        |       FROM b GROUP BY band)""".stripMargin)(
+      """SELECT oc.band, n_occ, n_species, n_cells,
+        |  n_occ * 1000 // GREATEST(CAST(SUM(n_occ) OVER () AS BIGINT), 1)
+        |    AS occ_share_milli
+        |FROM oc JOIN sp ON sp.band = oc.band
+        |JOIN cl ON cl.band = oc.band""".stripMargin),
     "occ_envelope_projection" -> withSql(OCC_SQL, VALID_SQL,
       s"""cv AS (
         |  SELECT species, $CELL1_SQL AS cid FROM valid

@@ -905,6 +905,40 @@ object TextQueries {
     * ≥2 report their size and the min-doc_id canonical. Plan: one
     * codegen'd scan (regexp + slice + md5) and ONE hash-aggregate
     * exchange on the 16-byte key — no pair generation at any scale. */
+  /** Per-source template rate — the crawler-health rollup on top of
+    * [[dedupDocPrefix]]'s pair-level detector: how much of each feed
+    * opens with a REPEATED 12-token prefix (a template farm reads
+    * template_milli → 1000, an organic feed → 0). Same prefix lattice
+    * and token-free fence as dedupDocPrefix (the concat_ws-vs-NULL
+    * landmine); distinct-prefix count is a single-distinct aggregate
+    * (no multi-distinct Expand). Plan: one narrow codegen projection +
+    * ONE \|sources\|-row aggregate. */
+  def textTemplateRate(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("source"),
+        slice(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)),
+          1, 12).as("pre"))
+      .filter(size(col("pre")) >= 1)
+      .select(col("source"), md5(concat_ws(" ", col("pre"))).as("ph"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("ph")).as("n_prefixes"))
+      .withColumn("template_milli",
+        expr("1000 - n_prefixes * 1000 div n_docs"))
+
+  private val TEMPLATE_SQL =
+    """WITH p AS (
+      |  SELECT source,
+      |    md5(array_to_string(regexp_extract_all(lower(text),
+      |      '[a-z0-9]+')[1:12], ' ')) AS ph
+      |  FROM documents
+      |  WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 1)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(DISTINCT ph) AS BIGINT) AS n_prefixes,
+      |  1000 - CAST(COUNT(DISTINCT ph) AS BIGINT) * 1000 // COUNT(*)
+      |    AS template_milli
+      |FROM p GROUP BY source""".stripMargin
+
   def dedupDocPrefix(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"),
@@ -1199,6 +1233,7 @@ object TextQueries {
        |FROM p""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "text_template_rate" -> (textTemplateRate _),
     "data_rater_kappa" -> (dataRaterKappa _),
     "data_skyline" -> (dataSkyline _),
     "dedup_lsh_band_tuning" -> (dedupLshBandTuning _),
@@ -1228,6 +1263,7 @@ object TextQueries {
     "dedup_chunk_level" -> (dedupChunkLevel _))
 
   val oracle: Map[String, String] = Map(
+    "text_template_rate" -> TEMPLATE_SQL,
     "data_rater_kappa" -> KAPPA_SQL,
     "data_skyline" -> SKYLINE_SQL,
     "dedup_lsh_band_tuning" -> BAND_TUNING_SQL,

@@ -422,7 +422,10 @@ class PlanAuditSpec extends SparkSpec {
     "text_prf_expansion" -> 3, // bm25 feedback set checkpointed (3 rows); (doc,w) agg + doc window + vocab rank
     "graph_diameter_estimate" -> 2, // dist checkpoint ×4-explode fold + 4-row max window; relaxation rounds run at build
     "dedup_cluster_purity" -> 2, // (cluster,lang) agg + cluster argmax rollup off the converged CC checkpoint
-    "text_lang_divergence" -> 3) // (lang,term) agg checkpointed; vocab rank window + share/pair aggs on ≤|langs|×64 rows
+    "text_lang_divergence" -> 3, // (lang,term) agg checkpointed; vocab rank window + share/pair aggs on ≤|langs|×64 rows
+    "events_trend_mann_kendall" -> 2, // (type,day) agg checkpointed at build; pair join + type rollup on calendar-bounded rows
+    "occ_latitude_gradient" -> 6, // occ agg + 2 separate 2-step distinct legs (no multi-distinct Expand) + 18-row total window
+    "text_template_rate" -> 2) // ONE codegen prefix-hash projection; single-distinct (source) agg
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
     // the shard grid must drive the exchange (parallelism = shard count),
