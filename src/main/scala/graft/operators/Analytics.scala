@@ -2422,6 +2422,71 @@ object Analytics {
        |  abs(s_stat) * 1000 // n_pairs AS abs_tau_milli
        |FROM p JOIN nd USING (event_type)""".stripMargin
 
+  /** Wald–Wolfowitz runs test per event type — the randomness check
+    * next to [[eventsTrendMannKendall]]'s monotone-trend read: over the
+    * observed daily counts, take the sign of each day-over-day change
+    * (ties dropped, the textbook treatment), count up-moves, down-moves
+    * and RUNS of equal sign. Too few runs ⇒ moves cluster (regimes /
+    * drift); too many ⇒ oscillation (overdispersed load balancing).
+    * E[R] = 1 + 2·n⁺·n⁻/n ships as exact milli; the verdict sign
+    * compares R·n − (n + 2·n⁺·n⁻) so no division happens before the
+    * sign. Plan: one (type, day) partial agg, then BOTH lag windows
+    * ride the single event_type exchange. */
+  def eventsRunsTest(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val sgns = DomainQueries.events(s, dir)
+      .select(col("event_type"), expr(s"ts_ns div $DAY_NS").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      .withColumn("prev", lag("c", 1).over(w))
+      .filter(col("prev").isNotNull && col("c") =!= col("prev"))
+      .withColumn("sgn", expr("cast(sign(c - prev) as bigint)"))
+    sgns.withColumn("psgn", lag("sgn", 1).over(w))
+      .groupBy("event_type")
+      .agg(sum(when(col("sgn") === 1, 1L).otherwise(0L)).as("n_up"),
+        sum(when(col("sgn") === -1, 1L).otherwise(0L)).as("n_down"),
+        sum(when(col("psgn").isNull || col("psgn") =!= col("sgn"), 1L)
+          .otherwise(0L)).as("n_runs"))
+      .withColumn("n_moves", col("n_up") + col("n_down"))
+      .withColumn("exp_runs_milli",
+        expr("1000 + 2000 * n_up * n_down div n_moves"))
+      .withColumn("verdict_sign",
+        expr("cast(sign(n_runs * n_moves - (n_moves + 2 * n_up * n_down)) as bigint)"))
+  }
+
+  private val RUNS_SQL =
+    s"""WITH d AS (
+       |  SELECT event_type, epoch_ns(ts) // $DAY_NS AS day,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM events GROUP BY 1, 2),
+       |g AS (
+       |  SELECT event_type, day, c,
+       |    LAG(c) OVER (PARTITION BY event_type ORDER BY day) AS prev
+       |  FROM d),
+       |sg AS (
+       |  SELECT event_type, day,
+       |    CAST(CASE WHEN c > prev THEN 1 ELSE -1 END AS BIGINT) AS sgn
+       |  FROM g WHERE prev IS NOT NULL AND c <> prev),
+       |r AS (
+       |  SELECT event_type, sgn,
+       |    LAG(sgn) OVER (PARTITION BY event_type ORDER BY day) AS psgn
+       |  FROM sg),
+       |a AS (
+       |  SELECT event_type,
+       |    CAST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+       |    CAST(SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_down,
+       |    CAST(SUM(CASE WHEN psgn IS NULL OR psgn <> sgn THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_runs
+       |  FROM r GROUP BY event_type)
+       |SELECT event_type, n_up, n_down, n_runs,
+       |  n_up + n_down AS n_moves,
+       |  1000 + 2000 * n_up * n_down // (n_up + n_down) AS exp_runs_milli,
+       |  CAST(CASE WHEN n_runs * (n_up + n_down)
+       |         > (n_up + n_down) + 2 * n_up * n_down THEN 1
+       |       WHEN n_runs * (n_up + n_down)
+       |         < (n_up + n_down) + 2 * n_up * n_down THEN -1
+       |       ELSE 0 END AS BIGINT) AS verdict_sign
+       |FROM a""".stripMargin
+
   /** Per-cluster embedding outlier gate — the embedding-QA sweep that
     * catches corrupt vectors and mis-embedded documents BEFORE they
     * poison an ANN index: within each k-means cluster, the exact lower
@@ -4974,6 +5039,7 @@ object Analytics {
 
   val queries: Map[String, Q] = Map(
     "events_trend_mann_kendall" -> (eventsTrendMannKendall _),
+    "events_runs_test" -> (eventsRunsTest _),
     "sim_embedding_outliers" -> (simEmbeddingOutliers _),
     "events_topk_drift" -> (eventsTopkDrift _),
     "sim_pq_distortion" -> (simPqDistortion _),
@@ -5113,6 +5179,7 @@ object Analytics {
     "sim_pq_distortion" -> PQ_DIST_SQL,
     "sim_embedding_outliers" -> EMB_OUTLIER_SQL,
     "events_trend_mann_kendall" -> MK_SQL,
+    "events_runs_test" -> RUNS_SQL,
     "data_class_balance" -> BALANCE_SQL,
     "data_upsample_plan" -> UPSAMPLE_SQL,
     "data_mixture_temperature" -> MIXTEMP_SQL,

@@ -649,6 +649,43 @@ object Graphs {
   def graphNeighborJaccard(s: SparkSession, dir: String): DataFrame =
     neighborJaccard(SketchQueries.simKnnGraph(s, dir).select("qid", "vec_id"))
 
+  /** Resource-allocation link prediction over an undirected edge list —
+    * the MISSING-edge ranker next to [[neighborJaccard]]'s existing-edge
+    * strength: every non-adjacent pair (a, b) reachable through ≥1
+    * common neighbor v scores Σ_v 1000 div deg(v) (the RA index in
+    * exact milli — Adamic–Adar's 1/log replaced by the division both
+    * engines floor identically; low-degree witnesses count more).
+    * Top-50 on the total order (score, common, a, b). Plan: canonical
+    * edges checkpointed once (degrees + wedge join + anti-join all
+    * reuse it); wedges enumerate per-CENTER neighbor pairs, so fan-out
+    * is Σ deg(v)² — degree-bounded like the triangle plan, never |V|²;
+    * the top-k is TakeOrdered, no global sort exchange. */
+  def linkPrediction(edges: DataFrame): DataFrame = {
+    val und = edges.toDF("x", "y")
+      .select(least(col("x"), col("y")).as("u"),
+        greatest(col("x"), col("y")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .transform(ckpt)
+    val adj = und.select(col("u").as("mid"), col("v").as("n"))
+      .union(und.select(col("v").as("mid"), col("u").as("n")))
+    val deg = adj.groupBy("mid").agg(count(lit(1)).as("d"))
+    adj.select(col("mid"), col("n").as("a"))
+      .join(adj.select(col("mid"), col("n").as("b")), Seq("mid"))
+      .filter(col("a") < col("b"))
+      .join(deg, Seq("mid"))
+      .groupBy("a", "b")
+      .agg(sum(expr("1000 div d")).as("ra_milli"),
+        count(lit(1)).as("n_common"))
+      .join(und.select(col("u").as("a"), col("v").as("b")),
+        Seq("a", "b"), "left_anti")
+      .orderBy(col("ra_milli").desc, col("n_common").desc, col("a"), col("b"))
+      .limit(50)
+  }
+
+  /** RA link prediction over the k-NN similarity graph edges. */
+  def graphLinkPrediction(s: SparkSession, dir: String): DataFrame =
+    linkPrediction(SketchQueries.simKnnGraph(s, dir).select("qid", "vec_id"))
+
   /** Fixed-point PageRank over an undirected edge list — the centrality
     * score that picks CANONICAL representatives inside near-dup clusters
     * (the best-connected document of a cluster, vs [[connectedComponents]]'
@@ -1226,6 +1263,7 @@ object Graphs {
     "graph_degree_stats" -> (graphDegreeStats _),
     "graph_degree_assortativity" -> (graphDegreeAssortativity _),
     "graph_neighbor_jaccard" -> (graphNeighborJaccard _),
+    "graph_link_prediction" -> (graphLinkPrediction _),
     "graph_bipartite_components" -> (graphBipartiteComponents _),
     "graph_harmonic_centrality" -> (graphHarmonicCentrality _))
 
@@ -1699,6 +1737,27 @@ object Graphs {
          |    // (d * (d - 1)) AS coeff_milli
          |FROM deg LEFT JOIN tri ON tri.node = deg.node
          |WHERE d >= 2""".stripMargin
+    },
+    "graph_link_prediction" -> {
+      val knnSql = SketchQueries.oracle("sim_knn_graph")
+      s"""WITH knn AS ($knnSql),
+         |eg AS (SELECT DISTINCT LEAST(qid, vec_id) AS u,
+         |         GREATEST(qid, vec_id) AS v
+         |       FROM knn WHERE qid <> vec_id),
+         |adj AS (SELECT u AS mid, v AS n FROM eg
+         |        UNION ALL SELECT v, u FROM eg),
+         |deg AS (SELECT mid, CAST(COUNT(*) AS BIGINT) AS d
+         |        FROM adj GROUP BY mid),
+         |wd AS (SELECT a1.n AS a, a2.n AS b,
+         |         CAST(SUM(1000 // d) AS BIGINT) AS ra_milli,
+         |         CAST(COUNT(*) AS BIGINT) AS n_common
+         |       FROM adj a1 JOIN adj a2 ON a2.mid = a1.mid AND a1.n < a2.n
+         |       JOIN deg ON deg.mid = a1.mid
+         |       GROUP BY 1, 2)
+         |SELECT a, b, ra_milli, n_common FROM wd
+         |WHERE NOT EXISTS (SELECT 1 FROM eg
+         |                  WHERE eg.u = wd.a AND eg.v = wd.b)
+         |ORDER BY ra_milli DESC, n_common DESC, a, b LIMIT 50""".stripMargin
     },
     "graph_neighbor_jaccard" -> {
       val knnSql = SketchQueries.oracle("sim_knn_graph")

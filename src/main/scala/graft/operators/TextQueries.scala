@@ -913,6 +913,58 @@ object TextQueries {
     * landmine); distinct-prefix count is a single-distinct aggregate
     * (no multi-distinct Expand). Plan: one narrow codegen projection +
     * ONE \|sources\|-row aggregate. */
+  /** Positional-index phrase search — the IR primitive the retrieval
+    * family lacked: build the (doc, pos, trigram) positional index via
+    * two lead windows over the exploded tokens, pick the corpus's most
+    * frequent trigram (min-phrase tiebreak — the corpus is word salad,
+    * so the winner surfaces the PLANTED prefix duplicates), and report
+    * every doc that contains it with hit count and first position.
+    * The exact-phrase shape generalizes: swap the argmax stage for a
+    * literal and this is grep-at-scale with positions. Plan: the index
+    * is built once and checkpointed (both the argmax and the hit filter
+    * read it — the multi-reference replay landmine); both lead windows
+    * ride ONE doc_id exchange; the argmax is agg + TakeOrdered (no
+    * global sort exchange); the 1-row winner broadcasts back. */
+  def textPhraseSearch(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val tri = t(s, dir, "documents")
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w1")))
+      .withColumn("w2", lead("w1", 1).over(w))
+      .withColumn("w3", lead("w1", 2).over(w))
+      .filter(col("w3").isNotNull)
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ", col("w1"), col("w2"), col("w3")).as("phrase"))
+      .transform(graft.Ckpt.capped)
+    val top = tri.groupBy("phrase").agg(count(lit(1)).as("n_total"))
+      .orderBy(col("n_total").desc, col("phrase")).limit(1)
+    tri.join(broadcast(top), Seq("phrase"))
+      .groupBy("phrase", "doc_id")
+      .agg(count(lit(1)).as("n_hits"), min(col("pos")).as("first_pos"),
+        first(col("n_total")).as("n_total"))
+  }
+
+  private val PHRASE_SQL =
+    """WITH tok AS (
+      |  SELECT doc_id, p.i - 1 AS pos, p.w FROM (
+      |    SELECT doc_id,
+      |      unnest(list_apply(regexp_extract_all(lower(text), '[a-z0-9]+'),
+      |        (w, i) -> struct_pack(w := w, i := i))) AS p
+      |    FROM documents)),
+      |tri AS (
+      |  SELECT doc_id, pos,
+      |    w || ' ' || LEAD(w, 1) OVER dw || ' ' || LEAD(w, 2) OVER dw
+      |      AS phrase
+      |  FROM tok
+      |  WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)
+      |  QUALIFY LEAD(w, 2) OVER dw IS NOT NULL),
+      |top AS (
+      |  SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_total FROM tri
+      |  GROUP BY phrase ORDER BY n_total DESC, phrase LIMIT 1)
+      |SELECT tri.phrase, doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+      |  MIN(pos) AS first_pos, MIN(n_total) AS n_total
+      |FROM tri JOIN top ON top.phrase = tri.phrase
+      |GROUP BY tri.phrase, doc_id""".stripMargin
+
   def textTemplateRate(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("source"),
@@ -1234,6 +1286,7 @@ object TextQueries {
 
   val queries: Map[String, Q] = Map(
     "text_template_rate" -> (textTemplateRate _),
+    "text_phrase_search" -> (textPhraseSearch _),
     "data_rater_kappa" -> (dataRaterKappa _),
     "data_skyline" -> (dataSkyline _),
     "dedup_lsh_band_tuning" -> (dedupLshBandTuning _),
@@ -1264,6 +1317,7 @@ object TextQueries {
 
   val oracle: Map[String, String] = Map(
     "text_template_rate" -> TEMPLATE_SQL,
+    "text_phrase_search" -> PHRASE_SQL,
     "data_rater_kappa" -> KAPPA_SQL,
     "data_skyline" -> SKYLINE_SQL,
     "dedup_lsh_band_tuning" -> BAND_TUNING_SQL,

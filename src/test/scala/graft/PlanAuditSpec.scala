@@ -425,7 +425,10 @@ class PlanAuditSpec extends SparkSpec {
     "text_lang_divergence" -> 3, // (lang,term) agg checkpointed; vocab rank window + share/pair aggs on ≤|langs|×64 rows
     "events_trend_mann_kendall" -> 2, // (type,day) agg checkpointed at build; pair join + type rollup on calendar-bounded rows
     "occ_latitude_gradient" -> 6, // occ agg + 2 separate 2-step distinct legs (no multi-distinct Expand) + 18-row total window
-    "text_template_rate" -> 2) // ONE codegen prefix-hash projection; single-distinct (source) agg
+    "text_template_rate" -> 2, // ONE codegen prefix-hash projection; single-distinct (source) agg
+    "events_runs_test" -> 2, // (type,day) agg; BOTH lag windows ride one event_type exchange + final agg
+    "graph_link_prediction" -> 5, // canonical edges checkpointed; wedge join on center + deg join + (a,b) agg; top-k is TakeOrdered
+    "text_phrase_search" -> 2) // index built+checkpointed at build (one doc_id window exchange); argmax agg + hit agg read it, winner broadcasts
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
     // the shard grid must drive the exchange (parallelism = shard count),
