@@ -2422,6 +2422,151 @@ object Analytics {
        |  abs(s_stat) * 1000 // n_pairs AS abs_tau_milli
        |FROM p JOIN nd USING (event_type)""".stripMargin
 
+  /** Triplet-margin audit over the labeled embeddings — the metric-
+    * learning health check run before anyone trains a reranker on
+    * these vectors: deterministic triplets (anchor + positive = the
+    * md5-'tma:'-ordered consecutive pair within a label; negative = the
+    * anchor-rank-aligned vector of the NEXT label, cyclic, rank wrapped
+    * mod that label's size) and the exact fixed-point margin
+    * d²(a,n) − d²(a,p) expanded so ‖a‖² cancels: Σ(n²−2an−p²+2ap) on
+    * the 2^-20 lattice (≤ 64·2^42 per triplet — BIGINT-safe). A
+    * violation (margin ≤ 0) means a wrong-label vector sits closer
+    * than a same-label one. Plan: the ranked relation checkpoints once
+    * (label window at build); triplets are two rank-equi self-joins +
+    * the broadcast 10-row next-label map; the margin is ONE codegen'd
+    * projection, final agg |labels|-row. */
+  def simTripletMarginAudit(s: SparkSession, dir: String): DataFrame = {
+    val ranked = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        col("embedding"),
+        md5(concat(lit("tma:"), col("vec_id").cast("string"))).as("h"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("label").orderBy("h")))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("label")))
+      .select("vec_id", "label", "embedding", "rn", "cnt")
+      .transform(graft.Ckpt.capped)
+    val labs = ranked.select("label", "cnt").distinct()
+    val nxt = labs
+      .withColumn("next_label",
+        coalesce(lead("label", 1).over(Window.orderBy("label")),
+          min("label").over(Window.partitionBy())))
+      .join(labs.select(col("label").as("next_label"),
+        col("cnt").as("ncnt")), Seq("next_label"))
+      .select("label", "next_label", "ncnt")
+    def fxp(c: String, i: Int) =
+      s"cast(floor(cast($c[$i] as double) * 1048576) as bigint)"
+    val marginSql = (0 until 64).map { i =>
+      val (a, p, n) = (fxp("ae", i), fxp("pe", i), fxp("ne", i))
+      s"($n*$n - 2*$a*$n - $p*$p + 2*$a*$p)"
+    }.mkString(" + ")
+    ranked.filter(col("rn") % 2 === 1 && col("rn") < col("cnt"))
+      .select(col("label"), col("rn"), col("embedding").as("ae"))
+      .join(ranked.select(col("label"), (col("rn") - 1).as("rn"),
+        col("embedding").as("pe")), Seq("label", "rn"))
+      .join(broadcast(nxt), Seq("label"))
+      .withColumn("nrn", expr("(rn - 1) % ncnt + 1"))
+      .join(ranked.select(col("label").as("next_label"),
+        col("rn").as("nrn"), col("embedding").as("ne")),
+        Seq("next_label", "nrn"))
+      .withColumn("margin_fp", expr(marginSql))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_triplets"),
+        sum(when(col("margin_fp") <= 0, 1L).otherwise(0L)).as("n_violations"),
+        min(col("margin_fp")).as("min_margin_fp"),
+        sum(col("margin_fp")).as("sum_margin_fp"))
+      .withColumn("violation_milli",
+        expr("n_violations * 1000 div n_triplets"))
+  }
+
+  private val TRIPLET_SQL: String = {
+    def fxp(c: String, i: Int) =
+      s"CAST(FLOOR(CAST($c[${i + 1}] AS DOUBLE) * 1048576) AS BIGINT)"
+    val marginSql = (0 until 64).map { i =>
+      val (a, p, n) =
+        (fxp("a.embedding", i), fxp("p.embedding", i), fxp("n.embedding", i))
+      s"($n*$n - 2*$a*$n - $p*$p + 2*$a*$p)"
+    }.mkString(" + ")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(label AS BIGINT) AS label, embedding,
+       |    md5('tma:' || CAST(vec_id AS VARCHAR)) AS h
+       |  FROM embeddings),
+       |r AS (
+       |  SELECT vec_id, label, embedding,
+       |    ROW_NUMBER() OVER (PARTITION BY label ORDER BY h) AS rn,
+       |    CAST(COUNT(*) OVER (PARTITION BY label) AS BIGINT) AS cnt
+       |  FROM e),
+       |labs AS (SELECT DISTINCT label, cnt FROM r),
+       |nxt AS (
+       |  SELECT l1.label, l1.next_label, l2.cnt AS ncnt FROM (
+       |    SELECT label, COALESCE(LEAD(label) OVER (ORDER BY label),
+       |      MIN(label) OVER ()) AS next_label FROM labs) l1
+       |  JOIN labs l2 ON l2.label = l1.next_label),
+       |tr AS (
+       |  SELECT a.label, $marginSql AS margin_fp
+       |  FROM r a
+       |  JOIN nxt ON nxt.label = a.label
+       |  JOIN r p ON p.label = a.label AND p.rn = a.rn + 1
+       |  JOIN r n ON n.label = nxt.next_label
+       |         AND n.rn = (a.rn - 1) % nxt.ncnt + 1
+       |  WHERE a.rn % 2 = 1 AND a.rn < a.cnt)
+       |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_triplets,
+       |  CAST(SUM(CASE WHEN margin_fp <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_violations,
+       |  MIN(margin_fp) AS min_margin_fp,
+       |  CAST(SUM(margin_fp) AS BIGINT) AS sum_margin_fp,
+       |  CAST(SUM(CASE WHEN margin_fp <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    * 1000 // COUNT(*) AS violation_milli
+       |FROM tr GROUP BY label""".stripMargin
+  }
+
+  /** Record-breaking days per event type — the third member of the
+    * drift family ([[eventsTrendMannKendall]] asks "is there monotone
+    * drift", [[eventsRunsTest]] "is the walk random"; this asks "how
+    * often does load set a NEW all-time daily high"): a day is a record
+    * when its count strictly exceeds every earlier day's. Under
+    * exchangeability records arrive like the harmonic series, so the
+    * expected count ships as the exact lattice Σ_{k=1..n} 1000 div k
+    * (each term floored identically by both engines — no float H_n).
+    * Records ≫ expectation = sustained growth; ≈ expectation = drift-
+    * free load. Plan: ONE event_type exchange carries the daily agg,
+    * the running-max window AND the row_number for the harmonic sum;
+    * the final agg is |types|-row. */
+  def eventsRecordDays(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("day")
+    DomainQueries.events(s, dir)
+      .select(col("event_type"), expr(s"ts_ns div $DAY_NS").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      .withColumn("prev_max",
+        max("c").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("rn", row_number().over(w))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("prev_max").isNull || col("c") > col("prev_max"), 1L)
+          .otherwise(0L)).as("n_records"),
+        max(when(col("prev_max").isNull || col("c") > col("prev_max"),
+          col("day"))).as("last_record_day"),
+        sum(expr("1000 div rn")).as("exp_records_milli"))
+  }
+
+  private val RECORD_SQL =
+    s"""WITH d AS (
+       |  SELECT event_type, epoch_ns(ts) // $DAY_NS AS day,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM events GROUP BY 1, 2),
+       |g AS (
+       |  SELECT event_type, day, c,
+       |    MAX(c) OVER (PARTITION BY event_type ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max,
+       |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+       |  FROM d)
+       |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+       |  CAST(SUM(CASE WHEN prev_max IS NULL OR c > prev_max
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_records,
+       |  MAX(CASE WHEN prev_max IS NULL OR c > prev_max THEN day END)
+       |    AS last_record_day,
+       |  CAST(SUM(1000 // rn) AS BIGINT) AS exp_records_milli
+       |FROM g GROUP BY event_type""".stripMargin
+
   /** Wald–Wolfowitz runs test per event type — the randomness check
     * next to [[eventsTrendMannKendall]]'s monotone-trend read: over the
     * observed daily counts, take the sign of each day-over-day change
@@ -5040,6 +5185,8 @@ object Analytics {
   val queries: Map[String, Q] = Map(
     "events_trend_mann_kendall" -> (eventsTrendMannKendall _),
     "events_runs_test" -> (eventsRunsTest _),
+    "events_record_days" -> (eventsRecordDays _),
+    "sim_triplet_margin_audit" -> (simTripletMarginAudit _),
     "sim_embedding_outliers" -> (simEmbeddingOutliers _),
     "events_topk_drift" -> (eventsTopkDrift _),
     "sim_pq_distortion" -> (simPqDistortion _),
@@ -5180,6 +5327,8 @@ object Analytics {
     "sim_embedding_outliers" -> EMB_OUTLIER_SQL,
     "events_trend_mann_kendall" -> MK_SQL,
     "events_runs_test" -> RUNS_SQL,
+    "events_record_days" -> RECORD_SQL,
+    "sim_triplet_margin_audit" -> TRIPLET_SQL,
     "data_class_balance" -> BALANCE_SQL,
     "data_upsample_plan" -> UPSAMPLE_SQL,
     "data_mixture_temperature" -> MIXTEMP_SQL,

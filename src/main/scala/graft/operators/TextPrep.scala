@@ -256,6 +256,50 @@ object TextPrep {
             .cast("long").as("n_tokens")),
       PACK_BUDGET)
 
+  /** Length-bucketed padding waste — the cost [[dataPackSequences]]
+    * exists to avoid: batching pads every doc to its bucket cap (the
+    * next power of two, floored at 16 — the dynamic-batching shape),
+    * so per source the wasted slots are Σ(cap − len). cap is computed
+    * on the exact bit lattice (cap = 1 << bits(len−1), bits via the
+    * unpadded binary-string length both engines share — no float log2
+    * anywhere). waste_milli →0 means lengths hug the bucket grid;
+    * →500 means half the batch is padding and packing pays for itself.
+    * Plan: one narrow codegen projection + ONE |sources|-row agg. */
+  def dataPaddingWaste(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("source"),
+        size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
+          .cast("long").as("len"))
+      .filter(col("len") >= 1)
+      .withColumn("cap",
+        greatest(lit(16L), expr("shiftleft(1L, length(bin(len - 1)))")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("len")).as("total_tokens"),
+        sum(col("cap")).as("total_slots"),
+        count_distinct(col("cap")).as("n_buckets"))
+      .withColumn("waste_milli",
+        expr("(total_slots - total_tokens) * 1000 div total_slots"))
+
+  private val PADDING_SQL =
+    """WITH d AS (
+      |  SELECT source,
+      |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+      |      AS len
+      |  FROM documents
+      |  WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 1),
+      |c AS (
+      |  SELECT source, len,
+      |    GREATEST(16, 1 << LENGTH(bin(len - 1))) AS cap
+      |  FROM d)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(len) AS BIGINT) AS total_tokens,
+      |  CAST(SUM(cap) AS BIGINT) AS total_slots,
+      |  CAST(COUNT(DISTINCT cap) AS BIGINT) AS n_buckets,
+      |  CAST(SUM(cap) - SUM(len) AS BIGINT) * 1000
+      |    // CAST(SUM(cap) AS BIGINT) AS waste_milli
+      |FROM c GROUP BY source""".stripMargin
+
   /** Core packing walk over (bucket, doc_id, n_tokens) rows — see
     * [[dataPackSequences]] for the contract. */
   private[graft] def packTokenRows(rows: DataFrame, budget: Long): DataFrame = {
@@ -1594,7 +1638,8 @@ object TextPrep {
     "data_split_hash" -> (dataSplitHash _),
     "data_split_leakage" -> (dataSplitLeakage _),
     "text_rarity" -> (textRarity _),
-    "data_pack_sequences" -> (dataPackSequences _))
+    "data_pack_sequences" -> (dataPackSequences _),
+    "data_padding_waste" -> (dataPaddingWaste _))
 
   val oracle: Map[String, String] = Map(
     "text_lang_divergence" -> LANGDIV_SQL,
@@ -1627,5 +1672,6 @@ object TextPrep {
     "data_split_hash" -> SPLIT_SQL,
     "data_split_leakage" -> LEAKAGE_SQL,
     "text_rarity" -> RARITY_SQL,
-    "data_pack_sequences" -> PACK_SQL)
+    "data_pack_sequences" -> PACK_SQL,
+    "data_padding_waste" -> PADDING_SQL)
 }

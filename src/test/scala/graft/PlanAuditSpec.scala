@@ -428,7 +428,10 @@ class PlanAuditSpec extends SparkSpec {
     "text_template_rate" -> 2, // ONE codegen prefix-hash projection; single-distinct (source) agg
     "events_runs_test" -> 2, // (type,day) agg; BOTH lag windows ride one event_type exchange + final agg
     "graph_link_prediction" -> 5, // canonical edges checkpointed; wedge join on center + deg join + (a,b) agg; top-k is TakeOrdered
-    "text_phrase_search" -> 2) // index built+checkpointed at build (one doc_id window exchange); argmax agg + hit agg read it, winner broadcasts
+    "text_phrase_search" -> 2, // index built+checkpointed at build (one doc_id window exchange); argmax agg + hit agg read it, winner broadcasts
+    "data_padding_waste" -> 2, // narrow codegen cap projection; single-distinct |sources|-row agg
+    "events_record_days" -> 2, // (type,day) agg; running-max + row_number windows ride ONE event_type exchange
+    "sim_triplet_margin_audit" -> 4) // ranked rel checkpointed at build; two rank-equi self-joins + broadcast next-label map + |labels|-row agg
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
     // the shard grid must drive the exchange (parallelism = shard count),
