@@ -2422,6 +2422,81 @@ object Analytics {
        |  abs(s_stat) * 1000 // n_pairs AS abs_tau_milli
        |FROM p JOIN nd USING (event_type)""".stripMargin
 
+  /** Greedy k-center coreset (Gonzalez) over the embeddings — the
+    * coverage-first selection a training pipeline uses to pick a
+    * maximally-spread exemplar set (dedup keeps one of each near-dup
+    * family; THIS picks the k docs that together minimize the max
+    * distance anyone is from a kept exemplar — the 2-approximation of
+    * the k-center optimum): seed = min vec_id, then 5 rounds of
+    * "farthest point from the chosen set" on the exact 2^-20 fixed-point
+    * d² lattice (≤ 64·2^42 — BIGINT-safe), argmax tie-broken by vec_id.
+    * Output: per round the chosen center and the coverage radius AFTER
+    * including it (radius_r = max over points of min-d² to centers
+    * 0..r). Plan: fixed-point widening checkpointed once; each round is
+    * ONE scan + TakeOrdered(1) with the min-d² column updated against a
+    * LITERAL center (codegen, no join), checkpointed so round r never
+    * replays rounds < r; at cluster scale the k scans are the honest
+    * greedy cost and each is embarrassingly parallel. Returned plan is
+    * the collected 6-row local relation (shard_rebalance class). */
+  def simKcenterCoverage(s: SparkSession, dir: String): DataFrame = {
+    val k = 6
+    def fx(i: Int) =
+      expr(s"cast(floor(cast(embedding[$i] as double) * 1048576) as bigint)")
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id") +: (0 until 64).map(i => fx(i).as(s"x$i")): _*)
+      .transform(graft.Ckpt.capped)
+    def d2To(c: Array[Long]): org.apache.spark.sql.Column = (0 until 64).map { i =>
+      val d = col(s"x$i") - lit(c(i)); d * d
+    }.reduce(_ + _)
+    def vec(r: org.apache.spark.sql.Row): Array[Long] =
+      Array.tabulate(64)(i => r.getLong(r.fieldIndex(s"x$i")))
+    val c0 = emb.orderBy("vec_id").limit(1).collect()(0)
+    val centers = scala.collection.mutable.ArrayBuffer(c0.getLong(0))
+    var cur = emb.withColumn("mind", d2To(vec(c0)))
+      .transform(graft.Ckpt.capped)
+    val radii = scala.collection.mutable.ArrayBuffer.empty[Long]
+    for (_ <- 1 until k) {
+      val top = cur.orderBy(col("mind").desc, col("vec_id")).limit(1)
+        .collect()(0)
+      radii += top.getLong(top.fieldIndex("mind"))
+      centers += top.getLong(top.fieldIndex("vec_id"))
+      cur = cur.withColumn("mind", least(col("mind"), d2To(vec(top))))
+        .transform(graft.Ckpt.capped)
+    }
+    radii += cur.agg(max("mind")).collect()(0).getLong(0)
+    import emb.sparkSession.implicits._
+    centers.toSeq.zip(radii).zipWithIndex
+      .map { case ((c, r), i) => (i.toLong, c, r) }
+      .toDF("round", "center_vec_id", "radius_fp")
+  }
+
+  private val KCENTER_SQL: String = {
+    def fxp(c: String, i: Int) =
+      s"CAST(FLOOR(CAST($c.embedding[${i + 1}] AS DOUBLE) * 1048576) AS BIGINT)"
+    def d2(a: String, b: String) = (0 until 64).map { i =>
+      s"(${fxp(a, i)} - ${fxp(b, i)}) * (${fxp(a, i)} - ${fxp(b, i)})"
+    }.mkString(" + ")
+    val ctes = new StringBuilder(
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |c0 AS (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT 1),
+         |m0 AS (SELECT e.vec_id, e.embedding, ${d2("e", "c0")} AS mind
+         |       FROM e CROSS JOIN c0)""".stripMargin)
+    for (r <- 1 until 6) {
+      ctes.append(s""",
+         |t$r AS (SELECT vec_id, embedding, mind FROM m${r - 1}
+         |        ORDER BY mind DESC, vec_id LIMIT 1),
+         |m$r AS (SELECT m.vec_id, m.embedding,
+         |          LEAST(m.mind, ${d2("m", s"t$r")}) AS mind
+         |        FROM m${r - 1} m CROSS JOIN t$r)""".stripMargin)
+    }
+    val rows = (s"""SELECT CAST(0 AS BIGINT) AS round,
+         |  (SELECT vec_id FROM c0) AS center_vec_id,
+         |  (SELECT MAX(mind) FROM m0) AS radius_fp""".stripMargin) +:
+      (1 until 6).map(r => s"""SELECT CAST($r AS BIGINT),
+         |  (SELECT vec_id FROM t$r), (SELECT MAX(mind) FROM m$r)""".stripMargin)
+    ctes.toString + "\n" + rows.mkString("\nUNION ALL\n")
+  }
+
   /** Triplet-margin audit over the labeled embeddings — the metric-
     * learning health check run before anyone trains a reranker on
     * these vectors: deterministic triplets (anchor + positive = the
@@ -2518,6 +2593,76 @@ object Analytics {
        |    * 1000 // COUNT(*) AS violation_milli
        |FROM tr GROUP BY label""".stripMargin
   }
+
+  /** Shewhart SPC sheet with the western-electric run rule per event
+    * type — the control-chart read next to the sequential detectors
+    * (cusum finds the shift point, ewma smooths; THIS is the chart an
+    * SRE actually pins on a dashboard): daily counts against the
+    * per-type global mean ± kσ, entirely cross-multiplied so no
+    * division or sqrt ever happens — beyond-kσ ⇔ (n·x − S)² > k²·(n·S2
+    * − S²) with S = Σc, S2 = Σc² (BIGINT-safe to ~1e5 daily events per
+    * type at a 400-day calendar; the arrival_regularity divide-first
+    * form is the fallback beyond that). Reports the 3σ breach count,
+    * the 2σ count, and the western-electric rule-2 count (consecutive
+    * same-side 2σ pairs — the run signal a single-point rule misses).
+    * Plan: (type, day) agg; the stat windows, the lag window and the
+    * final agg all ride ONE event_type exchange. */
+  def eventsSpcRules(s: SparkSession, dir: String): DataFrame = {
+    val wp = Window.partitionBy("event_type")
+    val wo = wp.orderBy("day")
+    DomainQueries.events(s, dir)
+      .select(col("event_type"), expr(s"ts_ns div $DAY_NS").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      .withColumn("n", count(lit(1)).over(wp))
+      .withColumn("s", sum("c").over(wp))
+      .withColumn("s2", sum(expr("c * c")).over(wp))
+      .withColumn("dev", expr("n * c - s"))
+      .withColumn("varn", expr("n * s2 - s * s"))
+      .withColumn("out3", when(expr("dev * dev > 9 * varn"), 1L).otherwise(0L))
+      .withColumn("out2", when(expr("dev * dev > 4 * varn"), 1L).otherwise(0L))
+      .withColumn("side", expr("cast(sign(dev) as bigint)"))
+      .withColumn("prev_out2", lag("out2", 1).over(wo))
+      .withColumn("prev_side", lag("side", 1).over(wo))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum("out3").as("n_beyond_3s"),
+        sum("out2").as("n_beyond_2s"),
+        sum(when(col("out2") === 1 && col("prev_out2") === 1 &&
+          col("prev_side") === col("side"), 1L).otherwise(0L))
+          .as("n_rule2_pairs"))
+  }
+
+  private val SPC_SQL =
+    s"""WITH d AS (
+       |  SELECT event_type, epoch_ns(ts) // $DAY_NS AS day,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM events GROUP BY 1, 2),
+       |g AS (
+       |  SELECT event_type, day, c,
+       |    CAST(COUNT(*) OVER w AS BIGINT) AS n,
+       |    CAST(SUM(c) OVER w AS BIGINT) AS s,
+       |    CAST(SUM(c * c) OVER w AS BIGINT) AS s2
+       |  FROM d WINDOW w AS (PARTITION BY event_type)),
+       |f AS (
+       |  SELECT event_type, day,
+       |    CASE WHEN (n*c - s)*(n*c - s) > 9 * (n*s2 - s*s)
+       |         THEN 1 ELSE 0 END AS out3,
+       |    CASE WHEN (n*c - s)*(n*c - s) > 4 * (n*s2 - s*s)
+       |         THEN 1 ELSE 0 END AS out2,
+       |    CASE WHEN n*c - s > 0 THEN 1 WHEN n*c - s < 0 THEN -1
+       |         ELSE 0 END AS side
+       |  FROM g),
+       |l AS (
+       |  SELECT event_type, out3, out2, side,
+       |    LAG(out2) OVER (PARTITION BY event_type ORDER BY day) AS prev_out2,
+       |    LAG(side) OVER (PARTITION BY event_type ORDER BY day) AS prev_side
+       |  FROM f)
+       |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+       |  CAST(SUM(out3) AS BIGINT) AS n_beyond_3s,
+       |  CAST(SUM(out2) AS BIGINT) AS n_beyond_2s,
+       |  CAST(SUM(CASE WHEN out2 = 1 AND prev_out2 = 1 AND prev_side = side
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_rule2_pairs
+       |FROM l GROUP BY event_type""".stripMargin
 
   /** Record-breaking days per event type — the third member of the
     * drift family ([[eventsTrendMannKendall]] asks "is there monotone
@@ -5187,6 +5332,8 @@ object Analytics {
     "events_runs_test" -> (eventsRunsTest _),
     "events_record_days" -> (eventsRecordDays _),
     "sim_triplet_margin_audit" -> (simTripletMarginAudit _),
+    "sim_kcenter_coverage" -> (simKcenterCoverage _),
+    "events_spc_rules" -> (eventsSpcRules _),
     "sim_embedding_outliers" -> (simEmbeddingOutliers _),
     "events_topk_drift" -> (eventsTopkDrift _),
     "sim_pq_distortion" -> (simPqDistortion _),
@@ -5329,6 +5476,8 @@ object Analytics {
     "events_runs_test" -> RUNS_SQL,
     "events_record_days" -> RECORD_SQL,
     "sim_triplet_margin_audit" -> TRIPLET_SQL,
+    "sim_kcenter_coverage" -> KCENTER_SQL,
+    "events_spc_rules" -> SPC_SQL,
     "data_class_balance" -> BALANCE_SQL,
     "data_upsample_plan" -> UPSAMPLE_SQL,
     "data_mixture_temperature" -> MIXTEMP_SQL,

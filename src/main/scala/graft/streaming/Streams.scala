@@ -872,6 +872,54 @@ object Streams {
     }
   }
 
+  case class MkState(days: Seq[(Long, Long)])
+  case class MkOut(event_type: String, n_days: Long, s_stat: Long,
+                   n_pairs: Long, trend_sign: Long, abs_tau_milli: Long)
+
+  /** Streaming counterpart of events_trend_mann_kendall: every batch
+    * folds the new daily counts into the per-type series and re-scores
+    * S = Σ_{i<j} sign(c_j − c_i) over the days seen so far — the
+    * monitoring read ("does the data CURRENTLY show monotone drift").
+    * State is the per-type (day, count) series: CALENDAR-bounded like
+    * changepoint's, never event-volume-bounded; the O(d²) re-score at
+    * ≤ a-few-thousand days is microseconds. Input is the upstream
+    * watermarked (type, day, count) aggregate, each day delivered once
+    * (the ewma contract). Arithmetic is the batch lattice verbatim —
+    * |S| ≤ d²/2 so nothing can overflow, abs happens BEFORE the
+    * truncating division exactly like the batch operator — so once the
+    * stream has drained the calendar its LAST emission per type equals
+    * the batch row; the spec pins that equality. Types with a single
+    * day have no pairs and emit nothing, matching the batch inner-join
+    * drop. */
+  def mannKendall(days: Dataset[(String, Long, Long)]): Dataset[MkOut] = {
+    import days.sparkSession.implicits._
+    days.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (tpe: String, it: Iterator[(String, Long, Long)],
+       state: GroupState[MkState]) =>
+        val st = state.getOption.getOrElse(MkState(Seq.empty))
+        val ds = (st.days ++ it.map(e => (e._2, e._3))).sortBy(_._1)
+        state.update(MkState(ds))
+        val n = ds.length
+        if (n < 2) Iterator.empty
+        else {
+          val cs = ds.map(_._2).toArray
+          var s = 0L
+          var i = 0
+          while (i < n) {
+            var j = i + 1
+            while (j < n) {
+              s += java.lang.Long.signum(cs(j) - cs(i)); j += 1
+            }
+            i += 1
+          }
+          val pairs = n.toLong * (n - 1) / 2
+          Iterator(MkOut(tpe, n.toLong, s, pairs,
+            java.lang.Long.signum(s).toLong, math.abs(s) * 1000 / pairs))
+        }
+    }
+  }
+
   case class CpState(hours: Seq[(Long, Long)])
   case class CpOut(event_type: String, n_hours: Long, split_i: Long,
                    split_hour: Long, gain_fp: Long,

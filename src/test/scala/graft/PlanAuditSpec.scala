@@ -431,7 +431,9 @@ class PlanAuditSpec extends SparkSpec {
     "text_phrase_search" -> 2, // index built+checkpointed at build (one doc_id window exchange); argmax agg + hit agg read it, winner broadcasts
     "data_padding_waste" -> 2, // narrow codegen cap projection; single-distinct |sources|-row agg
     "events_record_days" -> 2, // (type,day) agg; running-max + row_number windows ride ONE event_type exchange
-    "sim_triplet_margin_audit" -> 4) // ranked rel checkpointed at build; two rank-equi self-joins + broadcast next-label map + |labels|-row agg
+    "sim_triplet_margin_audit" -> 4, // ranked rel checkpointed at build; two rank-equi self-joins + broadcast next-label map + |labels|-row agg
+    "sim_kcenter_coverage" -> 0, // returned plan is the collected 6-row greedy local relation (shard_rebalance class); rounds run at build
+    "events_spc_rules" -> 2) // (type,day) agg; stat windows + lag window + final agg ride ONE event_type exchange
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
     // the shard grid must drive the exchange (parallelism = shard count),

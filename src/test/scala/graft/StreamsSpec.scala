@@ -875,6 +875,41 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming mann-kendall converges to the batch trend test across batches") {
+    val days = DomainQueries.events(spark, sf)
+      .select(col("event_type"), expr("ts_ns div 86400000000000").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      .as[(String, Long, Long)]
+    val batch = operators.Analytics.eventsTrendMannKendall(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    // single batch = whole calendar: one emission per type == batch op
+    val whole = Streams.mannKendall(days).collect()
+      .map(o => o.event_type -> ((o.n_days, o.s_stat, o.n_pairs,
+        o.trend_sign, o.abs_tau_milli))).toMap
+    assert(whole === batch)
+    assert(batch.nonEmpty)
+    // incremental: planted strictly-increasing series split mid-stream;
+    // the final emission must read a perfect positive trend (tau = 1000)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Long)]
+    val q = Streams.mannKendall(mem.toDS())
+      .writeStream.format("memory").queryName("mk_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((0L to 3L).map(d => ("a", d, d + 1L)): _*)
+      q.processAllAvailable()
+      mem.addData((4L to 7L).map(d => ("a", d, d + 1L)): _*)
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT n_days, s_stat, n_pairs, trend_sign, " +
+        "abs_tau_milli FROM mk_out ORDER BY n_days")
+        .as[(Long, Long, Long, Long, Long)].collect()
+      assert(rows.length === 2) // one emission per micro-batch
+      assert(rows.head === ((4L, 6L, 6L, 1L, 1000L)))
+      assert(rows.last === ((8L, 28L, 28L, 1L, 1000L)))
+    } finally q.stop()
+  }
+
   test("streaming changepoint converges to the batch binseg split across batches") {
     val hours = DomainQueries.events(spark, sf)
       .select(col("event_type"), expr("ts_ns div 3600000000000").as("h"))
