@@ -2594,6 +2594,68 @@ object Analytics {
        |FROM tr GROUP BY label""".stripMargin
   }
 
+  /** Gini concentration of per-user event volume — the inequality
+    * one-number next to [[eventsUserEntropy]]'s per-user MIX read: how
+    * concentrated is total activity across users. Exact cross-multiplied
+    * lattice: with users ranked ascending by (count, user_id),
+    * gini_milli = (2Σi·xᵢ − (n+1)S)·1000 div (n·S) — the numerator is
+    * ≥ 0 by Chebyshev's sum inequality, so the truncating/floor
+    * divisions agree; also ships the top-decile share. The global rank
+    * comes from the two-level distributed prefix sum
+    * ([[Scale.bucketOffsets]] over count buckets): the only
+    * globally-ordered window runs on ≤|distinct counts| rows, never a
+    * single-task sort of the user population (Σrank·x is BIGINT-safe to
+    * ~10⁸ users at 10⁴ events each). Plan: user agg, bucket-rank join
+    * (offsets broadcast), checkpoint; the totals fold and the decile
+    * fold read it, joined by a whitelisted 1-row crossJoin. */
+  def eventsUserGini(s: SparkSession, dir: String): DataFrame = {
+    val u = DomainQueries.events(s, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("x"))
+      .withColumn("bkt", col("x")).withColumn("cnt", lit(1L))
+    val offsets = Scale.bucketOffsets(u, "bkt", Seq("cnt"))
+    val ranked = u.join(broadcast(offsets), Seq("bkt"))
+      .withColumn("rank",
+        row_number().over(Window.partitionBy("bkt").orderBy("user_id"))
+          .cast("long") + col("cnt_off"))
+      .select("user_id", "x", "rank")
+      .transform(graft.Ckpt.capped)
+    val tot = ranked.agg(count(lit(1)).as("n_users"),
+      sum("x").as("total_events"), sum(expr("rank * x")).as("isum"))
+    ranked.crossJoin(broadcast(tot))
+      .groupBy("n_users", "total_events", "isum")
+      .agg(sum(when(col("rank") > col("n_users") - expr("n_users div 10"),
+        col("x")).otherwise(0L)).as("top_decile_events"))
+      .select(col("n_users"), col("total_events"),
+        expr("(2 * isum - (n_users + 1) * total_events) * 1000" +
+          " div (n_users * total_events)").as("gini_milli"),
+        col("top_decile_events"),
+        expr("top_decile_events * 1000 div total_events")
+          .as("top_decile_milli"))
+  }
+
+  private val USER_GINI_SQL =
+    """WITH u AS (
+      |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM events GROUP BY user_id),
+      |r AS (
+      |  SELECT user_id, x,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY x, user_id) AS BIGINT) AS rank
+      |  FROM u),
+      |t AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+      |    CAST(SUM(x) AS BIGINT) AS total_events,
+      |    CAST(SUM(rank * x) AS BIGINT) AS isum
+      |  FROM r)
+      |SELECT n_users, total_events,
+      |  (2 * isum - (n_users + 1) * total_events) * 1000
+      |    // (n_users * total_events) AS gini_milli,
+      |  CAST(SUM(CASE WHEN rank > n_users - n_users // 10 THEN x ELSE 0 END)
+      |    AS BIGINT) AS top_decile_events,
+      |  CAST(SUM(CASE WHEN rank > n_users - n_users // 10 THEN x ELSE 0 END)
+      |    AS BIGINT) * 1000 // total_events AS top_decile_milli
+      |FROM r CROSS JOIN t
+      |GROUP BY n_users, total_events, isum""".stripMargin
+
   /** Shewhart SPC sheet with the western-electric run rule per event
     * type — the control-chart read next to the sequential detectors
     * (cusum finds the shift point, ewma smooths; THIS is the chart an
@@ -5334,6 +5396,7 @@ object Analytics {
     "sim_triplet_margin_audit" -> (simTripletMarginAudit _),
     "sim_kcenter_coverage" -> (simKcenterCoverage _),
     "events_spc_rules" -> (eventsSpcRules _),
+    "events_user_gini" -> (eventsUserGini _),
     "sim_embedding_outliers" -> (simEmbeddingOutliers _),
     "events_topk_drift" -> (eventsTopkDrift _),
     "sim_pq_distortion" -> (simPqDistortion _),
@@ -5478,6 +5541,7 @@ object Analytics {
     "sim_triplet_margin_audit" -> TRIPLET_SQL,
     "sim_kcenter_coverage" -> KCENTER_SQL,
     "events_spc_rules" -> SPC_SQL,
+    "events_user_gini" -> USER_GINI_SQL,
     "data_class_balance" -> BALANCE_SQL,
     "data_upsample_plan" -> UPSAMPLE_SQL,
     "data_mixture_temperature" -> MIXTEMP_SQL,

@@ -686,6 +686,40 @@ object Graphs {
   def graphLinkPrediction(s: SparkSession, dir: String): DataFrame =
     linkPrediction(SketchQueries.simKnnGraph(s, dir).select("qid", "vec_id"))
 
+  /** Exact 2-hop reach per node — the neighborhood-growth readout
+    * between [[graphDegreeStats]]' 1-hop spectrum and
+    * [[bfsLayers]]' seeded global sweep: |N₂(v)| = distinct nodes
+    * within ≤2 hops (self excluded), plus the amplification ratio
+    * |N₂|·1000 div deg. Amplification ≈ deg·1000 means a tree-like
+    * expander (each neighbor brings all-new friends); ≈ 1000 means the
+    * neighborhood closes on itself (the near-dup clique shape). Plan:
+    * canonical edges checkpointed once; the 2-hop set is ONE adjacency
+    * self-join on the center (fan-out Σ deg², the triangle bound) +
+    * a distinct — never |V|². */
+  def twoHopReach(edges: DataFrame): DataFrame = {
+    val und = edges.toDF("x", "y")
+      .select(least(col("x"), col("y")).as("u"),
+        greatest(col("x"), col("y")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .transform(ckpt)
+    val adj = und.select(col("u").as("x"), col("v").as("n"))
+      .union(und.select(col("v").as("x"), col("u").as("n")))
+    val deg = adj.groupBy("x").agg(count(lit(1)).as("deg"))
+    val two = adj.select(col("n").as("mid"), col("x"))
+      .join(adj.select(col("x").as("mid"), col("n").as("y")), Seq("mid"))
+      .filter(col("x") =!= col("y"))
+      .select("x", "y")
+    adj.select(col("x"), col("n").as("y")).union(two).distinct()
+      .groupBy("x").agg(count(lit(1)).as("n_within2"))
+      .join(deg, Seq("x"))
+      .select(col("x").as("node"), col("deg"), col("n_within2"),
+        expr("n_within2 * 1000 div deg").as("amplification_milli"))
+  }
+
+  /** 2-hop reach over the k-NN similarity graph edges. */
+  def graphTwoHopReach(s: SparkSession, dir: String): DataFrame =
+    twoHopReach(SketchQueries.simKnnGraph(s, dir).select("qid", "vec_id"))
+
   /** Fixed-point PageRank over an undirected edge list — the centrality
     * score that picks CANONICAL representatives inside near-dup clusters
     * (the best-connected document of a cluster, vs [[connectedComponents]]'
@@ -1264,6 +1298,7 @@ object Graphs {
     "graph_degree_assortativity" -> (graphDegreeAssortativity _),
     "graph_neighbor_jaccard" -> (graphNeighborJaccard _),
     "graph_link_prediction" -> (graphLinkPrediction _),
+    "graph_two_hop_reach" -> (graphTwoHopReach _),
     "graph_bipartite_components" -> (graphBipartiteComponents _),
     "graph_harmonic_centrality" -> (graphHarmonicCentrality _))
 
@@ -1737,6 +1772,27 @@ object Graphs {
          |    // (d * (d - 1)) AS coeff_milli
          |FROM deg LEFT JOIN tri ON tri.node = deg.node
          |WHERE d >= 2""".stripMargin
+    },
+    "graph_two_hop_reach" -> {
+      val knnSql = SketchQueries.oracle("sim_knn_graph")
+      s"""WITH knn AS ($knnSql),
+         |eg AS (SELECT DISTINCT LEAST(qid, vec_id) AS u,
+         |         GREATEST(qid, vec_id) AS v
+         |       FROM knn WHERE qid <> vec_id),
+         |adj AS (SELECT u AS x, v AS n FROM eg
+         |        UNION ALL SELECT v, u FROM eg),
+         |deg AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS deg
+         |        FROM adj GROUP BY x),
+         |rch AS (
+         |  SELECT x, CAST(COUNT(DISTINCT y) AS BIGINT) AS n_within2 FROM (
+         |    SELECT x, n AS y FROM adj
+         |    UNION ALL
+         |    SELECT a1.x, a2.n AS y FROM adj a1
+         |    JOIN adj a2 ON a2.x = a1.n AND a2.n <> a1.x)
+         |  GROUP BY x)
+         |SELECT rch.x AS node, deg, n_within2,
+         |  n_within2 * 1000 // deg AS amplification_milli
+         |FROM rch JOIN deg ON deg.x = rch.x""".stripMargin
     },
     "graph_link_prediction" -> {
       val knnSql = SketchQueries.oracle("sim_knn_graph")

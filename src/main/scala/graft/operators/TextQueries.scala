@@ -913,6 +913,50 @@ object TextQueries {
     * landmine); distinct-prefix count is a single-distinct aggregate
     * (no multi-distinct Expand). Plan: one narrow codegen projection +
     * ONE \|sources\|-row aggregate. */
+  /** Church–Gale term burstiness over the corpus top-64 — the
+    * corpus-linguistics statistic that separates TOPICAL terms from
+    * function words at equal frequency: burstiness = P(≥2 occurrences |
+    * ≥1 occurrence) per document, i.e. df₂·1000 div df₁ in exact milli.
+    * A function word spreads thin (low burst at high df); a topical
+    * term clumps (high burst) — the signal stopword inference and
+    * keyword extraction actually rank on, where raw frequency can't
+    * tell the two apart. Also ships the mean in-document rate
+    * (total·1000 div df₁). Plan: ONE (term, doc) partial agg over the
+    * exploded tokens, a vocab-grain rollup, and the rank window on the
+    * ≤|vocab|-row aggregate (text_top_ngrams class). */
+  def textTermBurstiness(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy("w", "doc_id").agg(count(lit(1)).as("c"))
+      .groupBy("w")
+      .agg(sum("c").as("n_total"),
+        count(lit(1)).as("df1"),
+        sum(when(col("c") >= 2, 1L).otherwise(0L)).as("df2"))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n_total").desc, col("w"))))
+      .filter(col("rank") <= 64)
+      .select(col("w"), col("n_total"), col("df1"), col("df2"),
+        expr("df2 * 1000 div df1").as("burst_milli"),
+        expr("n_total * 1000 div df1").as("rate_milli"))
+
+  private val BURSTINESS_SQL =
+    """WITH td AS (
+      |  SELECT w, doc_id, CAST(COUNT(*) AS BIGINT) AS c FROM (
+      |    SELECT doc_id,
+      |      unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      |    FROM documents)
+      |  GROUP BY w, doc_id),
+      |tm AS (
+      |  SELECT w, CAST(SUM(c) AS BIGINT) AS n_total,
+      |    CAST(COUNT(*) AS BIGINT) AS df1,
+      |    CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+      |  FROM td GROUP BY w)
+      |SELECT w, n_total, df1, df2,
+      |  df2 * 1000 // df1 AS burst_milli,
+      |  n_total * 1000 // df1 AS rate_milli
+      |FROM tm
+      |QUALIFY ROW_NUMBER() OVER (ORDER BY n_total DESC, w) <= 64""".stripMargin
+
   /** Positional-index phrase search — the IR primitive the retrieval
     * family lacked: build the (doc, pos, trigram) positional index via
     * two lead windows over the exploded tokens, pick the corpus's most
@@ -1287,6 +1331,7 @@ object TextQueries {
   val queries: Map[String, Q] = Map(
     "text_template_rate" -> (textTemplateRate _),
     "text_phrase_search" -> (textPhraseSearch _),
+    "text_term_burstiness" -> (textTermBurstiness _),
     "data_rater_kappa" -> (dataRaterKappa _),
     "data_skyline" -> (dataSkyline _),
     "dedup_lsh_band_tuning" -> (dedupLshBandTuning _),
@@ -1318,6 +1363,7 @@ object TextQueries {
   val oracle: Map[String, String] = Map(
     "text_template_rate" -> TEMPLATE_SQL,
     "text_phrase_search" -> PHRASE_SQL,
+    "text_term_burstiness" -> BURSTINESS_SQL,
     "data_rater_kappa" -> KAPPA_SQL,
     "data_skyline" -> SKYLINE_SQL,
     "dedup_lsh_band_tuning" -> BAND_TUNING_SQL,

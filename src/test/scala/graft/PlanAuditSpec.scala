@@ -48,7 +48,8 @@ class PlanAuditSpec extends SparkSpec {
     "events_retention_halflife" -> "crossJoin against the single-row broadcast observation-horizon frame",
     "multimodal_phash_dedup" -> "crossJoin against the single-row broadcast corpus-count frame (idf weights)",
     "sim_matryoshka_recall" -> "documented brute-force baseline: query side is 5 broadcast rows (sim_cosine_topk class)",
-    "occ_envelope_projection" -> "generated 64800-row raster × broadcast ≤|species|-row envelope boxes — both sides layout constants")
+    "occ_envelope_projection" -> "generated 64800-row raster × broadcast ≤|species|-row envelope boxes — both sides layout constants",
+    "events_user_gini" -> "crossJoin against the single-row broadcast totals fold (1×|users|)")
 
   test("no query plans a nested-loop or cartesian join outside the whitelist") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -433,7 +434,10 @@ class PlanAuditSpec extends SparkSpec {
     "events_record_days" -> 2, // (type,day) agg; running-max + row_number windows ride ONE event_type exchange
     "sim_triplet_margin_audit" -> 4, // ranked rel checkpointed at build; two rank-equi self-joins + broadcast next-label map + |labels|-row agg
     "sim_kcenter_coverage" -> 0, // returned plan is the collected 6-row greedy local relation (shard_rebalance class); rounds run at build
-    "events_spc_rules" -> 2) // (type,day) agg; stat windows + lag window + final agg ride ONE event_type exchange
+    "events_spc_rules" -> 2, // (type,day) agg; stat windows + lag window + final agg ride ONE event_type exchange
+    "graph_two_hop_reach" -> 5, // canonical edges checkpointed; wedge join + distinct + deg agg + reach join
+    "text_term_burstiness" -> 2, // (term,doc) agg + vocab rollup; rank window rides the ≤|vocab|-row aggregate
+    "events_user_gini" -> 2) // user agg + bucket-rank exchange (offsets broadcast); folds read the checkpoint, 1-row crossJoin whitelisted
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
     // the shard grid must drive the exchange (parallelism = shard count),
