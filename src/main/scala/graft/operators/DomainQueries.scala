@@ -352,6 +352,41 @@ object DomainQueries {
         min("lon").as("lon_min"), max("lon").as("lon_max"))
   }
 
+  /** Zone-map pruning audit of the z-order layout — the measurement that
+    * justifies [[spatialZorderLayout]] at 100 TB: for each of the 16
+    * disjoint 45°×90° query boxes, how many of the 32 z-range files does
+    * a min/max zone map FAIL to prune (file hit ⇔ its box-id envelope
+    * intersects the query box), how many rows get scanned vs actually
+    * matched, and the read amplification in exact milli. Amplification
+    * ≈ 1000 means the layout answers box queries at near-perfect
+    * selectivity; ≫ 1000 quantifies the curse of linearizing 2-D. Plan:
+    * TWO aggregates of the same codegen'd scan (32-row file stats +
+    * 16-row match counts) joined by a whitelisted 16×32 envelope BNLJ —
+    * both sides layout constants at any corpus size. */
+  def spatialZonePruningAudit(s: SparkSession, dir: String): DataFrame = {
+    val rows = valid(s, dir)
+      .select((floor(col("lon")).cast("long") + 180).as("cx"),
+        (floor(col("lat")).cast("long") + 90).as("cy"))
+      .withColumn("z", expr(MORTON18))
+      .withColumn("bucket", expr("z * 32 div 262144"))
+      .withColumn("qy", expr("least(cy div 45, 3)"))
+      .withColumn("qx", expr("least(cx div 90, 3)"))
+    val files = rows.groupBy("bucket")
+      .agg(count(lit(1)).as("n_occ"),
+        min("qy").as("qy_min"), max("qy").as("qy_max"),
+        min("qx").as("qx_min"), max("qx").as("qx_max"))
+    rows.groupBy("qy", "qx").agg(count(lit(1)).as("n_rows_matched"))
+      .join(broadcast(files),
+        col("qy").between(col("qy_min"), col("qy_max")) &&
+          col("qx").between(col("qx_min"), col("qx_max")))
+      .groupBy("qy", "qx", "n_rows_matched")
+      .agg(count(lit(1)).as("n_files_hit"), sum("n_occ").as("n_rows_scanned"))
+      .select(col("qy").as("box_y"), col("qx").as("box_x"),
+        col("n_rows_matched"), col("n_files_hit"), col("n_rows_scanned"),
+        expr("n_rows_scanned * 1000 div n_rows_matched")
+          .as("read_amplification_milli"))
+  }
+
   /** Species-accumulation (rarefaction) curve — the survey-completeness
     * question behind every occurrence archive: after the first k records
     * in an unbiased order, how many distinct species has the survey
@@ -1895,6 +1930,7 @@ object DomainQueries {
     "occ_envelope_projection" -> (occEnvelopeProjection _),
     "occ_latitude_gradient" -> (occLatitudeGradient _),
     "spatial_zorder_layout" -> (spatialZorderLayout _),
+    "spatial_zone_pruning_audit" -> (spatialZonePruningAudit _),
     "spatial_nearest" -> (spatialNearest _),
     "occ_temporal_trend" -> (occTemporalTrend _),
     "occ_outlier_mad" -> (occOutlierMad _))
@@ -1930,6 +1966,27 @@ object DomainQueries {
       |FROM bg GROUP BY accession, species""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "spatial_zone_pruning_audit" -> withSql(OCC_SQL, VALID_SQL,
+      s"""r AS (
+        |  SELECT $MORTON18 AS z,
+        |    LEAST(cy // 45, 3) AS qy, LEAST(cx // 90, 3) AS qx
+        |  FROM (SELECT CAST(FLOOR(lon) AS BIGINT) + 180 AS cx,
+        |          CAST(FLOOR(lat) AS BIGINT) + 90 AS cy FROM valid)),
+        |f AS (
+        |  SELECT z * 32 // 262144 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_occ,
+        |    MIN(qy) AS qy_min, MAX(qy) AS qy_max,
+        |    MIN(qx) AS qx_min, MAX(qx) AS qx_max
+        |  FROM r GROUP BY 1),
+        |m AS (SELECT qy, qx, CAST(COUNT(*) AS BIGINT) AS n_rows_matched
+        |      FROM r GROUP BY 1, 2)""".stripMargin)(
+      """SELECT m.qy AS box_y, m.qx AS box_x, n_rows_matched,
+        |  CAST(COUNT(*) AS BIGINT) AS n_files_hit,
+        |  CAST(SUM(n_occ) AS BIGINT) AS n_rows_scanned,
+        |  CAST(SUM(n_occ) AS BIGINT) * 1000 // n_rows_matched
+        |    AS read_amplification_milli
+        |FROM m JOIN f ON m.qy BETWEEN f.qy_min AND f.qy_max
+        |             AND m.qx BETWEEN f.qx_min AND f.qx_max
+        |GROUP BY m.qy, m.qx, n_rows_matched""".stripMargin),
     "spatial_zorder_layout" -> withSql(OCC_SQL, VALID_SQL)({
       s"""SELECT z * 32 // 262144 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_occ,
          |  CAST(COUNT(DISTINCT species) AS BIGINT) AS n_species,

@@ -872,6 +872,90 @@ object Streams {
     }
   }
 
+  case class RdState(runMax: Long, nDays: Long, nRecords: Long,
+                     lastRecordDay: Long, harmonic: Long)
+  case class RdOut(event_type: String, n_days: Long, n_records: Long,
+                   last_record_day: Long, exp_records_milli: Long)
+
+  /** Streaming counterpart of events_record_days — the O(1)-state
+    * shape (queueWait's class): a record is "this day's count strictly
+    * exceeds the running max", so the whole statistic carries across
+    * micro-batches as FIVE longs per type — running max, day counter,
+    * record counter, last record day, and the harmonic lattice
+    * Σ 1000 div k accumulated as days arrive (each term floored exactly
+    * like the batch operator's 1000 div rn). Input is the upstream
+    * watermarked (type, day, count) aggregate, per-key ascending, each
+    * day once; within a batch rows sort by day. Once the stream drains
+    * the calendar the LAST emission per type equals the batch row —
+    * the spec pins that equality. */
+  def recordDays(days: Dataset[(String, Long, Long)]): Dataset[RdOut] = {
+    import days.sparkSession.implicits._
+    days.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (tpe: String, it: Iterator[(String, Long, Long)],
+       state: GroupState[RdState]) =>
+        var st = state.getOption.getOrElse(RdState(Long.MinValue, 0L, 0L,
+          Long.MinValue, 0L))
+        for ((_, day, c) <- it.toSeq.sortBy(_._2)) {
+          val n = st.nDays + 1
+          val rec = st.nDays == 0L || c > st.runMax
+          st = RdState(math.max(st.runMax, c), n,
+            st.nRecords + (if (rec) 1L else 0L),
+            if (rec) day else st.lastRecordDay,
+            st.harmonic + 1000L / n)
+        }
+        state.update(st)
+        if (st.nDays == 0L) Iterator.empty
+        else Iterator(RdOut(tpe, st.nDays, st.nRecords, st.lastRecordDay,
+          st.harmonic))
+    }
+  }
+
+  case class RtState(prevC: Long, prevSgn: Long, nUp: Long, nDown: Long,
+                     nRuns: Long)
+  case class RtOut(event_type: String, n_up: Long, n_down: Long,
+                   n_runs: Long, n_moves: Long, exp_runs_milli: Long,
+                   verdict_sign: Long)
+
+  /** Streaming counterpart of events_runs_test — also O(1) state: the
+    * Wald–Wolfowitz run count only needs the previous day's count and
+    * the previous nonzero move sign (ties dropped exactly like the
+    * batch lag windows), plus the three counters. Five longs per type,
+    * at any stream length. Same input contract as [[recordDays]]; the
+    * expectation and verdict recompute per emission from the counters
+    * on the batch lattice verbatim (2000·n⁺·n⁻ div n, sign of
+    * R·n − (n + 2·n⁺·n⁻) — |counters| are calendar-bounded so nothing
+    * overflows). Types with no nonzero move emit nothing, matching the
+    * batch filter. */
+  def runsTest(days: Dataset[(String, Long, Long)]): Dataset[RtOut] = {
+    import days.sparkSession.implicits._
+    days.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (tpe: String, it: Iterator[(String, Long, Long)],
+       state: GroupState[RtState]) =>
+        var st = state.getOption.getOrElse(
+          RtState(Long.MinValue, 0L, 0L, 0L, 0L))
+        for ((_, day, c) <- it.toSeq.sortBy(_._2)) {
+          if (st.prevC == Long.MinValue) st = st.copy(prevC = c)
+          else {
+            val sgn = java.lang.Long.signum(c - st.prevC).toLong
+            if (sgn == 0L) st = st.copy(prevC = c)
+            else st = RtState(c, sgn,
+              st.nUp + (if (sgn > 0) 1L else 0L),
+              st.nDown + (if (sgn < 0) 1L else 0L),
+              st.nRuns + (if (sgn != st.prevSgn) 1L else 0L))
+          }
+        }
+        state.update(st)
+        val n = st.nUp + st.nDown
+        if (n == 0L) Iterator.empty
+        else Iterator(RtOut(tpe, st.nUp, st.nDown, st.nRuns, n,
+          1000L + 2000L * st.nUp * st.nDown / n,
+          java.lang.Long.signum(
+            st.nRuns * n - (n + 2L * st.nUp * st.nDown)).toLong))
+    }
+  }
+
   case class MkState(days: Seq[(Long, Long)])
   case class MkOut(event_type: String, n_days: Long, s_stat: Long,
                    n_pairs: Long, trend_sign: Long, abs_tau_milli: Long)

@@ -49,7 +49,8 @@ class PlanAuditSpec extends SparkSpec {
     "multimodal_phash_dedup" -> "crossJoin against the single-row broadcast corpus-count frame (idf weights)",
     "sim_matryoshka_recall" -> "documented brute-force baseline: query side is 5 broadcast rows (sim_cosine_topk class)",
     "occ_envelope_projection" -> "generated 64800-row raster × broadcast ≤|species|-row envelope boxes — both sides layout constants",
-    "events_user_gini" -> "crossJoin against the single-row broadcast totals fold (1×|users|)")
+    "events_user_gini" -> "crossJoin against the single-row broadcast totals fold (1×|users|)",
+    "spatial_zone_pruning_audit" -> "16-box × broadcast 32-file envelope BNLJ — both sides layout constants")
 
   test("no query plans a nested-loop or cartesian join outside the whitelist") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -437,7 +438,8 @@ class PlanAuditSpec extends SparkSpec {
     "events_spc_rules" -> 2, // (type,day) agg; stat windows + lag window + final agg ride ONE event_type exchange
     "graph_two_hop_reach" -> 5, // canonical edges checkpointed; wedge join + distinct + deg agg + reach join
     "text_term_burstiness" -> 2, // (term,doc) agg + vocab rollup; rank window rides the ≤|vocab|-row aggregate
-    "events_user_gini" -> 2) // user agg + bucket-rank exchange (offsets broadcast); folds read the checkpoint, 1-row crossJoin whitelisted
+    "events_user_gini" -> 2, // user agg + bucket-rank exchange (offsets broadcast); folds read the checkpoint, 1-row crossJoin whitelisted
+    "spatial_zone_pruning_audit" -> 2) // two aggs of one codegen scan; 16×32 envelope BNLJ whitelisted (layout constants)
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
     // the shard grid must drive the exchange (parallelism = shard count),

@@ -875,6 +875,73 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming record-days carries O(1) state and converges to the batch operator") {
+    val days = DomainQueries.events(spark, sf)
+      .select(col("event_type"), expr("ts_ns div 86400000000000").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      .as[(String, Long, Long)]
+    val batch = operators.Analytics.eventsRecordDays(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val whole = Streams.recordDays(days).collect()
+      .map(o => o.event_type -> ((o.n_days, o.n_records, o.last_record_day,
+        o.exp_records_milli))).toMap
+    assert(whole === batch)
+    assert(batch.nonEmpty)
+    // split mid-stream: the state (run max + counters) must survive the
+    // boundary — planted series sets records at days 0,1,3 only
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Long)]
+    val q = Streams.recordDays(mem.toDS())
+      .writeStream.format("memory").queryName("rd_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(("a", 0L, 5L), ("a", 1L, 7L)); q.processAllAvailable()
+      mem.addData(("a", 2L, 6L), ("a", 3L, 9L)); q.processAllAvailable()
+      val rows = spark.sql("SELECT n_days, n_records, last_record_day, " +
+        "exp_records_milli FROM rd_out ORDER BY n_days")
+        .as[(Long, Long, Long, Long)].collect()
+      assert(rows.length === 2)
+      assert(rows.head === ((2L, 2L, 1L, 1500L)))
+      // harmonic lattice: 1000 + 500 + 333 + 250 = 2083
+      assert(rows.last === ((4L, 3L, 3L, 2083L)))
+    } finally q.stop()
+  }
+
+  test("streaming runs-test carries O(1) state and converges to the batch operator") {
+    val days = DomainQueries.events(spark, sf)
+      .select(col("event_type"), expr("ts_ns div 86400000000000").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      .as[(String, Long, Long)]
+    val batch = operators.Analytics.eventsRunsTest(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+    val whole = Streams.runsTest(days).collect()
+      .map(o => o.event_type -> ((o.n_up, o.n_down, o.n_runs, o.n_moves,
+        o.exp_runs_milli, o.verdict_sign))).toMap
+    assert(whole === batch)
+    assert(batch.nonEmpty)
+    // split mid-stream ON a tie so the dropped-tie + previous-sign state
+    // crosses the boundary: series 1,3,3,2,4 → signs +,(tie),-,+ = 3 runs
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Long)]
+    val q = Streams.runsTest(mem.toDS())
+      .writeStream.format("memory").queryName("rt_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(("a", 0L, 1L), ("a", 1L, 3L), ("a", 2L, 3L))
+      q.processAllAvailable()
+      mem.addData(("a", 3L, 2L), ("a", 4L, 4L)); q.processAllAvailable()
+      val rows = spark.sql("SELECT n_up, n_down, n_runs, n_moves, " +
+        "exp_runs_milli, verdict_sign FROM rt_out ORDER BY n_moves")
+        .as[(Long, Long, Long, Long, Long, Long)].collect()
+      assert(rows.length === 2)
+      assert(rows.head === ((1L, 0L, 1L, 1L, 1000L, 0L)))
+      // n⁺=2 n⁻=1: E[R]·milli = 1000 + 2000·2·1/3 = 2333; R=3, sign(9−7)=+1
+      assert(rows.last === ((2L, 1L, 3L, 3L, 2333L, 1L)))
+    } finally q.stop()
+  }
+
   test("streaming mann-kendall converges to the batch trend test across batches") {
     val days = DomainQueries.events(spark, sf)
       .select(col("event_type"), expr("ts_ns div 86400000000000").as("day"))
