@@ -2594,6 +2594,53 @@ object Analytics {
        |FROM tr GROUP BY label""".stripMargin
   }
 
+  /** Calendar silence streaks per event type — the dead-man-switch
+    * audit next to [[eventsGapHistogram]]'s event-grain gaps: at DAY
+    * grain, how much of the type's own calendar span is silent, what
+    * the longest missing-day run is and when it happened, and how many
+    * distinct silent runs there were (count of lag-gaps > 1). A type
+    * with coverage_milli ≈ 1000 reports every day; a long max_gap_days
+    * on a monitored feed is the page. Plan: one (type, day) partial
+    * agg, the lag window and the final agg ride ONE event_type
+    * exchange. */
+  def eventsSilenceStreaks(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("day")
+    DomainQueries.events(s, dir)
+      .select(col("event_type"), expr(s"ts_ns div $DAY_NS").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      .withColumn("prev", lag("day", 1).over(w))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        (max("day") - min("day") + 1).as("span_days"),
+        sum(when(col("prev").isNotNull && col("day") - col("prev") > 1, 1L)
+          .otherwise(0L)).as("n_silent_runs"),
+        max(when(col("prev").isNotNull, col("day") - col("prev") - 1)
+          .otherwise(0L)).as("max_gap_days"),
+        max(when(col("prev").isNotNull && col("day") - col("prev") > 1,
+          col("day") - 1)).as("last_gap_end_day"))
+      .withColumn("coverage_milli", expr("n_days * 1000 div span_days"))
+  }
+
+  private val SILENCE_SQL =
+    s"""WITH d AS (
+       |  SELECT event_type, epoch_ns(ts) // $DAY_NS AS day
+       |  FROM events GROUP BY 1, 2),
+       |g AS (
+       |  SELECT event_type, day,
+       |    LAG(day) OVER (PARTITION BY event_type ORDER BY day) AS prev
+       |  FROM d)
+       |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+       |  MAX(day) - MIN(day) + 1 AS span_days,
+       |  CAST(SUM(CASE WHEN prev IS NOT NULL AND day - prev > 1
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_silent_runs,
+       |  MAX(CASE WHEN prev IS NOT NULL THEN day - prev - 1
+       |      ELSE 0 END) AS max_gap_days,
+       |  MAX(CASE WHEN prev IS NOT NULL AND day - prev > 1
+       |      THEN day - 1 END) AS last_gap_end_day,
+       |  CAST(COUNT(*) AS BIGINT) * 1000 // (MAX(day) - MIN(day) + 1)
+       |    AS coverage_milli
+       |FROM g GROUP BY event_type""".stripMargin
+
   /** Gini concentration of per-user event volume — the inequality
     * one-number next to [[eventsUserEntropy]]'s per-user MIX read: how
     * concentrated is total activity across users. Exact cross-multiplied
@@ -5397,6 +5444,7 @@ object Analytics {
     "sim_kcenter_coverage" -> (simKcenterCoverage _),
     "events_spc_rules" -> (eventsSpcRules _),
     "events_user_gini" -> (eventsUserGini _),
+    "events_silence_streaks" -> (eventsSilenceStreaks _),
     "sim_embedding_outliers" -> (simEmbeddingOutliers _),
     "events_topk_drift" -> (eventsTopkDrift _),
     "sim_pq_distortion" -> (simPqDistortion _),
@@ -5542,6 +5590,7 @@ object Analytics {
     "sim_kcenter_coverage" -> KCENTER_SQL,
     "events_spc_rules" -> SPC_SQL,
     "events_user_gini" -> USER_GINI_SQL,
+    "events_silence_streaks" -> SILENCE_SQL,
     "data_class_balance" -> BALANCE_SQL,
     "data_upsample_plan" -> UPSAMPLE_SQL,
     "data_mixture_temperature" -> MIXTEMP_SQL,

@@ -300,6 +300,58 @@ object TextPrep {
       |    // CAST(SUM(cap) AS BIGINT) AS waste_milli
       |FROM c GROUP BY source""".stripMargin
 
+  /** Reference-vocabulary coverage per source — the tokenizer-health
+    * read BETWEEN [[textUnigramDrift]] (distribution distance) and
+    * data_tokenizer_fertility (subword blowup): what share of each
+    * source's token OCCURRENCES falls inside the corpus top-16
+    * reference vocabulary (rank by count desc, term — the bounded
+    * vocab a production tokenizer freezes). A source whose coverage
+    * collapses is emitting content the frozen vocab can't represent —
+    * the retrain trigger. Plan: ONE (source, term) partial agg; the
+    * vocab rank window rides the ≤|vocab|-row term rollup and joins
+    * back broadcast; final agg is |sources|-row. */
+  def dataVocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val st = t(s, dir, "documents")
+      .select(col("source"),
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"),
+          lit(0))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      .transform(graft.Ckpt.capped)
+    val vocab = st.groupBy("w").agg(sum("c").as("n_total"))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n_total").desc, col("w"))))
+      .filter(col("rank") <= 16).select("w")
+    st.join(broadcast(vocab.withColumn("in_vocab", lit(1L))), Seq("w"), "left")
+      .groupBy("source")
+      .agg(sum("c").as("n_tokens"),
+        sum(when(col("in_vocab").isNotNull, col("c")).otherwise(0L))
+          .as("n_covered"),
+        sum(when(col("in_vocab").isNotNull, 1L).otherwise(0L))
+          .as("n_vocab_terms_seen"))
+      .withColumn("coverage_milli", expr("n_covered * 1000 div n_tokens"))
+  }
+
+  private val VOCAB_COVERAGE_SQL =
+    """WITH st AS (
+      |  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+      |    SELECT source,
+      |      unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      |    FROM documents)
+      |  GROUP BY source, w),
+      |v AS (
+      |  SELECT w FROM (SELECT w, CAST(SUM(c) AS BIGINT) AS n_total
+      |                 FROM st GROUP BY w)
+      |  QUALIFY ROW_NUMBER() OVER (ORDER BY n_total DESC, w) <= 16)
+      |SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(CASE WHEN v.w IS NOT NULL THEN c ELSE 0 END) AS BIGINT)
+      |    AS n_covered,
+      |  CAST(SUM(CASE WHEN v.w IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_vocab_terms_seen,
+      |  CAST(SUM(CASE WHEN v.w IS NOT NULL THEN c ELSE 0 END) AS BIGINT)
+      |    * 1000 // CAST(SUM(c) AS BIGINT) AS coverage_milli
+      |FROM st LEFT JOIN v ON v.w = st.w
+      |GROUP BY source""".stripMargin
+
   /** Core packing walk over (bucket, doc_id, n_tokens) rows — see
     * [[dataPackSequences]] for the contract. */
   private[graft] def packTokenRows(rows: DataFrame, budget: Long): DataFrame = {
@@ -1639,7 +1691,8 @@ object TextPrep {
     "data_split_leakage" -> (dataSplitLeakage _),
     "text_rarity" -> (textRarity _),
     "data_pack_sequences" -> (dataPackSequences _),
-    "data_padding_waste" -> (dataPaddingWaste _))
+    "data_padding_waste" -> (dataPaddingWaste _),
+    "data_vocab_coverage" -> (dataVocabCoverage _))
 
   val oracle: Map[String, String] = Map(
     "text_lang_divergence" -> LANGDIV_SQL,
@@ -1673,5 +1726,6 @@ object TextPrep {
     "data_split_leakage" -> LEAKAGE_SQL,
     "text_rarity" -> RARITY_SQL,
     "data_pack_sequences" -> PACK_SQL,
-    "data_padding_waste" -> PADDING_SQL)
+    "data_padding_waste" -> PADDING_SQL,
+    "data_vocab_coverage" -> VOCAB_COVERAGE_SQL)
 }

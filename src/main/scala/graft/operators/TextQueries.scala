@@ -913,6 +913,97 @@ object TextQueries {
     * landmine); distinct-prefix count is a single-distinct aggregate
     * (no multi-distinct Expand). Plan: one narrow codegen projection +
     * ONE \|sources\|-row aggregate. */
+  /** TextRank keywords — weighted PageRank over the word co-occurrence
+    * graph (the classic graph-based keyword extractor, composed from
+    * this library's own primitives): edges = unordered term pairs
+    * co-occurring within a ±4-token window (four lead columns exploded
+    * as ONE array — the stack() landmine), weights = co-occurrence
+    * counts, then five damped rounds on the 2^-30 fixed-point lattice.
+    * The contribution is divide-FIRST: ((r·w) div wdeg)·17 div 20 —
+    * r·w ≤ 2^30·w and w ≤ wdeg keeps every product BIGINT-safe at ANY
+    * corpus size (the naive r·17·w overflows once a pair co-occurs
+    * ~10⁸ times). Frequency alone can't separate a hub term from a
+    * merely-common one; the weighted walk can. Plan: one doc_id window
+    * exchange builds the pair stream, one (a,b) aggregate; the ≤|vocab|²
+    * weighted edge relation checkpoints once and each round is a tiny
+    * join + aggregate; the oracle unrolls the same five rounds as
+    * chained CTEs (graph_pagerank discipline). */
+  def textTextrankKeywords(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val base = t(s, dir, "documents")
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
+    val withLeads = (1 to 4).foldLeft(base) { (df, k) =>
+      df.withColumn(s"l$k", lead("w", k).over(w))
+    }
+    val wt = withLeads
+      .select(col("w"),
+        explode(array((1 to 4).map(k => col(s"l$k")): _*)).as("w2"))
+      .filter(col("w2").isNotNull && col("w") =!= col("w2"))
+      .select(least(col("w"), col("w2")).as("a"),
+        greatest(col("w"), col("w2")).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cw"))
+    val sym = wt.select(col("a"), col("b"), col("cw"))
+      .union(wt.select(col("b").as("a"), col("a").as("b"), col("cw")))
+    val deg = sym.groupBy("a").agg(sum("cw").as("wdeg"))
+    val outE = sym.join(deg, Seq("a")).transform(graft.Ckpt.capped)
+    val n = outE.select("a").distinct().count()
+    require(n > 0, "textrank on an empty co-occurrence graph")
+    val SCALE = 1073741824L // 2^30
+    val tele = SCALE * 3 / 20 / n
+    var ranks = outE.select(col("a").as("node")).distinct()
+      .withColumn("r", lit(SCALE / n))
+    for (_ <- 1 to 5) {
+      ranks = outE.join(ranks, col("a") === col("node"))
+        .select(col("b"), expr("((r * cw) div wdeg) * 17 div 20").as("c"))
+        .groupBy("b").agg((sum("c") + lit(tele)).as("r"))
+        .select(col("b").as("node"), col("r"))
+    }
+    ranks.select(col("node").as("word"), col("r").as("rank_fp"),
+      (col("r").cast("double") / SCALE.toDouble).as("rank_val"))
+  }
+
+  private val TEXTRANK_SQL: String = {
+    val rounds = (1 to 5).map { k =>
+      s"""r$k AS (
+         |  SELECT s.b AS node,
+         |    CAST((SELECT t FROM c) +
+         |      SUM(((p.r * s.cw) // d.wdeg) * 17 // 20) AS BIGINT) AS r
+         |  FROM sym s JOIN r${k - 1} p ON p.node = s.a
+         |             JOIN deg d ON d.a = s.a
+         |  GROUP BY s.b)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tok AS (
+       |  SELECT doc_id, p.i AS pos, p.w FROM (
+       |    SELECT doc_id,
+       |      unnest(list_apply(regexp_extract_all(lower(text), '[a-z0-9]+'),
+       |        (w, i) -> struct_pack(w := w, i := i))) AS p
+       |    FROM documents)),
+       |ld AS (
+       |  SELECT w, LEAD(w, 1) OVER dw AS l1, LEAD(w, 2) OVER dw AS l2,
+       |    LEAD(w, 3) OVER dw AS l3, LEAD(w, 4) OVER dw AS l4
+       |  FROM tok WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)),
+       |pr AS (
+       |  SELECT LEAST(w, w2) AS a, GREATEST(w, w2) AS b FROM (
+       |    SELECT w, l1 AS w2 FROM ld UNION ALL
+       |    SELECT w, l2 FROM ld UNION ALL
+       |    SELECT w, l3 FROM ld UNION ALL
+       |    SELECT w, l4 FROM ld)
+       |  WHERE w2 IS NOT NULL AND w <> w2),
+       |wt AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cw
+       |       FROM pr GROUP BY a, b),
+       |sym AS (SELECT a, b, cw FROM wt
+       |        UNION ALL SELECT b, a, cw FROM wt),
+       |deg AS (SELECT a, CAST(SUM(cw) AS BIGINT) AS wdeg
+       |        FROM sym GROUP BY a),
+       |c AS (SELECT CAST(1073741824 AS BIGINT) // COUNT(*) AS r0,
+       |             CAST(1073741824 AS BIGINT) * 3 // 20 // COUNT(*) AS t
+       |      FROM deg),
+       |r0 AS (SELECT a AS node, (SELECT r0 FROM c) AS r FROM deg),
+       |$rounds
+       |SELECT node AS word, r AS rank_fp,
+       |  CAST(r AS DOUBLE) / 1073741824 AS rank_val FROM r5""".stripMargin
+  }
+
   /** Church–Gale term burstiness over the corpus top-64 — the
     * corpus-linguistics statistic that separates TOPICAL terms from
     * function words at equal frequency: burstiness = P(≥2 occurrences |
@@ -1332,6 +1423,7 @@ object TextQueries {
     "text_template_rate" -> (textTemplateRate _),
     "text_phrase_search" -> (textPhraseSearch _),
     "text_term_burstiness" -> (textTermBurstiness _),
+    "text_textrank_keywords" -> (textTextrankKeywords _),
     "data_rater_kappa" -> (dataRaterKappa _),
     "data_skyline" -> (dataSkyline _),
     "dedup_lsh_band_tuning" -> (dedupLshBandTuning _),
@@ -1364,6 +1456,7 @@ object TextQueries {
     "text_template_rate" -> TEMPLATE_SQL,
     "text_phrase_search" -> PHRASE_SQL,
     "text_term_burstiness" -> BURSTINESS_SQL,
+    "text_textrank_keywords" -> TEXTRANK_SQL,
     "data_rater_kappa" -> KAPPA_SQL,
     "data_skyline" -> SKYLINE_SQL,
     "dedup_lsh_band_tuning" -> BAND_TUNING_SQL,

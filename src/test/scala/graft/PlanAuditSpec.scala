@@ -439,7 +439,10 @@ class PlanAuditSpec extends SparkSpec {
     "graph_two_hop_reach" -> 5, // canonical edges checkpointed; wedge join + distinct + deg agg + reach join
     "text_term_burstiness" -> 2, // (term,doc) agg + vocab rollup; rank window rides the ≤|vocab|-row aggregate
     "events_user_gini" -> 2, // user agg + bucket-rank exchange (offsets broadcast); folds read the checkpoint, 1-row crossJoin whitelisted
-    "spatial_zone_pruning_audit" -> 2) // two aggs of one codegen scan; 16×32 envelope BNLJ whitelisted (layout constants)
+    "spatial_zone_pruning_audit" -> 2, // two aggs of one codegen scan; 16×32 envelope BNLJ whitelisted (layout constants)
+    "text_textrank_keywords" -> 6, // doc window + pair agg at build (checkpointed); 5 weighted-PR rounds each a tiny join+agg — returned plan: round-5 join+agg off the checkpoint
+    "events_silence_streaks" -> 2, // (type,day) agg; lag window + final agg ride ONE event_type exchange
+    "data_vocab_coverage" -> 2) // (source,term) agg checkpointed; vocab rank window rides the term rollup, joins back broadcast
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
     // the shard grid must drive the exchange (parallelism = shard count),
