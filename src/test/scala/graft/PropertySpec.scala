@@ -318,4 +318,62 @@ class PropertySpec extends SparkSpec {
       assert(rec === closed, s"round $round bias $bias")
     }
   }
+
+  test("gini rank lattice equals the pairwise-difference definition on random multisets") {
+    // events_user_gini rests on the identity Σᵢⱼ|xᵢ−xⱼ| = 2(2Σ i·x₍ᵢ₎ −
+    // (n+1)S) for ASCENDING ranks — prove the operator's milli formula
+    // against the defining pair sum, on tie-heavy random multisets
+    val rnd = new Random(49)
+    for (round <- 1 to 200) {
+      val xs = List.fill(1 + rnd.nextInt(40))(1L + rnd.nextInt(12))
+      val sorted = xs.sorted
+      val n = sorted.length.toLong
+      val s = sorted.sum
+      val isum = sorted.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+      val lattice = (2 * isum - (n + 1) * s) * 1000 / (n * s)
+      val pairsum = (for (a <- xs; b <- xs) yield math.abs(a - b)).sum
+      assert(pairsum % 2 === 0L)
+      val brute = (pairsum / 2) * 1000 / (n * s)
+      assert(lattice === brute, s"round $round xs=$xs")
+      assert(lattice >= 0 && lattice < 1000)
+    }
+  }
+
+  test("mann-kendall S: antisymmetric under reversal, saturated on monotone series") {
+    // events_trend_mann_kendall + its streaming twin share the pair-sign
+    // fold; pin its defining invariants on random series with ties
+    val rnd = new Random(50)
+    def mk(cs: IndexedSeq[Long]): Long =
+      (for (i <- cs.indices; j <- i + 1 until cs.length)
+        yield java.lang.Long.signum(cs(j) - cs(i)).toLong).sum
+    for (round <- 1 to 200) {
+      val cs = IndexedSeq.fill(2 + rnd.nextInt(30))(rnd.nextInt(8).toLong)
+      val n = cs.length.toLong
+      assert(mk(cs) === -mk(cs.reverse), s"round $round")
+      assert(math.abs(mk(cs)) <= n * (n - 1) / 2)
+      val mono = cs.sorted.zipWithIndex.map { case (c, i) => c * 100 + i }
+      assert(mk(mono.toIndexedSeq) === n * (n - 1) / 2)
+    }
+  }
+
+  test("runs count: reversal-invariant with up/down swapped on random series") {
+    // events_runs_test + twin: runs over the tie-dropped sign sequence;
+    // reversing the day order negates AND reverses the signs, so the
+    // run boundaries (and count) are preserved while n_up/n_down swap
+    val rnd = new Random(51)
+    def runs(cs: IndexedSeq[Long]): (Long, Long, Long) = {
+      val sgns = cs.sliding(2).map(p => java.lang.Long.signum(p(1) - p(0)))
+        .filter(_ != 0).toIndexedSeq
+      val r = if (sgns.isEmpty) 0L
+        else 1L + sgns.sliding(2).count(p => p.length == 2 && p(0) != p(1))
+      (sgns.count(_ > 0).toLong, sgns.count(_ < 0).toLong, r)
+    }
+    for (round <- 1 to 200) {
+      val cs = IndexedSeq.fill(2 + rnd.nextInt(40))(rnd.nextInt(6).toLong)
+      val (up, down, r) = runs(cs)
+      val (rup, rdown, rr) = runs(cs.reverse)
+      assert((rup, rdown, rr) === ((down, up, r)), s"round $round cs=$cs")
+      if (up + down > 0) assert(r >= 1 && r <= up + down)
+    }
+  }
 }
