@@ -2594,6 +2594,94 @@ object Analytics {
        |FROM tr GROUP BY label""".stripMargin
   }
 
+  /** Plug-in Markov entropy rate per source state — the predictability
+    * one-number on top of [[eventsTransitionMatrix]]'s milli
+    * probabilities: per prev-state the conditional next-step entropy
+    * Σⱼ n_ij·⌊log₂(n_i div n_ij)⌋·1000 div n_i (the occ_cell_diversity
+    * floor-log2 lattice applied to transition counts — exact, no float
+    * logs) plus the state's stationary-plug-in weight n_i·1000 div N.
+    * A state with ≈0 bits has a deterministic successor (a funnel
+    * step); ≈log₂k bits means the chain forgets — the difference is
+    * what decides whether a sequence model is worth training. Plan:
+    * one user-ordered lead window, one (prev, next) agg; the row-total
+    * window and the fold ride the tiny transition table. */
+  def eventsMarkovEntropyRate(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    DomainQueries.events(s, dir)
+      .select(col("user_id"), col("ts_ns"), col("event_id"),
+        col("event_type").as("prev"))
+      .withColumn("next", lead("prev", 1).over(byUser))
+      .filter(col("next").isNotNull)
+      .groupBy("prev", "next").agg(count(lit(1)).as("n"))
+      .withColumn("row_n", sum("n").over(Window.partitionBy("prev")))
+      .withColumn("total_n", sum("n").over(Window.partitionBy()))
+      .groupBy("prev")
+      .agg(max("row_n").as("n_i"), max("total_n").as("n_total"),
+        count(lit(1)).as("k_next"),
+        sum(expr("n * (length(bin(row_n div n)) - 1)")).as("bits_sum"))
+      .select(col("prev"), col("n_i"), col("k_next"),
+        expr("bits_sum * 1000 div n_i").as("cond_entropy_milli_bits"),
+        expr("n_i * 1000 div n_total").as("weight_milli"))
+  }
+
+  private val MARKOV_ENTROPY_SQL =
+    """WITH e AS (
+      |  SELECT user_id, event_type, event_id,
+      |    epoch_ns(ts) // 1000 * 1000 AS ts_ns
+      |  FROM events),
+      |p AS (SELECT event_type AS prev,
+      |        LEAD(event_type, 1) OVER (PARTITION BY user_id
+      |          ORDER BY ts_ns, event_id) AS next
+      |      FROM e),
+      |t AS (SELECT prev, next, CAST(COUNT(*) AS BIGINT) AS n
+      |      FROM p WHERE next IS NOT NULL GROUP BY 1, 2),
+      |w AS (SELECT prev, next, n,
+      |        CAST(SUM(n) OVER (PARTITION BY prev) AS BIGINT) AS row_n,
+      |        CAST(SUM(n) OVER () AS BIGINT) AS total_n
+      |      FROM t)
+      |SELECT prev, MAX(row_n) AS n_i, CAST(COUNT(*) AS BIGINT) AS k_next,
+      |  CAST(SUM(n * (length(bin(row_n // n)) - 1)) AS BIGINT)
+      |    * 1000 // MAX(row_n) AS cond_entropy_milli_bits,
+      |  MAX(row_n) * 1000 // MAX(total_n) AS weight_milli
+      |FROM w GROUP BY prev""".stripMargin
+
+  /** A/B sample-ratio-mismatch gate — the validity check that must pass
+    * BEFORE anyone reads [[eventsAbLift]]'s effect sizes: users split
+    * 50/50 by the 'srm:' md5 bit (own salt — never correlated with
+    * ab_lift's 'ab:' arms), and the χ²(1df) statistic for equal split is
+    * cross-multiplied to the exact lattice (n_a−n_b)²·1000 div n. A
+    * stat over 3841 (χ²₀.₀₅·1000) means the assignment itself is broken
+    * — crashed sessions, bot filtering applied to one arm — and every
+    * downstream metric is garbage. Plan: one user-distinct exchange,
+    * then a single-row conditional fold. */
+  def eventsAbSrm(s: SparkSession, dir: String): DataFrame =
+    DomainQueries.events(s, dir)
+      .select(col("user_id")).distinct()
+      .select(expr("cast(conv(substring(md5(cast(concat('srm:', user_id)" +
+        " as binary)), 1, 15), 16, 10) as bigint) % 2").as("arm"))
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"))
+      .select(col("n_a"), col("n_b"),
+        expr("(n_a - n_b) * (n_a - n_b) * 1000 div (n_a + n_b)")
+          .as("srm_stat_milli"),
+        expr("(n_a - n_b) * (n_a - n_b) * 1000 div (n_a + n_b) > 3841")
+          .as("srm_flag"))
+
+  private val SRM_SQL =
+    """WITH u AS (
+      |  SELECT ('0x' || substr(md5('srm:' || CAST(user_id AS VARCHAR)),
+      |    1, 15))::BIGINT % 2 AS arm
+      |  FROM (SELECT DISTINCT user_id FROM events)),
+      |f AS (
+      |  SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_a,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      |  FROM u)
+      |SELECT n_a, n_b,
+      |  (n_a - n_b) * (n_a - n_b) * 1000 // (n_a + n_b) AS srm_stat_milli,
+      |  (n_a - n_b) * (n_a - n_b) * 1000 // (n_a + n_b) > 3841 AS srm_flag
+      |FROM f""".stripMargin
+
   /** Calendar silence streaks per event type — the dead-man-switch
     * audit next to [[eventsGapHistogram]]'s event-grain gaps: at DAY
     * grain, how much of the type's own calendar span is silent, what
@@ -5445,6 +5533,8 @@ object Analytics {
     "events_spc_rules" -> (eventsSpcRules _),
     "events_user_gini" -> (eventsUserGini _),
     "events_silence_streaks" -> (eventsSilenceStreaks _),
+    "events_markov_entropy_rate" -> (eventsMarkovEntropyRate _),
+    "events_ab_srm" -> (eventsAbSrm _),
     "sim_embedding_outliers" -> (simEmbeddingOutliers _),
     "events_topk_drift" -> (eventsTopkDrift _),
     "sim_pq_distortion" -> (simPqDistortion _),
@@ -5591,6 +5681,8 @@ object Analytics {
     "events_spc_rules" -> SPC_SQL,
     "events_user_gini" -> USER_GINI_SQL,
     "events_silence_streaks" -> SILENCE_SQL,
+    "events_markov_entropy_rate" -> MARKOV_ENTROPY_SQL,
+    "events_ab_srm" -> SRM_SQL,
     "data_class_balance" -> BALANCE_SQL,
     "data_upsample_plan" -> UPSAMPLE_SQL,
     "data_mixture_temperature" -> MIXTEMP_SQL,

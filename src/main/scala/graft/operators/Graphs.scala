@@ -720,6 +720,53 @@ object Graphs {
   def graphTwoHopReach(s: SparkSession, dir: String): DataFrame =
     twoHopReach(SketchQueries.simKnnGraph(s, dir).select("qid", "vec_id"))
 
+  /** Hubness audit of the k-NN graph — the embedding-space pathology
+    * read (in high dimensions a few vectors become everyone's nearest
+    * neighbor; a hubby index answers every query with the same few
+    * ids): exact Gini of the undirected degree distribution on the
+    * events_user_gini rank lattice ((2Σi·dᵢ−(n+1)D)·1000 div (n·D),
+    * ascending (deg, node) ranks — numerator ≥ 0 by Chebyshev), plus
+    * max degree, its milli multiple of the mean (max·n·1000 div D) and
+    * the top-decile degree share. Plan: degrees off the checkpointed
+    * canonical edges; the rank window rides the ≤|distinct degrees|-
+    * bucketed exchange; single-row folds crossJoin (whitelisted). */
+  def hubnessAudit(edges: DataFrame): DataFrame = {
+    val und = edges.toDF("x", "y")
+      .select(least(col("x"), col("y")).as("u"),
+        greatest(col("x"), col("y")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .transform(ckpt)
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+      .withColumn("bkt", col("d")).withColumn("cnt", lit(1L))
+    val offsets = Scale.bucketOffsets(deg, "bkt", Seq("cnt"))
+    val ranked = deg.join(broadcast(offsets), Seq("bkt"))
+      .withColumn("rank",
+        row_number().over(Window.partitionBy("bkt").orderBy("node"))
+          .cast("long") + col("cnt_off"))
+      .select("node", "d", "rank")
+      .transform(ckpt)
+    val tot = ranked.agg(count(lit(1)).as("n_nodes"),
+      sum("d").as("total_degree"), sum(expr("rank * d")).as("isum"),
+      max("d").as("max_degree"))
+    ranked.crossJoin(broadcast(tot))
+      .groupBy("n_nodes", "total_degree", "isum", "max_degree")
+      .agg(sum(when(col("rank") > col("n_nodes") - expr("n_nodes div 10"),
+        col("d")).otherwise(0L)).as("top_decile_degree"))
+      .select(col("n_nodes"), col("total_degree"), col("max_degree"),
+        expr("(2 * isum - (n_nodes + 1) * total_degree) * 1000" +
+          " div (n_nodes * total_degree)").as("gini_milli"),
+        expr("max_degree * n_nodes * 1000 div total_degree")
+          .as("max_over_mean_milli"),
+        expr("top_decile_degree * 1000 div total_degree")
+          .as("top_decile_milli"))
+  }
+
+  /** Hubness audit over the k-NN similarity graph edges. */
+  def simHubnessAudit(s: SparkSession, dir: String): DataFrame =
+    hubnessAudit(SketchQueries.simKnnGraph(s, dir).select("qid", "vec_id"))
+
   /** Fixed-point PageRank over an undirected edge list — the centrality
     * score that picks CANONICAL representatives inside near-dup clusters
     * (the best-connected document of a cluster, vs [[connectedComponents]]'
@@ -1299,6 +1346,7 @@ object Graphs {
     "graph_neighbor_jaccard" -> (graphNeighborJaccard _),
     "graph_link_prediction" -> (graphLinkPrediction _),
     "graph_two_hop_reach" -> (graphTwoHopReach _),
+    "sim_hubness_audit" -> (simHubnessAudit _),
     "graph_bipartite_components" -> (graphBipartiteComponents _),
     "graph_harmonic_centrality" -> (graphHarmonicCentrality _))
 
@@ -1772,6 +1820,37 @@ object Graphs {
          |    // (d * (d - 1)) AS coeff_milli
          |FROM deg LEFT JOIN tri ON tri.node = deg.node
          |WHERE d >= 2""".stripMargin
+    },
+    "sim_hubness_audit" -> {
+      val knnSql = SketchQueries.oracle("sim_knn_graph")
+      s"""WITH knn AS ($knnSql),
+         |eg AS (SELECT DISTINCT LEAST(qid, vec_id) AS u,
+         |         GREATEST(qid, vec_id) AS v
+         |       FROM knn WHERE qid <> vec_id),
+         |deg AS (
+         |  SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+         |    SELECT u AS node FROM eg UNION ALL SELECT v FROM eg)
+         |  GROUP BY node),
+         |r AS (
+         |  SELECT node, d,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY d, node) AS BIGINT) AS rank
+         |  FROM deg),
+         |t AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         |    CAST(SUM(d) AS BIGINT) AS total_degree,
+         |    CAST(SUM(rank * d) AS BIGINT) AS isum,
+         |    MAX(d) AS max_degree
+         |  FROM r)
+         |SELECT n_nodes, total_degree, max_degree,
+         |  (2 * isum - (n_nodes + 1) * total_degree) * 1000
+         |    // (n_nodes * total_degree) AS gini_milli,
+         |  max_degree * n_nodes * 1000 // total_degree
+         |    AS max_over_mean_milli,
+         |  CAST(SUM(CASE WHEN rank > n_nodes - n_nodes // 10 THEN d
+         |    ELSE 0 END) AS BIGINT) * 1000 // total_degree
+         |    AS top_decile_milli
+         |FROM r CROSS JOIN t
+         |GROUP BY n_nodes, total_degree, isum, max_degree""".stripMargin
     },
     "graph_two_hop_reach" -> {
       val knnSql = SketchQueries.oracle("sim_knn_graph")

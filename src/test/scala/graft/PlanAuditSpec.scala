@@ -50,7 +50,8 @@ class PlanAuditSpec extends SparkSpec {
     "sim_matryoshka_recall" -> "documented brute-force baseline: query side is 5 broadcast rows (sim_cosine_topk class)",
     "occ_envelope_projection" -> "generated 64800-row raster × broadcast ≤|species|-row envelope boxes — both sides layout constants",
     "events_user_gini" -> "crossJoin against the single-row broadcast totals fold (1×|users|)",
-    "spatial_zone_pruning_audit" -> "16-box × broadcast 32-file envelope BNLJ — both sides layout constants")
+    "spatial_zone_pruning_audit" -> "16-box × broadcast 32-file envelope BNLJ — both sides layout constants",
+    "sim_hubness_audit" -> "crossJoin against the single-row broadcast totals fold (1×|nodes|)")
 
   test("no query plans a nested-loop or cartesian join outside the whitelist") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -442,7 +443,10 @@ class PlanAuditSpec extends SparkSpec {
     "spatial_zone_pruning_audit" -> 2, // two aggs of one codegen scan; 16×32 envelope BNLJ whitelisted (layout constants)
     "text_textrank_keywords" -> 6, // doc window + pair agg at build (checkpointed); 5 weighted-PR rounds each a tiny join+agg — returned plan: round-5 join+agg off the checkpoint
     "events_silence_streaks" -> 2, // (type,day) agg; lag window + final agg ride ONE event_type exchange
-    "data_vocab_coverage" -> 2) // (source,term) agg checkpointed; vocab rank window rides the term rollup, joins back broadcast
+    "data_vocab_coverage" -> 2, // (source,term) agg checkpointed; vocab rank window rides the term rollup, joins back broadcast
+    "events_markov_entropy_rate" -> 3, // user lead window + (prev,next) agg; row-total/total windows + fold ride the tiny transition table
+    "events_ab_srm" -> 2, // user-distinct exchange + single-row conditional fold
+    "sim_hubness_audit" -> 2) // degrees off the checkpointed edges; bucket-rank exchange (offsets broadcast); 1-row crossJoin whitelisted
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
     // the shard grid must drive the exchange (parallelism = shard count),
