@@ -503,7 +503,58 @@ object Multimodal {
       |  CAST(MAX(bpp) AS BIGINT) AS max_bpp_milli
       |FROM c GROUP BY 1, 2""".stripMargin
 
+  /** Per-kind compute-budget allocation — the batch-sizing sheet a
+    * multimodal trainer reads before mixing modalities (a 224×224 image,
+    * a second of audio and a video clip cost wildly different decode/
+    * encode FLOPs; token counts alone can't price them): per kind the
+    * exact integer cost proxy — image = width·height pixels, audio =
+    * byte-duration ms at the 16 kHz meta rate (nb·1000 div 16000),
+    * video = 64-byte frames × pixels — with item count, total, max and
+    * the milli share of the whole corpus budget. Plan: one codegen
+    * metadata projection + ONE 3-row kind aggregate; the share window
+    * rides the 3-row result. */
+  def multimodalComputeBudget(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio").otherwise("video").as("kind"),
+        (col("n_chars") % 640).as("w"), (col("n_chars") % 480).as("h"),
+        octet_length(col("text")).cast("long").as("nb"))
+      .withColumn("cost", expr(
+        "CASE WHEN kind = 'image' THEN w * h" +
+          " WHEN kind = 'audio' THEN nb * 1000 div 16000" +
+          " ELSE (nb div 64) * w * h END"))
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n_items"), sum("cost").as("total_cost"),
+        max("cost").as("max_cost"))
+      .withColumn("share_milli",
+        expr("total_cost * 1000 div greatest(sum(total_cost) over (), 1L)"))
+
+  private val COMPUTE_BUDGET_SQL =
+    """WITH m AS (
+      |  SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |              WHEN doc_id % 3 = 1 THEN 'audio'
+      |              ELSE 'video' END AS kind,
+      |    n_chars % 640 AS w, n_chars % 480 AS h,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS nb
+      |  FROM documents),
+      |c AS (
+      |  SELECT kind,
+      |    CASE WHEN kind = 'image' THEN w * h
+      |         WHEN kind = 'audio' THEN nb * 1000 // 16000
+      |         ELSE (nb // 64) * w * h END AS cost
+      |  FROM m),
+      |g AS (
+      |  SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_items,
+      |    CAST(SUM(cost) AS BIGINT) AS total_cost, MAX(cost) AS max_cost
+      |  FROM c GROUP BY kind)
+      |SELECT kind, n_items, total_cost, max_cost,
+      |  total_cost * 1000
+      |    // GREATEST(CAST(SUM(total_cost) OVER () AS BIGINT), 1)
+      |    AS share_milli
+      |FROM g""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_compute_budget" -> (multimodalComputeBudget _),
     "multimodal_aspect_audit" -> (multimodalAspectAudit _),
     "multimodal_byte_entropy" -> (multimodalByteEntropy _),
     "multimodal_meta" -> (multimodalMeta _),
@@ -608,6 +659,7 @@ object Multimodal {
   }
 
   val oracle: Map[String, String] = Map(
+    "multimodal_compute_budget" -> COMPUTE_BUDGET_SQL,
     "multimodal_aspect_audit" -> ASPECT_SQL,
     "multimodal_byte_entropy" -> ENTROPY_SQL,
     "multimodal_chunk_dedup" -> CHUNK_SQL,

@@ -1323,7 +1323,62 @@ object Records {
       |  n_deleted * 1000 // n_rows >= 30 AS do_vacuum
       |FROM sh""".stripMargin
 
+  /** GFS snapshot-retention planner — the expiry policy every
+    * time-travel table needs next to [[metaVacuumPlan]]'s file sweep:
+    * over the table's snapshot history (proxied by the distinct event
+    * days), classify each snapshot into grandfather-father-son tiers on
+    * the pure day lattice — daily (age < 7), weekly (the LATEST
+    * snapshot of its 7-day bucket, age < 56), monthly (latest of its
+    * 30-day bucket, age < 360), else expire. Deterministic integer
+    * arithmetic only (bucket = day div 7 / div 30 — the policy a
+    * catalog can replay idempotently); ships age, tier and the keep
+    * flag per snapshot. Plan: one day-distinct exchange; the horizon
+    * window and both latest-of-bucket windows ride the ≤|days|-row
+    * relation. */
+  def metaGfsRetention(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val DAY_NS = 86400000000000L
+    val days = DomainQueries.events(s, dir)
+      .select(expr(s"ts_ns div $DAY_NS").as("day")).distinct()
+      .withColumn("age_days",
+        max("day").over(Window.partitionBy()) - col("day"))
+      .withColumn("wk_latest",
+        row_number().over(Window.partitionBy(expr("day div 7"))
+          .orderBy(col("day").desc)) === 1)
+      .withColumn("mo_latest",
+        row_number().over(Window.partitionBy(expr("day div 30"))
+          .orderBy(col("day").desc)) === 1)
+    days.select(col("day"), col("age_days"),
+      when(col("age_days") < 7, "daily")
+        .when(col("wk_latest") && col("age_days") < 56, "weekly")
+        .when(col("mo_latest") && col("age_days") < 360, "monthly")
+        .otherwise("expire").as("tier"))
+      .withColumn("keep", col("tier") =!= "expire")
+  }
+
+  private val GFS_SQL =
+    """WITH d AS (
+      |  SELECT DISTINCT epoch_ns(ts) // 86400000000000 AS day FROM events),
+      |g AS (
+      |  SELECT day, MAX(day) OVER () - day AS age_days,
+      |    ROW_NUMBER() OVER (PARTITION BY day // 7 ORDER BY day DESC) = 1
+      |      AS wk_latest,
+      |    ROW_NUMBER() OVER (PARTITION BY day // 30 ORDER BY day DESC) = 1
+      |      AS mo_latest
+      |  FROM d)
+      |SELECT day, age_days,
+      |  CASE WHEN age_days < 7 THEN 'daily'
+      |       WHEN wk_latest AND age_days < 56 THEN 'weekly'
+      |       WHEN mo_latest AND age_days < 360 THEN 'monthly'
+      |       ELSE 'expire' END AS tier,
+      |  CASE WHEN age_days < 7 THEN 'daily'
+      |       WHEN wk_latest AND age_days < 56 THEN 'weekly'
+      |       WHEN mo_latest AND age_days < 360 THEN 'monthly'
+      |       ELSE 'expire' END <> 'expire' AS keep
+      |FROM g""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "meta_gfs_retention" -> (metaGfsRetention _),
     "meta_overlap_depth" -> (metaOverlapDepth _),
     "meta_vacuum_plan" -> (metaVacuumPlan _),
     "meta_mgnify_enrich" -> (mgnifyEnrich _),
@@ -1420,6 +1475,7 @@ object Records {
       |FROM k, r, tk""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "meta_gfs_retention" -> GFS_SQL,
     "meta_overlap_depth" -> OVERLAP_SQL,
     "meta_vacuum_plan" -> VACUUM_SQL,
     // the oracle filters the RAW table — a hash match proves the

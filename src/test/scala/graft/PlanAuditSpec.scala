@@ -446,7 +446,9 @@ class PlanAuditSpec extends SparkSpec {
     "data_vocab_coverage" -> 2, // (source,term) agg checkpointed; vocab rank window rides the term rollup, joins back broadcast
     "events_markov_entropy_rate" -> 3, // user lead window + (prev,next) agg; row-total/total windows + fold ride the tiny transition table
     "events_ab_srm" -> 2, // user-distinct exchange + single-row conditional fold
-    "sim_hubness_audit" -> 2) // degrees off the checkpointed edges; bucket-rank exchange (offsets broadcast); 1-row crossJoin whitelisted
+    "sim_hubness_audit" -> 2, // degrees off the checkpointed edges; bucket-rank exchange (offsets broadcast); 1-row crossJoin whitelisted
+    "meta_gfs_retention" -> 2, // day-distinct exchange; horizon + both latest-of-bucket windows ride the ≤|days|-row relation
+    "multimodal_compute_budget" -> 2) // codegen metadata projection + ONE 3-row kind agg; share window rides the result
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
     // the shard grid must drive the exchange (parallelism = shard count),
