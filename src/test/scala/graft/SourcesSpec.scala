@@ -278,4 +278,32 @@ class SourcesSpec extends SparkSpec {
     assert(java.nio.file.Files.getLastModifiedTime(manifestPath) !== before2,
       "fingerprint mismatch did not trigger a rebuild")
   }
+
+  test("replay stream source: rate-limited micro-batches, exactly-once deterministic rows") {
+    import spark.implicits._
+    val df = spark.readStream.format("graft.sources.ReplayStreamSource")
+      .option("totalRows", 1000).option("rowsPerBatch", 300)
+      .option("partitions", 4).load()
+    val q = df.writeStream.format("memory").queryName("replay_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT event_id, ts_ns, event_type, value_milli" +
+        " FROM replay_out").as[(Long, Long, String, Long)].collect()
+      // complete, duplicate-free replay of exactly totalRows
+      assert(rows.length === 1000)
+      assert(rows.map(_._1).distinct.length === 1000)
+      assert(rows.map(_._1).min === 0L && rows.map(_._1).max === 999L)
+      // rate limit: ceil(1000/300) = 4 micro-batches, none above the cap
+      val batches = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+      assert(batches.sum === 1000L)
+      assert(batches.forall(_ <= 300L))
+      assert(batches.length === 4)
+      // deterministic content: every row equals the splitmix64 derivation
+      rows.foreach { case (id, ts, tpe, v) =>
+        val (_, ets, etpe, ev) = graft.sources.ReplayStreamSource.rowAt(id)
+        assert((ts, tpe, v) === ((ets, etpe, ev)), s"row $id diverged")
+      }
+    } finally q.stop()
+  }
 }
