@@ -597,6 +597,33 @@ object CoreQueries {
         expr("n_acquired * 1000 div n_1997").as("acquisition_milli"))
   }
 
+  /** Small-order revenue mix by part brand × type (TPC-H Q14/Q17
+    * cousin): which catalog segments the low-quantity tail actually
+    * buys, top-20 by revenue with the exact milli share of that tail.
+    * Revenue goes through the DECIMAL casts BEFORE arithmetic; the
+    * share rides the scale-4 integer lattice (rev·10⁴ is whole after
+    * the DECIMAL product, so the BIGINT cast is exact and the milli
+    * division floors identically in both engines). Plan: lineitem scan
+    * with the quantity filter pushed down, broadcast part join, ONE
+    * (brand, type) partial agg; the total window rides the ≤|brand×
+    * type|-row aggregate and the top-20 is TakeOrdered. */
+  def q40(s: SparkSession, dir: String): DataFrame = {
+    val revenue = dec2(col("l_extendedprice")) * dec2(lit(1) - col("l_discount"))
+    t(s, dir, "lineitem")
+      .filter(col("l_quantity") < 10)
+      .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type")
+      .agg(sum(revenue).as("rev_dec"), count(lit(1)).as("n_items"))
+      .withColumn("rv4", (col("rev_dec") * lit(10000)).cast("long"))
+      .withColumn("share_milli",
+        expr("rv4 * 1000 div sum(rv4) over ()"))
+      .select(col("p_brand"), col("p_type"),
+        col("rev_dec").cast("double").as("revenue"), col("n_items"),
+        col("share_milli"))
+      .orderBy(col("revenue").desc, col("p_brand"), col("p_type"))
+      .limit(20)
+  }
+
   def q24(s: SparkSession, dir: String): DataFrame = {
     val revenue = dec2(col("l_extendedprice")) * dec2(lit(1) - col("l_discount"))
     t(s, dir, "lineitem")
@@ -821,6 +848,7 @@ object CoreQueries {
 
   val queries: Map[String, Q] = Map(
     "q39_late_order_priority" -> (q39 _),
+    "q40_brand_type_share" -> (q40 _),
     "q19_star_join" -> (q19 _),
     "q24_returned_revenue" -> (q24 _),
     "q25_quarter_growth" -> (q25 _),
@@ -865,6 +893,18 @@ object CoreQueries {
   private val DP = "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))"
 
   val oracle: Map[String, String] = Map(
+    "q40_brand_type_share" ->
+      s"""WITH g AS (
+         |  SELECT p_brand, p_type, SUM($DP) AS rev_dec,
+         |    CAST(COUNT(*) AS BIGINT) AS n_items
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE l_quantity < 10
+         |  GROUP BY 1, 2)
+         |SELECT p_brand, p_type, CAST(rev_dec AS DOUBLE) AS revenue, n_items,
+         |  CAST(rev_dec * 10000 AS BIGINT) * 1000
+         |    // CAST(SUM(rev_dec * 10000) OVER () AS BIGINT) AS share_milli
+         |FROM g
+         |ORDER BY revenue DESC, p_brand, p_type LIMIT 20""".stripMargin,
     "q39_late_order_priority" ->
       """WITH lt AS (
         |  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_late_orders

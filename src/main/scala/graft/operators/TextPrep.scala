@@ -300,6 +300,56 @@ object TextPrep {
       |    // CAST(SUM(cap) AS BIGINT) AS waste_milli
       |FROM c GROUP BY source""".stripMargin
 
+  /** Leave-one-source-out corpus impact — the cheapest source-ablation
+    * sheet (what retraining-with-source-removed would cost weeks to
+    * answer, an additive statistic answers in one aggregate): per source
+    * the corpus mean document token length WITHOUT that source vs the
+    * global mean, both on the exact divide-first milli lattice, and the
+    * signed delta. A big positive delta means the source drags the
+    * corpus short (boilerplate fragments); negative means it carries
+    * the long-form mass. The shape generalizes to any additive quality
+    * metric. Plan: one narrow codegen projection + ONE |sources|-row
+    * agg; both global windows ride the 20-row aggregate. */
+  def dataLooSourceImpact(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("source"),
+        size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
+          .cast("long").as("len"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("len").as("sum_len"))
+      .withColumn("n_all", sum("n_docs").over(Window.partitionBy()))
+      .withColumn("s_all", sum("sum_len").over(Window.partitionBy()))
+      .select(col("source"), col("n_docs"),
+        expr("sum_len * 1000 div n_docs").as("own_mean_milli"),
+        expr("s_all * 1000 div n_all").as("global_mean_milli"),
+        expr("(s_all - sum_len) * 1000 div (n_all - n_docs)")
+          .as("loo_mean_milli"))
+      .withColumn("delta_milli",
+        col("loo_mean_milli") - col("global_mean_milli"))
+
+  private val LOO_SQL =
+    """WITH d AS (
+      |  SELECT source,
+      |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+      |      AS len
+      |  FROM documents),
+      |g AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(len) AS BIGINT) AS sum_len
+      |  FROM d GROUP BY source),
+      |w AS (
+      |  SELECT source, n_docs, sum_len,
+      |    CAST(SUM(n_docs) OVER () AS BIGINT) AS n_all,
+      |    CAST(SUM(sum_len) OVER () AS BIGINT) AS s_all
+      |  FROM g)
+      |SELECT source, n_docs,
+      |  sum_len * 1000 // n_docs AS own_mean_milli,
+      |  s_all * 1000 // n_all AS global_mean_milli,
+      |  (s_all - sum_len) * 1000 // (n_all - n_docs) AS loo_mean_milli,
+      |  (s_all - sum_len) * 1000 // (n_all - n_docs)
+      |    - s_all * 1000 // n_all AS delta_milli
+      |FROM w""".stripMargin
+
   /** Reference-vocabulary coverage per source — the tokenizer-health
     * read BETWEEN [[textUnigramDrift]] (distribution distance) and
     * data_tokenizer_fertility (subword blowup): what share of each
@@ -1692,7 +1742,8 @@ object TextPrep {
     "text_rarity" -> (textRarity _),
     "data_pack_sequences" -> (dataPackSequences _),
     "data_padding_waste" -> (dataPaddingWaste _),
-    "data_vocab_coverage" -> (dataVocabCoverage _))
+    "data_vocab_coverage" -> (dataVocabCoverage _),
+    "data_loo_source_impact" -> (dataLooSourceImpact _))
 
   val oracle: Map[String, String] = Map(
     "text_lang_divergence" -> LANGDIV_SQL,
@@ -1727,5 +1778,6 @@ object TextPrep {
     "text_rarity" -> RARITY_SQL,
     "data_pack_sequences" -> PACK_SQL,
     "data_padding_waste" -> PADDING_SQL,
-    "data_vocab_coverage" -> VOCAB_COVERAGE_SQL)
+    "data_vocab_coverage" -> VOCAB_COVERAGE_SQL,
+    "data_loo_source_impact" -> LOO_SQL)
 }
