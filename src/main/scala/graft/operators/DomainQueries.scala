@@ -352,6 +352,29 @@ object DomainQueries {
         min("lon").as("lon_min"), max("lon").as("lon_max"))
   }
 
+  /** Whittaker rank-abundance curve — the community-structure readout
+    * every survey publishes next to the richness number: species ranked
+    * by occurrence count (count desc, species — total order), each with
+    * its exact milli share, CUMULATIVE milli share and floor-log2
+    * abundance (the bin-length lattice). A steep curve = few dominants
+    * (geometric series); a flat one = high evenness. The species
+    * dimension is a bounded vocabulary (it does not grow with the
+    * corpus), so the rank window rides the ≤\|species\|-row aggregate —
+    * never row-level data. */
+  def occRankAbundance(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("n_occ").desc, col("species"))
+    valid(s, dir)
+      .groupBy("species").agg(count(lit(1)).as("n_occ"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("total", sum("n_occ").over(Window.partitionBy()))
+      .withColumn("cum", sum("n_occ").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("rank"), col("species"), col("n_occ"),
+        expr("n_occ * 1000 div total").as("share_milli"),
+        expr("cum * 1000 div total").as("cum_share_milli"),
+        expr("cast(length(bin(n_occ)) - 1 as bigint)").as("log2_abund"))
+  }
+
   /** Zone-map pruning audit of the z-order layout — the measurement that
     * justifies [[spatialZorderLayout]] at 100 TB: for each of the 16
     * disjoint 45°×90° query boxes, how many of the 32 z-range files does
@@ -1931,6 +1954,7 @@ object DomainQueries {
     "occ_latitude_gradient" -> (occLatitudeGradient _),
     "spatial_zorder_layout" -> (spatialZorderLayout _),
     "spatial_zone_pruning_audit" -> (spatialZonePruningAudit _),
+    "occ_rank_abundance" -> (occRankAbundance _),
     "spatial_nearest" -> (spatialNearest _),
     "occ_temporal_trend" -> (occTemporalTrend _),
     "occ_outlier_mad" -> (occOutlierMad _))
@@ -1966,6 +1990,24 @@ object DomainQueries {
       |FROM bg GROUP BY accession, species""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "occ_rank_abundance" -> withSql(OCC_SQL, VALID_SQL,
+      """g AS (
+        |  SELECT species, CAST(COUNT(*) AS BIGINT) AS n_occ
+        |  FROM valid GROUP BY species),
+        |r AS (
+        |  SELECT species, n_occ,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY n_occ DESC, species) AS BIGINT)
+        |      AS rank,
+        |    CAST(SUM(n_occ) OVER () AS BIGINT) AS total,
+        |    CAST(SUM(n_occ) OVER (ORDER BY n_occ DESC, species
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum
+        |  FROM g)""".stripMargin)(
+      """SELECT rank, species, n_occ,
+        |  n_occ * 1000 // total AS share_milli,
+        |  cum * 1000 // total AS cum_share_milli,
+        |  CAST(length(bin(n_occ)) - 1 AS BIGINT) AS log2_abund
+        |FROM r""".stripMargin),
     "spatial_zone_pruning_audit" -> withSql(OCC_SQL, VALID_SQL,
       s"""r AS (
         |  SELECT $MORTON18 AS z,

@@ -911,6 +911,50 @@ object Streams {
     }
   }
 
+  case class SilState(prevDay: Long, minDay: Long, maxDay: Long,
+                      nDays: Long, nRuns: Long, maxGap: Long,
+                      lastGapEnd: Option[Long])
+  case class SilOut(event_type: String, n_days: Long, span_days: Long,
+                    n_silent_runs: Long, max_gap_days: Long,
+                    last_gap_end_day: Option[Long], coverage_milli: Long)
+
+  /** Streaming counterpart of events_silence_streaks — O(1) state (the
+    * queueWait class): the silence audit only needs the previous
+    * observed day, the span endpoints and three gap counters — seven
+    * longs per type at any calendar length. Input is the upstream
+    * (type, day) observed-day stream, per-key ascending, each day once;
+    * within a batch rows sort by day. Same lattice as the batch lag
+    * windows (gap = day − prev − 1, runs where gap ≥ 1), so once the
+    * stream drains the calendar the LAST emission per type equals the
+    * batch row — the spec pins that equality. */
+  def silenceStreaks(days: Dataset[(String, Long)]): Dataset[SilOut] = {
+    import days.sparkSession.implicits._
+    days.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (tpe: String, it: Iterator[(String, Long)],
+       state: GroupState[SilState]) =>
+        var st = state.getOption.getOrElse(
+          SilState(Long.MinValue, 0L, 0L, 0L, 0L, 0L, None))
+        for ((_, day) <- it.toSeq.sortBy(_._2)) {
+          if (st.nDays == 0L) st = SilState(day, day, day, 1L, 0L, 0L, None)
+          else {
+            val gap = day - st.prevDay - 1
+            st = SilState(day, st.minDay, day, st.nDays + 1,
+              st.nRuns + (if (gap >= 1) 1L else 0L),
+              math.max(st.maxGap, gap),
+              if (gap >= 1) Some(day - 1) else st.lastGapEnd)
+          }
+        }
+        state.update(st)
+        if (st.nDays == 0L) Iterator.empty
+        else {
+          val span = st.maxDay - st.minDay + 1
+          Iterator(SilOut(tpe, st.nDays, span, st.nRuns, st.maxGap,
+            st.lastGapEnd, st.nDays * 1000 / span))
+        }
+    }
+  }
+
   case class RtState(prevC: Long, prevSgn: Long, nUp: Long, nDown: Long,
                      nRuns: Long)
   case class RtOut(event_type: String, n_up: Long, n_down: Long,

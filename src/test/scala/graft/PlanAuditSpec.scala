@@ -450,7 +450,8 @@ class PlanAuditSpec extends SparkSpec {
     "meta_gfs_retention" -> 2, // day-distinct exchange; horizon + both latest-of-bucket windows ride the ≤|days|-row relation
     "multimodal_compute_budget" -> 2, // codegen metadata projection + ONE 3-row kind agg; share window rides the result
     "q40_brand_type_share" -> 2, // pushed quantity filter + broadcast part join + ONE (brand,type) agg; total window on the aggregate, top-20 TakeOrdered
-    "data_loo_source_impact" -> 2) // narrow codegen projection + ONE |sources|-row agg; both global windows ride the 20-row aggregate
+    "data_loo_source_impact" -> 2, // narrow codegen projection + ONE |sources|-row agg; both global windows ride the 20-row aggregate
+    "occ_rank_abundance" -> 2) // ONE species partial agg; rank/total/cum windows ride the ≤|species|-row aggregate
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
     // the shard grid must drive the exchange (parallelism = shard count),

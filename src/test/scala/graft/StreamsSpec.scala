@@ -875,6 +875,38 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming silence-streaks carries O(1) state and converges to the batch operator") {
+    val days = DomainQueries.events(spark, sf)
+      .select(col("event_type"), expr("ts_ns div 86400000000000").as("day"))
+      .distinct().as[(String, Long)]
+    val batch = operators.Analytics.eventsSilenceStreaks(spark, sf)
+      .as[(String, Long, Long, Long, Long, Option[Long], Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+    val whole = Streams.silenceStreaks(days).collect()
+      .map(o => o.event_type -> ((o.n_days, o.span_days, o.n_silent_runs,
+        o.max_gap_days, o.last_gap_end_day, o.coverage_milli))).toMap
+    assert(whole === batch)
+    assert(batch.nonEmpty)
+    // split mid-stream INSIDE a gap so the previous-day state crosses the
+    // boundary: days 0,1,5,6,9 → gaps of 3 (ending day 4) and 2 (ending 8)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val q = Streams.silenceStreaks(mem.toDS())
+      .writeStream.format("memory").queryName("sil_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(("a", 0L), ("a", 1L)); q.processAllAvailable()
+      mem.addData(("a", 5L), ("a", 6L), ("a", 9L)); q.processAllAvailable()
+      val rows = spark.sql("SELECT n_days, span_days, n_silent_runs, " +
+        "max_gap_days, last_gap_end_day, coverage_milli FROM sil_out " +
+        "ORDER BY n_days")
+        .as[(Long, Long, Long, Long, Option[Long], Long)].collect()
+      assert(rows.length === 2)
+      assert(rows.head === ((2L, 2L, 0L, 0L, None, 1000L)))
+      assert(rows.last === ((5L, 10L, 2L, 3L, Some(8L), 500L)))
+    } finally q.stop()
+  }
+
   test("streaming record-days carries O(1) state and converges to the batch operator") {
     val days = DomainQueries.events(spark, sf)
       .select(col("event_type"), expr("ts_ns div 86400000000000").as("day"))
