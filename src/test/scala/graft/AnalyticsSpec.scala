@@ -1478,4 +1478,35 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("k-center greedy: radii non-increasing, centers distinct, seed is min vec_id") {
+    val rows = Analytics.simKcenterCoverage(spark, sf)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.length === 6)
+    assert(rows.map(_._1).toSeq === (0L to 5L))
+    // greedy invariant: adding a center never grows the coverage radius
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 <= a._3, s"radius grew: round ${a._1} ${a._3} -> ${b._3}")
+    }
+    // all centers distinct; the seed is the smallest vec_id
+    assert(rows.map(_._2).distinct.length === 6)
+    val minVec = spark.read
+      .parquet(s"$sf/embeddings.parquet").agg(min("vec_id"))
+      .as[Long].collect().head
+    assert(rows.head._2 === minVec)
+    // every radius is a non-negative exact fixed-point d²
+    rows.foreach { case (_, _, r) => assert(r >= 0L) }
+  }
+
+  test("triplet margin audit: counts are consistent and violations bounded") {
+    val got = Analytics.simTripletMarginAudit(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.length === 10) // one row per label
+    got.foreach { case (_, nTrip, nViol, minM, sumM, milli) =>
+      assert(nTrip >= 1L && nViol >= 0L && nViol <= nTrip)
+      assert(milli === nViol * 1000 / nTrip)
+      // min margin can't exceed the mean margin
+      assert(minM * nTrip <= sumM)
+    }
+  }
+
 }
