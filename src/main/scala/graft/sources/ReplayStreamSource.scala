@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -94,29 +94,34 @@ private[sources] case class ReplayOffset(n: Long) extends Offset {
 }
 
 private[sources] class ReplayStream(total: Long, perBatch: Long, parts: Int)
-    extends MicroBatchStream {
-  // monotonic admission pointer; commit() keeps it ≥ every checkpointed
-  // offset so a recovered query never plans a negative range
-  private var planned = 0L
+    extends MicroBatchStream with SupportsAdmissionControl {
+  // STATELESS admission control: the engine hands the restored start
+  // offset into latestOffset(start, limit), so a recovered query (a
+  // FRESH stream instance reading the checkpoint's offset log) computes
+  // the next admission window without any in-memory pointer — the
+  // restart-correct shape the no-arg latestOffset() cannot express.
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(perBatch)
 
   override def initialOffset(): Offset = ReplayOffset(0L)
-  override def deserializeOffset(json: String): Offset = {
-    val o = ReplayOffset(json.toLong)
-    planned = math.max(planned, o.n)
-    o
+  override def deserializeOffset(json: String): Offset =
+    ReplayOffset(json.toLong)
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[ReplayOffset].n
+    val cap = limit match {
+      case m: ReadMaxRows => m.maxRows()
+      case _ => perBatch
+    }
+    ReplayOffset(math.min(total, s + cap))
   }
-  override def latestOffset(): Offset = {
-    planned = math.min(total, planned + perBatch)
-    ReplayOffset(planned)
-  }
-  override def commit(end: Offset): Unit =
-    planned = math.max(planned, end.asInstanceOf[ReplayOffset].n)
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-controlled source: the engine must call latestOffset(start, limit)")
+  override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[ReplayOffset].n
     val e = end.asInstanceOf[ReplayOffset].n
-    planned = math.max(planned, e)
     if (e <= s) return Array.empty
     val per = (e - s + parts - 1) / parts
     (0 until parts).flatMap { p =>

@@ -306,4 +306,31 @@ class SourcesSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("replay stream source recovers from a checkpoint with no duplicates or gaps") {
+    import spark.implicits._
+    // Trigger.Once = exactly one micro-batch per (re)start, so each
+    // restart exercises deserializeOffset + the monotonic admission
+    // pointer across a FRESH MicroBatchStream instance
+    val dir = java.nio.file.Files.createTempDirectory("replay_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("replay_out").toString
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft.sources.ReplayStreamSource")
+        .option("totalRows", 500).option("rowsPerBatch", 200)
+        .option("partitions", 3).load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", dir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce(); runOnce(); runOnce() // 200 + 200 + 100
+    val ids = spark.read.parquet(out).select("event_id").as[Long].collect()
+    assert(ids.length === 500, "restarts must neither duplicate nor drop rows")
+    assert(ids.distinct.length === 500)
+    assert(ids.min === 0L && ids.max === 499L)
+    // a fourth restart past the end emits nothing
+    runOnce()
+    assert(spark.read.parquet(out).count() === 500L)
+  }
 }
