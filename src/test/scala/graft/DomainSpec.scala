@@ -1151,4 +1151,40 @@ class DomainSpec extends SparkSpec {
     }
   }
 
+  test("zone pruning audit conserves rows and never scans less than it matches") {
+    import spark.implicits._
+    val got = operators.DomainQueries.spatialZonePruningAudit(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty && got.length <= 16)
+    // disjoint grid boxes: matched rows over all boxes == every valid row
+    val totalValid = operators.DomainQueries.valid(spark, sf).count()
+    assert(got.map(_._3).sum === totalValid)
+    got.foreach { case (qy, qx, matched, files, scanned, amp) =>
+      assert(qy >= 0 && qy <= 3 && qx >= 0 && qx <= 3)
+      // zone maps can over-read, never under-read; ≥1 file always hits
+      assert(scanned >= matched && files >= 1 && files <= 32)
+      assert(amp === scanned * 1000 / matched && amp >= 1000)
+    }
+  }
+
+  test("GFS retention tiers are exhaustive, disjoint, and keep the whole last week") {
+    import spark.implicits._
+    val got = operators.Records.metaGfsRetention(spark, sf)
+      .as[(Long, Long, String, Boolean)].collect()
+    assert(got.nonEmpty)
+    assert(got.map(_._1).distinct.length === got.length) // one row per snapshot
+    got.foreach { case (_, age, tier, keep) =>
+      assert(Set("daily", "weekly", "monthly", "expire")(tier))
+      assert(keep === (tier != "expire"))
+      if (age < 7) assert(tier === "daily", s"age $age must be daily-kept")
+      if (tier == "weekly") assert(age >= 7 && age < 56)
+      if (tier == "monthly") assert(age >= 7 && age < 360)
+    }
+    // each 7-day bucket in the weekly horizon keeps AT MOST one snapshot
+    val weekly = got.filter(_._3 == "weekly").groupBy(_._1 / 7)
+    weekly.foreach { case (wk, rows) =>
+      assert(rows.length === 1, s"week bucket $wk kept ${rows.length}")
+    }
+  }
+
 }
