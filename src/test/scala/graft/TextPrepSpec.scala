@@ -993,4 +993,33 @@ class TextPrepSpec extends SparkSpec {
     }
   }
 
+  test("textrank: rank mass is conserved up to flooring, ranks positive, top word is a hub") {
+    import spark.implicits._
+    val got = operators.TextQueries.textTextrankKeywords(spark, sf)
+      .as[(String, Long, Double)].collect()
+    assert(got.nonEmpty)
+    val scale = 1073741824L
+    val n = got.length.toLong
+    val mass = got.map(_._2).sum
+    // every floor leaks < 1 unit per (node × round) plus the teleport
+    // remainder; total mass stays within that envelope of 2^30 and can
+    // never exceed it
+    assert(mass <= scale)
+    assert(mass >= scale - 6 * n * (n + 20), s"mass $mass leaked too much")
+    got.foreach { case (w, r, v) =>
+      assert(r > 0 && w.nonEmpty)
+      assert(math.abs(v - r.toDouble / scale) < 1e-12)
+    }
+    // the top-ranked word must be one of the corpus's high-degree hub
+    // terms: its weighted degree is within the top quartile
+    val topWord = got.maxBy(r => (r._2, r._1))._1
+    val freqs = operators.TextQueries.textTermBurstiness(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    val cut = freqs.values.toSeq.sorted.reverse
+      .take(math.max(1, freqs.size / 4)).last
+    assert(freqs.getOrElse(topWord, 0L) >= cut,
+      s"top textrank word '$topWord' is not a frequency-top-quartile term")
+  }
+
 }
