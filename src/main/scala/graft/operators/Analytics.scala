@@ -5524,7 +5524,193 @@ object Analytics {
       |  CAST(SUM(wms) // COUNT(*) AS BIGINT) AS mean_wait_ms
       |FROM wt GROUP BY 1""".stripMargin
 
+  /** Max drawdown of the daily-load series per event type — the
+    * "worst decline from peak" read the record-days operator
+    * ([[eventsRecordDays]]) is the mirror of: with c the daily count
+    * and run_max its running maximum, drawdown = run_max − c, and the
+    * relative form (run_max − c)·1000 div run_max is an exact
+    * nonnegative lattice (run_max ≥ c ≥ 1, so Spark div and DuckDB //
+    * agree and there is no division by zero). Reports the absolute and
+    * relative maxima plus the count of days ≥10% below peak — the SLO
+    * dashboards' "time under water". Plan: one (type, day) partial
+    * aggregate, then the running-max window and the per-type rollup
+    * both ride the SAME event_type exchange. */
+  def eventsMaxDrawdown(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    DomainQueries.events(s, dir)
+      .select(col("event_type"), expr(s"ts_ns div $DAY_NS").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      .withColumn("run_max", max("c").over(w))
+      .withColumn("ddm", expr("(run_max - c) * 1000 div run_max"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        max("c").as("peak_daily"),
+        max(expr("run_max - c")).as("max_drawdown"),
+        max("ddm").as("max_dd_milli"),
+        sum(when(col("ddm") >= 100, 1L).otherwise(0L))
+          .as("n_days_below_peak10"))
+  }
+
+  private val DRAWDOWN_SQL =
+    s"""WITH d AS (
+       |  SELECT event_type, epoch_ns(ts) // $DAY_NS AS day,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM events GROUP BY 1, 2),
+       |g AS (
+       |  SELECT event_type, c,
+       |    MAX(c) OVER (PARTITION BY event_type ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_max
+       |  FROM d)
+       |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+       |  CAST(MAX(c) AS BIGINT) AS peak_daily,
+       |  CAST(MAX(run_max - c) AS BIGINT) AS max_drawdown,
+       |  CAST(MAX((run_max - c) * 1000 // run_max) AS BIGINT)
+       |    AS max_dd_milli,
+       |  CAST(SUM(CASE WHEN (run_max - c) * 1000 // run_max >= 100
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_days_below_peak10
+       |FROM g GROUP BY event_type""".stripMargin
+
+  /** Page–Hinkley drift alarm per event type — the sequential-detection
+    * sibling of [[eventsCusum]]: calibrate on the FIRST HALF of the
+    * observed days (n0 = n div 2 days, s0 = their count mass), then
+    * over the test half accumulate the ×n0-scaled deviation
+    * dev = c·n0 − s0 (zero exactly at the calibration mean — no
+    * division, no floats) and track ph = g − min(0, running-min g),
+    * the classic PH statistic. Alarm when ph exceeds 5·s0 — five full
+    * calibration-mean days of cumulative excess. Everything is a
+    * BIGINT lattice (dev products stay < 2^63 to ~1e14 daily count ×
+    * calendar). Plan: the rank window, both conditional-sum windows,
+    * the running-sum/min windows and the final per-type rollup ALL
+    * ride one event_type exchange after the (type, day) partial agg. */
+  def eventsPageHinkley(s: SparkSession, dir: String): DataFrame = {
+    val wp = Window.partitionBy("event_type")
+    val wo = wp.orderBy("day")
+    val wrun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    DomainQueries.events(s, dir)
+      .select(col("event_type"), expr(s"ts_ns div $DAY_NS").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      .withColumn("n", count(lit(1)).over(wp))
+      .withColumn("rn", row_number().over(wo))
+      .withColumn("n0", expr("n div 2"))
+      .withColumn("s0",
+        sum(when(col("rn") <= col("n0"), col("c")).otherwise(0L)).over(wp))
+      .withColumn("dev",
+        when(col("rn") > col("n0"), expr("c * n0 - s0")).otherwise(0L))
+      .withColumn("g", sum("dev").over(wrun))
+      .withColumn("ph", expr("g - least(0L, min(g) over " +
+        "(partition by event_type order by day rows between " +
+        "unbounded preceding and current row))"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        max("n0").as("n_calib"),
+        max("ph").as("max_ph"),
+        sum(when(col("ph") > col("s0") * 5 && col("rn") > col("n0"), 1L)
+          .otherwise(0L)).as("n_alarm_days"),
+        min(when(col("ph") > col("s0") * 5 && col("rn") > col("n0"),
+          col("day"))).as("first_alarm_day"))
+  }
+
+  private val PAGE_HINKLEY_SQL =
+    s"""WITH d AS (
+       |  SELECT event_type, epoch_ns(ts) // $DAY_NS AS day,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM events GROUP BY 1, 2),
+       |r AS (
+       |  SELECT event_type, day, c,
+       |    CAST(COUNT(*) OVER w AS BIGINT) // 2 AS n0,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+       |      AS BIGINT) AS rn
+       |  FROM d WINDOW w AS (PARTITION BY event_type)),
+       |cal AS (
+       |  SELECT event_type, day, c, n0, rn,
+       |    CAST(SUM(CASE WHEN rn <= n0 THEN c ELSE 0 END)
+       |      OVER (PARTITION BY event_type) AS BIGINT) AS s0
+       |  FROM r),
+       |gg AS (
+       |  SELECT event_type, day, rn, n0, s0,
+       |    CAST(SUM(CASE WHEN rn > n0 THEN c * n0 - s0 ELSE 0 END)
+       |      OVER w AS BIGINT) AS g
+       |  FROM cal WINDOW w AS (PARTITION BY event_type ORDER BY day
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |ph AS (
+       |  SELECT event_type, day, rn, n0, s0,
+       |    g - LEAST(0, MIN(g) OVER (PARTITION BY event_type ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS ph
+       |  FROM gg)
+       |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+       |  CAST(MAX(n0) AS BIGINT) AS n_calib,
+       |  CAST(MAX(ph) AS BIGINT) AS max_ph,
+       |  CAST(SUM(CASE WHEN ph > s0 * 5 AND rn > n0 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_alarm_days,
+       |  MIN(CASE WHEN ph > s0 * 5 AND rn > n0 THEN day END)
+       |    AS first_alarm_day
+       |FROM ph GROUP BY event_type""".stripMargin
+
+  /** Wilson 95% score interval for the per-type high-value rate
+    * (value ≥ 50, the corpus median split) — the closed-form CI the
+    * bootstrap operator ([[eventsBootstrapCi]]) approximates by
+    * resampling. New exact-lattice trick: the square root is taken as
+    * an EXACT integer sqrt — floor(sqrt(double)) then a ±1 correction
+    * against the integer squares — so both engines land on the same
+    * BIGINT for any radicand below 2^53 (envelope ≈ 3.6e8 events/type
+    * at the ×1e8 scaling; re-scale to 1e6 beyond). With z = 1.96 as
+    * the fixed-point literals z²·1e4 = 38416, z²/2·1e6 = 19208e3:
+    * bounds·1e6 = (k·1e10 + 19208·1e6 ± 1960000·r) div (n·1e4 + 38416)
+    * where r = isqrt(k(n−k)·1e8 div n + 96040000). The lower bound is
+    * 0 exactly at k = 0 — no negative operand ever meets a division.
+    * Plan: one per-type aggregate off the scan; every later step is a
+    * projection. */
+  def eventsWilsonBounds(s: SparkSession, dir: String): DataFrame = {
+    DomainQueries.events(s, dir)
+      .select(col("event_type"),
+        when(expr("cast(floor(value * 1000) as bigint)") >= 50000L, 1L)
+          .otherwise(0L).as("succ"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("succ").as("k"))
+      .withColumn("phat_milli", expr("k * 1000 div n"))
+      .withColumn("a", expr("k * (n - k) * 100000000L div n + 96040000L"))
+      .withColumn("s0", expr("cast(floor(sqrt(cast(a as double))) as bigint)"))
+      .withColumn("r", expr(
+        "case when (s0 + 1) * (s0 + 1) <= a then s0 + 1 " +
+        "when s0 * s0 > a then s0 - 1 else s0 end"))
+      .withColumn("den", expr("n * 10000L + 38416L"))
+      .withColumn("wilson_lo_micro",
+        expr("(k * 10000000000L + 19208000000L - 1960000L * r) div den"))
+      .withColumn("wilson_hi_micro",
+        expr("(k * 10000000000L + 19208000000L + 1960000L * r) div den"))
+      .select("event_type", "n", "k", "phat_milli",
+        "wilson_lo_micro", "wilson_hi_micro")
+  }
+
+  private val WILSON_SQL =
+    """WITH a0 AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN CAST(FLOOR(value * 1000) AS BIGINT) >= 50000
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS k
+      |  FROM events GROUP BY 1),
+      |rad AS (
+      |  SELECT event_type, n, k,
+      |    k * (n - k) * 100000000 // n + 96040000 AS a,
+      |    CAST(FLOOR(SQRT(CAST(k * (n - k) * 100000000 // n + 96040000
+      |      AS DOUBLE))) AS BIGINT) AS s0
+      |  FROM a0),
+      |rr AS (
+      |  SELECT event_type, n, k,
+      |    CASE WHEN (s0 + 1) * (s0 + 1) <= a THEN s0 + 1
+      |         WHEN s0 * s0 > a THEN s0 - 1 ELSE s0 END AS r
+      |  FROM rad)
+      |SELECT event_type, n, k, k * 1000 // n AS phat_milli,
+      |  CAST((k * 10000000000 + 19208000000 - 1960000 * r)
+      |    // (n * 10000 + 38416) AS BIGINT) AS wilson_lo_micro,
+      |  CAST((k * 10000000000 + 19208000000 + 1960000 * r)
+      |    // (n * 10000 + 38416) AS BIGINT) AS wilson_hi_micro
+      |FROM rr""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "events_max_drawdown" -> (eventsMaxDrawdown _),
+    "events_page_hinkley" -> (eventsPageHinkley _),
+    "events_wilson_bounds" -> (eventsWilsonBounds _),
     "events_trend_mann_kendall" -> (eventsTrendMannKendall _),
     "events_runs_test" -> (eventsRunsTest _),
     "events_record_days" -> (eventsRecordDays _),
@@ -5627,6 +5813,9 @@ object Analytics {
     "data_interleave_sources" -> (dataInterleaveSources _))
 
   val oracle: Map[String, String] = Map(
+    "events_max_drawdown" -> DRAWDOWN_SQL,
+    "events_page_hinkley" -> PAGE_HINKLEY_SQL,
+    "events_wilson_bounds" -> WILSON_SQL,
     "events_changepoint_binseg" -> CHANGEPOINT_SQL,
     "sim_kmeans_shift" -> KMEANS_SHIFT_SQL,
     "events_queue_wait" -> QUEUE_SQL,

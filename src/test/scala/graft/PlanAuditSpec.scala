@@ -451,7 +451,10 @@ class PlanAuditSpec extends SparkSpec {
     "multimodal_compute_budget" -> 2, // codegen metadata projection + ONE 3-row kind agg; share window rides the result
     "q40_brand_type_share" -> 2, // pushed quantity filter + broadcast part join + ONE (brand,type) agg; total window on the aggregate, top-20 TakeOrdered
     "data_loo_source_impact" -> 2, // narrow codegen projection + ONE |sources|-row agg; both global windows ride the 20-row aggregate
-    "occ_rank_abundance" -> 2) // ONE species partial agg; rank/total/cum windows ride the ≤|species|-row aggregate
+    "occ_rank_abundance" -> 2, // ONE species partial agg; rank/total/cum windows ride the ≤|species|-row aggregate
+    "events_max_drawdown" -> 2, // (type,day) agg; running-max window + per-type rollup ride ONE event_type exchange
+    "events_page_hinkley" -> 2, // (type,day) agg; rank/calibration/running windows + rollup all ride ONE event_type exchange
+    "events_wilson_bounds" -> 1) // ONE per-type agg off the scan; isqrt lattice is pure projection
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
     // the shard grid must drive the exchange (parallelism = shard count),
