@@ -1709,7 +1709,60 @@ object TextPrep {
       |  abs(cov_milli) * 1000 // GREATEST(var_milli, 1) AS abs_slope_milli
       |FROM mm""".stripMargin
 
+  /** Yule's characteristic K per source — the sample-size-robust
+    * vocabulary-richness number next to zipf_slope's fit and
+    * vocab_growth's curve: K = 10⁴·(Σ_w f_w² − N) / N². The /N² lands
+    * on the board's new TWO-STEP exact long division: with A = S2 − N,
+    * q = A div N, r = A mod N (all nonnegative),
+    * floor(A·c/N) = q·c + floor(r·c/N) EXACTLY, and a second div N
+    * composes to floor(A·c/N²) — no 1e7-scaled product of corpus-sized
+    * operands ever forms (the naive A·10⁷ wraps once Σf² crosses
+    * ~9e11; this form is safe while q = Σf²/N < 9e11, i.e. any
+    * realistic corpus). Also ships hapax count V₁ — K and V₁/V are the
+    * two standard richness reads. Plan: (source, word) partial agg then
+    * a |sources|-row rollup — 2 exchanges, everything after projects. */
+  def textYuleK(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "documents")
+      .select(col("source"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+          .as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("f"))
+      .groupBy("source")
+      .agg(sum("f").as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(expr("f * f")).as("s2"),
+        sum(when(col("f") === 1, 1L).otherwise(0L)).as("v1_hapax"))
+      .withColumn("a", expr("s2 - n_tokens"))
+      .withColumn("q", expr("a div n_tokens"))
+      .withColumn("r", expr("a % n_tokens"))
+      .withColumn("yule_k_milli",
+        expr("(q * 10000000L + (r * 10000000L) div n_tokens) div n_tokens"))
+      .select("source", "n_tokens", "n_types", "v1_hapax", "yule_k_milli")
+  }
+
+  private val YULE_SQL =
+    """WITH f AS (
+      |  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS f FROM (
+      |    SELECT source,
+      |      unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      |    FROM documents) GROUP BY source, w),
+      |ag AS (
+      |  SELECT source, CAST(SUM(f) AS BIGINT) AS n_tokens,
+      |    CAST(COUNT(*) AS BIGINT) AS n_types,
+      |    CAST(SUM(f * f) AS BIGINT) AS s2,
+      |    CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS v1_hapax
+      |  FROM f GROUP BY source),
+      |qr AS (
+      |  SELECT source, n_tokens, n_types, v1_hapax,
+      |    (s2 - n_tokens) // n_tokens AS q,
+      |    (s2 - n_tokens) % n_tokens AS r
+      |  FROM ag)
+      |SELECT source, n_tokens, n_types, v1_hapax,
+      |  (q * 10000000 + (r * 10000000) // n_tokens) // n_tokens
+      |    AS yule_k_milli
+      |FROM qr""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "text_yule_k" -> (textYuleK _),
     "text_lang_divergence" -> (textLangDivergence _),
     "data_source_hhi" -> (dataSourceHhi _),
     "data_quality_length_bias" -> (dataQualityLengthBias _),
@@ -1746,6 +1799,7 @@ object TextPrep {
     "data_loo_source_impact" -> (dataLooSourceImpact _))
 
   val oracle: Map[String, String] = Map(
+    "text_yule_k" -> YULE_SQL,
     "text_lang_divergence" -> LANGDIV_SQL,
     "data_source_hhi" -> HHI_SQL,
     "data_quality_length_bias" -> QLBIAS_SQL,

@@ -1419,7 +1419,65 @@ object TextQueries {
        |    AS kappa_milli
        |FROM p""".stripMargin
 
+  /** Sorted-neighborhood near-dup candidates — the ORDER-based member of
+    * the dedup family (dedup_fuzzy_match BLOCKS on an exact 24-char key;
+    * SNM instead SORTS on a 16-char key and compares each record with
+    * its next w−1 successors, so pairs whose keys diverge past the
+    * block boundary still meet). The global rank over (sort key,
+    * doc_id) comes from the bucketOffsets two-level prefix sum — the
+    * user_gini idiom, never a single-task sort — and the sliding window
+    * is materialized as THREE rank-equi self-joins (rank + j, j = 1..3
+    * via explode), exactly 3n−6 candidate pairs at any corpus size.
+    * Verdict = levenshtein ≤ 12 on the 128-char skeleton (the
+    * fuzzy_match gate). Output is the per-offset audit: how much of the
+    * match mass each extra window slot buys — the w-tuning sheet. */
+  def dedupSortedNeighborhood(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"),
+      substring(col("text"), 1, 16).as("sk16"),
+      substring(col("text"), 1, 128).as("sk"))
+      .withColumn("bkt", substring(col("sk16"), 1, 2))
+      .withColumn("cnt", lit(1L))
+    val offsets = Scale.bucketOffsets(d, "bkt", Seq("cnt"))
+    val ranked = d.join(broadcast(offsets), Seq("bkt"))
+      .withColumn("rk",
+        row_number().over(Window.partitionBy("bkt").orderBy("sk16", "doc_id"))
+          .cast("long") + col("cnt_off"))
+      .select("doc_id", "sk", "rk")
+      .transform(graft.Ckpt.capped)
+    ranked
+      .select(col("rk"), col("sk").as("sk_a"))
+      .withColumn("j", explode(array(lit(1L), lit(2L), lit(3L))))
+      .withColumn("rk2", col("rk") + col("j"))
+      .join(ranked.select(col("rk").as("rk2"), col("sk").as("sk_b")),
+        Seq("rk2"))
+      .withColumn("lev", levenshtein(col("sk_a"), col("sk_b")).cast("long"))
+      .groupBy(col("j").as("window_offset"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("lev") <= FUZZY_MAX_LEV, 1L).otherwise(0L))
+          .as("n_matches"),
+        min("lev").as("min_lev"))
+  }
+
+  private val SNM_SQL =
+    s"""WITH d AS (SELECT doc_id, substr(text, 1, 16) AS sk16,
+       |             substr(text, 1, 128) AS sk FROM documents),
+       |r AS (SELECT doc_id, sk,
+       |        CAST(ROW_NUMBER() OVER (ORDER BY sk16, doc_id) AS BIGINT)
+       |          AS rk
+       |      FROM d),
+       |p AS (
+       |  SELECT js.j, CAST(levenshtein(a.sk, b.sk) AS BIGINT) AS lev
+       |  FROM r a
+       |  CROSS JOIN (SELECT CAST(unnest([1, 2, 3]) AS BIGINT) AS j) js
+       |  JOIN r b ON b.rk = a.rk + js.j)
+       |SELECT j AS window_offset, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+       |  CAST(SUM(CASE WHEN lev <= $FUZZY_MAX_LEV THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_matches,
+       |  CAST(MIN(lev) AS BIGINT) AS min_lev
+       |FROM p GROUP BY j""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "dedup_sorted_neighborhood" -> (dedupSortedNeighborhood _),
     "text_template_rate" -> (textTemplateRate _),
     "text_phrase_search" -> (textPhraseSearch _),
     "text_term_burstiness" -> (textTermBurstiness _),
@@ -1453,6 +1511,7 @@ object TextQueries {
     "dedup_chunk_level" -> (dedupChunkLevel _))
 
   val oracle: Map[String, String] = Map(
+    "dedup_sorted_neighborhood" -> SNM_SQL,
     "text_template_rate" -> TEMPLATE_SQL,
     "text_phrase_search" -> PHRASE_SQL,
     "text_term_burstiness" -> BURSTINESS_SQL,

@@ -842,7 +842,86 @@ object TextRank {
        |      AS rank
        |  FROM pf_c) WHERE rank <= 8""".stripMargin
 
+  /** RAKE candidate phrases — the PHRASE-level keyword extractor next to
+    * the word-level tfidf/textrank scores:
+    * stopword-delimited token runs (the corpus stop set {a, the, l}) of
+    * length 2..4 are candidate phrases; each word scores deg·1000 div
+    * freq where freq counts its phrase occurrences and deg sums the
+    * lengths of the phrases containing it (deg ≤ 4·freq so scores cap at
+    * 4000 — overflow-free anywhere); a phrase scores the sum of its word
+    * scores. Top-20 on (score desc, phrase asc). Plan: doc-window pid
+    * assignment + (doc,pid) length window, vocab-sized word-stat
+    * aggregate joined back by word (vocab can exceed broadcast at
+    * 100 TB — keep the shuffle), phrase assembly only at the (doc,pid)
+    * aggregate (sorted-struct array_join ≤ 4 elements), top-k is
+    * TakeOrdered — no global sort. */
+  def textRakePhrases(s: SparkSession, dir: String): DataFrame = {
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+          .as(Seq("pos", "w")))
+      .withColumn("pid",
+        sum(when(col("w").isin("a", "the", "l"), 1L).otherwise(0L)).over(wDoc))
+      .filter(!col("w").isin("a", "the", "l"))
+      .withColumn("plen",
+        count(lit(1)).over(Window.partitionBy("doc_id", "pid")))
+      .filter(col("plen") >= 2 && col("plen") <= 4)
+    val wstats = toks.groupBy("w")
+      .agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
+      .withColumn("wscore", expr("deg * 1000 div freq"))
+      .select("w", "wscore")
+    toks.join(wstats, Seq("w"))
+      .groupBy("doc_id", "pid")
+      .agg(expr("array_join(transform(sort_array(collect_list(" +
+        "struct(pos, w))), x -> x.w), ' ')").as("phrase"),
+        max("plen").as("plen"), sum("wscore").as("score_milli"))
+      .groupBy("phrase")
+      .agg(max("plen").as("plen"), max("score_milli").as("score_milli"),
+        count(lit(1)).as("n_occ"))
+      .orderBy(col("score_milli").desc, col("phrase"))
+      .limit(20)
+  }
+
+  private val RAKE_SQL =
+    """WITH tok0 AS (
+      |  SELECT doc_id, p.i AS pos, p.w FROM (
+      |    SELECT doc_id,
+      |      unnest(list_apply(regexp_extract_all(lower(text), '[a-z0-9]+'),
+      |        (w, i) -> struct_pack(w := w, i := i))) AS p
+      |    FROM documents)),
+      |pidd AS (
+      |  SELECT doc_id, pos, w,
+      |    CAST(SUM(CASE WHEN w IN ('a', 'the', 'l') THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY pos
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS pid
+      |  FROM tok0),
+      |phr AS (
+      |  SELECT doc_id, pos, w, pid,
+      |    CAST(COUNT(*) OVER (PARTITION BY doc_id, pid) AS BIGINT) AS plen
+      |  FROM pidd WHERE w NOT IN ('a', 'the', 'l')),
+      |cand AS (SELECT * FROM phr WHERE plen BETWEEN 2 AND 4),
+      |ws AS (
+      |  SELECT w, CAST(SUM(plen) AS BIGINT) * 1000
+      |    // CAST(COUNT(*) AS BIGINT) AS wscore
+      |  FROM cand GROUP BY w),
+      |ps AS (
+      |  SELECT doc_id, pid,
+      |    string_agg(c.w, ' ' ORDER BY pos) AS phrase,
+      |    CAST(MAX(plen) AS BIGINT) AS plen,
+      |    CAST(SUM(wscore) AS BIGINT) AS score_milli
+      |  FROM cand c JOIN ws USING (w) GROUP BY doc_id, pid),
+      |agg AS (
+      |  SELECT phrase, CAST(MAX(plen) AS BIGINT) AS plen,
+      |    CAST(MAX(score_milli) AS BIGINT) AS score_milli,
+      |    CAST(COUNT(*) AS BIGINT) AS n_occ
+      |  FROM ps GROUP BY phrase)
+      |SELECT phrase, plen, score_milli, n_occ FROM agg
+      |ORDER BY score_milli DESC, phrase LIMIT 20""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "text_rake_phrases" -> (textRakePhrases _),
     "text_prf_expansion" -> (textPrfExpansion _),
     "text_curation_verdict" -> (textCurationVerdict _),
     "text_surprisal" -> (textSurprisal _),
@@ -862,6 +941,7 @@ object TextRank {
     "text_top_ngrams" -> (textTopNgrams _))
 
   val oracle: Map[String, String] = Map(
+    "text_rake_phrases" -> RAKE_SQL,
     "text_prf_expansion" -> PRF_SQL,
     "text_curation_verdict" ->
       // nests the component operators' own oracle statements as

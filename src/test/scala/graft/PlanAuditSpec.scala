@@ -454,7 +454,10 @@ class PlanAuditSpec extends SparkSpec {
     "occ_rank_abundance" -> 2, // ONE species partial agg; rank/total/cum windows ride the ≤|species|-row aggregate
     "events_max_drawdown" -> 2, // (type,day) agg; running-max window + per-type rollup ride ONE event_type exchange
     "events_page_hinkley" -> 2, // (type,day) agg; rank/calibration/running windows + rollup all ride ONE event_type exchange
-    "events_wilson_bounds" -> 1) // ONE per-type agg off the scan; isqrt lattice is pure projection
+    "events_wilson_bounds" -> 1, // ONE per-type agg off the scan; isqrt lattice is pure projection
+    "text_rake_phrases" -> 4, // doc window + (doc,pid) window + vocab agg + join-back; top-20 is TakeOrdered
+    "text_yule_k" -> 2, // (source,word) partial agg + |sources|-row rollup; two-step long division projects
+    "dedup_sorted_neighborhood" -> 2) // ranked relation checkpointed (bucketOffsets at build); rank-equi join + 3-row offset agg
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
     // the shard grid must drive the exchange (parallelism = shard count),
