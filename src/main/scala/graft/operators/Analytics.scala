@@ -5707,7 +5707,71 @@ object Analytics {
       |    // (n * 10000 + 38416) AS BIGINT) AS wilson_hi_micro
       |FROM rr""".stripMargin
 
+  /** Wald SPRT gate on the per-type high-value rate — the SEQUENTIAL
+    * experiment stopper next to [[eventsWilsonBounds]]' fixed-n CI:
+    * H0 p=0.3 vs H1 p=0.4 (success = value ≥ 50), α = β = 0.05. Each
+    * event adds a fixed-point LLR literal (×2^20: success
+    * ln(4/3) → 301656, failure ln(6/7) → −161639) to a running sum in
+    * (ts, event_id) arrival order; the test DECIDES at the first
+    * boundary crossing ±ln 19 → ±3087468. Reports the first-crossing
+    * step and verdict (the SPRT contract: later excursions are audit
+    * only) plus the final LLR. Increments are literals embedded in both
+    * engines — no runtime log anywhere; the cumulative sum is
+    * BIGINT-safe to ~3e13 events/type. Plan: the running window, the
+    * rank and the min_by/max_by rollup all ride ONE event_type
+    * exchange off the scan — no (type, day) pre-aggregate, SPRT is
+    * event-grain by definition. */
+  def eventsSprtGate(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("ts_ns", "event_id")
+    val wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    DomainQueries.events(s, dir)
+      .select(col("event_type"), col("ts_ns"), col("event_id"),
+        when(expr("cast(floor(value * 1000) as bigint)") >= 50000L,
+          lit(301656L)).otherwise(lit(-161639L)).as("inc"))
+      .withColumn("llr", sum("inc").over(wrun))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("verdict",
+        when(col("llr") >= 3087468L, "accept_h1")
+          .when(col("llr") <= -3087468L, "accept_h0"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_obs"),
+        expr("max_by(llr, rn)").as("final_llr_fp"),
+        expr("coalesce(min_by(verdict, rn) " +
+          "filter (where verdict is not null), 'continue')").as("decision"),
+        expr("coalesce(min(rn) filter (where verdict is not null), -1L)")
+          .as("decision_step"))
+  }
+
+  private val SPRT_SQL =
+    """WITH e AS (
+      |  SELECT event_type, epoch_ns(ts) // 1000 * 1000 AS ts_ns, event_id,
+      |    CASE WHEN CAST(FLOOR(value * 1000) AS BIGINT) >= 50000
+      |      THEN 301656 ELSE -161639 END AS inc
+      |  FROM events),
+      |r AS (
+      |  SELECT event_type,
+      |    CAST(SUM(inc) OVER (PARTITION BY event_type
+      |      ORDER BY ts_ns, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS llr,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY ts_ns, event_id) AS BIGINT) AS rn
+      |  FROM e),
+      |v AS (
+      |  SELECT event_type, rn, llr,
+      |    CASE WHEN llr >= 3087468 THEN 'accept_h1'
+      |         WHEN llr <= -3087468 THEN 'accept_h0' END AS verdict
+      |  FROM r)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_obs,
+      |  arg_max(llr, rn) AS final_llr_fp,
+      |  COALESCE(arg_min(verdict, rn) FILTER (WHERE verdict IS NOT NULL),
+      |    'continue') AS decision,
+      |  CAST(COALESCE(MIN(rn) FILTER (WHERE verdict IS NOT NULL), -1)
+      |    AS BIGINT) AS decision_step
+      |FROM v GROUP BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "events_sprt_gate" -> (eventsSprtGate _),
     "events_max_drawdown" -> (eventsMaxDrawdown _),
     "events_page_hinkley" -> (eventsPageHinkley _),
     "events_wilson_bounds" -> (eventsWilsonBounds _),
@@ -5813,6 +5877,7 @@ object Analytics {
     "data_interleave_sources" -> (dataInterleaveSources _))
 
   val oracle: Map[String, String] = Map(
+    "events_sprt_gate" -> SPRT_SQL,
     "events_max_drawdown" -> DRAWDOWN_SQL,
     "events_page_hinkley" -> PAGE_HINKLEY_SQL,
     "events_wilson_bounds" -> WILSON_SQL,

@@ -1476,7 +1476,178 @@ object TextQueries {
        |  CAST(MIN(lev) AS BIGINT) AS min_lev
        |FROM p GROUP BY j""".stripMargin
 
+  /** Reciprocal-rank fusion of the VECTOR and TEXT retrieval legs — the
+    * hybrid-search primitive every RAG stack runs: rank the corpus per
+    * query by exact dot product (sim_cosine_topk's leg) and by distinct-
+    * token overlap with the query document (the inverted-index leg whose
+    * candidate set is bounded by the query's own terms), then fuse with
+    * the classic k=60 RRF on an exact integer lattice —
+    * 1000000 div (60 + rank) per present leg, absent leg contributes 0.
+    * Rank ties cannot happen (row_number over a total order); fusion
+    * ties break on doc_id. Plan: the text leg joins the corpus token
+    * index against the BROADCAST 5-query term set, both rank windows
+    * and the fusion window ride qid exchanges; top-10 filter per qid. */
+  def simRrfFusion(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val d = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id"), col("embedding").as("dv"))
+    val vecRank = d.crossJoin(broadcast(q))
+      .select(col("qid"), col("vec_id").as("doc_id"),
+        graft.functions.Vectors.dot(col("qv"), col("dv")).as("dot"))
+      .select(col("qid"), col("doc_id"),
+        row_number().over(Window.partitionBy("qid")
+          .orderBy(col("dot").desc, col("doc_id"))).cast("long").as("r_vec"))
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+          .as("w"))
+      .distinct()
+    val qt = toks.filter(col("doc_id") < 5).withColumnRenamed("doc_id", "qid")
+    val textRank = toks.filter(col("doc_id") >= 5)
+      .join(broadcast(qt), Seq("w"))
+      .groupBy("qid", "doc_id").agg(count(lit(1)).as("ov"))
+      .select(col("qid"), col("doc_id"),
+        row_number().over(Window.partitionBy("qid")
+          .orderBy(col("ov").desc, col("doc_id"))).cast("long").as("r_text"))
+    vecRank
+      .join(textRank, Seq("qid", "doc_id"), "left")
+      .withColumn("rrf_micro",
+        expr("coalesce(1000000 div (60 + r_vec), 0L) + " +
+          "coalesce(1000000 div (60 + r_text), 0L)"))
+      .withColumn("rank", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("rrf_micro").desc, col("doc_id"))).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("doc_id"), col("rank"), col("rrf_micro"),
+        col("r_vec"), coalesce(col("r_text"), lit(-1L)).as("r_text"))
+  }
+
+  private val RRF_SQL =
+    """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      |           FROM embeddings WHERE vec_id < 5),
+      |d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv
+      |      FROM embeddings WHERE vec_id >= 5),
+      |vs AS (SELECT qid, vec_id AS doc_id, list_dot_product(qv, dv) AS dot
+      |       FROM q CROSS JOIN d),
+      |vr AS (SELECT qid, doc_id,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+      |           ORDER BY dot DESC, doc_id) AS BIGINT) AS r_vec
+      |       FROM vs),
+      |tok AS (SELECT DISTINCT doc_id, w FROM (
+      |  SELECT doc_id,
+      |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      |  FROM documents)),
+      |ov AS (SELECT qt.doc_id AS qid, ct.doc_id, CAST(COUNT(*) AS BIGINT)
+      |         AS ov
+      |       FROM tok qt JOIN tok ct USING (w)
+      |       WHERE qt.doc_id < 5 AND ct.doc_id >= 5
+      |       GROUP BY 1, 2),
+      |tr AS (SELECT qid, doc_id,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+      |           ORDER BY ov DESC, doc_id) AS BIGINT) AS r_text
+      |       FROM ov),
+      |f AS (SELECT vr.qid, vr.doc_id, r_vec, r_text,
+      |        COALESCE(1000000 // (60 + r_vec), 0)
+      |          + COALESCE(1000000 // (60 + r_text), 0) AS rrf_micro
+      |      FROM vr LEFT JOIN tr ON vr.qid = tr.qid
+      |        AND vr.doc_id = tr.doc_id)
+      |SELECT qid, doc_id, rank, rrf_micro, r_vec,
+      |  COALESCE(r_text, -1) AS r_text
+      |FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+      |        ORDER BY rrf_micro DESC, doc_id) AS BIGINT) AS rank
+      |      FROM f)
+      |WHERE rank <= 10""".stripMargin
+
+  /** 1-bit sign quantization recall — the 256×-compression scale path
+    * next to [[simMatryoshkaRecall]]'s dimension truncation: each of the
+    * 64 dims binarizes against its own corpus-learned threshold (the
+    * EXACT integer mean of the 2^-20 fixed-point components — never a
+    * float average), signatures pack into two 32-bit halves (the 64th
+    * bit would wrap a signed BIGINT sum), and search ranks by Hamming
+    * distance bit_count(xor(lo))+bit_count(xor(hi)) against the exact
+    * dot top-10. At 100 TB the 8-byte signature index IS the deployable
+    * artifact — this audit prices the recall it costs. */
+  def simSignQuantizeRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val comps = emb.select(col("vec_id"),
+      posexplode(col("embedding")).as(Seq("j", "xf")))
+      .withColumn("xfp",
+        expr("cast(floor(cast(xf as double) * 1048576) as bigint)"))
+    val thr = comps.groupBy("j").agg(expr("sum(xfp) div count(1)").as("t"))
+    val sigs = comps.join(broadcast(thr), Seq("j"))
+      .groupBy("vec_id")
+      .agg(sum(when(col("xfp") > col("t") && col("j") < 32,
+          expr("shiftleft(cast(1 as bigint), cast(j as int))"))
+          .otherwise(0L)).as("lo"),
+        sum(when(col("xfp") > col("t") && col("j") >= 32,
+          expr("shiftleft(cast(1 as bigint), cast(j as int) - 32)"))
+          .otherwise(0L)).as("hi"))
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .transform(graft.Ckpt.capped)
+    val q = sigs.filter(col("vec_id") < 5).select(col("vec_id").as("qid"),
+      col("lo").as("qlo"), col("hi").as("qhi"), col("embedding").as("qv"))
+    val d = sigs.filter(col("vec_id") >= 5).select(col("vec_id"),
+      col("lo"), col("hi"), col("embedding").as("dv"))
+    val wq = Window.partitionBy("qid")
+    d.crossJoin(broadcast(q))
+      .select(col("qid"), col("vec_id"),
+        graft.functions.Vectors.dot(col("qv"), col("dv")).as("dot"),
+        expr("cast(bit_count(lo ^ qlo) + bit_count(hi ^ qhi) as bigint)")
+          .as("ham"))
+      .withColumn("r_exact", row_number()
+        .over(wq.orderBy(col("dot").desc, col("vec_id"))).cast("long"))
+      .withColumn("r_ham", row_number()
+        .over(wq.orderBy(col("ham").asc, col("vec_id"))).cast("long"))
+      .groupBy("qid")
+      .agg(sum(when(col("r_exact") <= 10 && col("r_ham") <= 10, 1L)
+        .otherwise(0L)).as("n_overlap"))
+      .withColumn("recall_milli", expr("n_overlap * 1000 div 10"))
+  }
+
+  private val SIGNQ_SQL =
+    """WITH c AS (
+      |  SELECT vec_id, p.i - 1 AS j,
+      |    CAST(FLOOR(CAST(p.x AS DOUBLE) * 1048576) AS BIGINT) AS xfp
+      |  FROM (SELECT vec_id,
+      |          unnest(list_apply(embedding,
+      |            (x, i) -> struct_pack(x := x, i := i))) AS p
+      |        FROM embeddings)),
+      |th AS (SELECT j, CAST(SUM(xfp) AS BIGINT)
+      |         // CAST(COUNT(*) AS BIGINT) AS t
+      |       FROM c GROUP BY j),
+      |sg AS (SELECT vec_id,
+      |        CAST(SUM(CASE WHEN xfp > t AND j < 32
+      |          THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
+      |          ELSE 0 END) AS BIGINT) AS lo,
+      |        CAST(SUM(CASE WHEN xfp > t AND j >= 32
+      |          THEN (CAST(1 AS BIGINT) << CAST(j - 32 AS INTEGER))
+      |          ELSE 0 END) AS BIGINT) AS hi
+      |       FROM c JOIN th USING (j) GROUP BY vec_id),
+      |sv AS (SELECT s.vec_id, s.lo, s.hi,
+      |         CAST(e.embedding AS DOUBLE[]) AS v
+      |       FROM sg s JOIN embeddings e USING (vec_id)),
+      |sc AS (SELECT q.vec_id AS qid, d.vec_id,
+      |         list_dot_product(q.v, d.v) AS dot,
+      |         CAST(bit_count(xor(d.lo, q.lo))
+      |           + bit_count(xor(d.hi, q.hi)) AS BIGINT) AS ham
+      |       FROM sv q CROSS JOIN sv d
+      |       WHERE q.vec_id < 5 AND d.vec_id >= 5),
+      |r AS (SELECT qid, vec_id,
+      |        CAST(ROW_NUMBER() OVER (PARTITION BY qid
+      |          ORDER BY dot DESC, vec_id) AS BIGINT) AS r_exact,
+      |        CAST(ROW_NUMBER() OVER (PARTITION BY qid
+      |          ORDER BY ham ASC, vec_id) AS BIGINT) AS r_ham
+      |      FROM sc)
+      |SELECT qid, CAST(SUM(CASE WHEN r_exact <= 10 AND r_ham <= 10
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+      |  CAST(SUM(CASE WHEN r_exact <= 10 AND r_ham <= 10
+      |    THEN 1 ELSE 0 END) * 1000 // 10 AS BIGINT) AS recall_milli
+      |FROM r GROUP BY qid""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "sim_rrf_fusion" -> (simRrfFusion _),
+    "sim_sign_quantize_recall" -> (simSignQuantizeRecall _),
     "dedup_sorted_neighborhood" -> (dedupSortedNeighborhood _),
     "text_template_rate" -> (textTemplateRate _),
     "text_phrase_search" -> (textPhraseSearch _),
@@ -1511,6 +1682,8 @@ object TextQueries {
     "dedup_chunk_level" -> (dedupChunkLevel _))
 
   val oracle: Map[String, String] = Map(
+    "sim_rrf_fusion" -> RRF_SQL,
+    "sim_sign_quantize_recall" -> SIGNQ_SQL,
     "dedup_sorted_neighborhood" -> SNM_SQL,
     "text_template_rate" -> TEMPLATE_SQL,
     "text_phrase_search" -> PHRASE_SQL,

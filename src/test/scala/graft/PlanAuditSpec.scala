@@ -51,6 +51,8 @@ class PlanAuditSpec extends SparkSpec {
     "occ_envelope_projection" -> "generated 64800-row raster × broadcast ≤|species|-row envelope boxes — both sides layout constants",
     "events_user_gini" -> "crossJoin against the single-row broadcast totals fold (1×|users|)",
     "spatial_zone_pruning_audit" -> "16-box × broadcast 32-file envelope BNLJ — both sides layout constants",
+    "sim_rrf_fusion" -> "documented brute-force vector leg: query side is 5 broadcast rows (sim_cosine_topk class)",
+    "sim_sign_quantize_recall" -> "documented brute-force baseline: query side is 5 broadcast signature rows (sim_cosine_topk class)",
     "sim_hubness_audit" -> "crossJoin against the single-row broadcast totals fold (1×|nodes|)")
 
   test("no query plans a nested-loop or cartesian join outside the whitelist") {
@@ -457,7 +459,10 @@ class PlanAuditSpec extends SparkSpec {
     "events_wilson_bounds" -> 1, // ONE per-type agg off the scan; isqrt lattice is pure projection
     "text_rake_phrases" -> 4, // doc window + (doc,pid) window + vocab agg + join-back; top-20 is TakeOrdered
     "text_yule_k" -> 2, // (source,word) partial agg + |sources|-row rollup; two-step long division projects
-    "dedup_sorted_neighborhood" -> 2) // ranked relation checkpointed (bucketOffsets at build); rank-equi join + 3-row offset agg
+    "dedup_sorted_neighborhood" -> 2, // ranked relation checkpointed (bucketOffsets at build); rank-equi join + 3-row offset agg
+    "sim_rrf_fusion" -> 8, // token distinct + overlap agg + 2 leg rank windows + fusion join/window on qid; vector leg broadcast
+    "sim_sign_quantize_recall" -> 2, // signatures checkpointed at build (dim agg broadcast); both rank windows ride ONE qid exchange
+    "events_sprt_gate" -> 1) // running/rank windows + min_by/max_by rollup all ride ONE event_type exchange off the scan
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
     // the shard grid must drive the exchange (parallelism = shard count),
