@@ -1201,4 +1201,169 @@ object Streams {
         }
     }
   }
+
+  case class DdState(runMax: Long, nDays: Long, maxDd: Long, maxDdm: Long,
+                     nBelow: Long)
+  case class DdOut(event_type: String, n_days: Long, peak_daily: Long,
+                   max_drawdown: Long, max_dd_milli: Long,
+                   n_days_below_peak10: Long)
+
+  /** Streaming counterpart of events_max_drawdown — O(1) state (the
+    * queueWait class): the drawdown statistic at each day only needs the
+    * running maximum and three extrema counters — five longs per type at
+    * any calendar length. Input is the upstream watermarked
+    * (type, day, count) aggregate, per-key ascending, each day once;
+    * within a batch rows sort by day. Same nonnegative lattice as the
+    * batch operator (ddm = (run_max − c)·1000 / run_max, run_max ≥ 1),
+    * so once the stream drains the calendar the LAST emission per type
+    * equals the batch row — the spec pins that equality. */
+  def maxDrawdown(days: Dataset[(String, Long, Long)]): Dataset[DdOut] = {
+    import days.sparkSession.implicits._
+    days.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (tpe: String, it: Iterator[(String, Long, Long)],
+       state: GroupState[DdState]) =>
+        var st = state.getOption.getOrElse(DdState(0L, 0L, 0L, 0L, 0L))
+        for ((_, day, c) <- it.toSeq.sortBy(_._2)) {
+          val runMax = math.max(st.runMax, c)
+          val dd = runMax - c
+          val ddm = dd * 1000L / runMax
+          st = DdState(runMax, st.nDays + 1,
+            math.max(st.maxDd, dd), math.max(st.maxDdm, ddm),
+            st.nBelow + (if (ddm >= 100L) 1L else 0L))
+        }
+        state.update(st)
+        if (st.nDays == 0L) Iterator.empty
+        else Iterator(DdOut(tpe, st.nDays, st.runMax, st.maxDd, st.maxDdm,
+          st.nBelow))
+    }
+  }
+
+  case class SpState(llr: Long, n: Long, decision: String, step: Long)
+  case class SpOut(event_type: String, n_obs: Long, final_llr_fp: Long,
+                   decision: String, decision_step: Long)
+
+  /** Streaming counterpart of events_sprt_gate — O(1) state, and the
+    * member of the family where streaming is the NATIVE shape (a
+    * sequential test exists to stop a live stream early): the cumulative
+    * LLR, the observation counter and the first-crossing verdict/step —
+    * two longs and a tag per type. Input is the event-grain
+    * (type, ts_ns, event_id, value_milli) stream, per-key ascending in
+    * (ts_ns, event_id) across batches (the queueWait contract); within a
+    * batch rows sort the same way. The ×2^20 literals and the ±3087468
+    * boundaries replay the batch lattice verbatim, and the decision is
+    * LATCHED at the first crossing exactly like the batch min_by — later
+    * excursions only update the audit fields. Drained stream ⇒ last
+    * emission equals the batch row (spec-pinned). */
+  def sprtGate(events: Dataset[(String, Long, Long, Long)]): Dataset[SpOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (tpe: String, it: Iterator[(String, Long, Long, Long)],
+       state: GroupState[SpState]) =>
+        var st = state.getOption.getOrElse(SpState(0L, 0L, "", -1L))
+        for ((_, _, _, vMilli) <- it.toSeq.sortBy(e => (e._2, e._3))) {
+          val inc = if (vMilli >= 50000L) 301656L else -161639L
+          val llr = Math.addExact(st.llr, inc)
+          val n = st.n + 1
+          val (dec, step) =
+            if (st.decision.nonEmpty) (st.decision, st.step)
+            else if (llr >= 3087468L) ("accept_h1", n)
+            else if (llr <= -3087468L) ("accept_h0", n)
+            else ("", -1L)
+          st = SpState(llr, n, dec, step)
+        }
+        state.update(st)
+        if (st.n == 0L) Iterator.empty
+        else Iterator(SpOut(tpe, st.n, st.llr,
+          if (st.decision.isEmpty) "continue" else st.decision, st.step))
+    }
+  }
+
+  case class WbState(n: Long, k: Long)
+  case class WbOut(event_type: String, n: Long, k: Long, phat_milli: Long,
+                   wilson_lo_micro: Long, wilson_hi_micro: Long)
+
+  /** Streaming counterpart of events_wilson_bounds — the smallest
+    * possible state on the board (two longs: trials and successes); the
+    * whole closed form including the exact integer sqrt replays per
+    * emission from the counters. Input is the event-grain
+    * (type, value_milli) stream; arrival order is immaterial (the
+    * statistic is a pair of commutative counters — any batch split
+    * replays identically, the diurnalDft argument). Drained stream ⇒
+    * last emission equals the batch row (spec-pinned). */
+  def wilsonBounds(events: Dataset[(String, Long)]): Dataset[WbOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (tpe: String, it: Iterator[(String, Long)],
+       state: GroupState[WbState]) =>
+        var st = state.getOption.getOrElse(WbState(0L, 0L))
+        for ((_, vMilli) <- it)
+          st = WbState(st.n + 1, st.k + (if (vMilli >= 50000L) 1L else 0L))
+        state.update(st)
+        if (st.n == 0L) Iterator.empty
+        else {
+          val n = st.n; val k = st.k
+          val a = k * (n - k) * 100000000L / n + 96040000L
+          val s0 = math.sqrt(a.toDouble).toLong
+          val r = if ((s0 + 1) * (s0 + 1) <= a) s0 + 1
+                  else if (s0 * s0 > a) s0 - 1 else s0
+          val den = n * 10000L + 38416L
+          Iterator(WbOut(tpe, n, k, k * 1000L / n,
+            (k * 10000000000L + 19208000000L - 1960000L * r) / den,
+            (k * 10000000000L + 19208000000L + 1960000L * r) / den))
+        }
+    }
+  }
+
+  case class PhState(days: Seq[(Long, Long)])
+  case class PhOut(event_type: String, n_days: Long, n_calib: Long,
+                   max_ph: Long, n_alarm_days: Long,
+                   first_alarm_day: Option[Long])
+
+  /** Streaming counterpart of events_page_hinkley. The calibration
+    * window is the FIRST HALF OF THE FINAL HORIZON (n0 = n div 2), so a
+    * new day can re-assign earlier days between calibration and test —
+    * like [[changepoint]] the twin re-runs the exact batch lattice per
+    * micro-batch over the stored per-type (day, count) series. State is
+    * CALENDAR-bounded (≤365 cells/type/year), never event-volume-
+    * bounded; input is the upstream watermarked daily aggregate emitting
+    * each day once. Drained stream ⇒ last emission equals the batch row
+    * (spec-pinned). */
+  def pageHinkley(days: Dataset[(String, Long, Long)]): Dataset[PhOut] = {
+    import days.sparkSession.implicits._
+    days.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (tpe: String, it: Iterator[(String, Long, Long)],
+       state: GroupState[PhState]) =>
+        val st = PhState(state.getOption.getOrElse(PhState(Seq.empty)).days
+          ++ it.map(e => (e._2, e._3)))
+        state.update(st)
+        val ds = st.days.sortBy(_._1)
+        val n = ds.length.toLong
+        if (n == 0L) Iterator.empty
+        else {
+          val n0 = n / 2
+          val s0 = ds.take(n0.toInt).map(_._2).foldLeft(0L)(Math.addExact)
+          var g = 0L; var rmin = 0L; var maxPh = 0L; var nAlarm = 0L
+          var firstAlarm: Option[Long] = None
+          for ((((day, c)), i) <- ds.zipWithIndex) {
+            val rn = i + 1L
+            val dev = if (rn > n0)
+              Math.subtractExact(Math.multiplyExact(c, n0), s0) else 0L
+            g = Math.addExact(g, dev)
+            rmin = math.min(rmin, g)
+            val ph = g - math.min(0L, rmin)
+            maxPh = math.max(maxPh, ph)
+            if (rn > n0 && ph > 5L * s0) {
+              nAlarm += 1
+              if (firstAlarm.isEmpty) firstAlarm = Some(day)
+              else firstAlarm = Some(math.min(firstAlarm.get, day))
+            }
+          }
+          Iterator(PhOut(tpe, n, n0, maxPh, nAlarm, firstAlarm))
+        }
+    }
+  }
 }

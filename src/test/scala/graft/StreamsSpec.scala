@@ -1117,4 +1117,135 @@ class StreamsSpec extends SparkSpec {
       assert(last === batch)
     } finally q.stop()
   }
+
+  test("streaming max-drawdown carries O(1) state and converges to the batch operator") {
+    val days = DomainQueries.events(spark, sf)
+      .select(col("event_type"), expr("ts_ns div 86400000000000").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      .as[(String, Long, Long)]
+    val batch = operators.Analytics.eventsMaxDrawdown(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    val whole = Streams.maxDrawdown(days).collect()
+      .map(o => o.event_type -> ((o.n_days, o.peak_daily, o.max_drawdown,
+        o.max_dd_milli, o.n_days_below_peak10))).toMap
+    assert(whole === batch)
+    assert(batch.nonEmpty)
+    // split mid-stream: the run max must survive the boundary — day 3's
+    // drawdown is against day 2's peak from the PREVIOUS batch
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Long)]
+    val q = Streams.maxDrawdown(mem.toDS())
+      .writeStream.format("memory").queryName("dd_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(("a", 0L, 10L), ("a", 1L, 8L)); q.processAllAvailable()
+      mem.addData(("a", 2L, 12L), ("a", 3L, 3L)); q.processAllAvailable()
+      val rows = spark.sql("SELECT n_days, peak_daily, max_drawdown, " +
+        "max_dd_milli, n_days_below_peak10 FROM dd_out ORDER BY n_days")
+        .as[(Long, Long, Long, Long, Long)].collect()
+      assert(rows.length === 2)
+      assert(rows.head === ((2L, 10L, 2L, 200L, 1L)))
+      assert(rows.last === ((4L, 12L, 9L, 750L, 2L)))
+    } finally q.stop()
+  }
+
+  test("streaming sprt gate latches the first crossing across batches, equals the batch op") {
+    val events = DomainQueries.events(spark, sf)
+      .select(col("event_type"), col("ts_ns"), col("event_id"),
+        expr("cast(floor(value * 1000) as bigint)").as("v"))
+      .as[(String, Long, Long, Long)]
+    val batch = operators.Analytics.eventsSprtGate(spark, sf)
+      .as[(String, Long, Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val whole = Streams.sprtGate(events).collect()
+      .map(o => o.event_type -> ((o.n_obs, o.final_llr_fp, o.decision,
+        o.decision_step))).toMap
+    assert(whole === batch)
+    assert(batch.nonEmpty)
+    // split mid-stream BEFORE the crossing: the latched decision step
+    // counts observations from both batches
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Long, Long)]
+    val q = Streams.sprtGate(mem.toDS())
+      .writeStream.format("memory").queryName("sprt_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(("a", 0L, 0L, 60000L), ("a", 1L, 1L, 10000L))
+      q.processAllAvailable()
+      mem.addData((2L to 11L).map(i => ("a", i, i, 60000L)): _*)
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT n_obs, final_llr_fp, decision, " +
+        "decision_step FROM sprt_out ORDER BY n_obs")
+        .as[(Long, Long, String, Long)].collect()
+      assert(rows.length === 2)
+      assert(rows.head === ((2L, 140017L, "continue", -1L)))
+      // 140017 + 10 * 301656 = 3156577 >= 3087468, crossed at obs 12
+      assert(rows.last === ((12L, 3156577L, "accept_h1", 12L)))
+    } finally q.stop()
+  }
+
+  test("streaming wilson bounds replay the exact isqrt closed form from two counters") {
+    val events = DomainQueries.events(spark, sf)
+      .select(col("event_type"),
+        expr("cast(floor(value * 1000) as bigint)").as("v"))
+      .as[(String, Long)]
+    val batch = operators.Analytics.eventsWilsonBounds(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    val whole = Streams.wilsonBounds(events).collect()
+      .map(o => o.event_type -> ((o.n, o.k, o.phat_milli,
+        o.wilson_lo_micro, o.wilson_hi_micro))).toMap
+    assert(whole === batch)
+    assert(batch.nonEmpty)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val q = Streams.wilsonBounds(mem.toDS())
+      .writeStream.format("memory").queryName("wb_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(("a", 60000L), ("a", 10000L)); q.processAllAvailable()
+      mem.addData(("a", 70000L), ("a", 50000L), ("a", 20000L))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT n, k, phat_milli, wilson_lo_micro, " +
+        "wilson_hi_micro FROM wb_out ORDER BY n")
+        .as[(Long, Long, Long, Long, Long)].collect()
+      assert(rows.length === 2)
+      assert(rows.head === ((2L, 1L, 500L, 94552L, 905447L)))
+      assert(rows.last === ((5L, 3L, 600L, 230726L, 882375L)))
+    } finally q.stop()
+  }
+
+  test("streaming page-hinkley re-calibrates on the growing horizon, equals the batch op") {
+    val days = DomainQueries.events(spark, sf)
+      .select(col("event_type"), expr("ts_ns div 86400000000000").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      .as[(String, Long, Long)]
+    val batch = operators.Analytics.eventsPageHinkley(spark, sf)
+      .as[(String, Long, Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    val whole = Streams.pageHinkley(days).collect()
+      .map(o => o.event_type -> ((o.n_days, o.n_calib, o.max_ph,
+        o.n_alarm_days, o.first_alarm_day))).toMap
+    assert(whole === batch)
+    assert(batch.nonEmpty)
+    // split mid-stream: day 3's level shift must alarm against the
+    // calibration that REASSIGNS batch-1 days once the horizon grows
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Long)]
+    val q = Streams.pageHinkley(mem.toDS())
+      .writeStream.format("memory").queryName("ph_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(("a", 0L, 10L), ("a", 1L, 10L)); q.processAllAvailable()
+      mem.addData(("a", 2L, 30L), ("a", 3L, 80L)); q.processAllAvailable()
+      val rows = spark.sql("SELECT n_days, n_calib, max_ph, n_alarm_days, " +
+        "first_alarm_day FROM ph_out ORDER BY n_days")
+        .as[(Long, Long, Long, Long, Option[Long])].collect()
+      assert(rows.length === 2)
+      assert(rows.head === ((2L, 1L, 0L, 0L, None)))
+      // n0=2, s0=20; dev(30)=40, dev(80)=140; ph hits 180 > 5*s0=100 at day 3
+      assert(rows.last === ((4L, 2L, 180L, 1L, Some(3L))))
+    } finally q.stop()
+  }
 }
