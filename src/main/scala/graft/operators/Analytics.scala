@@ -5770,7 +5770,112 @@ object Analytics {
       |    AS BIGINT) AS decision_step
       |FROM v GROUP BY event_type""".stripMargin
 
+  /** Ljung–Box portmanteau whiteness test per event type — the
+    * JOINT-lag sibling of [[eventsRateAutocorr]]'s lag-1 slope: sample
+    * autocorrelations of the daily counts at lags 1..4 on the ×n
+    * demeaned lattice (dev = n·c − S; cov_k pairs only day-contiguous
+    * rows, the rate_autocorr honesty rule), each reported as the signed
+    * milli sign(cov)·(|cov|·1000 div var) — abs BEFORE the division,
+    * the Mann–Kendall discipline — and folded into
+    * Q = n(n+2)·Σ r²_k/(n−k), milli, against the χ²(4df) 95% literal
+    * 9488. Q under 9488 ⇒ the series is white and every forecaster on
+    * the board is modeling noise. Plan: (type, day) agg, then the stat
+    * windows, all four lag windows and the rollup ride ONE event_type
+    * exchange. */
+  def eventsLjungBox(s: SparkSession, dir: String): DataFrame = {
+    val wp = Window.partitionBy("event_type")
+    val wo = wp.orderBy("day")
+    var df = DomainQueries.events(s, dir)
+      .select(col("event_type"), expr(s"ts_ns div $DAY_NS").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      .withColumn("n", count(lit(1)).over(wp))
+      .withColumn("ss", sum("c").over(wp))
+      .withColumn("dev", expr("n * c - ss"))
+    for (k <- 1 to 4)
+      df = df.withColumn(s"dev$k",
+        when(lag("day", k).over(wo) === col("day") - k,
+          lag("dev", k).over(wo)))
+    val aggs = sum(expr("dev * dev")).as("varn") +: (1 to 4).map(k =>
+      coalesce(sum(expr(s"dev * dev$k")), lit(0L)).as(s"cov$k"))
+    var out = df.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), aggs: _*)
+    for (k <- 1 to 4)
+      out = out.withColumn(s"r${k}_milli",
+        expr(s"cast(sign(cov$k) as bigint) * " +
+          s"(abs(cov$k) * 1000 div greatest(varn, 1L))"))
+    out
+      .withColumn("q_milli", expr(
+        "(n_days * (n_days + 2) * (" +
+          "r1_milli * r1_milli div greatest(n_days - 1, 1L) + " +
+          "r2_milli * r2_milli div greatest(n_days - 2, 1L) + " +
+          "r3_milli * r3_milli div greatest(n_days - 3, 1L) + " +
+          "r4_milli * r4_milli div greatest(n_days - 4, 1L))) div 1000"))
+      .withColumn("white_flag",
+        when(col("q_milli") < 9488L, 1L).otherwise(0L))
+      .select("event_type", "n_days", "r1_milli", "r2_milli", "r3_milli",
+        "r4_milli", "q_milli", "white_flag")
+  }
+
+  private val LJUNG_SQL =
+    s"""WITH d AS (
+       |  SELECT event_type, epoch_ns(ts) // $DAY_NS AS day,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM events GROUP BY 1, 2),
+       |g AS (
+       |  SELECT event_type, day, c,
+       |    CAST(COUNT(*) OVER w AS BIGINT) AS n,
+       |    CAST(SUM(c) OVER w AS BIGINT) AS ss
+       |  FROM d WINDOW w AS (PARTITION BY event_type)),
+       |dv AS (
+       |  SELECT event_type, day, n, n * c - ss AS dev
+       |  FROM g),
+       |lg AS (
+       |  SELECT event_type, n, dev,
+       |    CASE WHEN LAG(day, 1) OVER w = day - 1
+       |      THEN LAG(dev, 1) OVER w END AS dev1,
+       |    CASE WHEN LAG(day, 2) OVER w = day - 2
+       |      THEN LAG(dev, 2) OVER w END AS dev2,
+       |    CASE WHEN LAG(day, 3) OVER w = day - 3
+       |      THEN LAG(dev, 3) OVER w END AS dev3,
+       |    CASE WHEN LAG(day, 4) OVER w = day - 4
+       |      THEN LAG(dev, 4) OVER w END AS dev4
+       |  FROM dv WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+       |ag AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+       |    CAST(SUM(dev * dev) AS BIGINT) AS varn,
+       |    CAST(COALESCE(SUM(dev * dev1), 0) AS BIGINT) AS cov1,
+       |    CAST(COALESCE(SUM(dev * dev2), 0) AS BIGINT) AS cov2,
+       |    CAST(COALESCE(SUM(dev * dev3), 0) AS BIGINT) AS cov3,
+       |    CAST(COALESCE(SUM(dev * dev4), 0) AS BIGINT) AS cov4
+       |  FROM lg GROUP BY event_type),
+       |rr AS (
+       |  SELECT event_type, n_days,
+       |    CAST(CASE WHEN cov1 > 0 THEN 1 WHEN cov1 < 0 THEN -1 ELSE 0 END
+       |      AS BIGINT) * (abs(cov1) * 1000 // GREATEST(varn, 1)) AS r1_milli,
+       |    CAST(CASE WHEN cov2 > 0 THEN 1 WHEN cov2 < 0 THEN -1 ELSE 0 END
+       |      AS BIGINT) * (abs(cov2) * 1000 // GREATEST(varn, 1)) AS r2_milli,
+       |    CAST(CASE WHEN cov3 > 0 THEN 1 WHEN cov3 < 0 THEN -1 ELSE 0 END
+       |      AS BIGINT) * (abs(cov3) * 1000 // GREATEST(varn, 1)) AS r3_milli,
+       |    CAST(CASE WHEN cov4 > 0 THEN 1 WHEN cov4 < 0 THEN -1 ELSE 0 END
+       |      AS BIGINT) * (abs(cov4) * 1000 // GREATEST(varn, 1)) AS r4_milli
+       |  FROM ag)
+       |SELECT event_type, n_days, r1_milli, r2_milli, r3_milli, r4_milli,
+       |  (n_days * (n_days + 2) * (
+       |    r1_milli * r1_milli // GREATEST(n_days - 1, 1)
+       |    + r2_milli * r2_milli // GREATEST(n_days - 2, 1)
+       |    + r3_milli * r3_milli // GREATEST(n_days - 3, 1)
+       |    + r4_milli * r4_milli // GREATEST(n_days - 4, 1))) // 1000
+       |    AS q_milli,
+       |  CAST(CASE WHEN (n_days * (n_days + 2) * (
+       |    r1_milli * r1_milli // GREATEST(n_days - 1, 1)
+       |    + r2_milli * r2_milli // GREATEST(n_days - 2, 1)
+       |    + r3_milli * r3_milli // GREATEST(n_days - 3, 1)
+       |    + r4_milli * r4_milli // GREATEST(n_days - 4, 1))) // 1000 < 9488
+       |    THEN 1 ELSE 0 END AS BIGINT) AS white_flag
+       |FROM rr""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "events_ljung_box" -> (eventsLjungBox _),
     "events_sprt_gate" -> (eventsSprtGate _),
     "events_max_drawdown" -> (eventsMaxDrawdown _),
     "events_page_hinkley" -> (eventsPageHinkley _),
@@ -5877,6 +5982,7 @@ object Analytics {
     "data_interleave_sources" -> (dataInterleaveSources _))
 
   val oracle: Map[String, String] = Map(
+    "events_ljung_box" -> LJUNG_SQL,
     "events_sprt_gate" -> SPRT_SQL,
     "events_max_drawdown" -> DRAWDOWN_SQL,
     "events_page_hinkley" -> PAGE_HINKLEY_SQL,

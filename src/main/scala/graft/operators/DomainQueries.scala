@@ -1892,9 +1892,55 @@ object DomainQueries {
         when(col("t_purchase").isNotNull, col("t_purchase") - col("t_view")))
   }
 
+  /** Stone–Roberts checkerboard score per species — the co-occurrence
+    * structure read next to [[occBetaDiversity]]'s turnover and
+    * [[occHotspotAdjacency]]'s cell graph: for every species pair with
+    * 10°-cell occupancy r_a, r_b and S shared cells, the checkerboard
+    * unit count C = (r_a − S)(r_b − S) — high C = the pair avoids each
+    * other (segregation), C = 0 = one range nests in the other. Rolled
+    * up per species: pair count, total/mean/max C and how many partners
+    * it NEVER co-occurs with. Everything is exact BIGINT (r ≤ 648
+    * cells ⇒ C ≤ 648²). Plan: one distinct (species, cell) relation
+    * checkpointed (three consumers), the shared-cell self-join keyed on
+    * cellid, and the full pair grid is a broadcast ≤|species|-row
+    * triangle crossJoin (the occ_range_overlap whitelist class) — the
+    * pair table is species²-bounded at ANY corpus size. */
+  def occCheckerboard(s: SparkSession, dir: String): DataFrame = {
+    val o = valid(s, dir)
+      .withColumn("cellid", cell10(col("lat"), col("lon")))
+      .select("species", "cellid").distinct()
+      .transform(graft.Ckpt.capped)
+    val sz = o.groupBy("species").agg(count(lit(1)).as("r"))
+    val shared = o.select(col("species").as("sp_a"), col("cellid"))
+      .join(o.select(col("species").as("sp_b"), col("cellid")), Seq("cellid"))
+      .filter(col("sp_a") < col("sp_b"))
+      .groupBy("sp_a", "sp_b").agg(count(lit(1)).as("s"))
+    val pairs = sz.select(col("species").as("sp_a"), col("r").as("r_a"))
+      .crossJoin(broadcast(
+        sz.select(col("species").as("sp_b"), col("r").as("r_b"))))
+      .filter(col("sp_a") < col("sp_b"))
+      .join(shared, Seq("sp_a", "sp_b"), "left")
+      .withColumn("s", coalesce(col("s"), lit(0L)))
+      .withColumn("c", expr("(r_a - s) * (r_b - s)"))
+      // species²-bounded and referenced by BOTH union legs — checkpoint
+      // so the sz/shared pipeline plans once (triangles precedent)
+      .transform(graft.Ckpt.capped)
+    pairs.select(col("sp_a").as("species"), col("r_a").as("r"),
+        col("c"), col("s"))
+      .unionByName(pairs.select(col("sp_b").as("species"),
+        col("r_b").as("r"), col("c"), col("s")))
+      .groupBy("species")
+      .agg(max("r").as("n_cells"), count(lit(1)).as("n_pairs"),
+        sum("c").as("c_total"),
+        expr("sum(c) div count(1)").as("mean_c"),
+        sum(when(col("s") === 0, 1L).otherwise(0L)).as("n_segregated"),
+        max("c").as("max_c"))
+  }
+
   // -------------------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "occ_checkerboard" -> (occCheckerboard _),
     "events_funnel" -> (eventsFunnel _),
     "events_sequence_contract" -> (eventsSequenceContract _),
     "occ_clean_coords" -> (occCleanCoords _),
@@ -1990,6 +2036,32 @@ object DomainQueries {
       |FROM bg GROUP BY accession, species""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "occ_checkerboard" -> withSql(OCC_SQL, VALID_SQL,
+      s"""o AS (SELECT DISTINCT species, $CELL10_SQL AS cellid FROM valid),
+         |sz AS (SELECT species, CAST(COUNT(*) AS BIGINT) AS r
+         |       FROM o GROUP BY 1),
+         |sh AS (SELECT a.species AS sp_a, b.species AS sp_b,
+         |         CAST(COUNT(*) AS BIGINT) AS s
+         |       FROM o a JOIN o b ON a.cellid = b.cellid
+         |         AND a.species < b.species
+         |       GROUP BY 1, 2),
+         |p AS (SELECT a.species AS sp_a, b.species AS sp_b,
+         |        a.r AS r_a, b.r AS r_b, COALESCE(sh.s, 0) AS s
+         |      FROM sz a JOIN sz b ON a.species < b.species
+         |      LEFT JOIN sh ON sh.sp_a = a.species AND sh.sp_b = b.species),
+         |cc AS (SELECT sp_a, sp_b, r_a, r_b, s,
+         |         (r_a - s) * (r_b - s) AS c FROM p),
+         |u AS (SELECT sp_a AS species, r_a AS r, c, s FROM cc
+         |      UNION ALL
+         |      SELECT sp_b AS species, r_b AS r, c, s FROM cc)""".stripMargin)(
+      """SELECT species, CAST(MAX(r) AS BIGINT) AS n_cells,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(c) AS BIGINT) AS c_total,
+        |  CAST(SUM(c) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS mean_c,
+        |  CAST(SUM(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_segregated,
+        |  CAST(MAX(c) AS BIGINT) AS max_c
+        |FROM u GROUP BY species""".stripMargin),
     "occ_rank_abundance" -> withSql(OCC_SQL, VALID_SQL,
       """g AS (
         |  SELECT species, CAST(COUNT(*) AS BIGINT) AS n_occ

@@ -462,7 +462,9 @@ class PlanAuditSpec extends SparkSpec {
     "dedup_sorted_neighborhood" -> 2, // ranked relation checkpointed (bucketOffsets at build); rank-equi join + 3-row offset agg
     "sim_rrf_fusion" -> 8, // token distinct + overlap agg + 2 leg rank windows + fusion join/window on qid; vector leg broadcast
     "sim_sign_quantize_recall" -> 2, // signatures checkpointed at build (dim agg broadcast); both rank windows ride ONE qid exchange
-    "events_sprt_gate" -> 1) // running/rank windows + min_by/max_by rollup all ride ONE event_type exchange off the scan
+    "events_sprt_gate" -> 1, // running/rank windows + min_by/max_by rollup all ride ONE event_type exchange off the scan
+    "occ_checkerboard" -> 1, // pair grid checkpointed at build (distinct + cellid self-join + broadcast triangle); returned plan = species rollup
+    "events_ljung_box" -> 2) // (type,day) agg; stat windows + all four lag windows + rollup ride ONE event_type exchange
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
     // the shard grid must drive the exchange (parallelism = shard count),
