@@ -5874,7 +5874,108 @@ object Analytics {
        |    THEN 1 ELSE 0 END AS BIGINT) AS white_flag
        |FROM rr""".stripMargin
 
+  /** Greedy facility-location (k-medoids) coverage — the SUM-objective
+    * exemplar selector next to [[simKcenterCoverage]]'s minimax: each of
+    * 6 rounds adds the candidate minimizing the total assignment cost
+    * Σ_x min(mind_x, d²(x, c)) and reports the cost after adding it —
+    * the diminishing-returns curve submodularity guarantees, and the
+    * coreset-selection read a training-data curator actually plots.
+    * Candidates come from a 32-vector md5-'fl:' pool (greedy over the
+    * full corpus is O(n²·k) — the pool keeps every round one LINEAR
+    * pass, the standard lazy-greedy concession, documented). Distances
+    * ride the kcenter 2^-20 integer lattice via ONE pre-computed
+    * n×32 d² relation (checkpointed — rounds re-read it, never the
+    * corpus); Σ d² is BIGINT-safe to ~32k vectors at 64 dims
+    * (n·64·2^42), divide-first per-x milli beyond. Driver state is the
+    * 6-row chosen list + one 32-row argmin collect per round (O(K), the
+    * kcenter class). */
+  def simFacilityLocation(s: SparkSession, dir: String): DataFrame = {
+    val k = 6
+    val INF = 1L << 62
+    val comps = t(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("j", "xf")))
+      .withColumn("xfp",
+        expr("cast(floor(cast(xf as double) * 1048576) as bigint)"))
+      .transform(graft.Ckpt.capped)
+    val pool = t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        md5(concat(lit("fl:"), col("vec_id").cast("string"))).as("h"))
+      .orderBy("h", "vec_id").limit(32).select(col("vec_id").as("cand"))
+    val candComps = comps.join(broadcast(pool),
+        comps("vec_id") === pool("cand"))
+      .select(col("cand"), col("j"), col("xfp").as("cfp"))
+    val d2 = comps.join(broadcast(candComps), Seq("j"))
+      .filter(col("cand").isNotNull)
+      .groupBy("vec_id", "cand")
+      .agg(sum(expr("(xfp - cfp) * (xfp - cfp)")).as("d2"))
+      .transform(graft.Ckpt.capped)
+    var cur = d2.select("vec_id").distinct()
+      .withColumn("mind", lit(INF))
+      .transform(graft.Ckpt.capped)
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    for (r <- 0 until k) {
+      val picked = chosen.map(_._2)
+      val base = d2.join(cur, Seq("vec_id"))
+        .groupBy("cand").agg(sum(least(col("mind"), col("d2"))).as("tot"))
+      val win = (if (picked.isEmpty) base
+                 else base.filter(!col("cand").isin(picked.toSeq: _*)))
+        .orderBy("tot", "cand").limit(1).collect()(0)
+      chosen += ((r.toLong, win.getLong(0), win.getLong(1)))
+      cur = cur.join(d2.filter(col("cand") === win.getLong(0))
+          .select(col("vec_id"), col("d2")), Seq("vec_id"))
+        .select(col("vec_id"), least(col("mind"), col("d2")).as("mind"))
+        .transform(graft.Ckpt.capped)
+    }
+    import comps.sparkSession.implicits._
+    chosen.toSeq.toDF("round", "center_vec_id", "total_cost_fp")
+  }
+
+  private val FACILITY_SQL: String = {
+    val ctes = new StringBuilder(
+      """WITH c AS (
+        |  SELECT vec_id, p.i - 1 AS j,
+        |    CAST(FLOOR(CAST(p.x AS DOUBLE) * 1048576) AS BIGINT) AS xfp
+        |  FROM (SELECT vec_id,
+        |          unnest(list_apply(embedding,
+        |            (x, i) -> struct_pack(x := x, i := i))) AS p
+        |        FROM embeddings)),
+        |pool AS (SELECT vec_id AS cand FROM (
+        |  SELECT vec_id, ROW_NUMBER() OVER (
+        |    ORDER BY md5('fl:' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        |  FROM embeddings) WHERE rn <= 32),
+        |d2 AS (
+        |  SELECT x.vec_id, cc.cand,
+        |    CAST(SUM((x.xfp - cc.xfp) * (x.xfp - cc.xfp)) AS BIGINT) AS d2
+        |  FROM c x JOIN (SELECT p.cand, c2.j, c2.xfp
+        |                 FROM pool p JOIN c c2 ON c2.vec_id = p.cand) cc
+        |    ON cc.j = x.j
+        |  GROUP BY 1, 2),
+        |cur0 AS (SELECT DISTINCT vec_id,
+        |           CAST(4611686018427387904 AS BIGINT) AS mind FROM c)"""
+        .stripMargin)
+    for (r <- 1 to 6) {
+      val excl =
+        if (r == 1) ""
+        else "WHERE cand NOT IN (" +
+          (1 until r).map(i => s"SELECT cand FROM t$i")
+            .mkString(" UNION ALL ") + ")"
+      ctes.append(s""",
+        |t$r AS (SELECT cand, CAST(SUM(LEAST(mind, d2)) AS BIGINT) AS tot
+        |        FROM d2 JOIN cur${r - 1} USING (vec_id) $excl
+        |        GROUP BY cand ORDER BY tot, cand LIMIT 1),
+        |cur$r AS (SELECT cu.vec_id, LEAST(cu.mind, d.d2) AS mind
+        |          FROM cur${r - 1} cu JOIN d2 d ON d.vec_id = cu.vec_id
+        |            AND d.cand = (SELECT cand FROM t$r))""".stripMargin)
+    }
+    ctes.toString + "\n" + (1 to 6).map(r =>
+      s"""SELECT CAST(${r - 1} AS BIGINT) AS round,
+         |  (SELECT cand FROM t$r) AS center_vec_id,
+         |  (SELECT tot FROM t$r) AS total_cost_fp""".stripMargin)
+      .mkString("\nUNION ALL\n")
+  }
+
   val queries: Map[String, Q] = Map(
+    "sim_facility_location" -> (simFacilityLocation _),
     "events_ljung_box" -> (eventsLjungBox _),
     "events_sprt_gate" -> (eventsSprtGate _),
     "events_max_drawdown" -> (eventsMaxDrawdown _),
@@ -5982,6 +6083,7 @@ object Analytics {
     "data_interleave_sources" -> (dataInterleaveSources _))
 
   val oracle: Map[String, String] = Map(
+    "sim_facility_location" -> FACILITY_SQL,
     "events_ljung_box" -> LJUNG_SQL,
     "events_sprt_gate" -> SPRT_SQL,
     "events_max_drawdown" -> DRAWDOWN_SQL,

@@ -1497,6 +1497,25 @@ class AnalyticsSpec extends SparkSpec {
     rows.foreach { case (_, _, r) => assert(r >= 0L) }
   }
 
+  test("facility location greedy: costs non-increasing, gains diminish, centers distinct") {
+    val rows = Analytics.simFacilityLocation(spark, sf)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.length === 6)
+    assert(rows.map(_._1).toSeq === (0L to 5L))
+    // adding a center never grows the total assignment cost
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 <= a._3, s"cost grew: round ${a._1} ${a._3} -> ${b._3}")
+    }
+    // submodularity: greedy marginal gains are non-increasing
+    val gains = rows.sliding(2).map { case Array(a, b) => a._3 - b._3 }.toSeq
+    gains.sliding(2).foreach { case Seq(g1, g2) =>
+      assert(g2 <= g1, s"marginal gain grew: $g1 -> $g2")
+    case _ => ()
+    }
+    assert(rows.map(_._2).distinct.length === 6)
+    rows.foreach { case (_, _, c) => assert(c >= 0L) }
+  }
+
   test("triplet margin audit: counts are consistent and violations bounded") {
     val got = Analytics.simTripletMarginAudit(spark, sf)
       .as[(Long, Long, Long, Long, Long, Long)].collect()

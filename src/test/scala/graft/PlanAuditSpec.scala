@@ -464,7 +464,8 @@ class PlanAuditSpec extends SparkSpec {
     "sim_sign_quantize_recall" -> 2, // signatures checkpointed at build (dim agg broadcast); both rank windows ride ONE qid exchange
     "events_sprt_gate" -> 1, // running/rank windows + min_by/max_by rollup all ride ONE event_type exchange off the scan
     "occ_checkerboard" -> 1, // pair grid checkpointed at build (distinct + cellid self-join + broadcast triangle); returned plan = species rollup
-    "events_ljung_box" -> 2) // (type,day) agg; stat windows + all four lag windows + rollup ride ONE event_type exchange
+    "events_ljung_box" -> 2, // (type,day) agg; stat windows + all four lag windows + rollup ride ONE event_type exchange
+    "sim_facility_location" -> 0) // returned plan = the collected 6-row greedy local relation (kcenter class); rounds run at build
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
     // the shard grid must drive the exchange (parallelism = shard count),
