@@ -5974,7 +5974,101 @@ object Analytics {
       .mkString("\nUNION ALL\n")
   }
 
+  /** Interrupted time-series fit per event type — the QUANTIFY-the-break
+    * companion of [[eventsChangepoint]]'s find-the-break: split each
+    * type's daily series at the midpoint of its OWN span (the known
+    * intervention day), fit exact-integer OLS level and slope to each
+    * segment (the retention_halflife sufficient-statistics lattice:
+    * cov = nΣxy − ΣxΣy, var = nΣx² − (Σx)², slope as sign +
+    * abs·1000 div var — abs BEFORE the division), and report the level
+    * jump mean_post − mean_pre in milli. Segment membership and x both
+    * derive from per-type min/max windows, so the stat windows and the
+    * single conditional-sum rollup all ride ONE event_type exchange
+    * after the (type, day) partial agg. */
+  def eventsInterventionIts(s: SparkSession, dir: String): DataFrame = {
+    val wp = Window.partitionBy("event_type")
+    val seg = DomainQueries.events(s, dir)
+      .select(col("event_type"), expr(s"ts_ns div $DAY_NS").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      .withColumn("d0", min("day").over(wp))
+      .withColumn("span",
+        expr("max(day) over (partition by event_type) - d0 + 1"))
+      .withColumn("x", expr("day - d0"))
+      .withColumn("post",
+        expr("case when x >= span div 2 then 1L else 0L end"))
+    def seg_(p: Int, e: String) =
+      sum(when(col("post") === p.toLong, expr(e)).otherwise(0L))
+    var out = seg.groupBy("event_type").agg(
+      seg_(0, "1L").as("n_pre"), seg_(1, "1L").as("n_post"),
+      seg_(0, "x").as("sx0"), seg_(1, "x").as("sx1"),
+      seg_(0, "c").as("sy0"), seg_(1, "c").as("sy1"),
+      seg_(0, "x * c").as("sxy0"), seg_(1, "x * c").as("sxy1"),
+      seg_(0, "x * x").as("sxx0"), seg_(1, "x * x").as("sxx1"))
+    for (p <- 0 to 1) {
+      val tag = if (p == 0) "pre" else "post"
+      out = out
+        .withColumn(s"cov$p", expr(s"n_$tag * sxy$p - sx$p * sy$p"))
+        .withColumn(s"var$p", expr(s"n_$tag * sxx$p - sx$p * sx$p"))
+        .withColumn(s"mean_${tag}_milli", expr(s"sy$p * 1000 div n_$tag"))
+        .withColumn(s"slope_${tag}_sign",
+          expr(s"cast(sign(cov$p) as bigint)"))
+        .withColumn(s"slope_${tag}_abs_milli",
+          expr(s"abs(cov$p) * 1000 div greatest(var$p, 1L)"))
+    }
+    out
+      .withColumn("jump_milli",
+        expr("mean_post_milli - mean_pre_milli"))
+      .select("event_type", "n_pre", "n_post", "mean_pre_milli",
+        "mean_post_milli", "jump_milli", "slope_pre_sign",
+        "slope_pre_abs_milli", "slope_post_sign", "slope_post_abs_milli")
+  }
+
+  private val ITS_SQL =
+    s"""WITH d AS (
+       |  SELECT event_type, epoch_ns(ts) // $DAY_NS AS day,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM events GROUP BY 1, 2),
+       |g AS (
+       |  SELECT event_type, day, c,
+       |    day - MIN(day) OVER w AS x,
+       |    CASE WHEN day - MIN(day) OVER w >=
+       |      (MAX(day) OVER w - MIN(day) OVER w + 1) // 2
+       |      THEN 1 ELSE 0 END AS post
+       |  FROM d WINDOW w AS (PARTITION BY event_type)),
+       |ag AS (
+       |  SELECT event_type,
+       |    CAST(SUM(CASE WHEN post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pre,
+       |    CAST(SUM(CASE WHEN post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_post,
+       |    CAST(SUM(CASE WHEN post = 0 THEN x ELSE 0 END) AS BIGINT) AS sx0,
+       |    CAST(SUM(CASE WHEN post = 1 THEN x ELSE 0 END) AS BIGINT) AS sx1,
+       |    CAST(SUM(CASE WHEN post = 0 THEN c ELSE 0 END) AS BIGINT) AS sy0,
+       |    CAST(SUM(CASE WHEN post = 1 THEN c ELSE 0 END) AS BIGINT) AS sy1,
+       |    CAST(SUM(CASE WHEN post = 0 THEN x * c ELSE 0 END) AS BIGINT) AS sxy0,
+       |    CAST(SUM(CASE WHEN post = 1 THEN x * c ELSE 0 END) AS BIGINT) AS sxy1,
+       |    CAST(SUM(CASE WHEN post = 0 THEN x * x ELSE 0 END) AS BIGINT) AS sxx0,
+       |    CAST(SUM(CASE WHEN post = 1 THEN x * x ELSE 0 END) AS BIGINT) AS sxx1
+       |  FROM g GROUP BY event_type),
+       |ff AS (
+       |  SELECT event_type, n_pre, n_post,
+       |    sy0 * 1000 // n_pre AS mean_pre_milli,
+       |    sy1 * 1000 // n_post AS mean_post_milli,
+       |    n_pre * sxy0 - sx0 * sy0 AS cov0,
+       |    n_pre * sxx0 - sx0 * sx0 AS var0,
+       |    n_post * sxy1 - sx1 * sy1 AS cov1,
+       |    n_post * sxx1 - sx1 * sx1 AS var1
+       |  FROM ag)
+       |SELECT event_type, n_pre, n_post, mean_pre_milli, mean_post_milli,
+       |  mean_post_milli - mean_pre_milli AS jump_milli,
+       |  CAST(CASE WHEN cov0 > 0 THEN 1 WHEN cov0 < 0 THEN -1 ELSE 0 END
+       |    AS BIGINT) AS slope_pre_sign,
+       |  abs(cov0) * 1000 // GREATEST(var0, 1) AS slope_pre_abs_milli,
+       |  CAST(CASE WHEN cov1 > 0 THEN 1 WHEN cov1 < 0 THEN -1 ELSE 0 END
+       |    AS BIGINT) AS slope_post_sign,
+       |  abs(cov1) * 1000 // GREATEST(var1, 1) AS slope_post_abs_milli
+       |FROM ff""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "events_intervention_its" -> (eventsInterventionIts _),
     "sim_facility_location" -> (simFacilityLocation _),
     "events_ljung_box" -> (eventsLjungBox _),
     "events_sprt_gate" -> (eventsSprtGate _),
@@ -6083,6 +6177,7 @@ object Analytics {
     "data_interleave_sources" -> (dataInterleaveSources _))
 
   val oracle: Map[String, String] = Map(
+    "events_intervention_its" -> ITS_SQL,
     "sim_facility_location" -> FACILITY_SQL,
     "events_ljung_box" -> LJUNG_SQL,
     "events_sprt_gate" -> SPRT_SQL,

@@ -822,7 +822,59 @@ object SketchQueries {
       |SELECT c.okey, c.bloom_pass, (m.mkey IS NOT NULL) AS actual
       |FROM pass c LEFT JOIN mem m ON m.mkey = c.okey""".stripMargin
 
+  /** Chapman capture–recapture estimate of the TRUE near-dup pair
+    * population from two independent-signal detectors — the coverage
+    * audit no single detector can run on itself: detector A = simhash
+    * pairs (bit-majority profile), detector B = winnowing fingerprint
+    * pairs (selected k-gram hashes). With |A|, |B| and the overlap m,
+    * N̂ = (|A|+1)(|B|+1) div (m+1) − 1 (the bias-corrected Chapman
+    * form — exact integer), and each detector's estimated recall is
+    * |·|·1000 div N̂. A subset relationship (m = min) collapses N̂ to
+    * the larger set — the estimator tells you when your "two"
+    * detectors are really one. Plan: both pair pipelines run once,
+    * union with membership flags, ONE (pair) dedup exchange, 1-row
+    * fold. */
+  def dedupCaptureRecapture(s: SparkSession, dir: String): DataFrame = {
+    val a = dedupSimhash(s, dir)
+      .select(col("doc1"), col("doc2"),
+        lit(1L).as("ia"), lit(0L).as("ib"))
+    val b = dedupWinnowPairs(s, dir)
+      .select(col("doc1"), col("doc2"),
+        lit(0L).as("ia"), lit(1L).as("ib"))
+    a.unionByName(b)
+      .groupBy("doc1", "doc2")
+      .agg(max("ia").as("in_a"), max("ib").as("in_b"))
+      .agg(sum("in_a").as("n_a"), sum("in_b").as("n_b"),
+        sum(expr("in_a * in_b")).as("n_both"))
+      .withColumn("chapman_total",
+        expr("(n_a + 1) * (n_b + 1) div (n_both + 1) - 1"))
+      .withColumn("recall_a_milli",
+        expr("n_a * 1000 div greatest(chapman_total, 1L)"))
+      .withColumn("recall_b_milli",
+        expr("n_b * 1000 div greatest(chapman_total, 1L)"))
+  }
+
+  private lazy val CAPTURE_SQL: String =
+    s"""WITH aa AS (SELECT * FROM (${oracleBase("dedup_simhash")})),
+       |bb AS (SELECT * FROM (${oracleBase("dedup_winnow_pairs")})),
+       |u AS (SELECT doc1, doc2, 1 AS ia, 0 AS ib FROM aa
+       |      UNION ALL SELECT doc1, doc2, 0 AS ia, 1 AS ib FROM bb),
+       |g AS (SELECT doc1, doc2, MAX(ia) AS in_a, MAX(ib) AS in_b
+       |      FROM u GROUP BY 1, 2),
+       |tt AS (SELECT CAST(SUM(in_a) AS BIGINT) AS n_a,
+       |         CAST(SUM(in_b) AS BIGINT) AS n_b,
+       |         CAST(SUM(in_a * in_b) AS BIGINT) AS n_both
+       |       FROM g),
+       |ch AS (SELECT n_a, n_b, n_both,
+       |         (n_a + 1) * (n_b + 1) // (n_both + 1) - 1 AS chapman_total
+       |       FROM tt)
+       |SELECT n_a, n_b, n_both, chapman_total,
+       |  n_a * 1000 // GREATEST(chapman_total, 1) AS recall_a_milli,
+       |  n_b * 1000 // GREATEST(chapman_total, 1) AS recall_b_milli
+       |FROM ch""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "dedup_capture_recapture" -> (dedupCaptureRecapture _),
     "data_bloom_gate" -> (dataBloomGate _),
     "text_cdc_chunks" -> (textCdcChunks _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
@@ -955,7 +1007,7 @@ object SketchQueries {
        |SELECT s.doc_id, CAST(COALESCE(w2.nw, 0) + s.n_sp AS BIGINT) AS n_bpe, s.n_bytes
        |FROM sp s LEFT JOIN wsum w2 ON s.doc_id = w2.doc_id""".stripMargin
 
-  val oracle: Map[String, String] = Map(
+  private val oracleBase: Map[String, String] = Map(
     "sim_recall_vs_nprobe" -> NPROBE_SWEEP_SQL,
     "data_bloom_gate" -> BLOOM_SQL,
     // Every window hash is replayed INDEPENDENTLY (list_reduce over the
@@ -1303,4 +1355,7 @@ object SketchQueries {
          |HAVING CAST(SUM(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) AS DOUBLE)
          |  / CAST($K AS DOUBLE) >= 0.5""".stripMargin
   }
+
+  val oracle: Map[String, String] =
+    oracleBase + ("dedup_capture_recapture" -> CAPTURE_SQL)
 }

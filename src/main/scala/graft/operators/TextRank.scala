@@ -920,7 +920,65 @@ object TextRank {
       |SELECT phrase, plen, score_milli, n_occ FROM agg
       |ORDER BY score_milli DESC, phrase LIMIT 20""".stripMargin
 
+  /** PMI collocation ranking — the SYMMETRIC-association member of the
+    * bigram family ([[textBigramSurprisal]] reads the directional
+    * −log p(w2|w1); PMI asks whether the PAIR co-occurs more than its
+    * parts predict): score = c(ab)·N·1000 div (c(a)·c(b)) — the exact
+    * cross-multiplied lattice monotone in PMI, no log anywhere — over
+    * adjacent-token bigrams with c(ab) ≥ 3, top-20 on
+    * (score desc, w1, w2). BIGINT-safe while c(ab)·N < 9e15 (any
+    * realistic shard; divide-first beyond). Plan: one doc-window lead
+    * exchange feeds the bigram agg; the unigram relation checkpoints
+    * once (two join consumers); N rides the vocab-sized aggregate as a
+    * window total; top-k is TakeOrdered. */
+  def textPmiCollocations(s: SparkSession, dir: String): DataFrame = {
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+          .as(Seq("pos", "w")))
+    val uni = toks.groupBy("w").agg(count(lit(1)).as("cw"))
+      .withColumn("n_tot", sum("cw").over())
+      .transform(graft.Ckpt.capped)
+    toks
+      .withColumn("w2", lead("w", 1).over(wDoc))
+      .filter(col("w2").isNotNull)
+      .groupBy(col("w").as("w1"), col("w2")).agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= 3)
+      .join(uni.select(col("w").as("w1"), col("cw").as("c1"),
+        col("n_tot")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("cw").as("c2")), Seq("w2"))
+      .withColumn("score_milli",
+        expr("cab * n_tot * 1000 div (c1 * c2)"))
+      .orderBy(col("score_milli").desc, col("w1"), col("w2"))
+      .limit(20)
+      .select("w1", "w2", "cab", "score_milli")
+  }
+
+  private val PMI_SQL =
+    """WITH tok AS (
+      |  SELECT doc_id, p.i AS pos, p.w FROM (
+      |    SELECT doc_id,
+      |      unnest(list_apply(regexp_extract_all(lower(text), '[a-z0-9]+'),
+      |        (w, i) -> struct_pack(w := w, i := i))) AS p
+      |    FROM documents)),
+      |uni AS (
+      |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cw,
+      |    CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS n_tot
+      |  FROM tok GROUP BY w),
+      |bg AS (
+      |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cab FROM (
+      |    SELECT doc_id, w AS w1,
+      |      LEAD(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      |    FROM tok) WHERE w2 IS NOT NULL GROUP BY 1, 2
+      |  HAVING COUNT(*) >= 3)
+      |SELECT w1, w2, cab,
+      |  cab * u1.n_tot * 1000 // (u1.cw * u2.cw) AS score_milli
+      |FROM bg JOIN uni u1 ON bg.w1 = u1.w JOIN uni u2 ON bg.w2 = u2.w
+      |ORDER BY score_milli DESC, w1, w2 LIMIT 20""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "text_pmi_collocations" -> (textPmiCollocations _),
     "text_rake_phrases" -> (textRakePhrases _),
     "text_prf_expansion" -> (textPrfExpansion _),
     "text_curation_verdict" -> (textCurationVerdict _),
@@ -941,6 +999,7 @@ object TextRank {
     "text_top_ngrams" -> (textTopNgrams _))
 
   val oracle: Map[String, String] = Map(
+    "text_pmi_collocations" -> PMI_SQL,
     "text_rake_phrases" -> RAKE_SQL,
     "text_prf_expansion" -> PRF_SQL,
     "text_curation_verdict" ->

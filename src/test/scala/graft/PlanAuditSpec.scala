@@ -465,7 +465,10 @@ class PlanAuditSpec extends SparkSpec {
     "events_sprt_gate" -> 1, // running/rank windows + min_by/max_by rollup all ride ONE event_type exchange off the scan
     "occ_checkerboard" -> 1, // pair grid checkpointed at build (distinct + cellid self-join + broadcast triangle); returned plan = species rollup
     "events_ljung_box" -> 2, // (type,day) agg; stat windows + all four lag windows + rollup ride ONE event_type exchange
-    "sim_facility_location" -> 0) // returned plan = the collected 6-row greedy local relation (kcenter class); rounds run at build
+    "sim_facility_location" -> 0, // returned plan = the collected 6-row greedy local relation (kcenter class); rounds run at build
+    "dedup_capture_recapture" -> 11, // both detector pipelines (simhash + winnow) + pair-dedup exchange + 1-row fold (lsh_recall_audit class)
+    "events_intervention_its" -> 2, // (type,day) agg; min/max windows + conditional-sum rollup ride ONE event_type exchange
+    "text_pmi_collocations" -> 2) // unigram+total checkpointed at build; lead window + bigram agg; joins broadcast, top-20 TakeOrdered
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
     // the shard grid must drive the exchange (parallelism = shard count),
