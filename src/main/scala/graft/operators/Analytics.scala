@@ -6067,7 +6067,72 @@ object Analytics {
        |  abs(cov1) * 1000 // GREATEST(var1, 1) AS slope_post_abs_milli
        |FROM ff""".stripMargin
 
+  /** Pareto tail index per event type — the HOW-HEAVY read the
+    * value-quantile and histogram operators stop short of: counts in
+    * dyadic value buckets (b = floor log2 of the ≥1024-milli tail, the
+    * exact bin-length lattice) follow n_b ∝ 2^(−αb) under a power law,
+    * so the exact-OLS slope of floor-log2(n_b) on b estimates −α.
+    * α ≈ 1000 milli = Zipf-like (infinite variance below 2000);
+    * steeper = tamer tail, the autoscaling-risk one-number. Plan: one
+    * (type, bucket) partial agg off the scan, the OLS folds ride the
+    * ≤|types|×~20-row aggregate. */
+  def eventsTailIndex(s: SparkSession, dir: String): DataFrame = {
+    DomainQueries.events(s, dir)
+      .select(col("event_type"),
+        expr("cast(floor(value * 1000) as bigint)").as("v"))
+      .filter(col("v") >= 1024L)
+      .withColumn("b", expr("cast(length(bin(v)) - 1 as bigint)"))
+      .groupBy("event_type", "b").agg(count(lit(1)).as("nb"))
+      .withColumn("y", expr("cast(length(bin(nb)) - 1 as bigint)"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_buckets"), sum("b").as("sx"),
+        sum("y").as("sy"), sum(expr("b * y")).as("sxy"),
+        sum(expr("b * b")).as("sxx"))
+      .withColumn("cov", expr("n_buckets * sxy - sx * sy"))
+      .withColumn("varx", expr("n_buckets * sxx - sx * sx"))
+      .withColumn("slope_sign", expr("cast(sign(cov) as bigint)"))
+      .withColumn("slope_abs_milli",
+        expr("abs(cov) * 1000 div greatest(varx, 1L)"))
+      .withColumn("alpha_milli", expr(
+        "case when cov < 0 then abs(cov) * 1000 div greatest(varx, 1L) " +
+        "else 0L end"))
+      .select("event_type", "n_buckets", "slope_sign", "slope_abs_milli",
+        "alpha_milli")
+  }
+
+  private val TAIL_SQL =
+    """WITH v AS (
+      |  SELECT event_type, CAST(FLOOR(value * 1000) AS BIGINT) AS v
+      |  FROM events WHERE CAST(FLOOR(value * 1000) AS BIGINT) >= 1024),
+      |bkt AS (
+      |  SELECT event_type, CAST(length(bin(v)) - 1 AS BIGINT) AS b,
+      |    CAST(COUNT(*) AS BIGINT) AS nb
+      |  FROM v GROUP BY 1, 2),
+      |lg AS (
+      |  SELECT event_type, b,
+      |    CAST(length(bin(nb)) - 1 AS BIGINT) AS y
+      |  FROM bkt),
+      |ag AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+      |    CAST(SUM(b) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(b * y) AS BIGINT) AS sxy,
+      |    CAST(SUM(b * b) AS BIGINT) AS sxx
+      |  FROM lg GROUP BY event_type),
+      |ff AS (
+      |  SELECT event_type, n_buckets,
+      |    n_buckets * sxy - sx * sy AS cov,
+      |    n_buckets * sxx - sx * sx AS varx
+      |  FROM ag)
+      |SELECT event_type, n_buckets,
+      |  CAST(CASE WHEN cov > 0 THEN 1 WHEN cov < 0 THEN -1 ELSE 0 END
+      |    AS BIGINT) AS slope_sign,
+      |  abs(cov) * 1000 // GREATEST(varx, 1) AS slope_abs_milli,
+      |  CASE WHEN cov < 0 THEN abs(cov) * 1000 // GREATEST(varx, 1)
+      |    ELSE 0 END AS alpha_milli
+      |FROM ff""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "events_tail_index" -> (eventsTailIndex _),
     "events_intervention_its" -> (eventsInterventionIts _),
     "sim_facility_location" -> (simFacilityLocation _),
     "events_ljung_box" -> (eventsLjungBox _),
@@ -6177,6 +6242,7 @@ object Analytics {
     "data_interleave_sources" -> (dataInterleaveSources _))
 
   val oracle: Map[String, String] = Map(
+    "events_tail_index" -> TAIL_SQL,
     "events_intervention_its" -> ITS_SQL,
     "sim_facility_location" -> FACILITY_SQL,
     "events_ljung_box" -> LJUNG_SQL,

@@ -1937,9 +1937,65 @@ object DomainQueries {
         max("c").as("max_c"))
   }
 
+  /** NODF nestedness of the species × 10°-cell presence matrix — the
+    * ARE-RANGES-SUBSETS read that completes the co-occurrence pair with
+    * [[occCheckerboard]]'s segregation score: per ordered pair with
+    * strictly decreasing fill (r_a > r_b on the species axis, n_c > n_d
+    * on the cell axis) the paired overlap S·1000 div r_b; equal-fill
+    * pairs contribute 0 (the Almeida-Neto convention) and the
+    * denominator is ALL C(n,2) pairs per axis, closed-form from the
+    * axis cardinalities — no pair-count query at all. High NODF = poor
+    * ranges nest inside rich ones; ≈0 = checkerboard world. The
+    * cell-axis overlap join fans out per species as r² ≤ 648² cell
+    * pairs — bounded by the GRID, never the corpus. Plan: the distinct
+    * presence relation checkpoints once; four 1-row folds crossJoin
+    * (the whitelisted 1×1 class). */
+  def occNestedness(s: SparkSession, dir: String): DataFrame = {
+    val o = valid(s, dir)
+      .withColumn("cellid", cell10(col("lat"), col("lon")))
+      .select("species", "cellid").distinct()
+      .transform(graft.Ckpt.capped)
+    val szs = o.groupBy("species").agg(count(lit(1)).as("r"))
+      .transform(graft.Ckpt.capped)
+    val szc = o.groupBy("cellid").agg(count(lit(1)).as("nc"))
+      .transform(graft.Ckpt.capped)
+    val spSum = o.select(col("species").as("a"), col("cellid"))
+      .join(o.select(col("species").as("b"), col("cellid")), Seq("cellid"))
+      .filter(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("s"))
+      .join(broadcast(szs.select(col("species").as("a"),
+        col("r").as("r_a"))), Seq("a"))
+      .join(broadcast(szs.select(col("species").as("b"),
+        col("r").as("r_b"))), Seq("b"))
+      .filter(col("r_a") > col("r_b"))
+      .agg(coalesce(sum(expr("s * 1000 div r_b")), lit(0L)).as("sp_sum"))
+    val cellSum = o.select(col("cellid").as("ca"), col("species"))
+      .join(o.select(col("cellid").as("cb"), col("species")), Seq("species"))
+      .filter(col("ca") =!= col("cb"))
+      .groupBy("ca", "cb").agg(count(lit(1)).as("s"))
+      .join(broadcast(szc.select(col("cellid").as("ca"),
+        col("nc").as("n_a"))), Seq("ca"))
+      .join(broadcast(szc.select(col("cellid").as("cb"),
+        col("nc").as("n_b"))), Seq("cb"))
+      .filter(col("n_a") > col("n_b"))
+      .agg(coalesce(sum(expr("s * 1000 div n_b")), lit(0L)).as("cell_sum"))
+    val dims = szs.agg(count(lit(1)).as("n_species"))
+      .crossJoin(szc.agg(count(lit(1)).as("n_cells")))
+    dims.crossJoin(spSum).crossJoin(cellSum)
+      .select(col("n_species"), col("n_cells"),
+        expr("sp_sum div greatest(n_species * (n_species - 1) div 2, 1L)")
+          .as("nodf_sp_milli"),
+        expr("cell_sum div greatest(n_cells * (n_cells - 1) div 2, 1L)")
+          .as("nodf_cell_milli"),
+        expr("(sp_sum + cell_sum) div greatest(" +
+          "n_species * (n_species - 1) div 2 + " +
+          "n_cells * (n_cells - 1) div 2, 1L)").as("nodf_milli"))
+  }
+
   // -------------------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "occ_nestedness" -> (occNestedness _),
     "occ_checkerboard" -> (occCheckerboard _),
     "events_funnel" -> (eventsFunnel _),
     "events_sequence_contract" -> (eventsSequenceContract _),
@@ -2036,6 +2092,45 @@ object DomainQueries {
       |FROM bg GROUP BY accession, species""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "occ_nestedness" -> withSql(OCC_SQL, VALID_SQL,
+      s"""o AS (SELECT DISTINCT species, $CELL10_SQL AS cellid FROM valid),
+         |szs AS (SELECT species, CAST(COUNT(*) AS BIGINT) AS r
+         |        FROM o GROUP BY 1),
+         |szc AS (SELECT cellid, CAST(COUNT(*) AS BIGINT) AS nc
+         |        FROM o GROUP BY 1),
+         |sps AS (SELECT COALESCE(CAST(SUM(s * 1000 // r_b) AS BIGINT), 0)
+         |          AS sp_sum FROM (
+         |        SELECT a.species AS sa, b.species AS sb,
+         |          CAST(COUNT(*) AS BIGINT) AS s
+         |        FROM o a JOIN o b ON a.cellid = b.cellid
+         |          AND a.species <> b.species
+         |        GROUP BY 1, 2) sh
+         |        JOIN (SELECT species AS sa, r AS r_a FROM szs) x USING (sa)
+         |        JOIN (SELECT species AS sb, r AS r_b FROM szs) y USING (sb)
+         |        WHERE r_a > r_b),
+         |cls AS (SELECT COALESCE(CAST(SUM(s * 1000 // n_b) AS BIGINT), 0)
+         |          AS cell_sum FROM (
+         |        SELECT a.cellid AS ca, b.cellid AS cb,
+         |          CAST(COUNT(*) AS BIGINT) AS s
+         |        FROM o a JOIN o b ON a.species = b.species
+         |          AND a.cellid <> b.cellid
+         |        GROUP BY 1, 2) sh
+         |        JOIN (SELECT cellid AS ca, nc AS n_a FROM szc) x USING (ca)
+         |        JOIN (SELECT cellid AS cb, nc AS n_b FROM szc) y USING (cb)
+         |        WHERE n_a > n_b),
+         |dims AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM szs)
+         |           AS n_species,
+         |         (SELECT CAST(COUNT(*) AS BIGINT) FROM szc) AS n_cells)"""
+        .stripMargin)(
+      """SELECT n_species, n_cells,
+        |  sp_sum // GREATEST(n_species * (n_species - 1) // 2, 1)
+        |    AS nodf_sp_milli,
+        |  cell_sum // GREATEST(n_cells * (n_cells - 1) // 2, 1)
+        |    AS nodf_cell_milli,
+        |  (sp_sum + cell_sum) // GREATEST(
+        |    n_species * (n_species - 1) // 2
+        |    + n_cells * (n_cells - 1) // 2, 1) AS nodf_milli
+        |FROM dims CROSS JOIN sps CROSS JOIN cls""".stripMargin),
     "occ_checkerboard" -> withSql(OCC_SQL, VALID_SQL,
       s"""o AS (SELECT DISTINCT species, $CELL10_SQL AS cellid FROM valid),
          |sz AS (SELECT species, CAST(COUNT(*) AS BIGINT) AS r

@@ -53,6 +53,7 @@ class PlanAuditSpec extends SparkSpec {
     "spatial_zone_pruning_audit" -> "16-box × broadcast 32-file envelope BNLJ — both sides layout constants",
     "sim_rrf_fusion" -> "documented brute-force vector leg: query side is 5 broadcast rows (sim_cosine_topk class)",
     "sim_sign_quantize_recall" -> "documented brute-force baseline: query side is 5 broadcast signature rows (sim_cosine_topk class)",
+    "occ_nestedness" -> "three 1-row fold crossJoins (dims x sp_sum x cell_sum) — the whitelisted 1x1x1 class",
     "sim_hubness_audit" -> "crossJoin against the single-row broadcast totals fold (1×|nodes|)")
 
   test("no query plans a nested-loop or cartesian join outside the whitelist") {
@@ -468,7 +469,9 @@ class PlanAuditSpec extends SparkSpec {
     "sim_facility_location" -> 0, // returned plan = the collected 6-row greedy local relation (kcenter class); rounds run at build
     "dedup_capture_recapture" -> 11, // both detector pipelines (simhash + winnow) + pair-dedup exchange + 1-row fold (lsh_recall_audit class)
     "events_intervention_its" -> 2, // (type,day) agg; min/max windows + conditional-sum rollup ride ONE event_type exchange
-    "text_pmi_collocations" -> 2) // unigram+total checkpointed at build; lead window + bigram agg; joins broadcast, top-20 TakeOrdered
+    "text_pmi_collocations" -> 2, // unigram+total checkpointed at build; lead window + bigram agg; joins broadcast, top-20 TakeOrdered
+    "occ_nestedness" -> 6, // presence relation checkpointed; two axis overlap joins + folds; 1-row crossJoins whitelisted
+    "events_tail_index" -> 2) // (type,bucket) partial agg off the scan; OLS folds ride the ~types x 20-row aggregate
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
     // the shard grid must drive the exchange (parallelism = shard count),

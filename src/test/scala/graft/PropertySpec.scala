@@ -376,4 +376,40 @@ class PropertySpec extends SparkSpec {
       if (up + down > 0) assert(r >= 1 && r <= up + down)
     }
   }
+
+  test("isqrt lattice: floor(sqrt(double)) + ±1 correction is the exact integer sqrt") {
+    // events_wilson_bounds (and its twin) rest on this: for any radicand
+    // below 2^53 the corrected value r satisfies r² ≤ a < (r+1)² exactly
+    val rnd = new Random(51)
+    def isqrt(a: Long): Long = {
+      val s0 = math.sqrt(a.toDouble).toLong
+      if ((s0 + 1) * (s0 + 1) <= a) s0 + 1
+      else if (s0 * s0 > a) s0 - 1 else s0
+    }
+    for (_ <- 1 to 200) {
+      // bias toward perfect squares and off-by-one neighbors — the only
+      // places a naive floor(sqrt) can land wrong
+      val base = 1L + (rnd.nextLong() & ((1L << 26) - 1))
+      for (a <- Seq(base * base - 1, base * base, base * base + 1,
+        (rnd.nextLong() & ((1L << 53) - 1)) + 1)) {
+        val r = isqrt(a)
+        assert(r >= 0 && r * r <= a && (r + 1) * (r + 1) > a, s"a=$a r=$r")
+      }
+    }
+  }
+
+  test("two-step long division equals floor(a*c/n^2) on random operands") {
+    // text_yule_k's /N² lattice: q·c + (r·c) div n then div n composes to
+    // the exact floor without ever forming the a·c product
+    val rnd = new Random(52)
+    for (round <- 1 to 200) {
+      val n = 1L + rnd.nextInt(1 << 20)
+      val a = math.abs(rnd.nextLong()) % (n * math.min(n, 1L << 20))
+      val c = 10000000L
+      val q = a / n; val r = a % n
+      val twoStep = (q * c + (r * c) / n) / n
+      val exact = (BigInt(a) * c / (BigInt(n) * n)).toLong
+      assert(twoStep === exact, s"round $round a=$a n=$n")
+    }
+  }
 }
