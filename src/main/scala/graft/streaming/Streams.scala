@@ -1317,6 +1317,152 @@ object Streams {
     }
   }
 
+  case class TiState(buckets: Seq[(Long, Long)])
+  case class TiOut(event_type: String, n_buckets: Long, slope_sign: Long,
+                   slope_abs_milli: Long, alpha_milli: Long)
+
+  /** Streaming counterpart of events_tail_index — COUNTER state (the
+    * diurnalDft class): one count per dyadic value bucket (~20 cells
+    * per type at any volume), counter addition commutes so arrival
+    * order and batch splits are immaterial; the OLS replays per
+    * emission from the counters on the batch lattice verbatim
+    * (floor-log2 via bit length on both the bucket and its count).
+    * Drained stream ⇒ last emission equals the batch row
+    * (spec-pinned). */
+  def tailIndex(events: Dataset[(String, Long)]): Dataset[TiOut] = {
+    import events.sparkSession.implicits._
+    def log2(x: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(x)
+    events.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (tpe: String, it: Iterator[(String, Long)],
+       state: GroupState[TiState]) =>
+        val m = scala.collection.mutable.Map(
+          state.getOption.getOrElse(TiState(Seq.empty)).buckets: _*)
+        for ((_, v) <- it if v >= 1024L) {
+          val b = log2(v)
+          m(b) = m.getOrElse(b, 0L) + 1L
+        }
+        state.update(TiState(m.toSeq))
+        if (m.isEmpty) Iterator.empty
+        else {
+          val rows = m.toSeq.map { case (b, nb) => (b, log2(nb)) }
+          val n = rows.length.toLong
+          val sx = rows.map(_._1).sum
+          val sy = rows.map(_._2).sum
+          val sxy = rows.map(r => r._1 * r._2).sum
+          val sxx = rows.map(r => r._1 * r._1).sum
+          val cov = n * sxy - sx * sy
+          val varx = math.max(n * sxx - sx * sx, 1L)
+          val absM = math.abs(cov) * 1000L / varx
+          Iterator(TiOut(tpe, n, java.lang.Long.signum(cov).toLong, absM,
+            if (cov < 0) absM else 0L))
+        }
+    }
+  }
+
+  case class LbState(days: Seq[(Long, Long)])
+  case class LbOut(event_type: String, n_days: Long, r1_milli: Long,
+                   r2_milli: Long, r3_milli: Long, r4_milli: Long,
+                   q_milli: Long, white_flag: Long)
+
+  /** Streaming counterpart of events_ljung_box. The autocorrelations
+    * demean against the FINAL mean (dev = n·c − S), so every arriving
+    * day re-weights all earlier products — like [[changepoint]] the
+    * twin re-runs the exact batch lattice per micro-batch over the
+    * stored per-type (day, count) series (calendar-bounded state).
+    * Contiguity gates replay verbatim: lag-k products count only when
+    * the row k back is also the day k back. Drained stream ⇒ last
+    * emission equals the batch row (spec-pinned). */
+  def ljungBox(days: Dataset[(String, Long, Long)]): Dataset[LbOut] = {
+    import days.sparkSession.implicits._
+    days.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (tpe: String, it: Iterator[(String, Long, Long)],
+       state: GroupState[LbState]) =>
+        val st = LbState(state.getOption.getOrElse(LbState(Seq.empty)).days
+          ++ it.map(e => (e._2, e._3)))
+        state.update(st)
+        val ds = st.days.sortBy(_._1).toArray
+        val n = ds.length.toLong
+        if (n == 0L) Iterator.empty
+        else {
+          val s = ds.map(_._2).sum
+          val dev = ds.map { case (_, c) => n * c - s }
+          val varn = math.max(dev.map(d => d * d).sum, 1L)
+          val rs = (1 to 4).map { k =>
+            var cov = 0L
+            for (i <- k until ds.length)
+              if (ds(i - k)._1 == ds(i)._1 - k) cov += dev(i) * dev(i - k)
+            java.lang.Long.signum(cov).toLong *
+              (math.abs(cov) * 1000L / varn)
+          }
+          val q = (n * (n + 2) * rs.zipWithIndex.map { case (r, i) =>
+            r * r / math.max(n - (i + 1), 1L)
+          }.sum) / 1000L
+          Iterator(LbOut(tpe, n, rs(0), rs(1), rs(2), rs(3), q,
+            if (q < 9488L) 1L else 0L))
+        }
+    }
+  }
+
+  case class ItsState(days: Seq[(Long, Long)])
+  case class ItsOut(event_type: String, n_pre: Long, n_post: Long,
+                    mean_pre_milli: Long, mean_post_milli: Long,
+                    jump_milli: Long, slope_pre_sign: Long,
+                    slope_pre_abs_milli: Long, slope_post_sign: Long,
+                    slope_post_abs_milli: Long)
+
+  /** Streaming counterpart of events_intervention_its. The break sits
+    * at the midpoint of each type's OWN observed span, so every
+    * arriving day can move the breakpoint and re-assign segment
+    * membership — calendar-bounded re-scan state (the changepoint
+    * class). Both segment OLS fits replay the batch sufficient-
+    * statistics lattice verbatim per emission. Drained stream ⇒ last
+    * emission equals the batch row (spec-pinned). Types still entirely
+    * pre-break (span < 2) emit with n_post = 0 mirrors suppressed —
+    * the batch operator divides by n_post, so the twin emits nothing
+    * until both segments are non-empty. */
+  def interventionIts(days: Dataset[(String, Long, Long)]): Dataset[ItsOut] = {
+    import days.sparkSession.implicits._
+    days.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (tpe: String, it: Iterator[(String, Long, Long)],
+       state: GroupState[ItsState]) =>
+        val st = ItsState(state.getOption.getOrElse(ItsState(Seq.empty)).days
+          ++ it.map(e => (e._2, e._3)))
+        state.update(st)
+        val ds = st.days.sortBy(_._1)
+        if (ds.isEmpty) Iterator.empty
+        else {
+          val d0 = ds.head._1
+          val span = ds.last._1 - d0 + 1
+          val cut = span / 2
+          case class Acc(n: Long, sx: Long, sy: Long, sxy: Long, sxx: Long)
+          def fold(rows: Seq[(Long, Long)]): Acc =
+            rows.foldLeft(Acc(0, 0, 0, 0, 0)) { case (a, (day, c)) =>
+              val x = day - d0
+              Acc(a.n + 1, a.sx + x, a.sy + c, a.sxy + x * c, a.sxx + x * x)
+            }
+          val (pre, post) = ds.partition { case (day, _) => day - d0 < cut }
+          if (pre.isEmpty || post.isEmpty) Iterator.empty
+          else {
+            val (ap, aq) = (fold(pre), fold(post))
+            def slope(a: Acc): (Long, Long) = {
+              val cov = a.n * a.sxy - a.sx * a.sy
+              val vx = math.max(a.n * a.sxx - a.sx * a.sx, 1L)
+              (java.lang.Long.signum(cov).toLong,
+                math.abs(cov) * 1000L / vx)
+            }
+            val (s0, m0) = slope(ap); val (s1, m1) = slope(aq)
+            val mPre = ap.sy * 1000L / ap.n
+            val mPost = aq.sy * 1000L / aq.n
+            Iterator(ItsOut(tpe, ap.n, aq.n, mPre, mPost, mPost - mPre,
+              s0, m0, s1, m1))
+          }
+        }
+    }
+  }
+
   case class PhState(days: Seq[(Long, Long)])
   case class PhOut(event_type: String, n_days: Long, n_calib: Long,
                    max_ph: Long, n_alarm_days: Long,

@@ -1216,6 +1216,106 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming tail index folds dyadic counters, equals the batch OLS") {
+    val events = DomainQueries.events(spark, sf)
+      .select(col("event_type"),
+        expr("cast(floor(value * 1000) as bigint)").as("v"))
+      .as[(String, Long)]
+    val batch = operators.Analytics.eventsTailIndex(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val whole = Streams.tailIndex(events).collect()
+      .map(o => o.event_type -> ((o.n_buckets, o.slope_sign,
+        o.slope_abs_milli, o.alpha_milli))).toMap
+    assert(whole === batch)
+    assert(batch.nonEmpty)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val q = Streams.tailIndex(mem.toDS())
+      .writeStream.format("memory").queryName("ti_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(("a", 2048L), ("a", 4096L)); q.processAllAvailable()
+      mem.addData(("a", 2048L), ("a", 2048L), ("a", 2048L))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT n_buckets, slope_sign, slope_abs_milli, " +
+        "alpha_milli FROM ti_out ORDER BY slope_abs_milli")
+        .as[(Long, Long, Long, Long)].collect()
+      assert(rows.length === 2)
+      assert(rows.head === ((2L, 0L, 0L, 0L)))
+      // bucket 11 now holds 4 (log2=2), bucket 12 holds 1 (log2=0)
+      assert(rows.last === ((2L, -1L, 2000L, 2000L)))
+    } finally q.stop()
+  }
+
+  test("streaming ljung-box re-demeans per batch, equals the batch lattice") {
+    val days = DomainQueries.events(spark, sf)
+      .select(col("event_type"), expr("ts_ns div 86400000000000").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      .as[(String, Long, Long)]
+    val batch = operators.Analytics.eventsLjungBox(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7, r._8))).toMap
+    val whole = Streams.ljungBox(days).collect()
+      .map(o => o.event_type -> ((o.n_days, o.r1_milli, o.r2_milli,
+        o.r3_milli, o.r4_milli, o.q_milli, o.white_flag))).toMap
+    assert(whole === batch)
+    assert(batch.nonEmpty)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Long)]
+    val q = Streams.ljungBox(mem.toDS())
+      .writeStream.format("memory").queryName("lb_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(("a", 0L, 1L), ("a", 1L, 2L)); q.processAllAvailable()
+      mem.addData(("a", 2L, 1L), ("a", 3L, 2L)); q.processAllAvailable()
+      val rows = spark.sql("SELECT n_days, r1_milli, r2_milli, r3_milli, " +
+        "r4_milli, q_milli, white_flag FROM lb_out ORDER BY n_days")
+        .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      assert(rows.length === 2)
+      assert(rows.head === ((2L, -500L, 0L, 0L, 0L, 2000L, 1L)))
+      // alternating series: strong negative lag-1, positive lag-2
+      assert(rows.last === ((4L, -750L, 500L, -250L, 0L, 9000L, 1L)))
+    } finally q.stop()
+  }
+
+  test("streaming ITS moves the breakpoint with the horizon, equals the batch fit") {
+    val days = DomainQueries.events(spark, sf)
+      .select(col("event_type"), expr("ts_ns div 86400000000000").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      .as[(String, Long, Long)]
+    val batch = operators.Analytics.eventsInterventionIts(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7, r._8, r._9,
+        r._10))).toMap
+    val whole = Streams.interventionIts(days).collect()
+      .map(o => o.event_type -> ((o.n_pre, o.n_post, o.mean_pre_milli,
+        o.mean_post_milli, o.jump_milli, o.slope_pre_sign,
+        o.slope_pre_abs_milli, o.slope_post_sign,
+        o.slope_post_abs_milli))).toMap
+    assert(whole === batch)
+    assert(batch.nonEmpty)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Long)]
+    val q = Streams.interventionIts(mem.toDS())
+      .writeStream.format("memory").queryName("its_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(("a", 0L, 10L), ("a", 1L, 20L)); q.processAllAvailable()
+      mem.addData(("a", 2L, 30L), ("a", 3L, 40L)); q.processAllAvailable()
+      val rows = spark.sql("SELECT n_pre, n_post, mean_pre_milli, " +
+        "mean_post_milli, jump_milli, slope_pre_sign, slope_pre_abs_milli, " +
+        "slope_post_sign, slope_post_abs_milli FROM its_out ORDER BY n_pre")
+        .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+      assert(rows.length === 2)
+      assert(rows.head === ((1L, 1L, 10000L, 20000L, 10000L, 0L, 0L, 0L, 0L)))
+      // horizon grew 2 -> 4: the breakpoint moved and days re-assigned
+      assert(rows.last ===
+        ((2L, 2L, 15000L, 35000L, 20000L, 1L, 10000L, 1L, 10000L)))
+    } finally q.stop()
+  }
+
   test("streaming page-hinkley re-calibrates on the growing horizon, equals the batch op") {
     val days = DomainQueries.events(spark, sf)
       .select(col("event_type"), expr("ts_ns div 86400000000000").as("day"))
