@@ -873,7 +873,41 @@ object SketchQueries {
        |  n_b * 1000 // GREATEST(chapman_total, 1) AS recall_b_milli
        |FROM ch""".stripMargin
 
+  /** Reciprocity of the directed k-NN graph — the mutual-neighbor share
+    * next to [[simKnnGraph]]'s edges and the hubness audit's degree
+    * Gini: an edge q→v is MUTUAL when v→q also survived the top-5 cut.
+    * Mutual-kNN is what density clusterers and kNN-graph community
+    * methods actually keep, so low reciprocity means the graph is
+    * mostly hub artifacts (the high-dimensional pathology) and a
+    * mutual-kNN prune would empty it. One self-join of the checkpointed
+    * edge relation against its own reversal, 1-row fold. */
+  def graphKnnReciprocity(s: SparkSession, dir: String): DataFrame = {
+    val e = simKnnGraph(s, dir)
+      .select(col("qid").as("src"), col("vec_id").as("dst"))
+      .transform(graft.Ckpt.capped)
+    val rev = e.select(col("dst").as("src"), col("src").as("dst"))
+      .withColumn("m", lit(1L))
+    e.join(rev, Seq("src", "dst"), "left")
+      .agg(count(lit(1)).as("n_edges"),
+        sum(coalesce(col("m"), lit(0L))).as("n_mutual"))
+      .withColumn("reciprocity_milli",
+        expr("n_mutual * 1000 div greatest(n_edges, 1L)"))
+  }
+
+  private lazy val KNN_RECIP_SQL: String =
+    s"""WITH e AS (SELECT qid AS src, vec_id AS dst FROM ($KNN_GRAPH_SQL)),
+       |mm AS (SELECT e.src, e.dst,
+       |         CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END AS m
+       |       FROM e LEFT JOIN (SELECT dst AS src, src AS dst FROM e) r
+       |         ON e.src = r.src AND e.dst = r.dst)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+       |  CAST(SUM(m) AS BIGINT) AS n_mutual,
+       |  CAST(SUM(m) AS BIGINT) * 1000
+       |    // GREATEST(CAST(COUNT(*) AS BIGINT), 1) AS reciprocity_milli
+       |FROM mm""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "graph_knn_reciprocity" -> (graphKnnReciprocity _),
     "dedup_capture_recapture" -> (dedupCaptureRecapture _),
     "data_bloom_gate" -> (dataBloomGate _),
     "text_cdc_chunks" -> (textCdcChunks _),
@@ -1356,6 +1390,7 @@ object SketchQueries {
          |  / CAST($K AS DOUBLE) >= 0.5""".stripMargin
   }
 
-  val oracle: Map[String, String] =
-    oracleBase + ("dedup_capture_recapture" -> CAPTURE_SQL)
+  val oracle: Map[String, String] = oracleBase +
+    ("dedup_capture_recapture" -> CAPTURE_SQL) +
+    ("graph_knn_reciprocity" -> KNN_RECIP_SQL)
 }
