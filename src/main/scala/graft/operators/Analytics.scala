@@ -6131,7 +6131,102 @@ object Analytics {
       |    ELSE 0 END AS alpha_milli
       |FROM ff""".stripMargin
 
+  /** Welch's t between the A/B arms on per-user value mass — the
+    * CONTINUOUS-metric significance read that completes the experiment
+    * family (ab_lift = effect sizes, ab_srm = validity, wilson/sprt =
+    * the conversion rate; this scores the value metric itself, where
+    * unequal variances make pooled t wrong). Same 'ab:' arm assignment
+    * as ab_lift — this analyzes THAT experiment. Lattice: per-user y =
+    * Σ floor(value) units (keeps nQ − S² far from 2^63 where the milli
+    * form would not be), per-arm sufficient stats (n, S, Q), variance
+    * ·10⁶ exact, se² = sA²/nA + sB²/nB in micro, se via the isqrt
+    * correction lattice, t_milli = |Δmean_milli|·1000 div se_milli,
+    * flag at the z≈1.96 literal 1960 (df is in the thousands). Plan:
+    * (arm, user) partial agg, 2-row arm agg, single-row conditional
+    * fold — ONE user-keyed exchange. */
+  def eventsWelchT(s: SparkSession, dir: String): DataFrame = {
+    DomainQueries.events(s, dir)
+      .select(col("user_id"),
+        expr("cast(conv(substring(md5(cast(concat('ab:', user_id) as " +
+          "binary)), 1, 15), 16, 10) as bigint) % 2").as("arm"),
+        expr("cast(floor(value) as bigint)").as("yu"))
+      .groupBy("arm", "user_id").agg(sum("yu").as("y"))
+      .groupBy("arm")
+      .agg(count(lit(1)).as("n"), sum("y").as("sy"),
+        sum(expr("y * y")).as("qy"))
+      .agg(sum(when(col("arm") === 0, col("n")).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 1, col("n")).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === 0, col("sy")).otherwise(0L)).as("sa"),
+        sum(when(col("arm") === 1, col("sy")).otherwise(0L)).as("sb"),
+        sum(when(col("arm") === 0, col("qy")).otherwise(0L)).as("qa"),
+        sum(when(col("arm") === 1, col("qy")).otherwise(0L)).as("qb"))
+      .withColumn("mean_a_milli", expr("sa * 1000 div n_a"))
+      .withColumn("mean_b_milli", expr("sb * 1000 div n_b"))
+      .withColumn("va", expr(
+        "(n_a * qa - sa * sa) * 1000000L div (n_a * (n_a - 1))"))
+      .withColumn("vb", expr(
+        "(n_b * qb - sb * sb) * 1000000L div (n_b * (n_b - 1))"))
+      .withColumn("seq", expr("va div n_a + vb div n_b"))
+      .withColumn("s0", expr("cast(floor(sqrt(cast(seq as double))) as bigint)"))
+      .withColumn("se", expr(
+        "greatest(case when (s0 + 1) * (s0 + 1) <= seq then s0 + 1 " +
+        "when s0 * s0 > seq then s0 - 1 else s0 end, 1L)"))
+      .withColumn("diff_milli", expr("mean_a_milli - mean_b_milli"))
+      .withColumn("t_sign", expr("cast(sign(diff_milli) as bigint)"))
+      .withColumn("t_abs_milli", expr("abs(diff_milli) * 1000 div se"))
+      .withColumn("significant_flag",
+        expr("case when abs(diff_milli) * 1000 div se >= 1960 " +
+          "then 1L else 0L end"))
+      .select("n_a", "n_b", "mean_a_milli", "mean_b_milli", "diff_milli",
+        "t_sign", "t_abs_milli", "significant_flag")
+  }
+
+  private val WELCH_SQL =
+    """WITH e AS (
+      |  SELECT user_id,
+      |    ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 15))
+      |      ::BIGINT % 2 AS arm,
+      |    CAST(FLOOR(value) AS BIGINT) AS yu
+      |  FROM events),
+      |u AS (SELECT arm, user_id, CAST(SUM(yu) AS BIGINT) AS y
+      |      FROM e GROUP BY 1, 2),
+      |a AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+      |        CAST(SUM(y) AS BIGINT) AS sy,
+      |        CAST(SUM(y * y) AS BIGINT) AS qy
+      |      FROM u GROUP BY 1),
+      |p AS (SELECT
+      |  CAST(SUM(CASE WHEN arm = 0 THEN n ELSE 0 END) AS BIGINT) AS n_a,
+      |  CAST(SUM(CASE WHEN arm = 1 THEN n ELSE 0 END) AS BIGINT) AS n_b,
+      |  CAST(SUM(CASE WHEN arm = 0 THEN sy ELSE 0 END) AS BIGINT) AS sa,
+      |  CAST(SUM(CASE WHEN arm = 1 THEN sy ELSE 0 END) AS BIGINT) AS sb,
+      |  CAST(SUM(CASE WHEN arm = 0 THEN qy ELSE 0 END) AS BIGINT) AS qa,
+      |  CAST(SUM(CASE WHEN arm = 1 THEN qy ELSE 0 END) AS BIGINT) AS qb
+      |  FROM a),
+      |w AS (SELECT n_a, n_b,
+      |        sa * 1000 // n_a AS mean_a_milli,
+      |        sb * 1000 // n_b AS mean_b_milli,
+      |        (n_a * qa - sa * sa) * 1000000 // (n_a * (n_a - 1)) // n_a
+      |          + (n_b * qb - sb * sb) * 1000000 // (n_b * (n_b - 1)) // n_b
+      |          AS seq
+      |      FROM p),
+      |r AS (SELECT n_a, n_b, mean_a_milli, mean_b_milli, seq,
+      |        CAST(FLOOR(SQRT(CAST(seq AS DOUBLE))) AS BIGINT) AS s0
+      |      FROM w),
+      |f AS (SELECT n_a, n_b, mean_a_milli, mean_b_milli,
+      |        mean_a_milli - mean_b_milli AS diff_milli,
+      |        GREATEST(CASE WHEN (s0 + 1) * (s0 + 1) <= seq THEN s0 + 1
+      |          WHEN s0 * s0 > seq THEN s0 - 1 ELSE s0 END, 1) AS se
+      |      FROM r)
+      |SELECT n_a, n_b, mean_a_milli, mean_b_milli, diff_milli,
+      |  CAST(CASE WHEN diff_milli > 0 THEN 1 WHEN diff_milli < 0 THEN -1
+      |    ELSE 0 END AS BIGINT) AS t_sign,
+      |  abs(diff_milli) * 1000 // se AS t_abs_milli,
+      |  CAST(CASE WHEN abs(diff_milli) * 1000 // se >= 1960
+      |    THEN 1 ELSE 0 END AS BIGINT) AS significant_flag
+      |FROM f""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "events_welch_t" -> (eventsWelchT _),
     "events_tail_index" -> (eventsTailIndex _),
     "events_intervention_its" -> (eventsInterventionIts _),
     "sim_facility_location" -> (simFacilityLocation _),
@@ -6242,6 +6337,7 @@ object Analytics {
     "data_interleave_sources" -> (dataInterleaveSources _))
 
   val oracle: Map[String, String] = Map(
+    "events_welch_t" -> WELCH_SQL,
     "events_tail_index" -> TAIL_SQL,
     "events_intervention_its" -> ITS_SQL,
     "sim_facility_location" -> FACILITY_SQL,

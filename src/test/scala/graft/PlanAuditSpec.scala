@@ -472,7 +472,8 @@ class PlanAuditSpec extends SparkSpec {
     "text_pmi_collocations" -> 2, // unigram+total checkpointed at build; lead window + bigram agg; joins broadcast, top-20 TakeOrdered
     "occ_nestedness" -> 6, // presence relation checkpointed; two axis overlap joins + folds; 1-row crossJoins whitelisted
     "events_tail_index" -> 2, // (type,bucket) partial agg off the scan; OLS folds ride the ~types x 20-row aggregate
-    "graph_knn_reciprocity" -> 3) // knn edges checkpointed at build; reversal self-join + 1-row fold
+    "graph_knn_reciprocity" -> 3, // knn edges checkpointed at build; reversal self-join + 1-row fold
+    "events_welch_t" -> 3) // (arm,user) partial agg + 2-row arm agg + single-row conditional fold
 
   test("data_shuffle_shards partitions its one exchange on the shard id") {
     // the shard grid must drive the exchange (parallelism = shard count),
