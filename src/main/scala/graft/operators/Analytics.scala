@@ -5659,8 +5659,13 @@ object Analytics {
     * bounds·1e6 = (k·1e10 + 19208·1e6 ± 1960000·r) div (n·1e4 + 38416)
     * where r = isqrt(k(n−k)·1e8 div n + 96040000). The lower bound is
     * 0 exactly at k = 0 — no negative operand ever meets a division.
-    * Plan: one per-type aggregate off the scan; every later step is a
-    * projection. */
+    * The radicand uses the round-10 TWO-STEP LONG DIVISION (q·c +
+    * (r·c) div n with A = k(n−k), q = A div n, r = A mod n — exact,
+    * never forms the corpus-sized A·1e8 product), so it is safe for
+    * any n where k(n−k) fits 63 bits, n ≲ 6.07e9 events/type; the
+    * binding envelope is then the k·1e10 bound numerator, k ≲ 9.2e8
+    * successes/type. Plan: one per-type aggregate off the scan; every
+    * later step is a projection. */
   def eventsWilsonBounds(s: SparkSession, dir: String): DataFrame = {
     DomainQueries.events(s, dir)
       .select(col("event_type"),
@@ -5669,7 +5674,9 @@ object Analytics {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum("succ").as("k"))
       .withColumn("phat_milli", expr("k * 1000 div n"))
-      .withColumn("a", expr("k * (n - k) * 100000000L div n + 96040000L"))
+      .withColumn("a", expr(
+        "(k * (n - k)) div n * 100000000L " +
+        "+ ((k * (n - k)) % n) * 100000000L div n + 96040000L"))
       .withColumn("s0", expr("cast(floor(sqrt(cast(a as double))) as bigint)"))
       .withColumn("r", expr(
         "case when (s0 + 1) * (s0 + 1) <= a then s0 + 1 " +
@@ -5691,15 +5698,18 @@ object Analytics {
       |  FROM events GROUP BY 1),
       |rad AS (
       |  SELECT event_type, n, k,
-      |    k * (n - k) * 100000000 // n + 96040000 AS a,
-      |    CAST(FLOOR(SQRT(CAST(k * (n - k) * 100000000 // n + 96040000
-      |      AS DOUBLE))) AS BIGINT) AS s0
+      |    (k * (n - k)) // n * 100000000
+      |      + ((k * (n - k)) % n) * 100000000 // n + 96040000 AS a
       |  FROM a0),
+      |rs AS (
+      |  SELECT event_type, n, k, a,
+      |    CAST(FLOOR(SQRT(CAST(a AS DOUBLE))) AS BIGINT) AS s0
+      |  FROM rad),
       |rr AS (
       |  SELECT event_type, n, k,
       |    CASE WHEN (s0 + 1) * (s0 + 1) <= a THEN s0 + 1
       |         WHEN s0 * s0 > a THEN s0 - 1 ELSE s0 END AS r
-      |  FROM rad)
+      |  FROM rs)
       |SELECT event_type, n, k, k * 1000 // n AS phat_milli,
       |  CAST((k * 10000000000 + 19208000000 - 1960000 * r)
       |    // (n * 10000 + 38416) AS BIGINT) AS wilson_lo_micro,
@@ -6009,7 +6019,11 @@ object Analytics {
       out = out
         .withColumn(s"cov$p", expr(s"n_$tag * sxy$p - sx$p * sy$p"))
         .withColumn(s"var$p", expr(s"n_$tag * sxx$p - sx$p * sx$p"))
-        .withColumn(s"mean_${tag}_milli", expr(s"sy$p * 1000 div n_$tag"))
+        // greatest(n,1): a type whose span is 1 day puts EVERY row in
+        // post (x=0 >= span div 2 = 0) so n_pre=0 — the empty segment
+        // must read mean 0, not a div-by-zero (ADVICE r10).
+        .withColumn(s"mean_${tag}_milli",
+          expr(s"sy$p * 1000 div greatest(n_$tag, 1L)"))
         .withColumn(s"slope_${tag}_sign",
           expr(s"cast(sign(cov$p) as bigint)"))
         .withColumn(s"slope_${tag}_abs_milli",
@@ -6050,8 +6064,8 @@ object Analytics {
        |  FROM g GROUP BY event_type),
        |ff AS (
        |  SELECT event_type, n_pre, n_post,
-       |    sy0 * 1000 // n_pre AS mean_pre_milli,
-       |    sy1 * 1000 // n_post AS mean_post_milli,
+       |    sy0 * 1000 // GREATEST(n_pre, 1) AS mean_pre_milli,
+       |    sy1 * 1000 // GREATEST(n_post, 1) AS mean_post_milli,
        |    n_pre * sxy0 - sx0 * sy0 AS cov0,
        |    n_pre * sxx0 - sx0 * sx0 AS var0,
        |    n_post * sxy1 - sx1 * sy1 AS cov1,

@@ -1574,7 +1574,12 @@ object TextQueries {
       posexplode(col("embedding")).as(Seq("j", "xf")))
       .withColumn("xfp",
         expr("cast(floor(cast(xf as double) * 1048576) as bigint)"))
-    val thr = comps.groupBy("j").agg(expr("sum(xfp) div count(1)").as("t"))
+    // Per-dim mean over SIGNED sums: shift to a nonnegative lattice before
+    // dividing (xfp >= -2^20 since |x| <= 1) — Spark div truncates toward
+    // zero while DuckDB // floors, and they only agree on nonnegative
+    // operands (the Mann–Kendall abs-first rule, ADVICE r10).
+    val thr = comps.groupBy("j").agg(
+      expr("(sum(xfp) + count(1) * 1048576) div count(1) - 1048576").as("t"))
     val sigs = comps.join(broadcast(thr), Seq("j"))
       .groupBy("vec_id")
       .agg(sum(when(col("xfp") > col("t") && col("j") < 32,
@@ -1613,8 +1618,9 @@ object TextQueries {
       |          unnest(list_apply(embedding,
       |            (x, i) -> struct_pack(x := x, i := i))) AS p
       |        FROM embeddings)),
-      |th AS (SELECT j, CAST(SUM(xfp) AS BIGINT)
-      |         // CAST(COUNT(*) AS BIGINT) AS t
+      |th AS (SELECT j, (CAST(SUM(xfp) AS BIGINT)
+      |           + CAST(COUNT(*) AS BIGINT) * 1048576)
+      |         // CAST(COUNT(*) AS BIGINT) - 1048576 AS t
       |       FROM c GROUP BY j),
       |sg AS (SELECT vec_id,
       |        CAST(SUM(CASE WHEN xfp > t AND j < 32

@@ -1305,7 +1305,14 @@ object Streams {
         if (st.n == 0L) Iterator.empty
         else {
           val n = st.n; val k = st.k
-          val a = k * (n - k) * 100000000L / n + 96040000L
+          // Two-step long division (exact: A = qn + r ⇒ floor(A·c/n) =
+          // q·c + floor(r·c/n)) — never forms the A·1e8 product that
+          // wraps signed 64-bit at ~6e5 events/type. multiplyExact so
+          // the k(n−k) envelope (n ≲ 6.07e9) overflows loudly.
+          val bigA = Math.multiplyExact(k, n - k)
+          val a = Math.addExact(
+            Math.multiplyExact(bigA / n, 100000000L),
+            (bigA % n) * 100000000L / n + 96040000L)
           val s0 = math.sqrt(a.toDouble).toLong
           val r = if ((s0 + 1) * (s0 + 1) <= a) s0 + 1
                   else if (s0 * s0 > a) s0 - 1 else s0
@@ -1418,10 +1425,11 @@ object Streams {
     * membership — calendar-bounded re-scan state (the changepoint
     * class). Both segment OLS fits replay the batch sufficient-
     * statistics lattice verbatim per emission. Drained stream ⇒ last
-    * emission equals the batch row (spec-pinned). Types still entirely
-    * pre-break (span < 2) emit with n_post = 0 mirrors suppressed —
-    * the batch operator divides by n_post, so the twin emits nothing
-    * until both segments are non-empty. */
+    * emission equals the batch row (spec-pinned). A single-day span
+    * puts EVERY row in the post segment (x=0 ≥ span div 2 = 0 — all
+    * POST, not pre): like the batch operator's greatest(n,1) guard,
+    * the empty segment reads mean 0 / slope 0 and the row still
+    * emits. */
   def interventionIts(days: Dataset[(String, Long, Long)]): Dataset[ItsOut] = {
     import days.sparkSession.implicits._
     days.groupByKey(_._1).flatMapGroupsWithState(
@@ -1444,21 +1452,18 @@ object Streams {
               Acc(a.n + 1, a.sx + x, a.sy + c, a.sxy + x * c, a.sxx + x * x)
             }
           val (pre, post) = ds.partition { case (day, _) => day - d0 < cut }
-          if (pre.isEmpty || post.isEmpty) Iterator.empty
-          else {
-            val (ap, aq) = (fold(pre), fold(post))
-            def slope(a: Acc): (Long, Long) = {
-              val cov = a.n * a.sxy - a.sx * a.sy
-              val vx = math.max(a.n * a.sxx - a.sx * a.sx, 1L)
-              (java.lang.Long.signum(cov).toLong,
-                math.abs(cov) * 1000L / vx)
-            }
-            val (s0, m0) = slope(ap); val (s1, m1) = slope(aq)
-            val mPre = ap.sy * 1000L / ap.n
-            val mPost = aq.sy * 1000L / aq.n
-            Iterator(ItsOut(tpe, ap.n, aq.n, mPre, mPost, mPost - mPre,
-              s0, m0, s1, m1))
+          val (ap, aq) = (fold(pre), fold(post))
+          def slope(a: Acc): (Long, Long) = {
+            val cov = a.n * a.sxy - a.sx * a.sy
+            val vx = math.max(a.n * a.sxx - a.sx * a.sx, 1L)
+            (java.lang.Long.signum(cov).toLong,
+              math.abs(cov) * 1000L / vx)
           }
+          val (s0, m0) = slope(ap); val (s1, m1) = slope(aq)
+          val mPre = ap.sy * 1000L / math.max(ap.n, 1L)
+          val mPost = aq.sy * 1000L / math.max(aq.n, 1L)
+          Iterator(ItsOut(tpe, ap.n, aq.n, mPre, mPost, mPost - mPre,
+            s0, m0, s1, m1))
         }
     }
   }
