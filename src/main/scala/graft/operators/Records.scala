@@ -250,6 +250,52 @@ object Records {
         col("rnk").cast("long").as("rnk"))
   }
 
+  /** update_summary_index_dtol (airflow update_summary_index.py:65-101):
+    * the DToL portal's landing tile — only the two dtol facets' "Done"
+    * buckets survive, renamed through names_mapping ("Assemblies -
+    * Submitted", "Annotation Complete"), plus the nested→reverse_nested
+    * cardinality the sibling summary lacks: "Genome Notes" = DISTINCT
+    * PARENT ORGANISMS having ≥1 genome note (the ES reverse_nested hop
+    * from the genome_notes child back to the parent doc, then a
+    * cardinality on organism.keyword). Relationally: both Done counts
+    * are conditional sums in ONE pass over the records scan; the
+    * genome-note leg semijoins the records against the (vocabulary-
+    * sized, broadcast) [[genomeNotes]] tax rollup and counts distinct
+    * organisms — a count-distinct-over-linked-children, never a
+    * corpus-sized shuffle. The Ochlodes-sylvanus hard-pin key
+    * ("876063_3126489") is non-numeric and is excluded from the note
+    * link by the digits guard on both engines (no try_cast: DuckDB
+    * parses underscore separators where Spark nulls, so a bare cast
+    * would diverge). The two 1-row aggregate legs fold with the
+    * whitelisted single-row crossJoin, then explode(array(struct..))
+    * into the three summary rows (never stack() — CodegenFallback). */
+  def summaryDtol(s: SparkSession, dir: String): DataFrame = {
+    val docs = dwhRecords(s, dir).filter(col("error_message").isNull)
+      .withColumn("k", expr("cast(substring(accession, 4) as bigint)"))
+    val statusAgg = docs.agg(
+      sum(when(col("tracking_system") =!= "Submitted to BioSamples", 1L)
+        .otherwise(0L)).as("n_asm"),
+      sum(when(col("k") % 4 === 0, 1L).otherwise(0L)).as("n_ann"))
+    val noteTax = genomeNotes(s, dir).select(col("tax_id"))
+    val gn = docs
+      .withColumn("tax_id", expr(
+        "case when dwh_key rlike '^[0-9]+$' " +
+        "then cast(dwh_key as bigint) % 97 end"))
+      .filter(col("tax_id").isNotNull)
+      .join(broadcast(noteTax), Seq("tax_id"), "left_semi")
+      .agg(countDistinct(col("organism")).as("n_gn"))
+    statusAgg.crossJoin(gn)
+      .select(explode(array(
+        struct(lit("Assemblies - Submitted").as("summary_key"),
+          col("n_asm").as("doc_count")),
+        struct(lit("Annotation Complete").as("summary_key"),
+          col("n_ann").as("doc_count")),
+        struct(lit("Genome Notes").as("summary_key"),
+          col("n_gn").as("doc_count")))).as("r"))
+      .select(col("r.summary_key").as("summary_key"),
+        col("r.doc_count").as("doc_count"))
+  }
+
   /** Snapshot change-set — the incremental re-index primitive behind the
     * reference's periodic index refreshes: instead of republishing the
     * whole corpus (AliasPublish's full-rebuild path), diff the new
@@ -1399,6 +1445,7 @@ object Records {
     "meta_taxon_rollup" -> (taxonRollup _),
     "meta_dedup_records" -> (dedupRecords _),
     "meta_summary_facets" -> (summaryFacets _),
+    "meta_summary_dtol" -> (summaryDtol _),
     "meta_pseudonymize_audit" -> (metaPseudonymizeAudit _),
     "data_k_anonymity" -> (dataKAnonymity _),
     "meta_erasure_cascade" -> (metaErasureCascade _),
@@ -1474,7 +1521,49 @@ object Records {
       |       THEN 1 ELSE 0 END AS BIGINT) AS publishable
       |FROM k, r, tk""".stripMargin
 
+  private val SUMMARYDTOL_SQL =
+    s"""WITH dwh AS ($DWH_SQL),
+       |docs AS (
+       |  SELECT *, CAST(substr(accession, 4) AS BIGINT) AS k
+       |  FROM dwh WHERE error_message IS NULL),
+       |st AS (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN tracking_system != 'Submitted to BioSamples'
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_asm,
+       |    CAST(SUM(CASE WHEN k % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_ann
+       |  FROM docs),
+       |cand AS (
+       |  SELECT doc_id,
+       |    COALESCE(
+       |      NULLIF(regexp_extract(text, '\\b(sc[a-z]+ [a-z]+)', 1), ''),
+       |      NULLIF(regexp_extract(text, '\\b(st[a-z]+ [a-z]+)', 1), ''),
+       |      NULLIF(regexp_extract(text, '\\b(ba[a-z]+ [a-z]+)', 1), ''))
+       |      AS study_id
+       |  FROM documents),
+       |gt AS (
+       |  SELECT DISTINCT
+       |    ('0x' || substr(md5('gn:' || study_id), 1, 15))::BIGINT % 97
+       |      AS tax_id
+       |  FROM (SELECT study_id FROM cand WHERE study_id IS NOT NULL
+       |        GROUP BY study_id)
+       |  WHERE ('0x' || substr(md5('gn:' || study_id), 1, 15))::BIGINT
+       |    % 5 != 0),
+       |gn AS (
+       |  SELECT CAST(COUNT(DISTINCT organism) AS BIGINT) AS n_gn
+       |  FROM (SELECT organism,
+       |          CASE WHEN regexp_matches(dwh_key, '^[0-9]+$$')
+       |            THEN CAST(dwh_key AS BIGINT) END % 97 AS tax_id
+       |        FROM docs) d JOIN gt USING (tax_id))
+       |SELECT 'Assemblies - Submitted' AS summary_key, n_asm AS doc_count
+       |FROM st
+       |UNION ALL
+       |SELECT 'Annotation Complete', n_ann FROM st
+       |UNION ALL
+       |SELECT 'Genome Notes', n_gn FROM gn""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "meta_summary_dtol" -> SUMMARYDTOL_SQL,
     "meta_gfs_retention" -> GFS_SQL,
     "meta_overlap_depth" -> OVERLAP_SQL,
     "meta_vacuum_plan" -> VACUUM_SQL,

@@ -1352,6 +1352,229 @@ object TextPrep {
        |$out""".stripMargin
   }
 
+  /** Unigram-LM tokenizer TRAINING (the SentencePiece trainer's shape,
+    * Kudo 2018) — the probabilistic sibling of [[bpeLearn]]'s greedy
+    * merges, completing the tokenizer-training family (BPE learn →
+    * encode → fertility → vocab coverage): fixed EM rounds of hard
+    * (Viterbi) segmentation over the DISTINCT-WORD dict. Pieces are the
+    * chars + char-bigrams of the dict; piece cost = the exact
+    * fixed-point −log₂ p lattice ([[graft.functions.Log2Fp]]: 1024·
+    * log2(T/c) in pure integer ops — never an engine-divergent ln);
+    * E-step segments every word by a 2-cell Viterbi DP (pieces ≤ 2
+    * chars ⇒ the DP carries only [d_{i-2}, d_{i-1}]), run as an
+    * aggregate() fold whose state is a struct of two LISTS — the
+    * interpreted-HOF cost is fine here because the fold runs on the
+    * vocab-sized dict, never corpus rows (exactly how production
+    * SentencePiece trains); M-step recounts pieces from the best
+    * segmentations (freq-weighted), add-1-smooths the char universe
+    * (chars never leave the vocab — the SentencePiece invariant), and
+    * drops unused bigrams. Ties prefer the single-char edge (≤) on both
+    * engines. DuckDB replays every step verbatim: the Log2Fp fold and
+    * the Viterbi DP are list_reduce folds seeded via list_prepend, with
+    * LIST-encoded state — DuckDB 1.0 struct-FIELD state reads its own
+    * round's writes (evaluation-order hazard, probed r11), list
+    * elements do not. 100 TB posture: ONE corpus scan builds the word
+    * dict (checkpointed); every EM round is vocab-sized. Envelope:
+    * total piece mass < 2³² (Log2Fp's two-step division; third step
+    * past ~4.3e9). */
+  private[graft] def unigramLearn(words0: DataFrame, rounds: Int): DataFrame = {
+    val INF = 1099511627776L // 2^40 — unreachable by any real path sum
+    val words = words0.transform(graft.Ckpt.capped) // re-scanned every round
+    val chars = words.select(col("freq"),
+      explode(expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+        .as("piece"))
+    val charUni = chars.select("piece").distinct()
+    val bigrams0 = words.filter(length(col("word")) >= 2)
+      .select(col("freq"),
+        explode(expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+          .as("piece"))
+      .groupBy("piece").agg(sum("freq").as("c"))
+    val seed = chars.groupBy("piece").agg((sum("freq") + 1L).as("c"))
+      .unionByName(bigrams0)
+    // M half: attach the exact-lattice cost (keeps c for the output leg).
+    // Checkpointed: each eStep references the cost table TWICE (singles +
+    // bigrams legs) and mStep references its input twice (total fold) —
+    // un-checkpointed, the 2-round plan tree multiplies to ~455 planned
+    // exchanges (the multi-reference replay landmine). The table is
+    // vocab-sized, so the checkpoint is O(|pieces|).
+    def mStep(pieceCounts: DataFrame): DataFrame = {
+      val tot = pieceCounts.agg(sum("c").as("T"))
+      pieceCounts.crossJoin(broadcast(tot))
+        .withColumn("cost", graft.functions.Log2Fp(col("T"), col("c")))
+        .select("piece", "c", "cost")
+        .transform(graft.Ckpt.capped)
+    }
+    // E half: Viterbi-segment every word with the current costs, recount
+    def eStep(cost: DataFrame): DataFrame = {
+      val costB = broadcast(cost.select("piece", "cost"))
+      val sing = words
+        .select(col("word"), explode(expr("sequence(1, length(word))")).as("i"))
+        .withColumn("piece", expr("substring(word, i, 1)"))
+        .join(costB, Seq("piece")) // char universe never shrinks
+        .groupBy("word")
+        .agg(expr("transform(array_sort(collect_list(struct(i, cost))), x -> x.cost)")
+          .as("cs"))
+      val big = words.filter(length(col("word")) >= 2)
+        .select(col("word"), explode(expr("sequence(1, length(word) - 1)")).as("i"))
+        .withColumn("piece", expr("substring(word, i, 2)"))
+        .join(costB, Seq("piece"), "left_outer")
+        .withColumn("cost", coalesce(col("cost"), lit(INF)))
+        .groupBy("word")
+        .agg(expr("transform(array_sort(collect_list(struct(i, cost))), x -> x.cost)")
+          .as("cb"))
+      words.join(sing, Seq("word")).join(big, Seq("word"), "left_outer")
+        .select(col("freq"), expr(
+          s"""if(length(word) < 2, substring(word, 1, 1),
+             |  aggregate(
+             |    transform(sequence(2, length(word)), i -> named_struct(
+             |      'ds', element_at(cs, i),
+             |      'db', element_at(cb, i - 1),
+             |      'ps', substring(word, i, 1),
+             |      'pb', substring(word, i - 1, 2))),
+             |    named_struct('d', array(0L, element_at(cs, 1)),
+             |                 's', array('', substring(word, 1, 1))),
+             |    (acc, x) -> if(element_at(acc.d, 2) + x.ds <= element_at(acc.d, 1) + x.db,
+             |      named_struct(
+             |        'd', array(element_at(acc.d, 2), element_at(acc.d, 2) + x.ds),
+             |        's', array(element_at(acc.s, 2),
+             |               concat(element_at(acc.s, 2), '|', x.ps))),
+             |      named_struct(
+             |        'd', array(element_at(acc.d, 2), element_at(acc.d, 1) + x.db),
+             |        's', array(element_at(acc.s, 2),
+             |               concat(element_at(acc.s, 1), '|', x.pb)))),
+             |    acc -> element_at(acc.s, 2)))""".stripMargin).as("seg"))
+        .select(col("freq"),
+          explode(split(expr("trim(LEADING '|' FROM seg)"), "\\|")).as("piece"))
+        .groupBy("piece").agg(sum("freq").as("c"))
+    }
+    def mCounts(segCounts: DataFrame): DataFrame =
+      charUni.join(segCounts.filter(length(col("piece")) === 1),
+          Seq("piece"), "left_outer")
+        .select(col("piece"), (coalesce(col("c"), lit(0L)) + 1L).as("c"))
+        .unionByName(segCounts.filter(length(col("piece")) === 2))
+    var cost = mStep(seed)
+    for (_ <- 1 to rounds) cost = mStep(mCounts(eStep(cost)))
+    cost
+      .withColumn("rnk", row_number()
+        .over(Window.orderBy(col("c").desc, col("piece"))).cast("long"))
+      .filter(col("rnk") <= 30)
+      .select(col("rnk"), col("piece"),
+        length(col("piece")).cast("long").as("piece_len"),
+        col("c").as("n_uses"), col("cost").as("cost_fp"))
+  }
+
+  def textUnigramLmLearn(s: SparkSession, dir: String): DataFrame = {
+    val words = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    unigramLearn(words, 2)
+  }
+
+  /** DuckDB replay of [[unigramLearn]]: the Log2Fp squaring fold and the
+    * 2-cell Viterbi DP are list_reduce folds with LIST-encoded state
+    * (struct-field state would read its own round's writes in DuckDB
+    * 1.0). One CTE block per EM round, generated like BPE_LEARN_SQL. */
+  private val ULM_SQL = {
+    // cost$k(piece, c, cost) from counts relation $src — the Log2Fp fold
+    def costCte(k: Int, src: String): String = {
+      val d = s"(c * (CAST(1 AS BIGINT) << (length(bin(T // c)) - 1)))"
+      s"""ulmtot$k AS (SELECT CAST(SUM(c) AS BIGINT) AS T FROM $src),
+         |ulmcost$k AS (
+         |  SELECT piece, c,
+         |    (length(bin(T // c)) - 1) * 1024 + list_reduce(list_prepend(
+         |      [(T // $d) * 1073741824 + ((T % $d) * 1073741824) // $d,
+         |       CAST(0 AS BIGINT)],
+         |      list_transform(range(1, 11),
+         |        i -> [CAST(0 AS BIGINT), CAST(0 AS BIGINT)])),
+         |      (acc, x) ->
+         |        CASE WHEN (acc[1] * acc[1]) // 1073741824 >= 2147483648
+         |        THEN [((acc[1] * acc[1]) // 1073741824) // 2,
+         |              acc[2] * 2 + 1]
+         |        ELSE [(acc[1] * acc[1]) // 1073741824, acc[2] * 2]
+         |        END)[2] AS cost
+         |  FROM $src, ulmtot$k)""".stripMargin
+    }
+    // E-step round $k: segment with ulmcost$k, recount, smooth singles
+    def emCte(k: Int): String =
+      s"""ulmsing$k AS (
+         |  SELECT b.word, b.i, cc.cost
+         |  FROM (SELECT w.word, t.i, substr(w.word, t.i, 1) AS piece
+         |        FROM ulmwords w,
+         |          unnest(range(1, length(w.word) + 1)) t(i)) b
+         |  JOIN ulmcost$k cc USING (piece)),
+         |ulmcs$k AS (
+         |  SELECT word, list(cost ORDER BY i) AS cs
+         |  FROM ulmsing$k GROUP BY word),
+         |ulmbigc$k AS (
+         |  SELECT b.word, b.i,
+         |    COALESCE(cc.cost, 1099511627776) AS cost
+         |  FROM (SELECT w.word, t.i, substr(w.word, t.i, 2) AS piece
+         |        FROM ulmwords w, unnest(range(1, length(w.word))) t(i)
+         |        WHERE length(w.word) >= 2) b
+         |  LEFT JOIN ulmcost$k cc USING (piece)),
+         |ulmcb$k AS (
+         |  SELECT word, list(cost ORDER BY i) AS cb
+         |  FROM ulmbigc$k GROUP BY word),
+         |ulmvit$k AS (
+         |  SELECT w.freq,
+         |    CASE WHEN length(w.word) < 2 THEN substr(w.word, 1, 1)
+         |    ELSE list_reduce(list_prepend(
+         |      {'d': [CAST(0 AS BIGINT), cs[1]],
+         |       's': ['', substr(w.word, 1, 1)]},
+         |      list_transform(range(2, length(w.word) + 1), i ->
+         |        {'d': [cs[i], cb[i - 1]],
+         |         's': [substr(w.word, i, 1), substr(w.word, i - 1, 2)]})),
+         |      (acc, x) ->
+         |        CASE WHEN acc.d[2] + x.d[1] <= acc.d[1] + x.d[2]
+         |        THEN {'d': [acc.d[2], acc.d[2] + x.d[1]],
+         |              's': [acc.s[2], acc.s[2] || '|' || x.s[1]]}
+         |        ELSE {'d': [acc.d[2], acc.d[1] + x.d[2]],
+         |              's': [acc.s[2], acc.s[1] || '|' || x.s[2]]}
+         |        END).s[2]
+         |    END AS seg
+         |  FROM ulmwords w
+         |  JOIN ulmcs$k USING (word) LEFT JOIN ulmcb$k USING (word)),
+         |ulmcnt$k AS (
+         |  SELECT piece, CAST(SUM(freq) AS BIGINT) AS c
+         |  FROM (SELECT freq,
+         |          unnest(string_split(ltrim(seg, '|'), '|')) AS piece
+         |        FROM ulmvit$k)
+         |  GROUP BY piece),
+         |ulmm$k AS (
+         |  SELECT u.piece, CAST(COALESCE(cn.c, 0) + 1 AS BIGINT) AS c
+         |  FROM ulmuni u LEFT JOIN ulmcnt$k cn ON u.piece = cn.piece
+         |  UNION ALL
+         |  SELECT piece, c FROM ulmcnt$k WHERE length(piece) = 2)""".stripMargin
+    s"""WITH ulmwords AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE word <> '' GROUP BY 1),
+       |ulmchars AS (
+       |  SELECT substr(word, t.i, 1) AS piece, freq
+       |  FROM ulmwords, unnest(range(1, length(word) + 1)) t(i)),
+       |ulmuni AS (SELECT DISTINCT piece FROM ulmchars),
+       |ulmseed AS (
+       |  SELECT piece, CAST(SUM(freq) + 1 AS BIGINT) AS c
+       |  FROM ulmchars GROUP BY piece
+       |  UNION ALL
+       |  SELECT substr(word, t.i, 2) AS piece, CAST(SUM(freq) AS BIGINT)
+       |  FROM ulmwords, unnest(range(1, length(word))) t(i)
+       |  WHERE length(word) >= 2 GROUP BY 1),
+       |${costCte(0, "ulmseed")},
+       |${emCte(0)},
+       |${costCte(1, "ulmm0")},
+       |${emCte(1)},
+       |${costCte(2, "ulmm1")}
+       |SELECT * FROM (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY c DESC, piece) AS BIGINT)
+       |      AS rnk,
+       |    piece, CAST(length(piece) AS BIGINT) AS piece_len,
+       |    c AS n_uses, cost AS cost_fp
+       |  FROM ulmcost2)
+       |WHERE rnk <= 30""".stripMargin
+  }
+
   /** LPT greedy shard rebalance — the partition-to-worker assignment a
     * training job computes before an epoch (longest-processing-time
     * scheduling: items descending by load, each onto the currently
@@ -1770,6 +1993,7 @@ object TextPrep {
     "text_unigram_drift" -> (textUnigramDrift _),
     "data_prefix_lm_split" -> (dataPrefixLmSplit _),
     "text_bpe_learn" -> (textBpeLearn _),
+    "text_unigram_lm_learn" -> (textUnigramLmLearn _),
     "data_ks_drift" -> (dataKsDrift _),
     "data_bin_packing" -> (dataBinPacking _),
     "text_feature_hashing" -> (textFeatureHashing _),
@@ -1807,6 +2031,7 @@ object TextPrep {
     "text_unigram_drift" -> DRIFT_SQL,
     "data_prefix_lm_split" -> PREFIXLM_SQL,
     "text_bpe_learn" -> BPE_LEARN_SQL,
+    "text_unigram_lm_learn" -> ULM_SQL,
     "data_ks_drift" -> KS_SQL,
     "data_bin_packing" -> BINPACK_SQL,
     "text_feature_hashing" -> FEATHASH_SQL,

@@ -1476,6 +1476,116 @@ object TextQueries {
        |  CAST(MIN(lev) AS BIGINT) AS min_lev
        |FROM p GROUP BY j""".stripMargin
 
+  /** Exact repeated-substring dedup — the SUFFIX-ARRAY member of the
+    * dedup family (the deduplicate-text-datasets class): catch ≥16-token
+    * VERBATIM runs at ARBITRARY offsets, which dedup_fuzzy_match's
+    * prefix-24 blocking and winnowing's sampled fingerprints both miss
+    * when the copied span sits mid-document under a different head.
+    * Every token offset emits a 16-token window fingerprint (posexplode
+    * + a 15-lead codegen window — the [[Shingles]] idiom, never an
+    * interpreted HOF; md5 'sw:' salt, equality-only use), fingerprints
+    * shared by 2..8 docs survive (the >8 cap drops degenerate
+    * common-phrase buckets BEFORE pair materialization — the landmine
+    * rule), the capped relation localCheckpoints once and self-joins
+    * into (pair, diagonal, offset) rows, and gaps-and-islands over each
+    * diagonal (offset − row_number) merges overlapping window hits into
+    * MAXIMAL runs: a verbatim run of R tokens is R−15 consecutive
+    * window matches on one diagonal ⇒ max_run_tokens = island + 15.
+    * Because the driver corpus's only natural near-dups share their
+    * prefix (the planted fuzzy pairs), the query derives a snapshot-diff
+    * style corpus: docs with doc_id % 41 = 0 (≥300 chars) contribute a
+    * mid-document excerpt (chars 80..300) under a fresh 'zq<id>' head as
+    * doc −id−1 — cross-offset duplicates the prefix-blocked detectors
+    * provably miss. The recall comparison rides the per-pair
+    * prefix_blocked flag: false rows are exactly the pairs fuzzy_match's
+    * blocker can never meet. 100 TB posture: suffix rows are O(total
+    * tokens) carrying 16-byte hashes (the true suffix-array cost), all
+    * joins are hash-equi on the fingerprint, pairs are cap-bounded. */
+  def dedupSuffixWindow(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val corpus = base.unionByName(
+      base.filter(col("doc_id") % 41 === 0 && length(col("text")) >= 300)
+        .select((-col("doc_id") - 1).as("doc_id"),
+          concat(lit("zq"), col("doc_id").cast("string"), lit(" "),
+            substring(col("text"), 80, 220)).as("text")))
+    val wt = Window.partitionBy("doc_id").orderBy("pos")
+    val toks = corpus.select(col("doc_id"),
+      posexplode(Shingles.tokens(col("text"))).as(Seq("pos", "w0")))
+    val winCol = concat(lit("sw:") +: (0 to 15).flatMap(i =>
+      if (i == 0) Seq(col("w0"))
+      else Seq(lit("_"), lead("w0", i).over(wt))): _*)
+    val wins = toks
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        md5(winCol.cast("binary")).as("h"))
+      .filter(col("h").isNotNull)
+    val hs = wins.groupBy("h").agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd").between(2L, 8L)).select("h")
+    val sh = wins.join(hs, Seq("h")).transform(graft.Ckpt.capped)
+    val pairs = sh
+      .select(col("h"), col("doc_id").as("doc_a"), col("pos").as("apos"))
+      .join(sh.select(col("h"), col("doc_id").as("doc_b"),
+        col("pos").as("bpos")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("apos") - col("bpos")).as("diag"), col("apos"))
+    val wi = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("apos")
+    val agg = pairs
+      .withColumn("g", col("apos") - row_number().over(wi))
+      .groupBy("doc_a", "doc_b", "diag", "g").agg(count(lit(1)).as("run"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum("run").as("n_window_pairs"),
+        countDistinct(col("diag")).as("n_diagonals"),
+        (max("run") + lit(15L)).as("max_run_tokens"))
+    val pref = corpus.select(col("doc_id"),
+      substring(col("text"), 1, 24).as("p24"))
+    val withA = pref.join(broadcast(agg), col("doc_id") === col("doc_a"))
+      .select(col("doc_a"), col("doc_b"), col("n_window_pairs"),
+        col("n_diagonals"), col("max_run_tokens"), col("p24").as("pa24"))
+    pref.join(broadcast(withA), col("doc_id") === col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_window_pairs"),
+        col("n_diagonals"), col("max_run_tokens"),
+        (col("pa24") === col("p24")).as("prefix_blocked"))
+  }
+
+  private val SUFFIXWIN_SQL =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT -doc_id - 1,
+      |    'zq' || CAST(doc_id AS VARCHAR) || ' ' || substr(text, 80, 220)
+      |  FROM documents WHERE doc_id % 41 = 0 AND length(text) >= 300),
+      |toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+      |  FROM corpus),
+      |wins AS (
+      |  SELECT doc_id, i AS pos,
+      |    md5('sw:' || array_to_string(ts[i:i+15], '_')) AS h
+      |  FROM toks, unnest(range(1, len(ts) - 14)) AS t(i)),
+      |hs AS (SELECT h FROM wins GROUP BY h
+      |       HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 8),
+      |sh AS (SELECT w.* FROM wins w JOIN hs USING (h)),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    a.pos - b.pos AS diag, a.pos AS apos
+      |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id),
+      |isl AS (
+      |  SELECT doc_a, doc_b, diag,
+      |    apos - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag
+      |      ORDER BY apos) AS g
+      |  FROM pairs),
+      |runs AS (SELECT doc_a, doc_b, diag, COUNT(*) AS run
+      |         FROM isl GROUP BY doc_a, doc_b, diag, g),
+      |agg AS (
+      |  SELECT doc_a, doc_b, CAST(SUM(run) AS BIGINT) AS n_window_pairs,
+      |    CAST(COUNT(DISTINCT diag) AS BIGINT) AS n_diagonals,
+      |    CAST(MAX(run) + 15 AS BIGINT) AS max_run_tokens
+      |  FROM runs GROUP BY doc_a, doc_b),
+      |pref AS (SELECT doc_id, substr(text, 1, 24) AS p24 FROM corpus)
+      |SELECT doc_a, doc_b, n_window_pairs, n_diagonals, max_run_tokens,
+      |  pa.p24 = pb.p24 AS prefix_blocked
+      |FROM agg JOIN pref pa ON doc_a = pa.doc_id
+      |JOIN pref pb ON doc_b = pb.doc_id""".stripMargin
+
   /** Reciprocal-rank fusion of the VECTOR and TEXT retrieval legs — the
     * hybrid-search primitive every RAG stack runs: rank the corpus per
     * query by exact dot product (sim_cosine_topk's leg) and by distinct-
@@ -1655,6 +1765,7 @@ object TextQueries {
     "sim_rrf_fusion" -> (simRrfFusion _),
     "sim_sign_quantize_recall" -> (simSignQuantizeRecall _),
     "dedup_sorted_neighborhood" -> (dedupSortedNeighborhood _),
+    "dedup_suffix_window" -> (dedupSuffixWindow _),
     "text_template_rate" -> (textTemplateRate _),
     "text_phrase_search" -> (textPhraseSearch _),
     "text_term_burstiness" -> (textTermBurstiness _),
@@ -1691,6 +1802,7 @@ object TextQueries {
     "sim_rrf_fusion" -> RRF_SQL,
     "sim_sign_quantize_recall" -> SIGNQ_SQL,
     "dedup_sorted_neighborhood" -> SNM_SQL,
+    "dedup_suffix_window" -> SUFFIXWIN_SQL,
     "text_template_rate" -> TEMPLATE_SQL,
     "text_phrase_search" -> PHRASE_SQL,
     "text_term_burstiness" -> BURSTINESS_SQL,

@@ -793,6 +793,102 @@ class TextPrepSpec extends SparkSpec {
     assert(gotCorpus.forall(_._4 > 0))
   }
 
+  /** Independent Log2Fp replay: e by shift-compare (not bitlength), the
+    * mantissa fold in BigInt (not the two-step long division) — if the
+    * operator's overflow-free construction deviates from the plain
+    * big-integer math, this catches it. */
+  private def refLogCost(total: Long, c: Long): Long = {
+    var e = 0
+    while ((BigInt(c) << (e + 1)) <= BigInt(total)) e += 1
+    var y = ((BigInt(total) << 30) / (BigInt(c) << e)).toLong
+    var frac = 0L
+    for (_ <- 1 to 10) {
+      var t2 = ((BigInt(y) * BigInt(y)) >> 30).toLong
+      if (t2 >= (1L << 31)) { frac = frac * 2 + 1; t2 >>= 1 } else frac *= 2
+      y = t2
+    }
+    e * 1024L + frac
+  }
+
+  /** Hand-rolled unigram-LM Viterbi-EM reference: plain Maps and a
+    * classic backpointer DP (the operator folds its segmentation
+    * FORWARD — same tie rule, single-char edge preferred on ≤). */
+  private def referenceUnigram(words: Seq[(String, Long)], rounds: Int)
+      : Seq[(Long, String, Long, Long, Long)] = {
+    val INF = 1099511627776L
+    val charUni = words.flatMap(_._1.map(_.toString)).distinct
+    val singles0 = words.flatMap { case (w, f) => w.map(ch => (ch.toString, f)) }
+      .groupBy(_._1).map { case (p, xs) => (p, xs.map(_._2).sum + 1) }
+    val bigrams0 = words
+      .flatMap { case (w, f) => w.sliding(2).filter(_.length == 2).map((_, f)) }
+      .groupBy(_._1).map { case (p, xs) => (p, xs.map(_._2).sum) }
+    var counts: Map[String, Long] = singles0 ++ bigrams0
+    def costs(cnts: Map[String, Long]): Map[String, Long] = {
+      val t = cnts.values.sum
+      cnts.map { case (p, c) => (p, refLogCost(t, c)) }
+    }
+    var cost = costs(counts)
+    for (_ <- 1 to rounds) {
+      val segCounts = scala.collection.mutable.Map[String, Long]()
+      for ((w, f) <- words) {
+        val seg = if (w.length < 2) Seq(w) else {
+          val n = w.length
+          val d = Array.fill(n + 1)(0L)
+          val back = Array.fill(n + 1)(0)
+          d(1) = cost(w.substring(0, 1)); back(1) = 1
+          for (i <- 2 to n) {
+            val cs = cost(w.substring(i - 1, i))
+            val cb = cost.getOrElse(w.substring(i - 2, i), INF)
+            if (d(i - 1) + cs <= d(i - 2) + cb) { d(i) = d(i - 1) + cs; back(i) = 1 }
+            else { d(i) = d(i - 2) + cb; back(i) = 2 }
+          }
+          val pieces = scala.collection.mutable.ListBuffer[String]()
+          var i = n
+          while (i > 0) { val l = back(i); pieces.prepend(w.substring(i - l, i)); i -= l }
+          pieces.toSeq
+        }
+        for (p <- seg) segCounts(p) = segCounts.getOrElse(p, 0L) + f
+      }
+      counts = charUni.map(ch => (ch, segCounts.getOrElse(ch, 0L) + 1)).toMap ++
+        segCounts.filter(_._1.length == 2).toMap
+      cost = costs(counts)
+    }
+    counts.toSeq.sortBy { case (p, c) => (-c, p) }.take(30).zipWithIndex
+      .map { case ((p, c), i) => (i + 1L, p, p.length.toLong, c, cost(p)) }
+  }
+
+  test("log2_fp lattice: exact on powers of two, within 2 ulp of real log2, matches the BigInt replay") {
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 500) {
+      val t = 1L + rnd.nextInt(1 << 30).toLong * rnd.nextInt(4).toLong + rnd.nextInt(1000)
+      val c = 1L + (rnd.nextLong().abs % t)
+      val got = graft.functions.Log2Fp.cost(t, c)
+      assert(got === refLogCost(t, c), s"t=$t c=$c")
+      val real = 1024.0 * math.log(t.toDouble / c) / math.log(2.0)
+      assert(math.abs(got - real) <= 2.0, s"t=$t c=$c got=$got real=$real")
+    }
+    for (k <- 0 to 20; c <- Seq(1L, 7L, 123L))
+      assert(graft.functions.Log2Fp.cost(c << k, c) === 1024L * k)
+  }
+
+  test("unigram-LM EM matches the hand-rolled Viterbi-EM reference (toy + corpus dict)") {
+    // 'abab' exercises the bigram path, 'b' the len-1 guard, 'cc' a
+    // self-bigram, 'abc' a mixed segmentation
+    val words = Seq(("abab", 3L), ("ab", 2L), ("b", 5L), ("cc", 4L), ("abc", 1L))
+    val got = TextPrep.unigramLearn(words.toDF("word", "freq"), rounds = 2)
+      .as[(Long, String, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got === referenceUnigram(words, 2))
+    // the real sf dict replays in driver Scala too (vocab-sized)
+    val corpus = Tables.t(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val corpusWords = corpus.as[(String, Long)].collect().toSeq
+    val gotCorpus = TextPrep.unigramLearn(corpus, rounds = 2)
+      .as[(Long, String, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(gotCorpus === referenceUnigram(corpusWords, 2))
+  }
+
   /** Hand-rolled interpolated Kneser–Ney on the operator's exact 2^20
     * integer lattice (discount 3/4, λ floored first, then ·n1pw div T) —
     * driver Scala over plain Maps, no DataFrames. */
