@@ -8,6 +8,31 @@ import org.apache.spark.sql.functions._
 class StreamsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("twin ledger: Streams' dataset-returning methods match SURVEY 2d's 38 names") {
+    // SURVEY §2d is the authoritative ledger; this pin fails when a twin
+    // is added or removed without updating the table (or vice versa).
+    val expected = Set("tumblingCounts", "dedupeWithinWatermark",
+      "correlate", "ingestWithDeadLetters", "diffAgainstIndex",
+      "sessionize", "scd2", "throttle", "cusum", "arrivalAccumulators",
+      "schemaDrift", "conversionLag", "transitions", "growthStates",
+      "bottomkSample", "funnel", "cdcApply", "watermarkLag", "ewma",
+      "holtTrend", "forecastBacktest", "diurnalDft", "rollingMedian",
+      "trimmedMean", "recordDays", "silenceStreaks", "runsTest",
+      "mannKendall", "changepoint", "queueWait", "saxMotifs",
+      "maxDrawdown", "sprtGate", "wilsonBounds", "tailIndex", "ljungBox",
+      "interventionIts", "pageHinkley")
+    assert(expected.size === 38)
+    val got = Streams.getClass.getDeclaredMethods.toSeq
+      .filter(m => java.lang.reflect.Modifier.isPublic(m.getModifiers))
+      .filter(m => classOf[org.apache.spark.sql.Dataset[_]]
+        .isAssignableFrom(m.getReturnType) ||
+        classOf[org.apache.spark.sql.streaming.StreamingQuery]
+          .isAssignableFrom(m.getReturnType))
+      .map(_.getName).toSet
+    assert(got === expected,
+      s"ledger drift: extra=${got -- expected} missing=${expected -- got}")
+  }
+
   test("sessionize splits on gap and carries counts/durations") {
     val gap = 100L
     val events = Seq((1L, 0L), (1L, 10L), (1L, 10000L), (2L, 5L)).toDS()
