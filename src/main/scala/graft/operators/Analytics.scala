@@ -6145,6 +6145,97 @@ object Analytics {
       |    ELSE 0 END AS alpha_milli
       |FROM ff""".stripMargin
 
+  /** Difference-in-differences between the A/B arms around the corpus
+    * midpoint — the QUASI-experimental member of the family (ab_lift
+    * reads levels, welch_t significance; DiD removes the shared time
+    * trend): treated = arm 1, control = arm 0 (the SAME 'ab:'
+    * assignment — this analyzes that experiment, like welch_t), break =
+    * the GLOBAL observed-span midpoint (one single-row broadcast frame,
+    * the ITS cut formula corpus-wide). Per type: segment×arm event
+    * counts, per-day rates in milli (events div segment days — exact,
+    * both engines floor identically on the nonnegative lattice), and
+    * did_milli = (rate_post_t − rate_pre_t) − (rate_post_c −
+    * rate_pre_c). The pre-period gap rate_pre_t − rate_pre_c is emitted
+    * as the parallel-trends read. Plan: one 1-row span fold + ONE
+    * event_type hash aggregate off the scan. */
+  def eventsDid(s: SparkSession, dir: String): DataFrame = {
+    val base = DomainQueries.events(s, dir)
+      .select(col("event_type"), col("user_id"),
+        expr(s"ts_ns div $DAY_NS").as("day"))
+    val brk = base.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("d0"), expr("d0 + (d1 - d0 + 1) div 2").as("cut"),
+        col("d1"))
+    base.crossJoin(broadcast(brk))
+      .select(col("event_type"),
+        expr("cast(conv(substring(md5(cast(concat('ab:', user_id) as " +
+          "binary)), 1, 15), 16, 10) as bigint) % 2").as("arm"),
+        when(col("day") >= col("cut"), 1L).otherwise(0L).as("post"),
+        expr("cut - d0").as("pre_days"),
+        expr("d1 - cut + 1").as("post_days"))
+      .groupBy("event_type")
+      .agg(max("pre_days").as("pre_days"),
+        max("post_days").as("post_days"),
+        sum(when(col("arm") === 0 && col("post") === 0, 1L).otherwise(0L))
+          .as("n_pre_c"),
+        sum(when(col("arm") === 0 && col("post") === 1, 1L).otherwise(0L))
+          .as("n_post_c"),
+        sum(when(col("arm") === 1 && col("post") === 0, 1L).otherwise(0L))
+          .as("n_pre_t"),
+        sum(when(col("arm") === 1 && col("post") === 1, 1L).otherwise(0L))
+          .as("n_post_t"))
+      .withColumn("r_pre_c", expr("n_pre_c * 1000 div greatest(pre_days, 1L)"))
+      .withColumn("r_post_c", expr("n_post_c * 1000 div greatest(post_days, 1L)"))
+      .withColumn("r_pre_t", expr("n_pre_t * 1000 div greatest(pre_days, 1L)"))
+      .withColumn("r_post_t", expr("n_post_t * 1000 div greatest(post_days, 1L)"))
+      .withColumn("pretrend_gap_milli", expr("r_pre_t - r_pre_c"))
+      .withColumn("did_milli",
+        expr("(r_post_t - r_pre_t) - (r_post_c - r_pre_c)"))
+      .select("event_type", "n_pre_c", "n_post_c", "n_pre_t", "n_post_t",
+        "r_pre_c", "r_post_c", "r_pre_t", "r_post_t",
+        "pretrend_gap_milli", "did_milli")
+  }
+
+  private val DID_SQL =
+    s"""WITH d AS (
+       |  SELECT event_type, user_id, epoch_ns(ts) // $DAY_NS AS day
+       |  FROM events),
+       |b AS (SELECT MIN(day) AS d0,
+       |        MIN(day) + (MAX(day) - MIN(day) + 1) // 2 AS cut,
+       |        MAX(day) AS d1
+       |      FROM d),
+       |e AS (
+       |  SELECT event_type,
+       |    ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 15))
+       |      ::BIGINT % 2 AS arm,
+       |    CASE WHEN day >= cut THEN 1 ELSE 0 END AS post,
+       |    cut - d0 AS pre_days, d1 - cut + 1 AS post_days
+       |  FROM d, b),
+       |g AS (
+       |  SELECT event_type,
+       |    CAST(MAX(pre_days) AS BIGINT) AS pre_days,
+       |    CAST(MAX(post_days) AS BIGINT) AS post_days,
+       |    CAST(SUM(CASE WHEN arm = 0 AND post = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_pre_c,
+       |    CAST(SUM(CASE WHEN arm = 0 AND post = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_post_c,
+       |    CAST(SUM(CASE WHEN arm = 1 AND post = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_pre_t,
+       |    CAST(SUM(CASE WHEN arm = 1 AND post = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_post_t
+       |  FROM e GROUP BY 1),
+       |r AS (
+       |  SELECT *,
+       |    n_pre_c * 1000 // GREATEST(pre_days, 1) AS r_pre_c,
+       |    n_post_c * 1000 // GREATEST(post_days, 1) AS r_post_c,
+       |    n_pre_t * 1000 // GREATEST(pre_days, 1) AS r_pre_t,
+       |    n_post_t * 1000 // GREATEST(post_days, 1) AS r_post_t
+       |  FROM g)
+       |SELECT event_type, n_pre_c, n_post_c, n_pre_t, n_post_t,
+       |  r_pre_c, r_post_c, r_pre_t, r_post_t,
+       |  r_pre_t - r_pre_c AS pretrend_gap_milli,
+       |  (r_post_t - r_pre_t) - (r_post_c - r_pre_c) AS did_milli
+       |FROM r""".stripMargin
+
   /** Welch's t between the A/B arms on per-user value mass — the
     * CONTINUOUS-metric significance read that completes the experiment
     * family (ab_lift = effect sizes, ab_srm = validity, wilson/sprt =
@@ -6241,6 +6332,7 @@ object Analytics {
 
   val queries: Map[String, Q] = Map(
     "events_welch_t" -> (eventsWelchT _),
+    "events_did" -> (eventsDid _),
     "events_tail_index" -> (eventsTailIndex _),
     "events_intervention_its" -> (eventsInterventionIts _),
     "sim_facility_location" -> (simFacilityLocation _),
@@ -6352,6 +6444,7 @@ object Analytics {
 
   val oracle: Map[String, String] = Map(
     "events_welch_t" -> WELCH_SQL,
+    "events_did" -> DID_SQL,
     "events_tail_index" -> TAIL_SQL,
     "events_intervention_its" -> ITS_SQL,
     "sim_facility_location" -> FACILITY_SQL,

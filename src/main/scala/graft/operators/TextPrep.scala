@@ -1377,8 +1377,20 @@ object TextPrep {
     * dict (checkpointed); every EM round is vocab-sized. Envelope:
     * total piece mass < 2³² (Log2Fp's two-step division; third step
     * past ~4.3e9). */
-  private[graft] def unigramLearn(words0: DataFrame, rounds: Int): DataFrame = {
-    val INF = 1099511627776L // 2^40 — unreachable by any real path sum
+  private[graft] def unigramLearn(words0: DataFrame, rounds: Int): DataFrame =
+    unigramCosts(words0, rounds)._1
+      .withColumn("rnk", row_number()
+        .over(Window.orderBy(col("c").desc, col("piece"))).cast("long"))
+      .filter(col("rnk") <= 30)
+      .select(col("rnk"), col("piece"),
+        length(col("piece")).cast("long").as("piece_len"),
+        col("c").as("n_uses"), col("cost").as("cost_fp"))
+
+  /** The trainer core: returns (final cost table (piece, c, cost), the
+    * checkpointed word dict) so the ENCODE path
+    * ([[textUnigramFertility]]) can segment with the learned pieces. */
+  private[graft] def unigramCosts(words0: DataFrame, rounds: Int)
+      : (DataFrame, DataFrame) = {
     val words = words0.transform(graft.Ckpt.capped) // re-scanned every round
     val chars = words.select(col("freq"),
       explode(expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
@@ -1405,7 +1417,26 @@ object TextPrep {
         .transform(graft.Ckpt.capped)
     }
     // E half: Viterbi-segment every word with the current costs, recount
-    def eStep(cost: DataFrame): DataFrame = {
+    def eStep(cost: DataFrame): DataFrame =
+      viterbiSegment(words, cost)
+        .select(col("freq"),
+          explode(split(expr("trim(LEADING '|' FROM seg)"), "\\|")).as("piece"))
+        .groupBy("piece").agg(sum("freq").as("c"))
+    def mCounts(segCounts: DataFrame): DataFrame =
+      charUni.join(segCounts.filter(length(col("piece")) === 1),
+          Seq("piece"), "left_outer")
+        .select(col("piece"), (coalesce(col("c"), lit(0L)) + 1L).as("c"))
+        .unionByName(segCounts.filter(length(col("piece")) === 2))
+    var cost = mStep(seed)
+    for (_ <- 1 to rounds) cost = mStep(mCounts(eStep(cost)))
+    (cost, words)
+  }
+
+  /** The shared Viterbi leg: (word, freq, seg) with seg = '|'-joined
+    * best pieces under `cost` (may carry one leading '|' — trimmed by
+    * consumers). See [[unigramCosts]] for the DP shape. */
+  private def viterbiSegment(words: DataFrame, cost: DataFrame): DataFrame = {
+      val INF = 1099511627776L // 2^40 — unreachable by any real path sum
       val costB = broadcast(cost.select("piece", "cost"))
       val sing = words
         .select(col("word"), explode(expr("sequence(1, length(word))")).as("i"))
@@ -1423,7 +1454,7 @@ object TextPrep {
         .agg(expr("transform(array_sort(collect_list(struct(i, cost))), x -> x.cost)")
           .as("cb"))
       words.join(sing, Seq("word")).join(big, Seq("word"), "left_outer")
-        .select(col("freq"), expr(
+        .select(col("word"), col("freq"), expr(
           s"""if(length(word) < 2, substring(word, 1, 1),
              |  aggregate(
              |    transform(sequence(2, length(word)), i -> named_struct(
@@ -1443,39 +1474,54 @@ object TextPrep {
              |        's', array(element_at(acc.s, 2),
              |               concat(element_at(acc.s, 1), '|', x.pb)))),
              |    acc -> element_at(acc.s, 2)))""".stripMargin).as("seg"))
-        .select(col("freq"),
-          explode(split(expr("trim(LEADING '|' FROM seg)"), "\\|")).as("piece"))
-        .groupBy("piece").agg(sum("freq").as("c"))
-    }
-    def mCounts(segCounts: DataFrame): DataFrame =
-      charUni.join(segCounts.filter(length(col("piece")) === 1),
-          Seq("piece"), "left_outer")
-        .select(col("piece"), (coalesce(col("c"), lit(0L)) + 1L).as("c"))
-        .unionByName(segCounts.filter(length(col("piece")) === 2))
-    var cost = mStep(seed)
-    for (_ <- 1 to rounds) cost = mStep(mCounts(eStep(cost)))
-    cost
-      .withColumn("rnk", row_number()
-        .over(Window.orderBy(col("c").desc, col("piece"))).cast("long"))
-      .filter(col("rnk") <= 30)
-      .select(col("rnk"), col("piece"),
-        length(col("piece")).cast("long").as("piece_len"),
-        col("c").as("n_uses"), col("cost").as("cost_fp"))
   }
 
-  def textUnigramLmLearn(s: SparkSession, dir: String): DataFrame = {
-    val words = t(s, dir, "documents")
+  private def corpusWordDict(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("freq"))
-    unigramLearn(words, 2)
+
+  def textUnigramLmLearn(s: SparkSession, dir: String): DataFrame =
+    unigramLearn(corpusWordDict(s, dir), 2)
+
+  /** Unigram-LM ENCODE audit — the DEPLOY path of [[unigramCosts]]'
+    * trainer (the true corpus-sized step at 100 TB): segment every
+    * distinct word ONCE with the learned final pieces (vocab-sized DP),
+    * broadcast the per-word piece stats, and roll the corpus up per
+    * source — fertility (pieces per word), single-char share (how much
+    * of the stream failed to merge), and mean piece length. The corpus
+    * contributes one scan + explode + broadcast hash join + one
+    * aggregate; the EM never sees corpus rows (data_tokenizer_fertility
+    * is the BPE sibling of this audit). */
+  def textUnigramFertility(s: SparkSession, dir: String): DataFrame = {
+    val (cost, words) = unigramCosts(corpusWordDict(s, dir), 2)
+    val stats = viterbiSegment(words, cost)
+      .select(col("word"),
+        expr("split(trim(LEADING '|' FROM seg), '\\\\|')").as("pieces"))
+      .select(col("word"),
+        expr("cast(size(pieces) as bigint)").as("n_pieces"),
+        expr("cast(size(filter(pieces, p -> length(p) = 1)) as bigint)")
+          .as("n_single"),
+        length(col("word")).cast("long").as("n_chars"))
+    t(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .join(broadcast(stats), Seq("word"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_words"),
+        sum("n_pieces").as("n_pieces"),
+        expr("sum(n_pieces) * 1000 div count(1)").as("fertility_milli"),
+        expr("sum(n_single) * 1000 div sum(n_pieces)")
+          .as("single_share_milli"),
+        expr("sum(n_chars) * 1000 div sum(n_pieces)")
+          .as("avg_piece_len_milli"))
   }
 
   /** DuckDB replay of [[unigramLearn]]: the Log2Fp squaring fold and the
     * 2-cell Viterbi DP are list_reduce folds with LIST-encoded state
     * (struct-field state would read its own round's writes in DuckDB
     * 1.0). One CTE block per EM round, generated like BPE_LEARN_SQL. */
-  private val ULM_SQL = {
+  private object UlmSql {
     // cost$k(piece, c, cost) from counts relation $src — the Log2Fp fold
     def costCte(k: Int, src: String): String = {
       val d = s"(c * (CAST(1 AS BIGINT) << (length(bin(T // c)) - 1)))"
@@ -1517,7 +1563,7 @@ object TextPrep {
          |  SELECT word, list(cost ORDER BY i) AS cb
          |  FROM ulmbigc$k GROUP BY word),
          |ulmvit$k AS (
-         |  SELECT w.freq,
+         |  SELECT w.word, w.freq,
          |    CASE WHEN length(w.word) < 2 THEN substr(w.word, 1, 1)
          |    ELSE list_reduce(list_prepend(
          |      {'d': [CAST(0 AS BIGINT), cs[1]],
@@ -1546,26 +1592,33 @@ object TextPrep {
          |  FROM ulmuni u LEFT JOIN ulmcnt$k cn ON u.piece = cn.piece
          |  UNION ALL
          |  SELECT piece, c FROM ulmcnt$k WHERE length(piece) = 2)""".stripMargin
-    s"""WITH ulmwords AS (
-       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
-       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-       |  WHERE word <> '' GROUP BY 1),
-       |ulmchars AS (
-       |  SELECT substr(word, t.i, 1) AS piece, freq
-       |  FROM ulmwords, unnest(range(1, length(word) + 1)) t(i)),
-       |ulmuni AS (SELECT DISTINCT piece FROM ulmchars),
-       |ulmseed AS (
-       |  SELECT piece, CAST(SUM(freq) + 1 AS BIGINT) AS c
-       |  FROM ulmchars GROUP BY piece
-       |  UNION ALL
-       |  SELECT substr(word, t.i, 2) AS piece, CAST(SUM(freq) AS BIGINT)
-       |  FROM ulmwords, unnest(range(1, length(word))) t(i)
-       |  WHERE length(word) >= 2 GROUP BY 1),
-       |${costCte(0, "ulmseed")},
-       |${emCte(0)},
-       |${costCte(1, "ulmm0")},
-       |${emCte(1)},
-       |${costCte(2, "ulmm1")}
+    /** Shared prefix: word dict, char universe, seed counts, then the
+      * two EM rounds ending at the final cost table ulmcost2. */
+    val chain: String =
+      s"""ulmwords AS (
+         |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         |  WHERE word <> '' GROUP BY 1),
+         |ulmchars AS (
+         |  SELECT substr(word, t.i, 1) AS piece, freq
+         |  FROM ulmwords, unnest(range(1, length(word) + 1)) t(i)),
+         |ulmuni AS (SELECT DISTINCT piece FROM ulmchars),
+         |ulmseed AS (
+         |  SELECT piece, CAST(SUM(freq) + 1 AS BIGINT) AS c
+         |  FROM ulmchars GROUP BY piece
+         |  UNION ALL
+         |  SELECT substr(word, t.i, 2) AS piece, CAST(SUM(freq) AS BIGINT)
+         |  FROM ulmwords, unnest(range(1, length(word))) t(i)
+         |  WHERE length(word) >= 2 GROUP BY 1),
+         |${costCte(0, "ulmseed")},
+         |${emCte(0)},
+         |${costCte(1, "ulmm0")},
+         |${emCte(1)},
+         |${costCte(2, "ulmm1")}""".stripMargin
+  }
+
+  private val ULM_SQL =
+    s"""WITH ${UlmSql.chain}
        |SELECT * FROM (
        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY c DESC, piece) AS BIGINT)
        |      AS rnk,
@@ -1573,7 +1626,34 @@ object TextPrep {
        |    c AS n_uses, cost AS cost_fp
        |  FROM ulmcost2)
        |WHERE rnk <= 30""".stripMargin
-  }
+
+  /** ENCODE-path replay: one more Viterbi block with the FINAL costs
+    * (emCte(2) — its recount CTEs go unreferenced, which DuckDB never
+    * evaluates), per-word piece stats, corpus join, per-source rollup. */
+  private val UFERT_SQL =
+    s"""WITH ${UlmSql.chain},
+       |${UlmSql.emCte(2)},
+       |ustats AS (
+       |  SELECT word,
+       |    CAST(len(string_split(ltrim(seg, '|'), '|')) AS BIGINT)
+       |      AS n_pieces,
+       |    CAST(len(list_filter(string_split(ltrim(seg, '|'), '|'),
+       |      p -> length(p) = 1)) AS BIGINT) AS n_single,
+       |    CAST(length(word) AS BIGINT) AS n_chars
+       |  FROM ulmvit2),
+       |udw AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS word
+       |  FROM documents)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(n_pieces) AS BIGINT) AS n_pieces,
+       |  CAST(SUM(n_pieces) AS BIGINT) * 1000 // CAST(COUNT(*) AS BIGINT)
+       |    AS fertility_milli,
+       |  CAST(SUM(n_single) AS BIGINT) * 1000
+       |    // CAST(SUM(n_pieces) AS BIGINT) AS single_share_milli,
+       |  CAST(SUM(n_chars) AS BIGINT) * 1000
+       |    // CAST(SUM(n_pieces) AS BIGINT) AS avg_piece_len_milli
+       |FROM udw JOIN ustats USING (word)
+       |GROUP BY source""".stripMargin
 
   /** LPT greedy shard rebalance — the partition-to-worker assignment a
     * training job computes before an epoch (longest-processing-time
@@ -1994,6 +2074,7 @@ object TextPrep {
     "data_prefix_lm_split" -> (dataPrefixLmSplit _),
     "text_bpe_learn" -> (textBpeLearn _),
     "text_unigram_lm_learn" -> (textUnigramLmLearn _),
+    "text_unigram_fertility" -> (textUnigramFertility _),
     "data_ks_drift" -> (dataKsDrift _),
     "data_bin_packing" -> (dataBinPacking _),
     "text_feature_hashing" -> (textFeatureHashing _),
@@ -2032,6 +2113,7 @@ object TextPrep {
     "data_prefix_lm_split" -> PREFIXLM_SQL,
     "text_bpe_learn" -> BPE_LEARN_SQL,
     "text_unigram_lm_learn" -> ULM_SQL,
+    "text_unigram_fertility" -> UFERT_SQL,
     "data_ks_drift" -> KS_SQL,
     "data_bin_packing" -> BINPACK_SQL,
     "text_feature_hashing" -> FEATHASH_SQL,

@@ -1517,4 +1517,109 @@ object Streams {
         }
     }
   }
+
+  case class FlapState(last: Long, n: Long, nerr: Long, flips: Long)
+  case class FlapOut(user_id: Long, n_events: Long, n_err: Long,
+                     n_flips: Long, flap_milli: Long)
+
+  /** Streaming counterpart of events_flap_rate — O(1) state per user
+    * (last binary state + three counters). Input rows are (user_id,
+    * ts_ns, event_id, state01); each micro-batch sorts its rows by the
+    * batch operator's (ts, event_id) total order (the runsTest
+    * discipline — flip counting is order-sensitive within a batch;
+    * across batches the upstream watermark delivers event-time order).
+    * Drained stream ⇒ last emission equals the batch row
+    * (spec-pinned). */
+  def flapRate(events: Dataset[(Long, Long, Long, Long)]): Dataset[FlapOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (user: Long, it: Iterator[(Long, Long, Long, Long)],
+       state: GroupState[FlapState]) =>
+        var st = state.getOption.getOrElse(FlapState(-1L, 0L, 0L, 0L))
+        for ((_, _, _, s) <- it.toSeq.sortBy(e => (e._2, e._3))) {
+          st = FlapState(s, st.n + 1, st.nerr + s,
+            st.flips + (if (st.last >= 0L && s != st.last) 1L else 0L))
+        }
+        state.update(st)
+        if (st.n == 0L) Iterator.empty
+        else Iterator(FlapOut(user, st.n, st.nerr, st.flips,
+          if (st.n <= 1L) 0L else st.flips * 1000L / (st.n - 1L)))
+    }
+  }
+
+  case class LocfState(lastHour: Long, lastValue: Long)
+  case class LocfOut(event_type: String, hour: Long, n_events: Long,
+                     value_milli_locf: Long, is_filled: Long)
+
+  /** Streaming counterpart of events_gap_fill_locf — O(1) state (last
+    * observed hour + its LOCF value). Input is the upstream watermarked
+    * (type, hour, n_events, value_milli) aggregate emitting each
+    * OBSERVED hour once in ascending order; on each arrival the twin
+    * emits the gap hours since the last observation (n_events = 0,
+    * value carried forward, is_filled = 1) and then the observed row —
+    * so the drained concatenation equals the batch calendar rows
+    * exactly (spec-pinned). The batch calendar starts at each type's
+    * own min hour, which is also the twin's first arrival. */
+  def gapFillLocf(hours: Dataset[(String, Long, Long, Long)])
+      : Dataset[LocfOut] = {
+    import hours.sparkSession.implicits._
+    hours.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (tpe: String, it: Iterator[(String, Long, Long, Long)],
+       state: GroupState[LocfState]) =>
+        var st = state.getOption.getOrElse(LocfState(Long.MinValue, 0L))
+        val out = scala.collection.mutable.ArrayBuffer.empty[LocfOut]
+        for ((_, hour, nEvents, valueMilli) <- it.toSeq.sortBy(_._2)) {
+          if (st.lastHour != Long.MinValue) {
+            var h = st.lastHour + 1
+            while (h < hour) {
+              out += LocfOut(tpe, h, 0L, st.lastValue, 1L)
+              h += 1
+            }
+          }
+          out += LocfOut(tpe, hour, nEvents, valueMilli, 0L)
+          st = LocfState(hour, valueMilli)
+        }
+        state.update(st)
+        out.iterator
+    }
+  }
+
+  case class BurstState(nHours: Long, nEvents: Long, peak: Long, sumsq: Long)
+  case class BurstOut(event_type: String, n_hours: Long, n_events: Long,
+                      peak: Long, mean_milli: Long, peak_to_mean_milli: Long,
+                      fano_milli: Long)
+
+  /** Streaming counterpart of events_burstiness — O(1) counter state
+    * (hours, events, peak, Σc²; counter addition and max commute, so
+    * arrival order and batch splits are immaterial — the diurnalDft
+    * class). Input is the upstream watermarked (type, hour, count)
+    * aggregate emitting each observed hour once; the milli formulas
+    * replay the batch divide-by-n-FIRST lattice per emission. Drained
+    * stream ⇒ last emission equals the batch row (spec-pinned). */
+  def burstiness(hours: Dataset[(String, Long, Long)]): Dataset[BurstOut] = {
+    import hours.sparkSession.implicits._
+    hours.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (tpe: String, it: Iterator[(String, Long, Long)],
+       state: GroupState[BurstState]) =>
+        var st = state.getOption.getOrElse(BurstState(0L, 0L, 0L, 0L))
+        for ((_, _, c) <- it) {
+          st = BurstState(st.nHours + 1, Math.addExact(st.nEvents, c),
+            math.max(st.peak, c),
+            Math.addExact(st.sumsq, Math.multiplyExact(c, c)))
+        }
+        state.update(st)
+        if (st.nHours == 0L) Iterator.empty
+        else {
+          val mean = st.nEvents / st.nHours
+          Iterator(BurstOut(tpe, st.nHours, st.nEvents, st.peak,
+            st.nEvents * 1000L / st.nHours,
+            st.peak * st.nHours * 1000L / st.nEvents,
+            ((st.sumsq / st.nHours) - mean * mean) * 1000L /
+              math.max(mean, 1L)))
+        }
+    }
+  }
 }

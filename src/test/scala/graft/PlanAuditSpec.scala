@@ -55,7 +55,8 @@ class PlanAuditSpec extends SparkSpec {
     "sim_sign_quantize_recall" -> "documented brute-force baseline: query side is 5 broadcast signature rows (sim_cosine_topk class)",
     "occ_nestedness" -> "three 1-row fold crossJoins (dims x sp_sum x cell_sum) — the whitelisted 1x1x1 class",
     "sim_hubness_audit" -> "crossJoin against the single-row broadcast totals fold (1×|nodes|)",
-    "meta_summary_dtol" -> "crossJoin of the two single-row summary folds (status × genome-notes, 1×1)")
+    "meta_summary_dtol" -> "crossJoin of the two single-row summary folds (status × genome-notes, 1×1)",
+    "events_did" -> "crossJoin against the single-row broadcast span/midpoint frame")
 
   test("no query plans a nested-loop or cartesian join outside the whitelist") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -153,6 +154,8 @@ class PlanAuditSpec extends SparkSpec {
     "meta_summary_dtol" -> 5, // dwh experiments agg + status fold + note-tax study agg/rollup + distinct-organism fold
     "dedup_suffix_window" -> 2, // post-checkpoint: pair self-join + island/run rollups (window build behind Ckpt.capped)
     "text_unigram_lm_learn" -> 0, // final top-30 window off the per-round checkpointed vocab-sized cost table
+    "text_unigram_fertility" -> 3, // vocab DP cs/cb rollups + final per-source agg (corpus rides ONE broadcast join)
+    "events_did" -> 2, // global span fold + ONE event_type hash aggregate
     "graph_pagerank" -> 6, // init distinct + 5 fixed-round rank aggs off the checkpointed edges
     "events_cusum" -> 2, // per-type target agg (broadcast back) + ONE window exchange
     "data_compact_files" -> 3, // bucket totals agg + 32-row offsets window + per-bucket cumsum

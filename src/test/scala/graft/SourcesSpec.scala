@@ -30,6 +30,44 @@ class SourcesSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") || filtered.rdd.getNumPartitions < 8)
   }
 
+  test("keyed source: storage-partitioned join runs with ZERO shuffles and exact results") {
+    val conf = spark.conf
+    val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the SPJ path
+    try {
+      def read(seed: Long) = spark.read.format("graft.sources.KeyedSource")
+        .option("groups", 8).option("rowsPerGroup", 100)
+        .option("seed", seed).load()
+      val j = read(1L).select(col("grp"), col("v_milli").as("va"))
+        .join(read(2L).select(col("grp"), col("v_milli").as("vb")), Seq("grp"))
+        .groupBy("grp").agg(count(lit(1)).as("n_pairs"),
+          sum(expr("va + vb")).as("sv"))
+      val plan = j.queryExecution.executedPlan.toString
+      // the whole join+agg rides KeyGroupedPartitioning: no exchange at all
+      assert(!plan.contains("Exchange"),
+        s"storage-partitioned join planned a shuffle:\n$plan")
+      val got = j.collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      // driver-side replay of the splitmix content
+      val expected = (0 until 8).map { g =>
+        val va = (0L until 100L).map(i => graft.sources.KeyedSource.rowAt(1L, g, 100L, i)._3)
+        val vb = (0L until 100L).map(i => graft.sources.KeyedSource.rowAt(2L, g, 100L, i)._3)
+        val sv = (for (a <- va; b <- vb) yield a + b).sum
+        g.toLong -> ((100L * 100L, sv))
+      }.toMap
+      assert(got === expected)
+      // a groupBy on the partition key alone is also exchange-free
+      val agg = read(3L).groupBy("grp").agg(sum("v_milli").as("s"))
+      assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"))
+      assert(agg.count() === 8)
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
   test("paged source prunes columns down to the reader") {
     val df = spark.read.format("graft.sources.PagedSource")
       .option("pages", 2).option("pageSize", 10).load()

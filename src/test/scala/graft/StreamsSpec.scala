@@ -20,8 +20,9 @@ class StreamsSpec extends SparkSpec {
       "trimmedMean", "recordDays", "silenceStreaks", "runsTest",
       "mannKendall", "changepoint", "queueWait", "saxMotifs",
       "maxDrawdown", "sprtGate", "wilsonBounds", "tailIndex", "ljungBox",
-      "interventionIts", "pageHinkley")
-    assert(expected.size === 38)
+      "interventionIts", "pageHinkley", "flapRate", "gapFillLocf",
+      "burstiness")
+    assert(expected.size === 41)
     val got = Streams.getClass.getDeclaredMethods.toSeq
       .filter(m => java.lang.reflect.Modifier.isPublic(m.getModifiers))
       .filter(m => classOf[org.apache.spark.sql.Dataset[_]]
@@ -962,6 +963,109 @@ class StreamsSpec extends SparkSpec {
       assert(rows.head === ((2L, 2L, 1L, 1500L)))
       // harmonic lattice: 1000 + 500 + 333 + 250 = 2083
       assert(rows.last === ((4L, 3L, 3L, 2083L)))
+    } finally q.stop()
+  }
+
+  test("streaming flap-rate carries O(1) state and converges to the batch operator") {
+    val ev = DomainQueries.events(spark, sf)
+      .select(col("user_id"), col("ts_ns"), col("event_id"),
+        when(col("event_type") === "error", 1L).otherwise(0L).as("st"))
+      .as[(Long, Long, Long, Long)]
+    val batch = operators.Analytics.eventsFlapRate(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val whole = Streams.flapRate(ev).collect()
+      .map(o => o.user_id -> ((o.n_events, o.n_err, o.n_flips,
+        o.flap_milli))).toMap
+    assert(whole === batch)
+    assert(batch.nonEmpty)
+    // split mid-stream on a flip boundary: 0,1 | 1,0 → flips at events
+    // 2 and 4 (state crosses the batch boundary), 2 flips / 3 moves
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, Long)]
+    val q = Streams.flapRate(mem.toDS())
+      .writeStream.format("memory").queryName("flap_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((7L, 0L, 0L, 0L), (7L, 1L, 1L, 1L)); q.processAllAvailable()
+      mem.addData((7L, 2L, 2L, 1L), (7L, 3L, 3L, 0L)); q.processAllAvailable()
+      val rows = spark.sql("SELECT n_events, n_err, n_flips, flap_milli " +
+        "FROM flap_out ORDER BY n_events")
+        .as[(Long, Long, Long, Long)].collect()
+      assert(rows.length === 2)
+      assert(rows.head === ((2L, 1L, 1L, 1000L)))
+      assert(rows.last === ((4L, 2L, 2L, 666L)))
+    } finally q.stop()
+  }
+
+  test("streaming LOCF gap-fill emits the batch calendar exactly") {
+    val obs = DomainQueries.events(spark, sf)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), expr("ts_ns div 3600000000000").as("hour"),
+        expr("cast(floor(value * 1000) as bigint)").as("v_milli"))
+      .groupBy("event_type", "hour")
+      .agg(count(lit(1)).as("n_events"), sum("v_milli").as("value_milli"))
+      .as[(String, Long, Long, Long)]
+    val batch = operators.Analytics.eventsGapFillLocf(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    val whole = Streams.gapFillLocf(obs).collect()
+      .map(o => (o.event_type, o.hour, o.n_events, o.value_milli_locf,
+        o.is_filled)).toSet
+    assert(whole === batch)
+    assert(batch.nonEmpty)
+    // split INSIDE a gap: observed hours 0, 3 | 5 — the LOCF value and
+    // last-hour state must cross the boundary to fill hour 4
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Long, Long)]
+    val q = Streams.gapFillLocf(mem.toDS())
+      .writeStream.format("memory").queryName("locf_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(("a", 0L, 2L, 10L), ("a", 3L, 1L, 30L))
+      q.processAllAvailable()
+      mem.addData(("a", 5L, 1L, 50L)); q.processAllAvailable()
+      val rows = spark.sql("SELECT hour, n_events, value_milli_locf, " +
+        "is_filled FROM locf_out ORDER BY hour")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(rows === Seq((0L, 2L, 10L, 0L), (1L, 0L, 10L, 1L),
+        (2L, 0L, 10L, 1L), (3L, 1L, 30L, 0L), (4L, 0L, 30L, 1L),
+        (5L, 1L, 50L, 0L)))
+    } finally q.stop()
+  }
+
+  test("streaming burstiness carries O(1) counters and converges to the batch operator") {
+    val hrs = DomainQueries.events(spark, sf)
+      .select(col("event_type"), expr("ts_ns div 3600000000000").as("hour_id"))
+      .groupBy("event_type", "hour_id").agg(count(lit(1)).as("c"))
+      .as[(String, Long, Long)]
+    val batch = operators.Analytics.eventsBurstiness(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+    val whole = Streams.burstiness(hrs).collect()
+      .map(o => o.event_type -> ((o.n_hours, o.n_events, o.peak,
+        o.mean_milli, o.peak_to_mean_milli, o.fano_milli))).toMap
+    assert(whole === batch)
+    assert(batch.nonEmpty)
+    // split mid-stream: counters (incl. the running peak) must survive
+    // the boundary — hours with counts 2, 6 | 4: peak 6, mean 4
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Long)]
+    val q = Streams.burstiness(mem.toDS())
+      .writeStream.format("memory").queryName("burst_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(("a", 0L, 2L), ("a", 1L, 6L)); q.processAllAvailable()
+      mem.addData(("a", 2L, 4L)); q.processAllAvailable()
+      val rows = spark.sql("SELECT n_hours, n_events, peak, mean_milli, " +
+        "peak_to_mean_milli, fano_milli FROM burst_out ORDER BY n_hours")
+        .as[(Long, Long, Long, Long, Long, Long)].collect()
+      assert(rows.length === 2)
+      // 2 hours: n=8, peak 6, mean 4000m, p2m 6*2*1000/8=1500, fano:
+      // (sumsq/2 - 4*4)*1000/4 = (20-16)*250 = 1000
+      assert(rows.head === ((2L, 8L, 6L, 4000L, 1500L, 1000L)))
+      // 3 hours: n=12, peak 6, mean 4000m, p2m 6*3*1000/12=1500, fano:
+      // (56/3 - 16)*1000/4 = (18-16)*250 = 500
+      assert(rows.last === ((3L, 12L, 6L, 4000L, 1500L, 500L)))
     } finally q.stop()
   }
 
