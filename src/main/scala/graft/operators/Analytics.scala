@@ -2422,6 +2422,116 @@ object Analytics {
        |  abs(s_stat) * 1000 // n_pairs AS abs_tau_milli
        |FROM p JOIN nd USING (event_type)""".stripMargin
 
+  /** Benjamini–Hochberg FDR control over the per-type Mann–Kendall
+    * trends — the MULTIPLE-TESTING capstone of the monitoring family
+    * (every per-type detector on the board fires m tests per sweep;
+    * this is the correction that keeps the family-wise false-discovery
+    * rate at α=0.05): per type z² = S²·18 / (n(n−1)(2n+5)) on the exact
+    * micro lattice via the two-step long division (S²·18e6 would wrap
+    * 64 bits at ~900 observed days; q·c + (r·c) div D never does), rank
+    * types by z² DESC (= p ascending — no inverse normal CDF anywhere:
+    * p_(k) ≤ kα/m ⟺ z²_(k)·10⁶ ≥ thr²_k with the FIXED two-sided
+    * z-quantile literal table for m = 5, the r9 fixed-point-literal
+    * trick), reject ranks ≤ max{k : passes}. The table is PINNED at
+    * m = 5 (the driver generator's type universe at every SF): an
+    * m ≠ 5 corpus fails LOUDLY through an m-dependent ANSI cast on both
+    * engines rather than silently using wrong thresholds. Plan: the MK
+    * pair join on the checkpointed calendar-bounded daily table + two
+    * single-row broadcast folds (m, max-k). */
+  def eventsFdrBh(s: SparkSession, dir: String): DataFrame =
+    fdrBhCore(s, DomainQueries.events(s, dir)
+      .select(col("event_type"), expr(s"ts_ns div $DAY_NS").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      .transform(graft.Ckpt.capped))
+
+  /** BH over a (event_type, day, c) daily frame — split out so the spec
+    * can plant a monotone type and watch the rejection branch fire. */
+  private[graft] def fdrBhCore(s: SparkSession, daily: DataFrame): DataFrame = {
+    import s.implicits._
+    val a = daily.select(col("event_type"), col("day").as("di"), col("c").as("ci"))
+    val b = daily.select(col("event_type"), col("day").as("dj"), col("c").as("cj"))
+    val z = a.join(b, Seq("event_type"))
+      .filter(col("di") < col("dj"))
+      .groupBy("event_type")
+      .agg(sum(expr("cast(sign(cj - ci) as bigint)")).as("s_stat"))
+      .join(daily.groupBy("event_type").agg(count(lit(1)).as("n_days")),
+        Seq("event_type"))
+      .withColumn("dv",
+        expr("n_days * (n_days - 1) * (2 * n_days + 5)"))
+      .withColumn("z2_micro", expr(
+        "(s_stat * s_stat) div dv * 18000000L " +
+          "+ ((s_stat * s_stat) % dv) * 18000000L div dv"))
+    val m1 = z.agg(count(lit(1)).as("m"))
+    // two-sided z quantiles for p = k·0.05/5, squared, in micro
+    val thr = Seq((1L, 6635776L), (2L, 5410276L), (3L, 4708900L),
+      (4L, 4218916L), (5L, 3841600L)).toDF("bh_rank", "thr2_micro")
+    val ranked = z.crossJoin(broadcast(m1))
+      .withColumn("rk0", row_number()
+        .over(Window.orderBy(col("z2_micro").desc, col("event_type")))
+        .cast("long"))
+      .withColumn("bh_rank", expr(
+        "case when m = 5 then rk0 else cast(concat(" +
+          "'fdr_bh z-table pinned at m=5 types, got ', m) as bigint) end"))
+      .join(broadcast(thr), Seq("bh_rank"))
+      .withColumn("passes",
+        expr("case when z2_micro >= thr2_micro then 1L else 0L end"))
+      .transform(graft.Ckpt.capped) // ≤m rows; the max-k fold re-reads it
+    val maxk = ranked
+      .agg(coalesce(max(expr("bh_rank * passes")), lit(0L)).as("max_k"))
+    ranked.crossJoin(broadcast(maxk))
+      .select(col("event_type"), col("n_days"), col("s_stat"),
+        col("z2_micro"), col("bh_rank"), col("thr2_micro"),
+        expr("case when bh_rank <= max_k then 1L else 0L end").as("rejected"))
+  }
+
+  private val FDRBH_SQL =
+    s"""WITH d AS (
+       |  SELECT event_type, epoch_ns(ts) // $DAY_NS AS day,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM events GROUP BY 1, 2),
+       |p AS (
+       |  SELECT a.event_type,
+       |    CAST(SUM(CASE WHEN b.c > a.c THEN 1
+       |             WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+       |  FROM d a JOIN d b
+       |    ON a.event_type = b.event_type AND a.day < b.day
+       |  GROUP BY a.event_type),
+       |nd AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+       |       FROM d GROUP BY event_type),
+       |z AS (
+       |  SELECT p.event_type, n_days, s_stat,
+       |    (s_stat * s_stat)
+       |      // (n_days * (n_days - 1) * (2 * n_days + 5)) * 18000000
+       |    + ((s_stat * s_stat)
+       |      % (n_days * (n_days - 1) * (2 * n_days + 5))) * 18000000
+       |      // (n_days * (n_days - 1) * (2 * n_days + 5)) AS z2_micro
+       |  FROM p JOIN nd USING (event_type)),
+       |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM z),
+       |rk AS (
+       |  SELECT z.*, m,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY z2_micro DESC, event_type)
+       |      AS BIGINT) AS rk0
+       |  FROM z, m),
+       |g AS (
+       |  SELECT *, CASE WHEN m = 5 THEN rk0
+       |    ELSE CAST('fdr_bh pinned at m=5, got ' || CAST(m AS VARCHAR)
+       |      AS BIGINT) END AS bh_rank
+       |  FROM rk),
+       |t AS (SELECT CAST(v.k AS BIGINT) AS bh_rank,
+       |        CAST(v.t AS BIGINT) AS thr2_micro
+       |      FROM (VALUES (1, 6635776), (2, 5410276), (3, 4708900),
+       |        (4, 4218916), (5, 3841600)) v(k, t)),
+       |j AS (
+       |  SELECT g.*, t.thr2_micro,
+       |    CASE WHEN z2_micro >= thr2_micro THEN 1 ELSE 0 END AS passes
+       |  FROM g JOIN t USING (bh_rank)),
+       |mk AS (SELECT CAST(COALESCE(MAX(bh_rank * passes), 0) AS BIGINT)
+       |         AS max_k FROM j)
+       |SELECT event_type, n_days, s_stat, z2_micro, bh_rank, thr2_micro,
+       |  CAST(CASE WHEN bh_rank <= max_k THEN 1 ELSE 0 END AS BIGINT)
+       |    AS rejected
+       |FROM j, mk""".stripMargin
+
   /** Greedy k-center coreset (Gonzalez) over the embeddings — the
     * coverage-first selection a training pipeline uses to pick a
     * maximally-spread exemplar set (dedup keeps one of each near-dup
@@ -4742,6 +4852,121 @@ object Analytics {
        |    * 1000 // GREATEST(n_events // n_hours, 1) AS fano_milli
        |FROM f""".stripMargin
 
+  /** Kleinberg 2-state burst detection per event type — the INTERVAL
+    * member of the anomaly family ([[eventsBurstiness]] scores how
+    * bursty, ewma/MAD flag single hours; this finds the burst
+    * INTERVALS): hidden states base rate r₀ = N/T vs burst rate 3r₀
+    * over the full hourly calendar (missing hours are true zeros — the
+    * haar span-formula convention), Viterbi decode with an entry
+    * penalty. EXACT lattice: the whole objective is multiplied by
+    * T·1024 so every per-hour Poisson cost difference is the integer
+    * Δ = 2N·1477 − c·T·1625 (1477 = ⌊1024·log₂e⌋, 1625 = ⌊1024·log₂3⌋
+    * — fixed-point literals, the diurnal-DFT trick; the log₂(c!) term
+    * is state-independent and cancels) and the entry penalty is
+    * γ = 4 bits = 4096·T. The decode is a 2-cell DP carrying each
+    * state's optimal-path stats (cost, burst hours, entries, max/cur
+    * run) in a FLAT 10-long list — the unigram-trainer fold shape, an
+    * aggregate() fold here and the identical list_prepend-seeded
+    * list_reduce in DuckDB. Ties prefer base, and staying, determinism
+    * on both engines; the s₁ seed is 2⁵⁰ (≫ any real path) so a burst
+    * in hour 1 counts as an ENTRY, not a stay. Plan: one (type, hour)
+    * agg (checkpointed — span fold + calendar join both read it), a
+    * ≤|types|-row fold. */
+  def eventsKleinbergBurst(s: SparkSession, dir: String): DataFrame = {
+    val obs = DomainQueries.events(s, dir)
+      .select(col("event_type"), expr(s"ts_ns div $HOUR_NS").as("hour"))
+      .groupBy("event_type", "hour").agg(count(lit(1)).as("c"))
+      .transform(graft.Ckpt.capped)
+    val span = obs.groupBy("event_type")
+      .agg(min("hour").as("h0"), max("hour").as("h1"),
+        sum("c").as("n"), (max("hour") - min("hour") + 1).as("t"))
+    val ser = span
+      .select(col("event_type"), col("n"), col("t"),
+        explode(expr("sequence(h0, h1)")).as("hour"))
+      .join(obs, Seq("event_type", "hour"), "left_outer")
+      .select(col("event_type"), col("n"), col("t"), col("hour"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    ser.groupBy("event_type", "n", "t")
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(hour, c))), " +
+          "x -> 2 * n * 1477 - x.c * t * 1625)").as("dl"))
+      .select(col("event_type"), col("n"), col("t"),
+        expr("cast(size(dl) as bigint)").as("n_hours"),
+        expr(
+          """aggregate(dl,
+            |  array(0L, 0L, 0L, 0L, 0L,
+            |        1125899906842624L, 0L, 0L, 0L, 0L),
+            |  (acc, d) -> concat(
+            |    if(element_at(acc, 1) <= element_at(acc, 6),
+            |      array(element_at(acc, 1), element_at(acc, 2),
+            |            element_at(acc, 3), element_at(acc, 4), 0L),
+            |      array(element_at(acc, 6), element_at(acc, 7),
+            |            element_at(acc, 8), element_at(acc, 9), 0L)),
+            |    if(element_at(acc, 6) <= element_at(acc, 1) + 4096 * t,
+            |      array(element_at(acc, 6) + d, element_at(acc, 7) + 1,
+            |            element_at(acc, 8),
+            |            greatest(element_at(acc, 10) + 1, element_at(acc, 9)),
+            |            element_at(acc, 10) + 1),
+            |      array(element_at(acc, 1) + 4096 * t + d,
+            |            element_at(acc, 2) + 1, element_at(acc, 3) + 1,
+            |            greatest(element_at(acc, 5) + 1, element_at(acc, 4)),
+            |            1L))))""".stripMargin).as("st"))
+      .select(col("event_type"), col("n_hours"), col("n").as("n_events"),
+        expr("if(st[0] <= st[5], st[1], st[6])").as("n_burst_hours"),
+        expr("if(st[0] <= st[5], st[2], st[7])").as("n_bursts"),
+        expr("if(st[0] <= st[5], st[3], st[8])").as("max_burst_len"))
+      .withColumn("burst_share_milli",
+        expr("n_burst_hours * 1000 div n_hours"))
+  }
+
+  private val KLEINBERG_SQL =
+    s"""WITH e AS (
+       |  SELECT event_type, epoch_ns(ts) // $HOUR_NS AS hour
+       |  FROM events),
+       |o AS (SELECT event_type, hour, CAST(COUNT(*) AS BIGINT) AS c
+       |      FROM e GROUP BY 1, 2),
+       |sp AS (SELECT event_type, MIN(hour) AS h0, MAX(hour) AS h1,
+       |         CAST(SUM(c) AS BIGINT) AS n,
+       |         CAST(MAX(hour) - MIN(hour) + 1 AS BIGINT) AS t
+       |       FROM o GROUP BY 1),
+       |cal AS (SELECT sp.event_type, CAST(g.h AS BIGINT) AS hour, sp.n,
+       |          sp.t
+       |        FROM sp, LATERAL unnest(generate_series(h0, h1)) g(h)),
+       |ser AS (SELECT cal.event_type, cal.hour, cal.n, cal.t,
+       |          COALESCE(o.c, 0) AS c
+       |        FROM cal LEFT JOIN o
+       |          ON o.event_type = cal.event_type AND o.hour = cal.hour),
+       |agg AS (
+       |  SELECT event_type, n, t,
+       |    list(2 * n * 1477 - c * t * 1625 ORDER BY hour) AS dl
+       |  FROM ser GROUP BY event_type, n, t),
+       |f AS (
+       |  SELECT event_type, n, t, CAST(len(dl) AS BIGINT) AS n_hours,
+       |    list_reduce(list_prepend(
+       |      [0::BIGINT, 0, 0, 0, 0, 1125899906842624, 0, 0, 0, 0, 0],
+       |      list_transform(dl, d ->
+       |        [0::BIGINT, 0, 0, 0, 0, 0, 0, 0, 0, 0, d])),
+       |      (acc, x) -> list_concat(list_concat(
+       |        CASE WHEN acc[1] <= acc[6]
+       |          THEN [acc[1], acc[2], acc[3], acc[4], 0::BIGINT]
+       |          ELSE [acc[6], acc[7], acc[8], acc[9], 0::BIGINT] END,
+       |        CASE WHEN acc[6] <= acc[1] + 4096 * t
+       |          THEN [acc[6] + x[11], acc[7] + 1, acc[8],
+       |                GREATEST(acc[10] + 1, acc[9]), acc[10] + 1]
+       |          ELSE [acc[1] + 4096 * t + x[11], acc[2] + 1, acc[3] + 1,
+       |                GREATEST(acc[5] + 1, acc[4]), 1::BIGINT] END),
+       |        [0::BIGINT])) AS st
+       |  FROM agg)
+       |SELECT event_type, n_hours, n AS n_events,
+       |  CASE WHEN st[1] <= st[6] THEN st[2] ELSE st[7] END
+       |    AS n_burst_hours,
+       |  CASE WHEN st[1] <= st[6] THEN st[3] ELSE st[8] END AS n_bursts,
+       |  CASE WHEN st[1] <= st[6] THEN st[4] ELSE st[9] END
+       |    AS max_burst_len,
+       |  (CASE WHEN st[1] <= st[6] THEN st[2] ELSE st[7] END) * 1000
+       |    // n_hours AS burst_share_milli
+       |FROM f""".stripMargin
+
   /** Haar wavelet energy by timescale — the MULTI-RESOLUTION member of
     * the series family: [[eventsBurstiness]] says HOW bursty a type is,
     * [[eventsDiurnalDft]] finds global periodicity; this one says WHICH
@@ -6333,6 +6558,8 @@ object Analytics {
   val queries: Map[String, Q] = Map(
     "events_welch_t" -> (eventsWelchT _),
     "events_did" -> (eventsDid _),
+    "events_fdr_bh" -> (eventsFdrBh _),
+    "events_kleinberg_burst" -> (eventsKleinbergBurst _),
     "events_tail_index" -> (eventsTailIndex _),
     "events_intervention_its" -> (eventsInterventionIts _),
     "sim_facility_location" -> (simFacilityLocation _),
@@ -6445,6 +6672,8 @@ object Analytics {
   val oracle: Map[String, String] = Map(
     "events_welch_t" -> WELCH_SQL,
     "events_did" -> DID_SQL,
+    "events_fdr_bh" -> FDRBH_SQL,
+    "events_kleinberg_burst" -> KLEINBERG_SQL,
     "events_tail_index" -> TAIL_SQL,
     "events_intervention_its" -> ITS_SQL,
     "sim_facility_location" -> FACILITY_SQL,

@@ -772,6 +772,51 @@ object DomainQueries {
       .withColumn("chao1_millis",
         expr("s_obs * 1000 + (1000 * f1 * (f1 - 1)) div (2 * (f2 + 1))"))
 
+  /** Chao2 incidence-based richness — the SAMPLING-UNIT sibling of
+    * [[occChao1Richness]]'s abundance estimator (Chao1 reads per-cell
+    * abundance singletons/doubletons; Chao2 reads species' INCIDENCE
+    * across cells — how many 10° sampling units each species occurs in
+    * — the right estimator when detection within a unit is
+    * presence-only): q₁/q₂ = species in exactly 1/2 units,
+    * bias-corrected Ŝ = S_obs + ((m−1)/m)·q₁(q₁−1)/(2(q₂+1)) on the
+    * chao1 milli lattice (divide once at the end; (q₂+1) keeps the
+    * q₂ = 0 corpus finite). One incidence distinct + two tiny
+    * rollups, single-row output. */
+  def occChao2Richness(s: SparkSession, dir: String): DataFrame = {
+    val inc = valid(s, dir)
+      .withColumn("cellid", cell10(col("lat"), col("lon")))
+      .select("species", "cellid").distinct()
+      .transform(graft.Ckpt.capped) // m fold + the species rollup both read it
+    val m1 = inc.select("cellid").distinct()
+      .agg(count(lit(1)).as("m"))
+    inc.groupBy("species").agg(count(lit(1)).as("u"))
+      .agg(count(lit(1)).as("s_obs"),
+        sum(when(col("u") === 1, 1L).otherwise(0L)).as("q1"),
+        sum(when(col("u") === 2, 1L).otherwise(0L)).as("q2"))
+      .crossJoin(broadcast(m1))
+      .select(col("m"), col("s_obs"), col("q1"), col("q2"),
+        expr("s_obs * 1000 + ((m - 1) * q1 * (q1 - 1) * 1000) " +
+          "div (m * 2 * (q2 + 1))").as("chao2_milli"))
+  }
+
+  private val CHAO2_SQL = withSql(OCC_SQL, VALID_SQL,
+    """inc AS (
+      |  SELECT DISTINCT species,
+      |    (CAST(FLOOR(lat / 10.0) AS BIGINT) + 9) * 36
+      |      + CAST(FLOOR(lon / 10.0) AS BIGINT) + 18 AS cellid
+      |  FROM valid),
+      |mm AS (SELECT CAST(COUNT(DISTINCT cellid) AS BIGINT) AS m FROM inc),
+      |sq AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS s_obs,
+      |    CAST(SUM(CASE WHEN u = 1 THEN 1 ELSE 0 END) AS BIGINT) AS q1,
+      |    CAST(SUM(CASE WHEN u = 2 THEN 1 ELSE 0 END) AS BIGINT) AS q2
+      |  FROM (SELECT species, CAST(COUNT(*) AS BIGINT) AS u
+      |        FROM inc GROUP BY 1))""".stripMargin)(
+    """SELECT m, s_obs, q1, q2,
+      |  s_obs * 1000 + ((m - 1) * q1 * (q1 - 1) * 1000)
+      |    // (m * 2 * (q2 + 1)) AS chao2_milli
+      |FROM sq, mm""".stripMargin)
+
   /** select_best_record per (species, 1°-cell): min uncertainty wins. */
   def occDedupeBest(s: SparkSession, dir: String): DataFrame = {
     val d = valid(s, dir)
@@ -1992,9 +2037,136 @@ object DomainQueries {
           "n_cells * (n_cells - 1) div 2, 1L)").as("nodf_milli"))
   }
 
+  /** SDM pseudo-absence (background) sampling — the step every species
+    * distribution model runs between the occurrence pipeline and the
+    * climate envelope: for each species, pick k=8 BACKGROUND cells from
+    * the observed 10° grid EXCLUDING the species' own presences,
+    * effort-weighted toward the overall sampling distribution (the
+    * target-group-background correction for collection bias). Weighted
+    * sampling-without-replacement on the exact lattice: key = h div
+    * effort with h a 52-bit 'sdm:' md5 (its own salt; 52 bits so ties
+    * through any downstream Double never reorder) — the integer form of
+    * bottom-k weighted sampling (h/w ~ Exp(w)), deterministic on both
+    * engines. Plan: one cell-effort aggregate (≤648 rows, broadcast),
+    * species-dim × cell-dim candidate grid (both layout constants —
+    * the envelope-projection BNLJ class), anti-join the presence set,
+    * one species-partitioned rank window. */
+  def occSdmBackground(s: SparkSession, dir: String): DataFrame = {
+    val o = valid(s, dir).withColumn("cellid", cell10(col("lat"), col("lon")))
+    val presence = o.select("species", "cellid").distinct()
+      .transform(graft.Ckpt.capped)
+    val effort = o.groupBy("cellid").agg(count(lit(1)).as("effort"))
+    val spDim = presence.groupBy("species")
+      .agg(count(lit(1)).as("n_presence_cells"))
+    val cand = spDim.crossJoin(broadcast(effort))
+      .join(presence, Seq("species", "cellid"), "left_anti")
+      .withColumn("h", expr(
+        "cast(conv(substring(md5(cast(concat('sdm:', species, ':', " +
+          "cast(cellid as string)) as binary)), 1, 13), 16, 10) as bigint)"))
+      .withColumn("key", expr("h div effort"))
+    val w = Window.partitionBy("species")
+      .orderBy(col("key"), col("cellid"))
+    cand.withColumn("bg_rank", row_number().over(w).cast("long"))
+      .filter(col("bg_rank") <= 8)
+      .select("species", "bg_rank", "cellid", "effort", "n_presence_cells")
+  }
+
+  private val SDM_CTES =
+    """oc AS (
+      |  SELECT *, (CAST(FLOOR(lat / 10.0) AS BIGINT) + 9) * 36
+      |    + CAST(FLOOR(lon / 10.0) AS BIGINT) + 18 AS cellid
+      |  FROM valid),
+      |pres AS (SELECT DISTINCT species, cellid FROM oc),
+      |eff AS (SELECT cellid, CAST(COUNT(*) AS BIGINT) AS effort
+      |        FROM oc GROUP BY 1),
+      |sp AS (SELECT species, CAST(COUNT(*) AS BIGINT) AS n_presence_cells
+      |       FROM pres GROUP BY 1),
+      |cand AS (
+      |  SELECT sp.species, sp.n_presence_cells, eff.cellid, eff.effort,
+      |    ('0x' || substr(md5('sdm:' || sp.species || ':'
+      |      || CAST(eff.cellid AS VARCHAR)), 1, 13))::BIGINT // eff.effort
+      |      AS key
+      |  FROM sp CROSS JOIN eff
+      |  WHERE NOT EXISTS (SELECT 1 FROM pres
+      |    WHERE pres.species = sp.species AND pres.cellid = eff.cellid)),
+      |rk AS (
+      |  SELECT species, cellid, effort, n_presence_cells,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY species
+      |      ORDER BY key, cellid) AS BIGINT) AS bg_rank
+      |  FROM cand)""".stripMargin
+
+  private val SDM_SQL = withSql(OCC_SQL, VALID_SQL, SDM_CTES)(
+    """SELECT species, bg_rank, cellid, effort, n_presence_cells
+      |FROM rk WHERE bg_rank <= 8""".stripMargin)
+
+  /** SDM evaluation — the exact Mann–Whitney AUC of a climate
+    * suitability score separating each species' PRESENCE cells from its
+    * [[occSdmBackground]] pseudo-absences (the background → model →
+    * AUC chain every distribution modeler runs): suitability of a 10°
+    * cell = −|T₁₀(cell) − T̄_sp| with T₁₀ the cell·7919 % 4000 lattice
+    * (the 10° projection of the climAnnotate raster family) and T̄_sp
+    * the integer mean over the species' presences. AUC needs no ranks
+    * and no midrank halves: the background is k ≤ 8 cells, so the
+    * presence × background pair join is n₁·8 rows per species and
+    * AUC·1000 = Σ(2·[s_p > s_b] + [s_p = s_b])·1000 div (2·n₁·n₀) —
+    * the tie-safe doubled lattice, exact on both engines. On the driver
+    * corpus species ⊥ location (documented), so AUC correctly reads
+    * ≈ 0.5 — the null an honest evaluator MUST return here; the
+    * operator's value is the exact evaluation machinery, which a real
+    * occurrence corpus feeds unchanged. */
+  def occSdmAuc(s: SparkSession, dir: String): DataFrame = {
+    val bg = occSdmBackground(s, dir)
+      .select(col("species"), col("cellid").as("bcell"))
+    val pres = valid(s, dir)
+      .withColumn("cellid", cell10(col("lat"), col("lon")))
+      .select("species", "cellid").distinct()
+      .transform(graft.Ckpt.capped)
+    val tbar = pres.groupBy("species")
+      .agg(count(lit(1)).as("n1"),
+        expr("sum(cellid * 7919 % 4000) div count(1)").as("tbar"))
+    val ps = pres.join(broadcast(tbar), Seq("species"))
+      .select(col("species"), col("n1"),
+        expr("-abs(cellid * 7919 % 4000 - tbar)").as("sc"))
+    val bs = bg.join(broadcast(tbar), Seq("species"))
+      .select(col("species"), expr("-abs(bcell * 7919 % 4000 - tbar)").as("sb"))
+    ps.join(bs, Seq("species"))
+      .groupBy("species")
+      .agg(max("n1").as("n_presence"),
+        (count(lit(1)) / max("n1")).cast("long").as("n_background"),
+        sum(expr("case when sc > sb then 2L when sc = sb then 1L " +
+          "else 0L end")).as("wins2"))
+      .withColumn("auc_milli",
+        expr("wins2 * 1000 div (2 * n_presence * n_background)"))
+  }
+
+  private val SDMAUC_SQL = withSql(OCC_SQL, VALID_SQL, SDM_CTES,
+    """bgc AS (SELECT species, cellid AS bcell FROM rk WHERE bg_rank <= 8),
+      |tb AS (SELECT species, CAST(COUNT(*) AS BIGINT) AS n1,
+      |         CAST(SUM(cellid * 7919 % 4000) AS BIGINT)
+      |           // CAST(COUNT(*) AS BIGINT) AS tbar
+      |       FROM pres GROUP BY 1),
+      |psc AS (SELECT p.species, n1,
+      |          -abs(p.cellid * 7919 % 4000 - tbar) AS sc
+      |        FROM pres p JOIN tb USING (species)),
+      |bsc AS (SELECT b.species, -abs(b.bcell * 7919 % 4000 - tbar) AS sb
+      |        FROM bgc b JOIN tb USING (species)),
+      |au AS (
+      |  SELECT p.species, MAX(n1) AS n_presence,
+      |    CAST(COUNT(*) AS BIGINT) // MAX(n1) AS n_background,
+      |    CAST(SUM(CASE WHEN sc > sb THEN 2 WHEN sc = sb THEN 1
+      |      ELSE 0 END) AS BIGINT) AS wins2
+      |  FROM psc p JOIN bsc b ON p.species = b.species
+      |  GROUP BY 1)""".stripMargin)(
+    """SELECT species, n_presence, n_background, wins2,
+      |  wins2 * 1000 // (2 * n_presence * n_background) AS auc_milli
+      |FROM au""".stripMargin)
+
   // -------------------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "occ_sdm_background" -> (occSdmBackground _),
+    "occ_sdm_auc" -> (occSdmAuc _),
+    "occ_chao2_richness" -> (occChao2Richness _),
     "occ_nestedness" -> (occNestedness _),
     "occ_checkerboard" -> (occCheckerboard _),
     "events_funnel" -> (eventsFunnel _),
@@ -2092,6 +2264,9 @@ object DomainQueries {
       |FROM bg GROUP BY accession, species""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "occ_sdm_background" -> SDM_SQL,
+    "occ_sdm_auc" -> SDMAUC_SQL,
+    "occ_chao2_richness" -> CHAO2_SQL,
     "occ_nestedness" -> withSql(OCC_SQL, VALID_SQL,
       s"""o AS (SELECT DISTINCT species, $CELL10_SQL AS cellid FROM valid),
          |szs AS (SELECT species, CAST(COUNT(*) AS BIGINT) AS r

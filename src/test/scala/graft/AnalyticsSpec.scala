@@ -7,6 +7,28 @@ import org.apache.spark.sql.functions._
 class AnalyticsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("fdr-bh rejects planted monotone trends, finds the largest k, and fails loudly off m=5") {
+    def daily(tpe: String, f: Long => Long): Seq[(String, Long, Long)] =
+      (0L until 40L).map(d => (tpe, d, f(d)))
+    val rows = daily("up", d => d + 1) ++ daily("down", d => 100 - d) ++
+      daily("f1", _ => 5L) ++ daily("f2", _ => 7L) ++ daily("f3", _ => 9L)
+    val out = Analytics.fdrBhCore(spark, rows.toDF("event_type", "day", "c"))
+      .select("event_type", "bh_rank", "z2_micro", "rejected")
+      .as[(String, Long, Long, Long)].collect()
+    // |S| = 780 both ways, z2 = 780^2*18e6/132600 ≈ 82.6e6 — far over
+    // every threshold; the z2 tie breaks on type asc (down < up), and
+    // max-k = 2 rejects BOTH (the largest-k step, not first-only)
+    assert(out.filter(_._4 == 1L).map(r => (r._1, r._2)).toSet ===
+      Set(("down", 1L), ("up", 2L)))
+    assert(out.filter(_._4 == 0L).map(_._1).toSet === Set("f1", "f2", "f3"))
+    assert(out.filter(_._1 == "up").head._3 === 82588235L)
+    // the literal z-table is pinned at m=5: a 4-type corpus must raise
+    intercept[Exception] {
+      Analytics.fdrBhCore(spark,
+        rows.filter(_._1 != "f3").toDF("event_type", "day", "c")).collect()
+    }
+  }
+
   test("mmr rerank: ranks dense from 1, first pick is the cosine argmax, picks distinct within the shortlist") {
     val mmr = Analytics.simMmrRerank(spark, sf)
       .as[(Long, Long, Long)].collect().groupBy(_._1)

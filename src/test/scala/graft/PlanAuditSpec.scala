@@ -56,7 +56,11 @@ class PlanAuditSpec extends SparkSpec {
     "occ_nestedness" -> "three 1-row fold crossJoins (dims x sp_sum x cell_sum) — the whitelisted 1x1x1 class",
     "sim_hubness_audit" -> "crossJoin against the single-row broadcast totals fold (1×|nodes|)",
     "meta_summary_dtol" -> "crossJoin of the two single-row summary folds (status × genome-notes, 1×1)",
-    "events_did" -> "crossJoin against the single-row broadcast span/midpoint frame")
+    "events_did" -> "crossJoin against the single-row broadcast span/midpoint frame",
+    "occ_sdm_background" -> "species-dim × broadcast ≤648-cell effort grid — both sides layout constants (envelope-projection class)",
+    "events_fdr_bh" -> "crossJoins against the single-row broadcast m and max-k folds (1×1)",
+    "occ_sdm_auc" -> "inherits occ_sdm_background's species-dim × broadcast cell-grid cross (layout constants)",
+    "occ_chao2_richness" -> "crossJoin against the single-row broadcast m fold (1×1)")
 
   test("no query plans a nested-loop or cartesian join outside the whitelist") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -156,6 +160,11 @@ class PlanAuditSpec extends SparkSpec {
     "text_unigram_lm_learn" -> 0, // final top-30 window off the per-round checkpointed vocab-sized cost table
     "text_unigram_fertility" -> 3, // vocab DP cs/cb rollups + final per-source agg (corpus rides ONE broadcast join)
     "events_did" -> 2, // global span fold + ONE event_type hash aggregate
+    "occ_sdm_background" -> 2, // species-dim agg + rank window (presence set behind Ckpt.capped; effort broadcast)
+    "events_fdr_bh" -> 1, // final max-k fold off the checkpointed ≤m-row ranked table (MK pair join behind Ckpt.capped)
+    "events_kleinberg_burst" -> 1, // one per-type fold off the checkpointed (type, hour) agg (calendar join rides it)
+    "occ_sdm_auc" -> 4, // background picks (2, sdm shape) + species tbar agg + the pair-join AUC rollup
+    "occ_chao2_richness" -> 4, // m distinct fold + species incidence rollup + the two-level q agg (incidence behind Ckpt.capped)
     "graph_pagerank" -> 6, // init distinct + 5 fixed-round rank aggs off the checkpointed edges
     "events_cusum" -> 2, // per-type target agg (broadcast back) + ONE window exchange
     "data_compact_files" -> 3, // bucket totals agg + 32-row offsets window + per-bucket cumsum
