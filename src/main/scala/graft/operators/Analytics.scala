@@ -5499,6 +5499,130 @@ object Analytics {
           .as("surv_micro"))
   }
 
+  /** Log-rank test between the A/B arms on TIME TO FIRST PURCHASE —
+    * the SURVIVAL × EXPERIMENT cross member ([[eventsSurvivalKm]] draws
+    * one curve; this asks whether the arms' conversion-time curves
+    * DIFFER, the standard time-to-convert experiment readout). The KM
+    * operator's lifetime grain is degenerate here — every synthetic
+    * user stays active to the corpus end (probed: 0 churns at any
+    * administrative cutoff) — so the event is CONVERSION: death =
+    * first purchase at t = (first_purchase − first_event) days,
+    * censored = never purchased (t = last − first). Same 'ab:'
+    * assignment as ab_lift. Per distinct conversion day: O₁ += d₁,
+    * E₁(milli) += d·n₁·1000 div n, and the
+    * hypergeometric variance on a DEFINED three-step division lattice
+    * v = ((d·n₁·(n−n₁)·1000) div n · (n−d)) div n div (n−1) — each
+    * step ≤ 10¹⁶ where the single-product form wraps 64 bits at ~10⁴
+    * users; floors identical on both engines, nonnegative throughout.
+    * z²(milli) = (O₁·1000 − E₁)² div V, flagged at 1.96² = 3841.
+    * At-risk counts ride ONE ascending-day window (suffix sums);
+    * per-day rows are calendar-bounded. No streaming twin: per-user
+    * lifetime state is population-sized (the survival_km class). */
+  def eventsLogrank(s: SparkSession, dir: String): DataFrame = {
+    val ev = DomainQueries.events(s, dir)
+    val marks = ev.groupBy("user_id")
+      .agg(min("ts_ns").as("first_ns"), max("ts_ns").as("last_ns"),
+        min(when(col("event_type") === "purchase", col("ts_ns")))
+          .as("fp_ns"))
+      .select(
+        expr("cast(conv(substring(md5(cast(concat('ab:', user_id) as " +
+          "binary)), 1, 15), 16, 10) as bigint) % 2").as("arm"),
+        expr(s"(coalesce(fp_ns, last_ns) - first_ns) div $DAY_NS")
+          .as("t_day"),
+        when(col("fp_ns").isNull, 1L).otherwise(0L).as("censored"))
+      .transform(graft.Ckpt.capped) // arm totals + the day table both read it
+    val byT = marks.groupBy("t_day").agg(
+      sum(when(col("arm") === 1 && col("censored") === 0, 1L).otherwise(0L))
+        .as("d1"),
+      sum(when(col("censored") === 0, 1L).otherwise(0L)).as("d"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("m1"),
+      count(lit(1)).as("m"))
+    val wRisk = Window.orderBy("t_day")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val terms = byT
+      .withColumn("n1", sum("m1").over(wRisk))
+      .withColumn("n", sum("m").over(wRisk))
+      .filter(col("d") > 0 && col("n") >= 2)
+      .select(col("d1"),
+        expr("d * n1 * 1000 div n").as("e1t"),
+        expr("(d * n1 * (n - n1) * 1000) div n * (n - d) div n " +
+          "div greatest(n - 1, 1L)").as("vt"))
+      .agg(sum("d1").as("o1"), sum("e1t").as("e1_milli"),
+        sum("vt").as("v_milli"))
+    val arms = marks.agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("arm") === 1 && col("censored") === 0, 1L).otherwise(0L))
+        .as("deaths_b"),
+      sum(when(col("arm") === 0 && col("censored") === 0, 1L).otherwise(0L))
+        .as("deaths_a"))
+    arms.crossJoin(terms)
+      .withColumn("diff_milli", expr("o1 * 1000 - e1_milli"))
+      .select(col("n_a"), col("n_b"), col("deaths_a"), col("deaths_b"),
+        col("o1"), col("e1_milli"), col("v_milli"),
+        expr("cast(sign(diff_milli) as bigint)").as("direction"),
+        expr("diff_milli * diff_milli div greatest(v_milli, 1L)")
+          .as("zsq_milli"),
+        expr("case when diff_milli * diff_milli " +
+          "div greatest(v_milli, 1L) >= 3841 then 1L else 0L end")
+          .as("significant_flag"))
+  }
+
+  private val LOGRANK_SQL =
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, epoch_ns(ts) // 1000 * 1000 AS ts_ns
+       |  FROM events),
+       |marks AS (
+       |  SELECT
+       |    ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 15))
+       |      ::BIGINT % 2 AS arm,
+       |    (COALESCE(MIN(CASE WHEN event_type = 'purchase' THEN ts_ns END),
+       |       MAX(ts_ns)) - MIN(ts_ns)) // $DAY_NS AS t_day,
+       |    CASE WHEN MIN(CASE WHEN event_type = 'purchase' THEN ts_ns END)
+       |      IS NULL THEN 1 ELSE 0 END AS censored
+       |  FROM e GROUP BY user_id),
+       |byt AS (
+       |  SELECT t_day,
+       |    CAST(SUM(CASE WHEN arm = 1 AND censored = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS d1,
+       |    CAST(SUM(CASE WHEN censored = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS d,
+       |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS m1,
+       |    CAST(COUNT(*) AS BIGINT) AS m
+       |  FROM marks GROUP BY 1),
+       |risk AS (
+       |  SELECT *,
+       |    CAST(SUM(m1) OVER (ORDER BY t_day ROWS BETWEEN CURRENT ROW
+       |      AND UNBOUNDED FOLLOWING) AS BIGINT) AS n1,
+       |    CAST(SUM(m) OVER (ORDER BY t_day ROWS BETWEEN CURRENT ROW
+       |      AND UNBOUNDED FOLLOWING) AS BIGINT) AS n
+       |  FROM byt),
+       |terms AS (
+       |  SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+       |    CAST(SUM(d * n1 * 1000 // n) AS BIGINT) AS e1_milli,
+       |    CAST(SUM((d * n1 * (n - n1) * 1000) // n * (n - d) // n
+       |      // GREATEST(n - 1, 1)) AS BIGINT) AS v_milli
+       |  FROM risk WHERE d > 0 AND n >= 2),
+       |arms AS (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |    CAST(SUM(CASE WHEN arm = 0 AND censored = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS deaths_a,
+       |    CAST(SUM(CASE WHEN arm = 1 AND censored = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS deaths_b
+       |  FROM marks)
+       |SELECT n_a, n_b, deaths_a, deaths_b, o1, e1_milli, v_milli,
+       |  CAST(CASE WHEN o1 * 1000 - e1_milli > 0 THEN 1
+       |       WHEN o1 * 1000 - e1_milli < 0 THEN -1 ELSE 0 END AS BIGINT)
+       |    AS direction,
+       |  (o1 * 1000 - e1_milli) * (o1 * 1000 - e1_milli)
+       |    // GREATEST(v_milli, 1) AS zsq_milli,
+       |  CAST(CASE WHEN (o1 * 1000 - e1_milli) * (o1 * 1000 - e1_milli)
+       |    // GREATEST(v_milli, 1) >= 3841 THEN 1 ELSE 0 END AS BIGINT)
+       |    AS significant_flag
+       |FROM arms, terms""".stripMargin
+
   private val SURVIVAL_SQL =
     s"""WITH e AS (
        |  SELECT user_id, epoch_ns(ts) // 1000 * 1000 AS ts_ns FROM events),
@@ -6560,6 +6684,7 @@ object Analytics {
     "events_did" -> (eventsDid _),
     "events_fdr_bh" -> (eventsFdrBh _),
     "events_kleinberg_burst" -> (eventsKleinbergBurst _),
+    "events_logrank" -> (eventsLogrank _),
     "events_tail_index" -> (eventsTailIndex _),
     "events_intervention_its" -> (eventsInterventionIts _),
     "sim_facility_location" -> (simFacilityLocation _),
@@ -6674,6 +6799,7 @@ object Analytics {
     "events_did" -> DID_SQL,
     "events_fdr_bh" -> FDRBH_SQL,
     "events_kleinberg_burst" -> KLEINBERG_SQL,
+    "events_logrank" -> LOGRANK_SQL,
     "events_tail_index" -> TAIL_SQL,
     "events_intervention_its" -> ITS_SQL,
     "sim_facility_location" -> FACILITY_SQL,

@@ -519,6 +519,77 @@ object Records {
         expr("n_rows_at_risk * 1000 div n_rows").as("risk_milli"),
         (col("n_classes_below") === 0L).as("is_k_anonymous"))
 
+  /** l-diversity audit — the attribute-disclosure companion of
+    * [[dataKAnonymity]]'s re-identification gate (k-anonymity bounds
+    * WHO a row could be; l-diversity bounds WHAT the class leaks: a
+    * class whose sensitive values are all equal discloses the
+    * attribute even at k=1000): same quasi-identifier classes
+    * (source, lang, len_bits), sensitive stand-in = the document's
+    * leading token (deterministic, the diagnosis-column shape). Per
+    * class: distinct-l, and ENTROPY-l on the exact lattice — H·1024 =
+    * Σ c·Log2Fp(n, c) div n (the Log2Fp likelihood-lattice expression
+    * again: 1024·log₂(n/c) in pure integers, one floor at the end; the
+    * DuckDB twin replays the identical squaring fold). Flags at the
+    * classic l = 3: distinct ≥ 3 and H ≥ log₂3 (1625/1024). Plan: one
+    * (class, sensitive) agg, one class agg — two exchanges. */
+  def dataLDiversity(s: SparkSession, dir: String): DataFrame = {
+    val cells = t(s, dir, "documents")
+      .select(col("source"), col("lang"),
+        expr("cast(length(bin(n_chars)) - 1 as bigint)").as("len_bits"),
+        expr("split(text, ' ')[0]").as("sensitive"))
+      .groupBy("source", "lang", "len_bits", "sensitive")
+      .agg(count(lit(1)).as("c"))
+    val cls = org.apache.spark.sql.expressions.Window
+      .partitionBy("source", "lang", "len_bits")
+    cells
+      .withColumn("n", sum("c").over(cls))
+      .withColumn("term", col("c") * graft.functions.Log2Fp(col("n"), col("c")))
+      .groupBy("source", "lang", "len_bits")
+      .agg(max("n").as("class_size"),
+        count(lit(1)).as("l_distinct"),
+        expr("sum(term) div max(n)").as("entropy_1024"))
+      .select(col("source"), col("lang"), col("len_bits"),
+        col("class_size"), col("l_distinct"), col("entropy_1024"),
+        (col("l_distinct") >= 3L).as("meets_distinct_l3"),
+        (col("entropy_1024") >= 1625L).as("meets_entropy_l3"))
+  }
+
+  private val L_DIV_SQL =
+    """WITH cells AS (
+      |  SELECT source, lang,
+      |    CAST(LENGTH(bin(n_chars)) - 1 AS BIGINT) AS len_bits,
+      |    string_split(text, ' ')[1] AS sensitive,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM documents GROUP BY 1, 2, 3, 4),
+      |wn AS (
+      |  SELECT *, CAST(SUM(c) OVER (PARTITION BY source, lang, len_bits)
+      |    AS BIGINT) AS n
+      |  FROM cells),
+      |tm AS (
+      |  SELECT source, lang, len_bits, c, n,
+      |    c * ((length(bin(n // c)) - 1) * 1024 + list_reduce(list_prepend(
+      |      [(n // (c * (CAST(1 AS BIGINT) << (length(bin(n // c)) - 1))))
+      |         * 1073741824
+      |       + ((n % (c * (CAST(1 AS BIGINT) << (length(bin(n // c)) - 1))))
+      |         * 1073741824)
+      |         // (c * (CAST(1 AS BIGINT) << (length(bin(n // c)) - 1))),
+      |       CAST(0 AS BIGINT)],
+      |      list_transform(range(1, 11),
+      |        i -> [CAST(0 AS BIGINT), CAST(0 AS BIGINT)])),
+      |      (acc, x) ->
+      |        CASE WHEN (acc[1] * acc[1]) // 1073741824 >= 2147483648
+      |        THEN [((acc[1] * acc[1]) // 1073741824) // 2, acc[2] * 2 + 1]
+      |        ELSE [(acc[1] * acc[1]) // 1073741824, acc[2] * 2]
+      |        END)[2]) AS term
+      |  FROM wn)
+      |SELECT source, lang, len_bits,
+      |  CAST(MAX(n) AS BIGINT) AS class_size,
+      |  CAST(COUNT(*) AS BIGINT) AS l_distinct,
+      |  CAST(SUM(term) AS BIGINT) // MAX(n) AS entropy_1024,
+      |  COUNT(*) >= 3 AS meets_distinct_l3,
+      |  CAST(SUM(term) AS BIGINT) // MAX(n) >= 1625 AS meets_entropy_l3
+      |FROM tm GROUP BY 1, 2, 3""".stripMargin
+
   private val K_ANON_SQL =
     """WITH cls AS (
       |  SELECT source, lang,
@@ -1448,6 +1519,7 @@ object Records {
     "meta_summary_dtol" -> (summaryDtol _),
     "meta_pseudonymize_audit" -> (metaPseudonymizeAudit _),
     "data_k_anonymity" -> (dataKAnonymity _),
+    "data_l_diversity" -> (dataLDiversity _),
     "meta_erasure_cascade" -> (metaErasureCascade _),
     "meta_article_enrich" -> (articleEnrich _),
     "meta_genome_notes" -> (genomeNotes _))
@@ -1584,6 +1656,7 @@ object Records {
     "meta_genome_notes" -> GENOMENOTES_SQL,
     "meta_pseudonymize_audit" -> PSEUDONYMIZE_SQL,
     "data_k_anonymity" -> K_ANON_SQL,
+    "data_l_diversity" -> L_DIV_SQL,
     "meta_erasure_cascade" -> ERASURE_SQL,
     "meta_deletion_vectors" -> DV_SQL,
     "meta_shard_checksums" -> CHECKSUM_SQL,

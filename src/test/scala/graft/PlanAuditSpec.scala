@@ -60,7 +60,8 @@ class PlanAuditSpec extends SparkSpec {
     "occ_sdm_background" -> "species-dim × broadcast ≤648-cell effort grid — both sides layout constants (envelope-projection class)",
     "events_fdr_bh" -> "crossJoins against the single-row broadcast m and max-k folds (1×1)",
     "occ_sdm_auc" -> "inherits occ_sdm_background's species-dim × broadcast cell-grid cross (layout constants)",
-    "occ_chao2_richness" -> "crossJoin against the single-row broadcast m fold (1×1)")
+    "occ_chao2_richness" -> "crossJoin against the single-row broadcast m fold (1×1)",
+    "events_logrank" -> "crossJoin of the two single-row arm/term folds (1×1)")
 
   test("no query plans a nested-loop or cartesian join outside the whitelist") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -165,6 +166,8 @@ class PlanAuditSpec extends SparkSpec {
     "events_kleinberg_burst" -> 1, // one per-type fold off the checkpointed (type, hour) agg (calendar join rides it)
     "occ_sdm_auc" -> 4, // background picks (2, sdm shape) + species tbar agg + the pair-join AUC rollup
     "occ_chao2_richness" -> 4, // m distinct fold + species incidence rollup + the two-level q agg (incidence behind Ckpt.capped)
+    "data_l_diversity" -> 2, // (class, sensitive) agg + the class rollup (window rides the first exchange)
+    "events_logrank" -> 3, // day table agg + at-risk suffix window + the single-row term fold (marks behind Ckpt.capped)
     "graph_pagerank" -> 6, // init distinct + 5 fixed-round rank aggs off the checkpointed edges
     "events_cusum" -> 2, // per-type target agg (broadcast back) + ONE window exchange
     "data_compact_files" -> 3, // bucket totals agg + 32-row offsets window + per-bucket cumsum

@@ -165,6 +165,23 @@ class ScaleSpec extends SparkSpec {
     assert(secs < 120, f"degenerate phash took $secs%.1f s — candidate blowup?")
   }
 
+  test("degenerate 20k-identical corpus: suffix-window bucket cap kills saturated fingerprints before any pair exists") {
+    // every 16-token window of an all-identical corpus collides across
+    // ALL docs (>> the 2..8 cap) — the cap must drop the buckets before
+    // the pair self-join, yielding 0 pairs in bounded time; and the
+    // doc_id % 41 planted excerpts collide with every source the same
+    // way, so the derived corpus adds nothing back
+    val text = ("suffix window degenerate corpus token stream sentence " * 12).trim
+    val dir = java.nio.file.Files.createTempDirectory("degen_sw").toString
+    spark.range(1, 20001).select(col("id").as("doc_id"), lit(text).as("text"))
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val t0 = System.nanoTime()
+    assert(operators.TextQueries.dedupSuffixWindow(spark, dir).count() === 0L)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 120, f"degenerate suffix-window took $secs%.1f s — candidate blowup?")
+  }
+
   test("salted count equals plain count per key") {
     val df = Tables.t(spark, sf, "orders")
     val salted = Scale.saltedCount(df, "o_custkey", 8)
