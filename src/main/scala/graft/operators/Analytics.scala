@@ -5499,6 +5499,124 @@ object Analytics {
           .as("surv_micro"))
   }
 
+  /** Odds ratio between the A/B arms on user conversion (≥1 purchase)
+    * with the Woolf confidence interval — the epidemiology-style effect
+    * read next to welch_t's mean difference and wilson's single-arm CI:
+    * OR = ad/bc in exact milli, and the LOG-SPACE CI entirely on
+    * integer lattices — log₂OR·1024 via Log2Fp(ad, bc) (sign from the
+    * ad ≷ bc comparison, never a negative-operand division), Woolf
+    * se_ln·1000 via the isqrt correction lattice over
+    * s² = Σ 10⁶ div cell, and the half-width converted ln→log₂ with
+    * the 1477 = ⌊1024·log₂e⌋ literal: hw·1024 = 1960·se·1477 div 10⁶.
+    * CI excludes 0 ⟺ |log₂OR| > hw. A/A corpus: OR ≈ 1, not
+    * significant. Plan: one per-user agg, one 4-cell fold, single-row
+    * output. */
+  def eventsOddsRatio(s: SparkSession, dir: String): DataFrame = {
+    DomainQueries.events(s, dir)
+      .select(col("user_id"),
+        expr("cast(conv(substring(md5(cast(concat('ab:', user_id) as " +
+          "binary)), 1, 15), 16, 10) as bigint) % 2").as("arm"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("pur"))
+      .groupBy("arm", "user_id")
+      .agg(max("pur").as("conv"))
+      .agg(
+        sum(when(col("arm") === 1 && col("conv") === 1, 1L).otherwise(0L))
+          .as("a"),
+        sum(when(col("arm") === 1 && col("conv") === 0, 1L).otherwise(0L))
+          .as("b"),
+        sum(when(col("arm") === 0 && col("conv") === 1, 1L).otherwise(0L))
+          .as("c"),
+        sum(when(col("arm") === 0 && col("conv") === 0, 1L).otherwise(0L))
+          .as("d"))
+      // Haldane–Anscombe: +1 every cell iff ANY cell is zero (keeps the
+      // ratio and the Woolf terms finite, deterministic both engines)
+      .select((col("a") + when(expr("a * b * c * d = 0"), 1L).otherwise(0L)).as("a"),
+        (col("b") + when(expr("a * b * c * d = 0"), 1L).otherwise(0L)).as("b"),
+        (col("c") + when(expr("a * b * c * d = 0"), 1L).otherwise(0L)).as("c"),
+        (col("d") + when(expr("a * b * c * d = 0"), 1L).otherwise(0L)).as("d"))
+      .withColumn("or_milli", expr("a * d * 1000 div (b * c)"))
+      .withColumn("lor_1024", when(expr("a * d >= b * c"),
+          graft.functions.Log2Fp(expr("a * d"), expr("b * c")))
+        .otherwise(-graft.functions.Log2Fp(expr("b * c"), expr("a * d"))))
+      .withColumn("s2_micro", expr(
+        "1000000L div a + 1000000L div b + 1000000L div c + 1000000L div d"))
+      .withColumn("s0", expr("cast(floor(sqrt(cast(s2_micro as double))) as bigint)"))
+      .withColumn("se_milli", expr(
+        "case when (s0 + 1) * (s0 + 1) <= s2_micro then s0 + 1 " +
+        "when s0 * s0 > s2_micro then s0 - 1 else s0 end"))
+      .withColumn("hw_1024", expr("1960 * se_milli * 1477 div 1000000L"))
+      .select(col("a"), col("b"), col("c"), col("d"), col("or_milli"),
+        col("lor_1024"), col("hw_1024"),
+        expr("case when abs(lor_1024) > hw_1024 then 1L else 0L end")
+          .as("significant_flag"))
+  }
+
+  private val ODDS_SQL =
+    """WITH e AS (
+      |  SELECT user_id,
+      |    ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 15))
+      |      ::BIGINT % 2 AS arm,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pur
+      |  FROM events),
+      |u AS (SELECT arm, user_id, CAST(MAX(pur) AS BIGINT) AS conv
+      |      FROM e GROUP BY 1, 2),
+      |cells0 AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN arm = 1 AND conv = 1 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS a,
+      |    CAST(SUM(CASE WHEN arm = 1 AND conv = 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS b,
+      |    CAST(SUM(CASE WHEN arm = 0 AND conv = 1 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS c,
+      |    CAST(SUM(CASE WHEN arm = 0 AND conv = 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS d
+      |  FROM u),
+      |cells AS (
+      |  SELECT a + CASE WHEN a * b * c * d = 0 THEN 1 ELSE 0 END AS a,
+      |    b + CASE WHEN a * b * c * d = 0 THEN 1 ELSE 0 END AS b,
+      |    c + CASE WHEN a * b * c * d = 0 THEN 1 ELSE 0 END AS c,
+      |    d + CASE WHEN a * b * c * d = 0 THEN 1 ELSE 0 END AS d
+      |  FROM cells0),
+      |lg AS (
+      |  SELECT *,
+      |    CASE WHEN a * d >= b * c THEN a * d ELSE b * c END AS lt,
+      |    CASE WHEN a * d >= b * c THEN b * c ELSE a * d END AS lc,
+      |    CASE WHEN a * d >= b * c THEN 1 ELSE -1 END AS lsgn,
+      |    1000000 // a + 1000000 // b + 1000000 // c + 1000000 // d
+      |      AS s2_micro
+      |  FROM cells),
+      |lf AS (
+      |  SELECT *,
+      |    lsgn * ((length(bin(lt // lc)) - 1) * 1024
+      |      + list_reduce(list_prepend(
+      |        [(lt // (lc * (CAST(1 AS BIGINT)
+      |             << (length(bin(lt // lc)) - 1)))) * 1073741824
+      |         + ((lt % (lc * (CAST(1 AS BIGINT)
+      |             << (length(bin(lt // lc)) - 1)))) * 1073741824)
+      |           // (lc * (CAST(1 AS BIGINT)
+      |             << (length(bin(lt // lc)) - 1))),
+      |         CAST(0 AS BIGINT)],
+      |        list_transform(range(1, 11),
+      |          i -> [CAST(0 AS BIGINT), CAST(0 AS BIGINT)])),
+      |        (acc, x) ->
+      |          CASE WHEN (acc[1] * acc[1]) // 1073741824 >= 2147483648
+      |          THEN [((acc[1] * acc[1]) // 1073741824) // 2,
+      |                acc[2] * 2 + 1]
+      |          ELSE [(acc[1] * acc[1]) // 1073741824, acc[2] * 2]
+      |          END)[2]) AS lor_1024,
+      |    CAST(FLOOR(SQRT(CAST(s2_micro AS DOUBLE))) AS BIGINT) AS s0
+      |  FROM lg),
+      |fin AS (
+      |  SELECT *,
+      |    CASE WHEN (s0 + 1) * (s0 + 1) <= s2_micro THEN s0 + 1
+      |         WHEN s0 * s0 > s2_micro THEN s0 - 1 ELSE s0 END AS se_milli
+      |  FROM lf)
+      |SELECT a, b, c, d, a * d * 1000 // (b * c) AS or_milli, lor_1024,
+      |  1960 * se_milli * 1477 // 1000000 AS hw_1024,
+      |  CAST(CASE WHEN abs(lor_1024) > 1960 * se_milli * 1477 // 1000000
+      |    THEN 1 ELSE 0 END AS BIGINT) AS significant_flag
+      |FROM fin""".stripMargin
+
   /** Log-rank test between the A/B arms on TIME TO FIRST PURCHASE —
     * the SURVIVAL × EXPERIMENT cross member ([[eventsSurvivalKm]] draws
     * one curve; this asks whether the arms' conversion-time curves
@@ -6685,6 +6803,7 @@ object Analytics {
     "events_fdr_bh" -> (eventsFdrBh _),
     "events_kleinberg_burst" -> (eventsKleinbergBurst _),
     "events_logrank" -> (eventsLogrank _),
+    "events_odds_ratio" -> (eventsOddsRatio _),
     "events_tail_index" -> (eventsTailIndex _),
     "events_intervention_its" -> (eventsInterventionIts _),
     "sim_facility_location" -> (simFacilityLocation _),
@@ -6800,6 +6919,7 @@ object Analytics {
     "events_fdr_bh" -> FDRBH_SQL,
     "events_kleinberg_burst" -> KLEINBERG_SQL,
     "events_logrank" -> LOGRANK_SQL,
+    "events_odds_ratio" -> ODDS_SQL,
     "events_tail_index" -> TAIL_SQL,
     "events_intervention_its" -> ITS_SQL,
     "sim_facility_location" -> FACILITY_SQL,
