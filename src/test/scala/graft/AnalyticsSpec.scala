@@ -7,6 +7,57 @@ import org.apache.spark.sql.functions._
 class AnalyticsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("kleinberg burst matches a hand-rolled backpointer Viterbi on the sf events") {
+    // independent decode: classic 2-state Viterbi with EXPLICIT
+    // backpointers and a final backtrace — if the operator's forward
+    // stat-carry fold (no backtrace) deviates from true Viterbi path
+    // stats, this catches it. Same tie rules: s0 pred d0<=d1, s1 stay
+    // if d1 <= d0+gamma, final s0 if d0<=d1.
+    val hours = operators.DomainQueries.events(spark, sf)
+      .select(col("event_type"), expr("ts_ns div 3600000000000").as("hour"))
+      .groupBy("event_type", "hour").agg(count(lit(1)).as("c"))
+      .as[(String, Long, Long)].collect().groupBy(_._1)
+    val expected = hours.map { case (tpe, rows) =>
+      val m = rows.map(r => r._2 -> r._3).toMap
+      val h0 = m.keys.min; val h1 = m.keys.max
+      val t = h1 - h0 + 1
+      val n = m.values.sum
+      val ds = (h0 to h1).map(h => 2 * n * 1477 - m.getOrElse(h, 0L) * t * 1625)
+      val g = 4096 * t
+      val len = ds.length
+      val d0 = Array.fill(len + 1)(0L); val d1 = Array.fill(len + 1)(0L)
+      val b0 = Array.fill(len + 1)(0); val b1 = Array.fill(len + 1)(0)
+      d1(0) = 1125899906842624L
+      for (i <- 1 to len) {
+        if (d0(i - 1) <= d1(i - 1)) { d0(i) = d0(i - 1); b0(i) = 0 }
+        else { d0(i) = d1(i - 1); b0(i) = 1 }
+        if (d1(i - 1) <= d0(i - 1) + g) { d1(i) = d1(i - 1) + ds(i - 1); b1(i) = 1 }
+        else { d1(i) = d0(i - 1) + g + ds(i - 1); b1(i) = 0 }
+      }
+      val states = Array.fill(len)(0)
+      var cur = if (d0(len) <= d1(len)) 0 else 1
+      for (i <- len to 1 by -1) {
+        states(i - 1) = cur
+        cur = if (cur == 0) b0(i) else b1(i)
+      }
+      var nb = 0L; var ne = 0L; var ml = 0L; var cl = 0L
+      for (s1 <- states) {
+        if (s1 == 1) { nb += 1; cl += 1; if (cl > ml) ml = cl }
+        else cl = 0
+      }
+      var prev = 0
+      for (s1 <- states) { if (s1 == 1 && prev == 0) ne += 1; prev = s1 }
+      tpe -> ((len.toLong, n, nb, ne, ml))
+    }
+    val got = Analytics.eventsKleinbergBurst(spark, sf)
+      .select("event_type", "n_hours", "n_events", "n_burst_hours",
+        "n_bursts", "max_burst_len")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got === expected)
+    assert(expected.nonEmpty)
+  }
+
   test("fdr-bh rejects planted monotone trends, finds the largest k, and fails loudly off m=5") {
     def daily(tpe: String, f: Long => Long): Seq[(String, Long, Long)] =
       (0L until 40L).map(d => (tpe, d, f(d)))
