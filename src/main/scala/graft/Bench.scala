@@ -39,9 +39,29 @@ object Bench {
       case Some(qs) => qs.split(',').map(_.trim).filter(SparkEntry.queries.contains).toSeq.sorted
       case None     => SparkEntry.queries.keys.toSeq.sorted
     }
+    // Machine-load settle gate, BEFORE the warm-up pass (after it our own
+    // warm-up work dominates the 1-min loadavg and the gate would always
+    // hit its cap). Three consecutive rounds of driver runs spiked the
+    // alphabetically-FIRST timed queries (cleaning_summary 11.8x r11,
+    // dedup_doc_prefix 26x r10) on unchanged bytes because the bench was
+    // launched minutes after the sf0.1 verify marathon — external load
+    // decays over the run, so the early board slots absorb the
+    // contention. The warm-up pass can't fix load decay; waiting for the
+    // 1-min load to drop can, and the warm-up pass itself then buys the
+    // timed board a further few contention-free minutes. Bounded (3 min
+    // cap) so a genuinely busy host still benches; the wait lands in the
+    // JSON so the artifact says whether the gate cleared or timed out.
+    def load1: Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val settleT0 = System.nanoTime()
+    while (load1 > 1.0 && (System.nanoTime() - settleT0) < 180e9.toLong)
+      Thread.sleep(5000)
+    val settleS = (System.nanoTime() - settleT0) / 1e9
+
     // Untimed warm-up pass: JIT, codegen caches, parquet footers, file
     // listing — so the timed pass measures steady-state query time.
     names.foreach { n => try run(n) catch { case _: Throwable => } }
+    System.gc()
 
     // Min of two timed runs: steady-state time, robust to JIT/GC noise.
     // A throwing query reports -1 (NOT its short failure wall time): a
@@ -92,7 +112,7 @@ object Bench {
     // strip anything outside [0-9*,] so a quote/backslash in the env var
     // can't corrupt the JSON artifact
     val cpusSafe = cpus.filter(c => c.isDigit || c == '*' || c == ',')
-    val env = s""""load_avg":${fmt(load)},"epoch_ms":${System.currentTimeMillis()},"cpus":"$cpusSafe""""
+    val env = s""""load_avg":${fmt(load)},"settle_s":${fmt(settleS)},"epoch_ms":${System.currentTimeMillis()},"cpus":"$cpusSafe""""
     val json = s"""{"metric":"total","unit":"sec","sf":"$sfDir",$env,"queries":$qs,"gc_ms":$gcs,"peak_mb":$peaks,"errors":$errors,"value":${fmt(total)}}"""
     // Durable copy: survives any stdout/stderr truncation. A subset run
     // (SPARK_GRAFT_QUERIES isolation protocol) writes BENCH_SUBSET.json —

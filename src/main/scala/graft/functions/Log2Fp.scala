@@ -48,6 +48,14 @@ object Log2Fp {
   /** floor-lattice 1024·log2(total/count); see class doc for the exact
     * construction. Pure integer, identical to the DuckDB replay. */
   def cost(total: Long, count: Long): Long = {
+    // Fail loudly outside the documented envelope: the (total mod d)·2³⁰
+    // term wraps silently past total ≥ 2³², while the DuckDB BIGINT fold
+    // raises — divergent failure modes (silently-wrong vs loud). Callers
+    // feed products (a·d odds-ratio cells, corpus piece mass T) that can
+    // cross 2³² on larger corpora; both engines must then fail, not drift.
+    if (count < 1L || count > total || total >= (1L << 32))
+      throw new ArithmeticException(
+        s"log2_fp envelope: need 1 <= count <= total < 2^32, got total=$total count=$count")
     val q = total / count
     val e = 63 - java.lang.Long.numberOfLeadingZeros(q)
     val d = count << e

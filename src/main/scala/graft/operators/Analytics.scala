@@ -5529,11 +5529,13 @@ object Analytics {
         sum(when(col("arm") === 0 && col("conv") === 0, 1L).otherwise(0L))
           .as("d"))
       // Haldane–Anscombe: +1 every cell iff ANY cell is zero (keeps the
-      // ratio and the Woolf terms finite, deterministic both engines)
-      .select((col("a") + when(expr("a * b * c * d = 0"), 1L).otherwise(0L)).as("a"),
-        (col("b") + when(expr("a * b * c * d = 0"), 1L).otherwise(0L)).as("b"),
-        (col("c") + when(expr("a * b * c * d = 0"), 1L).otherwise(0L)).as("c"),
-        (col("d") + when(expr("a * b * c * d = 0"), 1L).otherwise(0L)).as("d"))
+      // ratio and the Woolf terms finite, deterministic both engines).
+      // least(), not a*b*c*d=0: the 4-cell product wraps signed 64-bit
+      // at ~55k users/cell even though no single cell is near overflow.
+      .select((col("a") + when(expr("least(a, b, c, d) = 0"), 1L).otherwise(0L)).as("a"),
+        (col("b") + when(expr("least(a, b, c, d) = 0"), 1L).otherwise(0L)).as("b"),
+        (col("c") + when(expr("least(a, b, c, d) = 0"), 1L).otherwise(0L)).as("c"),
+        (col("d") + when(expr("least(a, b, c, d) = 0"), 1L).otherwise(0L)).as("d"))
       .withColumn("or_milli", expr("a * d * 1000 div (b * c)"))
       .withColumn("lor_1024", when(expr("a * d >= b * c"),
           graft.functions.Log2Fp(expr("a * d"), expr("b * c")))
@@ -5572,10 +5574,10 @@ object Analytics {
       |      AS BIGINT) AS d
       |  FROM u),
       |cells AS (
-      |  SELECT a + CASE WHEN a * b * c * d = 0 THEN 1 ELSE 0 END AS a,
-      |    b + CASE WHEN a * b * c * d = 0 THEN 1 ELSE 0 END AS b,
-      |    c + CASE WHEN a * b * c * d = 0 THEN 1 ELSE 0 END AS c,
-      |    d + CASE WHEN a * b * c * d = 0 THEN 1 ELSE 0 END AS d
+      |  SELECT a + CASE WHEN LEAST(a, b, c, d) = 0 THEN 1 ELSE 0 END AS a,
+      |    b + CASE WHEN LEAST(a, b, c, d) = 0 THEN 1 ELSE 0 END AS b,
+      |    c + CASE WHEN LEAST(a, b, c, d) = 0 THEN 1 ELSE 0 END AS c,
+      |    d + CASE WHEN LEAST(a, b, c, d) = 0 THEN 1 ELSE 0 END AS d
       |  FROM cells0),
       |lg AS (
       |  SELECT *,

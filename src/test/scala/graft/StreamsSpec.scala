@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 class StreamsSpec extends SparkSpec {
   import spark.implicits._
 
-  test("twin ledger: Streams' dataset-returning methods match SURVEY 2d's 38 names") {
+  test("twin ledger: Streams' dataset-returning methods match SURVEY 2d's names") {
     // SURVEY §2d is the authoritative ledger; this pin fails when a twin
     // is added or removed without updating the table (or vice versa).
     val expected = Set("tumblingCounts", "dedupeWithinWatermark",

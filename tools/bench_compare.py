@@ -1,8 +1,14 @@
 #!/usr/bin/env python3
 """Suite-median-normalized bench comparison.
 
-Usage: python3 tools/bench_compare.py [BASELINE [CURRENT]]
+Usage: python3 tools/bench_compare.py [BASELINE [CURRENT]] [--prev PREV]
        (defaults: BASELINE_BENCH.json BENCH_LOCAL.json)
+
+--prev BENCH_r{N-1}_full.json additionally compares CURRENT against the
+previous round's sealed per-query history (the comparison the r11
+verdict ran by hand) — same normalization, same flags, and the exit
+code covers BOTH comparisons. Seal checklist runs:
+  python3 tools/bench_compare.py --prev BENCH_r{N-1}_full.json
 
 The CLAUDE.md variance protocol, made mechanical: whole-suite inflations
 up to ~1.3x are environment (VM noise), so raw per-query ratios are
@@ -37,9 +43,7 @@ def load(path):
     return d
 
 
-def main():
-    base_path = sys.argv[1] if len(sys.argv) > 1 else "BASELINE_BENCH.json"
-    cur_path = sys.argv[2] if len(sys.argv) > 2 else "BENCH_LOCAL.json"
+def compare(base_path, cur_path):
     base, cur = load(base_path), load(cur_path)
     bq = {k: v for k, v in base["queries"].items() if v >= 0}
     cq = {k: v for k, v in cur["queries"].items() if v >= 0}
@@ -79,6 +83,23 @@ def main():
     if not slow and not errs:
         print("OK: no query exceeds the normalized regression threshold")
     return 1 if (slow or errs) else 0
+
+
+def main():
+    argv = sys.argv[1:]
+    prev_path = None
+    if "--prev" in argv:
+        i = argv.index("--prev")
+        prev_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    base_path = argv[0] if len(argv) > 0 else "BASELINE_BENCH.json"
+    cur_path = argv[1] if len(argv) > 1 else "BENCH_LOCAL.json"
+    rc = compare(base_path, cur_path)
+    if prev_path:
+        print()
+        print(f"=== vs previous round ({prev_path}) ===")
+        rc = max(rc, compare(prev_path, cur_path))
+    return rc
 
 
 if __name__ == "__main__":

@@ -27,7 +27,9 @@ PATTERNS = {
     "broadcast_hash_join": re.compile(r"\bBroadcastHashJoin\b"),
     "bnlj": re.compile(r"\bBroadcastNestedLoopJoin\b"),
     "cartesian": re.compile(r"\bCartesianProduct\b"),
-    "sort": re.compile(r"^\s*[+:][-\s]*Sort\b"),
+    # Leading connectors OR a bare/codegen-starred root line ("Sort (3)",
+    # "* Sort (3)") — the old [+:]-anchored form missed a top-level Sort.
+    "sort": re.compile(r"^[\s+:\-*]*Sort\b"),
 }
 
 
