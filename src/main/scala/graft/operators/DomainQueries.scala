@@ -905,7 +905,14 @@ object DomainQueries {
     * trig-derived lon half-width is rounded to 6 dp before flooring so a
     * 1-ulp libm difference cannot flip the cell range (same guard as
     * uncertainty_buffer). */
-  def climAnnotate(s: SparkSession, dir: String): DataFrame = {
+  def climAnnotate(s: SparkSession, dir: String): DataFrame =
+    climAnnotateFrom(valid(s, dir))
+
+  /** [[climAnnotate]]'s zonal lattice over ANY occurrence-shaped frame
+    * (occ_id, accession, species, lat, lon, uncert) — factored so the
+    * composed ingest DAG can annotate the CLEANED occurrences (the
+    * reference wires spatial_annotation after cleaning_occs). */
+  private def climAnnotateFrom(src: DataFrame): DataFrame = {
     val c = cell1(col("lat"), col("lon"))
     val radius = greatest(col("uncert"), lit(100.0))
     val dlat = radius / 111320.0
@@ -916,7 +923,7 @@ object DomainQueries {
     val lo0 = floor(col("lon") - dlon).cast("long")
     val lo1 = least(floor(col("lon") + dlon).cast("long"), lo0 + 359L)
     val cid = (col("la") + 90L) * 360L + pmod(col("lo") + 180L, lit(360L))
-    valid(s, dir)
+    src
       .filter(c >= 0 && c <= 64799)
       .select(col("occ_id"), col("accession"), col("species"),
         explode(sequence(la0, la1)).as("la"), lo0.as("lo0"), lo1.as("lo1"))
@@ -932,7 +939,11 @@ object DomainQueries {
         round(col("s12").cast("double") / (col("n_cells") * 10.0), 0).as("bio12"))
   }
 
-  private val CLIM_SQL: String =
+  private val CLIM_SQL: String = climSqlOver("valid")
+
+  /** [[CLIM_SQL]] parameterized on the source relation — the composed
+    * ingest oracle runs the identical lattice over the cleaned CTE. */
+  private def climSqlOver(rel: String): String =
     s"""clim AS (
        |  SELECT occ_id, accession, species, n_cells,
        |    CAST(s1 AS DOUBLE) / (n_cells * 10.0) - 273.15 AS bio1,
@@ -963,7 +974,7 @@ object DomainQueries {
        |                ROUND(LEAST(GREATEST(uncert, 100.0)
        |                        / (111320.0 * COS(RADIANS(lat))),
        |                      CAST(360.0 AS DOUBLE)), 6) AS dlon
-       |              FROM valid
+       |              FROM $rel
        |              WHERE ($CELL1_SQL) BETWEEN 0 AND 64799)))))
        |    GROUP BY occ_id, accession, species))""".stripMargin
 
@@ -1053,11 +1064,16 @@ object DomainQueries {
   def biogeoSummary(s: SparkSession, dir: String): DataFrame =
     biogeoAgg(s, dir, Seq("accession", "species"))
 
-  private def biogeoAgg(s: SparkSession, dir: String, keys: Seq[String]): DataFrame = {
+  private def biogeoAgg(s: SparkSession, dir: String, keys: Seq[String]): DataFrame =
+    biogeoAggFrom(valid(s, dir), s, keys)
+
+  /** [[biogeoAgg]] over ANY occurrence-shaped frame — see
+    * [[climAnnotateFrom]] for why the source is a parameter. */
+  private def biogeoAggFrom(src: DataFrame, s: SparkSession, keys: Seq[String]): DataFrame = {
     val c = cell1(col("lat"), col("lon"))
     val realms = array_sort(collect_set(col("realm")))
     val biomes = array_sort(collect_set(col("biome")))
-    valid(s, dir).filter(c >= 0 && c <= 64799)
+    src.filter(c >= 0 && c <= 64799)
       .withColumn("cellid", c)
       .join(broadcast(regions(s)), Seq("cellid"))
       .groupBy(keys.map(col): _*)
@@ -1323,6 +1339,89 @@ object DomainQueries {
         coalesce(col("retained_records"), lit(0L)).as("retained_records"),
         (coalesce(col("retained_records"), lit(0L)) * 100.0 / col("total_records"))
           .as("percent_retained"))
+  }
+
+  /** End-to-end reference-DAG composition — the launcher's actual
+    * execution order (launcher.py:21-32: taxonomy → occurrences →
+    * cleaning_occs → spatial_annotation → range_estimation →
+    * data_provenance) run as ONE query, per species (species ↔ accession
+    * are 1:1 in the occ derive):
+    *   1. taxonomy gates ([[taxValidateSplit]]): per-species validated /
+    *      fetch-eligible counts (the occurrences fork's dead-letter
+    *      predicate, occurrences_pipeline.py:31-78);
+    *   2. the full cleaning chain ([[cleanFrom]]) — checkpointed ONCE and
+    *      consumed by FOUR downstream branches so the plan scans/cleans a
+    *      single time instead of replaying the chain per reference;
+    *   3. climate zonal means + biogeo realms over the CLEANED points
+    *      ([[climAnnotateFrom]]/[[biogeoAggFrom]] — the reference
+    *      annotates post-cleaning, not the raw feed);
+    *   4. range bbox area over the cleaned points;
+    *   5. provenance URL rollup ([[provenanceUrls]]) per species.
+    * Each species is classified by its FIRST failing pipeline stage
+    * (not_validated > fetch_failed > no_clean_occurrences > ingested) —
+    * the textCurationVerdict composition discipline, and the oracle nests
+    * the components' own oracle SQL as CTEs. All post-clean joins are
+    * species-grain (≤ |species| rows) → AQE broadcasts them; the only
+    * corpus-sized work is the shared cleaned scan. */
+  def bioIngestPipeline(s: SparkSession, dir: String): DataFrame = {
+    val taxsp = taxValidateSplit(s, dir)
+      .filter(col("gbif_scientific_name").isNotNull)
+      .groupBy(col("gbif_scientific_name").as("species"))
+      .agg(count(lit(1)).as("n_tax"),
+        sum(when(col("status") === "validated", 1L).otherwise(0L))
+          .as("n_validated"),
+        sum(when(col("status") === "validated" && col("tax_id") % 13 =!= 0, 1L)
+          .otherwise(0L)).as("n_fetch_ok"))
+    val raw = occ(s, dir).groupBy("species").agg(count(lit(1)).as("n_raw"))
+    val cleaned = cleanFrom(occ(s, dir), s)
+      .withColumn("accession", expr("replace(species, 'sp_', 'ACC')"))
+      .transform(graft.Ckpt.capped)
+    val ncl = cleaned.groupBy("species").agg(count(lit(1)).as("n_clean"))
+    val climsp = climAnnotateFrom(cleaned)
+      .groupBy("species")
+      .agg(count(lit(1)).as("n_clim"),
+        (sum(col("bio1").cast(DecimalType(18, 6))).cast("double") / count(lit(1)))
+          .as("bio1_mean"),
+        (sum(col("bio12").cast(DecimalType(18, 6))).cast("double") / count(lit(1)))
+          .as("bio12_mean"))
+    val biosp = biogeoAggFrom(cleaned, s, Seq("species"))
+    val rng = cleaned.groupBy("species")
+      .agg(count(lit(1)).as("n_points"),
+        when(count(lit(1)) >= 3,
+          round((max(col("lat")) - min(col("lat"))) * 111.32 *
+            (max(col("lon")) - min(col("lon"))) * 111.32 *
+            cos(radians((max(col("lat")) + min(col("lat"))) / 2)), 2))
+          .as("area_km2"),
+        when(count(lit(1)) < 3, lit("Insufficient points for convex hull"))
+          .as("note"))
+    val provsp = provenanceUrls(s, dir)
+      .select(concat(lit("sp_"), (col("tax_id") % 50).cast("string")).as("species"),
+        col("gbif_url"))
+      .groupBy("species")
+      .agg(count(lit(1)).as("n_prov"),
+        sum(when(col("gbif_url").isNotNull, 1L).otherwise(0L)).as("n_gbif"))
+    taxsp
+      .join(raw, Seq("species"), "left_outer")
+      .join(ncl, Seq("species"), "left_outer")
+      .join(climsp, Seq("species"), "left_outer")
+      .join(biosp, Seq("species"), "left_outer")
+      .join(rng, Seq("species"), "left_outer")
+      .join(provsp, Seq("species"), "left_outer")
+      .select(col("species"), col("n_tax"), col("n_validated"), col("n_fetch_ok"),
+        coalesce(col("n_raw"), lit(0L)).as("n_raw"),
+        coalesce(col("n_clean"), lit(0L)).as("n_clean"),
+        when(coalesce(col("n_raw"), lit(0L)) > 0,
+          coalesce(col("n_clean"), lit(0L)) * 100.0 / col("n_raw"))
+          .as("percent_retained"),
+        col("n_clim"), col("bio1_mean"), col("bio12_mean"),
+        col("n_realms"), col("realms"), col("n_biomes"), col("biomes"),
+        col("n_points"), col("area_km2"), col("note"),
+        coalesce(col("n_prov"), lit(0L)).as("n_prov"),
+        coalesce(col("n_gbif"), lit(0L)).as("n_gbif"),
+        when(col("n_validated") === 0, "not_validated")
+          .when(col("n_fetch_ok") === 0, "fetch_failed")
+          .when(coalesce(col("n_clean"), lit(0L)) === 0, "no_clean_occurrences")
+          .otherwise("ingested").as("status"))
   }
 
   /** Event-time tumbling window aggregate (batch analogue of the streaming
@@ -2194,6 +2293,7 @@ object DomainQueries {
     "meta_classify" -> (metaClassify _),
     "meta_collect_related" -> (metaCollectRelated _),
     "cleaning_summary" -> (cleaningSummary _),
+    "bio_ingest_pipeline" -> (bioIngestPipeline _),
     "events_tumbling" -> (eventsTumbling _),
     "events_hopping" -> (eventsHopping _),
     "events_session_window" -> (eventsSessionWindow _),
@@ -2235,6 +2335,55 @@ object DomainQueries {
 
   /** Oracle bodies shared between the standalone summary queries and the
     * [[spatialSummaryJoin]] composition. */
+  /** tax_validate_split's oracle body, factored out so the composed
+    * ingest-DAG oracle can nest it as a CTE. */
+  private lazy val TAX_SPLIT_SELECT: String =
+    """SELECT tax_id, match_type, confidence, gbif_scientific_name,
+      |  gbif_usage_key, gbif_status, gbif_rank, ena_error, status,
+      |  CASE WHEN status = 'to_check' AND match_type IS NOT NULL AND tax_id % 2 = 0
+      |       THEN tax_id * 11 % 100000 END AS gbif_accepted_usage_key,
+      |  CASE WHEN status = 'to_check' AND match_type IS NOT NULL AND tax_id % 3 = 0
+      |       THEN 'alt_' || CAST(tax_id * 3 % 50 AS VARCHAR)
+      |         || ';alt_' || CAST(tax_id * 5 % 50 AS VARCHAR)
+      |  END AS gbif_alternatives
+      |FROM (
+      |  SELECT *,
+      |    CASE WHEN match_type = 'EXACT' OR (match_type = 'FUZZY' AND confidence >= 95)
+      |         THEN 'validated' ELSE 'to_check' END AS status
+      |  FROM (SELECT c_custkey AS tax_id,
+      |          CASE WHEN c_custkey % 23 = 0 THEN NULL
+      |            ELSE CASE CAST(c_custkey % 5 AS INTEGER)
+      |              WHEN 0 THEN 'EXACT' WHEN 1 THEN 'FUZZY' WHEN 2 THEN 'FUZZY'
+      |              WHEN 3 THEN 'HIGHERRANK' ELSE 'NONE' END END AS match_type,
+      |          CASE WHEN c_custkey % 23 = 0 THEN NULL
+      |            ELSE c_custkey * 13 % 101 END AS confidence,
+      |          CASE WHEN c_custkey % 23 = 0 THEN NULL
+      |            ELSE 'sp_' || CAST(c_custkey % 50 AS VARCHAR) END AS gbif_scientific_name,
+      |          CASE WHEN c_custkey % 23 = 0 THEN NULL
+      |            ELSE c_custkey * 7 % 100000 END AS gbif_usage_key,
+      |          CASE WHEN c_custkey % 23 = 0 THEN NULL
+      |            ELSE CASE CAST(c_custkey % 4 AS INTEGER)
+      |              WHEN 0 THEN 'ACCEPTED' WHEN 1 THEN 'SYNONYM'
+      |              ELSE 'DOUBTFUL' END END AS gbif_status,
+      |          CASE WHEN c_custkey % 23 = 0 THEN NULL ELSE 'SPECIES' END AS gbif_rank,
+      |          CASE WHEN c_custkey % 23 = 0 THEN 'Missing scientificName' END AS ena_error
+      |        FROM customer))""".stripMargin
+
+  /** provenance_urls' oracle body — same nesting rationale. */
+  private lazy val PROV_SELECT: String =
+    """SELECT c_custkey AS tax_id,
+      |  'ANN' || CAST(ann_key AS VARCHAR) AS accession,
+      |  'https://www.ebi.ac.uk/biodiversity/data_portal/' || CAST(c_custkey AS VARCHAR) AS portal_url,
+      |  'https://ftp.ensembl.org/annotations/ANN' || CAST(ann_key AS VARCHAR) || '.gtf.gz' AS gtf_url,
+      |  'https://www.ensembl.org/view?annotation=ANN' || CAST(ann_key AS VARCHAR) AS browser_url,
+      |  CASE WHEN c_custkey % 10 = 0 THEN NULL
+      |       ELSE 'https://www.gbif.org/species/' || CAST(c_custkey * 7 % 100000 AS VARCHAR)
+      |       END AS gbif_url,
+      |  n_name AS nation
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |JOIN (SELECT o_custkey, MAX(o_orderkey) AS ann_key
+      |      FROM orders GROUP BY o_custkey) a ON c_custkey = o_custkey""".stripMargin
+
   private lazy val CLIM_SUMMARY_SELECT: String =
     s"""SELECT accession, species, n,
        |  CAST(sx AS DOUBLE) / n AS bio1_mean,
@@ -2783,37 +2932,7 @@ object DomainQueries {
         |  CASE WHEN COUNT(*) < 3 THEN 'Insufficient points for convex hull'
         |  END AS note
         |FROM valid GROUP BY species""".stripMargin),
-    "tax_validate_split" ->
-      """SELECT tax_id, match_type, confidence, gbif_scientific_name,
-        |  gbif_usage_key, gbif_status, gbif_rank, ena_error, status,
-        |  CASE WHEN status = 'to_check' AND match_type IS NOT NULL AND tax_id % 2 = 0
-        |       THEN tax_id * 11 % 100000 END AS gbif_accepted_usage_key,
-        |  CASE WHEN status = 'to_check' AND match_type IS NOT NULL AND tax_id % 3 = 0
-        |       THEN 'alt_' || CAST(tax_id * 3 % 50 AS VARCHAR)
-        |         || ';alt_' || CAST(tax_id * 5 % 50 AS VARCHAR)
-        |  END AS gbif_alternatives
-        |FROM (
-        |  SELECT *,
-        |    CASE WHEN match_type = 'EXACT' OR (match_type = 'FUZZY' AND confidence >= 95)
-        |         THEN 'validated' ELSE 'to_check' END AS status
-        |  FROM (SELECT c_custkey AS tax_id,
-        |          CASE WHEN c_custkey % 23 = 0 THEN NULL
-        |            ELSE CASE CAST(c_custkey % 5 AS INTEGER)
-        |              WHEN 0 THEN 'EXACT' WHEN 1 THEN 'FUZZY' WHEN 2 THEN 'FUZZY'
-        |              WHEN 3 THEN 'HIGHERRANK' ELSE 'NONE' END END AS match_type,
-        |          CASE WHEN c_custkey % 23 = 0 THEN NULL
-        |            ELSE c_custkey * 13 % 101 END AS confidence,
-        |          CASE WHEN c_custkey % 23 = 0 THEN NULL
-        |            ELSE 'sp_' || CAST(c_custkey % 50 AS VARCHAR) END AS gbif_scientific_name,
-        |          CASE WHEN c_custkey % 23 = 0 THEN NULL
-        |            ELSE c_custkey * 7 % 100000 END AS gbif_usage_key,
-        |          CASE WHEN c_custkey % 23 = 0 THEN NULL
-        |            ELSE CASE CAST(c_custkey % 4 AS INTEGER)
-        |              WHEN 0 THEN 'ACCEPTED' WHEN 1 THEN 'SYNONYM'
-        |              ELSE 'DOUBTFUL' END END AS gbif_status,
-        |          CASE WHEN c_custkey % 23 = 0 THEN NULL ELSE 'SPECIES' END AS gbif_rank,
-        |          CASE WHEN c_custkey % 23 = 0 THEN 'Missing scientificName' END AS ena_error
-        |        FROM customer))""".stripMargin,
+    "tax_validate_split" -> TAX_SPLIT_SELECT,
     "tax_lineage" ->
       """SELECT c_custkey AS tax_id,
         |  'sp_' || CAST(c_custkey % 50 AS VARCHAR) AS species,
@@ -2848,19 +2967,7 @@ object DomainQueries {
         |    array_to_string((regexp_split_to_array(trim(p_brand || ' ' || p_name), '\s+'))[1:2], '_'),
         |    '[^A-Za-z0-9_]', '_', 'g'), '_+', '_', 'g'), '^_+|_+$', '', 'g') AS safe_name
         |FROM part""".stripMargin,
-    "provenance_urls" ->
-      """SELECT c_custkey AS tax_id,
-        |  'ANN' || CAST(ann_key AS VARCHAR) AS accession,
-        |  'https://www.ebi.ac.uk/biodiversity/data_portal/' || CAST(c_custkey AS VARCHAR) AS portal_url,
-        |  'https://ftp.ensembl.org/annotations/ANN' || CAST(ann_key AS VARCHAR) || '.gtf.gz' AS gtf_url,
-        |  'https://www.ensembl.org/view?annotation=ANN' || CAST(ann_key AS VARCHAR) AS browser_url,
-        |  CASE WHEN c_custkey % 10 = 0 THEN NULL
-        |       ELSE 'https://www.gbif.org/species/' || CAST(c_custkey * 7 % 100000 AS VARCHAR)
-        |       END AS gbif_url,
-        |  n_name AS nation
-        |FROM customer JOIN nation ON c_nationkey = n_nationkey
-        |JOIN (SELECT o_custkey, MAX(o_orderkey) AS ann_key
-        |      FROM orders GROUP BY o_custkey) a ON c_custkey = o_custkey""".stripMargin,
+    "provenance_urls" -> PROV_SELECT,
     "meta_classify" ->
       """SELECT CASE event_type WHEN 'purchase' THEN 'specimens'
         |         WHEN 'signup' THEN 'symbionts' WHEN 'error' THEN 'errors'
@@ -2876,6 +2983,79 @@ object DomainQueries {
         |    AS analyses,
         |  MAX(o_orderpriority = '1-URGENT') AS images_available
         |FROM orders GROUP BY o_custkey""".stripMargin,
+    "bio_ingest_pipeline" -> withSql(OCC_SQL, VALID_SQL, LAND_SQL, CENT_SQL,
+      CLEANED_SQL, REGIONS_SQL,
+      """cleana AS (
+        |  SELECT occ_id, replace(species, 'sp_', 'ACC') AS accession,
+        |    species, lat, lon, uncert
+        |  FROM cleaned)""".stripMargin,
+      climSqlOver("cleana"),
+      // NB: concatenation, not interpolation-then-stripMargin — the nested
+      // SELECT contains continuation lines starting with '||' whose first
+      // pipe an outer stripMargin would eat (the r12 binder-error class).
+      """taxsp AS (
+        |  SELECT gbif_scientific_name AS species,
+        |    CAST(COUNT(*) AS BIGINT) AS n_tax,
+        |    CAST(SUM(CASE WHEN status = 'validated' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_validated,
+        |    CAST(SUM(CASE WHEN status = 'validated' AND tax_id % 13 <> 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_fetch_ok
+        |  FROM (""".stripMargin + TAX_SPLIT_SELECT + """)
+        |  WHERE gbif_scientific_name IS NOT NULL
+        |  GROUP BY gbif_scientific_name)""".stripMargin,
+      "raw AS (SELECT species, CAST(COUNT(*) AS BIGINT) AS n_raw FROM occ GROUP BY species)",
+      "ncl AS (SELECT species, CAST(COUNT(*) AS BIGINT) AS n_clean FROM cleana GROUP BY species)",
+      """climsp AS (
+        |  SELECT species, CAST(COUNT(*) AS BIGINT) AS n_clim,
+        |    CAST(SUM(CAST(bio1 AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS bio1_mean,
+        |    CAST(SUM(CAST(bio12 AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS bio12_mean
+        |  FROM clim GROUP BY species)""".stripMargin,
+      s"""biosp AS (
+         |  SELECT species, CAST(COUNT(DISTINCT realm) AS BIGINT) AS n_realms,
+         |    string_agg(DISTINCT realm, ',' ORDER BY realm) AS realms,
+         |    CAST(COUNT(DISTINCT biome) AS BIGINT) AS n_biomes,
+         |    string_agg(DISTINCT biome, ',' ORDER BY biome) AS biomes
+         |  FROM (SELECT species, $CELL1_SQL AS cellid FROM cleana
+         |        WHERE ($CELL1_SQL) BETWEEN 0 AND 64799) c
+         |  JOIN regions USING (cellid)
+         |  GROUP BY species)""".stripMargin,
+      """rng AS (
+        |  SELECT species, CAST(COUNT(*) AS BIGINT) AS n_points,
+        |    CASE WHEN COUNT(*) >= 3 THEN
+        |      ROUND((MAX(lat) - MIN(lat)) * 111.32 * (MAX(lon) - MIN(lon)) * 111.32 *
+        |            COS(RADIANS((MAX(lat) + MIN(lat)) / 2)), 2)
+        |    END AS area_km2,
+        |    CASE WHEN COUNT(*) < 3 THEN 'Insufficient points for convex hull'
+        |    END AS note
+        |  FROM cleana GROUP BY species)""".stripMargin,
+      """provsp AS (
+        |  SELECT 'sp_' || CAST(tax_id % 50 AS VARCHAR) AS species,
+        |    CAST(COUNT(*) AS BIGINT) AS n_prov,
+        |    CAST(SUM(CASE WHEN gbif_url IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_gbif
+        |  FROM (""".stripMargin + PROV_SELECT + """)
+        |  GROUP BY 1)""".stripMargin)(
+      """SELECT t.species, n_tax, n_validated, n_fetch_ok,
+        |  COALESCE(n_raw, 0) AS n_raw,
+        |  COALESCE(n_clean, 0) AS n_clean,
+        |  CASE WHEN COALESCE(n_raw, 0) > 0
+        |       THEN COALESCE(n_clean, 0) * 100.0 / n_raw END AS percent_retained,
+        |  n_clim, bio1_mean, bio12_mean,
+        |  n_realms, realms, n_biomes, biomes,
+        |  n_points, area_km2, note,
+        |  COALESCE(n_prov, 0) AS n_prov,
+        |  COALESCE(n_gbif, 0) AS n_gbif,
+        |  CASE WHEN n_validated = 0 THEN 'not_validated'
+        |       WHEN n_fetch_ok = 0 THEN 'fetch_failed'
+        |       WHEN COALESCE(n_clean, 0) = 0 THEN 'no_clean_occurrences'
+        |       ELSE 'ingested' END AS status
+        |FROM taxsp t
+        |LEFT JOIN raw USING (species)
+        |LEFT JOIN ncl USING (species)
+        |LEFT JOIN climsp USING (species)
+        |LEFT JOIN biosp USING (species)
+        |LEFT JOIN rng USING (species)
+        |LEFT JOIN provsp USING (species)""".stripMargin),
     "cleaning_summary" -> withSql(OCC_SQL, VALID_SQL, LAND_SQL, CENT_SQL, CLEANED_SQL)(
       """SELECT t.species, total_records,
         |  COALESCE(retained_records, 0) AS retained_records,

@@ -21,6 +21,37 @@ class DomainSpec extends SparkSpec {
   }
   import spark.implicits._
 
+  test("bio_ingest_pipeline composes its components consistently") {
+    val pipe = DomainQueries.bioIngestPipeline(spark, sf)
+      .select("species", "n_clean", "n_validated", "n_fetch_ok", "status")
+      .as[(String, Long, Long, Long, String)].collect().toSeq
+    assert(pipe.nonEmpty)
+    // gate order: the status is the FIRST failing stage
+    pipe.foreach { case (sp, nClean, nVal, nFetch, status) =>
+      val expected =
+        if (nVal == 0) "not_validated"
+        else if (nFetch == 0) "fetch_failed"
+        else if (nClean == 0) "no_clean_occurrences"
+        else "ingested"
+      assert(status === expected, s"species $sp")
+    }
+    // cleaning branch must agree with the standalone cleaning_summary
+    val retained = DomainQueries.cleaningSummary(spark, sf)
+      .select(col("species"), col("retained_records"))
+      .as[(String, Long)].collect().toMap
+    pipe.foreach { case (sp, nClean, _, _, _) =>
+      assert(nClean === retained.getOrElse(sp, 0L), s"species $sp")
+    }
+    // taxonomy branch must agree with the standalone split
+    val validated = DomainQueries.taxValidateSplit(spark, sf)
+      .filter(col("status") === "validated" && col("gbif_scientific_name").isNotNull)
+      .groupBy("gbif_scientific_name").count()
+      .as[(String, Long)].collect().toMap
+    pipe.foreach { case (sp, _, nVal, _, _) =>
+      assert(nVal === validated.getOrElse(sp, 0L), s"species $sp")
+    }
+  }
+
   test("entry/flagship query returns the 6 expected groups") {
     assert(SparkEntry.entry(spark).count() === 6)
   }

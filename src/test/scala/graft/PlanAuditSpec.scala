@@ -169,6 +169,8 @@ class PlanAuditSpec extends SparkSpec {
     "data_l_diversity" -> 2, // (class, sensitive) agg + the class rollup (window rides the first exchange)
     "events_logrank" -> 3, // day table agg + at-risk suffix window + the single-row term fold (marks behind Ckpt.capped)
     "events_odds_ratio" -> 2, // (arm, user) partial agg + the 4-cell fold
+    // ---- r12 adds ----
+    "bio_ingest_pipeline" -> 9, // 7 species-grain branch aggs (tax/raw/ncl/clim/biogeo/range/prov latest+rollup) off the ONE checkpointed cleaning chain; all species-grain joins broadcast
     "graph_pagerank" -> 6, // init distinct + 5 fixed-round rank aggs off the checkpointed edges
     "events_cusum" -> 2, // per-type target agg (broadcast back) + ONE window exchange
     "data_compact_files" -> 3, // bucket totals agg + 32-row offsets window + per-bucket cumsum
