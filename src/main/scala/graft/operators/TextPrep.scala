@@ -4,6 +4,7 @@ import graft.Tables.t
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Training-data text preparation operators (SURVEY §2c continued):
   * scrubbing, filtering, bucketing, repetition scoring, and hash-based
@@ -996,6 +997,98 @@ object TextPrep {
       .crossJoin(broadcast(stats))
       .withColumn("skew_milli", expr("max_n * 1000 div p50_n"))
   }
+
+  /** Skew-MITIGATION twin of [[dataSkewAudit]] — the board previously only
+    * MEASURED skew; this runs the standard salted join that fixes it. The
+    * top-10 heavy keys (the skew audit's own heavy-hitter rank) are salted
+    * S=8 ways on the fact side ('sj:' md5 lattice over the line identity —
+    * own salt, the shared-salt correlation landmine) and the dim side
+    * explodes S replicas for exactly those keys (light keys keep one
+    * replica at salt 0), so the join key becomes (suppkey, salt) and a
+    * heavy key's rows spread over S reducers instead of one. The join is
+    * hinted MERGE to force the shuffle plan salting exists for (broadcast
+    * would hide the mechanism; at 100 TB the dim side may not broadcast).
+    * Output per heavy key: the plain per-key count n NEXT TO the
+    * salted-join row count n_rows (equal ⟺ the rewrite is lossless —
+    * asserted in TextPrepSpec against the plain join), exact decimal
+    * revenue through the salted path, per-salt occupancy (n_salts,
+    * max/min per-salt rows) and balance_milli = max·S·1000 div n (1000 =
+    * perfectly even). AQE's skew-join handles sort-merge skew natively;
+    * this operator is the portable form that also covers grouped aggs and
+    * engines/paths AQE does not reach. */
+  def dataSaltedJoinAudit(s: SparkSession, dir: String): DataFrame = {
+    val S = 8L
+    val counts = t(s, dir, "lineitem")
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n"))
+    val byHeavy = Window.orderBy(col("n").desc, col("l_suppkey"))
+    val heavy = counts
+      .withColumn("rank", row_number().over(byHeavy).cast("long"))
+      .filter(col("rank") <= 10)
+      .transform(graft.Ckpt.capped) // fact salt gate + dim explode gate + final rollup read it
+    val fact = t(s, dir, "lineitem")
+      .join(broadcast(heavy.select(col("l_suppkey"), lit(true).as("is_heavy"))),
+        Seq("l_suppkey"), "left_outer")
+      .select(col("l_suppkey"), col("l_extendedprice"),
+        when(col("is_heavy"),
+          pmod(expr("cast(conv(substring(md5(cast(concat('sj:', " +
+            "cast(l_orderkey as string), ':', cast(l_linenumber as string)) " +
+            "as binary)), 1, 13), 16, 10) as bigint)"), lit(S)))
+          .otherwise(0L).as("salt"))
+    val dim = t(s, dir, "supplier")
+      .join(broadcast(heavy.select(col("l_suppkey").as("s_suppkey"),
+        lit(true).as("is_heavy"))), Seq("s_suppkey"), "left_outer")
+      .select(col("s_suppkey"),
+        explode(when(col("is_heavy"), sequence(lit(0L), lit(S - 1)))
+          .otherwise(array(lit(0L)))).as("d_salt"))
+    val per = fact.join(dim.hint("merge"),
+        col("l_suppkey") === col("s_suppkey") && col("salt") === col("d_salt"))
+      .groupBy(col("l_suppkey"), col("salt"))
+      .agg(count(lit(1)).as("n_s"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("rev_s"))
+    per.join(broadcast(heavy), Seq("l_suppkey"))
+      .groupBy("l_suppkey", "n", "rank")
+      .agg(sum("n_s").as("n_rows"),
+        sum("rev_s").cast("double").as("revenue"),
+        count(lit(1)).as("n_salts"),
+        max("n_s").as("max_salt_rows"),
+        min("n_s").as("min_salt_rows"))
+      .withColumn("balance_milli",
+        expr("max_salt_rows * n_salts * 1000 div n_rows"))
+  }
+
+  private val SALTED_JOIN_SQL =
+    """WITH c AS (
+      |  SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM lineitem GROUP BY l_suppkey),
+      |top AS (SELECT l_suppkey, n,
+      |          CAST(ROW_NUMBER() OVER (ORDER BY n DESC, l_suppkey) AS BIGINT) AS rank
+      |        FROM c QUALIFY rank <= 10),
+      |f AS (
+      |  SELECT l.l_suppkey, l.l_extendedprice,
+      |    CASE WHEN t.l_suppkey IS NOT NULL THEN
+      |      ('0x' || substr(md5('sj:' || CAST(l.l_orderkey AS VARCHAR) || ':'
+      |        || CAST(l.l_linenumber AS VARCHAR)), 1, 13))::BIGINT % 8
+      |    ELSE 0 END AS salt
+      |  FROM lineitem l LEFT JOIN top t ON l.l_suppkey = t.l_suppkey),
+      |d AS (
+      |  SELECT s.s_suppkey,
+      |    unnest(CASE WHEN t.l_suppkey IS NOT NULL
+      |      THEN [0,1,2,3,4,5,6,7]::BIGINT[] ELSE [0]::BIGINT[] END) AS d_salt
+      |  FROM supplier s LEFT JOIN top t ON s.s_suppkey = t.l_suppkey),
+      |per AS (
+      |  SELECT f.l_suppkey, f.salt, CAST(COUNT(*) AS BIGINT) AS n_s,
+      |    SUM(CAST(f.l_extendedprice AS DECIMAL(18,2))) AS rev_s
+      |  FROM f JOIN d ON f.l_suppkey = d.s_suppkey AND f.salt = d.d_salt
+      |  GROUP BY f.l_suppkey, f.salt)
+      |SELECT p.l_suppkey, t.n, t.rank,
+      |  CAST(SUM(n_s) AS BIGINT) AS n_rows,
+      |  CAST(SUM(rev_s) AS DOUBLE) AS revenue,
+      |  CAST(COUNT(*) AS BIGINT) AS n_salts,
+      |  MAX(n_s) AS max_salt_rows,
+      |  MIN(n_s) AS min_salt_rows,
+      |  MAX(n_s) * COUNT(*) * 1000 // CAST(SUM(n_s) AS BIGINT) AS balance_milli
+      |FROM per p JOIN top t ON p.l_suppkey = t.l_suppkey
+      |GROUP BY p.l_suppkey, t.n, t.rank""".stripMargin
 
   private val SKEW_SQL =
     """WITH c AS (
@@ -2081,6 +2174,7 @@ object TextPrep {
     "text_freq_spectrum" -> (textFreqSpectrum _),
     "text_zipf_slope" -> (textZipfSlope _),
     "data_skew_audit" -> (dataSkewAudit _),
+    "data_salted_join_audit" -> (dataSaltedJoinAudit _),
     "data_mixture_sample" -> (dataMixtureSample _),
     "data_importance_sample" -> (dataImportanceSample _),
     "data_span_corruption" -> (dataSpanCorruption _),
@@ -2120,6 +2214,7 @@ object TextPrep {
     "text_freq_spectrum" -> SPECTRUM_SQL,
     "text_zipf_slope" -> ZIPF_SQL,
     "data_skew_audit" -> SKEW_SQL,
+    "data_salted_join_audit" -> SALTED_JOIN_SQL,
     "data_mixture_sample" -> MIX_SQL,
     "data_importance_sample" -> IMPORTANCE_SQL,
     "data_span_corruption" -> SPAN_SQL,

@@ -6,6 +6,36 @@ import org.apache.spark.sql.functions._
 class TextPrepSpec extends SparkSpec {
   import spark.implicits._
 
+  test("salted join audit: identical to the plain join, bounded per-salt load, SMJ plan") {
+    val audit = TextPrep.dataSaltedJoinAudit(spark, sf)
+    // the mitigation must actually plan the shuffle join it exists for
+    // (a broadcast would hide the mechanism the salt rewrites)
+    assert(audit.queryExecution.executedPlan.toString.contains("SortMergeJoin"))
+    val rows = audit.select("l_suppkey", "n", "n_rows", "revenue",
+        "n_salts", "max_salt_rows")
+      .as[(Long, Long, Long, Double, Long, Long)].collect().toSeq
+    assert(rows.size === 10)
+    // lossless: the salted join reproduces the plain join per heavy key,
+    // rows AND payload (revenue through the same decimal lattice)
+    val plain = Tables.t(spark, sf, "lineitem")
+      .join(Tables.t(spark, sf, "supplier"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("pn"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("prev"))
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    rows.foreach { case (k, n, nRows, rev, nSalts, maxSalt) =>
+      assert(nRows === n, s"key $k: salted rows != plain per-key count")
+      val (pn, prev) = plain(k)
+      assert(nRows === pn, s"key $k")
+      assert(rev === prev, s"key $k revenue")
+      // the whole point: no salt bucket carries the key's full load
+      assert(nSalts >= 2, s"key $k never spread")
+      assert(maxSalt <= nRows / 8 * 2 + 8, s"key $k salt bucket too heavy")
+    }
+  }
+
   test("curation verdict composes its component gates with correct precedence") {
     import operators.{Graphs, TextRank}
     val v = TextRank.textCurationVerdict(spark, sf)
