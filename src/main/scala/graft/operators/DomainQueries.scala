@@ -1656,6 +1656,138 @@ object DomainQueries {
         expr("n_in_a * 1000 div n_occ").as("share_a_milli"),
         expr("n_in_b * 1000 div n_occ").as("share_b_milli"))
 
+  // ---- polygon-TABLE region join ------------------------------------------
+  // Deci-degree star-polygon lattice (12 regions × 8 vertices): center,
+  // radii and per-vertex offsets are closed forms over the region id using
+  // only %, * and + — shared VERBATIM between Spark expr and the DuckDB
+  // oracle (the pipTerms discipline), so both engines materialize the
+  // identical polygon relation. Alternating big/small radii make every
+  // region NON-convex (the case bbox/hull containment gets wrong).
+  private val starCx = "((rid * 67 % 300 - 150) * 10)"
+  private val starCy = "((rid * 37 % 100 - 50) * 10)"
+  private val starRb = "(40 + (rid * 11 % 5) * 20)"
+  private val starRs = "(16 + (rid * 11 % 5) * 8)" // = rb·2/5, division-free
+  private def starDx(k: String) =
+    s"(case ($k) % 8 when 0 then 2 when 1 then 1 when 2 then 0 when 3 then -1 " +
+      s"when 4 then -2 when 5 then -1 when 6 then 0 else 1 end)"
+  private def starDy(k: String) =
+    s"(case ($k) % 8 when 0 then 0 when 1 then 1 when 2 then 2 when 3 then 1 " +
+      s"when 4 then 0 when 5 then -1 when 6 then -2 else -1 end)"
+  private def starRad(k: String) =
+    s"(case when ($k) % 2 = 0 then $starRb else $starRs end)"
+  private[graft] def starVx(k: String) = s"($starCx + ${starDx(k)} * ${starRad(k)})"
+  private[graft] def starVy(k: String) = s"($starCy + ${starDy(k)} * ${starRad(k)})"
+
+  /** Ray-casting crossing term over edge COLUMNS (x1,y1,x2,y2) vs point
+    * (px,py) — [[pipTerms]]' cross-multiplied integer test, but with the
+    * polygon coming from a RELATION instead of unrolled literals. */
+  private[graft] val edgeCrossTerm =
+    "(case when (y1 > py) != (y2 > py) and " +
+      "((x1 - px) * (y2 - y1) + (x2 - x1) * (py - y1)) * " +
+      "(case when y2 > y1 then 1 else -1 end) > 0 then 1 else 0 end)"
+
+  /** Point-in-polygon against a polygon TABLE — the reference's real
+    * shapefile join (AnnotateWithBiogeoFn, transforms.py:747-801) that
+    * [[spatialPointInPolygon]]'s literal polygons only sketch: polygons
+    * arrive as a RELATION (12 non-convex deci-degree stars, generated by
+    * the shared closed-form lattice above; a real deployment reads vertex
+    * rows from parquet), edges are derived rows, and containment is the
+    * exact integer ray cast summed over the edge join. Scale shape: a
+    * 10°-cell PREFILTER (regions explode to their covered cells — bounded
+    * by bbox/10°, ≤ ~40 cells/region; points equi-join on cellkey against
+    * the broadcast cell map) plus an exact bbox filter cut the candidate
+    * set BEFORE any edge work, so the edge join multiplies only prefilter
+    * survivors by the 8 broadcast edge rows; the parity aggregate is
+    * map-side-combined on (rid, occ_id). Polygon count scales the
+    * broadcast dims, never the corpus shuffle. Output: per-region
+    * candidate/containment counts + distinct contained species. */
+  def spatialRegionJoin(s: SparkSession, dir: String): DataFrame = {
+    val rg = s.range(12).select(col("id").as("rid"))
+    val edges = rg
+      .select(col("rid"), explode(expr("sequence(0, 7)")).as("k"))
+      .select(col("rid"),
+        expr(starVx("k")).as("x1"), expr(starVy("k")).as("y1"),
+        expr(starVx("k + 1")).as("x2"), expr(starVy("k + 1")).as("y2"))
+    val rcells = rg
+      .select(col("rid"), expr(starCx).as("cx"), expr(starCy).as("cy"),
+        expr(starRb).as("rb"))
+      .select(col("rid"), col("cx"), col("cy"), col("rb"),
+        explode(expr(
+          "sequence((cy - 2*rb + 9000) div 100, (cy + 2*rb + 9000) div 100)"))
+          .as("rowc"))
+      .select(col("rid"), col("cx"), col("cy"), col("rb"), col("rowc"),
+        explode(expr(
+          "sequence((cx - 2*rb + 18000) div 100, (cx + 2*rb + 18000) div 100)"))
+          .as("colc"))
+      .select(col("rid"), col("cx"), col("cy"), col("rb"),
+        (col("rowc") * 1000 + col("colc")).as("cellkey"))
+    val cand = valid(s, dir)
+      .select(col("occ_id"), col("species"),
+        expr("cast(floor(lon * 10) as bigint)").as("px"),
+        expr("cast(floor(lat * 10) as bigint)").as("py"))
+      .withColumn("cellkey",
+        expr("((py + 9000) div 100) * 1000 + (px + 18000) div 100"))
+      .join(broadcast(rcells), Seq("cellkey"))
+      .filter(expr("px between cx - 2*rb and cx + 2*rb " +
+        "and py between cy - 2*rb and cy + 2*rb"))
+      .select("occ_id", "species", "px", "py", "rid")
+    cand.join(broadcast(edges), Seq("rid"))
+      .withColumn("t", expr(edgeCrossTerm))
+      .groupBy("rid", "occ_id", "species")
+      .agg(sum("t").as("crossings"))
+      .withColumn("inside", expr("crossings % 2"))
+      .groupBy("rid")
+      .agg(count(lit(1)).as("n_candidates"),
+        sum("inside").as("n_inside"),
+        countDistinct(when(col("inside") === 1, col("species")))
+          .as("n_species_inside"))
+      .withColumn("inside_milli", expr("n_inside * 1000 div n_candidates"))
+  }
+
+  private val REGION_JOIN_SQL: String = withSql(OCC_SQL, VALID_SQL,
+    "rg AS (SELECT range AS rid FROM range(12))",
+    s"""edk AS (SELECT rid, unnest(generate_series(0, 7)) AS k FROM rg),
+       |ed AS (
+       |  SELECT rid, ${starVx("k")} AS x1, ${starVy("k")} AS y1,
+       |    ${starVx("k + 1")} AS x2, ${starVy("k + 1")} AS y2
+       |  FROM edk)""".stripMargin,
+    s"""rc0 AS (SELECT rid, $starCx AS cx, $starCy AS cy, $starRb AS rb FROM rg),
+       |rc1 AS (
+       |  SELECT rid, cx, cy, rb,
+       |    unnest(generate_series((cy - 2*rb + 9000) // 100,
+       |                           (cy + 2*rb + 9000) // 100)) AS rowc
+       |  FROM rc0),
+       |rc2 AS (
+       |  SELECT rid, cx, cy, rb, rowc,
+       |    unnest(generate_series((cx - 2*rb + 18000) // 100,
+       |                           (cx + 2*rb + 18000) // 100)) AS colc
+       |  FROM rc1),
+       |rc AS (SELECT rid, cx, cy, rb, rowc * 1000 + colc AS cellkey FROM rc2)""".stripMargin,
+    """cand AS (
+      |  SELECT p.occ_id, p.species, p.px, p.py, r.rid,
+      |    r.cx, r.cy, r.rb
+      |  FROM (
+      |    SELECT occ_id, species,
+      |      CAST(FLOOR(lon * 10) AS BIGINT) AS px,
+      |      CAST(FLOOR(lat * 10) AS BIGINT) AS py,
+      |      ((CAST(FLOOR(lat * 10) AS BIGINT) + 9000) // 100) * 1000
+      |        + (CAST(FLOOR(lon * 10) AS BIGINT) + 18000) // 100 AS cellkey
+      |    FROM valid) p
+      |  JOIN rc r USING (cellkey)
+      |  WHERE px BETWEEN cx - 2*rb AND cx + 2*rb
+      |    AND py BETWEEN cy - 2*rb AND cy + 2*rb)""".stripMargin,
+    s"""per AS (
+       |  SELECT rid, occ_id, species,
+       |    CAST(SUM($edgeCrossTerm) AS BIGINT) AS crossings
+       |  FROM cand JOIN ed USING (rid)
+       |  GROUP BY rid, occ_id, species)""".stripMargin)(
+    """SELECT rid, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+      |  CAST(SUM(crossings % 2) AS BIGINT) AS n_inside,
+      |  CAST(COUNT(DISTINCT CASE WHEN crossings % 2 = 1 THEN species END) AS BIGINT)
+      |    AS n_species_inside,
+      |  CAST(SUM(crossings % 2) AS BIGINT) * 1000 // COUNT(*) AS inside_milli
+      |FROM per GROUP BY rid""".stripMargin)
+
   /** Global Moran's I spatial autocorrelation of log-abundance over the
     * 10°-grid — the CONTINUOUS-surface clustering statistic next to
     * [[occHotspotAdjacency]]'s binary join counts: do cells with
@@ -2294,6 +2426,7 @@ object DomainQueries {
     "meta_collect_related" -> (metaCollectRelated _),
     "cleaning_summary" -> (cleaningSummary _),
     "bio_ingest_pipeline" -> (bioIngestPipeline _),
+    "spatial_region_join" -> (spatialRegionJoin _),
     "events_tumbling" -> (eventsTumbling _),
     "events_hopping" -> (eventsHopping _),
     "events_session_window" -> (eventsSessionWindow _),
@@ -3056,6 +3189,7 @@ object DomainQueries {
         |LEFT JOIN biosp USING (species)
         |LEFT JOIN rng USING (species)
         |LEFT JOIN provsp USING (species)""".stripMargin),
+    "spatial_region_join" -> REGION_JOIN_SQL,
     "cleaning_summary" -> withSql(OCC_SQL, VALID_SQL, LAND_SQL, CENT_SQL, CLEANED_SQL)(
       """SELECT t.species, total_records,
         |  COALESCE(retained_records, 0) AS retained_records,

@@ -52,6 +52,49 @@ class DomainSpec extends SparkSpec {
     }
   }
 
+  test("spatial_region_join matches a driver-side ray cast over the same star lattice") {
+    // independent reimplementation: same closed forms, plain Scala
+    def cx(r: Long) = (r * 67 % 300 - 150) * 10
+    def cy(r: Long) = (r * 37 % 100 - 50) * 10
+    def rb(r: Long) = 40 + (r * 11 % 5) * 20
+    def rs(r: Long) = 16 + (r * 11 % 5) * 8
+    val dxs = Array(2, 1, 0, -1, -2, -1, 0, 1)
+    val dys = Array(0, 1, 2, 1, 0, -1, -2, -1)
+    def vert(r: Long, k: Int): (Long, Long) = {
+      val rad = if (k % 2 == 0) rb(r) else rs(r)
+      (cx(r) + dxs(k % 8) * rad, cy(r) + dys(k % 8) * rad)
+    }
+    def contains(r: Long, px: Long, py: Long): Boolean = {
+      var crossings = 0
+      for (k <- 0 until 8) {
+        val (x1, y1) = vert(r, k); val (x2, y2) = vert(r, k + 1)
+        if ((y1 > py) != (y2 > py) &&
+          ((x1 - px) * (y2 - y1) + (x2 - x1) * (py - y1)) *
+            (if (y2 > y1) 1 else -1) > 0) crossings += 1
+      }
+      crossings % 2 == 1
+    }
+    val pts = DomainQueries.valid(spark, sf)
+      .select(col("species"),
+        expr("cast(floor(lon * 10) as bigint)").as("px"),
+        expr("cast(floor(lat * 10) as bigint)").as("py"))
+      .as[(String, Long, Long)].collect()
+    val expected = (0L until 12L).map { r =>
+      val inBbox = pts.filter { case (_, px, py) =>
+        math.abs(px - cx(r)) <= 2 * rb(r) && math.abs(py - cy(r)) <= 2 * rb(r)
+      }
+      val in = inBbox.filter { case (_, px, py) => contains(r, px, py) }
+      (r, inBbox.length.toLong, in.length.toLong,
+        in.map(_._1).distinct.length.toLong)
+    }.filter(_._2 > 0).toSet
+    val got = DomainQueries.spatialRegionJoin(spark, sf)
+      .select("rid", "n_candidates", "n_inside", "n_species_inside")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === expected)
+    // the star is genuinely non-convex: some bbox candidates are outside
+    assert(got.exists { case (_, cand, inside, _) => inside > 0 && inside < cand })
+  }
+
   test("entry/flagship query returns the 6 expected groups") {
     assert(SparkEntry.entry(spark).count() === 6)
   }

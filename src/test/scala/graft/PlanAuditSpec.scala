@@ -172,6 +172,7 @@ class PlanAuditSpec extends SparkSpec {
     // ---- r12 adds ----
     "bio_ingest_pipeline" -> 9, // 7 species-grain branch aggs (tax/raw/ncl/clim/biogeo/range/prov latest+rollup) off the ONE checkpointed cleaning chain; all species-grain joins broadcast
     "data_salted_join_audit" -> 3, // forced-SMJ fact+dim exchanges on (key, salt) — the mitigation plan itself — + final heavy rollup; per-(key,salt) agg rides the join partitioning; heavy set behind Ckpt.capped
+    "spatial_region_join" -> 3, // parity agg on prefiltered candidates + region rollup + its single-distinct species leg; cell map and edge relation both broadcast
     "graph_pagerank" -> 6, // init distinct + 5 fixed-round rank aggs off the checkpointed edges
     "events_cusum" -> 2, // per-type target agg (broadcast back) + ONE window exchange
     "data_compact_files" -> 3, // bucket totals agg + 32-row offsets window + per-bucket cumsum
