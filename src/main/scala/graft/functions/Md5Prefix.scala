@@ -23,9 +23,15 @@ object Md5Prefix {
 
   /** 60-bit variant — the JVM mirror of the operators' shared h60
     * (conv(substring(md5(..), 1, 15), 16, 10)) sampling key. */
-  def hash60(salt: String, id: Long): Long = {
+  def hash60(salt: String, id: Long): Long = hash60s(salt + id)
+
+  /** 60-bit variant over an arbitrary string — the mirror of
+    * `conv(substring(md5(cast(s as binary)), 1, 15), 16, 10)` (the
+    * minhash shingle base hash; Streams.lshIncrement computes arriving
+    * docs' signatures with it). */
+  def hash60s(s: String): Long = {
     val d = java.security.MessageDigest.getInstance("MD5")
-      .digest((salt + id).getBytes("UTF-8"))
+      .digest(s.getBytes("UTF-8"))
     java.lang.Long.parseLong(
       d.take(8).map("%02x".format(_)).mkString.take(15), 16)
   }

@@ -87,7 +87,7 @@ object SketchQueries {
     * hash oracle. Xor-by-constant is a weaker permutation family than
     * seeded xxhash64, but the estimate specs (exact-dup → 1.0,
     * half-overlap tracking) bound the accuracy loss. */
-  private val K = 32
+  private[graft] val K = 32
 
   /** Band-bucket skew cap (same idea as dedup_ngram_jaccard's DF_CUTOFF,
     * TextQueries.scala): a band value shared by k docs yields C(k,2)
@@ -124,7 +124,7 @@ object SketchQueries {
       .filter(col("j") > col("i"))
       .select("doc1", "doc2")
   }
-  private val seeds: IndexedSeq[Long] = (0 until K).map { k =>
+  private[graft] val seeds: IndexedSeq[Long] = (0 until K).map { k =>
     var z = k.toLong + 0x9E3779B97F4A7C15L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
@@ -139,7 +139,11 @@ object SketchQueries {
     * shuffle. (A higher-order-function formulation avoids the explode but
     * runs in the interpreted eval path — measured 4-5× slower; plain
     * aggregates stay in whole-stage codegen and combine map-side.) */
-  def minhashPairs(docs: DataFrame): DataFrame = {
+  /** MinHash signatures + band keys for a (doc_id, text) frame — the
+    * standing INDEX shape: (doc_id, sig[32], bds[8×(band, bh)]).
+    * Factored out of [[minhashPairs]] so Streams.lshIncrement can probe
+    * the same index with arriving docs (stream-static). */
+  private[graft] def minhashIndex(docs: DataFrame): DataFrame = {
     val h = expr(
       "cast(conv(substring(md5(cast(sh as binary)), 1, 15), 16, 10) as bigint)")
     val minCols = (0 until K).map(k =>
@@ -156,8 +160,12 @@ object SketchQueries {
       struct(lit(b).as("band"),
         concat_ws("_", (0 until 4).map(r => col(s"m${b * 4 + r}").cast("string")): _*)
           .as("bh"))): _*)
-    val sigs = sigs0.select(col("doc_id"),
+    sigs0.select(col("doc_id"),
       array((0 until K).map(k => col(s"m$k")): _*).as("sig"), bandArr.as("bds"))
+  }
+
+  def minhashPairs(docs: DataFrame): DataFrame = {
+    val sigs = minhashIndex(docs)
     val bands = sigs.select(col("doc_id"), explode(col("bds")).as("bd"))
       .select(col("doc_id"), col("bd.band").as("band"), col("bd.bh").as("bh"))
     val cand = cappedPostingPairs(bands, Seq("band", "bh"))

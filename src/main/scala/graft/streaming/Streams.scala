@@ -138,6 +138,63 @@ object Streams {
       .select(col(key), col("change"))
   }
 
+  /** Streaming near-dup INDEX MAINTENANCE — the incremental sibling of
+    * dedup_minhash_lsh the way diffAgainstIndex is dedup_incremental_
+    * exact's: arriving docs' minhash band keys probe the STANDING bucket
+    * index (a stream-static equi-join per band; the static side is the
+    * batch index — rebuilt on the batch cadence, swapped via
+    * AliasPublish). Stateless by design: each arriving doc classifies
+    * against the index alone, so micro-batch boundaries cannot change the
+    * result and there is no unbounded pair state. The standing index
+    * applies the batch side's EXACT bucket cap (BAND_CUTOFF broadcast
+    * anti-join) before any candidate forms; the arriving doc's signature
+    * is computed with the JVM mirror of the SQL md5 lattice
+    * (Md5Prefix.hash60s over the same lowercase [a-z0-9]+ trigrams), so
+    * stream and batch signatures are byte-identical — StreamsSpec
+    * cross-checks the union of micro-batch outputs against
+    * dedup_minhash_lsh's cross-split pairs exactly. Emits one row per
+    * SHARED band (the posting-list grain); consumers dedup on
+    * (new_id, idx_id) as their semantics require. */
+  def lshIncrement(newDocs: Dataset[(Long, String)], indexed: DataFrame): DataFrame = {
+    import graft.operators.SketchQueries
+    import newDocs.sparkSession.implicits._
+    val sigs = SketchQueries.minhashIndex(indexed)
+    val bands = sigs.select(col("doc_id").as("idx_id"), explode(col("bds")).as("bd"))
+      .select(col("idx_id"), col("bd.band").as("band"), col("bd.bh").as("bh"))
+    val oversized = bands.groupBy("band", "bh").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > SketchQueries.BAND_CUTOFF).select("band", "bh")
+    val idx = bands.join(broadcast(oversized), Seq("band", "bh"), "left_anti")
+      .join(sigs.select(col("doc_id").as("idx_id"), col("sig").as("idx_sig")),
+        Seq("idx_id"))
+    val K = SketchQueries.K
+    val seeds = SketchQueries.seeds
+    val newBands = newDocs.flatMap { case (id, text) =>
+      val toks = "[a-z0-9]+".r.findAllIn(text.toLowerCase).toArray
+      if (toks.length < 3) Iterator.empty
+      else {
+        val sig = Array.fill(K)(Long.MaxValue)
+        var i = 0
+        while (i + 2 < toks.length) {
+          val h = graft.functions.Md5Prefix.hash60s(
+            toks(i) + "_" + toks(i + 1) + "_" + toks(i + 2))
+          var k = 0
+          while (k < K) {
+            val v = h ^ seeds(k); if (v < sig(k)) sig(k) = v; k += 1
+          }
+          i += 1
+        }
+        (0 until 8).iterator.map(b =>
+          (id, b, (0 until 4).map(r => sig(b * 4 + r)).mkString("_"), sig.toSeq))
+      }
+    }.toDF("new_id", "band", "bh", "new_sig")
+    newBands.join(idx, Seq("band", "bh"))
+      .withColumn("est_jaccard", expr(
+        s"size(filter(zip_with(new_sig, idx_sig, (x, y) -> x = y), v -> v)) " +
+          s"/ cast($K as double)"))
+      .filter(col("est_jaccard") >= 0.5)
+      .select("new_id", "idx_id", "band", "est_jaccard")
+  }
+
   case class SessState(start: Long, last: Long, n: Long)
   case class SessionOut(user_id: Long, session_start_ns: Long, n_events: Long, dur_ns: Long)
 

@@ -21,8 +21,8 @@ class StreamsSpec extends SparkSpec {
       "mannKendall", "changepoint", "queueWait", "saxMotifs",
       "maxDrawdown", "sprtGate", "wilsonBounds", "tailIndex", "ljungBox",
       "interventionIts", "pageHinkley", "flapRate", "gapFillLocf",
-      "burstiness")
-    assert(expected.size === 41)
+      "burstiness", "lshIncrement")
+    assert(expected.size === 42)
     val got = Streams.getClass.getDeclaredMethods.toSeq
       .filter(m => java.lang.reflect.Modifier.isPublic(m.getModifiers))
       .filter(m => classOf[org.apache.spark.sql.Dataset[_]]
@@ -334,6 +334,35 @@ class StreamsSpec extends SparkSpec {
         .filter(col("change") =!= "removed")
         .as[(Long, String)].collect().toSet
       assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("streaming LSH increment finds exactly the batch near-dup pairs across the split") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.t(spark, sf, "documents").select("doc_id", "text")
+    val indexed = docs.filter(col("doc_id") % 2 === 0)
+    val arriving = docs.filter(col("doc_id") % 2 === 1)
+      .as[(Long, String)].collect()
+    val (first, second) = arriving.splitAt(arriving.length / 2)
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.lshIncrement(mem.toDS(), indexed)
+      .writeStream.format("memory").queryName("lsh_inc_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(first.toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData(second.toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT new_id, idx_id FROM lsh_inc_out")
+        .as[(Long, Long)].collect().toSet
+        .map { p: (Long, Long) => (math.min(p._1, p._2), math.max(p._1, p._2)) }
+      // the batch board query over the FULL corpus, restricted to pairs
+      // that straddle the index/stream split (odd-even parity)
+      val batch = operators.SketchQueries.dedupMinhashLsh(spark, sf)
+        .select("doc1", "doc2").as[(Long, Long)].collect().toSet
+        .filter { p: (Long, Long) => p._1 % 2 != p._2 % 2 }
+      assert(streamed === batch)
+      assert(streamed.nonEmpty) // planted fuzzy pairs cross the parity split
     } finally q.stop()
   }
 
