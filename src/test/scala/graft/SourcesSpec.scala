@@ -68,6 +68,59 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("keyed source: MISMATCHED group counts still join exchange-free via pushed partition values") {
+    // The case a real lakehouse hits first: the two sides were written
+    // with different partition-value sets (8 vs 16 identity(grp) groups).
+    // Spark 4.x SPJ handles it through
+    // v2.bucketing.pushPartValues.enabled (default TRUE): the common
+    // partition values are aligned and the join stays ZERO-exchange;
+    // with it disabled the partitionings are incompatible and the plan
+    // falls back to a two-exchange shuffle join — both pinned here.
+    val conf = spark.conf
+    val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled")
+      .map(k => k -> conf.getOption(k)).toMap
+    conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def read(groups: Int, seed: Long) =
+        spark.read.format("graft.sources.KeyedSource")
+          .option("groups", groups).option("rowsPerGroup", 50)
+          .option("seed", seed).load()
+      def mismatched() = read(8, 1L).select(col("grp"), col("v_milli").as("va"))
+        .join(read(16, 2L).select(col("grp"), col("v_milli").as("vb")), Seq("grp"))
+        .groupBy("grp").agg(count(lit(1)).as("n_pairs"),
+          sum(expr("va + vb")).as("sv"))
+      conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      val j = mismatched()
+      assert(!j.queryExecution.executedPlan.toString.contains("Exchange"),
+        "partially-clustered SPJ planned a shuffle with pushPartValues on")
+      val got = j.collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      // only the 8 common groups join; exact splitmix replay driver-side
+      val expected = (0 until 8).map { g =>
+        val va = (0L until 50L).map(i =>
+          graft.sources.KeyedSource.rowAt(1L, g, 50L, i)._3)
+        val vb = (0L until 50L).map(i =>
+          graft.sources.KeyedSource.rowAt(2L, g, 50L, i)._3)
+        g.toLong -> ((50L * 50L, (for (a <- va; b <- vb) yield a + b).sum))
+      }.toMap
+      assert(got === expected)
+      // the fallback: without pushed partition values the 8- and 16-group
+      // KeyGroupedPartitionings are incompatible -> shuffle both sides
+      conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "false")
+      val off = mismatched()
+      val nEx = "Exchange".r
+        .findAllIn(off.queryExecution.executedPlan.toString).length
+      assert(nEx === 2, s"expected the two-exchange fallback, got $nEx")
+      assert(off.collect().map(r =>
+        r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap === expected)
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
   test("paged source prunes columns down to the reader") {
     val df = spark.read.format("graft.sources.PagedSource")
       .option("pages", 2).option("pageSize", 10).load()
