@@ -2422,6 +2422,70 @@ object Analytics {
        |  abs(s_stat) * 1000 // n_pairs AS abs_tau_milli
        |FROM p JOIN nd USING (event_type)""".stripMargin
 
+  /** Theil–Sen slope per event type — the ROBUST slope estimate next to
+    * [[eventsTrendMannKendall]]'s sign test (MK answers "is there drift";
+    * Theil–Sen answers "how steep", with a 29% breakdown point where an
+    * OLS slope follows one bad day): the disc (lower) median of all
+    * pairwise slopes (c_j − c_i)/(d_j − d_i), each slope an exact
+    * milli-integer with abs-before-division (numerators are signed;
+    * day gaps are positive by the i<j filter). Median selection is the
+    * dataSkewAudit rank lattice — ROW_NUMBER over (slope, di, dj) so
+    * ties break identically on both engines, pick rank (n+1) div 2.
+    * Same calendar-bounded pair join as MK, on the same checkpointed
+    * daily table shape. */
+  def eventsTheilSen(s: SparkSession, dir: String): DataFrame = {
+    val daily = DomainQueries.events(s, dir)
+      .select(col("event_type"), expr(s"ts_ns div $DAY_NS").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      .transform(graft.Ckpt.capped)
+    val a = daily.select(col("event_type"), col("day").as("di"), col("c").as("ci"))
+    val b = daily.select(col("event_type"), col("day").as("dj"), col("c").as("cj"))
+    val slopes = a.join(b, Seq("event_type"))
+      .filter(col("di") < col("dj"))
+      .select(col("event_type"), col("di"), col("dj"),
+        expr("case when cj >= ci then (cj - ci) * 1000 div (dj - di) " +
+          "else -((ci - cj) * 1000 div (dj - di)) end").as("slope_milli"))
+    val byS = Window.partitionBy("event_type")
+      .orderBy(col("slope_milli"), col("di"), col("dj"))
+    val wAll = Window.partitionBy("event_type")
+    slopes
+      .withColumn("vr", row_number().over(byS).cast("long"))
+      .withColumn("np", count(lit(1)).over(wAll).cast("long"))
+      .groupBy("event_type")
+      .agg(max("np").as("n_pairs"),
+        max(when(col("vr") === expr("(np + 1) div 2"), col("slope_milli")))
+          .as("ts_slope_milli"))
+      .join(daily.groupBy("event_type").agg(count(lit(1)).as("n_days")),
+        Seq("event_type"))
+      .select("event_type", "n_days", "n_pairs", "ts_slope_milli")
+  }
+
+  private val THEIL_SEN_SQL =
+    s"""WITH d AS (
+       |  SELECT event_type, epoch_ns(ts) // $DAY_NS AS day,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM events GROUP BY 1, 2),
+       |sl AS (
+       |  SELECT a.event_type, a.day AS di, b.day AS dj,
+       |    CASE WHEN b.c >= a.c THEN (b.c - a.c) * 1000 // (b.day - a.day)
+       |         ELSE -((a.c - b.c) * 1000 // (b.day - a.day)) END AS slope_milli
+       |  FROM d a JOIN d b
+       |    ON a.event_type = b.event_type AND a.day < b.day),
+       |r AS (
+       |  SELECT event_type, slope_milli,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+       |      ORDER BY slope_milli, di, dj) AS BIGINT) AS vr,
+       |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS np
+       |  FROM sl),
+       |m AS (
+       |  SELECT event_type, MAX(np) AS n_pairs,
+       |    MAX(CASE WHEN vr = (np + 1) // 2 THEN slope_milli END) AS ts_slope_milli
+       |  FROM r GROUP BY event_type),
+       |nd AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+       |       FROM d GROUP BY event_type)
+       |SELECT event_type, n_days, n_pairs, ts_slope_milli
+       |FROM m JOIN nd USING (event_type)""".stripMargin
+
   /** Benjamini–Hochberg FDR control over the per-type Mann–Kendall
     * trends — the MULTIPLE-TESTING capstone of the monitoring family
     * (every per-type detector on the board fires m tests per sweep;
@@ -6627,6 +6691,108 @@ object Analytics {
     * rate_pre_c). The pre-period gap rate_pre_t − rate_pre_c is emitted
     * as the parallel-trends read. Plan: one 1-row span fold + ONE
     * event_type hash aggregate off the scan. */
+  /** CUPED variance reduction for the A/B readout — THE standard
+    * experimentation-platform adjustment (Deng et al. 2013, public): each
+    * user's PRE-period metric X (purchases before the calendar midpoint —
+    * the events_did cut) de-noises their experiment metric Y via
+    * Y' = Y − θ(X − X̄), θ = Cov(X,Y)/Var(X) pooled across arms. All folds
+    * are exact integers; θ and the adjustment ship as signed milli with
+    * abs-before-division on BOTH engines (the Spark-div-truncates vs
+    * DuckDB-//-floors landmine), and ρ²·1000 (= the variance-reduction
+    * fraction CUPED buys) uses the divide-first two-factor lattice so no
+    * cov² ever forms (cov_n² would wrap at ~3e9-event corpora). Per-user
+    * partial agg → checkpointed user table read by the global fold and
+    * the 2-row arm fold; only counters shuffle. Arm salt is ab_lift's
+    * 'ab:' ON PURPOSE — CUPED adjusts THAT experiment's readout. */
+  def eventsAbCuped(s: SparkSession, dir: String): DataFrame = {
+    val base = DomainQueries.events(s, dir)
+      .select(col("user_id"), expr(s"ts_ns div $DAY_NS").as("day"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("pur"))
+    val brk = base.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(expr("d0 + (d1 - d0 + 1) div 2").as("cut"))
+    val users = base.crossJoin(broadcast(brk))
+      .groupBy("user_id")
+      .agg(sum(when(col("day") < col("cut"), col("pur")).otherwise(0L)).as("x"),
+        sum(when(col("day") >= col("cut"), col("pur")).otherwise(0L)).as("y"))
+      .withColumn("arm", expr(
+        "cast(conv(substring(md5(cast(concat('ab:', user_id) as binary)), " +
+          "1, 15), 16, 10) as bigint) % 2"))
+      .transform(graft.Ckpt.capped) // global fold + arm fold read it
+    val g = users.agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x * x")).as("sxx"), sum(expr("x * y")).as("sxy"),
+        sum(expr("y * y")).as("syy"))
+      .select(col("n"), col("sx"),
+        expr("n * sxx - sx * sx").as("var_n"),
+        expr("n * sxy - sx * sy").as("cov_n"),
+        expr("n * syy - sy * sy").as("vary_n"))
+    users.groupBy("arm")
+      .agg(count(lit(1)).as("n_users"), sum("x").as("sxa"), sum("y").as("sya"))
+      .crossJoin(broadcast(g))
+      .withColumn("x_mean_milli", expr("sxa * 1000 div n_users"))
+      .withColumn("y_mean_milli", expr("sya * 1000 div n_users"))
+      .withColumn("theta_milli", expr(
+        "case when var_n = 0 then 0 when cov_n >= 0 then cov_n * 1000 div var_n " +
+          "else -((-cov_n) * 1000 div var_n) end"))
+      .withColumn("dx_milli", expr("x_mean_milli - (sx * 1000 div n)"))
+      .withColumn("corr_micro", expr("theta_milli * dx_milli"))
+      .withColumn("y_adj_milli", expr(
+        "y_mean_milli - (case when corr_micro >= 0 then corr_micro div 1000 " +
+          "else -((-corr_micro) div 1000) end)"))
+      .withColumn("rho2_milli", expr(
+        "case when var_n = 0 or vary_n = 0 then 0 else " +
+          "((abs(cov_n) * 1000 div var_n) * (abs(cov_n) * 1000 div vary_n)) " +
+          "div 1000 end"))
+      .select("arm", "n_users", "x_mean_milli", "y_mean_milli",
+        "theta_milli", "y_adj_milli", "rho2_milli")
+  }
+
+  private val CUPED_SQL =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_ns(ts) // $DAY_NS AS day,
+       |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pur
+       |  FROM events),
+       |b AS (SELECT MIN(day) + (MAX(day) - MIN(day) + 1) // 2 AS cut FROM e),
+       |u AS (
+       |  SELECT user_id,
+       |    ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS arm,
+       |    CAST(SUM(CASE WHEN day < cut THEN pur ELSE 0 END) AS BIGINT) AS x,
+       |    CAST(SUM(CASE WHEN day >= cut THEN pur ELSE 0 END) AS BIGINT) AS y
+       |  FROM e, b GROUP BY user_id),
+       |g AS (
+       |  SELECT n, sx,
+       |    n * sxx - sx * sx AS var_n,
+       |    n * sxy - sx * sy AS cov_n,
+       |    n * syy - sy * sy AS vary_n
+       |  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |          CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+       |          CAST(SUM(x * x) AS BIGINT) AS sxx,
+       |          CAST(SUM(x * y) AS BIGINT) AS sxy,
+       |          CAST(SUM(y * y) AS BIGINT) AS syy
+       |        FROM u)),
+       |a AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+       |        CAST(SUM(x) AS BIGINT) AS sxa, CAST(SUM(y) AS BIGINT) AS sya
+       |      FROM u GROUP BY arm)
+       |SELECT arm, n_users,
+       |  sxa * 1000 // n_users AS x_mean_milli,
+       |  sya * 1000 // n_users AS y_mean_milli,
+       |  CASE WHEN var_n = 0 THEN 0
+       |       WHEN cov_n >= 0 THEN cov_n * 1000 // var_n
+       |       ELSE -((-cov_n) * 1000 // var_n) END AS theta_milli,
+       |  sya * 1000 // n_users
+       |    - (CASE WHEN corr_micro >= 0 THEN corr_micro // 1000
+       |       ELSE -((-corr_micro) // 1000) END) AS y_adj_milli,
+       |  CASE WHEN var_n = 0 OR vary_n = 0 THEN 0 ELSE
+       |    ((abs(cov_n) * 1000 // var_n) * (abs(cov_n) * 1000 // vary_n)) // 1000
+       |  END AS rho2_milli
+       |FROM (
+       |  SELECT a.*, g.*,
+       |    (CASE WHEN var_n = 0 THEN 0
+       |          WHEN cov_n >= 0 THEN cov_n * 1000 // var_n
+       |          ELSE -((-cov_n) * 1000 // var_n) END)
+       |      * (sxa * 1000 // n_users - sx * 1000 // n) AS corr_micro
+       |  FROM a, g)""".stripMargin
+
   def eventsDid(s: SparkSession, dir: String): DataFrame = {
     val base = DomainQueries.events(s, dir)
       .select(col("event_type"), col("user_id"),
@@ -6802,6 +6968,8 @@ object Analytics {
   val queries: Map[String, Q] = Map(
     "events_welch_t" -> (eventsWelchT _),
     "events_did" -> (eventsDid _),
+    "events_ab_cuped" -> (eventsAbCuped _),
+    "events_theil_sen" -> (eventsTheilSen _),
     "events_fdr_bh" -> (eventsFdrBh _),
     "events_kleinberg_burst" -> (eventsKleinbergBurst _),
     "events_logrank" -> (eventsLogrank _),
@@ -6918,6 +7086,8 @@ object Analytics {
   val oracle: Map[String, String] = Map(
     "events_welch_t" -> WELCH_SQL,
     "events_did" -> DID_SQL,
+    "events_ab_cuped" -> CUPED_SQL,
+    "events_theil_sen" -> THEIL_SEN_SQL,
     "events_fdr_bh" -> FDRBH_SQL,
     "events_kleinberg_burst" -> KLEINBERG_SQL,
     "events_logrank" -> LOGRANK_SQL,

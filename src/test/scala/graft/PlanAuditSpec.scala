@@ -57,6 +57,7 @@ class PlanAuditSpec extends SparkSpec {
     "sim_hubness_audit" -> "crossJoin against the single-row broadcast totals fold (1×|nodes|)",
     "meta_summary_dtol" -> "crossJoin of the two single-row summary folds (status × genome-notes, 1×1)",
     "events_did" -> "crossJoin against the single-row broadcast span/midpoint frame",
+    "events_ab_cuped" -> "two single-row broadcast folds: the calendar midpoint + the pooled theta/variance frame (2×1)",
     "occ_sdm_background" -> "species-dim × broadcast ≤648-cell effort grid — both sides layout constants (envelope-projection class)",
     "events_fdr_bh" -> "crossJoins against the single-row broadcast m and max-k folds (1×1)",
     "occ_sdm_auc" -> "inherits occ_sdm_background's species-dim × broadcast cell-grid cross (layout constants)",
@@ -173,6 +174,8 @@ class PlanAuditSpec extends SparkSpec {
     "bio_ingest_pipeline" -> 9, // 7 species-grain branch aggs (tax/raw/ncl/clim/biogeo/range/prov latest+rollup) off the ONE checkpointed cleaning chain; all species-grain joins broadcast
     "data_salted_join_audit" -> 3, // forced-SMJ fact+dim exchanges on (key, salt) — the mitigation plan itself — + final heavy rollup; per-(key,salt) agg rides the join partitioning; heavy set behind Ckpt.capped
     "spatial_region_join" -> 3, // parity agg on prefiltered candidates + region rollup + its single-distinct species leg; cell map and edge relation both broadcast
+    "events_ab_cuped" -> 2, // global pooled fold + 2-row arm fold off the checkpointed per-user table; midpoint + theta frames broadcast (whitelisted 1-row crossJoins)
+    "events_theil_sen" -> 2, // pair-rank window + median pick agg off the checkpointed daily table (MK pair-join class); n_days rollup broadcasts back
     "graph_pagerank" -> 6, // init distinct + 5 fixed-round rank aggs off the checkpointed edges
     "events_cusum" -> 2, // per-type target agg (broadcast back) + ONE window exchange
     "data_compact_files" -> 3, // bucket totals agg + 32-row offsets window + per-bucket cumsum
