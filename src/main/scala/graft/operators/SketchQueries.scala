@@ -49,6 +49,9 @@ object SketchQueries {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cdc_chunks",
       (exprs: Seq[Expression]) => graft.functions.CdcChunks(exprs.head), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "lz78_count",
+      (exprs: Seq[Expression]) => graft.functions.Lz78Count(exprs.head), "built-in")
   }
 
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =

@@ -120,6 +120,56 @@ object TextPrep {
       |      FROM documents)
       |GROUP BY decile""".stripMargin
 
+  /** Lempel–Ziv (LZ78) complexity per document over the first 64 word
+    * tokens — the compression-ratio quality proxy next to
+    * [[textRepetition]]'s bigram mode (repetition catches ONE dominant
+    * bigram; LZ complexity prices ALL phrase reuse at once: a templated
+    * doc parses into few long phrases, an incompressible one into
+    * ~T/log T short ones). The parse runs in the new
+    * functions/Lz78Count.scala codegen Expression (one pass, zero
+    * shuffles before the scan-projection); the oracle replays the exact
+    * greedy parse as a DuckDB list_reduce whose LIST state is
+    * [current-phrase, dict...] (struct-field state is the r11 landmine).
+    * The 64-token window is part of the operator contract — it bounds
+    * the fold quadratics on BOTH engines and is the standard fixed-probe
+    * form of the metric. */
+  def textLzComplexity(s: SparkSession, dir: String): DataFrame = {
+    SketchQueries.register(s)
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        least(expr(
+          "cast(size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) as bigint)"),
+          lit(64L)).as("n_win"),
+        expr("lz78_count(text)").as("n_phrases"))
+      .filter(col("n_win") > 0)
+      .withColumn("complexity_milli", expr("n_phrases * 1000 div n_win"))
+  }
+
+  private val LZ_SQL =
+    """WITH tok AS (
+      |  SELECT doc_id, (regexp_extract_all(lower(text), '[a-z0-9]+'))[1:64] AS ts
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_win,
+      |    list_reduce(
+      |      list_prepend([''], [[t] FOR t IN ts]),
+      |      (acc, e) -> CASE
+      |        WHEN list_contains(acc[2:],
+      |          CASE WHEN acc[1] = '' THEN e[1] ELSE acc[1] || '_' || e[1] END)
+      |        THEN list_prepend(
+      |          CASE WHEN acc[1] = '' THEN e[1] ELSE acc[1] || '_' || e[1] END,
+      |          acc[2:])
+      |        ELSE list_prepend('', list_append(acc[2:],
+      |          CASE WHEN acc[1] = '' THEN e[1] ELSE acc[1] || '_' || e[1] END))
+      |      END) AS st
+      |  FROM tok WHERE len(ts) > 0)
+      |SELECT doc_id, n_win,
+      |  CAST(len(st) - 1 + CASE WHEN st[1] <> '' THEN 1 ELSE 0 END AS BIGINT)
+      |    AS n_phrases,
+      |  CAST(len(st) - 1 + CASE WHEN st[1] <> '' THEN 1 ELSE 0 END AS BIGINT)
+      |    * 1000 // n_win AS complexity_milli
+      |FROM f""".stripMargin
+
   /** Repetition scoring: most frequent word bigram count / bigram total —
     * high values flag boilerplate/spam. Bigrams via the codegen-friendly
     * window-lead trick (cf. Shingles); one shuffle on (doc, bigram). */
@@ -2189,6 +2239,7 @@ object TextPrep {
     "text_stopword_filter" -> (textStopwordFilter _),
     "text_length_deciles" -> (textLengthDeciles _),
     "text_repetition" -> (textRepetition _),
+    "text_lz_complexity" -> (textLzComplexity _),
     "data_split_hash" -> (dataSplitHash _),
     "data_split_leakage" -> (dataSplitLeakage _),
     "text_rarity" -> (textRarity _),
@@ -2229,6 +2280,7 @@ object TextPrep {
     "text_stopword_filter" -> STOPWORD_SQL,
     "text_length_deciles" -> DECILES_SQL,
     "text_repetition" -> REPETITION_SQL,
+    "text_lz_complexity" -> LZ_SQL,
     "data_split_hash" -> SPLIT_SQL,
     "data_split_leakage" -> LEAKAGE_SQL,
     "text_rarity" -> RARITY_SQL,

