@@ -201,6 +201,99 @@ object TextPrep {
       |  GROUP BY doc_id, bg)
       |GROUP BY doc_id""".stripMargin
 
+  /** Conditional bigram entropy rate per language — H(next|prev) =
+    * Σ c(uv)·log₂(c(u·)/c(uv)) / N on the exact [[graft.functions.Log2Fp]]
+    * lattice (1024·log₂, pure integers, one floor per term — ln/pow are
+    * engine-divergent), next to the UNIGRAM entropy over the same left
+    * marginal and their difference (the information gain a next-word
+    * model buys over frequency alone — the corpus-level predictability
+    * readout text_bigram_surprisal's per-bigram rows don't give). Plan:
+    * the bigram aggregate is checkpointed and feeds both legs; marginals
+    * ride partition windows over the AGGREGATE (≤ vocab² rows); per-lang
+    * folds are final. Log2Fp's total < 2³² envelope = tokens-per-lang;
+    * past ~4.3e9 it fails loudly on both engines (the r12 guard). */
+  def textConditionalEntropy(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val big = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        posexplode(Shingles.tokens(col("text"))).as(Seq("pos", "u")))
+      .withColumn("v", lead("u", 1).over(w))
+      .filter(col("v").isNotNull)
+      .groupBy("lang", "u", "v").agg(count(lit(1)).as("c_uv"))
+      .transform(graft.Ckpt.capped) // conditional + unigram legs read it
+    val wu = Window.partitionBy("lang", "u")
+    val cond = big
+      .withColumn("c_u", sum("c_uv").over(wu))
+      .withColumn("term",
+        col("c_uv") * graft.functions.Log2Fp(col("c_u"), col("c_uv")))
+      .groupBy("lang")
+      .agg(sum("c_uv").as("n_bigrams"),
+        count(lit(1)).as("vocab_bigrams"),
+        sum("term").as("tc"))
+    val wl = Window.partitionBy("lang")
+    val uni = big.groupBy("lang", "u").agg(sum("c_uv").as("c_u"))
+      .withColumn("n", sum("c_u").over(wl))
+      .withColumn("term", col("c_u") * graft.functions.Log2Fp(col("n"), col("c_u")))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("vocab_unigrams"), sum("term").as("tu"))
+    cond.join(uni, Seq("lang"))
+      .withColumn("h_cond_1024", expr("tc div n_bigrams"))
+      .withColumn("h_unigram_1024", expr("tu div n_bigrams"))
+      .withColumn("info_gain_1024", expr("h_unigram_1024 - h_cond_1024"))
+      .select("lang", "n_bigrams", "vocab_unigrams", "vocab_bigrams",
+        "h_cond_1024", "h_unigram_1024", "info_gain_1024")
+  }
+
+  /** Inline DuckDB replay of Log2Fp(t, c): 1024·log₂(t/c) via the same
+    * two-step division + 10 squaring rounds (list state — struct-field
+    * state is the r11 landmine). Shared by every Log2Fp oracle here. */
+  private def lfpSql(tE: String, cE: String): String = {
+    val e = s"(length(bin(($tE) // ($cE))) - 1)"
+    val d = s"(($cE) * (CAST(1 AS BIGINT) << $e))"
+    s"""($e * 1024 + list_reduce(list_prepend(
+       |  [(($tE) // $d) * 1073741824 + ((($tE) % $d) * 1073741824) // $d,
+       |   CAST(0 AS BIGINT)],
+       |  list_transform(range(1, 11),
+       |    i -> [CAST(0 AS BIGINT), CAST(0 AS BIGINT)])),
+       |  (acc, x) ->
+       |    CASE WHEN (acc[1] * acc[1]) // 1073741824 >= 2147483648
+       |    THEN [((acc[1] * acc[1]) // 1073741824) // 2, acc[2] * 2 + 1]
+       |    ELSE [(acc[1] * acc[1]) // 1073741824, acc[2] * 2]
+       |    END)[2])""".stripMargin
+  }
+
+  private lazy val CONDENT_SQL =
+    s"""WITH bg AS (
+       |  SELECT lang, u, v, CAST(COUNT(*) AS BIGINT) AS c_uv FROM (
+       |    SELECT lang, ts[i] AS u, ts[i+1] AS v
+       |    FROM (SELECT lang, ts, unnest(generate_series(1, len(ts) - 1)) AS i
+       |          FROM (SELECT lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+       |                FROM documents)))
+       |  GROUP BY lang, u, v),
+       |cm AS (
+       |  SELECT *, CAST(SUM(c_uv) OVER (PARTITION BY lang, u) AS BIGINT) AS c_u
+       |  FROM bg),
+       |cond AS (
+       |  SELECT lang, CAST(SUM(c_uv) AS BIGINT) AS n_bigrams,
+       |    CAST(COUNT(*) AS BIGINT) AS vocab_bigrams,
+       |    CAST(SUM(c_uv * ${lfpSql("c_u", "c_uv")}) AS BIGINT) AS tc
+       |  FROM cm GROUP BY lang),
+       |um AS (
+       |  SELECT lang, u, CAST(SUM(c_uv) AS BIGINT) AS c_u FROM bg
+       |  GROUP BY lang, u),
+       |un AS (
+       |  SELECT *, CAST(SUM(c_u) OVER (PARTITION BY lang) AS BIGINT) AS n
+       |  FROM um),
+       |uni AS (
+       |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS vocab_unigrams,
+       |    CAST(SUM(c_u * ${lfpSql("n", "c_u")}) AS BIGINT) AS tu
+       |  FROM un GROUP BY lang)
+       |SELECT lang, n_bigrams, vocab_unigrams, vocab_bigrams,
+       |  tc // n_bigrams AS h_cond_1024,
+       |  tu // n_bigrams AS h_unigram_1024,
+       |  tu // n_bigrams - tc // n_bigrams AS info_gain_1024
+       |FROM cond JOIN uni USING (lang)""".stripMargin
+
   /** Deterministic content-hash train/val split (never split on row order
     * or random()): first hex digit of md5(text) ≤ 'd' ⇒ ~87.5% train. */
   def dataSplitHash(s: SparkSession, dir: String): DataFrame =
@@ -2240,6 +2333,7 @@ object TextPrep {
     "text_length_deciles" -> (textLengthDeciles _),
     "text_repetition" -> (textRepetition _),
     "text_lz_complexity" -> (textLzComplexity _),
+    "text_conditional_entropy" -> (textConditionalEntropy _),
     "data_split_hash" -> (dataSplitHash _),
     "data_split_leakage" -> (dataSplitLeakage _),
     "text_rarity" -> (textRarity _),
@@ -2281,6 +2375,7 @@ object TextPrep {
     "text_length_deciles" -> DECILES_SQL,
     "text_repetition" -> REPETITION_SQL,
     "text_lz_complexity" -> LZ_SQL,
+    "text_conditional_entropy" -> CONDENT_SQL,
     "data_split_hash" -> SPLIT_SQL,
     "data_split_leakage" -> LEAKAGE_SQL,
     "text_rarity" -> RARITY_SQL,
