@@ -121,6 +121,28 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("clustered sink: Spark plans the exchange+sort the writer requires") {
+    import graft.sources.ClusteredSink
+    ClusteredSink.reset("t1")
+    // deliberately unpartitioned, unsorted, key-interleaved input
+    val df = spark.range(0, 2000, 1, 8)
+      .select((col("id") * 2654435761L % 16).as("k"),
+        ((col("id") * 40503L) % 997).as("o"),
+        col("id").as("payload"))
+    df.write.format("graft.sources.ClusteredSink")
+      .option("target", "t1").mode("append").save()
+    val tasks = ClusteredSink.committed("t1")
+    assert(tasks.map(_.n).sum === 2000L)
+    assert(tasks.flatMap(_.keys).toSet === df.select("k").distinct()
+      .as[Long].collect().toSet)
+    // clustering honored: no key spans two tasks
+    val keyTasks = tasks.flatMap(t => t.keys.map(_ -> t))
+    assert(keyTasks.groupBy(_._1).forall(_._2.size === 1),
+      "a cluster key was split across writer tasks")
+    // ordering honored: every task saw (k, o)-sorted input
+    assert(tasks.forall(_.sorted), "a writer task saw unsorted input")
+  }
+
   test("paged source prunes columns down to the reader") {
     val df = spark.read.format("graft.sources.PagedSource")
       .option("pages", 2).option("pageSize", 10).load()
