@@ -28,6 +28,56 @@ class PlansSpec extends SparkSpec {
     try body finally spark.experimental.extraOptimizations = before
   }
 
+  test("AQE skew join splits the skewed partition at runtime (the salted join's engine-native sibling)") {
+    // data_salted_join_audit is the PORTABLE mitigation; this pins the
+    // engine-native one: a 0.83-mass hot key under a forced sort-merge
+    // join, AQE skew handling on — the final adaptive plan must mark the
+    // join skew=true and read the hot side through a skewed
+    // AQEShuffleRead (the runtime split of the oversized partition).
+    val conf = spark.conf
+    val saved = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    conf.set("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // test-scale thresholds: the defaults (factor 5, 256 MB) are sized
+    // for production partitions; the MECHANISM is what's under test
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def skewedJoin() = {
+        val big = spark.range(0, 300000).select(
+          when(col("id") < 250000, 0L).otherwise(col("id") % 32).as("k"),
+          concat(lit("payload_padding_padding_"), col("id")).as("payload"))
+        val dim = spark.range(0, 32)
+          .select(col("id").as("k"), (col("id") * 7).as("dv"))
+        big.join(dim.hint("merge"), Seq("k"))
+      }
+      val j = skewedJoin()
+      val withSkew = j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin(skew=true)"),
+        s"AQE did not mark the join skewed:\n${plan.take(1500)}")
+      assert(plan.contains("AQEShuffleRead skewed"),
+        "the hot side was not read through a skewed AQEShuffleRead")
+      // identical results with the skew handling off
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      val without = skewedJoin().collect()
+      assert(withSkew.map(_.toString).sorted.toSeq ===
+        without.map(_.toString).sorted.toSeq)
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
   test("RangeJoinRule turns a nested-loop range join into a banded equi-join") {
     val naivePlan = naiveRangeJoin.queryExecution.executedPlan.toString
     assert(naivePlan.contains("BroadcastNestedLoopJoin"),
