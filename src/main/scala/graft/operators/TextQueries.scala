@@ -1720,6 +1720,76 @@ object TextQueries {
       .withColumn("recall_milli", expr("n_overlap * 1000 div 10"))
   }
 
+  /** Int8 scalar quantization (SQ8) recall — the 4×-compression member
+    * between [[simSignQuantizeRecall]]'s 1-bit signatures and the PQ
+    * family's codebooks (the quantizer FAISS/pgvector deploy first):
+    * each dim linearly quantizes to 0..255 against its own
+    * corpus-learned [min, max] on the 2^-20 fixed-point lattice (codes
+    * are exact integers — (xfp−mn)·255 div (mx−mn) with nonnegative
+    * operands by construction), search ranks by the exact symmetric
+    * code-space L2², and the reference ranking is the FIXED-POINT dot
+    * Σ xfp_q·xfp_d (pure BIGINT — no float ordering anywhere in this
+    * audit, one better than signq's double dot). Plan: one per-dim
+    * range fold broadcast back, one partial-aggregated pair shuffle
+    * (5 broadcast query rows), windows per qid. */
+  def simSq8Recall(s: SparkSession, dir: String): DataFrame = {
+    val comps = t(s, dir, "embeddings").select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("j", "xf")))
+      .withColumn("xfp",
+        expr("cast(floor(cast(xf as double) * 1048576) as bigint)"))
+    val rng = comps.groupBy("j").agg(min("xfp").as("mn"), max("xfp").as("mx"))
+    val codes = comps.join(broadcast(rng), Seq("j"))
+      .select(col("vec_id"), col("j"), col("xfp"),
+        expr("(xfp - mn) * 255 div greatest(mx - mn, 1L)").as("code"))
+      .transform(graft.Ckpt.capped) // query + corpus legs read it
+    val q = codes.filter(col("vec_id") < 5).select(col("j"),
+      col("vec_id").as("qid"), col("xfp").as("qx"), col("code").as("qc"))
+    val d = codes.filter(col("vec_id") >= 5)
+    val wq = Window.partitionBy("qid")
+    d.join(broadcast(q), Seq("j"))
+      .groupBy("qid", "vec_id")
+      .agg(sum(expr("(qc - code) * (qc - code)")).as("dist"),
+        sum(expr("qx * xfp")).as("dotfp"))
+      .withColumn("r_exact", row_number()
+        .over(wq.orderBy(col("dotfp").desc, col("vec_id"))).cast("long"))
+      .withColumn("r_sq", row_number()
+        .over(wq.orderBy(col("dist").asc, col("vec_id"))).cast("long"))
+      .groupBy("qid")
+      .agg(sum(when(col("r_exact") <= 10 && col("r_sq") <= 10, 1L)
+        .otherwise(0L)).as("n_overlap"))
+      .withColumn("recall_milli", expr("n_overlap * 1000 div 10"))
+  }
+
+  private val SQ8_SQL =
+    """WITH c AS (
+      |  SELECT vec_id, p.i - 1 AS j,
+      |    CAST(FLOOR(CAST(p.x AS DOUBLE) * 1048576) AS BIGINT) AS xfp
+      |  FROM (SELECT vec_id,
+      |          unnest(list_apply(embedding,
+      |            (x, i) -> struct_pack(x := x, i := i))) AS p
+      |        FROM embeddings)),
+      |rg AS (SELECT j, MIN(xfp) AS mn, MAX(xfp) AS mx FROM c GROUP BY j),
+      |cd AS (SELECT vec_id, j, xfp,
+      |         (xfp - mn) * 255 // GREATEST(mx - mn, 1) AS code
+      |       FROM c JOIN rg USING (j)),
+      |pr AS (SELECT q.vec_id AS qid, d.vec_id,
+      |         CAST(SUM((q.code - d.code) * (q.code - d.code)) AS BIGINT) AS dist,
+      |         CAST(SUM(q.xfp * d.xfp) AS BIGINT) AS dotfp
+      |       FROM cd q JOIN cd d USING (j)
+      |       WHERE q.vec_id < 5 AND d.vec_id >= 5
+      |       GROUP BY 1, 2),
+      |r AS (SELECT qid, vec_id,
+      |        CAST(ROW_NUMBER() OVER (PARTITION BY qid
+      |          ORDER BY dotfp DESC, vec_id) AS BIGINT) AS r_exact,
+      |        CAST(ROW_NUMBER() OVER (PARTITION BY qid
+      |          ORDER BY dist ASC, vec_id) AS BIGINT) AS r_sq
+      |      FROM pr)
+      |SELECT qid, CAST(SUM(CASE WHEN r_exact <= 10 AND r_sq <= 10
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+      |  CAST(SUM(CASE WHEN r_exact <= 10 AND r_sq <= 10
+      |    THEN 1 ELSE 0 END) * 1000 // 10 AS BIGINT) AS recall_milli
+      |FROM r GROUP BY qid""".stripMargin
+
   private val SIGNQ_SQL =
     """WITH c AS (
       |  SELECT vec_id, p.i - 1 AS j,
@@ -1764,6 +1834,7 @@ object TextQueries {
   val queries: Map[String, Q] = Map(
     "sim_rrf_fusion" -> (simRrfFusion _),
     "sim_sign_quantize_recall" -> (simSignQuantizeRecall _),
+    "sim_sq8_recall" -> (simSq8Recall _),
     "dedup_sorted_neighborhood" -> (dedupSortedNeighborhood _),
     "dedup_suffix_window" -> (dedupSuffixWindow _),
     "text_template_rate" -> (textTemplateRate _),
@@ -1801,6 +1872,7 @@ object TextQueries {
   val oracle: Map[String, String] = Map(
     "sim_rrf_fusion" -> RRF_SQL,
     "sim_sign_quantize_recall" -> SIGNQ_SQL,
+    "sim_sq8_recall" -> SQ8_SQL,
     "dedup_sorted_neighborhood" -> SNM_SQL,
     "dedup_suffix_window" -> SUFFIXWIN_SQL,
     "text_template_rate" -> TEMPLATE_SQL,

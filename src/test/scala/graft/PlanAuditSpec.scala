@@ -178,6 +178,7 @@ class PlanAuditSpec extends SparkSpec {
     "events_theil_sen" -> 2, // pair-rank window + median pick agg off the checkpointed daily table (MK pair-join class); n_days rollup broadcasts back
     "text_lz_complexity" -> 0, // pure narrow scan projection: the whole LZ78 parse runs inside the codegen Expression
     "text_conditional_entropy" -> 4, // conditional leg: marginal window + lang fold; unigram leg: (lang,u) agg + lang fold — all over the checkpointed bigram aggregate (vocab²-bounded)
+    "sim_sq8_recall" -> 2, // pair partial-agg on (qid, vec) + final qid fold; per-dim range + 5×64 query codes broadcast (rank windows ride the pair exchange)
     "graph_pagerank" -> 6, // init distinct + 5 fixed-round rank aggs off the checkpointed edges
     "events_cusum" -> 2, // per-type target agg (broadcast back) + ONE window exchange
     "data_compact_files" -> 3, // bucket totals agg + 32-row offsets window + per-bucket cumsum
