@@ -901,6 +901,48 @@ object Graphs {
   def graphKcore(s: SparkSession, dir: String): DataFrame =
     kcorePeel(TextQueries.dedupNgramJaccard(s, dir).select("doc1", "doc2"))
 
+  /** Onion decomposition — [[kcorePeel]] with the PEEL ROUND kept per
+    * node (Hébert-Dufresne et al. 2016's layer index at fixed k): layer t
+    * = the synchronous round at which the node lost its ≥ k surviving
+    * neighbours (1 = tree-like fringe, higher = deeper scaffolding,
+    * 0 = survived into the core). The in_core bit alone can't tell a
+    * barely-attached chain from the core's immediate shell — the layer
+    * is the centrality-by-robustness readout dedup survivorship uses to
+    * pick canonical docs from the STRUCTURALLY stable part of a family.
+    * Same plan discipline as kcorePeel (per-round checkpoints are
+    * load-bearing: survivors are referenced by both endpoint filters AND
+    * the round's anti-join). */
+  def onionLayers(edges: DataFrame, k: Int = 2, rounds: Int = 4): DataFrame = {
+    val e = edges.toDF("x", "y").filter(col("x") =!= col("y"))
+    val sym = e.select(col("x").as("a"), col("y").as("b"))
+      .union(e.select(col("y").as("a"), col("x").as("b")))
+      .distinct()
+      .transform(ckpt)
+    val nodes = sym.select(col("a").as("node")).distinct().transform(ckpt)
+    var alive = nodes
+    var layers: DataFrame = null
+    for (t <- 1 to rounds) {
+      val next = sym
+        .join(alive.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(alive.select(col("node").as("b")), Seq("b"), "left_semi")
+        .groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("node")
+        .transform(ckpt)
+      val dropped = alive.join(next, Seq("node"), "left_anti")
+        .withColumn("layer", lit(t.toLong))
+      layers = if (layers == null) dropped else layers.unionByName(dropped)
+      alive = next
+    }
+    nodes.join(layers, Seq("node"), "left_outer")
+      .select(col("node"), coalesce(col("layer"), lit(0L)).as("layer"),
+        (coalesce(col("layer"), lit(0L)) === 0L).as("in_core"))
+  }
+
+  /** Onion layers over the trigram-Jaccard pair graph — kcore's readout
+    * widened from the in/out bit to the peel-round index. */
+  def graphOnionLayers(s: SparkSession, dir: String): DataFrame =
+    onionLayers(TextQueries.dedupNgramJaccard(s, dir).select("doc1", "doc2"))
+
   /** Pointer-doubling ancestor closure: (node → root, depth) over a
     * parent-pointer table in O(log depth) ROUNDS — the technique that
     * makes hierarchy walks feasible at cluster scale (a naive
@@ -1335,6 +1377,7 @@ object Graphs {
     "graph_communities" -> (graphCommunities _),
     "graph_ancestor_closure" -> (graphAncestorClosure _),
     "graph_kcore" -> (graphKcore _),
+    "graph_onion_layers" -> (graphOnionLayers _),
     "graph_triangles" -> (graphTriangles _),
     "graph_clustering_coeff" -> (graphClusteringCoeff _),
     "dedup_semantic_cluster" -> (dedupSemanticCluster _),
@@ -1385,7 +1428,7 @@ object Graphs {
   private lazy val landmarkBfsCtes: String = {
     val knnSql = SketchQueries.oracle("sim_knn_graph")
     val rounds = (1 to 6).map { t =>
-      s"""hd$t AS (
+      s"""hd$t AS MATERIALIZED (
          |  SELECT x.node, x.lm,
          |    CASE WHEN x.d IS NULL THEN n.nd
          |         WHEN n.nd IS NULL THEN x.d
@@ -1396,9 +1439,9 @@ object Graphs {
          |    WHERE p.d IS NOT NULL GROUP BY s.b, p.lm) n
          |  ON n.node = x.node AND n.lm = x.lm)""".stripMargin
     }.mkString(",\n")
-    s"""WITH knn AS ($knnSql),
+    s"""WITH knn AS MATERIALIZED ($knnSql),
        |he AS (SELECT qid AS x, vec_id AS y FROM knn WHERE qid <> vec_id),
-       |hsym AS (SELECT DISTINCT a, b FROM (
+       |hsym AS MATERIALIZED (SELECT DISTINCT a, b FROM (
        |  SELECT x AS a, y AS b FROM he UNION ALL SELECT y, x FROM he)),
        |hnodes AS (SELECT DISTINCT a AS node FROM hsym),
        |hlms AS (SELECT lm, lm_idx FROM (
@@ -1518,9 +1561,9 @@ object Graphs {
            |             JOIN deg d ON d.a = s.a
            |  GROUP BY s.b)""".stripMargin
       }.mkString(",\n")
-      s"""WITH pairs AS ($pairsSql),
-         |$SYM_CTE,
-         |deg AS (SELECT a, COUNT(*) AS deg FROM sym GROUP BY a),
+      s"""WITH pairs AS MATERIALIZED ($pairsSql),
+         |${SYM_CTE.replaceFirst("sym AS \\(", "sym AS MATERIALIZED (")},
+         |deg AS MATERIALIZED (SELECT a, COUNT(*) AS deg FROM sym GROUP BY a),
          |c AS (SELECT CAST(1073741824 AS BIGINT) // COUNT(*) AS r0,
          |             CAST(1073741824 AS BIGINT) * 3 // 20 // COUNT(*) AS t
          |      FROM deg),
@@ -1608,7 +1651,7 @@ object Graphs {
       // four synchronous relaxation rounds unrolled as CTEs — the exact
       // integer recurrence of the Spark loop (NULL = unreached)
       val rounds = (1 to 4).map { t =>
-        s"""d$t AS (
+        s"""d$t AS MATERIALIZED (
            |  SELECT x.node,
            |    CASE WHEN x.d IS NULL THEN n.nd
            |         WHEN n.nd IS NULL THEN x.d
@@ -1618,9 +1661,9 @@ object Graphs {
            |    FROM sym s JOIN d${t - 1} p ON p.node = s.a
            |    WHERE p.d IS NOT NULL GROUP BY s.b) n ON n.node = x.node)""".stripMargin
       }.mkString(",\n")
-      s"""WITH pairs AS ($pairsSql),
-         |$SYM_CTE,
-         |d0 AS (SELECT DISTINCT a AS node,
+      s"""WITH pairs AS MATERIALIZED ($pairsSql),
+         |${SYM_CTE.replaceFirst("sym AS \\(", "sym AS MATERIALIZED (")},
+         |d0 AS MATERIALIZED (SELECT DISTINCT a AS node,
          |         CASE WHEN a % 7 = 0 THEN 0 ELSE NULL END AS d FROM sym),
          |$rounds
          |SELECT node, CAST(COALESCE(d, -1) AS BIGINT) AS dist4 FROM d4""".stripMargin
@@ -1707,20 +1750,58 @@ object Graphs {
     "graph_kcore" -> {
       val pairsSql = TextQueries.oracle("dedup_ngram_jaccard")
       // four synchronous peel rounds unrolled as CTEs: a node survives
-      // round t iff >= 2 of its neighbours survived round t-1
+      // round t iff >= 2 of its neighbours survived round t-1.
+      // AS MATERIALIZED throughout — each s_t references s_{t-1} twice,
+      // and the inliner otherwise evaluates the expensive pairs subquery
+      // 17 times (the onion-layers variant of this chain hung check.py
+      // at sf0.1 before materialization; this one merely paid 17×).
       val rounds = (1 to 4).map { t =>
-        s"""s$t AS (
+        s"""s$t AS MATERIALIZED (
            |  SELECT s.a AS node FROM sym s
            |  JOIN s${t - 1} x ON x.node = s.a
            |  JOIN s${t - 1} y ON y.node = s.b
            |  GROUP BY s.a HAVING COUNT(*) >= 2)""".stripMargin
       }.mkString(",\n")
-      s"""WITH pairs AS ($pairsSql),
-         |$SYM_CTE,
-         |s0 AS (SELECT DISTINCT a AS node FROM sym),
+      s"""WITH pairs AS MATERIALIZED ($pairsSql),
+         |${SYM_CTE.replaceFirst("sym AS \\(", "sym AS MATERIALIZED (")},
+         |s0 AS MATERIALIZED (SELECT DISTINCT a AS node FROM sym),
          |$rounds
          |SELECT n.node, s4.node IS NOT NULL AS in_core
          |FROM s0 n LEFT JOIN s4 ON s4.node = n.node""".stripMargin
+    },
+    "graph_onion_layers" -> {
+      val pairsSql = TextQueries.oracle("dedup_ngram_jaccard")
+      // the kcore peel with the drop round kept: survivor sets are
+      // monotone (s_t only draws from s_{t-1}), so the layer is the
+      // FIRST round a node is absent from. Every CTE is AS MATERIALIZED:
+      // the final SELECT references all four survivor sets and each s_t
+      // references s_{t-1} twice — left to the inliner, the expensive
+      // pairs subquery would be evaluated ~31 times (the first cut hung
+      // check.py at sf0.1 at 21 GB / 90 CPU-minutes before it was
+      // killed; kcore's 17-copy inline was the silent precedent).
+      val rounds = (1 to 4).map { t =>
+        s"""s$t AS MATERIALIZED (
+           |  SELECT s.a AS node FROM sym s
+           |  JOIN s${t - 1} x ON x.node = s.a
+           |  JOIN s${t - 1} y ON y.node = s.b
+           |  GROUP BY s.a HAVING COUNT(*) >= 2)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS MATERIALIZED ($pairsSql),
+         |${SYM_CTE.replaceFirst("sym AS \\(", "sym AS MATERIALIZED (")},
+         |s0 AS MATERIALIZED (SELECT DISTINCT a AS node FROM sym),
+         |$rounds
+         |SELECT n.node,
+         |  CAST(CASE WHEN x1.node IS NULL THEN 1
+         |       WHEN x2.node IS NULL THEN 2
+         |       WHEN x3.node IS NULL THEN 3
+         |       WHEN x4.node IS NULL THEN 4
+         |       ELSE 0 END AS BIGINT) AS layer,
+         |  x4.node IS NOT NULL AS in_core
+         |FROM s0 n
+         |LEFT JOIN s1 x1 ON x1.node = n.node
+         |LEFT JOIN s2 x2 ON x2.node = n.node
+         |LEFT JOIN s3 x3 ON x3.node = n.node
+         |LEFT JOIN s4 x4 ON x4.node = n.node""".stripMargin
     },
     "graph_triangles" -> {
       val knnSql = SketchQueries.oracle("sim_knn_graph")
@@ -1759,16 +1840,16 @@ object Graphs {
       // three synchronous peel rounds unrolled as CTEs: an edge survives
       // round t iff it closes >= 1 triangle with round-(t-1) survivors
       val rounds = (1 to 3).map { t =>
-        s"""s$t AS (SELECT u AS a, v AS b FROM e${t - 1}
+        s"""s$t AS MATERIALIZED (SELECT u AS a, v AS b FROM e${t - 1}
            |      UNION ALL SELECT v, u FROM e${t - 1}),
-           |e$t AS (
+           |e$t AS MATERIALIZED (
            |  SELECT e.u, e.v FROM e${t - 1} e
            |  JOIN s$t x ON x.a = e.u
            |  JOIN s$t y ON y.a = e.v AND y.b = x.b
            |  GROUP BY e.u, e.v HAVING COUNT(*) >= 1)""".stripMargin
       }.mkString(",\n")
       s"""WITH knn AS ($knnSql),
-         |e0 AS (SELECT DISTINCT LEAST(qid, vec_id) AS u,
+         |e0 AS MATERIALIZED (SELECT DISTINCT LEAST(qid, vec_id) AS u,
          |         GREATEST(qid, vec_id) AS v
          |       FROM knn WHERE qid <> vec_id),
          |$rounds
