@@ -6691,6 +6691,63 @@ object Analytics {
     * rate_pre_c). The pre-period gap rate_pre_t − rate_pre_c is emitted
     * as the parallel-trends read. Plan: one 1-row span fold + ONE
     * event_type hash aggregate off the scan. */
+  /** Mann–Whitney U between the 'ab:' arms — the NONPARAMETRIC A/B
+    * readout next to [[eventsWelchT]]'s t (heavy-tailed per-user masses
+    * break the t's normality; U only needs ranks): P(treated user's
+    * purchase mass > control's) as an exact AUC. Ties are handled with
+    * true MIDRANKS on a doubled-integer lattice — a tie group of size g
+    * starting at min rank m has 2·midrank = 2m + g − 1 (integer), so
+    * U·2 = Σ_t(2m + g − 1) − n_t(n_t + 1) is exact and
+    * auc_milli = U2·1000 div (2·n_t·n_c). Everything past the per-user
+    * agg runs on the |distinct masses|-row aggregate (cumulative window
+    * + one fold); no user-grain window anywhere. */
+  def eventsMannwhitneyAb(s: SparkSession, dir: String): DataFrame = {
+    val users = DomainQueries.events(s, dir)
+      .select(col("user_id"),
+        expr("cast(conv(substring(md5(cast(concat('ab:', user_id) as " +
+          "binary)), 1, 15), 16, 10) as bigint) % 2").as("arm"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("pur"))
+      .groupBy("user_id", "arm").agg(sum("pur").as("mass"))
+    val byMass = users.groupBy("mass")
+      .agg(count(lit(1)).as("g"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("gt"))
+    val wc = Window.orderBy("mass")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byMass
+      .withColumn("m", sum("g").over(wc) - col("g") + 1L)
+      .agg(sum("gt").as("n_t"),
+        sum(expr("g - gt")).as("n_c"),
+        sum(expr("gt * (2 * m + g - 1)")).as("rt2"))
+      .select(col("n_t"), col("n_c"),
+        expr("rt2 - n_t * (n_t + 1)").as("u2"),
+        expr("(rt2 - n_t * (n_t + 1)) * 1000 div (2 * n_t * n_c)")
+          .as("auc_milli"))
+  }
+
+  private val MWU_SQL =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS arm,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS mass
+      |  FROM events GROUP BY user_id),
+      |bm AS (
+      |  SELECT mass, CAST(COUNT(*) AS BIGINT) AS g,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS gt
+      |  FROM u GROUP BY mass),
+      |r AS (
+      |  SELECT *, CAST(SUM(g) OVER (ORDER BY mass
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      - g + 1 AS m
+      |  FROM bm),
+      |f AS (
+      |  SELECT CAST(SUM(gt) AS BIGINT) AS n_t,
+      |    CAST(SUM(g - gt) AS BIGINT) AS n_c,
+      |    CAST(SUM(gt * (2 * m + g - 1)) AS BIGINT) AS rt2
+      |  FROM r)
+      |SELECT n_t, n_c, rt2 - n_t * (n_t + 1) AS u2,
+      |  (rt2 - n_t * (n_t + 1)) * 1000 // (2 * n_t * n_c) AS auc_milli
+      |FROM f""".stripMargin
+
   /** CUPED variance reduction for the A/B readout — THE standard
     * experimentation-platform adjustment (Deng et al. 2013, public): each
     * user's PRE-period metric X (purchases before the calendar midpoint —
@@ -6969,6 +7026,7 @@ object Analytics {
     "events_welch_t" -> (eventsWelchT _),
     "events_did" -> (eventsDid _),
     "events_ab_cuped" -> (eventsAbCuped _),
+    "events_mannwhitney_ab" -> (eventsMannwhitneyAb _),
     "events_theil_sen" -> (eventsTheilSen _),
     "events_fdr_bh" -> (eventsFdrBh _),
     "events_kleinberg_burst" -> (eventsKleinbergBurst _),
@@ -7087,6 +7145,7 @@ object Analytics {
     "events_welch_t" -> WELCH_SQL,
     "events_did" -> DID_SQL,
     "events_ab_cuped" -> CUPED_SQL,
+    "events_mannwhitney_ab" -> MWU_SQL,
     "events_theil_sen" -> THEIL_SEN_SQL,
     "events_fdr_bh" -> FDRBH_SQL,
     "events_kleinberg_burst" -> KLEINBERG_SQL,
