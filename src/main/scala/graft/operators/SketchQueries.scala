@@ -383,6 +383,157 @@ object SketchQueries {
         .select(col("qid"), col("nid").as("vec_id"), dot.as("dot")), 5)
   }
 
+  /** Greedy beam search over a NAVIGABLE neighbor graph — the
+    * GRAPH-based ANN member (the HNSW/NSW class) completing the family
+    * next to LSH/RP/IVF/IVF-PQ/SQ8/sign/matryoshka. The graph is the
+    * corpus knn edges UNION deterministic exponential ring skips
+    * (nid ± {1, 8, 64, 512} — the navigable-small-world long links):
+    * the raw LSH-bucketed knn graph alone is a disjoint union of bucket
+    * cliques where greedy search can NEVER cross buckets (measured
+    * 0–200 milli recall before the skips — the audit doing its job);
+    * the skip hierarchy makes every node reachable in O(log n) hops and
+    * the knn edges polish locally. Search: 8 fixed entries, 4 rounds of
+    * expanding the best-8 frontier, every visited node kept; answers
+    * are the top-10 visited by the EXACT fixed-point dot (scores
+    * consult a precomputed query×corpus dotfp table — at production the
+    * dot evaluates on demand; the values are identical and the SEARCH
+    * structure is what's under audit). n_visited = how few dot
+    * evaluations the walk needed vs the brute N. Deterministic end to
+    * end; per-round checkpoints are load-bearing (visited feeds the
+    * frontier rank AND the next union). */
+  def simGraphSearchRecall(s: SparkSession, dir: String): DataFrame = {
+    val BEAM = 8
+    val comps = t(s, dir, "embeddings").select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("j", "xf")))
+      .withColumn("xfp",
+        expr("cast(floor(cast(xf as double) * 1048576) as bigint)"))
+    val qdots = comps.filter(col("vec_id") >= 5)
+      .join(broadcast(comps.filter(col("vec_id") < 5)
+        .select(col("j"), col("vec_id").as("qid"), col("xfp").as("qx"))),
+        Seq("j"))
+      .groupBy(col("qid"), col("vec_id").as("nid"))
+      .agg(sum(expr("qx * xfp")).as("dotfp"))
+      .transform(graft.Ckpt.capped) // entries, expansions, exact ranks all read it
+    val knn = simKnnGraph(s, dir)
+      .filter(col("qid") >= 5 && col("vec_id") >= 5)
+    val skips = qdots.select(col("nid")).distinct()
+      .select(col("nid").as("a"),
+        explode(expr("array(1L, 8L, 64L, 512L, -1L, -8L, -64L, -512L)"))
+          .as("off"))
+      .select(col("a"), (col("a") + col("off")).as("b"))
+      .filter(col("b") >= 5)
+    val sym = knn.select(col("qid").as("a"), col("vec_id").as("b"))
+      .union(knn.select(col("vec_id").as("a"), col("qid").as("b")))
+      .union(skips)
+      .distinct().transform(graft.Ckpt.capped)
+    val entries = sym.select(col("a").as("nid")).distinct()
+      .orderBy("nid").limit(BEAM)
+    val wq = Window.partitionBy("qid").orderBy(col("dotfp").desc, col("nid"))
+    var visited = qdots.select("qid").distinct()
+      .crossJoin(broadcast(entries))
+      .join(qdots, Seq("qid", "nid"))
+      .transform(graft.Ckpt.capped)
+    var frontier = visited.withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= BEAM).select("qid", "nid", "dotfp")
+      .transform(graft.Ckpt.capped)
+    for (_ <- 1 to 4) {
+      val expanded = frontier.select(col("qid"), col("nid").as("a"))
+        .join(sym, Seq("a"))
+        .select(col("qid"), col("b").as("nid")).distinct()
+        .join(qdots, Seq("qid", "nid"))
+      visited = visited.unionByName(expanded).dropDuplicates("qid", "nid")
+        .transform(graft.Ckpt.capped)
+      frontier = visited.withColumn("rn", row_number().over(wq))
+        .filter(col("rn") <= BEAM).select("qid", "nid", "dotfp")
+        .transform(graft.Ckpt.capped)
+    }
+    val found = visited.withColumn("r", row_number().over(wq))
+      .filter(col("r") <= 10).select("qid", "nid")
+    val exact = qdots.withColumn("r", row_number().over(wq))
+      .filter(col("r") <= 10).select(col("qid"), col("nid"),
+        lit(1L).as("hit"))
+    val nv = visited.groupBy("qid").agg(count(lit(1)).as("n_visited"))
+    found.join(exact, Seq("qid", "nid"), "left_outer")
+      .groupBy("qid").agg(sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+      .join(nv, Seq("qid"))
+      .withColumn("recall_milli", expr("n_overlap * 1000 div 10"))
+      .select("qid", "n_visited", "n_overlap", "recall_milli")
+  }
+
+  private lazy val GRAPH_SEARCH_SQL: String = {
+    // KNN_GRAPH_SQL directly, NOT oracle("sim_knn_graph"): the oracle map
+    // initializer forces this lazy val — going through the map is a
+    // circular-init NPE (hit in r12)
+    val knnSql = KNN_GRAPH_SQL
+    // three beam rounds unrolled, every multi-referenced CTE MATERIALIZED
+    // (the r12 inline-blowup landmine — see CLAUDE.md)
+    val rounds = (1 to 4).map { t =>
+      s"""v$t AS MATERIALIZED (
+         |  SELECT DISTINCT qid, nid, dotfp FROM (
+         |    SELECT qid, nid, dotfp FROM v${t - 1}
+         |    UNION ALL
+         |    SELECT f.qid, qd.nid, qd.dotfp
+         |    FROM f${t - 1} f
+         |    JOIN sy ON sy.a = f.nid
+         |    JOIN qd ON qd.qid = f.qid AND qd.nid = sy.b)),
+         |f$t AS MATERIALIZED (
+         |  SELECT qid, nid, dotfp FROM v$t
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY dotfp DESC, nid) <= 8)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH knn AS MATERIALIZED ($knnSql),
+       |c AS MATERIALIZED (
+       |  SELECT vec_id, p.i - 1 AS j,
+       |    CAST(FLOOR(CAST(p.x AS DOUBLE) * 1048576) AS BIGINT) AS xfp
+       |  FROM (SELECT vec_id,
+       |          unnest(list_apply(embedding,
+       |            (x, i) -> struct_pack(x := x, i := i))) AS p
+       |        FROM embeddings)),
+       |qd AS MATERIALIZED (
+       |  SELECT q.vec_id AS qid, d.vec_id AS nid,
+       |    CAST(SUM(q.xfp * d.xfp) AS BIGINT) AS dotfp
+       |  FROM c q JOIN c d USING (j)
+       |  WHERE q.vec_id < 5 AND d.vec_id >= 5
+       |  GROUP BY 1, 2),
+       |sy AS MATERIALIZED (SELECT DISTINCT a, b FROM (
+       |  SELECT qid AS a, vec_id AS b FROM knn
+       |  WHERE qid >= 5 AND vec_id >= 5
+       |  UNION ALL SELECT vec_id, qid FROM knn
+       |  WHERE qid >= 5 AND vec_id >= 5
+       |  UNION ALL
+       |  SELECT nid AS a, nid + off AS b
+       |  FROM (SELECT DISTINCT nid FROM qd),
+       |       unnest([1, 8, 64, 512, -1, -8, -64, -512]) t(off)
+       |  WHERE nid + off >= 5)),
+       |en AS MATERIALIZED (
+       |  SELECT nid FROM (SELECT DISTINCT a AS nid FROM sy)
+       |  ORDER BY nid LIMIT 8),
+       |v0 AS MATERIALIZED (
+       |  SELECT qd.qid, qd.nid, qd.dotfp FROM qd JOIN en USING (nid)),
+       |f0 AS MATERIALIZED (
+       |  SELECT qid, nid, dotfp FROM v0
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+       |    ORDER BY dotfp DESC, nid) <= 8),
+       |$rounds,
+       |fd AS (SELECT qid, nid FROM v4
+       |       QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+       |         ORDER BY dotfp DESC, nid) <= 10),
+       |ex AS (SELECT qid, nid FROM qd
+       |       QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+       |         ORDER BY dotfp DESC, nid) <= 10),
+       |nv AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_visited
+       |       FROM v4 GROUP BY qid)
+       |SELECT fd.qid, nv.n_visited,
+       |  CAST(SUM(CASE WHEN ex.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_overlap,
+       |  CAST(SUM(CASE WHEN ex.nid IS NOT NULL THEN 1 ELSE 0 END) * 1000 // 10
+       |    AS BIGINT) AS recall_milli
+       |FROM fd
+       |LEFT JOIN ex ON ex.qid = fd.qid AND ex.nid = fd.nid
+       |JOIN nv ON nv.qid = fd.qid
+       |GROUP BY fd.qid, nv.n_visited""".stripMargin
+  }
+
   /** Similarity-threshold sweep over the k-NN pair graph — the
     * dial-tuning readout every near-dup pass needs BEFORE committing to
     * a cosine cutoff: at each of ten thresholds, how many candidate
@@ -931,6 +1082,7 @@ object SketchQueries {
     "sim_ivf_topk" -> (ivfTopk _),
     "sim_ivfpq_topk" -> (simIvfpqTopk _),
     "sim_knn_graph" -> (simKnnGraph _),
+    "sim_graph_search_recall" -> (simGraphSearchRecall _),
     "sim_threshold_sweep" -> (simThresholdSweep _),
     "text_winnowing" -> (textWinnowing _),
     "dedup_winnow_pairs" -> (dedupWinnowPairs _),
@@ -1201,6 +1353,7 @@ object SketchQueries {
           |       THEN 'Insufficient points for convex hull' END AS note
           |FROM cnt c LEFT JOIN area a USING (species)""".stripMargin),
     "sim_knn_graph" -> KNN_GRAPH_SQL,
+    "sim_graph_search_recall" -> GRAPH_SEARCH_SQL,
     "sim_threshold_sweep" -> {
       val knnSql = KNN_GRAPH_SQL
       s"""WITH knn AS ($knnSql),

@@ -181,6 +181,7 @@ class PlanAuditSpec extends SparkSpec {
     "sim_sq8_recall" -> 2, // pair partial-agg on (qid, vec) + final qid fold; per-dim range + 5×64 query codes broadcast (rank windows ride the pair exchange)
     "graph_onion_layers" -> 0, // kcore's peel with per-round drop tracking — everything behind the per-round checkpoints (kcore's plan shape)
     "events_mannwhitney_ab" -> 3, // per-user agg + mass histogram + the single-row fold; midrank window rides the |masses|-row aggregate
+    "sim_graph_search_recall" -> 6, // final top-10/exact rank windows + overlap fold off the checkpointed visited/dotfp tables (search rounds all behind per-round Ckpt.capped)
     "graph_pagerank" -> 6, // init distinct + 5 fixed-round rank aggs off the checkpointed edges
     "events_cusum" -> 2, // per-type target agg (broadcast back) + ONE window exchange
     "data_compact_files" -> 3, // bucket totals agg + 32-row offsets window + per-bucket cumsum
