@@ -2433,11 +2433,16 @@ object Analytics {
     * ties break identically on both engines, pick rank (n+1) div 2.
     * Same calendar-bounded pair join as MK, on the same checkpointed
     * daily table shape. */
-  def eventsTheilSen(s: SparkSession, dir: String): DataFrame = {
-    val daily = DomainQueries.events(s, dir)
+  def eventsTheilSen(s: SparkSession, dir: String): DataFrame =
+    theilSenCore(DomainQueries.events(s, dir)
       .select(col("event_type"), expr(s"ts_ns div $DAY_NS").as("day"))
       .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
-      .transform(graft.Ckpt.capped)
+      .transform(graft.Ckpt.capped))
+
+  /** Theil–Sen over any (event_type, day, c) daily frame — split out so
+    * the spec can plant an outlier day and watch the 29% breakdown point
+    * hold (the fdrBhCore seam discipline). */
+  private[graft] def theilSenCore(daily: DataFrame): DataFrame = {
     val a = daily.select(col("event_type"), col("day").as("di"), col("c").as("ci"))
     val b = daily.select(col("event_type"), col("day").as("dj"), col("c").as("cj"))
     val slopes = a.join(b, Seq("event_type"))

@@ -13,6 +13,28 @@ class PropertySpec extends SparkSpec {
   private def area(agg: ConvexHullAreaKm2, ps: Seq[(Double, Double)]): Double =
     agg.finish(ps.foldLeft(agg.zero)(agg.reduce))
 
+  test("theil-sen slope ignores a planted outlier day (the breakdown-point property)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // clean ramp c = 100 + 7*day plus one wild outlier day: 29 of the
+    // 435 pairwise slopes involve the outlier, the median doesn't move
+    val rows = (0L until 30L).map { d =>
+      ("probe", d, if (d == 15L) 100000L else 100L + 7L * d)
+    }
+    val daily = rows.toDF("event_type", "day", "c")
+    val out = operators.Analytics.theilSenCore(daily)
+      .select("event_type", "n_days", "n_pairs", "ts_slope_milli")
+      .as[(String, Long, Long, Long)].head()
+    assert(out === (("probe", 30L, 435L, 7000L)))
+    // sanity: an OLS slope on the same series would be dragged far off —
+    // the planted mass shifts n*Sxy - Sx*Sy by orders of magnitude
+    val clean = operators.Analytics.theilSenCore(
+        (0L until 30L).map(d => ("probe", d, 100L + 7L * d))
+          .toDF("event_type", "day", "c"))
+      .select("ts_slope_milli").as[Long].head()
+    assert(clean === 7000L)
+  }
+
   test("lz78_count parses the classic cases exactly") {
     import graft.functions.Lz78Count.phrases
     // all-distinct tokens: every token is its own phrase
