@@ -1481,6 +1481,67 @@ object DomainQueries {
         .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** Session-gap threshold sweep — the dial-tuning readout run BEFORE
+    * committing to [[SESSION_GAP_NS]] (the sim_threshold_sweep discipline
+    * applied to sessionization): at each candidate gap g, the session
+    * count needs NO per-gap sessionization — n_sessions(g) = n_users +
+    * #{consecutive same-user pairs with Δ > g}, so ONE lag window
+    * computes every user's inter-event gaps and a 6-way explode over the
+    * candidate thresholds folds to six rows (gap, n_sessions,
+    * events/session in milli, share of gaps split). The elbow in this
+    * table is how 6h was picked. */
+  def eventsSessionGapSweep(s: SparkSession, dir: String): DataFrame = {
+    val H = 3600000000000L
+    val byUser = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    val gaps = events(s, dir)
+      .select(col("user_id"), col("ts_ns"), col("event_id"))
+      .withColumn("delta",
+        col("ts_ns") - lag(col("ts_ns"), 1).over(byUser))
+    val totals = gaps.agg(count(lit(1)).as("n_events"),
+      sum(when(col("delta").isNotNull, 1L).otherwise(0L)).as("n_pairs"),
+      sum(when(col("delta").isNull, 1L).otherwise(0L)).as("n_users"))
+    gaps.filter(col("delta").isNotNull)
+      .select(explode(expr(
+        s"array(${H}L, ${2 * H}L, ${6 * H}L, ${12 * H}L, ${24 * H}L, ${72 * H}L)"))
+        .as("gap_ns"), col("delta"))
+      .groupBy("gap_ns")
+      .agg(sum(when(col("delta") > col("gap_ns"), 1L).otherwise(0L))
+        .as("n_splits"))
+      .crossJoin(broadcast(totals))
+      .select(col("gap_ns"), expr("gap_ns div $H".replace("$H", H.toString))
+          .as("gap_hours"),
+        (col("n_users") + col("n_splits")).as("n_sessions"),
+        expr("n_events * 1000 div (n_users + n_splits)")
+          .as("events_per_session_milli"),
+        expr("n_splits * 1000 div n_pairs").as("split_share_milli"))
+  }
+
+  private val GAP_SWEEP_SQL =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) // 1000 * 1000 AS ts_ns, event_id
+      |  FROM events),
+      |g AS (
+      |  SELECT user_id,
+      |    ts_ns - LAG(ts_ns, 1) OVER (PARTITION BY user_id
+      |      ORDER BY ts_ns, event_id) AS delta
+      |  FROM e),
+      |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+      |        CAST(SUM(CASE WHEN delta IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+      |        CAST(SUM(CASE WHEN delta IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_users
+      |      FROM g),
+      |sw AS (
+      |  SELECT gap_ns, CAST(SUM(CASE WHEN delta > gap_ns THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_splits
+      |  FROM (SELECT delta FROM g WHERE delta IS NOT NULL),
+      |       (SELECT unnest([3600000000000, 7200000000000, 21600000000000,
+      |                       43200000000000, 86400000000000, 259200000000000]) AS gap_ns)
+      |  GROUP BY gap_ns)
+      |SELECT gap_ns, gap_ns // 3600000000000 AS gap_hours,
+      |  n_users + n_splits AS n_sessions,
+      |  n_events * 1000 // (n_users + n_splits) AS events_per_session_milli,
+      |  n_splits * 1000 // n_pairs AS split_share_milli
+      |FROM sw, t""".stripMargin
+
   /** Sequence data-contract validation — the NEGATIVE-space check
     * [[eventsFunnel]]'s happy path never runs: the contract "a purchase
     * requires a PRIOR view in the same session" audited per user, with
@@ -2430,6 +2491,7 @@ object DomainQueries {
     "events_tumbling" -> (eventsTumbling _),
     "events_hopping" -> (eventsHopping _),
     "events_session_window" -> (eventsSessionWindow _),
+    "events_session_gap_sweep" -> (eventsSessionGapSweep _),
     "events_sessionize" -> (eventsSessionize _),
     "events_session_stats" -> (eventsSessionStats _),
     "occ_hotspot_adjacency" -> (occHotspotAdjacency _),
@@ -3190,6 +3252,7 @@ object DomainQueries {
         |LEFT JOIN rng USING (species)
         |LEFT JOIN provsp USING (species)""".stripMargin),
     "spatial_region_join" -> REGION_JOIN_SQL,
+    "events_session_gap_sweep" -> GAP_SWEEP_SQL,
     "cleaning_summary" -> withSql(OCC_SQL, VALID_SQL, LAND_SQL, CENT_SQL, CLEANED_SQL)(
       """SELECT t.species, total_records,
         |  COALESCE(retained_records, 0) AS retained_records,
