@@ -2094,6 +2094,85 @@ object TextPrep {
       |    AS effective_milli
       |FROM w GROUP BY lang""".stripMargin
 
+  /** The one-row DATASET CARD — the datasheet a training run publishes
+    * next to its corpus (Datasheets for Datasets, Gebru et al., public):
+    * corpus size (docs, tokens, mean length), language coverage with the
+    * exact Log2Fp mixture entropy, source concentration (the HHI lattice
+    * of [[dataSourceHhi]], corpus-global), and the near-dup surface
+    * (dedup_minhash_lsh's pair count + the share of documents touched).
+    * A composition in the bio_ingest_pipeline discipline: components
+    * keep their own lattices, the oracle nests the minhash oracle as a
+    * MATERIALIZED CTE, and the doc-stat relation is checkpointed once
+    * for its four consumer folds. Every rollup past the scans is
+    * single-row (the whitelisted crossJoin class). */
+  def dataDatasheet(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"),
+          lit(0))).cast("long").as("nt"))
+      .transform(graft.Ckpt.capped) // totals + lang + source folds read it
+    val tot = docs.agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
+    val langs = docs.groupBy("lang").agg(count(lit(1)).as("c"))
+      .crossJoin(broadcast(tot.select(col("n_docs").as("nd"))))
+      .withColumn("term", col("c") * graft.functions.Log2Fp(col("nd"), col("c")))
+      .agg(count(lit(1)).as("n_langs"),
+        expr("sum(term) div max(nd)").as("lang_entropy_1024"))
+    val srcs = docs.groupBy("source").agg(sum("nt").as("m"))
+      .crossJoin(broadcast(tot.select(col("n_tokens").as("mt"))))
+      .select(expr("m * 1000 div greatest(mt, 1L)").as("sh"))
+      .agg(count(lit(1)).as("n_sources"),
+        sum(expr("sh * sh")).as("source_hhi_micro"))
+    val pairs = SketchQueries.dedupMinhashLsh(s, dir)
+      .select("doc1", "doc2").transform(graft.Ckpt.capped)
+    val np = pairs.agg(count(lit(1)).as("n_near_dup_pairs"))
+    val ndod = pairs.select(col("doc1").as("d"))
+      .union(pairs.select(col("doc2").as("d"))).distinct()
+      .agg(count(lit(1)).as("n_near_dup_docs"))
+    tot.crossJoin(broadcast(langs)).crossJoin(broadcast(srcs))
+      .crossJoin(broadcast(np)).crossJoin(broadcast(ndod))
+      .select(col("n_docs"), col("n_tokens"),
+        expr("n_tokens * 1000 div n_docs").as("mean_doc_tokens_milli"),
+        col("n_langs"), col("lang_entropy_1024"),
+        col("n_sources"), col("source_hhi_micro"),
+        col("n_near_dup_pairs"),
+        expr("n_near_dup_docs * 1000 div n_docs")
+          .as("near_dup_doc_share_milli"))
+  }
+
+  private lazy val DATASHEET_SQL: String =
+    s"""WITH mh AS MATERIALIZED (
+       |${SketchQueries.oracle("dedup_minhash_lsh")}),
+       |dd AS MATERIALIZED (
+       |  SELECT doc_id, lang, source,
+       |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+       |      AS nt
+       |  FROM documents),
+       |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |        CAST(SUM(nt) AS BIGINT) AS n_tokens FROM dd),
+       |lg AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_langs,
+       |    CAST(SUM(c * ${lfpSql("nd", "c")}) AS BIGINT) // MAX(nd)
+       |      AS lang_entropy_1024
+       |  FROM (SELECT lang, CAST(COUNT(*) AS BIGINT) AS c,
+       |          (SELECT n_docs FROM t) AS nd
+       |        FROM dd GROUP BY lang)),
+       |sr AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+       |    CAST(SUM(sh * sh) AS BIGINT) AS source_hhi_micro
+       |  FROM (SELECT m * 1000 // GREATEST((SELECT n_tokens FROM t), 1) AS sh
+       |        FROM (SELECT source, CAST(SUM(nt) AS BIGINT) AS m
+       |              FROM dd GROUP BY source))),
+       |np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_near_dup_pairs FROM mh),
+       |ndod AS (
+       |  SELECT CAST(COUNT(DISTINCT x) AS BIGINT) AS n_near_dup_docs
+       |  FROM (SELECT doc1 AS x FROM mh UNION ALL SELECT doc2 FROM mh))
+       |SELECT n_docs, n_tokens,
+       |  n_tokens * 1000 // n_docs AS mean_doc_tokens_milli,
+       |  n_langs, lang_entropy_1024, n_sources, source_hhi_micro,
+       |  n_near_dup_pairs,
+       |  n_near_dup_docs * 1000 // n_docs AS near_dup_doc_share_milli
+       |FROM t, lg, sr, np, ndod""".stripMargin
+
   /** Pairwise language divergence — the multilingual-mixture structure
     * map next to [[textUnigramDrift]]'s source-vs-corpus reading: for
     * every language pair (a < b) the symmetric χ²-distance
@@ -2304,6 +2383,7 @@ object TextPrep {
     "text_yule_k" -> (textYuleK _),
     "text_lang_divergence" -> (textLangDivergence _),
     "data_source_hhi" -> (dataSourceHhi _),
+    "data_datasheet" -> (dataDatasheet _),
     "data_quality_length_bias" -> (dataQualityLengthBias _),
     "data_shard_rebalance" -> (dataShardRebalance _),
     "text_unigram_drift" -> (textUnigramDrift _),
@@ -2346,6 +2426,7 @@ object TextPrep {
     "text_yule_k" -> YULE_SQL,
     "text_lang_divergence" -> LANGDIV_SQL,
     "data_source_hhi" -> HHI_SQL,
+    "data_datasheet" -> DATASHEET_SQL,
     "data_quality_length_bias" -> QLBIAS_SQL,
     "data_shard_rebalance" -> REBALANCE_SQL,
     "text_unigram_drift" -> DRIFT_SQL,

@@ -59,6 +59,7 @@ class PlanAuditSpec extends SparkSpec {
     "events_did" -> "crossJoin against the single-row broadcast span/midpoint frame",
     "events_ab_cuped" -> "two single-row broadcast folds: the calendar midpoint + the pooled theta/variance frame (2×1)",
     "events_session_gap_sweep" -> "crossJoin against the single-row broadcast totals frame (6×1)",
+    "data_datasheet" -> "datasheet fold chain: six single-row broadcast crossJoins (totals × langs × sources × pair stats, all 1×1)",
     "occ_sdm_background" -> "species-dim × broadcast ≤648-cell effort grid — both sides layout constants (envelope-projection class)",
     "events_fdr_bh" -> "crossJoins against the single-row broadcast m and max-k folds (1×1)",
     "occ_sdm_auc" -> "inherits occ_sdm_background's species-dim × broadcast cell-grid cross (layout constants)",
@@ -184,6 +185,7 @@ class PlanAuditSpec extends SparkSpec {
     "events_mannwhitney_ab" -> 3, // per-user agg + mass histogram + the single-row fold; midrank window rides the |masses|-row aggregate
     "sim_graph_search_recall" -> 6, // final top-10/exact rank windows + overlap fold off the checkpointed visited/dotfp tables (search rounds all behind per-round Ckpt.capped)
     "events_session_gap_sweep" -> 4, // ONE user lag window reused by the totals fold + the 6-threshold explode agg (single-row totals frame broadcast, whitelisted)
+    "data_datasheet" -> 10, // four single-row component folds (totals/langs/sources/pairs) off the checkpointed doc-stat + pair relations; the joins are all whitelisted 1×1 crossJoins
     "graph_pagerank" -> 6, // init distinct + 5 fixed-round rank aggs off the checkpointed edges
     "events_cusum" -> 2, // per-type target agg (broadcast back) + ONE window exchange
     "data_compact_files" -> 3, // bucket totals agg + 32-row offsets window + per-bucket cumsum
