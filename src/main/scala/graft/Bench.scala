@@ -51,12 +51,33 @@ object Bench {
     // timed board a further few contention-free minutes. Bounded (3 min
     // cap) so a genuinely busy host still benches; the wait lands in the
     // JSON so the artifact says whether the gate cleared or timed out.
-    def load1: Double = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
+    // /proc/loadavg gives all three windows (the MXBean exposes only the
+    // 1-min average). r12 proved the 1-min gate alone cannot catch the
+    // post-verify-marathon state: the driver run waited 115 s, the 1-min
+    // average cleared, and the alphabetically-contiguous q27-q38 slots
+    // still spiked up to 17.8x because the 15-min average was 1.6+ and
+    // contention decayed INTO the timed board. Bound the 15-min window
+    // too (higher cap: it decays slowly by construction, so give it
+    // 10 min), and record all three in the JSON so a run that starts hot
+    // self-documents as suspect even when the gate caps out.
+    def loads: (Double, Double, Double) =
+      try {
+        val parts = scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+          .split("\\s+")
+        (parts(0).toDouble, parts(1).toDouble, parts(2).toDouble)
+      } catch { case _: Throwable =>
+        val l = java.lang.management.ManagementFactory
+          .getOperatingSystemMXBean.getSystemLoadAverage
+        (l, l, l)
+      }
     val settleT0 = System.nanoTime()
-    while (load1 > 1.0 && (System.nanoTime() - settleT0) < 180e9.toLong)
+    def settleWaited: Long = System.nanoTime() - settleT0
+    while ({ val (l1, _, l15) = loads
+             (l1 > 1.0 && settleWaited < 180e9.toLong) ||
+             (l15 > 1.5 && settleWaited < 600e9.toLong) })
       Thread.sleep(5000)
-    val settleS = (System.nanoTime() - settleT0) / 1e9
+    val settleS = settleWaited / 1e9
+    val (startL1, startL5, startL15) = loads
 
     // Untimed warm-up pass: JIT, codegen caches, parquet footers, file
     // listing — so the timed pass measures steady-state query time.
@@ -112,7 +133,7 @@ object Bench {
     // strip anything outside [0-9*,] so a quote/backslash in the env var
     // can't corrupt the JSON artifact
     val cpusSafe = cpus.filter(c => c.isDigit || c == '*' || c == ',')
-    val env = s""""load_avg":${fmt(load)},"settle_s":${fmt(settleS)},"epoch_ms":${System.currentTimeMillis()},"cpus":"$cpusSafe""""
+    val env = s""""load_avg":${fmt(load)},"load1":${fmt(startL1)},"load5":${fmt(startL5)},"load15":${fmt(startL15)},"settle_s":${fmt(settleS)},"epoch_ms":${System.currentTimeMillis()},"cpus":"$cpusSafe""""
     val json = s"""{"metric":"total","unit":"sec","sf":"$sfDir",$env,"queries":$qs,"gc_ms":$gcs,"peak_mb":$peaks,"errors":$errors,"value":${fmt(total)}}"""
     // Durable copy: survives any stdout/stderr truncation. A subset run
     // (SPARK_GRAFT_QUERIES isolation protocol) writes BENCH_SUBSET.json —

@@ -62,7 +62,16 @@ private[sources] class ClusteredTable(schema: StructType, target: String)
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_WRITE).asJava
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // Contract check up front: the writer consumes getLong(0)/getLong(1),
+    // so a one-column or non-long frame must fail with the contract
+    // spelled out, not an opaque ArrayIndexOutOfBounds deep in the task.
+    val s = info.schema()
+    require(s.length >= 2 &&
+      s.fields(0).dataType == org.apache.spark.sql.types.LongType &&
+      s.fields(1).dataType == org.apache.spark.sql.types.LongType,
+      s"ClusteredSink requires (cluster LONG, order LONG) as the first " +
+        s"two columns; got schema ${s.simpleString}")
     new WriteBuilder {
       override def build(): Write = new Write with RequiresDistributionAndOrdering {
         private val k = info.schema().fieldNames(0)
@@ -78,6 +87,7 @@ private[sources] class ClusteredTable(schema: StructType, target: String)
           new ClusteredBatchWrite(target)
       }
     }
+  }
 }
 
 private[sources] case class ClusteredCommit(

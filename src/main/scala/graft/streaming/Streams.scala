@@ -146,8 +146,13 @@ object Streams {
     * AliasPublish). Stateless by design: each arriving doc classifies
     * against the index alone, so micro-batch boundaries cannot change the
     * result and there is no unbounded pair state. The standing index
-    * applies the batch side's EXACT bucket cap (BAND_CUTOFF broadcast
-    * anti-join) before any candidate forms; the arriving doc's signature
+    * applies the batch side's BAND_CUTOFF cap computed over the INDEX
+    * HALF's buckets only (broadcast anti-join) before any candidate
+    * forms — a bucket that is <= cutoff among indexed docs but > cutoff
+    * corpus-wide makes the stream emit pairs a full-corpus batch run
+    * would drop, so cross-checks against dedup_minhash_lsh must compute
+    * the expected set with the index-side cap semantics (StreamsSpec
+    * does); the arriving doc's signature
     * is computed with the JVM mirror of the SQL md5 lattice
     * (Md5Prefix.hash60s over the same lowercase [a-z0-9]+ trigrams), so
     * stream and batch signatures are byte-identical — StreamsSpec
@@ -169,7 +174,11 @@ object Streams {
     val K = SketchQueries.K
     val seeds = SketchQueries.seeds
     val newBands = newDocs.flatMap { case (id, text) =>
-      val toks = "[a-z0-9]+".r.findAllIn(text.toLowerCase).toArray
+      // Locale.ROOT: a Turkish-style default locale lowercases 'I' to
+      // dotless 'ı' (unmatched by [a-z0-9]) and silently diverges the
+      // stream signature from Spark's locale-independent lower().
+      val toks = "[a-z0-9]+".r.findAllIn(
+        text.toLowerCase(java.util.Locale.ROOT)).toArray
       if (toks.length < 3) Iterator.empty
       else {
         val sig = Array.fill(K)(Long.MaxValue)

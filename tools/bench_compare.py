@@ -90,6 +90,10 @@ def main():
     prev_path = None
     if "--prev" in argv:
         i = argv.index("--prev")
+        if i + 1 >= len(argv) or argv[i + 1].startswith("--"):
+            print("usage: bench_compare.py [BASELINE] [CURRENT] "
+                  "[--prev BENCH_r{N-1}_full.json]")
+            return 2
         prev_path = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
     base_path = argv[0] if len(argv) > 0 else "BASELINE_BENCH.json"
