@@ -296,6 +296,62 @@ object Records {
         col("r.doc_count").as("doc_count"))
   }
 
+  /** End-to-end METADATA-DAG composition — the beam pipeline's actual
+    * task order (my_pipeline.py:1-158, biodiversity_metadata_dag.py:
+    * parse_data_records → classify_samples → portal/DWH record build →
+    * related-data collection → summary index update) run as ONE query
+    * per accession, the metadata sibling of
+    * [[graft.operators.DomainQueries.bioIngestPipeline]]:
+    *   1. classify + DWH resolve ([[dwhRecords]] — classify_samples'
+    *      specimen/symbiont/metagenome fork plus the host-walk lookup
+    *      joins; its error_message column IS the reference's
+    *      TaggedOutput("Errors") dead-letter side output) — the one
+    *      corpus-sized scan, checkpointed ONCE and consumed by both the
+    *      record rows and the summary-facet leg;
+    *   2. related-data collection (parse_data_records,
+    *      common_functions.py:38-54: experiments/assemblies/analyses/
+    *      images per sample) — ONE orders aggregate, the
+    *      [[portalRecords]] experiments shuffle and the
+    *      [[DomainQueries.metaCollectRelated]] rollup fused;
+    *   3. summary contribution (update_summary_index.py:20-63): the
+    *      top-20 phylogeny facet set recomputed from the resolved
+    *      records (vocabulary-sized → broadcast back against the rows).
+    * Each accession is classified by its FIRST failing DAG stage
+    * (dead_letter > blocked > no_related_data > indexed — the
+    * bioIngestPipeline / textCurationVerdict composition discipline;
+    * `blocked` is [[taxonRollup]]'s pathogen deny-list,
+    * map_functions.py:796-798), and the oracle nests the components'
+    * own oracle SQL as CTEs (DWH_SQL twice → AS MATERIALIZED per the
+    * CTE-inlining landmine). At 100 TB: one record scan + one orders
+    * shuffle; the facet set is 50 rows and broadcasts. */
+  def metaIngestPipeline(s: SparkSession, dir: String): DataFrame = {
+    val dwh = dwhRecords(s, dir).transform(graft.Ckpt.capped)
+    val rel = t(s, dir, "orders")
+      .groupBy(col("o_custkey").as("k"))
+      .agg(count(lit(1)).as("n_related"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L))
+          .as("n_analyses"),
+        max(col("o_orderpriority") === "1-URGENT").as("images_available"))
+    val topPhy = dwh.filter(col("error_message").isNull)
+      .groupBy("organism").agg(count(lit(1)).as("doc_count"))
+      .orderBy(col("doc_count").desc, col("organism")).limit(20)
+      .select(col("organism"), lit(true).as("in_top"))
+    dwh
+      .withColumn("k", expr("cast(substring(accession, 4) as bigint)"))
+      .join(rel, Seq("k"), "left_outer")
+      .join(broadcast(topPhy), Seq("organism"), "left_outer")
+      .select(col("accession"), col("sample_type"), col("organism"),
+        col("dwh_key"), col("tracking_system").as("tracking_status"),
+        coalesce(col("n_related"), lit(0L)).as("n_related"),
+        coalesce(col("n_analyses"), lit(0L)).as("n_analyses"),
+        coalesce(col("images_available"), lit(false)).as("images_available"),
+        coalesce(col("in_top"), lit(false)).as("in_top_phylogeny"),
+        when(col("error_message").isNotNull, "dead_letter")
+          .when(col("dwh_key").isin("624", "1773", "2697049"), "blocked")
+          .when(coalesce(col("n_related"), lit(0L)) === 0, "no_related_data")
+          .otherwise("indexed").as("status"))
+  }
+
   /** Snapshot change-set — the incremental re-index primitive behind the
     * reference's periodic index refreshes: instead of republishing the
     * whole corpus (AliasPublish's full-rebuild path), diff the new
@@ -1522,7 +1578,8 @@ object Records {
     "data_l_diversity" -> (dataLDiversity _),
     "meta_erasure_cascade" -> (metaErasureCascade _),
     "meta_article_enrich" -> (articleEnrich _),
-    "meta_genome_notes" -> (genomeNotes _))
+    "meta_genome_notes" -> (genomeNotes _),
+    "meta_ingest_pipeline" -> (metaIngestPipeline _))
 
   private val DWH_SQL =
       """WITH e AS (
@@ -1634,7 +1691,36 @@ object Records {
        |UNION ALL
        |SELECT 'Genome Notes', n_gn FROM gn""".stripMargin
 
+  private val INGEST_SQL =
+    s"""WITH dwh AS MATERIALIZED ($DWH_SQL),
+       |rel AS (
+       |  SELECT o_custkey AS k, COUNT(*) AS n_related,
+       |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_analyses,
+       |    MAX(o_orderpriority = '1-URGENT') AS images_available
+       |  FROM orders GROUP BY o_custkey),
+       |phy AS (
+       |  SELECT organism FROM (
+       |    SELECT organism,
+       |      ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, organism) AS rn
+       |    FROM dwh WHERE error_message IS NULL GROUP BY organism)
+       |  WHERE rn <= 20)
+       |SELECT d.accession, d.sample_type, d.organism, d.dwh_key,
+       |  d.tracking_system AS tracking_status,
+       |  CAST(COALESCE(r.n_related, 0) AS BIGINT) AS n_related,
+       |  COALESCE(r.n_analyses, 0) AS n_analyses,
+       |  COALESCE(r.images_available, FALSE) AS images_available,
+       |  COALESCE(d.organism IN (SELECT organism FROM phy), FALSE)
+       |    AS in_top_phylogeny,
+       |  CASE WHEN d.error_message IS NOT NULL THEN 'dead_letter'
+       |       WHEN d.dwh_key IN ('624', '1773', '2697049') THEN 'blocked'
+       |       WHEN COALESCE(r.n_related, 0) = 0 THEN 'no_related_data'
+       |       ELSE 'indexed' END AS status
+       |FROM dwh d
+       |LEFT JOIN rel r ON CAST(substr(d.accession, 4) AS BIGINT) = r.k""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "meta_ingest_pipeline" -> INGEST_SQL,
     "meta_summary_dtol" -> SUMMARYDTOL_SQL,
     "meta_gfs_retention" -> GFS_SQL,
     "meta_overlap_depth" -> OVERLAP_SQL,

@@ -339,6 +339,7 @@ class PlanAuditSpec extends SparkSpec {
     "meta_collect_related" -> 1, // ONE accession-group agg
     "meta_dedup_records" -> 1, // ONE record-hash agg shuffle
     "meta_dwh_records" -> 1, // host-walk joins broadcast; ONE agg shuffle
+    "meta_ingest_pipeline" -> 2, // dwh scan checkpointed; rel agg + record-side join shuffle (top-20 facet set broadcasts)
     "meta_portal_records" -> 1, // ONE portal-group agg
     "meta_taxon_rollup" -> 2, // taxon agg + rank rollup
     "multimodal_meta" -> 0, // narrow metadata projection: ZERO
