@@ -40,7 +40,8 @@ class KeyedSource extends TableProvider {
                         properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
     new KeyedTable(opts.getInt("groups", 8),
-      opts.getLong("rowsPerGroup", 100L), opts.getLong("seed", 0L))
+      opts.getLong("rowsPerGroup", 100L), opts.getLong("seed", 0L),
+      opts.getInt("skewSplits", 1))
   }
 }
 
@@ -58,7 +59,8 @@ object KeyedSource {
   }
 }
 
-private[sources] class KeyedTable(groups: Int, perGroup: Long, seed: Long)
+private[sources] class KeyedTable(groups: Int, perGroup: Long, seed: Long,
+                                  skewSplits: Int = 1)
     extends Table with SupportsRead {
   override def name(): String = s"keyed($groups x $perGroup, seed=$seed)"
   override def schema(): StructType = KeyedSource.schema
@@ -70,13 +72,30 @@ private[sources] class KeyedTable(groups: Int, perGroup: Long, seed: Long)
     new ScanBuilder {
       override def build(): Scan = new Scan with SupportsReportPartitioning {
         override def readSchema(): StructType = KeyedSource.schema
+        // A skewed group reports MULTIPLE input partitions sharing one
+        // partitionKey (the multi-split case
+        // partiallyClusteredDistribution.enabled exists for); the
+        // KeyGroupedPartitioning's numPartitions is the SPLIT count.
+        private val nParts = groups + (skewSplits - 1)
         override def outputPartitioning(): Partitioning =
           new KeyGroupedPartitioning(
-            Array(Expressions.identity("grp")), groups)
+            Array(Expressions.identity("grp")), nParts)
         override def toBatch: Batch = new Batch {
           override def planInputPartitions(): Array[InputPartition] =
-            (0 until groups).map(g =>
-              KeyedPart(g.toLong, perGroup, seed): InputPartition).toArray
+            (0 until groups).flatMap { g =>
+              if (g == 0 && skewSplits > 1) {
+                // group 0 split into skewSplits contiguous row ranges
+                val step = math.max(1L, perGroup / skewSplits)
+                (0 until skewSplits).map { s =>
+                  val from = s * step
+                  val until = if (s == skewSplits - 1) perGroup
+                              else (s + 1) * step
+                  KeyedPart(g.toLong, from, until, perGroup, seed)
+                    : InputPartition
+                }
+              } else Seq(KeyedPart(g.toLong, 0L, perGroup, perGroup, seed)
+                : InputPartition)
+            }.toArray
           override def createReaderFactory(): PartitionReaderFactory =
             KeyedReaderFactory
         }
@@ -84,9 +103,11 @@ private[sources] class KeyedTable(groups: Int, perGroup: Long, seed: Long)
     }
 }
 
-/** One input partition per key group; `partitionKey()` is what lets
-  * Spark line both sides' groups up without an exchange. */
-private[sources] case class KeyedPart(grp: Long, perGroup: Long, seed: Long)
+/** One input partition per key group (or per SPLIT of a skewed group);
+  * `partitionKey()` is what lets Spark line both sides' groups up
+  * without an exchange. */
+private[sources] case class KeyedPart(grp: Long, from: Long, until: Long,
+                                      perGroup: Long, seed: Long)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = InternalRow(grp)
 }
@@ -95,8 +116,8 @@ private[sources] object KeyedReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[KeyedPart]
     new PartitionReader[InternalRow] {
-      private var i = -1L
-      override def next(): Boolean = { i += 1; i < p.perGroup }
+      private var i = p.from - 1L
+      override def next(): Boolean = { i += 1; i < p.until }
       override def get(): InternalRow = {
         val (g, id, v) = KeyedSource.rowAt(p.seed, p.grp, p.perGroup, i)
         InternalRow(g, id, v)

@@ -142,4 +142,92 @@ class PlansSpec extends SparkSpec {
     assert(manual === naive)
     assert(manual.nonEmpty)
   }
+
+  private def withConfs[T](pairs: (String, String)*)(body: => T): T = {
+    val conf = spark.conf
+    val saved = pairs.map { case (k, _) => k -> conf.getOption(k) }
+    pairs.foreach { case (k, v) => conf.set(k, v) }
+    try body finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
+  test("dynamic partition pruning: a star join on a partitioned fact scans only the dim-selected partitions") {
+    // The 100 TB star-join lever the single-file testdata never
+    // exercises: a date/nation-partitioned fact joined to a filtered dim
+    // must plan a DPP subquery filter on the fact SCAN (the dim's
+    // broadcast result reused as a partition filter), so a 1000-executor
+    // job reads 3 partitions instead of 10. q19/q30-shaped.
+    spark.sql("DROP TABLE IF EXISTS dpp_fact")
+    Tables.t(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        (col("o_custkey") % 10).as("part_k"))
+      .write.partitionBy("part_k").mode("overwrite").saveAsTable("dpp_fact")
+    def star = spark.table("dpp_fact")
+      .join(spark.range(0, 10).select(col("id").as("part_k"),
+        (col("id") * 2).as("v")).filter(col("v") < 6), Seq("part_k"))
+      .groupBy("part_k").agg(count(lit(1)).as("n"))
+    withConfs(
+      "spark.sql.optimizer.dynamicPartitionPruning.enabled" -> "true") {
+      val q = star
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning"),
+        s"expected a dynamicpruning subquery on the fact scan:\n$plan")
+    }
+    withConfs(
+      "spark.sql.optimizer.dynamicPartitionPruning.enabled" -> "false") {
+      val q = star
+      q.collect()
+      assert(!q.queryExecution.executedPlan.toString.contains("dynamicpruning"),
+        "DPP filter should vanish when the optimizer flag is off")
+    }
+  }
+
+  test("AQE coalesces a small-output shuffle's partitions at runtime") {
+    // The scale posture's third AQE lever (skew split is pinned above,
+    // broadcast promotion below): an aggregate planned at 64 shuffle
+    // partitions whose output is tiny must execute through a COALESCED
+    // AQEShuffleRead — on a real cluster this is what keeps reducer
+    // counts proportional to data, not to the static conf.
+    withConfs(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "1MB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64MB",
+      "spark.sql.shuffle.partitions" -> "64") {
+      val q = Tables.t(spark, sf, "orders")
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("AQEShuffleRead coalesced"),
+        s"expected a coalesced AQEShuffleRead:\n$plan")
+    }
+  }
+
+  test("AQE promotes a statically-planned sort-merge join to broadcast when runtime stats are small") {
+    // Static stats for a filtered parquet scan are the UNFILTERED file
+    // size, so the planner picks SMJ; the shuffle's runtime map stats
+    // reveal the side is tiny and AQE replans it as a broadcast join.
+    // This is the lever that saves the 100 TB plan whose dim filter is
+    // selective in ways the optimizer cannot see statically.
+    withConfs(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "1MB") {
+      val dim = Tables.t(spark, sf, "customer")
+        .filter(col("c_custkey") % 97 === 0)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val q = Tables.t(spark, sf, "orders")
+        .join(dim, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      assert(q.queryExecution.sparkPlan.toString.contains("SortMergeJoin"),
+        "precondition: the STATIC plan must pick a sort-merge join")
+      q.collect()
+      val finalPlan = q.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("BroadcastHashJoin"),
+        s"expected AQE to promote the join to broadcast:\n$finalPlan")
+    }
+  }
 }

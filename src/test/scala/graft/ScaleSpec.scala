@@ -371,4 +371,56 @@ class ScaleSpec extends SparkSpec {
     val phys = joined.queryExecution.executedPlan.toString
     assert(phys.contains("BroadcastHashJoin"), s"expected BHJ, got:\n$phys")
   }
+
+  test("onion layers: a planted deep-peel graph labels the unreached remainder CORE, never mis-layers it") {
+    // graph_onion_layers runs fixed rounds=4 — fine on the cliquey
+    // near-dup graph, but the k-core convergence discipline demands the
+    // probe: on a graph with ≥6 HONEST peel layers (a 24-node path peels
+    // its two endpoints per round — 12 true layers under k=2), the
+    // fixed-round readout must label everything it didn't reach as core
+    // (layer 0), agree with a full-depth run on every layer it DID
+    // assign, and the full-depth run must match a driver-side peel
+    // simulation exactly.
+    import graft.operators.Graphs
+    val n = 24
+    val path = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong))
+    val clique = (for (a <- 100 to 104; b <- (a + 1) to 104)
+      yield (a.toLong, b.toLong))
+    val bridge = Seq((n - 1).toLong -> 100L) // attach path end to the core
+    val edges = (path ++ clique ++ bridge).toDF("x", "y")
+    // driver-side synchronous peel (k=2): layer t = round the node died
+    def simulate(rounds: Int): Map[Long, Long] = {
+      val adj = scala.collection.mutable.Map[Long, Set[Long]]()
+      (path ++ clique ++ bridge).foreach { case (a, b) =>
+        adj(a) = adj.getOrElse(a, Set()) + b
+        adj(b) = adj.getOrElse(b, Set()) + a
+      }
+      val layer = scala.collection.mutable.Map[Long, Long]()
+      var alive = adj.keySet.toSet
+      for (t <- 1 to rounds) {
+        val dead = alive.filter(v => (adj(v) & alive).size < 2)
+        dead.foreach(v => layer(v) = t.toLong)
+        alive = alive -- dead
+      }
+      adj.keySet.map(v => v -> layer.getOrElse(v, 0L)).toMap
+    }
+    val full = Graphs.onionLayers(edges, k = 2, rounds = 16)
+      .select("node", "layer").as[(Long, Long)].collect().toMap
+    assert(full === simulate(16), "full-depth run diverges from the driver peel")
+    assert(full.count(_._2 >= 6) > 0, "probe graph must have >= 6 honest layers")
+    val fixed = Graphs.onionLayers(edges, k = 2, rounds = 4)
+      .select("node", "layer").as[(Long, Long)].collect().toMap
+    // (a) every layer the fixed-round run assigned matches the full run
+    fixed.filter(_._2 > 0).foreach { case (v, l) =>
+      assert(full(v) === l, s"node $v mis-layered: fixed=$l full=${full(v)}")
+    }
+    // (b) everything beyond the horizon reads core (layer 0), including
+    // the path middle that a full peel would eventually drop
+    fixed.filter(_._2 == 0).foreach { case (v, _) =>
+      assert(full(v) === 0L || full(v) > 4L,
+        s"node $v with true layer ${full(v)} <= 4 leaked into the core readout")
+    }
+    // the clique + bridge-adjacent scaffolding is genuinely core at any depth
+    assert((100L to 104L).forall(v => full(v) === 0L))
+  }
 }

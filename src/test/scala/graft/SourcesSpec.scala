@@ -121,6 +121,74 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("keyed source: a skewed MULTI-SPLIT group joins exchange-free; partiallyClustered keeps the splits parallel") {
+    // The orthogonal SPJ case to the mismatched-group-count pin above:
+    // one side's group 0 arrives as FOUR input partitions sharing one
+    // partitionKey (a skewed key written across several files). Default
+    // posture groups the splits into one task per key (zero-exchange,
+    // but the skewed key serializes); with
+    // partiallyClusteredDistribution.enabled the other side's matching
+    // partition is REPLICATED across the splits instead — still
+    // zero-exchange, more tasks for the hot key.
+    val conf = spark.conf
+    val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled")
+      .map(k => k -> conf.getOption(k)).toMap
+    conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    try {
+      def skewed() = spark.read.format("graft.sources.KeyedSource")
+        .option("groups", 8).option("rowsPerGroup", 64)
+        .option("seed", 1L).option("skewSplits", 4).load()
+        .select(col("grp"), col("v_milli").as("va"))
+      def uniform() = spark.read.format("graft.sources.KeyedSource")
+        .option("groups", 8).option("rowsPerGroup", 64)
+        .option("seed", 2L).load()
+        .select(col("grp"), col("v_milli").as("vb"))
+      val expected = (0 until 8).map { g =>
+        val va = (0L until 64L).map(i =>
+          graft.sources.KeyedSource.rowAt(1L, g, 64L, i)._3)
+        val vb = (0L until 64L).map(i =>
+          graft.sources.KeyedSource.rowAt(2L, g, 64L, i)._3)
+        g.toLong -> ((64L * 64L, (for (a <- va; b <- vb) yield a + b).sum))
+      }.toMap
+      def check(): Int = {
+        // the JOIN subtree is the pin: it must plan with NO exchange on
+        // either side even though one side's group 0 is 4 splits. (A
+        // downstream groupBy re-shuffles regardless — under multi-split
+        // semantics a key's join output may legitimately span tasks, so
+        // the join output no longer satisfies the agg's clustering.)
+        val j = skewed().join(uniform(), Seq("grp"))
+        val plan = j.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"),
+          s"multi-split SPJ planned a shuffle:\n$plan")
+        val got = j.groupBy("grp").agg(count(lit(1)).as("n_pairs"),
+            sum(expr("va + vb")).as("sv")).collect()
+          .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+        assert(got === expected)
+        j.rdd.getNumPartitions
+      }
+      conf.set("spark.sql.sources.v2.bucketing" +
+        ".partiallyClusteredDistribution.enabled", "false")
+      val nGrouped = check()
+      conf.set("spark.sql.sources.v2.bucketing" +
+        ".partiallyClusteredDistribution.enabled", "true")
+      val nPartial = check()
+      info(s"join task counts: grouped=$nGrouped partiallyClustered=$nPartial")
+      // grouped posture: one task per key = 8; partially clustered keeps
+      // group 0's splits separate (8 + 4-1 = 11)
+      assert(nGrouped === 8)
+      assert(nPartial > nGrouped,
+        s"partiallyClustered should keep the skewed splits parallel " +
+          s"(grouped=$nGrouped, partial=$nPartial)")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
   test("clustered sink: Spark plans the exchange+sort the writer requires") {
     import graft.sources.ClusteredSink
     ClusteredSink.reset("t1")
