@@ -1849,6 +1849,207 @@ object DomainQueries {
       |  CAST(SUM(crossings % 2) AS BIGINT) * 1000 // COUNT(*) AS inside_milli
       |FROM per GROUP BY rid""".stripMargin)
 
+  // ---- geodesic uncertainty-buffer polygon × region intersection ----------
+  // The reference intersects the occurrence's AEQD uncertainty BUFFER with
+  // the ecoregions, not the point (transforms.py:364-460 + 747-801).
+  // Scale-4 lattice (1e-4 degree ≈ 11 m): region star vertices ×1000 are
+  // exact integers; buffer vertices floor once from the SAME double
+  // formula in both engines (products/divisions are IEEE-exact and
+  // deterministic; only the trig-derived dlo is rounded to 6 dp first —
+  // the uncertaintyBuffer/climAnnotate guard). The 8-vertex buffer is the
+  // star direction table at half-step, so its axis extent is exactly the
+  // first-order AEQD degree half-widths (dlo in lon, dla in lat — a
+  // metric CIRCLE of radius `uncert` in the local projection).
+  private def crossTermSql(x1: String, y1: String, x2: String, y2: String,
+                           px: String, py: String): String =
+    s"(case when ($y1 > $py) != ($y2 > $py) and " +
+      s"(($x1 - $px) * ($y2 - $y1) + ($x2 - $x1) * ($py - $y1)) * " +
+      s"(case when $y2 > $y1 then 1 else -1 end) > 0 then 1 else 0 end)"
+
+  private def crossProdSql(ax: String, ay: String, bx: String, by: String,
+                           cx: String, cy: String): String =
+    s"(($bx - $ax) * ($cy - $ay) - ($by - $ay) * ($cx - $ax))"
+
+  /** Proper segment crossing (strict: endpoints on the other segment's
+    * line don't count — those cases are caught by the vertex-containment
+    * parities, and strictness keeps the integer test branch-exact). */
+  private val properCrossSql: String = {
+    val c1 = crossProdSql("x1", "y1", "x2", "y2", "bx1", "by1")
+    val c2 = crossProdSql("x1", "y1", "x2", "y2", "bx2", "by2")
+    val c3 = crossProdSql("bx1", "by1", "bx2", "by2", "x1", "y1")
+    val c4 = crossProdSql("bx1", "by1", "bx2", "by2", "x2", "y2")
+    s"(case when (($c1 > 0 and $c2 < 0) or ($c1 < 0 and $c2 > 0)) " +
+      s"and (($c3 > 0 and $c4 < 0) or ($c3 < 0 and $c4 > 0)) " +
+      "then 1 else 0 end)"
+  }
+
+  private def bvxSql(k: String): String =
+    s"cast(floor((lon + ${starDx(k)} * dlo / 2) * 10000) as bigint)"
+  private def bvySql(k: String): String =
+    s"cast(floor((lat + ${starDy(k)} * dla / 2) * 10000) as bigint)"
+
+  private val bufferHitSql: String =
+    "case when " +
+      ((0 to 7).map(i =>
+        s"cast(sum(case when k = $i then bv else 0 end) as bigint) % 2 = 1") ++
+       (0 to 7).map(i =>
+        s"cast(sum(case when ek = $i then rv else 0 end) as bigint) % 2 = 1") ++
+       Seq("max(pp) = 1")).mkString(" or ") +
+      " then 1 else 0 end"
+
+  /** Per-candidate (region, occurrence) classification: does the
+    * occurrence's geodesic uncertainty-buffer POLYGON intersect the
+    * region polygon (exact integer polygon-polygon test: any buffer
+    * vertex inside the region, any region vertex inside the buffer, or
+    * any proper edge crossing — the standard completeness triple), next
+    * to the bare point-in-region parity for comparison. Factored over
+    * any occurrence-shaped frame so the boundary-straddler spec can
+    * plant points. */
+  private[graft] def bufferRegionHits(src: DataFrame, s: SparkSession): DataFrame = {
+    val rg = s.range(12).select(col("id").as("rid"))
+    val edges4 = rg
+      .select(col("rid"), explode(expr("sequence(0, 7)")).as("ek"))
+      .select(col("rid"), col("ek"),
+        expr(s"${starVx("ek")} * 1000").as("x1"),
+        expr(s"${starVy("ek")} * 1000").as("y1"),
+        expr(s"${starVx("ek + 1")} * 1000").as("x2"),
+        expr(s"${starVy("ek + 1")} * 1000").as("y2"))
+    // region→cell map widened by one 10° cell, and the exact bbox cut by
+    // 10 deci-degrees — covers any buffer extent that can still
+    // intersect (a region tops out at |lat| ≈ 73°, where an 8 km buffer
+    // spans ≤ 2.5 deci of longitude; see the margin proof in the spec)
+    val rcells = rg
+      .select(col("rid"), expr(starCx).as("cx"), expr(starCy).as("cy"),
+        expr(starRb).as("rb"))
+      .select(col("rid"), col("cx"), col("cy"), col("rb"),
+        explode(expr("sequence((cy - 2*rb + 9000) div 100 - 1, " +
+          "(cy + 2*rb + 9000) div 100 + 1)")).as("rowc"))
+      .select(col("rid"), col("cx"), col("cy"), col("rb"), col("rowc"),
+        explode(expr("sequence((cx - 2*rb + 18000) div 100 - 1, " +
+          "(cx + 2*rb + 18000) div 100 + 1)")).as("colc"))
+      .select(col("rid"), col("cx"), col("cy"), col("rb"),
+        (col("rowc") * 1000 + col("colc")).as("cellkey"))
+    val cand = src
+      .select(col("occ_id"), col("species"), col("lat"), col("lon"),
+        col("uncert"),
+        expr("cast(floor(lon * 10) as bigint)").as("px"),
+        expr("cast(floor(lat * 10) as bigint)").as("py"))
+      .withColumn("cellkey",
+        expr("((py + 9000) div 100) * 1000 + (px + 18000) div 100"))
+      .join(broadcast(rcells), Seq("cellkey"))
+      .filter(expr("px between cx - 2*rb - 10 and cx + 2*rb + 10 " +
+        "and py between cy - 2*rb - 10 and cy + 2*rb + 10"))
+      .select(col("occ_id"), col("species"), col("lat"), col("lon"),
+        col("uncert"), col("rid"))
+      .withColumn("dla", expr("greatest(uncert, 100.0) / 111320.0"))
+      .withColumn("dlo", expr("round(least(greatest(uncert, 100.0) / " +
+        "(111320.0 * cos(radians(lat))), 360.0), 6)"))
+      .withColumn("px4", expr("cast(floor(lon * 10000) as bigint)"))
+      .withColumn("py4", expr("cast(floor(lat * 10000) as bigint)"))
+    val cand8 = cand
+      .select(col("*"), explode(expr("sequence(0, 7)")).as("k"))
+      .withColumn("bx1", expr(bvxSql("k")))
+      .withColumn("by1", expr(bvySql("k")))
+      .withColumn("bx2", expr(bvxSql("k + 1")))
+      .withColumn("by2", expr(bvySql("k + 1")))
+    val terms = cand8.join(broadcast(edges4), Seq("rid"))
+      .select(col("rid"), col("occ_id"), col("species"), col("k"), col("ek"),
+        expr(crossTermSql("x1", "y1", "x2", "y2", "bx1", "by1")).as("bv"),
+        expr(crossTermSql("bx1", "by1", "bx2", "by2", "x1", "y1")).as("rv"),
+        expr(crossTermSql("x1", "y1", "x2", "y2", "px4", "py4")).as("cc"),
+        expr(properCrossSql).as("pp"))
+    terms.groupBy("rid", "occ_id", "species")
+      .agg(expr("cast(sum(case when k = 0 then cc else 0 end) as bigint) % 2")
+          .as("point_inside"),
+        expr(bufferHitSql).as("buffer_hit"))
+  }
+
+  /** The buffer-aware region join the reference actually runs — per
+    * region: candidates, bare point containment, buffer-polygon
+    * intersection, and the boundary STRADDLERS the point test misses
+    * (buffer intersects, point outside — exactly the records the
+    * reference's buffered annotation admits and a point join drops).
+    * Plan shape: [[spatialRegionJoin]]'s broadcast prefilter, one
+    * corpus scan exploded ×8 buffer vertices × 8 broadcast edges, both
+    * aggregates map-side combined; polygon and vertex counts scale the
+    * broadcast dims and the codegen width, never the corpus shuffle. */
+  def spatialBufferRegionJoin(s: SparkSession, dir: String): DataFrame =
+    bufferRegionHits(valid(s, dir), s)
+      .groupBy("rid")
+      .agg(count(lit(1)).as("n_candidates"),
+        sum("point_inside").as("n_point_inside"),
+        sum("buffer_hit").as("n_buffer_hit"),
+        sum(expr("case when buffer_hit = 1 and point_inside = 0 " +
+          "then 1 else 0 end")).as("n_straddlers"),
+        countDistinct(when(col("buffer_hit") === 1, col("species")))
+          .as("n_species_hit"))
+      .withColumn("hit_milli", expr("n_buffer_hit * 1000 div n_candidates"))
+
+  private val BUFFER_REGION_SQL: String = withSql(OCC_SQL, VALID_SQL,
+    "brg AS (SELECT range AS rid FROM range(12))",
+    s"""bedk AS (SELECT rid, unnest(generate_series(0, 7)) AS ek FROM brg),
+       |bed AS (
+       |  SELECT rid, ek,
+       |    ${starVx("ek")} * 1000 AS x1, ${starVy("ek")} * 1000 AS y1,
+       |    ${starVx("ek + 1")} * 1000 AS x2, ${starVy("ek + 1")} * 1000 AS y2
+       |  FROM bedk)""".stripMargin,
+    s"""brc0 AS (SELECT rid, $starCx AS cx, $starCy AS cy, $starRb AS rb FROM brg),
+       |brc1 AS (
+       |  SELECT rid, cx, cy, rb,
+       |    unnest(generate_series((cy - 2*rb + 9000) // 100 - 1,
+       |                           (cy + 2*rb + 9000) // 100 + 1)) AS rowc
+       |  FROM brc0),
+       |brc2 AS (
+       |  SELECT rid, cx, cy, rb, rowc,
+       |    unnest(generate_series((cx - 2*rb + 18000) // 100 - 1,
+       |                           (cx + 2*rb + 18000) // 100 + 1)) AS colc
+       |  FROM brc1),
+       |brc AS (SELECT rid, cx, cy, rb, rowc * 1000 + colc AS cellkey FROM brc2)""".stripMargin,
+    """bcand AS (
+      |  SELECT p.occ_id, p.species, p.lat, p.lon, p.uncert, r.rid,
+      |    greatest(p.uncert, 100.0) / 111320.0 AS dla,
+      |    round(least(greatest(p.uncert, 100.0) /
+      |      (111320.0 * cos(radians(p.lat))), 360.0), 6) AS dlo,
+      |    CAST(FLOOR(p.lon * 10000) AS BIGINT) AS px4,
+      |    CAST(FLOOR(p.lat * 10000) AS BIGINT) AS py4
+      |  FROM (
+      |    SELECT occ_id, species, lat, lon, uncert,
+      |      CAST(FLOOR(lon * 10) AS BIGINT) AS px,
+      |      CAST(FLOOR(lat * 10) AS BIGINT) AS py,
+      |      ((CAST(FLOOR(lat * 10) AS BIGINT) + 9000) // 100) * 1000
+      |        + (CAST(FLOOR(lon * 10) AS BIGINT) + 18000) // 100 AS cellkey
+      |    FROM valid) p
+      |  JOIN brc r USING (cellkey)
+      |  WHERE px BETWEEN cx - 2*rb - 10 AND cx + 2*rb + 10
+      |    AND py BETWEEN cy - 2*rb - 10 AND cy + 2*rb + 10)""".stripMargin,
+    s"""bverts AS (
+       |  SELECT c.*, kk.k,
+       |    ${bvxSql("k")} AS bx1, ${bvySql("k")} AS by1,
+       |    ${bvxSql("k + 1")} AS bx2, ${bvySql("k + 1")} AS by2
+       |  FROM bcand c, (SELECT unnest(generate_series(0, 7)) AS k) kk)""".stripMargin,
+    s"""bterms AS (
+       |  SELECT b.rid, b.occ_id, b.species, b.k, e.ek,
+       |    ${crossTermSql("x1", "y1", "x2", "y2", "bx1", "by1")} AS bv,
+       |    ${crossTermSql("bx1", "by1", "bx2", "by2", "x1", "y1")} AS rv,
+       |    ${crossTermSql("x1", "y1", "x2", "y2", "px4", "py4")} AS cc,
+       |    $properCrossSql AS pp
+       |  FROM bverts b JOIN bed e USING (rid))""".stripMargin,
+    s"""bper AS (
+       |  SELECT rid, occ_id, species,
+       |    CAST(SUM(CASE WHEN k = 0 THEN cc ELSE 0 END) AS BIGINT) % 2
+       |      AS point_inside,
+       |    $bufferHitSql AS buffer_hit
+       |  FROM bterms GROUP BY rid, occ_id, species)""".stripMargin)(
+    """SELECT rid, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+      |  CAST(SUM(point_inside) AS BIGINT) AS n_point_inside,
+      |  CAST(SUM(buffer_hit) AS BIGINT) AS n_buffer_hit,
+      |  CAST(SUM(CASE WHEN buffer_hit = 1 AND point_inside = 0
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers,
+      |  CAST(COUNT(DISTINCT CASE WHEN buffer_hit = 1 THEN species END)
+      |    AS BIGINT) AS n_species_hit,
+      |  CAST(SUM(buffer_hit) AS BIGINT) * 1000 // COUNT(*) AS hit_milli
+      |FROM bper GROUP BY rid""".stripMargin)
+
   /** Global Moran's I spatial autocorrelation of log-abundance over the
     * 10°-grid — the CONTINUOUS-surface clustering statistic next to
     * [[occHotspotAdjacency]]'s binary join counts: do cells with
@@ -2488,6 +2689,7 @@ object DomainQueries {
     "cleaning_summary" -> (cleaningSummary _),
     "bio_ingest_pipeline" -> (bioIngestPipeline _),
     "spatial_region_join" -> (spatialRegionJoin _),
+    "spatial_buffer_region_join" -> (spatialBufferRegionJoin _),
     "events_tumbling" -> (eventsTumbling _),
     "events_hopping" -> (eventsHopping _),
     "events_session_window" -> (eventsSessionWindow _),
@@ -3252,6 +3454,7 @@ object DomainQueries {
         |LEFT JOIN rng USING (species)
         |LEFT JOIN provsp USING (species)""".stripMargin),
     "spatial_region_join" -> REGION_JOIN_SQL,
+    "spatial_buffer_region_join" -> BUFFER_REGION_SQL,
     "events_session_gap_sweep" -> GAP_SWEEP_SQL,
     "cleaning_summary" -> withSql(OCC_SQL, VALID_SQL, LAND_SQL, CENT_SQL, CLEANED_SQL)(
       """SELECT t.species, total_records,

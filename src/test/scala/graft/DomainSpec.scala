@@ -1261,4 +1261,39 @@ class DomainSpec extends SparkSpec {
     }
   }
 
+  test("buffer-region join: a boundary-straddling point hits via its buffer, interior and far points behave") {
+    // Region 0 is the star centered (-150°, -50°) with east axis vertex
+    // at exactly (-142°, -50°). Three planted occurrences:
+    //  p1 at the center — point_inside AND buffer_hit;
+    //  p2 at (-141.95°, -50°), 0.05° EAST of the vertex, uncert 5000 m —
+    //     dlo ≈ 0.0699°, so the buffer's west vertex pokes ~0.02° into
+    //     the star wedge while the point itself is outside: the
+    //     boundary straddler the bare point join drops and the
+    //     reference's buffered annotation keeps;
+    //  p3 far from every region — must produce NO candidate row at all
+    //     (the broadcast prefilter, not the exact test, removes it).
+    import spark.implicits._
+    val pts = Seq(
+      (1L, "sp_a", -50.0, -150.0, 2000.0),
+      (2L, "sp_b", -50.0, -141.95, 5000.0),
+      (3L, "sp_c", 80.0, 170.0, 5000.0))
+      .toDF("occ_id", "species", "lat", "lon", "uncert")
+    val got = operators.DomainQueries.bufferRegionHits(pts, spark)
+      .select("rid", "occ_id", "point_inside", "buffer_hit")
+      .as[(Long, Long, Long, Int)].collect()
+    val r0 = got.filter(r => r._1 == 0L)
+    assert(r0.exists(r => r._2 == 1L && r._3 == 1L && r._4 == 1),
+      s"interior point must read inside+hit: ${got.mkString(", ")}")
+    assert(r0.exists(r => r._2 == 2L && r._3 == 0L && r._4 == 1),
+      s"straddler must read outside+hit: ${got.mkString(", ")}")
+    assert(!got.exists(_._2 == 3L), "far point must not be a candidate")
+    // the straddler with a SMALL buffer (500 m => dlo ~ 0.007°) stays a
+    // clean miss — the hit above is the buffer's doing, not slack
+    val tight = Seq((4L, "sp_d", -50.0, -141.95, 500.0))
+      .toDF("occ_id", "species", "lat", "lon", "uncert")
+    val tg = operators.DomainQueries.bufferRegionHits(tight, spark)
+      .select("occ_id", "buffer_hit").as[(Long, Int)].collect()
+    assert(tg.forall(_._2 == 0), s"tight buffer must miss: ${tg.mkString(", ")}")
+  }
+
 }
