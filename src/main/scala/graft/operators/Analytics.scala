@@ -7027,7 +7027,152 @@ object Analytics {
       |    THEN 1 ELSE 0 END AS BIGINT) AS significant_flag
       |FROM f""".stripMargin
 
+  /** Fano-factor over-dispersion index per event type — the Poisson
+    * null check every rate alarm upstream (spc/cusum/page-hinkley)
+    * silently assumes: D = Var/mean of the per-day counts, 1000 for a
+    * Poisson stream, >1000 over-dispersed (bursty days), <1000
+    * under-dispersed (throttled/quota-shaped). Divide-by-n-FIRST exact
+    * lattice: m = S div n, v = (S2 div n) − m² — v ≥ 0 is guaranteed
+    * (floor of S2/n can never drop below the integer (S div n)²), so
+    * the flooring divisions only ever see non-negative operands at ANY
+    * corpus size where the SPC cross-multiplied form would overflow.
+    * One (type, day) aggregate, then a |types|-row fold. */
+  def eventsPoissonDispersion(s: SparkSession, dir: String): DataFrame =
+    DomainQueries.events(s, dir)
+      .select(col("event_type"), expr(s"ts_ns div $DAY_NS").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum("c").as("sc"), sum(expr("c * c")).as("sc2"),
+        max("c").as("max_day"))
+      .select(col("event_type"), col("n_days"),
+        expr("sc div n_days").as("mean_daily"),
+        expr("(sc2 div n_days) - (sc div n_days) * (sc div n_days)")
+          .as("var_daily"),
+        when(expr("sc div n_days") > 0,
+          expr("((sc2 div n_days) - (sc div n_days) * (sc div n_days))" +
+            " * 1000 div (sc div n_days)")).as("fano_milli"),
+        col("max_day"))
+
+  private val POISSON_DISP_SQL =
+    """WITH d AS (
+      |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |a AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+      |    CAST(SUM(c) AS BIGINT) AS sc, CAST(SUM(c * c) AS BIGINT) AS sc2,
+      |    CAST(MAX(c) AS BIGINT) AS max_day
+      |  FROM d GROUP BY 1)
+      |SELECT event_type, n_days, sc // n_days AS mean_daily,
+      |  (sc2 // n_days) - (sc // n_days) * (sc // n_days) AS var_daily,
+      |  CASE WHEN sc // n_days > 0 THEN
+      |    ((sc2 // n_days) - (sc // n_days) * (sc // n_days)) * 1000
+      |      // (sc // n_days) END AS fano_milli,
+      |  max_day
+      |FROM a""".stripMargin
+
+  /** The Lorenz curve behind [[eventsUserGini]]'s single number — the
+    * full decile table an auditor actually reads (which tenth of users
+    * produces which share of events): users ranked ascending by
+    * activity on the exact (value, key) lattice, decile = (rank−1)·10
+    * div n, then per decile the user/event counts and the cumulative
+    * event share. The rank uses [[Scale.bucketOffsets]]' two-level
+    * distributed prefix sum — no global row_number window at corpus
+    * scale; the 10-row cumulative fold is a trivially tiny window. */
+  def eventsLorenzDeciles(s: SparkSession, dir: String): DataFrame = {
+    val u = DomainQueries.events(s, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("x"))
+      .withColumn("bkt", col("x")).withColumn("cnt", lit(1L))
+    val offsets = Scale.bucketOffsets(u, "bkt", Seq("cnt"))
+    val ranked = u.join(broadcast(offsets), Seq("bkt"))
+      .withColumn("rank",
+        row_number().over(Window.partitionBy("bkt").orderBy("user_id"))
+          .cast("long") + col("cnt_off"))
+      .select("user_id", "x", "rank")
+      .transform(graft.Ckpt.capped) // totals fold + decile agg both read it
+    val tot = ranked.agg(count(lit(1)).as("n_users"),
+      sum("x").as("total_events"))
+    val dec = ranked.crossJoin(broadcast(tot))
+      .groupBy(expr("(rank - 1) * 10 div n_users").as("decile"),
+        col("total_events"))
+      .agg(count(lit(1)).as("n_users_bin"), sum("x").as("n_events"))
+    dec
+      .withColumn("cum_events",
+        sum("n_events").over(Window.orderBy("decile")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("decile"), col("n_users_bin"), col("n_events"),
+        col("cum_events"),
+        expr("cum_events * 1000 div total_events").as("cum_share_milli"))
+  }
+
+  private val LORENZ_SQL =
+    """WITH u AS (
+      |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM events GROUP BY user_id),
+      |r AS (
+      |  SELECT x,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY x, user_id) AS BIGINT) AS rank,
+      |    CAST(COUNT(*) OVER () AS BIGINT) AS n_users,
+      |    CAST(SUM(x) OVER () AS BIGINT) AS total_events
+      |  FROM u),
+      |d AS (
+      |  SELECT (rank - 1) * 10 // n_users AS decile,
+      |    CAST(COUNT(*) AS BIGINT) AS n_users_bin,
+      |    CAST(SUM(x) AS BIGINT) AS n_events,
+      |    MAX(total_events) AS total_events
+      |  FROM r GROUP BY 1)
+      |SELECT decile, n_users_bin, n_events,
+      |  CAST(SUM(n_events) OVER (ORDER BY decile
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_events,
+      |  CAST(SUM(n_events) OVER (ORDER BY decile
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    * 1000 // total_events AS cum_share_milli
+      |FROM d""".stripMargin
+
+  /** Peak-to-mean load factor per event type — the capacity-planning
+    * number next to [[eventsPeakConcurrency]]'s session view: hourly
+    * counts, their max against their mean (peak_milli = max·n·1000 div
+    * S, exact — the ×n form multiplies BEFORE any floor so no
+    * mean-rounding bias), plus the busiest hour id (min id on ties,
+    * deterministic) via one max_by struct. One (type, hour) aggregate
+    * + a |types|-row fold — two shuffles total. */
+  def eventsPeakToMean(s: SparkSession, dir: String): DataFrame =
+    DomainQueries.events(s, dir)
+      .select(col("event_type"), expr(s"ts_ns div $HOUR_NS").as("hour_id"))
+      .groupBy("event_type", "hour_id").agg(count(lit(1)).as("c"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"), sum("c").as("sc"), max("c").as("peak"),
+        // one scalar tie-break key (DuckDB 1.0 arg_max takes no LIST/
+        // struct key): hour_id < 2^20 for any epoch this side of 2089,
+        // so c*2^20 - hour_id orders by count then MIN hour id, exact
+        // while c < 2^43 per (type, hour)
+        max_by(col("hour_id"),
+          expr("c * 1048576 - hour_id")).as("peak_hour"))
+      .select(col("event_type"), col("n_hours"), col("peak"), col("peak_hour"),
+        expr("sc div n_hours").as("mean_hourly"),
+        expr("peak * n_hours * 1000 div sc").as("peak_to_mean_milli"))
+
+  private val PEAK_SQL =
+    """WITH h AS (
+      |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour_id,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |a AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+      |    CAST(SUM(c) AS BIGINT) AS sc, CAST(MAX(c) AS BIGINT) AS peak,
+      |    arg_max(hour_id, c * 1048576 - hour_id) AS peak_hour
+      |  FROM h GROUP BY 1)
+      |SELECT event_type, n_hours, peak, peak_hour,
+      |  sc // n_hours AS mean_hourly,
+      |  peak * n_hours * 1000 // sc AS peak_to_mean_milli
+      |FROM a""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "events_poisson_dispersion" -> (eventsPoissonDispersion _),
+    "events_lorenz_deciles" -> (eventsLorenzDeciles _),
+    "events_peak_to_mean" -> (eventsPeakToMean _),
     "events_welch_t" -> (eventsWelchT _),
     "events_did" -> (eventsDid _),
     "events_ab_cuped" -> (eventsAbCuped _),
@@ -7147,6 +7292,9 @@ object Analytics {
     "data_interleave_sources" -> (dataInterleaveSources _))
 
   val oracle: Map[String, String] = Map(
+    "events_poisson_dispersion" -> POISSON_DISP_SQL,
+    "events_lorenz_deciles" -> LORENZ_SQL,
+    "events_peak_to_mean" -> PEAK_SQL,
     "events_welch_t" -> WELCH_SQL,
     "events_did" -> DID_SQL,
     "events_ab_cuped" -> CUPED_SQL,

@@ -846,7 +846,52 @@ object CoreQueries {
       .withColumn("late_milli", expr("n_late_orders * 1000 div n_orders"))
   }
 
+  /** Per-supplier ship-delay variance — the fulfilment-consistency
+    * league table (q28 reads the latency LEVEL per nation; this reads
+    * each supplier's VARIANCE — the metric a procurement team actually
+    * ranks on, a supplier who is always 30 days late beats one who is
+    * 0-or-60): delay = datediff(shipdate, orderdate), which goes
+    * NEGATIVE in this corpus, so the lattice shifts by +4000 days
+    * first (variance is shift-invariant; Spark div truncates toward
+    * zero while DuckDB // floors, and they only agree on non-negative
+    * operands — the Mann–Kendall abs() rule). Divide-by-n-first exact
+    * form: v = (S2 div n) − (S div n)² ≥ 0 by construction. Plan: the
+    * orderkey join carries only (orderkey, date) against (orderkey,
+    * suppkey, date) — never full width; one join + one |suppliers|-row
+    * aggregate. */
+  def q41(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_shipdate"))
+      .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey"),
+        (datediff(col("l_shipdate"), col("o_orderdate")) + lit(4000))
+          .cast("long").as("d"))
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n_items"), sum("d").as("sd"),
+        sum(expr("d * d")).as("sd2"))
+      .select(col("l_suppkey"), col("n_items"),
+        expr("sd div n_items - 4000").as("mean_delay_days"),
+        expr("(sd2 div n_items) - (sd div n_items) * (sd div n_items)")
+          .as("var_delay_days2"))
+
+  private val Q41_SQL =
+    """WITH d AS (
+      |  SELECT l_suppkey,
+      |    CAST(date_diff('day', o_orderdate, l_shipdate) + 4000 AS BIGINT) AS d
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |a AS (
+      |  SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_items,
+      |    CAST(SUM(d) AS BIGINT) AS sd, CAST(SUM(d * d) AS BIGINT) AS sd2
+      |  FROM d GROUP BY 1)
+      |SELECT l_suppkey, n_items,
+      |  sd // n_items - 4000 AS mean_delay_days,
+      |  (sd2 // n_items) - (sd // n_items) * (sd // n_items)
+      |    AS var_delay_days2
+      |FROM a""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q41_ship_delay_variance" -> (q41 _),
     "q39_late_order_priority" -> (q39 _),
     "q40_brand_type_share" -> (q40 _),
     "q19_star_join" -> (q19 _),
@@ -893,6 +938,7 @@ object CoreQueries {
   private val DP = "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))"
 
   val oracle: Map[String, String] = Map(
+    "q41_ship_delay_variance" -> Q41_SQL,
     "q40_brand_type_share" ->
       s"""WITH g AS (
          |  SELECT p_brand, p_type, SUM($DP) AS rev_dec,

@@ -2654,9 +2654,95 @@ object DomainQueries {
       |  wins2 * 1000 // (2 * n_presence * n_background) AS auc_milli
       |FROM au""".stripMargin)
 
+  /** SDM reliability diagram — the calibration table next to
+    * [[occSdmAuc]]'s discrimination number (a model can rank perfectly
+    * and still be miscalibrated; the reliability curve is what says
+    * whether score 0.8 MEANS 80%): presences and the [[occSdmBackground]]
+    * pseudo-absences pooled, suitability scores (the AUC lattice,
+    * −|T₁₀ − T̄_sp| ∈ [−4000, 0]) quantized into 5 fixed bins by pure
+    * integer arithmetic, then per bin the pooled count, presence count
+    * and observed presence rate. On the species⊥location driver corpus
+    * the curve correctly reads FLAT at the pooled base rate — the null
+    * an honest calibration must show; real data feeds the same lattice.
+    * Tiny relation sizes throughout (≤ |species|·(n₁+8) rows). */
+  def occSdmCalibration(s: SparkSession, dir: String): DataFrame = {
+    val bg = occSdmBackground(s, dir)
+      .select(col("species"), col("cellid").as("bcell"))
+    val pres = valid(s, dir)
+      .withColumn("cellid", cell10(col("lat"), col("lon")))
+      .select("species", "cellid").distinct()
+      .transform(graft.Ckpt.capped)
+    val tbar = pres.groupBy("species")
+      .agg(expr("sum(cellid * 7919 % 4000) div count(1)").as("tbar"))
+    val scored = pres.join(broadcast(tbar), Seq("species"))
+      .select(expr("-abs(cellid * 7919 % 4000 - tbar)").as("sc"),
+        lit(1L).as("is_pres"))
+      .unionByName(bg.join(broadcast(tbar), Seq("species"))
+        .select(expr("-abs(bcell * 7919 % 4000 - tbar)").as("sc"),
+          lit(0L).as("is_pres")))
+    scored
+      .groupBy(expr("(sc + 4000) * 5 div 4001").as("score_bin"))
+      .agg(count(lit(1)).as("n_pooled"), sum("is_pres").as("n_presence"))
+      .withColumn("presence_rate_milli",
+        expr("n_presence * 1000 div n_pooled"))
+  }
+
+  private val SDM_CAL_SQL = withSql(OCC_SQL, VALID_SQL, SDM_CTES,
+    """bgc2 AS (SELECT species, cellid AS bcell FROM rk WHERE bg_rank <= 8),
+      |tb2 AS (SELECT species,
+      |          CAST(SUM(cellid * 7919 % 4000) AS BIGINT)
+      |            // CAST(COUNT(*) AS BIGINT) AS tbar
+      |        FROM pres GROUP BY 1),
+      |sc2 AS (
+      |  SELECT -abs(p.cellid * 7919 % 4000 - tbar) AS sc,
+      |    CAST(1 AS BIGINT) AS is_pres
+      |  FROM pres p JOIN tb2 USING (species)
+      |  UNION ALL
+      |  SELECT -abs(b.bcell * 7919 % 4000 - tbar) AS sc,
+      |    CAST(0 AS BIGINT) AS is_pres
+      |  FROM bgc2 b JOIN tb2 USING (species))""".stripMargin)(
+    """SELECT (sc + 4000) * 5 // 4001 AS score_bin,
+      |  CAST(COUNT(*) AS BIGINT) AS n_pooled,
+      |  CAST(SUM(is_pres) AS BIGINT) AS n_presence,
+      |  CAST(SUM(is_pres) AS BIGINT) * 1000 // COUNT(*)
+      |    AS presence_rate_milli
+      |FROM sc2 GROUP BY 1""".stripMargin)
+
+  /** The buffered biogeo ANNOTATION rollup — the reference's actual
+    * output shape for AnnotateWithBiogeoFn (buffer ∩ ecoregions →
+    * sorted distinct region list per record, rolled to the species/
+    * accession grain like biogeo_summary): per species, occurrences
+    * with any buffer-region intersection and the NUMERICALLY sorted
+    * distinct region-id list their buffers touch. Rides
+    * [[bufferRegionHits]] (exact polygon-polygon machinery); the list
+    * aggregation shuffles ≤ |species × regions| rows. */
+  def spatialBufferBiogeo(s: SparkSession, dir: String): DataFrame =
+    bufferRegionHits(valid(s, dir), s)
+      .filter(col("buffer_hit") === 1)
+      .groupBy("species")
+      .agg(countDistinct("occ_id").as("n_occ_hit"),
+        countDistinct("rid").as("n_regions"),
+        array_join(expr("transform(array_sort(collect_set(rid)), " +
+          "x -> cast(x as string))"), ",").as("regions"))
+
+  private val BUFFER_BIOGEO_SQL: String = {
+    // reuse the full BUFFER_REGION_SQL CTE chain up to bper
+    val upto = BUFFER_REGION_SQL.substring(0,
+      BUFFER_REGION_SQL.lastIndexOf("SELECT rid, CAST(COUNT(*)"))
+    upto +
+      """SELECT species,
+        |  CAST(COUNT(DISTINCT occ_id) AS BIGINT) AS n_occ_hit,
+        |  CAST(COUNT(DISTINCT rid) AS BIGINT) AS n_regions,
+        |  array_to_string(list_sort(list(DISTINCT rid)), ',') AS regions
+        |FROM bper WHERE buffer_hit = 1
+        |GROUP BY species""".stripMargin
+  }
+
   // -------------------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "occ_sdm_calibration" -> (occSdmCalibration _),
+    "spatial_buffer_biogeo" -> (spatialBufferBiogeo _),
     "occ_sdm_background" -> (occSdmBackground _),
     "occ_sdm_auc" -> (occSdmAuc _),
     "occ_chao2_richness" -> (occChao2Richness _),
@@ -3455,6 +3541,8 @@ object DomainQueries {
         |LEFT JOIN provsp USING (species)""".stripMargin),
     "spatial_region_join" -> REGION_JOIN_SQL,
     "spatial_buffer_region_join" -> BUFFER_REGION_SQL,
+    "spatial_buffer_biogeo" -> BUFFER_BIOGEO_SQL,
+    "occ_sdm_calibration" -> SDM_CAL_SQL,
     "events_session_gap_sweep" -> GAP_SWEEP_SQL,
     "cleaning_summary" -> withSql(OCC_SQL, VALID_SQL, LAND_SQL, CENT_SQL, CLEANED_SQL)(
       """SELECT t.species, total_records,

@@ -64,7 +64,9 @@ class PlanAuditSpec extends SparkSpec {
     "events_fdr_bh" -> "crossJoins against the single-row broadcast m and max-k folds (1×1)",
     "occ_sdm_auc" -> "inherits occ_sdm_background's species-dim × broadcast cell-grid cross (layout constants)",
     "occ_chao2_richness" -> "crossJoin against the single-row broadcast m fold (1×1)",
-    "events_logrank" -> "crossJoin of the two single-row arm/term folds (1×1)")
+    "events_logrank" -> "crossJoin of the two single-row arm/term folds (1×1)",
+    "events_lorenz_deciles" -> "crossJoin against the single-row broadcast totals fold (1×|users|, user_gini class)",
+    "occ_sdm_calibration" -> "inherits occ_sdm_background's species-dim × broadcast cell-grid cross (layout constants)")
 
   test("no query plans a nested-loop or cartesian join outside the whitelist") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -168,6 +170,7 @@ class PlanAuditSpec extends SparkSpec {
     "events_fdr_bh" -> 1, // final max-k fold off the checkpointed ≤m-row ranked table (MK pair join behind Ckpt.capped)
     "events_kleinberg_burst" -> 1, // one per-type fold off the checkpointed (type, hour) agg (calendar join rides it)
     "occ_sdm_auc" -> 4, // background picks (2, sdm shape) + species tbar agg + the pair-join AUC rollup
+    "occ_sdm_calibration" -> 5, // background picks (2) + tbar agg + pooled union legs + 5-bin rollup
     "occ_chao2_richness" -> 4, // m distinct fold + species incidence rollup + the two-level q agg (incidence behind Ckpt.capped)
     "data_l_diversity" -> 2, // (class, sensitive) agg + the class rollup (window rides the first exchange)
     "events_logrank" -> 3, // day table agg + at-risk suffix window + the single-row term fold (marks behind Ckpt.capped)
@@ -177,6 +180,7 @@ class PlanAuditSpec extends SparkSpec {
     "data_salted_join_audit" -> 3, // forced-SMJ fact+dim exchanges on (key, salt) — the mitigation plan itself — + final heavy rollup; per-(key,salt) agg rides the join partitioning; heavy set behind Ckpt.capped
     "spatial_region_join" -> 3, // parity agg on prefiltered candidates + region rollup + its single-distinct species leg; cell map and edge relation both broadcast
     "spatial_buffer_region_join" -> 3, // same triple as spatial_region_join over the x8-vertex grid; cell map and edge relation broadcast
+    "spatial_buffer_biogeo" -> 3, // bufferRegionHits pair agg + species rollup legs; broadcast dims throughout
     "events_ab_cuped" -> 2, // global pooled fold + 2-row arm fold off the checkpointed per-user table; midpoint + theta frames broadcast (whitelisted 1-row crossJoins)
     "events_theil_sen" -> 2, // pair-rank window + median pick agg off the checkpointed daily table (MK pair-join class); n_days rollup broadcasts back
     "text_lz_complexity" -> 0, // pure narrow scan projection: the whole LZ78 parse runs inside the codegen Expression
@@ -462,6 +466,7 @@ class PlanAuditSpec extends SparkSpec {
     "data_source_hhi" -> 2, // (lang,source) agg + lang-total window on the aggregate
     "data_quality_length_bias" -> 1, // narrow codegen projection + ONE |sources|-row agg
     "q39_late_order_priority" -> 2, // late-key semi join + priority aggs; AQE broadcasts the key set
+    "q41_ship_delay_variance" -> 1, // narrow date projections broadcast-join at gate scale; ONE supplier agg shuffle
     "sim_embedding_outliers" -> 2, // rank/count windows ride ONE cluster exchange; median joins back broadcast
     "occ_envelope_projection" -> 5, // envelope agg + observed 2-step distinct + suitability agg off the generated raster
     "text_prf_expansion" -> 3, // bm25 feedback set checkpointed (3 rows); (doc,w) agg + doc window + vocab rank
@@ -482,6 +487,9 @@ class PlanAuditSpec extends SparkSpec {
     "graph_two_hop_reach" -> 5, // canonical edges checkpointed; wedge join + distinct + deg agg + reach join
     "text_term_burstiness" -> 2, // (term,doc) agg + vocab rollup; rank window rides the ≤|vocab|-row aggregate
     "events_user_gini" -> 2, // user agg + bucket-rank exchange (offsets broadcast); folds read the checkpoint, 1-row crossJoin whitelisted
+    "events_lorenz_deciles" -> 3, // user agg + bucket-rank exchange + the 10-row cumulative window; ranked checkpointed, totals crossJoin whitelisted
+    "events_poisson_dispersion" -> 2, // (type, day) agg + |types|-row fold
+    "events_peak_to_mean" -> 2, // (type, hour) agg + |types|-row max_by fold
     "spatial_zone_pruning_audit" -> 2, // two aggs of one codegen scan; 16×32 envelope BNLJ whitelisted (layout constants)
     "text_textrank_keywords" -> 6, // doc window + pair agg at build (checkpointed); 5 weighted-PR rounds each a tiny join+agg — returned plan: round-5 join+agg off the checkpoint
     "events_silence_streaks" -> 2, // (type,day) agg; lag window + final agg ride ONE event_type exchange
