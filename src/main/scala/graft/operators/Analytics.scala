@@ -7169,7 +7169,130 @@ object Analytics {
       |  peak * n_hours * 1000 // sc AS peak_to_mean_milli
       |FROM a""".stripMargin
 
+  /** Hurst exponent by rescaled-range analysis over the daily count
+    * series per event type — the long-memory readout the dispersion/
+    * autocorr family can't give (is today's load correlated with last
+    * week's, or is the stream memoryless?): H ≈ 0.5 memoryless,
+    * H → 1 trending/persistent, H < 0.5 mean-reverting. Exact integer
+    * lattice end-to-end: the per-type day calendar is densified
+    * (missing days are honest zeros), split into complete
+    * non-overlapping windows of w ∈ {8, 16}; inside a window the
+    * deviations are pre-scaled by w (e = w·x − S, so the cumulative
+    * walk is integer and ends at exactly 0 — max ≥ 0 ≥ min for free),
+    * (R/S)²·1000 = (cmax−cmin)²·1000 div (w·Σx² − S²) with no sqrt
+    * ever taken (squares cancel the ratio), window means are floor
+    * divisions, and the one-octave slope H = ½·log₂(rs²₁₆/rs²₈) runs
+    * through the exact [[graft.functions.Log2Fp]] lattice (sign split
+    * keeps 1 ≤ c ≤ T). Plan: one (type, day) aggregate; everything
+    * after is calendar-sized (≤ |types|·days rows) — tiny windows, no
+    * corpus-sized shuffle beyond the first. */
+  def eventsHurstRs(s: SparkSession, dir: String): DataFrame = {
+    val days = DomainQueries.events(s, dir)
+      .select(col("event_type"), expr(s"ts_ns div $DAY_NS").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+    val cal = days.groupBy("event_type")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("event_type"), col("d0"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(days, Seq("event_type", "day"), "left_outer")
+      .select(col("event_type"), (col("day") - col("d0")).as("idx"),
+        coalesce(col("c"), lit(0L)).as("x"))
+    val win = cal
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      .select(col("*"), explode(expr("array(8L, 16L)")).as("w"))
+      .filter(expr("(idx div w + 1) * w <= n"))
+      .withColumn("j", expr("idx div w"))
+      .transform(graft.Ckpt.capped) // window stats + cumsum legs both read it
+    val stats = win.groupBy("event_type", "w", "j")
+      .agg(sum("x").as("sw"), sum(expr("x * x")).as("sx2"))
+    val rs = win.join(stats, Seq("event_type", "w", "j"))
+      .withColumn("e", expr("w * x - sw"))
+      .withColumn("ck", sum("e").over(
+        Window.partitionBy("event_type", "w", "j").orderBy("idx")))
+      .groupBy("event_type", "w", "j")
+      .agg(max("ck").as("cmax"), min("ck").as("cmin"),
+        max(expr("w * sx2 - sw * sw")).as("den"))
+      .filter(col("den") > 0)
+      .select(col("event_type"), col("w"),
+        expr("(cmax - cmin) * (cmax - cmin) * 1000 div den").as("rs2_milli"))
+      .groupBy("event_type", "w")
+      .agg(expr("sum(rs2_milli) div count(1)").as("rs2"))
+    import graft.functions.Log2Fp
+    rs.groupBy("event_type")
+      .agg(greatest(max(when(col("w") === 8, col("rs2"))), lit(1L)).as("rs2_w8"),
+        greatest(max(when(col("w") === 16, col("rs2"))), lit(1L)).as("rs2_w16"))
+      .select(col("event_type"), col("rs2_w8"), col("rs2_w16"),
+        when(col("rs2_w16") >= col("rs2_w8"),
+          Log2Fp(col("rs2_w16"), col("rs2_w8")))
+          .otherwise(-Log2Fp(col("rs2_w8"), col("rs2_w16")))
+          .as("slope_1024"))
+      .withColumn("hurst_1024",
+        expr("case when slope_1024 >= 0 then slope_1024 div 2 " +
+          "else -((-slope_1024) div 2) end"))
+  }
+
+  private lazy val HURST_SQL = {
+    val lfp = TextPrep.lfpSql _
+    s"""WITH d AS (
+       |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM events GROUP BY 1, 2),
+       |bounds AS (
+       |  SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+       |  FROM d GROUP BY 1),
+       |calg AS (
+       |  SELECT event_type, d0, unnest(generate_series(d0, d1)) AS day
+       |  FROM bounds),
+       |cal AS (
+       |  SELECT g.event_type, g.day - g.d0 AS idx,
+       |    COALESCE(d.c, 0) AS x,
+       |    CAST(COUNT(*) OVER (PARTITION BY g.event_type) AS BIGINT) AS n
+       |  FROM calg g LEFT JOIN d USING (event_type, day)),
+       |win AS (
+       |  SELECT c.event_type, c.idx, c.x, w.w, c.idx // w.w AS j
+       |  FROM cal c, (SELECT unnest([CAST(8 AS BIGINT),
+       |                              CAST(16 AS BIGINT)]) AS w) w
+       |  WHERE (c.idx // w.w + 1) * w.w <= c.n),
+       |st AS (
+       |  SELECT event_type, w, j, CAST(SUM(x) AS BIGINT) AS sw,
+       |    CAST(SUM(x * x) AS BIGINT) AS sx2
+       |  FROM win GROUP BY 1, 2, 3),
+       |cu AS (
+       |  SELECT win.event_type, win.w, win.j,
+       |    CAST(SUM(win.w * win.x - st.sw) OVER (
+       |      PARTITION BY win.event_type, win.w, win.j
+       |      ORDER BY win.idx) AS BIGINT) AS ck,
+       |    st.sx2, st.sw
+       |  FROM win JOIN st USING (event_type, w, j)),
+       |rsw AS (
+       |  SELECT event_type, w,
+       |    (MAX(ck) - MIN(ck)) * (MAX(ck) - MIN(ck)) * 1000
+       |      // (w * MAX(sx2) - MAX(sw) * MAX(sw)) AS rs2_milli
+       |  FROM cu GROUP BY event_type, w, j
+       |  HAVING w * MAX(sx2) - MAX(sw) * MAX(sw) > 0),
+       |rs AS (
+       |  SELECT event_type, w,
+       |    CAST(SUM(rs2_milli) AS BIGINT) // COUNT(*) AS rs2
+       |  FROM rsw GROUP BY 1, 2),
+       |p AS (
+       |  SELECT event_type,
+       |    GREATEST(MAX(CASE WHEN w = 8 THEN rs2 END), 1) AS rs2_w8,
+       |    GREATEST(MAX(CASE WHEN w = 16 THEN rs2 END), 1) AS rs2_w16
+       |  FROM rs GROUP BY 1),
+       |sl AS (
+       |  SELECT event_type, rs2_w8, rs2_w16,
+       |    CASE WHEN rs2_w16 >= rs2_w8
+       |      THEN ${lfp("rs2_w16", "rs2_w8")}
+       |      ELSE -${lfp("rs2_w8", "rs2_w16")} END AS slope_1024
+       |  FROM p)
+       |SELECT event_type, rs2_w8, rs2_w16, slope_1024,
+       |  CASE WHEN slope_1024 >= 0 THEN slope_1024 // 2
+       |       ELSE -((-slope_1024) // 2) END AS hurst_1024
+       |FROM sl""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "events_hurst_rs" -> (eventsHurstRs _),
     "events_poisson_dispersion" -> (eventsPoissonDispersion _),
     "events_lorenz_deciles" -> (eventsLorenzDeciles _),
     "events_peak_to_mean" -> (eventsPeakToMean _),
@@ -7292,6 +7415,7 @@ object Analytics {
     "data_interleave_sources" -> (dataInterleaveSources _))
 
   val oracle: Map[String, String] = Map(
+    "events_hurst_rs" -> HURST_SQL,
     "events_poisson_dispersion" -> POISSON_DISP_SQL,
     "events_lorenz_deciles" -> LORENZ_SQL,
     "events_peak_to_mean" -> PEAK_SQL,

@@ -247,7 +247,7 @@ object TextPrep {
   /** Inline DuckDB replay of Log2Fp(t, c): 1024·log₂(t/c) via the same
     * two-step division + 10 squaring rounds (list state — struct-field
     * state is the r11 landmine). Shared by every Log2Fp oracle here. */
-  private def lfpSql(tE: String, cE: String): String = {
+  private[operators] def lfpSql(tE: String, cE: String): String = {
     val e = s"(length(bin(($tE) // ($cE))) - 1)"
     val d = s"(($cE) * (CAST(1 AS BIGINT) << $e))"
     s"""($e * 1024 + list_reduce(list_prepend(
