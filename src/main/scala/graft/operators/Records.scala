@@ -352,6 +352,60 @@ object Records {
           .otherwise("indexed").as("status"))
   }
 
+  /** Bitemporal AS-OF query — the lakehouse primitive [[metaScd2History]]
+    * (valid time only) and [[dataSnapshotDiff]] (transaction time only)
+    * both approximate: every order is a VERSION of its customer's
+    * record with valid_from = the order date and txn_from = the date
+    * the version was COMMITTED (synthesized late-arrival lag of
+    * orderkey % 7 days — deterministic, so the oracle replays it).
+    * "What did we believe on T about the state at V?" = per customer
+    * the version with the greatest (valid_from, txn_from, orderkey)
+    * among those with valid_from ≤ V and txn_from ≤ T — one max_by
+    * HASH aggregate (the dedupRecords discipline: map-side combined,
+    * never a row_number sort shuffle), plus the visible-version count.
+    * Late-arriving versions are exactly the rows a naive valid-time
+    * query would wrongly include: txn_from > T while valid_from ≤ V. */
+  def metaBitemporalAsof(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_custkey").as("custkey"), col("o_orderkey"),
+        col("o_orderdate").as("valid_from"),
+        date_add(col("o_orderdate"), (col("o_orderkey") % 7).cast("int"))
+          .as("txn_from"),
+        col("o_totalprice"))
+      .filter(col("valid_from") <= lit("1998-06-01").cast("date") &&
+        col("txn_from") <= lit("1998-06-15").cast("date"))
+      .groupBy("custkey")
+      .agg(count(lit(1)).as("n_visible"),
+        max_by(struct(col("o_orderkey"), col("valid_from"), col("txn_from"),
+            col("o_totalprice")),
+          struct(col("valid_from"), col("txn_from"), col("o_orderkey")))
+          .as("b"))
+      .select(col("custkey"), col("n_visible"),
+        col("b.o_orderkey").as("version_key"),
+        col("b.valid_from").as("valid_from"),
+        col("b.txn_from").as("txn_from"),
+        col("b.o_totalprice").as("totalprice"))
+
+  private val BITEMPORAL_SQL =
+    """WITH v AS (
+      |  SELECT o_custkey AS custkey, o_orderkey,
+      |    o_orderdate AS valid_from,
+      |    o_orderdate + to_days(CAST(o_orderkey % 7 AS INTEGER)) AS txn_from,
+      |    o_totalprice
+      |  FROM orders
+      |  WHERE o_orderdate <= DATE '1998-06-01'
+      |    AND o_orderdate + to_days(CAST(o_orderkey % 7 AS INTEGER))
+      |      <= DATE '1998-06-15'),
+      |r AS (
+      |  SELECT *, CAST(COUNT(*) OVER (PARTITION BY custkey) AS BIGINT)
+      |      AS n_visible,
+      |    ROW_NUMBER() OVER (PARTITION BY custkey
+      |      ORDER BY valid_from DESC, txn_from DESC, o_orderkey DESC) AS rn
+      |  FROM v)
+      |SELECT custkey, n_visible, o_orderkey AS version_key,
+      |  valid_from, txn_from, o_totalprice AS totalprice
+      |FROM r WHERE rn = 1""".stripMargin
+
   /** Snapshot change-set — the incremental re-index primitive behind the
     * reference's periodic index refreshes: instead of republishing the
     * whole corpus (AliasPublish's full-rebuild path), diff the new
@@ -1579,7 +1633,8 @@ object Records {
     "meta_erasure_cascade" -> (metaErasureCascade _),
     "meta_article_enrich" -> (articleEnrich _),
     "meta_genome_notes" -> (genomeNotes _),
-    "meta_ingest_pipeline" -> (metaIngestPipeline _))
+    "meta_ingest_pipeline" -> (metaIngestPipeline _),
+    "meta_bitemporal_asof" -> (metaBitemporalAsof _))
 
   private val DWH_SQL =
       """WITH e AS (
@@ -1720,6 +1775,7 @@ object Records {
        |LEFT JOIN rel r ON CAST(substr(d.accession, 4) AS BIGINT) = r.k""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "meta_bitemporal_asof" -> BITEMPORAL_SQL,
     "meta_ingest_pipeline" -> INGEST_SQL,
     "meta_summary_dtol" -> SUMMARYDTOL_SQL,
     "meta_gfs_retention" -> GFS_SQL,

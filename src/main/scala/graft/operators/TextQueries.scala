@@ -570,6 +570,63 @@ object TextQueries {
     * embeddings are L2-normalized so cosine = dot product, computed with a
     * codegen'd zip_with/aggregate fold (no UDF). The LSH-bucketed variant
     * (rows-only oracle) is the 100 TB path. */
+  /** Retrieval-quality readout over the exact cosine ranking — MRR,
+    * P@1 and relevant-in-top-10 per query, with SAME-LABEL as the
+    * relevance oracle (the sim_knn_label_eval ground truth): first_rank
+    * = the best-ranked same-label neighbor, rr_milli = 1000 div
+    * first_rank (floor — exact on both engines). The metric family a
+    * retrieval eval actually reports next to the recall audits' set
+    * overlap. Brute-force leg is the documented 5-broadcast-row
+    * baseline (sim_cosine_topk class); one qid rank window. */
+  def simMrrEval(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("label").as("qlabel"))
+    val d = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id"), col("embedding").as("dv"),
+        col("label").as("dlabel"))
+    val dot = graft.functions.Vectors.dot(col("qv"), col("dv"))
+    d.crossJoin(broadcast(q))
+      .select(col("qid"), col("qlabel"), col("vec_id"), col("dlabel"),
+        dot.as("dot"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("dot").desc, col("vec_id")))
+        .cast("long"))
+      .groupBy("qid", "qlabel")
+      .agg(min(when(col("dlabel") === col("qlabel"), col("rank")))
+          .as("first_rank"),
+        max(when(col("rank") === 1,
+          (col("dlabel") === col("qlabel")).cast("long"))).as("p_at_1"),
+        sum(when(col("rank") <= 10 && col("dlabel") === col("qlabel"), 1L)
+          .otherwise(0L)).as("rel_in_top10"))
+      .withColumn("rr_milli", expr("1000 div first_rank"))
+  }
+
+  private val MRR_SQL =
+    """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv,
+      |             label AS qlabel
+      |           FROM embeddings WHERE vec_id < 5),
+      |d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv,
+      |        label AS dlabel
+      |      FROM embeddings WHERE vec_id >= 5),
+      |r AS (SELECT qid, qlabel, vec_id, dlabel,
+      |        CAST(ROW_NUMBER() OVER (PARTITION BY qid
+      |          ORDER BY list_dot_product(qv, dv) DESC, vec_id) AS BIGINT)
+      |          AS rank
+      |      FROM q CROSS JOIN d)
+      |SELECT qid, qlabel,
+      |  CAST(MIN(CASE WHEN dlabel = qlabel THEN rank END) AS BIGINT)
+      |    AS first_rank,
+      |  CAST(MAX(CASE WHEN rank = 1 THEN
+      |    CASE WHEN dlabel = qlabel THEN 1 ELSE 0 END END) AS BIGINT)
+      |    AS p_at_1,
+      |  CAST(SUM(CASE WHEN rank <= 10 AND dlabel = qlabel
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS rel_in_top10,
+      |  1000 // CAST(MIN(CASE WHEN dlabel = qlabel THEN rank END)
+      |    AS BIGINT) AS rr_milli
+      |FROM r GROUP BY qid, qlabel""".stripMargin
+
   def simCosineTopk(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val q = emb.filter(col("vec_id") < 5)
@@ -1864,12 +1921,14 @@ object TextQueries {
     "dedup_incremental_exact" -> (dedupIncrementalExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "sim_cosine_topk" -> (simCosineTopk _),
+    "sim_mrr_eval" -> (simMrrEval _),
     "sim_matryoshka_recall" -> (simMatryoshkaRecall _),
     "sim_maxsim_topk" -> (simMaxsimTopk _),
     "text_chunk_windows" -> ((s: SparkSession, dir: String) => textChunkWindows(s, dir)),
     "dedup_chunk_level" -> (dedupChunkLevel _))
 
   val oracle: Map[String, String] = Map(
+    "sim_mrr_eval" -> MRR_SQL,
     "sim_rrf_fusion" -> RRF_SQL,
     "sim_sign_quantize_recall" -> SIGNQ_SQL,
     "sim_sq8_recall" -> SQ8_SQL,

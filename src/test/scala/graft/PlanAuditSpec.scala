@@ -48,6 +48,7 @@ class PlanAuditSpec extends SparkSpec {
     "events_retention_halflife" -> "crossJoin against the single-row broadcast observation-horizon frame",
     "multimodal_phash_dedup" -> "crossJoin against the single-row broadcast corpus-count frame (idf weights)",
     "sim_matryoshka_recall" -> "documented brute-force baseline: query side is 5 broadcast rows (sim_cosine_topk class)",
+    "sim_mrr_eval" -> "documented brute-force baseline: query side is 5 broadcast rows (sim_cosine_topk class)",
     "occ_envelope_projection" -> "generated 64800-row raster × broadcast ≤|species|-row envelope boxes — both sides layout constants",
     "events_user_gini" -> "crossJoin against the single-row broadcast totals fold (1×|users|)",
     "spatial_zone_pruning_audit" -> "16-box × broadcast 32-file envelope BNLJ — both sides layout constants",
@@ -467,6 +468,8 @@ class PlanAuditSpec extends SparkSpec {
     "data_quality_length_bias" -> 1, // narrow codegen projection + ONE |sources|-row agg
     "q39_late_order_priority" -> 2, // late-key semi join + priority aggs; AQE broadcasts the key set
     "q41_ship_delay_variance" -> 1, // narrow date projections broadcast-join at gate scale; ONE supplier agg shuffle
+    "sim_mrr_eval" -> 1, // 5-broadcast-row cross + ONE qid rank window (crossJoin whitelisted)
+    "meta_bitemporal_asof" -> 1, // ONE max_by hash aggregate on custkey
     "sim_embedding_outliers" -> 2, // rank/count windows ride ONE cluster exchange; median joins back broadcast
     "occ_envelope_projection" -> 5, // envelope agg + observed 2-step distinct + suitability agg off the generated raster
     "text_prf_expansion" -> 3, // bm25 feedback set checkpointed (3 rows); (doc,w) agg + doc window + vocab rank
