@@ -7291,7 +7291,63 @@ object Analytics {
        |FROM sl""".stripMargin
   }
 
+  /** Weekday-seasonality STRENGTH per event type — the one-number
+    * variance decomposition behind [[eventsSeasonalDecompose]]'s
+    * component table (how much of daily-count variance does the
+    * day-of-week explain?): classic one-way ANOVA η² on the floor
+    * lattice — SSB = Σ_w(S_w² div n_w) − (S² div n), SST = Σx² −
+    * (S² div n), strength = SSB·1000 div SST, everything a floor
+    * division of non-negative BIGINTs (Cauchy–Schwarz makes the true
+    * SSB ≥ 0; the ≤7-ulp floor dip is clamped by greatest(0, ·)).
+    * 1000 ⇒ the calendar is pure weekday effect, 0 ⇒ memoryless. Two
+    * tiny aggregates over the (type, day) counts. */
+  def eventsSeasonalityStrength(s: SparkSession, dir: String): DataFrame = {
+    val days = DomainQueries.events(s, dir)
+      .select(col("event_type"), expr(s"ts_ns div $DAY_NS").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("x"))
+      .withColumn("wd", expr("day % 7"))
+      .transform(graft.Ckpt.capped) // the SSB and SST folds both read it
+    val byWd = days.groupBy("event_type", "wd")
+      .agg(sum("x").as("sw"), count(lit(1)).as("nw"))
+      .groupBy("event_type")
+      .agg(sum(expr("(sw * sw) div nw")).as("ssb_raw"))
+    val tot = days.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), sum("x").as("sx"),
+        sum(expr("x * x")).as("sx2"))
+    tot.join(byWd, Seq("event_type"))
+      .select(col("event_type"), col("n_days"),
+        expr("greatest(0L, ssb_raw - (sx * sx) div n_days)").as("ssb"),
+        expr("sx2 - (sx * sx) div n_days").as("sst"))
+      .withColumn("strength_milli",
+        when(col("sst") > 0, expr("ssb * 1000 div sst")))
+  }
+
+  private val SEASTR_SQL =
+    """WITH d AS (
+      |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |wd AS (
+      |  SELECT event_type, day % 7 AS wd, CAST(SUM(x) AS BIGINT) AS sw,
+      |    CAST(COUNT(*) AS BIGINT) AS nw
+      |  FROM d GROUP BY 1, 2),
+      |b AS (
+      |  SELECT event_type, CAST(SUM((sw * sw) // nw) AS BIGINT) AS ssb_raw
+      |  FROM wd GROUP BY 1),
+      |t AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x * x) AS BIGINT) AS sx2
+      |  FROM d GROUP BY 1)
+      |SELECT t.event_type, n_days,
+      |  GREATEST(0, ssb_raw - (sx * sx) // n_days) AS ssb,
+      |  sx2 - (sx * sx) // n_days AS sst,
+      |  CASE WHEN sx2 - (sx * sx) // n_days > 0 THEN
+      |    GREATEST(0, ssb_raw - (sx * sx) // n_days) * 1000
+      |      // (sx2 - (sx * sx) // n_days) END AS strength_milli
+      |FROM t JOIN b USING (event_type)""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "events_seasonality_strength" -> (eventsSeasonalityStrength _),
     "events_hurst_rs" -> (eventsHurstRs _),
     "events_poisson_dispersion" -> (eventsPoissonDispersion _),
     "events_lorenz_deciles" -> (eventsLorenzDeciles _),
@@ -7415,6 +7471,7 @@ object Analytics {
     "data_interleave_sources" -> (dataInterleaveSources _))
 
   val oracle: Map[String, String] = Map(
+    "events_seasonality_strength" -> SEASTR_SQL,
     "events_hurst_rs" -> HURST_SQL,
     "events_poisson_dispersion" -> POISSON_DISP_SQL,
     "events_lorenz_deciles" -> LORENZ_SQL,

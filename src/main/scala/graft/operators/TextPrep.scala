@@ -294,6 +294,51 @@ object TextPrep {
        |  tu // n_bigrams - tc // n_bigrams AS info_gain_1024
        |FROM cond JOIN uni USING (lang)""".stripMargin
 
+  /** Hash-width collision audit — how many bits does a content id NEED
+    * at this corpus size? For widths w ∈ {16, 20, 24}: documents hashed
+    * to md5-derived buckets mod 2^w ('hw:' salt), observed collisions =
+    * n − distinct buckets, against the exact birthday-bound expectation
+    * E[collisions] ≈ n(n−1)/2^(w+1) as a milli integer (pure BIGINT
+    * division — n(n−1)·1000 stays exact to n ≈ 3e7; beyond that divide
+    * n first). The table that says which id width a dedup/shard key can
+    * safely shrink to — bottomk/h52 orderings die when two hashes
+    * collide at a boundary (the r7 52-bit landmine, now measured
+    * instead of assumed). One doc-grain projection; each width leg is a
+    * distinct-count aggregate on the hashed key. */
+  def dataHashWidthAudit(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(expr("cast(conv(substring(md5(cast(concat('hw:', text) " +
+        "as binary)), 1, 13), 16, 10) as bigint)").as("h"))
+      .select(col("h"), explode(expr(
+        "array(16L, 20L, 24L)")).as("w"))
+      .select(col("w"), expr("h % (cast(1 as bigint) << cast(w as int))")
+        .as("bucket"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("n_ids"),
+        countDistinct("bucket").as("n_buckets"))
+      .select(col("w"), col("n_ids"),
+        (col("n_ids") - col("n_buckets")).as("n_collisions"),
+        expr("n_ids * (n_ids - 1) * 1000 div (cast(1 as bigint) << " +
+          "cast(w + 1 as int))").as("expected_milli"))
+
+  private val HASHW_SQL =
+    """WITH h AS (
+      |  SELECT ('0x' || substr(md5('hw:' || text), 1, 13))::BIGINT AS h
+      |  FROM documents),
+      |e AS (
+      |  SELECT h, unnest([CAST(16 AS BIGINT), CAST(20 AS BIGINT),
+      |                    CAST(24 AS BIGINT)]) AS w
+      |  FROM h),
+      |a AS (
+      |  SELECT w, CAST(COUNT(*) AS BIGINT) AS n_ids,
+      |    CAST(COUNT(DISTINCT h % (CAST(1 AS BIGINT) << CAST(w AS INTEGER)))
+      |      AS BIGINT) AS n_buckets
+      |  FROM e GROUP BY 1)
+      |SELECT w, n_ids, n_ids - n_buckets AS n_collisions,
+      |  n_ids * (n_ids - 1) * 1000
+      |    // (CAST(1 AS BIGINT) << CAST(w + 1 AS INTEGER)) AS expected_milli
+      |FROM a""".stripMargin
+
   /** Deterministic content-hash train/val split (never split on row order
     * or random()): first hex digit of md5(text) ≤ 'd' ⇒ ~87.5% train. */
   def dataSplitHash(s: SparkSession, dir: String): DataFrame =
@@ -2380,6 +2425,7 @@ object TextPrep {
       |FROM qr""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "data_hash_width_audit" -> (dataHashWidthAudit _),
     "text_yule_k" -> (textYuleK _),
     "text_lang_divergence" -> (textLangDivergence _),
     "data_source_hhi" -> (dataSourceHhi _),
@@ -2423,6 +2469,7 @@ object TextPrep {
     "data_loo_source_impact" -> (dataLooSourceImpact _))
 
   val oracle: Map[String, String] = Map(
+    "data_hash_width_audit" -> HASHW_SQL,
     "text_yule_k" -> YULE_SQL,
     "text_lang_divergence" -> LANGDIV_SQL,
     "data_source_hhi" -> HHI_SQL,

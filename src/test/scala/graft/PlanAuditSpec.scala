@@ -493,6 +493,8 @@ class PlanAuditSpec extends SparkSpec {
     "events_lorenz_deciles" -> 3, // user agg + bucket-rank exchange + the 10-row cumulative window; ranked checkpointed, totals crossJoin whitelisted
     "events_poisson_dispersion" -> 2, // (type, day) agg + |types|-row fold
     "events_hurst_rs" -> 4, // (type, day) agg; calendar-sized window/fold legs read the checkpointed win relation
+    "events_seasonality_strength" -> 3, // (type, day) agg checkpointed; weekday + total folds + join
+    "data_hash_width_audit" -> 2, // hashed projection; per-width distinct-count legs
     "events_peak_to_mean" -> 2, // (type, hour) agg + |types|-row max_by fold
     "spatial_zone_pruning_audit" -> 2, // two aggs of one codegen scan; 16×32 envelope BNLJ whitelisted (layout constants)
     "text_textrank_keywords" -> 6, // doc window + pair agg at build (checkpointed); 5 weighted-PR rounds each a tiny join+agg — returned plan: round-5 join+agg off the checkpoint
