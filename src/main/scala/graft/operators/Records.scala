@@ -368,12 +368,12 @@ object Records {
   def metaBitemporalAsof(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
       .select(col("o_custkey").as("custkey"), col("o_orderkey"),
-        col("o_orderdate").as("valid_from"),
-        date_add(col("o_orderdate"), (col("o_orderkey") % 7).cast("int"))
-          .as("txn_from"),
+        col("o_orderdate").cast("date").as("valid_from"),
+        date_add(col("o_orderdate").cast("date"),
+          (col("o_orderkey") % 7).cast("int")).as("txn_from"),
         col("o_totalprice"))
       .filter(col("valid_from") <= lit("1998-06-01").cast("date") &&
-        col("txn_from") <= lit("1998-06-15").cast("date"))
+        col("txn_from") <= lit("1998-06-03").cast("date"))
       .groupBy("custkey")
       .agg(count(lit(1)).as("n_visible"),
         max_by(struct(col("o_orderkey"), col("valid_from"), col("txn_from"),
@@ -389,13 +389,14 @@ object Records {
   private val BITEMPORAL_SQL =
     """WITH v AS (
       |  SELECT o_custkey AS custkey, o_orderkey,
-      |    o_orderdate AS valid_from,
-      |    o_orderdate + to_days(CAST(o_orderkey % 7 AS INTEGER)) AS txn_from,
+      |    CAST(o_orderdate AS DATE) AS valid_from,
+      |    CAST(o_orderdate AS DATE)
+      |      + to_days(CAST(o_orderkey % 7 AS INTEGER)) AS txn_from,
       |    o_totalprice
       |  FROM orders
-      |  WHERE o_orderdate <= DATE '1998-06-01'
-      |    AND o_orderdate + to_days(CAST(o_orderkey % 7 AS INTEGER))
-      |      <= DATE '1998-06-15'),
+      |  WHERE CAST(o_orderdate AS DATE) <= DATE '1998-06-01'
+      |    AND CAST(o_orderdate AS DATE)
+      |      + to_days(CAST(o_orderkey % 7 AS INTEGER)) <= DATE '1998-06-03'),
       |r AS (
       |  SELECT *, CAST(COUNT(*) OVER (PARTITION BY custkey) AS BIGINT)
       |      AS n_visible,

@@ -1261,6 +1261,44 @@ class DomainSpec extends SparkSpec {
     }
   }
 
+  test("bitemporal as-of: every version satisfies both bounds; late arrivals change the answer") {
+    import spark.implicits._
+    val asOf = operators.Records.metaBitemporalAsof(spark, sf)
+      .select("custkey", "version_key", "valid_from", "txn_from", "n_visible")
+      .as[(Long, Long, java.sql.Date, java.sql.Date, Long)].collect()
+    assert(asOf.nonEmpty)
+    val v = java.sql.Date.valueOf("1998-06-01")
+    val t = java.sql.Date.valueOf("1998-06-03")
+    asOf.foreach { case (k, _, vf, tf, n) =>
+      assert(!vf.after(v), s"custkey $k version valid_from $vf past V")
+      assert(!tf.after(t), s"custkey $k version txn_from $tf past T")
+      assert(n >= 1L)
+    }
+    // driver-side replay: the chosen version is the max (valid, txn, key)
+    // among visible ones, and for SOME customer a late-arriving version
+    // (valid <= V but txn > T) exists and was correctly excluded
+    val versions = Tables.t(spark, sf, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date"))
+      .as[(Long, Long, java.sql.Date)].collect()
+      .map { case (c, o, d) =>
+        val tf = java.sql.Date.valueOf(d.toLocalDate.plusDays(o % 7))
+        (c, o, d, tf)
+      }
+    val visible = versions.filter(r => !r._3.after(v) && !r._4.after(t))
+    val best = visible.groupBy(_._1).map { case (c, rs) =>
+      c -> rs.maxBy(r => (r._3.getTime, r._4.getTime, r._2))._2
+    }
+    assert(asOf.map(r => r._1 -> r._2).toMap === best)
+    val lateArrivals = versions.filter(r => !r._3.after(v) && r._4.after(t))
+    assert(lateArrivals.nonEmpty, "corpus must contain late-arriving versions")
+    // at least one customer's answer CHANGES when txn time is ignored
+    val naiveBest = versions.filter(r => !r._3.after(v)).groupBy(_._1)
+      .map { case (c, rs) => c -> rs.maxBy(r => (r._3.getTime, r._4.getTime, r._2))._2 }
+    assert(best.exists { case (c, o) => naiveBest.get(c).exists(_ != o) },
+      "a late arrival must flip at least one customer's as-of version")
+  }
+
   test("buffer-region join: a boundary-straddling point hits via its buffer, interior and far points behave") {
     // Region 0 is the star centered (-150°, -50°) with east axis vertex
     // at exactly (-142°, -50°). Three planted occurrences:

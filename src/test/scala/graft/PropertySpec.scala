@@ -448,6 +448,43 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("R/S window lattice: integer (cmax-cmin)^2*1000 div (w*Sx2-S^2) equals the rational 1000*(R/S)^2 floor") {
+    // events_hurst_rs' core identity: pre-scaling deviations by w makes
+    // the cumulative walk integer and ends it at exactly 0, and
+    // R_scaled² / (w·Σx² − S²) = (R/S_pop)² with no sqrt — check against
+    // BigDecimal rationals on random windows, plus the walk invariants.
+    val rnd = new Random(53)
+    for (round <- 1 to 300) {
+      val w = Seq(4, 8, 16)(rnd.nextInt(3))
+      val xs = Array.fill(w)(rnd.nextInt(1000).toLong)
+      val sw = xs.sum
+      val e = xs.map(x => w * x - sw)
+      val walk = e.scanLeft(0L)(_ + _).drop(1)
+      assert(walk.last === 0L, "pre-scaled walk must end at 0")
+      val (cmax, cmin) = (walk.max, walk.min)
+      assert(cmax >= 0L && cmin <= 0L)
+      val den = w * xs.map(x => x * x).sum - sw * sw
+      if (den > 0) {
+        val lattice = (cmax - cmin) * (cmax - cmin) * 1000 / den
+        val exact = (BigInt(cmax - cmin) * (cmax - cmin) * 1000 / BigInt(den))
+          .toLong
+        assert(lattice === exact, s"round $round w=$w")
+        // the integer form IS the continuous definition: 1000·(R/S_pop)²
+        // with R from the unscaled mean-deviation walk — within float ulp
+        val m = sw.toDouble / w
+        val s2 = xs.map(x => (x - m) * (x - m)).sum / w
+        val rTrue = {
+          var c = 0.0; var mx = 0.0; var mn = 0.0
+          xs.foreach { x => c += x - m; mx = math.max(mx, c); mn = math.min(mn, c) }
+          mx - mn
+        }
+        val continuous = 1000.0 * rTrue * rTrue / s2
+        assert(math.abs(lattice - continuous) <= 1.0 + 1e-6 * continuous,
+          s"round $round: lattice $lattice vs continuous $continuous")
+      }
+    }
+  }
+
   test("two-step long division equals floor(a*c/n^2) on random operands") {
     // text_yule_k's /N² lattice: q·c + (r·c) div n then div n composes to
     // the exact floor without ever forming the a·c product
