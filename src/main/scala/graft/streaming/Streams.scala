@@ -1652,6 +1652,40 @@ object Streams {
     }
   }
 
+  case class PeakState(nHours: Long, nEvents: Long, peak: Long,
+                       peakHour: Long)
+  case class PeakOut(event_type: String, n_hours: Long, peak: Long,
+                     peak_hour: Long, mean_hourly: Long,
+                     peak_to_mean_milli: Long)
+
+  /** Streaming counterpart of events_peak_to_mean — O(1) state
+    * (hours, events, peak, peak-hour). Input contract matches
+    * [[burstiness]]: the upstream watermarked (type, hour, count)
+    * aggregate emits each observed hour once, ascending; keeping the
+    * FIRST hour that attains a new maximum (later equal counts fail
+    * the strict `>`) reproduces the batch `max_by(hour, c·2^20 − hour)`
+    * min-hour tie-break exactly. Drained stream ⇒ last emission equals
+    * the batch row (spec-pinned). */
+  def peakToMean(hours: Dataset[(String, Long, Long)]): Dataset[PeakOut] = {
+    import hours.sparkSession.implicits._
+    hours.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (tpe: String, it: Iterator[(String, Long, Long)],
+       state: GroupState[PeakState]) =>
+        var st = state.getOption.getOrElse(PeakState(0L, 0L, 0L, 0L))
+        for ((_, h, c) <- it.toSeq.sortBy(_._2)) {
+          st = PeakState(st.nHours + 1, Math.addExact(st.nEvents, c),
+            if (c > st.peak) c else st.peak,
+            if (c > st.peak) h else st.peakHour)
+        }
+        state.update(st)
+        if (st.nHours == 0L) Iterator.empty
+        else Iterator(PeakOut(tpe, st.nHours, st.peak, st.peakHour,
+          st.nEvents / st.nHours,
+          st.peak * st.nHours * 1000L / st.nEvents))
+    }
+  }
+
   case class BurstState(nHours: Long, nEvents: Long, peak: Long, sumsq: Long)
   case class BurstOut(event_type: String, n_hours: Long, n_events: Long,
                       peak: Long, mean_milli: Long, peak_to_mean_milli: Long,

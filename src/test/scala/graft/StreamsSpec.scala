@@ -21,8 +21,8 @@ class StreamsSpec extends SparkSpec {
       "mannKendall", "changepoint", "queueWait", "saxMotifs",
       "maxDrawdown", "sprtGate", "wilsonBounds", "tailIndex", "ljungBox",
       "interventionIts", "pageHinkley", "flapRate", "gapFillLocf",
-      "burstiness", "lshIncrement")
-    assert(expected.size === 42)
+      "burstiness", "lshIncrement", "peakToMean")
+    assert(expected.size === 43)
     val got = Streams.getClass.getDeclaredMethods.toSeq
       .filter(m => java.lang.reflect.Modifier.isPublic(m.getModifiers))
       .filter(m => classOf[org.apache.spark.sql.Dataset[_]]
@@ -1095,6 +1095,38 @@ class StreamsSpec extends SparkSpec {
       // 3 hours: n=12, peak 6, mean 4000m, p2m 6*3*1000/12=1500, fano:
       // (56/3 - 16)*1000/4 = (18-16)*250 = 500
       assert(rows.last === ((3L, 12L, 6L, 4000L, 1500L, 500L)))
+    } finally q.stop()
+  }
+
+  test("streaming peak-to-mean carries O(1) state and reproduces the batch min-hour tie-break") {
+    val hrs = DomainQueries.events(spark, sf)
+      .select(col("event_type"), expr("ts_ns div 3600000000000").as("hour_id"))
+      .groupBy("event_type", "hour_id").agg(count(lit(1)).as("c"))
+      .as[(String, Long, Long)]
+    val batch = operators.Analytics.eventsPeakToMean(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    val whole = Streams.peakToMean(hrs).collect()
+      .map(o => o.event_type -> ((o.n_hours, o.peak, o.peak_hour,
+        o.mean_hourly, o.peak_to_mean_milli))).toMap
+    assert(whole === batch)
+    assert(batch.nonEmpty)
+    // split mid-stream + a TIE on the peak: the first hour must win
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Long)]
+    val q = Streams.peakToMean(mem.toDS())
+      .writeStream.format("memory").queryName("p2m_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(("a", 0L, 2L), ("a", 1L, 6L)); q.processAllAvailable()
+      mem.addData(("a", 2L, 6L), ("a", 3L, 2L)); q.processAllAvailable()
+      val rows = spark.sql("SELECT n_hours, peak, peak_hour, mean_hourly, " +
+        "peak_to_mean_milli FROM p2m_out ORDER BY n_hours")
+        .as[(Long, Long, Long, Long, Long)].collect()
+      assert(rows.length === 2)
+      assert(rows.head === ((2L, 6L, 1L, 4L, 1500L)))
+      // hour 2 ties the peak across the batch boundary: hour 1 keeps it
+      assert(rows.last === ((4L, 6L, 1L, 4L, 1500L)))
     } finally q.stop()
   }
 
