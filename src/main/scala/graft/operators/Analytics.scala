@@ -7346,7 +7346,98 @@ object Analytics {
       |      // (sx2 - (sx * sx) // n_days) END AS strength_milli
       |FROM t JOIN b USING (event_type)""".stripMargin
 
+  /** A/B power analysis — the "is this experiment even big enough"
+    * readout next to [[eventsWelchT]] (which tests the observed diff)
+    * and events_ab_lift (which reports it): on the SAME 'ab:' arms and
+    * the same per-user integer value masses, the minimum detectable
+    * effect at α=.05/power=.8 is MDE = 2.8·se (z_α/2 + z_β = 1.96 +
+    * 0.84 — fixed literals, no inverse CDF), se via the Welch micro
+    * variance lattice + the isqrt correction, and the required
+    * per-arm n to power the OBSERVED diff: n_req = 784·(vā+v̄b) div
+    * (100·Δ²) — unit-free because variance is micro and Δ milli.
+    * powered_flag says whether the observed lift clears its own MDE.
+    * ONE user-keyed exchange, then single-row folds. */
+  def eventsAbPower(s: SparkSession, dir: String): DataFrame =
+    DomainQueries.events(s, dir)
+      .select(col("user_id"),
+        expr("cast(conv(substring(md5(cast(concat('ab:', user_id) as " +
+          "binary)), 1, 15), 16, 10) as bigint) % 2").as("arm"),
+        expr("cast(floor(value) as bigint)").as("yu"))
+      .groupBy("arm", "user_id").agg(sum("yu").as("y"))
+      .groupBy("arm")
+      .agg(count(lit(1)).as("n"), sum("y").as("sy"),
+        sum(expr("y * y")).as("qy"))
+      .agg(sum(when(col("arm") === 0, col("n")).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 1, col("n")).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === 0, col("sy")).otherwise(0L)).as("sa"),
+        sum(when(col("arm") === 1, col("sy")).otherwise(0L)).as("sb"),
+        sum(when(col("arm") === 0, col("qy")).otherwise(0L)).as("qa"),
+        sum(when(col("arm") === 1, col("qy")).otherwise(0L)).as("qb"))
+      .withColumn("va", expr(
+        "(n_a * qa - sa * sa) * 1000000L div (n_a * (n_a - 1))"))
+      .withColumn("vb", expr(
+        "(n_b * qb - sb * sb) * 1000000L div (n_b * (n_b - 1))"))
+      .withColumn("seq", expr("va div n_a + vb div n_b"))
+      .withColumn("s0", expr("cast(floor(sqrt(cast(seq as double))) as bigint)"))
+      .withColumn("se_milli", expr(
+        "greatest(case when (s0 + 1) * (s0 + 1) <= seq then s0 + 1 " +
+        "when s0 * s0 > seq then s0 - 1 else s0 end, 1L)"))
+      .withColumn("diff_milli", expr("sa * 1000 div n_a - sb * 1000 div n_b"))
+      .withColumn("mde_milli", expr("28 * se_milli div 10"))
+      .withColumn("powered_flag",
+        expr("case when abs(diff_milli) >= 28 * se_milli div 10 " +
+          "then 1L else 0L end"))
+      .withColumn("n_req_per_arm",
+        when(expr("diff_milli != 0"),
+          expr("784 * (va + vb) div (100 * diff_milli * diff_milli)")))
+      .select("n_a", "n_b", "diff_milli", "se_milli", "mde_milli",
+        "powered_flag", "n_req_per_arm")
+
+  private val ABPOWER_SQL =
+    """WITH e AS (
+      |  SELECT user_id,
+      |    ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 15))
+      |      ::BIGINT % 2 AS arm,
+      |    CAST(FLOOR(value) AS BIGINT) AS yu
+      |  FROM events),
+      |u AS (SELECT arm, user_id, CAST(SUM(yu) AS BIGINT) AS y
+      |      FROM e GROUP BY 1, 2),
+      |a AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+      |        CAST(SUM(y) AS BIGINT) AS sy,
+      |        CAST(SUM(y * y) AS BIGINT) AS qy
+      |      FROM u GROUP BY 1),
+      |p AS (SELECT
+      |  CAST(SUM(CASE WHEN arm = 0 THEN n ELSE 0 END) AS BIGINT) AS n_a,
+      |  CAST(SUM(CASE WHEN arm = 1 THEN n ELSE 0 END) AS BIGINT) AS n_b,
+      |  CAST(SUM(CASE WHEN arm = 0 THEN sy ELSE 0 END) AS BIGINT) AS sa,
+      |  CAST(SUM(CASE WHEN arm = 1 THEN sy ELSE 0 END) AS BIGINT) AS sb,
+      |  CAST(SUM(CASE WHEN arm = 0 THEN qy ELSE 0 END) AS BIGINT) AS qa,
+      |  CAST(SUM(CASE WHEN arm = 1 THEN qy ELSE 0 END) AS BIGINT) AS qb
+      |  FROM a),
+      |v AS (SELECT n_a, n_b, sa, sb,
+      |        (n_a * qa - sa * sa) * 1000000 // (n_a * (n_a - 1)) AS va,
+      |        (n_b * qb - sb * sb) * 1000000 // (n_b * (n_b - 1)) AS vb
+      |      FROM p),
+      |q AS (SELECT *, va // n_a + vb // n_b AS seq,
+      |        CAST(FLOOR(SQRT(CAST(va // n_a + vb // n_b AS DOUBLE)))
+      |          AS BIGINT) AS s0
+      |      FROM v),
+      |r AS (SELECT *,
+      |        GREATEST(CASE WHEN (s0 + 1) * (s0 + 1) <= seq THEN s0 + 1
+      |          WHEN s0 * s0 > seq THEN s0 - 1 ELSE s0 END, 1) AS se_milli,
+      |        sa * 1000 // n_a - sb * 1000 // n_b AS diff_milli
+      |      FROM q)
+      |SELECT n_a, n_b, diff_milli, CAST(se_milli AS BIGINT) AS se_milli,
+      |  CAST(28 * se_milli // 10 AS BIGINT) AS mde_milli,
+      |  CAST(CASE WHEN abs(diff_milli) >= 28 * se_milli // 10
+      |    THEN 1 ELSE 0 END AS BIGINT) AS powered_flag,
+      |  CASE WHEN diff_milli != 0 THEN
+      |    784 * (va + vb) // (100 * diff_milli * diff_milli)
+      |  END AS n_req_per_arm
+      |FROM r""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "events_ab_power" -> (eventsAbPower _),
     "events_seasonality_strength" -> (eventsSeasonalityStrength _),
     "events_hurst_rs" -> (eventsHurstRs _),
     "events_poisson_dispersion" -> (eventsPoissonDispersion _),
@@ -7471,6 +7562,7 @@ object Analytics {
     "data_interleave_sources" -> (dataInterleaveSources _))
 
   val oracle: Map[String, String] = Map(
+    "events_ab_power" -> ABPOWER_SQL,
     "events_seasonality_strength" -> SEASTR_SQL,
     "events_hurst_rs" -> HURST_SQL,
     "events_poisson_dispersion" -> POISSON_DISP_SQL,

@@ -2738,9 +2738,84 @@ object DomainQueries {
         |GROUP BY species""".stripMargin
   }
 
+  /** Species–area curve — the scale-based sibling of the effort-based
+    * [[occAccumulationCurve]]: mean distinct species per OCCUPIED cell
+    * at nested grid scales g ∈ {1°, 2°, 4°, 8°} (powers of two so
+    * lat/g is an EXACT binary division — no rounding guard needed
+    * before the floor), and the Arrhenius z slope between consecutive
+    * scales, z = log₂(S̄₂g/S̄g)/2 because each step quadruples cell
+    * area — through the exact [[graft.functions.Log2Fp]] lattice with
+    * a sign split (a patchy corpus can floor-dip a step). Corpus note
+    * (probed): the synthetic occ lattice couples lat and lon through
+    * event_id (Chinese-remainder structure), so 1°→2° coarsening is
+    * MERGE-FREE (z = 0 exactly — occupied cells map 1:1); the honest
+    * area signal appears at 4°/8° (z_1024 ≈ 89/384). A real corpus
+    * feeds the same lattice. One distinct (g, species, cell) aggregate
+    * is the only corpus shuffle; the 4-row scale table folds in a
+    * trivial window. */
+  def occSpeciesArea(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Log2Fp
+    val scales = valid(s, dir)
+      .select(col("species"), col("lat"), col("lon"))
+      .select(col("species"), explode(expr("array(1L, 2L, 4L, 8L)")).as("g"),
+        col("lat"), col("lon"))
+      .select(col("g"), col("species"),
+        expr("(cast(floor(lat / g) as bigint) + 200) * 1000 + " +
+          "cast(floor(lon / g) as bigint) + 200").as("cell"))
+      .distinct()
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_pairs"), countDistinct("cell").as("n_cells"))
+      .withColumn("mean_species_milli", expr("n_pairs * 1000 div n_cells"))
+    val w = Window.orderBy("g")
+    scales
+      .withColumn("prev_m", lag("mean_species_milli", 1).over(w))
+      .select(col("g"), col("n_cells"), col("n_pairs"),
+        col("mean_species_milli"),
+        when(col("prev_m").isNull, lit(null).cast("long"))
+          .when(col("mean_species_milli") >= col("prev_m"),
+            Log2Fp(col("mean_species_milli"), col("prev_m")))
+          .otherwise(-Log2Fp(col("prev_m"), col("mean_species_milli")))
+          .as("slope_1024x2"))
+      .withColumn("z_1024",
+        expr("case when slope_1024x2 is null then null " +
+          "when slope_1024x2 >= 0 then slope_1024x2 div 2 " +
+          "else -((-slope_1024x2) div 2) end"))
+  }
+
+  private val SPECIES_AREA_SQL: String = withSql(OCC_SQL, VALID_SQL,
+    s"""sa_p AS (
+       |  SELECT DISTINCT g, species,
+       |    (CAST(FLOOR(lat / g) AS BIGINT) + 200) * 1000
+       |      + CAST(FLOOR(lon / g) AS BIGINT) + 200 AS cell
+       |  FROM valid, (SELECT unnest([CAST(1 AS BIGINT), CAST(2 AS BIGINT),
+       |    CAST(4 AS BIGINT), CAST(8 AS BIGINT)]) AS g) gs),
+       |sa_s AS (
+       |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |    CAST(COUNT(DISTINCT cell) AS BIGINT) AS n_cells
+       |  FROM sa_p GROUP BY 1),
+       |sa_m AS (
+       |  SELECT g, n_cells, n_pairs,
+       |    n_pairs * 1000 // n_cells AS mean_species_milli,
+       |    LAG(n_pairs * 1000 // n_cells) OVER (ORDER BY g) AS prev_m
+       |  FROM sa_s),
+       |sa_z AS (
+       |  SELECT g, n_cells, n_pairs, mean_species_milli,
+       |    CASE WHEN prev_m IS NULL THEN NULL
+       |      WHEN mean_species_milli >= prev_m
+       |        THEN ${graft.operators.TextPrep.lfpSql("mean_species_milli", "prev_m")}
+       |      ELSE -${graft.operators.TextPrep.lfpSql("prev_m", "mean_species_milli")}
+       |    END AS slope_1024x2
+       |  FROM sa_m)""".stripMargin)(
+    """SELECT g, n_cells, n_pairs, mean_species_milli, slope_1024x2,
+      |  CASE WHEN slope_1024x2 IS NULL THEN NULL
+      |       WHEN slope_1024x2 >= 0 THEN slope_1024x2 // 2
+      |       ELSE -((-slope_1024x2) // 2) END AS z_1024
+      |FROM sa_z""".stripMargin)
+
   // -------------------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "occ_species_area" -> (occSpeciesArea _),
     "occ_sdm_calibration" -> (occSdmCalibration _),
     "spatial_buffer_biogeo" -> (spatialBufferBiogeo _),
     "occ_sdm_background" -> (occSdmBackground _),
@@ -3543,6 +3618,7 @@ object DomainQueries {
     "spatial_buffer_region_join" -> BUFFER_REGION_SQL,
     "spatial_buffer_biogeo" -> BUFFER_BIOGEO_SQL,
     "occ_sdm_calibration" -> SDM_CAL_SQL,
+    "occ_species_area" -> SPECIES_AREA_SQL,
     "events_session_gap_sweep" -> GAP_SWEEP_SQL,
     "cleaning_summary" -> withSql(OCC_SQL, VALID_SQL, LAND_SQL, CENT_SQL, CLEANED_SQL)(
       """SELECT t.species, total_records,

@@ -494,6 +494,8 @@ class PlanAuditSpec extends SparkSpec {
     "events_poisson_dispersion" -> 2, // (type, day) agg + |types|-row fold
     "events_hurst_rs" -> 4, // (type, day) agg; calendar-sized window/fold legs read the checkpointed win relation
     "events_seasonality_strength" -> 3, // (type, day) agg checkpointed; weekday + total folds + join
+    "events_ab_power" -> 3, // (arm,user) agg + 2-row arm agg + single-row fold (welch shape)
+    "occ_species_area" -> 4, // one distinct (g,species,cell) corpus agg + scale rollup legs + 4-row window
     "data_hash_width_audit" -> 2, // hashed projection; per-width distinct-count legs
     "events_peak_to_mean" -> 2, // (type, hour) agg + |types|-row max_by fold
     "spatial_zone_pruning_audit" -> 2, // two aggs of one codegen scan; 16×32 envelope BNLJ whitelisted (layout constants)
