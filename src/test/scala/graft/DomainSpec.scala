@@ -1332,6 +1332,35 @@ class DomainSpec extends SparkSpec {
     val tg = operators.DomainQueries.bufferRegionHits(tight, spark)
       .select("occ_id", "buffer_hit").as[(Long, Int)].collect()
     assert(tg.forall(_._2 == 0), s"tight buffer must miss: ${tg.mkString(", ")}")
+    // MARGIN PROOF (the prefilter-soundness argument the operator doc
+    // cites): the bbox cut extends 10 deci-degrees past the region —
+    // sound because (a) a buffer can only reach a region if the point
+    // sits within dla ≈ 0.07° of the region's lat range, i.e. |lat| ≤
+    // ~73.1°, where dlo(8 km) ≤ 0.25° ≪ 1°; (b) points polewards of
+    // that cannot intersect ANY region regardless of their (possibly
+    // huge) dlo. Sweep east of region 0's east vertex at max uncert:
+    // hits must be exactly the offsets within buffer reach (dlo ≈
+    // 0.112° at lat −50), and the 1.5°-offset point (beyond the bbox
+    // margin for its cell band) must not appear as a candidate at all.
+    val sweep = Seq(
+      (10L, "sw", -50.0, -141.95, 8000.0),  // 0.05° out, reach 0.112 -> hit
+      (11L, "sw", -50.0, -141.91, 8000.0),  // 0.09° out -> hit
+      (12L, "sw", -50.0, -141.80, 8000.0),  // 0.20° out -> miss
+      (13L, "sw", -50.0, -141.10, 8000.0),  // 0.90° out -> miss
+      (14L, "sw", -50.0, -140.50, 8000.0),  // 1.50° out -> miss
+      (15L, "sw", 87.0, -150.0, 8000.0),    // polar: dlo ~ 1.37° but 137° north of any region
+      (16L, "sw", 73.5, -150.0, 8000.0))    // just past the reachable lat band
+      .toDF("occ_id", "species", "lat", "lon", "uncert")
+    val sg = operators.DomainQueries.bufferRegionHits(sweep, spark)
+      .filter(col("rid") === 0)
+      .select("occ_id", "buffer_hit").as[(Long, Int)].collect().toMap
+    assert(sg.getOrElse(10L, 0) == 1, s"0.05-deg point must hit: $sg")
+    assert(sg.getOrElse(11L, 0) == 1, s"0.09-deg point must hit: $sg")
+    assert(Seq(12L, 13L, 14L).forall(sg.getOrElse(_, 0) == 0),
+      s"beyond-reach offsets must miss: $sg")
+    val polar = operators.DomainQueries.bufferRegionHits(sweep, spark)
+      .filter(col("occ_id") >= 15L && col("buffer_hit") === 1).count()
+    assert(polar === 0L, "polewards of the reachable band nothing may hit")
   }
 
 }
