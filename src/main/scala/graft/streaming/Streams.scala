@@ -1652,6 +1652,41 @@ object Streams {
     }
   }
 
+  case class BudgetState(cumErr: Long, cumTotal: Long)
+  case class BudgetOut(hour_id: Long, n_total: Long, n_err: Long,
+                       burn_milli: Long, cum_burn_milli: Long,
+                       over_budget: Boolean)
+
+  /** Streaming counterpart of events_error_budget — O(1) GLOBAL state
+    * (cumulative error/total counters; the SLO burn is corpus-global by
+    * definition, so the single-key state task is the honest shape).
+    * Input is the upstream watermarked per-hour (hour, total, err)
+    * aggregate emitting each hour once, ascending; each arrival emits
+    * the batch operator's row for that hour — running burn and the
+    * over-budget verdict against the shared
+    * [[graft.operators.Analytics.SLO_MILLI]]. Drained stream ⇒ the
+    * emission sequence equals the batch rows exactly (spec-pinned). */
+  def errorBudget(hours: Dataset[(Long, Long, Long)]): Dataset[BudgetOut] = {
+    import hours.sparkSession.implicits._
+    hours.groupByKey(_ => 0).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (_: Int, it: Iterator[(Long, Long, Long)],
+       state: GroupState[BudgetState]) =>
+        var st = state.getOption.getOrElse(BudgetState(0L, 0L))
+        val out = scala.collection.mutable.ArrayBuffer.empty[BudgetOut]
+        for ((hour, nTotal, nErr) <- it.toSeq.sortBy(_._1)) {
+          st = BudgetState(Math.addExact(st.cumErr, nErr),
+            Math.addExact(st.cumTotal, nTotal))
+          out += BudgetOut(hour, nTotal, nErr,
+            nErr * 1000L / nTotal,
+            st.cumErr * 1000L / st.cumTotal,
+            st.cumErr * 1000L / st.cumTotal > graft.operators.Analytics.SLO_MILLI)
+        }
+        state.update(st)
+        out.iterator
+    }
+  }
+
   case class PeakState(nHours: Long, nEvents: Long, peak: Long,
                        peakHour: Long)
   case class PeakOut(event_type: String, n_hours: Long, peak: Long,

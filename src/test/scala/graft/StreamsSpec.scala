@@ -21,8 +21,8 @@ class StreamsSpec extends SparkSpec {
       "mannKendall", "changepoint", "queueWait", "saxMotifs",
       "maxDrawdown", "sprtGate", "wilsonBounds", "tailIndex", "ljungBox",
       "interventionIts", "pageHinkley", "flapRate", "gapFillLocf",
-      "burstiness", "lshIncrement", "peakToMean")
-    assert(expected.size === 43)
+      "burstiness", "lshIncrement", "peakToMean", "errorBudget")
+    assert(expected.size === 44)
     val got = Streams.getClass.getDeclaredMethods.toSeq
       .filter(m => java.lang.reflect.Modifier.isPublic(m.getModifiers))
       .filter(m => classOf[org.apache.spark.sql.Dataset[_]]
@@ -1095,6 +1095,39 @@ class StreamsSpec extends SparkSpec {
       // 3 hours: n=12, peak 6, mean 4000m, p2m 6*3*1000/12=1500, fano:
       // (56/3 - 16)*1000/4 = (18-16)*250 = 500
       assert(rows.last === ((3L, 12L, 6L, 4000L, 1500L, 500L)))
+    } finally q.stop()
+  }
+
+  test("streaming error budget carries O(1) cumulative state and equals the batch sheet") {
+    val hrs = DomainQueries.events(spark, sf)
+      .select(expr("ts_ns div 3600000000000").as("hour_id"),
+        when(col("event_type") === "error", 1L).otherwise(0L).as("err"))
+      .groupBy("hour_id")
+      .agg(count(lit(1)).as("n_total"), sum("err").as("n_err"))
+      .select(col("hour_id"), col("n_total"), col("n_err"))
+      .as[(Long, Long, Long)]
+    val batch = operators.Analytics.eventsErrorBudget(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    val whole = Streams.errorBudget(hrs).collect()
+      .map(o => o.hour_id -> ((o.n_total, o.n_err, o.burn_milli,
+        o.cum_burn_milli, o.over_budget))).toMap
+    assert(whole === batch)
+    assert(batch.nonEmpty)
+    // split mid-stream: the cumulative burn must carry the boundary
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long)]
+    val q = Streams.errorBudget(mem.toDS())
+      .writeStream.format("memory").queryName("budget_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((0L, 10L, 1L), (1L, 10L, 5L)); q.processAllAvailable()
+      mem.addData((2L, 10L, 0L)); q.processAllAvailable()
+      val rows = spark.sql("SELECT hour_id, burn_milli, cum_burn_milli, " +
+        "over_budget FROM budget_out ORDER BY hour_id")
+        .as[(Long, Long, Long, Boolean)].collect().toSeq
+      assert(rows === Seq((0L, 100L, 100L, false), (1L, 500L, 300L, true),
+        (2L, 0L, 200L, false)))
     } finally q.stop()
   }
 
