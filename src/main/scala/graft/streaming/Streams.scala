@@ -1687,6 +1687,48 @@ object Streams {
     }
   }
 
+  case class RunState(runStart: Long, runHours: Long, runErrs: Long,
+                      lastHour: Long, open: Boolean)
+  case class RunOut(run_start_hour: Long, n_hours: Long, total_errs: Long)
+
+  /** Streaming counterpart of events_incident_runs — O(1) run-length
+    * state (open incident's start/length/error-mass + last breached
+    * hour). Input is the per-hour (hour, total, err) aggregate
+    * ascending; an incident EMITS when it closes — a non-breached
+    * successor hour or a gap breaks the consecutive-breach island
+    * exactly as the batch islands-by-(hour − row_number) grouping does.
+    * The honest Append-mode semantics: a still-open incident has no
+    * final row yet (the batch sheet on a corpus ending mid-incident
+    * carries that one extra open row; the spec flushes it with a
+    * sentinel healthy hour and pins exact equality). */
+  def incidentRuns(hours: Dataset[(Long, Long, Long)]): Dataset[RunOut] = {
+    import hours.sparkSession.implicits._
+    val slo = graft.operators.Analytics.SLO_MILLI
+    hours.groupByKey(_ => 0).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (_: Int, it: Iterator[(Long, Long, Long)],
+       state: GroupState[RunState]) =>
+        var st = state.getOption.getOrElse(
+          RunState(0L, 0L, 0L, Long.MinValue, open = false))
+        val out = scala.collection.mutable.ArrayBuffer.empty[RunOut]
+        for ((h, nTotal, nErr) <- it.toSeq.sortBy(_._1)) {
+          val breached = nErr * 1000L / nTotal > slo
+          if (st.open && (h > st.lastHour + 1 || !breached)) {
+            out += RunOut(st.runStart, st.runHours, st.runErrs)
+            st = st.copy(open = false)
+          }
+          if (breached) {
+            st = if (st.open)
+              RunState(st.runStart, st.runHours + 1,
+                Math.addExact(st.runErrs, nErr), h, open = true)
+            else RunState(h, 1L, nErr, h, open = true)
+          }
+        }
+        state.update(st)
+        out.iterator
+    }
+  }
+
   case class PeakState(nHours: Long, nEvents: Long, peak: Long,
                        peakHour: Long)
   case class PeakOut(event_type: String, n_hours: Long, peak: Long,

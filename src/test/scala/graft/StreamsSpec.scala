@@ -21,8 +21,9 @@ class StreamsSpec extends SparkSpec {
       "mannKendall", "changepoint", "queueWait", "saxMotifs",
       "maxDrawdown", "sprtGate", "wilsonBounds", "tailIndex", "ljungBox",
       "interventionIts", "pageHinkley", "flapRate", "gapFillLocf",
-      "burstiness", "lshIncrement", "peakToMean", "errorBudget")
-    assert(expected.size === 44)
+      "burstiness", "lshIncrement", "peakToMean", "errorBudget",
+      "incidentRuns")
+    assert(expected.size === 45)
     val got = Streams.getClass.getDeclaredMethods.toSeq
       .filter(m => java.lang.reflect.Modifier.isPublic(m.getModifiers))
       .filter(m => classOf[org.apache.spark.sql.Dataset[_]]
@@ -1128,6 +1129,44 @@ class StreamsSpec extends SparkSpec {
         .as[(Long, Long, Long, Boolean)].collect().toSeq
       assert(rows === Seq((0L, 100L, 100L, false), (1L, 500L, 300L, true),
         (2L, 0L, 200L, false)))
+    } finally q.stop()
+  }
+
+  test("streaming incident runs emit on close and match the batch islands after a flush") {
+    val hrs = DomainQueries.events(spark, sf)
+      .select(expr("ts_ns div 3600000000000").as("hour_id"),
+        when(col("event_type") === "error", 1L).otherwise(0L).as("err"))
+      .groupBy("hour_id")
+      .agg(count(lit(1)).as("n_total"), sum("err").as("n_err"))
+      .select(col("hour_id"), col("n_total"), col("n_err"))
+      .as[(Long, Long, Long)]
+    val maxHour = hrs.agg(max("hour_id")).as[Long].collect().head
+    // sentinel healthy hour flushes a corpus-final open incident
+    val flushed = hrs.union(Seq((maxHour + 2, 1000L, 0L)).toDS())
+    val batch = operators.Analytics.eventsIncidentRuns(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    val got = Streams.incidentRuns(flushed).collect()
+      .map(o => (o.run_start_hour, o.n_hours, o.total_errs)).toSet
+    assert(got === batch)
+    assert(batch.nonEmpty)
+    // split mid-incident: the run-length state must cross the boundary;
+    // SLO_MILLI = 200, so err 3/10 breaches and 1/10 heals
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long)]
+    val q = Streams.incidentRuns(mem.toDS())
+      .writeStream.format("memory").queryName("runs_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((0L, 10L, 3L), (1L, 10L, 4L)); q.processAllAvailable()
+      mem.addData((2L, 10L, 3L), (3L, 10L, 1L), (5L, 10L, 3L))
+      q.processAllAvailable()
+      mem.addData((7L, 10L, 1L)); q.processAllAvailable()
+      val rows = spark.sql("SELECT run_start_hour, n_hours, total_errs " +
+        "FROM runs_out ORDER BY run_start_hour")
+        .as[(Long, Long, Long)].collect().toSeq
+      // hours 0-2 one incident (closed by healthy hour 3), hour 5 its
+      // own (closed by the GAP to hour 7)
+      assert(rows === Seq((0L, 3L, 10L), (5L, 1L, 3L)))
     } finally q.stop()
   }
 
