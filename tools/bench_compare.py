@@ -58,7 +58,10 @@ def compare(base_path, cur_path):
     print(f"baseline {base_path}: total={base.get('value')}s "
           f"load={base.get('load_avg')} n={len(bq)}")
     print(f"current  {cur_path}: total={cur.get('value')}s "
-          f"load={cur.get('load_avg')} n={len(cq)}")
+          f"load={cur.get('load_avg')}"
+          + (f" start_load={cur.get('load1')}/{cur.get('load5')}/"
+             f"{cur.get('load15')}" if cur.get('load15') is not None else "")
+          + f" n={len(cq)}")
     print(f"common={len(common)}  suite-median ratio={med:.3f} "
           f"(environment factor; per-query ratios below are divided by it)")
     slow = sorted((k for k in common if norm[k] > FLAG_HI),
