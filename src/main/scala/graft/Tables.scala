@@ -36,6 +36,24 @@ object Tables {
 object Ckpt {
   def capped(df: DataFrame): DataFrame =
     org.apache.spark.sql.GraftStatsCheckpoint.localCheckpointCapped(df)
+
+  /** `repartition(n, cols)` + localCheckpoint + re-stamp of the hash
+    * layout the checkpoint provably has (AQE records Unknown otherwise —
+    * see GraftStatsCheckpoint.localCheckpointHashPartitioned). Use for
+    * any checkpointed relation whose consumers join/aggregate on `cols`:
+    * the consumers go exchange-free AND keep the checkpoint's width
+    * instead of riding a tiny re-exchange that AQE coalesces to one
+    * task ahead of a fan-out. */
+  def hashed(df: DataFrame, numParts: Int, cols: String*): DataFrame =
+    stamp(df.repartition(numParts, cols.map(df.col): _*), numParts, cols: _*)
+
+  /** Checkpoint + layout stamp WITHOUT the repartition — for plans that
+    * already end in `repartition(numParts, cols)` followed only by
+    * partitioning-preserving operators (e.g. a dedup aggregate fused onto
+    * the same exchange). The caller owns that contract. */
+  def stamp(df: DataFrame, numParts: Int, cols: String*): DataFrame =
+    org.apache.spark.sql.GraftStatsCheckpoint.localCheckpointHashPartitioned(
+      df, cols, numParts)
 }
 
 object Determinism {

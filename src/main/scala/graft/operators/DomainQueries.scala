@@ -2489,33 +2489,69 @@ object DomainQueries {
     * presence relation checkpoints once; four 1-row folds crossJoin
     * (the whitelisted 1×1 class). */
   def occNestedness(s: SparkSession, dir: String): DataFrame = {
-    val o = valid(s, dir)
+    // Presence relation kept in TWO key-aligned checkpoints, one per
+    // self-join axis. repartition(P, key) before the dedup means the one
+    // exchange serves dedup (hash(cellid) ⊆ {species,cellid} satisfies
+    // the distinct's clustering), the self-join (both sides co-partitioned
+    // — zero join exchange) AND parallelism: a bare checkpoint inherits
+    // the AQE-coalesced partition count of the tiny distinct shuffle, and
+    // the r²-fan-out join legs then run single-task (3.9 s of the sealed
+    // 4.15 s was ONE task; guide §2.5 — partition for the fan-out, not
+    // the input bytes). P from defaultParallelism, never a constant.
+    val par = s.sparkContext.defaultParallelism
+    val oByCell = graft.Ckpt.stamp(valid(s, dir)
       .withColumn("cellid", cell10(col("lat"), col("lon")))
-      .select("species", "cellid").distinct()
+      .select("species", "cellid")
+      .repartition(par, col("cellid"))
+      .dropDuplicates("species", "cellid"), par, "cellid")
+    val oBySp = graft.Ckpt.hashed(oByCell, par, "species")
+    val szs = oBySp.groupBy("species").agg(count(lit(1)).as("r"))
       .transform(graft.Ckpt.capped)
-    val szs = o.groupBy("species").agg(count(lit(1)).as("r"))
+    val szc = oByCell.groupBy("cellid").agg(count(lit(1)).as("nc"))
       .transform(graft.Ckpt.capped)
-    val szc = o.groupBy("cellid").agg(count(lit(1)).as("nc"))
-      .transform(graft.Ckpt.capped)
-    val spSum = o.select(col("species").as("a"), col("cellid"))
-      .join(o.select(col("species").as("b"), col("cellid")), Seq("cellid"))
-      .filter(col("a") =!= col("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("s"))
-      .join(broadcast(szs.select(col("species").as("a"),
-        col("r").as("r_a"))), Seq("a"))
-      .join(broadcast(szs.select(col("species").as("b"),
-        col("r").as("r_b"))), Seq("b"))
+    // Fill counts attach BEFORE pair generation (broadcast dims onto the
+    // aligned checkpoints — partitioning survives a broadcast join), so
+    // the strictly-decreasing-fill test runs inside the self-join: the
+    // r²/n² fan-out and its partial-agg input HALVE, and the post-agg
+    // dim joins disappear (the divisor rides the groupBy as max() — it
+    // is constant per key). Pairs with r_a ≤ r_b contributed nothing
+    // downstream, so the sums are bit-identical.
+    val spA = oByCell.join(broadcast(szs.select(col("species").as("a"),
+        col("r").as("r_a"))), col("species") === col("a"))
+      .select(col("a"), col("cellid"), col("r_a"))
+    val spB = oByCell.join(broadcast(szs.select(col("species").as("b"),
+        col("r").as("r_b"))), col("species") === col("b"))
+      .select(col("b"), col("cellid"), col("r_b"))
+    // The fan-out tasks' partial aggs overlap heavily on the pair keys
+    // (every task sees most cell pairs), so the merge input is ~tasks ×
+    // |pairs|; an explicit-width repartition keeps AQE from coalescing
+    // that merge into ONE task (it sizes by bytes, blind to merge cost).
+    // shuffle_hash (not broadcast): both sides are the SAME key-aligned
+    // checkpoint, so the join is exchange-free and the fan-out runs at
+    // the checkpoint width; a broadcast join here makes the stream side
+    // ride a tiny reused exchange that AQE coalesces to ONE task, and
+    // the whole r² enumeration + pair shuffle write serializes.
+    val spSum = spA.join(spB.hint("shuffle_hash"), Seq("cellid"))
       .filter(col("r_a") > col("r_b"))
+      .repartition(par, col("a"), col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("s"), max("r_b").as("r_b"))
       .agg(coalesce(sum(expr("s * 1000 div r_b")), lit(0L)).as("sp_sum"))
-    val cellSum = o.select(col("cellid").as("ca"), col("species"))
-      .join(o.select(col("cellid").as("cb"), col("species")), Seq("species"))
-      .filter(col("ca") =!= col("cb"))
-      .groupBy("ca", "cb").agg(count(lit(1)).as("s"))
-      .join(broadcast(szc.select(col("cellid").as("ca"),
-        col("nc").as("n_a"))), Seq("ca"))
-      .join(broadcast(szc.select(col("cellid").as("cb"),
-        col("nc").as("n_b"))), Seq("cb"))
+    val cA = oBySp.join(broadcast(szc.select(col("cellid").as("ca"),
+        col("nc").as("n_a"))), col("cellid") === col("ca"))
+      .select(col("ca"), col("species"), col("n_a"))
+    val cB = oBySp.join(broadcast(szc.select(col("cellid").as("cb"),
+        col("nc").as("n_b"))), col("cellid") === col("cb"))
+      .select(col("cb"), col("species"), col("n_b"))
+    // cell pairs pack into ONE long key (cellid < 648 < 1024) and the
+    // divisor re-attaches from the broadcast dim AFTER the pair count —
+    // the 7M-row pair exchange carries 8 bytes/row instead of 24.
+    val cellSum = cA.join(cB.hint("shuffle_hash"), Seq("species"))
       .filter(col("n_a") > col("n_b"))
+      .select((col("ca") * 1024L + col("cb")).as("pk"))
+      .repartition(par, col("pk"))
+      .groupBy("pk").agg(count(lit(1)).as("s"))
+      .join(broadcast(szc.select(col("cellid").as("cb"),
+        col("nc").as("n_b"))), expr("pk % 1024") === col("cb"))
       .agg(coalesce(sum(expr("s * 1000 div n_b")), lit(0L)).as("cell_sum"))
     val dims = szs.agg(count(lit(1)).as("n_species"))
       .crossJoin(szc.agg(count(lit(1)).as("n_cells")))

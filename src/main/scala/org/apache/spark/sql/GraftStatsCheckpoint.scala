@@ -33,6 +33,42 @@ import org.apache.spark.sql.execution.LogicalRDD
 object GraftStatsCheckpoint {
   private val Cap = BigInt(Long.MaxValue)
 
+  /** localCheckpoint that RE-STAMPS a hash partitioning the materialized
+    * RDD is known to have. Under AQE, `Dataset.localCheckpoint` records
+    * `UnknownPartitioning` on the LogicalRDD leaf (the adaptive plan's
+    * outputPartitioning is opaque at capture time), so a checkpoint built
+    * as `repartition(n, k)` + key-preserving operators loses its layout:
+    * every downstream join/aggregate on k re-exchanges, and because the
+    * re-exchange of a small checkpoint is tiny, AQE coalesces it to ONE
+    * task — serializing any fan-out consumer (the occ_nestedness r²
+    * self-join ran its 7M-row pair enumeration single-task). Caller
+    * CONTRACT: `df`'s rows must actually be laid out as
+    * HashPartitioning(cols, n) — i.e. the plan is `repartition(n, cols)`
+    * followed only by partitioning-preserving operators. Stats are capped
+    * exactly as [[localCheckpointCapped]]. */
+  def localCheckpointHashPartitioned(df: DataFrame, cols: Seq[String],
+      numParts: Int): DataFrame = {
+    val ck = df.localCheckpoint()
+    ck.queryExecution.analyzed match {
+      case lr: LogicalRDD =>
+        val attrs = cols.map(c => lr.output.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(
+            s"localCheckpointHashPartitioned: no column '$c' in ${lr.output}")))
+        val part = org.apache.spark.sql.catalyst.plans.physical
+          .HashPartitioning(attrs, numParts)
+        val st = lr.computeStats()
+        val capped = Statistics(
+          sizeInBytes = st.sizeInBytes.min(Cap),
+          rowCount = st.rowCount.map(_.min(Cap)))
+        val spark = ck.sparkSession.asInstanceOf[CSparkSession]
+        CDataset.ofRows(spark,
+          new LogicalRDD(lr.output, lr.rdd, part,
+            lr.outputOrdering, lr.isStreaming, lr.stream)(
+            spark, Some(capped), Some(lr.constraints)))
+      case _ => ck
+    }
+  }
+
   def localCheckpointCapped(df: DataFrame): DataFrame = {
     val ck = df.localCheckpoint() // eager: materialize exactly once
     ck.queryExecution.analyzed match {
