@@ -169,14 +169,22 @@ object CoreQueries {
     // same partial-aggregated shuffle instead of two scans + a join.
     // (explode, NOT stack: Stack is CodegenFallback, which would drag
     // the md5 hashing into interpreted eval for every row.)
-    def h(k: String) =
-      s"cast(conv(substring(md5(cast(cast($k as string) as binary)), 1, 15), 16, 10) as bigint)"
     val est = lit(0.709 * 64 * 64 * 36028797018963968.0) / col("w").cast("double")
+    // r14: dedup (group, measure, value) BEFORE hashing — registers take
+    // MAX, so duplicate values cannot move them, and lineitem repeats
+    // each orderkey ~4x and each partkey ~30x. The dedup exchange ships
+    // narrow (flag, k, value) rows (map-side partial dedup collapses the
+    // file's orderkey clustering locally); md5 count drops ~2.5x.
+    // Identical registers, identical estimate.
     t(s, dir, "lineitem")
       .select(col("l_returnflag"), explode(array(
-        struct(lit(0).as("k"), expr(h("l_orderkey")).as("h")),
-        struct(lit(1).as("k"), expr(h("l_partkey")).as("h")))).as("kh"))
-      .select(col("l_returnflag"), col("kh.k").as("k"), expr("kh.h").as("h"))
+        struct(lit(0).as("k"), col("l_orderkey").cast("string").as("v")),
+        struct(lit(1).as("k"), col("l_partkey").cast("string").as("v")))).as("kh"))
+      .select(col("l_returnflag"), col("kh.k").as("k"), col("kh.v").as("v"))
+      .dropDuplicates("l_returnflag", "k", "v")
+      .select(col("l_returnflag"), col("k"),
+        expr("cast(conv(substring(md5(cast(v as binary)), 1, 15), 16, 10) as bigint)")
+          .as("h"))
       .select(col("l_returnflag"), col("k"), expr("h & 63").as("reg"),
         expr("case when shiftright(h, 6) = 0 then 55" +
           " else 55 - length(bin(shiftright(h, 6))) end").as("rho"))
@@ -678,13 +686,24 @@ object CoreQueries {
     * (timestamp-interval compare, exact on both engines). Orders with
     * ≥2 suppliers where EXACTLY ONE shipped late blame that supplier. */
   def q21(s: SparkSession, dir: String): DataFrame = {
+    // r14: the two countDistincts + max in ONE aggregate triggered the
+    // multi-distinct Expand rewrite (every joined row × 3 groupings —
+    // the meta_column_profile landmine; 8.3 s of task time at sf0.1).
+    // Re-grained as two STACKED aggregates on the join's own orderkey
+    // partitioning: hash(l_orderkey) satisfies both (orderkey, suppkey)
+    // and (orderkey) clustering, so neither aggregate adds an exchange
+    // and no Expand is planned. Same rows: n_supp = |supplier groups|,
+    // n_late_supp = Σ per-supplier late flags, blame = the flagged
+    // supplier (unique when n_late_supp = 1).
     val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS")
     t(s, dir, "lineitem")
       .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(late, 1L).otherwise(0L)).as("late_flag"))
       .groupBy("l_orderkey")
-      .agg(countDistinct("l_suppkey").as("n_supp"),
-        countDistinct(when(late, col("l_suppkey"))).as("n_late_supp"),
-        max(when(late, col("l_suppkey"))).as("blame_supp"))
+      .agg(count(lit(1)).as("n_supp"),
+        sum("late_flag").as("n_late_supp"),
+        max(when(col("late_flag") === 1L, col("l_suppkey"))).as("blame_supp"))
       .filter(col("n_supp") > 1 && col("n_late_supp") === 1)
       .join(broadcast(t(s, dir, "supplier")), col("blame_supp") === col("s_suppkey"))
       .groupBy(col("s_suppkey"), col("s_name"))

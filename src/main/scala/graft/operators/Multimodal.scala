@@ -339,16 +339,47 @@ object Multimodal {
     val recrawled = media.filter(col("media_id") % 9 === 0)
       .select((-col("media_id") - 1).as("media_id"),
         concat(lit("edited: "), col("text")).as("text"))
-    val gated = media.unionByName(recrawled)
-      .transform(graft.Ckpt.capped) // grams + the N fold both read it
-    val grams = gated
+    // r14: checkpoint WIDTH pinned (a bare ckpt materializes at the
+    // AQE-coalesced width and the gram explode then ran 2-wide; the md5
+    // stage was 2.9 s of the sealed 4.3 s), and the per-POSITION md5
+    // replaced by an md5-once-per-DISTINCT-gram dictionary: the corpus
+    // draws grams from a shared vocabulary, so positions >> distinct
+    // grams (1.27 M vs 13 k at sf0.1 — ~100x fewer hashes; the text_
+    // surprisal vocabulary-join discipline, shuffle-safe at any scale —
+    // AQE broadcasts the dict while it is small). Hash values, dedup
+    // key (media_id, h) and everything downstream are bit-identical.
+    val par = s.sparkContext.defaultParallelism
+    val gated = graft.Ckpt.hashed(media.unionByName(recrawled),
+      par, "media_id") // grams + the N fold both read it
+    // One explicit gram-keyed exchange serves the (media, gram) dedup,
+    // the dictionary dedup AND the dict join (all co-partitioned, zero
+    // further exchanges; shuffle_hash because the planner would
+    // otherwise broadcast the POSITIONS side — explode keeps the tiny
+    // pre-explode size estimate). The extra (media_id, h) dedup after
+    // the dict attach restores today's exact keyed-on-h semantics even
+    // for 55-bit gram collisions.
+    def positions: DataFrame = gated
       .select(col("media_id"), col("text"),
         explode(expr("sequence(0, length(text) - 8)")).as("i"))
       .select(col("media_id"),
-        expr("cast(conv(substring(md5(cast(concat('ph:', substring(text," +
-          " i + 1, 8)) as binary)), 1, 15), 16, 10) as bigint)").as("h"))
-      .dropDuplicates("media_id", "h") // set semantics: mass ≠ weight
-      .transform(graft.Ckpt.capped) // df fold + the weighted join read it
+        expr("substring(text, i + 1, 8)").as("gram"))
+    // dict re-derives the explode on its own branch (narrow + parallel;
+    // map-side partial dedup means only per-task distinct grams reach
+    // its exchange) — sharing one exchange between dict and the join
+    // stream is NOT reused under AQE and the 1.27M-row explode+shuffle
+    // ran twice. shuffle_hash: the planner would otherwise broadcast
+    // the POSITIONS side (explode keeps the tiny pre-explode estimate).
+    val dict = positions.select("gram").dropDuplicates("gram")
+      .withColumn("h",
+        expr("cast(conv(substring(md5(cast(concat('ph:', gram)" +
+          " as binary)), 1, 15), 16, 10) as bigint)"))
+    val grams = graft.Ckpt.stamp(
+      positions.repartition(par, col("gram"))
+        .join(dict.hint("shuffle_hash"), Seq("gram"))
+        .select("media_id", "h")
+        .repartition(par, col("h"))
+        .dropDuplicates("media_id", "h"), // set semantics: mass ≠ weight
+      par, "h") // df fold + the weighted join read it, both keyed on h
     val dfr = grams.groupBy("h").agg(count(lit(1)).as("dfh"))
     val n = gated.agg(count(lit(1)).as("nd"))
     val bitCols = (0 until 60).map { j =>
@@ -357,14 +388,20 @@ object Multimodal {
     val sigExpr = (0 until 60).map(j =>
       when(expr(s"2 * c$j >= tw"), expr(s"shiftleft(1L, $j)")).otherwise(0L))
       .reduce((a, b) => a.bitwiseOR(b))
-    val sigs = grams.join(dfr, Seq("h"))
+    // Raw (media_id, h, w) rows pre-shuffle by media_id so the 61-sum
+    // aggregate runs COMPLETE at full width: a map-side partial agg here
+    // emits ~|media| 62-column rows per h-partitioned task (the overlap
+    // blowup), and AQE then coalesces the fat merge to one task.
+    val sigs = graft.Ckpt.stamp(grams.join(dfr, Seq("h"))
       .crossJoin(broadcast(n))
       .withColumn("w",
         expr("(length(bin(nd)) - 1) - (length(bin(dfh)) - 1)"))
+      .select("media_id", "h", "w")
+      .repartition(par, col("media_id"))
       .groupBy("media_id")
       .agg(sum("w").as("tw"), bitCols: _*)
-      .select(col("media_id"), sigExpr.as("sig"))
-      .transform(graft.Ckpt.capped) // referenced by both band-join sides
+      .select(col("media_id"), sigExpr.as("sig")),
+      par, "media_id") // referenced by both band-join sides
     val bands = sigs.select(col("media_id"), col("sig"),
         explode(expr("array(0L, 1L, 2L, 3L, 4L, 5L)")).as("band"))
       .withColumn("bv", expr("(sig >> (band * 10)) & 1023"))

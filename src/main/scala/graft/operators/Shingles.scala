@@ -24,7 +24,17 @@ object Shingles {
     */
   def trigramRows(docs: DataFrame, dedup: Boolean): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
+    // r14: explicit-width doc_id repartition BEFORE the explode. The
+    // window's own ENSURE_REQUIREMENTS exchange is tiny at bench scale,
+    // so AQE coalesced it to ONE partition and every downstream
+    // tokenize + md5 + partial-agg stage in every shingle consumer ran
+    // single-task (guide §2.5: a single-split input file starves the
+    // whole pipeline — repartition right after the read). hash(doc_id)
+    // satisfies the window clustering, so this REPLACES that exchange
+    // (and ships raw text once instead of exploded token rows).
+    val par = graft.Ckpt.textPar(docs.sparkSession) // probed: cores/4 beats 32 AND 1
     val rows = docs
+      .repartition(par, col("doc_id"))
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
       .select(col("doc_id"),
         concat(col("w"), lit("_"), lead("w", 1).over(w), lit("_"), lead("w", 2).over(w)).as("sh"))

@@ -218,7 +218,11 @@ object SketchQueries {
     val fpExpr = (0 until 60).map(i =>
       when(col(s"c$i") > 0, expr(s"shiftleft(1L, $i)")).otherwise(0L))
       .reduce((a, b) => a.bitwiseOR(b))
+    // Explicit-width doc repartition (the Shingles r14 note): the token
+    // md5s + 60 partial sums otherwise run at single-split scan width;
+    // hash(doc_id) also feeds the groupBy exchange-free.
     val fps = docs
+      .repartition(graft.Ckpt.textPar(docs.sparkSession), col("doc_id"))
       .select(col("doc_id"),
         explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("w"))
       .withColumn("h", expr(
@@ -583,7 +587,11 @@ object SketchQueries {
   private def winnowRows(s: SparkSession, dir: String): DataFrame = {
     val W = 4
     val wOrd = Window.partitionBy("doc_id").orderBy("pos")
+    // Explicit-width doc repartition (the Shingles r14 note): replaces
+    // the window's tiny AQE-coalesced exchange so shingle md5s + both
+    // window passes run at textPar width.
     val toks = t(s, dir, "documents")
+      .repartition(graft.Ckpt.textPar(s), col("doc_id"))
       .select(col("doc_id"),
         posexplode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
           .as(Seq("pos", "tok")))
@@ -1520,7 +1528,7 @@ object SketchQueries {
          |FROM ne, na, nh""".stripMargin
     })
 
-  private lazy val MINHASH_PAIR_SQL: String = {
+  private[operators] lazy val MINHASH_PAIR_SQL: String = {
       val seedRows = seeds.zipWithIndex
         .map { case (sv, i) => s"($i, $sv)" }.mkString(", ")
       s"""WITH sh AS (

@@ -2184,9 +2184,15 @@ object TextPrep {
           .as("near_dup_doc_share_milli"))
   }
 
+  // Sibling-val reference, NEVER SketchQueries.oracle("..."): reading the
+  // oracle map from another object's initializer re-enters SketchQueries'
+  // <clinit> when the load order starts there (Graphs → SketchQueries →
+  // DomainQueries → TextPrep → back), and the still-null map NPEs the
+  // whole chain — the r12 KNN_GRAPH_SQL landmine, latent here until a
+  // standalone `testOnly graft.GraphsSpec` hit that order (r14).
   private lazy val DATASHEET_SQL: String =
     s"""WITH mh AS MATERIALIZED (
-       |${SketchQueries.oracle("dedup_minhash_lsh")}),
+       |${SketchQueries.MINHASH_PAIR_SQL}),
        |dd AS MATERIALIZED (
        |  SELECT doc_id, lang, source,
        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)

@@ -1495,12 +1495,17 @@ object TextQueries {
       .withColumn("bkt", substring(col("sk16"), 1, 2))
       .withColumn("cnt", lit(1L))
     val offsets = Scale.bucketOffsets(d, "bkt", Seq("cnt"))
-    val ranked = d.join(broadcast(offsets), Seq("bkt"))
+    // r14: WIDTH-pinned checkpoint (Ckpt.hashed) — the bare ckpt came out
+    // at the AQE-coalesced width of the bkt-window exchange (ONE
+    // partition), so the 3n-pair levenshtein stage streamed single-task
+    // (1.8 s of the sealed 2.2 s). With 32 partitions the rank-equi BHJ
+    // streams the explode side at full width.
+    val par = s.sparkContext.defaultParallelism
+    val ranked = graft.Ckpt.hashed(d.join(broadcast(offsets), Seq("bkt"))
       .withColumn("rk",
         row_number().over(Window.partitionBy("bkt").orderBy("sk16", "doc_id"))
           .cast("long") + col("cnt_off"))
-      .select("doc_id", "sk", "rk")
-      .transform(graft.Ckpt.capped)
+      .select("doc_id", "sk", "rk"), par, "rk")
     ranked
       .select(col("rk"), col("sk").as("sk_a"))
       .withColumn("j", explode(array(lit(1L), lit(2L), lit(3L))))
@@ -1566,8 +1571,13 @@ object TextQueries {
           concat(lit("zq"), col("doc_id").cast("string"), lit(" "),
             substring(col("text"), 80, 220)).as("text")))
     val wt = Window.partitionBy("doc_id").orderBy("pos")
-    val toks = corpus.select(col("doc_id"),
-      posexplode(Shingles.tokens(col("text"))).as(Seq("pos", "w0")))
+    // Explicit-width doc repartition before the explode (the Shingles r14
+    // note): the 16-lead window + md5 otherwise run at the AQE-coalesced
+    // width of the window's own tiny exchange.
+    val parSw = graft.Ckpt.textPar(s)
+    val toks = corpus.repartition(parSw, col("doc_id"))
+      .select(col("doc_id"),
+        posexplode(Shingles.tokens(col("text"))).as(Seq("pos", "w0")))
     val winCol = concat(lit("sw:") +: (0 to 15).flatMap(i =>
       if (i == 0) Seq(col("w0"))
       else Seq(lit("_"), lead("w0", i).over(wt))): _*)
@@ -1577,7 +1587,7 @@ object TextQueries {
       .filter(col("h").isNotNull)
     val hs = wins.groupBy("h").agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd").between(2L, 8L)).select("h")
-    val sh = wins.join(hs, Seq("h")).transform(graft.Ckpt.capped)
+    val sh = graft.Ckpt.hashed(wins.join(hs, Seq("h")), parSw, "h")
     val pairs = sh
       .select(col("h"), col("doc_id").as("doc_a"), col("pos").as("apos"))
       .join(sh.select(col("h"), col("doc_id").as("doc_b"),

@@ -151,7 +151,12 @@ object TextRank {
     * drift. */
   private def gram5(df: DataFrame): DataFrame = {
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
-    df.select(col("doc_id"), toks("text").as(Seq("pos", "w")))
+    // Explicit-width doc_id repartition replaces the window's tiny
+    // AQE-coalesced exchange (the Shingles.trigramRows r14 note: the
+    // single-split corpus file otherwise starves every downstream stage).
+    val par = graft.Ckpt.textPar(df.sparkSession)
+    df.repartition(par, col("doc_id"))
+      .select(col("doc_id"), toks("text").as(Seq("pos", "w")))
       .select(col("doc_id"), concat_ws("_", col("w"),
         lead("w", 1).over(byDoc), lead("w", 2).over(byDoc),
         lead("w", 3).over(byDoc), lead("w", 4).over(byDoc)).as("g"),

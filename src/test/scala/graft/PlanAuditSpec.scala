@@ -133,7 +133,7 @@ class PlanAuditSpec extends SparkSpec {
     "multimodal_frame_sample" -> 0, // narrow binary slicing: ZERO shuffles
     "multimodal_audio_windows" -> 0, // narrow scan + generator: ZERO shuffles
     "dedup_winnow_pairs" -> 5, // winnow window exchange + fp distinct + df cap + posting + pair aggs
-    "q14_approx_distinct" -> 3, // register-max agg + per-measure agg + final group agg, one scan
+    "q14_approx_distinct" -> 4, // r14: + value-dedup exchange BEFORE hashing (narrow rows, md5 count drops ~2.5x; registers take max so duplicates can't move them) + register-max agg + per-measure agg + final group agg, one scan
     "biogeo_annotate" -> 1, // broadcast cell join; ONE dual-collect_set agg shuffle
     "biogeo_summary" -> 1, // same broadcast join; one summary agg shuffle
     "dedup_contamination" -> 3, // gram aggs both sides + pair agg; eval side broadcast
