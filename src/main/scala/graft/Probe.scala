@@ -73,6 +73,14 @@ object Probe {
           posexplode(operators.Shingles.tokens(col("text"))).as(Seq("pos", "w")))
         .groupBy("doc_id").agg(count(lit(1)))
     }
+    time("bipartite_aqe_on") { operators.Graphs.graphBipartiteComponents(spark, sfDir) }
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    time("bipartite_aqe_off") { operators.Graphs.graphBipartiteComponents(spark, sfDir) }
+    time("pagerank_aqe_off") { operators.Graphs.queries("graph_pagerank")(spark, sfDir) }
+    time("kcore_aqe_off") { operators.Graphs.queries("graph_kcore")(spark, sfDir) }
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    time("pagerank_aqe_on") { operators.Graphs.queries("graph_pagerank")(spark, sfDir) }
+    time("kcore_aqe_on") { operators.Graphs.queries("graph_kcore")(spark, sfDir) }
     // driver-side cost of a fresh read.parquet per reference (listing +
     // footer/schema inference) vs reusing one relation
     val t0 = System.nanoTime()

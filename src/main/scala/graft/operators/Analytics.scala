@@ -3492,15 +3492,22 @@ object Analytics {
     * reference, the triangles/containment discipline); brand counts and
     * the order total broadcast back. */
   def affinityBrandPairs(s: SparkSession, dir: String): DataFrame = {
-    val ob = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
-      .join(t(s, dir, "part").select("p_partkey", "p_brand"),
-        col("l_partkey") === col("p_partkey"))
-      .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
-      .distinct()
-      .transform(graft.Ckpt.capped)
+    // r14: ok-aligned stamped checkpoint (hash(ok) satisfies the dedup's
+    // (ok, brand) clustering, so the repartition IS the dedup exchange)
+    // + shuffle_hash so the pair fan-out runs exchange-free at the
+    // checkpoint width instead of single-task over a tiny AQE-coalesced
+    // re-exchange (the occ_nestedness class).
+    val ob = graft.Ckpt.stamp(
+      t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+        .join(t(s, dir, "part").select("p_partkey", "p_brand"),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
+        .repartition(graft.Ckpt.wide(s), col("ok"))
+        .dropDuplicates("ok", "brand"),
+      graft.Ckpt.wide(s), "ok")
     val nOrders = ob.agg(countDistinct("ok").as("n_orders"))
     val brandCnt = ob.groupBy("brand").agg(count(lit(1)).as("cnt"))
-    ob.as("a").join(ob.as("b"),
+    ob.as("a").join(ob.as("b").hint("shuffle_hash"),
         col("a.ok") === col("b.ok") && col("a.brand") < col("b.brand"))
       .groupBy(col("a.brand").as("brand_a"), col("b.brand").as("brand_b"))
       .agg(count(lit(1)).as("support"))
