@@ -78,6 +78,12 @@ object Bench {
       Thread.sleep(5000)
     val settleS = settleWaited / 1e9
     val (startL1, startL5, startL15) = loads
+    // Self-documenting hot-run marker (r15, verdict item): true iff the
+    // settle gate exited because a CAP expired while the load was still
+    // above its threshold — the exact signature of every phantom-spike
+    // driver run (r10-r14). A capped run's numbers are suspect by
+    // construction; the flag says so from the artifact alone.
+    val settleCapped = startL1 > 1.0 || startL15 > 1.5
 
     // Untimed warm-up pass: JIT, codegen caches, parquet footers, file
     // listing — so the timed pass measures steady-state query time.
@@ -100,23 +106,45 @@ object Bench {
     val results = names.map { name =>
       heapPools.foreach(p => try p.resetPeakUsage() catch { case _: Throwable => () })
       val gc0 = gcMs
-      val timed = (1 to 2).map { _ =>
+      spark.sparkContext.setJobDescription(s"bench: $name")
+      def onePass(): (Double, Boolean) = {
         val t0 = System.nanoTime()
         val ok = try { run(name); true } catch { case _: Throwable => false }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
+      val two = (1 to 2).map(_ => onePass())
+      val min2 = if (two.forall(_._2)) two.map(_._1).min else -1.0
+      // Robustness pass (r15, additions-only — the reported `queries` /
+      // `value` stay EXACTLY min-of-first-two so every prior round's
+      // numbers compare 1:1): sub-second queries (the phantom-spike
+      // class: r14 driver run read 36 s on a 2.7 s query) and queries
+      // whose two runs disagree >1.5x get a THIRD timed run; `med3`
+      // carries the median of the three and `spread_flags` names queries
+      // whose run spread exceeds 3x — a genuine regression shows a tight
+      // spread, an environment spike self-documents.
+      val needThird = min2 >= 0 &&
+        (min2 < 1.0 || two.map(_._1).max > 1.5 * min2)
+      val third = if (needThird) Some(onePass()) else None
+      spark.sparkContext.setJobDescription(null)
+      val all = (two ++ third).filter(_._2).map(_._1)
+      val med3 = third.filter(_._2).map(_ => all.sorted.apply(all.size / 2))
+      val spread = if (min2 > 0 && all.nonEmpty) all.max / all.min else 1.0
       val gcDelta = gcMs - gc0
       val peakMb = heapPools.map(p => try p.getPeakUsage.getUsed catch { case _: Throwable => 0L }).sum >> 20
-      (name, if (timed.forall(_._2)) timed.map(_._1).min else -1.0, gcDelta, peakMb)
+      (name, min2, gcDelta, peakMb, med3, spread)
     }
     def fmt(v: Double): String = "%.3f".format(v)
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + fmt(v) }
+    val qs = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val gcs = results.map { case (k, _, g, _) => "\"" + k + "\":" + g }
+    val med3s = results.collect { case (k, _, _, _, Some(m), _) =>
+      "\"" + k + "\":" + fmt(m) }.mkString("{", ",", "}")
+    val spreadFlags = results.collect { case (k, _, _, _, _, sp) if sp > 3.0 =>
+      "\"" + k + "\"" }.mkString("[", ",", "]")
+    val gcs = results.map { case (k, _, g, _, _, _) => "\"" + k + "\":" + g }
       .mkString("{", ",", "}")
-    val peaks = results.map { case (k, _, _, m) => "\"" + k + "\":" + m }
+    val peaks = results.map { case (k, _, _, m, _, _) => "\"" + k + "\":" + m }
       .mkString("{", ",", "}")
-    val errors = results.collect { case (k, v, _, _) if v < 0 => "\"" + k + "\"" }
+    val errors = results.collect { case (k, v, _, _, _, _) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     // Key order matters for crash/truncation forensics: the harness that
@@ -133,8 +161,8 @@ object Bench {
     // strip anything outside [0-9*,] so a quote/backslash in the env var
     // can't corrupt the JSON artifact
     val cpusSafe = cpus.filter(c => c.isDigit || c == '*' || c == ',')
-    val env = s""""load_avg":${fmt(load)},"load1":${fmt(startL1)},"load5":${fmt(startL5)},"load15":${fmt(startL15)},"settle_s":${fmt(settleS)},"epoch_ms":${System.currentTimeMillis()},"cpus":"$cpusSafe""""
-    val json = s"""{"metric":"total","unit":"sec","sf":"$sfDir",$env,"queries":$qs,"gc_ms":$gcs,"peak_mb":$peaks,"errors":$errors,"value":${fmt(total)}}"""
+    val env = s""""load_avg":${fmt(load)},"load1":${fmt(startL1)},"load5":${fmt(startL5)},"load15":${fmt(startL15)},"settle_s":${fmt(settleS)},"settle_capped":$settleCapped,"epoch_ms":${System.currentTimeMillis()},"cpus":"$cpusSafe""""
+    val json = s"""{"metric":"total","unit":"sec","sf":"$sfDir",$env,"queries":$qs,"med3":$med3s,"spread_flags":$spreadFlags,"gc_ms":$gcs,"peak_mb":$peaks,"errors":$errors,"value":${fmt(total)}}"""
     // Durable copy: survives any stdout/stderr truncation. A subset run
     // (SPARK_GRAFT_QUERIES isolation protocol) writes BENCH_SUBSET.json —
     // it must NEVER clobber the sealed full-suite artifact (a judge

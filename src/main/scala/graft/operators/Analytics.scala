@@ -3497,14 +3497,16 @@ object Analytics {
     // + shuffle_hash so the pair fan-out runs exchange-free at the
     // checkpoint width instead of single-task over a tiny AQE-coalesced
     // re-exchange (the occ_nestedness class).
+    val obBase = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      .join(t(s, dir, "part").select("p_partkey", "p_brand"),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
+    // volume-aware width (leaf-scan bytes, floor = defaultParallelism) —
+    // computed ONCE so the repartition and the stamp can never disagree
+    val obW = graft.Ckpt.wide(obBase)
     val ob = graft.Ckpt.stamp(
-      t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
-        .join(t(s, dir, "part").select("p_partkey", "p_brand"),
-          col("l_partkey") === col("p_partkey"))
-        .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
-        .repartition(graft.Ckpt.wide(s), col("ok"))
-        .dropDuplicates("ok", "brand"),
-      graft.Ckpt.wide(s), "ok")
+      obBase.repartition(obW, col("ok")).dropDuplicates("ok", "brand"),
+      obW, "ok")
     val nOrders = ob.agg(countDistinct("ok").as("n_orders"))
     val brandCnt = ob.groupBy("brand").agg(count(lit(1)).as("cnt"))
     ob.as("a").join(ob.as("b").hint("shuffle_hash"),

@@ -2259,9 +2259,10 @@ object DomainQueries {
     // ONE task, 3.0 s of the sealed 2.3 s), shuffle_hash so the planner
     // doesn't route the stream side over a tiny AQE-coalesced exchange,
     // packed single-long pair key with an explicit-width merge.
-    val par = s.sparkContext.defaultParallelism
-    val cs = graft.Ckpt.stamp(valid(s, dir)
+    val csBase = valid(s, dir)
       .select(cell10(col("lat"), col("lon")).as("cellid"), col("species"))
+    val par = graft.Ckpt.wide(csBase) // volume-aware, floor = defaultParallelism
+    val cs = graft.Ckpt.stamp(csBase
       .repartition(par, col("species"))
       .dropDuplicates("cellid", "species"), par, "species")
     val rich = cs.groupBy("cellid").agg(count(lit(1)).as("nsp"))
@@ -2510,10 +2511,11 @@ object DomainQueries {
     // the r²-fan-out join legs then run single-task (3.9 s of the sealed
     // 4.15 s was ONE task; guide §2.5 — partition for the fan-out, not
     // the input bytes). P from defaultParallelism, never a constant.
-    val par = s.sparkContext.defaultParallelism
-    val oByCell = graft.Ckpt.stamp(valid(s, dir)
+    val ocBase = valid(s, dir)
       .withColumn("cellid", cell10(col("lat"), col("lon")))
       .select("species", "cellid")
+    val par = graft.Ckpt.wide(ocBase) // volume-aware, floor = defaultParallelism
+    val oByCell = graft.Ckpt.stamp(ocBase
       .repartition(par, col("cellid"))
       .dropDuplicates("species", "cellid"), par, "cellid")
     val oBySp = graft.Ckpt.hashed(oByCell, par, "species")

@@ -78,44 +78,79 @@ object Graphs {
       s"unknown connectedComponents algo '$other' (min-label | big-star)")
   }
 
+  /** Rounds materialized per checkpoint in the iterative loops below
+    * (r15 driver-latency fusion): at bench SF every per-round
+    * plan+codegen+AQE-stage round-trip costs ~0.1-0.2 s of pure DRIVER
+    * latency while the per-round executor work on the tiny pair graphs
+    * is milliseconds, so two synchronous rounds composed into ONE
+    * submitted plan halve the round-trips. Two, not more: each round
+    * references the previous relation TWICE (join source + outer base),
+    * so a fused body holds 2^f copies of the checkpoint leaf — f = 2
+    * keeps the plan linear-ish while f ≥ 3 pays more planning than it
+    * saves (probed). The composed algebra is UNCHANGED — the same
+    * synchronous rounds execute, only the materialization boundary
+    * moves. */
+  private val FUSED_ROUNDS = 2
+
   private def connectedComponentsMinLabel(edges: DataFrame, maxIter: Int): DataFrame = {
-    val e = edges.toDF("a", "b")
+    // The edge list is checkpointed ONCE up front (r15): the symmetrizing
+    // union scans it twice, and every round scans it again — without the
+    // cut each reference replays the possibly-expensive upstream pair
+    // generation (the phash pair plan is multi-second), the
+    // multi-reference plan-replay landmine.
+    val e = ckpt(edges.toDF("a", "b"))
     // no distinct(): duplicate edges cannot move a min aggregate, and the
     // dedup shuffle would cost more than the duplicates it removes
-    val sym = e.union(e.select(col("b"), col("a"))).persist()
+    val sym = e.union(e.select(col("b"), col("a")))
     var labels = sym.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
       .transform(ckpt)
+    // CLOSED-neighborhood edge set: self-loops come from the node
+    // checkpoint, so one round is ONE join + ONE min aggregate and — the
+    // r15 fusion enabler — references the previous label relation exactly
+    // ONCE. min over the closed neighborhood ≡ the textbook
+    // least(own, min-over-neighbors): identical labels, and f fused
+    // rounds compose into a LINEAR plan (no 2^f re-execution of inner
+    // rounds, which is where the first fused cut lost 2× on the phash
+    // graph).
+    val symC = sym.union(labels.select(col("node").as("a"),
+      col("node").as("b")))
+    def round(cur: DataFrame): DataFrame =
+      symC.join(cur, symC("b") === cur("node"))
+        .groupBy(symC("a").as("node")).agg(min("label").as("label"))
     var iter = 0
     var changed = true
+    // Convergence detection (r15): labels only ever DECREASE, so the
+    // label SUM strictly decreases while anything moves and is constant
+    // exactly at the fixpoint — one observed DECIMAL(38,0) sum per fused
+    // body replaces the per-round old-vs-new comparison (which needed a
+    // second reference to the previous labels). Sums ride the checkpoint
+    // action as observed metrics.
+    var prevSum: Option[String] = None
+    def sumCol = sum(col("label").cast("decimal(38,0)")).as("ls")
     while (changed && iter < maxIter) {
-      val nbrMin = sym.join(labels, sym("b") === labels("node"))
-        .groupBy(sym("a").as("node")).agg(min("label").as("nbr_label"))
-      // the convergence boolean rides the checkpoint action as an
-      // observed metric — one job per round instead of checkpoint +
-      // a second convergence scan
+      val f = math.min(FUSED_ROUNDS, maxIter - iter)
+      var cur = labels
+      for (_ <- 1 to f) cur = round(cur)
       val obs = org.apache.spark.sql.Observation(s"cc_round_$iter")
-      val next = labels.join(nbrMin, Seq("node"), "left_outer")
-        .select(col("node"), col("label").as("old_label"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .observe(obs, coalesce(max(col("label") < col("old_label")), lit(false))
-          .as("moved"))
+      val next = cur.observe(obs, sumCol)
         .transform(ckpt) // materialize + cut lineage (fires the metric)
       // Bounded wait, not bare obs.get: get blocks FOREVER if the metric
       // never fires, and it only fires because localCheckpoint happens to
       // run through withAction on Spark 4.1.2 (getOrEmpty is
       // private[spark]). The checkpoint action has already completed, so
       // the metric is normally available instantly; if that internal ever
-      // changes, fall back to an explicit convergence scan over the
+      // changes, fall back to an explicit sum scan over the
       // just-materialized checkpoint instead of hanging.
-      changed = awaitMetric(obs).flatMap(_.get("moved")) match {
-        case Some(b: java.lang.Boolean) => b.booleanValue
-        case _ => !next.where(col("label") < col("old_label")).isEmpty
-      }
-      labels = next.select("node", "label")
-      iter += 1
+      val s = awaitMetric(obs).map(_("ls").asInstanceOf[java.math.BigDecimal]
+          .stripTrailingZeros.toPlainString)
+        .getOrElse(next.agg(sumCol).head().getDecimal(0)
+          .stripTrailingZeros.toPlainString)
+      changed = !prevSum.contains(s)
+      prevSum = Some(s)
+      labels = next
+      iter += f
     }
-    sym.unpersist()
     // Exhausting the cap with labels still moving means the result is NOT
     // a fixpoint — partially-propagated cluster ids are silently WRONG
     // (two nodes of one component keep different labels). Fail loudly;
@@ -162,12 +197,15 @@ object Graphs {
       .union(e0.select(col("v").as("node"))).distinct()
       .transform(ckpt) // reused after the loop; don't replay the scan
     var cur = e0.transform(ckpt)
+    // (count, Σ xxhash64) edge-set checksum. Hash sum in DECIMAL(38,0):
+    // a BIGINT sum of ±2^63 hashes overflows under ANSI on a few
+    // thousand rows.
+    def checksumCols: Seq[org.apache.spark.sql.Column] = Seq(
+      count(lit(1)).as("cnt"),
+      coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")).as("hs"))
     def checksum(df: DataFrame): (Long, String) = {
-      // hash sum in DECIMAL(38,0): a BIGINT sum of ±2^63 hashes overflows
-      // under ANSI on a few thousand rows
-      val r = df.agg(count(lit(1)),
-        coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
-          lit(0).cast("decimal(38,0)"))).head()
+      val r = df.agg(checksumCols.head, checksumCols.tail: _*).head()
       (r.getLong(0), r.getDecimal(1).stripTrailingZeros.toPlainString)
     }
     var prev = checksum(cur)
@@ -185,12 +223,23 @@ object Graphs {
       // small-star over the (larger, smaller)-oriented large output:
       // all neighbors under key u are < u, so m < u strictly
       val smin = large.groupBy("u").agg(min("v").as("m"))
+      // the convergence checksum rides the checkpoint action as an
+      // observed metric (the min-label-CC discipline, r15): one job per
+      // round instead of checkpoint + a second checksum scan; bounded
+      // await with an explicit scan off the checkpoint as fallback
+      val obs = org.apache.spark.sql.Observation(s"bigstar_$rounds")
       val small = large.join(smin, Seq("u")).filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
         .union(smin.select(col("u"), col("m").as("v")))
         .distinct()
+        .observe(obs, checksumCols.head, checksumCols.tail: _*)
         .transform(ckpt)
-      val sum1 = checksum(small)
+      val sum1 = awaitMetric(obs) match {
+        case Some(m) => (m("cnt").asInstanceOf[Long],
+          m("hs").asInstanceOf[java.math.BigDecimal]
+            .stripTrailingZeros.toPlainString)
+        case None => checksum(small)
+      }
       converged = sum1 == prev
       prev = sum1
       cur = small
@@ -347,17 +396,25 @@ object Graphs {
         greatest(col("x"), col("y")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
       .transform(ckpt)
-    var alive = und
-    for (_ <- 1 to rounds) {
-      val sym = alive.select(col("u").as("a"), col("v").as("b"))
-        .union(alive.select(col("v").as("a"), col("u").as("b")))
-      alive = alive
-        .join(sym.select(col("a").as("u"), col("b").as("w")), Seq("u"))
+    def round(al: DataFrame): DataFrame = {
+      val sym = al.select(col("u").as("a"), col("v").as("b"))
+        .union(al.select(col("v").as("a"), col("u").as("b")))
+      al.join(sym.select(col("a").as("u"), col("b").as("w")), Seq("u"))
         .join(sym.select(col("a").as("v"), col("b").as("w")), Seq("v", "w"),
           "left_semi")
         .groupBy("u", "v").agg(count(lit(1)).as("sup"))
         .filter(col("sup") >= k - 2).select("u", "v")
-        .transform(ckpt)
+    }
+    var alive = und
+    var r = 0
+    while (r < rounds) {
+      // FUSED_ROUNDS peels per checkpoint (see FUSED_ROUNDS) — each round
+      // references the survivor set 3×, so f stays at 2 (9 leaf copies)
+      val f = math.min(FUSED_ROUNDS, rounds - r)
+      var cur = alive
+      for (_ <- 1 to f) cur = round(cur)
+      alive = cur.transform(ckpt)
+      r += f
     }
     und.join(alive.withColumn("flag", lit(true)), Seq("u", "v"), "left_outer")
       .select(col("u"), col("v"),
@@ -404,12 +461,19 @@ object Graphs {
     var rounds = 0
     var done = false
     while (!done && rounds < maxRounds) {
+      // the active-edge count rides the checkpoint action as an observed
+      // metric (the min-label-CC discipline, r15) — one job instead of
+      // checkpoint + isEmpty scan; bounded await, explicit scan fallback
+      val obsE = org.apache.spark.sql.Observation(s"boruvka_e_$rounds")
       val e = und
         .join(comp.toDF("u", "cu"), Seq("u"))
         .join(comp.toDF("v", "cv"), Seq("v"))
         .filter(col("cu") =!= col("cv"))
-        .transform(ckpt) // BEFORE isEmpty: the check must not replay
-      if (e.isEmpty) done = true
+        .observe(obsE, count(lit(1)).as("cnt"))
+        .transform(ckpt) // BEFORE the count check: it must not replay
+      val eCnt = awaitMetric(obsE).map(_("cnt").asInstanceOf[Long])
+        .getOrElse(if (e.isEmpty) 0L else 1L)
+      if (eCnt == 0L) done = true
       else {
         // per-component minimum outgoing edge (min-struct: w is unique,
         // so the winner and its payload are deterministic)
@@ -425,8 +489,10 @@ object Graphs {
           .transform(ckpt)
         // an edge picked by both endpoints appears twice — dedupe within
         // the round; across rounds its endpoints share a component, so it
-        // can never be re-picked
-        picked += sel.select("u", "v", "w").distinct().transform(ckpt)
+        // can never be re-picked. No checkpoint of its own (r15): `sel`
+        // is already materialized, so this stays a lazy distinct over the
+        // leaf — the final forest union is its only consumer.
+        picked += sel.select("u", "v", "w").distinct()
         // pointer graph: every active component points at the OTHER
         // endpoint of its min edge. Unique weights ⇒ the only cycles are
         // mutual-min 2-cycles; break them toward the smaller id, leaving
@@ -443,12 +509,19 @@ object Graphs {
         var jumping = true
         var jumps = 0
         while (jumping && jumps < maxRounds) {
+          // the moved-count rides the jump checkpoint as an observed
+          // metric — one job per jump instead of two (r15)
+          val obsJ = org.apache.spark.sql.Observation(
+            s"boruvka_jump_${rounds}_$jumps")
           val nxt = ptr.toDF("c0", "p0")
             .join(ptr.toDF("p0", "p1"), Seq("p0"))
             .select(col("c0").as("c"), col("p1").as("p"),
               (col("p1") =!= col("p0")).cast("long").as("mv"))
+            .observe(obsJ, coalesce(sum("mv"), lit(0L)).as("mv"))
             .transform(ckpt)
-          jumping = nxt.agg(sum("mv")).head().getLong(0) > 0
+          jumping = awaitMetric(obsJ).map(_("mv").asInstanceOf[Long])
+            .getOrElse(nxt.agg(coalesce(sum("mv"), lit(0L)).as("mv"))
+              .head().getLong(0)) > 0
           ptr = nxt.select("c", "p")
           jumps += 1
         }
@@ -882,14 +955,22 @@ object Graphs {
       .distinct()
       .transform(ckpt)
     val nodes = sym.select(col("a").as("node")).distinct().transform(ckpt)
+    def round(al: DataFrame): DataFrame = sym
+      .join(al.select(col("node").as("a")), Seq("a"), "left_semi")
+      .join(al.select(col("node").as("b")), Seq("b"), "left_semi")
+      .groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= k).select("node")
     var alive = nodes
-    for (_ <- 1 to rounds) {
-      alive = sym
-        .join(alive.select(col("node").as("a")), Seq("a"), "left_semi")
-        .join(alive.select(col("node").as("b")), Seq("b"), "left_semi")
-        .groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k).select("node")
-        .transform(ckpt)
+    var r = 0
+    while (r < rounds) {
+      // FUSED_ROUNDS synchronous rounds per checkpoint (identical
+      // composed algebra — the oracle's unrolled CTEs don't care where
+      // the materialization boundary sits)
+      val f = math.min(FUSED_ROUNDS, rounds - r)
+      var cur = alive
+      for (_ <- 1 to f) cur = round(cur)
+      alive = cur.transform(ckpt)
+      r += f
     }
     nodes.join(alive.withColumn("flag", lit(true)), Seq("node"), "left_outer")
       .select(col("node"), coalesce(col("flag"), lit(false)).as("in_core"))
@@ -919,19 +1000,34 @@ object Graphs {
       .distinct()
       .transform(ckpt)
     val nodes = sym.select(col("a").as("node")).distinct().transform(ckpt)
+    def round(al: DataFrame): DataFrame = sym
+      .join(al.select(col("node").as("a")), Seq("a"), "left_semi")
+      .join(al.select(col("node").as("b")), Seq("b"), "left_semi")
+      .groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= k).select("node")
     var alive = nodes
     var layers: DataFrame = null
-    for (t <- 1 to rounds) {
-      val next = sym
-        .join(alive.select(col("node").as("a")), Seq("a"), "left_semi")
-        .join(alive.select(col("node").as("b")), Seq("b"), "left_semi")
-        .groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k).select("node")
-        .transform(ckpt)
-      val dropped = alive.join(next, Seq("node"), "left_anti")
-        .withColumn("layer", lit(t.toLong))
-      layers = if (layers == null) dropped else layers.unionByName(dropped)
-      alive = next
+    var t = 1
+    while (t <= rounds) {
+      // FUSED_ROUNDS per checkpoint; the per-round dropped sets stay
+      // LAZY plans over the fused bodies (they always were lazy — the
+      // final nodes⋈layers action is the only consumer), so the round-t
+      // survivor plan appears a few times in the final plan instead of
+      // being its own materialization round-trip. Same composed algebra.
+      val f = math.min(FUSED_ROUNDS, rounds - t + 1)
+      var cur = alive
+      val prevs = (0 until f).map { _ => val p = cur; cur = round(cur); p }
+      alive = cur.transform(ckpt)
+      // dropped(t+i) = survivors(i) ∖ survivors(i+1); the last round's
+      // minuend is the just-materialized checkpoint, earlier rounds stay
+      // in-plan over the previous leaf
+      val states = prevs :+ alive
+      for (i <- 0 until f) {
+        val dropped = states(i).join(states(i + 1), Seq("node"), "left_anti")
+          .withColumn("layer", lit((t + i).toLong))
+        layers = if (layers == null) dropped else layers.unionByName(dropped)
+      }
+      t += f
     }
     nodes.join(layers, Seq("node"), "left_outer")
       .select(col("node"), coalesce(col("layer"), lit(0L)).as("layer"),
@@ -970,11 +1066,20 @@ object Graphs {
         "ancestorClosure: parent pointers reference nodes absent from the mapping")
     var f = p.withColumn("dist",
       when(col("node") === col("anc"), 0L).otherwise(1L)).transform(ckpt)
-    for (_ <- 1 to rounds) {
-      f = f.as("x").join(f.as("y"), col("x.anc") === col("y.node"))
+    def compose(g: DataFrame): DataFrame =
+      g.as("x").join(g.as("y"), col("x.anc") === col("y.node"))
         .select(col("x.node").as("node"), col("y.anc").as("anc"),
           (col("x.dist") + col("y.dist")).as("dist"))
-        .transform(ckpt)
+    var r = 0
+    while (r < rounds) {
+      // FUSED_ROUNDS compositions per checkpoint — f∘f∘(f∘f) is the same
+      // mapping whether or not the inner composition materialized
+      // (see FUSED_ROUNDS)
+      val ff = math.min(FUSED_ROUNDS, rounds - r)
+      var cur = f
+      for (_ <- 1 to ff) cur = compose(cur)
+      f = cur.transform(ckpt)
+      r += ff
     }
     // converged ⟺ every anc is a root (self-parented); else fail loudly
     val roots = p.filter(col("node") === col("anc")).select(col("node").as("anc"))
@@ -1016,16 +1121,25 @@ object Graphs {
       .withColumn("d", when(seed(col("node")), 0L)
         .otherwise(lit(null).cast("long")))
       .transform(ckpt)
-    for (_ <- 1 to rounds) {
-      val viaNbr = sym.join(dist, col("a") === col("node"))
+    def round(dd: DataFrame): DataFrame = {
+      val viaNbr = sym.join(dd, col("a") === col("node"))
         .filter(col("d").isNotNull)
         .groupBy(col("b").as("nb")).agg(min(col("d") + 1L).as("nd"))
-      dist = dist.join(viaNbr, col("node") === col("nb"), "left_outer")
+      dd.join(viaNbr, col("node") === col("nb"), "left_outer")
         .select(col("node"),
           when(col("d").isNull, col("nd"))
             .when(col("nd").isNull, col("d"))
             .otherwise(least(col("d"), col("nd"))).as("d"))
-        .transform(ckpt)
+    }
+    var r = 0
+    while (r < rounds) {
+      // FUSED_ROUNDS relaxations per checkpoint — identical recurrence,
+      // fewer driver round-trips (see FUSED_ROUNDS)
+      val f = math.min(FUSED_ROUNDS, rounds - r)
+      var cur = dist
+      for (_ <- 1 to f) cur = round(cur)
+      dist = cur.transform(ckpt)
+      r += f
     }
     dist.select(col("node"), coalesce(col("d"), lit(-1L)).as("dist4"))
   }
@@ -1090,14 +1204,22 @@ object Graphs {
       when(col("node") === lms(i), 0L).otherwise(lit(null).cast("long"))
         .as(s"d$i")): _*)
       .transform(ckpt)
-    for (_ <- 1 to rounds) {
+    def round(dd: DataFrame): DataFrame = {
       val mins = idx.map(i => min(col(s"d$i") + 1L).as(s"nd$i"))
-      val viaNbr = sym.join(dist, col("a") === col("node"))
+      val viaNbr = sym.join(dd, col("a") === col("node"))
         .groupBy(col("b").as("nb")).agg(mins.head, mins.tail: _*)
-      dist = dist.join(viaNbr, col("node") === col("nb"), "left_outer")
+      dd.join(viaNbr, col("node") === col("nb"), "left_outer")
         .select(col("node") +: idx.map(i =>
           least(col(s"d$i"), col(s"nd$i")).as(s"d$i")): _*)
-        .transform(ckpt)
+    }
+    var r = 0
+    while (r < rounds) {
+      // FUSED_ROUNDS relaxations per checkpoint (see FUSED_ROUNDS)
+      val f = math.min(FUSED_ROUNDS, rounds - r)
+      var cur = dist
+      for (_ <- 1 to f) cur = round(cur)
+      dist = cur.transform(ckpt)
+      r += f
     }
     (dist, lms)
   }

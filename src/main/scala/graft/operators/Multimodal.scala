@@ -348,8 +348,9 @@ object Multimodal {
     // surprisal vocabulary-join discipline, shuffle-safe at any scale —
     // AQE broadcasts the dict while it is small). Hash values, dedup
     // key (media_id, h) and everything downstream are bit-identical.
-    val par = s.sparkContext.defaultParallelism
-    val gated = graft.Ckpt.hashed(media.unionByName(recrawled),
+    val gatedBase = media.unionByName(recrawled)
+    val par = graft.Ckpt.wide(gatedBase) // volume-aware, floor = defaultParallelism
+    val gated = graft.Ckpt.hashed(gatedBase,
       par, "media_id") // grams + the N fold both read it
     // One explicit gram-keyed exchange serves the (media, gram) dedup,
     // the dictionary dedup AND the dict join (all co-partitioned, zero

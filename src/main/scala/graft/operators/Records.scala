@@ -1044,12 +1044,17 @@ object Records {
     * exactly this much. All integers; per-date sums fit BIGINT at any
     * scale because the date grain is calendar-bounded. */
   def metaJoinSizeEstimate(s: SparkSession, dir: String): DataFrame = {
+    // md5 AFTER the count aggregate (r15): h is a pure function of k and
+    // the date grain is ~2.4k distinct keys behind ~750k rows at sf0.1,
+    // so hashing the aggregate output computes ~300× fewer md5s than
+    // hashing per row — the phash dictionary discipline; groupBy(k)
+    // ≡ groupBy(k, h) when h = f(k), rows bit-identical.
     def keyed(df: DataFrame, dcol: String): DataFrame = df
       .select(col(dcol).cast("string").as("k"))
+      .groupBy("k").agg(count(lit(1)).as("c"))
       .select(col("k"),
         expr("cast(conv(substring(md5(cast(concat('jse:', k) as binary))," +
-          " 1, 13), 16, 10) as bigint)").as("h"))
-      .groupBy("k", "h").agg(count(lit(1)).as("c"))
+          " 1, 13), 16, 10) as bigint)").as("h"), col("c"))
     val o = keyed(t(s, dir, "orders"), "o_orderdate").transform(graft.Ckpt.capped)
     val l = keyed(t(s, dir, "lineitem"), "l_shipdate").transform(graft.Ckpt.capped)
     val exact = o.join(l.toDF("k", "h2", "c2"), Seq("k"))

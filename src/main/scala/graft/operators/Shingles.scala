@@ -32,7 +32,7 @@ object Shingles {
     // whole pipeline — repartition right after the read). hash(doc_id)
     // satisfies the window clustering, so this REPLACES that exchange
     // (and ships raw text once instead of exploded token rows).
-    val par = graft.Ckpt.textPar(docs.sparkSession) // probed: cores/4 beats 32 AND 1
+    val par = graft.Ckpt.textPar(docs) // volume-aware floor: cores/4 beats 32 AND 1 locally (probed)
     val rows = docs
       .repartition(par, col("doc_id"))
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))

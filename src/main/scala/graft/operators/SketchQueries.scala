@@ -222,7 +222,7 @@ object SketchQueries {
     // md5s + 60 partial sums otherwise run at single-split scan width;
     // hash(doc_id) also feeds the groupBy exchange-free.
     val fps = docs
-      .repartition(graft.Ckpt.textPar(docs.sparkSession), col("doc_id"))
+      .repartition(graft.Ckpt.textPar(docs), col("doc_id"))
       .select(col("doc_id"),
         explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("w"))
       .withColumn("h", expr(
@@ -437,18 +437,21 @@ object SketchQueries {
       .crossJoin(broadcast(entries))
       .join(qdots, Seq("qid", "nid"))
       .transform(graft.Ckpt.capped)
-    var frontier = visited.withColumn("rn", row_number().over(wq))
-      .filter(col("rn") <= BEAM).select("qid", "nid", "dotfp")
-      .transform(graft.Ckpt.capped)
+    // the frontier is a LAZY top-BEAM window over the visited checkpoint
+    // leaf (r15): it needs no materialization of its own — each round's
+    // plan re-derives it from the leaf, halving the per-round checkpoint
+    // round-trips (visited is referenced twice per round: frontier rank
+    // + the union base, both off the leaf)
+    def frontierOf(v: org.apache.spark.sql.DataFrame) =
+      v.withColumn("rn", row_number().over(wq))
+        .filter(col("rn") <= BEAM).select("qid", "nid", "dotfp")
     for (_ <- 1 to 4) {
-      val expanded = frontier.select(col("qid"), col("nid").as("a"))
+      val expanded = frontierOf(visited)
+        .select(col("qid"), col("nid").as("a"))
         .join(sym, Seq("a"))
         .select(col("qid"), col("b").as("nid")).distinct()
         .join(qdots, Seq("qid", "nid"))
       visited = visited.unionByName(expanded).dropDuplicates("qid", "nid")
-        .transform(graft.Ckpt.capped)
-      frontier = visited.withColumn("rn", row_number().over(wq))
-        .filter(col("rn") <= BEAM).select("qid", "nid", "dotfp")
         .transform(graft.Ckpt.capped)
     }
     val found = visited.withColumn("r", row_number().over(wq))
@@ -590,8 +593,9 @@ object SketchQueries {
     // Explicit-width doc repartition (the Shingles r14 note): replaces
     // the window's tiny AQE-coalesced exchange so shingle md5s + both
     // window passes run at textPar width.
-    val toks = t(s, dir, "documents")
-      .repartition(graft.Ckpt.textPar(s), col("doc_id"))
+    val docsRel = t(s, dir, "documents")
+    val toks = docsRel
+      .repartition(graft.Ckpt.textPar(docsRel), col("doc_id"))
       .select(col("doc_id"),
         posexplode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
           .as(Seq("pos", "tok")))

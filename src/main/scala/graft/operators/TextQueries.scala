@@ -1500,7 +1500,7 @@ object TextQueries {
     // partition), so the 3n-pair levenshtein stage streamed single-task
     // (1.8 s of the sealed 2.2 s). With 32 partitions the rank-equi BHJ
     // streams the explode side at full width.
-    val par = s.sparkContext.defaultParallelism
+    val par = graft.Ckpt.wide(d) // volume-aware, floor = defaultParallelism
     val ranked = graft.Ckpt.hashed(d.join(broadcast(offsets), Seq("bkt"))
       .withColumn("rk",
         row_number().over(Window.partitionBy("bkt").orderBy("sk16", "doc_id"))
@@ -1574,7 +1574,7 @@ object TextQueries {
     // Explicit-width doc repartition before the explode (the Shingles r14
     // note): the 16-lead window + md5 otherwise run at the AQE-coalesced
     // width of the window's own tiny exchange.
-    val parSw = graft.Ckpt.textPar(s)
+    val parSw = graft.Ckpt.textPar(corpus)
     val toks = corpus.repartition(parSw, col("doc_id"))
       .select(col("doc_id"),
         posexplode(Shingles.tokens(col("text"))).as(Seq("pos", "w0")))

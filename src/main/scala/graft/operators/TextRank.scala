@@ -154,7 +154,7 @@ object TextRank {
     // Explicit-width doc_id repartition replaces the window's tiny
     // AQE-coalesced exchange (the Shingles.trigramRows r14 note: the
     // single-split corpus file otherwise starves every downstream stage).
-    val par = graft.Ckpt.textPar(df.sparkSession)
+    val par = graft.Ckpt.textPar(df)
     df.repartition(par, col("doc_id"))
       .select(col("doc_id"), toks("text").as(Seq("pos", "w")))
       .select(col("doc_id"), concat_ws("_", col("w"),

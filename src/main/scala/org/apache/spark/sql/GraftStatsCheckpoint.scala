@@ -49,8 +49,24 @@ object GraftStatsCheckpoint {
   def localCheckpointHashPartitioned(df: DataFrame, cols: Seq[String],
       numParts: Int): DataFrame = {
     val ck = df.localCheckpoint()
+    // Runtime guard on the caller contract (r15, verdict item): the
+    // materialized RDD must actually have numParts partitions — a future
+    // edit inserting a width-changing operator between the repartition
+    // and the stamp would otherwise silently yield a WRONG
+    // hash-partitioning claim, letting downstream joins skip a required
+    // exchange (incorrect rows at any scale). The partition COUNT is the
+    // cheap observable that catches that rot class; asserting it here
+    // costs nothing (the RDD is already materialized).
     ck.queryExecution.analyzed match {
       case lr: LogicalRDD =>
+        val actual = lr.rdd.getNumPartitions
+        if (actual != numParts)
+          throw new IllegalStateException(
+            s"localCheckpointHashPartitioned: caller claimed " +
+              s"HashPartitioning(${cols.mkString(",")}, $numParts) but " +
+              s"the materialized checkpoint has $actual partitions — a " +
+              "width-changing operator sits between the repartition and " +
+              "the stamp; fix the caller")
         val attrs = cols.map(c => lr.output.find(_.name == c).getOrElse(
           throw new IllegalArgumentException(
             s"localCheckpointHashPartitioned: no column '$c' in ${lr.output}")))

@@ -187,7 +187,7 @@ class PlanAuditSpec extends SparkSpec {
     "text_lz_complexity" -> 0, // pure narrow scan projection: the whole LZ78 parse runs inside the codegen Expression
     "text_conditional_entropy" -> 4, // conditional leg: marginal window + lang fold; unigram leg: (lang,u) agg + lang fold — all over the checkpointed bigram aggregate (vocab²-bounded)
     "sim_sq8_recall" -> 2, // pair partial-agg on (qid, vec) + final qid fold; per-dim range + 5×64 query codes broadcast (rank windows ride the pair exchange)
-    "graph_onion_layers" -> 0, // kcore's peel with per-round drop tracking — everything behind the per-round checkpoints (kcore's plan shape)
+    "graph_onion_layers" -> 4, // r15 fused rounds: the first round of each fused pair stays IN-PLAN (its semi-join degree agg = 2 exchanges × 2 pairs) instead of being its own checkpoint round-trip — measured faster; the dropped-set anti-joins still read checkpoint leaves
     "events_mannwhitney_ab" -> 3, // per-user agg + mass histogram + the single-row fold; midrank window rides the |masses|-row aggregate
     "sim_graph_search_recall" -> 6, // final top-10/exact rank windows + overlap fold off the checkpointed visited/dotfp tables (search rounds all behind per-round Ckpt.capped)
     "events_session_gap_sweep" -> 4, // ONE user lag window reused by the totals fold + the 6-threshold explode agg (single-row totals frame broadcast, whitelisted)
