@@ -6469,19 +6469,39 @@ object Analytics {
     var cur = d2.select("vec_id").distinct()
       .withColumn("mind", lit(INF))
       .transform(graft.Ckpt.capped)
+    // r15: the per-round argmin no longer round-trips through its own
+    // driver collect — the 1-row winner (TakeOrdered over the 32-cand
+    // totals, same (tot, cand) ordering) is BROADCAST-joined into the
+    // next mind table, and its (cand, tot) values ride that checkpoint's
+    // materialization as OBSERVED metrics (min over constant columns), so
+    // ONE job per round materializes both the pick and the update
+    // (was: collect + checkpoint = two). Exclusion stays a literal isin
+    // over the driver-known picks — a relational anti-join would add a
+    // stage per previous round.
     val chosen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
     for (r <- 0 until k) {
       val picked = chosen.map(_._2)
-      val base = d2.join(cur, Seq("vec_id"))
+      val base = d2.join(cur.select("vec_id", "mind"), Seq("vec_id"))
         .groupBy("cand").agg(sum(least(col("mind"), col("d2"))).as("tot"))
       val win = (if (picked.isEmpty) base
                  else base.filter(!col("cand").isin(picked.toSeq: _*)))
-        .orderBy("tot", "cand").limit(1).collect()(0)
-      chosen += ((r.toLong, win.getLong(0), win.getLong(1)))
-      cur = cur.join(d2.filter(col("cand") === win.getLong(0))
-          .select(col("vec_id"), col("d2")), Seq("vec_id"))
-        .select(col("vec_id"), least(col("mind"), col("d2")).as("mind"))
+        .orderBy("tot", "cand").limit(1)
+        .select(col("cand").as("wc"), col("tot").as("wt"))
+      val obs = org.apache.spark.sql.Observation(s"fl_round_$r")
+      cur = cur.select("vec_id", "mind")
+        .join(d2, Seq("vec_id"))
+        .join(broadcast(win), col("cand") === col("wc"))
+        .select(col("vec_id"), least(col("mind"), col("d2")).as("mind"),
+          col("wc"), col("wt"))
+        .observe(obs, min(col("wc")).as("wc"), min(col("wt")).as("wt"))
         .transform(graft.Ckpt.capped)
+      val (wcV, wtV) = Graphs.awaitMetric(obs) match {
+        case Some(m) => (m("wc").asInstanceOf[Long], m("wt").asInstanceOf[Long])
+        case None =>
+          val row = cur.limit(1).select("wc", "wt").head()
+          (row.getLong(0), row.getLong(1))
+      }
+      chosen += ((r.toLong, wcV, wtV))
     }
     import comps.sparkSession.implicits._
     chosen.toSeq.toDF("round", "center_vec_id", "total_cost_fp")

@@ -42,7 +42,7 @@ object Graphs {
     * waiter on the fixed-size global EC would leak one pool thread per
     * timeout, and after #cores timeouts every later call (even ones
     * whose metric DID fire) would starve behind the dead waiters. */
-  private def awaitMetric(obs: org.apache.spark.sql.Observation): Option[Map[String, Any]] = {
+  private[operators] def awaitMetric(obs: org.apache.spark.sql.Observation): Option[Map[String, Any]] = {
     import scala.concurrent.{Await, ExecutionContext, Future, TimeoutException}
     import scala.concurrent.duration._
     val exec = java.util.concurrent.Executors.newSingleThreadExecutor(r => {
@@ -866,7 +866,11 @@ object Graphs {
     * small pair graph). A deterministic round count is also what keeps
     * the oracle an unrolled CTE chain. */
   def pageRank(edges: DataFrame, iters: Int = 5): DataFrame = {
-    val e = edges.toDF("x", "y").filter(col("x") =!= col("y"))
+    // checkpoint the raw edges FIRST (r15): e is referenced twice by the
+    // symmetrizing union and sym twice more (degree fold + join), so an
+    // uncut plan replays the upstream pair generation up to 4× inside
+    // the outE materialization — the multi-reference landmine
+    val e = ckpt(edges.toDF("x", "y").filter(col("x") =!= col("y")))
     // duplicates DO change sums here (unlike the min-label CC), so the
     // symmetrized edge set must be made distinct
     val sym = e.select(col("x").as("a"), col("y").as("b"))
@@ -911,6 +915,10 @@ object Graphs {
     * (edge ⋈ label) join + two partial-aggregated shuffles; bounded
     * lineage (fixed rounds) ⇒ no per-round checkpoint. */
   def labelPropagation(edges: DataFrame, iters: Int = 4): DataFrame = {
+    // NO up-front edge checkpoint here (measured 0.85x): the union's two
+    // references share the pair plan's exchanges (ReusedExchange), so the
+    // extra materialization costs more than the replayed tail — unlike
+    // pageRank, whose FOUR references made the cut a 2.3x win
     val e = edges.toDF("x", "y").filter(col("x") =!= col("y"))
     val sym = e.select(col("x").as("a"), col("y").as("b"))
       .union(e.select(col("y").as("a"), col("x").as("b")))
@@ -949,7 +957,9 @@ object Graphs {
     * round two broadcast-able semi-joins + one partial-agg degree
     * shuffle. */
   def kcorePeel(edges: DataFrame, k: Int = 2, rounds: Int = 4): DataFrame = {
-    val e = edges.toDF("x", "y").filter(col("x") =!= col("y"))
+    // e checkpointed first: the symmetrizing union references it twice
+    // (the pageRank replay note)
+    val e = ckpt(edges.toDF("x", "y").filter(col("x") =!= col("y")))
     val sym = e.select(col("x").as("a"), col("y").as("b"))
       .union(e.select(col("y").as("a"), col("x").as("b")))
       .distinct()
@@ -994,7 +1004,9 @@ object Graphs {
     * load-bearing: survivors are referenced by both endpoint filters AND
     * the round's anti-join). */
   def onionLayers(edges: DataFrame, k: Int = 2, rounds: Int = 4): DataFrame = {
-    val e = edges.toDF("x", "y").filter(col("x") =!= col("y"))
+    // e checkpointed first: the symmetrizing union references it twice
+    // (the pageRank replay note)
+    val e = ckpt(edges.toDF("x", "y").filter(col("x") =!= col("y")))
     val sym = e.select(col("x").as("a"), col("y").as("b"))
       .union(e.select(col("y").as("a"), col("x").as("b")))
       .distinct()
@@ -1112,6 +1124,8 @@ object Graphs {
     * copies of the node-distinct subtree). */
   def bfsLayers(edges: DataFrame, seed: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
                 rounds: Int = 4): DataFrame = {
+    // no up-front edge checkpoint (measured 0.86x — the labelPropagation
+    // ReusedExchange note)
     val e = edges.toDF("x", "y").filter(col("x") =!= col("y"))
     val sym = e.select(col("x").as("a"), col("y").as("b"))
       .union(e.select(col("y").as("a"), col("x").as("b")))
@@ -1188,7 +1202,9 @@ object Graphs {
   private[operators] def landmarkDistances(
       edges: DataFrame, nLandmarks: Int, rounds: Int)
       : (DataFrame, Array[Long]) = {
-    val e = edges.toDF("x", "y").filter(col("x") =!= col("y"))
+    // e checkpointed first: the symmetrizing union references it twice
+    // (the pageRank replay note)
+    val e = ckpt(edges.toDF("x", "y").filter(col("x") =!= col("y")))
     val sym = e.select(col("x").as("a"), col("y").as("b"))
       .union(e.select(col("y").as("a"), col("x").as("b")))
       .distinct()
