@@ -129,7 +129,12 @@ object Graphs {
     var prevSum: Option[String] = None
     def sumCol = sum(col("label").cast("decimal(38,0)")).as("ls")
     while (changed && iter < maxIter) {
-      val f = math.min(FUSED_ROUNDS, maxIter - iter)
+      // 3 rounds per checkpoint here (vs FUSED_ROUNDS = 2 for the
+      // multi-reference loops): the single-reference round makes fused
+      // plans LINEAR, so the only cost of a deeper fuse is identity
+      // rounds at the fixpoint — and diameter-3 pair graphs then
+      // converge in 2 checkpoints instead of 3
+      val f = math.min(FUSED_ROUNDS + 1, maxIter - iter)
       var cur = labels
       for (_ <- 1 to f) cur = round(cur)
       val obs = org.apache.spark.sql.Observation(s"cc_round_$iter")

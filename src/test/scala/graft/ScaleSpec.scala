@@ -372,6 +372,33 @@ class ScaleSpec extends SparkSpec {
     assert(phys.contains("BroadcastHashJoin"), s"expected BHJ, got:\n$phys")
   }
 
+  test("stamped checkpoint: claimed layout serves joins/aggs exchange-free; width divergence fails loudly") {
+    import org.apache.spark.sql.DataFrame
+    def shuffles(df: DataFrame): Int = {
+      val p = df.queryExecution.executedPlan.toString
+      def n(re: String) = re.r.findAllIn(p).size
+      n("Exchange ") - n("BroadcastExchange ") - n("ReusedExchange ")
+    }
+    val df = (1L to 256L).map(i => (i % 16, i)).toDF("k", "v")
+    val n = 8
+    // honest contract: repartition(n, k) + partitioning-preserving filter
+    val ok = Ckpt.stamp(df.repartition(n, col("k")).filter(col("v") > 0), n, "k")
+    assert(ok.rdd.getNumPartitions === n)
+    // the stamped layout serves a groupBy(k) with NO new exchange — the
+    // whole point of the stamp (AQE records Unknown otherwise)
+    assert(shuffles(ok.groupBy("k").count()) === 0,
+      "stamped checkpoint did not satisfy the aggregate's clustering")
+    // and a self-join on k is exchange-free on both sides
+    assert(shuffles(ok.as("a").join(ok.as("b"), "k")) === 0,
+      "stamped checkpoint did not satisfy the join's clustering")
+    // broken contract (r15 guard): a width-changing operator between the
+    // repartition and the stamp must throw, never silently claim a wrong
+    // layout (downstream joins would skip a required exchange)
+    intercept[IllegalStateException] {
+      Ckpt.stamp(df.repartition(n, col("k")).coalesce(2), n, "k")
+    }
+  }
+
   test("onion layers: a planted deep-peel graph labels the unreached remainder CORE, never mis-layers it") {
     // graph_onion_layers runs fixed rounds=4 — fine on the cliquey
     // near-dup graph, but the k-core convergence discipline demands the
